@@ -1,13 +1,327 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextAnalysis}
+import graft.predicates._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Numeric-determinism conventions for the DuckDB-oracle compare:
+  *  - money aggregates are computed in integer cents
+  *    (`CAST(round(price*100) AS BIGINT)`) so sums are exact integer
+  *    arithmetic — identical under any addition order / parallelism;
+  *  - ratios are exposed as `floor(x * 1e6)` BIGINT micro-units —
+  *    both engines evaluate the same IEEE division on the same ints;
+  *  - every query has a total ORDER BY on its output.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_agg_pricing")(spark, "/root/testdata/sf0.001")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** money → exact integer cents (2-decimal source data). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** discount/tax → exact integer basis points ×100 (2-decimal). */
+  private def pct(c: Column): Column = round(c * 100).cast("long")
+  /** ratio → micro-units, exact integer compare. */
+  private def micro(c: Column): Column = floor(c * 1000000L).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Aggregation (SURVEY §2 A1-A4 family; TPC-H Q1 shape) ----
+    "q01_agg_pricing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+            .as("sum_disc_c4"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- Predicates: in_set membership (F1) ----
+    "q02_filter_inset" -> ((s, dir) => {
+      val p = InSet("l_returnflag", Seq("A", "R")) &&
+        InExpr(Set("l_quantity"), col("l_quantity") < 5)
+      t(s, dir, "lineitem").filter(p.toColumn)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- Predicates: negate + and/or reduction (F1) ----
+    "q03_filter_composite" -> ((s, dir) => {
+      val p = (!InExpr(Set("l_discount"),
+          col("l_discount").between(0.02, 0.07))) &&
+        (InExpr(Set("l_quantity"), col("l_quantity") >= 45) ||
+          InExpr(Set("l_tax"), col("l_tax") < 0.01))
+      t(s, dir, "lineitem").filter(p.toColumn)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pct(col("l_discount")).as("disc_pct"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- Projection: regex schema view (P1) ----
+    "q04_project_regex" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val keep = li.columns.filter(c =>
+        c.matches("l_.*key") || c == "l_linenumber").sorted
+      li.select(keep.map(col): _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- Broadcast join over dimension chain ----
+    "q05_join_broadcast" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(cents(col("c_acctbal"))).as("sum_acctbal_cents"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ---- Fact-fact join + aggregation ----
+    "q06_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+            .as("revenue_c4"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- Window: top-k per group ----
+    "q07_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderstatus"), col("rk"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("o_orderstatus"), col("rk"))
+    }),
+
+    // ---- Deterministic pseudorandom split (SH2/F1) ----
+    "q08_split_train" -> ((s, dir) => {
+      val p = PseudorandomSplit("doc_id", Seq(0.8, 0.1, 0.1), keep = 0)
+      t(s, dir, "documents").filter(p.toColumn)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Exact dedup report (LLM-ops) ----
+    "q09_dedup_report" -> ((s, dir) => {
+      Dedup.exactReport(t(s, dir, "documents"))
+        .orderBy(col("fingerprint"))
+    }),
+
+    // ---- Exact dedup: surviving rows (LLM-ops) ----
+    "q10_dedup_rows" -> ((s, dir) => {
+      Dedup.exactByText(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Text analysis: token / char stats (LLM-ops) ----
+    "q11_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
+          micro(TextAnalysis.alphaRatio(col("text"))).as("alpha_ratio_m"),
+          micro(TextAnalysis.punctRatio(col("text"))).as("punct_ratio_m"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Copy-dataset shape: project + not-null filter (S7/F5) ----
+    "q12_notnull_copy" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_acctbal").isNotNull && col("c_name").isNotNull)
+        .select(col("c_custkey"), col("c_name"),
+          cents(col("c_acctbal")).as("acctbal_cents"))
+        .repartition(4)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- Precision conversion float64→float32 (X2) ----
+    "q13_precision_cast" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("float").as("price_f32"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- Weighted/deterministic union of readers (SH3 shape) ----
+    "q14_union_readers" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val a = e.filter(col("event_type") === "purchase")
+      val b = e.filter(col("event_type") === "signup")
+      a.unionByName(b)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- Deterministic key-shard (SH1 semantic on keys) ----
+    "q15_shard_keymod" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(4)) === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- Language ID heuristic (LLM-ops; rows-only oracle) ----
+    "q16_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Quality scoring (LLM-ops; rows-only oracle) ----
+    "q17_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          micro(TextAnalysis.qualityScore(col("text"))).as("quality_m"),
+          micro(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio_m"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** DuckDB-runnable oracles. Tables referenced by bare name; the
+    * driver maps them onto the same parquet files. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_inset" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_filter_composite" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_discount*100) AS BIGINT) AS disc_pct,
+        |  CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE NOT (l_discount BETWEEN 0.02 AND 0.07)
+        |  AND (l_quantity >= 45 OR l_tax < 0.01)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q04_project_regex" ->
+      """SELECT l_linenumber, l_orderkey, l_partkey, l_suppkey
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q05_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q06_join_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q07_window_topk" ->
+      """SELECT o_orderstatus, rk, o_orderkey, price_cents FROM (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) x
+        |WHERE rk <= 3
+        |ORDER BY o_orderstatus, rk""".stripMargin,
+
+    "q08_split_train" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+        |      / 4294967296.0 < 0.8
+        |ORDER BY doc_id""".stripMargin,
+
+    "q09_dedup_report" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY fingerprint""".stripMargin,
+
+    "q10_dedup_rows" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q11_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+        |  CAST(floor(CASE WHEN length(text)=0 THEN 0.0 ELSE
+        |    CAST(len(regexp_extract_all(text,'[A-Za-z]')) AS DOUBLE)/length(text)
+        |    END * 1000000) AS BIGINT) AS alpha_ratio_m,
+        |  CAST(floor(CASE WHEN length(text)=0 THEN 0.0 ELSE
+        |    CAST(len(regexp_extract_all(text,'[.,;:!?''"()\[\]{}-]')) AS DOUBLE)/length(text)
+        |    END * 1000000) AS BIGINT) AS punct_ratio_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q12_notnull_copy" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents
+        |FROM customer
+        |WHERE c_acctbal IS NOT NULL AND c_name IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q13_precision_cast" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS REAL) AS price_f32
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q14_union_readers" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'signup'
+        |ORDER BY event_id""".stripMargin,
+
+    "q15_shard_keymod" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE l_orderkey % 4 = 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    // q16_langid, q17_quality: heuristic expression trees not
+    // reasonably SQL-expressible → rows-only check.
+  )
 }
