@@ -1,24 +1,57 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+/** Benchmark harness (driver contract: ONE JSON line on stdout).
+  *
+  * Mirrors the reference harness's warmup/measure split
+  * (benchmark/throughput.py:112-172): each query is executed once to
+  * warm the JVM/Spark (JIT, codegen cache, file-footer cache), then
+  * timed on a second full execution. The sink is a `noop`-format
+  * write, which executes the whole physical plan — unlike `count()`,
+  * which lets Catalyst prune every projection (r1 verdict defect).
+  * Failures are reported in an `errors` map, never as fake timings.
+  */
 object Bench {
+  private def runOnce(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val spark = GraftSession.build("graft-bench")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      try {
+        runOnce(fn(spark, sfDir)) // warmup
+        val t0 = System.nanoTime()
+        runOnce(fn(spark, sfDir)) // measured
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val qs = timings.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val total = timings.values.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // File copy first (survives stdout interleaving with sbt noise),
+    // then the contractual single stdout JSON line, flushed last.
+    try Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    println(json)
+    Console.flush()
   }
 }

@@ -157,7 +157,6 @@ object SparkEntry {
         .filter(col("c_acctbal").isNotNull && col("c_name").isNotNull)
         .select(col("c_custkey"), col("c_name"),
           cents(col("c_acctbal")).as("acctbal_cents"))
-        .repartition(4)
         .orderBy(col("c_custkey"))
     }),
 
@@ -194,11 +193,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- Quality scoring (LLM-ops; rows-only oracle) ----
+    // ---- Quality scoring (LLM-ops) ----
     "q17_quality" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          micro(TextAnalysis.qualityScore(col("text"))).as("quality_m"),
+          micro(TextAnalysis.qualityScoreRaw(col("text"))).as("quality_m"),
           micro(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio_m"))
         .orderBy(col("doc_id"))
     })
@@ -320,8 +319,48 @@ object SparkEntry {
     "q15_shard_keymod" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
         |WHERE l_orderkey % 4 = 1
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
-    // q16_langid, q17_quality: heuristic expression trees not
-    // reasonably SQL-expressible → rows-only check.
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q16_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> list_contains(['the','and','is','was','that','with','this','have'], t))) AS h_en,
+        |    len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))) AS h_de,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une','que','pour'], t))) AS h_fr,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','es','una','que','por','para'], t))) AS h_es,
+        |    len(list_filter(toks, t -> list_contains(['il','di','che','per','una','sono','con','non'], t))) AS h_it
+        |  FROM t
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(h_en,h_de,h_fr,h_es,h_it) <= 0 THEN 'und'
+        |       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_it THEN 'en'
+        |       WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_it THEN 'de'
+        |       WHEN h_fr >= h_es AND h_fr >= h_it THEN 'fr'
+        |       WHEN h_es >= h_it THEN 'es'
+        |       ELSE 'it' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q17_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |    regexp_extract_all(text, '\S+') AS wtoks,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ltoks,
+        |    length(text) AS n_chars_t
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) AS length_score,
+        |    CASE WHEN n_chars_t = 0 THEN 0.0 ELSE CAST(len(regexp_extract_all(text,'[A-Za-z]')) AS DOUBLE) / n_chars_t END AS alpha,
+        |    CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE CAST(len(list_filter(ltoks, x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','with','as','at','by'], x))) AS DOUBLE) / len(ltoks) END AS stop_ratio,
+        |    CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(wtoks, x -> length(x))) AS DOUBLE) / n_tok END AS mtl
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(floor((length_score * 0.3 + alpha * 0.3 + least(stop_ratio * 4.0, 1.0) * 0.2 + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2) * 1000000) AS BIGINT) AS quality_m,
+        |  CAST(floor(stop_ratio * 1000000) AS BIGINT) AS stopword_ratio_m
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

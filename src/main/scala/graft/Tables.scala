@@ -14,12 +14,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session confs every graft session needs; our mains and tests set
+    * these at build time (per ADVICE r1 — no mid-session mutation).
+    * nanosAsLong: events.ts is INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader otherwise rejects; we read it as a raw nanosecond
+    * Long (exact — no truncation) and derive µs/ms views as needed. */
+  val SessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS), which Spark's parquet
-      // reader rejects; read it as a raw nanosecond Long instead.
-      // Downstream ops treat `ts` as ns-since-epoch (exact — no
-      // truncation), deriving µs/ms views where needed.
+    // Defensive for externally-built sessions (e.g. the driver's
+    // smoke-check) that didn't apply SessionConfs. Idempotent.
+    if (name == "events" &&
+        !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$dir/$name.parquet")

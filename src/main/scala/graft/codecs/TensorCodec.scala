@@ -4,28 +4,30 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.{Deflater, Inflater}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 
 /** Portable binary tensor layout — our NdarrayCodec equivalent
   * (reference semantics: codecs.py:133-212; byte-compat with numpy
   * `.npy` is explicitly a non-goal, see SURVEY §7.2).
   *
-  * Layout (little-endian):
+  * Layout (little-endian payload; header fields as noted):
   * {{{
-  *   magic   4B  'G','R','T','1'
+  *   magic   4B  the literal bytes 'G','R','T','1'
   *   dtype   1B  code (see Dtype)
   *   flags   1B  bit0 = deflate-compressed payload
   *   ndim    1B
-  *   dims    ndim × int32
+  *   dims    ndim × int32 (little-endian)
   *   payload raw element bytes, C-order (deflated if flag set)
   * }}}
   *
   * Unsigned numpy dtypes widen to the next signed Spark type exactly
   * like the reference (unischema.py:128-154): uint8→Short,
-  * uint16→Int, uint32→Long.
+  * uint16→Int, uint32→Long — but are STORED at their natural width
+  * (1/2/4 bytes), masked back to non-negative values on decode.
   */
 object Dtype {
   final case class Spec(code: Byte, width: Int, sparkType: DataType)
@@ -44,69 +46,139 @@ object Dtype {
     ByName.map { case (n, s) => s.code -> (n, s) }
   def apply(name: String): Spec = ByName.getOrElse(name,
     throw new IllegalArgumentException(s"unknown tensor dtype: $name"))
+  def name(code: Byte): String = ByCode(code)._1
 }
 
 object TensorCodec {
-  val Magic: Int = ('G' << 24) | ('R' << 16) | ('T' << 8) | '1'
+  private val MagicBytes = Array[Byte]('G', 'R', 'T', '1')
+  private val HeaderLen = 7
 
-  def encode(dtype: String, dims: Array[Int], data: ArrayData,
+  /** Encode an ArrayData of elements (in the dtype's *Spark* logical
+    * type) into the GRT1 binary layout. Static (codegen-callable). */
+  def encodeFromArrays(dims: ArrayData, data: ArrayData, code: Byte,
       compressed: Boolean): Array[Byte] = {
-    val spec = Dtype(dtype)
+    val spec = Dtype.ByCode(code)._2
+    val d = dims.toIntArray()
     val n = data.numElements()
-    require(dims.isEmpty || dims.product == n,
-      s"shape ${dims.mkString("x")} does not match $n elements")
-    val payload = ByteBuffer.allocate(n * spec.width).order(ByteOrder.LITTLE_ENDIAN)
+    if (d.nonEmpty) {
+      var prod = 1L
+      d.foreach(x => prod *= x)
+      require(prod == n, s"shape ${d.mkString("x")} does not match $n elements")
+    }
+    val byteLen = n.toLong * spec.width
+    require(byteLen <= Int.MaxValue - 64L,
+      s"tensor too large: $byteLen bytes (max ~2GB per cell)")
+    val payload = ByteBuffer.allocate(byteLen.toInt).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
-    spec.sparkType match {
-      case ByteType    => while (i < n) { payload.put(data.getByte(i)); i += 1 }
-      case ShortType   => while (i < n) { payload.putShort(data.getShort(i)); i += 1 }
-      case IntegerType => while (i < n) { payload.putInt(data.getInt(i)); i += 1 }
-      case LongType    => while (i < n) { payload.putLong(data.getLong(i)); i += 1 }
-      case FloatType   => while (i < n) { payload.putFloat(data.getFloat(i)); i += 1 }
-      case DoubleType  => while (i < n) { payload.putDouble(data.getDouble(i)); i += 1 }
-      case BooleanType => while (i < n) { payload.put(if (data.getBoolean(i)) 1.toByte else 0.toByte); i += 1 }
-      case t => throw new IllegalStateException(s"unsupported $t")
+    code match {
+      case 1  => while (i < n) { payload.put(data.getByte(i)); i += 1 }
+      case 2  => while (i < n) { payload.putShort(data.getShort(i)); i += 1 }
+      case 3  => while (i < n) { payload.putInt(data.getInt(i)); i += 1 }
+      case 4  => while (i < n) { payload.putLong(data.getLong(i)); i += 1 }
+      case 5  => while (i < n) { payload.putFloat(data.getFloat(i)); i += 1 }
+      case 6  => while (i < n) { payload.putDouble(data.getDouble(i)); i += 1 }
+      case 7  => while (i < n) { payload.put((data.getShort(i) & 0xFF).toByte); i += 1 }
+      case 8  => while (i < n) { payload.putShort((data.getInt(i) & 0xFFFF).toShort); i += 1 }
+      case 9  => while (i < n) { payload.putInt((data.getLong(i) & 0xFFFFFFFFL).toInt); i += 1 }
+      case 10 => while (i < n) { payload.put(if (data.getBoolean(i)) 1.toByte else 0.toByte); i += 1 }
+      case c  => throw new IllegalStateException(s"unsupported dtype code $c")
     }
     val raw = payload.array()
     val body = if (compressed) deflate(raw) else raw
-    val out = ByteBuffer.allocate(7 + 4 * dims.length + body.length)
+    val out = ByteBuffer.allocate(HeaderLen + 4 * d.length + body.length)
       .order(ByteOrder.LITTLE_ENDIAN)
-    out.putInt(Magic)
-    out.put(spec.code)
+    out.put(MagicBytes)
+    out.put(code)
     out.put(if (compressed) 1.toByte else 0.toByte)
-    out.put(dims.length.toByte)
-    dims.foreach(out.putInt)
+    out.put(d.length.toByte)
+    d.foreach(out.putInt)
     out.put(body)
     out.array()
   }
 
-  /** @return (dtypeName, dims, elements) */
-  def decode(bytes: Array[Byte]): (String, Array[Int], GenericArrayData) = {
+  def encode(dtype: String, dims: Array[Int], data: ArrayData,
+      compressed: Boolean): Array[Byte] =
+    encodeFromArrays(new GenericArrayData(dims.map(i => i: Any)), data,
+      Dtype(dtype).code, compressed)
+
+  /** Decode into `struct<dims: array<int>, data: array<T>>` as an
+    * InternalRow. Validates magic, dtype, and that the payload length
+    * equals dims-product × element-width. Element arrays are built
+    * from primitive arrays (zero boxing). Static (codegen-callable). */
+  def decodeStruct(bytes: Array[Byte], expectedCode: Byte): InternalRow = {
+    require(bytes.length >= HeaderLen, "truncated GRT1 tensor")
+    require(bytes(0) == 'G' && bytes(1) == 'R' && bytes(2) == 'T' && bytes(3) == '1',
+      "not a GRT1 tensor")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    require(buf.getInt() == Magic, "not a GRT1 tensor")
+    buf.position(4)
     val code = buf.get()
+    require(code == expectedCode,
+      s"stored dtype ${Dtype.name(code)} != requested ${Dtype.name(expectedCode)}")
     val flags = buf.get()
     val ndim = buf.get().toInt
     val dims = Array.fill(ndim)(buf.getInt())
-    val (name, spec) = Dtype.ByCode.getOrElse(code,
-      throw new IllegalArgumentException(s"unknown dtype code $code"))
+    val spec = Dtype.ByCode(code)._2
     val body0 = new Array[Byte](buf.remaining()); buf.get(body0)
     val body = if ((flags & 1) != 0) inflate(body0) else body0
+    require(body.length % spec.width == 0,
+      s"payload ${body.length}B not a multiple of element width ${spec.width}")
     val n = body.length / spec.width
-    val p = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
-    val values = new Array[Any](n)
-    var i = 0
-    spec.sparkType match {
-      case ByteType    => while (i < n) { values(i) = p.get(); i += 1 }
-      case ShortType   => while (i < n) { values(i) = p.getShort(); i += 1 }
-      case IntegerType => while (i < n) { values(i) = p.getInt(); i += 1 }
-      case LongType    => while (i < n) { values(i) = p.getLong(); i += 1 }
-      case FloatType   => while (i < n) { values(i) = p.getFloat(); i += 1 }
-      case DoubleType  => while (i < n) { values(i) = p.getDouble(); i += 1 }
-      case BooleanType => while (i < n) { values(i) = p.get() != 0; i += 1 }
-      case t => throw new IllegalStateException(s"unsupported $t")
+    if (ndim > 0) {
+      var prod = 1L
+      dims.foreach(x => prod *= x)
+      require(prod == n, s"payload has $n elements but dims say $prod")
     }
-    (name, dims, new GenericArrayData(values))
+    val p = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val data: ArrayData = code match {
+      case 1 =>
+        val a = new Array[Byte](n); p.get(a)
+        UnsafeArrayData.fromPrimitiveArray(a)
+      case 2 =>
+        val a = new Array[Short](n)
+        var i = 0; while (i < n) { a(i) = p.getShort(); i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
+      case 3 =>
+        val a = new Array[Int](n)
+        var i = 0; while (i < n) { a(i) = p.getInt(); i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
+      case 4 =>
+        val a = new Array[Long](n)
+        var i = 0; while (i < n) { a(i) = p.getLong(); i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
+      case 5 =>
+        val a = new Array[Float](n)
+        var i = 0; while (i < n) { a(i) = p.getFloat(); i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
+      case 6 =>
+        val a = new Array[Double](n)
+        var i = 0; while (i < n) { a(i) = p.getDouble(); i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
+      case 7 =>
+        val a = new Array[Short](n)
+        var i = 0; while (i < n) { a(i) = (p.get() & 0xFF).toShort; i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
+      case 8 =>
+        val a = new Array[Int](n)
+        var i = 0; while (i < n) { a(i) = p.getShort() & 0xFFFF; i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
+      case 9 =>
+        val a = new Array[Long](n)
+        var i = 0; while (i < n) { a(i) = p.getInt() & 0xFFFFFFFFL; i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
+      case 10 =>
+        val a = new Array[Boolean](n)
+        var i = 0; while (i < n) { a(i) = p.get() != 0; i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(a)
+      case c => throw new IllegalStateException(s"unsupported dtype code $c")
+    }
+    InternalRow(UnsafeArrayData.fromPrimitiveArray(dims), data)
+  }
+
+  /** @return (dtypeName, dims, elements) — test-friendly view. */
+  def decode(bytes: Array[Byte]): (String, Array[Int], ArrayData) = {
+    val code = bytes(4)
+    val row = decodeStruct(bytes, code)
+    (Dtype.name(code), row.getArray(0).toIntArray(), row.getArray(1))
   }
 
   private def deflate(b: Array[Byte]): Array[Byte] = {
@@ -136,16 +208,21 @@ object TensorCodec {
 
 /** `encode_tensor(dims, data)` → binary. Null-safe: null in either
   * input yields null (parity with explicit-null insertion,
-  * unischema.py:409-424). */
+  * unischema.py:409-424). Codegen'd: emits a static call, so it stays
+  * inside whole-stage codegen. */
 case class EncodeTensor(left: Expression, right: Expression,
     dtype: String, compressed: Boolean)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
+  private val spec = Dtype(dtype)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = left.nullable || right.nullable
-  override def nullSafeEval(dims: Any, data: Any): Any = {
-    val d = dims.asInstanceOf[ArrayData].toIntArray()
-    TensorCodec.encode(dtype, d, data.asInstanceOf[ArrayData], compressed)
-  }
+  override def nullSafeEval(dims: Any, data: Any): Any =
+    TensorCodec.encodeFromArrays(dims.asInstanceOf[ArrayData],
+      data.asInstanceOf[ArrayData], spec.code, compressed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (dims, data) =>
+      s"${ev.value} = graft.codecs.TensorCodec.encodeFromArrays(" +
+        s"$dims, $data, (byte) ${spec.code}, $compressed);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
   override def prettyName: String = "encode_tensor"
@@ -154,18 +231,20 @@ case class EncodeTensor(left: Expression, right: Expression,
 /** `decode_tensor(bin)` → struct<dims: array<int>, data: array<T>>.
   * The flat data+dims representation (instead of nested arrays) keeps
   * decode allocation-light and lets fixed-shape consumers reshape
-  * lazily — at 100 TB the decode is the hot loop. */
+  * lazily — at 100 TB the decode is the hot loop, so elements land in
+  * UnsafeArrayData built from primitive arrays (no per-element
+  * boxing) and the call is codegen'd (no CodegenFallback). */
 case class DecodeTensor(child: Expression, dtype: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private val spec = Dtype(dtype)
   override def dataType: DataType = StructType(Seq(
     StructField("dims", ArrayType(IntegerType, containsNull = false), nullable = false),
     StructField("data", ArrayType(spec.sparkType, containsNull = false), nullable = false)))
-  override def nullSafeEval(v: Any): Any = {
-    val (name, dims, data) = TensorCodec.decode(v.asInstanceOf[Array[Byte]])
-    require(name == dtype, s"stored dtype $name != requested $dtype")
-    InternalRow(new GenericArrayData(dims.map(i => i: Any)), data)
-  }
+  override def nullSafeEval(v: Any): Any =
+    TensorCodec.decodeStruct(v.asInstanceOf[Array[Byte]], spec.code)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.codecs.TensorCodec.decodeStruct($c, (byte) ${spec.code});")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "decode_tensor"
 }

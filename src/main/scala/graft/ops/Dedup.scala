@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
   *
-  * Exact dedup here; MinHash/SimHash near-dup live in [[MinHashLSH]]
-  * and [[SimHash]] (custom expressions), with candidate generation
-  * via band-bucket joins so nothing ever compares all pairs.
+  * Exact dedup here; near-dup (MinHash-LSH banding, SimHash, n-gram
+  * Jaccard) lives in [[graft.ops.NearDedup]], with candidate
+  * generation via band-bucket joins so nothing ever compares all
+  * pairs.
   */
 object Dedup {
 
@@ -22,10 +23,13 @@ object Dedup {
     * salting needed).
     */
   def exact(df: DataFrame, key: Column, orderCol: Column): DataFrame = {
+    // collision-checked temp column name
+    val rn = Iterator.from(0).map(i => s"__graft_rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(key).orderBy(orderCol)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Exact text dedup keyed on the normalized-text fingerprint. */

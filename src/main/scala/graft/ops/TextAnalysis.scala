@@ -66,14 +66,21 @@ object TextAnalysis {
     * some stopwords, sane mean word length, low punctuation excess.
     * Weights are fixed so the score is a stable, comparable quantity
     * across runs. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
+
+  /** Unrounded quality score. The exact IEEE-754 evaluation order is
+    * part of the contract (left-assoc sum of the four weighted
+    * terms), so any engine that evaluates the same expression over
+    * the same doubles reproduces it bit-for-bit — this is what the
+    * DuckDB oracle for q17 relies on. */
+  def qualityScoreRaw(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val lengthScore = least(nTok / lit(50.0), lit(1.0))
     val alpha = alphaRatio(text)
     val stop = least(stopwordRatio(text) * 4.0, lit(1.0))
     val mtl = meanTokenLen(text)
     val wordShape = when(mtl >= 3.0 && mtl <= 10.0, 1.0).otherwise(0.5)
-    round(lengthScore * 0.3 + alpha * 0.3 + stop * 0.2 + wordShape * 0.2, 6)
+    lengthScore * 0.3 + alpha * 0.3 + stop * 0.2 + wordShape * 0.2
   }
 
   /** Stable 128-bit document fingerprint over normalized text

@@ -79,7 +79,10 @@ final case class ReduceOr(ps: Seq[RowPredicate]) extends RowPredicate {
   */
 final case class PseudorandomSplit(field: String, ratios: Seq[Double],
     keep: Int) extends RowPredicate {
-  require(keep >= 0 && keep < ratios.length)
+  require(ratios.nonEmpty && ratios.forall(_ >= 0) && ratios.sum > 0,
+    s"split ratios must be non-negative with a positive sum: $ratios")
+  require(keep >= 0 && keep < ratios.length,
+    s"keep=$keep out of range for ${ratios.length} buckets")
   private val cum = ratios.scanLeft(0.0)(_ + _)
   private val total = cum.last
   val lo: Double = cum(keep) / total
