@@ -176,6 +176,7 @@ object TensorCodec {
 
   /** @return (dtypeName, dims, elements) — test-friendly view. */
   def decode(bytes: Array[Byte]): (String, Array[Int], ArrayData) = {
+    require(bytes.length >= HeaderLen, "truncated GRT1 tensor")
     val code = bytes(4)
     val row = decodeStruct(bytes, code)
     (Dtype.name(code), row.getArray(0).toIntArray(), row.getArray(1))

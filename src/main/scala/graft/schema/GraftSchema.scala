@@ -136,7 +136,9 @@ object GraftSchema {
 
   def fromJson(json: String): GraftSchema = {
     val nameM = """"name"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    val name = nameM.findFirstMatchIn(json).map(_.group(1)).getOrElse("dataset")
+    val name = nameM.findFirstMatchIn(json).map(_.group(1))
+      .map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse("dataset")
     val idx = json.indexOf("\"struct\":")
     require(idx >= 0, "missing struct in schema json")
     val structJson = json.substring(idx + 9, json.length - 1)

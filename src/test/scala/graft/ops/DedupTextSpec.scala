@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "Hello  World"),
+    (2L, "hello world"),   // dup of 1 after normalization
+    (3L, "different text"),
+    (4L, " HELLO\tWORLD "), // dup of 1
+    (5L, "different text")) // dup of 3
+    .toDF("doc_id", "text")
+
+  test("exactByText keeps the smallest id per normalized fingerprint") {
+    val kept = Dedup.exactByText(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("exactReport counts copies per fingerprint") {
+    val rep = Dedup.exactReport(docs)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rep.toSeq == Seq((1L, 3L), (3L, 2L)))
+  }
+
+  test("exact() temp column does not clobber user columns named __graft_rn0") {
+    val df = docs.withColumn("__graft_rn0", lit(99))
+    val out = Dedup.exact(df, col("text"), col("doc_id"))
+    assert(out.columns.contains("__graft_rn0"))
+    assert(out.select("__graft_rn0").distinct().as[Int].collect().toSeq == Seq(99))
+  }
+
+  test("tokenCount / subwordCount / ratios on known strings") {
+    val df = Seq("a b  c", "", "ab12!", "  ").map(Tuple1(_)).toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.subwordCount(col("text")),
+      TextAnalysis.alphaRatio(col("text")),
+      TextAnalysis.punctRatio(col("text"))).collect()
+    assert(r(0).getInt(0) == 3 && r(0).getInt(1) == 3)
+    assert(r(1).getInt(0) == 0 && r(1).getInt(1) == 0 && r(1).getDouble(2) == 0.0)
+    assert(r(2).getInt(0) == 1 && r(2).getInt(1) == 3) // "ab","12","!"
+    assert(r(2).getDouble(2) == 0.4) // 2 alpha / 5 chars
+    assert(r(3).getInt(0) == 0)
+  }
+
+  test("stopwordRatio and meanTokenLen") {
+    val df = Seq(Tuple1("the cat is on the mat")).toDF("text")
+    val r = df.select(
+      TextAnalysis.stopwordRatio(col("text")),
+      TextAnalysis.meanTokenLen(col("text"))).collect()(0)
+    // stopwords: the, is, on, the → 4 of 6 tokens
+    assert(math.abs(r.getDouble(0) - 4.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 16.0 / 6.0) < 1e-12)
+  }
+
+  test("langId picks the max-marker language, und when none") {
+    val df = Seq(
+      "the cat and the dog is here with this",
+      "der hund und die katze ist nicht hier mit",
+      "le chat et la maison est une pour",
+      "xyzzy qwerty 12345").map(Tuple1(_)).toDF("text")
+    val r = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(r.toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq("Hello  World", "hello world", " hello\tWORLD ").map(Tuple1(_))
+      .toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+}
