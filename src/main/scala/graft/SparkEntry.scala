@@ -4,8 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
 import graft.ops.{Dedup, TextAnalysis}
 import graft.predicates._
+import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
+import graft.sources.{GraftRead, Materialize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -200,6 +203,50 @@ object SparkEntry {
           micro(TextAnalysis.qualityScoreRaw(col("text"))).as("quality_m"),
           micro(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio_m"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Tensor codec round-trip in-plan (§1.4 NdarrayCodec, S2) ----
+    // encode → compressed GRT1 binary cell → decode, inside whole-
+    // stage codegen; identity round-trip makes doubles exact.
+    "q18_tensor_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val vec = array(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      val enc = GraftFunctions.encodeTensor(array(lit(4)), vec, "float64",
+        compressed = true)
+      val dec = GraftFunctions.decodeTensor(enc, "float64")
+      li.select(col("l_orderkey"), col("l_linenumber"), dec.as("tv"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("tv.data")(0).as("qty"),
+          cents(col("tv.data")(1)).as("price_cents"),
+          pct(col("tv.data")(2)).as("disc_pct"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- Full materialize → read lifecycle (S1 + S3 + P1 + F1) ----
+    // Writes a tensor-bearing graft dataset to scratch, reads it back
+    // through the builder with a regex schema view + predicate.
+    "q19_materialize_read" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("lang"),
+        array(col("n_chars").cast("double"), (col("doc_id") * 2).cast("double"),
+          lit(7.0)).as("tvec"))
+      val schema = GraftSchema("docs_t", Seq(
+        FieldSpec("doc_id", org.apache.spark.sql.types.LongType),
+        FieldSpec("lang", org.apache.spark.sql.types.StringType, nullable = true),
+        FieldSpec("tvec", org.apache.spark.sql.types.DoubleType,
+          shape = Seq(3), codec = Some(CodecSpec("ndarray")))))
+      val url = sys.props("java.io.tmpdir") + "/graft_q19_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Materialize.materialize(src, url, schema, rowGroupSizeMb = 8,
+        partitions = Some(4))
+      GraftRead.reader(s, url)
+        .fields("doc_id", "tv.*")
+        .predicate(InExpr(Set("doc_id"), pmod(col("doc_id"), lit(7)) === 0))
+        .load()
+        .select(col("doc_id"), col("tvec.data")(0).as("v0"),
+          col("tvec.data")(1).as("v1"), col("tvec.data")(2).as("v2"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -361,6 +408,19 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(floor((length_score * 0.3 + alpha * 0.3 + least(stop_ratio * 4.0, 1.0) * 0.2 + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2) * 1000000) AS BIGINT) AS quality_m,
         |  CAST(floor(stop_ratio * 1000000) AS BIGINT) AS stopword_ratio_m
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q18_tensor_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+        |  CAST(round(l_discount*100) AS BIGINT) AS disc_pct
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q19_materialize_read" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) AS v0,
+        |  CAST(doc_id * 2 AS DOUBLE) AS v1, 7.0 AS v2
+        |FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin
   )
 }

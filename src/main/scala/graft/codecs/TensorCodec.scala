@@ -47,6 +47,19 @@ object Dtype {
   def apply(name: String): Spec = ByName.getOrElse(name,
     throw new IllegalArgumentException(s"unknown tensor dtype: $name"))
   def name(code: Byte): String = ByCode(code)._1
+
+  /** Signed dtype name for a Spark element type (the unsigned names
+    * are only reachable by declaring them explicitly). */
+  def forSparkType(dt: DataType): String = dt match {
+    case ByteType    => "int8"
+    case ShortType   => "int16"
+    case IntegerType => "int32"
+    case LongType    => "int64"
+    case FloatType   => "float32"
+    case DoubleType  => "float64"
+    case BooleanType => "bool"
+    case t => throw new IllegalArgumentException(s"no tensor dtype for $t")
+  }
 }
 
 object TensorCodec {

@@ -102,7 +102,7 @@ object GraftSchema {
   val LogicalTypeKey = "graft.logicalType"
   val FooterKey = "graft.schema.v1"
 
-  private[schema] def quote(s: String): String =
+  def quote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   def fromStructField(sf: StructField): FieldSpec = {

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.predicates.RowPredicate
+import graft.schema.{CodecSpec, GraftSchema}
+
+/** The reader builder — `make_reader` re-expressed as a declarative
+  * composition over `spark.read.parquet`
+  * (reference: reader.py:60-206, Reader pipeline reader.py:416-423).
+  *
+  * {{{
+  * GraftRead.reader(spark, url)
+  *   .fields("id", "emb.*")        // schema view, regex ok (P1)
+  *   .predicate(p)                 // predicate algebra (F1)
+  *   .shard(0, 4)                  // deterministic sharding (SH1)
+  *   .shuffle(seed = 7)            // seeded order randomization (O1-O3)
+  *   .epochs(2)                    // iteration control (E1)
+  *   .load()
+  * }}}
+  *
+  * Everything stays a Catalyst plan: pruning/pushdown are automatic,
+  * and the shuffle is a deterministic hash sort, reproducible on any
+  * cluster size (unlike `rand(seed)`, which is per-partition).
+  *
+  * Sharding divergence vs the reference (reader.py:573-597): the
+  * reference shards at row-group granularity; we shard the stable-
+  * sorted *file* list — the Spark-native unit of work. With
+  * row-group-sized files (the materialize default) they coincide.
+  * Like the reference, sharding with fewer files than shards raises.
+  */
+final case class GraftRead private (
+    spark: SparkSession,
+    url: String,
+    fieldSel: Seq[String],
+    preds: Seq[Column],
+    shardSpec: Option[(Int, Int)],
+    shuffleSeed: Option[Long],
+    epochCount: Int,
+    decodeOutput: Boolean) {
+
+  def fields(selectors: String*): GraftRead = copy(fieldSel = selectors)
+  def predicate(p: RowPredicate): GraftRead = copy(preds = preds :+ p.toColumn)
+  def predicate(c: Column): GraftRead = copy(preds = preds :+ c)
+  def shard(index: Int, count: Int): GraftRead = {
+    require(count > 0 && index >= 0 && index < count,
+      s"bad shard($index, $count)")
+    copy(shardSpec = Some((index, count)))
+  }
+  def shuffle(seed: Long): GraftRead = copy(shuffleSeed = Some(seed))
+  def epochs(k: Int): GraftRead = {
+    require(k >= 1, s"epochs($k)")
+    copy(epochCount = k)
+  }
+  /** Skip codec decode — storage-typed columns out (make_batch_reader
+    * flavor over a graft store). */
+  def rawStorage: GraftRead = copy(decodeOutput = false)
+
+  def load(): DataFrame = {
+    // 1. stable file listing + shard (SH1/O5)
+    val allFiles = Materialize.listParquetFiles(spark, url)
+    require(allFiles.nonEmpty, s"no parquet files at $url")
+    val files = shardSpec match {
+      case Some((i, n)) =>
+        require(allFiles.length >= n,
+          s"cannot shard ${allFiles.length} files into $n shards " +
+            "(reference parity: NoDataAvailableError, reader.py:583-585)")
+        allFiles.zipWithIndex.collect { case (f, idx) if idx % n == i => f }
+      case None => allFiles
+    }
+    val storage = spark.read.parquet(files: _*)
+
+    // 2. schema: stored or inferred (dataset_metadata.py:410-418)
+    val schema = Materialize.loadSchema(spark, url)
+      .getOrElse(GraftSchema.fromStructType("inferred", storage.schema))
+
+    // 3. schema view (P1: exact names or regex, unischema.py:199-240)
+    val viewed = if (fieldSel.isEmpty) schema else schema.view(fieldSel)
+    val projected = storage.select(viewed.fieldNames.map(col): _*)
+
+    // 4. codec decode (utils.py:52-85 decode_row)
+    val decoded =
+      if (!decodeOutput) projected
+      else projected.select(viewed.fields.map { f =>
+        val c = col(f.name)
+        (f.codec match {
+          case Some(CodecSpec("ndarray" | "compressed_ndarray", _)) =>
+            GraftFunctions.decodeTensor(c,
+              graft.codecs.Dtype.forSparkType(f.dataType))
+          case Some(CodecSpec("scalar", _)) => c.cast(f.dataType)
+          case _ => c
+        }).as(f.name)
+      }: _*)
+
+    // 5. residual predicate (decoded values, like the worker-side
+    //    predicate; Catalyst pushes what it can into the scan)
+    val filtered = preds.foldLeft(decoded)(_.filter(_))
+
+    // 6. epochs × seeded shuffle (E1 + O1-O3). Epoch k reshuffles
+    //    with seed+k (ventilator re-shuffle parity, reader.py:666-682)
+    val out =
+      if (epochCount == 1) shuffled(filtered, shuffleSeed)
+      else (0 until epochCount).map { k =>
+        shuffled(filtered, shuffleSeed.map(_ + k)).withColumn("__epoch", lit(k))
+      }.reduce(_.unionByName(_))
+    out
+  }
+
+  /** Deterministic whole-dataset permutation: sort by a seeded
+    * xxhash64 over every column. Unlike `orderBy(rand(seed))` this is
+    * reproducible regardless of partitioning or cluster size. */
+  private def shuffled(df: DataFrame, seed: Option[Long]): DataFrame =
+    seed match {
+      case None => df
+      case Some(s) =>
+        val key = xxhash64((lit(s) +: df.columns.map(col).toSeq): _*)
+        df.orderBy((key +: df.columns.map(col).toSeq): _*)
+    }
+}
+
+object GraftRead {
+  def reader(spark: SparkSession, url: String): GraftRead =
+    GraftRead(spark, url, Nil, Nil, None, None, 1, decodeOutput = true)
+}

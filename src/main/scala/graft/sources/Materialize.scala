@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions
+import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
+
+/** Dataset materialization — the reference's `materialize_dataset`
+  * context manager (etl/dataset_metadata.py:52-132) re-expressed as a
+  * write pipeline:
+  *
+  *   1. encode each schema field through its codec (write-side
+  *      projection, unischema.py:359-406 / dict_to_spark_row);
+  *   2. parquet write with `parquet.block.size` = rowGroupSizeMb
+  *      (reference sets the same hadoop conf, :135-178);
+  *   3. store the schema (versioned JSON, not pickle) plus per-file
+  *      row-group counts in a `_graft_metadata.json` sidecar
+  *      (reference pickles into `_common_metadata`; a JSON sidecar is
+  *      the same single-read-per-dataset contract without requiring a
+  *      parquet-footer writer, and Spark/DuckDB ignore `_`-prefixed
+  *      files).
+  *
+  * Row-group counts are gathered from parquet footers in a
+  * distributed job (reference does the same via a Spark map,
+  * :208-241) — at 100 TB the listing is thousands of files and the
+  * driver never opens them itself.
+  */
+object Materialize {
+  val SidecarName = "_graft_metadata.json"
+
+  /** Write-side codec projection: wraps each DataFrame column in its
+    * field's encoder. Nullability is enforced for non-nullable fields
+    * (parity: dict_to_spark_row raises on null for non-nullable,
+    * unischema.py:380-392) via assert_true. */
+  def encodeColumns(df: DataFrame, schema: GraftSchema): DataFrame = {
+    val cols = schema.fields.map { f =>
+      val c = col(f.name)
+      val enc = f.codec match {
+        case Some(CodecSpec("ndarray", _)) =>
+          GraftFunctions.encodeTensor(shapeDims(f, c), c,
+            graft.codecs.Dtype.forSparkType(f.dataType), compressed = false)
+        case Some(CodecSpec("compressed_ndarray", _)) =>
+          GraftFunctions.encodeTensor(shapeDims(f, c), c,
+            graft.codecs.Dtype.forSparkType(f.dataType), compressed = true)
+        case Some(CodecSpec("scalar", _)) => c.cast(f.dataType)
+        case Some(CodecSpec(other, _)) =>
+          throw new IllegalArgumentException(s"unknown codec $other for ${f.name}")
+        case None => c
+      }
+      val checked =
+        if (f.nullable) enc
+        else when(c.isNull, raise_error(lit(
+          s"field ${f.name} is not nullable but got null"))).otherwise(enc)
+      checked.as(f.name, f.toStructField.metadata)
+    }
+    df.select(cols: _*)
+  }
+
+  /** dims for the encoder: fixed dims from the schema, or measured
+    * from the array at runtime for variable (-1) dims. Only rank-1
+    * variable shapes are measurable from a flat array column. */
+  private def shapeDims(f: FieldSpec, c: Column): Column =
+    if (f.shape.forall(_ > 0)) array(f.shape.map(lit): _*)
+    else if (f.shape.length == 1) array(size(c))
+    else throw new IllegalArgumentException(
+      s"variable multi-dim shape ${f.shape} needs a dims column; " +
+        "store dims explicitly or use rank-1")
+
+  /** Materialize `df` (columns in schema's *logical* types) at `url`.
+    * @param partitions optional repartition count before write — the
+    *   reference's `partitions_count`/row-group sizing lever
+    *   (tools/copy_dataset.py:74-90). */
+  def materialize(df: DataFrame, url: String, schema: GraftSchema,
+      rowGroupSizeMb: Int = 32, partitions: Option[Int] = None,
+      overwrite: Boolean = true): Unit = {
+    val encoded = encodeColumns(df, schema)
+    val sized = partitions.map(encoded.repartition).getOrElse(encoded)
+    sized.write
+      .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+      .parquet(url)
+    writeMetadata(df.sparkSession, url, schema)
+  }
+
+  /** S9 parity (etl/petastorm_generate_metadata.py): (re)write the
+    * sidecar for an existing parquet store. */
+  def writeMetadata(spark: SparkSession, url: String, schema: GraftSchema): Unit = {
+    val counts = rowGroupCounts(spark, url)
+    val countsJson = counts.toSeq.sortBy(_._1)
+      .map { case (f, n) => s"${GraftSchema.quote(f)}:$n" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"version":1,"schema":${schema.toJson},"rowGroupCounts":$countsJson}"""
+    val path = new Path(url, SidecarName)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Per-file row-group counts from parquet footers, gathered on the
+    * executors (reference: dataset_metadata.py:208-241). */
+  def rowGroupCounts(spark: SparkSession, url: String): Map[String, Int] = {
+    val files = listParquetFiles(spark, url)
+    val n = files.length
+    if (n == 0) return Map.empty
+    val parts = math.min(n, spark.sparkContext.defaultParallelism).max(1)
+    spark.sparkContext.parallelize(files, parts).mapPartitions { it =>
+      // executor-local conf: file:// and cluster-default fs both fine
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { f =>
+        val p = new Path(f)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try p.getName -> r.getFooter.getBlocks.size() finally r.close()
+      }
+    }.collect().toMap
+  }
+
+  /** Stable-sorted (O5 parity: dataset_metadata.py:274-279) parquet
+    * file listing for a dataset directory. */
+  def listParquetFiles(spark: SparkSession, url: String): Seq[String] = {
+    val root = new Path(url)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(p: Path): Seq[String] = {
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet")) Seq(st.getPath.toString)
+        else Nil
+      }
+    }
+    walk(root).sorted
+  }
+
+  /** Load the stored GraftSchema, or None for plain parquet stores
+    * (caller then infers — dataset_metadata.py:410-418 fallback). */
+  def loadSchema(spark: SparkSession, url: String): Option[GraftSchema] = {
+    val path = new Path(url, SidecarName)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      val json = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var k = in.read(buf)
+        while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
+        bytes.toString("UTF-8")
+      } finally in.close()
+      val idx = json.indexOf("\"schema\":")
+      require(idx >= 0, s"malformed $SidecarName")
+      // schema object ends before ,"rowGroupCounts"
+      val end = json.indexOf(""","rowGroupCounts":""")
+      val schemaJson = json.substring(idx + 9, if (end > 0) end else json.length - 1)
+      Some(GraftSchema.fromJson(schemaJson))
+    }
+  }
+}

@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.predicates.InExpr
+import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
+
+/** End-to-end materialize → read lifecycle — the Scala analogue of
+  * tests/test_end_to_end.py:107-129 (+ shard/shuffle :451-559,
+  * :386-433). */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = GraftSchema("hello", Seq(
+    FieldSpec("id", LongType),
+    FieldSpec("label", StringType, nullable = true),
+    FieldSpec("image", ShortType, shape = Seq(4, 3),
+      codec = Some(CodecSpec("ndarray"))),
+    FieldSpec("emb", DoubleType, shape = Seq(-1),
+      codec = Some(CodecSpec("compressed_ndarray")))))
+
+  // 100 rows: id, label, a 4x3 uint8-ish image, a variable-length emb
+  private lazy val source = spark.range(100).toDF("id")
+    .withColumn("label", concat(lit("l"), col("id") % 3))
+    .withColumn("image", transform(sequence(lit(0), lit(11)),
+      i => ((col("id") + i) % 256).cast("short")))
+    .withColumn("emb", transform(sequence(lit(0), pmod(col("id"), lit(3)) + 1),
+      i => (col("id") * 10 + i).cast("double")))
+
+  private lazy val url: String = {
+    val u = scratch("lifecycle-ds")
+    Materialize.materialize(source, u, schema, rowGroupSizeMb = 1,
+      partitions = Some(4))
+    u
+  }
+
+  test("materialize writes sidecar with schema + row-group counts") {
+    val loaded = Materialize.loadSchema(spark, url)
+    assert(loaded.isDefined)
+    assert(loaded.get.fields == schema.fields)
+    val counts = Materialize.rowGroupCounts(spark, url)
+    assert(counts.size == 4) // partitions = 4 files
+    assert(counts.values.forall(_ >= 1))
+  }
+
+  test("storage types on disk are binary for codec fields") {
+    val raw = spark.read.parquet(url)
+    assert(raw.schema("image").dataType == BinaryType)
+    assert(raw.schema("emb").dataType == BinaryType)
+    assert(raw.schema("id").dataType == LongType)
+  }
+
+  test("read back decodes tensors to dims+data with exact values") {
+    val back = GraftRead.reader(spark, url).load()
+      .select(col("id"), col("image.dims"), col("image.data"), col("emb.data").as("emb"))
+      .orderBy("id").collect()
+    assert(back.length == 100)
+    val r7 = back(7)
+    assert(r7.getSeq[Int](1) == Seq(4, 3))
+    assert(r7.getSeq[Short](2) == (0 until 12).map(i => ((7 + i) % 256).toShort))
+    assert(r7.getSeq[Double](3) == (0 to (7 % 3) + 1).map(i => 70.0 + i))
+  }
+
+  test("fields() regex view prunes columns (P1)") {
+    val df = GraftRead.reader(spark, url).fields("id", "im.*").load()
+    assert(df.columns.toSeq == Seq("id", "image"))
+  }
+
+  test("fields() with unknown selector raises (unischema.py:224-238)") {
+    intercept[IllegalArgumentException](
+      GraftRead.reader(spark, url).fields("nope").load())
+  }
+
+  test("predicate filters on decoded values") {
+    val n = GraftRead.reader(spark, url)
+      .predicate(InExpr(Set("id"), col("id") < 10))
+      .load().count()
+    assert(n == 10)
+  }
+
+  test("shard(i,n) partitions files disjointly and completely (SH1)") {
+    val counts = (0 until 4).map(i =>
+      GraftRead.reader(spark, url).shard(i, 4).load()
+        .select("id").as[Long].collect().toSet)
+    assert(counts.map(_.size).sum == 100)
+    assert(counts.reduce(_ ++ _).size == 100)
+    // more shards than files raises, like NoDataAvailableError
+    intercept[IllegalArgumentException](
+      GraftRead.reader(spark, url).shard(0, 99).load())
+  }
+
+  test("shuffle(seed) is a deterministic permutation; seeds differ") {
+    def order(seed: Long): Seq[Long] =
+      GraftRead.reader(spark, url).fields("id").shuffle(seed).load()
+        .select("id").as[Long].collect().toSeq
+    val a1 = order(7); val a2 = order(7); val b = order(8)
+    assert(a1 == a2)
+    assert(a1 != b)
+    assert(a1.sorted == (0L until 100L))
+    assert(a1 != (0L until 100L)) // actually permuted
+  }
+
+  test("epochs(k) yields k tagged copies, independently shuffled (E1)") {
+    val df = GraftRead.reader(spark, url).fields("id").shuffle(3).epochs(2).load()
+    assert(df.count() == 200)
+    val byEpoch = df.groupBy("__epoch").count().orderBy("__epoch")
+      .as[(Int, Long)].collect().toSeq
+    assert(byEpoch == Seq((0, 100L), (1, 100L)))
+  }
+
+  test("non-nullable field with null raises at materialize (S2 parity)") {
+    val bad = Seq((1L, null.asInstanceOf[String])).toDF("id", "label")
+      .withColumn("image", transform(sequence(lit(0), lit(11)), i => i.cast("short")))
+      .withColumn("emb", array(lit(1.0)))
+    val strict = GraftSchema("strict", schema.fields.map(f =>
+      if (f.name == "label") f.copy(nullable = false) else f))
+    val e = intercept[Exception] {
+      Materialize.materialize(bad, scratch("bad-ds"), strict)
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("plain parquet store reads via inferred schema (S4/make_batch_reader)") {
+    val u = scratch("plain-ds")
+    spark.range(10).toDF("x").write.mode("overwrite").parquet(u)
+    val df = GraftRead.reader(spark, u).load()
+    assert(df.count() == 10 && df.columns.toSeq == Seq("x"))
+  }
+}
