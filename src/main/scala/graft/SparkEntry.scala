@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Dedup, NGram, TextAnalysis}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize}
@@ -247,6 +247,23 @@ object SparkEntry {
         .select(col("doc_id"), col("tvec.data")(0).as("v0"),
           col("tvec.data")(1).as("v1"), col("tvec.data")(2).as("v2"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- NGram sliding window (W1): per-user trigrams over events ----
+    // ts compared at µs granularity (DuckDB reads ns-parquet at µs);
+    // threshold 2e10 µs ≈ 5.6h between consecutive events.
+    "q20_ngram_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts DIV 1000"))
+      val spec = NGram.Spec(
+        fields = Map(
+          0 -> Seq("ts_us", "event_id", "event_type"),
+          1 -> Seq("ts_us", "event_type"),
+          2 -> Seq("ts_us", "event_type")),
+        deltaThreshold = 20000000000L,
+        timestampField = "ts_us")
+      NGram(ev, spec, groupCols = Seq("user_id"), tieBreak = Seq("event_id"))
+        .orderBy(col("user_id"), col("event_id_t0"))
     })
   )
 
@@ -421,6 +438,20 @@ object SparkEntry {
       """SELECT doc_id, CAST(n_chars AS DOUBLE) AS v0,
         |  CAST(doc_id * 2 AS DOUBLE) AS v1, 7.0 AS v2
         |FROM documents WHERE doc_id % 7 = 0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q20_ngram_window" ->
+      """SELECT user_id, ts_us_t0, event_id_t0, event_type_t0,
+        |       ts_us_t1, event_type_t1, ts_us_t2, event_type_t2
+        |FROM (
+        |  SELECT user_id,
+        |    epoch_us(ts) AS ts_us_t0, event_id AS event_id_t0, event_type AS event_type_t0,
+        |    lead(epoch_us(ts), 1) OVER w AS ts_us_t1, lead(event_type, 1) OVER w AS event_type_t1,
+        |    lead(epoch_us(ts), 2) OVER w AS ts_us_t2, lead(event_type, 2) OVER w AS event_type_t2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) x
+        |WHERE ts_us_t2 IS NOT NULL
+        |  AND ts_us_t1 - ts_us_t0 <= 20000000000
+        |  AND ts_us_t2 - ts_us_t1 <= 20000000000
+        |ORDER BY user_id, event_id_t0""".stripMargin
   )
 }

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** NGram sliding window over timestamp-sorted rows — the reference's
+  * only sequence operator (ngram.py:20-270).
+  *
+  * Semantics (ngram.py:20-100):
+  *  - `fields` maps a *relative offset* to the columns emitted for
+  *    that timestep, e.g. `Map(-1 -> Seq("a","b"), 0 -> Seq("a"))`;
+  *    window length L spans min..max offset inclusive.
+  *  - a window qualifies iff every CONSECUTIVE timestamp delta is
+  *    ≤ `deltaThreshold` (ngram.py:179-193).
+  *  - `timestampOverlap = true`: all qualifying windows are emitted
+  *    (sliding). `false`: greedy non-overlapping selection — scan in
+  *    order, emit the first qualifying window, skip its L rows, then
+  *    emit the next qualifying window starting at or after that
+  *    point (ngram.py:225-270 state machine).
+  *
+  * Spark formulation: `lead()` columns over
+  * `Window.partitionBy(groups).orderBy(ts, tieBreak)` — flat,
+  * codegen'd, one shuffle on the group key. Output columns are named
+  * `{field}_t{i}` for timestep i (offsets normalized to 0..L-1).
+  *
+  * Divergence from the reference, by design: petastorm windows never
+  * cross *row-group* boundaries (a physical artifact, ngram.py:85-91);
+  * ours never cross *group* boundaries (a logical key, e.g. user_id)
+  * and are global when no group is given. At 100 TB, `groupBy` is the
+  * scalable shape — each group sorts independently after one hash
+  * shuffle; a global (ungrouped) NGram over everything would sort the
+  * world and should be avoided, exactly like any global orderBy.
+  *
+  * Greedy non-overlap selection is inherently sequential per group,
+  * so it runs as `flatMapGroups` over only `(group, rowIdx)` pairs of
+  * qualifying positions — the heavy lead-columns stay in the
+  * window-function plan and are joined back by a broadcast-friendly
+  * semi-join on (group, rowIdx).
+  */
+object NGram {
+
+  final case class Spec(
+      fields: Map[Int, Seq[String]],
+      deltaThreshold: Long,
+      timestampField: String,
+      timestampOverlap: Boolean = true) {
+    require(fields.nonEmpty, "fields must cover at least one offset")
+    val minOff: Int = fields.keys.min
+    val length: Int = fields.keys.max - minOff + 1
+    require(length >= 1)
+    /** normalized timestep -> columns (0-based). */
+    def step(i: Int): Seq[String] = fields.getOrElse(i + minOff, Nil)
+  }
+
+  def apply(df: DataFrame, spec: Spec, groupCols: Seq[String] = Nil,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val ts = col(spec.timestampField)
+    val order = (spec.timestampField +: tieBreak).map(col)
+    val w = (if (groupCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(groupCols.map(col): _*))
+      .orderBy(order: _*)
+    val L = spec.length
+
+    // lead timestamps for the qualification predicate
+    val tsLeads = (0 until L).map(k => if (k == 0) ts else lead(ts, k).over(w))
+    val full = tsLeads.last.isNotNull
+    val within = (1 until L).map(k => tsLeads(k) - tsLeads(k - 1) <= spec.deltaThreshold)
+      .foldLeft(full)(_ && _)
+
+    // per-timestep projected fields
+    val stepCols: Seq[Column] = (0 until L).flatMap { k =>
+      spec.step(k).map { f =>
+        val c = if (k == 0) col(f) else lead(col(f), k).over(w)
+        c.as(s"${f}_t$k")
+      }
+    }
+
+    val keep = groupCols.map(col)
+    if (spec.timestampOverlap) {
+      df.select(keep ++ stepCols :+ within.as("__q"): _*)
+        .filter(col("__q")).drop("__q")
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val base = df.select(keep ++ stepCols ++ Seq(
+        within.as("__q"), row_number().over(w).as("__rn")): _*)
+      // group key as a single string for the typed greedy pass
+      val gk = if (groupCols.isEmpty) lit("") else
+        concat_ws("", groupCols.map(c => col(c).cast("string")): _*)
+      val emitted = base.filter(col("__q"))
+        .select(gk.as("__g"), col("__rn"))
+        .as[(String, Int)]
+        .groupByKey(_._1)
+        .flatMapGroups { (g, it) =>
+          // greedy: first qualifying rn, then next qualifying rn >= prev+L
+          val rns = it.map(_._2).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer[Int]()
+          var nextAllowed = Int.MinValue
+          rns.foreach { rn =>
+            if (rn >= nextAllowed) { out += rn; nextAllowed = rn + L }
+          }
+          out.iterator.map(rn => (g, rn))
+        }
+        .toDF("__g", "__rn")
+      base.withColumn("__g", gk)
+        .join(emitted, Seq("__g", "__rn"), "left_semi")
+        .drop("__g", "__rn", "__q")
+    }
+  }
+}
