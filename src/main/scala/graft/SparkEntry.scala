@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, NGram, TextAnalysis}
+import graft.ops.{Dedup, NGram, NearDedup, TextAnalysis}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize}
@@ -264,6 +264,19 @@ object SparkEntry {
         timestampField = "ts_us")
       NGram(ev, spec, groupCols = Seq("user_id"), tieBreak = Seq("event_id"))
         .orderBy(col("user_id"), col("event_id_t0"))
+    }),
+
+    // ---- MinHash-LSH near-dedup: banded candidates + exact Jaccard ----
+    "q21_minhash_pairs" -> ((s, dir) => {
+      NearDedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), micro(col("jaccard")).as("jaccard_m"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- SimHash fingerprints (scan-speed, no shuffle) ----
+    "q22_simhash" -> ((s, dir) => {
+      NearDedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -452,6 +465,41 @@ object SparkEntry {
         |WHERE ts_us_t2 IS NOT NULL
         |  AND ts_us_t1 - ts_us_t0 <= 20000000000
         |  AND ts_us_t2 - ts_us_t1 <= 20000000000
-        |ORDER BY user_id, event_id_t0""".stripMargin
+        |ORDER BY user_id, event_id_t0""".stripMargin,
+
+    "q21_minhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), sigs AS (
+        |  SELECT doc_id, list_transform(range(16), h ->
+        |    list_min(list_transform(sh, s -> ('0x' || substr(md5((h // 4)::VARCHAR || ':' || s), (h % 4) * 8 + 1, 8))::BIGINT))) AS sig
+        |  FROM t
+        |), bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(4), j ->
+        |    j::VARCHAR || '|' || array_to_string(sig[j*4+1 : j*4+4], '_'))) AS band_key
+        |  FROM sigs
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b USING (band_key) WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(floor(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)) * 1000000) AS BIGINT) AS jaccard_m
+        |FROM pairs p JOIN t sa ON p.id_a = sa.doc_id JOIN t sb ON p.id_b = sb.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q22_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |    tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(32), j ->
+        |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+        |         THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines: MinHash
+  * signatures with LSH banding for candidate generation, exact
+  * n-gram-Jaccard verification on the candidates, and SimHash
+  * fingerprints.
+  *
+  * Scale shape (the non-negotiable at 100 TB): candidates come from a
+  * self-join on *band keys* — docs only ever meet if they share a
+  * band bucket, so the join is a hash shuffle on band_key and nothing
+  * compares all pairs. Signatures are built relationally (explode
+  * shingles → hash-aggregate minima), which gives map-side partial
+  * combine and keeps md5 evaluation out of interpreted higher-order
+  * lambdas. Every derived array (tokens, shingles, hashes) is
+  * materialized behind a projection boundary before reuse — Spark's
+  * higher-order functions are not codegen'd and get no common-
+  * subexpression elimination, so an unshared `tokens(text)` inside a
+  * lambda re-runs the regex once per element (measured 100× blowup).
+  *
+  * Every hash is md5-derived and deterministic across engines,
+  * partitionings, and cluster sizes — the DuckDB oracle reproduces
+  * signatures exactly. Hash family h (0-based) reads hex chars
+  * `[8·(h mod 4), 8·(h mod 4)+8)` of `md5((h div 4) + ":" + shingle)`
+  * as a uint32 — four 32-bit hashes per md5 call.
+  */
+object NearDedup {
+
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Distinct word n-gram shingles from a *materialized* token-array
+    * column; docs shorter than n tokens yield one whole-text shingle. */
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column = {
+    val sz = size(toks)
+    val grams = transform(sequence(lit(1), sz - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    array_distinct(
+      when(sz < n, array(concat_ws(" ", toks))).otherwise(grams))
+  }
+
+  /** Convenience single-column form — only safe on top of a
+    * materialized token column; see class doc. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** (id, sh: array<string>) — per-doc distinct shingle sets, with
+    * the token array materialized behind a projection boundary. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shinglesOfTokens(col("__toks"), shingleN).as("sh"))
+
+  /** (id, sig: array<long>) — k-element MinHash signatures, built
+    * relationally: explode shingles, one md5 per hash *group* (4
+    * family members per md5), hash-aggregate the minima. One shuffle
+    * on id with map-side partial min. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 3): DataFrame = {
+    require(k % 4 == 0, s"k must be a multiple of 4 (got $k)")
+    val groups = k / 4
+    val exploded = shingleSets(df, idCol, textCol, shingleN)
+      .select(col(idCol), explode(col("sh")).as("__s"))
+    val withMd5 = exploded.select(col(idCol) +:
+      (0 until groups).map(g =>
+        md5(concat(lit(g.toString), lit(":"), col("__s"))).as(s"__m$g")): _*)
+    val mins = (0 until k).map { h =>
+      val (g, o) = (h / 4, h % 4)
+      min(conv(substring(col(s"__m$g"), o * 8 + 1, 8), 16, 10).cast("long"))
+        .as(s"__h$h")
+    }
+    withMd5.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(h => col(s"__h$h")): _*).as("sig"))
+  }
+
+  /** LSH band keys from a signature column: `bands` buckets of `rows`
+    * slots each, rendered `bandIdx|v_v_..`. Two docs collide on a
+    * band iff their signature agrees on all `rows` slots. */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), j =>
+      concat(j.cast("string"), lit("|"),
+        concat_ws("_", transform(slice(sig, j * rows + 1, lit(rows)),
+          v => v.cast("string")))))
+
+  /** Candidate near-dup pairs via banded MinHash (id_a < id_b,
+    * distinct). Explode bands → self-join on band key → distinct:
+    * never all-pairs. */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, rows: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    require(bands * rows <= k, s"bands*rows (${bands * rows}) > k ($k)")
+    val ex = signatures(df, idCol, textCol, k, shingleN)
+      .select(col(idCol), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
+    val a = ex.select(col(idCol).as("id_a"), col("band_key"))
+    val b = ex.select(col(idCol).as("id_b"), col("band_key"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard for given (id_a, id_b) pairs — the verify
+    * stage after LSH candidate generation. Adds `jaccard` ∈ [0,1]. */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "__id")
+    pairs
+      .join(sh.select(col("__id").as("id_a"), col("sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("sh").as("__shb")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))))
+      .drop("__sha", "__shb")
+  }
+
+  /** Candidate pairs + exact Jaccard, optionally thresholded. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.0, k: Int = 16, bands: Int = 4,
+      rows: Int = 4, shingleN: Int = 3): DataFrame = {
+    val pairs = candidatePairs(df, idCol, textCol, k, bands, rows, shingleN)
+    jaccardVerify(pairs, df, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 32-bit SimHash from a *materialized* array of 32-bit token
+    * hashes (token frequency is the weight). Bit j is 1 iff the sum
+    * over tokens of ±1 (bit j of the token hash) is positive. */
+  def simhashOfHashes(hashes: Column): Column =
+    (0 until 32).map { j =>
+      val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** md5-derived 32-bit hashes of each token. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+
+  /** (id, simhash) with the hash array materialized once per row. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokenHashes(col(textCol)).as("__hs"))
+      .select(col(idCol), simhashOfHashes(col("__hs")).as("simhash"))
+
+  /** Single-column form; prefer [[simhash]] on DataFrames (see class
+    * doc on lambda recomputation). */
+  def simhash32(text: Column): Column = simhashOfHashes(tokenHashes(text))
+
+  /** Hamming distance between two simhash values (near-dup metric). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NearDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base + " extra"),                       // near-dup of 1
+    (3L, "completely different content about databases and query engines here"),
+    (4L, base),                                  // exact dup of 1
+    (5L, "yet another unrelated document with distinct vocabulary entirely"))
+    .toDF("doc_id", "text")
+
+  test("shingles: distinct word trigrams; short docs collapse to whole text") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(NearDedup.shingles($"text")).as[Seq[String]].collect()(0)
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("far away today"))
+    assert(sh.length == 12) // 14 tokens → 12 trigrams, all distinct
+    val short = Seq(Tuple1("only two")).toDF("text")
+      .select(NearDedup.shingles($"text")).as[Seq[String]].collect()(0)
+    assert(short == Seq("only two"))
+  }
+
+  test("minhash signature is deterministic and k-long") {
+    val sigs = NearDedup.signatures(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(sigs.forall(_._2.length == 16))
+    assert(sigs(0)._2 == sigs(3)._2) // identical text → identical signature
+    assert(sigs(0)._2 != sigs(2)._2)
+  }
+
+  test("candidate pairs find exact and near dups, not unrelated docs") {
+    val pairs = NearDedup.candidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) })
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(3L, 1L) })
+  }
+
+  test("jaccard verify: exact dup → 1.0; near dup high; computed exactly") {
+    val nd = NearDedup.nearDuplicates(docs, "doc_id", "text")
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(nd((1L, 4L)) == 1.0)
+    nd.get((1L, 2L)).foreach(j => assert(j > 0.7 && j < 1.0))
+  }
+
+  test("simhash: equal for identical text, hamming 0; different for unrelated") {
+    val sh = docs.select($"doc_id", NearDedup.simhash32($"text").as("s"))
+      .orderBy("doc_id").as[(Long, Long)].collect().map(x => x._1 -> x._2).toMap
+    assert(sh(1L) == sh(4L))
+    assert(sh(1L) != sh(3L))
+    assert(sh.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+    val hd = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") === 1 && col("b.doc_id") === 4)
+      .select(NearDedup.hammingDistance(
+        NearDedup.simhash32(col("a.text")), NearDedup.simhash32(col("b.text"))))
+      .as[Int].collect()(0)
+    assert(hd == 0)
+  }
+}
