@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, NGram, NearDedup, TextAnalysis}
+import graft.ops.{AnnSearch, Dedup, NGram, NearDedup, TextAnalysis}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize}
@@ -277,6 +277,20 @@ object SparkEntry {
     "q22_simhash" -> ((s, dir) => {
       NearDedup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- ANN: exact cosine top-5, 20 queries vs full corpus ----
+    "q23_ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnSearch.bruteForceTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- ANN scale path: random-hyperplane LSH bucket assignment ----
+    "q24_ann_lsh_buckets" -> ((s, dir) => {
+      AnnSearch.bucketize(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -500,6 +514,37 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(32), j ->
         |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
         |         THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS simhash
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q23_ann_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+        |), q AS (SELECT * FROM e WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    list_reduce(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]), (a, b) -> a + b) AS dot,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> q.emb[i] * q.emb[i]), (a, b) -> a + b)) AS nq,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)) AS nc
+        |  FROM e c CROSS JOIN q
+        |), scored AS (
+        |  SELECT qid, cid, CAST(floor(dot / (nq * nc) * 1000000) AS BIGINT) AS cos_m FROM pairs
+        |), ranked AS (
+        |  SELECT qid, cid, cos_m,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_m DESC, cid) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, cid, cos_m FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "q24_ann_lsh_buckets" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+        |)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(8), p ->
+        |    CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+        |        emb[i] * (('0x' || substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8))::BIGINT / 4294967296.0 - 0.5)),
+        |      (a, b) -> a + b) > 0
+        |    THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket
+        |FROM e ORDER BY vec_id""".stripMargin
   )
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), LLM-pipeline style.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a (small) query set
+  *    against the corpus — broadcast the queries, never shuffle the
+  *    corpus; the baseline and the verifier for the approximate path.
+  *  - [[bucketize]] + [[lshTopK]]: random-hyperplane LSH — each
+  *    vector gets a `planes`-bit bucket from the sign pattern of
+  *    md5-seeded hyperplane dots; candidates are same-bucket rows, so
+  *    the join is a hash shuffle on the bucket key. At 100 TB this is
+  *    the scale path: cost ~ corpus/2^planes per query instead of
+  *    corpus.
+  *
+  * Determinism contract: all arithmetic is double, folded in element
+  * order (left fold with 0.0 seed); hyperplane weights are
+  * md5-derived (`uint32(md5("p:d")) / 2^32 − 0.5`), so any engine
+  * reproduces buckets and scores bit-for-bit. Ranking ties break on
+  * the candidate id after micro-unit rounding.
+  */
+object AnnSearch {
+
+  /** Sequential-left-fold dot product of two equal-length arrays,
+    * in doubles (exact IEEE reproducibility — see class doc). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Exact cosine top-k per query. `queries` should be small — it is
+    * broadcast; the corpus is scanned once, never shuffled (the only
+    * shuffle is the per-query top-k window over the candidate rows).
+    * Output: (qid, rank, cid, cos_m) where cos_m = floor(cos·1e6). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("qid"), col(embCol).as("__qe"))
+    val c = corpus.select(col(cId).as("cid"), col(embCol).as("__ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos_m",
+        floor(cosine(col("__qe"), col("__ce")) * 1000000L).cast("long"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_m").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cos_m"))
+  }
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Deterministic hyperplane weight w(p,d) — identical to the SQL
+    * form ('0x'||substr(md5(p||':'||d),1,8))::BIGINT/2^32 - 0.5. */
+  def planeWeight(p: Int, d: Int): Double =
+    java.lang.Long.parseLong(md5hex(s"$p:$d").substring(0, 8), 16)
+      .toDouble / 4294967296.0 - 0.5
+
+  /** `planes`-bit LSH bucket id for an embedding column. Bit p is the
+    * sign of the dot with hyperplane p. */
+  def bucketOf(emb: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      val w = lit((0 until dim).map(d => planeWeight(p, d)).toArray)
+      when(dot(emb, w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (id, bucket) assignment for a corpus. */
+  def bucketize(df: DataFrame, idCol: String, embCol: String,
+      planes: Int = 8, dim: Int = 64): DataFrame =
+    df.select(col(idCol), col(embCol).as("__e"))
+      .select(col(idCol), bucketOf(col("__e"), planes, dim).as("bucket"))
+
+  /** Approximate top-k: only candidates sharing the query's LSH
+    * bucket are scored. Same output shape as [[bruteForceTopK]];
+    * recall < 1 by design (the probe set is 1/2^planes of the
+    * corpus on average). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, embCol: String, k: Int, planes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val q = queries.select(col(qId).as("qid"), col(embCol).as("__qe"))
+      .withColumn("bucket", bucketOf(col("__qe"), planes, dim))
+    val c = corpus.select(col(cId).as("cid"), col(embCol).as("__ce"))
+      .withColumn("bucket", bucketOf(col("__ce"), planes, dim))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos_m",
+        floor(cosine(col("__qe"), col("__ce")) * 1000000L).cast("long"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_m").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cos_m"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnnSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic embeddings: 40 vecs in 4 tight clusters
+  private lazy val vecs = {
+    val rows = (0 until 40).map { i =>
+      val cluster = i % 4
+      val base = Array.tabulate(8)(d => math.sin(cluster * 37.0 + d))
+      val jitter = Array.tabulate(8)(d => 0.01 * math.sin(i * 131.0 + d))
+      (i.toLong, base.zip(jitter).map { case (b, j) => (b + j).toFloat }.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(AnnSearch.cosine($"a", $"b")).as[Double].collect()
+    assert(r(0) == 1.0 && r(1) == 0.0 && r(2) == -1.0)
+  }
+
+  test("brute-force top-k: self is rank 1; neighbors share cluster") {
+    val top = AnnSearch.bruteForceTopK(
+      vecs.filter($"vec_id" < 4), vecs, "vec_id", "vec_id", "embedding", k = 5)
+      .collect()
+    val byQ = top.groupBy(_.getLong(0))
+    (0L until 4L).foreach { q =>
+      val rows = byQ(q).sortBy(_.getInt(1))
+      assert(rows.head.getLong(2) == q) // rank 1 = self
+      // self-cos floors to 999999 or 1000000 depending on the norm
+      // product's last ulp — deterministic either way
+      assert(rows.head.getLong(3) >= 999999L)
+      // all top-5 from the same cluster (ids ≡ q mod 4)
+      assert(rows.forall(_.getLong(2) % 4 == q))
+    }
+  }
+
+  test("bucketize is deterministic and clusters land together") {
+    val b1 = AnnSearch.bucketize(vecs, "vec_id", "embedding", planes = 6, dim = 8)
+      .as[(Long, Long)].collect().toMap
+    val b2 = AnnSearch.bucketize(vecs, "vec_id", "embedding", planes = 6, dim = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(v => v >= 0 && v < 64))
+    // same-cluster vectors (tiny jitter) share their bucket
+    (0 until 4).foreach { c =>
+      val buckets = (0 until 40).filter(_ % 4 == c).map(i => b1(i.toLong)).toSet
+      assert(buckets.size <= 2) // jitter may flip at most a borderline plane
+    }
+  }
+
+  test("lshTopK returns same-bucket candidates ranked like brute force") {
+    val lsh = AnnSearch.lshTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "vec_id", "embedding", k = 3, planes = 6, dim = 8)
+      .orderBy("rank").collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.head.getLong(2) == 0L) // self in same bucket, rank 1
+    // every returned candidate is at least cluster-similar
+    assert(lsh.forall(_.getLong(3) > 900000L))
+  }
+
+  test("planeWeight matches its SQL definition") {
+    // md5("0:0") = first 8 hex → uint32/2^32 - 0.5, spot-checked
+    val w = AnnSearch.planeWeight(0, 0)
+    assert(w >= -0.5 && w <= 0.5)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("0:0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = java.lang.Long.parseLong(md.substring(0, 8), 16).toDouble / 4294967296.0 - 0.5
+    assert(w == expected)
+  }
+}
