@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, Dedup, NGram, NearDedup, TextAnalysis}
+import graft.ops.{AnnSearch, Dedup, NGram, NearDedup, Sampling, TextAnalysis, TransformSpec}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize}
@@ -291,6 +291,42 @@ object SparkEntry {
     "q24_ann_lsh_buckets" -> ((s, dir) => {
       AnnSearch.bucketize(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- Portable seeded permutation (O1-O3 contract, md5 order) ----
+    "q25_shuffle_positions" -> ((s, dir) => {
+      Sampling.withShufflePosition(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 7)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Weighted union of readers (SH3, deterministic sampling) ----
+    "q26_weighted_union" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Sampling.weightedUnion(Seq(
+          e.filter(col("event_type") === "purchase") -> 0.5,
+          e.filter(col("event_type") === "signup") -> 0.25),
+        keyCol = "event_id", seed = 9)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- TransformSpec: imperative mapPartitions + schema edits (T1) ----
+    "q27_transform_spec" -> ((s, dir) => {
+      val spec = TransformSpec(
+        func = df => {
+          val enc = org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong)
+          import df.sparkSession.implicits._
+          // genuinely imperative per-partition work: count 'e' chars
+          df.select(col("doc_id"), col("text")).as[(Long, String)]
+            .mapPartitions(_.map { case (id, text) =>
+              (id, text.count(_ == 'e').toLong)
+            })(enc).toDF("doc_id", "n_e")
+        },
+        selectedFields = Seq("doc_id", "n_e"))
+      spec(t(s, dir, "documents")).orderBy(col("doc_id"))
     })
   )
 
@@ -545,6 +581,27 @@ object SparkEntry {
         |        emb[i] * (('0x' || substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8))::BIGINT / 4294967296.0 - 0.5)),
         |      (a, b) -> a + b) > 0
         |    THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket
-        |FROM e ORDER BY vec_id""".stripMargin
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q25_shuffle_positions" ->
+      """SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY md5('7:' || doc_id::VARCHAR), doc_id) AS INT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_weighted_union" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'purchase'
+        |  AND ('0x' || substr(md5('9:0:' || event_id::VARCHAR), 1, 8))::BIGINT
+        |      / 4294967296.0 < 0.5
+        |UNION ALL
+        |SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'signup'
+        |  AND ('0x' || substr(md5('9:1:' || event_id::VARCHAR), 1, 8))::BIGINT
+        |      / 4294967296.0 < 0.25
+        |ORDER BY event_id""".stripMargin,
+
+    "q27_transform_spec" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, 'e')) AS BIGINT) AS n_e
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
+import graft.ops.TransformSpec
 import graft.predicates.RowPredicate
 import graft.schema.{CodecSpec, GraftSchema}
 
@@ -39,7 +40,8 @@ final case class GraftRead private (
     shardSpec: Option[(Int, Int)],
     shuffleSeed: Option[Long],
     epochCount: Int,
-    decodeOutput: Boolean) {
+    decodeOutput: Boolean,
+    transformSpec: Option[TransformSpec]) {
 
   def fields(selectors: String*): GraftRead = copy(fieldSel = selectors)
   def predicate(p: RowPredicate): GraftRead = copy(preds = preds :+ p.toColumn)
@@ -57,6 +59,10 @@ final case class GraftRead private (
   /** Skip codec decode — storage-typed columns out (make_batch_reader
     * flavor over a graft store). */
   def rawStorage: GraftRead = copy(decodeOutput = false)
+
+  /** Post-decode user transform with schema-edit bookkeeping (T1,
+    * transform.py:27-89); runs after predicates, before shuffle. */
+  def transform(spec: TransformSpec): GraftRead = copy(transformSpec = Some(spec))
 
   def load(): DataFrame = {
     // 1. stable file listing + shard (SH1/O5)
@@ -98,12 +104,15 @@ final case class GraftRead private (
     //    predicate; Catalyst pushes what it can into the scan)
     val filtered = preds.foldLeft(decoded)(_.filter(_))
 
-    // 6. epochs × seeded shuffle (E1 + O1-O3). Epoch k reshuffles
+    // 6. post-decode transform (T1)
+    val transformed = transformSpec.map(_(filtered)).getOrElse(filtered)
+
+    // 7. epochs × seeded shuffle (E1 + O1-O3). Epoch k reshuffles
     //    with seed+k (ventilator re-shuffle parity, reader.py:666-682)
     val out =
-      if (epochCount == 1) shuffled(filtered, shuffleSeed)
+      if (epochCount == 1) shuffled(transformed, shuffleSeed)
       else (0 until epochCount).map { k =>
-        shuffled(filtered, shuffleSeed.map(_ + k)).withColumn("__epoch", lit(k))
+        shuffled(transformed, shuffleSeed.map(_ + k)).withColumn("__epoch", lit(k))
       }.reduce(_.unionByName(_))
     out
   }
@@ -122,5 +131,5 @@ final case class GraftRead private (
 
 object GraftRead {
   def reader(spark: SparkSession, url: String): GraftRead =
-    GraftRead(spark, url, Nil, Nil, None, None, 1, decodeOutput = true)
+    GraftRead(spark, url, Nil, Nil, None, None, 1, decodeOutput = true, None)
 }

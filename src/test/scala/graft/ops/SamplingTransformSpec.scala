@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingTransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = spark.range(1000).toDF("id")
+
+  test("sampleByKey is deterministic and roughly proportional") {
+    val kept = df.filter(Sampling.sampleByKey(df, $"id", 0.3, seed = 1))
+      .as[Long].collect().toSet
+    val again = df.filter(Sampling.sampleByKey(df, $"id", 0.3, seed = 1))
+      .as[Long].collect().toSet
+    assert(kept == again)
+    assert(kept.size > 230 && kept.size < 370)
+    val otherSeed = df.filter(Sampling.sampleByKey(df, $"id", 0.3, seed = 2))
+      .as[Long].collect().toSet
+    assert(kept != otherSeed)
+  }
+
+  test("weightedUnion composes independent samples") {
+    val a = df.filter($"id" < 500).withColumn("src", lit("a"))
+    val b = df.filter($"id" >= 500).withColumn("src", lit("b"))
+    val u = Sampling.weightedUnion(Seq(a -> 1.0, b -> 0.0), "id", seed = 3)
+    val srcs = u.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(srcs("a") == 500L && !srcs.contains("b"))
+  }
+
+  test("withShufflePosition: bijective positions, deterministic, decorrelated") {
+    val pos = Sampling.withShufflePosition(df, "id", seed = 5)
+      .select("pos").as[Int].collect().sorted
+    assert(pos.toSeq == (1 to 1000))
+    val corr = Sampling.shuffleQuality(df, "id", seed = 5)
+      .as[Double].collect()(0)
+    assert(math.abs(corr) < 0.1) // good shuffle ≈ uncorrelated
+  }
+
+  test("TransformSpec: func then removals then ordered selection") {
+    val d = Seq((1L, "ab"), (2L, "cde")).toDF("id", "s")
+    val spec = TransformSpec(
+      func = x => x.withColumn("len", length($"s")),
+      removedFields = Seq("s"),
+      selectedFields = Seq("len", "id"))
+    val out = spec(d)
+    assert(out.columns.toSeq == Seq("len", "id"))
+    assert(out.orderBy("id").as[(Int, Long)].collect().toSeq ==
+      Seq((2, 1L), (3, 2L)))
+  }
+
+  test("TransformSpec raises on selecting a missing field") {
+    val spec = TransformSpec(selectedFields = Seq("nope"))
+    intercept[IllegalArgumentException](spec(df))
+  }
+
+  test("TransformSpec plugs into GraftRead post-decode") {
+    val u = scratch("transform-ds")
+    spark.range(20).toDF("x").write.mode("overwrite").parquet(u)
+    val out = graft.sources.GraftRead.reader(spark, u)
+      .transform(TransformSpec(
+        func = d => d.withColumn("y", $"x" * 2),
+        removedFields = Seq("x")))
+      .load()
+    assert(out.columns.toSeq == Seq("y"))
+    assert(out.agg(sum("y")).as[Long].collect()(0) == 380L)
+  }
+}
