@@ -327,6 +327,35 @@ object SparkEntry {
         },
         selectedFields = Seq("doc_id", "n_e"))
       spec(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
+    // ---- Fixed-size batch regrouping (T5) ----
+    "q28_batch_regroup" -> ((s, dir) => {
+      graft.ops.Batching.withBatchId(t(s, dir, "orders"), 100, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("batch_id"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- Converter: vector/precision normalize + cached materialize ----
+    "q29_converter" -> ((s, dir) => {
+      val src = t(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal"))
+      val cacheDir = sys.props("java.io.tmpdir") + "/graft_conv_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.SparkConverter.convert(src, cacheDir).df
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- Deterministic synthetic data generator (S10) ----
+    "q30_generator" -> ((s, dir) => {
+      val schema = GraftSchema("gen", Seq(
+        FieldSpec("k_id", org.apache.spark.sql.types.LongType),
+        FieldSpec("name", org.apache.spark.sql.types.StringType),
+        FieldSpec("flag", org.apache.spark.sql.types.BooleanType),
+        FieldSpec("vec", org.apache.spark.sql.types.DoubleType, shape = Seq(3))))
+      graft.ops.Generator.generate(s, schema, 1000)
+        .select(col("k_id"), col("name"), col("flag"),
+          col("vec")(0).as("v0"), col("vec")(1).as("v1"), col("vec")(2).as("v2"))
+        .orderBy(col("k_id"), col("name"))
     })
   )
 
@@ -602,6 +631,32 @@ object SparkEntry {
 
     "q27_transform_spec" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, 'e')) AS BIGINT) AS n_e
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q28_batch_regroup" ->
+      """SELECT o_orderkey,
+        |  CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 100 AS BIGINT) AS batch_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q29_converter" ->
+      """SELECT s_suppkey, CAST(s_acctbal AS REAL) AS s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q30_generator" ->
+      """WITH g AS (SELECT id FROM range(1000) t(id)),
+        |m AS (
+        |  SELECT id,
+        |    ('0x' || substr(md5('42:k_id:' || id::VARCHAR), 1, 8))::BIGINT % 1000000 AS m_id,
+        |    ('0x' || substr(md5('42:name:' || id::VARCHAR), 1, 8))::BIGINT % 1000000 AS m_name,
+        |    ('0x' || substr(md5('42:flag:' || id::VARCHAR), 1, 8))::BIGINT % 1000000 AS m_flag,
+        |    ('0x' || substr(md5('42:vec:' || id::VARCHAR), 1, 8))::BIGINT % 1000000 AS m_vec
+        |  FROM g)
+        |SELECT m_id AS k_id,
+        |  'name_' || m_name::VARCHAR AS name,
+        |  m_flag % 2 = 0 AS flag,
+        |  CAST(m_vec % 997 AS DOUBLE) AS v0,
+        |  CAST((m_vec + 1) % 997 AS DOUBLE) AS v1,
+        |  CAST((m_vec + 2) % 997 AS DOUBLE) AS v2
+        |FROM m ORDER BY k_id, name""".stripMargin
   )
 }
