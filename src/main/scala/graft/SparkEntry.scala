@@ -188,20 +188,24 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
-    // ---- Language ID heuristic (LLM-ops; rows-only oracle) ----
+    // ---- Language ID heuristic (LLM-ops) ----
+    // langIdDF materializes the token array once per row (projection
+    // boundary) — the r2 inline form re-tokenized 5×/row (6.5× slower).
     "q16_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          TextAnalysis.langId(col("text")).as("lang_pred"))
+      TextAnalysis.langIdDF(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+          "text")
+        .select(col("doc_id"), col("lang"), col("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
     // ---- Quality scoring (LLM-ops) ----
     "q17_quality" -> ((s, dir) => {
-      t(s, dir, "documents")
+      TextAnalysis.qualityDF(
+          t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
         .select(col("doc_id"),
-          micro(TextAnalysis.qualityScoreRaw(col("text"))).as("quality_m"),
-          micro(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio_m"))
+          micro(col("quality_raw")).as("quality_m"),
+          micro(col("stopword_ratio")).as("stopword_ratio_m"))
         .orderBy(col("doc_id"))
     }),
 
@@ -482,11 +486,11 @@ object SparkEntry {
         |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS toks FROM documents
         |), h AS (
         |  SELECT doc_id, lang,
-        |    len(list_filter(toks, t -> list_contains(['the','and','is','was','that','with','this','have'], t))) AS h_en,
-        |    len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))) AS h_de,
-        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une','que','pour'], t))) AS h_fr,
-        |    len(list_filter(toks, t -> list_contains(['el','los','las','es','una','que','por','para'], t))) AS h_es,
-        |    len(list_filter(toks, t -> list_contains(['il','di','che','per','una','sono','con','non'], t))) AS h_it
+        |    len(list_intersect(toks, ['the','and','is','was','that','with','this','have'])) AS h_en,
+        |    len(list_intersect(toks, ['der','die','und','das','ist','nicht','ein','mit'])) AS h_de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','une','que','pour'])) AS h_fr,
+        |    len(list_intersect(toks, ['el','los','las','es','una','que','por','para'])) AS h_es,
+        |    len(list_intersect(toks, ['il','di','che','per','una','sono','con','non'])) AS h_it
         |  FROM t
         |)
         |SELECT doc_id, lang,
@@ -502,16 +506,16 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id, text,
         |    len(regexp_extract_all(text, '\S+')) AS n_tok,
-        |    regexp_extract_all(text, '\S+') AS wtoks,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS sum_len,
         |    regexp_extract_all(lower(text), '[a-z]+') AS ltoks,
         |    length(text) AS n_chars_t
         |  FROM documents
         |), m AS (
         |  SELECT doc_id,
         |    least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) AS length_score,
-        |    CASE WHEN n_chars_t = 0 THEN 0.0 ELSE CAST(len(regexp_extract_all(text,'[A-Za-z]')) AS DOUBLE) / n_chars_t END AS alpha,
+        |    CASE WHEN n_chars_t = 0 THEN 0.0 ELSE CAST(n_chars_t - length(regexp_replace(text,'[A-Za-z]','','g')) AS DOUBLE) / n_chars_t END AS alpha,
         |    CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE CAST(len(list_filter(ltoks, x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','with','as','at','by'], x))) AS DOUBLE) / len(ltoks) END AS stop_ratio,
-        |    CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(wtoks, x -> length(x))) AS DOUBLE) / n_tok END AS mtl
+        |    CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE) / n_tok END AS mtl
         |  FROM t
         |)
         |SELECT doc_id,

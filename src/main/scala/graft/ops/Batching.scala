@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.rdd.RDD
 
@@ -14,15 +13,16 @@ object Batching {
 
   /** Assign a 0-based `batch_id` grouping consecutive rows (in
     * `orderCols` order) into exact-size batches — the declarative
-    * equivalent of re-chunking a row stream. Global ordering implies
-    * a global sort; for per-shard batches, order by a shard-local
-    * key instead. */
+    * equivalent of re-chunking a row stream. The global position is
+    * computed scale-out via [[Ranking.withGlobalIndex]] (range
+    * shuffle + per-partition offsets), not a single-partition global
+    * window. `orderCols` must be a total order (unique key). */
   def withBatchId(df: DataFrame, batchSize: Int,
       orderCols: Seq[String]): DataFrame = {
     require(batchSize > 0)
-    val w = Window.orderBy(orderCols.map(col): _*)
-    df.withColumn("batch_id",
-      ((row_number().over(w) - 1) / batchSize).cast("long"))
+    Ranking.withGlobalIndex(df, orderCols.map(col), "__idx")
+      .withColumn("batch_id", (col("__idx") / batchSize).cast("long"))
+      .drop("__idx")
   }
 
   /** S8: decoded rows as an RDD (`dataset_as_rdd`). */

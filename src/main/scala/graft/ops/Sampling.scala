@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.predicates.PseudorandomSplit
@@ -37,22 +36,24 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
-  /** Position of each row under the deterministic seeded permutation
-    * (md5 order) — the portable form of `shuffle(seed)`. A global
-    * permutation is inherently a global sort; at scale, prefer
-    * [[graft.sources.GraftRead.shuffle]] (xxhash64 sort, same
-    * contract, cheaper key) unless cross-engine reproducibility of
-    * the exact order matters. */
-  def permutationRank(key: Column, seed: Long): (Column, Column) = {
-    val sortKey = md5(concat(lit(s"$seed:"), key.cast("string")))
-    (sortKey, row_number().over(Window.orderBy(sortKey, key)))
-  }
+  /** Seeded-permutation sort key for `key` (md5 order) — the portable
+    * form of `shuffle(seed)`: same row, same position, any engine. */
+  def permutationKey(key: Column, seed: Long): Column =
+    md5(concat(lit(s"$seed:"), key.cast("string")))
 
-  /** (row, position) under the seeded permutation, keyed on `keyCol`. */
+  /** (row, position) under the seeded permutation, keyed on `keyCol`.
+    * A global permutation is inherently a global sort; this one is
+    * computed scale-out via [[Ranking.withGlobalIndex]] (range
+    * shuffle + per-partition offsets), NOT a single-partition global
+    * window. At scale, prefer [[graft.sources.GraftRead.shuffle]]
+    * (xxhash64 sort, same contract, cheaper key) unless cross-engine
+    * reproducibility of the exact position matters. */
   def withShufflePosition(df: DataFrame, keyCol: String, seed: Long,
       posCol: String = "pos"): DataFrame = {
-    val (_, rank) = permutationRank(col(keyCol), seed)
-    df.withColumn(posCol, rank)
+    val staged = df.withColumn("__sk", permutationKey(col(keyCol), seed))
+    Ranking.withGlobalIndex(staged, Seq(col("__sk"), col(keyCol)), "__idx")
+      .withColumn(posCol, (col("__idx") + 1).cast("int"))
+      .drop("__sk", "__idx")
   }
 
   /** A4 parity (test_util/shuffling_analysis.py:52-109): Pearson

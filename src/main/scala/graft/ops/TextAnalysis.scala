@@ -6,59 +6,86 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, fingerprinting.
   *
-  * All of these are single-pass, narrow (no shuffle), codegen'd
-  * column expressions — at 100 TB they run at scan speed and the
-  * only cost is the parquet read of the `text` column. None of them
-  * require a UDF.
+  * All of these are single-pass, narrow (no shuffle) column
+  * expressions — at 100 TB they run at scan speed and the only cost
+  * is the parquet read of the `text` column. None of them require a
+  * UDF.
+  *
+  * Performance doctrine (the r2 lesson, measured 6.5×): Spark's
+  * higher-order array functions (`filter`/`aggregate`/`transform`
+  * with lambdas) are interpreted — no codegen, no common-
+  * subexpression elimination — so (a) counts are computed with
+  * codegen'd `regexp_count`/`regexp_replace` length arithmetic
+  * instead of materializing char/token arrays, and (b) where a token
+  * *array* is genuinely needed (stopword filter, langid scoring) it
+  * is materialized once behind a projection boundary and every
+  * consumer references the materialized column.
   */
 object TextAnalysis {
 
-  /** Whitespace-token count. `\S+` match count (not split) so that
+  /** Whitespace-token count. Match count (not split) so that
     * leading/trailing whitespace and the empty string behave
     * identically in every engine. */
   def tokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+    regexp_count(text, lit("\\S+"))
 
   /** BPE-ish subword count: runs of letters, runs of digits, or a
     * single non-space symbol — a cheap deterministic proxy for a
     * real tokenizer's token count. */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"),
-      lit(0)))
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Count of chars matching a single-char regex class, via length
+    * difference (no per-char array materialization). */
+  private def charClassCount(text: Column, cls: String): Column =
+    length(text) - length(regexp_replace(text, cls, ""))
 
   /** Ratio of alphabetic chars to total length (0 for empty). */
   def alphaRatio(text: Column): Column = {
     val len = length(text)
     when(len === 0, 0.0)
-      .otherwise(size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0)))
-        .cast("double") / len)
+      .otherwise(charClassCount(text, "[A-Za-z]").cast("double") / len)
   }
 
   /** Ratio of punctuation chars to total length (0 for empty). */
   def punctRatio(text: Column): Column = {
     val len = length(text)
     when(len === 0, 0.0)
-      .otherwise(size(regexp_extract_all(text,
-        lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0))).cast("double") / len)
+      .otherwise(charClassCount(text, "[.,;:!?'\"()\\[\\]{}-]")
+        .cast("double") / len)
   }
 
   private val StopwordsEn = Seq("the", "of", "and", "to", "in", "is",
     "that", "it", "was", "for", "on", "with", "as", "at", "by")
 
-  /** Fraction of tokens that are common English stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
-    val stops = filter(toks, t => t.isin(StopwordsEn: _*))
-    when(size(toks) === 0, 0.0)
-      .otherwise(size(stops).cast("double") / size(toks))
+  /** Lowercase alpha-token array (stopword tokenization). */
+  def alphaTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Stopword fraction (with multiplicity) from a *materialized*
+    * alpha-token array — see class doc on HOF materialization. */
+  def stopwordRatioOfTokens(ltoks: Column): Column = {
+    val stops = filter(ltoks, t => t.isin(StopwordsEn: _*))
+    when(size(ltoks) === 0, 0.0)
+      .otherwise(size(stops).cast("double") / size(ltoks))
   }
+
+  /** Fraction of tokens that are common English stopwords.
+    * Column-expression form — fine standalone; inside a larger
+    * expression prefer [[qualityDF]] (tokenizes once). */
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioOfTokens(alphaTokens(text))
+
+  /** Sum of whitespace-token lengths == count of non-whitespace
+    * chars — computed by length difference, no token array. */
+  def tokenLenSum(text: Column): Column =
+    length(regexp_replace(text, "\\s", ""))
 
   /** Mean token length (0 for empty text). */
   def meanTokenLen(text: Column): Column = {
-    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
-    when(size(toks) === 0, 0.0)
-      .otherwise(aggregate(toks, lit(0L),
-        (acc, t) => acc + length(t)).cast("double") / size(toks))
+    val nTok = tokenCount(text)
+    when(nTok === 0, 0.0)
+      .otherwise(tokenLenSum(text).cast("double") / nTok)
   }
 
   /** Composite document-quality score in [0,1] — the C4/Gopher-style
@@ -68,19 +95,51 @@ object TextAnalysis {
     * across runs. */
   def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
 
-  /** Unrounded quality score. The exact IEEE-754 evaluation order is
-    * part of the contract (left-assoc sum of the four weighted
-    * terms), so any engine that evaluates the same expression over
-    * the same doubles reproduces it bit-for-bit — this is what the
-    * DuckDB oracle for q17 relies on. */
-  def qualityScoreRaw(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val lengthScore = least(nTok / lit(50.0), lit(1.0))
-    val alpha = alphaRatio(text)
-    val stop = least(stopwordRatio(text) * 4.0, lit(1.0))
-    val mtl = meanTokenLen(text)
+  /** Final quality combine from already-computed metric columns. The
+    * exact IEEE-754 evaluation order is part of the contract
+    * (left-assoc sum of the four weighted terms), so any engine that
+    * evaluates the same expression over the same doubles reproduces
+    * it bit-for-bit — this is what the DuckDB oracle for q17 relies
+    * on. */
+  def qualityCombine(nTok: Column, alpha: Column, stopRatio: Column,
+      mtl: Column): Column = {
+    val lengthScore = least(nTok.cast("double") / lit(50.0), lit(1.0))
+    val stop = least(stopRatio * 4.0, lit(1.0))
     val wordShape = when(mtl >= 3.0 && mtl <= 10.0, 1.0).otherwise(0.5)
     lengthScore * 0.3 + alpha * 0.3 + stop * 0.2 + wordShape * 0.2
+  }
+
+  /** Unrounded quality score as one Column expression; on DataFrames
+    * prefer [[qualityDF]] (stopword token array materialized once). */
+  def qualityScoreRaw(text: Column): Column =
+    qualityCombine(tokenCount(text), alphaRatio(text), stopwordRatio(text),
+      meanTokenLen(text))
+
+  /** Scale-safe quality scoring: scalar metrics are codegen'd count
+    * expressions; the one genuine array (stopword tokens) is
+    * materialized behind a projection boundary and its filter runs
+    * once. Adds `qualityCol` (unrounded double) and `stopCol`. */
+  def qualityDF(df: DataFrame, textCol: String,
+      qualityCol: String = "quality_raw",
+      stopCol: String = "stopword_ratio"): DataFrame = {
+    val keep = df.columns.map(col).toSeq
+    val t = col(textCol)
+    val staged = df.select(keep ++ Seq(
+      alphaTokens(t).as("__ltoks"),
+      tokenCount(t).as("__ntok"),
+      alphaRatio(t).as("__alpha"),
+      tokenLenSum(t).as("__sumlen")): _*)
+    val metrics = staged.select(keep ++ Seq(
+      col("__ntok"),
+      col("__alpha"),
+      stopwordRatioOfTokens(col("__ltoks")).as("__stop"),
+      when(col("__ntok") === 0, 0.0)
+        .otherwise(col("__sumlen").cast("double") / col("__ntok"))
+        .as("__mtl")): _*)
+    metrics.select(keep ++ Seq(
+      qualityCombine(col("__ntok"), col("__alpha"), col("__stop"),
+        col("__mtl")).as(qualityCol),
+      col("__stop").as(stopCol)): _*)
   }
 
   /** Stable 128-bit document fingerprint over normalized text
@@ -96,17 +155,18 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "una", "que", "por", "para"),
     "it" -> Seq("il", "di", "che", "per", "una", "sono", "con", "non"))
 
-  /** Heuristic language ID: score each language by its marker-word
-    * hit count over the document's tokens; ties break by language
-    * order (en first). Emits "und" when nothing matches.
-    *
-    * Pure expression tree (array intersect over a lowercased token
-    * array) — no shuffle, no UDF; scan-speed at 100 TB.
-    */
-  def langId(text: Column): Column = {
-    val toks = regexp_extract_all(lower(text), lit("[a-zà-ÿ]+"), lit(0))
+  /** Lowercase unicode-alpha token array (langid tokenization). */
+  def langTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-zà-ÿ]+"), lit(0))
+
+  /** Language score/pick from a *materialized* token array. A
+    * language's score is the number of DISTINCT marker words present
+    * (`array_intersect` — native, codegen-friendly; the r2 form used
+    * 5 interpreted `filter` lambdas and was 6.5× slower). Ties break
+    * by language order (en first); "und" when nothing matches. */
+  def langIdOfTokens(toks: Column): Column = {
     val scored = LangMarkers.map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isin(markers: _*))).as("hits"),
+      struct(size(array_intersect(toks, lit(markers.toArray))).as("hits"),
         lit(lang).as("lang"))
     }
     // reduce to the max-hits language, first-listed wins ties
@@ -115,16 +175,44 @@ object TextAnalysis {
     when(best.getField("hits") <= 0, "und").otherwise(best.getField("lang"))
   }
 
-  /** Attach the full analysis column set. */
+  /** Heuristic language ID as one Column expression; on DataFrames
+    * prefer [[langIdDF]] (tokenizes once per row). */
+  def langId(text: Column): Column = langIdOfTokens(langTokens(text))
+
+  /** Scale-safe language ID: token array materialized behind a
+    * projection boundary, scored once. Adds `outCol`. */
+  def langIdDF(df: DataFrame, textCol: String,
+      outCol: String = "lang_pred"): DataFrame = {
+    val keep = df.columns.map(col).toSeq
+    df.select(keep :+ langTokens(col(textCol)).as("__toks"): _*)
+      .select(keep :+ langIdOfTokens(col("__toks")).as(outCol): _*)
+  }
+
+  /** Attach the full analysis column set — one scan, token arrays
+    * materialized once (see class doc). */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
-      .withColumn("n_subwords", subwordCount(t))
-      .withColumn("alpha_ratio", round(alphaRatio(t), 6))
-      .withColumn("punct_ratio", round(punctRatio(t), 6))
-      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
-      .withColumn("quality", qualityScore(t))
-      .withColumn("fingerprint", fingerprint(t))
-      .withColumn("lang_pred", langId(t))
+    val keep = df.columns.map(col).toSeq
+    val staged = df.select(keep ++ Seq(
+      alphaTokens(t).as("__ltoks"), langTokens(t).as("__lgtoks"),
+      tokenCount(t).as("__ntok"), alphaRatio(t).as("__alpha"),
+      tokenLenSum(t).as("__sumlen")): _*)
+    val metrics = staged.select(keep ++ Seq(
+      col("__ntok"), col("__alpha"), col("__lgtoks"),
+      subwordCount(t).as("__nsub"), punctRatio(t).as("__punct"),
+      stopwordRatioOfTokens(col("__ltoks")).as("__stop"),
+      when(col("__ntok") === 0, 0.0)
+        .otherwise(col("__sumlen").cast("double") / col("__ntok")).as("__mtl"),
+      fingerprint(t).as("__fp")): _*)
+    metrics.select(keep ++ Seq(
+      col("__ntok").as("n_tokens"),
+      col("__nsub").as("n_subwords"),
+      round(col("__alpha"), 6).as("alpha_ratio"),
+      round(col("__punct"), 6).as("punct_ratio"),
+      round(col("__stop"), 6).as("stopword_ratio"),
+      round(qualityCombine(col("__ntok"), col("__alpha"), col("__stop"),
+        col("__mtl")), 6).as("quality"),
+      col("__fp").as("fingerprint"),
+      langIdOfTokens(col("__lgtoks")).as("lang_pred")): _*)
   }
 }
