@@ -349,6 +349,30 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // ---- Image codec lifecycle (§1.4 CompressedImageCodec) ----
+    // Deterministic 8x8 grayscale pixels per doc, materialized through
+    // the png codec (binary storage cells), read back via the reader's
+    // decode path. png is lossless, so pixel values match the formula
+    // exactly — the oracle just recomputes it.
+    "q31_image_store" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", transform(sequence(lit(0), lit(63)),
+          i => pmod(col("doc_id") * 31 + i, lit(256)).cast("short")))
+      val schema = GraftSchema("doc_imgs", Seq(
+        FieldSpec("doc_id", org.apache.spark.sql.types.LongType),
+        FieldSpec("img", org.apache.spark.sql.types.ShortType,
+          shape = Seq(8, 8), codec = Some(CodecSpec("png")))))
+      val url = sys.props("java.io.tmpdir") + "/graft_q31_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Materialize.materialize(src, url, schema, partitions = Some(4))
+      GraftRead.reader(s, url).load()
+        .select(col("doc_id"),
+          col("img.dims")(0).as("d0"), col("img.dims")(1).as("d1"),
+          col("img.data")(0).as("p0"), col("img.data")(7).as("p7"),
+          col("img.data")(63).as("p63"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Deterministic synthetic data generator (S10) ----
     "q30_generator" -> ((s, dir) => {
       val schema = GraftSchema("gen", Seq(
@@ -645,6 +669,13 @@ object SparkEntry {
     "q29_converter" ->
       """SELECT s_suppkey, CAST(s_acctbal AS REAL) AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q31_image_store" ->
+      """SELECT doc_id, 8 AS d0, 8 AS d1,
+        |  CAST((doc_id*31) % 256 AS SMALLINT) AS p0,
+        |  CAST((doc_id*31+7) % 256 AS SMALLINT) AS p7,
+        |  CAST((doc_id*31+63) % 256 AS SMALLINT) AS p63
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q30_generator" ->
       """WITH g AS (SELECT id FROM range(1000) t(id)),

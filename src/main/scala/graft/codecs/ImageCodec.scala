@@ -36,6 +36,11 @@ object ImageCodec {
       s"pixel count $n != dims ${d.mkString("x")}")
     val img = new BufferedImage(w, h,
       if (color) BufferedImage.TYPE_INT_RGB else BufferedImage.TYPE_BYTE_GRAY)
+    // Grayscale goes through the raster (setSample), NOT setRGB:
+    // setRGB on a gray image runs an sRGB→linear-gray color-space
+    // conversion that corrupts 73/256 values (e.g. 1..5 → 0) and
+    // breaks the lossless-png contract.
+    val raster = img.getRaster
     var i = 0
     var y = 0
     while (y < h) {
@@ -48,8 +53,7 @@ object ImageCodec {
           img.setRGB(x, y, (r << 16) | (g << 8) | b)
           i += 3
         } else {
-          val v = data.getShort(i) & 0xFF
-          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          raster.setSample(x, y, 0, data.getShort(i) & 0xFF)
           i += 1
         }
         x += 1
@@ -84,13 +88,16 @@ object ImageCodec {
     val (h, w) = (img.getHeight, img.getWidth)
     val gray = img.getColorModel.getNumComponents == 1
     if (gray) {
+      // raster samples, not getRGB — see the encode-side comment on
+      // the sRGB↔gray conversion loss.
+      val raster = img.getRaster
       val a = new Array[Short](h * w)
       var i = 0
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          a(i) = ((img.getRGB(x, y) & 0xFF)).toShort
+          a(i) = raster.getSample(x, y, 0).toShort
           i += 1; x += 1
         }
         y += 1

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.codecs.{DecodeTensor, EncodeTensor}
+import graft.codecs.{DecodeImage, DecodeTensor, EncodeImage, EncodeTensor}
 
 /** Column-level facade over graft's custom Catalyst expressions
   * (Spark 4's `Column` hides `.expr` behind the classic bridge).
@@ -21,4 +21,14 @@ object GraftFunctions {
   /** Decode a GRT1 binary cell → struct<dims: array<int>, data: array<T>>. */
   def decodeTensor(bin: Column, dtype: String): Column =
     column(DecodeTensor(expr(bin), dtype))
+
+  /** Encode dims (H,W) or (H,W,3) + flat uint8 pixel array (stored as
+    * short) into png/jpeg bytes. */
+  def encodeImage(dims: Column, data: Column, format: String,
+      quality: Int = 80): Column =
+    column(EncodeImage(expr(dims), expr(data), format, quality))
+
+  /** Decode png/jpeg bytes → struct<dims: array<int>, data: array<short>>. */
+  def decodeImage(bin: Column): Column =
+    column(DecodeImage(expr(bin)))
 }

@@ -95,6 +95,8 @@ final case class GraftRead private (
           case Some(CodecSpec("ndarray" | "compressed_ndarray", _)) =>
             GraftFunctions.decodeTensor(c,
               graft.codecs.Dtype.forSparkType(f.dataType))
+          case Some(CodecSpec("png" | "jpeg", _)) =>
+            GraftFunctions.decodeImage(c)
           case Some(CodecSpec("scalar", _)) => c.cast(f.dataType)
           case _ => c
         }).as(f.name)

@@ -45,6 +45,11 @@ object Materialize {
         case Some(CodecSpec("compressed_ndarray", _)) =>
           GraftFunctions.encodeTensor(shapeDims(f, c), c,
             graft.codecs.Dtype.forSparkType(f.dataType), compressed = true)
+        case Some(CodecSpec(fmt @ ("png" | "jpeg"), args)) =>
+          // pixels are uint8 stored as short (numpy-uint8 parity)
+          GraftFunctions.encodeImage(shapeDims(f, c),
+            c.cast(ArrayType(ShortType)), fmt,
+            quality = args.getOrElse("quality", "80").toInt)
         case Some(CodecSpec("scalar", _)) => c.cast(f.dataType)
         case Some(CodecSpec(other, _)) =>
           throw new IllegalArgumentException(s"unknown codec $other for ${f.name}")
