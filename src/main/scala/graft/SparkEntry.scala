@@ -8,7 +8,7 @@ import graft.functions.GraftFunctions
 import graft.ops.{AnnSearch, Dedup, NGram, NearDedup, Sampling, TextAnalysis, TransformSpec}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
-import graft.sources.{GraftRead, Materialize}
+import graft.sources.{GraftRead, Materialize, RowGroupIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -373,6 +373,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Hive-partitioned store + partition pruning (P2/F2) ----
+    // Materialize documents partitioned by lang, read back through the
+    // builder with a partition-key predicate: Catalyst prunes whole
+    // lang= directories at planning time (PartitionPruneSpec asserts
+    // the scanned-file count shrank; this query oracles the rows).
+    "q32_partition_read" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        col("lang"))
+      val schema = GraftSchema("docs_part", Seq(
+        FieldSpec("doc_id", org.apache.spark.sql.types.LongType),
+        FieldSpec("n_chars", org.apache.spark.sql.types.LongType),
+        FieldSpec("lang", org.apache.spark.sql.types.StringType)))
+      val url = sys.props("java.io.tmpdir") + "/graft_q32_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Materialize.materialize(src, url, schema, partitionCols = Seq("lang"))
+      GraftRead.reader(s, url)
+        .predicate(col("lang") === "en")
+        .load()
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Index-backed read (I1-I4): scan only selected files ----
+    // Store is hash-partitioned on lang so files are lang-homogeneous;
+    // the sidecar index admits only files containing 'de' rows and the
+    // scan never opens the rest (skip-proof asserted in tests).
+    "q33_index_read" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft_q33_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (dataUrl, idxUrl) = (base + "/data", base + "/index")
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("lang"))
+        .repartition(8, col("lang"))
+        .write.mode("overwrite").parquet(dataUrl)
+      RowGroupIndex.build(s, dataUrl, Seq(RowGroupIndex.Indexer("lang")), idxUrl)
+      RowGroupIndex.readSelected(s, dataUrl, idxUrl,
+          RowGroupIndex.ValueIn("lang", Seq("de")))
+        .filter(col("lang") === "de")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Deterministic synthetic data generator (S10) ----
     "q30_generator" -> ((s, dir) => {
       val schema = GraftSchema("gen", Seq(
@@ -676,6 +717,14 @@ object SparkEntry {
         |  CAST((doc_id*31+7) % 256 AS SMALLINT) AS p7,
         |  CAST((doc_id*31+63) % 256 AS SMALLINT) AS p63
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_partition_read" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    "q33_index_read" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE lang = 'de' ORDER BY doc_id""".stripMargin,
 
     "q30_generator" ->
       """WITH g AS (SELECT id FROM range(1000) t(id)),

@@ -76,7 +76,9 @@ final case class GraftRead private (
         allFiles.zipWithIndex.collect { case (f, idx) if idx % n == i => f }
       case None => allFiles
     }
-    val storage = spark.read.parquet(files: _*)
+    // basePath keeps hive-partition columns derivable when reading an
+    // explicit (possibly sharded) file list from a partitioned store
+    val storage = spark.read.option("basePath", url).parquet(files: _*)
 
     // 2. schema: stored or inferred (dataset_metadata.py:410-418)
     val schema = Materialize.loadSchema(spark, url)
@@ -98,6 +100,9 @@ final case class GraftRead private (
           case Some(CodecSpec("png" | "jpeg", _)) =>
             GraftFunctions.decodeImage(c)
           case Some(CodecSpec("scalar", _)) => c.cast(f.dataType)
+          // plain scalar: no-op cast unless hive partition-value type
+          // inference drifted from the stored logical type
+          case None if !f.isTensor => c.cast(f.dataType)
           case _ => c
         }).as(f.name)
       }: _*)

@@ -77,16 +77,21 @@ object Materialize {
   /** Materialize `df` (columns in schema's *logical* types) at `url`.
     * @param partitions optional repartition count before write — the
     *   reference's `partitions_count`/row-group sizing lever
-    *   (tools/copy_dataset.py:74-90). */
+    *   (tools/copy_dataset.py:74-90).
+    * @param partitionCols hive-partition the store on these columns
+    *   (reference stores use `partition_key=...` layouts,
+    *   tests/test_common.py:161-245); predicates on them prune whole
+    *   directories at read planning (P2/F2). */
   def materialize(df: DataFrame, url: String, schema: GraftSchema,
       rowGroupSizeMb: Int = 32, partitions: Option[Int] = None,
-      overwrite: Boolean = true): Unit = {
+      overwrite: Boolean = true, partitionCols: Seq[String] = Nil): Unit = {
     val encoded = encodeColumns(df, schema)
     val sized = partitions.map(encoded.repartition).getOrElse(encoded)
-    sized.write
+    val writer = sized.write
       .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
       .mode(if (overwrite) "overwrite" else "errorifexists")
-      .parquet(url)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(url)
     writeMetadata(df.sparkSession, url, schema)
   }
 
@@ -106,20 +111,27 @@ object Materialize {
   }
 
   /** Per-file row-group counts from parquet footers, gathered on the
-    * executors (reference: dataset_metadata.py:208-241). */
+    * executors (reference: dataset_metadata.py:208-241). Keyed by the
+    * dataset-RELATIVE path, not the basename — identical part
+    * filenames in different hive-partition subdirectories must not
+    * collapse (ADVICE r2). */
   def rowGroupCounts(spark: SparkSession, url: String): Map[String, Int] = {
     val files = listParquetFiles(spark, url)
     val n = files.length
     if (n == 0) return Map.empty
+    val rootPath = new Path(url)
+    val rootUri = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(rootPath).toUri.getPath
     val parts = math.min(n, spark.sparkContext.defaultParallelism).max(1)
     spark.sparkContext.parallelize(files, parts).mapPartitions { it =>
       // executor-local conf: file:// and cluster-default fs both fine
       val conf = new org.apache.hadoop.conf.Configuration()
       it.map { f =>
         val p = new Path(f)
+        val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try p.getName -> r.getFooter.getBlocks.size() finally r.close()
+        try rel -> r.getFooter.getBlocks.size() finally r.close()
       }
     }.collect().toMap
   }

@@ -84,6 +84,20 @@ object RowGroupIndex {
       sels.map(_.files(index)).reduce(_ union _)
   }
 
+  /** The subset of the dataset's files the selector admits — the
+    * data-skipping decision, exposed so callers/tests can assert the
+    * scan actually shrank. */
+  def selectedFiles(spark: SparkSession, datasetUrl: String,
+      indexUrl: String, selector: Selector): Seq[String] = {
+    val index = spark.read.parquet(indexUrl)
+    // normalize: input_file_name() URIs vs Hadoop Path strings differ
+    // in scheme rendering (file:/// vs file:/)
+    def norm(s: String): String = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val keep = selector.files(index).map(norm)
+    Materialize.listParquetFiles(spark, datasetUrl)
+      .filter(f => keep.contains(norm(f)))
+  }
+
   /** Read the dataset scanning ONLY files the selector admits.
     * Returns an empty DataFrame (with the right schema) when the
     * selector admits nothing. The selected files are a superset
@@ -91,15 +105,10 @@ object RowGroupIndex {
     * them — callers still apply their row-level filter. */
   def readSelected(spark: SparkSession, datasetUrl: String,
       indexUrl: String, selector: Selector): DataFrame = {
-    val index = spark.read.parquet(indexUrl)
-    // normalize: input_file_name() URIs vs Hadoop Path strings differ
-    // in scheme rendering (file:/// vs file:/)
-    def norm(s: String): String = new org.apache.hadoop.fs.Path(s).toUri.getPath
-    val keep = selector.files(index).map(norm)
-    val all = Materialize.listParquetFiles(spark, datasetUrl)
-    val selected = all.filter(f => keep.contains(norm(f)))
-    if (selected.isEmpty)
-      spark.read.parquet(all: _*).limit(0)
-    else spark.read.parquet(selected: _*)
+    val selected = selectedFiles(spark, datasetUrl, indexUrl, selector)
+    if (selected.isEmpty) {
+      val all = Materialize.listParquetFiles(spark, datasetUrl)
+      spark.read.option("basePath", datasetUrl).parquet(all: _*).limit(0)
+    } else spark.read.option("basePath", datasetUrl).parquet(selected: _*)
   }
 }
