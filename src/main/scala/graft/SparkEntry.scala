@@ -297,6 +297,14 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- ANN scale path end-to-end: LSH bucket join + top-k ----
+    "q34_ann_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnSearch.lshTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- Portable seeded permutation (O1-O3 contract, md5 order) ----
     "q25_shuffle_positions" -> ((s, dir) => {
       Sampling.withShufflePosition(
@@ -680,6 +688,33 @@ object SparkEntry {
         |      (a, b) -> a + b) > 0
         |    THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q34_ann_lsh_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+        |), b AS (
+        |  SELECT vec_id, emb,
+        |    CAST(list_sum(list_transform(range(8), p ->
+        |      CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+        |          emb[i] * (('0x' || substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8))::BIGINT / 4294967296.0 - 0.5)),
+        |        (a, b) -> a + b) > 0
+        |      THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM e
+        |), q AS (SELECT * FROM b WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    list_reduce(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]), (a, b) -> a + b) AS dot,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> q.emb[i] * q.emb[i]), (a, b) -> a + b)) AS nq,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)) AS nc
+        |  FROM b c JOIN q ON c.bucket = q.bucket
+        |), scored AS (
+        |  SELECT qid, cid, CAST(floor(dot / (nq * nc) * 1000000) AS BIGINT) AS cos_m FROM pairs
+        |), ranked AS (
+        |  SELECT qid, cid, cos_m,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_m DESC, cid) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, cid, cos_m FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
 
     "q25_shuffle_positions" ->
       """SELECT doc_id, CAST(row_number() OVER (

@@ -38,10 +38,65 @@ object AnnSearch {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
+  /** Generic total-order compare for id values (rank tie-break). */
+  private def compareId(x: Any, y: Any): Int = (x, y) match {
+    case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
+    case (a: Int, b: Int)       => Integer.compare(a, b)
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: java.lang.Number, b: java.lang.Number) =>
+      java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    case _ => throw new IllegalArgumentException(
+      s"unorderable id type ${x.getClass.getName}")
+  }
+
+  /** Two-phase top-k over scored (qid, cid, cos_m) rows — the 100 TB
+    * shape. Phase 1 (`mapPartitions`): bounded per-(partition, qid)
+    * heaps reduce each partition to ≤ k candidates per query WITHOUT
+    * any shuffle; phase 2 ranks the surviving ≤ partitions·k rows per
+    * query in a window whose partitions are tiny by construction.
+    * The r2 form windowed the ENTIRE scored corpus per qid — one task
+    * sorting corpus-sized partitions. Order: cos_m desc, cid asc. */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    val slim = scored.select(col("qid"), col("cid"), col("cos_m"))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(slim.schema)
+    // PQ dequeues its max; order so the WORST candidate is the max
+    val worstFirst: Ordering[(Long, Any)] = new Ordering[(Long, Any)] {
+      def compare(a: (Long, Any), b: (Long, Any)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1) // lower cos = worse = larger
+        if (c != 0) c else compareId(a._2, b._2)   // larger cid = worse
+      }
+    }
+    val reduced = slim.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap[Any,
+        scala.collection.mutable.PriorityQueue[(Long, Any, org.apache.spark.sql.Row)]]()
+      val rowOrd = worstFirst.on[(Long, Any, org.apache.spark.sql.Row)](t => (t._1, t._2))
+      it.foreach { r =>
+        val (qid, cid, cos) = (r.get(0), r.get(1), r.getLong(2))
+        val h = heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty(rowOrd))
+        if (h.size < k) h.enqueue((cos, cid, r))
+        else {
+          val (wCos, wCid, _) = h.head
+          val better = cos > wCos || (cos == wCos && compareId(cid, wCid) < 0)
+          if (better) { h.dequeue(); h.enqueue((cos, cid, r)) }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_m").desc, col("cid"))
+    reduced.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cos_m"))
+  }
+
   /** Exact cosine top-k per query. `queries` should be small — it is
-    * broadcast; the corpus is scanned once, never shuffled (the only
-    * shuffle is the per-query top-k window over the candidate rows).
-    * Output: (qid, rank, cid, cos_m) where cos_m = floor(cos·1e6). */
+    * broadcast; the corpus is scanned once and reduced to ≤ k rows
+    * per (partition, query) BEFORE the only shuffle (see
+    * [[rankTopK]]). Output: (qid, rank, cid, cos_m),
+    * cos_m = floor(cos·1e6). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String,
       cId: String, embCol: String, k: Int): DataFrame = {
     val q = queries.select(col(qId).as("qid"), col(embCol).as("__qe"))
@@ -49,11 +104,7 @@ object AnnSearch {
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cos_m",
         floor(cosine(col("__qe"), col("__ce")) * 1000000L).cast("long"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos_m").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), col("cos_m"))
+    rankTopK(scored, k)
   }
 
   private def md5hex(s: String): String =
@@ -94,10 +145,6 @@ object AnnSearch {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .withColumn("cos_m",
         floor(cosine(col("__qe"), col("__ce")) * 1000000L).cast("long"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos_m").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), col("cos_m"))
+    rankTopK(scored, k)
   }
 }

@@ -86,15 +86,26 @@ object NearDedup {
 
   /** Candidate near-dup pairs via banded MinHash (id_a < id_b,
     * distinct). Explode bands → self-join on band key → distinct:
-    * never all-pairs. */
+    * never all-pairs.
+    *
+    * `maxBucket` caps band-bucket width (standard LSH practice): N
+    * degenerate docs (empty/boilerplate text → one whole-text shingle
+    * → identical signature) would otherwise meet in ONE bucket and go
+    * N²/2 — the residual skew bomb at 100 TB. Buckets wider than the
+    * cap are dropped entirely (their members are pathological, not
+    * near-dups worth pairing); the oversized-key list is tiny and
+    * broadcast for an anti-join. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, rows: Int = 4,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(bands * rows <= k, s"bands*rows (${bands * rows}) > k ($k)")
     val ex = signatures(df, idCol, textCol, k, shingleN)
       .select(col(idCol), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
-    val a = ex.select(col(idCol).as("id_a"), col("band_key"))
-    val b = ex.select(col(idCol).as("id_b"), col("band_key"))
+    val oversized = ex.groupBy("band_key").count()
+      .filter(col("count") > maxBucket).select("band_key")
+    val capped = ex.join(broadcast(oversized), Seq("band_key"), "left_anti")
+    val a = capped.select(col(idCol).as("id_a"), col("band_key"))
+    val b = capped.select(col(idCol).as("id_b"), col("band_key"))
     a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -118,8 +129,9 @@ object NearDedup {
   /** Candidate pairs + exact Jaccard, optionally thresholded. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.0, k: Int = 16, bands: Int = 4,
-      rows: Int = 4, shingleN: Int = 3): DataFrame = {
-    val pairs = candidatePairs(df, idCol, textCol, k, bands, rows, shingleN)
+      rows: Int = 4, shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val pairs = candidatePairs(df, idCol, textCol, k, bands, rows, shingleN,
+      maxBucket)
     jaccardVerify(pairs, df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= minJaccard)
   }

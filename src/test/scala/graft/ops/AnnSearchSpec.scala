@@ -67,6 +67,23 @@ class AnnSearchSpec extends SparkSpec {
     assert(lsh.forall(_.getLong(3) > 900000L))
   }
 
+  test("two-phase rankTopK equals a naive global window (multi-partition)") {
+    import org.apache.spark.sql.expressions.Window
+    // many partitions + forced cos_m ties exercise both the heap
+    // tie-break and the phase-2 merge
+    val scored = spark.range(2000).toDF("cid")
+      .withColumn("qid", pmod($"cid", lit(7)))
+      .withColumn("cos_m", pmod($"cid" * 1103L + 17, lit(50)))
+      .repartition(16)
+    val got = AnnSearch.rankTopK(scored, k = 9)
+      .orderBy("qid", "rank").as[(Long, Int, Long, Long)].collect().toSeq
+    val w = Window.partitionBy($"qid").orderBy($"cos_m".desc, $"cid")
+    val want = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 9).select($"qid", $"rank", $"cid", $"cos_m")
+      .orderBy("qid", "rank").as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("planeWeight matches its SQL definition") {
     // md5("0:0") = first 8 hex → uint32/2^32 - 0.5, spot-checked
     val w = AnnSearch.planeWeight(0, 0)

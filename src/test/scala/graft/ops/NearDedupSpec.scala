@@ -51,6 +51,22 @@ class NearDedupSpec extends SparkSpec {
     nd.get((1L, 2L)).foreach(j => assert(j > 0.7 && j < 1.0))
   }
 
+  test("band-bucket cap bounds degenerate-doc blowup (skew bomb)") {
+    // 300 identical empty-ish docs share one whole-text shingle →
+    // identical signatures → ONE band bucket. Uncapped that is
+    // 300·299/2 = 44,850 pairs; capped the bucket is dropped.
+    val degenerate = (1L to 300L).map(i => (i, "x")).toDF("doc_id", "text")
+    val capped = NearDedup.candidatePairs(degenerate, "doc_id", "text",
+      maxBucket = 100)
+    assert(capped.count() == 0)
+    // real near-dups below the cap are unaffected
+    val mixed = degenerate.unionByName(docs.filter($"doc_id".isin(1L, 4L))
+      .select($"doc_id" + 1000 as "doc_id", $"text"))
+    val pairs = NearDedup.candidatePairs(mixed, "doc_id", "text",
+      maxBucket = 100).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1001L, 1004L)))
+  }
+
   test("simhash: equal for identical text, hamming 0; different for unrelated") {
     val sh = docs.select($"doc_id", NearDedup.simhash32($"text").as("s"))
       .orderBy("doc_id").as[(Long, Long)].collect().map(x => x._1 -> x._2).toMap
