@@ -265,7 +265,10 @@ object SparkEntry {
           1 -> Seq("ts_us", "event_type"),
           2 -> Seq("ts_us", "event_type")),
         deltaThreshold = 20000000000L,
-        timestampField = "ts_us")
+        timestampField = "ts_us",
+        // order by the raw ns column (the oracle's ORDER BY ts):
+        // sub-µs ties must sequence identically in both engines
+        orderField = Some("ts"))
       NGram(ev, spec, groupCols = Seq("user_id"), tieBreak = Seq("event_id"))
         .orderBy(col("user_id"), col("event_id_t0"))
     }),

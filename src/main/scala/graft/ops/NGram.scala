@@ -40,23 +40,49 @@ import org.apache.spark.sql.functions._
   */
 object NGram {
 
+  /** @param fields offset → emitted columns for that timestep; names
+    *   may be regexes, resolved against the input's columns
+    *   (reference: ngram.py:195-203)
+    * @param orderField optional higher-precision sort column used for
+    *   window ORDERING only (e.g. raw ns while `timestampField` is a
+    *   µs view) — two rows equal at timestampField precision but
+    *   distinct at orderField precision then order identically in
+    *   every engine; delta thresholds still use `timestampField`. */
   final case class Spec(
       fields: Map[Int, Seq[String]],
       deltaThreshold: Long,
       timestampField: String,
-      timestampOverlap: Boolean = true) {
+      timestampOverlap: Boolean = true,
+      orderField: Option[String] = None) {
     require(fields.nonEmpty, "fields must cover at least one offset")
     val minOff: Int = fields.keys.min
     val length: Int = fields.keys.max - minOff + 1
     require(length >= 1)
     /** normalized timestep -> columns (0-based). */
     def step(i: Int): Seq[String] = fields.getOrElse(i + minOff, Nil)
+
+    /** Resolve regex field selectors against actual columns
+      * (exact-name match wins; else full-regex match, sorted). */
+    def resolve(columns: Seq[String]): Spec = {
+      def expand(sel: String): Seq[String] =
+        if (columns.contains(sel)) Seq(sel)
+        else {
+          val m = columns.filter(_.matches(sel)).sorted
+          require(m.nonEmpty, s"ngram field selector '$sel' matches no column")
+          m
+        }
+      copy(fields = fields.map { case (off, names) =>
+        off -> names.flatMap(expand).distinct
+      })
+    }
   }
 
-  def apply(df: DataFrame, spec: Spec, groupCols: Seq[String] = Nil,
+  def apply(df: DataFrame, spec0: Spec, groupCols: Seq[String] = Nil,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    val spec = spec0.resolve(df.columns.toSeq)
     val ts = col(spec.timestampField)
-    val order = (spec.timestampField +: tieBreak).map(col)
+    val order = (spec.orderField.getOrElse(spec.timestampField) +: tieBreak)
+      .map(col)
     val w = (if (groupCols.isEmpty) Window.partitionBy()
              else Window.partitionBy(groupCols.map(col): _*))
       .orderBy(order: _*)
@@ -85,9 +111,17 @@ object NGram {
       import spark.implicits._
       val base = df.select(keep ++ stepCols ++ Seq(
         within.as("__q"), row_number().over(w).as("__rn")): _*)
-      // group key as a single string for the typed greedy pass
+      // group key as ONE unambiguously-encoded string for the typed
+      // greedy pass: each part is "len:value" (or "-" for null), so
+      // ("a","bc") vs ("ab","c") -- or null vs empty -- cannot collide
+      // the way a separator-join can (concat_ws also drops nulls and
+      // a separator char can occur in the data).
       val gk = if (groupCols.isEmpty) lit("") else
-        concat_ws("", groupCols.map(c => col(c).cast("string")): _*)
+        concat(groupCols.map { c =>
+          val s = col(c).cast("string")
+          when(s.isNull, lit("-"))
+            .otherwise(concat(length(s).cast("string"), lit(":"), s))
+        }: _*)
       val emitted = base.filter(col("__q"))
         .select(gk.as("__g"), col("__rn"))
         .as[(String, Int)]

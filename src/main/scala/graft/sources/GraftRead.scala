@@ -41,7 +41,8 @@ final case class GraftRead private (
     shuffleSeed: Option[Long],
     epochCount: Int,
     decodeOutput: Boolean,
-    transformSpec: Option[TransformSpec]) {
+    transformSpec: Option[TransformSpec],
+    cacheLevel: Option[org.apache.spark.storage.StorageLevel]) {
 
   def fields(selectors: String*): GraftRead = copy(fieldSel = selectors)
   def predicate(p: RowPredicate): GraftRead = copy(preds = preds :+ p.toColumn)
@@ -63,6 +64,15 @@ final case class GraftRead private (
   /** Post-decode user transform with schema-edit bookkeeping (T1,
     * transform.py:27-89); runs after predicates, before shuffle. */
   def transform(spec: TransformSpec): GraftRead = copy(transformSpec = Some(spec))
+
+  /** C1/C2 parity (cache.py:21-39, local_disk_cache.py:23-83): keep
+    * the decoded/filtered dataset materialized across re-reads. The
+    * reference's per-row-group diskcache maps onto Spark's native
+    * per-partition persistence; DISK_ONLY is the local-disk-cache
+    * analogue, MEMORY_AND_DISK the usual training-loop choice. */
+  def cache(level: org.apache.spark.storage.StorageLevel =
+      org.apache.spark.storage.StorageLevel.DISK_ONLY): GraftRead =
+    copy(cacheLevel = Some(level))
 
   def load(): DataFrame = {
     // 1. stable file listing + shard (SH1/O5)
@@ -121,7 +131,9 @@ final case class GraftRead private (
       else (0 until epochCount).map { k =>
         shuffled(transformed, shuffleSeed.map(_ + k)).withColumn("__epoch", lit(k))
       }.reduce(_.unionByName(_))
-    out
+
+    // 8. optional persistence (C1/C2)
+    cacheLevel.map(out.persist).getOrElse(out)
   }
 
   /** Deterministic whole-dataset permutation: sort by a seeded
@@ -138,5 +150,6 @@ final case class GraftRead private (
 
 object GraftRead {
   def reader(spark: SparkSession, url: String): GraftRead =
-    GraftRead(spark, url, Nil, Nil, None, None, 1, decodeOutput = true, None)
+    GraftRead(spark, url, Nil, Nil, None, None, 1, decodeOutput = true, None,
+      None)
 }

@@ -64,15 +64,23 @@ object Materialize {
     df.select(cols: _*)
   }
 
-  /** dims for the encoder: fixed dims from the schema, or measured
-    * from the array at runtime for variable (-1) dims. Only rank-1
-    * variable shapes are measurable from a flat array column. */
+  /** dims for the encoder: fixed dims from the schema; a single
+    * variable (-1) dim is derived from the flat array length at
+    * runtime (reference shapes like (None, 128, 30) —
+    * unischema.py:55-56). More than one variable dim is genuinely
+    * ambiguous from a flat array and raises. The GRT1 codec verifies
+    * dims-product == element count, so a non-divisible length fails
+    * loudly at encode. */
   private def shapeDims(f: FieldSpec, c: Column): Column =
     if (f.shape.forall(_ > 0)) array(f.shape.map(lit): _*)
-    else if (f.shape.length == 1) array(size(c))
-    else throw new IllegalArgumentException(
-      s"variable multi-dim shape ${f.shape} needs a dims column; " +
-        "store dims explicitly or use rank-1")
+    else {
+      require(f.shape.count(_ <= 0) == 1,
+        s"at most one variable dim is derivable from a flat array, " +
+          s"got shape ${f.shape.mkString("(", ",", ")")} for ${f.name}")
+      val known = f.shape.filter(_ > 0).map(_.toLong).product.max(1L)
+      val varDim = (size(c).cast("long") / lit(known)).cast("int")
+      array(f.shape.map(d => if (d > 0) lit(d) else varDim): _*)
+    }
 
   /** Materialize `df` (columns in schema's *logical* types) at `url`.
     * @param partitions optional repartition count before write — the

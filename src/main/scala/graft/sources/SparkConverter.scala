@@ -29,11 +29,22 @@ object SparkConverter {
 
   private val cache = ListBuffer[(DataFrame, Handle)]()
 
+  /** Entries beyond this are evicted oldest-first (metadata only —
+    * the parquet files stay; call [[deleteAll]] for the reference's
+    * atexit-style cleanup, spark_dataset_converter.py:82-121). */
+  val MaxCacheEntries = 64
+
   private[sources] def evict(url: String): Unit = cache.synchronized {
     cache.filterInPlace { case (_, h) => h.url != url }
   }
   def cacheSize: Int = cache.synchronized(cache.size)
   def clearCache(): Unit = cache.synchronized(cache.clear())
+
+  /** Delete every cached materialization's files and empty the cache. */
+  def deleteAll(spark: SparkSession): Unit = {
+    val handles = cache.synchronized(cache.map(_._2).toList)
+    handles.foreach(_.delete(spark))
+  }
 
   /** X3: MLlib VectorUDT columns → array<double>. */
   def vectorsToArrays(df: DataFrame): DataFrame = {
@@ -60,7 +71,13 @@ object SparkConverter {
 
   /** Materialize (or reuse) the normalized DataFrame under
     * `cacheDir`. Plan-equality lookup: two calls whose *analyzed
-    * plans* are equivalent share one materialization. */
+    * plans* are equivalent share one materialization. The whole
+    * find-or-materialize runs under one lock — the r2 check-then-act
+    * gap let two concurrent equivalent calls both miss and
+    * double-materialize (ADVICE). Materializing under the lock is the
+    * deliberate trade: correctness of "exactly one materialization
+    * per plan" over concurrency of distinct plans (the reference
+    * serializes through the GIL the same way). */
   def convert(df: DataFrame, cacheDir: String, rowGroupSizeMb: Int = 32,
       toFloat32: Boolean = true): Handle = {
     val spark = df.sparkSession
@@ -69,17 +86,18 @@ object SparkConverter {
     cache.synchronized {
       cache.find { case (cachedDf, _) =>
         cachedDf.queryExecution.analyzed.sameResult(plan)
-      }.map(_._2)
-    }.getOrElse {
-      val url = s"$cacheDir/conv_${java.util.UUID.randomUUID().toString.take(8)}"
-      normalized.write
-        .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
-        .mode("overwrite").parquet(url)
-      val back = spark.read.parquet(url)
-      val h = Handle(url, back, Materialize.listParquetFiles(spark, url),
-        back.count())
-      cache.synchronized(cache += normalized -> h)
-      h
+      }.map(_._2).getOrElse {
+        val url = s"$cacheDir/conv_${java.util.UUID.randomUUID().toString.take(8)}"
+        normalized.write
+          .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
+          .mode("overwrite").parquet(url)
+        val back = spark.read.parquet(url)
+        val h = Handle(url, back, Materialize.listParquetFiles(spark, url),
+          back.count())
+        cache += normalized -> h
+        if (cache.size > MaxCacheEntries) cache.remove(0)
+        h
+      }
     }
   }
 
