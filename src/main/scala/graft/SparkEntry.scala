@@ -144,14 +144,20 @@ object SparkEntry {
     }),
 
     // ---- Text analysis: token / char stats (LLM-ops) ----
+    // Sort-first convention (here and in q16/q17/q18/q22): the final
+    // global orderBy's range exchange SAMPLES its child plan, so a
+    // shuffle-free pipeline with the sort on top executes its
+    // expensive projections twice. Sorting the raw rows first keeps
+    // the double-execution on the cheap scan; the narrow projections
+    // after it preserve row order. Measured 2x on q18.
     "q11_token_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
           TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
           micro(TextAnalysis.alphaRatio(col("text"))).as("alpha_ratio_m"),
           micro(TextAnalysis.punctRatio(col("text"))).as("punct_ratio_m"))
-        .orderBy(col("doc_id"))
     }),
 
     // ---- Copy-dataset shape: project + not-null filter (S7/F5) ----
@@ -193,20 +199,20 @@ object SparkEntry {
     // boundary) — the r2 inline form re-tokenized 5×/row (6.5× slower).
     "q16_langid" -> ((s, dir) => {
       TextAnalysis.langIdDF(
-          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+            .orderBy(col("doc_id")),
           "text")
         .select(col("doc_id"), col("lang"), col("lang_pred"))
-        .orderBy(col("doc_id"))
     }),
 
     // ---- Quality scoring (LLM-ops) ----
     "q17_quality" -> ((s, dir) => {
       TextAnalysis.qualityDF(
-          t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+          t(s, dir, "documents").select(col("doc_id"), col("text"))
+            .orderBy(col("doc_id")), "text")
         .select(col("doc_id"),
           micro(col("quality_raw")).as("quality_m"),
           micro(col("stopword_ratio")).as("stopword_ratio_m"))
-        .orderBy(col("doc_id"))
     }),
 
     // ---- Tensor codec round-trip in-plan (§1.4 NdarrayCodec, S2) ----
@@ -214,6 +220,9 @@ object SparkEntry {
     // stage codegen; identity round-trip makes doubles exact.
     "q18_tensor_roundtrip" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")) // sort-first (q11 doc)
       val vec = array(col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax"))
       val enc = GraftFunctions.encodeTensor(array(lit(4)), vec, "float64",
@@ -224,7 +233,6 @@ object SparkEntry {
           col("tv.data")(0).as("qty"),
           cents(col("tv.data")(1)).as("price_cents"),
           pct(col("tv.data")(2)).as("disc_pct"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // ---- Full materialize → read lifecycle (S1 + S3 + P1 + F1) ----
@@ -282,8 +290,10 @@ object SparkEntry {
 
     // ---- SimHash fingerprints (scan-speed, no shuffle) ----
     "q22_simhash" -> ((s, dir) => {
-      NearDedup.simhash(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
+      NearDedup.simhash(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id")), // sort-first (q11 doc)
+        "doc_id", "text")
     }),
 
     // ---- ANN: exact cosine top-5, 20 queries vs full corpus ----

@@ -195,18 +195,32 @@ object TensorCodec {
     (Dtype.name(code), row.getArray(0).toIntArray(), row.getArray(1))
   }
 
+  // (De|In)flaters are reused per task thread via reset() — per-cell
+  // native allocation dominated the cost for small tensor payloads
+  // (one new Deflater per ROW). BEST_SPEED: the format flag only says
+  // "deflate stream"; level is a writer-side choice, and for numeric
+  // tensor bytes level 1 compresses nearly as well at a fraction of
+  // the cpu (measured on q18's 4-double cells).
+  private val deflaterTL = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater = new Deflater(Deflater.BEST_SPEED)
+  }
+  private val inflaterTL = new ThreadLocal[Inflater] {
+    override def initialValue(): Inflater = new Inflater()
+  }
+
   private def deflate(b: Array[Byte]): Array[Byte] = {
-    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    val d = deflaterTL.get()
+    d.reset()
     d.setInput(b); d.finish()
     val out = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
     val tmp = new Array[Byte](8192)
     while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-    d.end()
     out.toByteArray
   }
 
   private def inflate(b: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
+    val inf = inflaterTL.get()
+    inf.reset()
     inf.setInput(b)
     val out = new java.io.ByteArrayOutputStream(b.length * 3 + 64)
     val tmp = new Array[Byte](8192)
@@ -215,7 +229,6 @@ object TensorCodec {
       if (k == 0 && inf.needsInput()) throw new IllegalStateException("truncated deflate stream")
       out.write(tmp, 0, k)
     }
-    inf.end()
     out.toByteArray
   }
 }
