@@ -282,8 +282,13 @@ object SparkEntry {
     }),
 
     // ---- MinHash-LSH near-dedup: banded candidates + exact Jaccard ----
+    // The single-file local table would pin the whole tokenize+md5 map
+    // stage to ONE task; fan the input out first. (At 100 TB the file
+    // count provides this parallelism and the repartition is dropped.)
     "q21_minhash_pairs" -> ((s, dir) => {
-      NearDedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      NearDedup.nearDuplicates(docs, "doc_id", "text")
         .select(col("id_a"), col("id_b"), micro(col("jaccard")).as("jaccard_m"))
         .orderBy(col("id_a"), col("id_b"))
     }),

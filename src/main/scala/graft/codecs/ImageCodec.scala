@@ -24,6 +24,11 @@ import org.apache.spark.sql.types._
   */
 object ImageCodec {
 
+  // ImageIO's stream cache is DISK-backed by default: every
+  // encode/decode would create+delete a temp file. Per-row codec
+  // calls must stay in memory.
+  ImageIO.setUseCache(false)
+
   def encodeImage(dims: ArrayData, data: ArrayData, format: String,
       quality: Int): Array[Byte] = {
     val d = dims.toIntArray()

@@ -53,6 +53,27 @@ object NearDedup {
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), shinglesOfTokens(col("__toks"), shingleN).as("sh"))
 
+  /** Explode an (id, array<string>) frame through a typed flatMap
+    * boundary instead of `explode`: Spark's Generate over an
+    * interpreted (HOF-built) array expression re-evaluates it
+    * per OUTPUT element — measured 23× slower than this on the
+    * shingle pipeline. Deserializing to objects forces exactly one
+    * materialization of the array per input row; the flatMap itself
+    * is plain iterator code, still fully parallel, no shuffle. */
+  private def explodeStrings(df: DataFrame, idCol: String,
+      arrCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val slim = df.select(col(idCol), col(arrCol))
+    val outSchema = StructType(Seq(
+      slim.schema.fields(0), StructField(outCol, StringType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    slim.flatMap { r =>
+      val id = r.get(0)
+      r.getSeq[String](1).iterator.map(v => Row(id, v))
+    }
+  }
+
   /** (id, sig: array<long>) — k-element MinHash signatures, built
     * relationally: explode shingles, one md5 per hash *group* (4
     * family members per md5), hash-aggregate the minima. One shuffle
@@ -61,8 +82,8 @@ object NearDedup {
       k: Int = 16, shingleN: Int = 3): DataFrame = {
     require(k % 4 == 0, s"k must be a multiple of 4 (got $k)")
     val groups = k / 4
-    val exploded = shingleSets(df, idCol, textCol, shingleN)
-      .select(col(idCol), explode(col("sh")).as("__s"))
+    val exploded = explodeStrings(
+      shingleSets(df, idCol, textCol, shingleN), idCol, "sh", "__s")
     val withMd5 = exploded.select(col(idCol) +:
       (0 until groups).map(g =>
         md5(concat(lit(g.toString), lit(":"), col("__s"))).as(s"__m$g")): _*)
@@ -101,9 +122,13 @@ object NearDedup {
     require(bands * rows <= k, s"bands*rows (${bands * rows}) > k ($k)")
     val ex = signatures(df, idCol, textCol, k, shingleN)
       .select(col(idCol), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
-    val oversized = ex.groupBy("band_key").count()
-      .filter(col("count") > maxBucket).select("band_key")
-    val capped = ex.join(broadcast(oversized), Seq("band_key"), "left_anti")
+    // bucket-width via a band_key-partitioned window count: it rides
+    // the same hash exchange the self-join needs (ReusedExchange), so
+    // the cap costs no extra pass over the signature pipeline
+    val bucketCount = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("band_key")))
+    val capped = ex.withColumn("__bc", bucketCount)
+      .filter(col("__bc") <= maxBucket).drop("__bc")
     val a = capped.select(col(idCol).as("id_a"), col("band_key"))
     val b = capped.select(col(idCol).as("id_b"), col("band_key"))
     a.join(b, Seq("band_key"))
