@@ -101,6 +101,23 @@ object SparkConverter {
     }
   }
 
+  /** X4 parity (spark_dataset_converter.py:610-639): poll until every
+    * path exists — eventually-consistent object stores can lag a
+    * completed write. Returns false on timeout (reference raises;
+    * callers can). */
+  def waitAvailable(spark: SparkSession, paths: Seq[String],
+      timeoutMs: Long = 30000, pollMs: Long = 200): Boolean = {
+    if (paths.isEmpty) return true
+    val conf = spark.sessionState.newHadoopConf()
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var pending = paths.map(new Path(_))
+    while (pending.nonEmpty && System.nanoTime() < deadline) {
+      pending = pending.filterNot(p => p.getFileSystem(conf).exists(p))
+      if (pending.nonEmpty) Thread.sleep(pollMs)
+    }
+    pending.isEmpty
+  }
+
   /** X5 parity (:642-661): median parquet file size advisory. */
   def medianFileSizeBytes(spark: SparkSession, url: String): Long = {
     val p = new Path(url)

@@ -108,6 +108,15 @@ class IndexConverterSpec extends SparkSpec {
     assert(h.df.select($"v"(0)).as[Float].collect()(0) == 1.0f)
   }
 
+  test("waitAvailable polls until files exist (X4)") {
+    val u = scratch("wait-ds")
+    spark.range(3).toDF("id").write.mode("overwrite").parquet(u)
+    val files = Materialize.listParquetFiles(spark, u)
+    assert(SparkConverter.waitAvailable(spark, files, timeoutMs = 2000))
+    assert(!SparkConverter.waitAvailable(spark, Seq(u + "/nope.parquet"),
+      timeoutMs = 300, pollMs = 50))
+  }
+
   test("batch regrouping assigns exact-size consecutive batches (T5)") {
     val df = spark.range(103).toDF("id")
     val b = Batching.withBatchId(df, 10, Seq("id"))
