@@ -101,21 +101,7 @@ final case class GraftRead private (
     // 4. codec decode (utils.py:52-85 decode_row)
     val decoded =
       if (!decodeOutput) projected
-      else projected.select(viewed.fields.map { f =>
-        val c = col(f.name)
-        (f.codec match {
-          case Some(CodecSpec("ndarray" | "compressed_ndarray", _)) =>
-            GraftFunctions.decodeTensor(c,
-              graft.codecs.Dtype.forSparkType(f.dataType))
-          case Some(CodecSpec("png" | "jpeg", _)) =>
-            GraftFunctions.decodeImage(c)
-          case Some(CodecSpec("scalar", _)) => c.cast(f.dataType)
-          // plain scalar: no-op cast unless hive partition-value type
-          // inference drifted from the stored logical type
-          case None if !f.isTensor => c.cast(f.dataType)
-          case _ => c
-        }).as(f.name)
-      }: _*)
+      else Materialize.decodeColumns(projected, viewed)
 
     // 5. residual predicate (decoded values, like the worker-side
     //    predicate; Catalyst pushes what it can into the scan)

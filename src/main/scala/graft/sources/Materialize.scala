@@ -82,6 +82,25 @@ object Materialize {
       array(f.shape.map(d => if (d > 0) lit(d) else varDim): _*)
     }
 
+  /** Read-side codec projection (utils.py:52-85 decode_row): inverse
+    * of [[encodeColumns]]. Works on batch and streaming frames. */
+  def decodeColumns(df: DataFrame, schema: GraftSchema): DataFrame =
+    df.select(schema.fields.map { f =>
+      val c = col(f.name)
+      (f.codec match {
+        case Some(CodecSpec("ndarray" | "compressed_ndarray", _)) =>
+          GraftFunctions.decodeTensor(c,
+            graft.codecs.Dtype.forSparkType(f.dataType))
+        case Some(CodecSpec("png" | "jpeg", _)) =>
+          GraftFunctions.decodeImage(c)
+        case Some(CodecSpec("scalar", _)) => c.cast(f.dataType)
+        // plain scalar: no-op cast unless hive partition-value type
+        // inference drifted from the stored logical type
+        case None if !f.isTensor => c.cast(f.dataType)
+        case _ => c
+      }).as(f.name)
+    }: _*)
+
   /** Materialize `df` (columns in schema's *logical* types) at `url`.
     * @param partitions optional repartition count before write — the
     *   reference's `partitions_count`/row-group sizing lever

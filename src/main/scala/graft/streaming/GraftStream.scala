@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.predicates.RowPredicate
+import graft.schema.GraftSchema
+import graft.sources.{GraftRead, Materialize}
+
+/** Structured-Streaming surface over graft stores. The reference has
+  * no streaming at all (SURVEY §2: its only "streams" are bounded
+  * epochs over static parquet) — this is the beyond-reference piece a
+  * training-data pipeline needs when a store is continuously appended
+  * (e.g. a crawler landing new document files): incremental reads of
+  * newly-arrived files with the same schema/codec semantics as the
+  * batch reader, and an encoding sink that keeps the sidecar metadata
+  * current batch-over-batch.
+  *
+  * Everything composes built-in Structured Streaming operators
+  * (file source, watermarks, windowed aggs, foreachBatch sink) — no
+  * custom physical operators needed; decode/encode reuse the exact
+  * batch-path codec projections, so streamed rows are bit-identical
+  * to batch reads of the same store.
+  */
+object GraftStream {
+
+  /** Streaming flavor of [[GraftRead.reader]]: new parquet files
+    * appearing under `url` are processed incrementally. Stored
+    * schema + codec decode + schema views + predicates behave exactly
+    * like the batch reader (shard/shuffle/epochs are batch-only
+    * concepts and intentionally absent). */
+  final case class Reader(
+      spark: SparkSession,
+      url: String,
+      fieldSel: Seq[String],
+      preds: Seq[Column],
+      maxFilesPerTrigger: Option[Int]) {
+
+    def fields(selectors: String*): Reader = copy(fieldSel = selectors)
+    def predicate(p: RowPredicate): Reader = copy(preds = preds :+ p.toColumn)
+    def predicate(c: Column): Reader = copy(preds = preds :+ c)
+    /** Bound per-micro-batch file intake (backpressure knob). */
+    def maxFiles(n: Int): Reader = copy(maxFilesPerTrigger = Some(n))
+
+    def load(): DataFrame = {
+      val schema = Materialize.loadSchema(spark, url).getOrElse(
+        GraftSchema.fromStructType("inferred",
+          spark.read.parquet(url).schema))
+      val viewed = if (fieldSel.isEmpty) schema else schema.view(fieldSel)
+      val rs = spark.readStream.schema(schema.toStructType)
+      val storage = maxFilesPerTrigger
+        .map(n => rs.option("maxFilesPerTrigger", n)).getOrElse(rs)
+        .parquet(url)
+      val projected = storage.select(viewed.fieldNames.map(col): _*)
+      val decoded = Materialize.decodeColumns(projected, viewed)
+      preds.foldLeft(decoded)(_.filter(_))
+    }
+  }
+
+  def reader(spark: SparkSession, url: String): Reader =
+    Reader(spark, url, Nil, Nil, None)
+
+  /** Encoding sink: append micro-batches into a graft store at `url`,
+    * refreshing the sidecar metadata after every batch so concurrent
+    * [[GraftRead]] readers always see a consistent schema + row-group
+    * census. Uses foreachBatch → the batch materialize path (same
+    * codecs, same nullability enforcement). */
+  def sink(df: DataFrame, url: String, schema: GraftSchema,
+      checkpoint: String, rowGroupSizeMb: Int = 32): DataStreamWriter[org.apache.spark.sql.Row] = {
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Materialize.encodeColumns(batch, schema).write
+          .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
+          .mode("append").parquet(url)
+        Materialize.writeMetadata(batch.sparkSession, url, schema)
+      }
+  }
+
+  /** Event-time tumbling-window counts with a watermark — the
+    * canonical streaming aggregation, parameterized the way the
+    * training-data pipelines use it (events/documents per key per
+    * window, late data bounded by the watermark). `tsCol` must be a
+    * TimestampType column. */
+  def windowedCounts(df: DataFrame, tsCol: String, windowDuration: String,
+      watermarkDelay: String, groupCols: Seq[String] = Nil): DataFrame = {
+    val w = window(col(tsCol), windowDuration)
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(w +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        groupCols.map(col) :+ col("n"): _*)
+  }
+
+  /** Streaming exact-dedup by content fingerprint within the
+    * watermark horizon — the streaming face of the batch exact-dedup
+    * operator, composed from the built-in stateful operator (state is
+    * bounded by the watermark, so it scales indefinitely). */
+  def dedupByFingerprint(df: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String): DataFrame =
+    df.withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+}

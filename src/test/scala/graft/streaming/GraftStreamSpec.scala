@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
+import graft.sources.{GraftRead, Materialize}
+
+class GraftStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** memory-sink queries can't recover from a previous run's
+    * checkpoint — every run gets a fresh dir */
+  private def freshCkpt(name: String): String =
+    scratch(s"ckpt-$name-" + java.util.UUID.randomUUID().toString.take(8))
+
+  private def runAvailableNow(df: org.apache.spark.sql.DataFrame,
+      name: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", freshCkpt(name))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+  }
+
+  test("streaming reader decodes a graft store identically to batch") {
+    val url = scratch("stream-src")
+    val src = spark.range(50).toDF("id")
+      .withColumn("vec", array($"id".cast("double"), lit(2.5), lit(7.0)))
+    val schema = GraftSchema("s", Seq(
+      FieldSpec("id", LongType),
+      FieldSpec("vec", DoubleType, shape = Seq(3),
+        codec = Some(CodecSpec("ndarray")))))
+    Materialize.materialize(src, url, schema, partitions = Some(3))
+
+    runAvailableNow(
+      GraftStream.reader(spark, url).predicate($"id" % 2 === 0).load()
+        .select($"id", $"vec.data"(0).as("v0")),
+      "stream_read")
+    val streamed = spark.table("stream_read")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val batch = GraftRead.reader(spark, url).predicate($"id" % 2 === 0).load()
+      .select($"id", $"vec.data"(0).as("v0"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.length == 25)
+    assert(streamed.forall { case (id, v0) => v0 == id.toDouble })
+  }
+
+  test("streaming sink encodes batches and keeps the sidecar current") {
+    val url = scratch("stream-sink-" + java.util.UUID.randomUUID().toString.take(8))
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val schema = GraftSchema("sunk", Seq(
+      FieldSpec("id", LongType),
+      FieldSpec("vec", DoubleType, shape = Seq(2),
+        codec = Some(CodecSpec("ndarray")))))
+    val q = GraftStream.sink(
+      input.toDF().toDF("id", "vec"), url, schema,
+      checkpoint = freshCkpt("sink"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0)))
+      q.processAllAvailable()
+      input.addData((3L, Seq(5.0, 6.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // sidecar present and loadable; read back through the batch reader
+    assert(Materialize.loadSchema(spark, url).exists(_.name == "sunk"))
+    val rows = GraftRead.reader(spark, url).load()
+      .select($"id", $"vec.data")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(1L -> Seq(1.0, 2.0), 2L -> Seq(3.0, 4.0),
+      3L -> Seq(5.0, 6.0)))
+  }
+
+  test("watermarked tumbling-window counts over event time") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val counts = GraftStream.windowedCounts(
+      input.toDF().toDF("ts", "kind"), "ts", "10 seconds", "5 seconds",
+      groupCols = Seq("kind"))
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .option("checkpointLocation", freshCkpt("win"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def t(s: Long) = new Timestamp(s * 1000)
+      input.addData((t(1), "a"), (t(3), "a"), (t(12), "a"), (t(2), "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("win_counts")
+      .select($"window_start".cast("long"), $"kind", $"n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((0L, "a", 2L), (10L, "a", 1L), (0L, "b", 1L)))
+  }
+
+  test("streaming dedup by fingerprint within the watermark") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val dedup = GraftStream.dedupByFingerprint(
+      input.toDF().toDF("ts", "text"), "text", "ts", "10 seconds")
+    val q = dedup.writeStream.format("memory").queryName("stream_dedup")
+      .option("checkpointLocation", freshCkpt("dedup"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def t(s: Long) = new Timestamp(s * 1000)
+      input.addData((t(1), "same  doc"), (t(2), "SAME DOC"), (t(3), "other"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // "same doc" normalizes to one fingerprint → one survivor
+    val texts = spark.table("stream_dedup").select("text")
+      .as[String].collect().toSeq
+    assert(texts.length == 2)
+    assert(texts.contains("other"))
+  }
+}
