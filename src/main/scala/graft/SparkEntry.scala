@@ -315,6 +315,52 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- Multimodal: nearest-neighbor image resize in-plan ----
+    // 8x8 grayscale from doc_id (q31's formula) resized to 4x4:
+    // resized[y,x] = src[2y, 2x] = (doc_id*31 + 16y + 2x) % 256.
+    "q35_image_resize" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy(col("doc_id")) // sort-first (q11 doc)
+        .withColumn("px", transform(sequence(lit(0), lit(63)),
+          i => pmod(col("doc_id") * 31 + i, lit(256)).cast("short")))
+      val r = GraftFunctions.resizeNearest(array(lit(8), lit(8)), col("px"),
+        4, 4)
+      d.select(col("doc_id"), r.as("rz"))
+        .select(col("doc_id"),
+          col("rz.dims")(0).as("d0"), col("rz.dims")(1).as("d1"),
+          col("rz.data")(0).as("p0"), col("rz.data")(5).as("p5"),
+          col("rz.data")(15).as("p15"))
+    }),
+
+    // ---- Multimodal: fixed-frame video sampling + PCM16 decode ----
+    // "video" = the document text bytes under the fixed-frame layout
+    // contract (32-byte frames, every 3rd sampled); audio = the first
+    // frame reinterpreted as PCM16LE. Byte-level plumbing is real and
+    // engine-agnostic (substring on binary + LE short decode).
+    "q37_frame_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("vid"))
+        .orderBy(col("doc_id")) // sort-first (q11 doc)
+      val frames = graft.ops.Multimodal.frameSample(col("vid"), 32, 3)
+      d.select(col("doc_id"), frames.as("fr"),
+          graft.ops.Multimodal.frameCount(col("vid"), 32).as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          size(col("fr")).as("n_sampled"),
+          hex(col("fr")(0)).as("f0_hex"),
+          GraftFunctions.decodePcm16(col("fr")(0))(0).as("s0"),
+          GraftFunctions.decodePcm16(col("fr")(0))(15).as("s15"))
+        .filter(col("n_frames") > 0)
+    }),
+
+    // ---- Embedding-cosine near-dup pairs (vector dedup family) ----
+    // Threshold 0.30 chosen for the synthetic corpus (max same-bucket
+    // cosine ≈ 0.51); a production near-dup run would use ~0.95+.
+    "q36_embedding_dedup" -> ((s, dir) => {
+      NearDedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosM = 300000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- ANN scale path end-to-end: LSH bucket join + top-k ----
     "q34_ann_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -706,6 +752,60 @@ object SparkEntry {
         |      (a, b) -> a + b) > 0
         |    THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q35_image_resize" ->
+      """SELECT doc_id, 4 AS d0, 4 AS d1,
+        |  CAST((doc_id*31) % 256 AS SMALLINT) AS p0,
+        |  CAST((doc_id*31 + 18) % 256 AS SMALLINT) AS p5,
+        |  CAST((doc_id*31 + 54) % 256 AS SMALLINT) AS p15
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q37_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, CAST(len // 32 AS INT) AS n_frames,
+        |    substr(hx, 1, 64) AS f0_hex
+        |  FROM v WHERE len >= 32
+        |), s AS (
+        |  SELECT doc_id, n_frames,
+        |    CAST(ceil(n_frames / 3.0) AS INT) AS n_sampled, f0_hex,
+        |    ('0x' || substr(f0_hex, 1, 2))::INT AS b0,
+        |    ('0x' || substr(f0_hex, 3, 2))::INT AS b1,
+        |    ('0x' || substr(f0_hex, 61, 2))::INT AS b30,
+        |    ('0x' || substr(f0_hex, 63, 2))::INT AS b31
+        |  FROM f
+        |)
+        |SELECT doc_id, n_frames, n_sampled, f0_hex,
+        |  CAST(CASE WHEN b0 + 256*b1 >= 32768 THEN b0 + 256*b1 - 65536
+        |            ELSE b0 + 256*b1 END AS SMALLINT) AS s0,
+        |  CAST(CASE WHEN b30 + 256*b31 >= 32768 THEN b30 + 256*b31 - 65536
+        |            ELSE b30 + 256*b31 END AS SMALLINT) AS s15
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q36_embedding_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+        |), b AS (
+        |  SELECT vec_id, emb,
+        |    CAST(list_sum(list_transform(range(8), p ->
+        |      CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+        |          emb[i] * (('0x' || substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8))::BIGINT / 4294967296.0 - 0.5)),
+        |        (a, b) -> a + b) > 0
+        |      THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM e
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        |    list_reduce(list_transform(range(1, 65), i -> a.emb[i] * c.emb[i]), (x, y) -> x + y) AS dot,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> a.emb[i] * a.emb[i]), (x, y) -> x + y)) AS na,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> c.emb[i] * c.emb[i]), (x, y) -> x + y)) AS nc
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |)
+        |SELECT id_a, id_b, CAST(floor(dot / (na * nc) * 1000000) AS BIGINT) AS cos_m
+        |FROM pairs WHERE floor(dot / (na * nc) * 1000000) >= 300000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q34_ann_lsh_topk" ->
       """WITH e AS (

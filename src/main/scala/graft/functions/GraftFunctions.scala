@@ -31,4 +31,12 @@ object GraftFunctions {
   /** Decode png/jpeg bytes → struct<dims: array<int>, data: array<short>>. */
   def decodeImage(bin: Column): Column =
     column(DecodeImage(expr(bin)))
+
+  /** Nearest-neighbor resize of a decoded image struct's pixels. */
+  def resizeNearest(dims: Column, data: Column, newH: Int, newW: Int): Column =
+    column(graft.codecs.ResizeNearest(expr(dims), expr(data), newH, newW))
+
+  /** PCM16LE binary → array<short> samples. */
+  def decodePcm16(bin: Column): Column =
+    column(graft.codecs.DecodePcm16(expr(bin)))
 }

@@ -188,4 +188,34 @@ object NearDedup {
   /** Hamming distance between two simhash values (near-dup metric). */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs — the vector-space member
+    * of the dedup family: candidates are same-LSH-bucket rows (random
+    * hyperplanes, [[AnnSearch.bucketOf]]), verified by exact cosine ≥
+    * `minCosM` micro-units. The join shuffles on the bucket key only;
+    * nothing compares all pairs, the same scale shape as the MinHash
+    * path. `maxBucket` caps pathological buckets (e.g. zero vectors)
+    * exactly like [[candidatePairs]]. Output: (id_a, id_b, cos_m),
+    * id_a < id_b. */
+  def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
+      minCosM: Long, planes: Int = 8, dim: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
+    val withB = df.select(col(idCol), col(embCol).as("__e"))
+      .withColumn("bucket", AnnSearch.bucketOf(col("__e"), planes, dim))
+    val bucketCount = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("bucket")))
+    val capped = withB.withColumn("__bc", bucketCount)
+      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val a = capped.select(col(idCol).as("id_a"), col("__e").as("__ea"),
+      col("bucket"))
+    val b = capped.select(col(idCol).as("id_b"), col("__e").as("__eb"),
+      col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_m",
+        floor(AnnSearch.cosine(col("__ea"), col("__eb")) * 1000000L)
+          .cast("long"))
+      .filter(col("cos_m") >= minCosM)
+      .select(col("id_a"), col("id_b"), col("cos_m"))
+  }
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resizeNearest: 8x8 -> 4x4 picks every other pixel; identity at same size") {
+    val px = (0 until 64).map(_.toShort)
+    val df = Seq(Tuple1(px)).toDF("data")
+    val out = df.select(GraftFunctions.resizeNearest(
+        array(lit(8), lit(8)), $"data", 4, 4).as("r"))
+      .select($"r.dims", $"r.data").as[(Seq[Int], Seq[Short])].head()
+    assert(out._1 == Seq(4, 4))
+    assert(out._2.map(_.toInt) ==
+      (for (y <- 0 until 4; x <- 0 until 4) yield 16 * y + 2 * x))
+    val id = df.select(GraftFunctions.resizeNearest(
+        array(lit(8), lit(8)), $"data", 8, 8).as("r"))
+      .select($"r.data").as[Seq[Short]].head()
+    assert(id == px)
+  }
+
+  test("resizeNearest: upscaling and 3-channel images") {
+    // 2x2x3: pixel (y,x) has channels (v, v+100, v+200), v = 2y+x
+    val px = (for (y <- 0 until 2; x <- 0 until 2;
+                   c <- 0 until 3) yield (2 * y + x + 100 * c).toShort)
+    val df = Seq(Tuple1(px)).toDF("data")
+    val out = df.select(GraftFunctions.resizeNearest(
+        array(lit(2), lit(2), lit(3)), $"data", 4, 4).as("r"))
+      .select($"r.dims", $"r.data").as[(Seq[Int], Seq[Short])].head()
+    assert(out._1 == Seq(4, 4, 3))
+    // (3,3) maps back to source (1,1) = v 3
+    val last = out._2.takeRight(3).map(_.toInt)
+    assert(last == Seq(3, 103, 203))
+  }
+
+  test("frameSample slices fixed frames; frameCount floors; empty-safe") {
+    val bytes = Array.tabulate[Byte](25)(_.toByte) // 3 whole 8-byte frames + 1
+    val df = Seq(Tuple1(bytes)).toDF("vid")
+    val r = df.select(
+      Multimodal.frameCount($"vid", 8).as("n"),
+      Multimodal.frameSample($"vid", 8, 2).as("fr"))
+    val (n, fr) = r.as[(Int, Seq[Array[Byte]])].head()
+    assert(n == 3)
+    assert(fr.length == 2) // frames 0 and 2
+    assert(fr(0).toSeq == (0 until 8).map(_.toByte))
+    assert(fr(1).toSeq == (16 until 24).map(_.toByte))
+    val empty = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("vid")
+      .select(Multimodal.frameSample($"vid", 8, 2))
+      .as[Seq[Array[Byte]]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("decodePcm16: little-endian signed samples, odd tail ignored") {
+    val bytes = Array[Byte](0x01, 0x00, 0xFF.toByte, 0x7F, 0x00, 0x80.toByte, 0x2A)
+    val out = Seq(Tuple1(bytes)).toDF("b")
+      .select(GraftFunctions.decodePcm16($"b")).as[Seq[Short]].head()
+    assert(out == Seq[Short](1, 32767, -32768))
+  }
+}
