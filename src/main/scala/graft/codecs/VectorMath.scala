@@ -28,6 +28,31 @@ object VectorMath {
     s
   }
 
+  /** One-pass 32-bit simhash from an array of token hashes: per bit,
+    * votes = 2·popcount_of_bit − n; bit set iff votes > 0. */
+  def simhash32(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 32) {
+        counts(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      // sum of ±1 = 2*ones - n; positive iff 2*ones > n
+      if (2 * counts(j) > n) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   def dotD(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     require(b.numElements() == n,
@@ -40,6 +65,23 @@ object VectorMath {
     }
     s
   }
+}
+
+/** `simhash32(hashes)` → long: bit j of the result is set iff the
+  * sum over the array of ±1 (sign of bit j of each 32-bit token
+  * hash) is positive — one pass over the array for all 32 bits
+  * (the per-bit HOF spelling walks the array 32×, interpreted).
+  * Pure integer arithmetic: identical in any engine. */
+case class SimHash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.simhash32(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.codecs.VectorMath.simhash32($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "simhash32"
 }
 
 /** `dot(a, b)` over two equal-length float or double arrays → double.

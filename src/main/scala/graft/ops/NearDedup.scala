@@ -163,13 +163,12 @@ object NearDedup {
 
   /** 32-bit SimHash from a *materialized* array of 32-bit token
     * hashes (token frequency is the weight). Bit j is 1 iff the sum
-    * over tokens of ±1 (bit j of the token hash) is positive. */
+    * over tokens of ±1 (bit j of the token hash) is positive.
+    * Codegen'd one-pass [[graft.codecs.SimHash32]]; the per-bit HOF
+    * spelling walked the array 32× interpreted. */
   def simhashOfHashes(hashes: Column): Column =
-    (0 until 32).map { j =>
-      val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.GraftFunctions.column(graft.codecs.SimHash32(
+      graft.functions.GraftFunctions.expr(hashes)))
 
   /** md5-derived 32-bit hashes of each token. */
   def tokenHashes(text: Column): Column =
