@@ -73,4 +73,18 @@ class DedupTextSpec extends SparkSpec {
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
     assert(fps.distinct.length == 1)
   }
+
+  test("analyze attaches the full metric column set in one pass") {
+    val df = Seq((1L, "The quick brown fox is near the old bridge tonight."))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.analyze(df).collect()(0)
+    val cols = TextAnalysis.analyze(df).columns.toSeq
+    assert(cols == Seq("doc_id", "text", "n_tokens", "n_subwords",
+      "alpha_ratio", "punct_ratio", "stopword_ratio", "quality",
+      "fingerprint", "lang_pred"))
+    assert(out.getAs[Int]("n_tokens") == 10)
+    assert(out.getAs[String]("lang_pred") == "en")
+    val q = out.getAs[Double]("quality")
+    assert(q > 0.3 && q <= 1.0)
+  }
 }

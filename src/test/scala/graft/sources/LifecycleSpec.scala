@@ -128,4 +128,30 @@ class LifecycleSpec extends SparkSpec {
     val df = GraftRead.reader(spark, u).load()
     assert(df.count() == 10 && df.columns.toSeq == Seq("x"))
   }
+
+  test("decimal / date / timestamp scalars round-trip through a store") {
+    // parity: reference TestSchema stores Decimal via ScalarCodec and
+    // datetime fields (tests/test_common.py:47, unischema.py:488-497)
+    val u = scratch("scalar-types-ds")
+    val src = spark.range(10).toDF("id")
+      .withColumn("price", (col("id") * 7 + 0.25).cast(DecimalType(10, 2)))
+      .withColumn("day", date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+        col("id").cast("int")))
+      .withColumn("at", timestamp_seconds(
+        unix_timestamp(to_timestamp(lit("2020-06-01 12:00:00"))) + col("id")))
+    val schema = GraftSchema("scalars", Seq(
+      FieldSpec("id", LongType),
+      FieldSpec("price", DecimalType(10, 2), codec = Some(CodecSpec("scalar"))),
+      FieldSpec("day", DateType, codec = Some(CodecSpec("scalar"))),
+      FieldSpec("at", TimestampType, codec = Some(CodecSpec("scalar")))))
+    Materialize.materialize(src, u, schema)
+    val back = GraftRead.reader(spark, u).load().orderBy("id")
+    assert(back.schema("price").dataType == DecimalType(10, 2))
+    assert(back.schema("day").dataType == DateType)
+    assert(back.schema("at").dataType == TimestampType)
+    val r = back.select($"id", $"price".cast("string"), $"day".cast("string"),
+      $"at".cast("long")).as[(Long, String, String, Long)].collect()
+    assert(r(3) == ((3L, "21.25", "2020-01-04",
+      java.time.Instant.parse("2020-06-01T12:00:03Z").getEpochSecond)))
+  }
 }
