@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.codecs._
+
+/** SQL surface for graft's custom expressions: register once and
+  * every codec/kernel is callable from `spark.sql(...)` exactly like
+  * a built-in — `SELECT graft_decode_tensor(cell, 'float64').data`.
+  *
+  * Two entry points:
+  *  - cluster config: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (injected at session build — the standard extensions mechanism);
+  *  - existing session: `GraftExtensions.registerAll(spark)`.
+  */
+object GraftExtensions {
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
+  }
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an int literal")
+  }
+  private def litBool(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case _ => throw new IllegalArgumentException(s"$what must be a boolean literal")
+  }
+
+  /** name → (arity description, builder). */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_encode_tensor" -> { args =>
+      require(args.length == 3 || args.length == 4,
+        "graft_encode_tensor(dims, data, dtype[, compressed])")
+      EncodeTensor(args(0), args(1), litString(args(2), "dtype"),
+        args.length == 4 && litBool(args(3), "compressed"))
+    },
+    "graft_decode_tensor" -> { args =>
+      require(args.length == 2, "graft_decode_tensor(bin, dtype)")
+      DecodeTensor(args(0), litString(args(1), "dtype"))
+    },
+    "graft_encode_image" -> { args =>
+      require(args.length == 3 || args.length == 4,
+        "graft_encode_image(dims, data, format[, quality])")
+      EncodeImage(args(0), args(1), litString(args(2), "format"),
+        if (args.length == 4) litInt(args(3), "quality") else 80)
+    },
+    "graft_decode_image" -> { args =>
+      require(args.length == 1, "graft_decode_image(bin)")
+      DecodeImage(args(0))
+    },
+    "graft_resize_nearest" -> { args =>
+      require(args.length == 4, "graft_resize_nearest(dims, data, newH, newW)")
+      ResizeNearest(args(0), args(1), litInt(args(2), "newH"),
+        litInt(args(3), "newW"))
+    },
+    "graft_dot" -> { args =>
+      require(args.length == 2, "graft_dot(a, b)")
+      DotProduct(args(0), args(1))
+    },
+    "graft_simhash32" -> { args =>
+      require(args.length == 1, "graft_simhash32(hashes)")
+      SimHash32(args(0))
+    },
+    "graft_decode_pcm16" -> { args =>
+      require(args.length == 1, "graft_decode_pcm16(bin)")
+      DecodePcm16(args(0))
+    })
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions.GraftExtensions", name)
+
+  /** Register into an already-built session. */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name), builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftExtensions", name), builder))
+    }
+}
