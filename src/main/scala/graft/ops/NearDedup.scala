@@ -137,7 +137,15 @@ object NearDedup {
   }
 
   /** Exact n-gram Jaccard for given (id_a, id_b) pairs — the verify
-    * stage after LSH candidate generation. Adds `jaccard` ∈ [0,1]. */
+    * stage after LSH candidate generation. Adds `jaccard` ∈ [0,1].
+    *
+    * The shingle table is rebuilt from the corpus for each join side
+    * (scan is cheap and columnar) rather than semi-joining the corpus
+    * down to candidate ids first — deriving the id list from `pairs`
+    * would execute the whole signature pipeline a second time, which
+    * costs more than the re-tokenization it saves (measured). Callers
+    * verifying against a *pre-materialized* pair list get the narrow
+    * semi-join shape for free by passing a read-back `pairs`. */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, shingleN)

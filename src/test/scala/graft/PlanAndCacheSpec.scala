@@ -21,6 +21,36 @@ class PlanAndCacheSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("reader predicates reach the parquet scan (PushedFilters, F3/F4)") {
+    val u = scratch("pushdown-ds")
+    spark.range(1000).toDF("id").withColumn("v", $"id" * 2)
+      .write.mode("overwrite").parquet(u)
+    val df = GraftRead.reader(spark, u).predicate($"id" > 500).load()
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,500)]"),
+      s"predicate not pushed to scan:\n$scan")
+    // and column pruning: selecting v only must not read id into the scan
+    val pruned = GraftRead.reader(spark, u).fields("v").load()
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema: struct<v:bigint>"), pruned)
+  }
+
+  test("concurrent convert calls share one materialization (race fix)") {
+    graft.sources.SparkConverter.clearCache()
+    val src = spark.range(200).toDF("id").withColumn("x", $"id" * 3.0)
+    val dir = scratch("conv-race")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val handles = Await.result(Future.sequence((1 to 4).map(_ =>
+      Future(graft.sources.SparkConverter.convert(
+        spark.range(200).toDF("id").withColumn("x", $"id" * 3.0), dir)))),
+      120.seconds)
+    assert(handles.map(_.url).distinct.size == 1,
+      s"double-materialized: ${handles.map(_.url).distinct}")
+    assert(graft.sources.SparkConverter.cacheSize == 1)
+  }
+
   test("GraftRead.cache persists the decoded dataset (C1/C2)") {
     val u = scratch("cache-ds")
     spark.range(100).toDF("id").write.mode("overwrite").parquet(u)
