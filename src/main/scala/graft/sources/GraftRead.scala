@@ -122,6 +122,11 @@ final case class GraftRead private (
     cacheLevel.map(out.persist).getOrElse(out)
   }
 
+  /** Row-oriented typed flavor (`make_reader`'s namedtuple surface):
+    * decoded rows as a `Dataset[T]` with a case-class encoder. */
+  def loadAs[T: org.apache.spark.sql.Encoder](): org.apache.spark.sql.Dataset[T] =
+    load().as[T]
+
   /** Deterministic whole-dataset permutation: sort by a seeded
     * xxhash64 over every column. Unlike `orderBy(rand(seed))` this is
     * reproducible regardless of partitioning or cluster size. */

@@ -66,4 +66,29 @@ class SamplingTransformSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("y"))
     assert(out.agg(sum("y")).as[Long].collect()(0) == 380L)
   }
+
+  test("distributed rank: empty and single-row frames; bijective at size") {
+    val empty = Ranking.withGlobalIndex(
+      spark.range(0).toDF("id"), Seq(col("id")), "idx")
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "idx"))
+    val one = Ranking.withGlobalIndex(
+      spark.range(1).toDF("id"), Seq(col("id")), "idx")
+      .as[(Long, Long)].collect().toSeq
+    assert(one == Seq((0L, 0L)))
+    // dense 0..n-1 positions under an arbitrary total order
+    val idx = Ranking.withGlobalIndex(
+      spark.range(777).toDF("id"), Seq(col("id").desc), "idx")
+      .select("idx").as[Long].collect().sorted.toSeq
+    assert(idx == (0L until 777L))
+  }
+
+  test("typed reader surface loadAs[T] (row-oriented make_reader flavor)") {
+    val u = scratch("typed-ds")
+    spark.range(5).toDF("id").withColumn("name", concat(lit("n"), $"id"))
+      .write.mode("overwrite").parquet(u)
+    val ds = graft.sources.GraftRead.reader(spark, u).loadAs[(Long, String)]()
+    assert(ds.collect().sortBy(_._1).toSeq ==
+      (0L until 5L).map(i => (i, s"n$i")))
+  }
 }
