@@ -91,4 +91,27 @@ class SamplingTransformSpec extends SparkSpec {
     assert(ds.collect().sortBy(_._1).toSeq ==
       (0L until 5L).map(i => (i, s"n$i")))
   }
+
+  test("saltedJoin matches the plain join on skewed data; salt spreads the hot key") {
+    // 10k rows, 90% on ONE key — the shape AQE's skew split can miss
+    val large = spark.range(10000).toDF("rid")
+      .withColumn("k", when($"rid" % 10 === 0, $"rid" % 5).otherwise(lit(99L)))
+    val small = Seq((99L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("k", "label")
+    val plain = large.join(small, Seq("k"))
+      .select("rid", "k", "label").as[(Long, Long, String)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val salted = Skew.saltedJoin(large, small, Seq("k"), factor = 8)
+      .select("rid", "k", "label").as[(Long, Long, String)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(salted == plain)
+    // the hot key's rows really do carry >1 distinct salt
+    val salts = large.filter($"k" === 99)
+      .withColumn("s", pmod(xxhash64(large.columns.map(large(_)): _*), lit(8)))
+      .select("s").distinct().count()
+    assert(salts > 4)
+    val hist = Skew.keyHistogram(large, Seq("k"), topK = 1)
+      .as[(Long, Long)].collect()(0)
+    assert(hist._1 == 99L && hist._2 == 9000L)
+  }
 }
