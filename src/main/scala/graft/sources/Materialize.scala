@@ -122,6 +122,33 @@ object Materialize {
     writeMetadata(df.sparkSession, url, schema)
   }
 
+  /** Bucketed materialization for co-located joins: both sides of a
+    * recurring large-large join written with the SAME bucket count on
+    * the join key join WITHOUT a shuffle (each bucket pairs 1:1) —
+    * the pre-partitioning lever the reference cannot express at all.
+    * Catalog-backed (`saveAsTable`) because bucket metadata lives in
+    * the table catalog; data lands at `path` with the graft sidecar,
+    * so [[GraftRead]]/plain readers still work on the files. */
+  def materializeBucketed(df: DataFrame, table: String, path: String,
+      schema: GraftSchema, bucketCols: Seq[String], buckets: Int,
+      rowGroupSizeMb: Int = 32): Unit = {
+    require(bucketCols.nonEmpty && buckets > 0)
+    // saveAsTable resolves relative paths against the warehouse dir —
+    // qualify so `path` means what the caller's filesystem says
+    val p = new Path(path)
+    val qualified = p.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf()).makeQualified(p).toString
+    encodeColumns(df, schema).write
+      .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
+      .option("path", qualified)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+    writeMetadata(df.sparkSession, path, schema)
+  }
+
   /** S9 parity (etl/petastorm_generate_metadata.py): (re)write the
     * sidecar for an existing parquet store. */
   def writeMetadata(spark: SparkSession, url: String, schema: GraftSchema): Unit = {

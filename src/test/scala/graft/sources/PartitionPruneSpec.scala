@@ -91,4 +91,29 @@ class PartitionPruneSpec extends SparkSpec {
     // the plan's inputFiles are exactly the admitted list
     assert(df.inputFiles.length == sel.length)
   }
+
+  test("co-bucketed tables join without a shuffle (bucketed materialize)") {
+    import org.apache.spark.sql.types.LongType
+    val schema = GraftSchema("b", Seq(
+      FieldSpec("k", LongType), FieldSpec("v", LongType)))
+    val a = spark.range(1000).toDF("k").withColumn("v", $"k" * 2)
+    val b = spark.range(1000).toDF("k").withColumn("v", $"k" * 3)
+    Materialize.materializeBucketed(a, "bkt_a", scratch("bkt-a"), schema,
+      Seq("k"), buckets = 4)
+    Materialize.materializeBucketed(b, "bkt_b", scratch("bkt-b"), schema,
+      Seq("k"), buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
 }
