@@ -94,6 +94,24 @@ object GraftStream {
         groupCols.map(col) :+ col("n"): _*)
   }
 
+  /** Gap-based sessionization over event time (`session_window`):
+    * consecutive events of a key closer than `gap` merge into one
+    * session row (start, end, n_events). Works identically on batch
+    * and streaming frames; streaming append mode finalizes a session
+    * once the watermark passes its close. The batch form is also the
+    * scalable answer to NGram-style "activity burst" questions that
+    * don't need per-offset projection. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      gap: String, watermarkDelay: Option[String] = None): DataFrame = {
+    val wm = watermarkDelay.map(d => df.withWatermark(tsCol, d)).getOrElse(df)
+    wm.groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** Streaming exact-dedup by content fingerprint within the
     * watermark horizon — the streaming face of the batch exact-dedup
     * operator, composed from the built-in stateful operator (state is

@@ -116,4 +116,24 @@ class GraftStreamSpec extends SparkSpec {
     assert(texts.length == 2)
     assert(texts.contains("other"))
   }
+
+  test("sessionize merges events within the gap (batch + streaming plan)") {
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val events = Seq(
+      (t(0), "u1"), (t(5), "u1"), (t(8), "u1"),   // one session 0..18
+      (t(60), "u1"),                               // second session
+      (t(2), "u2")).toDF("ts", "user")
+    val out = GraftStream.sessionize(events, "user", "ts", "10 seconds")
+      .select($"user", $"session_start".cast("long"),
+        $"session_end".cast("long"), $"n_events")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("u1", 0L, 18L, 3L), ("u1", 60L, 70L, 1L), ("u2", 2L, 12L, 1L)))
+    // the streaming flavor analyzes with a watermark (append-ready)
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val sdf = GraftStream.sessionize(input.toDF().toDF("ts", "user"),
+      "user", "ts", "10 seconds", watermarkDelay = Some("5 seconds"))
+    assert(sdf.isStreaming)
+    assert(sdf.queryExecution.analyzed.toString.contains("session_window"))
+  }
 }
