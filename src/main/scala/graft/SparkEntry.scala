@@ -315,6 +315,21 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- Gap sessionization (session_window over event time) ----
+    // 2h gap on the events stream; session end = last event + gap.
+    // Session-merge boundary is half-open: a delta of EXACTLY the gap
+    // starts a new session (oracle uses >= on the µs delta).
+    "q38_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      graft.streaming.GraftStream.sessionize(ev, "user_id", "tstamp", "2 hours")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("ss_us"),
+          unix_micros(col("session_end")).as("se_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("ss_us"))
+    }),
+
     // ---- Multimodal: nearest-neighbor image resize in-plan ----
     // 8x8 grayscale from doc_id (q31's formula) resized to 4x4:
     // resized[y,x] = src[2y, 2x] = (doc_id*31 + 16y + 2x) % 256.
@@ -752,6 +767,25 @@ object SparkEntry {
         |      (a, b) -> a + b) > 0
         |    THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q38_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tu FROM events
+        |), m AS (
+        |  SELECT user_id, tu,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |           OR tu - lag(tu) OVER w >= 7200000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)
+        |), g AS (
+        |  SELECT user_id, tu,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tu
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id, min(tu) AS ss_us, max(tu) + 7200000000 AS se_us,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, ss_us""".stripMargin,
 
     "q35_image_resize" ->
       """SELECT doc_id, 4 AS d0, 4 AS d1,
