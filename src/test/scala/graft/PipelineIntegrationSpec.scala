@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Dedup, NearDedup, Sampling, TextAnalysis}
+import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
+import graft.sources.{GraftRead, Materialize}
+
+/** End-to-end training-data pipeline over the driver's documents
+  * table: analyze → language/quality filter → exact dedup → near-dup
+  * removal → deterministic split/sample → materialize with a tensor
+  * feature column → read back through the reader. The composition a
+  * real corpus-cleaning job runs, exercised as one flow. */
+class PipelineIntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clean -> dedup -> sample -> materialize -> read round-trip") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val total = docs.count()
+    assert(total > 0)
+
+    // 1. analyze + filter (language, quality, length)
+    val analyzed = TextAnalysis.analyze(docs)
+    val kept = analyzed.filter($"lang_pred" === "en" && $"quality" > 0.4 &&
+      $"n_tokens" >= 5)
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= total)
+
+    // 2. exact dedup on normalized fingerprint
+    val exact = Dedup.exactByText(kept, textCol = "text", idCol = "doc_id")
+    val nExact = exact.count()
+    assert(nExact <= nKept)
+
+    // 3. near-dup removal: drop the higher id of each verified pair
+    val pairs = NearDedup.nearDuplicates(exact, "doc_id", "text",
+      minJaccard = 0.8)
+    val losers = pairs.select($"id_b".as("doc_id")).distinct()
+    val unique = exact.join(losers, Seq("doc_id"), "left_anti")
+    val nUnique = unique.count()
+    assert(nUnique <= nExact)
+
+    // 4. deterministic 90% train split
+    val train = unique.filter(
+      Sampling.sampleByKey(unique, $"doc_id", 0.9, seed = 13))
+    val nTrain = train.count()
+    assert(nTrain <= nUnique)
+
+    // 5. feature column + materialize through the tensor codec
+    val featured = train.select($"doc_id", $"lang_pred",
+      array($"n_tokens".cast("double"), $"alpha_ratio", $"quality")
+        .as("features"))
+    val schema = GraftSchema("clean_docs", Seq(
+      FieldSpec("doc_id", LongType),
+      FieldSpec("lang_pred", StringType),
+      FieldSpec("features", DoubleType, shape = Seq(3),
+        codec = Some(CodecSpec("compressed_ndarray")))))
+    val url = scratch("pipeline-out")
+    Materialize.materialize(featured, url, schema, partitions = Some(2))
+
+    // 6. read back: schema view + decoded features intact
+    val back = GraftRead.reader(spark, url).load()
+    assert(back.count() == nTrain)
+    val sample = back.select($"doc_id", $"features.data").limit(5)
+      .as[(Long, Seq[Double])].collect()
+    assert(sample.forall(_._2.length == 3))
+    // features survive bit-exactly vs recomputation
+    val recomputed = featured.select($"doc_id", $"features").as[(Long, Seq[Double])]
+      .collect().toMap
+    sample.foreach { case (id, f) => assert(recomputed(id) == f) }
+  }
+}
