@@ -33,14 +33,14 @@ object Dedup {
   }
 
   /** Exact text dedup keyed on the normalized-text fingerprint. */
-  def exactByText(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
+  def exactByText(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
     exact(df, TextAnalysis.fingerprint(col(textCol)), col(idCol))
 
   /** Group-shaped variant: distinct fingerprints with the surviving
     * (minimum) id and the duplicate count — the "dedup report". */
-  def exactReport(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
+  def exactReport(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 }

@@ -28,7 +28,7 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(nKept > 0 && nKept <= total)
 
     // 2. exact dedup on normalized fingerprint
-    val exact = Dedup.exactByText(kept, textCol = "text", idCol = "doc_id")
+    val exact = Dedup.exactByText(kept, "doc_id", "text")
     val nExact = exact.count()
     assert(nExact <= nKept)
 

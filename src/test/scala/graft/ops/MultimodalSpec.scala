@@ -60,4 +60,11 @@ class MultimodalSpec extends SparkSpec {
       .select(GraftFunctions.decodePcm16($"b")).as[Seq[Short]].head()
     assert(out == Seq[Short](1, 32767, -32768))
   }
+
+  test("firstFrame is the initial fixed-size slice") {
+    val bytes = Array.tabulate[Byte](20)(_.toByte)
+    val f = Seq(Tuple1(bytes)).toDF("vid")
+      .select(Multimodal.firstFrame($"vid", 8)).as[Array[Byte]].head()
+    assert(f.toSeq == (0 until 8).map(_.toByte))
+  }
 }

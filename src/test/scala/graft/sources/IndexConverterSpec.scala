@@ -147,4 +147,14 @@ class IndexConverterSpec extends SparkSpec {
     val c = Generator.generate(spark, schema, 20, seed = 7).collect()
     assert(a.map(_.toString).toSeq != c.map(_.toString).toSeq)
   }
+
+  test("deleteAll removes cached materializations and their files") {
+    SparkConverter.clearCache()
+    val h = SparkConverter.convert(
+      spark.range(10).toDF("id"), scratch("conv-delall"))
+    assert(new java.io.File(h.url).exists())
+    SparkConverter.deleteAll(spark)
+    assert(SparkConverter.cacheSize == 0)
+    assert(!new java.io.File(h.url).exists())
+  }
 }
