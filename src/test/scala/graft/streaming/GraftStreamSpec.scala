@@ -136,4 +136,21 @@ class GraftStreamSpec extends SparkSpec {
     assert(sdf.isStreaming)
     assert(sdf.queryExecution.analyzed.toString.contains("session_window"))
   }
+
+  test("streaming reader handles hive-partitioned stores + maxFiles knob") {
+    val url = scratch("stream-part-" + java.util.UUID.randomUUID().toString.take(8))
+    val src = spark.range(60).toDF("id")
+      .withColumn("cat", concat(lit("c"), pmod($"id", lit(3))))
+    val schema = GraftSchema("p", Seq(
+      FieldSpec("id", LongType), FieldSpec("cat", StringType)))
+    Materialize.materialize(src, url, schema, partitionCols = Seq("cat"))
+    runAvailableNow(
+      GraftStream.reader(spark, url).maxFiles(2)
+        .predicate($"cat" === "c1").load(),
+      "stream_part")
+    val rows = spark.table("stream_part").select($"id", $"cat")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows.length == 20)
+    assert(rows.forall { case (id, cat) => id % 3 == 1 && cat == "c1" })
+  }
 }
