@@ -114,4 +114,21 @@ class SamplingTransformSpec extends SparkSpec {
       .as[(Long, Long)].collect()(0)
     assert(hist._1 == 99L && hist._2 == 9000L)
   }
+
+  test("distributed rank is invariant to input partitioning (q25 contract)") {
+    val base = spark.range(500).toDF("id")
+      .withColumn("k", md5(concat(lit("x"), $"id".cast("string"))))
+    def ranks(parts: Int): Seq[(Long, Long)] =
+      Ranking.withGlobalIndex(base.repartition(parts), Seq(col("k"), col("id")),
+        "idx").select("id", "idx").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val r1 = ranks(1)
+    assert(ranks(7) == r1)
+    assert(ranks(32) == r1)
+    // and the same through the user-facing seeded permutation
+    val p1 = Sampling.withShufflePosition(base.repartition(3), "id", seed = 4)
+      .select("id", "pos").as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val p2 = Sampling.withShufflePosition(base.repartition(17), "id", seed = 4)
+      .select("id", "pos").as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(p1 == p2)
+  }
 }
