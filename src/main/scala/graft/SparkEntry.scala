@@ -79,7 +79,7 @@ object SparkEntry {
     "q04_project_regex" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val keep = li.columns.filter(c =>
-        c.matches("l_.*key") || c == "l_linenumber").sorted
+        c.matches("l_.*key") || c == "l_linenumber").sorted.toSeq
       li.select(keep.map(col): _*)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),

@@ -27,7 +27,7 @@ object Skew {
       factor: Int): DataFrame = {
     require(factor >= 1, s"salt factor $factor")
     require(keys.nonEmpty, "need join keys")
-    val saltL = pmod(xxhash64(large.columns.map(large(_)): _*), lit(factor))
+    val saltL = pmod(xxhash64(large.columns.toSeq.map(large(_)): _*), lit(factor))
     val l = large.withColumn("__salt", saltL)
     val s = small.crossJoin(
       org.apache.spark.sql.functions.broadcast(
