@@ -90,4 +90,11 @@ class ImageCodecSpec extends SparkSpec {
     }
     assert(encodedSize(95) > encodedSize(10))
   }
+
+  test("jpeg grayscale keeps one channel and stays within lossy tolerance") {
+    val px = Seq.fill(8 * 8)(100)
+    val (dims, data) = roundTrip(Seq(8, 8), px, "jpeg")
+    assert(dims == Seq(8, 8)) // decoded as single-channel, not promoted
+    assert(data.forall(v => math.abs(v - 100) <= 8))
+  }
 }
