@@ -32,14 +32,12 @@ object NearDedup {
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
   /** Distinct word n-gram shingles from a *materialized* token-array
-    * column; docs shorter than n tokens yield one whole-text shingle. */
-  def shinglesOfTokens(toks: Column, n: Int = 3): Column = {
-    val sz = size(toks)
-    val grams = transform(sequence(lit(1), sz - (n - 1)), i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    array_distinct(
-      when(sz < n, array(concat_ws(" ", toks))).otherwise(grams))
-  }
+    * column; docs shorter than n tokens yield one whole-text shingle.
+    * Codegen'd one-pass [[graft.codecs.ShingleArray]] (the HOF
+    * spelling ran interpreted transform+concat_ws per token). */
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column =
+    graft.functions.GraftFunctions.column(graft.codecs.ShingleArray(
+      graft.functions.GraftFunctions.expr(toks), n))
 
   /** Convenience single-column form — only safe on top of a
     * materialized token column; see class doc. */
