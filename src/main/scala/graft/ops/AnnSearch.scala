@@ -63,7 +63,12 @@ object AnnSearch {
     * sorting corpus-sized partitions. Order: cos_m desc, cid asc. */
   def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     require(k > 0)
+    // a null embedding on either side makes cosine (hence cos_m) null;
+    // drop those candidates before the heap fold — phase 1 reads
+    // cos_m with getLong and would NPE on null (they could never
+    // outrank a real score anyway)
     val slim = scored.select(col("qid"), col("cid"), col("cos_m"))
+      .filter(col("cos_m").isNotNull)
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(slim.schema)
     // PQ dequeues its max; order so the WORST candidate is the max

@@ -84,6 +84,23 @@ class AnnSearchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("null embeddings are skipped, not crashed on (nullable corpora)") {
+    // corpus with a null embedding row: cosine → null cos_m; the
+    // phase-1 heap must skip it instead of NPE-ing on getLong
+    val withNull = vecs.unionByName(
+      Seq((999L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding"))
+    val top = AnnSearch.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), withNull, "vec_id", "vec_id",
+      "embedding", k = 5).collect()
+    assert(top.length == 5)
+    assert(!top.exists(_.getLong(2) == 999L)) // null row never ranks
+    // null on the QUERY side nulls every score for that qid → no rows
+    val nullQ = AnnSearch.bruteForceTopK(
+      withNull.filter($"vec_id" === 999L), vecs, "vec_id", "vec_id",
+      "embedding", k = 5).collect()
+    assert(nullQ.isEmpty)
+  }
+
   test("planeWeight matches its SQL definition") {
     // md5("0:0") = first 8 hex → uint32/2^32 - 0.5, spot-checked
     val w = AnnSearch.planeWeight(0, 0)
