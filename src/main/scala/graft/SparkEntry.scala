@@ -870,7 +870,7 @@ object SparkEntry {
 
     "q25_shuffle_positions" ->
       """SELECT doc_id, CAST(row_number() OVER (
-        |    ORDER BY md5('7:' || doc_id::VARCHAR), doc_id) AS INT) AS pos
+        |    ORDER BY md5('7:' || doc_id::VARCHAR), doc_id) AS BIGINT) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q26_weighted_union" ->

@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed global rank assignment — the scale-safe replacement
@@ -10,12 +12,22 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * single-node bottleneck at 100 TB).
   *
   * Shape: range-repartition on the sort key → sort within partitions
-  * → `zipWithIndex`. Partitions are range-ordered and internally
-  * sorted, so partition-order position == global-order position.
-  * `zipWithIndex`'s count pass and the main job share the same RDD
-  * lineage, so the DAGScheduler computes the range shuffle once and
-  * reuses its map outputs — the data is shuffled exactly once, every
-  * stage fully parallel.
+  * → per-partition counts (tiny job) → broadcast the cumulative
+  * offsets → append `offset + local position` per partition.
+  * Partitions are range-ordered and internally sorted, so partition
+  * offset + local position == global position.
+  *
+  * Both jobs run over ONE compiled `RDD[InternalRow]`
+  * ([[ColumnBridge.internalRdd]]), so the DAGScheduler computes the
+  * range shuffle once and the count job's map outputs are reused by
+  * the main job — the data is shuffled exactly once (asserted by a
+  * shuffle-metrics test), every stage fully parallel. The index is
+  * appended at the InternalRow level with a reused `JoinedRow`
+  * wrapper: no external-Row deserialization, no per-row boxing of
+  * the payload columns — the r3 form (`df.rdd.zipWithIndex`)
+  * round-tripped every row through `GenericRow`, which cost the
+  * shuffle-position queries ~3× (re-wrapping via
+  * `internalCreateDataFrame`'s scan is a single UnsafeProjection).
   *
   * Contract: `sortCols` must be a TOTAL order (include a unique
   * tie-break column); equal keys could otherwise land on either side
@@ -28,14 +40,36 @@ object Ranking {
   def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
       outCol: String): DataFrame = {
     require(sortCols.nonEmpty, "withGlobalIndex needs at least one sort column")
-    val spark = df.sparkSession
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
+    val rdd = ColumnBridge.internalRdd(sorted)
+    // job 1: per-partition row counts — returns ≤ one long per
+    // partition (bounded by cluster width, not data size)
+    val counts = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(pid) = rows before pid
+    val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
+    // job 2: append the running index; shuffle map outputs are reused
+    val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var idx = bc.value(pid) - 1
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      it.map { r =>
+        idx += 1; extra.update(0, idx)
+        joined(r, extra): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
     val schema = StructType(sorted.schema.fields :+
       StructField(outCol, LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ i)
-    }
-    spark.createDataFrame(indexed, schema)
+    // declare the ordering the construction guarantees — rows are
+    // range-partitioned + sorted by sortCols (and, within that, by
+    // the dense index). A consumer sorting on a prefix of these keys
+    // (e.g. batch regrouping ordered by its own sort key) then skips
+    // its exchange+sort entirely instead of redoing the one we paid.
+    val order = ColumnBridge.resolvedSortOrder(sorted)
+    ColumnBridge.internalCreateDataFrame(sorted, indexed, schema, order,
+      orderTailCols = Seq(outCol), partitionPrefix = sortCols.length)
   }
 }

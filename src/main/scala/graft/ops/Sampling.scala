@@ -45,14 +45,16 @@ object Sampling {
     * A global permutation is inherently a global sort; this one is
     * computed scale-out via [[Ranking.withGlobalIndex]] (range
     * shuffle + per-partition offsets), NOT a single-partition global
-    * window. At scale, prefer [[graft.sources.GraftRead.shuffle]]
-    * (xxhash64 sort, same contract, cheaper key) unless cross-engine
+    * window. `posCol` is a 1-based LONG — an int would overflow past
+    * ~2.1B rows, i.e. exactly the scale this shape exists for. At
+    * scale, prefer [[graft.sources.GraftRead.shuffle]] (xxhash64
+    * sort, same contract, cheaper key) unless cross-engine
     * reproducibility of the exact position matters. */
   def withShufflePosition(df: DataFrame, keyCol: String, seed: Long,
       posCol: String = "pos"): DataFrame = {
     val staged = df.withColumn("__sk", permutationKey(col(keyCol), seed))
     Ranking.withGlobalIndex(staged, Seq(col("__sk"), col(keyCol)), "__idx")
-      .withColumn(posCol, (col("__idx") + 1).cast("int"))
+      .withColumn(posCol, col("__idx") + 1)
       .drop("__sk", "__idx")
   }
 

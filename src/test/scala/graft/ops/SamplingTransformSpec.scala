@@ -31,8 +31,8 @@ class SamplingTransformSpec extends SparkSpec {
 
   test("withShufflePosition: bijective positions, deterministic, decorrelated") {
     val pos = Sampling.withShufflePosition(df, "id", seed = 5)
-      .select("pos").as[Int].collect().sorted
-    assert(pos.toSeq == (1 to 1000))
+      .select("pos").as[Long].collect().sorted
+    assert(pos.toSeq == (1L to 1000L))
     val corr = Sampling.shuffleQuality(df, "id", seed = 5)
       .as[Double].collect()(0)
     assert(math.abs(corr) < 0.1) // good shuffle ≈ uncorrelated
@@ -126,9 +126,34 @@ class SamplingTransformSpec extends SparkSpec {
     assert(ranks(32) == r1)
     // and the same through the user-facing seeded permutation
     val p1 = Sampling.withShufflePosition(base.repartition(3), "id", seed = 4)
-      .select("id", "pos").as[(Long, Int)].collect().sortBy(_._1).toSeq
+      .select("id", "pos").as[(Long, Long)].collect().sortBy(_._1).toSeq
     val p2 = Sampling.withShufflePosition(base.repartition(17), "id", seed = 4)
-      .select("id", "pos").as[(Long, Int)].collect().sortBy(_._1).toSeq
+      .select("id", "pos").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(p1 == p2)
+  }
+
+  test("distributed rank shuffles the data exactly once across its two jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val n = 10000L
+    val listener = new SparkListener {
+      @volatile var written = 0L
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        written += s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val base = spark.range(n).toDF("id")
+        .withColumn("k", md5($"id".cast("string")))
+      val out = Ranking.withGlobalIndex(base, Seq(col("k"), col("id")), "idx")
+      assert(out.count() == n) // count job + main job
+      // listener events are async — wait for the bus to drain
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (listener.written < n && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      // one shuffled pass over the data (+ slack for tiny agg rows);
+      // a second shuffle of the same rows would read ~2n
+      assert(listener.written >= n && listener.written <= n * 3 / 2,
+        s"expected ~$n shuffle-written records, got ${listener.written}")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
