@@ -29,14 +29,19 @@ import org.apache.spark.sql.functions._
   * ours never cross *group* boundaries (a logical key, e.g. user_id)
   * and are global when no group is given. At 100 TB, `groupBy` is the
   * scalable shape — each group sorts independently after one hash
-  * shuffle; a global (ungrouped) NGram over everything would sort the
-  * world and should be avoided, exactly like any global orderBy.
+  * shuffle. The GLOBAL case is evaluated blocked, not in one task:
+  * rows get a dense global position ([[Ranking.withGlobalIndex]] —
+  * one range shuffle), positions are cut into `blockSize` blocks,
+  * the first L−1 rows of each block are duplicated into the previous
+  * block so windows can cross the cut, and the lead-window runs per
+  * block — every stage fully parallel, never the single-partition
+  * `Window.partitionBy()` this API used to build silently.
   *
-  * Greedy non-overlap selection is inherently sequential per group,
-  * so it runs as `flatMapGroups` over only `(group, rowIdx)` pairs of
-  * qualifying positions — the heavy lead-columns stay in the
-  * window-function plan and are joined back by a broadcast-friendly
-  * semi-join on (group, rowIdx).
+  * Greedy non-overlap selection is inherently sequential (each pick
+  * depends on every prior pick), so it runs over only the qualifying
+  * POSITIONS — per group in the grouped case (`flatMapGroups`), in
+  * one bounded task of longs in the global case — and the heavy
+  * lead-columns are joined back by a semi-join on the position.
   */
 object NGram {
 
@@ -78,14 +83,13 @@ object NGram {
   }
 
   def apply(df: DataFrame, spec0: Spec, groupCols: Seq[String] = Nil,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil, blockSize: Long = 1L << 20): DataFrame = {
     val spec = spec0.resolve(df.columns.toSeq)
+    if (groupCols.isEmpty) return applyGlobal(df, spec, tieBreak, blockSize)
     val ts = col(spec.timestampField)
     val order = (spec.orderField.getOrElse(spec.timestampField) +: tieBreak)
       .map(col)
-    val w = (if (groupCols.isEmpty) Window.partitionBy()
-             else Window.partitionBy(groupCols.map(col): _*))
-      .orderBy(order: _*)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
     val L = spec.length
 
     // lead timestamps for the qualification predicate
@@ -116,8 +120,7 @@ object NGram {
       // ("a","bc") vs ("ab","c") -- or null vs empty -- cannot collide
       // the way a separator-join can (concat_ws also drops nulls and
       // a separator char can occur in the data).
-      val gk = if (groupCols.isEmpty) lit("") else
-        concat(groupCols.map { c =>
+      val gk = concat(groupCols.map { c =>
           val s = col(c).cast("string")
           when(s.isNull, lit("-"))
             .otherwise(concat(length(s).cast("string"), lit(":"), s))
@@ -140,6 +143,73 @@ object NGram {
       base.withColumn("__g", gk)
         .join(emitted, Seq("__g", "__rn"), "left_semi")
         .drop("__g", "__rn", "__q")
+    }
+  }
+
+  /** Global (ungrouped) evaluation — blocked, never single-task.
+    * Rows get dense global positions (one range shuffle), blocks of
+    * `blockSize` positions evaluate independently, and each block
+    * also receives duplicates of the NEXT block's first L−1 rows so
+    * windows anchored near the cut see their trailing rows; a window
+    * is emitted only by the block that owns its anchor position. */
+  private def applyGlobal(df: DataFrame, spec: Spec, tieBreak: Seq[String],
+      blockSize: Long): DataFrame = {
+    val L = spec.length
+    require(blockSize >= L,
+      s"blockSize ($blockSize) must be >= window length ($L)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val orderCols = (spec.orderField.getOrElse(spec.timestampField) +: tieBreak)
+      .map(col)
+    val idx = Ranking.withGlobalIndex(df, orderCols, "__gidx")
+    val ownBlk = expr(s"__gidx DIV $blockSize")
+    val own = idx.withColumn("__blk", ownBlk)
+    val dup = idx
+      .filter(pmod(col("__gidx"), lit(blockSize)) < L - 1 &&
+        col("__gidx") >= blockSize)
+      .withColumn("__blk", ownBlk - 1)
+    val both = own.unionByName(dup)
+    val w = Window.partitionBy(col("__blk")).orderBy(col("__gidx"))
+
+    val ts = col(spec.timestampField)
+    val tsLeads = (0 until L).map(k => if (k == 0) ts else lead(ts, k).over(w))
+    val full = tsLeads.last.isNotNull
+    val within = (1 until L)
+      .map(k => tsLeads(k) - tsLeads(k - 1) <= spec.deltaThreshold)
+      .foldLeft(full)(_ && _)
+    val stepCols: Seq[Column] = (0 until L).flatMap { k =>
+      spec.step(k).map { f =>
+        val c = if (k == 0) col(f) else lead(col(f), k).over(w)
+        c.as(s"${f}_t$k")
+      }
+    }
+    // only the block that OWNS the anchor row emits its window — the
+    // duplicated copies exist purely as lead() fodder
+    val anchored = within && (ownBlk === col("__blk"))
+
+    if (spec.timestampOverlap) {
+      both.select(stepCols :+ anchored.as("__q"): _*)
+        .filter(col("__q")).drop("__q")
+    } else {
+      val base = both.select(
+        stepCols ++ Seq(col("__gidx"), anchored.as("__q")): _*)
+        .filter(col("__q"))
+      // greedy selection over qualifying POSITIONS only (8 bytes
+      // each): pick the first, skip its L rows, repeat — inherently
+      // sequential (every pick depends on all prior), so this is the
+      // one bounded single-task step
+      val picked = base.select(col("__gidx")).as[Long]
+        .repartition(1)
+        .mapPartitions { it =>
+          val sorted = it.toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer[Long]()
+          var nextAllowed = Long.MinValue
+          sorted.foreach { g =>
+            if (g >= nextAllowed) { out += g; nextAllowed = g + L }
+          }
+          out.iterator
+        }.toDF("__gidx")
+      base.join(picked, Seq("__gidx"), "left_semi").drop("__gidx", "__q")
     }
   }
 }

@@ -58,6 +58,33 @@ class NGramSpec extends SparkSpec {
     assert(out == Seq((1, 0L, 1L), (2, 2L, 3L))) // no (1-ts,2-ts) cross window
   }
 
+  test("global blocked evaluation crosses block cuts correctly (both modes)") {
+    // 50 rows, all deltas qualify; tiny blockSize forces windows to
+    // straddle many block boundaries. The global result must equal
+    // the constant-group result (same semantics, grouped machinery).
+    val data = (0L until 50L).map(t => (t, s"v$t")).toDF("ts", "v")
+    val spec = NGram.Spec(
+      Map(0 -> Seq("ts", "v"), 1 -> Seq("ts"), 2 -> Seq("ts")), 5, "ts")
+    def viaGroup(s: NGram.Spec) =
+      NGram(data.withColumn("g", org.apache.spark.sql.functions.lit(1)),
+        s, groupCols = Seq("g")).drop("g")
+        .orderBy("ts_t0").collect().toSeq
+    def global(s: NGram.Spec) =
+      NGram(data.repartition(7), s, blockSize = 4)
+        .orderBy("ts_t0").collect().toSeq
+    assert(global(spec) == viaGroup(spec))
+    assert(global(spec).size == 48) // all n-L+1 windows
+    val noOv = spec.copy(timestampOverlap = false)
+    assert(global(noOv) == viaGroup(noOv))
+    assert(global(noOv).size == 16) // ceil(48/3) greedy picks
+  }
+
+  test("global path refuses a blockSize smaller than the window") {
+    val spec = NGram.Spec(Map(0 -> Seq("ts"), 1 -> Seq("ts"), 2 -> Seq("ts")),
+      100, "ts")
+    intercept[IllegalArgumentException](NGram(df, spec, blockSize = 2))
+  }
+
   test("non-overlap greedy resets across groups") {
     val g = Seq((1, 0L), (1, 1L), (1, 2L), (2, 10L), (2, 11L), (2, 12L))
       .toDF("grp", "ts")
