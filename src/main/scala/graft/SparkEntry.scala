@@ -310,8 +310,11 @@ object SparkEntry {
     }),
 
     // ---- ANN scale path: random-hyperplane LSH bucket assignment ----
+    // planes pinned at 8 to match the oracle's formula; the API default
+    // (planes = 0) derives the count from the corpus size
     "q24_ann_lsh_buckets" -> ((s, dir) => {
-      AnnSearch.bucketize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      AnnSearch.bucketize(t(s, dir, "embeddings"), "vec_id", "embedding",
+          planes = 8)
         .orderBy(col("vec_id"))
     }),
 
@@ -372,7 +375,7 @@ object SparkEntry {
     // cosine ≈ 0.51); a production near-dup run would use ~0.95+.
     "q36_embedding_dedup" -> ((s, dir) => {
       NearDedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
-          "embedding", minCosM = 300000L)
+          "embedding", minCosM = 300000L, planes = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -380,7 +383,8 @@ object SparkEntry {
     "q34_ann_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       AnnSearch.lshTopK(
-        e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", k = 5)
+        e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
+        k = 5, planes = 8)
         .orderBy(col("qid"), col("rank"))
     }),
 

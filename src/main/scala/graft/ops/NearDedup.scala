@@ -111,27 +111,47 @@ object NearDedup {
     * degenerate docs (empty/boilerplate text → one whole-text shingle
     * → identical signature) would otherwise meet in ONE bucket and go
     * N²/2 — the residual skew bomb at 100 TB. Buckets wider than the
-    * cap are dropped entirely (their members are pathological, not
-    * near-dups worth pairing); the oversized-key list is tiny and
-    * broadcast for an anti-join. */
+    * cap are dropped entirely — including any GENUINE duplicate
+    * cluster wider than the cap, which then reports no pairs. The
+    * drop is measurable, not silent: [[droppedBandBuckets]] lists
+    * every capped bucket and its width from the same pipeline; check
+    * it (or raise `maxBucket`) when coverage matters more than skew
+    * protection. The width check is a band_key-partitioned window
+    * count, which rides the same hash exchange the self-join needs
+    * (ReusedExchange) — the cap costs no extra pass. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, rows: Int = 4,
       shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(bands * rows <= k, s"bands*rows (${bands * rows}) > k ($k)")
-    val ex = signatures(df, idCol, textCol, k, shingleN)
-      .select(col(idCol), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
-    // bucket-width via a band_key-partitioned window count: it rides
-    // the same hash exchange the self-join needs (ReusedExchange), so
-    // the cap costs no extra pass over the signature pipeline
-    val bucketCount = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("band_key")))
-    val capped = ex.withColumn("__bc", bucketCount)
-      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val capped = cappedBands(df, idCol, textCol, k, bands, rows, shingleN,
+      maxBucket, keepOver = false)
     val a = capped.select(col(idCol).as("id_a"), col("band_key"))
     val b = capped.select(col(idCol).as("id_b"), col("band_key"))
     a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** The observability counterpart of [[candidatePairs]]'s cap: every
+    * band bucket WIDER than `maxBucket` (i.e. whose members produced
+    * no pairs), as (band_key, width). Empty output = full coverage. */
+  def droppedBandBuckets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, rows: Int = 4,
+      shingleN: Int = 3, maxBucket: Int = 1000): DataFrame =
+    cappedBands(df, idCol, textCol, k, bands, rows, shingleN, maxBucket,
+      keepOver = true)
+      .groupBy(col("band_key")).agg(count(lit(1)).as("width"))
+
+  private def cappedBands(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rows: Int, shingleN: Int, maxBucket: Int,
+      keepOver: Boolean): DataFrame = {
+    val ex = signatures(df, idCol, textCol, k, shingleN)
+      .select(col(idCol), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
+    val bucketCount = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("band_key")))
+    val withC = ex.withColumn("__bc", bucketCount)
+    (if (keepOver) withC.filter(col("__bc") > maxBucket)
+     else withC.filter(col("__bc") <= maxBucket)).drop("__bc")
   }
 
   /** Exact n-gram Jaccard for given (id_a, id_b) pairs — the verify
@@ -199,18 +219,24 @@ object NearDedup {
     * hyperplanes, [[AnnSearch.bucketOf]]), verified by exact cosine ≥
     * `minCosM` micro-units. The join shuffles on the bucket key only;
     * nothing compares all pairs, the same scale shape as the MinHash
-    * path. `maxBucket` caps pathological buckets (e.g. zero vectors)
-    * exactly like [[candidatePairs]]. Output: (id_a, id_b, cos_m),
-    * id_a < id_b. */
+    * path. Output: (id_a, id_b, cos_m), id_a < id_b.
+    *
+    * Geometry is scale-checked, never silently degenerate: the corpus
+    * is counted once, `planes = 0` (default) derives the plane count
+    * from that size ([[AnnSearch.planesFor]]), and an EXPLICIT plane
+    * count whose expected bucket width exceeds `maxBucket` is refused
+    * with the corrective value — a fixed 8-plane layout (256 buckets)
+    * over a few billion vectors would put every bucket over the cap
+    * and "find no duplicates". Residual skew (a single pathological
+    * bucket, e.g. zero vectors) is still capped like
+    * [[candidatePairs]], and [[embeddingDroppedBuckets]] reports
+    * exactly what the cap excluded. */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
-      minCosM: Long, planes: Int = 8, dim: Int = 64,
+      minCosM: Long, planes: Int = 0, dim: Int = 64,
       maxBucket: Int = 10000): DataFrame = {
-    val withB = df.select(col(idCol), col(embCol).as("__e"))
-      .withColumn("bucket", AnnSearch.bucketOf(col("__e"), planes, dim))
-    val bucketCount = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("bucket")))
-    val capped = withB.withColumn("__bc", bucketCount)
-      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val p = checkedPlanes(df, planes, maxBucket)
+    val capped = cappedEmbBuckets(df, idCol, embCol, p, dim, maxBucket,
+      keepOver = false)
     val a = capped.select(col(idCol).as("id_a"), col("__e").as("__ea"),
       col("bucket"))
     val b = capped.select(col(idCol).as("id_b"), col("__e").as("__eb"),
@@ -222,5 +248,41 @@ object NearDedup {
           .cast("long"))
       .filter(col("cos_m") >= minCosM)
       .select(col("id_a"), col("id_b"), col("cos_m"))
+  }
+
+  /** The observability counterpart of [[embeddingNearDups]]'s cap:
+    * (bucket, width) of every LSH bucket wider than `maxBucket`,
+    * whose members produced no pairs. Empty output = full coverage. */
+  def embeddingDroppedBuckets(df: DataFrame, idCol: String, embCol: String,
+      planes: Int = 0, dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+    val p = checkedPlanes(df, planes, maxBucket)
+    cappedEmbBuckets(df, idCol, embCol, p, dim, maxBucket, keepOver = true)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("width"))
+  }
+
+  /** Resolve + sanity-check the LSH plane count against the corpus
+    * size (one count job — the price of the no-silent-empty
+    * guarantee). */
+  private def checkedPlanes(df: DataFrame, planes: Int, maxBucket: Int): Int = {
+    val n = df.count()
+    val p = if (planes > 0) planes else AnnSearch.planesFor(n)
+    val expectedWidth = n.toDouble / (1L << math.min(p, 62))
+    require(expectedWidth <= maxBucket,
+      s"degenerate LSH geometry: $n vectors over 2^$p buckets gives an " +
+        f"expected bucket width of $expectedWidth%.0f > maxBucket=$maxBucket " +
+        s"— every bucket would be dropped. Use planes >= " +
+        s"${AnnSearch.planesFor(n, maxBucket)} (or planes=0 to derive).")
+    p
+  }
+
+  private def cappedEmbBuckets(df: DataFrame, idCol: String, embCol: String,
+      planes: Int, dim: Int, maxBucket: Int, keepOver: Boolean): DataFrame = {
+    val withB = df.select(col(idCol), col(embCol).as("__e"))
+      .withColumn("bucket", AnnSearch.bucketOf(col("__e"), planes, dim))
+    val bucketCount = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("bucket")))
+    val withC = withB.withColumn("__bc", bucketCount)
+    (if (keepOver) withC.filter(col("__bc") > maxBucket)
+     else withC.filter(col("__bc") <= maxBucket)).drop("__bc")
   }
 }

@@ -101,6 +101,30 @@ class AnnSearchSpec extends SparkSpec {
     assert(nullQ.isEmpty)
   }
 
+  test("recall harness: clustered data ≈ full recall; uniform fixture degrades with planes") {
+    // clustered fixture: near vectors agree on nearly every
+    // hyperplane sign → the bucket join barely loses anything
+    val clustered = AnnSearch.recallAtK(vecs.filter($"vec_id" < 4), vecs,
+      "vec_id", "vec_id", "embedding", k = 5, planes = 6, dim = 8)
+    assert(clustered >= 0.9, s"clustered recall $clustered")
+    // uniform 64-dim fixture (adversarial for LSH): recall must
+    // degrade monotonically as planes rise, and the derived
+    // geometry (planes=0 → planesFor(500)=1) must beat a fixed
+    // over-partitioned one — deterministic values (md5 planes).
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 20)
+    val byPlanes = Seq(4, 8, 12).map(p =>
+      p -> AnnSearch.recallAtK(q, e, "vec_id", "vec_id", "embedding",
+        k = 5, planes = p))
+    val r = byPlanes.toMap
+    assert(r(4) >= r(8) && r(8) >= r(12), s"not monotone: $byPlanes")
+    assert(r(4) >= 0.30 && r(8) >= 0.20 && r(12) >= 0.15, s"floors: $byPlanes")
+    val derived = AnnSearch.recallAtK(q, e, "vec_id", "vec_id", "embedding", k = 5)
+    assert(derived >= r(4), s"derived-geometry recall $derived < planes=4 ${r(4)}")
+    // 500·2^20 vectors / 4096-wide target buckets → ceil(log2(128000)) = 17
+    assert(AnnSearch.planesFor(500) == 1 && AnnSearch.planesFor(500L << 20) == 17)
+  }
+
   test("planeWeight matches its SQL definition") {
     // md5("0:0") = first 8 hex → uint32/2^32 - 0.5, spot-checked
     val w = AnnSearch.planeWeight(0, 0)

@@ -67,6 +67,42 @@ class NearDedupSpec extends SparkSpec {
     assert(pairs == Set((1001L, 1004L)))
   }
 
+  test("capped band buckets are observable, never silently gone") {
+    val degenerate = (1L to 300L).map(i => (i, "x")).toDF("doc_id", "text")
+    val dropped = NearDedup.droppedBandBuckets(degenerate, "doc_id", "text",
+      maxBucket = 100).as[(String, Long)].collect()
+    assert(dropped.length == 4) // all 4 bands of the shared signature
+    assert(dropped.forall(_._2 == 300L))
+    // under the cap → nothing reported
+    assert(NearDedup.droppedBandBuckets(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("embedding dedup refuses a degenerate explicit geometry and derives a sane one") {
+    val vecs = (0L until 600L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 131.0 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    // explicit planes=1 (2 buckets) with maxBucket=50 → expected
+    // width 300 ≫ cap: every bucket would be dropped. Must refuse
+    // with the corrective plane count, not return an empty frame.
+    val ex = intercept[IllegalArgumentException](
+      NearDedup.embeddingNearDups(vecs, "vec_id", "embedding",
+        minCosM = 900000L, planes = 1, dim = 8, maxBucket = 50))
+    assert(ex.getMessage.contains("degenerate LSH geometry"))
+    assert(ex.getMessage.contains("planes >= 4")) // planesFor(600, 50) = 4
+    // derived geometry (planes=0) runs fine on the same inputs
+    NearDedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      minCosM = 999999L, dim = 8).count()
+    // and runtime skew drops are reported, not silent: all-identical
+    // vectors land in ONE bucket over the cap
+    val same = (0L until 200L).map(i => (i, Seq.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val rep = NearDedup.embeddingDroppedBuckets(same, "vec_id", "embedding",
+      planes = 2, dim = 8, maxBucket = 100).as[(Long, Long)].collect()
+    assert(rep.length == 1 && rep(0)._2 == 200L)
+    assert(NearDedup.embeddingNearDups(same, "vec_id", "embedding",
+      minCosM = 0L, planes = 2, dim = 8, maxBucket = 100).count() == 0)
+  }
+
   test("simhash: equal for identical text, hamming 0; different for unrelated") {
     val sh = docs.select($"doc_id", NearDedup.simhash32($"text").as("s"))
       .orderBy("doc_id").as[(Long, Long)].collect().map(x => x._1 -> x._2).toMap
