@@ -14,20 +14,28 @@ import org.apache.spark.sql.functions._
   * instead of one. Join semantics are identical to the unsalted
   * equi-join; the salt is internal and dropped from the output.
   *
-  * The salt is `pmod(xxhash64(entire-row), factor)` — deterministic
-  * (replayable tasks, reproducible results) without assuming any
-  * column is unique.
+  * The salt is `pmod(monotonically_increasing_id(), factor)` — a
+  * per-partition row counter, so a hot key's rows round-robin over
+  * all `factor` buckets with zero per-row hashing work (the r3 form
+  * hashed EVERY column of the large side per row, which on a
+  * 100-column table pays wide-row hashing for nothing: the salt only
+  * needs to spread rows, any row-distinguishing value does).
+  * Deterministic under task replay — the counter is a function of
+  * the replayed partition's content, the same property the whole-row
+  * hash had.
   */
 object Skew {
 
   /** Inner equi-join `large ⋈ small` on `keys`, salted `factor` ways.
     * `small` is replicated `factor`× (use only when small ≪ large —
-    * the same precondition as a broadcast join, relaxed by factor). */
+    * the same precondition as a broadcast join, relaxed by factor).
+    * Filter `large` BEFORE calling: the (nondeterministic) salt
+    * column is a pushdown barrier for predicates added afterwards. */
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       factor: Int): DataFrame = {
     require(factor >= 1, s"salt factor $factor")
     require(keys.nonEmpty, "need join keys")
-    val saltL = pmod(xxhash64(large.columns.toSeq.map(large(_)): _*), lit(factor))
+    val saltL = pmod(monotonically_increasing_id(), lit(factor.toLong))
     val l = large.withColumn("__salt", saltL)
     val s = small.crossJoin(
       org.apache.spark.sql.functions.broadcast(

@@ -105,6 +105,10 @@ object GraftSchema {
   def quote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** Inverse of [[quote]] for an already-unwrapped string body. */
+  def unquoteBody(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
   def fromStructField(sf: StructField): FieldSpec = {
     val m = sf.metadata
     val shape =

@@ -150,9 +150,30 @@ object Materialize {
   }
 
   /** S9 parity (etl/petastorm_generate_metadata.py): (re)write the
-    * sidecar for an existing parquet store. */
-  def writeMetadata(spark: SparkSession, url: String, schema: GraftSchema): Unit = {
-    val counts = rowGroupCounts(spark, url)
+    * sidecar for an existing parquet store (full footer rescan). */
+  def writeMetadata(spark: SparkSession, url: String, schema: GraftSchema): Unit =
+    writeSidecar(spark, url, schema, rowGroupCounts(spark, url))
+
+  /** Incremental sidecar refresh for append-only stores (the
+    * streaming sink's per-batch call): only footers of files NOT yet
+    * in the sidecar are opened, so batch k costs O(new files), not
+    * O(all files) — the full-rescan form made an append-only stream
+    * quadratic in cumulative footer reads. Counts of files that
+    * vanished (compaction) are pruned against the current listing —
+    * a listing we pay anyway to find the new files. */
+  def updateMetadata(spark: SparkSession, url: String, schema: GraftSchema): Unit = {
+    val known = loadRowGroupCounts(spark, url)
+    val files = listParquetFiles(spark, url)
+    val rel = relativizer(spark, url)
+    val byRel = files.map(f => rel(f) -> f).toMap
+    val fresh = byRel.view.filterKeys(!known.contains(_)).values.toSeq
+    val merged = known.view.filterKeys(byRel.contains).toMap ++
+      countsForFiles(spark, url, fresh)
+    writeSidecar(spark, url, schema, merged)
+  }
+
+  private def writeSidecar(spark: SparkSession, url: String,
+      schema: GraftSchema, counts: Map[String, Int]): Unit = {
     val countsJson = counts.toSeq.sortBy(_._1)
       .map { case (f, n) => s"${GraftSchema.quote(f)}:$n" }
       .mkString("{", ",", "}")
@@ -164,30 +185,60 @@ object Materialize {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The sidecar's per-file row-group census (empty when absent). */
+  def loadRowGroupCounts(spark: SparkSession, url: String): Map[String, Int] = {
+    val path = new Path(url, SidecarName)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return Map.empty
+    val in = fs.open(path)
+    val json = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var k = in.read(buf)
+      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+    val idx = json.indexOf(""""rowGroupCounts":""")
+    if (idx < 0) return Map.empty
+    val obj = json.substring(idx + 18)
+    """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r.findAllMatchIn(obj).map { m =>
+      GraftSchema.unquoteBody(m.group(1)) -> m.group(2).toInt
+    }.toMap
+  }
+
   /** Per-file row-group counts from parquet footers, gathered on the
     * executors (reference: dataset_metadata.py:208-241). Keyed by the
     * dataset-RELATIVE path, not the basename — identical part
     * filenames in different hive-partition subdirectories must not
     * collapse (ADVICE r2). */
-  def rowGroupCounts(spark: SparkSession, url: String): Map[String, Int] = {
-    val files = listParquetFiles(spark, url)
-    val n = files.length
-    if (n == 0) return Map.empty
+  def rowGroupCounts(spark: SparkSession, url: String): Map[String, Int] =
+    countsForFiles(spark, url, listParquetFiles(spark, url))
+
+  /** Dataset-relative path for an absolute file under `url`. */
+  private def relativizer(spark: SparkSession, url: String): String => String = {
     val rootPath = new Path(url)
     val rootUri = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
       .makeQualified(rootPath).toUri.getPath
+    f => new Path(f).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+  }
+
+  private def countsForFiles(spark: SparkSession, url: String,
+      files: Seq[String]): Map[String, Int] = {
+    val n = files.length
+    if (n == 0) return Map.empty
+    val rel = relativizer(spark, url)
+    val relOf = files.map(f => f -> rel(f)).toMap
     val parts = math.min(n, spark.sparkContext.defaultParallelism).max(1)
     spark.sparkContext.parallelize(files, parts).mapPartitions { it =>
       // executor-local conf: file:// and cluster-default fs both fine
       val conf = new org.apache.hadoop.conf.Configuration()
       it.map { f =>
         val p = new Path(f)
-        val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try rel -> r.getFooter.getBlocks.size() finally r.close()
+        try f -> r.getFooter.getBlocks.size() finally r.close()
       }
-    }.collect().toMap
+    }.collect().toMap.map { case (f, c) => relOf(f) -> c }
   }
 
   /** Stable-sorted (O5 parity: dataset_metadata.py:274-279) parquet

@@ -28,21 +28,34 @@ object SparkConverter {
   }
 
   private val cache = ListBuffer[(DataFrame, Handle)]()
+  // handles evicted from `cache` whose files are still on disk — kept
+  // so deleteAll can still find them (evicting the entry alone would
+  // LEAK one full dataset copy per eviction in a long session)
+  private val evictedHandles = ListBuffer[Handle]()
 
-  /** Entries beyond this are evicted oldest-first (metadata only —
-    * the parquet files stay; call [[deleteAll]] for the reference's
-    * atexit-style cleanup, spark_dataset_converter.py:82-121). */
-  val MaxCacheEntries = 64
+  /** Entries beyond this are evicted oldest-first (lookup metadata
+    * only — the parquet files stay, tracked in an eviction list that
+    * [[deleteAll]] drains for the reference's atexit-style cleanup,
+    * spark_dataset_converter.py:82-121). */
+  @volatile var MaxCacheEntries = 64
+
+  private[sources] def evictedCount: Int =
+    cache.synchronized(evictedHandles.size)
 
   private[sources] def evict(url: String): Unit = cache.synchronized {
     cache.filterInPlace { case (_, h) => h.url != url }
+    evictedHandles.filterInPlace(_.url != url)
   }
   def cacheSize: Int = cache.synchronized(cache.size)
-  def clearCache(): Unit = cache.synchronized(cache.clear())
+  def clearCache(): Unit = cache.synchronized {
+    cache.clear(); evictedHandles.clear()
+  }
 
-  /** Delete every cached materialization's files and empty the cache. */
+  /** Delete every materialization's files — cached AND evicted — and
+    * empty the cache. */
   def deleteAll(spark: SparkSession): Unit = {
-    val handles = cache.synchronized(cache.map(_._2).toList)
+    val handles = cache.synchronized(
+      (cache.map(_._2) ++ evictedHandles).toList)
     handles.foreach(_.delete(spark))
   }
 
@@ -95,7 +108,7 @@ object SparkConverter {
         val h = Handle(url, back, Materialize.listParquetFiles(spark, url),
           back.count())
         cache += normalized -> h
-        if (cache.size > MaxCacheEntries) cache.remove(0)
+        if (cache.size > MaxCacheEntries) evictedHandles += cache.remove(0)._2
         h
       }
     }

@@ -65,7 +65,10 @@ object GraftStream {
     * refreshing the sidecar metadata after every batch so concurrent
     * [[GraftRead]] readers always see a consistent schema + row-group
     * census. Uses foreachBatch → the batch materialize path (same
-    * codecs, same nullability enforcement). */
+    * codecs, same nullability enforcement). The sidecar refresh is
+    * INCREMENTAL ([[Materialize.updateMetadata]]): only the new
+    * batch's footers are opened — a full rescan per batch would make
+    * an append-only stream quadratic in cumulative footer reads. */
   def sink(df: DataFrame, url: String, schema: GraftSchema,
       checkpoint: String, rowGroupSizeMb: Int = 32): DataStreamWriter[org.apache.spark.sql.Row] = {
     df.writeStream
@@ -74,7 +77,7 @@ object GraftStream {
         Materialize.encodeColumns(batch, schema).write
           .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
           .mode("append").parquet(url)
-        Materialize.writeMetadata(batch.sparkSession, url, schema)
+        Materialize.updateMetadata(batch.sparkSession, url, schema)
       }
   }
 

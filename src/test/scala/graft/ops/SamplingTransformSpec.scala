@@ -105,11 +105,12 @@ class SamplingTransformSpec extends SparkSpec {
       .select("rid", "k", "label").as[(Long, Long, String)]
       .collect().sortBy(r => (r._1, r._3)).toSeq
     assert(salted == plain)
-    // the hot key's rows really do carry >1 distinct salt
+    // the hot key's rows really do carry every salt bucket: the
+    // per-partition counter round-robins them over all 8
     val salts = large.filter($"k" === 99)
-      .withColumn("s", pmod(xxhash64(large.columns.map(large(_)): _*), lit(8)))
+      .withColumn("s", pmod(monotonically_increasing_id(), lit(8L)))
       .select("s").distinct().count()
-    assert(salts > 4)
+    assert(salts == 8)
     val hist = Skew.keyHistogram(large, Seq("k"), topK = 1)
       .as[(Long, Long)].collect()(0)
     assert(hist._1 == 99L && hist._2 == 9000L)

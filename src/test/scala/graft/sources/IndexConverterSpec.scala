@@ -157,4 +157,45 @@ class IndexConverterSpec extends SparkSpec {
     assert(SparkConverter.cacheSize == 0)
     assert(!new java.io.File(h.url).exists())
   }
+
+  test("size-evicted materializations stay deletable (no orphaned datasets)") {
+    SparkConverter.clearCache()
+    val saved = SparkConverter.MaxCacheEntries
+    try {
+      SparkConverter.MaxCacheEntries = 2
+      val hs = (0 until 3).map(i => SparkConverter.convert(
+        spark.range(10 + i).toDF("id"), scratch("conv-evict")))
+      assert(SparkConverter.cacheSize == 2) // oldest evicted
+      assert(SparkConverter.evictedCount == 1)
+      assert(hs.forall(h => new java.io.File(h.url).exists()))
+      SparkConverter.deleteAll(spark)
+      // the EVICTED dataset's files must be gone too, not leaked
+      assert(hs.forall(h => !new java.io.File(h.url).exists()))
+      assert(SparkConverter.evictedCount == 0)
+    } finally {
+      SparkConverter.MaxCacheEntries = saved
+      SparkConverter.clearCache()
+    }
+  }
+
+  test("updateMetadata merges only new footers and matches a full rescan") {
+    import graft.schema.{FieldSpec, GraftSchema}
+    val url = scratch("sidecar-incr")
+    val schema = GraftSchema("incr", Seq(
+      FieldSpec("id", org.apache.spark.sql.types.LongType)))
+    spark.range(100).toDF("id").repartition(2)
+      .write.mode("overwrite").parquet(url)
+    Materialize.writeMetadata(spark, url, schema)
+    val before = Materialize.loadRowGroupCounts(spark, url)
+    assert(before.nonEmpty)
+    // append new files out-of-band (what a streaming batch does)
+    spark.range(100, 150).toDF("id").repartition(1)
+      .write.mode("append").parquet(url)
+    Materialize.updateMetadata(spark, url, schema)
+    val incr = Materialize.loadRowGroupCounts(spark, url)
+    val full = Materialize.rowGroupCounts(spark, url)
+    assert(incr == full)
+    assert(incr.size > before.size)
+    assert(before.forall { case (k, v) => incr(k) == v })
+  }
 }
