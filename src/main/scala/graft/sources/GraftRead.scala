@@ -31,10 +31,18 @@ import graft.schema.{CodecSpec, GraftSchema}
   * sorted *file* list — the Spark-native unit of work. With
   * row-group-sized files (the materialize default) they coincide.
   * Like the reference, sharding with fewer files than shards raises.
+  *
+  * Multi-store reads (`make_batch_reader(dataset_url_or_urls)`,
+  * reader.py:209-227, URL normalization :51-57): a reader over
+  * several store URLs unions their file lists in URL order (each
+  * store's listing stably sorted), requires every present sidecar
+  * schema to agree, and shards/shuffles across the combined list.
+  * Hive-partition column derivation needs a single `basePath` and is
+  * therefore single-store only.
   */
 final case class GraftRead private (
     spark: SparkSession,
-    url: String,
+    urls: Seq[String],
     fieldSel: Seq[String],
     preds: Seq[Column],
     shardSpec: Option[(Int, Int)],
@@ -75,9 +83,9 @@ final case class GraftRead private (
     copy(cacheLevel = Some(level))
 
   def load(): DataFrame = {
-    // 1. stable file listing + shard (SH1/O5)
-    val allFiles = Materialize.listParquetFiles(spark, url)
-    require(allFiles.nonEmpty, s"no parquet files at $url")
+    // 1. stable file listing (per store, URL order) + shard (SH1/O5)
+    val allFiles = urls.flatMap(u => Materialize.listParquetFiles(spark, u))
+    require(allFiles.nonEmpty, s"no parquet files at ${urls.mkString(", ")}")
     val files = shardSpec match {
       case Some((i, n)) =>
         require(allFiles.length >= n,
@@ -87,11 +95,22 @@ final case class GraftRead private (
       case None => allFiles
     }
     // basePath keeps hive-partition columns derivable when reading an
-    // explicit (possibly sharded) file list from a partitioned store
-    val storage = spark.read.option("basePath", url).parquet(files: _*)
+    // explicit (possibly sharded) file list from a partitioned store;
+    // with several stores there is no single base → no derivation
+    val reader0 = spark.read
+    val reader1 = if (urls.length == 1) reader0.option("basePath", urls.head)
+                  else reader0
+    val storage = reader1.parquet(files: _*)
 
-    // 2. schema: stored or inferred (dataset_metadata.py:410-418)
-    val schema = Materialize.loadSchema(spark, url)
+    // 2. schema: stored or inferred (dataset_metadata.py:410-418);
+    //    all present sidecars must agree across stores
+    val sidecars = urls.flatMap(u =>
+      Materialize.loadSchema(spark, u).map(u -> _))
+    sidecars.drop(1).foreach { case (u, s) =>
+      require(s.toJson == sidecars.head._2.toJson,
+        s"store schemas disagree: $u vs ${sidecars.head._1}")
+    }
+    val schema = sidecars.headOption.map(_._2)
       .getOrElse(GraftSchema.fromStructType("inferred", storage.schema))
 
     // 3. schema view (P1: exact names or regex, unischema.py:199-240)
@@ -141,6 +160,13 @@ final case class GraftRead private (
 
 object GraftRead {
   def reader(spark: SparkSession, url: String): GraftRead =
-    GraftRead(spark, url, Nil, Nil, None, None, 1, decodeOutput = true, None,
+    reader(spark, Seq(url))
+
+  /** Multi-store reader (`dataset_url_or_urls` parity): one logical
+    * dataset over several store URLs with agreeing schemas. */
+  def reader(spark: SparkSession, urls: Seq[String]): GraftRead = {
+    require(urls.nonEmpty, "need at least one store url")
+    GraftRead(spark, urls, Nil, Nil, None, None, 1, decodeOutput = true, None,
       None)
+  }
 }

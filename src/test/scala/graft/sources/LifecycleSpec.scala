@@ -122,6 +122,36 @@ class LifecycleSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("multi-store reader unions file lists; schemas must agree (reader.py:209-227)") {
+    val (uA, uB) = (scratch("multistore-a"), scratch("multistore-b"))
+    val half = (u: String, m: Int) => Materialize.materialize(
+      source.filter(pmod($"id", lit(2)) === m), u, schema,
+      rowGroupSizeMb = 1, partitions = Some(2))
+    half(uA, 0); half(uB, 1)
+    val both = GraftRead.reader(spark, Seq(uA, uB)).load()
+    assert(both.count() == 100)
+    // decoded exactly like a single-store read of the same rows
+    val ids = both.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 100L))
+    val img7 = both.filter($"id" === 7)
+      .select($"image.data").as[Seq[Short]].collect()(0)
+    assert(img7 == (7 until 19).map(_.toShort))
+    // shard splits the COMBINED file list disjointly
+    val s0 = GraftRead.reader(spark, Seq(uA, uB)).shard(0, 2).load()
+    val s1 = GraftRead.reader(spark, Seq(uA, uB)).shard(1, 2).load()
+    assert(s0.count() + s1.count() == 100)
+    // a store with a different sidecar schema is refused
+    val uC = scratch("multistore-c")
+    Materialize.materialize(
+      spark.range(5).toDF("id").withColumn("other", lit("x")),
+      uC, GraftSchema("different", Seq(
+        FieldSpec("id", LongType),
+        FieldSpec("other", StringType, nullable = true))))
+    val ex = intercept[IllegalArgumentException](
+      GraftRead.reader(spark, Seq(uA, uC)).load())
+    assert(ex.getMessage.contains("store schemas disagree"))
+  }
+
   test("plain parquet store reads via inferred schema (S4/make_batch_reader)") {
     val u = scratch("plain-ds")
     spark.range(10).toDF("x").write.mode("overwrite").parquet(u)
