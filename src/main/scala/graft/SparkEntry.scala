@@ -388,6 +388,17 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- ANN scale path, probing flavor: IVF top-k ----
+    // 16 deterministic sampled centroids, each query probes its 4
+    // nearest lists; recall/cost knob documented on ivfTopK.
+    "q41_ann_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnSearch.ivfTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
+        k = 5, centroids = 16, nprobe = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- Portable seeded permutation (O1-O3 contract, md5 order) ----
     "q25_shuffle_positions" -> ((s, dir) => {
       Sampling.withShufflePosition(
@@ -916,6 +927,46 @@ object SparkEntry {
         |  FROM b c JOIN q ON c.bucket = q.bucket
         |), scored AS (
         |  SELECT qid, cid, CAST(floor(dot / (nq * nc) * 1000000) AS BIGINT) AS cos_m FROM pairs
+        |), ranked AS (
+        |  SELECT qid, cid, cos_m,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_m DESC, cid) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, cid, cos_m FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "q41_ann_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+        |), c AS (
+        |  SELECT vec_id AS centroid_id, emb AS cemb FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        |), ascore AS (
+        |  SELECT e.vec_id AS cid, e.emb AS emb, c.centroid_id,
+        |    CAST(floor(
+        |      list_reduce(list_transform(range(1, 65), i -> e.emb[i] * c.cemb[i]), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.emb[i] * e.emb[i]), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(range(1, 65), i -> c.cemb[i] * c.cemb[i]), (a, b) -> a + b)))
+        |      * 1000000) AS BIGINT) AS am
+        |  FROM e CROSS JOIN c
+        |), assigned AS (
+        |  SELECT cid, emb, centroid_id AS bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY am DESC, centroid_id) AS rn
+        |    FROM ascore) x
+        |  WHERE rn = 1
+        |), probes AS (
+        |  SELECT qid, qemb, centroid_id AS bucket FROM (
+        |    SELECT cid AS qid, emb AS qemb, centroid_id, am,
+        |      row_number() OVER (PARTITION BY cid ORDER BY am DESC, centroid_id) AS rn
+        |    FROM ascore WHERE cid < 20) x
+        |  WHERE rn <= 4
+        |), scored AS (
+        |  SELECT p.qid, a.cid,
+        |    CAST(floor(
+        |      list_reduce(list_transform(range(1, 65), i -> p.qemb[i] * a.emb[i]), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> p.qemb[i] * p.qemb[i]), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(range(1, 65), i -> a.emb[i] * a.emb[i]), (x, y) -> x + y)))
+        |      * 1000000) AS BIGINT) AS cos_m
+        |  FROM assigned a JOIN probes p USING (bucket)
         |), ranked AS (
         |  SELECT qid, cid, cos_m,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_m DESC, cid) AS rank

@@ -52,6 +52,32 @@ final case class InExpr(fieldSet: Set[String], expr: Column)
   def fields: Set[String] = fieldSet
 }
 
+/** TRUE-closure predicate over one typed field — the literal
+  * `in_lambda` (predicates.py:74-100): an arbitrary Scala function,
+  * composable through the same algebra (negate/and/or, `fields`
+  * bookkeeping). Runs as a Scala UDF: the value is deserialized and
+  * the closure is OPAQUE to Catalyst — no pushdown, no codegen — so
+  * prefer [[InExpr]] whenever the logic is expressible as a Column;
+  * this exists for the residue that genuinely is not (regex
+  * libraries, custom parsers, model calls). Two-field closures:
+  * [[InLambda2]]. */
+final case class InLambda[A](field: String, f: A => Boolean)(
+    implicit tt: scala.reflect.runtime.universe.TypeTag[A])
+    extends RowPredicate {
+  def toColumn: Column = udf(f).apply(col(field))
+  def fields: Set[String] = Set(field)
+}
+
+/** [[InLambda]] over two fields. */
+final case class InLambda2[A, B](fieldA: String, fieldB: String,
+    f: (A, B) => Boolean)(
+    implicit ta: scala.reflect.runtime.universe.TypeTag[A],
+    tb: scala.reflect.runtime.universe.TypeTag[B])
+    extends RowPredicate {
+  def toColumn: Column = udf(f).apply(col(fieldA), col(fieldB))
+  def fields: Set[String] = Set(fieldA, fieldB)
+}
+
 final case class Negate(p: RowPredicate) extends RowPredicate {
   def toColumn: Column = !p.toColumn
   def fields: Set[String] = p.fields

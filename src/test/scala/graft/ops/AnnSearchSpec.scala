@@ -125,6 +125,26 @@ class AnnSearchSpec extends SparkSpec {
     assert(AnnSearch.planesFor(500) == 1 && AnnSearch.planesFor(500L << 20) == 17)
   }
 
+  test("ivfTopK: deterministic centroids; probing raises recall; full probe = exhaustive") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 20)
+    val c1 = AnnSearch.ivfCentroids(e, "vec_id", "embedding", 16)
+      .select("centroid_id").as[Long].collect().toSeq
+    val c2 = AnnSearch.ivfCentroids(e, "vec_id", "embedding", 16)
+      .select("centroid_id").as[Long].collect().toSeq
+    assert(c1 == c2 && c1.length == 16)
+    def rec(np: Int) = AnnSearch.ivfRecallAtK(q, e, "vec_id", "vec_id",
+      "embedding", k = 5, centroids = 16, nprobe = np)
+    val (r2, r4, r16) = (rec(2), rec(4), rec(16))
+    assert(r16 == 1.0, s"full probe must be exhaustive, got $r16")
+    assert(r2 <= r4 && r4 <= r16, s"probing must not lower recall: $r2 $r4 $r16")
+    assert(r4 >= 0.6, s"nprobe=4 recall $r4") // measured 0.64, deterministic
+    // beats LSH at the same bucket count (16 buckets = 4 planes)
+    val lsh = AnnSearch.recallAtK(q, e, "vec_id", "vec_id", "embedding",
+      k = 5, planes = 4)
+    assert(r4 > lsh, s"IVF nprobe=4 ($r4) should beat 16-bucket LSH ($lsh)")
+  }
+
   test("planeWeight matches its SQL definition") {
     // md5("0:0") = first 8 hex → uint32/2^32 - 0.5, spot-checked
     val w = AnnSearch.planeWeight(0, 0)

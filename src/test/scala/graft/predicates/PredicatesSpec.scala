@@ -41,6 +41,24 @@ class PredicatesSpec extends SparkSpec {
     assert(p.fields == Set("cat", "id", "tags"))
   }
 
+  test("InLambda: true Scala closures compose through the algebra (in_lambda parity)") {
+    // a closure Catalyst cannot express declaratively
+    val oddLetter = InLambda[String]("cat", s => s.exists(c => (c - 'a') % 2 == 1))
+    assert(ids(oddLetter) == Seq(2)) // only 'b' has an odd letter offset
+    assert(oddLetter.fields == Set("cat"))
+    // composes with the declarative members and negation
+    assert(ids(!oddLetter && InExpr(Set("id"), col("id") < 3)) == Seq(1))
+    // two-field closure
+    val both = InLambda2[Int, String]("id", "cat", (i, s) => i % 2 == 0 && s == "a")
+    assert(ids(both) == Seq(4))
+    assert(both.fields == Set("id", "cat"))
+    // closure over an ARRAY field (the case InExpr cannot cover when
+    // the logic needs real Scala)
+    val hasPair = InLambda[Seq[String]]("tags", t => t.sliding(2).exists(
+      p => p.length == 2 && p(0) < p(1)))
+    assert(ids(hasPair) == Seq(1, 2))
+  }
+
   test("PseudorandomSplit buckets partition the data deterministically") {
     val big = spark.range(1000).toDF("k")
     val parts = (0 until 3).map(i =>
