@@ -567,6 +567,72 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Epochs / iteration control (E1): k tagged dataset passes ----
+    "q42_epochs_read" -> ((s, dir) => {
+      GraftRead.reader(s, dir + "/documents.parquet")
+        .fields("doc_id", "lang")
+        .epochs(2)
+        .load()
+        .select(col("doc_id"), col("lang"), col("__epoch"))
+        .orderBy(col("doc_id"), col("__epoch"))
+    }),
+
+    // ---- Selector algebra (I3/I4): union + intersect + not-null ----
+    // Store hash-partitioned on lang; the selector admits only files
+    // that may hold de/fr rows AND a non-null n_chars; the row filter
+    // completes the semantics (selector = superset guarantee).
+    "q43_index_selectors" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft_q43_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (dataUrl, idxUrl) = (base + "/data", base + "/index")
+      if (!new java.io.File(idxUrl, "_SUCCESS").exists()) {
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("lang"))
+          .repartition(8, col("lang"))
+          .write.mode("overwrite").parquet(dataUrl)
+        RowGroupIndex.build(s, dataUrl,
+          Seq(RowGroupIndex.Indexer("lang"),
+            RowGroupIndex.Indexer("n_chars", notNull = true)), idxUrl)
+      }
+      val sel = RowGroupIndex.Intersect(Seq(
+        RowGroupIndex.Union(Seq(
+          RowGroupIndex.ValueIn("lang", Seq("de")),
+          RowGroupIndex.ValueIn("lang", Seq("fr")))),
+        RowGroupIndex.NotNull("n_chars")))
+      RowGroupIndex.readSelected(s, dataUrl, idxUrl, sel)
+        .filter(col("lang").isin("de", "fr") && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- MLlib vector → array normalization (X3) ----
+    "q44_vector_to_array" -> ((s, dir) => {
+      val src = t(s, dir, "supplier").select(col("s_suppkey"),
+        org.apache.spark.ml.functions.array_to_vector(
+          array(col("s_acctbal"), col("s_acctbal") * 2)).as("v"))
+      graft.sources.SparkConverter.vectorsToArrays(src)
+        .select(col("s_suppkey"),
+          cents(col("v")(0)).as("v0_cents"), cents(col("v")(1)).as("v1_cents"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- RDD bridge round-trip (S8, dataset_as_rdd) ----
+    "q45_rdd_bridge" -> ((s, dir) => {
+      val df = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      val rdd = graft.ops.Batching.asRdd(df)
+      s.createDataFrame(rdd, df.schema)
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- Cached read (C1/C2: persist through the reader) ----
+    "q46_cached_read" -> ((s, dir) => {
+      GraftRead.reader(s, dir + "/supplier.parquet")
+        .fields("s_suppkey", "s_name", "s_nationkey")
+        .cache()
+        .load()
+        .orderBy(col("s_suppkey"))
+    }),
+
     // ---- Deterministic synthetic data generator (S10) ----
     "q30_generator" -> ((s, dir) => {
       val schema = GraftSchema("gen", Seq(
@@ -1029,6 +1095,30 @@ object SparkEntry {
     "q40_multistore_read" ->
       """SELECT doc_id, n_chars, lang FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q42_epochs_read" ->
+      """SELECT doc_id, lang, e AS __epoch
+        |FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS e)
+        |ORDER BY doc_id, e""".stripMargin,
+
+    "q43_index_selectors" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE lang IN ('de','fr') AND n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "q44_vector_to_array" ->
+      """SELECT s_suppkey,
+        |  CAST(round(s_acctbal * 100) AS BIGINT) AS v0_cents,
+        |  CAST(round(s_acctbal * 2 * 100) AS BIGINT) AS v1_cents
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q45_rdd_bridge" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q46_cached_read" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q30_generator" ->
       """WITH g AS (SELECT id FROM range(1000) t(id)),

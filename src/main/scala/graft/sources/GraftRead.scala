@@ -97,8 +97,14 @@ final case class GraftRead private (
     // basePath keeps hive-partition columns derivable when reading an
     // explicit (possibly sharded) file list from a partitioned store;
     // with several stores there is no single base → no derivation
+    // (and a single-FILE store has no base directory at all)
     val reader0 = spark.read
-    val reader1 = if (urls.length == 1) reader0.option("basePath", urls.head)
+    val singleDir = urls.length == 1 && {
+      val p = new org.apache.hadoop.fs.Path(urls.head)
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(p).isDirectory
+    }
+    val reader1 = if (singleDir) reader0.option("basePath", urls.head)
                   else reader0
     val storage = reader1.parquet(files: _*)
 
