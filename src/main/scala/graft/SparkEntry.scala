@@ -293,6 +293,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Winnowing rolling-hash fingerprints (copy detection) ----
+    // Set summarized as scalars (count / min / max / sum) — the
+    // driver compare wants flat columns; values are md5-derived so
+    // the oracle rebuilds the identical set.
+    "q48_winnow_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")) // sort-first (q11 doc)
+        .select(col("doc_id"),
+          TextAnalysis.winnowFingerprints(col("text"), k = 8, w = 4).as("f"))
+      d.select(col("doc_id"),
+        size(col("f")).as("n_fp"),
+        col("f")(0).as("fp_min"),
+        element_at(col("f"), -1).as("fp_max"),
+        aggregate(col("f"), lit(0L), (a, x) => a + x).as("fp_sum"))
+    }),
+
     // ---- SimHash fingerprints (scan-speed, no shuffle) ----
     "q22_simhash" -> ((s, dir) => {
       NearDedup.simhash(
@@ -604,6 +620,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Array-mode indexer (I2 array): token → files inverted index ----
+    // Every ELEMENT of the token array is indexed; the selector
+    // admits files containing the probe token, the row filter
+    // completes membership semantics.
+    "q47_array_index" -> ((s, dir) => {
+      val base = sys.props("java.io.tmpdir") + "/graft_q47_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (dataUrl, idxUrl) = (base + "/data", base + "/index")
+      if (!new java.io.File(idxUrl, "_SUCCESS").exists()) {
+        t(s, dir, "documents")
+          .select(col("doc_id"), NearDedup.tokens(col("text")).as("toks"))
+          .repartition(8, pmod(col("doc_id"), lit(8)))
+          .write.mode("overwrite").parquet(dataUrl)
+        RowGroupIndex.build(s, dataUrl,
+          Seq(RowGroupIndex.Indexer("toks", arrayField = true)), idxUrl)
+      }
+      RowGroupIndex.readSelected(s, dataUrl, idxUrl,
+          RowGroupIndex.ValueIn("toks", Seq("dup")))
+        .filter(array_contains(col("toks"), "dup"))
+        .select(col("doc_id"), size(col("toks")).as("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- MLlib vector → array normalization (X3) ----
     "q44_vector_to_array" -> ((s, dir) => {
       val src = t(s, dir, "supplier").select(col("s_suppkey"),
@@ -857,6 +896,25 @@ object SparkEntry {
         |FROM pairs p JOIN t sa ON p.id_a = sa.doc_id JOIN t sb ON p.id_b = sb.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q48_winnow_fingerprint" ->
+      """WITH g AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) <= 8 THEN [('0x' || substr(md5(t), 1, 8))::BIGINT]
+        |    ELSE list_transform(range(1, length(t) - 8 + 2),
+        |      i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT) END AS h
+        |  FROM g),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(h) <= 4 THEN [list_min(h)]
+        |    ELSE list_sort(list_distinct(list_transform(range(1, len(h) - 4 + 2),
+        |      j -> list_min(h[j:j+3])))) END AS f
+        |  FROM hs)
+        |SELECT doc_id, CAST(len(f) AS INT) AS n_fp,
+        |  f[1] AS fp_min, f[len(f)] AS fp_max,
+        |  CAST(list_sum(f) AS BIGINT) AS fp_sum
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
     "q22_simhash" ->
       """WITH t AS (
         |  SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
@@ -1104,6 +1162,14 @@ object SparkEntry {
     "q43_index_selectors" ->
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE lang IN ('de','fr') AND n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "q47_array_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_toks FROM t
+        |WHERE list_contains(toks, 'dup')
         |ORDER BY doc_id""".stripMargin,
 
     "q44_vector_to_array" ->

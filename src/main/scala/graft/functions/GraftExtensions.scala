@@ -71,6 +71,10 @@ object GraftExtensions {
     "graft_decode_pcm16" -> { args =>
       require(args.length == 1, "graft_decode_pcm16(bin)")
       DecodePcm16(args(0))
+    },
+    "graft_winnow_fingerprints" -> { args =>
+      require(args.length == 3, "graft_winnow_fingerprints(text, k, w)")
+      WinnowFingerprint(args(0), litInt(args(1), "k"), litInt(args(2), "w"))
     })
 
   private def info(name: String): ExpressionInfo =

@@ -148,6 +148,18 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Winnowing rolling-hash fingerprint SET (sorted distinct longs):
+    * robust copy detection — any shared substring of length ≥
+    * w + k − 1 between two documents guarantees a common
+    * fingerprint, and edits far from a region leave its fingerprints
+    * unchanged (one whole-doc hash has neither property). Codegen'd
+    * one-pass [[graft.codecs.WinnowFingerprint]] (monotonic-deque
+    * sliding minimum); md5-derived gram hashes, so the oracle
+    * reproduces the set exactly. Input is lowercased here. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.GraftFunctions.column(graft.codecs.WinnowFingerprint(
+      graft.functions.GraftFunctions.expr(lower(text)), k, w))
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "is", "was", "that", "with", "this", "have"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
