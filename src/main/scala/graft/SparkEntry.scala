@@ -98,15 +98,24 @@ object SparkEntry {
     }),
 
     // ---- Fact-fact join + aggregation ----
+    // Pre-aggregate the big fact on the join key FIRST (map-side
+    // combined, one shuffle on l_orderkey), then the reduced side
+    // joins the other fact — broadcastable here, and at 100 TB the
+    // co-shuffle moves the pre-reduced volume instead of raw
+    // lineitems; countDistinct over the join result (which needs an
+    // expand) becomes a plain count of now-unique keys. Integer-cents
+    // sums make the regrouping exact.
     "q06_join_agg" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+          .as("rev_c4"))
+      perOrder.join(o.select(col("o_orderkey"), col("o_orderpriority")),
+          perOrder("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(
-          sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
-            .as("revenue_c4"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+        .agg(sum(col("rev_c4")).as("revenue_c4"),
+          count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderpriority"))
     }),
 
