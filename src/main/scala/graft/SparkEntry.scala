@@ -431,6 +431,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Shuffle-quality analysis (A4): exact integer moments ----
+    // Pearson r of (key, shuffled position) from integer sums — the
+    // float corr is not addition-order-reproducible across engines;
+    // the moments are.
+    "q49_shuffle_quality" -> ((s, dir) => {
+      Sampling.shuffleQualityMoments(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 7)
+    }),
+
     // ---- Weighted union of readers (SH3, deterministic sampling) ----
     "q26_weighted_union" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -1111,6 +1120,17 @@ object SparkEntry {
       """SELECT doc_id, CAST(row_number() OVER (
         |    ORDER BY md5('7:' || doc_id::VARCHAR), doc_id) AS BIGINT) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q49_shuffle_quality" ->
+      """WITH p AS (
+        |  SELECT doc_id AS x, row_number() OVER (
+        |    ORDER BY md5('7:' || doc_id::VARCHAR), doc_id) AS y
+        |  FROM documents)
+        |SELECT count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+        |FROM p""".stripMargin,
 
     "q26_weighted_union" ->
       """SELECT event_id, user_id, event_type FROM events

@@ -65,4 +65,22 @@ object Sampling {
     withShufflePosition(df, keyCol, seed)
       .agg(corr(col(keyCol).cast("double"), col("pos").cast("double"))
         .as("order_corr"))
+
+  /** The EXACT integer moments behind [[shuffleQuality]]'s Pearson
+    * correlation — (n, Σx, Σy, Σxy, Σx², Σy²) over (key, position)
+    * as BIGINTs. Integer sums are addition-order-invariant, so the
+    * analysis is reproducible bit-for-bit on any engine/partitioning
+    * (the float `corr` is not — its summation order varies); the
+    * caller derives r = (nΣxy − ΣxΣy) / √(nΣx²−(Σx)²) / √(nΣy²−(Σy)²)
+    * driver-side. Requires an integral key column. */
+  def shuffleQualityMoments(df: DataFrame, keyCol: String,
+      seed: Long): DataFrame = {
+    val x = col(keyCol).cast("long")
+    val y = col("pos")
+    withShufflePosition(df, keyCol, seed).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"))
+  }
 }
