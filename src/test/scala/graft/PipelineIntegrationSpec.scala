@@ -69,4 +69,35 @@ class PipelineIntegrationSpec extends SparkSpec {
       .collect().toMap
     sample.foreach { case (id, f) => assert(recomputed(id) == f) }
   }
+
+  test("embedding pipeline: near-dup prune -> IVF search over the pruned corpus") {
+    import graft.ops.{AnnSearch, NearDedup}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val total = emb.count()
+
+    // 1. vector near-dup removal (keep the lower id of each pair)
+    val dups = NearDedup.embeddingNearDups(emb, "vec_id", "embedding",
+      minCosM = 990000L, planes = 4)
+    val losers = dups.select($"id_b".as("vec_id")).distinct()
+    val pruned = emb.join(losers, Seq("vec_id"), "left_anti")
+    val nPruned = pruned.count()
+    assert(nPruned > 0 && nPruned <= total)
+    // coverage was full — nothing silently dropped by the width cap
+    assert(NearDedup.embeddingDroppedBuckets(emb, "vec_id", "embedding",
+      planes = 4).count() == 0)
+
+    // 2. IVF top-k over the pruned corpus; every hit must be a survivor
+    val queries = pruned.filter($"vec_id" < 30)
+    val hits = AnnSearch.ivfTopK(queries, pruned, "vec_id", "vec_id",
+      "embedding", k = 3, centroids = 8, nprobe = 3)
+    val hitIds = hits.select($"cid").distinct()
+    assert(hits.count() > 0)
+    assert(hitIds.join(pruned.select($"vec_id".as("cid")), Seq("cid"),
+      "left_anti").count() == 0)
+
+    // 3. rank-1 self-retrieval for every query (cos(self)=1 is max)
+    val self = hits.filter($"rank" === 1)
+      .select($"qid", $"cid").as[(Long, Long)].collect()
+    assert(self.nonEmpty && self.forall { case (q, c) => q == c })
+  }
 }

@@ -133,6 +133,24 @@ class SamplingTransformSpec extends SparkSpec {
     assert(p1 == p2)
   }
 
+  test("declared range partitioning elides downstream sort AND aggregation exchanges") {
+    val base = spark.range(2000).toDF("id")
+      .withColumn("k", md5($"id".cast("string")))
+    val ranked = Ranking.withGlobalIndex(base, Seq(col("id")), "idx")
+    // a consumer ordering by the rank's own sort key: no new sort/exchange
+    val sorted = ranked.orderBy("id")
+    sorted.collect()
+    val sortedPlan = sorted.queryExecution.executedPlan.toString
+    assert(!sortedPlan.contains("Exchange"),
+      s"aligned orderBy was not elided:\n$sortedPlan")
+    // a consumer grouping by the rank's sort key: clustering satisfied
+    val agged = ranked.groupBy("id").agg(max("idx"))
+    agged.collect()
+    val aggedPlan = agged.queryExecution.executedPlan.toString
+    assert(!aggedPlan.contains("Exchange hashpartitioning"),
+      s"aligned groupBy re-shuffled:\n$aggedPlan")
+  }
+
   test("distributed rank shuffles the data exactly once across its two jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
     val n = 10000L
