@@ -84,6 +84,60 @@ case class SimHash32(child: Expression)
   override def prettyName: String = "simhash32"
 }
 
+/** `argmax_cos_m(emb)` over a FIXED centroid matrix baked into the
+  * expression: the index (in matrix order) of the centroid with the
+  * highest micro-floored cosine to the input vector, ties to the
+  * LOWEST index. One pass over k×dim per row, no join, no shuffle —
+  * the scale shape for IVF hard assignment (the relational spelling
+  * cross-joins the corpus with the centroid set and re-aggregates,
+  * moving every embedding through an exchange). Arithmetic contract
+  * identical to `floor(cosine(c, e)·1e6)` with dot/norm in
+  * element-order doubles; NaN cosine (zero vector) maps to 0 like
+  * Spark's double→long cast. */
+case class ArgMaxCosM(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "argmax_cos_m needs at least one centroid")
+  @transient private lazy val norms: Array[Double] =
+    centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+  override def dataType: DataType = IntegerType
+
+  def compute(a: ArrayData): Int = {
+    val dim = a.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < dim) { val v = a.getDouble(i); na += v * v; i += 1 }
+    na = math.sqrt(na)
+    var best = 0
+    var bestM = Long.MinValue
+    var ci = 0
+    while (ci < centroids.length) {
+      val c = centroids(ci)
+      require(c.length == dim,
+        s"argmax_cos_m: dim mismatch ${c.length} vs $dim")
+      var d = 0.0
+      var j = 0
+      while (j < dim) { d += c(j) * a.getDouble(j); j += 1 }
+      val m = math.floor(d / (norms(ci) * na) * 1000000.0)
+      val mL = if (java.lang.Double.isNaN(m)) 0L else m.toLong
+      if (mL > bestM) { bestM = mL; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argmaxCosM", this, classOf[ArgMaxCosM].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "argmax_cos_m"
+}
+
 /** `dot(a, b)` over two equal-length float or double arrays → double.
   * Mixed float/double operands are not supported (cast first). */
 case class DotProduct(left: Expression, right: Expression)

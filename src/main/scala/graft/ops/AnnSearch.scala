@@ -217,22 +217,31 @@ object AnnSearch {
   }
 
   /** Hard IVF assignment: each corpus row to its max-cosine centroid
-    * (ties → smaller centroid id). One broadcast cross-score + a
-    * map-side-combined aggregate — the embedding rides in the group
-    * key, so no join back to the corpus is needed. Output:
+    * (ties → smaller centroid id). The centroid set is SMALL by
+    * contract, so it is collected once (bounded, like the LSH plane
+    * weights) and baked into a codegen'd argmax expression
+    * ([[graft.codecs.ArgMaxCosM]]) — assignment is a pure projection:
+    * zero shuffles, zero joins, scan-speed at any corpus size. (The
+    * relational spelling — broadcast cross-score + re-aggregate —
+    * moves every embedding through an exchange for nothing.)
+    * Centroids are sorted by id so the expression's lowest-index
+    * tie-break equals the smallest-id tie-break. Output:
     * (cid, __ce, bucket). */
   def ivfAssign(corpus: DataFrame, cId: String, embCol: String,
       centroids: DataFrame): DataFrame = {
-    val scored = corpus.select(col(cId).as("cid"), col(embCol).as("__ce"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cos_m",
-        floor(cosine(col("__cemb"), col("__ce")) * 1000000L).cast("long"))
-    // min over (−cos, id) = argmax cosine with deterministic id
-    // tie-break, exact for ANY orderable id type (negating the LONG
-    // score is exact; negating the id would not be)
-    scored.groupBy(col("cid"), col("__ce"))
-      .agg(min(struct((-col("cos_m")).as("n"), col("centroid_id"))).as("m"))
-      .select(col("cid"), col("__ce"), col("m.centroid_id").as("bucket"))
+    val rows = centroids
+      .select(col("centroid_id"), col("__cemb").cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, "ivfAssign: empty centroid set")
+    val sortedRows = rows.sortWith((x, y) => compareId(x.get(0), y.get(0)) < 0)
+    val mat = sortedRows.map(_.getSeq[Double](1).toArray)
+    val ids = sortedRows.map(_.get(0))
+    val idArray = array(ids.map(lit(_)).toSeq: _*)
+    val idx = graft.functions.GraftFunctions.column(graft.codecs.ArgMaxCosM(
+      graft.functions.GraftFunctions.expr(
+        col("__ce").cast("array<double>")), mat))
+    corpus.select(col(cId).as("cid"), col(embCol).as("__ce"))
+      .withColumn("bucket", element_at(idArray, idx + 1))
   }
 
   /** IVF approximate top-k — the probing scale path next to
