@@ -145,6 +145,17 @@ class AnnSearchSpec extends SparkSpec {
     assert(r4 > lsh, s"IVF nprobe=4 ($r4) should beat 16-bucket LSH ($lsh)")
   }
 
+  test("ivfAssign plans as a pure projection: no exchange, no join") {
+    val cents = AnnSearch.ivfCentroids(vecs, "vec_id", "embedding", 4)
+    val assigned = AnnSearch.ivfAssign(vecs, "vec_id", "embedding", cents)
+    assigned.collect()
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffled:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"assignment joined:\n$plan")
+    // and the argmax picks a real centroid for every row
+    assert(assigned.filter($"bucket".isNull).count() == 0)
+  }
+
   test("planeWeight matches its SQL definition") {
     // md5("0:0") = first 8 hex → uint32/2^32 - 0.5, spot-checked
     val w = AnnSearch.planeWeight(0, 0)
