@@ -97,17 +97,34 @@ object TensorCodec {
       case c  => throw new IllegalStateException(s"unsupported dtype code $c")
     }
     val raw = payload.array()
-    val body = if (compressed) deflate(raw) else raw
+    // writer-side heuristic (decode honors the per-cell flag, so this
+    // is free to vary): payloads under MinDeflateLen are stored raw
+    // without even attempting deflate — the stream overhead (~11B)
+    // means tiny real-valued cells essentially never win, and the
+    // attempt would cost a deflate on every write AND an inflate on
+    // every read; larger payloads try and keep whichever is smaller
+    // (an EXPANDED "compressed" cell would be strictly worse than raw).
+    val body =
+      if (!compressed || raw.length < MinDeflateLen) raw
+      else {
+        val z = deflate(raw)
+        if (z.length < raw.length) z else raw
+      }
+    val flagCompressed = compressed && (body ne raw)
     val out = ByteBuffer.allocate(HeaderLen + 4 * d.length + body.length)
       .order(ByteOrder.LITTLE_ENDIAN)
     out.put(MagicBytes)
     out.put(code)
-    out.put(if (compressed) 1.toByte else 0.toByte)
+    out.put(if (flagCompressed) 1.toByte else 0.toByte)
     out.put(d.length.toByte)
     d.foreach(out.putInt)
     out.put(body)
     out.array()
   }
+
+  /** Below this payload size deflate is never attempted (see
+    * [[encodeFromArrays]]). */
+  val MinDeflateLen = 64
 
   def encode(dtype: String, dims: Array[Int], data: ArrayData,
       compressed: Boolean): Array[Byte] =
