@@ -29,6 +29,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Scratch base for per-dataset derived stores (q33/q43/q47). The
+    * path carries the source fixture's size+mtime, so a REGENERATED
+    * fixture at the same dir never serves a stale derived store.
+    * Local-filesystem only by design — these are bench/verify
+    * scratch dirs, never production paths. */
+  private def cachedBase(dir: String, tag: String): String = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val sig = s"${src.length()}_${src.lastModified()}"
+    sys.props("java.io.tmpdir") + s"/graft_${tag}_${sig}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+  }
+
   /** money → exact integer cents (2-decimal source data). */
   private def cents(c: Column): Column = round(c * 100).cast("long")
   /** discount/tax → exact integer basis points ×100 (2-decimal). */
@@ -436,8 +448,13 @@ object SparkEntry {
     // float corr is not addition-order-reproducible across engines;
     // the moments are.
     "q49_shuffle_quality" -> ((s, dir) => {
+      // decimal moments cast to BIGINT for the compare (exact at any
+      // value that fits; DuckDB sums in HUGEINT and casts identically)
       Sampling.shuffleQualityMoments(
-        t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 7)
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 7)
+        .select(col("n"), col("sx").cast("long").as("sx"),
+          col("sy").cast("long").as("sy"), col("sxy").cast("long").as("sxy"),
+          col("sxx").cast("long").as("sxx"), col("syy").cast("long").as("syy"))
     }),
 
     // ---- Weighted union of readers (SH3, deterministic sampling) ----
@@ -559,8 +576,7 @@ object SparkEntry {
     // the sidecar index admits only files containing 'de' rows and the
     // scan never opens the rest (skip-proof asserted in tests).
     "q33_index_read" -> ((s, dir) => {
-      val base = sys.props("java.io.tmpdir") + "/graft_q33_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = cachedBase(dir, "q33")
       val (dataUrl, idxUrl) = (base + "/data", base + "/index")
       // store + index are built ONCE per dataset (idempotent marker):
       // an index exists to amortize its build over many reads, so the
@@ -616,8 +632,7 @@ object SparkEntry {
     // that may hold de/fr rows AND a non-null n_chars; the row filter
     // completes the semantics (selector = superset guarantee).
     "q43_index_selectors" -> ((s, dir) => {
-      val base = sys.props("java.io.tmpdir") + "/graft_q43_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = cachedBase(dir, "q43")
       val (dataUrl, idxUrl) = (base + "/data", base + "/index")
       if (!new java.io.File(idxUrl, "_SUCCESS").exists()) {
         t(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("lang"))
@@ -643,8 +658,7 @@ object SparkEntry {
     // admits files containing the probe token, the row filter
     // completes membership semantics.
     "q47_array_index" -> ((s, dir) => {
-      val base = sys.props("java.io.tmpdir") + "/graft_q47_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = cachedBase(dir, "q47")
       val (dataUrl, idxUrl) = (base + "/data", base + "/index")
       if (!new java.io.File(idxUrl, "_SUCCESS").exists()) {
         t(s, dir, "documents")

@@ -33,16 +33,21 @@ object Winnow {
       ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
 
   /** Fingerprint set of `text` (already case-normalized by the
-    * caller) with gram size `k`, window `w`: sorted distinct longs. */
+    * caller) with gram size `k`, window `w`: sorted distinct longs.
+    * Grams are CODEPOINT windows, not UTF-16 code units — SQL
+    * engines' substr/length count characters, and a surrogate pair
+    * split down the middle would make the oracle's gram set diverge
+    * on any supplementary-plane character. */
   def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
     val s = text.toString
-    val n = s.length
+    val cps = s.codePoints().toArray
+    val n = cps.length
     val md = MessageDigest.getInstance("MD5")
     val gramCount = if (n <= k) 1 else n - k + 1
     val hs = new Array[Long](gramCount)
     var i = 0
     while (i < gramCount) {
-      val g = if (n <= k) s else s.substring(i, i + k)
+      val g = if (n <= k) s else new String(cps, i, k)
       md.reset()
       hs(i) = uint32(md.digest(g.getBytes("UTF-8")))
       i += 1

@@ -228,12 +228,24 @@ object AnnSearch {
     * tie-break equals the smallest-id tie-break. Output:
     * (cid, __ce, bucket). */
   def ivfAssign(corpus: DataFrame, cId: String, embCol: String,
-      centroids: DataFrame): DataFrame = {
-    val rows = centroids
+      centroids: DataFrame): DataFrame =
+    assignWithRows(corpus, cId, embCol, collectCentroids(centroids)._1)
+
+  /** Centroid rows (id-sorted) + their schema, collected ONCE —
+    * bounded by the centroids-small contract, and shared between the
+    * assignment expression and the probe-side local frame so the
+    * centroid selection's corpus scan runs exactly once. */
+  private def collectCentroids(centroids: DataFrame)
+      : (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    val sel = centroids
       .select(col("centroid_id"), col("__cemb").cast("array<double>"))
-      .collect()
-    require(rows.nonEmpty, "ivfAssign: empty centroid set")
-    val sortedRows = rows.sortWith((x, y) => compareId(x.get(0), y.get(0)) < 0)
+    val rows = sel.collect()
+    require(rows.nonEmpty, "empty centroid set")
+    (rows.sortWith((x, y) => compareId(x.get(0), y.get(0)) < 0), sel.schema)
+  }
+
+  private def assignWithRows(corpus: DataFrame, cId: String, embCol: String,
+      sortedRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     val mat = sortedRows.map(_.getSeq[Double](1).toArray)
     val ids = sortedRows.map(_.get(0))
     val idArray = array(ids.map(lit(_)).toSeq: _*)
@@ -261,16 +273,23 @@ object AnnSearch {
       nprobe: Int = 4): DataFrame = {
     require(nprobe > 0)
     val nc = if (centroids > 0) centroids else centroidsFor(corpus.count())
-    val cents = ivfCentroids(corpus, cId, embCol, nc)
-    val assigned = ivfAssign(corpus, cId, embCol, cents)
-    // per-query probe list: nprobe nearest centroids (queries are
-    // small by contract — the window partitions are nc rows)
+    val (centRows, centSchema) =
+      collectCentroids(ivfCentroids(corpus, cId, embCol, nc))
+    val assigned = assignWithRows(corpus, cId, embCol, centRows)
+    // per-query probe list: nprobe nearest centroids, scored against
+    // a LOCAL frame of the already-collected rows — re-using the
+    // centroid DataFrame here would re-run its full-corpus
+    // TakeOrdered for the broadcast (queries are small by contract —
+    // the window partitions are nc rows)
+    val centLocal = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), centSchema)
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("__pc").desc, col("centroid_id"))
     val probes = queries.select(col(qId).as("qid"), col(embCol).as("__qe"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centLocal))
       .withColumn("__pc",
-        floor(cosine(col("__cemb"), col("__qe")) * 1000000L).cast("long"))
+        floor(cosine(col("__cemb"), col("__qe").cast("array<double>"))
+          * 1000000L).cast("long"))
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)
       .select(col("qid"), col("__qe"), col("centroid_id").as("bucket"))

@@ -194,20 +194,23 @@ object NGram {
       val base = both.select(
         stepCols ++ Seq(col("__gidx"), anchored.as("__q")): _*)
         .filter(col("__q"))
-      // greedy selection over qualifying POSITIONS only (8 bytes
-      // each): pick the first, skip its L rows, repeat — inherently
-      // sequential (every pick depends on all prior), so this is the
-      // one bounded single-task step
-      val picked = base.select(col("__gidx")).as[Long]
+      // greedy selection over qualifying POSITIONS only: pick the
+      // first, skip its L rows, repeat — inherently sequential (every
+      // pick depends on all prior), so positions flow through ONE
+      // task; the sort is Spark's external sort (spills) and the
+      // greedy pass is a streaming O(1)-memory fold, never a
+      // buffered array of all anchors
+      val picked = base.select(col("__gidx"))
         .repartition(1)
+        .sortWithinPartitions(col("__gidx"))
+        .as[Long]
         .mapPartitions { it =>
-          val sorted = it.toArray.sorted
-          val out = scala.collection.mutable.ArrayBuffer[Long]()
           var nextAllowed = Long.MinValue
-          sorted.foreach { g =>
-            if (g >= nextAllowed) { out += g; nextAllowed = g + L }
+          it.filter { g =>
+            val take = g >= nextAllowed
+            if (take) nextAllowed = g + L
+            take
           }
-          out.iterator
         }.toDF("__gidx")
       base.join(picked, Seq("__gidx"), "left_semi").drop("__gidx", "__q")
     }

@@ -67,16 +67,19 @@ object Sampling {
         .as("order_corr"))
 
   /** The EXACT integer moments behind [[shuffleQuality]]'s Pearson
-    * correlation — (n, Σx, Σy, Σxy, Σx², Σy²) over (key, position)
-    * as BIGINTs. Integer sums are addition-order-invariant, so the
-    * analysis is reproducible bit-for-bit on any engine/partitioning
-    * (the float `corr` is not — its summation order varies); the
-    * caller derives r = (nΣxy − ΣxΣy) / √(nΣx²−(Σx)²) / √(nΣy²−(Σy)²)
-    * driver-side. Requires an integral key column. */
+    * correlation — (n, Σx, Σy, Σxy, Σx², Σy²) over (key, position).
+    * Integer sums are addition-order-invariant, so the analysis is
+    * reproducible bit-for-bit on any engine/partitioning (the float
+    * `corr` is not — its summation order varies); the caller derives
+    * r = (nΣxy − ΣxΣy) / √(nΣx²−(Σx)²) / √(nΣy²−(Σy)²) driver-side.
+    * Sums accumulate in DECIMAL(38,0): Σy² ≈ n³/3 blows past a long
+    * at only ~3M rows, far below the scale this operator targets —
+    * 38 digits holds to ~10¹² rows. Requires an integral key. */
   def shuffleQualityMoments(df: DataFrame, keyCol: String,
       seed: Long): DataFrame = {
-    val x = col(keyCol).cast("long")
-    val y = col("pos")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(keyCol).cast("long").cast(dec)
+    val y = col("pos").cast(dec)
     withShufflePosition(df, keyCol, seed).agg(
       count(lit(1)).as("n"),
       sum(x).as("sx"), sum(y).as("sy"),

@@ -14,28 +14,32 @@ import org.apache.spark.sql.functions._
   * instead of one. Join semantics are identical to the unsalted
   * equi-join; the salt is internal and dropped from the output.
   *
-  * The salt is `pmod(monotonically_increasing_id(), factor)` — a
-  * per-partition row counter, so a hot key's rows round-robin over
-  * all `factor` buckets with zero per-row hashing work (the r3 form
-  * hashed EVERY column of the large side per row, which on a
-  * 100-column table pays wide-row hashing for nothing: the salt only
-  * needs to spread rows, any row-distinguishing value does).
-  * Deterministic under task replay — the counter is a function of
-  * the replayed partition's content, the same property the whole-row
-  * hash had.
+  * The salt must be a pure function of row CONTENT, never of row
+  * order: the salted join shuffles on (key, salt), and if an
+  * upstream map task is retried mid-shuffle an order-dependent salt
+  * (partition counters, monotonically_increasing_id) could re-assign
+  * rows to different reducers than the ones that already fetched the
+  * first attempt's blocks — duplicated or lost join rows. So the
+  * salt is `pmod(xxhash64(saltCols), factor)`: pass one cheap
+  * row-distinguishing column (an id, a line number) as `saltCols` to
+  * avoid hashing wide rows; the default hashes every column, which
+  * is always safe (a 100-column table pays wide-row hashing — name a
+  * disambiguator to skip it).
   */
 object Skew {
 
   /** Inner equi-join `large ⋈ small` on `keys`, salted `factor` ways.
     * `small` is replicated `factor`× (use only when small ≪ large —
     * the same precondition as a broadcast join, relaxed by factor).
-    * Filter `large` BEFORE calling: the (nondeterministic) salt
-    * column is a pushdown barrier for predicates added afterwards. */
+    * `saltCols`: columns whose hash spreads a hot key's rows — one
+    * cheap row-distinguishing column is enough; empty (default)
+    * hashes the whole row (safe for any table). */
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
-      factor: Int): DataFrame = {
+      factor: Int, saltCols: Seq[String] = Nil): DataFrame = {
     require(factor >= 1, s"salt factor $factor")
     require(keys.nonEmpty, "need join keys")
-    val saltL = pmod(monotonically_increasing_id(), lit(factor.toLong))
+    val hashed = if (saltCols.nonEmpty) saltCols else large.columns.toSeq
+    val saltL = pmod(xxhash64(hashed.map(large(_)): _*), lit(factor.toLong))
     val l = large.withColumn("__salt", saltL)
     val s = small.crossJoin(
       org.apache.spark.sql.functions.broadcast(

@@ -108,10 +108,16 @@ final case class GraftRead private (
                   else reader0
     val storage = reader1.parquet(files: _*)
 
-    // 2. schema: stored or inferred (dataset_metadata.py:410-418);
-    //    all present sidecars must agree across stores
+    // 2. schema: stored or inferred (dataset_metadata.py:410-418).
+    //    Multi-store: ALL stores must have sidecars (each checked to
+    //    agree) or NONE (inferred) — a sidecar-less plain store mixed
+    //    with a codec-bearing one would silently have the codec
+    //    schema applied to bytes that were never encoded with it
     val sidecars = urls.flatMap(u =>
       Materialize.loadSchema(spark, u).map(u -> _))
+    require(sidecars.isEmpty || sidecars.length == urls.length,
+      s"mixed stores: ${sidecars.length} of ${urls.length} have a " +
+        "schema sidecar — all must, or none (plain parquet)")
     sidecars.drop(1).foreach { case (u, s) =>
       require(s.toJson == sidecars.head._2.toJson,
         s"store schemas disagree: $u vs ${sidecars.head._1}")

@@ -52,6 +52,19 @@ class WinnowSpec extends SparkSpec {
     assert(empty.length == 1) // md5("") gram — defined, not a crash
   }
 
+  test("grams count codepoints, not UTF-16 units (non-BMP safe)") {
+    // U+1F600 is a surrogate pair in UTF-16 but ONE character to a
+    // SQL engine's substr/length — gram boundaries must agree
+    val emoji = new String(Character.toChars(0x1F600))
+    val text = s"abc${emoji}defghijklm"
+    val Seq(a) = fp(text)
+    assert(a.nonEmpty)
+    // 14 codepoints → 7 grams → 4 windows; UTF-16 indexing would
+    // see 15 units and build a different (possibly split-surrogate) set
+    val codepoints = text.codePointCount(0, text.length)
+    assert(codepoints == 14 && text.length == 15)
+  }
+
   test("case-normalized and SQL-registered") {
     val Seq(a, b) = fp("Mixed CASE Document Text Here", "mixed case document text here")
     assert(a == b)

@@ -105,10 +105,16 @@ class SamplingTransformSpec extends SparkSpec {
       .select("rid", "k", "label").as[(Long, Long, String)]
       .collect().sortBy(r => (r._1, r._3)).toSeq
     assert(salted == plain)
-    // the hot key's rows really do carry every salt bucket: the
-    // per-partition counter round-robins them over all 8
+    // a named cheap disambiguator gives identical results without
+    // hashing the whole row
+    val narrow = Skew.saltedJoin(large, small, Seq("k"), factor = 8,
+      saltCols = Seq("rid"))
+      .select("rid", "k", "label").as[(Long, Long, String)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(narrow == plain)
+    // the hot key's rows really do spread over many salt buckets
     val salts = large.filter($"k" === 99)
-      .withColumn("s", pmod(monotonically_increasing_id(), lit(8L)))
+      .withColumn("s", pmod(xxhash64($"rid"), lit(8L)))
       .select("s").distinct().count()
     assert(salts == 8)
     val hist = Skew.keyHistogram(large, Seq("k"), topK = 1)

@@ -150,6 +150,13 @@ class LifecycleSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       GraftRead.reader(spark, Seq(uA, uC)).load())
     assert(ex.getMessage.contains("store schemas disagree"))
+    // a sidecar-less plain store mixed with a codec store is refused —
+    // adopting the codec schema for never-encoded bytes would be wrong
+    val uD = scratch("multistore-plain")
+    spark.range(5).toDF("id").write.mode("overwrite").parquet(uD)
+    val exMixed = intercept[IllegalArgumentException](
+      GraftRead.reader(spark, Seq(uA, uD)).load())
+    assert(exMixed.getMessage.contains("mixed stores"))
   }
 
   test("plain parquet store reads via inferred schema (S4/make_batch_reader)") {
