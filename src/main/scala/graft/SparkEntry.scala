@@ -314,6 +314,14 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- SimHash near-dup pairs (banded hamming, LLM-ops) ----
+    "q50_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions) // q21 doc
+      NearDedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- Winnowing rolling-hash fingerprints (copy detection) ----
     // Set summarized as scalars (count / min / max / sum) — the
     // driver compare wants flat columns; values are md5-derived so
@@ -926,6 +934,30 @@ object SparkEntry {
         |SELECT p.id_a, p.id_b,
         |  CAST(floor(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)) * 1000000) AS BIGINT) AS jaccard_m
         |FROM pairs p JOIN t sa ON p.id_a = sa.doc_id JOIN t sb ON p.id_b = sb.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q50_simhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |    tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(32), j ->
+        |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+        |           THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS sh
+        |  FROM t
+        |), bands AS (
+        |  SELECT doc_id, sh, unnest(list_transform(range(4), b ->
+        |    b::VARCHAR || '|' || ((sh >> (b*8)) % 256)::VARCHAR)) AS band_key
+        |  FROM s
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |  FROM bands a JOIN bands b USING (band_key)
+        |  WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q48_winnow_fingerprint" ->

@@ -214,6 +214,41 @@ object NearDedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs — the banded scale shape for the
+    * hamming metric: the 32-bit simhash splits into 4 byte-bands;
+    * two hashes within hamming distance ≤ 3 differ in at most 3 bits,
+    * so by pigeonhole at least ONE band is untouched and the pair
+    * meets in that band's bucket — candidates come from a hash
+    * self-join on band keys (never all-pairs), then the exact hamming
+    * filter verifies. `maxHamming` must stay < 4 to keep the
+    * guarantee; `maxBucket` caps pathological buckets exactly like
+    * [[candidatePairs]]. Output: (id_a, id_b, hamming), id_a < id_b. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"banded simhash guarantees recall only for hamming < 4 (got $maxHamming)")
+    val sh = simhash(df, idCol, textCol)
+    val bands = array((0 until 4).map(b =>
+      concat(lit(s"$b|"),
+        (shiftright(col("simhash"), b * 8) % 256).cast("string"))): _*)
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(bands).as("band_key"))
+    val bucketCount = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("band_key")))
+    val capped = banded.withColumn("__bc", bucketCount)
+      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val a = capped.select(col(idCol).as("id_a"), col("simhash").as("__sa"),
+      col("band_key"))
+    val b = capped.select(col(idCol).as("id_b"), col("simhash").as("__sb"),
+      col("band_key"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("__sa"), col("__sb")).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member
     * of the dedup family: candidates are same-LSH-bucket rows (random
     * hyperplanes, [[AnnSearch.bucketOf]]), verified by exact cosine ≥

@@ -103,6 +103,23 @@ class NearDedupSpec extends SparkSpec {
       minCosM = 0L, planes = 2, dim = 8, maxBucket = 100).count() == 0)
   }
 
+  test("simhashNearDups: banded candidates find exact/near pairs; guarantee holds") {
+    val pairs = NearDedup.simhashNearDups(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.exists { case (a, b, h) => (a, b) == (1L, 4L) && h == 0 })
+    assert(pairs.forall(_._3 <= 3)) // verify stage semantic
+    // pigeonhole guarantee: ANY pair within hamming 3 must surface —
+    // force one by giving two docs identical token multisets shuffled
+    val forced = Seq((100L, "alpha beta gamma delta epsilon"),
+      (200L, "epsilon delta gamma beta alpha")).toDF("doc_id", "text")
+    val f = NearDedup.simhashNearDups(forced, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(f == Set((100L, 200L, 0))) // order-free hash → identical
+    // maxHamming >= 4 breaks the banding guarantee and is refused
+    intercept[IllegalArgumentException](
+      NearDedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 4))
+  }
+
   test("simhash: equal for identical text, hamming 0; different for unrelated") {
     val sh = docs.select($"doc_id", NearDedup.simhash32($"text").as("s"))
       .orderBy("doc_id").as[(Long, Long)].collect().map(x => x._1 -> x._2).toMap
