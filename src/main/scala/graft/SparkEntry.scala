@@ -322,6 +322,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Transitive dedup clusters over the near-dup pair graph ----
+    // Pairwise near-dup relations are not transitive; the actionable
+    // unit is the connected component. Pairs come from the q50 banded
+    // SimHash graph; clusters() is O(log diameter) rounds of
+    // hash-shuffled joins (min-label + pointer jumping), nothing
+    // driver-side. keep=1 marks the canonical (min-id) survivor.
+    "q51_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions) // q21 doc
+      val pairs = NearDedup.simhashNearDups(docs, "doc_id", "text",
+        maxHamming = 3)
+      Dedup.clusterAssignments(pairs, docs, "doc_id")
+        .select(col("doc_id"), col("cluster_id"),
+          col("keep").cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Winnowing rolling-hash fingerprints (copy detection) ----
     // Set summarized as scalars (count / min / max / sum) — the
     // driver compare wants flat columns; values are md5-derived so
@@ -959,6 +976,43 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // connected components over the q50 pair graph: transitive
+    // closure to smaller-reachable ids (min over reachable = cluster)
+    "q51_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |    tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(32), j ->
+        |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+        |           THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS sh
+        |  FROM t
+        |), bands AS (
+        |  SELECT doc_id, sh, unnest(list_transform(range(4), b ->
+        |    b::VARCHAR || '|' || ((sh >> (b*8)) % 256)::VARCHAR)) AS band_key
+        |  FROM s
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b USING (band_key)
+        |  WHERE a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.sh, b.sh)) <= 3
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+        |), cc AS (
+        |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+        |  CAST(coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS INT) AS keep
+        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+        |ORDER BY doc_id""".stripMargin,
 
     "q48_winnow_fingerprint" ->
       """WITH g AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -245,8 +245,13 @@ object NearDedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("__sa"), col("__sb")).cast("int").as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so filtering BEFORE
+      // distinct is equivalent — and the distinct shuffle then carries
+      // only near pairs instead of every band collision (a close pair
+      // collides in up to 4 bands; far pairs that happen to share one
+      // band never enter the exchange at all)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs — the vector-space member

@@ -33,6 +33,40 @@ class DedupTextSpec extends SparkSpec {
     assert(out.select("__graft_rn0").distinct().as[Int].collect().toSeq == Seq(99))
   }
 
+  test("clusters finds transitive components with min-id labels") {
+    // two components: chain 1-2-3-4 (transitive, never all directly
+    // paired) and triangle 10-11-12; 7 appears only as a singleton
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L)).toDF("id_a", "id_b")
+    val cc = Dedup.clusters(pairs).as[(Long, Long)].collect().sorted
+    assert(cc.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("clusters converges on a long chain (pointer jumping)") {
+    // a 64-link chain needs ~log2(64) rounds with jumping; maxIter=8
+    // would be exceeded by plain O(diameter) propagation
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.clusters(pairs, maxIter = 8).as[(Long, Long)].collect()
+    assert(cc.length == 64 && cc.forall(_._2 == 1L))
+  }
+
+  test("clusterAssignments covers singletons and flags survivors") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val out = Dedup.clusterAssignments(pairs, ids, "doc_id")
+      .as[(Long, Long, Boolean)].collect().sorted
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
+  }
+
+  test("clusters result is invariant to input partitioning") {
+    val pairs = Seq((5L, 9L), (9L, 2L), (7L, 8L)).toDF("id_a", "id_b")
+    val a = Dedup.clusters(pairs).as[(Long, Long)].collect().sorted.toSeq
+    val b = Dedup.clusters(pairs.repartition(7)).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(a == b && a == Seq(2L -> 2L, 5L -> 2L, 7L -> 7L, 8L -> 7L, 9L -> 2L))
+  }
+
   test("tokenCount / subwordCount / ratios on known strings") {
     val df = Seq("a b  c", "", "ab12!", "  ").map(Tuple1(_)).toDF("text")
     val r = df.select(
