@@ -339,6 +339,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Per-doc top terms with corpus document frequency ----
+    // Integer-exact TF-IDF core: explode → two hash aggs → vocab join
+    // → WindowGroupLimit top-k per doc (never a full per-doc sort).
+    "q52_top_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions) // q21 doc
+      TextAnalysis.topTerms(docs, "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // ---- Benchmark decontamination (shingle containment) ----
+    // The eval set is simulated as every 97th doc; contamination is
+    // exact ppm by integer division (cross-engine reproducible).
+    "q53_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions) // q21 doc
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      NearDedup.contamination(docs, "doc_id", "text",
+        bench, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Deterministic stratified sampling (per-lang top-k) ----
+    "q54_stratified" -> ((s, dir) => {
+      Sampling.stratified(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", k = 40, seed = 7)
+        .orderBy(col("lang"), col("samp_rank"))
+    }),
+
     // ---- Winnowing rolling-hash fingerprints (copy detection) ----
     // Set summarized as scalars (count / min / max / sum) — the
     // driver compare wants flat columns; values are md5-derived so
@@ -1013,6 +1043,54 @@ object SparkEntry {
         |  CAST(coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS INT) AS keep
         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
         |ORDER BY doc_id""".stripMargin,
+
+    "q52_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tc GROUP BY term
+        |), ranked AS (
+        |  SELECT tc.doc_id, tc.term, tc.tf, d.df,
+        |    row_number() OVER (PARTITION BY tc.doc_id ORDER BY tc.tf DESC, tc.term) AS rank
+        |  FROM tc JOIN dfreq d USING (term)
+        |)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q53_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM t
+        |), bench AS (
+        |  SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+        |), tot AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_shingles FROM ex GROUP BY doc_id
+        |), hit AS (
+        |  SELECT ex.doc_id, count(*)::BIGINT AS n_contaminated
+        |  FROM ex JOIN bench USING (s) GROUP BY ex.doc_id
+        |)
+        |SELECT tot.doc_id, tot.n_shingles,
+        |  coalesce(hit.n_contaminated, 0)::BIGINT AS n_contaminated,
+        |  (coalesce(hit.n_contaminated, 0)::BIGINT * 1000000 // tot.n_shingles) AS contam_ppm
+        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    "q54_stratified" ->
+      """SELECT doc_id, lang, CAST(samp_rank AS INT) AS samp_rank FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('7:' || doc_id::VARCHAR), doc_id) AS samp_rank
+        |  FROM documents)
+        |WHERE samp_rank <= 40
+        |ORDER BY lang, samp_rank""".stripMargin,
 
     "q48_winnow_fingerprint" ->
       """WITH g AS (SELECT doc_id, lower(text) AS t FROM documents),

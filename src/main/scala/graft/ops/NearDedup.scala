@@ -58,7 +58,7 @@ object NearDedup {
     * shingle pipeline. Deserializing to objects forces exactly one
     * materialization of the array per input row; the flatMap itself
     * is plain iterator code, still fully parallel, no shuffle. */
-  private def explodeStrings(df: DataFrame, idCol: String,
+  private[ops] def explodeStrings(df: DataFrame, idCol: String,
       arrCol: String, outCol: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -252,6 +252,40 @@ object NearDedup {
       // band never enter the exchange at all)
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Benchmark decontamination: per-document shingle containment
+    * against a benchmark corpus — the standard pre-training
+    * decontamination check (flag or drop training documents that
+    * overlap an evaluation set). For every corpus doc: its distinct
+    * shingle count, how many of those shingles occur anywhere in the
+    * benchmark, and the contamination rate in exact ppm (integer
+    * `div` — no float division, so the number is reproducible on any
+    * engine). Output: (idCol, n_shingles, n_contaminated, contam_ppm).
+    *
+    * Scale shape: both sides shingle + explode exactly once (the
+    * typed-flatMap explode, see [[explodeStrings]]); the benchmark
+    * collapses to a distinct shingle set that is typically tiny
+    * relative to the corpus (eval sets are small), so AQE broadcasts
+    * the semi-join — otherwise it hash-shuffles on the shingle value.
+    * Nothing ever compares documents pairwise. */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val ex = explodeStrings(shingleSets(df, idCol, textCol, shingleN),
+      idCol, "sh", "__s")
+    val bench = explodeStrings(
+      shingleSets(benchmark, benchIdCol, benchTextCol, shingleN),
+      benchIdCol, "sh", "__s")
+      .select(col("__s")).distinct()
+    val totals = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = ex.join(bench, Seq("__s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contam_ppm",
+        expr("n_contaminated * 1000000 div n_shingles"))
   }
 
   /** Embedding-cosine near-duplicate pairs — the vector-space member

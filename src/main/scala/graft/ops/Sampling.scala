@@ -58,6 +58,26 @@ object Sampling {
       .drop("__sk", "__idx")
   }
 
+  /** Deterministic stratified sample: at most `k` rows per stratum,
+    * chosen by md5-permutation rank within the stratum — the same
+    * rows survive on any engine, partitioning, or cluster size (the
+    * portable form of per-class balanced sampling for training
+    * mixes). Attaches `rankCol` (1-based int).
+    *
+    * Scale shape: Spark plans the rank filter as WindowGroupLimit —
+    * every task keeps only its local top-k per stratum BEFORE the
+    * shuffle, so a 100 TB corpus shuffles at most k·strata·tasks
+    * rows, never the corpus. A skewed stratum therefore costs its
+    * mappers, not one reducer. */
+  def stratified(df: DataFrame, strataCol: String, keyCol: String, k: Int,
+      seed: Long = 0, rankCol: String = "samp_rank"): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(permutationKey(col(keyCol), seed), col(keyCol))
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
   /** A4 parity (test_util/shuffling_analysis.py:52-109): Pearson
     * correlation between the key order and its shuffled position —
     * ~0 for a good shuffle, 1.0 for unshuffled. */

@@ -160,6 +160,51 @@ object TextAnalysis {
     graft.functions.GraftFunctions.column(graft.codecs.WinnowFingerprint(
       graft.functions.GraftFunctions.expr(lower(text)), k, w))
 
+  // ---- corpus term statistics (TF / DF / top terms) ----
+
+  /** (id, term, tf): per-document alpha-token frequencies. The token
+    * array is materialized behind a projection boundary and exploded
+    * as a plain column reference (a Generate over the building
+    * expression would re-evaluate it per output element — the r3
+    * lesson), then one hash agg on (id, term) with map-side partial
+    * combine. */
+  def termCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), alphaTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** (term, df): corpus document frequency — in how many documents
+    * each distinct term appears. [[termCounts]] rows are already
+    * distinct per (doc, term), so this is one shuffle agg on term. */
+  def docFrequency(tc: DataFrame): DataFrame =
+    tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Per-document top-`k` terms by raw frequency, with each term's
+    * corpus document frequency attached — the integer-exact core of
+    * TF-IDF keyword ranking. The float idf multiply (ln(N/df)) is
+    * deliberately left to the caller: `ln` is libm-dependent and
+    * would break cross-engine reproducibility, while (tf, df) carry
+    * the same information exactly.
+    *
+    * Scale shape: explode → two hash aggs (map-side combine) → join
+    * on term (the df table is vocabulary-sized — AQE broadcasts it
+    * when small enough, else hash join) → per-doc top-k ranking that
+    * Spark plans as WindowGroupLimit: each task keeps a local top-k
+    * per doc before the shuffle, so the window never materializes a
+    * full per-doc sort of the corpus. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0)
+    val tc = termCounts(df, idCol, textCol)
+    val dfq = docFrequency(tc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tf").desc, col("term"))
+    tc.join(dfq, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "is", "was", "that", "with", "this", "have"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),

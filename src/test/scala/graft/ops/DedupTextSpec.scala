@@ -67,6 +67,34 @@ class DedupTextSpec extends SparkSpec {
     assert(a == b && a == Seq(2L -> 2L, 5L -> 2L, 7L -> 7L, 8L -> 7L, 9L -> 2L))
   }
 
+  test("topTerms ranks by tf with corpus df attached, ties by term") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry apple banana"),
+      (2L, "banana cherry"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.topTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Long, Long)].collect().sorted.toSeq
+    assert(out == Seq(
+      (1L, 1, "apple", 3L, 1L), (1L, 2, "banana", 2L, 2L),
+      (2L, 1, "banana", 1L, 2L), (2L, 2, "cherry", 1L, 2L)))
+  }
+
+  test("contamination measures shingle containment in exact ppm") {
+    val corpus = Seq(
+      (1L, "a b c d"), // shingles: "a b c", "b c d"
+      (2L, "x y z w"), // disjoint from the benchmark
+      (3L, "a b c x")) // "a b c" contaminated, "b c x" clean
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    val out = NearDedup.contamination(corpus, "doc_id", "text",
+      bench, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 0L, 0L),
+      (3L, 2L, 1L, 500000L)))
+  }
+
   test("tokenCount / subwordCount / ratios on known strings") {
     val df = Seq("a b  c", "", "ab12!", "  ").map(Tuple1(_)).toDF("text")
     val r = df.select(

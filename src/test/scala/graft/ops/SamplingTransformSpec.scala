@@ -21,6 +21,28 @@ class SamplingTransformSpec extends SparkSpec {
     assert(kept != otherSeed)
   }
 
+  test("stratified keeps at most k per stratum, deterministically") {
+    val docs = spark.range(300)
+      .select($"id", (($"id" % 3).cast("string")).as("grp"))
+    val s1 = Sampling.stratified(docs, "grp", "id", k = 10, seed = 7)
+    val counts = s1.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 10L) && counts.size == 3)
+    assert(s1.select(max($"samp_rank")).as[Int].head() == 10)
+    // invariant to input partitioning (the determinism contract)
+    val s2 = Sampling.stratified(docs.repartition(13), "grp", "id",
+      k = 10, seed = 7)
+    assert(s1.select("grp", "id").as[(String, Long)].collect().toSet ==
+      s2.select("grp", "id").as[(String, Long)].collect().toSet)
+    // different seed picks a different sample
+    val s3 = Sampling.stratified(docs, "grp", "id", k = 10, seed = 8)
+    assert(s1.select("id").as[Long].collect().toSet !=
+      s3.select("id").as[Long].collect().toSet)
+    // the rank filter is limit-pushed (skewed strata cost mappers,
+    // not one reducer)
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("weightedUnion composes independent samples") {
     val a = df.filter($"id" < 500).withColumn("src", lit("a"))
     val b = df.filter($"id" >= 500).withColumn("src", lit("b"))
