@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, Dedup, NGram, NearDedup, Sampling, TextAnalysis, TransformSpec}
+import graft.ops.{AnnSearch, Dedup, NGram, NearDedup, Packing, Sampling, TextAnalysis, TransformSpec}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize, RowGroupIndex}
@@ -367,6 +367,16 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "lang", "doc_id", k = 40, seed = 7)
         .orderBy(col("lang"), col("samp_rank"))
+    }),
+
+    // ---- Sequence packing (concat-and-chunk, distributed scan) ----
+    // Global exclusive prefix sum of n_chars under doc_id order via
+    // the range-shuffle scan — never a single-partition window.
+    "q55_pack" -> ((s, dir) => {
+      Packing.packed(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("doc_id")), "n_chars", chunkTokens = 4096L)
+        .orderBy(col("doc_id"))
     }),
 
     // ---- Winnowing rolling-hash fingerprints (copy detection) ----
@@ -1091,6 +1101,18 @@ object SparkEntry {
         |  FROM documents)
         |WHERE samp_rank <= 40
         |ORDER BY lang, samp_rank""".stripMargin,
+
+    "q55_pack" ->
+      """SELECT doc_id, n_chars, tok_start,
+        |  tok_start // 4096 AS chunk_id,
+        |  tok_start % 4096 AS chunk_off
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    coalesce(CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS tok_start
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q48_winnow_fingerprint" ->
       """WITH g AS (SELECT doc_id, lower(text) AS t FROM documents),

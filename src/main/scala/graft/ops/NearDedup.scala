@@ -278,12 +278,15 @@ object NearDedup {
       shingleSets(benchmark, benchIdCol, benchTextCol, shingleN),
       benchIdCol, "sh", "__s")
       .select(col("__s")).distinct()
-    val totals = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    val hits = ex.join(bench, Seq("__s"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
-    totals.join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+    // ONE pass over the corpus shingles: mark membership with a left
+    // join (bench is distinct, so multiplicity is preserved) and take
+    // both counts in a single agg — a separate totals scan would
+    // re-run the whole tokenize+shingle+flatMap pipeline (no exchange
+    // at its top means no ReusedExchange to share it).
+    ex.join(bench.withColumn("__hit", lit(1)), Seq("__s"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
       .withColumn("contam_ppm",
         expr("n_contaminated * 1000000 div n_shingles"))
   }

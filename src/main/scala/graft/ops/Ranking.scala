@@ -38,26 +38,61 @@ object Ranking {
   /** Append a 0-based `outCol: long` global position under the total
     * order `sortCols`. */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
-      outCol: String): DataFrame = {
-    require(sortCols.nonEmpty, "withGlobalIndex needs at least one sort column")
+      outCol: String): DataFrame =
+    withPrefixScan(df, sortCols, outCol)(_ => _ => 1L)
+
+  /** Append the EXCLUSIVE global running total of `valueCol` (long or
+    * int; null counts as 0) under the total order `sortCols`: each
+    * row's `outCol` is the sum of `valueCol` over all strictly
+    * preceding rows — the distributed prefix sum. The scale shape is
+    * identical to [[withGlobalIndex]] (a 0-based index IS the prefix
+    * sum of ones); the classic spelling,
+    * `sum(v).over(Window.orderBy(...))`, is the same single-partition
+    * scale-killer the rank replaces. */
+  def withRunningTotal(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String, outCol: String): DataFrame =
+    withPrefixScan(df, sortCols, outCol) { schema =>
+      val ord = schema.fieldIndex(valueCol)
+      schema.fields(ord).dataType match {
+        case LongType =>
+          r => if (r.isNullAt(ord)) 0L else r.getLong(ord)
+        case org.apache.spark.sql.types.IntegerType =>
+          r => if (r.isNullAt(ord)) 0L else r.getInt(ord).toLong
+        case other => throw new IllegalArgumentException(
+          s"withRunningTotal needs an int/long value column; " +
+            s"$valueCol is $other")
+      }
+    }
+
+  /** The shared scaffold: range shuffle + sort, per-partition partial
+    * totals of `value` (job 1, ≤ one long per partition), broadcast
+    * exclusive offsets, then append `offset + local exclusive prefix`
+    * per row (job 2, same shuffle reused). */
+  private def withPrefixScan(df: DataFrame, sortCols: Seq[Column],
+      outCol: String)(value: StructType =>
+      org.apache.spark.sql.catalyst.InternalRow => Long): DataFrame = {
+    require(sortCols.nonEmpty, "prefix scan needs at least one sort column")
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val rdd = ColumnBridge.internalRdd(sorted)
-    // job 1: per-partition row counts — returns ≤ one long per
+    val rowValue = value(sorted.schema)
+    // job 1: per-partition partial totals — returns ≤ one long per
     // partition (bounded by cluster width, not data size)
-    val counts = rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)),
+    val partials = rdd
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator((pid, it.foldLeft(0L)((a, r) => a + rowValue(r)))),
         preservesPartitioning = true)
       .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _) // offsets(pid) = rows before pid
+    val offsets = partials.scanLeft(0L)(_ + _) // offsets(pid) = total before pid
     val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
-    // job 2: append the running index; shuffle map outputs are reused
-    val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var idx = bc.value(pid) - 1
+    // job 2: append the running value; shuffle map outputs are reused
+    val scanned = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
       val extra = new GenericInternalRow(1)
       val joined = new JoinedRow
       it.map { r =>
-        idx += 1; extra.update(0, idx)
+        extra.update(0, acc)
+        acc += rowValue(r)
         joined(r, extra): org.apache.spark.sql.catalyst.InternalRow
       }
     }
@@ -65,11 +100,12 @@ object Ranking {
       StructField(outCol, LongType, nullable = false))
     // declare the ordering the construction guarantees — rows are
     // range-partitioned + sorted by sortCols (and, within that, by
-    // the dense index). A consumer sorting on a prefix of these keys
-    // (e.g. batch regrouping ordered by its own sort key) then skips
-    // its exchange+sort entirely instead of redoing the one we paid.
+    // the monotone scan column). A consumer sorting on a prefix of
+    // these keys (e.g. batch regrouping ordered by its own sort key)
+    // then skips its exchange+sort entirely instead of redoing the
+    // one we paid.
     val order = ColumnBridge.resolvedSortOrder(sorted)
-    ColumnBridge.internalCreateDataFrame(sorted, indexed, schema, order,
+    ColumnBridge.internalCreateDataFrame(sorted, scanned, schema, order,
       orderTailCols = Seq(outCol), partitionPrefix = sortCols.length)
   }
 }

@@ -89,6 +89,36 @@ class SamplingTransformSpec extends SparkSpec {
     assert(out.agg(sum("y")).as[Long].collect()(0) == 380L)
   }
 
+  test("withRunningTotal is an exclusive prefix sum, any partitioning") {
+    val docs = Seq((1L, 10L), (2L, 0L), (3L, 7L), (4L, 5L))
+      .toDF("id", "w")
+    val out = Ranking.withRunningTotal(docs, Seq($"id"), "w", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq(1L -> 0L, 2L -> 10L, 3L -> 10L, 4L -> 17L))
+    val rep = Ranking.withRunningTotal(docs.repartition(7), Seq($"id"), "w",
+      "cum").select("id", "cum").as[(Long, Long)].collect().sorted.toSeq
+    assert(rep == out)
+    // int value column and null-as-zero
+    val ints = Seq((1L, Some(3)), (2L, None), (3L, Some(4)))
+      .toDF("id", "w")
+    val outI = Ranking.withRunningTotal(ints, Seq($"id"), "w", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().sorted.toSeq
+    assert(outI == Seq(1L -> 0L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("packed assigns chunk ids and offsets from the token stream") {
+    val docs = Seq((1L, 3000L), (2L, 2000L), (3L, 100L), (4L, 5000L))
+      .toDF("id", "n_tok")
+    val out = Packing.packed(docs, Seq($"id"), "n_tok", chunkTokens = 4096L)
+      .select("id", "tok_start", "chunk_id", "chunk_off")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L),       // starts chunk 0
+      (2L, 3000L, 0L, 3000L), // still chunk 0, spans into 1
+      (3L, 5000L, 1L, 904L),
+      (4L, 5100L, 1L, 1004L)))
+  }
+
   test("distributed rank: empty and single-row frames; bijective at size") {
     val empty = Ranking.withGlobalIndex(
       spark.range(0).toDF("id"), Seq(col("id")), "idx")
