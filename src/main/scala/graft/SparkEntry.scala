@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, Dedup, NGram, NearDedup, Packing, Sampling, TextAnalysis, TransformSpec}
+import graft.ops.{AnnSearch, AsOf, Dedup, NGram, NearDedup, Packing, RangeJoin, Sampling, Sketch, TextAnalysis, TransformSpec}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize, RowGroupIndex}
@@ -377,6 +377,55 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         Seq(col("doc_id")), "n_chars", chunkTokens = 4096L)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Backward as-of join (purchases ← latest prior view) ----
+    // Union-sweep spelling: one hash shuffle on user_id + a running
+    // window — no range self-join, no per-row subquery.
+    "q56_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .drop("event_type")
+      val views = ev.filter(col("event_type") === "view").drop("event_type")
+      AsOf.asofBackward(purchases, views, Seq("user_id"), "ts_us", "ts_us",
+        Seq("event_id"))
+        // no-match → -1 (NaN-free compare across engines)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"),
+          coalesce(col("asof_ts"), lit(-1L)).as("asof_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- Range (interval-containment) join via bin bucketing ----
+    // Points = one week of order days; intervals = deterministic ship
+    // windows [shipday, shipday + linenumber*5]. The bin equi-join
+    // replaces Spark's broadcast-nested-loop plan for range joins.
+    "q57_range_join" -> ((s, dir) => {
+      // timestamps are NTZ: go through the wall-clock DATE (tz-free)
+      def days(c: Column): Column =
+        datediff(c.cast("date"), lit("1970-01-01").cast("date"))
+      val pts = t(s, dir, "orders")
+        .select(col("o_orderkey"), days(col("o_orderdate")).as("d"))
+        .filter(col("d").between(9190, 9196)) // 1995-03-01 .. 03-07
+      val iv = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          days(col("l_shipdate")).as("lo"))
+        .withColumn("hi", (col("lo") + col("l_linenumber") * 5).cast("int"))
+      RangeJoin.byBins(pts, "d", iv.select("l_orderkey", "lo", "hi"),
+        "lo", "hi", binSize = 16)
+        .groupBy(col("o_orderkey"), col("d"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- KMV distinct-count sketch (deterministic bottom-k) ----
+    "q58_kmv_sketch" -> ((s, dir) => {
+      Sketch.kmvEstimate(t(s, dir, "events"), Seq("event_type"), "user_id",
+        k = 64)
+        .orderBy(col("event_type"))
     }),
 
     // ---- Winnowing rolling-hash fingerprints (copy detection) ----
@@ -1113,6 +1162,69 @@ object SparkEntry {
         |      0) AS tok_start
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q56_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), u AS (
+        |  SELECT user_id, ts_us AS o_ts, 1 AS tag, event_id, ts_us,
+        |    NULL::BIGINT AS p_ev, NULL::BIGINT AS p_ts
+        |  FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 0, NULL, NULL, event_id, ts_us
+        |  FROM ev WHERE event_type = 'view'
+        |), w AS (
+        |  SELECT user_id, tag, event_id, ts_us,
+        |    last_value(p_ev IGNORE NULLS) OVER win AS asof_event_id,
+        |    last_value(p_ts IGNORE NULLS) OVER win AS asof_ts
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY o_ts, tag, p_ev
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, event_id, ts_us,
+        |  coalesce(asof_event_id, -1) AS asof_event_id,
+        |  coalesce(asof_ts, -1) AS asof_ts
+        |FROM w WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q57_range_join" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS d
+        |  FROM orders
+        |  WHERE CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)
+        |    BETWEEN 9190 AND 9196
+        |), iv AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS INT) AS lo,
+        |    CAST(CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS INT)
+        |      + l_linenumber * 5 AS INT) AS hi
+        |  FROM lineitem
+        |)
+        |SELECT p.o_orderkey, p.d, count(*)::BIGINT AS n_windows,
+        |  CAST(sum(i.l_orderkey) AS BIGINT) AS sum_ok
+        |FROM pts p JOIN iv i ON p.d BETWEEN i.lo AND i.hi
+        |GROUP BY p.o_orderkey, p.d
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q58_kmv_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS kmv_hash
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, kmv_hash,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY kmv_hash) AS rk
+        |  FROM h
+        |), s AS (
+        |  SELECT event_type, count(*)::BIGINT AS kmv_n, max(kmv_hash) AS kth_min
+        |  FROM r WHERE rk <= 64 GROUP BY event_type
+        |)
+        |SELECT event_type, kmv_n, kth_min,
+        |  CASE WHEN kmv_n < 64 THEN kmv_n
+        |       ELSE CAST((63::HUGEINT * 1152921504606846976) // kth_min AS BIGINT)
+        |  END AS est_distinct
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q48_winnow_fingerprint" ->
       """WITH g AS (SELECT doc_id, lower(text) AS t FROM documents),

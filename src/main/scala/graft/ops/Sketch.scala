@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values (KMV) distinct-count sketch, md5-keyed — the
+  * deterministic member of the cardinality-sketch family (Bar-Yossef
+  * et al. 2002; the bottom-k form of theta sketches). Every value
+  * hashes to a 60-bit integer (first 15 hex chars of md5), a group's
+  * sketch is its k smallest DISTINCT hashes, and the estimator is
+  * `(k-1) · 2^60 / kth_min` — the k-th minimum of n uniform draws
+  * sits near `k/n` of the range.
+  *
+  * Why KMV and not HLL here: the sketch is a pure function of the
+  * value SET — no RNG, no register layout — so the same data gives
+  * the same sketch on any engine, partitioning, or cluster size
+  * (byte-for-byte reproducible, DuckDB-oracle-checkable), and two
+  * sketches merge by unioning hash sets and re-taking the k smallest.
+  *
+  * Scale shape: hashes are codegen'd scan work; the k-smallest per
+  * group is `row_number` over the hash order, which Spark plans as
+  * WindowGroupLimit — every task keeps a local bottom-k per group
+  * before the shuffle, so the exchange carries at most k·groups·tasks
+  * rows, never the corpus.
+  */
+object Sketch {
+
+  /** 60-bit md5-derived hash of a value (non-negative long). */
+  def hash60(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Bottom-k sketch rows per group: (groupCols*, kmv_rank, kmv_hash)
+    * with kmv_rank in 1..k over distinct hashes ascending. The rows
+    * ARE the mergeable sketch (union two groups' rows, re-rank, keep
+    * k). */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    require(k > 1, s"k must be > 1 (got $k)")
+    val hashed = df
+      .select(groupCols.map(col) :+ hash60(col(valueCol)).as("kmv_hash"): _*)
+      .distinct() // distinct VALUES per group — a sketch of the set
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("kmv_hash"))
+    hashed.withColumn("kmv_rank", row_number().over(w))
+      .filter(col("kmv_rank") <= k)
+      .select(groupCols.map(col) ++ Seq(col("kmv_rank"), col("kmv_hash")): _*)
+  }
+
+  /** Per-group distinct-count estimates from the bottom-k sketch:
+    * (groupCols*, kmv_n, kth_min, est_distinct). Groups with fewer
+    * than k distinct values are EXACT (kmv_n < k → the sketch is the
+    * whole set, estimate = kmv_n). The estimate is integer-derived
+    * (`(k-1) · 2^60 div kth_min`) so it reproduces across engines. */
+  def kmvEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    // (k-1)·2^60 overflows a long; precompute it as a DECIMAL(38,0)
+    // literal and use integral `div` — exact truncating division, no
+    // decimal-scale rounding that could differ from the oracle's
+    // HUGEINT floor division (values are positive: trunc == floor)
+    val numer = java.math.BigDecimal.valueOf(k - 1L)
+      .multiply(java.math.BigDecimal.valueOf(1152921504606846976L)) // 2^60
+    kmvSketch(df, groupCols, valueCol, k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("kmv_n"), max(col("kmv_hash")).as("kth_min"))
+      .withColumn("est_distinct",
+        when(col("kmv_n") < k, col("kmv_n")).otherwise(
+          expr(s"CAST('$numer' AS DECIMAL(38,0)) div kth_min")))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class JoinSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofBackward picks the latest right row at or before each left ts") {
+    val left = Seq((100L, 1L, 10L), (101L, 1L, 5L), (102L, 2L, 7L),
+      (103L, 3L, 4L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((900L, 1L, 5L), (901L, 1L, 8L), (902L, 1L, 11L),
+      (903L, 2L, 9L)).toDF("event_id", "user_id", "ts")
+    val out = AsOf.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+      Seq("event_id"))
+      .select("event_id", "asof_event_id", "asof_ts")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (100L, Some(901L), Some(8L)), // ts10: latest prior is ts8
+      (101L, Some(900L), Some(5L)), // equal ts matches (<= semantics)
+      (102L, None, None), // user2's only right row is later
+      (103L, None, None))) // user3 has no right rows
+  }
+
+  test("asofBackward breaks right-ts ties by payload order (max id wins)") {
+    val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, 1L, 10L), (9L, 1L, 10L), (8L, 1L, 10L))
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOf.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+      Seq("event_id")).select("asof_event_id").as[Long].head()
+    assert(out == 9L)
+  }
+
+  test("byBins matches naive containment; inverted intervals dropped") {
+    val pts = Seq((1L, 5L), (2L, 16L), (3L, 33L), (4L, -7L)).toDF("pid", "v")
+    val iv = Seq((10L, 0L, 10L), (11L, 4L, 40L), (12L, 20L, 2L),
+      (13L, -10L, -1L)).toDF("iid", "lo", "hi") // 12 is inverted
+    val got = RangeJoin.byBins(pts, "v", iv, "lo", "hi", binSize = 8)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 11L), (3L, 11L), (4L, 13L)))
+    // no duplicate pairs even when an interval spans many bins
+    val wide = Seq((20L, 0L, 100L)).toDF("iid", "lo", "hi")
+    val dup = RangeJoin.byBins(pts.filter($"v" === 5L), "v", wide,
+      "lo", "hi", binSize = 4)
+    assert(dup.count() == 1L)
+  }
+
+  test("kmv sketch: exact below k, bounded error above, mergeable") {
+    val df = spark.range(3000)
+      .select(($"id" % 5).cast("string").as("g"), $"id".as("v"))
+    val est = Sketch.kmvEstimate(df, Seq("g"), "v", k = 64)
+      .select("g", "kmv_n", "est_distinct").as[(String, Long, Long)]
+      .collect()
+    assert(est.length == 5)
+    est.foreach { case (g, n, e) =>
+      assert(n == 64L, s"group $g kept $n")
+      assert(math.abs(e - 600.0) / 600.0 < 0.35, s"group $g estimate $e")
+    }
+    val small = spark.range(10).select(lit("x").as("g"), $"id".as("v"))
+    val es = Sketch.kmvEstimate(small, Seq("g"), "v", k = 64)
+      .select("kmv_n", "est_distinct").as[(Long, Long)].head()
+    assert(es == ((10L, 10L)))
+    // merging two partial sketches (union, re-rank, keep k) equals
+    // the sketch of the union
+    val a = Sketch.kmvSketch(df.filter($"v" < 1500), Seq("g"), "v", 64)
+    val b = Sketch.kmvSketch(df.filter($"v" >= 1500), Seq("g"), "v", 64)
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"kmv_hash")
+    val remerged = a.unionByName(b).select($"g", $"kmv_hash").distinct()
+      .withColumn("kmv_rank", row_number().over(rw))
+      .filter($"kmv_rank" <= 64)
+      .select("g", "kmv_rank", "kmv_hash")
+      .as[(String, Int, Long)].collect().toSet
+    val direct = Sketch.kmvSketch(df, Seq("g"), "v", 64)
+      .as[(String, Int, Long)].collect().toSet
+    assert(remerged == direct)
+  }
+}
