@@ -428,6 +428,30 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- Streaming windowed agg == batch SQL (parity oracle) ----
+    // The streaming reader + windowed-count pipeline runs as a real
+    // Structured Streaming query (AvailableNow → memory sink,
+    // complete mode) and must produce exactly the batch answer —
+    // the Dataflow-model parity claim, oracle-checked.
+    "q59_stream_windows" -> ((s, dir) => {
+      val src = graft.streaming.GraftStream.reader(s, dir)
+        .glob("events.parquet").load()
+        .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      val agg = graft.streaming.GraftStream.windowedCounts(src, "ts_t",
+        "1 hour", "0 seconds", Seq("event_type"))
+      val name = "graft_q59_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(unix_micros(col("window_start")).as("ws_us"),
+          col("event_type"), col("n"))
+        .orderBy(col("ws_us"), col("event_type"))
+    }),
+
     // ---- Winnowing rolling-hash fingerprints (copy detection) ----
     // Set summarized as scalars (count / min / max / sum) — the
     // driver compare wants flat columns; values are md5-derived so
@@ -1225,6 +1249,13 @@ object SparkEntry {
         |       ELSE CAST((63::HUGEINT * 1152921504606846976) // kth_min AS BIGINT)
         |  END AS est_distinct
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q59_stream_windows" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+        |  event_type, count(*)::BIGINT AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY ws_us, event_type""".stripMargin,
 
     "q48_winnow_fingerprint" ->
       """WITH g AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -35,20 +35,30 @@ object GraftStream {
       url: String,
       fieldSel: Seq[String],
       preds: Seq[Column],
-      maxFilesPerTrigger: Option[Int]) {
+      maxFilesPerTrigger: Option[Int],
+      globFilter: Option[String] = None) {
 
     def fields(selectors: String*): Reader = copy(fieldSel = selectors)
     def predicate(p: RowPredicate): Reader = copy(preds = preds :+ p.toColumn)
     def predicate(c: Column): Reader = copy(preds = preds :+ c)
     /** Bound per-micro-batch file intake (backpressure knob). */
     def maxFiles(n: Int): Reader = copy(maxFilesPerTrigger = Some(n))
+    /** Restrict to files matching `pattern` under `url` — the file
+      * stream source requires a DIRECTORY path, so reading one table
+      * out of a shared landing dir goes through pathGlobFilter. */
+    def glob(pattern: String): Reader = copy(globFilter = Some(pattern))
 
     def load(): DataFrame = {
-      val schema = Materialize.loadSchema(spark, url).getOrElse(
-        GraftSchema.fromStructType("inferred",
-          spark.read.parquet(url).schema))
+      val schema = Materialize.loadSchema(spark, url).getOrElse {
+        val r0 = spark.read
+        val r1 = globFilter.map(g => r0.option("pathGlobFilter", g))
+          .getOrElse(r0)
+        GraftSchema.fromStructType("inferred", r1.parquet(url).schema)
+      }
       val viewed = if (fieldSel.isEmpty) schema else schema.view(fieldSel)
-      val rs = spark.readStream.schema(schema.toStructType)
+      val rs0 = spark.readStream.schema(schema.toStructType)
+      val rs = globFilter.map(g => rs0.option("pathGlobFilter", g))
+        .getOrElse(rs0)
       val storage = maxFilesPerTrigger
         .map(n => rs.option("maxFilesPerTrigger", n)).getOrElse(rs)
         .parquet(url)
