@@ -452,6 +452,14 @@ object SparkEntry {
         .orderBy(col("ws_us"), col("event_type"))
     }),
 
+    // ---- Bigram repetition quality signal (Gopher-style) ----
+    "q60_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions) // q21 doc
+      TextAnalysis.repetitionStats(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Winnowing rolling-hash fingerprints (copy detection) ----
     // Set summarized as scalars (count / min / max / sum) — the
     // driver compare wants flat columns; values are md5-derived so
@@ -1256,6 +1264,25 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
+
+    "q60_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS b
+        |  FROM t WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT doc_id, b, count(*)::BIGINT AS c FROM bg GROUP BY doc_id, b
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(c - 1) AS BIGINT) AS n_dup,
+        |  CAST(max(c) AS BIGINT) AS max_rep,
+        |  (CAST(sum(c - 1) AS BIGINT) * 1000000
+        |    // greatest(CAST(sum(c) AS BIGINT), 1)) AS dup_ppm
+        |FROM c GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q48_winnow_fingerprint" ->
       """WITH g AS (SELECT doc_id, lower(text) AS t FROM documents),

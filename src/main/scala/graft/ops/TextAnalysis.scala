@@ -205,6 +205,41 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** Within-document n-gram repetition — the Gopher-family
+    * repetitiveness quality signal: how much of a document is
+    * repeated phrasing. Counts token BIGRAMS with multiplicity and
+    * reports, per doc: total bigram occurrences, occurrences beyond
+    * each bigram's first (`n_dup`), the max single-bigram repeat, and
+    * the duplicate fraction in exact ppm (integer div). Docs with
+    * fewer than two alpha tokens have no bigrams and are absent from
+    * the output (join back to the corpus if completeness matters).
+    *
+    * Scale shape: the bigram array is built in one interpreted pass
+    * per row (zip_with over the materialized token array, behind a
+    * projection boundary), exploded through the typed flatMap (a
+    * Generate over a HOF-built array re-evaluates it per output
+    * element — the measured 23× trap), then two hash aggs with
+    * map-side combine. Scan-dominated at 100 TB. */
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val staged = df.select(col(idCol), alphaTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        when(size(col("__toks")) < 2,
+          array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("__bg"))
+    NearDedup.explodeStrings(staged, idCol, "__bg", "__b")
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("n_bigrams"),
+        sum(col("__c") - 1).as("n_dup"),
+        max(col("__c")).as("max_rep"))
+      .withColumn("dup_ppm",
+        expr("n_dup * 1000000 div greatest(n_bigrams, 1)"))
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "is", "was", "that", "with", "this", "have"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),

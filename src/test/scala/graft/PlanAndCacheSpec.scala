@@ -21,6 +21,24 @@ class PlanAndCacheSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("range join plans as an equi-join on bins, never a nested loop") {
+    val df = SparkEntry.queries("q57_range_join")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("__bin"), s"no bin key in join plan:\n$plan")
+  }
+
+  test("top-terms and stratified rank filters are limit-pushed") {
+    for (q <- Seq("q52_top_terms", "q54_stratified")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q: no WindowGroupLimit in:\n$plan")
+    }
+  }
+
   test("reader predicates reach the parquet scan (PushedFilters, F3/F4)") {
     val u = scratch("pushdown-ds")
     spark.range(1000).toDF("id").withColumn("v", $"id" * 2)

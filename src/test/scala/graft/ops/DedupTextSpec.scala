@@ -95,6 +95,21 @@ class DedupTextSpec extends SparkSpec {
       (3L, 2L, 1L, 500000L)))
   }
 
+  test("repetitionStats counts bigram multiplicity per doc") {
+    val docs = Seq(
+      (1L, "a b a b a"), // bigrams: ab, ba, ab, ba -> 4 total, 2 dup
+      (2L, "x y z"), // xy, yz -> no dups
+      (3L, "solo"), // < 2 tokens -> absent
+      (4L, "w w w w")) // ww x3 -> 3 total, 2 dup, max_rep 3
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(out == Seq(
+      (1L, 4L, 2L, 2L, 500000L),
+      (2L, 2L, 0L, 1L, 0L),
+      (4L, 3L, 2L, 3L, 666666L)))
+  }
+
   test("tokenCount / subwordCount / ratios on known strings") {
     val df = Seq("a b  c", "", "ab12!", "  ").map(Tuple1(_)).toDF("text")
     val r = df.select(
