@@ -452,6 +452,29 @@ object SparkEntry {
         .orderBy(col("ws_us"), col("event_type"))
     }),
 
+    // ---- Stateful streaming quota (flatMapGroupsWithState) ----
+    // First-n-per-user admission as a REAL streaming query with
+    // custom state. Single input file → single micro-batch, so the
+    // cross-batch FCFS quota reduces to row_number()<=n — which is
+    // exactly what the oracle checks (the cross-batch state carry is
+    // proven separately in GraftStreamSpec with maxFilesPerTrigger=1).
+    "q61_stream_quota" -> ((s, dir) => {
+      val src = graft.streaming.GraftStream.reader(s, dir)
+        .glob("events.parquet").load()
+        .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
+          col("user_id"), col("event_type"))
+      val admitted = graft.streaming.GraftStream.admitFirstN(
+        src, "user_id", "ts_us", "event_id", n = 3)
+      val name = "graft_q61_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = admitted.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // ---- Bigram repetition quality signal (Gopher-style) ----
     "q60_repetition" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1264,6 +1287,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
+
+    "q61_stream_quota" ->
+      """SELECT event_id, ts_us, user_id, event_type FROM (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q60_repetition" ->
       """WITH t AS (

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 import graft.predicates.RowPredicate
 import graft.schema.GraftSchema
@@ -123,6 +125,61 @@ object GraftStream {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+  }
+
+  /** Stateful per-key admission quota — keep only the FIRST `n` rows
+    * per key in `(orderCol, tieCol)` order, with the admitted count
+    * carried ACROSS micro-batches: the `flatMapGroupsWithState`
+    * custom-state operator a training pipeline needs when the
+    * built-in stateful ops can't express the rule ("at most n
+    * documents per source/user, earliest wins, forever").
+    *
+    * Scale shape: state per key is a single long (no timeout needed —
+    * a saturated key stores 8 bytes, not its rows), and within a
+    * batch only the `n - used` best rows are held in a bounded heap —
+    * the group's rows stream through the iterator, never buffer.
+    * Quota is first-come-first-served across batches: a row admitted
+    * in batch b is never evicted by an earlier-ordered row arriving
+    * in batch b+1 (that persistence is the point of the state).
+    * Within one batch, admission order is exactly `(orderCol,
+    * tieCol)` ascending, so a single-batch run (or a batch frame —
+    * Spark runs the same function per group with empty state) equals
+    * the `row_number() <= n` spelling. `orderCol`/`tieCol` must be
+    * LongType; keys group by their string form. */
+  def admitFirstN(df: DataFrame, keyCol: String, orderCol: String,
+      tieCol: String, n: Int): DataFrame = {
+    require(n > 0, s"quota must be positive, got $n")
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    val tieIdx = schema.fieldIndex(tieCol)
+    implicit val rowEnc: Encoder[Row] = Encoders.row(schema)
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
+    df.groupByKey((r: Row) => String.valueOf(r.get(keyIdx)))
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          val quota = n - used.toInt
+          if (quota <= 0) Iterator.empty
+          else {
+            // bounded max-heap of the quota smallest (order, tie) rows
+            val ord: Ordering[(Long, Long, Row)] =
+              Ordering.by((p: (Long, Long, Row)) => (p._1, p._2))
+            val heap = mutable.PriorityQueue.empty[(Long, Long, Row)](ord)
+            rows.foreach { r =>
+              val cand = (r.getLong(ordIdx), r.getLong(tieIdx), r)
+              if (heap.size < quota) heap.enqueue(cand)
+              else if (ord.lt(cand, heap.head)) {
+                heap.dequeue(); heap.enqueue(cand)
+              }
+            }
+            val admit = heap.dequeueAll.reverse // ascending admission order
+            state.update(used + admit.length)
+            admit.iterator.map(_._3)
+          }
+      }.toDF(schema.fieldNames: _*)
   }
 
   /** Streaming exact-dedup by content fingerprint within the

@@ -137,6 +137,60 @@ class GraftStreamSpec extends SparkSpec {
     assert(sdf.queryExecution.analyzed.toString.contains("session_window"))
   }
 
+  test("admitFirstN on a batch frame equals the row_number spelling") {
+    val df = Seq(
+      (1L, 30L, 103L), (1L, 10L, 101L), (1L, 20L, 102L), (1L, 40L, 104L),
+      (2L, 5L, 201L), (2L, 5L, 200L), (2L, 7L, 202L),
+      (3L, 9L, 300L)).toDF("key", "ord", "id")
+    val got = GraftStream.admitFirstN(df, "key", "ord", "id", n = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"key")
+          .orderBy($"ord", $"id")))
+      .filter($"rn" <= 2).drop("rn")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // tie on ord broken by id: (2,5,200) admitted before (2,5,201)
+    assert(got.contains((2L, 5L, 200L)) && got.contains((2L, 5L, 201L)))
+    assert(!got.contains((2L, 7L, 202L)))
+  }
+
+  test("admitFirstN carries quota state ACROSS micro-batches (FCFS)") {
+    val dir = new java.io.File(scratch(
+      "quota-src-" + java.util.UUID.randomUUID().toString.take(8)))
+    dir.mkdirs()
+    def land(name: String, modTime: Long, rows: (Long, Long, Long)*): Unit = {
+      val tmp = scratch("quota-tmp-" + name)
+      rows.toSeq.toDF("key", "ord", "id").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(modTime))
+    }
+    // batch 1 (older file): u1 gets ords 100,200 — fills its n=2 quota
+    val t0 = System.currentTimeMillis() - 60000
+    land("a.parquet", t0, (1L, 100L, 1L), (1L, 200L, 2L), (2L, 50L, 3L))
+    // batch 2 (newer file): u1 ord=10 is EARLIER but must be rejected
+    // (quota spent in batch 1); u2 still has room
+    land("b.parquet", t0 + 5000, (1L, 10L, 4L), (2L, 60L, 5L), (2L, 70L, 6L))
+
+    val src = spark.readStream
+      .schema("key LONG, ord LONG, id LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.getAbsolutePath)
+    val admitted = GraftStream.admitFirstN(src, "key", "ord", "id", n = 2)
+    runAvailableNow(admitted, "stream_quota")
+    val got = spark.table("stream_quota")
+      .as[(Long, Long, Long)].collect().toSet
+    // u1: batch-1 rows win despite batch-2's earlier ord (state carry);
+    // u2: one slot left after batch 1 → earliest batch-2 row takes it
+    assert(got == Set(
+      (1L, 100L, 1L), (1L, 200L, 2L),
+      (2L, 50L, 3L), (2L, 60L, 5L)))
+  }
+
   test("streaming reader handles hive-partitioned stores + maxFiles knob") {
     val url = scratch("stream-part-" + java.util.UUID.randomUUID().toString.take(8))
     val src = spark.range(60).toDF("id")
