@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, AsOf, Dedup, NGram, NearDedup, Packing, RangeJoin, Sampling, Sketch, TextAnalysis, TransformSpec}
+import graft.ops.{AnnSearch, AsOf, Dedup, NGram, NearDedup, Packing, RangeJoin, Sampling, Sketch, Stats, TextAnalysis, TransformSpec}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize, RowGroupIndex}
@@ -473,6 +473,31 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(name).orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // ---- Exact per-group percentiles (histogram-cumsum) ----
+    "q62_percentiles" -> ((s, dir) => {
+      Stats.exactPercentiles(t(s, dir, "documents"), Seq("lang"), "n_chars",
+        Seq(0.5, 0.9, 0.99))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- Int8 embedding quantization (codegen'd, one pass) ----
+    // 4× memory cut for ANN candidate scans; the oracle recomputes
+    // the exact same IEEE steps (float→double widen, 127/max|x|,
+    // floor(x·s + 0.5)) over DuckDB lists.
+    "q63_quantize_int8" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .orderBy(col("vec_id")) // sort-first (q11 doc)
+        .select(col("vec_id"),
+          GraftFunctions.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"),
+          floor(col("qz.scale") * 1e6).cast("long").as("scale_u"),
+          size(col("qz.q")).cast("long").as("n_q"),
+          aggregate(col("qz.q"), lit(0L), (a, x) => a + x.cast("long"))
+            .as("q_sum"),
+          array_min(col("qz.q")).cast("long").as("q_min"),
+          array_max(col("qz.q")).cast("long").as("q_max"))
     }),
 
     // ---- Bigram repetition quality signal (Gopher-style) ----
@@ -1287,6 +1312,41 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
+
+    "q63_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+        |      (CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END) + 0.5) AS BIGINT)) AS q
+        |  FROM m
+        |)
+        |SELECT vec_id, CAST(floor(scale * 1e6) AS BIGINT) AS scale_u,
+        |  CAST(len(q) AS BIGINT) AS n_q,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_min(q) AS BIGINT) AS q_min,
+        |  CAST(list_max(q) AS BIGINT) AS q_max
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q62_percentiles" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2
+        |), t AS (
+        |  SELECT lang, n_chars,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS tot
+        |  FROM h
+        |)
+        |SELECT lang,
+        |  CAST(min(CASE WHEN cum*10000 >= tot*5000 THEN n_chars END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum*10000 >= tot*9000 THEN n_chars END) AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN cum*10000 >= tot*9900 THEN n_chars END) AS BIGINT) AS p99
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q61_stream_quota" ->
       """SELECT event_id, ts_us, user_id, event_type FROM (

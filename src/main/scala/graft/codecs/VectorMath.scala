@@ -65,6 +65,49 @@ object VectorMath {
     }
     s
   }
+
+  /** One-pass max-abs int8 quantization: scale = 127/max|x| (0 for
+    * the zero vector), q_i = floor(x_i·scale + 0.5) ∈ [-127, 127].
+    * Every step (float→double widen, abs, compare, multiply, floor)
+    * is exact IEEE double — the oracle recomputes it bit-identically.
+    */
+  def quantizeInt8(a: ArrayData, isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    def at(i: Int): Double =
+      if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(at(i)); if (v > m) m = v; i += 1
+    }
+    val s = if (m == 0.0) 0.0 else 127.0 / m
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(at(i) * s + 0.5).toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](s,
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(out)))
+  }
+
+  /** Integer dot of two int8 vectors (exact, no overflow below ~2^46
+    * elements). The rescale `dot8 / (scale_a·scale_b)` approximates
+    * the float dot within `(‖a‖₁ + ‖b‖₁ + 0.5/s) · 0.5/s`. */
+  def dotI8(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"dotI8: length mismatch ${n} vs ${b.numElements()}")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    s
+  }
 }
 
 /** `simhash32(hashes)` → long: bit j of the result is set iff the
@@ -136,6 +179,69 @@ case class ArgMaxCosM(child: Expression, centroids: Array[Array[Double]])
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "argmax_cos_m"
+}
+
+/** `quantize_int8(vec)` → struct<scale: double, q: array<tinyint>>:
+  * max-abs int8 quantization of a float/double vector in one codegen
+  * pass — 4× (float) / 8× (double) memory cut for ANN candidate
+  * scans, with [[VectorMath.dotI8]] as the integer inner product and
+  * exact-rescore on the surviving top-k. Zero vector → scale 0,
+  * all-zero q (dequantize of an all-zero q is only meaningful when
+  * scale > 0). */
+case class QuantizeInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"quantize_int8 expects array<float|double>, got $other")
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    isFloat // force validation
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(ByteType, containsNull = false),
+      nullable = false)))
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow =
+    VectorMath.quantizeInt8(a, isFloat)
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quantizeInt8", this,
+      classOf[QuantizeInt8].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "quantize_int8"
+}
+
+/** `dot_i8(a, b)` over two equal-length int8 arrays → long (exact
+  * integer inner product — the quantized ANN scan kernel). */
+case class DotI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"dot_i8 expects two array<tinyint>, got $l / $r")
+    }
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.dotI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.codecs.VectorMath.dotI8($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_i8"
 }
 
 /** `dot(a, b)` over two equal-length float or double arrays → double.

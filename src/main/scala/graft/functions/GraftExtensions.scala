@@ -75,6 +75,14 @@ object GraftExtensions {
     "graft_winnow_fingerprints" -> { args =>
       require(args.length == 3, "graft_winnow_fingerprints(text, k, w)")
       WinnowFingerprint(args(0), litInt(args(1), "k"), litInt(args(2), "w"))
+    },
+    "graft_quantize_int8" -> { args =>
+      require(args.length == 1, "graft_quantize_int8(vec)")
+      QuantizeInt8(args(0))
+    },
+    "graft_dot_i8" -> { args =>
+      require(args.length == 2, "graft_dot_i8(a, b)")
+      DotI8(args(0), args(1))
     })
 
   private def info(name: String): ExpressionInfo =

@@ -39,4 +39,13 @@ object GraftFunctions {
   /** PCM16LE binary → array<short> samples. */
   def decodePcm16(bin: Column): Column =
     column(graft.codecs.DecodePcm16(expr(bin)))
+
+  /** Max-abs int8 quantization of a float/double vector →
+    * struct<scale: double, q: array<tinyint>>. */
+  def quantizeInt8(vec: Column): Column =
+    column(graft.codecs.QuantizeInt8(expr(vec)))
+
+  /** Exact integer dot product of two int8 vectors → long. */
+  def dotI8(a: Column, b: Column): Column =
+    column(graft.codecs.DotI8(expr(a), expr(b)))
 }

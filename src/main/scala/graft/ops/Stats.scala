@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact order statistics at scale.
+  *
+  * `percentile_approx` is the right tool for continuous domains, but
+  * corpus curation constantly needs EXACT cut points over discrete,
+  * bounded-cardinality measures — document lengths, token counts,
+  * quality buckets, label ids — where "approximately the p99 length"
+  * is not reproducible across engines and reruns. The scalable exact
+  * form is a two-level histogram reduction:
+  *
+  *   1. `groupBy(group, value).count()` — one shuffle, map-side
+  *      combined, output is the per-group VALUE HISTOGRAM whose size
+  *      is bounded by the value domain, not the corpus (100 TB of
+  *      documents with lengths < 1e6 compacts to ≤ 1e6 rows/group);
+  *   2. a running sum over the compacted histogram ordered by value —
+  *      per-group window when grouped (partitioned, parallel), the
+  *      [[Ranking.withRunningTotal]] distributed prefix scan when
+  *      ungrouped (a global `Window.orderBy` would be the
+  *      single-partition scale-killer this repo bans);
+  *   3. the percentile is the smallest value whose cumulative count
+  *      clears the integer threshold.
+  *
+  * Determinism: the threshold test is pure integer arithmetic —
+  * `cum * 10000 >= total * round(p*10000)` — the cume_dist ≥ p
+  * definition (Postgres/DuckDB `percentile_disc`) with no float
+  * boundary ambiguity for any p expressible in basis points. The
+  * DuckDB oracle mirrors the same comparison.
+  */
+object Stats {
+
+  /** Column name for percentile p: 0.5→p50, 0.99→p99, 0.999→p99_9. */
+  def pName(p: Double): String = {
+    val bp = math.round(p * 10000).toInt
+    val whole = bp / 100
+    val frac = bp % 100
+    if (frac == 0) s"p$whole"
+    else s"p${whole}_${if (frac % 10 == 0) (frac / 10).toString else f"$frac%02d"}"
+  }
+
+  /** Exact per-group percentiles of an integral `valueCol` via the
+    * histogram-cumsum reduction described above. Output: one row per
+    * group (one row total if `groupCols` is empty) with a `pNN`
+    * LongType column per requested percentile. `ps` must sit on the
+    * basis-point grid (multiples of 1e-4). */
+  def exactPercentiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    ps.foreach { p =>
+      require(p > 0 && p <= 1, s"percentile $p outside (0, 1]")
+      require(math.abs(p * 10000 - math.round(p * 10000)) < 1e-9,
+        s"percentile $p is not a basis-point multiple (1e-4 grid)")
+    }
+    def picks = ps.map { p =>
+      val bp = math.round(p * 10000)
+      min(when(col("__cum") * 10000 >= col("__tot") * bp,
+        col(valueCol).cast("long"))).as(pName(p))
+    }
+    val gcols = groupCols.map(col)
+    val hist = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    if (groupCols.nonEmpty) {
+      val running = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
+      val whole = Window.partitionBy(gcols: _*)
+      hist
+        .withColumn("__cum", sum(col("__c")).over(running))
+        .withColumn("__tot", sum(col("__c")).over(whole))
+        .groupBy(gcols: _*).agg(picks.head, picks.tail: _*)
+    } else {
+      // Ungrouped: distributed prefix scan over the histogram. The
+      // grand total rides the SAME RDD lineage (LogicalRDD), so its
+      // extra reduce reuses the scan's shuffle map outputs — the
+      // corpus is scanned once, not twice.
+      val scanned = Ranking
+        .withRunningTotal(hist, Seq(col(valueCol)), "__c", "__pre")
+        .withColumn("__cum", col("__pre") + col("__c"))
+      val tot = broadcast(scanned.agg(max(col("__cum")).as("__tot")))
+      scanned.crossJoin(tot).agg(picks.head, picks.tail: _*)
+    }
+  }
+}

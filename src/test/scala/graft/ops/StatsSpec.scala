@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference percentile_disc: smallest v with cume_dist(v) >= p. */
+  private def disc(vals: Seq[Long], p: Double): Long = {
+    val sorted = vals.sorted
+    val n = sorted.length
+    sorted.zipWithIndex
+      .collectFirst { case (v, i) if (i + 1) * 10000L >= math.round(p * 10000) * n => v }
+      .get
+  }
+
+  private val data: Seq[(String, Long)] = {
+    // deterministic skewed values per group
+    val gs = for {
+      g <- Seq("a", "b", "c")
+      i <- 1 to 97
+    } yield (g, ((i * i * 7919L) % 50) + (if (g == "b") 1000 else 0))
+    gs :+ (("d", 42L)) // single-row group
+  }
+
+  test("grouped exact percentiles match the cume_dist definition") {
+    val df = data.toDF("g", "v").repartition(4)
+    val got = Stats.exactPercentiles(df, Seq("g"), "v",
+        Seq(0.5, 0.9, 0.99, 1.0))
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val want = data.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val vs = rows.map(_._2)
+      (g, disc(vs, 0.5), disc(vs, 0.9), disc(vs, 0.99), disc(vs, 1.0))
+    }
+    assert(got == want)
+    // p=1.0 is the max; single-row group returns its value everywhere
+    assert(got.find(_._1 == "d").get == (("d", 42L, 42L, 42L, 42L)))
+  }
+
+  test("ungrouped path matches and plans NO window (prefix scan)") {
+    val df = data.toDF("g", "v").repartition(4)
+    val out = Stats.exactPercentiles(df, Nil, "v", Seq(0.5, 0.99))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
+    val got = out.as[(Long, Long)].collect().head
+    val vs = data.map(_._2)
+    assert(got == ((disc(vs, 0.5), disc(vs, 0.99))))
+  }
+
+  test("percentile column naming and grid validation") {
+    assert(Stats.pName(0.5) == "p50")
+    assert(Stats.pName(0.9) == "p90")
+    assert(Stats.pName(0.99) == "p99")
+    assert(Stats.pName(0.999) == "p99_9")
+    assert(Stats.pName(0.9995) == "p99_95")
+    assert(Stats.pName(1.0) == "p100")
+    val df = Seq(("a", 1L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Stats.exactPercentiles(df, Seq("g"), "v", Seq(0.12345))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.exactPercentiles(df, Seq("g"), "v", Seq(0.0))
+    }
+  }
+}
