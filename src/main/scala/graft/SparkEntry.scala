@@ -500,6 +500,20 @@ object SparkEntry {
           array_max(col("qz.q")).cast("long").as("q_max"))
     }),
 
+    // ---- Quantized ANN: int8 coarse scan + exact rescore ----
+    // The oracle is the EXACT top-k SQL (same as q23): with rerank=8
+    // the int8 coarse pass provably retains the true top-5 on this
+    // fixture (spec-asserted recall 1.0), and the rescore recomputes
+    // the identical float scores — so output ≡ brute force, at 1/4
+    // the coarse-scan bandwidth.
+    "q64_ann_int8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnSearch.int8TopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding",
+        k = 5, rerank = 8)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- Bigram repetition quality signal (Gopher-style) ----
     "q60_repetition" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1406,6 +1420,25 @@ object SparkEntry {
         |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
         |         THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS simhash
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q64_ann_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+        |), q AS (SELECT * FROM e WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    list_reduce(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]), (a, b) -> a + b) AS dot,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> q.emb[i] * q.emb[i]), (a, b) -> a + b)) AS nq,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)) AS nc
+        |  FROM e c CROSS JOIN q
+        |), scored AS (
+        |  SELECT qid, cid, CAST(floor(dot / (nq * nc) * 1000000) AS BIGINT) AS cos_m FROM pairs
+        |), ranked AS (
+        |  SELECT qid, cid, cos_m,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_m DESC, cid) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, cid, cos_m FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
 
     "q23_ann_bruteforce" ->
       """WITH e AS (

@@ -299,6 +299,59 @@ object AnnSearch {
     rankTopK(scoredC, k)
   }
 
+  /** Quantized two-phase exact-rescore top-k — the MEMORY scale path
+    * next to the bucketing ones: the coarse scan reads int8 vectors
+    * (4× less than float32 — at 100 TB the brute-force scan is
+    * bandwidth-bound, so the quantized pass is ~4× cheaper I/O), ranks
+    * by integer-dot cosine (pure int dot + one double divide,
+    * engine-reproducible), keeps `k·rerank` candidates per query via
+    * the same bounded-heap [[rankTopK]], then rescores ONLY those
+    * candidates with the exact float arithmetic of [[bruteForceTopK]].
+    * At scale the rescore pass fetches candidate rows through the id
+    * index ([[graft.sources.RowGroupIndex]]) instead of re-scanning.
+    *
+    * Recall: governed by `rerank` — the true top-k survives whenever
+    * it sits in the quantized top-`k·rerank`; int8 max-abs keeps
+    * relative cosine error ~0.5/127 per element, so small reranks
+    * already reach recall 1.0 on the 64-dim fixture (spec-asserted;
+    * measure on YOUR distribution before lowering it). Zero vectors
+    * score 0 (NaN→0 long cast), like [[ivfTopK]]'s convention. */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, embCol: String, k: Int, rerank: Int = 8): DataFrame = {
+    require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
+    import graft.functions.GraftFunctions.{dotI8, quantizeInt8}
+    val c = corpus.select(col(cId).as("cid"), col(embCol).as("__ce"))
+    val q = queries.select(col(qId).as("qid"), col(embCol).as("__qe"))
+    val cq = c.select(col("cid"), quantizeInt8(col("__ce")).getField("q").as("__cqv"))
+      .withColumn("__cn", sqrt(dotI8(col("__cqv"), col("__cqv")).cast("double")))
+    val qq = q.select(col("qid"), quantizeInt8(col("__qe")).getField("q").as("__qqv"))
+      .withColumn("__qn", sqrt(dotI8(col("__qqv"), col("__qqv")).cast("double")))
+    val approx = cq.crossJoin(broadcast(qq))
+      .withColumn("cos_m",
+        floor(dotI8(col("__cqv"), col("__qqv")).cast("double") /
+          (col("__cn") * col("__qn")) * 1000000L).cast("long"))
+      .select(col("qid"), col("cid"), col("cos_m"))
+    val cands = rankTopK(approx, k * rerank).select(col("qid"), col("cid"))
+    val rescored = c.join(broadcast(cands), Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos_m",
+        floor(cosine(col("__qe"), col("__ce")) * 1000000L).cast("long"))
+    rankTopK(rescored, k)
+  }
+
+  /** recall@k of [[int8TopK]] against [[bruteForceTopK]] — quantifies
+    * the rerank knob like [[recallAtK]] does for planes. */
+  def int8RecallAtK(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, embCol: String, k: Int, rerank: Int = 8): Double = {
+    val truth = bruteForceTopK(queries, corpus, qId, cId, embCol, k)
+      .select(col("qid"), col("cid"))
+    val got = int8TopK(queries, corpus, qId, cId, embCol, k, rerank)
+      .select(col("qid"), col("cid"))
+    val denom = truth.count()
+    if (denom == 0) 1.0
+    else truth.join(got, Seq("qid", "cid"), "left_semi").count().toDouble / denom
+  }
+
   /** recall@k of [[ivfTopK]] against [[bruteForceTopK]] — see
     * [[recallAtK]]. */
   def ivfRecallAtK(queries: DataFrame, corpus: DataFrame, qId: String,

@@ -57,6 +57,31 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("int8TopK with rescore reproduces exact top-k on the fixture") {
+    val queries = vecs.filter($"vec_id" < 6)
+    val exact = AnnSearch.bruteForceTopK(
+      queries, vecs, "vec_id", "vec_id", "embedding", k = 5)
+      .orderBy($"qid", $"rank")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val quant = AnnSearch.int8TopK(
+      queries, vecs, "vec_id", "vec_id", "embedding", k = 5, rerank = 4)
+      .orderBy($"qid", $"rank")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // rescore is the same float arithmetic, so ranks AND scores match
+    assert(quant == exact)
+    assert(AnnSearch.int8RecallAtK(
+      queries, vecs, "vec_id", "vec_id", "embedding", k = 5, rerank = 4) == 1.0)
+  }
+
+  test("int8TopK coarse phase alone has high recall (rerank=1)") {
+    val queries = vecs.filter($"vec_id" < 8)
+    val r = AnnSearch.int8RecallAtK(
+      queries, vecs, "vec_id", "vec_id", "embedding", k = 5, rerank = 1)
+    // rerank=1 keeps only the quantized top-5: on the tight-cluster
+    // fixture int8 error (~0.4% relative) barely perturbs order
+    assert(r >= 0.9, s"rerank=1 recall $r")
+  }
+
   test("lshTopK returns same-bucket candidates ranked like brute force") {
     val lsh = AnnSearch.lshTopK(vecs.filter($"vec_id" === 0), vecs,
       "vec_id", "vec_id", "embedding", k = 3, planes = 6, dim = 8)
