@@ -41,6 +41,17 @@ object SparkEntry {
       dir.replaceAll("[^A-Za-z0-9]", "_")
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`,
+    * restoring the prior value after — used around streaming starts,
+    * where every stateful operator opens one state store (checkpoint
+    * dir + provider) per shuffle partition. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, saved)
+  }
+
   /** money → exact integer cents (2-decimal source data). */
   private def cents(c: Column): Column = round(c * 100).cast("long")
   /** discount/tax → exact integer basis points ×100 (2-decimal). */
@@ -441,11 +452,13 @@ object SparkEntry {
         "1 hour", "0 seconds", Seq("event_type"))
       val name = "graft_q59_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(s, 4) { // see q61: state stores per partition
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(unix_micros(col("window_start")).as("ws_us"),
           col("event_type"), col("n"))
@@ -467,11 +480,18 @@ object SparkEntry {
         src, "user_id", "ts_us", "event_id", n = 3)
       val name = "graft_q61_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = admitted.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // a stateful streaming op opens one state store per shuffle
+      // partition — at the default 32 that is 32 checkpoint dirs of
+      // setup for a few hundred keys of state; scope it down for the
+      // streaming run (batch plans are unaffected: conf restored
+      // before the memory table is read)
+      withShufflePartitions(s, 4) {
+        val q = admitted.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
