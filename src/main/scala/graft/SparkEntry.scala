@@ -534,6 +534,29 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- Compaction lifecycle: fragment → compact → read ----
+    // The streaming-append maintenance pass: materialize a 16-file
+    // store, compact to ~1, and prove the decoded content is
+    // byte-identical by reading it back against the source-table
+    // oracle (compaction never decodes codec cells).
+    "q65_compact_read" -> ((s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val schema = GraftSchema("docs_c", Seq(
+        FieldSpec("doc_id", org.apache.spark.sql.types.LongType),
+        FieldSpec("lang", org.apache.spark.sql.types.StringType, nullable = true),
+        FieldSpec("n_chars", org.apache.spark.sql.types.LongType)))
+      val url = sys.props("java.io.tmpdir") + "/graft_q65_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Materialize.materialize(src, url, schema, rowGroupSizeMb = 1,
+        partitions = Some(16))
+      val (nb, na) = Materialize.compact(s, url, targetFileMb = 256)
+      require(nb == 16 && na < nb, s"compact $nb -> $na")
+      GraftRead.reader(s, url).load()
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Bigram repetition quality signal (Gopher-style) ----
     "q60_repetition" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1346,6 +1369,11 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
+
+    "q65_compact_read" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q63_quantize_int8" ->
       """WITH m AS (

@@ -149,6 +149,53 @@ object Materialize {
     writeMetadata(df.sparkSession, path, schema)
   }
 
+  /** Compact a store's files into ~`targetFileMb` outputs — the
+    * maintenance pass an append-only store needs: the streaming sink
+    * lands one file per partition per micro-batch, and at 100 TB a
+    * reader's task count (and the file listing itself) drowns in
+    * them. Rewrites the ENCODED rows as-is — codec cells are opaque
+    * binary, so compaction never decodes/re-encodes — and sizes the
+    * output file count from the store's current byte size.
+    *
+    * Staged, no data-copy window: new files land in a `_compact_tmp`
+    * subdir (underscore prefix = invisible to Spark readers and the
+    * sidecar census), then old files are deleted and staged files
+    * promoted by pure renames, then the sidecar is rebuilt. A
+    * concurrent LOCAL reader can catch the brief mixed listing —
+    * on an object store swap versioned prefixes instead; staging
+    * keeps the exposure to the rename pass only. Hive-partitioned
+    * stores are refused (compact within partitions would need a
+    * per-directory pass). Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, url: String, targetFileMb: Int = 256,
+      rowGroupSizeMb: Int = 32): (Int, Int) = {
+    require(targetFileMb > 0)
+    val root = new Path(url)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = listParquetFiles(spark, url)
+    require(files.nonEmpty, s"nothing to compact at $url")
+    val rel = relativizer(spark, url)
+    require(!files.exists(f => rel(f).contains("/")),
+      s"compact does not handle hive-partitioned stores: $url")
+    val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    val nOut = math.max(1,
+      math.ceil(totalBytes.toDouble / (targetFileMb.toLong << 20)).toInt)
+    val tmp = new Path(root, "_compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(url).repartition(nOut).write
+      .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
+      .mode("overwrite").parquet(tmp.toString)
+    val staged = listParquetFiles(spark, tmp.toString)
+    files.foreach(f => fs.delete(new Path(f), false))
+    staged.foreach { f =>
+      val name = new Path(f).getName
+      require(fs.rename(new Path(f), new Path(root, name)),
+        s"rename failed promoting $name")
+    }
+    fs.delete(tmp, true)
+    loadSchema(spark, url).foreach(writeMetadata(spark, url, _))
+    (files.length, staged.length)
+  }
+
   /** S9 parity (etl/petastorm_generate_metadata.py): (re)write the
     * sidecar for an existing parquet store (full footer rescan). */
   def writeMetadata(spark: SparkSession, url: String, schema: GraftSchema): Unit =
