@@ -557,6 +557,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Temperature-balanced training mix (T=2, integer-exact) ----
+    "q66_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMix(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", totalRows = 200, temperature = 2.0, seed = 5)
+        .orderBy(col("lang"), col("samp_rank"))
+    }),
+
     // ---- Bigram repetition quality signal (Gopher-style) ----
     "q60_repetition" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1369,6 +1377,20 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
+
+    "q66_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |        greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) AS w
+        |      FROM c),
+        |k AS (SELECT lang, least(n, (200 * w) // (SELECT sum(w) FROM w)) AS k FROM w),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5('5:' || doc_id::VARCHAR), doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(rn AS INT) AS samp_rank
+        |FROM r JOIN k USING (lang) WHERE rn <= k
+        |ORDER BY lang, samp_rank""".stripMargin,
 
     "q65_compact_read" ->
       """SELECT doc_id, lang, n_chars FROM documents

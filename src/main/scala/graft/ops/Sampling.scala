@@ -78,6 +78,63 @@ object Sampling {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Temperature-balanced source mixing — the multilingual/source
+    * rebalancing step of training-mix construction: sample source s
+    * with budget ∝ n_s^(1/T) (T=1 keeps natural proportions, larger T
+    * flattens toward uniform across sources), then keep each source's
+    * budget as its md5-permutation rank-lowest rows (portable — same
+    * survivors on any engine or cluster size).
+    *
+    * Engine-exact arithmetic at the default T=2: per-source weights
+    * are `max(1, floor(sqrt(n_s)))` — sqrt is correctly rounded in
+    * IEEE so every engine floors the same integer — and budgets are
+    * `min(n_s, totalRows·w_s DIV Σw)` in pure integer math. A general
+    * T uses float `pow`, whose last ulp is libm-dependent: fine for
+    * real mixes, not for cross-engine oracle checks.
+    *
+    * Scale shape: one map-side-combined count agg (collected — rows =
+    * #sources, bounded), then the corpus passes a WindowGroupLimit
+    * prune at the LARGEST budget (each task keeps its local top-k_max
+    * per source before the shuffle) and the exact per-source budget
+    * filters against the broadcast budget map. Two corpus scans
+    * total — the price of exact budget counts. Sources whose integer
+    * budget rounds to 0 are dropped (raise totalRows or pre-filter).
+    * Output: input columns + `samp_rank`. */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+      totalRows: Long, temperature: Double = 2.0, seed: Long = 0): DataFrame = {
+    require(totalRows > 0, s"totalRows must be positive (got $totalRows)")
+    require(temperature > 0, s"temperature must be positive (got $temperature)")
+    val exponent = 1.0 / temperature
+    val wCol =
+      if (temperature == 2.0) floor(sqrt(col("__n").cast("double")))
+      else floor(pow(col("__n").cast("double"), exponent))
+    val budgets = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", greatest(wCol.cast("long"), lit(1L)))
+      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+    val sw = budgets.map(_._3).sum
+    val ks = budgets.map { case (src, n, w) =>
+      (src, math.min(n, totalRows * w / sw))
+    }.filter(_._2 > 0)
+    if (ks.isEmpty) return df.withColumn("samp_rank", lit(1)).limit(0)
+    val kMax = ks.map(_._2).max
+    require(kMax <= Int.MaxValue,
+      s"per-source budget $kMax exceeds the rank-based selector's " +
+        "range; use sampleByKey (hash-fraction) for budgets beyond 2^31")
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val kDf = spark.createDataFrame(
+      ks.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(sourceCol,
+          df.schema(sourceCol).dataType),
+        org.apache.spark.sql.types.StructField("__k",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    stratified(df, sourceCol, keyCol, kMax.toInt, seed)
+      .join(broadcast(kDf), Seq(sourceCol))
+      .filter(col("samp_rank") <= col("__k"))
+      .drop("__k")
+  }
+
   /** A4 parity (test_util/shuffling_analysis.py:52-109): Pearson
     * correlation between the key order and its shuffled position —
     * ~0 for a good shuffle, 1.0 for unshuffled. */

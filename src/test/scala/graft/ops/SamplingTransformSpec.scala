@@ -43,6 +43,39 @@ class SamplingTransformSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("temperatureMix: integer sqrt budgets, rank-lowest survivors") {
+    // skewed sources: 400 / 100 / 25 rows
+    val df = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 500).map(i => (i.toLong, "mid")) ++
+      (500 until 525).map(i => (i.toLong, "small")))
+      .toDF("id", "src").repartition(4)
+    val out = Sampling.temperatureMix(df, "src", "id",
+      totalRows = 100, temperature = 2.0, seed = 3)
+      .select($"src", $"id", $"samp_rank")
+      .as[(String, Long, Int)].collect()
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // w = floor(sqrt(n)): big 20, mid 10, small 5; sum 35
+    // k = 100*w/35: big 57, mid 28, small 14 (all < n)
+    assert(bySrc == Map("big" -> 57, "mid" -> 28, "small" -> 14))
+    // survivors are exactly the k rank-lowest of the seeded permutation
+    val expect = Sampling.stratified(df, "src", "id", k = 57, seed = 3)
+      .select($"src", $"id", $"samp_rank")
+      .as[(String, Long, Int)].collect()
+      .filter { case (s, _, r) =>
+        r <= (s match { case "big" => 57; case "mid" => 28; case _ => 14 }) }
+    assert(out.toSet == expect.toSet)
+    // T=1 keeps natural proportions (w = n exactly — pow(x,1) is x)
+    val nat = Sampling.temperatureMix(df, "src", "id",
+      totalRows = 100, temperature = 1.0, seed = 3)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(nat == Map("big" -> 76L, "mid" -> 19L, "small" -> 4L))
+    // a huge T flattens toward uniform across sources
+    val flat = Sampling.temperatureMix(df, "src", "id",
+      totalRows = 60, temperature = 1000.0, seed = 3)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(flat.values.toSet == Set(20L))
+  }
+
   test("weightedUnion composes independent samples") {
     val a = df.filter($"id" < 500).withColumn("src", lit("a"))
     val b = df.filter($"id" >= 500).withColumn("src", lit("b"))
