@@ -565,6 +565,15 @@ object SparkEntry {
         .orderBy(col("lang"), col("samp_rank"))
     }),
 
+    // ---- Z-order (Morton) key for multi-dim skipping layouts ----
+    "q67_zorder" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          graft.ops.Zorder.zvalue(16, col("n_chars"),
+            pmod(col("doc_id"), lit(65536L))).as("zv"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Bigram repetition quality signal (Gopher-style) ----
     "q60_repetition" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1377,6 +1386,13 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
+
+    "q67_zorder" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(list_sum(list_transform(range(16), i ->
+        |    (((n_chars >> i) & 1) << (2*i)) +
+        |    ((((doc_id % 65536) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zv
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q66_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),

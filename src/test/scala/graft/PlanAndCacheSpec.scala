@@ -39,6 +39,27 @@ class PlanAndCacheSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix rank filter is limit-pushed; budgets broadcast") {
+    val df = SparkEntry.queries("q66_temperature_mix")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"no WindowGroupLimit in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"budget join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"unexpected shuffle join in:\n$plan")
+  }
+
+  test("int8TopK joins are broadcast-only (no corpus shuffle join)") {
+    val df = SparkEntry.queries("q64_ann_int8")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"corpus-shuffling join in int8TopK:\n$plan")
+  }
+
   test("reader predicates reach the parquet scan (PushedFilters, F3/F4)") {
     val u = scratch("pushdown-ds")
     spark.range(1000).toDF("id").withColumn("v", $"id" * 2)
