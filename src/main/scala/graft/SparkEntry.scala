@@ -574,6 +574,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Pattern masking / scrub report (PII-scrub machinery) ----
+    // The fixture text has no natural PII, so the oracled run masks
+    // fixture-present tokens through the same redact/count machinery
+    // the PII defaults use (those are spec-tested on synthetic PII).
+    "q68_redact" -> ((s, dir) => {
+      val masks = Seq(("""\b(customer|key)\b""", "[X]"))
+      t(s, dir, "documents")
+        .orderBy(col("doc_id")) // sort-first (q11 doc)
+        .select(col("doc_id"),
+          TextAnalysis.redactionCount(col("text"), masks).cast("long")
+            .as("n_masked"),
+          md5(TextAnalysis.redact(col("text"), masks)).as("masked_md5"))
+    }),
+
     // ---- Bigram repetition quality signal (Gopher-style) ----
     "q60_repetition" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1386,6 +1400,12 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY ws_us, event_type""".stripMargin,
+
+    "q68_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|key)\b')) AS BIGINT) AS n_masked,
+        |  md5(regexp_replace(text, '\b(customer|key)\b', '[X]', 'g')) AS masked_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q67_zorder" ->
       """SELECT doc_id, n_chars,

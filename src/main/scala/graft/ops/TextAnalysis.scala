@@ -145,6 +145,46 @@ object TextAnalysis {
   /** Stable 128-bit document fingerprint over normalized text
     * (lowercase, whitespace collapsed) — exact-dup key that survives
     * trivial reformatting. */
+  /** Built-in scrub patterns for the usual PII shapes in crawled
+    * text. Pure regex heuristics (the honest contract of regex PII
+    * scrubbing — a recall/precision trade, not a guarantee); each is
+    * RE2-compatible so the DuckDB oracle and any other engine apply
+    * the identical automaton. Order matters: specific before general
+    * (credit-card before phone — both are digit runs). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    // email
+    ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "[EMAIL]"),
+    // ipv4
+    ("""\b(?:\d{1,3}\.){3}\d{1,3}\b""", "[IP]"),
+    // 13-16 digit card-ish runs (with optional space/dash groups)
+    ("""\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b""", "[CARD]"),
+    // ssn-shaped
+    ("""\b\d{3}-\d{2}-\d{4}\b""", "[SSN]"),
+    // phone-ish: 7+ digits with separators/parens, optional +cc
+    ("""(?:\+\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3}[ .-]\d{3,4}[ .-]?\d{0,4}\b""",
+      "[PHONE]"))
+
+  /** Apply `patterns` (regex → replacement) in order — scan-speed
+    * masking for PII scrubbing or domain token suppression. All
+    * occurrences replaced (Spark regexp_replace semantics; the
+    * DuckDB mirror needs the 'g' flag). */
+  def redact(text: Column, patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+
+  /** Number of masks [[redact]] inserts — each pattern counted on
+    * the text AFTER the preceding patterns applied, exactly like the
+    * sequential replacement (counting every pattern on the original
+    * would double-count shapes that overlap, e.g. a card number's
+    * digit runs also look phone-ish). */
+  def redactionCount(text: Column,
+      patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft((lit(0): Column, text)) {
+      case ((n, t), (re, repl)) =>
+        (n + regexp_count(t, lit(re)), regexp_replace(t, re, repl))
+    }._1
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 

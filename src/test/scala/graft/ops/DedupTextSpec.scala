@@ -67,6 +67,22 @@ class DedupTextSpec extends SparkSpec {
     assert(a == b && a == Seq(2L -> 2L, 5L -> 2L, 7L -> 7L, 8L -> 7L, 9L -> 2L))
   }
 
+  test("redact masks the PII shapes and counts them on the original") {
+    val rows = Seq(
+      (1L, "write to bob.smith+x@corp.example.org or call 555-867 5309 now"),
+      (2L, "server at 10.0.42.7 leaked card 4111 1111 1111 1111 and ssn 078-05-1120"),
+      (3L, "nothing sensitive here at all")).toDF("id", "text")
+    val out = rows.select($"id",
+        TextAnalysis.redact($"text").as("clean"),
+        TextAnalysis.redactionCount($"text").as("n"))
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out(0)._2 == "write to [EMAIL] or call [PHONE] now")
+    assert(out(0)._3 == 2)
+    assert(out(1)._2 == "server at [IP] leaked card [CARD] and ssn [SSN]")
+    assert(out(1)._3 == 3)
+    assert(out(2)._2 == "nothing sensitive here at all" && out(2)._3 == 0)
+  }
+
   test("topTerms ranks by tf with corpus df attached, ties by term") {
     val docs = Seq(
       (1L, "apple banana apple cherry apple banana"),
