@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, AsOf, Dedup, NGram, NearDedup, Packing, RangeJoin, Sampling, Sketch, Stats, TextAnalysis, TransformSpec}
+import graft.ops.{AnnSearch, AsOf, Dedup, Gram, NGram, NearDedup, Packing, RangeJoin, Sampling, Sketch, Stats, TextAnalysis, TransformSpec}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize, RowGroupIndex}
@@ -997,6 +997,47 @@ object SparkEntry {
         .select(col("k_id"), col("name"), col("flag"),
           col("vec")(0).as("v0"), col("vec")(1).as("v1"), col("vec")(2).as("v2"))
         .orderBy(col("k_id"), col("name"))
+    }),
+
+    // ---- EXACT set-similarity self-join (prefix filtering) ----
+    // Recall-1.0 complement of q21's MinHash path: every pair with
+    // shingle Jaccard >= 0.5, exact integer ppm. Cross-validates the
+    // dedup family: these are exactly the true duplicate pairs.
+    "q69_jaccard_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions) // q21 doc
+      NearDedup.jaccardJoin(docs, "doc_id", "text",
+        minJaccardPpm = 500000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- EXACT vocabulary heavy hitters (Misra-Gries + recount) ----
+    "q70_heavy_hitters" -> ((s, dir) => {
+      TextAnalysis.frequentTerms(
+        t(s, dir, "documents").select(col("text")), "text", minCount = 100L)
+        .orderBy(col("term"))
+    }),
+
+    // ---- Integer-exact Gram matrix over int8 embeddings ----
+    // d(d+1)/2 longs per partition through the shuffle, row-count
+    // independent; quantization makes the sums order-invariant.
+    "q71_gram_int8" -> ((s, dir) => {
+      Gram.gramInt8(t(s, dir, "embeddings"), "embedding", dim = 64)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // ---- Typed JSON extraction from a string column ----
+    // from_json with an explicit schema (never schema_of_json per
+    // row); filter + agg on the extracted field stays relational.
+    "q72_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .filter(col("k") >= 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hi"), sum(col("k")).cast("long").as("sum_k"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1831,6 +1872,55 @@ object SparkEntry {
         |  CAST(m_vec % 997 AS DOUBLE) AS v0,
         |  CAST((m_vec + 1) % 997 AS DOUBLE) AS v1,
         |  CAST((m_vec + 2) % 997 AS DOUBLE) AS v2
-        |FROM m ORDER BY k_id, name""".stripMargin
+        |FROM m ORDER BY k_id, name""".stripMargin,
+
+    "q69_jaccard_join" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |sz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM t),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+        |  FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, (i*1000000 // (sa.n + sb.n - i)) AS jaccard_ppm
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE i*1000000 // (sa.n + sb.n - i) >= 500000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q70_heavy_hitters" ->
+      """SELECT term, count(*)::BIGINT AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents)
+        |GROUP BY term HAVING count(*) >= 100
+        |ORDER BY term""".stripMargin,
+
+    "q71_gram_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+        |    (CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END) + 0.5) AS BIGINT)) AS q
+        |  FROM m
+        |), ex AS (
+        |  SELECT vec_id, unnest(range(1, len(q)+1)) AS i, unnest(q) AS v FROM s
+        |)
+        |SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+        |  CAST(sum(a.v * b.v) AS BIGINT) AS g
+        |FROM ex a JOIN ex b USING (vec_id) WHERE a.i <= b.i
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
+    "q72_json_props" ->
+      """SELECT event_type, count(*)::BIGINT AS n_hi,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+        |WHERE k >= 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Integer-exact Gram matrix (Xᵀ·X) over int8-quantized embeddings —
+  * the reduction behind covariance estimation, whitening, and PCA
+  * preprocessing of an embedding corpus.
+  *
+  * The float version of this reduction is NOT reproducible: summing
+  * ~10⁹ float products is addition-order-dependent, so two runs with
+  * different partitionings disagree in the low bits. Quantizing each
+  * vector with the max-abs int8 kernel ([[graft.codecs.QuantizeInt8]],
+  * the q63 oracle formula) first makes every product an integer and
+  * the whole reduction exact under ANY addition order — the same
+  * doctrine as the integer-cents money aggregates.
+  *
+  * Scale shape: one narrow scan quantizes rows in codegen, then each
+  * partition folds its rows into a single d(d+1)/2 long accumulator
+  * (upper triangle, row-major) inside `mapPartitions`; the shuffle
+  * carries `partitions × d(d+1)/2` longs — INDEPENDENT of row count —
+  * and one tiny hash agg combines them. 100 TB of embeddings moves
+  * ~2080 longs per partition for d=64. Overflow headroom: each
+  * product is ≤ 127² < 2¹⁴, so the long accumulator holds ~2⁴⁹ rows
+  * per partition and the global sum ~2⁴⁹ rows total — beyond any
+  * corpus this engine will see.
+  */
+object Gram {
+
+  /** Upper-triangle Gram matrix of the quantized `embCol`. Output:
+    * (i, j, g) with 1-based i ≤ j, g = Σ_rows q_i·q_j (exact). Rows
+    * whose vector is null or not `dim` long are rejected (a silent
+    * skip would corrupt the statistic). */
+  def gramInt8(df: DataFrame, embCol: String, dim: Int): DataFrame = {
+    require(dim > 0 && dim <= 4096, s"dim out of range: $dim")
+    val nTri = dim * (dim + 1) / 2
+    val q = df.select(
+      GraftFunctions.quantizeInt8(col(embCol)).getField("q").as("__q"))
+    val partial = q.mapPartitions { rows =>
+      val acc = new Array[Long](nTri)
+      var any = false
+      rows.foreach { r =>
+        require(!r.isNullAt(0), "gramInt8: null embedding")
+        val v = r.getSeq[Byte](0)
+        require(v.length == dim,
+          s"gramInt8: expected dim $dim, got ${v.length}")
+        any = true
+        var i = 0
+        var idx = 0
+        while (i < dim) {
+          val vi = v(i).toLong
+          var j = i
+          while (j < dim) {
+            acc(idx) += vi * v(j)
+            idx += 1
+            j += 1
+          }
+          i += 1
+        }
+      }
+      if (!any) Iterator.empty
+      else Iterator.range(0, dim).flatMap { i =>
+        val base = i * dim - i * (i - 1) / 2
+        Iterator.range(i, dim).map(j => (i + 1, j + 1, acc(base + (j - i))))
+      }
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong))
+      .toDF("i", "j", "g")
+    partial.groupBy(col("i"), col("j")).agg(sum(col("g")).as("g"))
+  }
+}

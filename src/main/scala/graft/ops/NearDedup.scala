@@ -187,6 +187,86 @@ object NearDedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** EXACT set-similarity self-join (recall 1.0) via prefix
+    * filtering — the AllPairs/PPJoin family (Bayardo et al., WWW'07;
+    * Xiao et al., WWW'08): every pair of documents whose shingle-set
+    * Jaccard is ≥ `minJaccardPpm`/1e6, with the exact similarity.
+    * The guaranteed-recall complement of [[nearDuplicates]]: MinHash
+    * banding trades recall for speed; this path misses nothing, and
+    * cuts the candidate space by the prefix-filter principle instead
+    * of hashing.
+    *
+    * Order every doc's shingles by ascending corpus frequency
+    * (rarest first, ties by value — a total order, since per-doc
+    * shingles are distinct) and keep only the first
+    * `|s| − ceil(t·|s|) + 1` ("prefix"). Any two docs with J ≥ t
+    * share a prefix shingle: J(A,B) ≥ t forces
+    * |A∩B| ≥ ceil(t·max(|A|,|B|)), and the smallest common shingle
+    * under the global order cannot sit in either doc's suffix — a
+    * suffix holds only ceil(t·|s|)−1 slots, fewer than the
+    * intersection that must fit at-or-after it. Candidates therefore
+    * come from an equi-join on PREFIX shingles only. This is also
+    * why the join resists skew by construction: hot boilerplate
+    * shingles sort to the END of frequency order and almost never
+    * enter a prefix, so the band-bucket skew bomb that
+    * [[candidatePairs]] needs a cap for cannot form here.
+    *
+    * Scale shape: shingle + explode once, one vocabulary agg for
+    * frequencies, one hash agg per doc to sort/slice the prefix, an
+    * equi-join on prefix shingles (+ a size filter:
+    * min(|A|,|B|) ≥ ceil(t·max) prunes before verification), then
+    * the exact `array_intersect` verify join on ids. Nothing is ever
+    * all-pairs.
+    *
+    * Output: (id_a, id_b, jaccard_ppm), id_a < id_b, exact integer
+    * ppm (floor). Pairs sharing no shingle at all are never
+    * candidates — correct for any t > 0 since their Jaccard is 0. */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      minJaccardPpm: Long = 500000L, shingleN: Int = 3): DataFrame = {
+    require(minJaccardPpm > 0 && minJaccardPpm <= 1000000L,
+      s"minJaccardPpm must be in (0, 1e6] (got $minJaccardPpm)")
+    val sh = shingleSets(df, idCol, textCol, shingleN)
+    val ex = explodeStrings(sh, idCol, "sh", "__s")
+    val dfreq = ex.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    // rarest-first per-doc order, then slice the prefix; ceil(t·n) in
+    // pure integer arithmetic: (t_ppm·n + 999999) div 1e6
+    val prefix = ex.join(dfreq, Seq("__s"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__df"), col("__s"))))
+        .as("__sorted"))
+      .select(col(idCol),
+        size(col("__sorted")).cast("long").as("__n"),
+        col("__sorted").getField("__s").as("__ord"))
+      .withColumn("__pfxlen",
+        col("__n") - expr(s"(__n * ${minJaccardPpm}L + 999999) div 1000000")
+          + lit(1L))
+      .select(col(idCol), col("__n"),
+        slice(col("__ord"), lit(1), col("__pfxlen").cast("int")).as("__pfx"))
+    // explode is safe here: __pfx is a materialized attribute, not an
+    // interpreted expression under the Generate (see explodeStrings)
+    val pfx = prefix.select(col(idCol), col("__n"),
+      explode(col("__pfx")).as("__s"))
+    val a = pfx.select(col(idCol).as("id_a"), col("__n").as("__na"),
+      col("__s"))
+    val b = pfx.select(col(idCol).as("id_b"), col("__n").as("__nb"),
+      col("__s"))
+    val cand = a.join(b, Seq("__s"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("__na"), col("__nb")) * 1000000L >=
+        lit(minJaccardPpm) * greatest(col("__na"), col("__nb")))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("__shb")), Seq("id_b"))
+      .withColumn("__i",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
+      .withColumn("__u",
+        size(array_union(col("__sha"), col("__shb"))).cast("long"))
+      .withColumn("jaccard_ppm", expr("__i * 1000000 div __u"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select(col("id_a"), col("id_b"), col("jaccard_ppm"))
+  }
+
   /** 32-bit SimHash from a *materialized* array of 32-bit token
     * hashes (token frequency is the weight). Bit j is 1 iff the sum
     * over tokens of ±1 (bit j of the token hash) is positive.

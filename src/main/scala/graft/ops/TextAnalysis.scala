@@ -280,6 +280,76 @@ object TextAnalysis {
         expr("n_dup * 1000000 div greatest(n_bigrams, 1)"))
   }
 
+  /** EXACT corpus-wide frequent terms: every alpha token whose total
+    * occurrence count is ≥ `minCount`, with its exact count —
+    * vocabulary heavy hitters for tokenizer construction, stopword
+    * derivation, and boilerplate detection.
+    *
+    * Why not a plain `groupBy(term).count()`: map-side combine still
+    * puts one row PER PARTITION-DISTINCT TERM into the exchange — on
+    * web-scale corpora the vocabulary (URLs, typos, numbers, n-grams)
+    * is itself enormous and heavy-tailed, so the shuffle is
+    * vocabulary-sized even though the answer is tiny. This operator
+    * instead runs per-partition Misra–Gries summaries (k counters,
+    * decrement-all on overflow) to nominate candidates, then one
+    * exact recount restricted to them. MG guarantee: an item missing
+    * from EVERY partition summary has per-partition count
+    * ≤ n_p/(k+1), hence global count ≤ N/(k+1) < minCount for
+    * k ≥ N/minCount — so the candidate set provably contains every
+    * qualifying term, and the recount's exchange carries only
+    * candidate tokens. Result is exactly equal to the naive groupBy
+    * + filter (the summaries only ever ADD false candidates, which
+    * the exact recount then removes).
+    *
+    * `summarySize` = 0 (default) derives k from a token-count job:
+    * k = N/minCount + 1. Pass it explicitly to skip that pass when
+    * an upper bound on N/minCount is known. Two corpus scans either
+    * way (nominate + recount) — both narrow, at scan speed.
+    *
+    * Output: (term, cnt), exact. */
+  def frequentTerms(df: DataFrame, textCol: String, minCount: Long,
+      summarySize: Int = 0): DataFrame = {
+    require(minCount > 0, s"minCount must be positive (got $minCount)")
+    require(summarySize >= 0)
+    val toks = df.select(lit(0L).as("__g"), alphaTokens(col(textCol)).as("__t"))
+    val stream = NearDedup.explodeStrings(toks, "__g", "__t", "term")
+      .select(col("term"))
+    val k: Int =
+      if (summarySize > 0) summarySize
+      else {
+        val n = df.select(
+          sum(size(alphaTokens(col(textCol)))).cast("long").as("n"))
+          .head().getLong(0)
+        val derived = n / minCount + 1
+        require(derived <= 50000000L,
+          s"derived summary size $derived (= N/minCount + 1) is too large " +
+            "to hold per task — raise minCount or pass summarySize")
+        derived.toInt
+      }
+    import org.apache.spark.sql.Encoders
+    val candidates = stream.select(col("term")).as(Encoders.STRING)
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long](k * 2)
+        it.foreach { t =>
+          val c = m.get(t)
+          if (c != 0L) m.put(t, c + 1L)
+          else if (m.size < k) m.put(t, 1L)
+          else { // decrement-all, evict zeros (classic Misra–Gries)
+            val e = m.entrySet().iterator()
+            while (e.hasNext) {
+              val kv = e.next()
+              if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+            }
+          }
+        }
+        scala.jdk.CollectionConverters.SetHasAsScala(m.keySet).asScala.iterator
+      }(Encoders.STRING)
+      .distinct().toDF("term")
+    stream.join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "is", "was", "that", "with", "this", "have"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
