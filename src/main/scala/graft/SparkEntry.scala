@@ -332,17 +332,17 @@ object SparkEntry {
     "q21_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .repartition(s.sessionState.conf.numShufflePartitions)
-      NearDedup.nearDuplicates(docs, "doc_id", "text")
-        .select(col("id_a"), col("id_b"), micro(col("jaccard")).as("jaccard_m"))
-        .orderBy(col("id_a"), col("id_b"))
+      orderSmall(NearDedup.nearDuplicates(docs, "doc_id", "text")
+          .select(col("id_a"), col("id_b"), micro(col("jaccard")).as("jaccard_m")),
+        col("id_a"), col("id_b"))
     }),
 
     // ---- SimHash near-dup pairs (banded hamming, LLM-ops) ----
     "q50_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .repartition(s.sessionState.conf.numShufflePartitions) // q21 doc
-      NearDedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
+      orderSmall(NearDedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3),
+        col("id_a"), col("id_b"))
     }),
 
     // ---- Transitive dedup clusters over the near-dup pair graph ----
@@ -705,9 +705,9 @@ object SparkEntry {
     // Threshold 0.30 chosen for the synthetic corpus (max same-bucket
     // cosine ≈ 0.51); a production near-dup run would use ~0.95+.
     "q36_embedding_dedup" -> ((s, dir) => {
-      NearDedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
-          "embedding", minCosM = 300000L, planes = 8)
-        .orderBy(col("id_a"), col("id_b"))
+      orderSmall(NearDedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosM = 300000L, planes = 8),
+        col("id_a"), col("id_b"))
     }),
 
     // ---- ANN scale path end-to-end: LSH bucket join + top-k ----
