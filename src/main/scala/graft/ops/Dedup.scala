@@ -107,51 +107,79 @@ object Dedup {
     val (p0, p0Rdd) = pin(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
     val (edges, edgesRdd) = pin(
       p0.union(p0.select(col("v").as("u"), col("u").as("v"))).distinct())
-    edgesRdd.count() // materialize (pulls p0 through its pin too)
+    val edgeCount = edgesRdd.count() // materialize (pulls p0 through its pin)
     p0Rdd.unpersist()
+    // Round parallelism sized to the GRAPH, not the corpus: the label
+    // table is bounded by the paired-vertex count, typically orders
+    // of magnitude below the corpus. A 1450-edge graph shuffled 32
+    // ways pays ~32× the task-launch overhead for no parallelism;
+    // billions of edges keep the session's full width. ~2M edges per
+    // partition keeps a partition's join state comfortably in memory.
+    val spark = pairs.sparkSession
+    val roundParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      edgeCount / 2000000L + 1L)).toInt
+    val partsKey = "spark.sql.shuffle.partitions"
+    val savedParts = spark.conf.get(partsKey)
+    spark.conf.set(partsKey, roundParts.toString)
+    try {
     // init = the first min step fused into one agg over edges: with
-    // identity labels, each vertex's neighbor-min is simply min(v)
+    // identity labels, each vertex's neighbor-min is simply min(v).
+    // __chg marks the round's FRONTIER (vertices whose label moved).
     val init = pin(
       edges.groupBy(col("u")).agg(min(col("v")).as("__mn"))
         .select(col("u").as("id"),
-          least(col("u"), col("__mn")).as("cluster_id")))
-    var labels = init._1
+          least(col("u"), col("__mn")).as("cluster_id"),
+          (col("__mn") < col("u")).as("__chg")))
+    var pinned = init._1
     var labelsRdd: org.apache.spark.rdd.RDD[_] = init._2
-    var changed = 1L
+    var changed = pinned.filter(col("__chg")).count()
     var iter = 0
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (changed > 0 && iter < maxIter) {
       val tRound = System.nanoTime()
-      // min over own + neighbor labels; every vertex has >= 1
-      // neighbor (it came from an edge), so the inner join is total.
-      // edges is hash(v), labels hash(id) aliased to v: co-partitioned
-      // join, no exchange on either side.
-      val neighborMin = edges
-        .join(labels.select(col("id").as("v"), col("cluster_id").as("__nl")),
-          Seq("v"))
+      val labels = pinned.drop("__chg")
+      // FRONTIER min step: labels only decrease and least() folds a
+      // neighbor's offer permanently, so a vertex can only learn
+      // something new from a neighbor whose label changed LAST round
+      // — re-offering unchanged labels is provably redundant. The
+      // edges join therefore touches only the frontier's adjacency;
+      // late rounds (frontier → 0) do near-zero join work instead of
+      // re-walking the whole graph. Left join + coalesce because a
+      // vertex with no frontier neighbor simply keeps its label.
+      val delta = pinned.filter(col("__chg"))
+        .select(col("id").as("v"), col("cluster_id").as("__nl"))
+      val neighborMin = edges.join(delta, Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("__nl")).as("__nm"))
-      val stepped = labels.join(neighborMin, Seq("id"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster_id"), col("__nm")).as("cluster_id"),
-          (col("__nm") < col("cluster_id")).as("__chg"))
+          least(col("cluster_id"),
+            coalesce(col("__nm"), col("cluster_id"))).as("cluster_id"),
+          col("cluster_id").as("__prev"))
       // pointer jump: label values are themselves vertex ids, so a
       // self-join replaces label -> label(label), shrinking any
       // propagation chain (no-op once a component is uniform). Labels
       // only ever decrease (min-monotone), and a label's label stays
       // inside the component, so the jump preserves the invariant.
-      // The map side keys by id (unique), so the left join is 1:1 and
-      // the carried __chg multiplicity is unchanged.
+      // The jump's map side must be the FULL stepped mapping (a
+      // vertex may have just acquired a label whose own label went
+      // stale rounds ago), so this join is the O(V) term each round;
+      // the map side keys by id (unique), so the left join is 1:1.
       val jumped = stepped
         .join(stepped.select(col("id").as("cluster_id"),
           col("cluster_id").as("__g")), Seq("cluster_id"), "left")
         .select(col("id"),
           coalesce(col("__g"), col("cluster_id")).as("cluster_id"),
-          col("__chg"))
-      val (next, nextRdd) = pin(jumped)
+          col("__prev"))
+      // __chg = moved this round by EITHER step (a jump-only change
+      // must still be offered to neighbors next round).
+      val (next, nextRdd) = pin(jumped
+        .select(col("id"), col("cluster_id"),
+          (col("cluster_id") < col("__prev")).as("__chg")))
       changed = next.filter(col("__chg")).count() // the round's one action
       labelsRdd.unpersist()
       labelsRdd = nextRdd
-      labels = next.drop("__chg")
+      pinned = next
       iter += 1
       if (debug) {
         // scalastyle:off println
@@ -165,7 +193,8 @@ object Dedup {
       throw new IllegalStateException(
         s"dedup clustering did not converge in $maxIter rounds — the pair " +
           "graph has a propagation chain longer than 4^maxIter; raise maxIter")
-    labels
+    pinned.drop("__chg")
+    } finally spark.conf.set(partsKey, savedParts)
   }
 
   /** [[clusters]] joined back onto the corpus: every id gets a
