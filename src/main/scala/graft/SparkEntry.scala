@@ -1049,6 +1049,40 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_hi"), sum(col("k")).cast("long").as("sum_k"))
         .orderBy(col("event_type"))
+    }),
+
+    // ---- Multi-store read across an evolved schema ----
+    // Store A predates the n_chars column; store B has it. The
+    // evolved reader merges sidecars by name and serves A's rows
+    // with n_chars null — yesterday's stores keep serving after a
+    // column lands in today's writer (no rewrite of old data).
+    "q73_schema_evolution" -> ((s, dir) => {
+      val base = cachedBase(dir, "q73")
+      val (urlA, urlB) = (base + "/v1", base + "/v2")
+      if (!new java.io.File(urlB, "_SUCCESS").exists()) {
+        val docs = t(s, dir, "documents")
+        Materialize.materialize(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .select(col("doc_id"), col("lang")),
+          urlA, GraftSchema("docs_v1", Seq(
+            FieldSpec("doc_id", org.apache.spark.sql.types.LongType),
+            FieldSpec("lang", org.apache.spark.sql.types.StringType,
+              nullable = true))))
+        Materialize.materialize(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          urlB, GraftSchema("docs_v2", Seq(
+            FieldSpec("doc_id", org.apache.spark.sql.types.LongType),
+            FieldSpec("lang", org.apache.spark.sql.types.StringType,
+              nullable = true),
+            FieldSpec("n_chars", org.apache.spark.sql.types.LongType))))
+      }
+      // nullable-BIGINT outputs land as NaN≠NaN in the float compare;
+      // sentinel the evolution nulls (the spec asserts them as nulls)
+      GraftRead.reader(s, Seq(urlA, urlB)).evolved.load()
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_chars"), lit(-1L)).as("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1932,6 +1966,11 @@ object SparkEntry {
         |  CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
         |WHERE k >= 50
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q73_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |  COALESCE(CASE WHEN doc_id % 2 = 1 THEN n_chars END, -1) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: densify a sparse per-(key, bucket)
+  * aggregate into one row per key per bucket over the key's own
+  * [min, max] bucket span, filling the gaps with caller-supplied
+  * values — the "resample with gap fill" every monitoring/feature
+  * pipeline needs before windowed models (a rolling mean over a
+  * sparse series silently skips the zeros).
+  *
+  * Shape at scale: one hash agg for the per-key span (map-side
+  * combined), a `sequence` + `explode` to manufacture the dense
+  * grid — generation is distributed, each task emits only its keys'
+  * spans — and one hash join back onto the sparse rows, shuffling on
+  * (key, bucket). Nothing driver-side; grid size is the sum of key
+  * spans, independent of partition layout. A single key whose span
+  * would dominate a task is refused up front (`maxBucketsPerKey`) —
+  * at 100 TB one misparsed epoch-0 timestamp would otherwise turn a
+  * minute-grain resample into a 40-million-row single-task explode.
+  * (`sequence` materializes a key's span as one in-memory array
+  * before exploding, so the cap also bounds task memory — spans
+  * beyond it want a coarser grain, not a bigger cap.)
+  */
+object Resample {
+
+  /** Densify `sparse` (one row per present (key, bucket)) to the full
+    * per-key bucket grid. `fills` maps each value column to its
+    * gap-fill expression; value columns not in `fills` are refused —
+    * an unfilled column would silently emit nulls.
+    *
+    * @param sparse  per-(key, bucket) aggregate; bucket must be an
+    *                integral column (epoch-bucket arithmetic is the
+    *                caller's choice of grain)
+    * @param keyCol  series key column name
+    * @param bucketCol integral bucket column name
+    * @param fills   gap-fill expression per value column
+    * @param maxBucketsPerKey refuse a key spanning more buckets than
+    *                this (skew/typo guard)
+    */
+  def gapFill(sparse: DataFrame, keyCol: String, bucketCol: String,
+      fills: Map[String, Column], maxBucketsPerKey: Long = 1000000L)
+      : DataFrame = {
+    val valueCols = sparse.columns.filter(c => c != keyCol && c != bucketCol)
+    val unfilled = valueCols.filterNot(fills.contains)
+    require(unfilled.isEmpty,
+      s"no gap-fill value for column(s): ${unfilled.mkString(", ")}")
+    val unknown = fills.keys.filterNot(valueCols.contains)
+    require(unknown.isEmpty,
+      s"gap-fill for absent column(s): ${unknown.mkString(", ")}")
+    val spans = sparse.groupBy(col(keyCol))
+      .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
+    // assert-in-plan: the guard rides the grid generation (no extra
+    // action); a violating key fails the job with this message
+    val guarded = spans.withColumn("__span",
+      col("__mx") - col("__mn") + lit(1L))
+      .withColumn("__ok", when(col("__span") <= lit(maxBucketsPerKey),
+        lit(true)).otherwise(raise_error(concat(
+          lit(s"resample key spans more than $maxBucketsPerKey buckets: "),
+          col(keyCol).cast("string")))))
+    val grid = guarded.filter(col("__ok"))
+      .select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"))).as(bucketCol))
+    grid.join(sparse, Seq(keyCol, bucketCol), "left")
+      .select(col(keyCol) +: col(bucketCol) +: valueCols.map(c =>
+        coalesce(col(c), fills(c)).as(c)): _*)
+  }
+}

@@ -50,7 +50,8 @@ final case class GraftRead private (
     epochCount: Int,
     decodeOutput: Boolean,
     transformSpec: Option[TransformSpec],
-    cacheLevel: Option[org.apache.spark.storage.StorageLevel]) {
+    cacheLevel: Option[org.apache.spark.storage.StorageLevel],
+    allowEvolution: Boolean) {
 
   def fields(selectors: String*): GraftRead = copy(fieldSel = selectors)
   def predicate(p: RowPredicate): GraftRead = copy(preds = preds :+ p.toColumn)
@@ -68,6 +69,16 @@ final case class GraftRead private (
   /** Skip codec decode — storage-typed columns out (make_batch_reader
     * flavor over a graft store). */
   def rawStorage: GraftRead = copy(decodeOutput = false)
+
+  /** Schema-evolution mode for multi-store reads: instead of
+    * requiring byte-identical sidecars, the per-store schemas are
+    * merged BY NAME — shared fields must agree on type/shape/codec
+    * (nullability may differ), and a field missing from some store
+    * reads as null there (the parquet `mergeSchema` union). The
+    * append-only evolution story: yesterday's stores keep serving
+    * after a column lands in today's writer. Type changes are still
+    * refused — a widened int is a rewrite, not an evolution. */
+  def evolved: GraftRead = copy(allowEvolution = true)
 
   /** Post-decode user transform with schema-edit bookkeeping (T1,
     * transform.py:27-89); runs after predicates, before shuffle. */
@@ -98,6 +109,24 @@ final case class GraftRead private (
     // explicit (possibly sharded) file list from a partitioned store;
     // with several stores there is no single base → no derivation
     // (and a single-FILE store has no base directory at all)
+    // sidecar schemas load (and merge-validate) BEFORE the parquet
+    // read: a type-conflicting evolution must fail with the sidecar
+    // diagnostic, not Spark's raw mergeSchema error
+    val sidecars = urls.flatMap(u =>
+      Materialize.loadSchema(spark, u).map(u -> _))
+    require(sidecars.isEmpty || sidecars.length == urls.length,
+      s"mixed stores: ${sidecars.length} of ${urls.length} have a " +
+        "schema sidecar — all must, or none (plain parquet)")
+    if (!allowEvolution) sidecars.drop(1).foreach { case (u, s) =>
+      require(s.toJson == sidecars.head._2.toJson,
+        s"store schemas disagree: $u vs ${sidecars.head._1} " +
+          "(use .evolved for by-name schema-evolution merges)")
+    }
+    val sidecarSchema = sidecars.headOption.map { case (_, s0) =>
+      if (!allowEvolution || sidecars.length == 1) s0
+      else mergeSchemas(sidecars)
+    }
+
     val reader0 = spark.read
     val singleDir = urls.length == 1 && {
       val p = new org.apache.hadoop.fs.Path(urls.head)
@@ -106,23 +135,17 @@ final case class GraftRead private (
     }
     val reader1 = if (singleDir) reader0.option("basePath", urls.head)
                   else reader0
-    val storage = reader1.parquet(files: _*)
+    val reader2 = if (allowEvolution) reader1.option("mergeSchema", "true")
+                  else reader1
+    val storage = reader2.parquet(files: _*)
 
     // 2. schema: stored or inferred (dataset_metadata.py:410-418).
     //    Multi-store: ALL stores must have sidecars (each checked to
-    //    agree) or NONE (inferred) — a sidecar-less plain store mixed
-    //    with a codec-bearing one would silently have the codec
-    //    schema applied to bytes that were never encoded with it
-    val sidecars = urls.flatMap(u =>
-      Materialize.loadSchema(spark, u).map(u -> _))
-    require(sidecars.isEmpty || sidecars.length == urls.length,
-      s"mixed stores: ${sidecars.length} of ${urls.length} have a " +
-        "schema sidecar — all must, or none (plain parquet)")
-    sidecars.drop(1).foreach { case (u, s) =>
-      require(s.toJson == sidecars.head._2.toJson,
-        s"store schemas disagree: $u vs ${sidecars.head._1}")
-    }
-    val schema = sidecars.headOption.map(_._2)
+    //    agree, or merged by name under `.evolved`) or NONE
+    //    (inferred) — a sidecar-less plain store mixed with a
+    //    codec-bearing one would silently have the codec schema
+    //    applied to bytes that were never encoded with it
+    val schema = sidecarSchema
       .getOrElse(GraftSchema.fromStructType("inferred", storage.schema))
 
     // 3. schema view (P1: exact names or regex, unischema.py:199-240)
@@ -158,6 +181,29 @@ final case class GraftRead private (
   def loadAs[T: org.apache.spark.sql.Encoder](): org.apache.spark.sql.Dataset[T] =
     load().as[T]
 
+  /** By-name schema merge for [[evolved]] reads: field order is
+    * first appearance across stores (URL order); shared fields must
+    * be identical apart from nullability; a field absent from any
+    * store is nullable in the merge (its rows read as null there). */
+  private def mergeSchemas(
+      sidecars: Seq[(String, GraftSchema)]): GraftSchema = {
+    val all = sidecars.map(_._2)
+    val order = scala.collection.mutable.LinkedHashSet[String]()
+    all.foreach(_.fields.foreach(f => order += f.name))
+    val merged = order.toSeq.map { n =>
+      val present = all.flatMap(_.fields.find(_.name == n))
+      val base = present.head
+      present.tail.foreach { f =>
+        require(f.copy(nullable = base.nullable) == base,
+          s"evolved stores disagree on field '$n' beyond nullability: " +
+            s"$f vs $base — type/shape/codec changes need a rewrite")
+      }
+      base.copy(nullable = base.nullable || present.exists(_.nullable) ||
+        present.length < all.length)
+    }
+    GraftSchema(all.head.name, merged)
+  }
+
   /** Deterministic whole-dataset permutation: sort by a seeded
     * xxhash64 over every column. Unlike `orderBy(rand(seed))` this is
     * reproducible regardless of partitioning or cluster size. */
@@ -179,6 +225,6 @@ object GraftRead {
   def reader(spark: SparkSession, urls: Seq[String]): GraftRead = {
     require(urls.nonEmpty, "need at least one store url")
     GraftRead(spark, urls, Nil, Nil, None, None, 1, decodeOutput = true, None,
-      None)
+      None, allowEvolution = false)
   }
 }

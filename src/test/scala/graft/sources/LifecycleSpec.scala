@@ -159,6 +159,54 @@ class LifecycleSpec extends SparkSpec {
     assert(exMixed.getMessage.contains("mixed stores"))
   }
 
+  test("evolved multi-store read merges schemas by name, nulls missing fields") {
+    val (u1, u2) = (scratch("evolve-v1"), scratch("evolve-v2"))
+    // v1 predates the `score` column AND a codec field
+    Materialize.materialize(
+      spark.range(50).toDF("id").withColumn("label", concat(lit("l"), $"id" % 3)),
+      u1, GraftSchema("v1", Seq(
+        FieldSpec("id", LongType),
+        FieldSpec("label", StringType, nullable = true))))
+    Materialize.materialize(
+      spark.range(50, 80).toDF("id")
+        .withColumn("label", concat(lit("l"), $"id" % 3))
+        .withColumn("score", $"id" * 2)
+        .withColumn("emb", transform(sequence(lit(0), lit(3)),
+          i => ($"id" + i).cast("double"))),
+      u2, GraftSchema("v2", Seq(
+        FieldSpec("id", LongType),
+        FieldSpec("label", StringType, nullable = true),
+        FieldSpec("score", LongType),
+        FieldSpec("emb", DoubleType, shape = Seq(-1),
+          codec = Some(CodecSpec("compressed_ndarray"))))))
+    // strict mode still refuses
+    val strict = intercept[IllegalArgumentException](
+      GraftRead.reader(spark, Seq(u1, u2)).load())
+    assert(strict.getMessage.contains("disagree"))
+    val df = GraftRead.reader(spark, Seq(u1, u2)).evolved.load()
+    assert(df.columns.toSeq == Seq("id", "label", "score", "emb"))
+    assert(df.count() == 80)
+    // old rows: evolved fields null; new rows: real values (codec decoded)
+    assert(df.filter($"id" < 50 && $"score".isNull && $"emb".isNull).count() == 50)
+    val r60 = df.filter($"id" === 60).select($"score", $"emb.data").collect()(0)
+    assert(r60.getLong(0) == 120)
+    assert(r60.getSeq[Double](1) == Seq(60.0, 61.0, 62.0, 63.0))
+    // predicates/fields still compose over the merged view
+    val sel = GraftRead.reader(spark, Seq(u1, u2)).evolved
+      .fields("id", "score").predicate($"id" >= 48).load()
+    assert(sel.columns.toSeq == Seq("id", "score"))
+    assert(sel.count() == 32)
+    // a TYPE change is refused even in evolved mode
+    val u3 = scratch("evolve-v3")
+    Materialize.materialize(
+      spark.range(5).toDF("id").withColumn("score", lit(1).cast("int")),
+      u3, GraftSchema("v3", Seq(
+        FieldSpec("id", LongType), FieldSpec("score", IntegerType))))
+    val ex = intercept[IllegalArgumentException](
+      GraftRead.reader(spark, Seq(u2, u3)).evolved.load())
+    assert(ex.getMessage.contains("beyond nullability"))
+  }
+
   test("compact merges small files byte-preservingly; sidecar follows") {
     val u = scratch("compact-ds-" + java.util.UUID.randomUUID().toString.take(8))
     Materialize.materialize(source, u, schema, rowGroupSizeMb = 1,
