@@ -62,8 +62,20 @@ final case class GraftRead private (
     copy(shardSpec = Some((index, count)))
   }
   def shuffle(seed: Long): GraftRead = copy(shuffleSeed = Some(seed))
+
+  /** Iteration control (E1). `k ≥ 1` unions k epoch copies, epoch j
+    * reshuffled with seed+j (ventilator re-shuffle parity,
+    * reader.py:666-682). `epochs(0)` is the `num_epochs=None`
+    * INFINITE-iteration contract (the reference reader iterates
+    * forever, reader.py:95-98, and `reset()` restarts it,
+    * reader.py:503-527): a Spark DataFrame is already a re-iterable
+    * handle — every action re-executes the plan — so the unbounded
+    * form returns the single-pass frame with no `__epoch` column and
+    * the training loop runs one action per epoch; re-call `load()`
+    * with a bumped `shuffle` seed for a fresh permutation (the
+    * `reset()` equivalent). Nothing is ever materialized k times. */
   def epochs(k: Int): GraftRead = {
-    require(k >= 1, s"epochs($k)")
+    require(k >= 0, s"epochs($k): negative epoch count")
     copy(epochCount = k)
   }
   /** Skip codec decode — storage-typed columns out (make_batch_reader
@@ -167,7 +179,7 @@ final case class GraftRead private (
     // 7. epochs × seeded shuffle (E1 + O1-O3). Epoch k reshuffles
     //    with seed+k (ventilator re-shuffle parity, reader.py:666-682)
     val out =
-      if (epochCount == 1) shuffled(transformed, shuffleSeed)
+      if (epochCount <= 1) shuffled(transformed, shuffleSeed)
       else (0 until epochCount).map { k =>
         shuffled(transformed, shuffleSeed.map(_ + k)).withColumn("__epoch", lit(k))
       }.reduce(_.unionByName(_))

@@ -110,6 +110,47 @@ class SamplingTransformSpec extends SparkSpec {
     intercept[IllegalArgumentException](spec(df))
   }
 
+  test("TransformSpec editedFields validates the func's actual output") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val d = Seq((1L, "ab"), (2L, "cde")).toDF("id", "s")
+    // a correct declaration passes and the column flows through
+    val good = TransformSpec(
+      func = x => x.withColumn("len", length($"s")),
+      editedFields = Seq(graft.schema.FieldSpec("len", IntegerType)))
+    assert(good(d).columns.contains("len"))
+    // declared but never produced → raises with the actual columns
+    val absent = TransformSpec(
+      editedFields = Seq(graft.schema.FieldSpec("nope", IntegerType)))
+    val e1 = intercept[IllegalArgumentException](absent(d))
+    assert(e1.getMessage.contains("nope"))
+    // produced with the wrong type → raises naming both types
+    val wrongType = TransformSpec(
+      func = x => x.withColumn("len", length($"s")),
+      editedFields = Seq(graft.schema.FieldSpec("len", LongType)))
+    val e2 = intercept[IllegalArgumentException](wrongType(d))
+    assert(e2.getMessage.contains("bigint") && e2.getMessage.contains("int"))
+    // shaped edit: flat array of the element type
+    val shaped = TransformSpec(
+      func = x => x.withColumn("v", array(length($"s"), length($"s"))),
+      editedFields = Seq(graft.schema.FieldSpec("v", IntegerType,
+        shape = Seq(2))))
+    assert(shaped(d).columns.contains("v"))
+  }
+
+  test("TransformSpec editedFields round-trips through GraftRead.transform") {
+    import org.apache.spark.sql.types.LongType
+    val u = scratch("transform-edit-ds")
+    spark.range(20).toDF("x").write.mode("overwrite").parquet(u)
+    val out = graft.sources.GraftRead.reader(spark, u)
+      .transform(TransformSpec(
+        func = d => d.withColumn("y", $"x" * 2),
+        editedFields = Seq(graft.schema.FieldSpec("y", LongType)),
+        removedFields = Seq("x")))
+      .load()
+    assert(out.columns.toSeq == Seq("y"))
+    assert(out.agg(sum("y")).as[Long].collect()(0) == 380L)
+  }
+
   test("TransformSpec plugs into GraftRead post-decode") {
     val u = scratch("transform-ds")
     spark.range(20).toDF("x").write.mode("overwrite").parquet(u)

@@ -110,6 +110,24 @@ class LifecycleSpec extends SparkSpec {
     assert(byEpoch == Seq((0, 100L), (1, 100L)))
   }
 
+  test("epochs(0) is the infinite-iteration contract: a re-iterable " +
+      "single-pass handle (num_epochs=None parity, reader.py:95-98)") {
+    val df = GraftRead.reader(spark, url).fields("id").shuffle(3).epochs(0)
+      .load()
+    assert(!df.columns.contains("__epoch")) // unbounded = untagged
+    // the handle re-iterates: each action is one epoch over the data
+    val pass1 = df.select("id").as[Long].collect().toSeq
+    val pass2 = df.select("id").as[Long].collect().toSeq
+    assert(pass1 == pass2 && pass1.sorted == (0L until 100L))
+    // reset() parity: re-call load() with a bumped seed for a fresh
+    // permutation of the same rows
+    val next = GraftRead.reader(spark, url).fields("id").shuffle(4).epochs(0)
+      .load().select("id").as[Long].collect().toSeq
+    assert(next != pass1 && next.sorted == pass1.sorted)
+    intercept[IllegalArgumentException](
+      GraftRead.reader(spark, url).epochs(-1))
+  }
+
   test("non-nullable field with null raises at materialize (S2 parity)") {
     val bad = Seq((1L, null.asInstanceOf[String])).toDF("id", "label")
       .withColumn("image", transform(sequence(lit(0), lit(11)), i => i.cast("short")))
