@@ -1136,6 +1136,44 @@ object SparkEntry {
       graft.ops.Resample.gapFill(sparse, "event_type", "b",
         Map("n" -> lit(0L)))
         .orderBy(col("event_type"), col("b"))
+    }),
+
+    // ---- Per-column data profile (counts + KMV distinct + min/max) ----
+    // One unpivoted scan: C-row agg exchange for the counts/min/max,
+    // sketch-sized exchange for the deterministic distinct estimate —
+    // never an exact count(DISTINCT)'s vocabulary shuffle. The oracle
+    // replicates the KMV estimator bit-for-bit (q58's formula, per
+    // column).
+    "q76_profile" -> ((s, dir) => {
+      graft.ops.Stats.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "n_chars"), kmvK = 64)
+        .orderBy(col("col_name"))
+    }),
+
+    // ---- Token-budget document chunking with overlap ----
+    // 50-token windows, 10-token overlap (stride 40): the standard
+    // context-window split before tokenization/embedding. Pure scan
+    // work — no shuffle; the oracle recomputes every boundary and
+    // the joined chunk text.
+    "q77_chunk" -> ((s, dir) => {
+      graft.ops.Chunk.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 50, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---- Incremental near-dup: new batch vs corpus band table ----
+    // The daily-ingest dedup shape: the new batch (doc_id % 7 == 0)
+    // LSH-joins against the CORPUS band table (everything else) and
+    // verifies exact Jaccard only on matched pairs — O(new batch),
+    // never corpus x corpus, and the corpus bands are a persistable
+    // table (no corpus re-hash per ingest).
+    "q78_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newBatch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      graft.ops.NearDedup.incrementalNearDuplicates(newBatch, corpus,
+        "doc_id", "text")
+        .orderBy(col("id_new"), col("id_corpus"))
     })
   )
 
@@ -2041,6 +2079,71 @@ object SparkEntry {
         |)
         |SELECT g.event_type, g.b, COALESCE(s.n, 0) AS n
         |FROM grid g LEFT JOIN sparse s USING (event_type, b)
-        |ORDER BY g.event_type, g.b""".stripMargin
+        |ORDER BY g.event_type, g.b""".stripMargin,
+
+    "q76_profile" ->
+      """WITH vals AS (
+        |  SELECT 'doc_id' AS col_name, doc_id::VARCHAR AS v FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'n_chars', n_chars::VARCHAR FROM documents
+        |), stats AS (
+        |  SELECT col_name, count(*) AS n_rows, count(*) - count(v) AS n_null,
+        |    min(v) AS min_s, max(v) AS max_s
+        |  FROM vals GROUP BY col_name
+        |), h AS (
+        |  SELECT DISTINCT col_name, ('0x' || substr(md5(v), 1, 15))::BIGINT AS kmv
+        |  FROM vals WHERE v IS NOT NULL
+        |), r AS (
+        |  SELECT col_name, kmv,
+        |    row_number() OVER (PARTITION BY col_name ORDER BY kmv) AS rk
+        |  FROM h
+        |), s AS (
+        |  SELECT col_name, count(*)::BIGINT AS kmv_n, max(kmv) AS kth_min
+        |  FROM r WHERE rk <= 64 GROUP BY col_name
+        |)
+        |SELECT st.col_name, st.n_rows, st.n_null,
+        |  COALESCE(CASE WHEN s.kmv_n < 64 THEN s.kmv_n
+        |    ELSE CAST((63::HUGEINT * 1152921504606846976) // s.kth_min AS BIGINT)
+        |  END, 0) AS n_distinct_est,
+        |  st.min_s, st.max_s
+        |FROM stats st LEFT JOIN s USING (col_name)
+        |ORDER BY st.col_name""".stripMargin,
+
+    "q77_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS s
+        |  FROM t WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, CAST(s // 40 AS INTEGER) AS chunk_idx,
+        |  CAST(least(s + 50, len(toks)) - s AS INTEGER) AS n_tokens,
+        |  array_to_string(toks[s+1 : least(s+50, len(toks))], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q78_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), sigs AS (
+        |  SELECT doc_id, list_transform(range(16), h ->
+        |    list_min(list_transform(sh, s -> ('0x' || substr(md5((h // 4)::VARCHAR || ':' || s), (h % 4) * 8 + 1, 8))::BIGINT))) AS sig
+        |  FROM t
+        |), bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(4), j ->
+        |    j::VARCHAR || '|' || array_to_string(sig[j*4+1 : j*4+4], '_'))) AS band_key
+        |  FROM sigs
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+        |  FROM bands a JOIN bands b USING (band_key)
+        |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        |)
+        |SELECT p.id_new, p.id_corpus,
+        |  CAST(floor(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)) * 1000000) AS BIGINT) AS jaccard_ppm
+        |FROM pairs p JOIN t sa ON p.id_new = sa.doc_id JOIN t sb ON p.id_corpus = sb.doc_id
+        |ORDER BY id_new, id_corpus""".stripMargin
   )
 }

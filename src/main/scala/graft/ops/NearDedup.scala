@@ -187,6 +187,66 @@ object NearDedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Exploded LSH band keys per doc — the table an INCREMENTAL dedup
+    * pipeline PERSISTS (e.g. via `Materialize`): tomorrow's batch
+    * joins its own bands against the stored corpus bands and never
+    * re-hashes the corpus. (id, band_key), `bands` rows per doc. */
+  def bandTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, rows: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    require(bands * rows <= k, s"bands*rows (${bands * rows}) > k ($k)")
+    signatures(df, idCol, textCol, k, shingleN)
+      .select(col(idCol),
+        explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
+  }
+
+  /** Candidate near-dup pairs between a NEW batch and an existing
+    * corpus band table — the daily-ingest shape: work is
+    * O(new batch + matched buckets), never corpus×corpus and never a
+    * corpus re-hash. `corpusBands` is a [[bandTable]] output (live or
+    * read back from a store). The bucket-width cap applies to the
+    * CORPUS side — the unbounded one at 100 TB, where a boilerplate
+    * bucket accretes forever; the new batch is operationally bounded
+    * (one ingest). Output: (id_new, id_corpus) distinct; a doc
+    * present in both inputs matches itself (callers filter ids). */
+  def incrementalPairs(newDf: DataFrame, corpusBands: DataFrame,
+      idCol: String, textCol: String, k: Int = 16, bands: Int = 4,
+      rows: Int = 4, shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val nb = bandTable(newDf, idCol, textCol, k, bands, rows, shingleN)
+      .select(col(idCol).as("id_new"), col("band_key"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
+    val cb = corpusBands
+      .withColumn("__bc", count(lit(1)).over(w))
+      .filter(col("__bc") <= maxBucket)
+      .select(col(idCol).as("id_corpus"), col("band_key"))
+    nb.join(cb, Seq("band_key"))
+      .select(col("id_new"), col("id_corpus")).distinct()
+  }
+
+  /** [[incrementalPairs]] + exact Jaccard verification across the two
+    * inputs, integer ppm (floor), optionally thresholded. The verify
+    * touches only matched docs on each side. */
+  def incrementalNearDuplicates(newDf: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, minJaccardPpm: Long = 0L,
+      k: Int = 16, bands: Int = 4, rows: Int = 4, shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = incrementalPairs(newDf,
+      bandTable(corpus, idCol, textCol, k, bands, rows, shingleN),
+      idCol, textCol, k, bands, rows, shingleN, maxBucket)
+    val shNew = shingleSets(newDf, idCol, textCol, shingleN)
+      .select(col(idCol).as("id_new"), col("sh").as("__sha"))
+    val shCor = shingleSets(corpus, idCol, textCol, shingleN)
+      .select(col(idCol).as("id_corpus"), col("sh").as("__shb"))
+    pairs.join(shNew, Seq("id_new")).join(shCor, Seq("id_corpus"))
+      .withColumn("jaccard_ppm",
+        floor(size(array_intersect(col("__sha"), col("__shb")))
+          .cast("double") /
+          size(array_union(col("__sha"), col("__shb"))) * 1000000)
+          .cast("long"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select(col("id_new"), col("id_corpus"), col("jaccard_ppm"))
+  }
+
   /** EXACT set-similarity self-join (recall 1.0) via prefix
     * filtering — the AllPairs/PPJoin family (Bayardo et al., WWW'07;
     * Xiao et al., WWW'08): every pair of documents whose shingle-set

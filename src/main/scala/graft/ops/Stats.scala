@@ -82,4 +82,49 @@ object Stats {
       scanned.crossJoin(tot).agg(picks.head, picks.tail: _*)
     }
   }
+
+  /** Per-column data profile — the "analyze my training table" pass
+    * every curation pipeline runs before touching 100 TB: one row per
+    * requested column with row/null counts, a DETERMINISTIC distinct
+    * estimate, and lexicographic min/max (all values profiled through
+    * their canonical string form, so one schema fits every column
+    * type and the DuckDB oracle reproduces it bit-for-bit).
+    *
+    * Scale shape: `stack` unpivots the C columns in the scan (no
+    * shuffle, C output rows per input row); the count/min/max agg is
+    * one map-side-combined hash agg whose exchange carries ≤ C rows
+    * per task; the distinct estimate is [[Sketch.kmvEstimate]] over
+    * the same unpivot — bounded per-partition heaps, so its exchange
+    * is sketch-sized (≤ k·C·partitions), never vocabulary-sized.
+    * An exact `count(DISTINCT)` per column would shuffle every
+    * distinct value of every column; the KMV estimate is the only
+    * honest profile at corpus scale, and groups with fewer than k
+    * distinct values are exact by construction.
+    *
+    * Output: (col_name, n_rows, n_null, n_distinct_est, min_s, max_s)
+    * where min_s/max_s are over non-null string forms (null for an
+    * all-null column) and n_distinct_est counts non-null values. */
+  def profile(df: DataFrame, cols: Seq[String], kmvK: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profile of absent column(s): ${missing.mkString(", ")}")
+    val stacked = df.selectExpr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
+        ") AS (col_name, v)")
+    val stats = stacked.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("v"))).as("n_null"),
+      min(col("v")).as("min_s"),
+      max(col("v")).as("max_s"))
+    val dist = Sketch
+      .kmvEstimate(stacked.filter(col("v").isNotNull), Seq("col_name"), "v",
+        kmvK)
+      .select(col("col_name"), col("est_distinct").cast("long")
+        .as("n_distinct_est"))
+    stats.join(dist, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        coalesce(col("n_distinct_est"), lit(0L)).as("n_distinct_est"),
+        col("min_s"), col("max_s"))
+  }
 }

@@ -133,4 +133,72 @@ class NearDedupSpec extends SparkSpec {
       .as[Int].collect()(0)
     assert(hd == 0)
   }
+
+  test("incremental pairs equal the cross-side slice of the self-join") {
+    // split the fixture: new batch = {1, 3}, corpus = the rest. The
+    // incremental band join must find exactly the candidate pairs
+    // with one end on each side (bands are per-doc deterministic).
+    val newBatch = docs.filter($"doc_id".isin(1L, 3L))
+    val corpus = docs.filter(!$"doc_id".isin(1L, 3L))
+    val inc = NearDedup.incrementalPairs(newBatch,
+      NearDedup.bandTable(corpus, "doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val self = NearDedup.candidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val crossSlice = self.flatMap { case (a, b) =>
+      val (n, c) = (Set(1L, 3L).contains _, (x: Long) => !Set(1L, 3L)(x))
+      (if (n(a) && c(b)) Seq((a, b)) else Nil) ++
+        (if (n(b) && c(a)) Seq((b, a)) else Nil)
+    }
+    assert(inc == crossSlice && inc.nonEmpty)
+    // 1's dup (4) and near-dup (2) are in the corpus side
+    assert(inc.contains((1L, 4L)) && inc.contains((1L, 2L)))
+  }
+
+  test("incremental verify computes exact ppm; threshold filters") {
+    val newBatch = docs.filter($"doc_id" === 1L)
+    val corpus = docs.filter($"doc_id" =!= 1L)
+    val m = NearDedup.incrementalNearDuplicates(newBatch, corpus,
+      "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    assert(m((1L, 4L)) == 1000000L) // exact dup
+    assert(m((1L, 2L)) > 500000L && m((1L, 2L)) < 1000000L)
+    val thresholded = NearDedup.incrementalNearDuplicates(newBatch, corpus,
+      "doc_id", "text", minJaccardPpm = 999999L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(thresholded.map(t => (t._1, t._2)) == Seq((1L, 4L)))
+  }
+
+  test("incremental corpus-side bucket cap drops the accreted bucket") {
+    // 30 identical corpus docs collapse into one band bucket wider
+    // than the cap; the new doc must then match NOTHING (the drop is
+    // the documented skew-protection trade)
+    val corpus = (10L until 40L).map(i => (i, base)).toDF("doc_id", "text")
+    val newBatch = Seq((1L, base)).toDF("doc_id", "text")
+    val capped = NearDedup.incrementalPairs(newBatch,
+      NearDedup.bandTable(corpus, "doc_id", "text"), "doc_id", "text",
+      maxBucket = 10)
+    assert(capped.count() == 0)
+    val uncapped = NearDedup.incrementalPairs(newBatch,
+      NearDedup.bandTable(corpus, "doc_id", "text"), "doc_id", "text",
+      maxBucket = 1000)
+    assert(uncapped.count() == 30)
+  }
+
+  test("incremental pairs work from a PERSISTED band table (no re-hash)") {
+    val corpus = docs.filter($"doc_id" =!= 1L)
+    val url = scratch("band-table")
+    NearDedup.bandTable(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(url)
+    val fromStore = NearDedup.incrementalPairs(
+      docs.filter($"doc_id" === 1L), spark.read.parquet(url),
+      "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val inline = NearDedup.incrementalPairs(
+      docs.filter($"doc_id" === 1L),
+      NearDedup.bandTable(corpus, "doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(fromStore == inline && fromStore.nonEmpty)
+  }
 }

@@ -65,4 +65,42 @@ class StatsSpec extends SparkSpec {
       Stats.exactPercentiles(df, Seq("g"), "v", Seq(0.0))
     }
   }
+
+  test("profile: counts, nulls, lexicographic min/max, exact-below-k distinct") {
+    val data = Seq(
+      (1L, Some("b"), Some(10L)),
+      (2L, Some("a"), None),
+      (3L, Some("a"), Some(5L)),
+      (4L, None, Some(10L)))
+      .toDF("id", "s", "v")
+    val rows = Stats.profile(data, Seq("id", "s", "v"), kmvK = 64)
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows("id") == (("id", 4L, 0L, 4L, Some("1"), Some("4"))))
+    assert(rows("s") == (("s", 4L, 1L, 2L, Some("a"), Some("b"))))
+    // string-form min/max: "10" < "5" lexicographically
+    assert(rows("v") == (("v", 4L, 1L, 2L, Some("10"), Some("5"))))
+  }
+
+  test("profile: all-null column estimates 0 distinct with null min/max") {
+    val data = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s")
+    val rows = Stats.profile(data, Seq("s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(rows == Seq(("s", 2L, 2L, 0L, None, None)))
+  }
+
+  test("profile refuses absent columns and empty column lists") {
+    val data = Seq((1L, "x")).toDF("id", "s")
+    intercept[IllegalArgumentException](Stats.profile(data, Nil))
+    intercept[IllegalArgumentException](Stats.profile(data, Seq("nope")))
+  }
+
+  test("profile distinct estimate is within KMV error above k") {
+    // 2000 distinct ids against k=64: estimator error ~1/sqrt(k)
+    val data = spark.range(2000).toDF("id")
+    val est = Stats.profile(data, Seq("id"), kmvK = 64)
+      .select("n_distinct_est").as[Long].head()
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.35, s"estimate $est")
+  }
 }
