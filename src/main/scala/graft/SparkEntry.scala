@@ -1174,6 +1174,17 @@ object SparkEntry {
       graft.ops.NearDedup.incrementalNearDuplicates(newBatch, corpus,
         "doc_id", "text")
         .orderBy(col("id_new"), col("id_corpus"))
+    }),
+
+    // ---- Duplicated-span coverage (substring-level dedup signal) ----
+    // Per-document fraction of 5-gram positions whose gram occurs in
+    // some OTHER document — the Lee et al. 2022 span-dedup measure at
+    // a granularity below whole-doc near-dup. Exact; the only
+    // corpus-sized exchange carries distinct (gram, doc) pairs.
+    "q79_dup_spans" -> ((s, dir) => {
+      graft.ops.DupSpans.spanCoverage(t(s, dir, "documents"),
+        "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2144,6 +2155,29 @@ object SparkEntry {
         |SELECT p.id_new, p.id_corpus,
         |  CAST(floor(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)) * 1000000) AS BIGINT) AS jaccard_ppm
         |FROM pairs p JOIN t sa ON p.id_new = sa.doc_id JOIN t sb ON p.id_corpus = sb.doc_id
-        |ORDER BY id_new, id_corpus""".stripMargin
+        |ORDER BY id_new, id_corpus""".stripMargin,
+
+    "q79_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, array_to_string(toks[s+1 : s+5], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS s
+        |        FROM t WHERE len(toks) >= 5)
+        |), pairs AS (
+        |  SELECT gram, doc_id, count(*) AS c FROM g GROUP BY 1, 2
+        |), flagged AS (
+        |  SELECT doc_id, c,
+        |    min(doc_id) OVER (PARTITION BY gram)
+        |      <> max(doc_id) OVER (PARTITION BY gram) AS dup
+        |  FROM pairs
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN dup THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN dup THEN c ELSE 0 END) * 1000000
+        |       // sum(c) AS BIGINT) AS dup_ratio_m
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

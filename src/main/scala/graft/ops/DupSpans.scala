@@ -32,10 +32,18 @@ import org.apache.spark.sql.functions._
   * buffers more than one gram's distinct-doc list.
   *
   * Docs with fewer than `n` tokens have no spans and emit no row
-  * (coverage of an empty span set is undefined, not zero).
+  * (coverage of an empty span set is undefined, not zero). Rows with
+  * a null id are dropped up front: identity is the unit of the study,
+  * and min/max over a gram window would otherwise silently fold all
+  * null-id rows into one pseudo-document AND un-flag a gram shared
+  * between a null-id row and exactly one real document (min=max=the
+  * real id) — consistent with the non-null-id contract of the other
+  * id-keyed ops ([[Dedup]], [[NearDedup]], [[Chunk]]).
   *
   * Output: (idCol, n_spans, n_dup, dup_ratio_m) — span counts with
-  * multiplicity, ratio floored to integer micros.
+  * multiplicity, ratio floored to integer micros via exact integer
+  * division (`div`), bit-reproducible across engines like
+  * [[TextAnalysis.repetitionStats]]'s ppm columns.
   */
 object DupSpans {
 
@@ -43,6 +51,7 @@ object DupSpans {
       n: Int): DataFrame = {
     require(n >= 1, s"span width must be positive (got $n)")
     val grams = df
+      .filter(col(idCol).isNotNull)
       .select(col(idCol), TextAnalysis.alphaTokens(col(textCol)).as("__t"))
       .withColumn("__len", size(col("__t")))
       .filter(col("__len") >= n)
@@ -63,7 +72,7 @@ object DupSpans {
       .agg(sum(col("__c")).as("n_spans"),
         sum(when(col("__dup"), col("__c")).otherwise(0L)).as("n_dup"))
       .select(col(idCol), col("n_spans"), col("n_dup"),
-        floor(col("n_dup") * 1000000L / col("n_spans")).cast("long")
-          .as("dup_ratio_m"))
+        // n_spans > 0 is guaranteed by the __len >= n filter
+        expr("n_dup * 1000000 div n_spans").as("dup_ratio_m"))
   }
 }

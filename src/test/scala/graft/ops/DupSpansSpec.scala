@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** spanCoverage: cross-doc flagging, multiplicity, within-doc-only
+  * repeats, short-doc omission, n=1, null ids, exact micros.
+  */
+class DupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(java.lang.Long, String)], n: Int) =
+    DupSpans.spanCoverage(rows.toDF("doc_id", "text"), "doc_id", "text", n)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+
+  test("cross-doc grams count with multiplicity on BOTH sides") {
+    // doc 1: "a b a b" → 2-grams [a b, b a, a b]: "a b"×2 shared
+    // doc 2: "a b c"   → [a b, b c]: "a b"×1 shared
+    val out = run(Seq((1L, "a b a b"), (2L, "a b c")), n = 2)
+    assert(out == Seq((1L, 3L, 2L, 666666L), (2L, 2L, 1L, 500000L)))
+  }
+
+  test("within-doc-only repeats are not duplicated spans") {
+    // "x y x y x" repeats "x y" internally but no other doc has it
+    val out = run(Seq((1L, "x y x y x"), (2L, "p q r")), n = 2)
+    assert(out == Seq((1L, 4L, 0L, 0L), (2L, 2L, 0L, 0L)))
+  }
+
+  test("docs shorter than n emit no row; n-token docs emit one span") {
+    val out = run(Seq((1L, "a b"), (2L, "a b c"), (3L, "")), n = 3)
+    assert(out == Seq((2L, 1L, 0L, 0L)))
+  }
+
+  test("n=1: single shared token flags exactly its positions") {
+    // token "t" appears in docs 1 (×2 of 3) and 2 (×1 of 2)
+    val out = run(Seq((1L, "t u t"), (2L, "t v"), (3L, "w")), n = 1)
+    assert(out == Seq(
+      (1L, 3L, 2L, 666666L), (2L, 2L, 1L, 500000L), (3L, 1L, 0L, 0L)))
+  }
+
+  test("null-id rows are dropped, not folded or silently un-flagging") {
+    // without the filter, the null-id copy of "a b" would make
+    // min=max=1 over the gram window and doc 1 would stay unflagged
+    val out = run(Seq((1L, "a b"), (null, "a b"), (null, "a b")), n = 2)
+    assert(out == Seq((1L, 1L, 0L, 0L)))
+  }
+
+  test("ratio uses exact integer division (floored micros)") {
+    // 1 dup of 3 spans → 333333, never a double-rounded 333334
+    val out = run(Seq((1L, "s t u v"), (2L, "s t w")), n = 2)
+    assert(out == Seq((1L, 3L, 1L, 333333L), (2L, 2L, 1L, 500000L)))
+  }
+
+  test("distributed input agrees with the sequential answer") {
+    val rows: Seq[(java.lang.Long, String)] = (0L until 40L).map { i =>
+      // digits vanish under alphaTokens: encode uniqueness in letters
+      val tag = "q" + ("a" * (i.toInt + 1))
+      (java.lang.Long.valueOf(i),
+        if (i % 4 == 0) s"shared boiler plate line ${tag}"
+        else s"${tag}w ${tag}x ${tag}y ${tag}z")
+    }
+    val df = rows.toDF("doc_id", "text").repartition(7)
+    val out = DupSpans.spanCoverage(df, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 40)
+    // "shared boiler plate" + "boiler plate line" cross all i%4==0 docs
+    out.foreach { case (id, spans, dup, _) =>
+      if (id % 4 == 0) assert(dup >= 2L, s"doc $id")
+      else assert(dup == 0L, s"doc $id")
+      assert(spans > 0L)
+    }
+  }
+
+  test("guard: span width must be positive") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      DupSpans.spanCoverage(df, "doc_id", "text", 0))
+  }
+}
