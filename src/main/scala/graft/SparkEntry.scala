@@ -1025,9 +1025,14 @@ object SparkEntry {
     }),
 
     // ---- EXACT vocabulary heavy hitters (Misra-Gries + recount) ----
+    // summarySize passed explicitly (the documented fast path): skips
+    // the N-derivation corpus pass. 50k covers N up to 5G tokens at
+    // minCount=100 (MG error bound N/(k+1) < minCount), far above any
+    // driver sf; per-task memory stays a ~50k-entry map.
     "q70_heavy_hitters" -> ((s, dir) => {
       TextAnalysis.frequentTerms(
-        t(s, dir, "documents").select(col("text")), "text", minCount = 100L)
+        t(s, dir, "documents").select(col("text")), "text", minCount = 100L,
+        summarySize = 50000)
         .orderBy(col("term"))
     }),
 
@@ -1185,6 +1190,25 @@ object SparkEntry {
       graft.ops.DupSpans.spanCoverage(t(s, dir, "documents"),
         "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- SemDeDup semantic dedup over embeddings ----
+    // Deterministic seed clustering (8 lowest-id centroids, codegen
+    // argmax assignment — zero corpus shuffles), then keep-lowest-id
+    // pruning inside each cluster at cosine >= 0.30 (the synthetic
+    // corpus' near-dup band, cf. q36). One row per vector: pruned
+    // rows name their representative; keepers' null nn_id/cos_m are
+    // surfaced as -1 (nullable numerics don't survive the driver's
+    // float-NaN hash compare).
+    "q80_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.SemanticDedup.report(e, "vec_id", "embedding",
+        graft.ops.SemanticDedup.lowestIdCentroids(e, "vec_id", "embedding", 8),
+        minCosM = 300000L)
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("nn_id"), lit(-1L)).as("nn_id"),
+          coalesce(col("cos_m"), lit(-1L)).as("cos_m"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -2178,6 +2202,45 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dup THEN c ELSE 0 END) AS BIGINT) AS n_dup,
         |  CAST(sum(CASE WHEN dup THEN c ELSE 0 END) * 1000000
         |       // sum(c) AS BIGINT) AS dup_ratio_m
-        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q80_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+        |), c AS (
+        |  SELECT vec_id AS centroid_id, emb AS cemb FROM e
+        |  ORDER BY vec_id LIMIT 8
+        |), ascore AS (
+        |  SELECT e.vec_id, e.emb, c.centroid_id,
+        |    CAST(floor(
+        |      list_reduce(list_transform(range(1, 65), i -> e.emb[i] * c.cemb[i]), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.emb[i] * e.emb[i]), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(range(1, 65), i -> c.cemb[i] * c.cemb[i]), (a, b) -> a + b)))
+        |      * 1000000) AS BIGINT) AS am
+        |  FROM e CROSS JOIN c
+        |), assigned AS (
+        |  SELECT vec_id, emb, centroid_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY am DESC, centroid_id) AS rn
+        |    FROM ascore) x
+        |  WHERE rn = 1
+        |), pairs AS (
+        |  SELECT a.vec_id, a.cluster, b.vec_id AS nid,
+        |    CAST(floor(
+        |      list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.emb[i] * a.emb[i]), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(range(1, 65), i -> b.emb[i] * b.emb[i]), (x, y) -> x + y)))
+        |      * 1000000) AS BIGINT) AS cos_m
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        |), nn AS (
+        |  SELECT vec_id, cluster, nid, cos_m FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_m DESC, nid) AS rn
+        |    FROM pairs WHERE cos_m >= 300000) x
+        |  WHERE rn = 1
+        |)
+        |SELECT a.vec_id, a.cluster,
+        |  coalesce(n.nid, -1) AS nn_id, coalesce(n.cos_m, -1) AS cos_m
+        |FROM assigned a LEFT JOIN nn n ON a.vec_id = n.vec_id AND a.cluster = n.cluster
+        |ORDER BY a.vec_id""".stripMargin
   )
 }
