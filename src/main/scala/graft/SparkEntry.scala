@@ -1209,6 +1209,78 @@ object SparkEntry {
           coalesce(col("nn_id"), lit(-1L)).as("nn_id"),
           coalesce(col("cos_m"), lit(-1L)).as("cos_m"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- Bloom-prefiltered decontamination ----
+    // Same semantics as q53 (different bench split): the benchmark's
+    // distinct shingles fold into a broadcast Bloom filter probed at
+    // scan speed, so only admitted shingles reach the verify join's
+    // exchange — the result stays EXACT (no false negatives; admitted
+    // false positives die in the join), which is why the oracle is
+    // the plain exact-contamination SQL.
+    "q81_bloom_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions) // q21 doc
+      val bench = docs.filter(col("doc_id") % 89 === 0)
+      graft.ops.NearDedup.bloomContamination(docs, "doc_id", "text",
+        bench, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Snapshot delta (dataset versioning) ----
+    // Two synthetic snapshots of the documents store: some ids exist
+    // on one side only, some rows get a text suffix or an n_chars
+    // bump. The diff joins (id, per-column md5) projections — the
+    // exchange never carries row payloads — and names the changed
+    // columns per id.
+    "q82_dataset_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 2, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 19 === 4, col("n_chars") + 1)
+            .otherwise(col("n_chars")))
+      graft.ops.Diff.datasetDiff(oldSnap, newSnap, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Stream-stream interval join (streaming enrichment) ----
+    // A REAL watermarked stream-stream inner join (click → purchase
+    // within 30 minutes per user) run AvailableNow into a memory
+    // sink; the oracle replays the identical join as batch SQL. The
+    // single-file source makes one micro-batch; cross-batch state
+    // carry is proven separately in StreamJoinSpec.
+    "q83_stream_join" -> ((s, dir) => {
+      val ev = graft.streaming.GraftStream.reader(s, dir)
+        .glob("events.parquet").load()
+        .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_t").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_t").as("purchase_ts"))
+      val j = graft.streaming.GraftStream.intervalJoin(
+          clicks, purchases, "user_id", "click_ts", "purchase_ts",
+          watermarkDelay = "1 hour", bound = "30 minutes")
+        .select(col("l.user_id").as("user_id"), col("click_id"),
+          col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("lag_us"))
+      val name = "graft_q83_sink" // fixed + pre-dropped, see q59
+      s.catalog.dropTempView(name)
+      withShufflePartitions(s, 4) { // state stores per partition, see q61
+        val q = j.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     })
   )
 
@@ -2241,6 +2313,65 @@ object SparkEntry {
         |SELECT a.vec_id, a.cluster,
         |  coalesce(n.nid, -1) AS nn_id, coalesce(n.cos_m, -1) AS cos_m
         |FROM assigned a LEFT JOIN nn n ON a.vec_id = n.vec_id AND a.cluster = n.cluster
-        |ORDER BY a.vec_id""".stripMargin
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "q81_bloom_decontam" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM t
+        |), bench AS (
+        |  SELECT DISTINCT s FROM ex WHERE doc_id % 89 = 0
+        |), tot AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_shingles FROM ex GROUP BY doc_id
+        |), hit AS (
+        |  SELECT ex.doc_id, count(*)::BIGINT AS n_contaminated
+        |  FROM ex JOIN bench USING (s) GROUP BY ex.doc_id
+        |)
+        |SELECT tot.doc_id, tot.n_shingles,
+        |  coalesce(hit.n_contaminated, 0)::BIGINT AS n_contaminated,
+        |  (coalesce(hit.n_contaminated, 0)::BIGINT * 1000000 // tot.n_shingles) AS contam_ppm
+        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    "q82_dataset_diff" ->
+      """WITH o AS (
+        |  SELECT * FROM documents WHERE doc_id % 11 <> 3
+        |), n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 2 THEN text || ' [v2]' ELSE text END AS text,
+        |    lang, source,
+        |    CASE WHEN doc_id % 19 = 4 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 5
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  CASE WHEN o.doc_id IS NULL OR n.doc_id IS NULL THEN ''
+        |       ELSE array_to_string(list_filter([
+        |         CASE WHEN o.lang IS DISTINCT FROM n.lang THEN 'lang' END,
+        |         CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars THEN 'n_chars' END,
+        |         CASE WHEN o.source IS DISTINCT FROM n.source THEN 'source' END,
+        |         CASE WHEN o.text IS DISTINCT FROM n.text THEN 'text' END],
+        |         x -> x IS NOT NULL), ',') END AS changed_cols
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+        |   OR o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang
+        |   OR o.source IS DISTINCT FROM n.source
+        |   OR o.n_chars IS DISTINCT FROM n.n_chars
+        |ORDER BY doc_id""".stripMargin,
+
+    "q83_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  (epoch_us(p.ts) - epoch_us(c.ts)) AS lag_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
   )
 }

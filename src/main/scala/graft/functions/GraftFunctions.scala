@@ -48,4 +48,10 @@ object GraftFunctions {
   /** Exact integer dot product of two int8 vectors → long. */
   def dotI8(a: Column, b: Column): Column =
     column(graft.codecs.DotI8(expr(a), expr(b)))
+
+  /** Scan-speed membership probe against a serialized Bloom filter
+    * (never a false negative) — the generic exchange prefilter behind
+    * [[graft.ops.NearDedup.bloomContamination]]. */
+  def bloomMightContain(s: Column, filterBytes: Array[Byte]): Column =
+    column(graft.codecs.BloomMightContain(expr(s), filterBytes))
 }

@@ -460,6 +460,58 @@ object NearDedup {
         expr("n_contaminated * 1000000 div n_shingles"))
   }
 
+  /** [[contamination]] with a broadcast Bloom prefilter — the 100 TB
+    * shuffle shape. [[contamination]]'s one corpus-sized exchange is
+    * its join: EVERY corpus shingle occurrence travels to the shingle
+    * hash partition just to discover (almost always) "not in the
+    * benchmark". Here the benchmark's distinct shingles are folded
+    * into a Bloom filter (one pass over the small-by-contract bench
+    * side), baked into a codegen'd scan-speed predicate
+    * ([[graft.codecs.BloomMightContain]]), and only ADMITTED shingles
+    * enter the exchange — at fpp 1% a clean corpus shrinks the
+    * shuffle ~100×. The result is IDENTICAL to [[contamination]]:
+    * the bloom never drops a true member (no false negatives), and
+    * admitted false positives are eliminated by the same exact join.
+    * Price: per-doc totals need their own scan-side agg (the one-pass
+    * join-then-count trick would route everything through the
+    * exchange again), so this variant tokenizes the corpus twice —
+    * scans scale, exchanges don't.
+    *
+    * `fpp` trades filter size (broadcast cost, ~1.2 bytes/item at 1%)
+    * against admitted-noise volume. Output shape identical to
+    * [[contamination]]. */
+  def bloomContamination(df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      shingleN: Int = 3, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val ex = explodeStrings(shingleSets(df, idCol, textCol, shingleN),
+      idCol, "sh", "__s")
+    val bench = explodeStrings(
+      shingleSets(benchmark, benchIdCol, benchTextCol, shingleN),
+      benchIdCol, "sh", "__s")
+      .select(col("__s")).distinct()
+    val nBench = bench.count()
+    val admit: org.apache.spark.sql.Column =
+      if (nBench == 0) lit(false) // empty benchmark admits nothing
+      else {
+        val bf = bench.stat.bloomFilter("__s", nBench, fpp)
+        graft.functions.GraftFunctions.column(
+          graft.codecs.BloomMightContain(
+            graft.functions.GraftFunctions.expr(col("__s")),
+            graft.codecs.BloomBytes.toBytes(bf)))
+      }
+    val totals = ex.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = ex.filter(admit)
+      .join(bench, Seq("__s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__nc"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("__nc"), lit(0L)).as("n_contaminated"))
+      .withColumn("contam_ppm",
+        expr("n_contaminated * 1000000 div n_shingles"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member
     * of the dedup family: candidates are same-LSH-bucket rows (random
     * hyperplanes, [[AnnSearch.bucketOf]]), verified by exact cosine ≥

@@ -127,6 +127,36 @@ object GraftStream {
         col("n_events"))
   }
 
+  /** Stream-stream interval join: pair each left row with the right
+    * rows of the same key whose event time falls in
+    * `[leftTs, leftTs + bound]` — the streaming enrichment shape
+    * ("which purchases followed this click within 5 minutes"),
+    * expressed as Structured Streaming's watermarked inner join so
+    * BOTH sides' buffered state is evictable: with watermark d and
+    * bound b, a right row leaves the store once the left watermark
+    * passes its timestamp, a left row once `leftTs + b` falls behind
+    * the right watermark — state is a sliding window of the streams,
+    * never their history. The same call works on batch frames (the
+    * watermark is a no-op there), which is what the q83 oracle
+    * replays in SQL.
+    *
+    * Sides are aliased `l` / `r`; the caller projects (`col("l.k")`)
+    * since key columns appear on both. Inner append-mode only (the
+    * only mode a stream-stream time-interval join supports). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, watermarkDelay: String,
+      bound: String): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      s"time columns must be named apart (both '$leftTsCol') — the join " +
+        "condition references them unqualified through the l/r aliases")
+    val l = left.withWatermark(leftTsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTsCol, watermarkDelay).alias("r")
+    l.join(r, expr(
+      s"l.$keyCol = r.$keyCol AND " +
+        s"$rightTsCol >= $leftTsCol AND " +
+        s"$rightTsCol <= $leftTsCol + INTERVAL $bound"))
+  }
+
   /** Stateful per-key admission quota — keep only the FIRST `n` rows
     * per key in `(orderCol, tieCol)` order, with the admitted count
     * carried ACROSS micro-batches: the `flatMapGroupsWithState`
