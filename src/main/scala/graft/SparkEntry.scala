@@ -1281,6 +1281,19 @@ object SparkEntry {
       }
       s.table(name)
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
+    // ---- Inverted index (bounded posting lists) ----
+    // Term -> (doc frequency, corpus frequency, top-5 docs by tf as
+    // an id:tf string). Posting selection rides rankTopK's two-phase
+    // bounded heaps — no per-term sort task ever sees a stopword's
+    // full posting set. minDf=20 keeps the indexed vocabulary to
+    // terms worth serving.
+    "q84_inverted_index" -> ((s, dir) => {
+      TextAnalysis.invertedIndex(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", topK = 5, minDf = 20L)
+        .orderBy(col("term"))
     })
   )
 
@@ -2372,6 +2385,29 @@ object SparkEntry {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
-        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    "q84_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT term, count(*)::BIGINT AS df_docs, CAST(sum(tf) AS BIGINT) AS cf
+        |  FROM tf GROUP BY 1
+        |), top AS (
+        |  SELECT term, doc_id, tf,
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+        |  FROM tf
+        |), post AS (
+        |  SELECT term,
+        |    string_agg(doc_id || ':' || tf, ',' ORDER BY rn) AS postings
+        |  FROM top WHERE rn <= 5 GROUP BY term
+        |)
+        |SELECT a.term, a.df_docs, a.cf, p.postings
+        |FROM agg a JOIN post p USING (term)
+        |WHERE a.df_docs >= 20
+        |ORDER BY a.term""".stripMargin
   )
 }

@@ -219,6 +219,40 @@ object TextAnalysis {
   def docFrequency(tc: DataFrame): DataFrame =
     tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+  /** Term-keyed inverted index: per term its document frequency,
+    * corpus frequency, and a bounded posting list — the top-`topK`
+    * documents by term frequency as an "id:tf,id:tf" string (tf
+    * desc, id asc; a STRING so the row is hash-comparable across
+    * engines). `minDf` bounds the output to terms worth indexing.
+    *
+    * Scale shape: one (term, doc) hash agg off the token explode,
+    * then posting selection through [[AnnSearch.rankTopK]]'s
+    * two-phase bounded heaps — a stopword's million-document posting
+    * set never funnels through a single per-term sort task, the
+    * failure mode of the naive `row_number() OVER (PARTITION BY
+    * term)` spelling. df/cf aggregate the same exchange
+    * (ReusedExchange) and join the postings term-on-term. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 5, minDf: Long = 1L): DataFrame = {
+    require(topK > 0, s"topK must be positive (got $topK)")
+    val tc = termCounts(df, idCol, textCol)
+    val stats = tc.groupBy(col("term")).agg(
+      count(lit(1)).as("df_docs"), sum(col("tf")).as("cf"))
+      .filter(col("df_docs") >= minDf)
+    val post = AnnSearch.rankTopK(
+      tc.select(col("term").as("qid"), col(idCol).as("cid"),
+        col("tf").as("cos_m")), topK)
+      .groupBy(col("qid")).agg(
+        array_sort(collect_list(struct(col("rank"), col("cid"), col("cos_m"))))
+          .as("__p"))
+      .select(col("qid").as("term"),
+        concat_ws(",", transform(col("__p"),
+          x => concat(x.getField("cid").cast("string"), lit(":"),
+            x.getField("cos_m").cast("string")))).as("postings"))
+    stats.join(post, Seq("term"))
+      .select(col("term"), col("df_docs"), col("cf"), col("postings"))
+  }
+
   /** Per-document top-`k` terms by raw frequency, with each term's
     * corpus document frequency attached — the integer-exact core of
     * TF-IDF keyword ranking. The float idf multiply (ln(N/df)) is

@@ -127,6 +127,76 @@ object GraftStream {
         col("n_events"))
   }
 
+  /** Streaming near-duplicate ingest — the daily-crawl admission
+    * pipeline as one foreachBatch composition over persisted state:
+    * every micro-batch (1) LSH-joins its band keys against the
+    * PERSISTED corpus band table ([[graft.ops.NearDedup.bandTable]]
+    * layout at `bandsUrl`) — never re-hashing the corpus, work is
+    * O(batch + matched buckets); (2) exact-verifies candidate pairs
+    * by shingle Jaccard against the corpus docs store, reading only
+    * join-matched rows' text (store the docs bucketed/indexed by id
+    * — [[graft.sources.Materialize.materializeBucketed]] /
+    * [[graft.sources.RowGroupIndex]] — to also prune the verify
+    * SCAN at 100 TB); (3) appends the verified pairs, the batch's
+    * bands, and the batch's docs, so the next batch — or tomorrow's
+    * restart — sees this batch as corpus. Intra-batch duplicates are
+    * deliberately out of scope (run the batch-level
+    * [[graft.ops.NearDedup.nearDuplicates]] on the batch if needed).
+    *
+    * Parquet appends inside foreachBatch are at-least-once under
+    * retries; `pairs` rows carry `batch_id` so a replayed batch is
+    * dedupable downstream (`dropDuplicates("id_new", "id_corpus")`
+    * equivalently). Returns the writer — caller picks trigger +
+    * checkpoint and starts. */
+  def nearDupIngest(batches: DataFrame, idCol: String, textCol: String,
+      bandsUrl: String, docsUrl: String, pairsUrl: String,
+      minJaccardPpm: Long = 500000L, k: Int = 16, bands: Int = 4,
+      rows: Int = 4, shingleN: Int = 3, maxBucket: Int = 1000)
+      : DataStreamWriter[Row] = {
+    import graft.ops.NearDedup
+    batches.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      val slim = batch.select(col(idCol), col(textCol)).persist()
+      try {
+        val hasCorpus = {
+          val p = new org.apache.hadoop.fs.Path(bandsUrl)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+        }
+        if (hasCorpus) {
+          val corpusBands = s.read.parquet(bandsUrl)
+          val pairs = NearDedup.incrementalPairs(slim, corpusBands,
+            idCol, textCol, k, bands, rows, shingleN, maxBucket)
+            .filter(col("id_new") =!= col("id_corpus"))
+          // verify against ONLY the matched corpus docs (AQE
+          // broadcasts the small matched-id side)
+          val matchedDocs = s.read.parquet(docsUrl)
+            .join(pairs.select(col("id_corpus").as(idCol)).distinct(),
+              Seq(idCol), "left_semi")
+          val shNew = NearDedup.shingleSets(slim, idCol, textCol, shingleN)
+            .select(col(idCol).as("id_new"), col("sh").as("__sha"))
+          val shCor = NearDedup.shingleSets(matchedDocs, idCol, textCol,
+            shingleN)
+            .select(col(idCol).as("id_corpus"), col("sh").as("__shb"))
+          pairs.join(shNew, Seq("id_new")).join(shCor, Seq("id_corpus"))
+            .withColumn("jaccard_ppm",
+              floor(size(array_intersect(col("__sha"), col("__shb")))
+                .cast("double") /
+                size(array_union(col("__sha"), col("__shb"))) * 1000000)
+                .cast("long"))
+            .filter(col("jaccard_ppm") >= minJaccardPpm)
+            .select(col("id_new"), col("id_corpus"), col("jaccard_ppm"),
+              lit(batchId).as("batch_id"))
+            .write.mode("append").parquet(pairsUrl)
+        }
+        // admit the batch into the corpus AFTER matching (a batch
+        // never pairs with itself)
+        NearDedup.bandTable(slim, idCol, textCol, k, bands, rows, shingleN)
+          .write.mode("append").parquet(bandsUrl)
+        slim.write.mode("append").parquet(docsUrl)
+      } finally slim.unpersist()
+    }
+  }
+
   /** Stream-stream interval join: pair each left row with the right
     * rows of the same key whose event time falls in
     * `[leftTs, leftTs + bound]` — the streaming enrichment shape

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** nearDupIngest: cross-batch pairing against the persisted band
+  * table, no intra-batch or self pairs, corpus accretion, restart
+  * continuity.
+  */
+class NearDupIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "and then runs far away into the deep dark forest tonight"
+
+  private def land(dir: java.io.File, name: String, modTime: Long,
+      rows: Seq[(Long, String)]): Unit = {
+    val tmp = scratch("ndi-tmp-" + name)
+    rows.toDF("doc_id", "text").coalesce(1).write
+      .mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(dir, name)
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+    assert(dst.setLastModified(modTime))
+  }
+
+  private def ingest(srcDir: String, root: String): Unit = {
+    val src = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = GraftStream.nearDupIngest(src, "doc_id", "text",
+        s"$root/bands", s"$root/docs", s"$root/pairs")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+  }
+
+  test("batches pair only against earlier batches; corpus accretes") {
+    val root = scratch("ndi-" + java.util.UUID.randomUUID().toString.take(8))
+    val srcDir = new java.io.File(s"$root/src"); srcDir.mkdirs()
+    val t0 = System.currentTimeMillis() - 60000
+    // batch 1: two near-identical docs — must NOT pair (intra-batch)
+    land(srcDir, "a.parquet", t0,
+      Seq((1L, base), (2L, base + " extra")))
+    // batch 2: near-dup of doc 1 + an unrelated doc
+    land(srcDir, "b.parquet", t0 + 5000,
+      Seq((10L, base + " indeed"),
+        (11L, "completely different words about cooking pasta with " +
+          "tomatoes basil garlic olive oil and fresh bread rolls")))
+    ingest(srcDir.getAbsolutePath, root)
+
+    val pairs = spark.read.parquet(s"$root/pairs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch-2 doc 10 pairs with BOTH batch-1 docs (1 and 2); doc 11
+    // with nothing; no intra-batch (1,2) pair
+    assert(pairs.map(p => (p._1, p._2)) == Set((10L, 1L), (10L, 2L)))
+    assert(pairs.forall(_._3 >= 500000L))
+    // corpus now holds all four docs' bands and texts
+    assert(spark.read.parquet(s"$root/docs").count() == 4)
+    assert(spark.read.parquet(s"$root/bands")
+      .select("doc_id").distinct().count() == 4)
+  }
+
+  test("a later run (restart) pairs against the persisted corpus") {
+    val root = scratch("ndi2-" + java.util.UUID.randomUUID().toString.take(8))
+    val src1 = new java.io.File(s"$root/src1"); src1.mkdirs()
+    val t0 = System.currentTimeMillis() - 60000
+    land(src1, "a.parquet", t0, Seq((1L, base)))
+    ingest(src1.getAbsolutePath, s"$root/state")
+
+    // fresh stream, fresh checkpoint — tomorrow's run
+    val src2 = new java.io.File(s"$root/src2"); src2.mkdirs()
+    land(src2, "b.parquet", t0 + 5000, Seq((20L, base + " anew")))
+    val s2 = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(src2.getAbsolutePath)
+    val q = GraftStream.nearDupIngest(s2, "doc_id", "text",
+        s"$root/state/bands", s"$root/state/docs", s"$root/state/pairs")
+      .option("checkpointLocation", s"$root/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val pairs = spark.read.parquet(s"$root/state/pairs")
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((20L, 1L)))
+  }
+}
