@@ -1294,6 +1294,43 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", topK = 5, minDf = 20L)
         .orderBy(col("term"))
+    }),
+
+    // ---- Cross-corpus phrase familiarity (LM-free quality score) ----
+    // Mean corpus occurrence count of each doc's bigrams, integer
+    // micros — the log-free stand-in for n-gram perplexity filtering:
+    // gibberish scores ~1.0, boilerplate scores high.
+    "q85_familiarity" -> ((s, dir) => {
+      TextAnalysis.bigramFamiliarity(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Text sanitation (crawl normalization) ----
+    // The fixture text is clean ASCII, so the query injects
+    // deterministic dirt (control chars + ragged whitespace) and the
+    // sanitizer must report exactly what it removed; the oracle
+    // replays both the injection and the cleanup.
+    "q86_sanitize" -> ((s, dir) => {
+      val dirty = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("  \t"), col("text"), lit("\u0007 padded   end\u001f ")).as("text"))
+      TextAnalysis.sanitize(dirty, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Exact containment join (doc-inside-doc detection) ----
+    // Asymmetric: (container, contained) pairs with >= 90% of the
+    // contained doc's shingles present — the inclusion relation that
+    // symmetric Jaccard (q69) structurally misses. Prefix-filter
+    // candidates (contained-side prefix x container full stream),
+    // recall 1.0, spec-proven against brute force.
+    "q87_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions) // q21 doc
+      orderSmall(graft.ops.NearDedup.containmentJoin(docs, "doc_id", "text",
+        minContainPpm = 900000L), col("id_a"), col("id_b"))
     })
   )
 
@@ -2408,6 +2445,60 @@ object SparkEntry {
         |SELECT a.term, a.df_docs, a.cf, p.postings
         |FROM agg a JOIN post p USING (term)
         |WHERE a.df_docs >= 20
-        |ORDER BY a.term""".stripMargin
+        |ORDER BY a.term""".stripMargin,
+
+    "q85_familiarity" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS b
+        |  FROM t WHERE len(toks) >= 2
+        |), cc AS (
+        |  SELECT b, count(*)::BIGINT AS cc FROM bg GROUP BY b
+        |)
+        |SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  (CAST(sum(cc.cc) AS BIGINT) * 1000000 // count(*)::BIGINT)
+        |    AS familiarity_m
+        |FROM bg JOIN cc USING (b)
+        |GROUP BY bg.doc_id
+        |ORDER BY bg.doc_id""".stripMargin,
+
+    "q86_sanitize" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    '  ' || chr(9) || text || chr(7) || ' padded   end' || chr(31) || ' ' AS text
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS nc
+        |  FROM dirty
+        |), cl AS (
+        |  SELECT doc_id, text, nc,
+        |    trim(regexp_replace(nc, '[ \t\n\r]+', ' ', 'g')) AS clean
+        |  FROM st
+        |)
+        |SELECT doc_id,
+        |  (len(text) - len(nc))::BIGINT AS n_ctrl,
+        |  (len(nc) - len(clean))::BIGINT AS n_ws_collapsed,
+        |  len(clean)::BIGINT AS n_chars_clean,
+        |  md5(clean) AS clean_md5
+        |FROM cl ORDER BY doc_id""".stripMargin,
+
+    "q87_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  (len(list_intersect(a.sh, b.sh))::BIGINT * 1000000
+        |    // len(b.sh)::BIGINT) AS contain_ppm
+        |FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        |WHERE (len(list_intersect(a.sh, b.sh))::BIGINT * 1000000
+        |    // len(b.sh)::BIGINT) >= 900000
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

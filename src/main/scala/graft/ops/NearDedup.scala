@@ -356,6 +356,74 @@ object NearDedup {
       .select(col("id_a"), col("id_b"), col("jaccard_ppm"))
   }
 
+  /** EXACT asymmetric containment join (recall 1.0): every ORDERED
+    * pair (container, contained) with
+    * `|sh(a) ∩ sh(b)| / |sh(b)| ≥ t` — quote inclusion, boilerplate
+    * wrapping, and doc-inside-doc detection, which symmetric Jaccard
+    * structurally misses (a page embedded in a 100× larger page has
+    * tiny Jaccard but containment 1.0). The LSH band path misses
+    * those pairs for the same reason, so candidates come from the
+    * prefix principle instead (the containment member of the
+    * AllPairs/PPJoin family, cf. JOSIE/PEL): the CONTAINED side can
+    * afford to miss only `nb − ceil(t·nb)` of its shingles, so it
+    * must share one of its `nb − ceil(t·nb) + 1` rarest; that prefix
+    * joins the container side's FULL shingle stream (a container's
+    * prefix cannot be bounded without knowing |b|). Rarest-first
+    * global order keeps stop-shingles out of every prefix — the same
+    * skew-resistance-by-construction as [[jaccardJoin]] — and two
+    * positional filters (`overlap ≤ size − pos + 1` on each side)
+    * prune before the distinct. Verify pays one `array_intersect`
+    * per surviving pair. Output: (id_a container, id_b contained,
+    * contain_ppm), both directions when both qualify, never self. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+      minContainPpm: Long = 900000L, shingleN: Int = 3): DataFrame = {
+    require(minContainPpm > 0 && minContainPpm <= 1000000L,
+      s"minContainPpm must be in (0, 1e6] (got $minContainPpm)")
+    val sh = shingleSets(df, idCol, textCol, shingleN)
+    val ex = explodeStrings(sh, idCol, "sh", "__s")
+    val wByShingle = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s"))
+    val docs = ex
+      .withColumn("__df", count(lit(1)).over(wByShingle))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__df"), col("__s"))))
+        .as("__sorted"))
+      .select(col(idCol),
+        size(col("__sorted")).cast("long").as("__n"),
+        col("__sorted").getField("__s").as("__ord"))
+    val pfxLen = (col("__n") -
+      expr(s"(__n * ${minContainPpm}L + 999999) div 1000000") + lit(1L))
+      .cast("int")
+    val contained = docs
+      .select(col(idCol), col("__n"), slice(col("__ord"), lit(1), pfxLen)
+        .as("__pfx"))
+      .select(col(idCol), col("__n"), posexplode(col("__pfx")))
+      .select(col(idCol).as("id_b"), col("__n").as("__nb"),
+        (col("pos") + 1).cast("long").as("__pb"), col("col").as("__s"))
+    val container = docs
+      .select(col(idCol), col("__n"), posexplode(col("__ord")))
+      .select(col(idCol).as("id_a"), col("__n").as("__na"),
+        (col("pos") + 1).cast("long").as("__pa"), col("col").as("__s"))
+    val cand = container.join(contained, Seq("__s"))
+      .filter(col("id_a") =!= col("id_b"))
+      // overlap ≥ ceil(t·nb) must fit both suffixes past the match
+      .filter((col("__na") - col("__pa") + lit(1L)) * 1000000L >=
+        lit(minContainPpm) * col("__nb"))
+      .filter((col("__nb") - col("__pb") + lit(1L)) * 1000000L >=
+        lit(minContainPpm) * col("__nb"))
+      .select("id_a", "id_b", "__nb").distinct()
+    cand
+      .join(docs.select(col(idCol).as("id_a"), col("__ord").as("__sha")),
+        Seq("id_a"))
+      .join(docs.select(col(idCol).as("id_b"), col("__ord").as("__shb")),
+        Seq("id_b"))
+      .withColumn("__i",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
+      .withColumn("contain_ppm", expr("__i * 1000000 div __nb"))
+      .filter(col("contain_ppm") >= minContainPpm)
+      .select(col("id_a"), col("id_b"), col("contain_ppm"))
+  }
+
   /** 32-bit SimHash from a *materialized* array of 32-bit token
     * hashes (token frequency is the weight). Bit j is 1 iff the sum
     * over tokens of ±1 (bit j of the token hash) is positive.

@@ -314,6 +314,69 @@ object TextAnalysis {
         expr("n_dup * 1000000 div greatest(n_bigrams, 1)"))
   }
 
+  /** Cleaned text column: ASCII control characters (except tab/LF/CR)
+    * stripped, whitespace runs collapsed to one space, edges trimmed
+    * — the crawl-text normalization pass. Explicit byte-range
+    * classes, not `\s`/`\p{Cntrl}`, so any RE2/PCRE engine reads the
+    * same sets (the q86 oracle replays them in DuckDB). */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r]+", " "))
+
+  /** Sanitation report per doc: control chars removed, whitespace
+    * chars collapsed/trimmed away, clean length, and the md5 of the
+    * cleaned text (the string itself stays in the store; the report
+    * is the audit trail). Pure scan work. */
+  def sanitize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val noCtrl = regexp_replace(col(textCol),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val clean = cleanText(col(textCol))
+    df.select(col(idCol),
+      (length(col(textCol)) - length(noCtrl)).cast("long").as("n_ctrl"),
+      (length(noCtrl) - length(clean)).cast("long").as("n_ws_collapsed"),
+      length(clean).cast("long").as("n_chars_clean"),
+      md5(clean).as("clean_md5"))
+  }
+
+  /** Cross-corpus phrase familiarity — the log-free cousin of n-gram
+    * LM perplexity filtering (CCNet-style quality scoring): per doc,
+    * the mean CORPUS occurrence count of its bigram occurrences, in
+    * floored micros. Gibberish, mojibake, and machine-garbled text
+    * score low (their bigrams appear nowhere else); templated
+    * boilerplate scores very high. Deliberately integer end-to-end:
+    * a log-prob spelling would hang cross-engine reproducibility on
+    * libm's last ulp, while mean-count carries the same ordering
+    * signal exactly (same doctrine as [[topTerms]] leaving idf to
+    * the caller).
+    *
+    * Scale shape: one bigram explode feeds BOTH the corpus count agg
+    * and the per-doc join side (shared scan); both aggs are map-side
+    * combined; the join keys on the bigram value, where stop-bigram
+    * heat is AQE-skew-join territory — same contract as
+    * [[NearDedup.contamination]]'s shingle join. Docs with < 2
+    * tokens have no bigrams and emit no row. */
+  def bigramFamiliarity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val staged = df.select(col(idCol), alphaTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        when(size(col("__toks")) < 2,
+          array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("__bg"))
+    val occ = NearDedup.explodeStrings(staged, idCol, "__bg", "__b")
+    val corpus = occ.groupBy(col("__b")).agg(count(lit(1)).as("__cc"))
+    occ.join(corpus, Seq("__b"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("__cc")).as("__sum_cc"))
+      .withColumn("familiarity_m",
+        expr("__sum_cc * 1000000 div n_bigrams"))
+      .select(col(idCol), col("n_bigrams"), col("familiarity_m"))
+  }
+
   /** EXACT corpus-wide frequent terms: every alpha token whose total
     * occurrence count is ≥ `minCount`, with its exact count —
     * vocabulary heavy hitters for tokenizer construction, stopword

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** sanitize/cleanText: control-char stripping, whitespace collapse,
+  * trim accounting, clean-input no-op.
+  */
+class SanitizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(text: String) =
+    TextAnalysis.sanitize(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect().head
+
+  test("control chars are stripped and counted; tab/LF/CR survive as ws") {
+    val (_, nCtrl, nWs, nClean, _) = run("a\u0007b\u001fc")
+    assert(nCtrl == 2L && nWs == 0L && nClean == 3L) // "abc"
+  }
+
+  test("whitespace runs collapse to one space; edges trim") {
+    val (_, nCtrl, nWs, nClean, _) = run("  a \t b\n\nc  ")
+    // 12 chars -> "a b c" (5): 0 ctrl, 7 ws removed
+    assert(nCtrl == 0L && nWs == 7L && nClean == 5L)
+  }
+
+  test("clean input is a fixpoint with zero counts") {
+    val (_, nCtrl, nWs, nClean, md5a) = run("already clean text")
+    assert(nCtrl == 0L && nWs == 0L && nClean == 18L)
+    val (_, _, _, _, md5b) = run("already clean text")
+    assert(md5a == md5b)
+  }
+
+  test("ctrl chars adjacent to spaces do not double-count") {
+    // ctrl removed first -> "x  y" -> collapse -> "x y"
+    val (_, nCtrl, nWs, nClean, _) = run("x \u0007 y")
+    assert(nCtrl == 1L && nWs == 1L && nClean == 3L)
+  }
+}
