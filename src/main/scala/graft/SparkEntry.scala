@@ -1331,6 +1331,26 @@ object SparkEntry {
         .repartition(s.sessionState.conf.numShufflePartitions) // q21 doc
       orderSmall(graft.ops.NearDedup.containmentJoin(docs, "doc_id", "text",
         minContainPpm = 900000L), col("id_a"), col("id_b"))
+    }),
+
+    // ---- Per-frame audio energy (integer VAD/loudness feature) ----
+    // Text bytes as PCM16LE (the q37 convention), 16-sample frames:
+    // exact integer sum-of-squares per frame in one codegen pass
+    // (Pcm16FrameEnergy), per-doc peak/mean/argmax — spectral-free
+    // silence/corruption screening for audio columns.
+    "q88_audio_energy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.pcm16FrameEnergy(col("text").cast("binary"), 16)
+            .as("en"))
+        .filter(size(col("en")) > 0)
+        .select(col("doc_id"),
+          size(col("en")).cast("long").as("n_frames"),
+          array_max(col("en")).as("max_energy"),
+          array_position(col("en"), array_max(col("en"))).as("peak_frame"),
+          expr("aggregate(en, 0L, (acc, x) -> acc + x) div size(en)")
+            .as("mean_energy"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2499,6 +2519,38 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.doc_id <> b.doc_id
         |WHERE (len(list_intersect(a.sh, b.sh))::BIGINT * 1000000
         |    // len(b.sh)::BIGINT) >= 900000
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q88_audio_energy" ->
+      """WITH v AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, hx,
+        |    CAST((len // 2) // 16 AS BIGINT) AS n_frames
+        |  FROM v WHERE (len // 2) // 16 >= 1
+        |), sm AS (
+        |  SELECT doc_id, n_frames,
+        |    list_transform(range(0, CAST(n_frames * 16 AS INT)), k ->
+        |      CASE WHEN ('0x' || substr(hx, 4*k + 1, 2))::BIGINT
+        |              + 256 * ('0x' || substr(hx, 4*k + 3, 2))::BIGINT >= 32768
+        |           THEN ('0x' || substr(hx, 4*k + 1, 2))::BIGINT
+        |              + 256 * ('0x' || substr(hx, 4*k + 3, 2))::BIGINT - 65536
+        |           ELSE ('0x' || substr(hx, 4*k + 1, 2))::BIGINT
+        |              + 256 * ('0x' || substr(hx, 4*k + 3, 2))::BIGINT END) AS s
+        |  FROM f
+        |), e AS (
+        |  SELECT doc_id, n_frames,
+        |    list_transform(range(0, CAST(n_frames AS INT)), fr ->
+        |      CAST(list_sum(list_transform(range(0, 16), i ->
+        |        s[fr*16 + i + 1] * s[fr*16 + i + 1])) AS BIGINT)) AS en
+        |  FROM sm
+        |)
+        |SELECT doc_id, n_frames,
+        |  CAST(list_max(en) AS BIGINT) AS max_energy,
+        |  CAST(list_position(en, list_max(en)) AS BIGINT) AS peak_frame,
+        |  (CAST(list_sum(en) AS BIGINT) // n_frames) AS mean_energy
+        |FROM e ORDER BY doc_id""".stripMargin
   )
 }

@@ -22,6 +22,52 @@ object AudioCodec {
   }
 }
 
+/** `pcm16_frame_energy(bin)` → array<long>: per-frame sum of squared
+  * PCM16LE samples over fixed `frameSamples`-sample windows — the
+  * integer-exact loudness/VAD feature (silence trimming, speech
+  * detection, corrupt-audio screening) that stands in for spectral
+  * features when no DSP library is in scope. One codegen pass over
+  * the bytes; no intermediate sample array materializes. The
+  * trailing partial frame (and any odd byte) is dropped — energy of
+  * a partial window is not comparable to full windows. Exact for any
+  * real signal: a full frame's sum of squares is ≤ 2^30·frameSamples,
+  * overflow-free in a long below ~2^33 samples per frame. */
+case class Pcm16FrameEnergy(child: Expression, frameSamples: Int)
+    extends UnaryExpression {
+  require(frameSamples > 0,
+    s"frameSamples must be positive (got $frameSamples)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(bytes: Array[Byte]): UnsafeArrayData = {
+    val nSamples = bytes.length / 2
+    val nFrames = nSamples / frameSamples
+    val out = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var s = 0L
+      var i = f * frameSamples
+      val end = i + frameSamples
+      while (i < end) {
+        val v = (((bytes(2 * i + 1) & 0xFF) << 8) | (bytes(2 * i) & 0xFF)).toShort
+        s += v.toLong * v
+        i += 1
+      }
+      out(f) = s
+      f += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pcm16FrameEnergy", this,
+      classOf[Pcm16FrameEnergy].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "pcm16_frame_energy"
+}
+
 /** `decode_pcm16(bin)` → array<short> (little-endian samples;
   * trailing odd byte ignored). */
 case class DecodePcm16(child: Expression) extends UnaryExpression {

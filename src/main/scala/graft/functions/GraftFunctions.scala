@@ -40,6 +40,11 @@ object GraftFunctions {
   def decodePcm16(bin: Column): Column =
     column(graft.codecs.DecodePcm16(expr(bin)))
 
+  /** PCM16LE binary → array<long> per-frame sum of squared samples
+    * (fixed windows, trailing partial frame dropped). */
+  def pcm16FrameEnergy(bin: Column, frameSamples: Int): Column =
+    column(graft.codecs.Pcm16FrameEnergy(expr(bin), frameSamples))
+
   /** Max-abs int8 quantization of a float/double vector →
     * struct<scale: double, q: array<tinyint>>. */
   def quantizeInt8(vec: Column): Column =
