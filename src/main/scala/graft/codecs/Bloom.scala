@@ -58,6 +58,18 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
   override protected def withNewChildInternal(c: Expression) =
     copy(child = c)
   override def prettyName: String = "bloom_might_contain"
+
+  // Array[Byte] equality is reference identity, which would make two
+  // plans over the same serialized filter structurally unequal and
+  // cost Catalyst canonicalization (subexpression elimination,
+  // ReusedExchange). Compare payload bytes by value.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(filterBytes, b.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
 }
 
 object BloomBytes {

@@ -223,6 +223,28 @@ object NearDedup {
       .select(col("id_new"), col("id_corpus")).distinct()
   }
 
+  /** Exact shingle-Jaccard verification of candidate (id_new,
+    * id_corpus) pairs against the two sides' texts, integer ppm
+    * (floor) — the ONE home of the verify formula, shared by the
+    * batch incremental path and the streaming ingest
+    * ([[graft.streaming.GraftStream.nearDupIngest]]) so the two can
+    * never drift. */
+  private[graft] def verifyPairsJaccardPpm(pairs: DataFrame,
+      newDf: DataFrame, corpusDocs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
+    val shNew = shingleSets(newDf, idCol, textCol, shingleN)
+      .select(col(idCol).as("id_new"), col("sh").as("__sha"))
+    val shCor = shingleSets(corpusDocs, idCol, textCol, shingleN)
+      .select(col(idCol).as("id_corpus"), col("sh").as("__shb"))
+    pairs.join(shNew, Seq("id_new")).join(shCor, Seq("id_corpus"))
+      .withColumn("jaccard_ppm",
+        floor(size(array_intersect(col("__sha"), col("__shb")))
+          .cast("double") /
+          size(array_union(col("__sha"), col("__shb"))) * 1000000)
+          .cast("long"))
+      .select(col("id_new"), col("id_corpus"), col("jaccard_ppm"))
+  }
+
   /** [[incrementalPairs]] + exact Jaccard verification across the two
     * inputs, integer ppm (floor), optionally thresholded. The verify
     * touches only matched docs on each side. */
@@ -233,18 +255,8 @@ object NearDedup {
     val pairs = incrementalPairs(newDf,
       bandTable(corpus, idCol, textCol, k, bands, rows, shingleN),
       idCol, textCol, k, bands, rows, shingleN, maxBucket)
-    val shNew = shingleSets(newDf, idCol, textCol, shingleN)
-      .select(col(idCol).as("id_new"), col("sh").as("__sha"))
-    val shCor = shingleSets(corpus, idCol, textCol, shingleN)
-      .select(col(idCol).as("id_corpus"), col("sh").as("__shb"))
-    pairs.join(shNew, Seq("id_new")).join(shCor, Seq("id_corpus"))
-      .withColumn("jaccard_ppm",
-        floor(size(array_intersect(col("__sha"), col("__shb")))
-          .cast("double") /
-          size(array_union(col("__sha"), col("__shb"))) * 1000000)
-          .cast("long"))
+    verifyPairsJaccardPpm(pairs, newDf, corpus, idCol, textCol, shingleN)
       .filter(col("jaccard_ppm") >= minJaccardPpm)
-      .select(col("id_new"), col("id_corpus"), col("jaccard_ppm"))
   }
 
   /** EXACT set-similarity self-join (recall 1.0) via prefix
@@ -558,16 +570,23 @@ object NearDedup {
       shingleSets(benchmark, benchIdCol, benchTextCol, shingleN),
       benchIdCol, "sh", "__s")
       .select(col("__s")).distinct()
-    val nBench = bench.count()
+    // the bench pipeline runs three times (count, bloom aggregate,
+    // verify join); pin it for the two eager driver-side uses and
+    // release before returning — the lazy verify join re-derives it
+    // once, so each call pays 2 bench passes, not 3
+    bench.persist()
     val admit: org.apache.spark.sql.Column =
-      if (nBench == 0) lit(false) // empty benchmark admits nothing
-      else {
-        val bf = bench.stat.bloomFilter("__s", nBench, fpp)
-        graft.functions.GraftFunctions.column(
-          graft.codecs.BloomMightContain(
-            graft.functions.GraftFunctions.expr(col("__s")),
-            graft.codecs.BloomBytes.toBytes(bf)))
-      }
+      try {
+        val nBench = bench.count()
+        if (nBench == 0) lit(false) // empty benchmark admits nothing
+        else {
+          val bf = bench.stat.bloomFilter("__s", nBench, fpp)
+          graft.functions.GraftFunctions.column(
+            graft.codecs.BloomMightContain(
+              graft.functions.GraftFunctions.expr(col("__s")),
+              graft.codecs.BloomBytes.toBytes(bf)))
+        }
+      } finally bench.unpersist(false)
     val totals = ex.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"))
     val hits = ex.filter(admit)

@@ -63,12 +63,25 @@ object Pca {
       .mapPartitions { it =>
         val a = GramAcc(0L, new Array[Double](dim),
           new Array[Double](dim * (dim + 1) / 2))
+        val v = new Array[Double](dim)
         it.foreach { row =>
-          val v = row.getSeq[Double](0)
-          require(v.length == dim,
-            s"pca: vector of length ${v.length}, declared dim $dim")
-          a.n += 1
+          // getSeq boxes; a null ELEMENT would unbox to 0.0 and
+          // silently skew the moments — refuse it like the dim
+          // mismatch (na.drop above only removes whole-null arrays).
+          // Validate + unbox once, then run the O(d²) loop primitive.
+          val boxed = row.getSeq[java.lang.Double](0)
+          require(boxed.length == dim,
+            s"pca: vector of length ${boxed.length}, declared dim $dim")
           var i = 0
+          while (i < dim) {
+            val bi = boxed(i)
+            require(bi ne null,
+              s"pca: null element at index $i — drop or impute nulls first")
+            v(i) = bi.doubleValue()
+            i += 1
+          }
+          a.n += 1
+          i = 0
           while (i < dim) {
             val vi = v(i)
             a.sum(i) += vi

@@ -294,16 +294,21 @@ object TextAnalysis {
     * Generate over a HOF-built array re-evaluates it per output
     * element — the measured 23× trap), then two hash aggs with
     * map-side combine. Scan-dominated at 100 TB. */
+  /** "a b"-joined token bigram array of a token-array column (empty
+    * below two tokens) — the ONE definition of a bigram, shared by
+    * [[repetitionStats]] and [[bigramFamiliarity]] so the two can
+    * never disagree on what a bigram is. */
+  private def bigramsOfTokens(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+
   def repetitionStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val staged = df.select(col(idCol), alphaTokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        when(size(col("__toks")) < 2,
-          array().cast("array<string>"))
-          .otherwise(zip_with(
-            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("__bg"))
+      .select(col(idCol), bigramsOfTokens(col("__toks")).as("__bg"))
     NearDedup.explodeStrings(staged, idCol, "__bg", "__b")
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol)).agg(
@@ -359,13 +364,7 @@ object TextAnalysis {
   def bigramFamiliarity(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val staged = df.select(col(idCol), alphaTokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        when(size(col("__toks")) < 2,
-          array().cast("array<string>"))
-          .otherwise(zip_with(
-            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("__bg"))
+      .select(col(idCol), bigramsOfTokens(col("__toks")).as("__bg"))
     val occ = NearDedup.explodeStrings(staged, idCol, "__bg", "__b")
     val corpus = occ.groupBy(col("__b")).agg(count(lit(1)).as("__cc"))
     occ.join(corpus, Seq("__b"))

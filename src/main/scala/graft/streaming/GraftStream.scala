@@ -172,20 +172,10 @@ object GraftStream {
           val matchedDocs = s.read.parquet(docsUrl)
             .join(pairs.select(col("id_corpus").as(idCol)).distinct(),
               Seq(idCol), "left_semi")
-          val shNew = NearDedup.shingleSets(slim, idCol, textCol, shingleN)
-            .select(col(idCol).as("id_new"), col("sh").as("__sha"))
-          val shCor = NearDedup.shingleSets(matchedDocs, idCol, textCol,
-            shingleN)
-            .select(col(idCol).as("id_corpus"), col("sh").as("__shb"))
-          pairs.join(shNew, Seq("id_new")).join(shCor, Seq("id_corpus"))
-            .withColumn("jaccard_ppm",
-              floor(size(array_intersect(col("__sha"), col("__shb")))
-                .cast("double") /
-                size(array_union(col("__sha"), col("__shb"))) * 1000000)
-                .cast("long"))
+          NearDedup.verifyPairsJaccardPpm(pairs, slim, matchedDocs,
+              idCol, textCol, shingleN)
             .filter(col("jaccard_ppm") >= minJaccardPpm)
-            .select(col("id_new"), col("id_corpus"), col("jaccard_ppm"),
-              lit(batchId).as("batch_id"))
+            .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(pairsUrl)
         }
         // admit the batch into the corpus AFTER matching (a batch

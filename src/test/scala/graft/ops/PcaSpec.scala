@@ -83,6 +83,15 @@ class PcaSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Pca.fit(Seq((1, Seq.fill(4)(0.0))).toDF("id", "emb"), "emb", 4, 1)
     }
+    // a null ELEMENT must refuse, not silently become 0.0
+    val withNullElem = Seq(
+      (1, Seq[java.lang.Double](1.0, 2.0)),
+      (2, Seq[java.lang.Double](3.0, null))).toDF("id", "emb")
+    val ne = intercept[Exception] {
+      Pca.fit(withNullElem, "emb", dim = 2, m = 1)
+    }
+    assert(ne.getMessage.contains("null element") ||
+      (ne.getCause != null && ne.getCause.getMessage.contains("null element")))
   }
 
   test("jacobiEigen matches a hand-checked 2x2 and stays symmetric-safe") {
