@@ -1353,6 +1353,18 @@ object SparkEntry {
           expr("aggregate(en, 0L, (acc, x) -> acc + x) div size(en)")
             .as("mean_energy"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- BPE pair counts (tokenizer-training prep) ----
+    // First-merge-round adjacent-char pair counts, computed over the
+    // VOCABULARY weighted by token occurrence — corpus touched once,
+    // the wide pair explode runs on the (much smaller) distinct
+    // token set.
+    "q89_bpe_pairs" -> ((s, dir) => {
+      TextAnalysis.bpePairCounts(
+        t(s, dir, "documents").select(col("text")), "text",
+        minCount = 100L)
+        .orderBy(col("pair"))
     })
   )
 
@@ -2553,6 +2565,21 @@ object SparkEntry {
         |  CAST(list_max(en) AS BIGINT) AS max_energy,
         |  CAST(list_position(en, list_max(en)) AS BIGINT) AS peak_frame,
         |  (CAST(list_sum(en) AS BIGINT) // n_frames) AS mean_energy
-        |FROM e ORDER BY doc_id""".stripMargin
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    "q89_bpe_pairs" ->
+      """WITH v AS (
+        |  SELECT tok, count(*)::BIGINT AS tc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |    FROM documents)
+        |  GROUP BY tok
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, len(tok)),
+        |    i -> tok[i] || ' ' || tok[i+1])) AS pair, tc
+        |  FROM v WHERE len(tok) >= 2
+        |)
+        |SELECT pair, CAST(sum(tc) AS BIGINT) AS cnt FROM p
+        |GROUP BY pair HAVING sum(tc) >= 100
+        |ORDER BY pair""".stripMargin
   )
 }

@@ -319,6 +319,37 @@ object TextAnalysis {
         expr("n_dup * 1000000 div greatest(n_bigrams, 1)"))
   }
 
+  /** Adjacent-symbol pair counts for BPE tokenizer training — the
+    * counting step of the first merge round (Sennrich et al. 2016),
+    * at corpus scale. The scale insight: count over the VOCABULARY,
+    * not the corpus — first reduce the corpus to (distinct token,
+    * count) [one hash agg, map-side combined], then explode each
+    * DISTINCT token's adjacent char pairs weighted by its count. On
+    * natural text the vocabulary is orders of magnitude smaller than
+    * the token stream, so the pair explode (the wide part) runs on
+    * the small side; the corpus is touched exactly once. Iterating
+    * merges re-runs this on a re-segmented vocabulary — each round
+    * costs vocabulary work, never corpus work.
+    *
+    * Output: (pair "x y", cnt) for pairs with cnt ≥ `minCount`,
+    * single-char tokens contribute nothing. */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    val vocab = df
+      .select(explode(alphaTokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__tc"))
+    val chars = vocab
+      .withColumn("__cs", split(col("tok"), ""))
+    val pairs = chars.select(col("__tc"),
+      explode(when(size(col("__cs")) < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(col("__cs"), lit(1), size(col("__cs")) - 1),
+          slice(col("__cs"), lit(2), size(col("__cs")) - 1),
+          (a, b) => concat(a, lit(" "), b)))).as("pair"))
+    pairs.groupBy(col("pair")).agg(sum(col("__tc")).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Cleaned text column: ASCII control characters (except tab/LF/CR)
     * stripped, whitespace runs collapsed to one space, edges trimmed
     * — the crawl-text normalization pass. Explicit byte-range

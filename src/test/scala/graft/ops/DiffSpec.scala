@@ -70,4 +70,27 @@ class DiffSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(out == Seq(("added", 1L), ("changed", 3L), ("removed", 1L)))
   }
+
+  test("the join exchanges carry id+hashes, never row payloads") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val d = Diff.datasetDiff(oldDf, newDf, "id")
+    d.collect()
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case e: ShuffleExchangeLike =>
+        e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    val ex = exchanges(d.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected a shuffle for the full-outer join")
+    val names = ex.flatMap(_.child.output.map(_.name))
+    assert(!names.contains("text") && !names.contains("n"),
+      s"payload columns leaked into an exchange: $names")
+    assert(names.forall(n =>
+      n == "id" || n.startsWith("__ho_") || n.startsWith("__hn_") ||
+        n.startsWith("__p")), s"unexpected exchange columns: $names")
+  }
 }
