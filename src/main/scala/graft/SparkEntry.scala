@@ -1365,6 +1365,31 @@ object SparkEntry {
         t(s, dir, "documents").select(col("text")), "text",
         minCount = 100L)
         .orderBy(col("pair"))
+    }),
+
+    // ---- Quantile binning (curriculum/quality buckets) ----
+    // Per-lang length quartiles: boundaries from the exact
+    // histogram-cumsum percentiles (q62 machinery), broadcast back,
+    // bin = boundaries exceeded — integer end-to-end.
+    "q90_quantile_bins" -> ((s, dir) => {
+      graft.ops.Stats.quantileBins(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        Seq("lang"), "n_chars", Seq(0.25, 0.5, 0.75))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Trailing-window rolling count (burst detection) ----
+    // Events per user in the trailing hour, event-time RANGE frame
+    // over integer microseconds — ties are peers, deterministic
+    // without a tie-break.
+    "q91_rolling_count" -> ((s, dir) => {
+      graft.ops.Resample.rollingCount(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts DIV 1000").as("ts_us")),
+        "user_id", "ts_us", windowUs = 3600000000L)
+        .orderBy(col("event_id"))
     })
   )
 
@@ -2580,6 +2605,37 @@ object SparkEntry {
         |)
         |SELECT pair, CAST(sum(tc) AS BIGINT) AS cnt FROM p
         |GROUP BY pair HAVING sum(tc) >= 100
-        |ORDER BY pair""".stripMargin
+        |ORDER BY pair""".stripMargin,
+
+    "q90_quantile_bins" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2
+        |), t AS (
+        |  SELECT lang, n_chars,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS tot
+        |  FROM h
+        |), b AS (
+        |  SELECT lang,
+        |    CAST(min(CASE WHEN cum*10000 >= tot*2500 THEN n_chars END) AS BIGINT) AS p25,
+        |    CAST(min(CASE WHEN cum*10000 >= tot*5000 THEN n_chars END) AS BIGINT) AS p50,
+        |    CAST(min(CASE WHEN cum*10000 >= tot*7500 THEN n_chars END) AS BIGINT) AS p75
+        |  FROM t GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  (CASE WHEN d.n_chars > b.p25 THEN 1 ELSE 0 END
+        |   + CASE WHEN d.n_chars > b.p50 THEN 1 ELSE 0 END
+        |   + CASE WHEN d.n_chars > b.p75 THEN 1 ELSE 0 END)::BIGINT AS bin
+        |FROM documents d JOIN b USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q91_rolling_count" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS n_trailing
+        |FROM events
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series regularization: densify a sparse per-(key, bucket)
@@ -65,5 +66,26 @@ object Resample {
     grid.join(sparse, Seq(keyCol, bucketCol), "left")
       .select(col(keyCol) +: col(bucketCol) +: valueCols.map(c =>
         coalesce(col(c), fills(c)).as(c)): _*)
+  }
+
+  /** Trailing-window rolling count per key: for every row, how many
+    * of the key's rows (itself included) fall in
+    * `(ts − windowUs, ts]` — rate-limiting forensics, burst
+    * detection, events-per-user-per-hour features. Event-time RANGE
+    * frame over an integral microsecond column, so rows sharing a
+    * timestamp are peers and count together — deterministic without
+    * a tie-break, identical semantics in any SQL engine.
+    *
+    * Scale shape: one shuffle on the key; each key's rows sort
+    * within their window partition. Per-key volume bounds the task —
+    * a pathologically hot key (one user = 10% of events) is
+    * [[Skew]]-territory: pre-aggregate to (key, ts) counts first or
+    * salt by coarse time bucket. */
+  def rollingCount(df: DataFrame, keyCol: String, tsUsCol: String,
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"window must be positive (got $windowUs)")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol))
+      .rangeBetween(-(windowUs - 1), Window.currentRow)
+    df.withColumn("n_trailing", count(lit(1)).over(w))
   }
 }

@@ -127,4 +127,29 @@ object Stats {
         coalesce(col("n_distinct_est"), lit(0L)).as("n_distinct_est"),
         col("min_s"), col("max_s"))
   }
+
+  /** Per-row quantile-bucket assignment — the curriculum/quality
+    * binning step ("short/medium/long thirds", "quality quartiles")
+    * that feeds per-bin sampling or temperature mixes. Bin k = the
+    * number of [[exactPercentiles]] boundaries the row's value
+    * EXCEEDS, so `ps.length + 1` bins indexed 0..len(ps), boundary
+    * values inclusive on the low side — pure integer comparisons,
+    * reproducible anywhere.
+    *
+    * Scale shape: boundaries are one row per group (broadcast); the
+    * assignment is a broadcast join + a map-side integer sum — the
+    * only corpus-sized work is [[exactPercentiles]]' own histogram
+    * pass. Output: the input columns + `bin` (long). */
+  def quantileBins(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    val bounds = exactPercentiles(df, groupCols, valueCol, ps)
+    val joined =
+      if (groupCols.nonEmpty) df.join(broadcast(bounds), groupCols)
+      else df.crossJoin(broadcast(bounds))
+    val bin = ps.map(p =>
+      when(col(valueCol) > col(pName(p)), 1).otherwise(0))
+      .reduce(_ + _)
+    joined.withColumn("bin", bin.cast("long"))
+      .drop(ps.map(pName): _*)
+  }
 }

@@ -55,4 +55,24 @@ class ResampleSpec extends SparkSpec {
         messages(t.getCause)
     assert(messages(e).contains("resample key spans"))
   }
+
+  test("rollingCount: trailing window includes self and exact edges") {
+    // key k at ts 0, 50, 100, 149, 150: window 100 →
+    // ts0:1; ts50:2; ts100:3 (0 is 100 back: ts-99..ts includes 0? 0 >= 100-99=1? no → 2)
+    val df = Seq(("k", 0L), ("k", 50L), ("k", 100L), ("k", 149L),
+      ("k", 150L), ("j", 100L)).toDF("key", "ts_us")
+    val out = Resample.rollingCount(df, "key", "ts_us", windowUs = 100L)
+      .orderBy("key", "ts_us").as[(String, Long, Long)].collect().toSeq
+    // frame = [ts-99, ts]: 0→{0}; 50→{0,50}; 100→{50,100} (0 excluded);
+    // 149→{50,100,149}; 150→{100,149,150} (50 excluded, 51 < 150-99)
+    assert(out == Seq(("j", 100L, 1L), ("k", 0L, 1L), ("k", 50L, 2L),
+      ("k", 100L, 2L), ("k", 149L, 3L), ("k", 150L, 3L)))
+  }
+
+  test("rollingCount: equal timestamps are peers and count together") {
+    val df = Seq(("k", 10L), ("k", 10L), ("k", 10L)).toDF("key", "ts_us")
+    val out = Resample.rollingCount(df, "key", "ts_us", 5L)
+      .select("n_trailing").as[Long].collect().toSeq
+    assert(out == Seq(3L, 3L, 3L))
+  }
 }

@@ -103,4 +103,25 @@ class StatsSpec extends SparkSpec {
       .select("n_distinct_est").as[Long].head()
     assert(math.abs(est - 2000.0) / 2000.0 < 0.35, s"estimate $est")
   }
+
+  test("quantileBins: boundary-inclusive quartiles per group") {
+    // group g: values 1..8 → p25=2, p50=4, p75=6 (percentile_disc);
+    // bin = #boundaries exceeded: 1,2→0; 3,4→1; 5,6→2; 7,8→3
+    val df = ((1 to 8).map(v => ("g", v.toLong)) :+ (("h", 100L)))
+      .toDF("grp", "v")
+    val out = Stats.quantileBins(df, Seq("grp"), "v",
+        Seq(0.25, 0.5, 0.75))
+      .orderBy("grp", "v").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 1L), ("g", 4L, 1L),
+      ("g", 5L, 2L), ("g", 6L, 2L), ("g", 7L, 3L), ("g", 8L, 3L),
+      ("h", 100L, 0L))) // single-value group: its own p25=p50=p75
+  }
+
+  test("quantileBins ungrouped covers the whole frame") {
+    val out = Stats.quantileBins(
+        (1L to 4L).toDF("v"), Nil, "v", Seq(0.5))
+      .orderBy("v").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+  }
 }
