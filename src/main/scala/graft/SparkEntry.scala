@@ -1028,9 +1028,9 @@ object SparkEntry {
     // summarySize passed explicitly (the documented fast path): skips
     // the N-derivation corpus pass. MG is exact while
     // N < minCount*(k+1), so k=200k at minCount=100 covers N up to
-    // 20M tokens — ~70x the sf0.1 fixture (270k) with headroom
-    // through sf10; beyond that, pass summarySize=0 to derive k from
-    // the actual N. Per-task memory: a 200k-entry map (~10 MB).
+    // 20M tokens — ~74x the sf0.1 fixture (270k), i.e. through ~sf7;
+    // beyond that, pass summarySize=0 to derive k from the actual N.
+    // Per-task memory: a 200k-entry map (~10 MB).
     "q70_heavy_hitters" -> ((s, dir) => {
       TextAnalysis.frequentTerms(
         t(s, dir, "documents").select(col("text")), "text", minCount = 100L,

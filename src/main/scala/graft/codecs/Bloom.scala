@@ -68,8 +68,12 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
       child == b.child && java.util.Arrays.equals(filterBytes, b.filterBytes)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+  // planning calls hashCode repeatedly (ExpressionSet, subexpression
+  // elimination); the payload is MBs for a large benchmark — hash it
+  // once, not per call
+  @transient private lazy val payloadHash: Int =
+    java.util.Arrays.hashCode(filterBytes)
+  override def hashCode(): Int = 31 * child.hashCode() + payloadHash
 }
 
 object BloomBytes {

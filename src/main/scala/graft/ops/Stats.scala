@@ -136,19 +136,36 @@ object Stats {
     * values inclusive on the low side — pure integer comparisons,
     * reproducible anywhere.
     *
+    * Null semantics (crawl data has both): a null GROUP key is a
+    * group like any other — the boundary join is null-safe, so those
+    * rows bin against their own group's boundaries instead of
+    * silently vanishing through SQL join semantics; a null VALUE
+    * gets a null bin (it exceeds nothing and belongs nowhere — a
+    * silent bin 0 would mislabel it "shortest").
+    *
     * Scale shape: boundaries are one row per group (broadcast); the
     * assignment is a broadcast join + a map-side integer sum — the
     * only corpus-sized work is [[exactPercentiles]]' own histogram
-    * pass. Output: the input columns + `bin` (long). */
+    * pass. Output: the input columns + `bin` (long, null iff the
+    * value is null); exactly one output row per input row. */
   def quantileBins(df: DataFrame, groupCols: Seq[String],
       valueCol: String, ps: Seq[Double]): DataFrame = {
     val bounds = exactPercentiles(df, groupCols, valueCol, ps)
     val joined =
-      if (groupCols.nonEmpty) df.join(broadcast(bounds), groupCols)
-      else df.crossJoin(broadcast(bounds))
-    val bin = ps.map(p =>
-      when(col(valueCol) > col(pName(p)), 1).otherwise(0))
-      .reduce(_ + _)
+      if (groupCols.nonEmpty) {
+        // eqNullSafe: a null group key must match its own bounds row
+        val b = broadcast(bounds.select(
+          bounds.columns.map(c =>
+            if (groupCols.contains(c)) col(c).as(s"__gb_$c")
+            else col(c)): _*))
+        val cond = groupCols.map(c => col(c) <=> col(s"__gb_$c"))
+          .reduce(_ && _)
+        df.join(b, cond).drop(groupCols.map(c => s"__gb_$c"): _*)
+      } else df.crossJoin(broadcast(bounds))
+    val bin = when(col(valueCol).isNull, lit(null))
+      .otherwise(ps.map(p =>
+        when(col(valueCol) > col(pName(p)), 1).otherwise(0))
+        .reduce(_ + _))
     joined.withColumn("bin", bin.cast("long"))
       .drop(ps.map(pName): _*)
   }

@@ -279,6 +279,18 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** Space-joined adjacent-pair array of an array<string> column
+    * (empty below two elements) — the ONE definition of an adjacent
+    * pair, shared by [[repetitionStats]], [[bigramFamiliarity]] and
+    * [[bpePairCounts]] so the three can never disagree on what a
+    * pair is. */
+  private def bigramsOfTokens(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+
   /** Within-document n-gram repetition — the Gopher-family
     * repetitiveness quality signal: how much of a document is
     * repeated phrasing. Counts token BIGRAMS with multiplicity and
@@ -294,17 +306,6 @@ object TextAnalysis {
     * Generate over a HOF-built array re-evaluates it per output
     * element — the measured 23× trap), then two hash aggs with
     * map-side combine. Scan-dominated at 100 TB. */
-  /** "a b"-joined token bigram array of a token-array column (empty
-    * below two tokens) — the ONE definition of a bigram, shared by
-    * [[repetitionStats]] and [[bigramFamiliarity]] so the two can
-    * never disagree on what a bigram is. */
-  private def bigramsOfTokens(toks: Column): Column =
-    when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-
   def repetitionStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val staged = df.select(col(idCol), alphaTokens(col(textCol)).as("__toks"))
@@ -341,11 +342,7 @@ object TextAnalysis {
     val chars = vocab
       .withColumn("__cs", split(col("tok"), ""))
     val pairs = chars.select(col("__tc"),
-      explode(when(size(col("__cs")) < 2, array().cast("array<string>"))
-        .otherwise(zip_with(
-          slice(col("__cs"), lit(1), size(col("__cs")) - 1),
-          slice(col("__cs"), lit(2), size(col("__cs")) - 1),
-          (a, b) => concat(a, lit(" "), b)))).as("pair"))
+      explode(bigramsOfTokens(col("__cs"))).as("pair"))
     pairs.groupBy(col("pair")).agg(sum(col("__tc")).as("cnt"))
       .filter(col("cnt") >= minCount)
   }

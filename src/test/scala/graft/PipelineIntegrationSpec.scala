@@ -134,24 +134,31 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(NearDedup.containmentJoin(screened, "doc_id", "text",
       minContainPpm = 900000L).count() == 0)
 
-    // 4. semantic dedup over the survivors' embeddings (join by id
-    // range onto the embeddings fixture — ids differ, so reuse the
-    // doc ids modulo the embedding table size for a deterministic
-    // pairing)
+    // 4. semantic dedup over the SURVIVORS' embeddings: pair each
+    // screened doc onto the embeddings fixture by doc_id modulo the
+    // table size (ids live in different ranges), then keep only
+    // cluster representatives among those vectors
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val semKeep = SemanticDedup.keepers(emb, "vec_id", "embedding",
-      SemanticDedup.lowestIdCentroids(emb, "vec_id", "embedding", 4),
+    val embTotal = emb.count()
+    val survivorVecs = emb.join(
+      screened.select(($"doc_id" % embTotal).as("vec_id")).distinct(),
+      Seq("vec_id"), "left_semi")
+    val nSurvivorVecs = survivorVecs.count()
+    assert(nSurvivorVecs > 0)
+    val semKeep = SemanticDedup.keepers(survivorVecs, "vec_id", "embedding",
+      SemanticDedup.lowestIdCentroids(survivorVecs, "vec_id", "embedding", 4),
       minCosM = 990000L)
-    assert(semKeep.count() > 0)
+    val nSemKeep = semKeep.count()
+    assert(nSemKeep > 0 && nSemKeep <= nSurvivorVecs)
 
-    // 5. per-lang length quartiles over the screened corpus: every
-    // bin 0..3 present for the dominant language, boundaries honored
+    // 5. per-lang length quartiles over the screened corpus:
+    // ALL four bins present for the dominant language
     val binned = Stats.quantileBins(screened, Seq("lang"), "n_chars",
       Seq(0.25, 0.5, 0.75))
     val byLang = binned.groupBy($"lang")
       .agg(countDistinct($"bin").as("nb"), count(lit(1)).as("n"))
     val dominant = byLang.orderBy($"n".desc).first()
-    assert(dominant.getLong(1) >= 3,
+    assert(dominant.getLong(1) == 4,
       s"dominant lang has ${dominant.getLong(1)} distinct bins")
     // bins partition the corpus: no rows lost or duplicated
     assert(binned.count() == screened.count())

@@ -124,4 +124,22 @@ class StatsSpec extends SparkSpec {
       .orderBy("v").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
   }
+
+  test("quantileBins: null group keys bin in their own group, " +
+      "null values get a null bin, one row per input row") {
+    val df = Seq(
+      (Some("g"), Some(1L)), (Some("g"), Some(2L)),
+      (None, Some(10L)), (None, Some(20L)),     // null-key group
+      (Some("g"), None)                          // null value
+    ).map { case (g, v) =>
+      (g.orNull, v.map(Long.box).orNull)
+    }.toDF("grp", "v")
+    val out = Stats.quantileBins(df, Seq("grp"), "v", Seq(0.5))
+    assert(out.count() == 5) // nothing vanished through the join
+    val nullGroup = out.filter($"grp".isNull)
+      .orderBy($"v").as[(String, Long, Long)].collect().toSeq
+    assert(nullGroup == Seq((null, 10L, 0L), (null, 20L, 1L)))
+    val nullVal = out.filter($"v".isNull).select($"bin").collect()
+    assert(nullVal.length == 1 && nullVal.head.isNullAt(0))
+  }
 }
