@@ -1390,6 +1390,18 @@ object SparkEntry {
             expr("ts DIV 1000").as("ts_us")),
         "user_id", "ts_us", windowUs = 3600000000L)
         .orderBy(col("event_id"))
+    }),
+
+    // ---- Deterministic per-stratum sampling (portable sampleBy) ----
+    // Per-language keep rates as a pure function of (seed, doc_id):
+    // reproducible across engines/retries/partitionings, which
+    // Spark's RNG-per-partition sampleBy is not.
+    "q92_sample_by_strata" -> ((s, dir) => {
+      graft.ops.Sampling.sampleByStrata(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", col("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.25), seed = 7)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2636,6 +2648,14 @@ object SparkEntry {
         |    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)::BIGINT
         |    AS n_trailing
         |FROM events
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q92_sample_by_strata" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5('7::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0
+        |    < CASE WHEN lang = 'en' THEN 0.5
+        |           WHEN lang = 'de' THEN 0.25 ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin
   )
 }

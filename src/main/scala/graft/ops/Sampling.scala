@@ -23,6 +23,26 @@ object Sampling {
       concat(lit(s"$seed:$salt:"), key.cast("string"))) < lit(fraction)
   }
 
+  /** Deterministic per-stratum fraction sampling — Spark's
+    * `stat.sampleBy` with a portable contract: membership is a pure
+    * function of (seed, key), so the sample is identical across
+    * runs, engines, partitionings, and retries — the property
+    * `sampleBy`'s RNG-per-partition explicitly lacks and a training
+    * pipeline needs for reproducible mixes. Strata absent from
+    * `fractions` sample at `default` (0 = dropped). Scan-speed: one
+    * md5 + one compare per row, no shuffle, no stratum-size job. */
+  def sampleByStrata(df: DataFrame, strataCol: String, key: Column,
+      fractions: Map[String, Double], seed: Long = 0,
+      default: Double = 0.0): DataFrame = {
+    (fractions.values.toSeq :+ default).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction $f outside [0, 1]"))
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (s, f)) =>
+      when(col(strataCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(PseudorandomSplit.hashFraction(
+      concat(lit(s"$seed::"), key.cast("string"))) < frac)
+  }
+
   /** Weighted union of readers (SH3): each input is sampled at its
     * probability (independent hash families per branch), then
     * union'd. The reference mixes by drawing per-row at read time —

@@ -307,4 +307,24 @@ class SamplingTransformSpec extends SparkSpec {
         s"expected ~$n shuffle-written records, got ${listener.written}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("sampleByStrata: per-stratum rates, deterministic, default drop") {
+    val df = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "s")
+    val out = Sampling.sampleByStrata(df, "s", col("id"),
+      Map("a" -> 1.0, "b" -> 0.3), seed = 7)
+    val byS = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(byS("a") == 1000L)               // fraction 1.0 keeps all
+    assert(byS("b") > 200L && byS("b") < 400L) // ~0.3 of 1000
+    assert(!byS.contains("c"))              // default 0.0 drops
+    // determinism: same seed → identical membership; different seed → not
+    val again = Sampling.sampleByStrata(df, "s", col("id"),
+      Map("a" -> 1.0, "b" -> 0.3), seed = 7)
+    assert(out.select("id").except(again.select("id")).count() == 0)
+    val other = Sampling.sampleByStrata(df, "s", col("id"),
+      Map("b" -> 0.3), seed = 8)
+    assert(other.select("id")
+      .except(out.filter($"s" === "b").select("id")).count() > 0)
+  }
 }
