@@ -1402,6 +1402,21 @@ object SparkEntry {
         "lang", col("doc_id"),
         Map("en" -> 0.5, "de" -> 0.25), seed = 7)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Weighted top-k sample (deterministic hash race) ----
+    // Length-weighted: w = n_chars div 100 + 1 tickets per doc, 50
+    // winners by minimum md5 ticket — libm-free, so the selection
+    // reproduces bit-for-bit in any engine (see weightedSample doc
+    // for why Efraimidis-Spirakis keys cannot).
+    "q93_weighted_sample" -> ((s, dir) => {
+      graft.ops.Sampling.weightedSample(
+        t(s, dir, "documents")
+          .select(col("doc_id"), expr("n_chars div 100 + 1").as("w")),
+        col("doc_id"), "w", k = 50, seed = 3)
+        .select(col("doc_id"), col("w"), col("race_key"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("rank"))
     })
   )
 
@@ -2656,6 +2671,25 @@ object SparkEntry {
         |      / 4294967296.0
         |    < CASE WHEN lang = 'en' THEN 0.5
         |           WHEN lang = 'de' THEN 0.25 ELSE 0.0 END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q93_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, least(n_chars // 100 + 1, 1000) AS w
+        |  FROM documents WHERE n_chars // 100 + 1 > 0
+        |), r AS (
+        |  SELECT doc_id, w,
+        |    CAST(list_min(list_transform(range(0, CAST(w AS INT)), tk ->
+        |      ('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR) || ':' || CAST(tk AS VARCHAR)), 1, 8))::BIGINT))
+        |      AS BIGINT) AS race_key
+        |  FROM t
+        |), ranked AS (
+        |  SELECT doc_id, w, race_key,
+        |    row_number() OVER (ORDER BY race_key, CAST(doc_id AS VARCHAR))
+        |      AS rank
+        |  FROM r
+        |)
+        |SELECT doc_id, w, race_key, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
   )
 }

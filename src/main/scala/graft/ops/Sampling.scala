@@ -43,6 +43,50 @@ object Sampling {
       concat(lit(s"$seed::"), key.cast("string"))) < frac)
   }
 
+  /** Weighted top-k sampling via a deterministic hash race: each row
+    * holds `weight` tickets (an integral column, capped by
+    * `maxWeight`), ticket t draws the md5-uniform
+    * `hash(seed:key:t)`, the row's race key is its MINIMUM ticket
+    * draw, and the k smallest race keys win — higher weight → more
+    * tickets → stochastically smaller minimum → proportionally
+    * higher selection odds (the discrete cousin of the
+    * Efraimidis–Spirakis exponential race, 2006).
+    *
+    * Why not E–S itself: its `u^(1/w)` / `-ln(u)/w` keys hang
+    * selection boundaries on libm's last ulp — `pow`/`ln` are not
+    * correctly-rounded and differ across engines, so the SAME data
+    * can select differently elsewhere. The ticket race is pure md5
+    * integer arithmetic: bit-reproducible anywhere, which is the
+    * property that matters for an auditable training mix. The race
+    * key is the exact integer `uint32(md5)` (ties broken by key
+    * column), never a float.
+    *
+    * Scale shape: ticket draws are a per-row `transform` over
+    * `weight ≤ maxWeight` elements at scan speed; the global top-k
+    * rides [[AnnSearch.rankTopK]]'s two-phase bounded heaps (per
+    * partition ≤ k survive before the single tiny exchange). Rows
+    * with null/non-positive weight hold no tickets and never win. */
+  def weightedSample(df: DataFrame, key: Column, weightCol: String,
+      k: Int, seed: Long = 0, maxWeight: Int = 1000): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(maxWeight > 0, s"maxWeight must be positive (got $maxWeight)")
+    val w = least(col(weightCol).cast("long"), lit(maxWeight.toLong))
+    val draws = transform(sequence(lit(0L), w - 1),
+      t => conv(substring(md5(
+        concat(lit(s"$seed:"), key.cast("string"), lit(":"),
+          t.cast("string"))), 1, 8), 16, 10).cast("long"))
+    val raced = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("race_key", array_min(draws))
+    // rankTopK ranks DESC; negate so the smallest race key wins
+    val ranked = graft.ops.AnnSearch.rankTopK(
+      raced.select(lit(0L).as("qid"), key.cast("string").as("cid"),
+        (-col("race_key")).as("cos_m")), k)
+      .select(col("cid"), col("rank"))
+    raced.join(ranked, key.cast("string") === col("cid"))
+      .drop("cid")
+  }
+
   /** Weighted union of readers (SH3): each input is sampled at its
     * probability (independent hash families per branch), then
     * union'd. The reference mixes by drawing per-row at read time —

@@ -327,4 +327,25 @@ class SamplingTransformSpec extends SparkSpec {
     assert(other.select("id")
       .except(out.filter($"s" === "b").select("id")).count() > 0)
   }
+
+  test("weightedSample: deterministic, k-bounded, weight-monotone odds") {
+    val df = (0L until 400L).map(i =>
+      (i, if (i < 40L) 50L else 1L)).toDF("id", "w") // 10% heavy rows
+    val s1 = Sampling.weightedSample(df, col("id"), "w", k = 60, seed = 3)
+      .select("id").as[Long].collect().toSet
+    assert(s1.size == 60)
+    val s2 = Sampling.weightedSample(df, col("id"), "w", k = 60, seed = 3)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2) // pure function of (seed, key, weight)
+    // heavy rows (50 tickets) must be overrepresented: 40 rows carry
+    // 2000 of 2360 tickets → expect most of the 60 winners heavy
+    val heavy = s1.count(_ < 40L)
+    assert(heavy > 25, s"only $heavy heavy winners of 60")
+    // null / non-positive weights never win
+    val withBad = df.withColumn("w",
+      when($"id" === 0L, lit(null)).when($"id" === 1L, 0L).otherwise($"w"))
+    val s3 = Sampling.weightedSample(withBad, col("id"), "w", 400, seed = 3)
+      .select("id").as[Long].collect().toSet
+    assert(!s3.contains(0L) && !s3.contains(1L) && s3.size == 398)
+  }
 }
