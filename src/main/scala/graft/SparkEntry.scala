@@ -1412,7 +1412,11 @@ object SparkEntry {
     "q93_weighted_sample" -> ((s, dir) => {
       graft.ops.Sampling.weightedSample(
         t(s, dir, "documents")
-          .select(col("doc_id"), expr("n_chars div 100 + 1").as("w")),
+          // cap in the weight expression itself so the emitted w is
+          // exactly what raced (the op also caps internally at 1000,
+          // but the oracle compares the COLUMN)
+          .select(col("doc_id"),
+            expr("least(n_chars div 100 + 1, 1000)").as("w")),
         col("doc_id"), "w", k = 50, seed = 3)
         .select(col("doc_id"), col("w"), col("race_key"),
           col("rank").cast("long").as("rank"))
@@ -2667,7 +2671,7 @@ object SparkEntry {
 
     "q92_sample_by_strata" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ('0x' || substr(md5('7::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |WHERE ('0x' || substr(md5('7:strata:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |      / 4294967296.0
         |    < CASE WHEN lang = 'en' THEN 0.5
         |           WHEN lang = 'de' THEN 0.25 ELSE 0.0 END

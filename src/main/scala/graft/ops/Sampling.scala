@@ -39,8 +39,12 @@ object Sampling {
     val frac = fractions.foldLeft(lit(default)) { case (acc, (s, f)) =>
       when(col(strataCol) === s, lit(f)).otherwise(acc)
     }
+    // "strata" family tag: with a bare "$seed::" prefix this would be
+    // byte-identical to sampleByKey's default-salt family, silently
+    // NESTING the two ops' samples at equal seeds instead of drawing
+    // independently
     df.filter(PseudorandomSplit.hashFraction(
-      concat(lit(s"$seed::"), key.cast("string"))) < frac)
+      concat(lit(s"$seed:strata:"), key.cast("string"))) < frac)
   }
 
   /** Weighted top-k sampling via a deterministic hash race: each row
@@ -62,29 +66,41 @@ object Sampling {
     * column), never a float.
     *
     * Scale shape: ticket draws are a per-row `transform` over
-    * `weight ≤ maxWeight` elements at scan speed; the global top-k
-    * rides [[AnnSearch.rankTopK]]'s two-phase bounded heaps (per
-    * partition ≤ k survive before the single tiny exchange). Rows
-    * with null/non-positive weight hold no tickets and never win. */
+    * `weight ≤ maxWeight` elements at scan speed, evaluated in ONE
+    * branch (the rankTopK input; the winners join recovers the race
+    * key from the rank output rather than re-drawing); the global
+    * top-k rides [[AnnSearch.rankTopK]]'s two-phase bounded heaps
+    * (per partition ≤ k survive before the single tiny exchange).
+    * Weights are truncated to integers; rows whose truncated weight
+    * is < 1 (null, non-positive, or fractional below 1) hold no
+    * tickets and never win. Appends `race_key` and `rank` — reserved
+    * names the input must not already carry. */
   def weightedSample(df: DataFrame, key: Column, weightCol: String,
       k: Int, seed: Long = 0, maxWeight: Int = 1000): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
     require(maxWeight > 0, s"maxWeight must be positive (got $maxWeight)")
-    val w = least(col(weightCol).cast("long"), lit(maxWeight.toLong))
+    Seq("race_key", "rank").foreach(c => require(!df.columns.contains(c),
+      s"weightedSample appends '$c' — rename the input's '$c' column"))
+    // filter on the TRUNCATED weight BEFORE the cap: a fractional
+    // weight in (0,1) passes `> 0` but casts to 0, and
+    // sequence(0, -1) would hand the row two tickets (Spark's default
+    // step is -1); and `least` SKIPS nulls, so filtering after
+    // least(null, maxWeight) would resurrect null weights as maxWeight
+    val wTrunc = col(weightCol).cast("long")
+    val w = least(wTrunc, lit(maxWeight.toLong))
+    val slim = df.filter(wTrunc >= 1)
     val draws = transform(sequence(lit(0L), w - 1),
       t => conv(substring(md5(
         concat(lit(s"$seed:"), key.cast("string"), lit(":"),
           t.cast("string"))), 1, 8), 16, 10).cast("long"))
-    val raced = df
-      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("race_key", array_min(draws))
     // rankTopK ranks DESC; negate so the smallest race key wins
     val ranked = graft.ops.AnnSearch.rankTopK(
-      raced.select(lit(0L).as("qid"), key.cast("string").as("cid"),
-        (-col("race_key")).as("cos_m")), k)
-      .select(col("cid"), col("rank"))
-    raced.join(ranked, key.cast("string") === col("cid"))
-      .drop("cid")
+      slim.select(lit(0L).as("qid"), key.cast("string").as("cid"),
+        (-array_min(draws)).as("cos_m")), k)
+      .select(col("cid").as("__ws_cid"), col("rank"),
+        (-col("cos_m")).as("race_key"))
+    slim.join(ranked, key.cast("string") === col("__ws_cid"))
+      .drop("__ws_cid")
   }
 
   /** Weighted union of readers (SH3): each input is sampled at its

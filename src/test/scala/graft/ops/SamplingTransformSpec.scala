@@ -347,5 +347,16 @@ class SamplingTransformSpec extends SparkSpec {
     val s3 = Sampling.weightedSample(withBad, col("id"), "w", 400, seed = 3)
       .select("id").as[Long].collect().toSet
     assert(!s3.contains(0L) && !s3.contains(1L) && s3.size == 398)
+    // fractional weight in (0,1) truncates to ZERO tickets, never two
+    val frac = Seq((1L, 0.5), (2L, 1.0)).toDF("id", "w")
+    val s4 = Sampling.weightedSample(frac, col("id"), "w", 10, seed = 3)
+      .select("id").as[Long].collect().toSet
+    assert(s4 == Set(2L))
+    // reserved output names are refused up front
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df.withColumn("rank", lit(1)),
+        col("id"), "w", 5)
+    }
+    assert(e.getMessage.contains("rank"))
   }
 }
