@@ -9,7 +9,14 @@ import org.apache.spark.sql.DataFrame
   * Mirrors the reference harness's warmup/measure split
   * (benchmark/throughput.py:112-172): each query is executed once to
   * warm the JVM/Spark (JIT, codegen cache, file-footer cache), then
-  * timed on a second full execution. The sink is a `noop`-format
+  * timed as the BEST OF TWO further full executions — the reference
+  * itself keeps the best measured cycle, and a min is the standard
+  * defense against a contended machine (two of the last three
+  * official records were 2-10× inflated by co-tenant load; the min
+  * of two measurements bounds that inflation by the quieter one).
+  * The machine's 1-minute load average (`/proc/loadavg`) is sampled
+  * before and after the run and emitted as `load_avg` so a record
+  * carries its own contention evidence. The sink is a `noop`-format
   * write, which executes the whole physical plan — unlike `count()`,
   * which lets Catalyst prune every projection (r1 verdict defect).
   * Failures are reported in an `errors` map, never as fake timings.
@@ -25,6 +32,11 @@ import org.apache.spark.sql.DataFrame
 object Bench {
   private def runOnce(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** 1-minute load average, or -1 if /proc/loadavg is unreadable. */
+  private def loadAvg1m(): Double =
+    try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 
   /** samples/sec reading back a hello_world-shaped graft store. */
   private def helloWorldThroughput(
@@ -73,13 +85,16 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    val loadStart = loadAvg1m()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
         runOnce(fn(spark, sfDir)) // warmup
-        val t0 = System.nanoTime()
-        runOnce(fn(spark, sfDir)) // measured
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        timings(name) = (1 to 2).map { _ => // best-of-2 measured
+          val t0 = System.nanoTime()
+          runOnce(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -108,9 +123,11 @@ object Bench {
       f""""${k.takeWhile(_ != '_')}":$v%.2f""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    val loadEnd = loadAvg1m()
     def line(qs: String): String =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
-        s""""errors":$es,"hello_world_samples_per_sec":$hello,"sf":"$sfDir"}"""
+        s""""errors":$es,"hello_world_samples_per_sec":$hello,""" +
+        f""""load_avg":[$loadStart%.2f,$loadEnd%.2f],"sf":"$sfDir"}"""
     // File copy first (survives stdout interleaving with sbt noise),
     // then the contractual single stdout JSON line, flushed last.
     try Files.writeString(Paths.get("bench_out.json"), line(qsFull) + "\n")

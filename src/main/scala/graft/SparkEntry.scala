@@ -41,15 +41,19 @@ object SparkEntry {
       dir.replaceAll("[^A-Za-z0-9]", "_")
   }
 
-  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`,
-    * restoring the prior value after — used around streaming starts,
-    * where every stateful operator opens one state store (checkpoint
-    * dir + provider) per shuffle partition. */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val saved = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, saved)
+  /** A session with `spark.sql.shuffle.partitions` scoped to `n`:
+    * same SparkContext and shared state, ISOLATED SQL conf — nothing
+    * planned concurrently on the caller's session sees the reduced
+    * width. Used for streaming runs, where every stateful operator
+    * opens one state store (checkpoint dir + provider) per shuffle
+    * partition. Build the source AND read the memory sink through
+    * the returned session (memory-sink temp views are per-session);
+    * the session and its sink table become garbage together once the
+    * result frame is released, so no fixed-name pre-drop is needed. */
+  private def scopedSession(s: SparkSession, n: Int): SparkSession = {
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    scoped
   }
 
   /** Total order for a TINY result sitting on top of an expensive
@@ -456,23 +460,21 @@ object SparkEntry {
     // Structured Streaming query (AvailableNow → memory sink,
     // complete mode) and must produce exactly the batch answer —
     // the Dataflow-model parity claim, oracle-checked.
-    "q59_stream_windows" -> ((s, dir) => {
+    "q59_stream_windows" -> ((s0, dir) => {
+      // see q61 for the 4-partition scoping; source, stream, and
+      // memory sink all live in the scoped session
+      val s = scopedSession(s0, 4)
       val src = graft.streaming.GraftStream.reader(s, dir)
         .glob("events.parquet").load()
         .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       val agg = graft.streaming.GraftStream.windowedCounts(src, "ts_t",
         "1 hour", "0 seconds", Seq("event_type"))
-      // fixed sink name + pre-drop: a fresh UUID name per execution
-      // leaked one in-driver memory-sink table per bench/verify run
       val name = "graft_q59_sink"
-      s.catalog.dropTempView(name)
-      withShufflePartitions(s, 4) { // see q61: state stores per partition
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       s.table(name)
         .select(unix_micros(col("window_start")).as("ws_us"),
           col("event_type"), col("n"))
@@ -485,27 +487,24 @@ object SparkEntry {
     // cross-batch FCFS quota reduces to row_number()<=n — which is
     // exactly what the oracle checks (the cross-batch state carry is
     // proven separately in GraftStreamSpec with maxFilesPerTrigger=1).
-    "q61_stream_quota" -> ((s, dir) => {
+    "q61_stream_quota" -> ((s0, dir) => {
+      // a stateful streaming op opens one state store per shuffle
+      // partition — at the default 32 that is 32 checkpoint dirs of
+      // setup for a few hundred keys of state; run the stream in a
+      // 4-partition scoped session (caller's session untouched)
+      val s = scopedSession(s0, 4)
       val src = graft.streaming.GraftStream.reader(s, dir)
         .glob("events.parquet").load()
         .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
           col("user_id"), col("event_type"))
       val admitted = graft.streaming.GraftStream.admitFirstN(
         src, "user_id", "ts_us", "event_id", n = 3)
-      val name = "graft_q61_sink" // fixed + pre-dropped, see q59
-      s.catalog.dropTempView(name)
-      // a stateful streaming op opens one state store per shuffle
-      // partition — at the default 32 that is 32 checkpoint dirs of
-      // setup for a few hundred keys of state; scope it down for the
-      // streaming run (batch plans are unaffected: conf restored
-      // before the memory table is read)
-      withShufflePartitions(s, 4) {
-        val q = admitted.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+      val name = "graft_q61_sink"
+      val q = admitted.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       s.table(name).orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
@@ -1255,7 +1254,11 @@ object SparkEntry {
     // sink; the oracle replays the identical join as batch SQL. The
     // single-file source makes one micro-batch; cross-batch state
     // carry is proven separately in StreamJoinSpec.
-    "q83_stream_join" -> ((s, dir) => {
+    "q83_stream_join" -> ((s0, dir) => {
+      // 2 join partitions: state-store commit overhead dominates this
+      // fixture-sized stream-stream join; the session conf governs at
+      // scale. Scoped session — caller's session keeps full width.
+      val s = scopedSession(s0, 2)
       val ev = graft.streaming.GraftStream.reader(s, dir)
         .glob("events.parquet").load()
         .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
@@ -1272,15 +1275,12 @@ object SparkEntry {
           col("purchase_id"),
           (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
             .as("lag_us"))
-      val name = "graft_q83_sink" // fixed + pre-dropped, see q59
-      s.catalog.dropTempView(name)
-      withShufflePartitions(s, 2) { // 2 join partitions: state-store commit overhead dominates this fixture-sized stream-stream join; the session conf governs at scale
-        val q = j.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+      val name = "graft_q83_sink"
+      val q = j.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       s.table(name)
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
@@ -2641,7 +2641,7 @@ object SparkEntry {
     "q90_quantile_bins" ->
       """WITH h AS (
         |  SELECT lang, n_chars, count(*)::BIGINT AS c
-        |  FROM documents GROUP BY 1, 2
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
         |), t AS (
         |  SELECT lang, n_chars,
         |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,

@@ -87,15 +87,13 @@ object Dedup {
     * persisted while the returned DataFrame is in use; Spark's
     * ContextCleaner unpersists it once the result is unreferenced.
     *
-    * CONCURRENCY CAVEAT: the loop scopes
-    * `spark.sql.shuffle.partitions` down to the graph-sized value for
-    * its own rounds by set-and-restore on the session conf — any
-    * query PLANNED concurrently on the same SparkSession during the
-    * loop would silently plan at the reduced width. Call from a
-    * single-threaded driver (the normal batch shape), or hand this a
-    * dedicated session. The alternative (per-plan repartition hints)
-    * was measured 3× slower because declared partitioning suppresses
-    * AQE's broadcast/coalesce decisions (see above).
+    * The loop scopes `spark.sql.shuffle.partitions` down to the
+    * graph-sized value on a `newSession()` — same SparkContext and
+    * cache, ISOLATED SQL conf — so queries planned concurrently on
+    * the caller's session keep their full width. The alternative
+    * (per-plan repartition hints) was measured 3× slower because
+    * declared partitioning suppresses AQE's broadcast/coalesce
+    * decisions (see above).
     */
   def clusters(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
@@ -106,7 +104,9 @@ object Dedup {
     // so the plan tree would grow exponentially with rounds (measured
     // OOM at ~7 rounds). Rows are copied before persisting (toRdd
     // reuses UnsafeRow buffers per partition).
-    def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    def pin(df: DataFrame)
+        : (DataFrame,
+           org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
       val rdd = ColumnBridge.internalRdd(df).map(_.copy())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (ColumnBridge.internalCreateDataFrame(df, rdd, df.schema), rdd)
@@ -114,8 +114,11 @@ object Dedup {
     // Pin the DIRECTED pairs first (one action): the undirected union
     // references the pair plan twice, and the per-round joins would
     // otherwise re-run the whole candidate pipeline every round.
+    // These plan under the CALLER's session at its full width — the
+    // pair pipeline is corpus-sized; only the label rounds are
+    // graph-sized.
     val (p0, p0Rdd) = pin(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
-    val (edges, edgesRdd) = pin(
+    val (edges0, edgesRdd) = pin(
       p0.union(p0.select(col("v").as("u"), col("u").as("v"))).distinct())
     val edgeCount = edgesRdd.count() // materialize (pulls p0 through its pin)
     p0Rdd.unpersist()
@@ -129,10 +132,14 @@ object Dedup {
     val roundParts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       edgeCount / 2000000L + 1L)).toInt
-    val partsKey = "spark.sql.shuffle.partitions"
-    val savedParts = spark.conf.get(partsKey)
-    spark.conf.set(partsKey, roundParts.toString)
-    try {
+    // Conf-scoped session for the rounds: same SparkContext (the
+    // pinned RDDs cross over freely), isolated SQL conf — nothing
+    // planned concurrently on the caller's session sees the reduced
+    // width.
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", roundParts.toString)
+    val edges = ColumnBridge.internalCreateDataFrame(
+      scoped, edgesRdd, edges0.schema)
     // init = the first min step fused into one agg over edges: with
     // identity labels, each vertex's neighbor-min is simply min(v).
     // __chg marks the round's FRONTIER (vertices whose label moved).
@@ -204,7 +211,6 @@ object Dedup {
         s"dedup clustering did not converge in $maxIter rounds — the pair " +
           "graph has a propagation chain longer than 4^maxIter; raise maxIter")
     pinned.drop("__chg")
-    } finally spark.conf.set(partsKey, savedParts)
   }
 
   /** [[clusters]] joined back onto the corpus: every id gets a

@@ -141,7 +141,13 @@ object Stats {
     * rows bin against their own group's boundaries instead of
     * silently vanishing through SQL join semantics; a null VALUE
     * gets a null bin (it exceeds nothing and belongs nowhere — a
-    * silent bin 0 would mislabel it "shortest").
+    * silent bin 0 would mislabel it "shortest"). Null values are
+    * also EXCLUDED from the boundary computation — boundaries are
+    * quantiles of the non-null values (matching `percentile_disc`'s
+    * null handling), so a group's cut points don't shift low just
+    * because it carries nulls; an all-null group has no boundaries
+    * and its rows (all null-valued) keep their null bin via the
+    * left join.
     *
     * Scale shape: boundaries are one row per group (broadcast); the
     * assignment is a broadcast join + a map-side integer sum — the
@@ -150,17 +156,20 @@ object Stats {
     * value is null); exactly one output row per input row. */
   def quantileBins(df: DataFrame, groupCols: Seq[String],
       valueCol: String, ps: Seq[Double]): DataFrame = {
-    val bounds = exactPercentiles(df, groupCols, valueCol, ps)
+    val bounds =
+      exactPercentiles(df.filter(col(valueCol).isNotNull), groupCols,
+        valueCol, ps)
     val joined =
       if (groupCols.nonEmpty) {
-        // eqNullSafe: a null group key must match its own bounds row
+        // eqNullSafe: a null group key must match its own bounds row;
+        // left: an all-null group has no bounds row but keeps its rows
         val b = broadcast(bounds.select(
           bounds.columns.map(c =>
             if (groupCols.contains(c)) col(c).as(s"__gb_$c")
             else col(c)): _*))
         val cond = groupCols.map(c => col(c) <=> col(s"__gb_$c"))
           .reduce(_ && _)
-        df.join(b, cond).drop(groupCols.map(c => s"__gb_$c"): _*)
+        df.join(b, cond, "left").drop(groupCols.map(c => s"__gb_$c"): _*)
       } else df.crossJoin(broadcast(bounds))
     val bin = when(col(valueCol).isNull, lit(null))
       .otherwise(ps.map(p =>

@@ -37,6 +37,17 @@ object ColumnBridge {
       case _ => Nil
     }
 
+  /** [[internalCreateDataFrame]] against an EXPLICIT target session
+    * (the df-based overload binds to `df.sparkSession`) — used to
+    * move a pinned RDD into a conf-scoped `newSession()` so a loop's
+    * plans pick up the scoped shuffle width without mutating the
+    * caller's session (RDDs are SparkContext-level, so they cross
+    * sessions freely). */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Wrap an `RDD[InternalRow]` as a DataFrame with no conversion
     * (the resulting scan applies its own UnsafeProjection, so rows —
     * and wrappers like JoinedRow — may be reused by the producer).

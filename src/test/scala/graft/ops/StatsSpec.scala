@@ -142,4 +142,24 @@ class StatsSpec extends SparkSpec {
     val nullVal = out.filter($"v".isNull).select($"bin").collect()
     assert(nullVal.length == 1 && nullVal.head.isNullAt(0))
   }
+
+  test("quantileBins: null values don't shift boundaries; " +
+      "all-null groups keep their rows") {
+    // g holds 1..4 plus two nulls: boundaries must be quantiles of
+    // the NON-NULL values (p50=2 → bins 0,0,1,1), not dragged low by
+    // nulls inflating the histogram totals (r7 advice).
+    val df = Seq(
+      ("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L)), ("g", Some(4L)),
+      ("g", None), ("g", None),
+      ("z", None) // all-null group: no bounds row, rows must survive
+    ).map { case (g, v) => (g, v.map(Long.box).orNull) }.toDF("grp", "v")
+    val out = Stats.quantileBins(df, Seq("grp"), "v", Seq(0.5))
+    assert(out.count() == 7)
+    val g = out.filter($"grp" === "g" && $"v".isNotNull)
+      .orderBy($"v").as[(String, Long, Long)].collect().toSeq
+    assert(g == Seq(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 1L),
+      ("g", 4L, 1L)))
+    val z = out.filter($"grp" === "z").select($"bin").collect()
+    assert(z.length == 1 && z.head.isNullAt(0))
+  }
 }
