@@ -1350,8 +1350,11 @@ object SparkEntry {
           size(col("en")).cast("long").as("n_frames"),
           array_max(col("en")).as("max_energy"),
           array_position(col("en"), array_max(col("en"))).as("peak_frame"),
-          expr("aggregate(en, 0L, (acc, x) -> acc + x) div size(en)")
-            .as("mean_energy"))
+          // codegen'd array_sum_long, not the interpreted
+          // aggregate(...) HOF (r7 flag); integral div keeps the
+          // mean exact-integer like the oracle's `//`
+          call_function("div", GraftFunctions.arraySumLong(col("en")),
+            size(col("en")).cast("long")).as("mean_energy"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1406,9 +1409,10 @@ object SparkEntry {
 
     // ---- Weighted top-k sample (deterministic hash race) ----
     // Length-weighted: w = n_chars div 100 + 1 tickets per doc, 50
-    // winners by minimum md5 ticket — libm-free, so the selection
-    // reproduces bit-for-bit in any engine (see weightedSample doc
-    // for why Efraimidis-Spirakis keys cannot).
+    // winners by minimum ticket draw (one md5 per row + codegen'd
+    // double-hash mixes) — libm-free, so the selection reproduces
+    // bit-for-bit in any engine (see weightedSample doc for why
+    // Efraimidis-Spirakis keys cannot).
     "q93_weighted_sample" -> ((s, dir) => {
       graft.ops.Sampling.weightedSample(
         t(s, dir, "documents")
@@ -2681,12 +2685,17 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id, least(n_chars // 100 + 1, 1000) AS w
         |  FROM documents WHERE n_chars // 100 + 1 > 0
+        |), h AS (
+        |  SELECT doc_id, w,
+        |    ('0x' || substr(md5('3:wts:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h1,
+        |    ('0x' || substr(md5('3:wts:' || CAST(doc_id AS VARCHAR)), 17, 15))::BIGINT AS h2
+        |  FROM t
         |), r AS (
         |  SELECT doc_id, w,
         |    CAST(list_min(list_transform(range(0, CAST(w AS INT)), tk ->
-        |      ('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR) || ':' || CAST(tk AS VARCHAR)), 1, 8))::BIGINT))
-        |      AS BIGINT) AS race_key
-        |  FROM t
+        |      CAST((CAST(h1 AS HUGEINT) + CAST(tk AS HUGEINT) * CAST(h2 AS HUGEINT))
+        |           % 1152921504606846976 AS BIGINT))) AS BIGINT) AS race_key
+        |  FROM h
         |), ranked AS (
         |  SELECT doc_id, w, race_key,
         |    row_number() OVER (ORDER BY race_key, CAST(doc_id AS VARCHAR))

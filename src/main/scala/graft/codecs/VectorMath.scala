@@ -108,6 +108,15 @@ object VectorMath {
     }
     s
   }
+
+  /** Wrapping sum of an array<long> (empty → 0). */
+  def sumLong(a: ArrayData): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i); i += 1 }
+    s
+  }
 }
 
 /** `simhash32(hashes)` → long: bit j of the result is set iff the
@@ -125,6 +134,24 @@ case class SimHash32(child: Expression)
       s"${ev.value} = graft.codecs.VectorMath.simhash32($c);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "simhash32"
+}
+
+/** `array_sum_long(arr)` → long: one codegen pass, no intermediate —
+  * the tight-loop spelling of `aggregate(arr, 0L, (a, x) -> a + x)`,
+  * which Spark evaluates as an interpreted higher-order function (a
+  * lambda call per element — the r7 hot-path flag on q88). Null
+  * array → null; elements are non-null by the producing expressions'
+  * contract (containsNull = false). */
+case class ArraySumLong(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.sumLong(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.codecs.VectorMath.sumLong($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "array_sum_long"
 }
 
 /** `argmax_cos_m(emb)` over a FIXED centroid matrix baked into the

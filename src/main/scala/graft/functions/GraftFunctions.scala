@@ -54,6 +54,17 @@ object GraftFunctions {
   def dotI8(a: Column, b: Column): Column =
     column(graft.codecs.DotI8(expr(a), expr(b)))
 
+  /** Codegen'd sum of an array<long> → long (the tight-loop form of
+    * the interpreted `aggregate(arr, 0L, (a, x) -> a + x)` HOF). */
+  def arraySumLong(arr: Column): Column =
+    column(graft.codecs.ArraySumLong(expr(arr)))
+
+  /** Weighted-sampling race key: min over t in [0, w) of the
+    * double-hash mix (h1 + t·h2) mod 2^60 — see
+    * [[graft.codecs.HashRace]]. */
+  def ticketRaceMin(h1: Column, h2: Column, w: Column): Column =
+    column(graft.codecs.TicketRaceMin(expr(h1), expr(h2), expr(w)))
+
   /** Scan-speed membership probe against a serialized Bloom filter
     * (never a false negative) — the generic exchange prefilter behind
     * [[graft.ops.NearDedup.bloomContamination]]. */

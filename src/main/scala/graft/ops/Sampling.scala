@@ -49,9 +49,8 @@ object Sampling {
 
   /** Weighted top-k sampling via a deterministic hash race: each row
     * holds `weight` tickets (an integral column, capped by
-    * `maxWeight`), ticket t draws the md5-uniform
-    * `hash(seed:key:t)`, the row's race key is its MINIMUM ticket
-    * draw, and the k smallest race keys win — higher weight → more
+    * `maxWeight`), the row's race key is its MINIMUM ticket draw,
+    * and the k smallest race keys win — higher weight → more
     * tickets → stochastically smaller minimum → proportionally
     * higher selection odds (the discrete cousin of the
     * Efraimidis–Spirakis exponential race, 2006).
@@ -59,22 +58,30 @@ object Sampling {
     * Why not E–S itself: its `u^(1/w)` / `-ln(u)/w` keys hang
     * selection boundaries on libm's last ulp — `pow`/`ln` are not
     * correctly-rounded and differ across engines, so the SAME data
-    * can select differently elsewhere. The ticket race is pure md5
-    * integer arithmetic: bit-reproducible anywhere, which is the
-    * property that matters for an auditable training mix. The race
-    * key is the exact integer `uint32(md5)` (ties broken by key
-    * column), never a float.
+    * can select differently elsewhere. The ticket draws are pure
+    * integer arithmetic over md5 — bit-reproducible anywhere, which
+    * is the property that matters for an auditable training mix.
+    * ONE md5 per ROW (family-tagged `md5(seed:wts:key)` — an
+    * untagged `seed:key` prefix could collide with [[sampleByKey]]'s
+    * salted family at equal seeds) yields two independent 60-bit
+    * uniforms; ticket t's draw is the codegen'd double-hash mix
+    * `(h1 + t·h2) mod 2^60` ([[graft.codecs.TicketRaceMin]]) — one
+    * wrapping add + mask per ticket, so `maxWeight` prices a tight
+    * integer loop, not per-ticket md5 calls (10¹² of them at 10⁹
+    * rows × w=1000 — the r7 perf flag). The race key is an exact
+    * integer (ties broken by key column), never a float.
     *
-    * Scale shape: ticket draws are a per-row `transform` over
-    * `weight ≤ maxWeight` elements at scan speed, evaluated in ONE
-    * branch (the rankTopK input; the winners join recovers the race
-    * key from the rank output rather than re-drawing); the global
-    * top-k rides [[AnnSearch.rankTopK]]'s two-phase bounded heaps
-    * (per partition ≤ k survive before the single tiny exchange).
+    * Scale shape: the race key is one md5 + a ≤`maxWeight`-iteration
+    * codegen loop per row at scan speed, evaluated in ONE branch
+    * (the rankTopK input; the winners join recovers the race key
+    * from the rank output rather than re-drawing); the global top-k
+    * rides [[AnnSearch.rankTopK]]'s two-phase bounded heaps (per
+    * partition ≤ k survive before the single tiny exchange).
     * Weights are truncated to integers; rows whose truncated weight
     * is < 1 (null, non-positive, or fractional below 1) hold no
-    * tickets and never win. Appends `race_key` and `rank` — reserved
-    * names the input must not already carry. */
+    * tickets and never win; weights above `maxWeight` race with
+    * exactly `maxWeight` tickets. Appends `race_key` and `rank` —
+    * reserved names the input must not already carry. */
   def weightedSample(df: DataFrame, key: Column, weightCol: String,
       k: Int, seed: Long = 0, maxWeight: Int = 1000): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
@@ -82,21 +89,22 @@ object Sampling {
     Seq("race_key", "rank").foreach(c => require(!df.columns.contains(c),
       s"weightedSample appends '$c' — rename the input's '$c' column"))
     // filter on the TRUNCATED weight BEFORE the cap: a fractional
-    // weight in (0,1) passes `> 0` but casts to 0, and
-    // sequence(0, -1) would hand the row two tickets (Spark's default
-    // step is -1); and `least` SKIPS nulls, so filtering after
-    // least(null, maxWeight) would resurrect null weights as maxWeight
+    // weight in (0,1) passes `> 0` but casts to 0; and `least` SKIPS
+    // nulls, so filtering after least(null, maxWeight) would
+    // resurrect null weights as maxWeight
     val wTrunc = col(weightCol).cast("long")
     val w = least(wTrunc, lit(maxWeight.toLong))
     val slim = df.filter(wTrunc >= 1)
-    val draws = transform(sequence(lit(0L), w - 1),
-      t => conv(substring(md5(
-        concat(lit(s"$seed:"), key.cast("string"), lit(":"),
-          t.cast("string"))), 1, 8), 16, 10).cast("long"))
+    // hex digits 1-15 / 17-31 of one md5: two 60-bit uniforms (15
+    // digits so the unsigned conv result always fits a signed long)
+    val digest = md5(concat(lit(s"$seed:wts:"), key.cast("string")))
+    val h1 = conv(substring(digest, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(digest, 17, 15), 16, 10).cast("long")
+    val race = graft.functions.GraftFunctions.ticketRaceMin(h1, h2, w)
     // rankTopK ranks DESC; negate so the smallest race key wins
     val ranked = graft.ops.AnnSearch.rankTopK(
       slim.select(lit(0L).as("qid"), key.cast("string").as("cid"),
-        (-array_min(draws)).as("cos_m")), k)
+        (-race).as("cos_m")), k)
       .select(col("cid").as("__ws_cid"), col("rank"),
         (-col("cos_m")).as("race_key"))
     slim.join(ranked, key.cast("string") === col("__ws_cid"))

@@ -427,8 +427,17 @@ object TextAnalysis {
     *
     * `summarySize` = 0 (default) derives k from a token-count job:
     * k = N/minCount + 1. Pass it explicitly to skip that pass when
-    * an upper bound on N/minCount is known. Two corpus scans either
-    * way (nominate + recount) — both narrow, at scan speed.
+    * an upper bound on N/minCount is known — the claim is AUDITED,
+    * not trusted: the nominate pass counts tokens by accumulator
+    * (free) and the call REQUIRES k ≥ N/minCount + 1 once that pass
+    * materializes, so an undersized summary fails loudly instead of
+    * silently dropping true heavy hitters (r7 advice). Task retries
+    * can only overcount the accumulator — the audit may reject a
+    * barely-sufficient k on a retry-heavy run, never accept an
+    * insufficient one. Caller-supplied k therefore makes this
+    * operator EAGER (the nominate pass runs at call time, persisted
+    * for the recount join); two corpus scans either way (nominate +
+    * recount) — both narrow, at scan speed.
     *
     * Output: (term, cnt), exact. */
   def frequentTerms(df: DataFrame, textCol: String, minCount: Long,
@@ -455,10 +464,16 @@ object TextAnalysis {
         derived.toInt
       }
     import org.apache.spark.sql.Encoders
+    val nAcc =
+      if (summarySize > 0)
+        Some(df.sparkSession.sparkContext.longAccumulator(
+          "graft.frequentTerms.tokens"))
+      else None
     val candidates = stream.select(col("term")).as(Encoders.STRING)
       .mapPartitions { it =>
         val m = new java.util.HashMap[String, Long](k * 2)
         it.foreach { t =>
+          nAcc.foreach(_.add(1L))
           val c = m.get(t)
           if (c != 0L) m.put(t, c + 1L)
           else if (m.size < k) m.put(t, 1L)
@@ -473,13 +488,29 @@ object TextAnalysis {
         scala.jdk.CollectionConverters.SetHasAsScala(m.keySet).asScala.iterator
       }(Encoders.STRING)
       .distinct().toDF("term")
+    // caller-supplied k: materialize the nominate pass (persisted, so
+    // the recount join reuses it — still two corpus scans total) and
+    // audit the MG no-miss precondition against the counted N
+    val audited = nAcc match {
+      case Some(acc) =>
+        val pinned = candidates.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned.count()
+        val needed = acc.value / minCount + 1
+        require(needed <= k,
+          s"summarySize $k < N/minCount + 1 = $needed (N=${acc.value} " +
+            "tokens): Misra-Gries summaries this small can silently miss " +
+            "true heavy hitters — raise summarySize or minCount")
+        pinned
+      case None => candidates
+    }
     // No forced broadcast: the candidate set is bounded only by
     // k·partitions, and k may legitimately be millions — a forced
     // hint would build that on the driver unconditionally. AQE's
     // runtime size-based join selection broadcasts the candidate
     // side exactly when it is actually small (the common case) and
     // falls back to a shuffled semi-join when it is not.
-    stream.join(candidates, Seq("term"), "left_semi")
+    stream.join(audited, Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }

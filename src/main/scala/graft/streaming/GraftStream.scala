@@ -143,48 +143,90 @@ object GraftStream {
     * deliberately out of scope (run the batch-level
     * [[graft.ops.NearDedup.nearDuplicates]] on the batch if needed).
     *
-    * Parquet appends inside foreachBatch are at-least-once under
-    * retries; `pairs` rows carry `batch_id` so a replayed batch is
-    * dedupable downstream (`dropDuplicates("id_new", "id_corpus")`
-    * equivalently). Returns the writer — caller picks trigger +
-    * checkpoint and starts. */
+    * Replay safety: foreachBatch is at-least-once under retries, so
+    * every persisted table (bands, docs, pairs) is PARTITIONED BY an
+    * `ingest_key` (= `streamId` + batch id) and written with dynamic
+    * partition overwrite — a replayed batch REPLACES its own
+    * partition instead of appending a second copy — and the corpus
+    * views exclude the replaying batch's own partition, so a retry
+    * that crashed after the bands append can never pair the batch
+    * against itself. Net effect: the output stores are exactly-once
+    * at batch granularity. (Batch-sized partition directories are
+    * the idempotency unit; compact them offline if a long-lived
+    * stream accretes too many.)
+    *
+    * `streamId` must be STABLE across restarts of one checkpoint
+    * lineage (derive it from the checkpoint path) and UNIQUE across
+    * lineages: Structured Streaming batch ids restart at 0 on a
+    * fresh checkpoint, so without the stream qualifier a new run's
+    * batch 0 would silently overwrite — and hide from its corpus —
+    * an old run's batch-0 partition. Returns the writer — caller
+    * picks trigger + checkpoint and starts. */
   def nearDupIngest(batches: DataFrame, idCol: String, textCol: String,
       bandsUrl: String, docsUrl: String, pairsUrl: String,
-      minJaccardPpm: Long = 500000L, k: Int = 16, bands: Int = 4,
-      rows: Int = 4, shingleN: Int = 3, maxBucket: Int = 1000)
-      : DataStreamWriter[Row] = {
-    import graft.ops.NearDedup
+      streamId: String, minJaccardPpm: Long = 500000L, k: Int = 16,
+      bands: Int = 4, rows: Int = 4, shingleN: Int = 3,
+      maxBucket: Int = 1000): DataStreamWriter[Row] =
     batches.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val s = batch.sparkSession
-      val slim = batch.select(col(idCol), col(textCol)).persist()
-      try {
-        val hasCorpus = {
-          val p = new org.apache.hadoop.fs.Path(bandsUrl)
-          p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-        }
-        if (hasCorpus) {
-          val corpusBands = s.read.parquet(bandsUrl)
-          val pairs = NearDedup.incrementalPairs(slim, corpusBands,
-            idCol, textCol, k, bands, rows, shingleN, maxBucket)
-            .filter(col("id_new") =!= col("id_corpus"))
-          // verify against ONLY the matched corpus docs (AQE
-          // broadcasts the small matched-id side)
-          val matchedDocs = s.read.parquet(docsUrl)
-            .join(pairs.select(col("id_corpus").as(idCol)).distinct(),
-              Seq(idCol), "left_semi")
+      ingestBatch(batch, batchId, idCol, textCol, bandsUrl, docsUrl,
+        pairsUrl, streamId, minJaccardPpm, k, bands, rows, shingleN,
+        maxBucket)
+    }
+
+  /** One [[nearDupIngest]] micro-batch — exposed so replay semantics
+    * are directly testable (call twice with the same `streamId` +
+    * `batchId` to simulate a post-append retry). Idempotent per
+    * (streamId, batchId): see [[nearDupIngest]]. */
+  def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, bandsUrl: String, docsUrl: String,
+      pairsUrl: String, streamId: String,
+      minJaccardPpm: Long = 500000L, k: Int = 16,
+      bands: Int = 4, rows: Int = 4, shingleN: Int = 3,
+      maxBucket: Int = 1000): Unit = {
+    import graft.ops.NearDedup
+    val s = batch.sparkSession
+    val ingestKey = s"${streamId}_b$batchId"
+    def overwriteOwnPartition(df: DataFrame, url: String): Unit =
+      df.withColumn("ingest_key", lit(ingestKey))
+        .write.partitionBy("ingest_key")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(url)
+    def exists(url: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(url)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val slim = batch.select(col(idCol), col(textCol)).persist()
+    try {
+      // both stores must exist — a first-batch retry that crashed
+      // between the bands and docs appends has bands but no docs
+      if (exists(bandsUrl) && exists(docsUrl)) {
+        // corpus = every batch EXCEPT this one (partition-pruned):
+        // on replay the batch's own pre-crash bands are invisible,
+        // so it can never pair with itself
+        val corpusBands = s.read.parquet(bandsUrl)
+          .filter(col("ingest_key") =!= lit(ingestKey)).drop("ingest_key")
+        val pairs = NearDedup.incrementalPairs(slim, corpusBands,
+          idCol, textCol, k, bands, rows, shingleN, maxBucket)
+          .filter(col("id_new") =!= col("id_corpus"))
+        // verify against ONLY the matched corpus docs (AQE
+        // broadcasts the small matched-id side)
+        val matchedDocs = s.read.parquet(docsUrl)
+          .filter(col("ingest_key") =!= lit(ingestKey)).drop("ingest_key")
+          .join(pairs.select(col("id_corpus").as(idCol)).distinct(),
+            Seq(idCol), "left_semi")
+        overwriteOwnPartition(
           NearDedup.verifyPairsJaccardPpm(pairs, slim, matchedDocs,
               idCol, textCol, shingleN)
-            .filter(col("jaccard_ppm") >= minJaccardPpm)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(pairsUrl)
-        }
-        // admit the batch into the corpus AFTER matching (a batch
-        // never pairs with itself)
-        NearDedup.bandTable(slim, idCol, textCol, k, bands, rows, shingleN)
-          .write.mode("append").parquet(bandsUrl)
-        slim.write.mode("append").parquet(docsUrl)
-      } finally slim.unpersist()
-    }
+            .filter(col("jaccard_ppm") >= minJaccardPpm),
+          pairsUrl)
+      }
+      // admit the batch into the corpus AFTER matching (a batch
+      // never pairs with itself)
+      overwriteOwnPartition(
+        NearDedup.bandTable(slim, idCol, textCol, k, bands, rows, shingleN),
+        bandsUrl)
+      overwriteOwnPartition(slim, docsUrl)
+    } finally slim.unpersist()
   }
 
   /** Stream-stream interval join: pair each left row with the right

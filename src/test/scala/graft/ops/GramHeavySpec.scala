@@ -147,4 +147,19 @@ class GramHeavySpec extends SparkSpec {
     val empty = Seq.empty[String].toDF("text")
     assert(TextAnalysis.frequentTerms(empty, "text", minCount = 2L).count() == 0)
   }
+
+  test("frequentTerms audits a caller-supplied summarySize: a k below " +
+      "N/minCount + 1 is refused instead of silently missing terms") {
+    val df = Seq.fill(100)("aa bb cc dd ee ff gg hh").toDF("text") // N=800
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.frequentTerms(df, "text", minCount = 2L, summarySize = 3)
+    }
+    assert(e.getMessage.contains("summarySize"))
+    // a sufficient caller-supplied k still returns the exact answer
+    val ok = TextAnalysis.frequentTerms(df, "text", minCount = 2L,
+        summarySize = 500)
+      .as[(String, Long)].collect().toSet
+    assert(ok == Set("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+      .map(t => (t, 100L)))
+  }
 }

@@ -359,4 +359,28 @@ class SamplingTransformSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("rank"))
   }
+
+  test("weightedSample kernel: exact mod-2^60 double-hash arithmetic, " +
+      "and the plan carries it (no per-ticket HOF)") {
+    // the wrapping-add + mask loop must equal big-integer
+    // (h1 + t*h2) mod 2^60 for every ticket — the property the
+    // DuckDB oracle's HUGEINT replay relies on
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val h1 = rnd.nextLong() & graft.codecs.HashRace.Mask
+      val h2 = rnd.nextLong() & graft.codecs.HashRace.Mask
+      val w = 1 + rnd.nextInt(1000)
+      val want = (0 until w).map(t =>
+        ((BigInt(h1) + BigInt(t) * BigInt(h2))
+          .mod(BigInt(2).pow(60))).toLong).min
+      assert(graft.codecs.HashRace.raceMin(h1, h2, w.toLong) == want,
+        s"h1=$h1 h2=$h2 w=$w")
+    }
+    // spark.range, not a local Seq — ConvertToLocalRelation would
+    // constant-fold the whole projection (kernel included) away
+    val df = spark.range(10).select(col("id"), lit(5L).as("w"))
+    val plan = Sampling.weightedSample(df, col("id"), "w", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ticket_race_min"), plan)
+  }
 }

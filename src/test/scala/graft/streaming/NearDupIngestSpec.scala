@@ -32,7 +32,7 @@ class NearDupIngestSpec extends SparkSpec {
     val src = spark.readStream.schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val q = GraftStream.nearDupIngest(src, "doc_id", "text",
-        s"$root/bands", s"$root/docs", s"$root/pairs")
+        s"$root/bands", s"$root/docs", s"$root/pairs", streamId = "run1")
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
@@ -53,7 +53,8 @@ class NearDupIngestSpec extends SparkSpec {
     ingest(srcDir.getAbsolutePath, root)
 
     val pairs = spark.read.parquet(s"$root/pairs")
-      .as[(Long, Long, Long, Long)].collect().toSet
+      .select("id_new", "id_corpus", "jaccard_ppm")
+      .as[(Long, Long, Long)].collect().toSet
     // batch-2 doc 10 pairs with BOTH batch-1 docs (1 and 2); doc 11
     // with nothing; no intra-batch (1,2) pair
     assert(pairs.map(p => (p._1, p._2)) == Set((10L, 1L), (10L, 2L)))
@@ -76,8 +77,11 @@ class NearDupIngestSpec extends SparkSpec {
     land(src2, "b.parquet", t0 + 5000, Seq((20L, base + " anew")))
     val s2 = spark.readStream.schema("doc_id LONG, text STRING")
       .parquet(src2.getAbsolutePath)
+    // fresh checkpoint restarts batch ids at 0 — the distinct
+    // streamId keeps run-2 batch 0 from colliding with run-1 batch 0
     val q = GraftStream.nearDupIngest(s2, "doc_id", "text",
-        s"$root/state/bands", s"$root/state/docs", s"$root/state/pairs")
+        s"$root/state/bands", s"$root/state/docs", s"$root/state/pairs",
+        streamId = "run2")
       .option("checkpointLocation", s"$root/ckpt2")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
@@ -85,5 +89,37 @@ class NearDupIngestSpec extends SparkSpec {
     val pairs = spark.read.parquet(s"$root/state/pairs")
       .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
     assert(pairs == Set((20L, 1L)))
+  }
+
+  test("a replayed batch is idempotent: no self-pairs, no duplicated " +
+      "corpus rows (r7 advice: retry after append, before checkpoint)") {
+    val root = scratch("ndi3-" + java.util.UUID.randomUUID().toString.take(8))
+    val b1 = Seq((1L, base), (2L, base + " extra")).toDF("doc_id", "text")
+    val b2 = Seq((10L, base + " indeed"), (11L, base + " indeed also"))
+      .toDF("doc_id", "text")
+    def ingest(df: DataFrame, id: Long): Unit =
+      GraftStream.ingestBatch(df, id, "doc_id", "text",
+        s"$root/bands", s"$root/docs", s"$root/pairs", streamId = "r")
+    ingest(b1, 0)
+    ingest(b2, 1)
+    val firstPairs = spark.read.parquet(s"$root/pairs")
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    // batch-2 docs pair only with batch-1 corpus docs — never with
+    // each other (10/11 are near-identical, so a self-corpus bug
+    // WOULD pair them)
+    assert(firstPairs.nonEmpty)
+    assert(firstPairs.forall { case (n, c) =>
+      Set(10L, 11L)(n) && Set(1L, 2L)(c) })
+    // the retry: batch 2 replays AFTER its bands/docs/pairs landed —
+    // it must not see itself as corpus, and must not duplicate rows
+    ingest(b2, 1)
+    val replayPairs = spark.read.parquet(s"$root/pairs")
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSeq
+    assert(replayPairs.toSet == firstPairs)
+    assert(replayPairs.size == firstPairs.size) // overwrote, not appended
+    assert(spark.read.parquet(s"$root/docs").count() == 4)
+    assert(spark.read.parquet(s"$root/bands")
+      .groupBy("doc_id", "band_key").count()
+      .filter($"count" > 1).isEmpty)
   }
 }
