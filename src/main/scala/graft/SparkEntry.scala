@@ -1425,6 +1425,97 @@ object SparkEntry {
         .select(col("doc_id"), col("w"), col("race_key"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("rank"))
+    }),
+
+    // ---- Duplicated-span REMOVAL (Lee et al. 2022 intervention) ----
+    // q79 measures span coverage; this removes the covered spans:
+    // every 5-gram position shared with another doc is spliced out of
+    // the token stream in one codegen pass; exact integer accounting
+    // + the cleaned text itself, so the whole cleanup is
+    // hash-comparable across engines.
+    "q94_remove_spans" -> ((s, dir) => {
+      graft.ops.DupSpans.removeSpans(t(s, dir, "documents"),
+        "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Salted join (manual skew spread; semantics = plain join) ----
+    // Join semantics must be EXACTLY the unsalted equi-join — the
+    // oracle is that plain join; the salt's spread/no-dup/no-loss
+    // properties are plan-asserted in SamplingTransformSpec.
+    "q95_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.ops.Skew.saltedJoin(li, sup, Seq("l_suppkey"), factor = 8,
+        saltCols = Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- Co-bucketed materialize + shuffle-free join ----
+    // Two tables bucket-written on doc_id, read back through the
+    // catalog and joined — values must round-trip exactly (the
+    // oracle recomputes both sides from the raw parquet); the
+    // no-exchange plan property is asserted in PartitionPruneSpec.
+    "q96_bucketed_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      val b = docs.select(col("doc_id"),
+        size(TextAnalysis.alphaTokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      val base = cachedBase(dir, "q96")
+      Seq("graft_q96_a", "graft_q96_b").foreach(n =>
+        s.sql(s"DROP TABLE IF EXISTS $n"))
+      Materialize.materializeBucketed(a, "graft_q96_a", s"$base/a",
+        GraftSchema.fromStructType("q96a", a.schema), Seq("doc_id"),
+        buckets = 8)
+      Materialize.materializeBucketed(b, "graft_q96_b", s"$base/b",
+        GraftSchema.fromStructType("q96b", b.schema), Seq("doc_id"),
+        buckets = 8)
+      s.table("graft_q96_a").join(s.table("graft_q96_b"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Unicode tokenization (multilingual crawl parity) ----
+    // The fixture corpus is ASCII, so non-Latin text is INJECTED:
+    // Cyrillic with case (lowercase parity), CJK (one class-run
+    // token), Arabic, a Greek letter+digit run, and a Latin
+    // diacritic. tokens_joined compares the COMPLETE tokenization,
+    // proving the \p{L}\p{N} class and lower() agree between Java
+    // regex and DuckDB's RE2/utf8proc.
+    "q97_unicode_tokens" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" Привет МИР Straße 世界 مرحبا δ7 naïve")).as("text"))
+      injected
+        .select(col("doc_id"),
+          TextAnalysis.unicodeTokens(col("text")).as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__t"))).cast("long").as("n_uniq"),
+          array_join(col("__t"), " ").as("tokens_joined"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- BPE apply: corpus symbol counts under a merge list ----
+    // The merge list here is the top-8 FIRST-ROUND pairs (q89's
+    // table) in (count desc, pair) order — a rule DuckDB can derive
+    // in one round, because iterative recounting is not expressible
+    // in SQL; the TRUE iterative trainer (TextAnalysis.trainBpe,
+    // same apply kernel) is reference-verified in BpePairSpec. The
+    // oracle replays the apply EXACTLY: greedy leftmost per merge ==
+    // global replace over the (sym)(sym) delimiter encoding, folded
+    // across merges with list_reduce.
+    "q98_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("text"))
+      val merges = TextAnalysis.bpePairCounts(docs, "text", minCount = 1L)
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(8).select("pair").as[String].collect()
+        .map { p => val a = p.split(" ", 2); (a(0), a(1)) }.toSeq
+      TextAnalysis.bpeSegmentCounts(docs, "text", merges)
+        .orderBy(col("symbol"))
     })
   )
 
@@ -2703,6 +2794,96 @@ object SparkEntry {
         |  FROM r
         |)
         |SELECT doc_id, w, race_key, CAST(rank AS BIGINT) AS rank
-        |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
+        |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q94_remove_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, s, array_to_string(toks[s+1 : s+5], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS s
+        |        FROM t WHERE len(toks) >= 5)
+        |), dup AS (
+        |  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+        |  GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+        |), ds AS (
+        |  SELECT g.doc_id, list_sort(list(g.s)) AS starts
+        |  FROM g JOIN dup USING (gram) GROUP BY g.doc_id
+        |), cleaned AS (
+        |  SELECT t.doc_id, toks,
+        |    list_filter(toks, (x, i) -> len(list_filter(
+        |      coalesce(ds.starts, CAST([] AS BIGINT[])),
+        |      v -> v <= i - 1 AND i - 1 < v + 5)) = 0) AS clean
+        |  FROM t LEFT JOIN ds ON t.doc_id = ds.doc_id
+        |)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) - len(clean) AS BIGINT) AS n_removed,
+        |  -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+        |  coalesce(array_to_string(clean, ' '), '') AS clean_text
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    "q95_salted_join" ->
+      """SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, s.s_name
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "q96_bucketed_join" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+        |    AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q97_unicode_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(
+        |    lower(text || ' Привет МИР Straße 世界 مرحبا δ7 naïve'),
+        |    '[\p{L}\p{N}]+') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |  array_to_string(toks, ' ') AS tokens_joined
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q98_bpe_apply" ->
+      """WITH v AS (
+        |  SELECT tok, count(*)::BIGINT AS tc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |    FROM documents)
+        |  GROUP BY tok
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, len(tok)),
+        |    i -> tok[i] || ' ' || tok[i+1])) AS pair, tc
+        |  FROM v WHERE len(tok) >= 2
+        |), pc AS (
+        |  SELECT pair, CAST(sum(tc) AS BIGINT) AS cnt FROM p GROUP BY pair
+        |), m AS (
+        |  SELECT list(pair ORDER BY rnk) AS merges FROM (
+        |    SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+        |    FROM pc) WHERE rnk <= 8
+        |), seg AS (
+        |  -- (sym)(sym) encoding: global replace of '(l)(r)'->'(lr)'
+        |  -- is exactly the greedy leftmost merge pass (sites never
+        |  -- share characters), folded across the ordered merge list
+        |  SELECT v.tc,
+        |    list_reduce(
+        |      list_prepend(
+        |        array_to_string(list_transform(range(1, len(tok) + 1),
+        |          i -> '(' || tok[i] || ')'), ''),
+        |        m.merges),
+        |      (acc, mm) -> replace(acc,
+        |        '(' || split_part(mm, ' ', 1) || ')(' ||
+        |          split_part(mm, ' ', 2) || ')',
+        |        '(' || split_part(mm, ' ', 1) ||
+        |          split_part(mm, ' ', 2) || ')')) AS enc
+        |  FROM v CROSS JOIN m
+        |), sym AS (
+        |  SELECT unnest(regexp_extract_all(enc, '\(([a-z]+)\)', 1)) AS symbol,
+        |    tc
+        |  FROM seg
+        |)
+        |SELECT symbol, CAST(sum(tc) AS BIGINT) AS cnt FROM sym
+        |GROUP BY symbol ORDER BY symbol""".stripMargin
   )
 }

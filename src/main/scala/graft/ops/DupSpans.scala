@@ -1,8 +1,12 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 
 /** Duplicated-span coverage: for every document, the fraction of its
   * token n-gram positions whose n-gram also occurs in at least one
@@ -75,4 +79,111 @@ object DupSpans {
         // n_spans > 0 is guaranteed by the __len >= n filter
         expr("n_dup * 1000000 div n_spans").as("dup_ratio_m"))
   }
+
+  /** Two-pointer splice: tokens NOT covered by any span `[s, s+n)`
+    * for the SORTED starts — O(len + starts), one pass. */
+  def splice(toks: ArrayData, starts: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    val s = starts.numElements()
+    val out = new Array[Any](len)
+    var o = 0
+    var j = 0
+    var coverEnd = 0L // exclusive end of the merged covering interval
+    var i = 0L
+    while (i < len) {
+      while (j < s && starts.getLong(j) <= i) {
+        val e = starts.getLong(j) + n
+        if (e > coverEnd) coverEnd = e
+        j += 1
+      }
+      if (i >= coverEnd) { out(o) = toks.getUTF8String(i.toInt); o += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.take(o))
+  }
+
+  /** Duplicated-span REMOVAL — the actual Lee et al. 2022
+    * intervention [[spanCoverage]] only measures: every token
+    * position covered by a duplicated n-gram span is dropped, and
+    * the survivors are re-joined into the cleaned text. The unit is
+    * the normalized alpha-token stream (the same unit the coverage
+    * measure and the gram table use), so `clean_text` is the
+    * SPACE-JOINED SURVIVING TOKENS, not the original text with its
+    * original whitespace/punctuation — the downstream consumer is a
+    * tokenizer-bound training pipeline, for which the token stream
+    * IS the document.
+    *
+    * Scale shape: the dup-gram table reuses [[spanCoverage]]'s floor
+    * (the distinct (gram, doc) exchange); recovering WHICH positions
+    * are covered then requires re-deriving positional grams (a
+    * second scan — the nominate/recount shape of
+    * [[TextAnalysis.frequentTerms]]) semi-joined against the
+    * dup-gram set: AQE broadcasts that set when it is small (the
+    * common case); a corpus whose duplicated-gram set is itself
+    * enormous pays a positional-gram shuffle — the honest floor for
+    * exact positional removal. Per-doc splicing merges each doc's
+    * covered intervals in ONE codegen'd two-pointer pass
+    * ([[SpliceOutSpans]]); the collected start list is bounded by
+    * the doc's own length, like the token array itself.
+    *
+    * Docs with fewer than `n` tokens have no spans and pass through
+    * uncleaned (n_removed = 0); null-id rows are dropped
+    * ([[spanCoverage]] contract). Output: (idCol, n_tokens,
+    * n_removed, clean_text), one row per surviving input row —
+    * counts exact integers, so the whole result is
+    * bit-reproducible. */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"span width must be positive (got $n)")
+    val toks = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), TextAnalysis.alphaTokens(col(textCol)).as("__t"))
+    val grams = toks
+      .withColumn("__len", size(col("__t")))
+      .filter(col("__len") >= n)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0), col("__len") - n)).as("__s"))
+      .select(col(idCol), col("__s"),
+        concat_ws(" ", slice(col("__t"), col("__s") + 1, lit(n))).as("gram"))
+    val dupGrams = grams.select(col("gram"), col(idCol)).distinct()
+      .groupBy(col("gram"))
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("gram"))
+    val dupStarts = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__s").cast("long"))).as("__st"))
+    val clean = graft.functions.GraftFunctions.column(
+      SpliceOutSpans(
+        graft.functions.GraftFunctions.expr(col("__t")),
+        graft.functions.GraftFunctions.expr(
+          coalesce(col("__st"), array().cast("array<bigint>"))), n))
+    toks.join(dupStarts, Seq(idCol), "left")
+      .withColumn("__clean", clean)
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__clean"))).cast("long")
+          .as("n_removed"),
+        array_join(col("__clean"), " ").as("clean_text"))
+  }
+}
+
+/** `splice_out_spans(tokens, starts)` → array<string>: the tokens
+  * whose 0-based position is covered by NO span `[s, s+n)`, `starts`
+  * sorted ascending — the codegen'd single pass behind
+  * [[DupSpans.removeSpans]] (the HOF spelling is an interpreted
+  * lambda pair per token × per start). */
+case class SpliceOutSpans(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  require(n >= 1, s"span width must be positive (got $n)")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(toks: Any, starts: Any): Any =
+    DupSpans.splice(toks.asInstanceOf[ArrayData],
+      starts.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.ops.DupSpans.splice($t, $s, $n);")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SpliceOutSpans = copy(left = l, right = r)
+  override def prettyName: String = "splice_out_spans"
 }

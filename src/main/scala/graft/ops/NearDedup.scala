@@ -31,6 +31,16 @@ object NearDedup {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
+  /** Tokenizer selector: every shingle-family op threads a
+    * `unicode: Boolean = false` opt-in down to this point — `false`
+    * keeps the historical `[a-z0-9]+` ASCII tokenizer, `true`
+    * switches to [[TextAnalysis.unicodeTokens]] (`[\p{L}\p{N}]+`),
+    * without which CJK/Cyrillic/Arabic text tokenizes to nothing and
+    * dedup silently no-ops on it. Same md5 hash families either way;
+    * only the token alphabet changes. */
+  def tokens(text: Column, unicode: Boolean): Column =
+    if (unicode) TextAnalysis.unicodeTokens(text) else tokens(text)
+
   /** Distinct word n-gram shingles from a *materialized* token-array
     * column; docs shorter than n tokens yield one whole-text shingle.
     * Codegen'd one-pass [[graft.codecs.ShingleArray]] (the HOF
@@ -47,8 +57,8 @@ object NearDedup {
   /** (id, sh: array<string>) — per-doc distinct shingle sets, with
     * the token array materialized behind a projection boundary. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      shingleN: Int = 3, unicode: Boolean = false): DataFrame =
+    df.select(col(idCol), tokens(col(textCol), unicode).as("__toks"))
       .select(col(idCol), shinglesOfTokens(col("__toks"), shingleN).as("sh"))
 
   /** Explode an (id, array<string>) frame through a typed flatMap
@@ -77,11 +87,11 @@ object NearDedup {
     * family members per md5), hash-aggregate the minima. One shuffle
     * on id with map-side partial min. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, shingleN: Int = 3): DataFrame = {
+      k: Int = 16, shingleN: Int = 3, unicode: Boolean = false): DataFrame = {
     require(k % 4 == 0, s"k must be a multiple of 4 (got $k)")
     val groups = k / 4
     val exploded = explodeStrings(
-      shingleSets(df, idCol, textCol, shingleN), idCol, "sh", "__s")
+      shingleSets(df, idCol, textCol, shingleN, unicode), idCol, "sh", "__s")
     val withMd5 = exploded.select(col(idCol) +:
       (0 until groups).map(g =>
         md5(concat(lit(g.toString), lit(":"), col("__s"))).as(s"__m$g")): _*)
@@ -121,10 +131,11 @@ object NearDedup {
     * (ReusedExchange) — the cap costs no extra pass. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, rows: Int = 4,
-      shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      shingleN: Int = 3, maxBucket: Int = 1000,
+      unicode: Boolean = false): DataFrame = {
     require(bands * rows <= k, s"bands*rows (${bands * rows}) > k ($k)")
     val capped = cappedBands(df, idCol, textCol, k, bands, rows, shingleN,
-      maxBucket, keepOver = false)
+      maxBucket, keepOver = false, unicode)
     val a = capped.select(col(idCol).as("id_a"), col("band_key"))
     val b = capped.select(col(idCol).as("id_b"), col("band_key"))
     a.join(b, Seq("band_key"))
@@ -137,15 +148,16 @@ object NearDedup {
     * no pairs), as (band_key, width). Empty output = full coverage. */
   def droppedBandBuckets(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, rows: Int = 4,
-      shingleN: Int = 3, maxBucket: Int = 1000): DataFrame =
+      shingleN: Int = 3, maxBucket: Int = 1000,
+      unicode: Boolean = false): DataFrame =
     cappedBands(df, idCol, textCol, k, bands, rows, shingleN, maxBucket,
-      keepOver = true)
+      keepOver = true, unicode)
       .groupBy(col("band_key")).agg(count(lit(1)).as("width"))
 
   private def cappedBands(df: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int, rows: Int, shingleN: Int, maxBucket: Int,
-      keepOver: Boolean): DataFrame = {
-    val ex = signatures(df, idCol, textCol, k, shingleN)
+      keepOver: Boolean, unicode: Boolean = false): DataFrame = {
+    val ex = signatures(df, idCol, textCol, k, shingleN, unicode)
       .select(col(idCol), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
     val bucketCount = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("band_key")))
@@ -165,8 +177,9 @@ object NearDedup {
     * verifying against a *pre-materialized* pair list get the narrow
     * semi-join shape for free by passing a read-back `pairs`. */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, shingleN: Int = 3): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, shingleN)
+      textCol: String, shingleN: Int = 3,
+      unicode: Boolean = false): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, shingleN, unicode)
       .withColumnRenamed(idCol, "__id")
     pairs
       .join(sh.select(col("__id").as("id_a"), col("sh").as("__sha")), Seq("id_a"))
@@ -180,10 +193,11 @@ object NearDedup {
   /** Candidate pairs + exact Jaccard, optionally thresholded. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.0, k: Int = 16, bands: Int = 4,
-      rows: Int = 4, shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      rows: Int = 4, shingleN: Int = 3, maxBucket: Int = 1000,
+      unicode: Boolean = false): DataFrame = {
     val pairs = candidatePairs(df, idCol, textCol, k, bands, rows, shingleN,
-      maxBucket)
-    jaccardVerify(pairs, df, idCol, textCol, shingleN)
+      maxBucket, unicode)
+    jaccardVerify(pairs, df, idCol, textCol, shingleN, unicode)
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -193,9 +207,9 @@ object NearDedup {
     * re-hashes the corpus. (id, band_key), `bands` rows per doc. */
   def bandTable(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, rows: Int = 4,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, unicode: Boolean = false): DataFrame = {
     require(bands * rows <= k, s"bands*rows (${bands * rows}) > k ($k)")
-    signatures(df, idCol, textCol, k, shingleN)
+    signatures(df, idCol, textCol, k, shingleN, unicode)
       .select(col(idCol),
         explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
   }
@@ -211,8 +225,10 @@ object NearDedup {
     * present in both inputs matches itself (callers filter ids). */
   def incrementalPairs(newDf: DataFrame, corpusBands: DataFrame,
       idCol: String, textCol: String, k: Int = 16, bands: Int = 4,
-      rows: Int = 4, shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val nb = bandTable(newDf, idCol, textCol, k, bands, rows, shingleN)
+      rows: Int = 4, shingleN: Int = 3, maxBucket: Int = 1000,
+      unicode: Boolean = false): DataFrame = {
+    val nb = bandTable(newDf, idCol, textCol, k, bands, rows, shingleN,
+      unicode)
       .select(col(idCol).as("id_new"), col("band_key"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
     val cb = corpusBands
@@ -231,10 +247,11 @@ object NearDedup {
     * never drift. */
   private[graft] def verifyPairsJaccardPpm(pairs: DataFrame,
       newDf: DataFrame, corpusDocs: DataFrame, idCol: String,
-      textCol: String, shingleN: Int): DataFrame = {
-    val shNew = shingleSets(newDf, idCol, textCol, shingleN)
+      textCol: String, shingleN: Int,
+      unicode: Boolean = false): DataFrame = {
+    val shNew = shingleSets(newDf, idCol, textCol, shingleN, unicode)
       .select(col(idCol).as("id_new"), col("sh").as("__sha"))
-    val shCor = shingleSets(corpusDocs, idCol, textCol, shingleN)
+    val shCor = shingleSets(corpusDocs, idCol, textCol, shingleN, unicode)
       .select(col(idCol).as("id_corpus"), col("sh").as("__shb"))
     pairs.join(shNew, Seq("id_new")).join(shCor, Seq("id_corpus"))
       .withColumn("jaccard_ppm",
@@ -251,11 +268,12 @@ object NearDedup {
   def incrementalNearDuplicates(newDf: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, minJaccardPpm: Long = 0L,
       k: Int = 16, bands: Int = 4, rows: Int = 4, shingleN: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, unicode: Boolean = false): DataFrame = {
     val pairs = incrementalPairs(newDf,
-      bandTable(corpus, idCol, textCol, k, bands, rows, shingleN),
-      idCol, textCol, k, bands, rows, shingleN, maxBucket)
-    verifyPairsJaccardPpm(pairs, newDf, corpus, idCol, textCol, shingleN)
+      bandTable(corpus, idCol, textCol, k, bands, rows, shingleN, unicode),
+      idCol, textCol, k, bands, rows, shingleN, maxBucket, unicode)
+    verifyPairsJaccardPpm(pairs, newDf, corpus, idCol, textCol, shingleN,
+      unicode)
       .filter(col("jaccard_ppm") >= minJaccardPpm)
   }
 
@@ -301,10 +319,11 @@ object NearDedup {
     * ppm (floor). Pairs sharing no shingle at all are never
     * candidates — correct for any t > 0 since their Jaccard is 0. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
-      minJaccardPpm: Long = 500000L, shingleN: Int = 3): DataFrame = {
+      minJaccardPpm: Long = 500000L, shingleN: Int = 3,
+      unicode: Boolean = false): DataFrame = {
     require(minJaccardPpm > 0 && minJaccardPpm <= 1000000L,
       s"minJaccardPpm must be in (0, 1e6] (got $minJaccardPpm)")
-    val sh = shingleSets(df, idCol, textCol, shingleN)
+    val sh = shingleSets(df, idCol, textCol, shingleN, unicode)
     val ex = explodeStrings(sh, idCol, "sh", "__s")
     val wByShingle = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__s"))
@@ -388,10 +407,11 @@ object NearDedup {
     * per surviving pair. Output: (id_a container, id_b contained,
     * contain_ppm), both directions when both qualify, never self. */
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
-      minContainPpm: Long = 900000L, shingleN: Int = 3): DataFrame = {
+      minContainPpm: Long = 900000L, shingleN: Int = 3,
+      unicode: Boolean = false): DataFrame = {
     require(minContainPpm > 0 && minContainPpm <= 1000000L,
       s"minContainPpm must be in (0, 1e6] (got $minContainPpm)")
-    val sh = shingleSets(df, idCol, textCol, shingleN)
+    val sh = shingleSets(df, idCol, textCol, shingleN, unicode)
     val ex = explodeStrings(sh, idCol, "sh", "__s")
     val wByShingle = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__s"))
@@ -446,13 +466,14 @@ object NearDedup {
       graft.functions.GraftFunctions.expr(hashes)))
 
   /** md5-derived 32-bit hashes of each token. */
-  def tokenHashes(text: Column): Column =
-    transform(tokens(text), t =>
+  def tokenHashes(text: Column, unicode: Boolean = false): Column =
+    transform(tokens(text, unicode), t =>
       conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
 
   /** (id, simhash) with the hash array materialized once per row. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), tokenHashes(col(textCol)).as("__hs"))
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      unicode: Boolean = false): DataFrame =
+    df.select(col(idCol), tokenHashes(col(textCol), unicode).as("__hs"))
       .select(col(idCol), simhashOfHashes(col("__hs")).as("simhash"))
 
   /** Single-column form; prefer [[simhash]] on DataFrames (see class
@@ -473,10 +494,11 @@ object NearDedup {
     * guarantee; `maxBucket` caps pathological buckets exactly like
     * [[candidatePairs]]. Output: (id_a, id_b, hamming), id_a < id_b. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000,
+      unicode: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       s"banded simhash guarantees recall only for hamming < 4 (got $maxHamming)")
-    val sh = simhash(df, idCol, textCol)
+    val sh = simhash(df, idCol, textCol, unicode)
     val bands = array((0 until 4).map(b =>
       concat(lit(s"$b|"),
         (shiftright(col("simhash"), b * 8) % 256).cast("string"))): _*)
@@ -520,11 +542,12 @@ object NearDedup {
     * Nothing ever compares documents pairwise. */
   def contamination(df: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
-      shingleN: Int = 3): DataFrame = {
-    val ex = explodeStrings(shingleSets(df, idCol, textCol, shingleN),
+      shingleN: Int = 3, unicode: Boolean = false): DataFrame = {
+    val ex = explodeStrings(
+      shingleSets(df, idCol, textCol, shingleN, unicode),
       idCol, "sh", "__s")
     val bench = explodeStrings(
-      shingleSets(benchmark, benchIdCol, benchTextCol, shingleN),
+      shingleSets(benchmark, benchIdCol, benchTextCol, shingleN, unicode),
       benchIdCol, "sh", "__s")
       .select(col("__s")).distinct()
     // ONE pass over the corpus shingles: mark membership with a left
@@ -562,12 +585,14 @@ object NearDedup {
     * [[contamination]]. */
   def bloomContamination(df: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
-      shingleN: Int = 3, fpp: Double = 0.01): DataFrame = {
+      shingleN: Int = 3, fpp: Double = 0.01,
+      unicode: Boolean = false): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    val ex = explodeStrings(shingleSets(df, idCol, textCol, shingleN),
+    val ex = explodeStrings(
+      shingleSets(df, idCol, textCol, shingleN, unicode),
       idCol, "sh", "__s")
     val bench = explodeStrings(
-      shingleSets(benchmark, benchIdCol, benchTextCol, shingleN),
+      shingleSets(benchmark, benchIdCol, benchTextCol, shingleN, unicode),
       benchIdCol, "sh", "__s")
       .select(col("__s")).distinct()
     // the bench pipeline runs three times (count, bloom aggregate,

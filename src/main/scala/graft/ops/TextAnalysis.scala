@@ -62,6 +62,26 @@ object TextAnalysis {
   def alphaTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
+  /** Lowercase UNICODE letter/number token array — the multilingual
+    * tokenizer: `[a-z0-9]+`-class tokenizers silently tokenize
+    * CJK/Cyrillic/Arabic/Greek text to NOTHING, so token stats,
+    * shingles, dedup and familiarity no-op on the majority of a real
+    * multilingual crawl (r7 advice). Runs of Unicode letters+digits
+    * (`\p{L}\p{N}` categories) form one token; this is character-
+    * CLASS tokenization, not word segmentation — an unspaced CJK
+    * sentence is one token (shingle/dedup semantics stay valid, the
+    * unit is just coarser; plug a segmenter upstream when CJK word
+    * granularity matters).
+    *
+    * Cross-engine parity (the oracle contract): Java regex and
+    * DuckDB's RE2 both support the `[\p{L}\p{N}]+` class — write it
+    * in a DuckDB STANDARD string (no backslash processing:
+    * '[\p{L}\p{N}]+'), and both engines' `lower()` apply the plain
+    * Unicode simple-lowercase map. Proven by the q97 oracle row over
+    * injected Cyrillic/CJK/Arabic/Greek text. */
+  def unicodeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[\\p{L}\\p{N}]+"), lit(0))
+
   /** Stopword fraction (with multiplicity) from a *materialized*
     * alpha-token array — see class doc on HOF materialization. */
   def stopwordRatioOfTokens(ltoks: Column): Column = {
@@ -347,6 +367,81 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
   }
 
+  /** BPE symbol segmentation of a token under an ORDERED merge list
+    * — the apply half of a trained tokenizer: split to characters,
+    * then for each merge `(l, r)` in order run one greedy
+    * left-to-right pass replacing adjacent `(l, r)` with `l+r`
+    * (Sennrich et al. 2016 apply semantics; the produced symbol is
+    * never re-examined within its own pass). Codegen'd
+    * [[graft.ops.ApplyBpe]] with the merge list baked in — one tight
+    * loop per row, no HOFs. Oracle-replayable: greedy leftmost per
+    * merge equals a SQL `replace()` over the `(sym)(sym)` delimited
+    * encoding, which DuckDB folds over the merge list (q98). */
+  def applyBpe(tok: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.GraftFunctions.column(ApplyBpe(
+      graft.functions.GraftFunctions.expr(tok), merges.toArray))
+
+  /** TRUE iterative BPE training (Sennrich et al. 2016): `numMerges`
+    * rounds of count-all-adjacent-pairs → merge the most frequent.
+    * Returns the ORDERED merge list (ties broken by pair value, so
+    * the list is deterministic on any engine/partitioning).
+    *
+    * Scale shape — the q89 insight, iterated: the corpus is reduced
+    * to its (distinct token, count) VOCABULARY once (one hash agg,
+    * persisted); every round then re-segments the vocabulary under
+    * the merges so far (codegen'd [[applyBpe]], O(r·|vocab|) work in
+    * round r — vocabulary work, never corpus work) and collects
+    * exactly ONE row (the argmax pair). Rounds end early when no
+    * pair reaches `minCount`. Driver state is the merge list itself
+    * (like [[SemanticDedup]] pinning k centroids), never data. */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive (got $numMerges)")
+    require(minCount > 0, s"minCount must be positive (got $minCount)")
+    val vocab = df
+      .select(explode(alphaTokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var exhausted = false
+      while (!exhausted && merges.length < numMerges) {
+        val staged = vocab
+          .select(col("__tc"), applyBpe(col("tok"), merges.toSeq).as("__segs"))
+          .select(col("__tc"), bigramsOfTokens(col("__segs")).as("__bg"))
+        val best = NearDedup.explodeStrings(staged, "__tc", "__bg", "pair")
+          .groupBy(col("pair")).agg(sum(col("__tc")).as("cnt"))
+          .filter(col("cnt") >= minCount)
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val p = best.head.getString(0).split(" ", 2)
+          merges += ((p(0), p(1)))
+        }
+      }
+      merges.toSeq
+    } finally vocab.unpersist()
+  }
+
+  /** Corpus BPE symbol counts under an ordered merge list — the
+    * "what does my trained tokenizer's unit distribution look like"
+    * table, and the exact token-budget input [[Chunk]]/[[Packing]]
+    * need when whitespace proxies aren't good enough. Computed over
+    * the VOCABULARY weighted by token count (the q89 shape): the
+    * corpus is touched once; the segmentation runs on the distinct
+    * token set. Output: (symbol, cnt). */
+  def bpeSegmentCounts(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = df
+      .select(explode(alphaTokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__tc"))
+    val staged = vocab
+      .select(col("__tc"), applyBpe(col("tok"), merges).as("__segs"))
+    NearDedup.explodeStrings(staged, "__tc", "__segs", "symbol")
+      .groupBy(col("symbol")).agg(sum(col("__tc")).as("cnt"))
+  }
+
   /** Cleaned text column: ASCII control characters (except tab/LF/CR)
     * stripped, whitespace runs collapsed to one space, edges trimmed
     * — the crawl-text normalization pass. Explicit byte-range
@@ -582,4 +677,53 @@ object TextAnalysis {
       col("__fp").as("fingerprint"),
       langIdOfTokens(col("__lgtoks")).as("lang_pred")): _*)
   }
+}
+
+/** `apply_bpe(token)` → array<string> BPE symbols under the baked-in
+  * ORDERED merge list: character split (by codepoint — a surrogate
+  * pair must never be cut), then per merge one greedy left-to-right
+  * pass replacing adjacent `(l, r)` with `l+r`. The pass never
+  * re-examines a symbol it just produced — the standard BPE apply —
+  * and `replace('(l)(r)', '(lr)')` over the delimiter encoding has
+  * exactly the same semantics, which is how the q98 DuckDB oracle
+  * replays it. Codegen'd tight loop; O(merges × symbols) per row. */
+case class ApplyBpe(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    merges: Array[(String, String)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(tok: UTF8String): GenericArrayData = {
+    val s = tok.toString
+    var segs: Array[String] =
+      s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var m = 0
+    while (m < merges.length) {
+      val (l, r) = merges(m)
+      val out = new Array[String](segs.length)
+      var o = 0
+      var i = 0
+      while (i < segs.length) {
+        if (i + 1 < segs.length && segs(i) == l && segs(i + 1) == r) {
+          out(o) = l + r; o += 1; i += 2
+        } else { out(o) = segs(i); o += 1; i += 1 }
+      }
+      segs = java.util.Arrays.copyOf(out, o)
+      m += 1
+    }
+    new GenericArrayData(segs.map(UTF8String.fromString(_): Any))
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("applyBpe", this, classOf[ApplyBpe].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+  override def prettyName: String = "apply_bpe"
 }

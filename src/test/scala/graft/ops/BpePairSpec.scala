@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** bpePairCounts: vocabulary weighting, adjacency, single-char and
@@ -32,5 +34,94 @@ class BpePairSpec extends SparkSpec {
   test("minCount gates the tail") {
     val out = run(3L, "ab ab ab xy")
     assert(out == Seq(("a b", 3L)))
+  }
+
+  // ---- full BPE: train + apply ----
+
+  /** Reference BPE (Sennrich et al. 2016) on a driver-side word-count
+    * map: count adjacent pairs weighted by word frequency, merge the
+    * (count desc, pair asc) argmax, repeat. */
+  private def referenceBpe(wordCounts: Map[String, Long], numMerges: Int,
+      minCount: Long): Seq[(String, String)] = {
+    var vocab: Map[Seq[String], Long] =
+      wordCounts.map { case (w, c) => (w.map(_.toString), c) }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (segs, c) =>
+        segs.sliding(2).filter(_.length == 2).foreach { p =>
+          val k = (p(0), p(1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+        }
+      }
+      val eligible = counts.filter(_._2 >= minCount)
+      if (eligible.isEmpty) done = true
+      else {
+        val best = eligible.toSeq
+          .sortBy { case ((l, r), c) => (-c, l + " " + r) }.head._1
+        merges += best
+        vocab = vocab.map { case (segs, c) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < segs.length) {
+            if (i + 1 < segs.length && segs(i) == best._1 &&
+                segs(i + 1) == best._2) { out += best._1 + best._2; i += 2 }
+            else { out += segs(i); i += 1 }
+          }
+          (out.toSeq, c)
+        }.groupBy(_._1).map { case (k, vs) => (k, vs.values.sum) }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("trainBpe matches the reference implementation, merge by merge") {
+    val corpus = Seq.fill(8)("lower lower newest") ++
+      Seq.fill(5)("newest widest") ++ Seq.fill(3)("low new")
+    val df = corpus.map(Tuple1(_)).toDF("text")
+    val words = corpus.flatMap(_.split(" "))
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+    val want = referenceBpe(words, numMerges = 10, minCount = 2L)
+    val got = TextAnalysis.trainBpe(df, "text", numMerges = 10,
+      minCount = 2L)
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("trainBpe stops early when no pair reaches minCount") {
+    val df = Seq.fill(2)(Tuple1("ab cd")).toDF("text")
+    // every pair occurs exactly twice; minCount=3 admits nothing
+    assert(TextAnalysis.trainBpe(df, "text", 5, minCount = 3L).isEmpty)
+  }
+
+  test("applyBpe: greedy leftmost per merge, in merge order, " +
+      "symbols never re-examined within a pass") {
+    val df = Seq(("aaaa"), ("aaa"), ("abc"), ("xabay")).map(Tuple1(_))
+      .toDF("tok")
+    def apply(merges: Seq[(String, String)]) =
+      df.select(col("tok"),
+        TextAnalysis.applyBpe(col("tok"), merges).as("segs"))
+        .as[(String, Seq[String])].collect().toMap
+    val m1 = apply(Seq(("a", "a")))
+    assert(m1("aaaa") == Seq("aa", "aa")) // greedy pairs, not aa,a,a
+    assert(m1("aaa") == Seq("aa", "a"))   // leftmost wins the odd one
+    val m2 = apply(Seq(("a", "b"), ("ab", "c")))
+    assert(m2("abc") == Seq("abc"))       // merges chain in order
+    assert(m2("xabay") == Seq("x", "ab", "a", "y"))
+    // conservation: concatenated symbols always rebuild the token
+    m2.foreach { case (tok, segs) => assert(segs.mkString == tok) }
+  }
+
+  test("bpeSegmentCounts conserves total symbol mass") {
+    val df = Seq.fill(4)(Tuple1("the then there he")).toDF("text")
+    val merges = TextAnalysis.trainBpe(df, "text", 3, minCount = 2L)
+    val counts = TextAnalysis.bpeSegmentCounts(df, "text", merges)
+      .as[(String, Long)].collect().toMap
+    // total chars across all token occurrences == sum over symbols of
+    // cnt * len(symbol)
+    val totalChars = 4L * "thethentherehe".length
+    assert(counts.map { case (s, c) => c * s.length }.sum == totalChars)
+    assert(counts.keySet.contains("the")) // 'the' is mergeable in 3 rounds
   }
 }

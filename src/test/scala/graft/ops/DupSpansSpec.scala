@@ -74,5 +74,64 @@ class DupSpansSpec extends SparkSpec {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
       DupSpans.spanCoverage(df, "doc_id", "text", 0))
+    intercept[IllegalArgumentException](
+      DupSpans.removeSpans(df, "doc_id", "text", 0))
+  }
+
+  // ---- removeSpans ----
+
+  private def runRemove(rows: Seq[(java.lang.Long, String)], n: Int) =
+    DupSpans.removeSpans(rows.toDF("doc_id", "text"), "doc_id", "text", n)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+
+  test("removeSpans: overlapping dup spans merge; survivors splice") {
+    // docs 1/2 share "a b c" (and its sub-2-grams); doc 1's 2-gram
+    // spans at starts 0 ("a b") and 1 ("b c") overlap → positions
+    // 0..2 covered once, not twice; "z" survives
+    val out = runRemove(Seq((1L, "a b c z"), (2L, "a b c")), n = 2)
+    assert(out == Seq(
+      (1L, 4L, 3L, "z"),
+      (2L, 3L, 3L, "")))
+  }
+
+  test("removeSpans: within-doc repeats keep their text; short docs " +
+      "and span-free docs pass through unchanged") {
+    val out = runRemove(Seq(
+      (1L, "x y x y x"), // internal repeat only — nothing removed
+      (2L, "p q"),       // shorter than n — no spans possible
+      (3L, "p q r")      // no shared grams
+    ), n = 3)
+    assert(out == Seq(
+      (1L, 5L, 0L, "x y x y x"),
+      (2L, 2L, 0L, "p q"),
+      (3L, 3L, 0L, "p q r")))
+  }
+
+  test("removeSpans: disjoint covered regions splice independently") {
+    // doc 1 shares "a b" with doc 2 and "y z" with doc 3; middle
+    // tokens survive between the two removed regions
+    val out = runRemove(Seq(
+      (1L, "a b m n y z"), (2L, "a b"), (3L, "y z")), n = 2)
+    assert(out.head == ((1L, 6L, 4L, "m n")))
+  }
+
+  test("removeSpans accounting reconciles with spanCoverage") {
+    val rows: Seq[(java.lang.Long, String)] = (1L to 30L).map { i =>
+      // letter-only tags: alphaTokens is [a-z]+, so a digit suffix
+      // would collapse every "u$i" to the same token "u"
+      val t = "" + ('a' + i / 10).toChar + ('a' + i % 10).toChar
+      (java.lang.Long.valueOf(i),
+        if (i % 3 == 0) s"shared boiler plate line $t tail"
+        else s"u$t v$t w$t x$t")
+    }
+    val df = rows.toDF("doc_id", "text").repartition(5)
+    val removed = DupSpans.removeSpans(df, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(removed.length == 30)
+    removed.foreach { case (id, nTok, nRem, clean) =>
+      assert(clean.split(" ").filter(_.nonEmpty).length == nTok - nRem)
+      if (id % 3 == 0) assert(nRem > 0, s"doc $id")
+      else assert(nRem == 0, s"doc $id")
+    }
   }
 }

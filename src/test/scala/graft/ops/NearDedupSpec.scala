@@ -201,4 +201,37 @@ class NearDedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(fromStore == inline && fromStore.nonEmpty)
   }
+
+  test("unicode opt-in: Cyrillic/CJK near-dups are found; the ASCII " +
+      "tokenizer degenerately collapses all non-Latin docs (r7 advice)") {
+    val ru = "привет мир как дела сегодня дорогой друг мой хороший"
+    val cjk = "这是 一段 中文 文本 用来 测试 分词 去重 功能 正常"
+    val multi = Seq(
+      (1L, ru), (2L, ru + " совсем"),
+      (3L, cjk), (4L, cjk + " 额外"),
+      (5L, "totally unrelated english words about cooking fresh pasta"))
+      .toDF("doc_id", "text")
+    val uni = NearDedup.nearDuplicates(multi, "doc_id", "text",
+        minJaccard = 0.5, unicode = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uni == Set((1L, 2L), (3L, 4L)))
+    // default ASCII mode: non-Latin text tokenizes to NOTHING, so
+    // every such doc collapses to the same empty whole-text shingle
+    // — unrelated Cyrillic and CJK docs all "match" at jaccard 1.0.
+    // Garbage either way; the opt-in is the fix.
+    val ascii = NearDedup.nearDuplicates(multi, "doc_id", "text",
+        minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ascii == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    // both tokenizers agree on pure-ASCII text (the opt-in is a
+    // superset alphabet, not a different algorithm)
+    val en = Seq((1L, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val a = NearDedup.shingleSets(en, "doc_id", "text")
+      .select("sh").as[Seq[String]].head()
+    val b = NearDedup.shingleSets(en, "doc_id", "text", unicode = true)
+      .select("sh").as[Seq[String]].head()
+    assert(a == b)
+  }
 }
