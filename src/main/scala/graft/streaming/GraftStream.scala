@@ -166,11 +166,11 @@ object GraftStream {
       bandsUrl: String, docsUrl: String, pairsUrl: String,
       streamId: String, minJaccardPpm: Long = 500000L, k: Int = 16,
       bands: Int = 4, rows: Int = 4, shingleN: Int = 3,
-      maxBucket: Int = 1000): DataStreamWriter[Row] =
+      maxBucket: Int = 1000, unicode: Boolean = false): DataStreamWriter[Row] =
     batches.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       ingestBatch(batch, batchId, idCol, textCol, bandsUrl, docsUrl,
         pairsUrl, streamId, minJaccardPpm, k, bands, rows, shingleN,
-        maxBucket)
+        maxBucket, unicode)
     }
 
   /** One [[nearDupIngest]] micro-batch — exposed so replay semantics
@@ -182,7 +182,7 @@ object GraftStream {
       pairsUrl: String, streamId: String,
       minJaccardPpm: Long = 500000L, k: Int = 16,
       bands: Int = 4, rows: Int = 4, shingleN: Int = 3,
-      maxBucket: Int = 1000): Unit = {
+      maxBucket: Int = 1000, unicode: Boolean = false): Unit = {
     import graft.ops.NearDedup
     val s = batch.sparkSession
     val ingestKey = s"${streamId}_b$batchId"
@@ -206,7 +206,7 @@ object GraftStream {
         val corpusBands = s.read.parquet(bandsUrl)
           .filter(col("ingest_key") =!= lit(ingestKey)).drop("ingest_key")
         val pairs = NearDedup.incrementalPairs(slim, corpusBands,
-          idCol, textCol, k, bands, rows, shingleN, maxBucket)
+          idCol, textCol, k, bands, rows, shingleN, maxBucket, unicode)
           .filter(col("id_new") =!= col("id_corpus"))
         // verify against ONLY the matched corpus docs (AQE
         // broadcasts the small matched-id side)
@@ -216,14 +216,15 @@ object GraftStream {
             Seq(idCol), "left_semi")
         overwriteOwnPartition(
           NearDedup.verifyPairsJaccardPpm(pairs, slim, matchedDocs,
-              idCol, textCol, shingleN)
+              idCol, textCol, shingleN, unicode)
             .filter(col("jaccard_ppm") >= minJaccardPpm),
           pairsUrl)
       }
       // admit the batch into the corpus AFTER matching (a batch
       // never pairs with itself)
       overwriteOwnPartition(
-        NearDedup.bandTable(slim, idCol, textCol, k, bands, rows, shingleN),
+        NearDedup.bandTable(slim, idCol, textCol, k, bands, rows, shingleN,
+          unicode),
         bandsUrl)
       overwriteOwnPartition(slim, docsUrl)
     } finally slim.unpersist()
