@@ -1448,9 +1448,12 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
       val sup = t(s, dir, "supplier")
         .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      // l_suppkey in the sort: (orderkey, linenumber) is NOT unique
+      // in the fixture (up to 6 dupes), and a non-total ORDER BY
+      // hash-mismatches under a positional row compare
       graft.ops.Skew.saltedJoin(li, sup, Seq("l_suppkey"), factor = 8,
         saltCols = Seq("l_orderkey", "l_linenumber"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
     }),
 
     // ---- Co-bucketed materialize + shuffle-free join ----
@@ -1479,15 +1482,17 @@ object SparkEntry {
 
     // ---- Unicode tokenization (multilingual crawl parity) ----
     // The fixture corpus is ASCII, so non-Latin text is INJECTED:
-    // Cyrillic with case (lowercase parity), CJK (one class-run
-    // token), Arabic, a Greek letter+digit run, and a Latin
-    // diacritic. tokens_joined compares the COMPLETE tokenization,
-    // proving the \p{L}\p{N} class and lower() agree between Java
-    // regex and DuckDB's RE2/utf8proc.
+    // Cyrillic with case, CJK (one class-run token), Arabic, a Greek
+    // letter+digit run, a Latin diacritic — plus the three cases
+    // where Java's FULL lowercase diverges from DuckDB's simple map
+    // (word-final ΜΥΣ, dotted İstanbul, titlecase ǅungla), which is
+    // why tokenization lowercases through simple_lower, not lower().
+    // tokens_joined compares the COMPLETE tokenization.
     "q97_unicode_tokens" -> ((s, dir) => {
       val injected = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"),
-          lit(" Привет МИР Straße 世界 مرحبا δ7 naïve")).as("text"))
+          lit(" Привет МИР Straße 世界 مرحبا δ7 naïve ΜΥΣ İstanbul ǅungla"))
+          .as("text"))
       injected
         .select(col("doc_id"),
           TextAnalysis.unicodeTokens(col("text")).as("__t"))
@@ -2750,10 +2755,15 @@ object SparkEntry {
         |  FROM t GROUP BY lang
         |)
         |SELECT d.doc_id, d.lang, d.n_chars,
-        |  (CASE WHEN d.n_chars > b.p25 THEN 1 ELSE 0 END
+        |  -- null value -> null bin; LEFT + IS NOT DISTINCT FROM so a
+        |  -- null-lang group binds to its own bounds row and an
+        |  -- all-null group (no bounds row) keeps its rows — the
+        |  -- operator's documented null contract
+        |  (CASE WHEN d.n_chars IS NULL THEN NULL ELSE
+        |     CASE WHEN d.n_chars > b.p25 THEN 1 ELSE 0 END
         |   + CASE WHEN d.n_chars > b.p50 THEN 1 ELSE 0 END
-        |   + CASE WHEN d.n_chars > b.p75 THEN 1 ELSE 0 END)::BIGINT AS bin
-        |FROM documents d JOIN b USING (lang)
+        |   + CASE WHEN d.n_chars > b.p75 THEN 1 ELSE 0 END END)::BIGINT AS bin
+        |FROM documents d LEFT JOIN b ON d.lang IS NOT DISTINCT FROM b.lang
         |ORDER BY d.doc_id""".stripMargin,
 
     "q91_rolling_count" ->
@@ -2826,18 +2836,20 @@ object SparkEntry {
     "q95_salted_join" ->
       """SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, s.s_name
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_suppkey""".stripMargin,
 
     "q96_bucketed_join" ->
       """SELECT doc_id, lang, n_chars,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
         |    AS n_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "q97_unicode_tokens" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(
-        |    lower(text || ' Привет МИР Straße 世界 مرحبا δ7 naïve'),
+        |    lower(text ||
+        |      ' Привет МИР Straße 世界 مرحبا δ7 naïve ΜΥΣ İstanbul ǅungla'),
         |    '[\p{L}\p{N}]+') AS toks
         |  FROM documents
         |)

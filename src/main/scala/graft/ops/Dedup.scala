@@ -149,7 +149,9 @@ object Dedup {
           least(col("u"), col("__mn")).as("cluster_id"),
           (col("__mn") < col("u")).as("__chg")))
     var pinned = init._1
-    var labelsRdd: org.apache.spark.rdd.RDD[_] = init._2
+    var labelsRdd
+        : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+      init._2
     var changed = pinned.filter(col("__chg")).count()
     var iter = 0
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
@@ -210,7 +212,13 @@ object Dedup {
       throw new IllegalStateException(
         s"dedup clustering did not converge in $maxIter rounds — the pair " +
           "graph has a propagation chain longer than 4^maxIter; raise maxIter")
-    pinned.drop("__chg")
+    // Rewrap the final labels onto the CALLER's session: the loop's
+    // frames plan under the scoped graph-width session, and a result
+    // still bound to it would plan every downstream shuffle a caller
+    // builds on top (e.g. a corpus-sized join) at roundParts — often
+    // ONE partition.
+    ColumnBridge.internalCreateDataFrame(spark, labelsRdd, pinned.schema)
+      .drop("__chg")
   }
 
   /** [[clusters]] joined back onto the corpus: every id gets a

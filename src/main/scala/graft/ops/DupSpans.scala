@@ -51,18 +51,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
   */
 object DupSpans {
 
-  def spanCoverage(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+  /** (idCol, __s, gram): every 0-based n-gram start position of
+    * every non-null-id doc with ≥ n tokens — the ONE positional-gram
+    * definition [[spanCoverage]] and [[removeSpans]] share, so the
+    * measure and the intervention can never disagree on what a span
+    * is. Scan work: tokenize once, slices behind a projection
+    * boundary. */
+  private def positionalGrams(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"span width must be positive (got $n)")
-    val grams = df
-      .filter(col(idCol).isNotNull)
+    df.filter(col(idCol).isNotNull)
       .select(col(idCol), TextAnalysis.alphaTokens(col(textCol)).as("__t"))
       .withColumn("__len", size(col("__t")))
       .filter(col("__len") >= n)
       .select(col(idCol), col("__t"),
         explode(sequence(lit(0), col("__len") - n)).as("__s"))
-      .select(col(idCol),
+      .select(col(idCol), col("__s"),
         concat_ws(" ", slice(col("__t"), col("__s") + 1, lit(n))).as("gram"))
+  }
+
+  def spanCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = positionalGrams(df, idCol, textCol, n)
     // compress to distinct (gram, doc) + positional multiplicity:
     // the map-side partial agg folds within-doc repeats before the
     // exchange, so the shuffle carries pairs, not positions
@@ -137,13 +147,7 @@ object DupSpans {
     require(n >= 1, s"span width must be positive (got $n)")
     val toks = df.filter(col(idCol).isNotNull)
       .select(col(idCol), TextAnalysis.alphaTokens(col(textCol)).as("__t"))
-    val grams = toks
-      .withColumn("__len", size(col("__t")))
-      .filter(col("__len") >= n)
-      .select(col(idCol), col("__t"),
-        explode(sequence(lit(0), col("__len") - n)).as("__s"))
-      .select(col(idCol), col("__s"),
-        concat_ws(" ", slice(col("__t"), col("__s") + 1, lit(n))).as("gram"))
+    val grams = positionalGrams(df, idCol, textCol, n)
     val dupGrams = grams.select(col("gram"), col(idCol)).distinct()
       .groupBy(col("gram"))
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))

@@ -62,6 +62,19 @@ object TextAnalysis {
   def alphaTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
+  /** Codepoint-wise Unicode SIMPLE lowercase ([[SimpleLower]],
+    * codegen'd) — NOT Spark's `lower()`: Java's `String.toLowerCase`
+    * applies the FULL case mapping (word-final Σ→ς, İ→i+combining
+    * dot) while DuckDB's utf8proc applies the simple per-codepoint
+    * map (Σ→σ, İ→i), so `lower()` silently breaks cross-engine
+    * tokenization parity on Greek or Turkish text; the simple map
+    * (`Character.toLowerCase` per codepoint, locale-free) matches
+    * utf8proc exactly — verified on final-sigma, İ, ß, titlecase ǅ
+    * and iota-subscript ᾈ. */
+  def simpleLower(text: Column): Column =
+    graft.functions.GraftFunctions.column(SimpleLower(
+      graft.functions.GraftFunctions.expr(text)))
+
   /** Lowercase UNICODE letter/number token array — the multilingual
     * tokenizer: `[a-z0-9]+`-class tokenizers silently tokenize
     * CJK/Cyrillic/Arabic/Greek text to NOTHING, so token stats,
@@ -76,11 +89,13 @@ object TextAnalysis {
     * Cross-engine parity (the oracle contract): Java regex and
     * DuckDB's RE2 both support the `[\p{L}\p{N}]+` class — write it
     * in a DuckDB STANDARD string (no backslash processing:
-    * '[\p{L}\p{N}]+'), and both engines' `lower()` apply the plain
-    * Unicode simple-lowercase map. Proven by the q97 oracle row over
-    * injected Cyrillic/CJK/Arabic/Greek text. */
+    * '[\p{L}\p{N}]+') — and case normalization is [[simpleLower]],
+    * the per-codepoint simple map both engines agree on (Spark's
+    * `lower()` does NOT — see [[simpleLower]]). Proven by the q97
+    * oracle row over injected Cyrillic/CJK/Arabic/Greek text
+    * including the final-sigma and dotted-İ divergence cases. */
   def unicodeTokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[\\p{L}\\p{N}]+"), lit(0))
+    regexp_extract_all(simpleLower(text), lit("[\\p{L}\\p{N}]+"), lit(0))
 
   /** Stopword fraction (with multiplicity) from a *materialized*
     * alpha-token array — see class doc on HOF materialization. */
@@ -379,7 +394,7 @@ object TextAnalysis {
     * encoding, which DuckDB folds over the merge list (q98). */
   def applyBpe(tok: Column, merges: Seq[(String, String)]): Column =
     graft.functions.GraftFunctions.column(ApplyBpe(
-      graft.functions.GraftFunctions.expr(tok), merges.toArray))
+      graft.functions.GraftFunctions.expr(tok), merges.toIndexedSeq))
 
   /** TRUE iterative BPE training (Sennrich et al. 2016): `numMerges`
     * rounds of count-all-adjacent-pairs → merge the most frequent.
@@ -679,6 +694,42 @@ object TextAnalysis {
   }
 }
 
+/** `simple_lower(text)` → codepoint-wise Unicode simple lowercase
+  * (locale-free `Character.toLowerCase` per codepoint) — the case
+  * map DuckDB's utf8proc `lower()` applies, unlike Java/Spark
+  * `lower()`'s full mapping. See [[TextAnalysis.simpleLower]]. */
+case class SimpleLower(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StringType
+
+  def compute(in: UTF8String): UTF8String = {
+    val s = in.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simpleLower", this,
+      classOf[SimpleLower].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+  override def prettyName: String = "simple_lower"
+}
+
 /** `apply_bpe(token)` → array<string> BPE symbols under the baked-in
   * ORDERED merge list: character split (by codepoint — a surrogate
   * pair must never be cut), then per merge one greedy left-to-right
@@ -688,12 +739,18 @@ object TextAnalysis {
   * exactly the same semantics, which is how the q98 DuckDB oracle
   * replays it. Codegen'd tight loop; O(merges × symbols) per row. */
 case class ApplyBpe(child: org.apache.spark.sql.catalyst.expressions.Expression,
-    merges: Array[(String, String)])
+    merges: Seq[(String, String)]) // Seq, not Array: case-class equality
+                                   // must be structural for Catalyst
+                                   // CSE/canonicalization to dedupe
+                                   // identical segmentations
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
   import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val mergeArr: Array[(String, String)] =
+    merges.toArray
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -702,8 +759,8 @@ case class ApplyBpe(child: org.apache.spark.sql.catalyst.expressions.Expression,
     var segs: Array[String] =
       s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     var m = 0
-    while (m < merges.length) {
-      val (l, r) = merges(m)
+    while (m < mergeArr.length) {
+      val (l, r) = mergeArr(m)
       val out = new Array[String](segs.length)
       var o = 0
       var i = 0

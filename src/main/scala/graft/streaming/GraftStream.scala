@@ -197,6 +197,11 @@ object GraftStream {
     }
     val slim = batch.select(col(idCol), col(textCol)).persist()
     try {
+      // an empty micro-batch must write NOTHING: a zero-row dynamic
+      // overwrite creates a directory with no parquet footers, which
+      // would pass the exists() guard below on the NEXT batch and
+      // crash its corpus read on schema inference
+      if (slim.isEmpty) return
       // both stores must exist — a first-batch retry that crashed
       // between the bands and docs appends has bands but no docs
       if (exists(bandsUrl) && exists(docsUrl)) {

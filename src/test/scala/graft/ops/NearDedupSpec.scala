@@ -234,4 +234,13 @@ class NearDedupSpec extends SparkSpec {
       .select("sh").as[Seq[String]].head()
     assert(a == b)
   }
+
+  test("simpleLower applies the Unicode simple map (utf8proc parity), " +
+      "not Java's full map") {
+    // full mapping would give final-sigma 'μυς', 2-codepoint 'i̇' for İ
+    val got = Seq("ΜΥΣ ΑΣ", "İstanbul", "Straße", "ǅungla", "ПРИВЕТ")
+      .toDF("t")
+      .select(TextAnalysis.simpleLower($"t")).as[String].collect().toSeq
+    assert(got == Seq("μυσ ασ", "istanbul", "straße", "ǆungla", "привет"))
+  }
 }
