@@ -125,16 +125,18 @@ object DupSpans {
     *
     * Scale shape: the dup-gram table reuses [[spanCoverage]]'s floor
     * (the distinct (gram, doc) exchange); recovering WHICH positions
-    * are covered then requires re-deriving positional grams (a
-    * second scan — the nominate/recount shape of
-    * [[TextAnalysis.frequentTerms]]) semi-joined against the
-    * dup-gram set: AQE broadcasts that set when it is small (the
-    * common case); a corpus whose duplicated-gram set is itself
-    * enormous pays a positional-gram shuffle — the honest floor for
-    * exact positional removal. Per-doc splicing merges each doc's
-    * covered intervals in ONE codegen'd two-pointer pass
-    * ([[SpliceOutSpans]]); the collected start list is bounded by
-    * the doc's own length, like the token array itself.
+    * are covered then re-derives positional grams (the
+    * nominate/recount shape of [[TextAnalysis.frequentTerms]] —
+    * three tokenize scans total, which SCALE, in exchange for
+    * keeping every exchange gram-pair-sized, which would NOT)
+    * semi-joined against the dup-gram set: AQE broadcasts that set
+    * when it is small (the common case); a corpus whose
+    * duplicated-gram set is itself enormous pays a positional-gram
+    * shuffle — the honest floor for exact positional removal.
+    * Per-doc splicing merges each doc's covered intervals in ONE
+    * codegen'd two-pointer pass ([[SpliceOutSpans]]); the collected
+    * start list is bounded by the doc's own length, like the token
+    * array itself.
     *
     * Docs with fewer than `n` tokens have no spans and pass through
     * uncleaned (n_removed = 0); null-id rows are dropped
