@@ -13,6 +13,27 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** A session scoped to `spark.sql.shuffle.partitions = n`: same
+    * SparkContext and shared state, isolated SQL conf — nothing
+    * planned concurrently on the parent session sees the reduced
+    * width. The parent's RUNTIME SQL confs are CLONED first:
+    * `newSession()` initializes from the SparkConf only, so a conf
+    * fixed at runtime on the parent (e.g. [[Tables]]' defensive
+    * `nanosAsLong` for externally-built sessions) would otherwise
+    * silently vanish in the scope. Static/immutable entries are
+    * skipped (they can't be set per-session and are inherited via
+    * the SparkConf anyway). */
+  def scoped(s: SparkSession, shufflePartitions: Int): SparkSession = {
+    val scoped = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      try scoped.conf.set(k, v)
+      catch { case _: Exception => () } // static conf — SparkConf-inherited
+    }
+    scoped.conf.set("spark.sql.shuffle.partitions",
+      shufflePartitions.toString)
+    scoped
+  }
+
   def build(appName: String = "graft"): SparkSession = {
     val b = SparkSession.builder()
       .appName(appName)

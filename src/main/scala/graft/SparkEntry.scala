@@ -41,20 +41,15 @@ object SparkEntry {
       dir.replaceAll("[^A-Za-z0-9]", "_")
   }
 
-  /** A session with `spark.sql.shuffle.partitions` scoped to `n`:
-    * same SparkContext and shared state, ISOLATED SQL conf — nothing
-    * planned concurrently on the caller's session sees the reduced
-    * width. Used for streaming runs, where every stateful operator
-    * opens one state store (checkpoint dir + provider) per shuffle
-    * partition. Build the source AND read the memory sink through
-    * the returned session (memory-sink temp views are per-session);
-    * the session and its sink table become garbage together once the
-    * result frame is released, so no fixed-name pre-drop is needed. */
-  private def scopedSession(s: SparkSession, n: Int): SparkSession = {
-    val scoped = s.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
-    scoped
-  }
+  /** [[GraftSession.scoped]] (conf-cloned isolated session) — used
+    * for streaming runs, where every stateful operator opens one
+    * state store (checkpoint dir + provider) per shuffle partition.
+    * Build the source AND read the memory sink through the returned
+    * session (memory-sink temp views are per-session); the session
+    * and its sink table become garbage together once the result
+    * frame is released, so no fixed-name pre-drop is needed. */
+  private def scopedSession(s: SparkSession, n: Int): SparkSession =
+    GraftSession.scoped(s, n)
 
   /** Total order for a TINY result sitting on top of an expensive
     * plan: a 1-partition shuffle + in-partition sort. A global
@@ -2808,7 +2803,9 @@ object SparkEntry {
 
     "q94_remove_spans" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  -- null text reads as empty (the operator's contract)
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
         |  FROM documents WHERE doc_id IS NOT NULL
         |), g AS (
         |  SELECT doc_id, s, array_to_string(toks[s+1 : s+5], ' ') AS gram

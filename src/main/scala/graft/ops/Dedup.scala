@@ -133,11 +133,10 @@ object Dedup {
       spark.sessionState.conf.numShufflePartitions.toLong,
       edgeCount / 2000000L + 1L)).toInt
     // Conf-scoped session for the rounds: same SparkContext (the
-    // pinned RDDs cross over freely), isolated SQL conf — nothing
-    // planned concurrently on the caller's session sees the reduced
-    // width.
-    val scoped = spark.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", roundParts.toString)
+    // pinned RDDs cross over freely), isolated SQL conf with the
+    // caller's runtime confs cloned — nothing planned concurrently
+    // on the caller's session sees the reduced width.
+    val scoped = graft.GraftSession.scoped(spark, roundParts)
     val edges = ColumnBridge.internalCreateDataFrame(
       scoped, edgesRdd, edges0.schema)
     // init = the first min step fused into one agg over edges: with

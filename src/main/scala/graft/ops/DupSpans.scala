@@ -140,7 +140,10 @@ object DupSpans {
     *
     * Docs with fewer than `n` tokens have no spans and pass through
     * uncleaned (n_removed = 0); null-id rows are dropped
-    * ([[spanCoverage]] contract). Output: (idCol, n_tokens,
+    * ([[spanCoverage]] contract); a null TEXT reads as empty (0
+    * tokens, clean_text '') — the contract the q94 oracle's
+    * `coalesce` spells, instead of null-propagating into a
+    * cross-engine '' vs NULL mismatch. Output: (idCol, n_tokens,
     * n_removed, clean_text), one row per surviving input row —
     * counts exact integers, so the whole result is
     * bit-reproducible. */
@@ -148,7 +151,8 @@ object DupSpans {
       n: Int): DataFrame = {
     require(n >= 1, s"span width must be positive (got $n)")
     val toks = df.filter(col(idCol).isNotNull)
-      .select(col(idCol), TextAnalysis.alphaTokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        TextAnalysis.alphaTokens(coalesce(col(textCol), lit(""))).as("__t"))
     val grams = positionalGrams(df, idCol, textCol, n)
     val dupGrams = grams.select(col("gram"), col(idCol)).distinct()
       .groupBy(col("gram"))

@@ -605,12 +605,18 @@ object TextAnalysis {
       case Some(acc) =>
         val pinned = candidates.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pinned.count()
-        val needed = acc.value / minCount + 1
-        require(needed <= k,
-          s"summarySize $k < N/minCount + 1 = $needed (N=${acc.value} " +
-            "tokens): Misra-Gries summaries this small can silently miss " +
-            "true heavy hitters — raise summarySize or minCount")
+        // unpersist on audit failure — a caller probing for a workable
+        // k must not accumulate orphaned vocabulary-sized caches
+        try {
+          pinned.count()
+          val needed = acc.value / minCount + 1
+          require(needed <= k,
+            s"summarySize $k < N/minCount + 1 = $needed (N=${acc.value} " +
+              "tokens): Misra-Gries summaries this small can silently miss " +
+              "true heavy hitters — raise summarySize or minCount")
+        } catch {
+          case e: Throwable => pinned.unpersist(); throw e
+        }
         pinned
       case None => candidates
     }

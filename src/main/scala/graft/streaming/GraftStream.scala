@@ -195,6 +195,16 @@ object GraftStream {
       val p = new org.apache.hadoop.fs.Path(url)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
     }
+    // refuse pre-ingest_key stores up front: filtering would throw an
+    // opaque missing-column error, and a partitioned overwrite on top
+    // of loose legacy files would corrupt the layout silently
+    def requireIngestLayout(df: DataFrame, url: String): DataFrame = {
+      require(df.columns.contains("ingest_key"),
+        s"store at $url was written by the pre-ingest_key (append + " +
+          "batch_id) layout — rewrite it partitioned by ingest_key, or " +
+          "point the stream at fresh store paths")
+      df
+    }
     val slim = batch.select(col(idCol), col(textCol)).persist()
     try {
       // an empty micro-batch must write NOTHING: a zero-row dynamic
@@ -208,22 +218,29 @@ object GraftStream {
         // corpus = every batch EXCEPT this one (partition-pruned):
         // on replay the batch's own pre-crash bands are invisible,
         // so it can never pair with itself
-        val corpusBands = s.read.parquet(bandsUrl)
+        val corpusBands = requireIngestLayout(s.read.parquet(bandsUrl),
+            bandsUrl)
           .filter(col("ingest_key") =!= lit(ingestKey)).drop("ingest_key")
         val pairs = NearDedup.incrementalPairs(slim, corpusBands,
           idCol, textCol, k, bands, rows, shingleN, maxBucket, unicode)
           .filter(col("id_new") =!= col("id_corpus"))
         // verify against ONLY the matched corpus docs (AQE
         // broadcasts the small matched-id side)
-        val matchedDocs = s.read.parquet(docsUrl)
+        val matchedDocs = requireIngestLayout(s.read.parquet(docsUrl),
+            docsUrl)
           .filter(col("ingest_key") =!= lit(ingestKey)).drop("ingest_key")
           .join(pairs.select(col("id_corpus").as(idCol)).distinct(),
             Seq(idCol), "left_semi")
-        overwriteOwnPartition(
-          NearDedup.verifyPairsJaccardPpm(pairs, slim, matchedDocs,
-              idCol, textCol, shingleN, unicode)
-            .filter(col("jaccard_ppm") >= minJaccardPpm),
-          pairsUrl)
+        val verified = NearDedup.verifyPairsJaccardPpm(pairs, slim,
+            matchedDocs, idCol, textCol, shingleN, unicode)
+          .filter(col("jaccard_ppm") >= minJaccardPpm)
+          .persist()
+        // no pairs → no write, for the same footer-less-store reason
+        // as the empty-batch guard (the pin keeps the emptiness probe
+        // from re-running the verify pipeline for the write)
+        try {
+          if (!verified.isEmpty) overwriteOwnPartition(verified, pairsUrl)
+        } finally verified.unpersist()
       }
       // admit the batch into the corpus AFTER matching (a batch
       // never pairs with itself)
