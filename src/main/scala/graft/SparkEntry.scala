@@ -1508,16 +1508,41 @@ object SparkEntry {
     // global replace over the (sym)(sym) delimiter encoding, folded
     // across merges with list_reduce.
     "q98_bpe_apply" -> ((s, dir) => {
-      import s.implicits._
       val docs = t(s, dir, "documents").select(col("text"))
-      val merges = TextAnalysis.bpePairCounts(docs, "text", minCount = 1L)
-        .orderBy(col("cnt").desc, col("pair"))
-        .limit(8).select("pair").as[String].collect()
-        .map { p => val a = p.split(" ", 2); (a(0), a(1)) }.toSeq
-      TextAnalysis.bpeSegmentCounts(docs, "text", merges)
+      TextAnalysis.bpeSegmentCounts(docs, "text", topPairMerges(s, docs, 8))
         .orderBy(col("symbol"))
+    }),
+
+    // ---- Sequence packing on EXACT BPE token budgets ----
+    // q55 packs on a whitespace proxy; this packs on the true
+    // tokenizer unit: per-doc BPE token counts (vocabulary-sized
+    // segmentation, distinct-(doc,token) exchanges) feed the same
+    // distributed prefix-scan packing. Same one-round merge rule as
+    // q98 so the oracle can replay the counts.
+    "q99_bpe_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+      val merges = topPairMerges(s, docs.select(col("text")), 8)
+      Packing.packed(
+        TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges),
+        Seq(col("doc_id")), "n_bpe", chunkTokens = 2048L)
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Top-m FIRST-ROUND BPE pairs in (count desc, pair) order — the
+    * deterministic one-round merge rule the q98/q99 oracles can
+    * derive in SQL (iterative recounting is not SQL-expressible; the
+    * true iterative trainer is [[TextAnalysis.trainBpe]],
+    * reference-verified in BpePairSpec). Collected rows = m. */
+  private def topPairMerges(s: SparkSession, docs: DataFrame,
+      m: Int): Seq[(String, String)] = {
+    import s.implicits._
+    TextAnalysis.bpePairCounts(docs, "text", minCount = 1L)
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(m).select("pair").as[String].collect()
+      .map { p => val a = p.split(" ", 2); (a(0), a(1)) }.toSeq
+  }
 
   /** DuckDB-runnable oracles. Tables referenced by bare name; the
     * driver maps them onto the same parquet files. */
@@ -2893,6 +2918,63 @@ object SparkEntry {
         |  FROM seg
         |)
         |SELECT symbol, CAST(sum(tc) AS BIGINT) AS cnt FROM sym
-        |GROUP BY symbol ORDER BY symbol""".stripMargin
+        |GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    "q99_bpe_pack" ->
+      """WITH v AS (
+        |  SELECT tok, count(*)::BIGINT AS tc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |    FROM documents)
+        |  GROUP BY tok
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, len(tok)),
+        |    i -> tok[i] || ' ' || tok[i+1])) AS pair, tc
+        |  FROM v WHERE len(tok) >= 2
+        |), pc AS (
+        |  SELECT pair, CAST(sum(tc) AS BIGINT) AS cnt FROM p GROUP BY pair
+        |), m AS (
+        |  SELECT list(pair ORDER BY rnk) AS merges FROM (
+        |    SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+        |    FROM pc) WHERE rnk <= 8
+        |), nv AS (
+        |  -- per distinct token: BPE symbol count = '(' count of the
+        |  -- merged (sym)(sym) encoding (the q98 fold)
+        |  SELECT tok, CAST(len(enc) - len(replace(enc, '(', '')) AS BIGINT)
+        |    AS n_sym
+        |  FROM (
+        |    SELECT v.tok,
+        |      list_reduce(
+        |        list_prepend(
+        |          array_to_string(list_transform(range(1, len(tok) + 1),
+        |            i -> '(' || tok[i] || ')'), ''),
+        |          m.merges),
+        |        (acc, mm) -> replace(acc,
+        |          '(' || split_part(mm, ' ', 1) || ')(' ||
+        |            split_part(mm, ' ', 2) || ')',
+        |          '(' || split_part(mm, ' ', 1) ||
+        |            split_part(mm, ' ', 2) || ')')) AS enc
+        |    FROM v CROSS JOIN m)
+        |), d AS (
+        |  SELECT dt.doc_id, CAST(sum(nv.n_sym) AS BIGINT) AS n
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |        FROM documents WHERE doc_id IS NOT NULL) dt
+        |  JOIN nv USING (tok)
+        |  GROUP BY dt.doc_id
+        |), counts AS (
+        |  SELECT doc.doc_id, coalesce(d.n, 0) AS n_bpe
+        |  FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+        |  WHERE doc.doc_id IS NOT NULL
+        |)
+        |SELECT doc_id, n_bpe, tok_start,
+        |  tok_start // 2048 AS chunk_id,
+        |  tok_start % 2048 AS chunk_off
+        |FROM (
+        |  SELECT doc_id, n_bpe,
+        |    coalesce(CAST(sum(n_bpe) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS tok_start
+        |  FROM counts)
+        |ORDER BY doc_id""".stripMargin
   )
 }

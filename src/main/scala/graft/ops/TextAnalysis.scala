@@ -439,10 +439,34 @@ object TextAnalysis {
     } finally vocab.unpersist()
   }
 
+  /** Per-document EXACT BPE token count under an ordered merge list
+    * — the true token budget [[Packing]]/[[Chunk]] need when the
+    * whitespace proxy isn't good enough (seq-length packing is
+    * budgeted in TOKENIZER units, not words). Scale shape: the
+    * segmentation runs once per DISTINCT token (vocabulary-sized,
+    * codegen'd [[applyBpe]]); the per-(doc, token) frequency table
+    * is one map-side-combined agg, joined to the symbol counts (AQE
+    * broadcasts the vocabulary side when small) and re-aggregated —
+    * exchanges carry distinct (doc, token) pairs, never the token
+    * stream. Docs with no alpha tokens (or null text) count 0.
+    * Output: (idCol, n_bpe), one row per input row. */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val docTok = df
+      .select(col(idCol), explode(alphaTokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__c"))
+    val nsym = docTok.select(col("tok")).distinct()
+      .select(col("tok"),
+        size(applyBpe(col("tok"), merges)).cast("long").as("__nsym"))
+    val counts = docTok.join(nsym, Seq("tok"))
+      .groupBy(col(idCol)).agg(sum(col("__c") * col("__nsym")).as("n_bpe"))
+    df.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+  }
+
   /** Corpus BPE symbol counts under an ordered merge list — the
     * "what does my trained tokenizer's unit distribution look like"
-    * table, and the exact token-budget input [[Chunk]]/[[Packing]]
-    * need when whitespace proxies aren't good enough. Computed over
+    * table. Computed over
     * the VOCABULARY weighted by token count (the q89 shape): the
     * corpus is touched once; the segmentation runs on the distinct
     * token set. Output: (symbol, cnt). */

@@ -113,6 +113,29 @@ class BpePairSpec extends SparkSpec {
     m2.foreach { case (tok, segs) => assert(segs.mkString == tok) }
   }
 
+  test("bpeTokenCounts: per-doc budgets reconcile with the corpus " +
+      "symbol mass; token-less docs count 0") {
+    val rows = Seq(
+      (1L, "the then there"), (2L, "he the he"), (3L, "12 !!"), // no alpha
+      (4L, "then"))
+    val df = rows.toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpe(df, "text", 3, minCount = 2L)
+    val perDoc = TextAnalysis.bpeTokenCounts(df, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc.keySet == Set(1L, 2L, 3L, 4L)) // one row per input row
+    assert(perDoc(3L) == 0L)
+    // conservation: per-doc budgets sum to the corpus symbol mass
+    val corpusMass = TextAnalysis.bpeSegmentCounts(df, "text", merges)
+      .agg(sum($"cnt")).as[Long].head()
+    assert(perDoc.values.sum == corpusMass)
+    // direct cross-check on one doc: sum over its tokens of
+    // applyBpe(token).size
+    val want4 = Seq("then").map(t =>
+      Seq(t).toDF("tok").select(TextAnalysis.applyBpe($"tok", merges))
+        .as[Seq[String]].head().size.toLong).sum
+    assert(perDoc(4L) == want4)
+  }
+
   test("bpeSegmentCounts conserves total symbol mass") {
     val df = Seq.fill(4)(Tuple1("the then there he")).toDF("text")
     val merges = TextAnalysis.trainBpe(df, "text", 3, minCount = 2L)
