@@ -136,6 +136,39 @@ class BpePairSpec extends SparkSpec {
     assert(perDoc(4L) == want4)
   }
 
+  test("ApplyBpe kernel matches a naive greedy reference on random " +
+      "tokens and merge lists") {
+    def naive(tok: String, merges: Seq[(String, String)]): Seq[String] = {
+      var segs: Seq[String] = tok.map(_.toString)
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < segs.length) {
+          if (i + 1 < segs.length && segs(i) == l && segs(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += segs(i); i += 1 }
+        }
+        segs = out.toSeq
+      }
+      segs
+    }
+    val rnd = new scala.util.Random(13)
+    (1 to 300).foreach { _ =>
+      val tok = Seq.fill(rnd.nextInt(12))(('a' + rnd.nextInt(3)).toChar)
+        .mkString // small alphabet → merges actually fire
+      val base = Seq("a", "b", "c", "ab", "aa", "bc", "abc", "ba")
+      val merges = Seq.fill(1 + rnd.nextInt(4))(
+        (base(rnd.nextInt(base.length)), base(rnd.nextInt(base.length))))
+      val got = ApplyBpe(
+        org.apache.spark.sql.catalyst.expressions.Literal(tok), merges)
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(tok))
+      val gotSeq = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      assert(gotSeq == naive(tok, merges), s"tok=$tok merges=$merges")
+      assert(gotSeq.mkString == tok) // conservation always
+    }
+  }
+
   test("bpeSegmentCounts conserves total symbol mass") {
     val df = Seq.fill(4)(Tuple1("the then there he")).toDF("text")
     val merges = TextAnalysis.trainBpe(df, "text", 3, minCount = 2L)

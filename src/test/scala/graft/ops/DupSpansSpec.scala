@@ -115,6 +115,29 @@ class DupSpansSpec extends SparkSpec {
     assert(out.head == ((1L, 6L, 4L, "m n")))
   }
 
+  test("splice kernel matches a naive per-position reference on " +
+      "random inputs") {
+    val rnd = new scala.util.Random(11)
+    (1 to 300).foreach { _ =>
+      val len = rnd.nextInt(30)
+      val toks = Seq.tabulate(len)(i => s"t$i")
+      val n = 1 + rnd.nextInt(5)
+      val starts = (0 until len).filter(_ => rnd.nextBoolean()).map(_.toLong)
+      val want = toks.zipWithIndex.collect {
+        case (t, i) if !starts.exists(s => s <= i && i < s + n) => t
+      }
+      val got = DupSpans.splice(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          starts.toArray),
+        n)
+      val gotSeq = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      assert(gotSeq == want, s"len=$len n=$n starts=$starts")
+    }
+  }
+
   test("removeSpans accounting reconciles with spanCoverage") {
     val rows: Seq[(java.lang.Long, String)] = (1L to 30L).map { i =>
       // letter-only tags: alphaTokens is [a-z]+, so a digit suffix
