@@ -160,4 +160,26 @@ class PlanAndCacheSpec extends SparkSpec {
       assert(data == (1 to 3 * (id.toInt + 1)).map(_.toDouble))
     }
   }
+
+  test("GraftSession.scoped: clones runtime confs, pins shuffle " +
+      "width, leaves the parent untouched") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong" // Tables' defense
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true") // runtime-set, NOT in SparkConf
+      val scoped = GraftSession.scoped(spark, 2)
+      // runtime conf survives into the scope (newSession alone drops it)
+      assert(scoped.conf.get(key) == "true")
+      assert(scoped.conf.get("spark.sql.shuffle.partitions") == "2")
+      // parent keeps its width; scoped mutations don't leak back
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+      scoped.conf.set(key, "false")
+      assert(spark.conf.get(key) == "true")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
