@@ -26,8 +26,11 @@ object GraftSession {
   def scoped(s: SparkSession, shufflePartitions: Int): SparkSession = {
     val scoped = s.newSession()
     s.conf.getAll.foreach { case (k, v) =>
-      try scoped.conf.set(k, v)
-      catch { case _: Exception => () } // static conf — SparkConf-inherited
+      // skip exactly the statics (SparkConf-inherited, per-session
+      // set refuses); a blanket catch would silently drop a
+      // MODIFIABLE conf whose set failed — the very bug this clones
+      // against
+      if (s.conf.isModifiable(k)) scoped.conf.set(k, v)
     }
     scoped.conf.set("spark.sql.shuffle.partitions",
       shufflePartitions.toString)

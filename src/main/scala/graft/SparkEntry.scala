@@ -1521,10 +1521,13 @@ object SparkEntry {
     // q98 so the oracle can replay the counts.
     "q99_bpe_pack" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .filter(col("doc_id").isNotNull)
+      // merges derive from the UNFILTERED corpus — the exact q98
+      // rule, which the oracle's v/pc/m CTEs replay (the id filter
+      // below applies only to the packed rows)
       val merges = topPairMerges(s, docs.select(col("text")), 8)
       Packing.packed(
-        TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges),
+        TextAnalysis.bpeTokenCounts(docs.filter(col("doc_id").isNotNull),
+          "doc_id", "text", merges),
         Seq(col("doc_id")), "n_bpe", chunkTokens = 2048L)
         .orderBy(col("doc_id"))
     })

@@ -448,11 +448,15 @@ object TextAnalysis {
     * is one map-side-combined agg, joined to the symbol counts (AQE
     * broadcasts the vocabulary side when small) and re-aggregated —
     * exchanges carry distinct (doc, token) pairs, never the token
-    * stream. Docs with no alpha tokens (or null text) count 0.
-    * Output: (idCol, n_bpe), one row per input row. */
+    * stream. Docs with no alpha tokens (or null text) count 0;
+    * null-id rows are DROPPED (the id-keyed contract of
+    * [[DupSpans]]/[[Dedup]] — an equi-join would silently misreport
+    * their real counts as 0 otherwise). Output: (idCol, n_bpe), one
+    * row per non-null-id input row. */
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val docTok = df
+    val nonNull = df.filter(col(idCol).isNotNull)
+    val docTok = nonNull
       .select(col(idCol), explode(alphaTokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__c"))
     val nsym = docTok.select(col("tok")).distinct()
@@ -460,7 +464,7 @@ object TextAnalysis {
         size(applyBpe(col("tok"), merges)).cast("long").as("__nsym"))
     val counts = docTok.join(nsym, Seq("tok"))
       .groupBy(col(idCol)).agg(sum(col("__c") * col("__nsym")).as("n_bpe"))
-    df.select(col(idCol)).join(counts, Seq(idCol), "left")
+    nonNull.select(col(idCol)).join(counts, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
   }
 

@@ -184,26 +184,43 @@ object GraftStream {
       bands: Int = 4, rows: Int = 4, shingleN: Int = 3,
       maxBucket: Int = 1000, unicode: Boolean = false): Unit = {
     import graft.ops.NearDedup
+    // path-safe key: the value becomes a literal partition directory
+    // name (ingest_key=<streamId>_b<batchId>), including the stale-
+    // partition delete below — no escaping games
+    require(streamId.matches("[A-Za-z0-9_.-]+"),
+      s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+) — it " +
+        "names partition directories")
     val s = batch.sparkSession
     val ingestKey = s"${streamId}_b$batchId"
-    def overwriteOwnPartition(df: DataFrame, url: String): Unit =
-      df.withColumn("ingest_key", lit(ingestKey))
-        .write.partitionBy("ingest_key")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(url)
     def exists(url: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(url)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
     }
-    // refuse pre-ingest_key stores up front: filtering would throw an
-    // opaque missing-column error, and a partitioned overwrite on top
-    // of loose legacy files would corrupt the layout silently
+    // refuse pre-ingest_key stores: filtering would throw an opaque
+    // missing-column error, and a partitioned overwrite on top of
+    // loose legacy files would corrupt the layout silently — checked
+    // on READS and, below, before every WRITE to an existing store
     def requireIngestLayout(df: DataFrame, url: String): DataFrame = {
       require(df.columns.contains("ingest_key"),
         s"store at $url was written by the pre-ingest_key (append + " +
           "batch_id) layout — rewrite it partitioned by ingest_key, or " +
           "point the stream at fresh store paths")
       df
+    }
+    def overwriteOwnPartition(df: DataFrame, url: String): Unit = {
+      if (exists(url)) requireIngestLayout(s.read.parquet(url), url)
+      df.withColumn("ingest_key", lit(ingestKey))
+        .write.partitionBy("ingest_key")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(url)
+    }
+    /** Drop this batch's partition (replay hygiene when the batch now
+      * produces nothing: skipping the write would leave a pre-crash
+      * attempt's stale rows in place). */
+    def dropOwnPartition(url: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(url, s"ingest_key=$ingestKey")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
     }
     val slim = batch.select(col(idCol), col(textCol)).persist()
     try {
@@ -235,11 +252,15 @@ object GraftStream {
             matchedDocs, idCol, textCol, shingleN, unicode)
           .filter(col("jaccard_ppm") >= minJaccardPpm)
           .persist()
-        // no pairs → no write, for the same footer-less-store reason
-        // as the empty-batch guard (the pin keeps the emptiness probe
-        // from re-running the verify pipeline for the write)
+        // no pairs → no zero-row write (it would create the
+        // footer-less store the empty-batch guard exists for), but a
+        // REPLAY must still clear any pre-crash attempt's partition —
+        // e.g. the operator restarted with a stricter threshold. The
+        // pin keeps the emptiness probe from re-running the verify
+        // pipeline for the write.
         try {
-          if (!verified.isEmpty) overwriteOwnPartition(verified, pairsUrl)
+          if (verified.isEmpty) dropOwnPartition(pairsUrl)
+          else overwriteOwnPartition(verified, pairsUrl)
         } finally verified.unpersist()
       }
       // admit the batch into the corpus AFTER matching (a batch

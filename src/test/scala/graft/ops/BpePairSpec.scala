@@ -114,18 +114,26 @@ class BpePairSpec extends SparkSpec {
   }
 
   test("bpeTokenCounts: per-doc budgets reconcile with the corpus " +
-      "symbol mass; token-less docs count 0") {
+      "symbol mass; token-less docs count 0; null ids drop") {
     val rows = Seq(
-      (1L, "the then there"), (2L, "he the he"), (3L, "12 !!"), // no alpha
-      (4L, "then"))
+      (java.lang.Long.valueOf(1L), "the then there"),
+      (java.lang.Long.valueOf(2L), "he the he"),
+      (java.lang.Long.valueOf(3L), "12 !!"), // no alpha tokens
+      (java.lang.Long.valueOf(4L), "then"),
+      (null.asInstanceOf[java.lang.Long], "the the the")) // null id: dropped
     val df = rows.toDF("doc_id", "text")
-    val merges = TextAnalysis.trainBpe(df, "text", 3, minCount = 2L)
-    val perDoc = TextAnalysis.bpeTokenCounts(df, "doc_id", "text", merges)
+    val dfKeyed = df.filter($"doc_id".isNotNull)
+    val merges = TextAnalysis.trainBpe(dfKeyed, "text", 3, minCount = 2L)
+    val perDoc = TextAnalysis.bpeTokenCounts(dfKeyed, "doc_id", "text",
+        merges)
       .as[(Long, Long)].collect().toMap
-    assert(perDoc.keySet == Set(1L, 2L, 3L, 4L)) // one row per input row
+    assert(perDoc.keySet == Set(1L, 2L, 3L, 4L))
+    // a frame WITH the null-id row: dropped, not misreported as 0
+    val withNull = TextAnalysis.bpeTokenCounts(df, "doc_id", "text", merges)
+    assert(withNull.count() == 4 && withNull.filter($"doc_id".isNull).isEmpty)
     assert(perDoc(3L) == 0L)
     // conservation: per-doc budgets sum to the corpus symbol mass
-    val corpusMass = TextAnalysis.bpeSegmentCounts(df, "text", merges)
+    val corpusMass = TextAnalysis.bpeSegmentCounts(dfKeyed, "text", merges)
       .agg(sum($"cnt")).as[Long].head()
     assert(perDoc.values.sum == corpusMass)
     // direct cross-check on one doc: sum over its tokens of

@@ -121,5 +121,13 @@ class NearDupIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/bands")
       .groupBy("doc_id", "band_key").count()
       .filter($"count" > 1).isEmpty)
+    // replay with a stricter threshold (operator restarted with new
+    // args): the batch now verifies ZERO pairs — its stale pre-crash
+    // partition must be CLEARED, not left in place by a skipped write
+    GraftStream.ingestBatch(b2, 1, "doc_id", "text",
+      s"$root/bands", s"$root/docs", s"$root/pairs", streamId = "r",
+      minJaccardPpm = 1000000L)
+    assert(!new java.io.File(s"$root/pairs/ingest_key=r_b1").exists(),
+      "stale pairs partition survived an empty-result replay")
   }
 }
