@@ -208,7 +208,16 @@ object GraftStream {
       df
     }
     def overwriteOwnPartition(df: DataFrame, url: String): Unit = {
-      if (exists(url)) requireIngestLayout(s.read.parquet(url), url)
+      if (exists(url)) {
+        // a directory with no parquet footers (a crashed write's
+        // leftover, or dropOwnPartition emptied it) has nothing to
+        // corrupt — only a READABLE store must pass the layout check
+        try requireIngestLayout(s.read.parquet(url), url)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => ()
+        }
+      }
       df.withColumn("ingest_key", lit(ingestKey))
         .write.partitionBy("ingest_key")
         .option("partitionOverwriteMode", "dynamic")

@@ -130,4 +130,37 @@ class NearDupIngestSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/pairs/ingest_key=r_b1").exists(),
       "stale pairs partition survived an empty-result replay")
   }
+
+  test("partial-crash replay: bands landed, docs/pairs did not " +
+      "(the r7 advice scenario) — no self-pairs, state converges") {
+    val root = scratch("ndi4-" + java.util.UUID.randomUUID().toString.take(8))
+    val b1 = Seq((1L, base)).toDF("doc_id", "text")
+    val b2 = Seq((10L, base + " indeed"), (11L, base + " indeed also"))
+      .toDF("doc_id", "text")
+    def ingest(df: DataFrame, id: Long): Unit =
+      GraftStream.ingestBatch(df, id, "doc_id", "text",
+        s"$root/bands", s"$root/docs", s"$root/pairs", streamId = "r")
+    ingest(b1, 0)
+    ingest(b2, 1)
+    // simulate the crash point: batch 1's BANDS write committed but
+    // its docs/pairs writes did not
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr)
+      f.delete()
+    }
+    rmr(new java.io.File(s"$root/docs/ingest_key=r_b1"))
+    rmr(new java.io.File(s"$root/pairs/ingest_key=r_b1"))
+    // the retry: its own pre-crash bands are in the store but must be
+    // invisible to it
+    ingest(b2, 1)
+    val pairs = spark.read.parquet(s"$root/pairs")
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (n, c) => Set(10L, 11L)(n) && c == 1L },
+      s"self-pairs leaked through a partial-crash replay: $pairs")
+    assert(spark.read.parquet(s"$root/docs").count() == 3)
+    assert(spark.read.parquet(s"$root/bands")
+      .groupBy("doc_id", "band_key").count()
+      .filter($"count" > 1).isEmpty)
+  }
 }
