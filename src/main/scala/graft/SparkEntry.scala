@@ -1530,6 +1530,16 @@ object SparkEntry {
           "doc_id", "text", merges),
         Seq(col("doc_id")), "n_bpe", chunkTokens = 2048L)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- INTRA-doc repeated-span removal (Gopher-style cleanup) ----
+    // q94 removes spans shared ACROSS docs; this removes 3-gram spans
+    // repeated WITHIN a doc (first occurrence survives) — per-row
+    // codegen seen-set + the shared splice kernel, zero shuffles.
+    "q100_intradoc_spans" -> ((s, dir) => {
+      graft.ops.DupSpans.removeRepeatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2978,6 +2988,33 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
         |      0) AS tok_start
         |  FROM counts)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q100_intradoc_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(range(0, greatest(len(toks) - 3 + 1, 0)),
+        |      i -> array_to_string(toks[i+1 : i+3], ' ')) AS grams
+        |  FROM t
+        |), sel AS (
+        |  -- start s repeats iff its gram occurs among grams[1..s]
+        |  SELECT doc_id, toks,
+        |    list_filter(range(0, len(grams)),
+        |      s -> list_contains(grams[1:s], grams[s+1])) AS starts
+        |  FROM g
+        |), cleaned AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(toks, (x, i) -> len(list_filter(starts,
+        |      v -> v <= i - 1 AND i - 1 < v + 3)) = 0) AS clean
+        |  FROM sel
+        |)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) - len(clean) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(clean, ' '), '') AS clean_text
+        |FROM cleaned ORDER BY doc_id""".stripMargin
   )
 }

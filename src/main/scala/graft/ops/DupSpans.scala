@@ -90,6 +90,66 @@ object DupSpans {
         expr("n_dup * 1000000 div n_spans").as("dup_ratio_m"))
   }
 
+  /** 0-based starts of n-gram positions whose gram ALREADY OCCURRED
+    * earlier in the same token array (ascending) — one pass with a
+    * seen-set, O(len·n). */
+  def repeatedStarts(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[String]()
+    val out = new Array[Long](len - n + 1)
+    var o = 0
+    val sb = new java.lang.StringBuilder
+    var s = 0
+    while (s + n <= len) {
+      sb.setLength(0)
+      var i = s
+      while (i < s + n) {
+        if (i > s) sb.append(' ')
+        sb.append(toks.getUTF8String(i).toString)
+        i += 1
+      }
+      if (!seen.add(sb.toString)) { out(o) = s.toLong; o += 1 }
+      s += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, o))
+  }
+
+  /** INTRA-document duplicated-span removal — the Gopher-family
+    * "repeated passages within one document" cleanup complementing
+    * [[removeSpans]]'s cross-document intervention: every token
+    * position covered by an n-gram span whose gram already occurred
+    * EARLIER in the same document is dropped (the first occurrence
+    * survives), and the survivors re-join into the cleaned text.
+    * Same unit and output contract as [[removeSpans]] (normalized
+    * alpha-token stream; null text reads as empty; null-id rows
+    * dropped; one output row per surviving input row).
+    *
+    * Scale shape: everything is per-row — repeated-gram starts come
+    * from ONE codegen'd seen-set pass ([[RepeatedGramStarts]]) and
+    * the splice is the shared two-pointer kernel. ZERO shuffles,
+    * zero joins: at 100 TB this runs at parquet scan speed, the
+    * strongest possible plan (the relational spelling would window
+    * over (doc, gram) and exchange every position). */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"span width must be positive (got $n)")
+    import graft.functions.GraftFunctions.{column => cexp, expr => eexp}
+    val toks = df.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        TextAnalysis.alphaTokens(coalesce(col(textCol), lit(""))).as("__t"))
+    val withStarts = toks.withColumn("__st",
+      cexp(RepeatedGramStarts(eexp(col("__t")), n)))
+    withStarts
+      .withColumn("__clean",
+        cexp(SpliceOutSpans(eexp(col("__t")), eexp(col("__st")), n)))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__clean"))).cast("long")
+          .as("n_removed"),
+        array_join(col("__clean"), " ").as("clean_text"))
+  }
+
   /** Two-pointer splice: tokens NOT covered by any span `[s, s+n)`
     * for the SORTED starts — O(len + starts), one pass. */
   def splice(toks: ArrayData, starts: ArrayData, n: Int): ArrayData = {
@@ -175,6 +235,27 @@ object DupSpans {
           .as("n_removed"),
         array_join(col("__clean"), " ").as("clean_text"))
   }
+}
+
+/** `repeated_gram_starts(tokens)` → array<long>: ascending 0-based
+  * starts of n-gram positions whose gram already occurred earlier in
+  * the SAME array — the per-row candidate generator behind
+  * [[DupSpans.removeRepeatedSpans]]; codegen'd seen-set pass, no
+  * shuffle, no join. */
+case class RepeatedGramStarts(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"span width must be positive (got $n)")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    DupSpans.repeatedStarts(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.DupSpans.repeatedStarts($c, $n);")
+  override protected def withNewChildInternal(c: Expression)
+      : RepeatedGramStarts = copy(child = c)
+  override def prettyName: String = "repeated_gram_starts"
 }
 
 /** `splice_out_spans(tokens, starts)` → array<string>: the tokens

@@ -138,6 +138,56 @@ class DupSpansSpec extends SparkSpec {
     }
   }
 
+  // ---- removeRepeatedSpans (intra-doc) ----
+
+  private def runIntra(rows: Seq[(java.lang.Long, String)], n: Int) =
+    DupSpans.removeRepeatedSpans(rows.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+
+  test("removeRepeatedSpans: first occurrence survives, repeats go; " +
+      "other docs never matter") {
+    val out = runIntra(Seq(
+      (1L, "x y z p q x y z"), // "x y z" repeats at start 5
+      (2L, "x y z")            // same gram in ANOTHER doc: untouched
+    ), n = 3)
+    assert(out == Seq(
+      (1L, 8L, 3L, "x y z p q"),
+      (2L, 3L, 0L, "x y z")))
+  }
+
+  test("removeRepeatedSpans: overlapping repeat runs merge (n=2 over " +
+      "an all-equal token run)") {
+    // "a a a a": 2-gram starts 1,2 repeat → covers positions 1..3
+    val out = runIntra(Seq((1L, "a a a a")), n = 2)
+    assert(out == Seq((1L, 4L, 3L, "a")))
+  }
+
+  test("removeRepeatedSpans: short docs, empty and null text pass " +
+      "through; repeatedStarts matches a naive reference on random " +
+      "inputs") {
+    val out = runIntra(Seq(
+      (1L, "p q"), (2L, ""), (3L, null)), n = 3)
+    assert(out == Seq((1L, 2L, 0L, "p q"), (2L, 0L, 0L, ""),
+      (3L, 0L, 0L, "")))
+    val rnd = new scala.util.Random(17)
+    (1 to 300).foreach { _ =>
+      val len = rnd.nextInt(20)
+      val toks = Seq.fill(len)(("t" + rnd.nextInt(3)))
+      val n = 1 + rnd.nextInt(4)
+      val grams = (0 to len - n).map(s => toks.slice(s, s + n).mkString(" "))
+      val want = grams.zipWithIndex.collect {
+        case (g, s) if grams.take(s).contains(g) => s.toLong
+      }
+      val got = DupSpans.repeatedStarts(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)),
+        n)
+      val gotSeq = (0 until got.numElements()).map(got.getLong)
+      assert(gotSeq == want, s"toks=$toks n=$n")
+    }
+  }
+
   test("removeSpans accounting reconciles with spanCoverage") {
     val rows: Seq[(java.lang.Long, String)] = (1L to 30L).map { i =>
       // letter-only tags: alphaTokens is [a-z]+, so a digit suffix
