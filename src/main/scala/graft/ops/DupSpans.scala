@@ -96,6 +96,11 @@ object DupSpans {
   def repeatedStarts(toks: ArrayData, n: Int): ArrayData = {
     val len = toks.numElements()
     if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    // decode each token ONCE (each participates in up to n grams;
+    // per-gram getUTF8String.toString would allocate n× per token)
+    val ts = new Array[String](len)
+    var t = 0
+    while (t < len) { ts(t) = toks.getUTF8String(t).toString; t += 1 }
     val seen = new java.util.HashSet[String]()
     val out = new Array[Long](len - n + 1)
     var o = 0
@@ -106,7 +111,7 @@ object DupSpans {
       var i = s
       while (i < s + n) {
         if (i > s) sb.append(' ')
-        sb.append(toks.getUTF8String(i).toString)
+        sb.append(ts(i))
         i += 1
       }
       if (!seen.add(sb.toString)) { out(o) = s.toLong; o += 1 }
@@ -114,6 +119,23 @@ object DupSpans {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, o))
   }
+
+  /** (idCol, __t): non-null-id rows with the normalized token array,
+    * null text as empty — the shared removal-input stage. */
+  private def tokenized(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        TextAnalysis.alphaTokens(coalesce(col(textCol), lit(""))).as("__t"))
+
+  /** The removal ops' shared output contract: (idCol, n_tokens,
+    * n_removed, clean_text) from (__t, __clean). */
+  private def cleanedProjection(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol),
+      size(col("__t")).cast("long").as("n_tokens"),
+      (size(col("__t")) - size(col("__clean"))).cast("long")
+        .as("n_removed"),
+      array_join(col("__clean"), " ").as("clean_text"))
 
   /** INTRA-document duplicated-span removal — the Gopher-family
     * "repeated passages within one document" cleanup complementing
@@ -135,19 +157,12 @@ object DupSpans {
       n: Int): DataFrame = {
     require(n >= 1, s"span width must be positive (got $n)")
     import graft.functions.GraftFunctions.{column => cexp, expr => eexp}
-    val toks = df.filter(col(idCol).isNotNull)
-      .select(col(idCol),
-        TextAnalysis.alphaTokens(coalesce(col(textCol), lit(""))).as("__t"))
-    val withStarts = toks.withColumn("__st",
-      cexp(RepeatedGramStarts(eexp(col("__t")), n)))
-    withStarts
-      .withColumn("__clean",
-        cexp(SpliceOutSpans(eexp(col("__t")), eexp(col("__st")), n)))
-      .select(col(idCol),
-        size(col("__t")).cast("long").as("n_tokens"),
-        (size(col("__t")) - size(col("__clean"))).cast("long")
-          .as("n_removed"),
-        array_join(col("__clean"), " ").as("clean_text"))
+    cleanedProjection(
+      tokenized(df, idCol, textCol)
+        .withColumn("__st", cexp(RepeatedGramStarts(eexp(col("__t")), n)))
+        .withColumn("__clean",
+          cexp(SpliceOutSpans(eexp(col("__t")), eexp(col("__st")), n))),
+      idCol)
   }
 
   /** Two-pointer splice: tokens NOT covered by any span `[s, s+n)`
@@ -210,9 +225,7 @@ object DupSpans {
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"span width must be positive (got $n)")
-    val toks = df.filter(col(idCol).isNotNull)
-      .select(col(idCol),
-        TextAnalysis.alphaTokens(coalesce(col(textCol), lit(""))).as("__t"))
+    val toks = tokenized(df, idCol, textCol)
     val grams = positionalGrams(df, idCol, textCol, n)
     val dupGrams = grams.select(col("gram"), col(idCol)).distinct()
       .groupBy(col("gram"))
@@ -227,13 +240,10 @@ object DupSpans {
         graft.functions.GraftFunctions.expr(col("__t")),
         graft.functions.GraftFunctions.expr(
           coalesce(col("__st"), array().cast("array<bigint>"))), n))
-    toks.join(dupStarts, Seq(idCol), "left")
-      .withColumn("__clean", clean)
-      .select(col(idCol),
-        size(col("__t")).cast("long").as("n_tokens"),
-        (size(col("__t")) - size(col("__clean"))).cast("long")
-          .as("n_removed"),
-        array_join(col("__clean"), " ").as("clean_text"))
+    cleanedProjection(
+      toks.join(dupStarts, Seq(idCol), "left")
+        .withColumn("__clean", clean),
+      idCol)
   }
 }
 
