@@ -188,6 +188,15 @@ class DupSpansSpec extends SparkSpec {
     }
   }
 
+  test("removeRepeatedSpans plans ZERO exchanges — pure scan work") {
+    // spark.range source (a local Seq would constant-fold the plan)
+    val df = spark.range(50).selectExpr("id AS doc_id",
+      "'a b c a b c' AS text")
+    val plan = DupSpans.removeRepeatedSpans(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("removeSpans accounting reconciles with spanCoverage") {
     val rows: Seq[(java.lang.Long, String)] = (1L to 30L).map { i =>
       // letter-only tags: alphaTokens is [a-z]+, so a digit suffix
