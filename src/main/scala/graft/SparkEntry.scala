@@ -522,7 +522,9 @@ object SparkEntry {
         .select(col("vec_id"),
           floor(col("qz.scale") * 1e6).cast("long").as("scale_u"),
           size(col("qz.q")).cast("long").as("n_q"),
-          aggregate(col("qz.q"), lit(0L), (a, x) => a + x.cast("long"))
+          // codegen'd array_sum_long over the widened byte array, not
+          // the interpreted aggregate(...) HOF (r8 flag)
+          GraftFunctions.arraySumLong(col("qz.q").cast("array<bigint>"))
             .as("q_sum"),
           array_min(col("qz.q")).cast("long").as("q_min"),
           array_max(col("qz.q")).cast("long").as("q_max"))
@@ -617,7 +619,9 @@ object SparkEntry {
         size(col("f")).as("n_fp"),
         col("f")(0).as("fp_min"),
         element_at(col("f"), -1).as("fp_max"),
-        aggregate(col("f"), lit(0L), (a, x) => a + x).as("fp_sum"))
+        // codegen'd array_sum_long, not the interpreted aggregate(...)
+        // HOF (r8 flag); f is already array<long>
+        GraftFunctions.arraySumLong(col("f")).as("fp_sum"))
     }),
 
     // ---- SimHash fingerprints (scan-speed, no shuffle) ----

@@ -26,6 +26,20 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * 0's draw is h1 itself): mixing, say, 60-bit first draws with
   * 63-bit mixes would bias every row's minimum toward ticket 0 and
   * break weight-proportional odds.
+  *
+  * Statistical contract (the documented trade, r8 advice): a row's
+  * draws form an arithmetic progression mod 2^60, not independent
+  * uniforms — within-row minima are slightly more regular than iid
+  * md5 draws, and a degenerate h2 (tiny, or sharing a large
+  * power-of-two factor with 2^60) reduces dispersion, so selection
+  * odds are only APPROXIMATELY weight-proportional. This is accepted
+  * deliberately: the race must be replayable in integer SQL (the
+  * q93 oracle) and priced at one md5 per row, and the bias is
+  * second-order for sampling training data (both md5 halves are
+  * full-strength uniforms; h2 = 0 or small has probability ~2^-60).
+  * If tighter uniformity ever matters, re-hash `h1 + t·h2` through a
+  * multiply-xor finalizer — still SQL-replayable — and update the
+  * DuckDB oracle in the same change.
   */
 object HashRace {
   /** 2^60 − 1: draws live in [0, 2^60). */

@@ -83,6 +83,41 @@ object GraftExtensions {
     "graft_dot_i8" -> { args =>
       require(args.length == 2, "graft_dot_i8(a, b)")
       DotI8(args(0), args(1))
+    },
+    "graft_array_sum_long" -> { args =>
+      require(args.length == 1, "graft_array_sum_long(arr)")
+      ArraySumLong(args(0))
+    },
+    "graft_ticket_race_min" -> { args =>
+      require(args.length == 3, "graft_ticket_race_min(h1, h2, w)")
+      TicketRaceMin(args(0), args(1), args(2))
+    },
+    "graft_simple_lower" -> { args =>
+      require(args.length == 1, "graft_simple_lower(text)")
+      graft.ops.SimpleLower(args(0))
+    },
+    "graft_repeated_gram_starts" -> { args =>
+      require(args.length == 2, "graft_repeated_gram_starts(tokens, n)")
+      graft.ops.RepeatedGramStarts(args(0), litInt(args(1), "n"))
+    },
+    "graft_splice_out_spans" -> { args =>
+      require(args.length == 3, "graft_splice_out_spans(tokens, starts, n)")
+      graft.ops.SpliceOutSpans(args(0), args(1), litInt(args(2), "n"))
+    },
+    // merges as a 'l r,l r,…' string literal — tokens are letter/
+    // digit runs by the tokenizer contract, so space and comma are
+    // safe delimiters; '' = no merges (character segmentation)
+    "graft_apply_bpe" -> { args =>
+      require(args.length == 2, "graft_apply_bpe(tok, 'l r,l r,…')")
+      val spec = litString(args(1), "merges")
+      val merges = spec.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { m =>
+          val p = m.split(" ", 2)
+          require(p.length == 2 && p(0).nonEmpty && p(1).nonEmpty,
+            s"merge '$m' must be 'left right'")
+          (p(0), p(1))
+        }.toSeq
+      graft.ops.ApplyBpe(args(0), merges)
     })
 
   private def info(name: String): ExpressionInfo =

@@ -31,13 +31,13 @@ import org.apache.spark.sql.functions._
 object Chunk {
 
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int, overlap: Int = 0): DataFrame = {
+      chunkSize: Int, overlap: Int = 0, unicode: Boolean = false): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive (got $chunkSize)")
     require(overlap >= 0 && overlap < chunkSize,
       s"overlap ($overlap) must be in [0, chunkSize)")
     val stride = chunkSize - overlap
     df.select(col(idCol),
-        TextAnalysis.alphaTokens(col(textCol)).as("__t"))
+        TextAnalysis.alphaTokens(col(textCol), unicode).as("__t"))
       .withColumn("__n", size(col("__t")))
       .filter(col("__n") > 0)
       .select(col(idCol), col("__t"),

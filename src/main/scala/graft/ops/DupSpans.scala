@@ -51,28 +51,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
   */
 object DupSpans {
 
-  /** (idCol, __s, gram): every 0-based n-gram start position of
-    * every non-null-id doc with ≥ n tokens — the ONE positional-gram
-    * definition [[spanCoverage]] and [[removeSpans]] share, so the
-    * measure and the intervention can never disagree on what a span
-    * is. Scan work: tokenize once, slices behind a projection
-    * boundary. */
-  private def positionalGrams(df: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
-    require(n >= 1, s"span width must be positive (got $n)")
-    df.filter(col(idCol).isNotNull)
-      .select(col(idCol), TextAnalysis.alphaTokens(col(textCol)).as("__t"))
-      .withColumn("__len", size(col("__t")))
+  /** (idCol, __s, gram) from a [[tokenized]] frame: every 0-based
+    * n-gram start position of every doc with ≥ n tokens — the ONE
+    * positional-gram definition [[spanCoverage]] and [[removeSpans]]
+    * share, so the measure and the intervention can never disagree
+    * on what a span is. Scan work over the token column: slices
+    * behind a projection boundary. */
+  private def gramsOfTokenized(tk: DataFrame, idCol: String,
+      n: Int): DataFrame =
+    tk.withColumn("__len", size(col("__t")))
       .filter(col("__len") >= n)
       .select(col(idCol), col("__t"),
         explode(sequence(lit(0), col("__len") - n)).as("__s"))
       .select(col(idCol), col("__s"),
         concat_ws(" ", slice(col("__t"), col("__s") + 1, lit(n))).as("gram"))
+
+  private def positionalGrams(df: DataFrame, idCol: String,
+      textCol: String, n: Int, unicode: Boolean): DataFrame = {
+    require(n >= 1, s"span width must be positive (got $n)")
+    gramsOfTokenized(tokenized(df, idCol, textCol, unicode), idCol, n)
   }
 
   def spanCoverage(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val grams = positionalGrams(df, idCol, textCol, n)
+      n: Int, unicode: Boolean = false): DataFrame = {
+    require(n >= 1, s"span width must be positive (got $n)")
+    val grams = positionalGrams(df, idCol, textCol, n, unicode)
     // compress to distinct (gram, doc) + positional multiplicity:
     // the map-side partial agg folds within-doc repeats before the
     // exchange, so the shuffle carries pairs, not positions
@@ -121,12 +124,16 @@ object DupSpans {
   }
 
   /** (idCol, __t): non-null-id rows with the normalized token array,
-    * null text as empty — the shared removal-input stage. */
+    * null text as empty — the shared removal-input stage. `unicode`
+    * selects the tokenizer ([[TextAnalysis.alphaTokens]] two-arg
+    * form): without the opt-in, span removal silently no-ops on
+    * non-Latin docs — zero tokens, nothing to remove. */
   private def tokenized(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String, unicode: Boolean): DataFrame =
     df.filter(col(idCol).isNotNull)
       .select(col(idCol),
-        TextAnalysis.alphaTokens(coalesce(col(textCol), lit(""))).as("__t"))
+        TextAnalysis.alphaTokens(coalesce(col(textCol), lit("")), unicode)
+          .as("__t"))
 
   /** The removal ops' shared output contract: (idCol, n_tokens,
     * n_removed, clean_text) from (__t, __clean). */
@@ -154,11 +161,11 @@ object DupSpans {
     * strongest possible plan (the relational spelling would window
     * over (doc, gram) and exchange every position). */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, unicode: Boolean = false): DataFrame = {
     require(n >= 1, s"span width must be positive (got $n)")
     import graft.functions.GraftFunctions.{column => cexp, expr => eexp}
     cleanedProjection(
-      tokenized(df, idCol, textCol)
+      tokenized(df, idCol, textCol, unicode)
         .withColumn("__st", cexp(RepeatedGramStarts(eexp(col("__t")), n)))
         .withColumn("__clean",
           cexp(SpliceOutSpans(eexp(col("__t")), eexp(col("__st")), n))),
@@ -208,6 +215,14 @@ object DupSpans {
     * when it is small (the common case); a corpus whose
     * duplicated-gram set is itself enormous pays a positional-gram
     * shuffle — the honest floor for exact positional removal.
+    * When the TOKENIZED corpus fits the cluster, pass
+    * `persistTokens` to pin the (id, tokens) stage across the
+    * gram/recovery/splice stages instead: the text column is
+    * tokenized exactly ONCE (spec-asserted) and the three scans
+    * become cache reads. The cache lives as long as the returned
+    * frame is in use — callers drop it with
+    * `spark.catalog.clearCache()` (or let the session end), the same
+    * lifecycle as [[graft.sources.SparkConverter]] handles.
     * Per-doc splicing merges each doc's covered intervals in ONE
     * codegen'd two-pointer pass ([[SpliceOutSpans]]); the collected
     * start list is bounded by the doc's own length, like the token
@@ -223,10 +238,13 @@ object DupSpans {
     * counts exact integers, so the whole result is
     * bit-reproducible. */
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, unicode: Boolean = false,
+      persistTokens: Option[org.apache.spark.storage.StorageLevel] = None)
+      : DataFrame = {
     require(n >= 1, s"span width must be positive (got $n)")
-    val toks = tokenized(df, idCol, textCol)
-    val grams = positionalGrams(df, idCol, textCol, n)
+    val tk = tokenized(df, idCol, textCol, unicode)
+    val toks = persistTokens.map(tk.persist).getOrElse(tk)
+    val grams = gramsOfTokenized(toks, idCol, n)
     val dupGrams = grams.select(col("gram"), col(idCol)).distinct()
       .groupBy(col("gram"))
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))

@@ -236,8 +236,17 @@ object GraftStream {
       // an empty micro-batch must write NOTHING: a zero-row dynamic
       // overwrite creates a directory with no parquet footers, which
       // would pass the exists() guard below on the NEXT batch and
-      // crash its corpus read on schema inference
-      if (slim.isEmpty) return
+      // crash its corpus read on schema inference. It must still run
+      // replay hygiene first: if a replayed batch re-reads as EMPTY
+      // (non-replayable source, e.g. retention expiry), a pre-crash
+      // attempt's partitions for this ingest_key would otherwise
+      // survive and re-enter later batches' corpus views (r8 advice)
+      if (slim.isEmpty) {
+        Seq(bandsUrl, docsUrl, pairsUrl).foreach { url =>
+          if (exists(url)) dropOwnPartition(url)
+        }
+        return
+      }
       // both stores must exist — a first-batch retry that crashed
       // between the bands and docs appends has bands but no docs
       if (exists(bandsUrl) && exists(docsUrl)) {

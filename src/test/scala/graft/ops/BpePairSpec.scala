@@ -89,6 +89,55 @@ class BpePairSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("in-memory and distributed trainers produce identical merge " +
+      "lists, ASCII and unicode") {
+    val corpus = Seq.fill(8)("lower lower newest") ++
+      Seq.fill(5)("newest widest") ++ Seq.fill(3)("low new") ++
+      Seq.fill(4)("привет мир мирный привет широкий")
+    val df = corpus.map(Tuple1(_)).toDF("text")
+    // ASCII tokenizer: maxVocabRows=0 forces the distributed fallback
+    val mem = TextAnalysis.trainBpe(df, "text", 12, minCount = 2L)
+    val dist = TextAnalysis.trainBpe(df, "text", 12, minCount = 2L,
+      maxVocabRows = 0L)
+    assert(mem == dist && mem.nonEmpty)
+    // unicode tokenizer: the Cyrillic vocabulary actually trains
+    val memU = TextAnalysis.trainBpe(df, "text", 12, minCount = 2L,
+      unicode = true)
+    val distU = TextAnalysis.trainBpe(df, "text", 12, minCount = 2L,
+      unicode = true, maxVocabRows = 0L)
+    assert(memU == distU && memU.nonEmpty)
+    assert(memU.exists { case (l, r) => (l + r).exists(_ > 'z') },
+      s"expected non-Latin merges, got $memU")
+  }
+
+  test("in-memory incremental trainer equals the from-scratch " +
+      "reference on a random vocabulary") {
+    val rnd = new scala.util.Random(5)
+    val words = Seq.fill(150)(
+      Seq.fill(2 + rnd.nextInt(8))(('a' + rnd.nextInt(4)).toChar).mkString)
+      .groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong * (1 + rnd.nextInt(5))) }
+    val want = referenceBpe(words, numMerges = 120, minCount = 2L)
+    val got = TextAnalysis.trainBpeInMemory(words.toArray, 120, 2L)
+    assert(got == want)
+    assert(got.length > 20, s"degenerate fixture: ${got.length} merges")
+  }
+
+  test("in-memory trainer reaches real merge counts (1k+) in seconds") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq.fill(4000)(
+      Seq.fill(5 + rnd.nextInt(8))(('a' + rnd.nextInt(6)).toChar).mkString)
+      .groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong + 1L) } // every weight ≥ 2
+      .toArray
+    val t0 = System.nanoTime()
+    val merges = TextAnalysis.trainBpeInMemory(vocab, 1500, minCount = 2L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 1500, s"only ${merges.length} merges")
+    assert(merges.distinct.length == 1500) // a pair never merges twice
+    assert(sec < 30.0, f"in-memory trainer took $sec%.1fs for 1500 merges")
+  }
+
   test("trainBpe stops early when no pair reaches minCount") {
     val df = Seq.fill(2)(Tuple1("ab cd")).toDF("text")
     // every pair occurs exactly twice; minCount=3 admits nothing

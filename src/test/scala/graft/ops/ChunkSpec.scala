@@ -45,6 +45,17 @@ class ChunkSpec extends SparkSpec {
     assert(out == Seq((3L, 0, 4, "only three words here")))
   }
 
+  test("unicode opt-in: non-Latin docs chunk instead of vanishing") {
+    val df = Seq((1L, "привет мир хорошо конец файл")).toDF("doc_id", "text")
+    // default tokenizer: zero tokens → no chunks (the silent no-op)
+    assert(Chunk.chunkTokens(df, "doc_id", "text", 2).isEmpty)
+    val out = Chunk.chunkTokens(df, "doc_id", "text", 2, unicode = true)
+      .orderBy("chunk_idx").as[(Long, Int, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 2, "привет мир"), (1L, 1, 2, "хорошо конец"),
+      (1L, 2, 1, "файл")))
+  }
+
   test("guards: chunkSize positive, overlap within [0, chunkSize)") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Chunk.chunkTokens(df, "doc_id", "text", 0))

@@ -197,6 +197,58 @@ class DupSpansSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("unicode opt-in: non-Latin spans actually remove; the ASCII " +
+      "default silently no-ops (the failure the opt-in fixes)") {
+    val rows: Seq[(java.lang.Long, String)] = Seq(
+      (1L, "привет мир хорошо привет мир конец"),
+      (2L, "привет мир плюс"))
+    val df = rows.toDF("doc_id", "text")
+    // default tokenizer: zero tokens, zero removals — the silent no-op
+    val ascii = DupSpans.removeSpans(df, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(ascii == Seq((1L, 0L, 0L, ""), (2L, 0L, 0L, "")))
+    // unicode: docs share the 2-gram "привет мир" → removed from both
+    val uni = DupSpans.removeSpans(df, "doc_id", "text", 2, unicode = true)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(uni == Seq(
+      (1L, 6L, 4L, "хорошо конец"), // both "привет мир" spans covered
+      (2L, 3L, 2L, "плюс")))
+    // intra-doc variant: repeated "мир" goes, first stays
+    val intra = DupSpans.removeRepeatedSpans(
+      Seq((java.lang.Long.valueOf(1L), "мир большой мир")).toDF("doc_id", "text"),
+      "doc_id", "text", 1, unicode = true)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(intra == Seq((1L, 3L, 1L, "мир большой")))
+  }
+
+  test("persistTokens: identical result, text column read ONCE " +
+      "instead of once per stage") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val rows: Seq[(Long, String)] = (1L to 20L).map { i =>
+      val t = "" + ('a' + i % 7).toChar + ('a' + i % 5).toChar
+      (i, if (i % 3 == 0) s"shared boiler plate $t" else s"u$t v$t w$t")
+    }
+    def run(level: Option[org.apache.spark.storage.StorageLevel]) = {
+      val acc = spark.sparkContext.longAccumulator("text-scan-probe")
+      val probe = udf((s: String) => { acc.add(1L); s }).asNondeterministic()
+      val df = rows.toDF("doc_id", "text0")
+        .select(col("doc_id"), probe(col("text0")).as("text"))
+      val out = DupSpans.removeSpans(df, "doc_id", "text", 2,
+          persistTokens = level)
+        .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+      (out, acc.value)
+    }
+    val (plain, plainScans) = run(None)
+    val (pinned, pinnedScans) = run(
+      Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    spark.catalog.clearCache()
+    assert(pinned == plain)
+    assert(pinnedScans == rows.length.toLong,
+      s"expected one tokenize scan, counted $pinnedScans")
+    assert(plainScans >= 2L * rows.length,
+      s"expected multiple scans without the knob, counted $plainScans")
+  }
+
   test("removeSpans accounting reconciles with spanCoverage") {
     val rows: Seq[(java.lang.Long, String)] = (1L to 30L).map { i =>
       // letter-only tags: alphaTokens is [a-z]+, so a digit suffix

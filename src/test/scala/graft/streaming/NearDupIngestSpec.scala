@@ -131,6 +131,33 @@ class NearDupIngestSpec extends SparkSpec {
       "stale pairs partition survived an empty-result replay")
   }
 
+  test("empty-replay hygiene: a batch that re-reads as EMPTY clears " +
+      "its pre-crash partitions instead of leaving them as corpus " +
+      "(r8 advice)") {
+    val root = scratch("ndi5-" + java.util.UUID.randomUUID().toString.take(8))
+    val b1 = Seq((1L, base)).toDF("doc_id", "text")
+    val b2 = Seq((10L, base + " indeed")).toDF("doc_id", "text")
+    def ingest(df: DataFrame, id: Long): Unit =
+      GraftStream.ingestBatch(df, id, "doc_id", "text",
+        s"$root/bands", s"$root/docs", s"$root/pairs", streamId = "r")
+    ingest(b1, 0)
+    ingest(b2, 1) // pre-crash attempt: bands/docs/pairs for r_b1 land
+    assert(new java.io.File(s"$root/bands/ingest_key=r_b1").exists())
+    // the replay re-reads batch 1 as EMPTY (retention expiry on a
+    // non-replayable source): every r_b1 partition must be dropped
+    ingest(b1.filter($"doc_id" < 0L), 1)
+    Seq("bands", "docs", "pairs").foreach { store =>
+      assert(!new java.io.File(s"$root/$store/ingest_key=r_b1").exists(),
+        s"stale $store partition survived an empty replay")
+    }
+    // batch 1's corpus is intact; a later batch pairs against it only
+    ingest(b2, 2)
+    val pairs = spark.read.parquet(s"$root/pairs")
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L)),
+      s"ghost corpus rows from the dropped batch resurfaced: $pairs")
+  }
+
   test("partial-crash replay: bands landed, docs/pairs did not " +
       "(the r7 advice scenario) — no self-pairs, state converges") {
     val root = scratch("ndi4-" + java.util.UUID.randomUUID().toString.take(8))
