@@ -15,8 +15,17 @@ import org.apache.spark.sql.DataFrame
   * official records were 2-10× inflated by co-tenant load; the min
   * of two measurements bounds that inflation by the quieter one).
   * The machine's 1-minute load average (`/proc/loadavg`) is sampled
-  * before and after the run and emitted as `load_avg` so a record
-  * carries its own contention evidence. The sink is a `noop`-format
+  * before and after the run — and around every query's measured
+  * pair — and emitted as `load_avg` so a record carries its own
+  * contention evidence. Best-of-2 alone cannot outlast a
+  * minutes-long contention window (the r8 record's q21-q33 block
+  * proved it), so a PER-QUERY retry pass runs after the main loop:
+  * any query whose best-of-2 exceeds 2.5× its own previous-round
+  * record (read back from `bench_out.json`) while its load sample
+  * was elevated (> 2.0) is re-executed once, the min kept, and the
+  * query listed in the record's `"contended"` array — see
+  * BASELINE.md "Official-record policy" for how a reader should
+  * treat those entries. The sink is a `noop`-format
   * write, which executes the whole physical plan — unlike `count()`,
   * which lets Catalyst prune every projection (r1 verdict defect).
   * Failures are reported in an `errors` map, never as fake timings.
@@ -37,6 +46,30 @@ object Bench {
   private def loadAvg1m(): Double =
     try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** Previous round's per-query timings from `bench_out.json` (the
+    * durable full-name copy this main writes) — the self-baseline
+    * the per-query contention retry compares against. Missing or
+    * unparsable file, or a record taken at a DIFFERENT scale factor
+    * (a dev sf0.01 run must not become the yardstick for the
+    * driver's sf0.1 record) → empty: the retry pass simply has no
+    * basis and does nothing. */
+  private def priorTimings(sfDir: String): Map[String, Double] =
+    try {
+      val txt = Files.readString(Paths.get("bench_out.json"))
+      if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+      else {
+        val tag = "\"queries\":{"
+        val start = txt.indexOf(tag)
+        if (start < 0) Map.empty
+        else {
+          val body = txt.substring(start + tag.length,
+            txt.indexOf('}', start + tag.length))
+          "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
 
   /** samples/sec reading back a hello_world-shaped graft store. */
   private def helloWorldThroughput(
@@ -85,21 +118,46 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    val prior = priorTimings(sfDir)
+    val loadAt = scala.collection.mutable.LinkedHashMap[String, Double]()
     val loadStart = loadAvg1m()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
         runOnce(fn(spark, sfDir)) // warmup
+        loadAt(name) = loadAvg1m()
         timings(name) = (1 to 2).map { _ => // best-of-2 measured
           val t0 = System.nanoTime()
           runOnce(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }.min
+        loadAt(name) = math.max(loadAt(name), loadAvg1m())
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+    }
+
+    // per-query contention retry (see scaladoc + BASELINE.md policy):
+    // a query 2.5× over its own previous-round record under elevated
+    // load gets ONE more execution after the main pass — by then the
+    // co-tenant window has often moved on — and the min is kept; the
+    // names are published in "contended" so a reader knows which
+    // timings to distrust
+    val contended = scala.collection.mutable.ArrayBuffer[String]()
+    names.foreach { name =>
+      (prior.get(name), timings.get(name)) match {
+        case (Some(p), Some(t))
+            if t > p * 2.5 && loadAt.getOrElse(name, 0.0) > 2.0 =>
+          contended += name
+          try {
+            val t0 = System.nanoTime()
+            runOnce(SparkEntry.queries(name)(spark, sfDir))
+            timings(name) = math.min(t, (System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => () } // keep the measured min
+        case _ => ()
       }
     }
 
@@ -122,12 +180,15 @@ object Bench {
     val qsShort = timings.map { case (k, v) =>
       f""""${k.takeWhile(_ != '_')}":$v%.2f""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val cs = contended.map(n => s""""${n.takeWhile(_ != '_')}"""")
+      .mkString("[", ",", "]")
     val total = timings.values.sum
     val loadEnd = loadAvg1m()
     def line(qs: String): String =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
         s""""errors":$es,"hello_world_samples_per_sec":$hello,""" +
-        f""""load_avg":[$loadStart%.2f,$loadEnd%.2f],"sf":"$sfDir"}"""
+        f""""load_avg":[$loadStart%.2f,$loadEnd%.2f],""" +
+        s""""contended":$cs,"sf":"$sfDir"}"""
     // File copy first (survives stdout interleaving with sbt noise),
     // then the contractual single stdout JSON line, flushed last.
     try Files.writeString(Paths.get("bench_out.json"), line(qsFull) + "\n")
