@@ -1584,6 +1584,38 @@ object SparkEntry {
       TextAnalysis.bpeSegmentCounts(injected, "text",
         topPairMerges(s, injected, 8, unicode = true), unicode = true)
         .orderBy(col("symbol"))
+    }),
+
+    // ---- Unicode repetition + familiarity quality signals ----
+    // The bigram-based quality scorers with the unicode tokenizer:
+    // the injected suffix plants intra-doc repeats ("снова и" ×2) and
+    // corpus-wide boilerplate, so both signals are live on non-Latin
+    // text instead of silently reading 0 bigrams (the q97 failure
+    // mode closed for the whole text-stats family this round).
+    "q103_unicode_rep" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          lit(" снова и снова и снова зима")).as("text"))
+      TextAnalysis.repetitionStats(injected, "doc_id", "text",
+          unicode = true)
+        .join(TextAnalysis.bigramFamiliarity(injected, "doc_id", "text",
+            unicode = true)
+          .select(col("doc_id"), col("familiarity_m")), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Unicode corpus heavy hitters (exact, MG-nominated) ----
+    // frequentTerms with the unicode tokenizer — the injected
+    // Cyrillic tokens ride the 500-doc corpus over the threshold, so
+    // the vocabulary heavy-hitter path (nominate + exact recount) is
+    // proven multilingual end-to-end, digits included (\p{N}).
+    "q104_unicode_terms" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(
+        concat(coalesce(col("text"), lit("")),
+          lit(" снова и снова зима мороз")).as("text"))
+      TextAnalysis.frequentTerms(injected, "text", minCount = 200L,
+          unicode = true)
+        .orderBy(col("term"))
     })
   )
 
@@ -3178,6 +3210,48 @@ object SparkEntry {
         |  FROM seg
         |)
         |SELECT symbol, CAST(sum(tc) AS BIGINT) AS cnt FROM sym
-        |GROUP BY symbol ORDER BY symbol""".stripMargin
+        |GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    "q103_unicode_rep" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(
+        |    lower(coalesce(text, '') || ' снова и снова и снова зима'),
+        |    '[\p{L}\p{N}]+') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS b
+        |  FROM t WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT doc_id, b, count(*)::BIGINT AS c FROM bg GROUP BY doc_id, b
+        |), rep AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(c - 1) AS BIGINT) AS n_dup,
+        |    CAST(max(c) AS BIGINT) AS max_rep,
+        |    (CAST(sum(c - 1) AS BIGINT) * 1000000
+        |      // greatest(CAST(sum(c) AS BIGINT), 1)) AS dup_ppm
+        |  FROM c GROUP BY doc_id
+        |), cc AS (
+        |  SELECT b, count(*)::BIGINT AS cc FROM bg GROUP BY b
+        |), fam AS (
+        |  SELECT bg.doc_id,
+        |    (CAST(sum(cc.cc) AS BIGINT) * 1000000 // count(*)::BIGINT)
+        |      AS familiarity_m
+        |  FROM bg JOIN cc USING (b)
+        |  GROUP BY bg.doc_id
+        |)
+        |SELECT rep.doc_id, rep.n_bigrams, rep.n_dup, rep.max_rep,
+        |  rep.dup_ppm, fam.familiarity_m
+        |FROM rep JOIN fam USING (doc_id)
+        |ORDER BY rep.doc_id""".stripMargin,
+
+    "q104_unicode_terms" ->
+      """SELECT tok AS term, count(*)::BIGINT AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(
+        |    lower(coalesce(text, '') || ' снова и снова зима мороз'),
+        |    '[\p{L}\p{N}]+')) AS tok
+        |  FROM documents)
+        |GROUP BY tok HAVING count(*) >= 200
+        |ORDER BY term""".stripMargin
   )
 }

@@ -255,8 +255,9 @@ object TextAnalysis {
     * expression would re-evaluate it per output element — the r3
     * lesson), then one hash agg on (id, term) with map-side partial
     * combine. */
-  def termCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), alphaTokens(col(textCol)).as("__toks"))
+  def termCounts(df: DataFrame, idCol: String, textCol: String,
+      unicode: Boolean = false): DataFrame =
+    df.select(col(idCol), alphaTokens(col(textCol), unicode).as("__toks"))
       .select(col(idCol), explode(col("__toks")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
 
@@ -280,9 +281,9 @@ object TextAnalysis {
     * term)` spelling. df/cf aggregate the same exchange
     * (ReusedExchange) and join the postings term-on-term. */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
-      topK: Int = 5, minDf: Long = 1L): DataFrame = {
+      topK: Int = 5, minDf: Long = 1L, unicode: Boolean = false): DataFrame = {
     require(topK > 0, s"topK must be positive (got $topK)")
-    val tc = termCounts(df, idCol, textCol)
+    val tc = termCounts(df, idCol, textCol, unicode)
     val stats = tc.groupBy(col("term")).agg(
       count(lit(1)).as("df_docs"), sum(col("tf")).as("cf"))
       .filter(col("df_docs") >= minDf)
@@ -314,9 +315,9 @@ object TextAnalysis {
     * per doc before the shuffle, so the window never materializes a
     * full per-doc sort of the corpus. */
   def topTerms(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, unicode: Boolean = false): DataFrame = {
     require(k > 0)
-    val tc = termCounts(df, idCol, textCol)
+    val tc = termCounts(df, idCol, textCol, unicode)
     val dfq = docFrequency(tc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("tf").desc, col("term"))
@@ -354,8 +355,9 @@ object TextAnalysis {
     * element — the measured 23× trap), then two hash aggs with
     * map-side combine. Scan-dominated at 100 TB. */
   def repetitionStats(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val staged = df.select(col(idCol), alphaTokens(col(textCol)).as("__toks"))
+      textCol: String, unicode: Boolean = false): DataFrame = {
+    val staged = df.select(col(idCol),
+        alphaTokens(col(textCol), unicode).as("__toks"))
       .select(col(idCol), bigramsOfTokens(col("__toks")).as("__bg"))
     NearDedup.explodeStrings(staged, idCol, "__bg", "__b")
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
@@ -693,8 +695,9 @@ object TextAnalysis {
     * [[NearDedup.contamination]]'s shingle join. Docs with < 2
     * tokens have no bigrams and emit no row. */
   def bigramFamiliarity(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val staged = df.select(col(idCol), alphaTokens(col(textCol)).as("__toks"))
+      textCol: String, unicode: Boolean = false): DataFrame = {
+    val staged = df.select(col(idCol),
+        alphaTokens(col(textCol), unicode).as("__toks"))
       .select(col(idCol), bigramsOfTokens(col("__toks")).as("__bg"))
     val occ = NearDedup.explodeStrings(staged, idCol, "__bg", "__b")
     val corpus = occ.groupBy(col("__b")).agg(count(lit(1)).as("__cc"))
@@ -744,10 +747,11 @@ object TextAnalysis {
     *
     * Output: (term, cnt), exact. */
   def frequentTerms(df: DataFrame, textCol: String, minCount: Long,
-      summarySize: Int = 0): DataFrame = {
+      summarySize: Int = 0, unicode: Boolean = false): DataFrame = {
     require(minCount > 0, s"minCount must be positive (got $minCount)")
     require(summarySize >= 0)
-    val toks = df.select(lit(0L).as("__g"), alphaTokens(col(textCol)).as("__t"))
+    val toks = df.select(lit(0L).as("__g"),
+      alphaTokens(col(textCol), unicode).as("__t"))
     val stream = NearDedup.explodeStrings(toks, "__g", "__t", "term")
       .select(col("term"))
     val k: Int =
@@ -757,8 +761,8 @@ object TextAnalysis {
         // must derive k=1 (and fall through to an empty result), not
         // NPE on getLong
         val n = df.select(
-          coalesce(sum(size(alphaTokens(col(textCol)))).cast("long"), lit(0L))
-            .as("n"))
+          coalesce(sum(size(alphaTokens(col(textCol), unicode))).cast("long"),
+            lit(0L)).as("n"))
           .head().getLong(0)
         val derived = n / minCount + 1
         require(derived <= 50000000L,
@@ -811,8 +815,8 @@ object TextAnalysis {
             // a retry-heavy run (r8 advice); the exact pass runs only
             // on this failure path, never in the healthy one
             val exactN = df.select(
-              coalesce(sum(size(alphaTokens(col(textCol)))).cast("long"),
-                lit(0L)).as("n")).head().getLong(0)
+              coalesce(sum(size(alphaTokens(col(textCol), unicode)))
+                .cast("long"), lit(0L)).as("n")).head().getLong(0)
             val exactNeeded = exactN / minCount + 1
             require(exactNeeded <= k,
               s"summarySize $k < N/minCount + 1 = $exactNeeded (N=$exactN " +

@@ -143,6 +143,18 @@ class GramHeavySpec extends SparkSpec {
     assert(got == Set((1L, 3L, 1000000L), (6L, 7L, 1000000L)))
   }
 
+  test("frequentTerms unicode opt-in: non-Latin heavy hitters surface " +
+      "instead of tokenizing to nothing") {
+    val df = (Seq.fill(7)("снова зима снова") ++ Seq.fill(3)("лето раз"))
+      .map(Tuple1(_)).toDF("text").repartition(3)
+    // ASCII default: zero tokens, zero terms — the silent no-op
+    assert(TextAnalysis.frequentTerms(df, "text", 2L).isEmpty)
+    val got = TextAnalysis.frequentTerms(df, "text", 2L, unicode = true)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("снова" -> 14L, "зима" -> 7L, "лето" -> 3L,
+      "раз" -> 3L))
+  }
+
   test("frequentTerms on an empty corpus returns empty (derived-k path)") {
     val empty = Seq.empty[String].toDF("text")
     assert(TextAnalysis.frequentTerms(empty, "text", minCount = 2L).count() == 0)
