@@ -602,6 +602,35 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Persistable form of an ORDERED merge list — (merge_idx, left,
+    * right), merge_idx dense from 0 in training order. A trained
+    * tokenizer is train-once/apply-everywhere state: write this
+    * frame to parquet next to the corpus it was trained on and every
+    * later job ([[applyBpe]], [[bpeTokenCounts]],
+    * [[bpeSegmentCounts]], packing) reloads the identical list. */
+  def mergesToDF(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("merge_idx", "left", "right")
+  }
+
+  /** Inverse of [[mergesToDF]]: reload an ordered merge list. The
+    * index must be exactly 0..n-1 (a filtered or doubled store would
+    * silently train a DIFFERENT tokenizer — refused instead). Driver
+    * collect is merge-list-sized by construction. */
+  def mergesFromDF(df: DataFrame): Seq[(String, String)] = {
+    import df.sparkSession.implicits._
+    val rows = df.select(col("merge_idx").cast("int"), col("left"),
+        col("right"))
+      .as[(Int, String, String)].collect().sortBy(_._1)
+    require(rows.iterator.map(_._1).sameElements(rows.indices.iterator),
+      s"merge_idx must be dense 0..${rows.length - 1} — store is " +
+        "filtered, duplicated or not a merge table")
+    rows.map { case (_, l, r) => (l, r) }.toSeq
+  }
+
   /** Per-document EXACT BPE token count under an ordered merge list
     * — the true token budget [[Packing]]/[[Chunk]] need when the
     * whitespace proxy isn't good enough (seq-length packing is

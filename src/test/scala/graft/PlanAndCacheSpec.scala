@@ -60,6 +60,19 @@ class PlanAndCacheSpec extends SparkSpec {
       s"corpus-shuffling join in int8TopK:\n$plan")
   }
 
+  test("q101 unicode span removal: AQE broadcasts the dup-gram side, " +
+      "no join degenerates to a nested loop") {
+    val df = SparkEntry.queries("q101_unicode_spans")(spark,
+      "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join in q101:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE broadcast missing from q101's runtime plan:\n$plan")
+  }
+
   test("reader predicates reach the parquet scan (PushedFilters, F3/F4)") {
     val u = scratch("pushdown-ds")
     spark.range(1000).toDF("id").withColumn("v", $"id" * 2)

@@ -138,6 +138,21 @@ class BpePairSpec extends SparkSpec {
     assert(sec < 30.0, f"in-memory trainer took $sec%.1fs for 1500 merges")
   }
 
+  test("merge lists persist and reload in training order; a mangled " +
+      "store is refused") {
+    val corpus = Seq.fill(6)("lower lower newest widest").map(Tuple1(_))
+      .toDF("text")
+    val merges = TextAnalysis.trainBpe(corpus, "text", 8, minCount = 2L)
+    assert(merges.nonEmpty)
+    val dir = scratch("bpe-merges")
+    TextAnalysis.mergesToDF(spark, merges)
+      // scrambled write order: reload must restore TRAINING order
+      .orderBy($"right").write.mode("overwrite").parquet(dir)
+    assert(TextAnalysis.mergesFromDF(spark.read.parquet(dir)) == merges)
+    intercept[IllegalArgumentException](TextAnalysis.mergesFromDF(
+      spark.read.parquet(dir).filter($"merge_idx" =!= 1)))
+  }
+
   test("trainBpe stops early when no pair reaches minCount") {
     val df = Seq.fill(2)(Tuple1("ab cd")).toDF("text")
     // every pair occurs exactly twice; minCount=3 admits nothing
