@@ -1616,6 +1616,22 @@ object SparkEntry {
       TextAnalysis.frequentTerms(injected, "text", minCount = 200L,
           unicode = true)
         .orderBy(col("term"))
+    }),
+
+    // ---- BPE encode: per-doc ordered symbol stream ----
+    // The tokenizer step a training pipeline actually runs (q98
+    // counts the corpus distribution; this emits each document's
+    // encoded stream + exact budget): ONE codegen pass per row
+    // (ApplyBpeTokens), zero joins/shuffles — the floor for encoding,
+    // whose output is token-stream-sized however organized. Same
+    // one-round top-8 merge rule as q98 so DuckDB replays the
+    // segmentation; order preserved through the positional join in
+    // the oracle.
+    "q105_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        topPairMerges(s, docs.select(col("text")), 8))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3252,6 +3268,58 @@ object SparkEntry {
         |    '[\p{L}\p{N}]+')) AS tok
         |  FROM documents)
         |GROUP BY tok HAVING count(*) >= 200
-        |ORDER BY term""".stripMargin
+        |ORDER BY term""".stripMargin,
+
+    "q105_bpe_encode" ->
+      """WITH v AS (
+        |  SELECT tok, count(*)::BIGINT AS tc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |    FROM documents)
+        |  GROUP BY tok
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, len(tok)),
+        |    i -> tok[i] || ' ' || tok[i+1])) AS pair, tc
+        |  FROM v WHERE len(tok) >= 2
+        |), pc AS (
+        |  SELECT pair, CAST(sum(tc) AS BIGINT) AS cnt FROM p GROUP BY pair
+        |), m AS (
+        |  SELECT list(pair ORDER BY rnk) AS merges FROM (
+        |    SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+        |    FROM pc) WHERE rnk <= 8
+        |), nv AS (
+        |  -- per distinct token: its ordered SYMBOL LIST from the q98
+        |  -- (sym)(sym) fold
+        |  SELECT tok, regexp_extract_all(enc, '\(([^()]+)\)', 1) AS syms
+        |  FROM (
+        |    SELECT v.tok,
+        |      list_reduce(
+        |        list_prepend(
+        |          array_to_string(list_transform(range(1, len(tok) + 1),
+        |            i -> '(' || tok[i] || ')'), ''),
+        |          m.merges),
+        |        (acc, mm) -> replace(acc,
+        |          '(' || split_part(mm, ' ', 1) || ')(' ||
+        |            split_part(mm, ' ', 2) || ')',
+        |          '(' || split_part(mm, ' ', 1) ||
+        |            split_part(mm, ' ', 2) || ')')) AS enc
+        |    FROM v CROSS JOIN m)
+        |), dt AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |    generate_subscripts(toks, 1) AS pos
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')
+        |            AS toks
+        |        FROM documents WHERE doc_id IS NOT NULL)
+        |), enc AS (
+        |  SELECT dt.doc_id, flatten(list(nv.syms ORDER BY dt.pos)) AS syms
+        |  FROM dt JOIN nv USING (tok)
+        |  GROUP BY dt.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(len(enc.syms), 0) AS BIGINT) AS n_bpe,
+        |  coalesce(array_to_string(enc.syms, ' '), '') AS enc_text
+        |FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+        |LEFT JOIN enc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -109,16 +109,23 @@ object GraftExtensions {
     // safe delimiters; '' = no merges (character segmentation)
     "graft_apply_bpe" -> { args =>
       require(args.length == 2, "graft_apply_bpe(tok, 'l r,l r,…')")
-      val spec = litString(args(1), "merges")
-      val merges = spec.split(",").iterator.map(_.trim).filter(_.nonEmpty)
-        .map { m =>
-          val p = m.split(" ", 2)
-          require(p.length == 2 && p(0).nonEmpty && p(1).nonEmpty,
-            s"merge '$m' must be 'left right'")
-          (p(0), p(1))
-        }.toSeq
-      graft.ops.ApplyBpe(args(0), merges)
+      graft.ops.ApplyBpe(args(0), parseMerges(litString(args(1), "merges")))
+    },
+    "graft_apply_bpe_tokens" -> { args =>
+      require(args.length == 2,
+        "graft_apply_bpe_tokens(tokens, 'l r,l r,…')")
+      graft.ops.ApplyBpeTokens(args(0),
+        parseMerges(litString(args(1), "merges")))
     })
+
+  private def parseMerges(spec: String): Seq[(String, String)] =
+    spec.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { m =>
+        val p = m.split(" ", 2)
+        require(p.length == 2 && p(0).nonEmpty && p(1).nonEmpty,
+          s"merge '$m' must be 'left right'")
+        (p(0), p(1))
+      }.toSeq
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft.functions.GraftExtensions", name)

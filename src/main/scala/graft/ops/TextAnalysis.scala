@@ -664,6 +664,34 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
   }
 
+  /** Per-document BPE ENCODE — the tokenizer step a training
+    * pipeline actually runs: the document's token stream segmented
+    * under the ordered merge list, symbols in token order, plus the
+    * exact token budget. Output: (idCol, n_bpe, enc_text) — one row
+    * per non-null-id input row, enc_text the space-joined symbol
+    * stream (symbols are letter/digit runs, so the join is
+    * lossless), null text reads as empty (0 symbols, '').
+    *
+    * Scale shape: ONE codegen pass per row ([[ApplyBpeTokens]]),
+    * zero joins, zero shuffles — parquet-scan speed. That is the
+    * floor for encoding: the output is token-stream-sized no matter
+    * how the work is organized, so vocabulary-deduped segmentation
+    * (the [[bpeTokenCounts]] shape) would ADD exchanges carrying the
+    * same mass it saves in segmentation; per-row work wins. Counting
+    * without the encoded text → [[bpeTokenCounts]]. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], unicode: Boolean = false): DataFrame = {
+    import graft.functions.GraftFunctions.{column => cexp, expr => eexp}
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        alphaTokens(coalesce(col(textCol), lit("")), unicode).as("__t"))
+      .select(col(idCol),
+        cexp(ApplyBpeTokens(eexp(col("__t")), merges)).as("__syms"))
+      .select(col(idCol),
+        size(col("__syms")).cast("long").as("n_bpe"),
+        array_join(col("__syms"), " ").as("enc_text"))
+  }
+
   /** Corpus BPE symbol counts under an ordered merge list — the
     * "what does my trained tokenizer's unit distribution look like"
     * table. Computed over
@@ -998,8 +1026,26 @@ case class ApplyBpe(child: org.apache.spark.sql.catalyst.expressions.Expression,
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  def compute(tok: UTF8String): GenericArrayData = {
-    val s = tok.toString
+  def compute(tok: UTF8String): GenericArrayData =
+    new GenericArrayData(ApplyBpe.segment(tok.toString, mergeArr)
+      .map(UTF8String.fromString(_): Any))
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("applyBpe", this, classOf[ApplyBpe].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+  override def prettyName: String = "apply_bpe"
+}
+
+object ApplyBpe {
+  /** The ONE BPE apply loop ([[ApplyBpe]] per-token, [[ApplyBpeTokens]]
+    * per-array): codepoint split, then per merge one greedy
+    * left-to-right pass. */
+  private[ops] def segment(s: String,
+      mergeArr: Array[(String, String)]): Array[String] = {
     var segs: Array[String] =
       s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     var m = 0
@@ -1016,15 +1062,52 @@ case class ApplyBpe(child: org.apache.spark.sql.catalyst.expressions.Expression,
       segs = java.util.Arrays.copyOf(out, o)
       m += 1
     }
-    new GenericArrayData(segs.map(UTF8String.fromString(_): Any))
+    segs
+  }
+}
+
+/** `apply_bpe_tokens(tokens)` → array<string>: the per-DOCUMENT
+  * encode — every token of the input array segmented under the
+  * baked-in merge list ([[ApplyBpe]] semantics), symbols concatenated
+  * in token order. One codegen pass per row, zero joins/shuffles —
+  * the scale shape for ENCODING: the output is token-stream-sized no
+  * matter what, so per-row work is the floor (counting-only callers
+  * want [[TextAnalysis.bpeTokenCounts]], which dedups segmentation
+  * over the vocabulary instead). */
+case class ApplyBpeTokens(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    merges: Seq[(String, String)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val mergeArr: Array[(String, String)] =
+    merges.toArray
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(toks: ArrayData): GenericArrayData = {
+    val n = toks.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val segs = ApplyBpe.segment(toks.getUTF8String(i).toString, mergeArr)
+      var j = 0
+      while (j < segs.length) { out += UTF8String.fromString(segs(j)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
-  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("applyBpe", this, classOf[ApplyBpe].getName)
+    val ref = ctx.addReferenceObj("applyBpeTokens", this,
+      classOf[ApplyBpeTokens].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
-  override def prettyName: String = "apply_bpe"
+  override def prettyName: String = "apply_bpe_tokens"
 }

@@ -241,6 +241,28 @@ class BpePairSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncode: symbol stream in token order, budgets agree with " +
+      "bpeTokenCounts, concatenation rebuilds the token stream") {
+    val rows = Seq(
+      (java.lang.Long.valueOf(1L), "the then the"),
+      (java.lang.Long.valueOf(2L), "!! 12"), // token-less
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[String]),
+      (null.asInstanceOf[java.lang.Long], "the")) // null id drops
+    val df = rows.toDF("doc_id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val enc = TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(enc == Seq(
+      (1L, 4L, "the the n the"), // 'then' → [the, n]
+      (2L, 0L, ""), (3L, 0L, "")))
+    // budgets equal the vocabulary-join spelling on every doc
+    val viaCounts = TextAnalysis.bpeTokenCounts(df, "doc_id", "text",
+      merges).as[(Long, Long)].collect().toMap
+    assert(enc.map(e => e._1 -> e._2).toMap == viaCounts)
+    // conservation: symbols concatenated == tokens concatenated
+    assert(enc.head._3.replace(" ", "") == "thethenthe")
+  }
+
   test("bpeSegmentCounts conserves total symbol mass") {
     val df = Seq.fill(4)(Tuple1("the then there he")).toDF("text")
     val merges = TextAnalysis.trainBpe(df, "text", 3, minCount = 2L)
