@@ -1632,6 +1632,28 @@ object SparkEntry {
       TextAnalysis.bpeEncode(docs, "doc_id", "text",
         topPairMerges(s, docs.select(col("text")), 8))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Unicode script profile (multilingual routing) ----
+    // Writing-system routing before language-specific processing:
+    // per-doc exact script letter counts + dominant script. The
+    // fixture is ASCII, so each doc keeps a 10-char Latin prefix and
+    // gains a per-doc-id script suffix — dominance must flip to the
+    // suffix script, exercising the full CASE chain; counts are
+    // exact integers in both engines (Java \p{IsXxx} == RE2 \p{Xxx},
+    // the Unicode Script property).
+    "q106_script_profile" -> ((s, dir) => {
+      val routed = t(s, dir, "documents").select(col("doc_id"),
+        concat(substring(coalesce(col("text"), lit("")), 1, 10),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit(" привет мир зима снова холод"))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            lit(" 世界人民大团结万岁世界人民"))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            lit(" مرحبا بكم في العالم الكبير"))
+          .otherwise(lit(" δελτα καιρος ελλας θαλασσα"))).as("text"))
+      TextAnalysis.scriptProfile(routed, "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3320,6 +3342,44 @@ object SparkEntry {
         |  coalesce(array_to_string(enc.syms, ' '), '') AS enc_text
         |FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
         |LEFT JOIN enc USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q106_script_profile" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    substr(coalesce(text, ''), 1, 10) ||
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN ' привет мир зима снова холод'
+        |      WHEN 1 THEN ' 世界人民大团结万岁世界人民'
+        |      WHEN 2 THEN ' مرحبا بكم في العالم الكبير'
+        |      ELSE ' δελτα καιρος ελλας θαλασσα' END AS t2
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t2, '\p{Latin}')) AS BIGINT)
+        |      AS n_latin,
+        |    CAST(len(regexp_extract_all(t2, '\p{Cyrillic}')) AS BIGINT)
+        |      AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(t2, '\p{Han}')) AS BIGINT) AS n_han,
+        |    CAST(len(regexp_extract_all(t2, '\p{Arabic}')) AS BIGINT)
+        |      AS n_arabic,
+        |    CAST(len(regexp_extract_all(t2, '\p{Greek}')) AS BIGINT)
+        |      AS n_greek,
+        |    CAST(len(regexp_extract_all(t2, '\p{L}')) AS BIGINT) AS nl
+        |  FROM r
+        |)
+        |SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_greek,
+        |  nl - n_latin - n_cyrillic - n_han - n_arabic - n_greek AS n_other,
+        |  CASE
+        |    WHEN greatest(n_latin, n_cyrillic, n_han, n_arabic, n_greek) = 0
+        |      THEN 'none'
+        |    WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+        |      AND n_latin >= n_arabic AND n_latin >= n_greek THEN 'latin'
+        |    WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic
+        |      AND n_cyrillic >= n_greek THEN 'cyrillic'
+        |    WHEN n_han >= n_arabic AND n_han >= n_greek THEN 'han'
+        |    WHEN n_arabic >= n_greek THEN 'arabic'
+        |    ELSE 'greek' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -937,6 +937,43 @@ object TextAnalysis {
       .select(keep :+ langIdOfTokens(col("__toks")).as(outCol): _*)
   }
 
+  /** Per-document Unicode SCRIPT profile — the routing signal a
+    * multilingual pipeline applies BEFORE language-specific
+    * processing (choose tokenizer/segmenter, shard a crawl by
+    * writing system, catch mojibake as high `n_other`): exact
+    * per-script letter counts for the five big crawl scripts plus
+    * the remainder, and the dominant script label (`none` when the
+    * doc has no letters; ties break in column order — latin first).
+    *
+    * Scan work: one codegen'd `regexp_count` per script class, no
+    * tokenization, no shuffle. Cross-engine parity: Java's
+    * `\p{IsXxx}` and RE2's `\p{Xxx}` both implement the Unicode
+    * Script property, and the tie-break is a fixed CASE chain any
+    * engine replays (the q106 oracle). Output: (idCol, n_latin,
+    * n_cyrillic, n_han, n_arabic, n_greek, n_other, script) — one
+    * row per input row, null text reads as empty. */
+  def scriptProfile(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val scripts = Seq(
+      "n_latin" -> "\\p{IsLatin}", "n_cyrillic" -> "\\p{IsCyrillic}",
+      "n_han" -> "\\p{IsHan}", "n_arabic" -> "\\p{IsArabic}",
+      "n_greek" -> "\\p{IsGreek}")
+    val counted = df.select(col(idCol) +:
+      (scripts.map { case (n, cls) =>
+        regexp_count(t, lit(cls)).cast("long").as(n)
+      } :+ regexp_count(t, lit("\\p{L}")).cast("long").as("__nl")): _*)
+    val Seq(l, c, h, a, g) = scripts.map { case (n, _) => col(n) }
+    counted.select(col(idCol), l, c, h, a, g,
+      (col("__nl") - l - c - h - a - g).as("n_other"),
+      when(greatest(l, c, h, a, g) === 0, "none")
+        .when(l >= c && l >= h && l >= a && l >= g, "latin")
+        .when(c >= h && c >= a && c >= g, "cyrillic")
+        .when(h >= a && h >= g, "han")
+        .when(a >= g, "arabic")
+        .otherwise("greek").as("script"))
+  }
+
   /** Attach the full analysis column set — one scan, token arrays
     * materialized once (see class doc). */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -167,6 +167,29 @@ class DedupTextSpec extends SparkSpec {
     assert(fps.distinct.length == 1)
   }
 
+  test("scriptProfile: exact per-script counts, dominant label, " +
+      "tie-break in column order, none/null handling") {
+    val rows = Seq(
+      (1L, "abc привет мир"),       // cyrillic 9 > latin 3
+      (2L, "hello 世界"),            // latin 5 > han 2
+      (3L, "ab вг"),                // TIE latin 2 = cyrillic 2 → latin
+      (4L, "12 .,!"),               // no letters → none
+      (5L, null.asInstanceOf[String]), // null text → none
+      (6L, "abc ﬁn"))               // U+FB01 ligature: Latin but also
+                                    // counted in n_latin AND \p{L}
+    val out = TextAnalysis.scriptProfile(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSeq
+    assert(out(0) == ((1L, 3L, 9L, 0L, 0L, 0L, 0L, "cyrillic")))
+    assert(out(1) == ((2L, 5L, 0L, 2L, 0L, 0L, 0L, "latin")))
+    assert(out(2) == ((3L, 2L, 2L, 0L, 0L, 0L, 0L, "latin"))) // tie
+    assert(out(3) == ((4L, 0L, 0L, 0L, 0L, 0L, 0L, "none")))
+    assert(out(4) == ((5L, 0L, 0L, 0L, 0L, 0L, 0L, "none")))
+    assert(out(5)._2 == 5L && out(5)._8 == "latin") // ﬁ is one Latin char
+  }
+
   test("analyze attaches the full metric column set in one pass") {
     val df = Seq((1L, "The quick brown fox is near the old bridge tonight."))
       .toDF("doc_id", "text")
