@@ -163,4 +163,70 @@ class PipelineIntegrationSpec extends SparkSpec {
     // bins partition the corpus: no rows lost or duplicated
     assert(binned.count() == screened.count())
   }
+
+  test("multilingual pipeline: script routing -> unicode near-dedup " +
+      "-> tokenizer train -> encode -> pack on exact budgets") {
+    import graft.ops.{NearDedup, Packing, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // a mixed-script crawl: even ids become Cyrillic docs whose body
+    // varies by id but repeats exactly within groups of 10
+    val crawl = docs.select($"doc_id",
+      when(pmod($"doc_id", lit(2)) === 0, concat(
+        lit("привет мир документ серия "),
+        translate(($"doc_id" / 20).cast("long").cast("string"),
+          "0123456789", "абвгдежзик")))
+        .otherwise($"text").as("text"))
+
+    // 1. route by writing system
+    val routed = TextAnalysis.scriptProfile(crawl, "doc_id", "text")
+      .select($"doc_id", $"script")
+      .join(crawl, Seq("doc_id"))
+    val cyr = routed.filter($"script" === "cyrillic")
+    val lat = routed.filter($"script" === "latin")
+    assert(cyr.count() > 0 && lat.count() > 0)
+    assert(cyr.count() + lat.count() == routed.count()) // nothing lost
+
+    // 2. unicode near-dedup on the Cyrillic shard: the repeated
+    // bodies are exact near-dups; keep the lowest id of each group
+    val pairs = NearDedup.nearDuplicates(cyr, "doc_id", "text",
+      minJaccard = 0.9, unicode = true)
+    assert(pairs.count() > 0, "ASCII tokenizer would find nothing here")
+    val losers = pairs.select($"id_b".as("doc_id")).distinct()
+    val uniqueCyr = cyr.join(losers, Seq("doc_id"), "left_anti")
+    // one survivor per body group
+    assert(uniqueCyr.select($"text").distinct().count() ==
+      uniqueCyr.count())
+
+    // 3. train a tokenizer on the surviving shard (in-memory path),
+    // persist + reload the merge list
+    val merges = TextAnalysis.trainBpe(uniqueCyr, "text", 24,
+      minCount = 2L, unicode = true)
+    assert(merges.nonEmpty &&
+      merges.exists { case (l, r) => (l + r).exists(_ > 'z') })
+    val store = scratch("ml-merges")
+    TextAnalysis.mergesToDF(spark, merges).write.parquet(store)
+    val reloaded = TextAnalysis.mergesFromDF(spark.read.parquet(store))
+    assert(reloaded == merges)
+
+    // 4. encode under the reloaded tokenizer; budgets agree with the
+    // vocabulary-join count path
+    val enc = TextAnalysis.bpeEncode(uniqueCyr, "doc_id", "text",
+      reloaded, unicode = true)
+    val viaCounts = TextAnalysis.bpeTokenCounts(uniqueCyr, "doc_id",
+      "text", reloaded, unicode = true)
+    assert(enc.select($"doc_id", $"n_bpe").except(viaCounts).isEmpty)
+    assert(enc.filter($"n_bpe" === 0L).isEmpty) // every doc has tokens
+
+    // 5. pack the encoded stream into 64-token bins: offsets tile
+    // the stream exactly
+    val packed = Packing.packed(enc, Seq($"doc_id"), "n_bpe",
+      chunkTokens = 64L)
+    val rows = packed.orderBy($"doc_id")
+      .select($"n_bpe", $"tok_start").as[(Long, Long)].collect()
+    rows.sliding(2).foreach {
+      case Array((n, s), (_, s2)) => assert(s + n == s2)
+      case _ => ()
+    }
+  }
 }
