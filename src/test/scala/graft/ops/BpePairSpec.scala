@@ -123,6 +123,23 @@ class BpePairSpec extends SparkSpec {
     assert(got.length > 20, s"degenerate fixture: ${got.length} merges")
   }
 
+  test("in-memory trainer at real tokenizer scale: 32k merges over a " +
+      "60k-word vocabulary") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq.fill(60000)(
+      Seq.fill(5 + rnd.nextInt(10))(('a' + rnd.nextInt(8)).toChar).mkString)
+      .groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong + 1L) } // weights ≥ 2
+      .toArray
+    val t0 = System.nanoTime()
+    val merges = TextAnalysis.trainBpeInMemory(vocab, 32000, minCount = 2L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 32000, s"only ${merges.length} merges")
+    assert(merges.distinct.length == merges.length)
+    assert(sec < 120.0, f"32k merges took $sec%.1fs")
+    info(f"32k merges over ${vocab.length} words in $sec%.2fs")
+  }
+
   test("in-memory trainer reaches real merge counts (1k+) in seconds") {
     val rnd = new scala.util.Random(7)
     val vocab = Seq.fill(4000)(
