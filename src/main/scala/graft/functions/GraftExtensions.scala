@@ -96,6 +96,10 @@ object GraftExtensions {
       require(args.length == 1, "graft_simple_lower(text)")
       graft.ops.SimpleLower(args(0))
     },
+    "graft_script_counts" -> { args =>
+      require(args.length == 1, "graft_script_counts(text)")
+      graft.ops.ScriptCounts(args(0))
+    },
     "graft_repeated_gram_starts" -> { args =>
       require(args.length == 2, "graft_repeated_gram_starts(tokens, n)")
       graft.ops.RepeatedGramStarts(args(0), litInt(args(1), "n"))

@@ -954,18 +954,21 @@ object TextAnalysis {
     * row per input row, null text reads as empty. */
   def scriptProfile(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val t = coalesce(col(textCol), lit(""))
-    val scripts = Seq(
-      "n_latin" -> "\\p{IsLatin}", "n_cyrillic" -> "\\p{IsCyrillic}",
-      "n_han" -> "\\p{IsHan}", "n_arabic" -> "\\p{IsArabic}",
-      "n_greek" -> "\\p{IsGreek}")
-    val counted = df.select(col(idCol) +:
-      (scripts.map { case (n, cls) =>
-        regexp_count(t, lit(cls)).cast("long").as(n)
-      } :+ regexp_count(t, lit("\\p{L}")).cast("long").as("__nl")): _*)
-    val Seq(l, c, h, a, g) = scripts.map { case (n, _) => col(n) }
-    counted.select(col(idCol), l, c, h, a, g,
-      (col("__nl") - l - c - h - a - g).as("n_other"),
+    // ONE codegen pass over the text ([[ScriptCounts]]) — the
+    // regexp_count spelling re-scans every document once per script
+    // class (6×), and Java's \p{IsXxx} / \p{L} are by definition
+    // Character.UnicodeScript / Character.isLetter membership, so
+    // the kernel computes the identical counts
+    val counted = df.select(col(idCol),
+      graft.functions.GraftFunctions.column(ScriptCounts(
+        graft.functions.GraftFunctions.expr(
+          coalesce(col(textCol), lit(""))))).as("__sc"))
+    val Seq(l, c, h, a, g) = Seq("n_latin", "n_cyrillic", "n_han",
+      "n_arabic", "n_greek").map(n => col("__sc").getField(n))
+    counted.select(col(idCol),
+      l.as("n_latin"), c.as("n_cyrillic"), h.as("n_han"),
+      a.as("n_arabic"), g.as("n_greek"),
+      (col("__sc").getField("n_letter") - l - c - h - a - g).as("n_other"),
       when(greatest(l, c, h, a, g) === 0, "none")
         .when(l >= c && l >= h && l >= a && l >= g, "latin")
         .when(c >= h && c >= a && c >= g, "cyrillic")
@@ -1037,6 +1040,61 @@ case class SimpleLower(
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
   override def prettyName: String = "simple_lower"
+}
+
+/** `script_counts(text)` → struct of exact per-script letter-or-
+  * script-member counts in ONE codepoint pass — the kernel behind
+  * [[TextAnalysis.scriptProfile]]. Semantics are exactly the regex
+  * classes the oracle replays: `n_<script>` counts
+  * `Character.UnicodeScript` membership (Java `\p{IsXxx}`, RE2
+  * `\p{Xxx}`), `n_letter` counts `Character.isLetter` (`\p{L}`). */
+case class ScriptCounts(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_latin", LongType, nullable = false),
+    StructField("n_cyrillic", LongType, nullable = false),
+    StructField("n_han", LongType, nullable = false),
+    StructField("n_arabic", LongType, nullable = false),
+    StructField("n_greek", LongType, nullable = false),
+    StructField("n_letter", LongType, nullable = false)))
+
+  def compute(in: UTF8String): InternalRow = {
+    import java.lang.Character.UnicodeScript
+    val s = in.toString
+    var l, c, h, a, g, nl = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      UnicodeScript.of(cp) match {
+        case UnicodeScript.LATIN => l += 1
+        case UnicodeScript.CYRILLIC => c += 1
+        case UnicodeScript.HAN => h += 1
+        case UnicodeScript.ARABIC => a += 1
+        case UnicodeScript.GREEK => g += 1
+        case _ => ()
+      }
+      if (Character.isLetter(cp)) nl += 1
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](l, c, h, a, g, nl))
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scriptCounts", this,
+      classOf[ScriptCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+  override def prettyName: String = "script_counts"
 }
 
 /** `apply_bpe(token)` → array<string> BPE symbols under the baked-in

@@ -60,6 +60,12 @@ class GraftExtensionsSpec extends SparkSpec {
     // simple lowercase: word-final sigma maps to σ (not Java's ς)
     assert(spark.sql("SELECT graft_simple_lower('ΜΥΣ')")
       .as[String].head() == "μυσ")
+    // script counts: one-pass struct (latin, cyrillic, han, arabic,
+    // greek, letters)
+    assert(spark.sql(
+      "SELECT s.* FROM (SELECT graft_script_counts('ab мир 世 δ!') AS s)")
+      .as[(Long, Long, Long, Long, Long, Long)].head() ==
+      ((2L, 3L, 1L, 0L, 1L, 7L)))
   }
 
   test("non-literal dtype raises a clear error") {
