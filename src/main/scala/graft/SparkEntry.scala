@@ -1654,6 +1654,19 @@ object SparkEntry {
           .otherwise(lit(" δελτα καιρος ελλας θαλασσα"))).as("text"))
       TextAnalysis.scriptProfile(routed, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Decontamination SURGERY (span-level, vs doc-level q53) ----
+    // q53/q81 flag or drop whole documents that overlap the held-out
+    // benchmark; this excises exactly the leaked 5-gram spans and
+    // keeps the rest of the document. Benchmark = doc_id % 101 == 0
+    // (the q53 convention). The reference gram set is benchmark-sized
+    // so AQE broadcasts it — the corpus side never shuffles.
+    "q107_decontam_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.DupSpans.removeSharedSpans(docs, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(101)) === 0), "text", n = 5)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3380,6 +3393,37 @@ object SparkEntry {
         |    WHEN n_han >= n_arabic AND n_han >= n_greek THEN 'han'
         |    WHEN n_arabic >= n_greek THEN 'arabic'
         |    ELSE 'greek' END AS script
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q107_decontam_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, s, array_to_string(toks[s+1 : s+5], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS s
+        |        FROM t WHERE len(toks) >= 5)
+        |), ref AS (
+        |  SELECT DISTINCT array_to_string(toks[s+1 : s+5], ' ') AS gram
+        |  FROM (SELECT toks, unnest(range(0, len(toks) - 4)) AS s
+        |        FROM (SELECT regexp_extract_all(lower(coalesce(text, '')),
+        |                       '[a-z]+') AS toks
+        |              FROM documents WHERE doc_id % 101 = 0)
+        |        WHERE len(toks) >= 5)
+        |), ds AS (
+        |  SELECT g.doc_id, list_sort(list(g.s)) AS starts
+        |  FROM g JOIN ref USING (gram) GROUP BY g.doc_id
+        |), cleaned AS (
+        |  SELECT t.doc_id, toks,
+        |    list_filter(toks, (x, i) -> len(list_filter(
+        |      coalesce(ds.starts, CAST([] AS BIGINT[])),
+        |      v -> v <= i - 1 AND i - 1 < v + 5)) = 0) AS clean
+        |  FROM t LEFT JOIN ds ON t.doc_id = ds.doc_id
+        |)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) - len(clean) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(clean, ' '), '') AS clean_text
+        |FROM cleaned ORDER BY doc_id""".stripMargin
   )
 }

@@ -250,7 +250,15 @@ object DupSpans {
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
       .filter(col("__mn") =!= col("__mx"))
       .select(col("gram"))
-    val dupStarts = grams.join(dupGrams, Seq("gram"), "left_semi")
+    spliceAgainst(toks, grams, dupGrams, idCol, n)
+  }
+
+  /** Shared splice tail of [[removeSpans]]/[[removeSharedSpans]]:
+    * positions of `grams` whose gram is in `badGrams` are spliced
+    * out of `toks`. */
+  private def spliceAgainst(toks: DataFrame, grams: DataFrame,
+      badGrams: DataFrame, idCol: String, n: Int): DataFrame = {
+    val dupStarts = grams.join(badGrams, Seq("gram"), "left_semi")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__s").cast("long"))).as("__st"))
     val clean = graft.functions.GraftFunctions.column(
@@ -262,6 +270,43 @@ object DupSpans {
       toks.join(dupStarts, Seq(idCol), "left")
         .withColumn("__clean", clean),
       idCol)
+  }
+
+  /** Cross-CORPUS span removal — decontamination SURGERY: every
+    * token position of `df` covered by an n-gram that occurs
+    * anywhere in `reference` (a benchmark / eval set) is spliced
+    * out, and the survivors re-join into the cleaned text. The
+    * doc-level alternative ([[NearDedup.contamination]] /
+    * `bloomContamination` + drop) discards a whole document for one
+    * quoted benchmark passage; this keeps the document and excises
+    * exactly the leaked spans (the Lee et al. splice applied to
+    * eval-set leakage). Same unit and output contract as
+    * [[removeSpans]].
+    *
+    * Scale shape: the reference's DISTINCT gram set is
+    * benchmark-sized — for real benchmarks orders of magnitude
+    * smaller than the corpus — so AQE broadcasts it and the corpus
+    * side never shuffles: tokenize → per-row gram starts → splice,
+    * at parquet-scan speed. A corpus-sized reference degrades to a
+    * hash semi-join on gram (the honest floor). `persistTokens`
+    * trades the two corpus tokenize scans for one, as in
+    * [[removeSpans]]. */
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, n: Int,
+      unicode: Boolean = false,
+      persistTokens: Option[org.apache.spark.storage.StorageLevel] = None)
+      : DataFrame = {
+    require(n >= 1, s"span width must be positive (got $n)")
+    val tk = tokenized(df, idCol, textCol, unicode)
+    val toks = persistTokens.map(tk.persist).getOrElse(tk)
+    val grams = gramsOfTokenized(toks, idCol, n)
+    val refGrams = gramsOfTokenized(
+      reference.select(lit(0L).as("__rid"),
+        TextAnalysis.alphaTokens(coalesce(col(refTextCol), lit("")), unicode)
+          .as("__t")),
+      "__rid", n)
+      .select(col("gram")).distinct()
+    spliceAgainst(toks, grams, refGrams, idCol, n)
   }
 }
 

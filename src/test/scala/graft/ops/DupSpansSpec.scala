@@ -249,6 +249,29 @@ class DupSpansSpec extends SparkSpec {
       s"expected multiple scans without the knob, counted $plainScans")
   }
 
+  test("removeSharedSpans: only reference-shared spans splice; " +
+      "corpus-internal duplication is untouched; empty reference " +
+      "is a no-op") {
+    val corpus = Seq(
+      (java.lang.Long.valueOf(1L), "a b c z a b c"), // internal repeat only
+      (java.lang.Long.valueOf(2L), "p q r s t"),     // p q r leaked from ref
+      (java.lang.Long.valueOf(3L), "x y"))           // shorter than n
+      .toDF("doc_id", "text")
+    val ref = Seq(Tuple1("p q r other words")).toDF("text")
+    val out = DupSpans.removeSharedSpans(corpus, "doc_id", "text",
+        ref, "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 7L, 0L, "a b c z a b c"), // cross-DOC dup is not the unit here
+      (2L, 5L, 3L, "s t"),           // "p q r" span (start 0) covers 0..2
+      (3L, 2L, 0L, "x y")))
+    // empty reference: nothing to share, everything passes through
+    val noop = DupSpans.removeSharedSpans(corpus, "doc_id", "text",
+        ref.filter(org.apache.spark.sql.functions.lit(false)), "text", n = 3)
+      .agg(org.apache.spark.sql.functions.sum($"n_removed")).as[Long].head()
+    assert(noop == 0L)
+  }
+
   test("removeSpans accounting reconciles with spanCoverage") {
     val rows: Seq[(java.lang.Long, String)] = (1L to 30L).map { i =>
       // letter-only tags: alphaTokens is [a-z]+, so a digit suffix
