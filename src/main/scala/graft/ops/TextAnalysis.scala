@@ -369,6 +369,113 @@ object TextAnalysis {
         expr("n_dup * 1000000 div greatest(n_bigrams, 1)"))
   }
 
+  // ---------------------------------------------------------------
+  //  Corpus-LM document scoring (CCNet-family quality signal)
+  // ---------------------------------------------------------------
+
+  /** Bigram language-model tables from a training corpus:
+    * `(uni(w, cu), bi(w1, w2, cb))`. The CCNet recipe (Wenzek et
+    * al. 2019) trains an LM on a trusted corpus and keeps crawl
+    * documents the model finds unsurprising; this is the count
+    * layer of that recipe, persistable like a BPE merge list
+    * ([[mergesToDF]] pattern) so one training pays for every
+    * scoring pass.
+    *
+    * `uni` is the FULL vocabulary — backoff scoring needs every
+    * unigram, and a vocabulary is bounded regardless of corpus
+    * size. `bi` keeps bigrams with `cb >= minCount`: pruning is
+    * what makes the LM broadcastable at scale, and [[lmScore]]'s
+    * backoff makes pruned bigrams score as unseen (the stupid-
+    * backoff contract, Brants et al. 2007).
+    *
+    * Scale shape: the corpus is touched ONCE; both tables are one
+    * hash agg with map-side combine (the bigram array is staged
+    * behind a projection boundary and exploded through the typed
+    * flatMap — the measured 23× Generate-over-HOF trap). */
+  def lmTables(train: DataFrame, textCol: String, minCount: Long = 2L,
+      unicode: Boolean = false): (DataFrame, DataFrame) = {
+    require(minCount >= 1, s"minCount must be positive (got $minCount)")
+    val toks = train.select(alphaTokens(col(textCol), unicode).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val staged = toks.select(lit(0L).as("__z"),
+      bigramsOfTokens(col("__t")).as("__bg"))
+    val bi = NearDedup.explodeStrings(staged, "__z", "__bg", "__g")
+      .groupBy(col("__g")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+      .select(split(col("__g"), " ").getItem(0).as("w1"),
+        split(col("__g"), " ").getItem(1).as("w2"), col("cb"))
+    (uni, bi)
+  }
+
+  /** Score each document by the mean probability its token
+    * transitions get under a bigram LM (from [[lmTables]]) — the
+    * quality signal CCNet uses to rank crawl text against a
+    * trusted corpus, here with stupid backoff: a kept bigram
+    * scores `p(w2|w1) = cb/cu(w1)`, anything else backs off to
+    * `0.4 · cu(w2)/N`. Repeated boilerplate scores high, text
+    * unlike the training corpus scores low.
+    *
+    * All arithmetic is EXACT integer ppm — `1000000·cb div cu1`
+    * and `400000·cu2 div N` (0.4 scales to exactly 400000/10⁶) —
+    * so the score is engine-independent and DuckDB-replayable; no
+    * float log-prob whose summation order could flip a hash check.
+    * Counts must stay below ~9.2e12 for the ppm products to fit a
+    * long (the [[repetitionStats]] convention). Output: one row
+    * per DISTINCT non-null id (the [[Dedup]]/[[DupSpans]] id
+    * contract): `(idCol, n_trans, score_sum, mean_ppm)`; docs with
+    * fewer than two tokens score 0 over 0 transitions.
+    *
+    * Scale shape: the corpus reduces to distinct (doc, transition)
+    * pairs with multiplicity — the exchange floor — then joins the
+    * LM tables on token keys (AQE broadcasts the pruned `bi` and
+    * vocabulary-sized `uni` when they fit; the hash join on token
+    * keys is the honest floor when they don't). `N` rides a
+    * broadcast cross join of a one-row aggregate. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame, unicode: Boolean = false): DataFrame = {
+    val tot = broadcast(uni.agg(sum(col("cu")).as("__N")))
+    val nonNull = df.filter(col(idCol).isNotNull)
+    val staged = nonNull
+      .select(col(idCol), alphaTokens(col(textCol), unicode).as("__t"))
+      .select(col(idCol), bigramsOfTokens(col("__t")).as("__bg"))
+    val m = NearDedup.explodeStrings(staged, idCol, "__bg", "__g")
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__m"))
+      .select(col(idCol),
+        split(col("__g"), " ").getItem(0).as("w1"),
+        split(col("__g"), " ").getItem(1).as("w2"), col("__m"))
+    val scored = m
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("cu").as("__cu1")),
+        Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("__cu2")),
+        Seq("w2"), "left")
+      .crossJoin(tot)
+      .withColumn("__p", expr(
+        "CASE WHEN cb IS NOT NULL" +
+        " THEN 1000000 * cb div greatest(coalesce(__cu1, 1), 1)" +
+        " ELSE 400000 * coalesce(__cu2, 0) div greatest(__N, 1) END"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__m")).as("__nt"),
+        sum(col("__m") * col("__p")).as("__sc"))
+    nonNull.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nt"), lit(0L)).as("n_trans"),
+        coalesce(col("__sc"), lit(0L)).as("score_sum"))
+      .withColumn("mean_ppm", expr("score_sum div greatest(n_trans, 1)"))
+  }
+
+  /** Self-trained convenience: LM trained on the scored corpus
+    * itself — the "how typical of this corpus is each document"
+    * reading (outlier detection rather than CCNet's cross-corpus
+    * ranking). */
+  def lmScoreSelfTrained(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2L, unicode: Boolean = false): DataFrame = {
+    val (uni, bi) = lmTables(df, textCol, minCount, unicode)
+    lmScore(df, idCol, textCol, uni, bi, unicode)
+  }
+
   /** Adjacent-symbol pair counts for BPE tokenizer training — the
     * counting step of the first merge round (Sennrich et al. 2016),
     * at corpus scale. The scale insight: count over the VOCABULARY,

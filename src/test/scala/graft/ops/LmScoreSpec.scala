@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** lmScore / lmTables: exact integer-ppm stupid-backoff scoring,
+  * hand-computed vectors, pruning, external-LM unknowns, the
+  * distinct-id contract, and unicode parity.
+  */
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: doc1 "a b a b c", doc2 "a b x", doc3 "z"
+  // unigrams: a=3 b=3 c=1 x=1 z=1, N=9
+  // bigrams:  "a b"=3, "b a"=1, "b c"=1, "b x"=1 → minCount=2 keeps "a b"=3
+  private val corpus = Seq(
+    (java.lang.Long.valueOf(1L), "a b a b c"),
+    (java.lang.Long.valueOf(2L), "a b x"),
+    (java.lang.Long.valueOf(3L), "z"))
+    .toDF("doc_id", "text")
+
+  test("hand-computed stupid-backoff scores, self-trained, minCount=2") {
+    // p(a b)  = 1000000*3 div 3 = 1000000       (kept bigram)
+    // p(b a)  = 400000*cu(a)=3 div 9 = 133333   (backoff)
+    // p(b c)  = 400000*1 div 9 = 44444
+    // p(b x)  = 400000*1 div 9 = 44444
+    // doc1: n=4, sum = 2*1000000+133333+44444 = 2177777, mean 544444
+    // doc2: n=2, sum = 1000000+44444 = 1044444, mean 522222
+    // doc3: no transitions → 0/0/0 but the row survives
+    val out = TextAnalysis.lmScoreSelfTrained(corpus, "doc_id", "text",
+        minCount = 2L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 2177777L, 544444L),
+      (2L, 2L, 1044444L, 522222L),
+      (3L, 0L, 0L, 0L)))
+  }
+
+  test("minCount=1 keeps every bigram: every transition is a kept " +
+      "conditional probability") {
+    // p(a b)=1000000*3 div 3=1000000, p(b a)=1000000*1 div 3=333333,
+    // p(b c)=333333, p(b x)=333333
+    val out = TextAnalysis.lmScoreSelfTrained(corpus, "doc_id", "text",
+        minCount = 1L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 2666666L, 666666L),
+      (2L, 2L, 1333333L, 666666L),
+      (3L, 0L, 0L, 0L)))
+  }
+
+  test("external LM: tokens the LM never saw score exactly 0") {
+    val (uni, bi) = TextAnalysis.lmTables(corpus, "text", minCount = 2L)
+    val alien = Seq((java.lang.Long.valueOf(9L), "q q q")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(alien, "doc_id", "text", uni, bi)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((9L, 2L, 0L, 0L)))
+  }
+
+  test("null ids drop; duplicate ids collapse to one row over the " +
+      "id's combined transitions") {
+    val dup = Seq(
+      (java.lang.Long.valueOf(1L), "a b"),
+      (java.lang.Long.valueOf(1L), "b a"),
+      (null.asInstanceOf[java.lang.Long], "a b a b"))
+      .toDF("doc_id", "text")
+    val (uni, bi) = TextAnalysis.lmTables(corpus, "text", minCount = 2L)
+    val out = TextAnalysis.lmScore(dup, "doc_id", "text", uni, bi)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // id 1 carries both rows' transitions: "a b" (1000000) + "b a" (133333)
+    assert(out == Seq((1L, 2L, 1133333L, 566666L)))
+  }
+
+  test("unicode=true scores non-Latin text the ASCII tokenizer " +
+      "would silently zero") {
+    val ru = Seq(
+      (java.lang.Long.valueOf(1L), "мир труд мир труд май"),
+      (java.lang.Long.valueOf(2L), "мир труд"))
+      .toDF("doc_id", "text")
+    val ascii = TextAnalysis.lmScoreSelfTrained(ru, "doc_id", "text",
+        minCount = 1L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(ascii.forall(_._2 == 0L), s"ASCII tokenizer saw tokens: $ascii")
+    val out = TextAnalysis.lmScoreSelfTrained(ru, "doc_id", "text",
+        minCount = 1L, unicode = true)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // unigrams: мир=3 труд=3 май=1, N=7
+    // bigrams: "мир труд"=3, "труд мир"=1, "труд май"=1 (minCount=1)
+    // p(мир труд)=1000000*3 div 3=1000000, p(труд мир)=333333,
+    // p(труд май)=333333
+    assert(out == Seq(
+      (1L, 4L, 2666666L, 666666L),
+      (2L, 1L, 1000000L, 1000000L)))
+  }
+}
