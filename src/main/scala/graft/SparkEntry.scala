@@ -1679,6 +1679,17 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       TextAnalysis.lmScoreSelfTrained(docs, "doc_id", "text", minCount = 2L)
         .orderBy(col("doc_id"))
+    }),
+
+    // The actual CCNet setup: LM trained on a TRUSTED subset (one
+    // source), every document scored against it — the external-LM
+    // path, where tokens the LM never saw back off to exactly 0.
+    "q109_lm_cross" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (uni, bi) = TextAnalysis.lmTables(
+        docs.filter(col("source") === "src0"), "text", minCount = 2L)
+      TextAnalysis.lmScore(docs, "doc_id", "text", uni, bi)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3458,6 +3469,51 @@ object SparkEntry {
         |    SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
         |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
         |          FROM t WHERE doc_id IS NOT NULL AND len(toks) >= 2))
+        |  GROUP BY doc_id, w1, w2
+        |), sc AS (
+        |  SELECT m.doc_id, sum(m.m) AS nt,
+        |    sum(m.m * CASE WHEN bi.cb IS NOT NULL
+        |      THEN 1000000 * bi.cb // greatest(coalesce(u1.cu, 1), 1)
+        |      ELSE 400000 * coalesce(u2.cu, 0)
+        |        // greatest((SELECT n FROM tot), 1) END) AS sc
+        |  FROM m LEFT JOIN bi ON m.w1 = bi.w1 AND m.w2 = bi.w2
+        |  LEFT JOIN uni u1 ON m.w1 = u1.w
+        |  LEFT JOIN uni u2 ON m.w2 = u2.w
+        |  GROUP BY m.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_trans,
+        |  CAST(coalesce(sc.sc, 0) AS BIGINT) AS score_sum,
+        |  CAST(coalesce(sc.sc, 0)
+        |    // greatest(coalesce(sc.nt, 0), 1) AS BIGINT) AS mean_ppm
+        |FROM (SELECT DISTINCT doc_id FROM documents
+        |      WHERE doc_id IS NOT NULL) d
+        |LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q109_lm_cross" ->
+      """WITH tr AS (
+        |  SELECT regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+        |  FROM documents WHERE source = 'src0'
+        |), uni AS (
+        |  SELECT w, count(*)::BIGINT AS cu
+        |  FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w
+        |), tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+        |bi AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS cb FROM (
+        |    SELECT toks[i] AS w1, toks[i+1] AS w2
+        |    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        |          FROM tr WHERE len(toks) >= 2))
+        |  GROUP BY w1, w2 HAVING count(*) >= 2
+        |), t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), m AS (
+        |  SELECT doc_id, w1, w2, count(*)::BIGINT AS m FROM (
+        |    SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |          FROM t WHERE len(toks) >= 2))
         |  GROUP BY doc_id, w1, w2
         |), sc AS (
         |  SELECT m.doc_id, sum(m.m) AS nt,
