@@ -1690,6 +1690,26 @@ object SparkEntry {
         docs.filter(col("source") === "src0"), "text", minCount = 2L)
       TextAnalysis.lmScore(docs, "doc_id", "text", uni, bi)
         .orderBy(col("doc_id"))
+    }),
+
+    // CCNet's selection step end-to-end: LM score -> per-LANGUAGE
+    // tertiles -> head/middle/tail label (Wenzek et al. bucket crawl
+    // docs per language so one language's score scale never gates
+    // another's). Pure composition: lmScore ⋈ lang -> quantileBins.
+    "q110_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scores = TextAnalysis.lmScoreSelfTrained(
+        docs, "doc_id", "text", minCount = 2L)
+      val withLang = scores.join(
+        docs.filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), col("lang")).distinct(),
+        Seq("doc_id"))
+      graft.ops.Stats.quantileBins(
+        withLang.select(col("doc_id"), col("lang"), col("mean_ppm")),
+        Seq("lang"), "mean_ppm", Seq(0.3333, 0.6667))
+        .withColumn("bucket", expr(
+          "CASE bin WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3534,6 +3554,72 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id FROM documents
         |      WHERE doc_id IS NOT NULL) d
         |LEFT JOIN sc ON d.doc_id = sc.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q110_ccnet_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, count(*)::BIGINT AS cu
+        |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+        |), tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+        |bi AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS cb FROM (
+        |    SELECT toks[i] AS w1, toks[i+1] AS w2
+        |    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        |          FROM t WHERE len(toks) >= 2))
+        |  GROUP BY w1, w2 HAVING count(*) >= 2
+        |), m AS (
+        |  SELECT doc_id, w1, w2, count(*)::BIGINT AS m FROM (
+        |    SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |          FROM t WHERE doc_id IS NOT NULL AND len(toks) >= 2))
+        |  GROUP BY doc_id, w1, w2
+        |), sc AS (
+        |  SELECT m.doc_id, sum(m.m) AS nt,
+        |    sum(m.m * CASE WHEN bi.cb IS NOT NULL
+        |      THEN 1000000 * bi.cb // greatest(coalesce(u1.cu, 1), 1)
+        |      ELSE 400000 * coalesce(u2.cu, 0)
+        |        // greatest((SELECT n FROM tot), 1) END) AS sc
+        |  FROM m LEFT JOIN bi ON m.w1 = bi.w1 AND m.w2 = bi.w2
+        |  LEFT JOIN uni u1 ON m.w1 = u1.w
+        |  LEFT JOIN uni u2 ON m.w2 = u2.w
+        |  GROUP BY m.doc_id
+        |), sm AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(sc.sc, 0)
+        |      // greatest(coalesce(sc.nt, 0), 1) AS BIGINT) AS mean_ppm
+        |  FROM (SELECT DISTINCT doc_id FROM documents
+        |        WHERE doc_id IS NOT NULL) d
+        |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |), sl AS (
+        |  SELECT sm.doc_id, dd.lang, sm.mean_ppm
+        |  FROM sm JOIN (SELECT DISTINCT doc_id, lang FROM documents
+        |                WHERE doc_id IS NOT NULL) dd
+        |    ON sm.doc_id = dd.doc_id
+        |), h AS (
+        |  SELECT lang, mean_ppm, count(*)::BIGINT AS c FROM sl GROUP BY 1, 2
+        |), cw AS (
+        |  SELECT lang, mean_ppm,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY mean_ppm) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS tot
+        |  FROM h
+        |), b AS (
+        |  SELECT lang,
+        |    CAST(min(CASE WHEN cum*10000 >= tot*3333 THEN mean_ppm END)
+        |      AS BIGINT) AS p1,
+        |    CAST(min(CASE WHEN cum*10000 >= tot*6667 THEN mean_ppm END)
+        |      AS BIGINT) AS p2
+        |  FROM cw GROUP BY lang
+        |)
+        |SELECT sl.doc_id, sl.lang, sl.mean_ppm,
+        |  ((CASE WHEN sl.mean_ppm > b.p1 THEN 1 ELSE 0 END)
+        |   + CASE WHEN sl.mean_ppm > b.p2 THEN 1 ELSE 0 END)::BIGINT AS bin,
+        |  CASE WHEN sl.mean_ppm > b.p2 THEN 'head'
+        |       WHEN sl.mean_ppm > b.p1 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM sl LEFT JOIN b ON sl.lang IS NOT DISTINCT FROM b.lang
+        |ORDER BY sl.doc_id""".stripMargin
   )
 }

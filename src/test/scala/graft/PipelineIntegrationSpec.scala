@@ -205,7 +205,7 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(merges.nonEmpty &&
       merges.exists { case (l, r) => (l + r).exists(_ > 'z') })
     val store = scratch("ml-merges")
-    TextAnalysis.mergesToDF(spark, merges).write.parquet(store)
+    TextAnalysis.mergesToDF(spark, merges).write.mode("overwrite").parquet(store)
     val reloaded = TextAnalysis.mergesFromDF(spark.read.parquet(store))
     assert(reloaded == merges)
 

@@ -70,6 +70,30 @@ class LmScoreSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1133333L, 566666L)))
   }
 
+  test("plan shape: LM tables broadcast; no exchange carries text " +
+      "or token arrays") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val d = TextAnalysis.lmScoreSelfTrained(corpus, "doc_id", "text",
+      minCount = 2L)
+    d.collect()
+    val planStr = d.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"expected the vocabulary-sized LM joins to broadcast:\n$planStr")
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case e: ShuffleExchangeLike => e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    val names = exchanges(d.queryExecution.executedPlan)
+      .flatMap(_.child.output.map(_.name))
+    assert(!names.contains("text") && !names.exists(_.startsWith("__t")) &&
+      !names.exists(_.startsWith("__bg")),
+      s"text/token-array payloads leaked into an exchange: $names")
+  }
+
   test("unicode=true scores non-Latin text the ASCII tokenizer " +
       "would silently zero") {
     val ru = Seq(
