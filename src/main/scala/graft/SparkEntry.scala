@@ -1710,6 +1710,19 @@ object SparkEntry {
         .withColumn("bucket", expr(
           "CASE bin WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Token-budget mixture (pretraining mix assembly) ----
+    // "600 tokens of src0, 300 of src1, all of src2": within each
+    // source, docs taken in seeded-hash order until the TOKEN budget
+    // fills (temperatureMix budgets rows; mixes are specified in
+    // tokens). Per-group cumsum rides the distributed prefix scan —
+    // no per-group single-task window.
+    "q111_token_mixture" -> ((s, dir) => {
+      graft.ops.Sampling.tokenBudgetMixture(
+        t(s, dir, "documents"), "doc_id", "source", "text",
+        Map("src0" -> 600L, "src1" -> 300L, "src2" -> 10000L), seed = 42)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3620,6 +3633,30 @@ object SparkEntry {
         |  CASE WHEN sl.mean_ppm > b.p2 THEN 'head'
         |       WHEN sl.mean_ppm > b.p1 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM sl LEFT JOIN b ON sl.lang IS NOT DISTINCT FROM b.lang
-        |ORDER BY sl.doc_id""".stripMargin
+        |ORDER BY sl.doc_id""".stripMargin,
+
+    "q111_token_mixture" ->
+      """WITH b AS (
+        |  SELECT * FROM (VALUES ('src0', 600), ('src1', 300),
+        |                        ('src2', 10000)) AS v(source, budget)
+        |), d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+        |      '[a-z]+')) AS BIGINT) AS n_tokens,
+        |    md5('42:mix:' || source || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), j AS (
+        |  SELECT d.doc_id, d.source, d.n_tokens, d.h, b.budget
+        |  FROM d JOIN b USING (source)
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens, budget,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM j
+        |)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= budget
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -223,6 +223,72 @@ object Sampling {
       .drop("__k")
   }
 
+  /** Deterministic TOKEN-budget mixture — the "30 B tokens of web,
+    * 3 B of wiki" step that assembles a pretraining mix: within each
+    * source, documents are taken in seeded-hash order until the
+    * source's token budget is exhausted. [[temperatureMix]] budgets
+    * ROWS; pretraining mixes are specified in TOKENS, and document
+    * length varies by orders of magnitude, so a row quota is the
+    * wrong unit. Selection is the longest hash-ordered PREFIX whose
+    * inclusive token sum fits the budget (the per-group cumulative
+    * sum is monotone, so `cum <= budget` IS a prefix — one
+    * oversized document early in the order shadows later ones, by
+    * design: any "skip and refill" rule would make membership
+    * depend on every earlier decision and unreproducible under
+    * re-partitioning).
+    *
+    * Contract: groups absent from `budgets` are dropped (the mix IS
+    * the spec); null ids are dropped (the id-keyed contract of
+    * [[Dedup]]/[[DupSpans]]); null text counts 0 tokens and a
+    * 0-token doc fits even an exhausted budget (it adds nothing).
+    * Token unit: alpha tokens ([[TextAnalysis.alphaTokens]], the
+    * `unicode` knob selects the multilingual tokenizer); callers
+    * budgeting in BPE tokens join [[TextAnalysis.bpeTokenCounts]]
+    * and filter the same way. Output: (idCol, groupCol, n_tokens,
+    * cum_tokens), deterministic for a fixed seed.
+    *
+    * Scale shape: NO per-group single-task window — the per-group
+    * cumulative sum rides [[Ranking.withRunningTotal]]'s global
+    * prefix scan under (group, hash, id) order (range shuffle +
+    * per-partition partials + broadcast offsets, every stage fully
+    * parallel) minus each group's base offset (one row per group,
+    * AQE-broadcast back). The budget map joins broadcast (it is the
+    * mix spec — human-sized). One md5 per row, one range shuffle
+    * total. */
+  def tokenBudgetMixture(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, budgets: Map[String, Long], seed: Long = 0,
+      unicode: Boolean = false): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMixture needs at least one budget")
+    budgets.foreach { case (g, b) =>
+      require(b >= 0, s"negative token budget for group '$g': $b") }
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val bDf = spark.createDataFrame(
+      budgets.toSeq.sortBy(_._1)
+        .map(t => org.apache.spark.sql.Row(t._1, t._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(groupCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__budget",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val staged = df.filter(col(idCol).isNotNull)
+      .join(broadcast(bDf), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("__budget"),
+        size(TextAnalysis.alphaTokens(
+          coalesce(col(textCol), lit("")), unicode)).cast("long").as("__nt"),
+        md5(concat_ws(":", lit(s"$seed:mix"), col(groupCol),
+          col(idCol).cast("string"))).as("__h"))
+    val scanned = Ranking.withRunningTotal(staged,
+      Seq(col(groupCol), col("__h"), col(idCol)), "__nt", "__pre")
+    val bases = scanned.groupBy(col(groupCol))
+      .agg(min(col("__pre")).as("__base"))
+    scanned.join(bases, Seq(groupCol))
+      .withColumn("cum_tokens", col("__pre") - col("__base") + col("__nt"))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .select(col(idCol), col(groupCol), col("__nt").as("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** A4 parity (test_util/shuffling_analysis.py:52-109): Pearson
     * correlation between the key order and its shuffled position —
     * ~0 for a good shuffle, 1.0 for unshuffled. */
