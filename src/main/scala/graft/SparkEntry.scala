@@ -1723,6 +1723,51 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "source", "text",
         Map("src0" -> 600L, "src1" -> 300L, "src2" -> 10000L), seed = 42)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Unicode LM scoring (multilingual CCNet path) ----
+    // lmScore with the unicode tokenizer over injected Cyrillic
+    // boilerplate: the shared suffix plants kept bigrams (count 500
+    // each) so both score paths — kept conditional probability and
+    // unigram backoff — are live on non-Latin text (the q97 failure
+    // mode, closed for the LM family).
+    "q112_lm_unicode" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          lit(" снова и снова зима")).as("text"))
+      TextAnalysis.lmScoreSelfTrained(injected, "doc_id", "text",
+        minCount = 2L, unicode = true)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Streaming LM quality gate (ingest-time CCNet filter) ----
+    // A REAL foreachBatch stream: docs arrive as micro-batches, each
+    // scored against the STATIC src0-trained LM (batch lmScore plan
+    // per batch — broadcast LM joins, no streaming-agg state), and
+    // only docs clearing the ppm threshold land in the gated store
+    // (partition-per-batch, replay-idempotent). Result = read the
+    // store back; oracle = the batch scoring + threshold in SQL.
+    "q113_stream_lm_gate" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val docs = t(s, dir, "documents")
+      val (uni, bi) = TextAnalysis.lmTables(
+        docs.filter(col("source") === "src0"), "text", minCount = 2L)
+      val src = graft.streaming.GraftStream.reader(s, dir)
+        .glob("documents.parquet").load()
+        .select(col("doc_id"), col("text"))
+      val base = sys.props("java.io.tmpdir") + "/graft_q113_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val q = graft.streaming.GraftStream.lmGateIngest(src, "doc_id",
+          "text", uni, bi, minMeanPpm = 40000L, s"$base/out",
+          streamId = "q113")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("text"), col("n_trans"),
+          col("score_sum"), col("mean_ppm"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3657,6 +3702,98 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens,
         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= budget
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q112_lm_unicode" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(
+        |    lower(coalesce(text, '') || ' снова и снова зима'),
+        |    '[\p{L}\p{N}]+') AS toks
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, count(*)::BIGINT AS cu
+        |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+        |), tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+        |bi AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS cb FROM (
+        |    SELECT toks[i] AS w1, toks[i+1] AS w2
+        |    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        |          FROM t WHERE len(toks) >= 2))
+        |  GROUP BY w1, w2 HAVING count(*) >= 2
+        |), m AS (
+        |  SELECT doc_id, w1, w2, count(*)::BIGINT AS m FROM (
+        |    SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |          FROM t WHERE doc_id IS NOT NULL AND len(toks) >= 2))
+        |  GROUP BY doc_id, w1, w2
+        |), sc AS (
+        |  SELECT m.doc_id, sum(m.m) AS nt,
+        |    sum(m.m * CASE WHEN bi.cb IS NOT NULL
+        |      THEN 1000000 * bi.cb // greatest(coalesce(u1.cu, 1), 1)
+        |      ELSE 400000 * coalesce(u2.cu, 0)
+        |        // greatest((SELECT n FROM tot), 1) END) AS sc
+        |  FROM m LEFT JOIN bi ON m.w1 = bi.w1 AND m.w2 = bi.w2
+        |  LEFT JOIN uni u1 ON m.w1 = u1.w
+        |  LEFT JOIN uni u2 ON m.w2 = u2.w
+        |  GROUP BY m.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_trans,
+        |  CAST(coalesce(sc.sc, 0) AS BIGINT) AS score_sum,
+        |  CAST(coalesce(sc.sc, 0)
+        |    // greatest(coalesce(sc.nt, 0), 1) AS BIGINT) AS mean_ppm
+        |FROM (SELECT DISTINCT doc_id FROM documents
+        |      WHERE doc_id IS NOT NULL) d
+        |LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q113_stream_lm_gate" ->
+      """WITH tr AS (
+        |  SELECT regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+        |  FROM documents WHERE source = 'src0'
+        |), uni AS (
+        |  SELECT w, count(*)::BIGINT AS cu
+        |  FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w
+        |), tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+        |bi AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS cb FROM (
+        |    SELECT toks[i] AS w1, toks[i+1] AS w2
+        |    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        |          FROM tr WHERE len(toks) >= 2))
+        |  GROUP BY w1, w2 HAVING count(*) >= 2
+        |), t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), m AS (
+        |  SELECT doc_id, w1, w2, count(*)::BIGINT AS m FROM (
+        |    SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |          FROM t WHERE len(toks) >= 2))
+        |  GROUP BY doc_id, w1, w2
+        |), sc AS (
+        |  SELECT m.doc_id, sum(m.m) AS nt,
+        |    sum(m.m * CASE WHEN bi.cb IS NOT NULL
+        |      THEN 1000000 * bi.cb // greatest(coalesce(u1.cu, 1), 1)
+        |      ELSE 400000 * coalesce(u2.cu, 0)
+        |        // greatest((SELECT n FROM tot), 1) END) AS sc
+        |  FROM m LEFT JOIN bi ON m.w1 = bi.w1 AND m.w2 = bi.w2
+        |  LEFT JOIN uni u1 ON m.w1 = u1.w
+        |  LEFT JOIN uni u2 ON m.w2 = u2.w
+        |  GROUP BY m.doc_id
+        |), adm AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_trans,
+        |    CAST(coalesce(sc.sc, 0) AS BIGINT) AS score_sum,
+        |    CAST(coalesce(sc.sc, 0)
+        |      // greatest(coalesce(sc.nt, 0), 1) AS BIGINT) AS mean_ppm
+        |  FROM (SELECT DISTINCT doc_id FROM documents
+        |        WHERE doc_id IS NOT NULL) d
+        |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |)
+        |SELECT a.doc_id, dd.text, a.n_trans, a.score_sum, a.mean_ppm
+        |FROM adm a JOIN documents dd ON a.doc_id = dd.doc_id
+        |WHERE a.mean_ppm >= 40000
+        |ORDER BY a.doc_id""".stripMargin
   )
 }

@@ -291,6 +291,79 @@ object GraftStream {
     } finally slim.unpersist()
   }
 
+  /** Streaming LM quality gate — the ingest-time CCNet filter: each
+    * micro-batch is scored against a STATIC pre-trained bigram LM
+    * ([[graft.ops.TextAnalysis.lmTables]], typically read back from
+    * its persisted parquet) and only documents whose `mean_ppm`
+    * clears `minMeanPpm` are admitted to the output store, scores
+    * attached. foreachBatch, so each batch runs the plain batch
+    * [[graft.ops.TextAnalysis.lmScore]] plan (broadcast LM joins, no
+    * streaming-agg state: the LM is corpus-static, so per-batch
+    * scoring is exact — a stream-native per-doc aggregation would
+    * buy nothing and cost complete-mode or per-doc state).
+    *
+    * Output rows: the batch's (idCol, textCol) plus n_trans /
+    * score_sum / mean_ppm, partitioned by `ingest_key` with dynamic
+    * partition overwrite — the [[nearDupIngest]] idempotency
+    * contract (replays REPLACE their own partition; empty replays
+    * drop it; `streamId` must be checkpoint-stable and path-safe).
+    * Duplicate-id batch rows each carry their id's whole-batch score
+    * ([[graft.ops.TextAnalysis.lmScore]]'s distinct-id contract). */
+  def lmGateIngest(batches: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame, minMeanPpm: Long, outUrl: String,
+      streamId: String, unicode: Boolean = false): DataStreamWriter[Row] =
+    batches.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      lmGateBatch(batch, batchId, idCol, textCol, uni, bi, minMeanPpm,
+        outUrl, streamId, unicode)
+    }
+
+  /** One [[lmGateIngest]] micro-batch — exposed so replay semantics
+    * are directly testable. Idempotent per (streamId, batchId). */
+  def lmGateBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, uni: DataFrame, bi: DataFrame, minMeanPpm: Long,
+      outUrl: String, streamId: String, unicode: Boolean = false): Unit = {
+    import graft.ops.TextAnalysis
+    require(streamId.matches("[A-Za-z0-9_.-]+"),
+      s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+) — it " +
+        "names partition directories")
+    val s = batch.sparkSession
+    val ingestKey = s"${streamId}_b$batchId"
+    def exists(url: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(url)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
+    def dropOwnPartition(url: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(url, s"ingest_key=$ingestKey")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val admitted = batch.select(col(idCol), col(textCol))
+      .join(TextAnalysis.lmScore(batch, idCol, textCol, uni, bi, unicode)
+          .filter(col("mean_ppm") >= minMeanPpm),
+        Seq(idCol))
+    // empty batches (or none admitted) write NOTHING — a zero-row
+    // dynamic overwrite leaves a footer-less directory — but still
+    // run replay hygiene: a replayed batch whose admissions changed
+    // (or re-read empty) must not leave a pre-crash attempt's rows
+    if (admitted.isEmpty) {
+      if (exists(outUrl)) dropOwnPartition(outUrl)
+      return
+    }
+    if (exists(outUrl)) {
+      try require(s.read.parquet(outUrl).columns.contains("ingest_key"),
+        s"store at $outUrl was written by a non-ingest_key layout — " +
+          "rewrite it partitioned by ingest_key or use a fresh path")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => ()
+      }
+    }
+    admitted.withColumn("ingest_key", lit(ingestKey))
+      .write.partitionBy("ingest_key")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(outUrl)
+  }
+
   /** Stream-stream interval join: pair each left row with the right
     * rows of the same key whose event time falls in
     * `[leftTs, leftTs + bound]` — the streaming enrichment shape
