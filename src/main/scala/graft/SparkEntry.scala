@@ -1768,6 +1768,42 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("n_trans"),
           col("score_sum"), col("mean_ppm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Curation decision report (pipeline capstone) ----
+    // One row per doc with the three gates a curation run actually
+    // applies — exact-dup copy (q09), benchmark 5-gram contamination
+    // (q107's removeSharedSpans accounting), per-language LM tertile
+    // (q110) — and the final keep verdict. Pure composition of
+    // oracle-proven operators; flags as 0/1 longs for engine parity.
+    "q114_curation_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val rep = graft.ops.Dedup.exactReport(docs, "doc_id", "text")
+      val withDup = docs
+        .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+        .join(rep, Seq("fingerprint"))
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") =!= col("keep_id")).cast("long").as("is_copy"))
+      val cont = graft.ops.DupSpans.removeSharedSpans(docs, "doc_id",
+          "text", docs.filter(pmod(col("doc_id"), lit(101)) === 0),
+          "text", n = 5)
+        .select(col("doc_id"),
+          (col("n_removed") > 0).cast("long").as("contaminated"))
+      val scores = TextAnalysis.lmScoreSelfTrained(
+        docs, "doc_id", "text", minCount = 2L)
+      val buckets = graft.ops.Stats.quantileBins(
+          scores.join(docs.select(col("doc_id"), col("lang")).distinct(),
+              Seq("doc_id"))
+            .select(col("doc_id"), col("lang"), col("mean_ppm")),
+          Seq("lang"), "mean_ppm", Seq(0.3333, 0.6667))
+        .select(col("doc_id"), col("bin"))
+      withDup
+        .join(cont, Seq("doc_id"))
+        .join(buckets, Seq("doc_id"))
+        .withColumn("keep",
+          (col("is_copy") === 0 && col("contaminated") === 0 &&
+            col("bin") > 0).cast("long"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3794,6 +3830,90 @@ object SparkEntry {
         |SELECT a.doc_id, dd.text, a.n_trans, a.score_sum, a.mean_ppm
         |FROM adm a JOIN documents dd ON a.doc_id = dd.doc_id
         |WHERE a.mean_ppm >= 40000
-        |ORDER BY a.doc_id""".stripMargin
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "q114_curation_report" ->
+      """WITH docs AS (
+        |  SELECT * FROM documents WHERE doc_id IS NOT NULL
+        |), dup AS (
+        |  SELECT doc_id, CASE WHEN doc_id > min(doc_id) OVER (
+        |      PARTITION BY md5(regexp_replace(trim(lower(text)),
+        |        '\s+', ' ', 'g')))
+        |    THEN 1 ELSE 0 END AS is_copy
+        |  FROM docs
+        |), tk AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+        |  FROM docs
+        |), g AS (
+        |  SELECT doc_id, array_to_string(toks[s+1 : s+5], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS s
+        |        FROM tk WHERE len(toks) >= 5)
+        |), cd AS (
+        |  SELECT DISTINCT g.doc_id FROM g
+        |  JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0) ref
+        |    USING (gram)
+        |), uni AS (
+        |  SELECT w, count(*)::BIGINT AS cu
+        |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+        |), tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+        |bi AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS cb FROM (
+        |    SELECT toks[i] AS w1, toks[i+1] AS w2
+        |    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        |          FROM tk WHERE len(toks) >= 2))
+        |  GROUP BY w1, w2 HAVING count(*) >= 2
+        |), m AS (
+        |  SELECT doc_id, w1, w2, count(*)::BIGINT AS m FROM (
+        |    SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |          FROM tk WHERE len(toks) >= 2))
+        |  GROUP BY doc_id, w1, w2
+        |), sc AS (
+        |  SELECT m.doc_id, sum(m.m) AS nt,
+        |    sum(m.m * CASE WHEN bi.cb IS NOT NULL
+        |      THEN 1000000 * bi.cb // greatest(coalesce(u1.cu, 1), 1)
+        |      ELSE 400000 * coalesce(u2.cu, 0)
+        |        // greatest((SELECT n FROM tot), 1) END) AS sc
+        |  FROM m LEFT JOIN bi ON m.w1 = bi.w1 AND m.w2 = bi.w2
+        |  LEFT JOIN uni u1 ON m.w1 = u1.w
+        |  LEFT JOIN uni u2 ON m.w2 = u2.w
+        |  GROUP BY m.doc_id
+        |), sl AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(coalesce(sc.sc, 0)
+        |      // greatest(coalesce(sc.nt, 0), 1) AS BIGINT) AS mean_ppm
+        |  FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |), h AS (
+        |  SELECT lang, mean_ppm, count(*)::BIGINT AS c FROM sl GROUP BY 1, 2
+        |), cw AS (
+        |  SELECT lang, mean_ppm,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY mean_ppm) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS tot
+        |  FROM h
+        |), b AS (
+        |  SELECT lang,
+        |    CAST(min(CASE WHEN cum*10000 >= tot*3333 THEN mean_ppm END)
+        |      AS BIGINT) AS p1,
+        |    CAST(min(CASE WHEN cum*10000 >= tot*6667 THEN mean_ppm END)
+        |      AS BIGINT) AS p2
+        |  FROM cw GROUP BY lang
+        |), bins AS (
+        |  SELECT sl.doc_id,
+        |    ((CASE WHEN sl.mean_ppm > b.p1 THEN 1 ELSE 0 END)
+        |     + CASE WHEN sl.mean_ppm > b.p2 THEN 1 ELSE 0 END)::BIGINT AS bin
+        |  FROM sl LEFT JOIN b ON sl.lang IS NOT DISTINCT FROM b.lang
+        |)
+        |SELECT d.doc_id, d.lang, dup.is_copy::BIGINT AS is_copy,
+        |  (CASE WHEN cd.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS contaminated,
+        |  bins.bin,
+        |  (CASE WHEN dup.is_copy = 0 AND cd.doc_id IS NULL
+        |        AND bins.bin > 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM docs d
+        |JOIN dup ON d.doc_id = dup.doc_id
+        |LEFT JOIN cd ON d.doc_id = cd.doc_id
+        |JOIN bins ON d.doc_id = bins.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }
