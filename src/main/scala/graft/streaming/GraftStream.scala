@@ -337,31 +337,36 @@ object GraftStream {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val admitted = batch.select(col(idCol), col(textCol))
-      .join(TextAnalysis.lmScore(batch, idCol, textCol, uni, bi, unicode)
-          .filter(col("mean_ppm") >= minMeanPpm),
-        Seq(idCol))
-    // empty batches (or none admitted) write NOTHING — a zero-row
-    // dynamic overwrite leaves a footer-less directory — but still
-    // run replay hygiene: a replayed batch whose admissions changed
-    // (or re-read empty) must not leave a pre-crash attempt's rows
-    if (admitted.isEmpty) {
-      if (exists(outUrl)) dropOwnPartition(outUrl)
-      return
-    }
-    if (exists(outUrl)) {
-      try require(s.read.parquet(outUrl).columns.contains("ingest_key"),
-        s"store at $outUrl was written by a non-ingest_key layout — " +
-          "rewrite it partitioned by ingest_key or use a fresh path")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => ()
+    // the batch feeds three scans (transition explode, distinct ids,
+    // the gate join) — pin it for the duration, as nearDupIngest does
+    val slim = batch.select(col(idCol), col(textCol)).persist()
+    try {
+      val admitted = slim
+        .join(TextAnalysis.lmScore(slim, idCol, textCol, uni, bi, unicode)
+            .filter(col("mean_ppm") >= minMeanPpm),
+          Seq(idCol))
+      // empty batches (or none admitted) write NOTHING — a zero-row
+      // dynamic overwrite leaves a footer-less directory — but still
+      // run replay hygiene: a replayed batch whose admissions changed
+      // (or re-read empty) must not leave a pre-crash attempt's rows
+      if (admitted.isEmpty) {
+        if (exists(outUrl)) dropOwnPartition(outUrl)
+        return
       }
-    }
-    admitted.withColumn("ingest_key", lit(ingestKey))
-      .write.partitionBy("ingest_key")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(outUrl)
+      if (exists(outUrl)) {
+        try require(s.read.parquet(outUrl).columns.contains("ingest_key"),
+          s"store at $outUrl was written by a non-ingest_key layout — " +
+            "rewrite it partitioned by ingest_key or use a fresh path")
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => ()
+        }
+      }
+      admitted.withColumn("ingest_key", lit(ingestKey))
+        .write.partitionBy("ingest_key")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(outUrl)
+    } finally slim.unpersist()
   }
 
   /** Stream-stream interval join: pair each left row with the right

@@ -94,6 +94,45 @@ class LmScoreSpec extends SparkSpec {
       s"text/token-array payloads leaked into an exchange: $names")
   }
 
+  test("randomized cross-check vs a brute-force reference " +
+      "implementation (40 corpora)") {
+    val rng = new scala.util.Random(20260813L)
+    val words = Array("a", "b", "c", "d", "e")
+    for (trial <- 1 to 40) {
+      val nDocs = 1 + rng.nextInt(6)
+      val docs: Seq[(Long, String)] = (1L to nDocs.toLong).map { i =>
+        val len = rng.nextInt(8)
+        (i, Seq.fill(len)(words(rng.nextInt(words.length))).mkString(" "))
+      }
+      val minCount = 1L + rng.nextInt(3)
+      // brute force: train on the full corpus, score each doc
+      val toks = docs.map { case (id, tx) =>
+        id -> tx.split(" ").filter(_.nonEmpty).toSeq }.toMap
+      val allTokens = docs.flatMap(d => toks(d._1))
+      val cu = allTokens.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val n = allTokens.size.toLong
+      val cb = docs.flatMap(d => toks(d._1).sliding(2).filter(_.size == 2)
+          .map(p => (p(0), p(1))))
+        .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+        .filter(_._2 >= minCount)
+      val expected = docs.map { case (id, _) =>
+        val trans = toks(id).sliding(2).filter(_.size == 2).toSeq
+        val sum = trans.map { p =>
+          val key = (p(0), p(1))
+          if (cb.contains(key)) 1000000L * cb(key) / cu(p(0))
+          else 400000L * cu.getOrElse(p(1), 0L) / math.max(n, 1L)
+        }.sum
+        val nt = trans.size.toLong
+        (id, nt, sum, if (nt == 0) 0L else sum / nt)
+      }.sortBy(_._1)
+      val out = TextAnalysis.lmScoreSelfTrained(
+          docs.toDF("doc_id", "text"), "doc_id", "text", minCount)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(out == expected,
+        s"trial $trial (minCount=$minCount, docs=$docs)")
+    }
+  }
+
   test("unicode=true scores non-Latin text the ASCII tokenizer " +
       "would silently zero") {
     val ru = Seq(
