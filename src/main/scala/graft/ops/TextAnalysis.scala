@@ -469,7 +469,16 @@ object TextAnalysis {
   /** Self-trained convenience: LM trained on the scored corpus
     * itself — the "how typical of this corpus is each document"
     * reading (outlier detection rather than CCNet's cross-corpus
-    * ranking). */
+    * ranking).
+    *
+    * Scale note: the LM tables are LAZY here, so the corpus backs
+    * several aggregations in one job (token counts, bigram counts,
+    * transitions, the id universe — Spark's exchange reuse merges
+    * only the identical ones). Fine into the TB range; at 100 TB
+    * materialize [[lmTables]] once (parquet or cache) and call
+    * [[lmScore]] — which is the production CCNet shape regardless,
+    * since a trusted LM is trained once and reused across scoring
+    * runs. */
   def lmScoreSelfTrained(df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 2L, unicode: Boolean = false): DataFrame = {
     val (uni, bi) = lmTables(df, textCol, minCount, unicode)

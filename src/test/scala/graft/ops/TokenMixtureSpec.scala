@@ -67,6 +67,16 @@ class TokenMixtureSpec extends SparkSpec {
     assert(out.forall(r => r._3 == 0L && r._4 == 0L))
   }
 
+  test("plan shape: no Window operator — the per-group cumsum rides " +
+      "the distributed prefix scan") {
+    val d = Sampling.tokenBudgetMixture(rows.toDF("doc_id", "grp", "text"),
+      "doc_id", "grp", "text", Map("g0" -> 20L, "g1" -> 9L))
+    d.collect()
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"per-group cumsum fell back to a window operator:\n$plan")
+  }
+
   test("null ids and null text follow the id/token contracts") {
     val df = Seq(
       (java.lang.Long.valueOf(1L), "g", null.asInstanceOf[String]),
