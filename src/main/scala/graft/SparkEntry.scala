@@ -1755,8 +1755,13 @@ object SparkEntry {
       val src = graft.streaming.GraftStream.reader(s, dir)
         .glob("documents.parquet").load()
         .select(col("doc_id"), col("text"))
-      val base = sys.props("java.io.tmpdir") + "/graft_q113_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      // fixture-keyed path, wiped per invocation: a UUID-per-run dir
+      // would leak one store+checkpoint into tmpdir per bench/verify
+      // execution; this bounds it to one copy per fixture
+      val base = cachedBase(dir, "q113")
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
       val q = graft.streaming.GraftStream.lmGateIngest(src, "doc_id",
           "text", uni, bi, minMeanPpm = 40000L, s"$base/out",
           streamId = "q113")
@@ -1778,10 +1783,15 @@ object SparkEntry {
     // oracle-proven operators; flags as 0/1 longs for engine parity.
     "q114_curation_report" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      // <=> join: a NULL-text doc has a NULL fingerprint; an equi
+      // join would silently drop it from the report, while the
+      // oracle's window keeps the NULL partition (null texts are
+      // mutual copies there, exactly as exactReport groups them)
       val rep = graft.ops.Dedup.exactReport(docs, "doc_id", "text")
+        .withColumnRenamed("fingerprint", "__fp")
       val withDup = docs
         .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
-        .join(rep, Seq("fingerprint"))
+        .join(rep, col("fingerprint") <=> col("__fp"))
         .select(col("doc_id"), col("lang"),
           (col("doc_id") =!= col("keep_id")).cast("long").as("is_copy"))
       val cont = graft.ops.DupSpans.removeSharedSpans(docs, "doc_id",
@@ -3504,19 +3514,25 @@ object SparkEntry {
         |      WHEN 2 THEN ' مرحبا بكم في العالم الكبير'
         |      ELSE ' δελτα καιρος ελλας θαλασσα' END AS t2
         |  FROM documents
+        |), r2 AS (
+        |  -- letters-of-script is a class intersection RE2 cannot
+        |  -- spell; compose it exactly: strip non-letters, then count
+        |  -- the script class on the remainder
+        |  SELECT doc_id, regexp_replace(t2, '[^\p{L}]', '', 'g') AS lt
+        |  FROM r
         |), c AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(t2, '\p{Latin}')) AS BIGINT)
+        |    CAST(len(regexp_extract_all(lt, '\p{Latin}')) AS BIGINT)
         |      AS n_latin,
-        |    CAST(len(regexp_extract_all(t2, '\p{Cyrillic}')) AS BIGINT)
+        |    CAST(len(regexp_extract_all(lt, '\p{Cyrillic}')) AS BIGINT)
         |      AS n_cyrillic,
-        |    CAST(len(regexp_extract_all(t2, '\p{Han}')) AS BIGINT) AS n_han,
-        |    CAST(len(regexp_extract_all(t2, '\p{Arabic}')) AS BIGINT)
+        |    CAST(len(regexp_extract_all(lt, '\p{Han}')) AS BIGINT) AS n_han,
+        |    CAST(len(regexp_extract_all(lt, '\p{Arabic}')) AS BIGINT)
         |      AS n_arabic,
-        |    CAST(len(regexp_extract_all(t2, '\p{Greek}')) AS BIGINT)
+        |    CAST(len(regexp_extract_all(lt, '\p{Greek}')) AS BIGINT)
         |      AS n_greek,
-        |    CAST(len(regexp_extract_all(t2, '\p{L}')) AS BIGINT) AS nl
-        |  FROM r
+        |    CAST(len(regexp_extract_all(lt, '\p{L}')) AS BIGINT) AS nl
+        |  FROM r2
         |)
         |SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_greek,
         |  nl - n_latin - n_cyrillic - n_han - n_arabic - n_greek AS n_other,

@@ -600,18 +600,10 @@ object TextAnalysis {
     * compare; the two diverge on supplementary-plane letters, so the
     * in-memory trainer must tie-break in byte order to stay
     * merge-for-merge equal to the distributed `orderBy(pair)`. */
-  private def utf8Less(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
-    }
-    x.length < y.length
-  }
+  private def utf8Less(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
 
   /** Driver-side incremental BPE merge loop over a collected
     * weighted vocabulary (Sennrich et al. 2016 learn_bpe shape):
@@ -636,7 +628,15 @@ object TextAnalysis {
     }
     val wc: Array[Long] = vocab.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
-    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // pair → word indices: an append-only int builder, NOT a BitSet —
+    // a BitSet is dense in the LARGEST index it holds, so one rare
+    // pair occurring only near the end of a multi-million-word
+    // vocabulary would allocate hundreds of KB (and millions of rare
+    // pairs, hundreds of GB). The builder is 4 bytes per occurrence;
+    // it may hold duplicates (same word re-added by delta updates) —
+    // consumers sort+distinct, which also preserves the ascending
+    // iteration order a BitSet gave
+    val where = mutable.HashMap.empty[(String, String), mutable.ArrayBuilder.ofInt]
     // max-heap: higher count wins; ties — UTF-8-byte-SMALLER "l r"
     // key wins (the distributed orderBy(cnt desc, pair) tie-break)
     val heapOrd = new Ordering[(Long, String, (String, String))] {
@@ -656,7 +656,7 @@ object TextAnalysis {
         counts(p) = c
         if (push && c >= minCount) heap.enqueue((c, p._1 + " " + p._2, p))
       }
-      where.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+      where.getOrElseUpdate(p, new mutable.ArrayBuilder.ofInt) += wi
     }
     var wi = 0
     while (wi < segs.length) {
@@ -688,8 +688,10 @@ object TextAnalysis {
         val (l, r) = best
         // touch only words indexed under the pair (stale entries —
         // words whose occurrence was merged away earlier — no-op via
-        // the length check)
-        where.remove(best).foreach(_.foreach { w =>
+        // the length check); sorted+distinct restores the BitSet's
+        // deterministic ascending one-visit-per-word iteration
+        where.remove(best).map(_.result().sorted.distinct)
+          .foreach(_.foreach { w =>
           val old = segs(w)
           val out = new Array[String](old.length)
           var o = 0
@@ -1071,10 +1073,14 @@ object TextAnalysis {
   def scriptProfile(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     // ONE codegen pass over the text ([[ScriptCounts]]) — the
-    // regexp_count spelling re-scans every document once per script
-    // class (6×), and Java's \p{IsXxx} / \p{L} are by definition
+    // regexp spelling re-scans every document once per script class
+    // (6×), and Java's \p{IsXxx} / \p{L} are by definition
     // Character.UnicodeScript / Character.isLetter membership, so
-    // the kernel computes the identical counts
+    // the kernel computes the identical counts. Letters-of-script
+    // is a class INTERSECTION RE2 cannot spell directly; the oracle
+    // composes it exactly by stripping non-letters first
+    // (regexp_replace '[^\p{L}]') and counting the script class on
+    // the remainder (q106)
     val counted = df.select(col(idCol),
       graft.functions.GraftFunctions.column(ScriptCounts(
         graft.functions.GraftFunctions.expr(
@@ -1187,15 +1193,22 @@ case class ScriptCounts(
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      UnicodeScript.of(cp) match {
-        case UnicodeScript.LATIN => l += 1
-        case UnicodeScript.CYRILLIC => c += 1
-        case UnicodeScript.HAN => h += 1
-        case UnicodeScript.ARABIC => a += 1
-        case UnicodeScript.GREEK => g += 1
-        case _ => ()
+      // LETTERS only, so n_letter - sum(per-script) is provably
+      // non-negative: script-specific non-letters (Arabic-Indic
+      // digits Nd, Roman numerals Nl, script-bound marks Mn) carry
+      // a script but would not count toward n_letter — counting
+      // them per-script underflowed n_other on exactly such text
+      if (Character.isLetter(cp)) {
+        nl += 1
+        UnicodeScript.of(cp) match {
+          case UnicodeScript.LATIN => l += 1
+          case UnicodeScript.CYRILLIC => c += 1
+          case UnicodeScript.HAN => h += 1
+          case UnicodeScript.ARABIC => a += 1
+          case UnicodeScript.GREEK => g += 1
+          case _ => ()
+        }
       }
-      if (Character.isLetter(cp)) nl += 1
       i += Character.charCount(cp)
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

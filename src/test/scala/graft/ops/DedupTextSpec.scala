@@ -175,8 +175,14 @@ class DedupTextSpec extends SparkSpec {
       (3L, "ab вг"),                // TIE latin 2 = cyrillic 2 → latin
       (4L, "12 .,!"),               // no letters → none
       (5L, null.asInstanceOf[String]), // null text → none
-      (6L, "abc ﬁn"))               // U+FB01 ligature: Latin but also
+      (6L, "abc ﬁn"),               // U+FB01 ligature: Latin but also
                                     // counted in n_latin AND \p{L}
+      (7L, "٠١٢"),   // Arabic-Indic DIGITS: script
+                                    // Arabic but not letters — count
+                                    // nothing (used to drive n_other
+                                    // to -3 and route to 'arabic')
+      (8L, "Ⅻ ab"))            // Ⅻ: Script=Latin, category Nl
+                                    // (not a letter) → n_latin 2
     val out = TextAnalysis.scriptProfile(rows.toDF("doc_id", "text"),
         "doc_id", "text")
       .orderBy("doc_id")
@@ -188,6 +194,10 @@ class DedupTextSpec extends SparkSpec {
     assert(out(3) == ((4L, 0L, 0L, 0L, 0L, 0L, 0L, "none")))
     assert(out(4) == ((5L, 0L, 0L, 0L, 0L, 0L, 0L, "none")))
     assert(out(5)._2 == 5L && out(5)._8 == "latin") // ﬁ is one Latin char
+    assert(out(6) == ((7L, 0L, 0L, 0L, 0L, 0L, 0L, "none")))
+    assert(out(7) == ((8L, 2L, 0L, 0L, 0L, 0L, 0L, "latin")))
+    // every row: n_other is non-negative by construction
+    assert(out.forall(_._7 >= 0L))
   }
 
   test("analyze attaches the full metric column set in one pass") {
