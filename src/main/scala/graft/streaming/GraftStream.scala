@@ -369,6 +369,70 @@ object GraftStream {
     } finally slim.unpersist()
   }
 
+  /** Compact an ingest-keyed store ([[nearDupIngest]] /
+    * [[lmGateIngest]] output) IN PLACE, partition by partition — the
+    * maintenance pass those sinks document ("compact them offline"):
+    * a long-lived stream lands one directory per batch and several
+    * files per directory, and [[graft.sources.Materialize.compact]]
+    * refuses hive-partitioned layouts. Compacting WITHIN partitions
+    * preserves the partition-per-batch idempotency unit, so a later
+    * replay of a compacted batch still overwrites exactly its own
+    * partition.
+    *
+    * Per partition: if the file count exceeds what `targetFileMb`
+    * implies, rewrite into a `_compact_tmp` subdir (underscore =
+    * invisible to readers), delete the old files, promote by pure
+    * renames — Materialize.compact's staged no-data-copy-window
+    * discipline at partition scope. Incremental and restartable: a
+    * crash between partitions leaves every partition either old or
+    * compacted, both readable; rerunning skips already-compact
+    * partitions. Concurrent readers can catch one partition's brief
+    * rename window — run it on retired streams or quiet stores.
+    * Returns (partitionsRewritten, filesBefore, filesAfter). */
+  def compactIngestStore(spark: SparkSession, url: String,
+      targetFileMb: Int = 256): (Int, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    require(targetFileMb > 0, s"targetFileMb must be positive (got $targetFileMb)")
+    val root = new Path(url)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"no store at $url")
+    val parts = fs.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("ingest_key="))
+    require(parts.nonEmpty, s"store at $url has no ingest_key " +
+      "partitions — use Materialize.compact for flat stores")
+    var rewritten = 0
+    var before = 0
+    var after = 0
+    parts.foreach { p =>
+      val files = fs.listStatus(p.getPath).filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      before += files.length
+      val bytes = files.map(_.getLen).sum
+      val nOut = math.max(1,
+        math.ceil(bytes.toDouble / (targetFileMb.toLong << 20)).toInt)
+      if (files.length > nOut) {
+        val tmp = new Path(p.getPath, "_compact_tmp")
+        fs.delete(tmp, true)
+        // partition files carry no ingest_key column (it lives in the
+        // directory name), so a partition-scoped rewrite round-trips
+        // the rows as-is
+        spark.read.parquet(p.getPath.toString).repartition(nOut)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val staged = fs.listStatus(tmp).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        files.foreach(f => fs.delete(f.getPath, false))
+        staged.foreach { f =>
+          require(fs.rename(f.getPath, new Path(p.getPath, f.getPath.getName)),
+            s"rename failed promoting ${f.getPath.getName}")
+        }
+        fs.delete(tmp, true)
+        rewritten += 1
+        after += staged.length
+      } else after += files.length
+    }
+    (rewritten, before, after)
+  }
+
   /** Stream-stream interval join: pair each left row with the right
     * rows of the same key whose event time falls in
     * `[leftTs, leftTs + bound]` — the streaming enrichment shape

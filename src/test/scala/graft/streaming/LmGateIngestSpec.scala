@@ -73,6 +73,41 @@ class LmGateIngestSpec extends SparkSpec {
     assert(!p.exists(), "stale partition survived a changed replay")
   }
 
+  test("compactIngestStore: per-partition file merge, data and " +
+      "layout intact, idempotent, replay still partition-scoped") {
+    val root = scratch("lmg-" + java.util.UUID.randomUUID().toString.take(8))
+    val url = s"$root/out"
+    // two batches in the gate's schema, each force-written as 4
+    // files per partition
+    val rows = (1L to 40L).map(i => (i, s"doc $i body", 1L, 0L, 0L))
+    val cols = Seq("doc_id", "text", "n_trans", "score_sum", "mean_ppm")
+    rows.take(20).toDF(cols: _*).repartition(4)
+      .withColumn("ingest_key", lit("run1_b0"))
+      .write.partitionBy("ingest_key").parquet(url)
+    rows.drop(20).toDF(cols: _*).repartition(4)
+      .withColumn("ingest_key", lit("run1_b1"))
+      .write.mode("append").partitionBy("ingest_key").parquet(url)
+    val beforeData = spark.read.parquet(url)
+      .select($"doc_id", $"text", $"ingest_key")
+      .as[(Long, String, String)].collect().toSet
+    val (rw, nb, na) = GraftStream.compactIngestStore(spark, url)
+    assert(rw == 2 && nb == 8 && na == 2, s"($rw, $nb, $na)")
+    val afterData = spark.read.parquet(url)
+      .select($"doc_id", $"text", $"ingest_key")
+      .as[(Long, String, String)].collect().toSet
+    assert(afterData == beforeData)
+    // second pass: nothing left to do
+    assert(GraftStream.compactIngestStore(spark, url) == ((0, 2, 2)))
+    // a replay after compaction still overwrites ONLY its partition
+    val (uni, bi) = lm
+    GraftStream.lmGateBatch(Seq((99L, "a b a b")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", uni, bi, 500000L, url, "run1")
+    val post = spark.read.parquet(url)
+      .select($"doc_id", $"ingest_key").as[(Long, String)].collect().toSet
+    assert(post.filter(_._2 == "run1_b0").map(_._1) == Set(99L))
+    assert(post.filter(_._2 == "run1_b1").map(_._1) == (21L to 40L).toSet)
+  }
+
   test("empty replay on a store that does not exist yet is a no-op") {
     val root = scratch("lmg-" + java.util.UUID.randomUUID().toString.take(8))
     val (uni, bi) = lm
