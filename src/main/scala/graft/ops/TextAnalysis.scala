@@ -613,7 +613,14 @@ object TextAnalysis {
     * ONE greedy left-to-right pass over only the words that contain
     * it, updating pair counts by the old-pairs/new-pairs delta and
     * pushing the changed counts (stale heap entries are skipped at
-    * pop time by comparing against the live count). O(touched
+    * pop time by comparing against the live count). The delta is
+    * WHOLE-WORD (subtract every old pair, add every new pair) — for
+    * pairs far from the merge site the two cancel, costing dead
+    * heap entries; the merge-site-local delta would cut that
+    * constant but its cascade/boundary cases (overlapping sites,
+    * shared neighbors) are exactly where reference implementations
+    * historically miscounted, and natural-language words are short
+    * — the chosen trade is simplicity that cannot miscount. O(touched
     * symbols · log heap) per round after an O(total symbols) build —
     * 32k merges over a large vocabulary is seconds of driver work.
     * Exposed package-private so BpePairSpec can cross-check it
