@@ -1814,6 +1814,30 @@ object SparkEntry {
           (col("is_copy") === 0 && col("contaminated") === 0 &&
             col("bin") > 0).cast("long"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- NFC-normalized exact dedup (q09 with a real-crawl twist) ----
+    // Injected bodies repeat mod 25 (odd step, so each body
+    // class mixes both parities); the suffix spells "café"
+    // PRECOMPOSED (U+00E9) on even ids and DECOMPOSED (e+U+0301) on
+    // odd — the same text in two byte spellings, which the plain
+    // fingerprint splits and the NFC fingerprint must unify. Every
+    // NFC group therefore carries exactly 2 plain-fingerprint
+    // variants (the n_plain_variants column — the demonstration).
+    "q115_nfc_dedup" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), concat(lit("resume "),
+          pmod(col("doc_id"), lit(25)).cast("string"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(" café"))
+            .otherwise(lit(" café"))).as("text"))
+      injected
+        .groupBy(TextAnalysis.fingerprintNfc(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          countDistinct(TextAnalysis.fingerprint(col("text")))
+            .as("n_plain_variants"))
+        .orderBy(col("fingerprint"))
     })
   )
 
@@ -3930,6 +3954,22 @@ object SparkEntry {
         |JOIN dup ON d.doc_id = dup.doc_id
         |LEFT JOIN cd ON d.doc_id = cd.doc_id
         |JOIN bins ON d.doc_id = bins.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q115_nfc_dedup" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    'resume ' || CAST(doc_id % 25 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' café'
+        |         ELSE ' cafe' || chr(769) END AS text
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |)
+        |SELECT md5(regexp_replace(trim(lower(nfc_normalize(text))),
+        |    '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies,
+        |  CAST(count(DISTINCT md5(regexp_replace(trim(lower(text)),
+        |    '\s+', ' ', 'g'))) AS BIGINT) AS n_plain_variants
+        |FROM inj
+        |GROUP BY 1 ORDER BY fingerprint""".stripMargin
   )
 }

@@ -96,6 +96,10 @@ object GraftExtensions {
       require(args.length == 1, "graft_simple_lower(text)")
       graft.ops.SimpleLower(args(0))
     },
+    "graft_nfc_normalize" -> { args =>
+      require(args.length == 1, "graft_nfc_normalize(text)")
+      graft.ops.NfcNormalize(args(0))
+    },
     "graft_script_counts" -> { args =>
       require(args.length == 1, "graft_script_counts(text)")
       graft.ops.ScriptCounts(args(0))

@@ -235,6 +235,23 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Unicode NFC (canonical composition) — see [[NfcNormalize]]. */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.GraftFunctions.column(NfcNormalize(
+      graft.functions.GraftFunctions.expr(text)))
+
+  /** NFC-aware exact-dedup fingerprint: canonical composition, then
+    * SIMPLE lowercase (the [[simpleLower]] cross-engine parity map —
+    * plain `lower` would diverge from DuckDB on ς/İ), then the
+    * [[fingerprint]] whitespace collapse. Use over [[fingerprint]]
+    * when the corpus mixes precomposed and combining-mark spellings
+    * (any real multilingual crawl): those spell the same text and
+    * must land in the same dedup group. Kept separate from
+    * [[fingerprint]] so existing ASCII-fixture oracles (q09/q10)
+    * stay byte-stable. */
+  def fingerprintNfc(text: Column): Column =
+    md5(regexp_replace(trim(simpleLower(nfcNormalize(text))), "\\s+", " "))
+
   /** Winnowing rolling-hash fingerprint SET (sorted distinct longs):
     * robust copy detection — any shared substring of length ≥
     * w + k − 1 between two documents guarantees a common
@@ -1139,6 +1156,44 @@ object TextAnalysis {
   * (locale-free `Character.toLowerCase` per codepoint) — the case
   * map DuckDB's utf8proc `lower()` applies, unlike Java/Spark
   * `lower()`'s full mapping. See [[TextAnalysis.simpleLower]]. */
+/** `nfc_normalize(text)` → Unicode NFC (canonical composition) —
+  * crawl text mixes precomposed and combining-sequence spellings of
+  * the same glyph ("é" U+00E9 vs "e"+U+0301), which hash, dedup,
+  * shingle and join as DIFFERENT strings until normalized; NFC
+  * before fingerprinting closes that dedup-miss class. Java
+  * `Normalizer.normalize(_, NFC)` and DuckDB `nfc_normalize`
+  * (utf8proc) both implement UAX #15, whose stability policy makes
+  * composed forms permanent — so the oracle replay is exact across
+  * engines and Unicode versions. The fast path (ASCII / already-
+  * composed text) is a quick-check inside the JDK normalizer; cost
+  * is one pass per row, no allocation when already normalized. */
+case class NfcNormalize(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StringType
+
+  def compute(in: UTF8String): UTF8String = {
+    val s = in.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) in
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNormalize", this,
+      classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 case class SimpleLower(
     child: org.apache.spark.sql.catalyst.expressions.Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -1171,12 +1226,15 @@ case class SimpleLower(
   override def prettyName: String = "simple_lower"
 }
 
-/** `script_counts(text)` → struct of exact per-script letter-or-
-  * script-member counts in ONE codepoint pass — the kernel behind
-  * [[TextAnalysis.scriptProfile]]. Semantics are exactly the regex
-  * classes the oracle replays: `n_<script>` counts
-  * `Character.UnicodeScript` membership (Java `\p{IsXxx}`, RE2
-  * `\p{Xxx}`), `n_letter` counts `Character.isLetter` (`\p{L}`). */
+/** `script_counts(text)` → struct of exact per-script LETTER counts
+  * in ONE codepoint pass — the kernel behind
+  * [[TextAnalysis.scriptProfile]]. `n_<script>` counts codepoints
+  * that are BOTH letters (`Character.isLetter`, `\p{L}`) and
+  * members of the script (`Character.UnicodeScript`, Java
+  * `\p{IsXxx}` / RE2 `\p{Xxx}`); `n_letter` counts all letters —
+  * so `n_letter - Σ n_<script>` is non-negative by construction.
+  * The oracle replays the intersection by stripping non-letters
+  * first (RE2 has no class intersection — q106). */
 case class ScriptCounts(
     child: org.apache.spark.sql.catalyst.expressions.Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

@@ -60,6 +60,11 @@ class GraftExtensionsSpec extends SparkSpec {
     // simple lowercase: word-final sigma maps to σ (not Java's ς)
     assert(spark.sql("SELECT graft_simple_lower('ΜΥΣ')")
       .as[String].head() == "μυσ")
+    // NFC: combining acute composes; precomposed input is identity
+    assert(spark.sql("SELECT graft_nfc_normalize('café')")
+      .as[String].head() == "café")
+    assert(spark.sql("SELECT graft_nfc_normalize('café')")
+      .as[String].head() == "café")
     // script counts: one-pass struct (latin, cyrillic, han, arabic,
     // greek, letters)
     assert(spark.sql(

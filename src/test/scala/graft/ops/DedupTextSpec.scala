@@ -167,6 +167,25 @@ class DedupTextSpec extends SparkSpec {
     assert(fps.distinct.length == 1)
   }
 
+  test("fingerprintNfc unifies precomposed and combining-mark " +
+      "spellings that plain fingerprint splits") {
+    // "café résumé": composed vs fully decomposed (e + U+0301)
+    val composed = "Café Résumé"
+    val decomposed = "Café Résumé"
+    val df = Seq(composed, decomposed).map(Tuple1(_)).toDF("text")
+    val plain = df.select(TextAnalysis.fingerprint(col("text")))
+      .as[String].collect()
+    assert(plain.distinct.length == 2,
+      "plain fingerprint should split the spellings (the miss class)")
+    val nfc = df.select(TextAnalysis.fingerprintNfc(col("text")))
+      .as[String].collect()
+    assert(nfc.distinct.length == 1)
+    // still whitespace/case-insensitive like the plain one
+    val ws = Seq(" café  résumé ").map(Tuple1(_)).toDF("text")
+      .select(TextAnalysis.fingerprintNfc(col("text"))).as[String].head()
+    assert(ws == nfc.head)
+  }
+
   test("scriptProfile: exact per-script counts, dominant label, " +
       "tie-break in column order, none/null handling") {
     val rows = Seq(
