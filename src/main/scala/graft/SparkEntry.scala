@@ -1755,13 +1755,20 @@ object SparkEntry {
       val src = graft.streaming.GraftStream.reader(s, dir)
         .glob("documents.parquet").load()
         .select(col("doc_id"), col("text"))
-      // fixture-keyed path, wiped per invocation: a UUID-per-run dir
-      // would leak one store+checkpoint into tmpdir per bench/verify
-      // execution; this bounds it to one copy per fixture
-      val base = cachedBase(dir, "q113")
-      val basePath = new org.apache.hadoop.fs.Path(base)
-      basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(basePath, true)
+      // per-run UUID subdir under a fixture-keyed root: unique paths
+      // keep concurrent bench/verify invocations from wiping each
+      // other's live store+checkpoint (a shared wiped path raced),
+      // while sweeping subdirs older than an hour bounds the tmpdir
+      // accumulation a bare UUID-per-run scheme leaked
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q113"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
       val q = graft.streaming.GraftStream.lmGateIngest(src, "doc_id",
           "text", uni, bi, minMeanPpm = 40000L, s"$base/out",
           streamId = "q113")

@@ -1087,10 +1087,14 @@ object TextAnalysis {
     * the remainder, and the dominant script label (`none` when the
     * doc has no letters; ties break in column order — latin first).
     *
-    * Scan work: one codegen'd `regexp_count` per script class, no
-    * tokenization, no shuffle. Cross-engine parity: Java's
-    * `\p{IsXxx}` and RE2's `\p{Xxx}` both implement the Unicode
-    * Script property, and the tie-break is a fixed CASE chain any
+    * Scan work: ONE codegen'd codepoint pass per row
+    * ([[ScriptCounts]]), no tokenization, no shuffle. Counts are
+    * LETTERS of each script (letter∩script — so `n_other` is
+    * non-negative by construction; script-bound digits and marks
+    * count nothing). Cross-engine parity: Java's `\p{IsXxx}` and
+    * RE2's `\p{Xxx}` both implement the Unicode Script property,
+    * the letter intersection replays in RE2 as strip-non-letters-
+    * then-count, and the tie-break is a fixed CASE chain any
     * engine replays (the q106 oracle). Output: (idCol, n_latin,
     * n_cyrillic, n_han, n_arabic, n_greek, n_other, script) — one
     * row per input row, null text reads as empty. */

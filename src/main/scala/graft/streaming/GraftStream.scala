@@ -381,14 +381,19 @@ object GraftStream {
     *
     * Per partition: if the file count exceeds what `targetFileMb`
     * implies, rewrite into a `_compact_tmp` subdir (underscore =
-    * invisible to readers), delete the old files, promote by pure
-    * renames — Materialize.compact's staged no-data-copy-window
-    * discipline at partition scope. Incremental and restartable: a
-    * crash between partitions leaves every partition either old or
-    * compacted, both readable; rerunning skips already-compact
-    * partitions. Concurrent readers can catch one partition's brief
-    * rename window — run it on retired streams or quiet stores.
-    * Returns (partitionsRewritten, filesBefore, filesAfter). */
+    * invisible to readers), then commit with a marker protocol:
+    * a `_COMMIT` file LISTING the old file names is created only
+    * once staging is complete — from that point the staged set is
+    * the truth — then old files are deleted and staged files
+    * promoted by renames. Crash-safe at every point: a rerun that
+    * finds `_compact_tmp` WITHOUT the marker rolls back (deletes
+    * the partial staging; old files were never touched), and WITH
+    * the marker rolls forward (deletes any listed old files still
+    * visible, promotes the remaining staged files) — no state loses
+    * rows or double-counts them. Concurrent readers can catch one
+    * partition's brief promote window — run it on retired streams
+    * or quiet stores. Returns (partitionsRewritten, filesBefore,
+    * filesAfter). */
   def compactIngestStore(spark: SparkSession, url: String,
       targetFileMb: Int = 256): (Int, Int, Int) = {
     import org.apache.hadoop.fs.Path
@@ -404,6 +409,38 @@ object GraftStream {
     var before = 0
     var after = 0
     parts.foreach { p =>
+      val tmp = new Path(p.getPath, "_compact_tmp")
+      val marker = new Path(tmp, "_COMMIT")
+      def promote(): Int = {
+        val staged = fs.listStatus(tmp).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        staged.foreach { f =>
+          require(fs.rename(f.getPath, new Path(p.getPath, f.getPath.getName)),
+            s"rename failed promoting ${f.getPath.getName}")
+        }
+        fs.delete(tmp, true)
+        staged.length
+      }
+      // recovery from a crashed previous run: marker present means
+      // the staged set was committed — roll FORWARD (delete any
+      // listed old files still visible, promote the rest); marker
+      // absent means staging never completed — roll BACK (old files
+      // were never touched)
+      if (fs.exists(tmp)) {
+        if (fs.exists(marker)) {
+          val in = fs.open(marker)
+          val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toList finally in.close()
+          listed.foreach { n =>
+            val f = new Path(p.getPath, n)
+            if (fs.exists(f)) fs.delete(f, false)
+          }
+          // the marker dies only WITH the tmp dir (inside promote):
+          // deleting it earlier would turn a crash here into a
+          // rollback of committed data after the olds are gone
+          promote()
+        } else fs.delete(tmp, true)
+      }
       val files = fs.listStatus(p.getPath).filter(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet"))
       before += files.length
@@ -411,23 +448,21 @@ object GraftStream {
       val nOut = math.max(1,
         math.ceil(bytes.toDouble / (targetFileMb.toLong << 20)).toInt)
       if (files.length > nOut) {
-        val tmp = new Path(p.getPath, "_compact_tmp")
-        fs.delete(tmp, true)
         // partition files carry no ingest_key column (it lives in the
         // directory name), so a partition-scoped rewrite round-trips
-        // the rows as-is
-        spark.read.parquet(p.getPath.toString).repartition(nOut)
+        // the rows as-is; coalesce, not repartition — merging small
+        // files needs no exchange
+        spark.read.parquet(p.getPath.toString).coalesce(nOut)
           .write.mode("overwrite").parquet(tmp.toString)
-        val staged = fs.listStatus(tmp).filter(f =>
-          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        // commit point: the marker records exactly which old files
+        // the staged set replaces
+        val out = fs.create(marker, false)
+        try out.write(files.map(_.getPath.getName).mkString("\n")
+          .getBytes("UTF-8"))
+        finally out.close()
         files.foreach(f => fs.delete(f.getPath, false))
-        staged.foreach { f =>
-          require(fs.rename(f.getPath, new Path(p.getPath, f.getPath.getName)),
-            s"rename failed promoting ${f.getPath.getName}")
-        }
-        fs.delete(tmp, true)
+        after += promote()
         rewritten += 1
-        after += staged.length
       } else after += files.length
     }
     (rewritten, before, after)

@@ -108,6 +108,40 @@ class LmGateIngestSpec extends SparkSpec {
     assert(post.filter(_._2 == "run1_b1").map(_._1) == (21L to 40L).toSet)
   }
 
+  test("compactIngestStore crash recovery: committed staging rolls " +
+      "FORWARD (no rows lost), uncommitted staging rolls BACK") {
+    val root = scratch("lmg-" + java.util.UUID.randomUUID().toString.take(8))
+    val url = s"$root/out"
+    val cols = Seq("doc_id", "text", "n_trans", "score_sum", "mean_ppm")
+    (1L to 20L).map(i => (i, s"doc $i", 1L, 0L, 0L)).toDF(cols: _*)
+      .repartition(3).withColumn("ingest_key", lit("run1_b0"))
+      .write.partitionBy("ingest_key").parquet(url)
+    val part = new java.io.File(s"$url/ingest_key=run1_b0")
+    def parquets() = part.listFiles().filter(_.getName.endsWith(".parquet"))
+    // simulate a crash AFTER the commit marker and old-file deletes,
+    // BEFORE promotion: stage the coalesced rewrite, write _COMMIT
+    // listing the olds, delete the olds
+    val tmp = new java.io.File(part, "_compact_tmp")
+    spark.read.parquet(part.getAbsolutePath).coalesce(1)
+      .write.parquet(tmp.getAbsolutePath)
+    val oldNames = parquets().map(_.getName)
+    java.nio.file.Files.write(new java.io.File(tmp, "_COMMIT").toPath,
+      oldNames.mkString("\n").getBytes("UTF-8"))
+    oldNames.foreach(n => new java.io.File(part, n).delete())
+    // the store now looks EMPTY to readers — recovery must restore it
+    val (rw, nb, na) = GraftStream.compactIngestStore(spark, url)
+    assert(!tmp.exists())
+    assert((rw, nb, na) == ((0, 1, 1)), s"($rw, $nb, $na)")
+    assert(spark.read.parquet(url).select($"doc_id")
+      .as[Long].collect().toSet == (1L to 20L).toSet)
+    // uncommitted staging (no marker): roll back, old rows untouched
+    spark.read.parquet(part.getAbsolutePath).limit(3).coalesce(1)
+      .write.parquet(tmp.getAbsolutePath)
+    assert(GraftStream.compactIngestStore(spark, url) == ((0, 1, 1)))
+    assert(!tmp.exists())
+    assert(spark.read.parquet(url).count() == 20L)
+  }
+
   test("empty replay on a store that does not exist yet is a no-op") {
     val root = scratch("lmg-" + java.util.UUID.randomUUID().toString.take(8))
     val (uni, bi) = lm
