@@ -1845,6 +1845,27 @@ object SparkEntry {
           countDistinct(TextAnalysis.fingerprint(col("text")))
             .as("n_plain_variants"))
         .orderBy(col("fingerprint"))
+    }),
+
+    // Corpus-wide LINE dedup (C4/RefinedWeb boilerplate cleanup):
+    // the fixture injects multi-line structure (the synthetic docs
+    // are single-line) — a header shared by every doc, a 5-way
+    // footer family, the doc body, plus an empty line and a 2-char
+    // line that minLineChars=3 exempts from dedup. Keep-first
+    // semantics: one header and one footer per variant survive
+    // corpus-wide, chosen by (doc_id, pos) order.
+    "q116_line_dedup" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), concat_ws("\n",
+          lit("the shared boilerplate header"),
+          substring(col("text"), 1, 40),
+          concat(lit("footer variant "),
+            pmod(col("doc_id"), lit(5)).cast("string")),
+          col("text"), lit(""), lit("ad")).as("text"))
+      graft.ops.LineDedup.dedupLines(injected, "doc_id", "text",
+          maxOccurrences = 1L, minLineChars = 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3977,6 +3998,40 @@ object SparkEntry {
         |  CAST(count(DISTINCT md5(regexp_replace(trim(lower(text)),
         |    '\s+', ' ', 'g'))) AS BIGINT) AS n_plain_variants
         |FROM inj
-        |GROUP BY 1 ORDER BY fingerprint""".stripMargin
+        |GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "q116_line_dedup" ->
+      """WITH inj AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'the shared boilerplate header',
+        |    substr(text, 1, 40),
+        |    'footer variant ' || CAST(doc_id % 5 AS VARCHAR),
+        |    text, '', 'ad') AS text
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), d AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM inj
+        |), pos0 AS (
+        |  SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM d
+        |), occ AS (
+        |  SELECT doc_id, pos, md5(ls[pos]) AS fp FROM pos0
+        |  WHERE length(ls[pos]) >= 3
+        |), marked AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY fp) AS n,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+        |  FROM occ
+        |), rem AS (
+        |  SELECT doc_id, list_sort(list(pos)) AS rm FROM marked
+        |  WHERE n > 1 AND rn > 1 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(len(d.ls) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(len(r.rm), 0) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(
+        |    list_filter(d.ls, (x, i) -> NOT list_contains(
+        |      coalesce(r.rm, []), CAST(i AS BIGINT))), chr(10)), '')
+        |    AS clean_text
+        |FROM d LEFT JOIN rem r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }
