@@ -1866,6 +1866,32 @@ object SparkEntry {
       graft.ops.LineDedup.dedupLines(injected, "doc_id", "text",
           maxOccurrences = 1L, minLineChars = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // Markup → text extraction (TextAnalysis.stripMarkup): the
+    // fixture wraps each synthetic doc in deterministic HTML —
+    // style/script blocks (the script body contains a bare '<' that
+    // only block-level removal handles), a comment containing tags,
+    // block tags, and all six standard entities including the
+    // &amp;lt; literal-escape case.
+    "q117_markup_strip" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style type=\"text/css\">body { color: red; }" +
+            "</style><script>var x = 1 < 2 && y;</script></head>" +
+            "<body><!-- nav <ul><li>menu</li></ul> --><h1>Heading "),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("</h1><p>"), substring(col("text"), 1, 80),
+          lit(" &amp; more &lt;escaped&gt; &quot;q&quot; &#39;s</p>" +
+            "<div>"),
+          col("text"),
+          lit("</div><br/>tail&nbsp;end</body></html>")).as("html"))
+      injected.select(col("doc_id"),
+          TextAnalysis.stripMarkup(col("html")).as("clean_text"))
+        .withColumn("n_chars", length(col("clean_text")).cast("long"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4032,6 +4058,47 @@ object SparkEntry {
         |      coalesce(r.rm, []), CAST(i AS BIGINT))), chr(10)), '')
         |    AS clean_text
         |FROM d LEFT JOIN rem r ON d.doc_id = r.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q117_markup_strip" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style type="text/css">body { color: red; }' ||
+        |    '</style><script>var x = 1 < 2 && y;</script></head>' ||
+        |    '<body><!-- nav <ul><li>menu</li></ul> --><h1>Heading ' ||
+        |    CAST(doc_id % 7 AS VARCHAR) ||
+        |    '</h1><p>' || substr(text, 1, 80) ||
+        |    ' &amp; more &lt;escaped&gt; &quot;q&quot; &#39;s</p>' ||
+        |    '<div>' || text ||
+        |    '</div><br/>tail&nbsp;end</body></html>' AS html
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), s AS (
+        |  SELECT doc_id, trim(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(html,
+        |      '(?is)<script\b[^>]*>.*?</script[ \t\n\r]*>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style[ \t\n\r]*>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)[ \t\n\r]*>|<br[ \t\n\r]*/?>', chr(10), 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&#39;|&apos;', '''', 'g'),
+        |      '&amp;', '&', 'g'),
+        |      '[ \t]+', ' ', 'g'),
+        |      '[ ]*\n[ ]*', chr(10), 'g'),
+        |      '\n{3,}', chr(10) || chr(10), 'g'),
+        |    ' ' || chr(10)) AS clean_text
+        |  FROM inj
+        |)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(clean_text) AS BIGINT) AS n_chars
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

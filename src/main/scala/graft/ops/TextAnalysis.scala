@@ -1154,6 +1154,52 @@ object TextAnalysis {
       col("__fp").as("fingerprint"),
       langIdOfTokens(col("__lgtoks")).as("lang_pred")): _*)
   }
+
+  /** HTML/markup → text extraction — the crawl-pipeline step that
+    * precedes every text filter in this file: strip script/style
+    * blocks wholesale, drop comments, turn block-closing tags into
+    * line breaks (so [[graft.ops.LineDedup]] still sees line
+    * structure), strip remaining tags, decode the six standard
+    * entities, and normalize whitespace. A deterministic heuristic
+    * extractor — not an HTML5 tree parser (malformed nesting,
+    * attribute values containing `>`, and CDATA are out of scope;
+    * boilerplate-model extraction belongs to a trafilatura-class
+    * tool upstream) — but it is the pure-regex subset BOTH engines
+    * replay exactly, every step a codegen'd `regexp_replace` at
+    * parquet-scan speed with no tokenization and no shuffle.
+    *
+    * Entity order is load-bearing: `&lt;`/`&gt;` decode AFTER tag
+    * stripping (decoded angle brackets are content, not markup) and
+    * `&amp;` decodes LAST (`&amp;lt;` means the literal text
+    * `&lt;`). Word-boundary and whitespace classes are spelled as
+    * explicit byte ranges so Java regex and RE2 agree. Null
+    * propagates (coalesce upstream for the empty-text contract). */
+  def stripMarkup(text: Column): Column = {
+    val ws = "[ \\t\\n\\r]"
+    var c = text
+    // script/style content is NOT text — remove before generic tag
+    // stripping (their bodies legally contain bare '<')
+    c = regexp_replace(c, s"(?is)<script\\b[^>]*>.*?</script$ws*>", " ")
+    c = regexp_replace(c, s"(?is)<style\\b[^>]*>.*?</style$ws*>", " ")
+    c = regexp_replace(c, "(?s)<!--.*?-->", " ")
+    // block-level closers and <br> become line breaks
+    c = regexp_replace(c,
+      s"(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)$ws*>" +
+        s"|<br$ws*/?>", "\n")
+    c = regexp_replace(c, "<[^>]*>", " ")
+    c = regexp_replace(c, "&nbsp;", " ")
+    c = regexp_replace(c, "&lt;", "<")
+    c = regexp_replace(c, "&gt;", ">")
+    c = regexp_replace(c, "&quot;", "\"")
+    c = regexp_replace(c, "&#39;|&apos;", "'")
+    c = regexp_replace(c, "&amp;", "&")
+    // whitespace normalization: collapse runs, trim around breaks,
+    // cap blank runs at one empty line, trim the ends
+    c = regexp_replace(c, "[ \\t]+", " ")
+    c = regexp_replace(c, "[ ]*\\n[ ]*", "\n")
+    c = regexp_replace(c, "\\n{3,}", "\n\n")
+    trim(c, " \n")
+  }
 }
 
 /** `simple_lower(text)` → codepoint-wise Unicode simple lowercase
