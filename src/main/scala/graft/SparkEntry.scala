@@ -1892,6 +1892,23 @@ object SparkEntry {
           TextAnalysis.stripMarkup(col("html")).as("clean_text"))
         .withColumn("n_chars", length(col("clean_text")).cast("long"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- ANN: product quantization + ADC + exact rescore ----
+    // The memory-COMPRESSION scale path (m bytes/vector coarse scan,
+    // m table lookups/candidate). Unlike q64's int8 path, PQ recall
+    // on this adversarial-uniform fixture is < 1.0 at rerank=8
+    // (0.94 measured, spec-pinned), so the oracle REPLAYS the whole
+    // pipeline — md5-sampled codebooks, argmin-first encode, ADC
+    // coarse rank, exact rescore — rather than comparing to brute
+    // force. Every distance is an element-ordered fold both engines
+    // reproduce bit-for-bit.
+    "q118_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnSearch.pqTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "vec_id",
+        "embedding", k = 5, m = 16, ksub = 64, rerank = 8)
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -4099,6 +4116,74 @@ object SparkEntry {
         |)
         |SELECT doc_id, clean_text,
         |  CAST(length(clean_text) AS BIGINT) AS n_chars
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Full PQ/ADC replay: smp = the 64 rows with smallest
+    // (md5(id), id); codebook entry (s, j) = dims [4s, 4s+4) of
+    // sampled row j; encode = per-subspace argmin-FIRST
+    // (list_position of list_min — first exact-double match, the
+    // kernel's strict-< tie rule); ADC = subspace-major ordered
+    // fold; candidates = top-40 by (-floor(adc·1e6), cid); rescore
+    // = the exact q23 cosine on candidates only.
+    "q118_ann_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        |  FROM embeddings
+        |), smp AS (
+        |  SELECT emb, rn FROM (
+        |    SELECT emb, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM e) WHERE rn <= 64
+        |), cb AS (
+        |  SELECT list(emb ORDER BY rn) AS cbl FROM smp
+        |), enc AS (
+        |  SELECT vec_id AS cid,
+        |    list_transform(range(16), s ->
+        |      list_position(
+        |        list_transform(range(64), j -> list_reduce(
+        |          list_transform(range(1, 5), d ->
+        |            (emb[s*4+d] - cbl[j+1][s*4+d]) *
+        |            (emb[s*4+d] - cbl[j+1][s*4+d])), (a, b) -> a + b)),
+        |        list_min(
+        |          list_transform(range(64), j -> list_reduce(
+        |            list_transform(range(1, 5), d ->
+        |              (emb[s*4+d] - cbl[j+1][s*4+d]) *
+        |              (emb[s*4+d] - cbl[j+1][s*4+d])), (a, b) -> a + b)))
+        |      )) AS codes
+        |  FROM e CROSS JOIN cb
+        |), q AS (
+        |  SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 20
+        |), adc AS (
+        |  SELECT q.qid, c.cid,
+        |    -CAST(floor(list_reduce(list_transform(range(16), s ->
+        |      list_reduce(list_transform(range(1, 5), d ->
+        |        (qe[s*4+d] - cbl[c.codes[s+1]][s*4+d]) *
+        |        (qe[s*4+d] - cbl[c.codes[s+1]][s*4+d])), (a, b) -> a + b)),
+        |      (a, b) -> a + b) * 1000000) AS BIGINT) AS score
+        |  FROM enc c CROSS JOIN q CROSS JOIN cb
+        |), cand AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid, row_number() OVER (
+        |      PARTITION BY qid ORDER BY score DESC, cid) AS crn
+        |    FROM adc) WHERE crn <= 40
+        |), resc AS (
+        |  SELECT cand.qid, cand.cid,
+        |    CAST(floor(
+        |      list_reduce(list_transform(range(1, 65), i ->
+        |        qq.emb[i] * cc.emb[i]), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(range(1, 65), i ->
+        |          qq.emb[i] * qq.emb[i]), (a, b) -> a + b))
+        |        * sqrt(list_reduce(list_transform(range(1, 65), i ->
+        |          cc.emb[i] * cc.emb[i]), (a, b) -> a + b)))
+        |      * 1000000) AS BIGINT) AS cos_m
+        |  FROM cand
+        |  JOIN e cc ON cand.cid = cc.vec_id
+        |  JOIN e qq ON cand.qid = qq.vec_id
+        |), ranked AS (
+        |  SELECT qid, cid, cos_m, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_m DESC, cid) AS rank
+        |  FROM resc)
+        |SELECT qid, rank, cid, cos_m FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin
   )
 }

@@ -383,4 +383,112 @@ object AnnSearch {
     if (denom == 0) 1.0
     else truth.join(got, Seq("qid", "cid"), "left_semi").count().toDouble / denom
   }
+
+  // ---- Product quantization (the memory-COMPRESSION scale path) ----
+
+  /** Deterministic PQ codebooks `[m][ksub][dsub]`: the `ksub` corpus
+    * rows with the smallest `(md5(id), id)` — the [[ivfCentroids]]
+    * sampling, reproducible on any engine — sliced into `m`
+    * contiguous sub-vectors (subspace `s` = dims `[s·dsub,
+    * (s+1)·dsub)`). Sampled codebooks are the standard cheap
+    * seeding; a k-means refinement per subspace would quantize
+    * tighter but costs iterations and engine reproducibility (the
+    * [[ivfCentroids]] trade, same reasoning). A corpus smaller than
+    * `ksub` yields that many entries. Collected ONCE — bounded by
+    * `ksub · dim` doubles (the centroids-small contract). */
+  def pqCodebooks(corpus: DataFrame, cId: String, embCol: String,
+      m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1, s"pq: m must be >= 1 (got $m)")
+    require(ksub >= 1 && ksub <= 256,
+      s"pq: ksub must be in [1, 256] — one byte per code is the " +
+        s"point of PQ (got $ksub)")
+    val rows = corpus
+      .select(col(cId).as("__id"), col(embCol).cast("array<double>").as("__e"))
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+      .limit(ksub).collect()
+    require(rows.nonEmpty, "pq: empty corpus")
+    val dim = rows.head.getSeq[Double](1).length
+    require(dim % m == 0,
+      s"pq: dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      rows.map(_.getSeq[Double](1).slice(s * dsub, (s + 1) * dsub).toArray)
+    }
+  }
+
+  /** PQ-encode a corpus: `(cid, codes array<int>)` via the codegen'd
+    * [[graft.codecs.PqEncode]] — a pure projection at scan speed. At
+    * 100 TB this is the column you MATERIALIZE: `m` bytes per vector
+    * versus `4·dim`, so the coarse scan of [[pqTopK]] reads
+    * `m/(4·dim)` of the corpus bytes (64-dim float32 at m=8 →
+    * 1/32 of the I/O). */
+  def pqEncode(corpus: DataFrame, cId: String, embCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col(cId).as("cid"),
+      graft.functions.GraftFunctions.column(graft.codecs.PqEncode(
+        graft.functions.GraftFunctions.expr(
+          col(embCol).cast("array<double>")), codebooks)).as("codes"))
+
+  /** PQ/ADC approximate top-k with exact rescore — the compression
+    * scale path next to [[int8TopK]] (4× I/O cut, exact dims) and
+    * [[ivfTopK]] (candidate pruning): the coarse scan ranks by
+    * asymmetric distance — the query builds its `m·ksub` table of
+    * squared sub-distances ONCE ([[graft.codecs.PqDistTable]]) and
+    * each candidate costs `m` table lookups
+    * ([[graft.codecs.PqAdcLookup]]) against its `m`-byte code — then
+    * the top `k·rerank` candidates per query rescore with exact
+    * float cosine, exactly [[int8TopK]]'s two-phase shape (bounded
+    * heaps via [[rankTopK]], broadcast candidate set, id-indexed
+    * fetch at scale). Coarse ranking is by NEGATED floor-micros ADC
+    * distance (ascending distance = descending score) with the
+    * rankTopK id tie-break.
+    *
+    * Recall: governed by `rerank` and codebook quality — measure
+    * with [[pqRecallAtK]] on your distribution before trusting a
+    * configuration (the [[int8TopK]] honesty contract); with enough
+    * rerank the exact rescore makes the output ≡ brute force.
+    * Output: `(qid, rank, cid, cos_m)` like every topK here. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, embCol: String, k: Int, m: Int = 8,
+      ksub: Int = 256, rerank: Int = 8): DataFrame = {
+    require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
+    val cb = pqCodebooks(corpus, cId, embCol, m, ksub)
+    val ksubEff = cb.head.length
+    val c = corpus.select(col(cId).as("cid"), col(embCol).as("__ce"))
+    val q = queries.select(col(qId).as("qid"), col(embCol).as("__qe"))
+    val enc = pqEncode(corpus, cId, embCol, cb)
+    val qt = q.select(col("qid"),
+      graft.functions.GraftFunctions.column(graft.codecs.PqDistTable(
+        graft.functions.GraftFunctions.expr(
+          col("__qe").cast("array<double>")), cb)).as("__tbl"))
+    val approx = enc.crossJoin(broadcast(qt))
+      .withColumn("cos_m",
+        -floor(graft.functions.GraftFunctions.column(
+          graft.codecs.PqAdcLookup(
+            graft.functions.GraftFunctions.expr(col("codes")),
+            graft.functions.GraftFunctions.expr(col("__tbl")),
+            ksubEff)) * 1000000L).cast("long"))
+      .select(col("qid"), col("cid"), col("cos_m"))
+    val cands = rankTopK(approx, k * rerank).select(col("qid"), col("cid"))
+    val rescored = c.join(broadcast(cands), Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos_m",
+        floor(cosine(col("__qe"), col("__ce")) * 1000000L).cast("long"))
+    rankTopK(rescored, k)
+  }
+
+  /** recall@k of [[pqTopK]] against [[bruteForceTopK]] — quantifies
+    * the (m, ksub, rerank) configuration like [[int8RecallAtK]]
+    * does for rerank. */
+  def pqRecallAtK(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, embCol: String, k: Int, m: Int = 8,
+      ksub: Int = 256, rerank: Int = 8): Double = {
+    val truth = bruteForceTopK(queries, corpus, qId, cId, embCol, k)
+      .select(col("qid"), col("cid"))
+    val got = pqTopK(queries, corpus, qId, cId, embCol, k, m, ksub, rerank)
+      .select(col("qid"), col("cid"))
+    val denom = truth.count()
+    if (denom == 0) 1.0
+    else truth.join(got, Seq("qid", "cid"), "left_semi").count().toDouble / denom
+  }
 }
