@@ -1909,6 +1909,18 @@ object SparkEntry {
         e.filter(col("vec_id") < 20), e, "vec_id", "vec_id",
         "embedding", k = 5, m = 16, ksub = 64, rerank = 8)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- Gopher rule-based quality filter (LLM-ops) ----
+    // The NAMED rule set (Rae et al. 2021, Appendix A1.1) next to
+    // q17's combined score: per-doc raw metrics, per-rule
+    // thresholds, and a 0/1 verdict so a pipeline can filter AND
+    // audit why — all codegen'd regexp arithmetic at scan speed.
+    "q119_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherRules(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4184,6 +4196,48 @@ object SparkEntry {
         |    PARTITION BY qid ORDER BY cos_m DESC, cid) AS rank
         |  FROM resc)
         |SELECT qid, rank, cid, cos_m FROM ranked WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin
+        |ORDER BY qid, rank""".stripMargin,
+
+    "q119_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[^ \t\n\r]+')) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(t, '[ \t\n\r]', '', 'g')) AS BIGINT) AS sum_len,
+        |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.|…')) AS BIGINT) AS symbols,
+        |    CAST(len(regexp_extract_all(t, '(?m)^[ ]*[-*•]')) AS BIGINT) AS bullets,
+        |    CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)[ ]*$')) AS BIGINT) AS ell_ends,
+        |    CAST(len(regexp_extract_all(t, '(?:^|[ \t\n\r])[^ \t\n\r]*[a-zA-Z]')) AS BIGINT) AS alpha_words,
+        |    CAST((CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits
+        |  FROM d
+        |), r AS (
+        |  SELECT doc_id, n_words,
+        |    sum_len * 1000000 // greatest(n_words, 1) AS mean_word_len_m,
+        |    symbols * 1000000 // greatest(n_words, 1) AS symbol_ratio_m,
+        |    bullets * 1000000 // greatest(n_lines, 1) AS bullet_frac_m,
+        |    ell_ends * 1000000 // greatest(n_lines, 1) AS ellipsis_frac_m,
+        |    alpha_words * 1000000 // greatest(n_words, 1) AS alpha_word_frac_m,
+        |    n_stop_hits
+        |  FROM c)
+        |SELECT doc_id, n_words, mean_word_len_m, symbol_ratio_m,
+        |  bullet_frac_m, ellipsis_frac_m, alpha_word_frac_m, n_stop_hits,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len_m BETWEEN 3000000 AND 10000000
+        |    AND symbol_ratio_m <= 100000
+        |    AND bullet_frac_m <= 900000
+        |    AND ellipsis_frac_m <= 300000
+        |    AND alpha_word_frac_m >= 800000
+        |    AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS passes
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -1155,6 +1155,87 @@ object TextAnalysis {
       langIdOfTokens(col("__lgtoks")).as("lang_pred")): _*)
   }
 
+  /** Gopher rule-based quality filter (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A1.1) — the NAMED
+    * rule set next to [[qualityDF]]'s combined score: per document,
+    * the raw metrics each rule thresholds plus the per-rule and
+    * overall verdicts, so a pipeline can both filter and audit WHY
+    * documents fail. Rules (English-calibrated, as published):
+    * 50 ≤ words ≤ 100k; mean word length in [3, 10]; symbol-to-word
+    * ratio (`#` + ellipsis) ≤ 0.1; ≤ 90% of lines bullet-started;
+    * ≤ 30% of lines ellipsis-ended; ≥ 80% of words contain a Latin
+    * letter; ≥ 2 distinct Gopher stopwords present.
+    *
+    * A "word" is a maximal non-whitespace run (the paper's
+    * whitespace tokenization, NOT [[alphaTokens]]); a "line" splits
+    * on `\n`. Every metric is a codegen'd `regexp_count`/`length`
+    * over explicit byte-range classes (both engines agree), ratios
+    * are exact floor-micros via integral `div`; every zero
+    * denominator implies a zero numerator (lines ≥ 1 always; a `#`
+    * or ellipsis or alpha word IS a non-whitespace run) so
+    * `greatest(den, 1)` is exact, not an approximation. Scan speed:
+    * no tokenization arrays, no shuffle. Output: `(idCol, n_words,
+    * mean_word_len_m, symbol_ratio_m, bullet_frac_m,
+    * ellipsis_frac_m, alpha_word_frac_m, n_stop_hits, passes)`
+    * with `passes` as 0/1; null text reads as empty (and fails).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val stopHits = GopherStopwords.map(w =>
+      (regexp_count(simpleLower(t), lit(s"\\b$w\\b")) > 0).cast("long"))
+      .reduce(_ + _)
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        // maximal non-whitespace runs; their total length is the
+        // text minus its whitespace (no per-token arrays needed)
+        regexp_count(t, lit("[^ \\t\\n\\r]+")).cast("long")
+          .as("n_words"),
+        length(regexp_replace(t, "[ \\t\\n\\r]", "")).cast("long")
+          .as("__sum_len"),
+        size(split(t, "\n", -1)).cast("long").as("__n_lines"),
+        (regexp_count(t, lit("#")) +
+          regexp_count(t, lit("\\.\\.\\.|…"))).cast("long")
+          .as("__symbols"),
+        regexp_count(t, lit("(?m)^[ ]*[-*•]")).cast("long")
+          .as("__bullets"),
+        regexp_count(t, lit("(?m)(\\.\\.\\.|…)[ ]*$")).cast("long")
+          .as("__ell_ends"),
+        // a word counts as alphabetic if it contains a Latin letter;
+        // the match ends at the word's LAST letter and a next match
+        // needs a fresh separator, so no word is counted twice
+        // (greedy leftmost scan agrees across Java regex and RE2)
+        regexp_count(t,
+          lit("(?:^|[ \\t\\n\\r])[^ \\t\\n\\r]*[a-zA-Z]")).cast("long")
+          .as("__alpha_words"),
+        stopHits.as("n_stop_hits"))
+      .select(col(idCol), col("n_words"),
+        expr("__sum_len * 1000000 div greatest(n_words, 1)")
+          .as("mean_word_len_m"),
+        expr("__symbols * 1000000 div greatest(n_words, 1)")
+          .as("symbol_ratio_m"),
+        expr("__bullets * 1000000 div greatest(__n_lines, 1)")
+          .as("bullet_frac_m"),
+        expr("__ell_ends * 1000000 div greatest(__n_lines, 1)")
+          .as("ellipsis_frac_m"),
+        expr("__alpha_words * 1000000 div greatest(n_words, 1)")
+          .as("alpha_word_frac_m"),
+        col("n_stop_hits"))
+      .withColumn("passes",
+        (col("n_words").between(50L, 100000L) &&
+          col("mean_word_len_m").between(3000000L, 10000000L) &&
+          col("symbol_ratio_m") <= 100000L &&
+          col("bullet_frac_m") <= 900000L &&
+          col("ellipsis_frac_m") <= 300000L &&
+          col("alpha_word_frac_m") >= 800000L &&
+          col("n_stop_hits") >= 2L).cast("long"))
+  }
+
+  /** The Gopher stopword list (Rae et al. 2021 A1.1): a document
+    * must contain at least two of these as whole words. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** HTML/markup → text extraction — the crawl-pipeline step that
     * precedes every text filter in this file: strip script/style
     * blocks wholesale, drop comments, turn block-closing tags into
