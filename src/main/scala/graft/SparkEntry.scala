@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, AsOf, Dedup, Gram, NGram, NearDedup, Packing, RangeJoin, Sampling, Sketch, Stats, TextAnalysis, TransformSpec}
+import graft.ops.{AnnSearch, AsOf, Dedup, Gram, NGram, NearDedup, Packing, RangeJoin, Sampling, SemanticDedup, Sketch, Stats, TextAnalysis, TransformSpec}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize, RowGroupIndex}
@@ -1921,6 +1921,19 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), col("text")),
           "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Integer-space k-means (LLM-ops) ----
+    // Lloyd's in exact floor-micros arithmetic: the oracle replays
+    // seeds, both rounds' integral means and the final argmin
+    // assignment in SQL — a clustering whose every number
+    // hash-matches across engines (float k-means can't: partial-sum
+    // order). Assignment is a codegen'd broadcast argmin, zero
+    // corpus shuffles; the means exchange is ≤ k·dim·partitions.
+    "q120_kmeans_int" -> ((s, dir) => {
+      SemanticDedup.kmeansInt(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -4238,6 +4251,63 @@ object SparkEntry {
         |    AND ellipsis_frac_m <= 300000
         |    AND alpha_word_frac_m >= 800000
         |    AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS passes
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q120_kmeans_int" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT list(vm ORDER BY vec_id) AS cl
+        |  FROM (SELECT vec_id, vm FROM e ORDER BY vec_id LIMIT 8)
+        |), a1 AS (
+        |  SELECT vec_id, vm, list_position(d, list_min(d)) - 1 AS c
+        |  FROM (
+        |    SELECT vec_id, vm,
+        |      list_transform(range(8), j -> list_reduce(
+        |        list_transform(range(1, 65), t ->
+        |          (vm[t] - cl[j+1][t]) * (vm[t] - cl[j+1][t])),
+        |        (x, y) -> x + y)) AS d
+        |    FROM e CROSS JOIN c0)
+        |), m1 AS (
+        |  SELECT c, i, CAST(sum(vm[i+1]) AS BIGINT) // count(*) AS mu
+        |  FROM a1 CROSS JOIN range(64) t(i) GROUP BY c, i
+        |), c1 AS (
+        |  SELECT list(cc ORDER BY j) AS cl FROM (
+        |    SELECT j, coalesce(m.l, c0.cl[j+1]) AS cc
+        |    FROM range(8) t(j) CROSS JOIN c0
+        |    LEFT JOIN (SELECT c, list(mu ORDER BY i) AS l
+        |               FROM m1 GROUP BY c) m ON m.c = j)
+        |), a2 AS (
+        |  SELECT vec_id, vm, list_position(d, list_min(d)) - 1 AS c
+        |  FROM (
+        |    SELECT vec_id, vm,
+        |      list_transform(range(8), j -> list_reduce(
+        |        list_transform(range(1, 65), t ->
+        |          (vm[t] - cl[j+1][t]) * (vm[t] - cl[j+1][t])),
+        |        (x, y) -> x + y)) AS d
+        |    FROM e CROSS JOIN c1)
+        |), m2 AS (
+        |  SELECT c, i, CAST(sum(vm[i+1]) AS BIGINT) // count(*) AS mu
+        |  FROM a2 CROSS JOIN range(64) t(i) GROUP BY c, i
+        |), c2 AS (
+        |  SELECT list(cc ORDER BY j) AS cl FROM (
+        |    SELECT j, coalesce(m.l, c1.cl[j+1]) AS cc
+        |    FROM range(8) t(j) CROSS JOIN c1
+        |    LEFT JOIN (SELECT c, list(mu ORDER BY i) AS l
+        |               FROM m2 GROUP BY c) m ON m.c = j)
+        |)
+        |SELECT vec_id,
+        |  CAST(list_position(d, list_min(d)) - 1 AS BIGINT) AS cluster,
+        |  CAST(list_min(d) AS BIGINT) AS dist
+        |FROM (
+        |  SELECT vec_id,
+        |    list_transform(range(8), j -> list_reduce(
+        |      list_transform(range(1, 65), t ->
+        |        (vm[t] - cl[j+1][t]) * (vm[t] - cl[j+1][t])),
+        |      (x, y) -> x + y)) AS d
+        |  FROM e CROSS JOIN c2)
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -307,3 +307,103 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
   override def prettyName: String = "dot"
 }
+
+/** `floor_micros(vec)` → array<long>: element-wise
+  * `floor(x·1e6)` over a float/double vector — the exact-integer
+  * embedding space [[graft.ops.SemanticDedup.kmeansInt]] clusters
+  * in (float→double widen then one double multiply and floor are
+  * bit-identical cross-engine; long arithmetic after that is
+  * order-free, so sums and means hash-match any engine). */
+case class FloorMicros(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"floor_micros expects array<float|double>, got $other")
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    isFloat // force validation
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = math.floor(v * 1000000.0).toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("floorMicros", this,
+      classOf[FloorMicros].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "floor_micros"
+}
+
+/** `argmin_l2m(vm)` against a broadcast integer centroid table →
+  * struct<cluster: int, dist: long>: exact squared-L2 in micros
+  * space, ties to the LOWEST centroid index (strict `<`). One pass
+  * over k×dim per row, no join, no shuffle — the hard-assignment
+  * scale shape ([[ArgMaxCosM]] doctrine) for [[graft.ops
+  * .SemanticDedup.kmeansInt]]. Fits long: dists ≤ dim·(Δmicros)²
+  * — overflow needs |x| > ~3·10⁵ at dim 64, far past unit-norm
+  * embeddings. */
+case class ArgMinL2M(child: Expression, centroids: Array[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "argmin_l2m needs at least one centroid")
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"argmin_l2m expects array<bigint>, got $other")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = a.numElements()
+    var best = 0
+    var bestD = Long.MaxValue
+    var ci = 0
+    while (ci < centroids.length) {
+      val c = centroids(ci)
+      require(c.length == dim,
+        s"argmin_l2m: dim mismatch ${c.length} vs $dim")
+      var d = 0L
+      var j = 0
+      while (j < dim) {
+        val t = a.getLong(j) - c(j); d += t * t; j += 1
+      }
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestD))
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argminL2M", this,
+      classOf[ArgMinL2M].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "argmin_l2m"
+}

@@ -88,6 +88,10 @@ object GraftExtensions {
       require(args.length == 1, "graft_array_sum_long(arr)")
       ArraySumLong(args(0))
     },
+    "graft_floor_micros" -> { args =>
+      require(args.length == 1, "graft_floor_micros(vec)")
+      FloorMicros(args(0))
+    },
     "graft_ticket_race_min" -> { args =>
       require(args.length == 3, "graft_ticket_race_min(h1, h2, w)")
       TicketRaceMin(args(0), args(1), args(2))

@@ -65,6 +65,17 @@ object GraftFunctions {
   def ticketRaceMin(h1: Column, h2: Column, w: Column): Column =
     column(graft.codecs.TicketRaceMin(expr(h1), expr(h2), expr(w)))
 
+  /** Element-wise `floor(x·1e6)` over a float/double vector →
+    * array<long> — the exact-integer embedding space
+    * [[graft.ops.SemanticDedup.kmeansInt]] clusters in. */
+  def floorMicros(vec: Column): Column =
+    column(graft.codecs.FloorMicros(expr(vec)))
+
+  /** Nearest integer centroid by exact squared L2 (micros space) →
+    * struct<cluster: int, dist: long>, ties to the lowest index. */
+  def argMinL2M(vm: Column, centroids: Array[Array[Long]]): Column =
+    column(graft.codecs.ArgMinL2M(expr(vm), centroids))
+
   /** Scan-speed membership probe against a serialized Bloom filter
     * (never a false negative) — the generic exchange prefilter behind
     * [[graft.ops.NearDedup.bloomContamination]]. */

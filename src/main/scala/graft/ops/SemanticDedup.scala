@@ -148,4 +148,63 @@ object SemanticDedup {
     }
     cents
   }
+
+  /** Lloyd's k-means in EXACT integer micros space — the
+    * hash-oracle-able sibling of [[kmeans]]. Embeddings map to
+    * `floor(x·1e6)` longs ([[graft.codecs.FloorMicros]]); from
+    * there every step is order-free integer arithmetic, so the
+    * whole clustering — seeds, every round's means, the final
+    * assignment — reproduces bit-for-bit in any engine (q120's
+    * DuckDB oracle unrolls the rounds in SQL). The quantization
+    * moves each coordinate < 1e-6, immaterial next to k-means'
+    * own seeding variance; use [[kmeans]] when float centroids
+    * matter more than replayability.
+    *
+    * Scale shape matches [[kmeans]]: assignment is a codegen'd
+    * argmin projection against broadcast centroids
+    * ([[graft.codecs.ArgMinL2M]], zero corpus shuffles); the
+    * means exchange carries ≤ k·dim·partitions partial (cluster,
+    * pos) sums, never the corpus; centroids pin to the driver
+    * each round (k·dim longs, the bounded-collect contract).
+    * Long sums overflow only past ~6·10¹² rows per cluster.
+    *
+    * Determinism: seeds are the k lowest-id vectors in id order;
+    * assignment ties break to the lowest centroid index (strict
+    * `<`); means are integral `div` (truncation — Spark `div` and
+    * DuckDB `//` agree on negatives); a cluster that lost all
+    * members keeps its previous centroid. Returns the final
+    * per-vector assignment `(idCol, cluster, dist)` with `dist`
+    * the exact squared L2 in micros². */
+  def kmeansInt(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0, s"cluster count must be positive (got $k)")
+    require(iters >= 0, s"iteration count must be >= 0 (got $iters)")
+    val vm = df.select(col(idCol).as("__kid"),
+      graft.functions.GraftFunctions.floorMicros(col(embCol)).as("__vm"))
+    var cents: Array[Array[Long]] = vm.orderBy(col("__kid")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray) // k rows: bounded
+    require(cents.length == k,
+      s"kmeansInt: corpus has only ${cents.length} vectors for k=$k seeds")
+    for (_ <- 1 to iters) {
+      val mus = vm.select(
+          graft.functions.GraftFunctions.argMinL2M(col("__vm"), cents)
+            .getField("cluster").as("__c"),
+          posexplode(col("__vm")))
+        .groupBy(col("__c"), col("pos"))
+        .agg(sum(col("col")).as("__s"), count(lit(1)).as("__n"))
+        .withColumn("__mu", expr("__s div __n"))
+        .select(col("__c"), col("pos"), col("__mu"))
+        .collect() // k·dim rows: bounded
+      val next = cents.map(_.clone()) // empty cluster keeps previous
+      mus.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+      }
+      cents = next
+    }
+    vm.select(col("__kid").as(idCol),
+        graft.functions.GraftFunctions.argMinL2M(col("__vm"), cents)
+          .as("__a"))
+      .select(col(idCol), col("__a.cluster").cast("long").as("cluster"),
+        col("__a.dist").as("dist"))
+  }
 }

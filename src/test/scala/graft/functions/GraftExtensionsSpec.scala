@@ -57,6 +57,10 @@ class GraftExtensionsSpec extends SparkSpec {
       .as[Long].head() == 5L)
     assert(spark.sql("SELECT graft_array_sum_long(array(1L, 2L, 3L))")
       .as[Long].head() == 6L)
+    // floor-micros embedding space: -0.5 floors DOWN (not toward 0)
+    assert(spark.sql(
+        "SELECT graft_floor_micros(array(CAST(1.5 AS FLOAT), CAST(-0.5 AS FLOAT)))")
+      .as[Seq[Long]].head() == Seq(1500000L, -500000L))
     // simple lowercase: word-final sigma maps to σ (not Java's ς)
     assert(spark.sql("SELECT graft_simple_lower('ΜΥΣ')")
       .as[String].head() == "μυσ")

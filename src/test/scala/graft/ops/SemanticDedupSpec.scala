@@ -122,4 +122,44 @@ class SemanticDedupSpec extends SparkSpec {
     assert(out(0)._1 == 100L && out(0)._2(2) == 1.5)
     assert(out(1)._1 == 200L && out(1)._2(1) == 1.0)
   }
+
+  test("kmeansInt recovers two clusters from same-axis bad seeding") {
+    // seeds = ids 0,1 — BOTH on axis 0; Lloyd must pull centroid 0
+    // onto axis 3 within two rounds. All arithmetic hand-checked in
+    // exact micros: every final dist is (1e5)² = 1e10.
+    val df = Seq((0L, axis(0, 1.0)), (1L, axis(0, 1.2)),
+      (2L, axis(3, 1.0)), (3L, axis(3, 0.8)))
+      .toDF("vec_id", "embedding")
+    val out = SemanticDedup.kmeansInt(df, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L, 10000000000L), (1L, 1L, 10000000000L),
+      (2L, 0L, 10000000000L), (3L, 0L, 10000000000L)))
+  }
+
+  test("kmeansInt iters=0 assigns against raw seeds, ties to lowest") {
+    val df = Seq((0L, axis(0, 1.0)), (1L, axis(1, 1.0)),
+      (2L, axis(2, 1.0))) // equidistant (2e12) to both seeds
+      .toDF("vec_id", "embedding")
+    val out = SemanticDedup.kmeansInt(df, "vec_id", "embedding",
+        k = 2, iters = 0)
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 0L), (1L, 1L, 0L),
+      (2L, 0L, 2000000000000L)))
+  }
+
+  test("kmeansInt refuses k beyond the corpus; survives empty clusters") {
+    val df = Seq((0L, axis(0, 1.0)), (1L, axis(0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SemanticDedup.kmeansInt(df, "vec_id", "embedding", k = 3, iters = 1)
+    }
+    assert(e.getMessage.contains("only 2 vectors"))
+    // identical seeds: cluster 1 empties (ties → 0) and must keep
+    // its previous centroid without error
+    val out = SemanticDedup.kmeansInt(df, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 0L), (1L, 0L, 0L)))
+  }
 }
