@@ -1934,6 +1934,17 @@ object SparkEntry {
       SemanticDedup.kmeansInt(t(s, dir, "embeddings"),
           "vec_id", "embedding", k = 8, iters = 2)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- Nearest-centroid label audit (LLM-ops) ----
+    // Supervised sibling of q120 in the same exact integer space:
+    // per-label integral-mean centroids, then a codegen'd broadcast
+    // argmin assigns every vector — pred != label rows are the
+    // label-noise candidates a curation pass reviews.
+    "q121_label_audit" -> ((s, dir) => {
+      SemanticDedup.nearestCentroid(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -4308,6 +4319,36 @@ object SparkEntry {
         |        (vm[t] - cl[j+1][t]) * (vm[t] - cl[j+1][t])),
         |      (x, y) -> x + y)) AS d
         |  FROM e CROSS JOIN c2)
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q121_label_audit" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT label AS lab, i,
+        |    CAST(sum(vm[i+1]) AS BIGINT) // count(*) AS mu
+        |  FROM e CROSS JOIN range(64) t(i)
+        |  WHERE label IS NOT NULL GROUP BY lab, i
+        |), c AS (
+        |  SELECT list(cm ORDER BY lab) AS cl, list(lab ORDER BY lab) AS labs
+        |  FROM (SELECT lab, list(mu ORDER BY i) AS cm FROM m GROUP BY lab)
+        |), a AS (
+        |  SELECT vec_id, label, labs, d, list_position(d, list_min(d)) AS p
+        |  FROM (
+        |    SELECT vec_id, label, labs,
+        |      list_transform(range(len(cl)), j -> list_reduce(
+        |        list_transform(range(1, 65), t ->
+        |          (vm[t] - cl[j+1][t]) * (vm[t] - cl[j+1][t])),
+        |        (x, y) -> x + y)) AS d
+        |    FROM e CROSS JOIN c)
+        |)
+        |SELECT vec_id, label, labs[p] AS pred,
+        |  CAST(list_min(d) AS BIGINT) AS dist,
+        |  CAST(CASE WHEN label IS NOT NULL AND label = labs[p]
+        |    THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM a ORDER BY vec_id""".stripMargin
   )
 }

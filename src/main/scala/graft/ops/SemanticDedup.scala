@@ -207,4 +207,53 @@ object SemanticDedup {
       .select(col(idCol), col("__a.cluster").cast("long").as("cluster"),
         col("__a.dist").as("dist"))
   }
+
+  /** Nearest-centroid label audit — the supervised sibling of
+    * [[kmeansInt]], in the same exact integer micros space. Per
+    * label, the centroid is the element-wise integral mean of its
+    * members' floor-micros vectors; every vector (labelled or not)
+    * is then assigned to the nearest label centroid. Rows where
+    * `pred != label` are the label-noise candidates a curation
+    * pass reviews; rows with a null label get an autolabel. Ties
+    * break to the LOWEST label.
+    *
+    * Scale: one corpus pass for the means (the exchange carries ≤
+    * labels·dim·partitions partial sums), one codegen'd broadcast
+    * argmin pass for assignment — zero corpus shuffles, the
+    * [[graft.codecs.ArgMinL2M]] contract. Labels must be few
+    * enough to broadcast (bounded-collect contract: labels·dim
+    * longs on the driver).
+    *
+    * Returns `(idCol, label, pred, dist, correct)` — label the
+    * input label (null-safe), pred the assigned label, dist the
+    * exact squared L2 in micros², correct 0/1 (null label → 0). */
+  def nearestCentroid(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String): DataFrame = {
+    val vm = df.select(col(idCol).as("__nid"),
+      col(labelCol).cast("long").as("__lab"),
+      graft.functions.GraftFunctions.floorMicros(col(embCol)).as("__vm"))
+    val mus = vm.filter(col("__lab").isNotNull)
+      .select(col("__lab"), posexplode(col("__vm")))
+      .groupBy(col("__lab"), col("pos"))
+      .agg(sum(col("col")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__mu", expr("__s div __n"))
+      .select(col("__lab"), col("pos"), col("__mu"))
+      .collect() // labels·dim rows: bounded
+    require(mus.nonEmpty,
+      "nearestCentroid: no non-null labels to build centroids from")
+    val labels = mus.map(_.getLong(0)).distinct.sorted
+    val dim = mus.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Long](labels.length, dim)
+    val li = labels.zipWithIndex.toMap
+    mus.foreach(r => cents(li(r.getLong(0)))(r.getInt(1)) = r.getLong(2))
+    vm.select(col("__nid").as(idCol), col("__lab").as("label"),
+        graft.functions.GraftFunctions.argMinL2M(col("__vm"), cents)
+          .as("__a"))
+      .select(col(idCol), col("label"),
+        element_at(typedLit(labels.toSeq),
+          col("__a.cluster") + 1).as("pred"),
+        col("__a.dist").as("dist"))
+      .withColumn("correct",
+        coalesce((col("label") === col("pred")).cast("long"), lit(0L)))
+  }
 }

@@ -162,4 +162,45 @@ class SemanticDedupSpec extends SparkSpec {
       .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((0L, 0L, 0L), (1L, 0L, 0L)))
   }
+
+  test("nearestCentroid flags mislabels and autolabels nulls") {
+    // label 0 = ids 0,1 on axis 0 (centroid 1.1e6); label 1 =
+    // ids 2,3,4 — but 4 sits on axis 0, dragging centroid 1 to
+    // (333333, 600000) and getting flagged as label noise. id 5
+    // is unlabelled and autolabels to 1. All dists hand-computed.
+    val df = Seq(
+      (0L, Some(0), axis(0, 1.0)), (1L, Some(0), axis(0, 1.2)),
+      (2L, Some(1), axis(1, 1.0)), (3L, Some(1), axis(1, 0.8)),
+      (4L, Some(1), axis(0, 1.0)), (5L, None, axis(1, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+    val out = SemanticDedup.nearestCentroid(df, "vec_id", "embedding",
+        "label")
+      .orderBy("vec_id")
+      .as[(Long, Option[Long], Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, Some(0L), 0L, 10000000000L, 1L),
+      (1L, Some(0L), 0L, 10000000000L, 1L),
+      (2L, Some(1L), 1L, 271110888889L, 1L),
+      (3L, Some(1L), 1L, 151110888889L, 1L),
+      (4L, Some(1L), 0L, 10000000000L, 0L),   // the mislabel
+      (5L, None, 1L, 271110888889L, 0L)))     // the autolabel
+  }
+
+  test("nearestCentroid ties to the lowest label; refuses all-null") {
+    val df = Seq((0L, Some(3), axis(0, 1.0)), (1L, Some(7), axis(1, 1.0)),
+      (2L, None, axis(2, 1.0))) // equidistant to both centroids
+      .toDF("vec_id", "label", "embedding")
+    val out = SemanticDedup.nearestCentroid(df, "vec_id", "embedding",
+        "label")
+      .orderBy("vec_id")
+      .as[(Long, Option[Long], Long, Long, Long)].collect().toSeq
+    assert(out(2) == (2L, None, 3L, 2000000000000L, 0L))
+    val e = intercept[IllegalArgumentException] {
+      SemanticDedup.nearestCentroid(
+        Seq((0L, None: Option[Int], axis(0, 1.0)))
+          .toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label")
+    }
+    assert(e.getMessage.contains("no non-null labels"))
+  }
 }
