@@ -1945,6 +1945,21 @@ object SparkEntry {
       SemanticDedup.nearestCentroid(t(s, dir, "embeddings"),
           "vec_id", "embedding", "label")
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- Johnson–Lindenstrauss ±1 projection (LLM-ops) ----
+    // Achlioptas database-friendly JL in exact integer micros: the
+    // md5-parity sign matrix reproduces in SQL, long sums commute —
+    // a 4× dimensionality cut ahead of ANN/near-dup exchanges that
+    // hash-matches across engines. Codegen'd one-pass projection,
+    // zero shuffles.
+    "q122_jl_project" -> ((s, dir) => {
+      AnnSearch.jlProject(t(s, dir, "embeddings"), "vec_id",
+          "embedding", outDim = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          col("col").as("y"))
+        .orderBy(col("vec_id"), col("dim"))
     })
   )
 
@@ -4349,6 +4364,22 @@ object SparkEntry {
         |  CAST(list_min(d) AS BIGINT) AS dist,
         |  CAST(CASE WHEN label IS NOT NULL AND label = labs[p]
         |    THEN 1 ELSE 0 END AS BIGINT) AS correct
-        |FROM a ORDER BY vec_id""".stripMargin
+        |FROM a ORDER BY vec_id""".stripMargin,
+
+    "q122_jl_project" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim,
+        |  CAST(list_reduce(list_transform(range(1, 65), d ->
+        |    (CASE WHEN strpos('02468ace',
+        |       substr(md5('jl:' || CAST(j AS VARCHAR) || ':'
+        |         || CAST(d - 1 AS VARCHAR)), 1, 1)) > 0
+        |     THEN 1 ELSE -1 END) * vm[d]),
+        |    (x, y) -> x + y) AS BIGINT) AS y
+        |FROM e CROSS JOIN range(16) t(j)
+        |ORDER BY vec_id, dim""".stripMargin
   )
 }

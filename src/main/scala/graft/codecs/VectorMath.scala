@@ -407,3 +407,55 @@ case class ArgMinL2M(child: Expression, centroids: Array[Array[Long]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "argmin_l2m"
 }
+
+/** `signed_project(vm)` against a broadcast ±1 sign matrix →
+  * array<long>: the Achlioptas (2003) database-friendly
+  * Johnson–Lindenstrauss projection `y_j = Σ_d s_{jd}·x_d`, exact
+  * in integer micros space (longs commute — hash-reproducible on
+  * any engine; |y| ≤ dim·1.5e6 ≪ 2⁶³). One k×dim pass per row, no
+  * shuffle — shrink embeddings BEFORE the expensive ANN / dedup
+  * exchanges. Sign derivation lives with the caller
+  * ([[graft.ops.AnnSearch.jlProject]] uses md5 parity so the SQL
+  * oracle rebuilds the identical matrix). */
+case class SignedProject(child: Expression, signs: Array[Array[Byte]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(signs.nonEmpty, "signed_project needs at least one output dim")
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"signed_project expects array<bigint>, got $other")
+    }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  def compute(a: ArrayData): ArrayData = {
+    val dim = a.numElements()
+    val out = new Array[Long](signs.length)
+    var j = 0
+    while (j < signs.length) {
+      val row = signs(j)
+      require(row.length == dim,
+        s"signed_project: dim mismatch ${row.length} vs $dim")
+      var s = 0L
+      var d = 0
+      while (d < dim) { s += row(d) * a.getLong(d); d += 1 }
+      out(j) = s
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signedProject", this,
+      classOf[SignedProject].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "signed_project"
+}

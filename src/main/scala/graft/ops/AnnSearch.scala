@@ -491,4 +491,43 @@ object AnnSearch {
     if (denom == 0) 1.0
     else truth.join(got, Seq("qid", "cid"), "left_semi").count().toDouble / denom
   }
+
+  /** ±1 sign for JL output dim `j`, input dim `d`: parity of the
+    * first hex digit of `md5("<seed>:<j>:<d>")` — even → +1. The
+    * derivation is string-md5 so a SQL oracle rebuilds the exact
+    * matrix (`strpos('02468ace', substr(md5(...), 1, 1))`). */
+  private[ops] def jlSign(seed: String, j: Int, d: Int): Byte = {
+    val h = MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$j:$d".getBytes("UTF-8"))
+    // first hex digit = high nibble of byte 0
+    if ((h(0) >> 4 & 1) == 0) 1 else -1
+  }
+
+  /** Achlioptas (2003) database-friendly Johnson–Lindenstrauss
+    * projection in EXACT integer micros space: embeddings map to
+    * `floor(x·1e6)` longs, then `y_j = Σ_d s_{jd}·x_d` with the ±1
+    * matrix derived from md5 parity ([[jlSign]]) — deterministic,
+    * seed-replayable, and hash-identical on any engine (long sums
+    * commute). Distances contract per JL with distortion ε ≈
+    * √(8·ln n / outDim); use it to shrink vectors BEFORE the
+    * expensive ANN / near-dup exchanges, then exact-rescore the
+    * survivors in full dimension (the [[int8TopK]] two-phase
+    * doctrine at the dimensionality axis instead of precision).
+    *
+    * Scale: the sign matrix is outDim×dim bytes on the driver
+    * (bounded by construction), the projection one codegen'd pass
+    * per row ([[graft.codecs.SignedProject]]) — zero shuffles.
+    * Returns `(idCol, proj: array<long>)`. */
+  def jlProject(df: DataFrame, idCol: String, embCol: String,
+      outDim: Int, dim: Int, seed: String = "jl"): DataFrame = {
+    require(outDim > 0, s"output dim must be positive (got $outDim)")
+    require(dim > 0, s"input dim must be positive (got $dim)")
+    val signs: Array[Array[Byte]] =
+      Array.tabulate(outDim, dim)((j, d) => jlSign(seed, j, d))
+    df.select(col(idCol),
+      graft.functions.GraftFunctions.column(graft.codecs.SignedProject(
+        graft.functions.GraftFunctions.expr(
+          graft.functions.GraftFunctions.floorMicros(col(embCol))),
+        signs)).as("proj"))
+  }
 }

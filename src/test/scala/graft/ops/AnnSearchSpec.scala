@@ -190,4 +190,30 @@ class AnnSearchSpec extends SparkSpec {
     val expected = java.lang.Long.parseLong(md.substring(0, 8), 16).toDouble / 4294967296.0 - 0.5
     assert(w == expected)
   }
+
+  test("jlSign matches independently-computed md5 parities") {
+    // python hashlib: md5('jl:0:0')[0]='b' (odd → -1),
+    // 'jl:0:1'→'8' (+1), 'jl:1:0'→'0' (+1), 'jl:2:3'→'d' (-1)
+    assert(AnnSearch.jlSign("jl", 0, 0) == -1)
+    assert(AnnSearch.jlSign("jl", 0, 1) == 1)
+    assert(AnnSearch.jlSign("jl", 1, 0) == 1)
+    assert(AnnSearch.jlSign("jl", 2, 3) == -1)
+  }
+
+  test("jlProject of an axis vector reads out one sign-matrix column") {
+    // embedding = 1.0 on input dim 5 → proj_j = sign(j,5) · 1e6
+    val df = Seq((1L, (0 until 8).map(d => if (d == 5) 1.0f else 0f)))
+      .toDF("vec_id", "embedding")
+    val proj = AnnSearch.jlProject(df, "vec_id", "embedding",
+        outDim = 4, dim = 8)
+      .as[(Long, Seq[Long])].head()._2
+    assert(proj == (0 until 4).map(j =>
+      AnnSearch.jlSign("jl", j, 5).toLong * 1000000L))
+    // and a custom seed changes the matrix
+    val proj2 = AnnSearch.jlProject(df, "vec_id", "embedding",
+        outDim = 4, dim = 8, seed = "other")
+      .as[(Long, Seq[Long])].head()._2
+    assert(proj2 == (0 until 4).map(j =>
+      AnnSearch.jlSign("other", j, 5).toLong * 1000000L))
+  }
 }
