@@ -1960,6 +1960,17 @@ object SparkEntry {
         .select(col("vec_id"), col("pos").cast("long").as("dim"),
           col("col").as("y"))
         .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    // ---- N-gram novelty audit (LLM-ops) ----
+    // Fraction of each doc's distinct 3-grams first seen (min id)
+    // in that doc — the memorization/re-crawl audit. Exchange floor
+    // = distinct (gram, doc) pairs; no gram-keyed join back.
+    "q123_ngram_novelty" -> ((s, dir) => {
+      TextAnalysis.ngramNovelty(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4380,6 +4391,28 @@ object SparkEntry {
         |     THEN 1 ELSE -1 END) * vm[d]),
         |    (x, y) -> x + y) AS BIGINT) AS y
         |FROM e CROSS JOIN range(16) t(j)
-        |ORDER BY vec_id, dim""".stripMargin
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    "q123_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |        FROM documents WHERE doc_id IS NOT NULL)
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM t
+        |), tot AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_grams FROM ex GROUP BY doc_id
+        |), nov AS (
+        |  SELECT first_doc AS doc_id, count(*)::BIGINT AS n_novel
+        |  FROM (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s)
+        |  GROUP BY first_doc
+        |)
+        |SELECT tot.doc_id, tot.n_grams,
+        |  coalesce(nov.n_novel, 0)::BIGINT AS n_novel,
+        |  (coalesce(nov.n_novel, 0)::BIGINT * 1000000 // tot.n_grams) AS novelty_ppm
+        |FROM tot LEFT JOIN nov ON tot.doc_id = nov.doc_id
+        |ORDER BY tot.doc_id""".stripMargin
   )
 }

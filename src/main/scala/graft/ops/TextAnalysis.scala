@@ -1236,6 +1236,43 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's
+    * distinct word n-grams whose FIRST corpus occurrence (minimum
+    * id) is this document — the memorization/repetition audit a
+    * curriculum or dedup pass reads (a novelty collapse across a
+    * crawl snapshot means the new slice is mostly re-crawl; a
+    * low-novelty document is mostly assembled from earlier text).
+    * Shingle semantics are exactly [[NearDedup.shingleSets]]
+    * (distinct n-grams, whole-text shingle under n tokens, same
+    * `unicode` opt-in), so novelty composes with the near-dup
+    * family's numbers.
+    *
+    * Scale: the only corpus-sized exchanges carry distinct
+    * (gram, doc) pairs — the [[DupSpans]] exchange floor: one
+    * gram-keyed partial-aggregated min, one doc-keyed count, then
+    * a doc-keyed join of two doc-cardinality frames (no gram-keyed
+    * join back). All integer arithmetic; `n_grams >= 1` for every
+    * document (the whole-text shingle), so the ppm div is total.
+    *
+    * Returns `(idCol, n_grams, n_novel, novelty_ppm)`. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, unicode: Boolean = false): DataFrame = {
+    val ex = NearDedup.explodeStrings(
+      NearDedup.shingleSets(df.filter(col(idCol).isNotNull),
+        idCol, textCol, n, unicode), idCol, "sh", "__s")
+    val tot = ex.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val nov = ex.groupBy(col("__s"))
+      .agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nn"))
+    tot.join(nov, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("__nn"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("n_novel * 1000000 div n_grams"))
+  }
+
   /** HTML/markup → text extraction — the crawl-pipeline step that
     * precedes every text filter in this file: strip script/style
     * blocks wholesale, drop comments, turn block-closing tags into
