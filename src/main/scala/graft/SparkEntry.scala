@@ -1971,6 +1971,20 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), col("text")),
           "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- DSIR hashed-ngram importance (LLM-ops) ----
+    // Data selection by target resemblance (Xie et al. 2023): the
+    // eval-set convention (every 97th doc, q53) plays the target;
+    // each doc reduces to a 64-bucket hashed-bigram histogram at
+    // scan speed and scores via a codegen'd broadcast dot — the
+    // corpus never exchanges gram strings.
+    "q124_dsir_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextAnalysis.dsirScore(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "text",
+          n = 2, buckets = 64)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4413,6 +4427,41 @@ object SparkEntry {
         |  coalesce(nov.n_novel, 0)::BIGINT AS n_novel,
         |  (coalesce(nov.n_novel, 0)::BIGINT * 1000000 // tot.n_grams) AS novelty_ppm
         |FROM tot LEFT JOIN nov ON tot.doc_id = nov.doc_id
-        |ORDER BY tot.doc_id""".stripMargin
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    "q124_dsir_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS gs
+        |  FROM d
+        |), fc AS (
+        |  SELECT doc_id, b, count(*)::BIGINT AS nb FROM (
+        |    SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 64 AS b
+        |    FROM (SELECT doc_id, unnest(gs) AS s FROM g))
+        |  GROUP BY doc_id, b
+        |), stot AS (
+        |  SELECT b, sum(nb)::BIGINT AS c FROM fc GROUP BY b
+        |), sall AS (SELECT sum(nb)::BIGINT + 64 AS tot FROM fc),
+        |ttot AS (
+        |  SELECT b, sum(nb)::BIGINT AS c FROM fc WHERE doc_id % 97 = 0 GROUP BY b
+        |), tall AS (
+        |  SELECT coalesce(sum(nb), 0)::BIGINT + 64 AS tot
+        |  FROM fc WHERE doc_id % 97 = 0
+        |), w AS (
+        |  SELECT f.b,
+        |    (1000000 * (coalesce(t.c, 0) + 1) // tall.tot)
+        |    - (1000000 * (coalesce(s.c, 0) + 1) // sall.tot) AS wt
+        |  FROM (SELECT DISTINCT b FROM fc) f
+        |  LEFT JOIN ttot t ON f.b = t.b
+        |  LEFT JOIN stot s ON s.b = f.b
+        |  CROSS JOIN tall CROSS JOIN sall
+        |)
+        |SELECT fc.doc_id, CAST(sum(fc.nb) AS BIGINT) AS n_feats,
+        |  CAST(sum(fc.nb * w.wt) AS BIGINT) AS score
+        |FROM fc JOIN w USING (b)
+        |GROUP BY fc.doc_id ORDER BY fc.doc_id""".stripMargin
   )
 }

@@ -459,3 +459,43 @@ case class SignedProject(child: Expression, signs: Array[Array[Byte]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "signed_project"
 }
+
+/** `linear_score_long(counts)` against a broadcast long weight
+  * vector → long: `Σ_i counts_i·w_i`, the linear-model apply over
+  * hashed feature histograms ([[HashedGramCounts]]) — DSIR
+  * importance weights, fastText-style gating, any broadcast
+  * linear scorer. Exact integer arithmetic, one pass, no shuffle. */
+case class LinearScoreLong(child: Expression, weights: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(weights.nonEmpty, "linear_score_long needs weights")
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"linear_score_long expects array<bigint>, got $other")
+    }
+  override def dataType: DataType = LongType
+
+  def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    require(n == weights.length,
+      s"linear_score_long: dim mismatch ${weights.length} vs $n")
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * weights(i); i += 1 }
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("linearScoreLong", this,
+      classOf[LinearScoreLong].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "linear_score_long"
+}

@@ -92,6 +92,11 @@ object GraftExtensions {
       require(args.length == 1, "graft_floor_micros(vec)")
       FloorMicros(args(0))
     },
+    "graft_hashed_gram_counts" -> { args =>
+      require(args.length == 3, "graft_hashed_gram_counts(toks, n, buckets)")
+      HashedGramCounts(args(0), litInt(args(1), "n"),
+        litInt(args(2), "buckets"))
+    },
     "graft_ticket_race_min" -> { args =>
       require(args.length == 3, "graft_ticket_race_min(h1, h2, w)")
       TicketRaceMin(args(0), args(1), args(2))

@@ -76,6 +76,16 @@ object GraftFunctions {
   def argMinL2M(vm: Column, centroids: Array[Array[Long]]): Column =
     column(graft.codecs.ArgMinL2M(expr(vm), centroids))
 
+  /** Hashed n-gram bucket histogram of a token array → array<long>
+    * of length `buckets` (the DSIR/fastText feature map). */
+  def hashedGramCounts(toks: Column, n: Int, buckets: Int): Column =
+    column(graft.codecs.HashedGramCounts(expr(toks), n, buckets))
+
+  /** Broadcast linear scorer over a long histogram → long
+    * (`Σ counts_i·w_i`, exact integers). */
+  def linearScoreLong(counts: Column, weights: Array[Long]): Column =
+    column(graft.codecs.LinearScoreLong(expr(counts), weights))
+
   /** Scan-speed membership probe against a serialized Bloom filter
     * (never a false negative) — the generic exchange prefilter behind
     * [[graft.ops.NearDedup.bloomContamination]]. */

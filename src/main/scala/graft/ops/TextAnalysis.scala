@@ -1236,6 +1236,62 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** DSIR-style hashed n-gram importance score (Xie et al. 2023,
+    * arXiv:2302.03169): documents resembling a TARGET corpus more
+    * than the source corpus score high. Features are n-gram counts
+    * (with multiplicity) hashed into `buckets` —
+    * [[graft.codecs.HashedGramCounts]], the paper's feature map —
+    * and the score is `Σ_b n_b·(p̂_t(b) − p̂_s(b))` with add-one
+    * smoothed bucket frequencies in exact integer ppm. The paper
+    * scores `Σ_b n_b·log(p̂_t/p̂_s)`; the ppm DIFFERENCE replaces
+    * the log ratio because cross-engine `ln` drifts (libm) while
+    * integral ppm reproduces bit-for-bit — same fixed points
+    * (score 0 when the distributions agree), monotone per bucket,
+    * documented surrogate (the repo's lmScore doctrine).
+    *
+    * Scale: the corpus never materializes gram strings into an
+    * exchange — each doc reduces to a `buckets`-long histogram at
+    * scan speed; bucket totals are one partial-aggregated
+    * posexplode (≤ buckets·partitions rows) collected bounded;
+    * scoring is a codegen'd broadcast dot
+    * ([[graft.codecs.LinearScoreLong]]), zero shuffles. The corpus
+    * is scanned twice (totals, then scoring) — persist upstream if
+    * that matters. Tokenizer/gram conventions are the
+    * [[NearDedup]] shingle family's (same `unicode` opt-in,
+    * whole-text gram under n tokens).
+    *
+    * Returns `(idCol, n_feats, score)` — n_feats the doc's gram
+    * count, score the signed importance weight (ppm-weighted). */
+  def dsirScore(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, n: Int = 2,
+      buckets: Int = 256, unicode: Boolean = false): DataFrame = {
+    import graft.functions.GraftFunctions
+    require(buckets > 0, s"bucket count must be positive (got $buckets)")
+    def feats(tc: String): Column =
+      GraftFunctions.hashedGramCounts(
+        NearDedup.tokens(col(tc), unicode), n, buckets)
+    def totals(df: DataFrame): (Array[Long], Long) = {
+      val rows = df.select(posexplode(col("__fc")))
+        .groupBy(col("pos")).agg(sum(col("col")).as("__s"))
+        .collect() // ≤ buckets rows: bounded
+      val arr = new Array[Long](buckets)
+      rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      (arr, arr.sum)
+    }
+    val fc = corpus.filter(col(idCol).isNotNull)
+      .select(col(idCol), feats(textCol).as("__fc"))
+    val (sTot, sAll) = totals(fc)
+    val (tTot, tAll) = totals(
+      target.select(feats(targetTextCol).as("__fc")))
+    val w = Array.tabulate(buckets) { b =>
+      1000000L * (tTot(b) + 1L) / (tAll + buckets) -
+        1000000L * (sTot(b) + 1L) / (sAll + buckets)
+    }
+    fc.select(col(idCol),
+      GraftFunctions.arraySumLong(col("__fc")).as("n_feats"),
+      GraftFunctions.linearScoreLong(col("__fc"), w).as("score"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a document's
     * distinct word n-grams whose FIRST corpus occurrence (minimum
     * id) is this document — the memorization/repetition audit a

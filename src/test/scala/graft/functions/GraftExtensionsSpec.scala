@@ -61,6 +61,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql(
         "SELECT graft_floor_micros(array(CAST(1.5 AS FLOAT), CAST(-0.5 AS FLOAT)))")
       .as[Seq[Long]].head() == Seq(1500000L, -500000L))
+    // hashed bigram histogram: md5('a b')%64 = bucket 13
+    assert(spark.sql(
+        "SELECT graft_hashed_gram_counts(array('a','b'), 2, 64)")
+      .as[Seq[Long]].head()(13) == 1L)
     // simple lowercase: word-final sigma maps to σ (not Java's ς)
     assert(spark.sql("SELECT graft_simple_lower('ΜΥΣ')")
       .as[String].head() == "μυσ")
