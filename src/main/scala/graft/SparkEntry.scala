@@ -1985,6 +1985,16 @@ object SparkEntry {
           docs.filter(col("doc_id") % 97 === 0), "text",
           n = 2, buckets = 64)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Per-source dataset report card (LLM-ops) ----
+    // The data-card rollup: doc/char/token counts, corpus-wide
+    // dup membership attributed per source, language spread, dup
+    // ppm. One fingerprint exchange + a source-keyed aggregation.
+    "q125_source_report" -> ((s, dir) => {
+      Stats.sourceReport(t(s, dir, "documents"),
+          "source", "doc_id", "text", "lang")
+        .orderBy(col("source"))
     })
   )
 
@@ -4462,6 +4472,26 @@ object SparkEntry {
         |SELECT fc.doc_id, CAST(sum(fc.nb) AS BIGINT) AS n_feats,
         |  CAST(sum(fc.nb * w.wt) AS BIGINT) AS score
         |FROM fc JOIN w USING (b)
-        |GROUP BY fc.doc_id ORDER BY fc.doc_id""".stripMargin
+        |GROUP BY fc.doc_id ORDER BY fc.doc_id""".stripMargin,
+
+    "q125_source_report" ->
+      """WITH b AS (
+        |  SELECT source, lang,
+        |    length(coalesce(text, ''))::BIGINT AS n_chars_d,
+        |    len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))::BIGINT AS toks,
+        |    md5(regexp_replace(trim(lower(coalesce(text, ''))), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), fpc AS (
+        |  SELECT fp, count(*)::BIGINT AS nfp FROM b GROUP BY fp
+        |)
+        |SELECT b.source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(b.n_chars_d) AS BIGINT) AS n_chars,
+        |  CAST(sum(b.toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN fpc.nfp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(count(DISTINCT b.lang) AS BIGINT) AS n_langs,
+        |  (CAST(sum(CASE WHEN fpc.nfp >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*)) AS dup_ppm
+        |FROM b JOIN fpc USING (fp)
+        |GROUP BY b.source ORDER BY b.source NULLS FIRST""".stripMargin
   )
 }

@@ -178,4 +178,40 @@ object Stats {
     joined.withColumn("bin", bin.cast("long"))
       .drop(ps.map(pName): _*)
   }
+
+  /** Per-source dataset report card — the rollup a data card or
+    * ingest review reads: doc/char/token counts, CORPUS-WIDE
+    * exact-duplicate membership attributed per source (a doc is a
+    * dup if its [[TextAnalysis.fingerprint]] appears ≥ 2 times
+    * anywhere, so two sources mirroring each other both show it),
+    * language spread, and the dup rate in exact ppm.
+    *
+    * Scale: one fingerprint-keyed exchange (the q09 dedup shape)
+    * to attach corpus multiplicity, then a source-keyed partial
+    * aggregation — source cardinality output, never the corpus.
+    * Null text fingerprints as empty (the q114 null-safety
+    * lesson: a naive join key would silently drop those docs);
+    * token convention is the shingle family's `[a-z0-9]+`.
+    *
+    * Returns `(source, n_docs, n_chars, n_tokens, n_dup_docs,
+    * n_langs, dup_ppm)`. */
+  def sourceReport(df: DataFrame, srcCol: String, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val base = df.filter(col(idCol).isNotNull).select(
+      col(srcCol).as("source"), col(langCol).as("__lang"),
+      length(t).cast("long").as("__chars"),
+      regexp_count(lower(t), lit("[a-z0-9]+")).cast("long").as("__toks"),
+      graft.ops.TextAnalysis.fingerprint(t).as("__fp"))
+    val fpCounts = base.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__nfp"))
+    base.join(fpCounts, Seq("__fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("n_chars"),
+        sum(col("__toks")).as("n_tokens"),
+        sum((col("__nfp") >= 2).cast("long")).as("n_dup_docs"),
+        countDistinct(col("__lang")).as("n_langs"))
+      .withColumn("dup_ppm", expr("n_dup_docs * 1000000 div n_docs"))
+  }
 }

@@ -162,4 +162,20 @@ class StatsSpec extends SparkSpec {
     val z = out.filter($"grp" === "z").select($"bin").collect()
     assert(z.length == 1 && z.head.isNullAt(0))
   }
+
+  test("sourceReport attributes corpus-wide dups to both sources") {
+    val df = Seq(
+      (0L, "A", "a", "en"),
+      (1L, "A", "dup text", "en"),
+      (2L, "A", null, "de"),             // null text → empty fp, kept
+      (3L, "B", "dup text", "en"),       // cross-source mirror of 1
+      (4L, "B", "unique b", null))       // null lang ignored in count
+      .toDF("doc_id", "source", "text", "lang")
+    val out = Stats.sourceReport(df, "source", "doc_id", "text", "lang")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", 3L, 9L, 3L, 1L, 2L, 333333L),
+      ("B", 2L, 16L, 4L, 1L, 1L, 500000L)))
+  }
 }
