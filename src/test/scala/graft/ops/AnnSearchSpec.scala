@@ -191,6 +191,35 @@ class AnnSearchSpec extends SparkSpec {
     assert(w == expected)
   }
 
+  test("JL-space candidates + exact rescore recover full-dim top-k") {
+    // the documented use: shrink 8→4 dims, take generous candidates
+    // by JL-space cosine, exact-rescore in full dimension — on the
+    // clustered fixture the true top-5 must survive (recall 1.0)
+    val proj = AnnSearch.jlProject(vecs, "vec_id", "embedding",
+        outDim = 4, dim = 8)
+      .select($"vec_id", $"proj".cast("array<double>").as("embedding"))
+    val cand = AnnSearch.bruteForceTopK(
+        proj.filter($"vec_id" < 4), proj, "vec_id", "vec_id",
+        "embedding", k = 12)
+      .select($"qid", $"cid")
+    val rescored = cand
+      .join(vecs.select($"vec_id".as("cid"), $"embedding".as("__ce")), "cid")
+      .join(vecs.select($"vec_id".as("qid"), $"embedding".as("__qe")), "qid")
+      .withColumn("cos_m",
+        floor(AnnSearch.cosine($"__qe", $"__ce") * 1000000L).cast("long"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"cos_m".desc, $"cid")))
+      .filter($"rank" <= 5).select($"qid", $"cid")
+    val truth = AnnSearch.bruteForceTopK(
+        vecs.filter($"vec_id" < 4), vecs, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .select($"qid", $"cid")
+    val hit = truth.join(rescored, Seq("qid", "cid"), "left_semi").count()
+    assert(hit == truth.count(),
+      s"JL pipeline lost ${truth.count() - hit} of the true top-5")
+  }
+
   test("jlSign matches independently-computed md5 parities") {
     // python hashlib: md5('jl:0:0')[0]='b' (odd → -1),
     // 'jl:0:1'→'8' (+1), 'jl:1:0'→'0' (+1), 'jl:2:3'→'d' (-1)

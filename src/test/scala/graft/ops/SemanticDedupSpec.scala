@@ -186,6 +186,18 @@ class SemanticDedupSpec extends SparkSpec {
       (5L, None, 1L, 271110888889L, 0L)))     // the autolabel
   }
 
+  test("kmeansInt final assignment plans as a pure projection") {
+    val df = Seq((0L, axis(0, 1.0)), (1L, axis(1, 1.0)),
+      (2L, axis(2, 1.0)), (3L, axis(3, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = SemanticDedup.kmeansInt(df, "vec_id", "embedding",
+      k = 2, iters = 1)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffled:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"assignment joined:\n$plan")
+  }
+
   test("nearestCentroid ties to the lowest label; refuses all-null") {
     val df = Seq((0L, Some(3), axis(0, 1.0)), (1L, Some(7), axis(1, 1.0)),
       (2L, None, axis(2, 1.0))) // equidistant to both centroids
