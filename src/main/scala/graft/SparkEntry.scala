@@ -1995,6 +1995,19 @@ object SparkEntry {
       Stats.sourceReport(t(s, dir, "documents"),
           "source", "doc_id", "text", "lang")
         .orderBy(col("source"))
+    }),
+
+    // ---- Hard-negative mining (LLM-ops) ----
+    // Contrastive-training fuel: per query, the k most similar
+    // corpus vectors with a DIFFERENT label — broadcast queries ×
+    // corpus scan through the bounded-heap rank, never corpus².
+    "q126_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnSearch.hardNegatives(e.filter(col("vec_id") < 20), e,
+          "vec_id", "vec_id", "embedding", "label", k = 5)
+        .select(col("qid"), col("rank"), col("cid"), col("cos_m"),
+          col("neg_label").cast("long").as("neg_label"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -4492,6 +4505,29 @@ object SparkEntry {
         |  (CAST(sum(CASE WHEN fpc.nfp >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000 // count(*)) AS dup_ppm
         |FROM b JOIN fpc USING (fp)
-        |GROUP BY b.source ORDER BY b.source NULLS FIRST""".stripMargin
+        |GROUP BY b.source ORDER BY b.source NULLS FIRST""".stripMargin,
+
+    "q126_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+        |), q AS (SELECT * FROM e WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS neg_label,
+        |    list_reduce(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]), (a, b) -> a + b) AS dot,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> q.emb[i] * q.emb[i]), (a, b) -> a + b)) AS nq,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)) AS nc
+        |  FROM e c CROSS JOIN q
+        |  WHERE c.label IS NOT NULL
+        |    AND (q.label IS NULL OR c.label != q.label)
+        |), scored AS (
+        |  SELECT qid, cid, neg_label,
+        |    CAST(floor(dot / (nq * nc) * 1000000) AS BIGINT) AS cos_m FROM pairs
+        |), ranked AS (
+        |  SELECT qid, cid, neg_label, cos_m,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_m DESC, cid) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, cid, cos_m, neg_label FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin
   )
 }

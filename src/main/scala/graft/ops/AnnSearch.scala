@@ -117,6 +117,36 @@ object AnnSearch {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive/metric training: for each
+    * query, the k most cosine-similar corpus vectors with a
+    * DIFFERENT label — the negatives that sit closest to the
+    * decision boundary and teach the most. Same scale shape as
+    * [[bruteForceTopK]] (broadcast queries × corpus scan through
+    * the two-phase bounded-heap rank, never a corpus×corpus
+    * exchange); null-labelled corpus rows never qualify (a null
+    * label is unknown, not "different"), null-labelled queries
+    * take negatives from every labelled row. Output
+    * `(qid, rank, cid, cos_m, neg_label)`. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, embCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("qid"), col(embCol).as("__qe"),
+      col(labelCol).as("__ql"))
+    val c = corpus.select(col(cId).as("cid"), col(embCol).as("__ce"),
+      col(labelCol).as("__cl"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("__cl").isNotNull &&
+        (col("__ql").isNull || col("__cl") =!= col("__ql")))
+      .withColumn("cos_m",
+        floor(cosine(col("__qe"), col("__ce")) * 1000000L).cast("long"))
+    // rankTopK slims to (qid, cid, cos_m); re-attach the negative's
+    // label by joining the q·k-row result back (broadcasts, one
+    // more corpus scan — cheap next to the scoring pass)
+    rankTopK(scored, k)
+      .join(c.select(col("cid"), col("__cl").as("neg_label")), "cid")
+      .select(col("qid"), col("rank"), col("cid"), col("cos_m"),
+        col("neg_label"))
+  }
+
   private def md5hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

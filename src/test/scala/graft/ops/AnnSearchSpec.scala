@@ -220,6 +220,30 @@ class AnnSearchSpec extends SparkSpec {
       s"JL pipeline lost ${truth.count() - hit} of the true top-5")
   }
 
+  test("hardNegatives excludes same and null labels, ranks the rest") {
+    def ax(d: Int, s: Double) = (0 until 4).map(i => if (i == d) s.toFloat else 0f)
+    val corpus = Seq(
+      (1L, Some(0), ax(0, 1.0)),  // same label as query → excluded
+      (2L, Some(1), ax(0, 2.0)),  // different label, cos 1 → rank 1
+      (3L, Some(1), ax(1, 1.0)),  // different label, cos 0 → rank 2
+      (4L, None, ax(0, 1.0)))     // null label → never a negative
+      .toDF("vec_id", "label", "embedding")
+    val q = Seq((0L, Some(0), ax(0, 1.0))).toDF("vec_id", "label", "embedding")
+    val out = AnnSearch.hardNegatives(q, corpus, "vec_id", "vec_id",
+        "embedding", "label", k = 3)
+      .orderBy("rank")
+      .select("qid", "rank", "cid", "neg_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(out == Seq((0L, 1, 2L, 1), (0L, 2, 3L, 1))) // only 2 qualify
+    // a null-label query draws negatives from every labelled row
+    val qn = Seq((9L, None: Option[Int], ax(0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+    val outN = AnnSearch.hardNegatives(qn, corpus, "vec_id", "vec_id",
+        "embedding", "label", k = 3)
+      .orderBy("rank").select("cid").as[Long].collect().toSeq
+    assert(outN == Seq(1L, 2L, 3L)) // cos ties (1,2) break to lower cid
+  }
+
   test("jlSign matches independently-computed md5 parities") {
     // python hashlib: md5('jl:0:0')[0]='b' (odd → -1),
     // 'jl:0:1'→'8' (+1), 'jl:1:0'→'0' (+1), 'jl:2:3'→'d' (-1)
