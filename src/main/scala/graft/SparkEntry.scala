@@ -1997,6 +1997,18 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- Per-language BPE fertility (LLM-ops) ----
+    // Chars-per-token by language under the q98 merge rule — the
+    // tokenizer-equity check a multilingual pipeline runs before
+    // fixing a vocabulary. Vocabulary-sized segmentation, one
+    // doc-keyed join, language-cardinality output.
+    "q127_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bpeFertility(docs, "lang", "doc_id", "text",
+          topPairMerges(s, docs.select(col("text")), 8))
+        .orderBy(col("lang"))
+    }),
+
     // ---- Hard-negative mining (LLM-ops) ----
     // Contrastive-training fuel: per query, the k most similar
     // corpus vectors with a DIFFERENT label — broadcast queries ×
@@ -4528,6 +4540,58 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_m DESC, cid) AS rank
         |  FROM scored)
         |SELECT qid, rank, cid, cos_m, neg_label FROM ranked WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin
+        |ORDER BY qid, rank""".stripMargin,
+
+    "q127_bpe_fertility" ->
+      """WITH v AS (
+        |  SELECT tok, count(*)::BIGINT AS tc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |    FROM documents)
+        |  GROUP BY tok
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, len(tok)),
+        |    i -> tok[i] || ' ' || tok[i+1])) AS pair, tc
+        |  FROM v WHERE len(tok) >= 2
+        |), pc AS (
+        |  SELECT pair, CAST(sum(tc) AS BIGINT) AS cnt FROM p GROUP BY pair
+        |), m AS (
+        |  SELECT list(pair ORDER BY rnk) AS merges FROM (
+        |    SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+        |    FROM pc) WHERE rnk <= 8
+        |), nv AS (
+        |  SELECT tok, CAST(len(enc) - len(replace(enc, '(', '')) AS BIGINT)
+        |    AS n_sym
+        |  FROM (
+        |    SELECT v.tok,
+        |      list_reduce(
+        |        list_prepend(
+        |          array_to_string(list_transform(range(1, len(tok) + 1),
+        |            i -> '(' || tok[i] || ')'), ''),
+        |          m.merges),
+        |        (acc, mm) -> replace(acc,
+        |          '(' || split_part(mm, ' ', 1) || ')(' ||
+        |            split_part(mm, ' ', 2) || ')',
+        |          '(' || split_part(mm, ' ', 1) ||
+        |            split_part(mm, ' ', 2) || ')')) AS enc
+        |    FROM v CROSS JOIN m)
+        |), d AS (
+        |  SELECT dt.doc_id, CAST(sum(nv.n_sym) AS BIGINT) AS n
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |        FROM documents WHERE doc_id IS NOT NULL) dt
+        |  JOIN nv USING (tok)
+        |  GROUP BY dt.doc_id
+        |), g AS (
+        |  SELECT doc.lang,
+        |    CAST(sum(length(regexp_replace(lower(coalesce(doc.text, '')),
+        |      '[^a-z]', '', 'g'))) AS BIGINT) AS n_chars,
+        |    CAST(sum(coalesce(d.n, 0)) AS BIGINT) AS n_bpe
+        |  FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+        |  WHERE doc.doc_id IS NOT NULL
+        |  GROUP BY doc.lang
+        |)
+        |SELECT lang, n_chars, n_bpe,
+        |  (n_chars * 1000000 // greatest(n_bpe, 1)) AS chars_per_token_m
+        |FROM g ORDER BY lang NULLS FIRST""".stripMargin
   )
 }

@@ -1236,6 +1236,42 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Per-group BPE FERTILITY — characters per token, the
+    * tokenizer-equity metric a multilingual pipeline reads before
+    * fixing a vocabulary (a language whose chars-per-token is far
+    * below the corpus mean is being shredded into characters and
+    * will pay more sequence length for the same text). Characters
+    * are the letters the tokenizer actually sees (the `[a-z]+` /
+    * unicode token alphabet, not raw text length); token counts
+    * are the exact [[bpeTokenCounts]] segmentation under `merges`.
+    * Exact floor-micros integral div; a group with zero tokens
+    * reads 0.
+    *
+    * Scale: [[bpeTokenCounts]]'s vocabulary-sized segmentation +
+    * one doc-keyed join + a group-keyed partial aggregation —
+    * output is group-cardinality.
+    *
+    * Returns `(groupCol, n_chars, n_bpe, chars_per_token_m)`. */
+  def bpeFertility(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      unicode: Boolean = false): DataFrame = {
+    val alpha =
+      if (unicode) regexp_replace(simpleLower(coalesce(col(textCol), lit(""))),
+        "[^\\p{L}\\p{N}]", "")
+      else regexp_replace(lower(coalesce(col(textCol), lit(""))),
+        "[^a-z]", "")
+    val chars = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        length(alpha).cast("long").as("__nc"))
+    bpeTokenCounts(df, idCol, textCol, merges, unicode)
+      .join(chars, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__nc")).as("n_chars"),
+        sum(col("n_bpe")).as("n_bpe"))
+      .withColumn("chars_per_token_m",
+        expr("n_chars * 1000000 div greatest(n_bpe, 1)"))
+  }
+
   /** DSIR-style hashed n-gram importance score (Xie et al. 2023,
     * arXiv:2302.03169): documents resembling a TARGET corpus more
     * than the source corpus score high. Features are n-gram counts

@@ -291,4 +291,30 @@ class BpePairSpec extends SparkSpec {
     assert(counts.map { case (s, c) => c * s.length }.sum == totalChars)
     assert(counts.keySet.contains("the")) // 'the' is mergeable in 3 rounds
   }
+
+  test("bpeFertility: exact chars-per-token by group") {
+    val df = Seq(
+      (0L, "en", "ab ab cd"), // 6 chars; 'ab'→1 sym ×2, 'cd'→2 → 4 bpe
+      (1L, "de", "xyz"),      // 3 chars; no merge applies → 3 bpe
+      (2L, "fr", ""))         // zero tokens → 0/0 → 0
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.bpeFertility(df, "lang", "doc_id", "text",
+        Seq(("a", "b")))
+      .orderBy("lang").as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("de", 3L, 3L, 1000000L),
+      ("en", 6L, 4L, 1500000L),
+      ("fr", 0L, 0L, 0L)))
+  }
+
+  test("bpeFertility unicode opt-in sees non-Latin text") {
+    val df = Seq((0L, "ru", "привет мир")).toDF("doc_id", "lang", "text")
+    val ascii = TextAnalysis.bpeFertility(df, "lang", "doc_id", "text",
+        Seq.empty).as[(String, Long, Long, Long)].collect().head
+    assert(ascii == (("ru", 0L, 0L, 0L)))
+    val uni = TextAnalysis.bpeFertility(df, "lang", "doc_id", "text",
+        Seq.empty, unicode = true)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(uni == (("ru", 9L, 9L, 1000000L))) // char segmentation
+  }
 }
