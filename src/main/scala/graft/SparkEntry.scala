@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, AsOf, Dedup, Gram, NGram, NearDedup, Packing, RangeJoin, Sampling, SemanticDedup, Sketch, Stats, TextAnalysis, TransformSpec}
+import graft.ops.{AnnSearch, AsOf, Dedup, Gram, NGram, NearDedup, Packing, RangeJoin, Retrieval, Sampling, SemanticDedup, Sketch, Stats, TextAnalysis, TransformSpec}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize, RowGroupIndex}
@@ -2019,6 +2019,19 @@ object SparkEntry {
           "vec_id", "vec_id", "embedding", "label", k = 5)
         .select(col("qid"), col("rank"), col("cid"), col("cos_m"),
           col("neg_label").cast("long").as("neg_label"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- BM25 lexical retrieval (LLM-ops) ----
+    // Integer-exact BM25 (rational idf surrogate — the no-libm
+    // doctrine of q52/q108) over the q84 term-statistics layer: the
+    // eval-set convention (every 97th doc) plays the query set,
+    // broadcast against the corpus postings; top-k rides the
+    // bounded-heap rank. One (id, term) exchange carries tf AND dl.
+    "q128_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 5)
         .orderBy(col("qid"), col("rank"))
     })
   )
@@ -4592,6 +4605,45 @@ object SparkEntry {
         |)
         |SELECT lang, n_chars, n_bpe,
         |  (n_chars * 1000000 // greatest(n_bpe, 1)) AS chars_per_token_m
-        |FROM g ORDER BY lang NULLS FIRST""".stripMargin
+        |FROM g ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q128_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM tok
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        |  FROM st GROUP BY doc_id, dl, term
+        |), dfq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+        |), c AS (
+        |  SELECT (SELECT count(*)::BIGINT FROM documents) AS nn,
+        |    (SELECT coalesce(sum(tf), 0)::BIGINT FROM tf) AS total
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS qid,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents WHERE doc_id % 97 = 0
+        |), sc AS (
+        |  SELECT qt.qid, tf.doc_id AS cid,
+        |    CAST(sum(
+        |      ((((2 * (c.nn - dfq.df) + 1) * 1000000) // (2 * dfq.df + 1)) *
+        |       ((tf.tf * (1200 + 1000) * 1000000) //
+        |        (1000 * tf.tf +
+        |         (1200 * ((1000 - 750) +
+        |           (750 * ((1000 * tf.dl * c.nn) // greatest(c.total, 1)))
+        |             // 1000)) // 1000)))
+        |      // 1000000) AS BIGINT) AS score_ppm
+        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term) CROSS JOIN c
+        |  GROUP BY qt.qid, tf.doc_id
+        |), rk AS (
+        |  SELECT qid, cid, score_ppm,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_ppm DESC, cid) AS rank
+        |  FROM sc
+        |)
+        |SELECT qid, rank, cid, score_ppm FROM rk WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin
   )
 }

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval — BM25 top-k over the corpus term
+  * statistics layer ([[TextAnalysis.termCounts]] /
+  * [[TextAnalysis.docFrequency]]).
+  *
+  * A curation pipeline retrieves constantly: nearest-neighbor text
+  * lookup for decontamination review, seed-set expansion for quality
+  * classifiers, query-grounded subset extraction for targeted evals.
+  * The reference stops at columnar scan/filter (no text scoring
+  * layer — `petastorm/reader.py` exposes predicates only), so this is
+  * beyond-reference LLM-pipeline surface, same family as the TF-IDF
+  * keyword ranking (q52) and inverted index (q84).
+  *
+  * Scoring is Robertson/Spärck-Jones BM25 with one repo-doctrine
+  * deviation: the log in the idf term is replaced by its exact
+  * rational argument, idf_ppm = ppm((N − df + ½)/(df + ½)) — `ln` is
+  * libm-dependent and would break cross-engine hash comparison, while
+  * the rational form is engine-exact (same reasoning as
+  * [[TextAnalysis.topTerms]], which exports (tf, df) and leaves the
+  * float idf to the caller, and [[TextAnalysis.lmScore]]'s integer-ppm
+  * stupid backoff). The monotone per-term structure of BM25 — rare
+  * terms weigh more, tf saturates at k1+1, long documents are
+  * penalized through dl/avgdl — is preserved exactly; every division
+  * is integral (`div` / DuckDB `//`), so results hash-match across
+  * engines.
+  *
+  * Per matched (query term t, doc d):
+  * {{{
+  *   dlr_ppt  = (1000·dl·N) div max(totalTokens, 1)        // dl/avgdl
+  *   kden_ppt = (k1·((1000−b) + (b·dlr_ppt) div 1000)) div 1000
+  *   tfc_ppm  = (tf·(k1+1000)·10⁶) div (1000·tf + kden_ppt)
+  *   idf_ppm  = ((2(N−df)+1)·10⁶) div (2·df + 1)
+  *   w_ppm    = (idf_ppm · tfc_ppm) div 10⁶
+  * }}}
+  * and score(q, d) = Σ w_ppm over the DISTINCT terms of q (the
+  * standard bag-of-words query relaxation). k1/b arrive pre-scaled in
+  * ppt (1200/750 = the classic 1.2/0.75). Overflow bound: the
+  * idf·tfc product needs (2N+1)·10⁶·(k1+1000)·1000 < 2⁶³, i.e.
+  * N ≲ 4·10⁹ documents at default k1 — the corpus-count analogue of
+  * [[TextAnalysis.lmScore]]'s documented ~9.2e12 count ceiling.
+  *
+  * Scale shape: tokens are staged behind a projection boundary and
+  * exploded as a plain column reference (the r3 Generate-over-HOF
+  * lesson), with `dl` carried through the (id, term) hash agg as a
+  * functionally-dependent grouping key — tf and dl cost ONE exchange,
+  * no corpus self-join. df is a vocabulary-sized agg joined back
+  * term-on-term (AQE broadcasts it when small). The query side is
+  * distinct (qid, term) — explicitly broadcast, queries are small by
+  * contract — so candidate scoring is a broadcast hash join at scan
+  * speed; the only candidate-sized exchange is the (qid, cid) score
+  * agg, and ranking rides [[AnnSearch.rankTopK]]'s two-phase bounded
+  * heaps (a stopword query never funnels a corpus-sized posting list
+  * through one sort task). N and totalTokens are two one-row aggs
+  * attached by broadcast cross join.
+  */
+object Retrieval {
+
+  /** Top-`k` documents per query under integer-exact BM25 (see object
+    * doc). Output: (qid, rank, cid, score_ppm) — rank 1-based by
+    * (score_ppm desc, cid asc). Documents with zero tokens are never
+    * candidates but still count in N; empty-token queries return no
+    * rows. `queries` must be small (broadcast). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k1Ppt: Long = 1200L, bPpt: Long = 750L,
+      unicode: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(k1Ppt >= 0, s"k1Ppt must be >= 0 (got $k1Ppt)")
+    require(bPpt >= 0 && bPpt <= 1000,
+      s"bPpt must be in [0, 1000] (got $bPpt)")
+
+    def toks(c: Column): Column = TextAnalysis.alphaTokens(c, unicode)
+
+    // (id, dl, term, tf) in ONE exchange: dl = size of the staged
+    // token array rides the (id, term) agg as a dependent key.
+    val staged = docs.select(col(idCol).as("__id"),
+        toks(col(textCol)).as("__t"))
+      .select(col("__id"), size(col("__t")).cast("long").as("__dl"),
+        col("__t"))
+      .select(col("__id"), col("__dl"), explode(col("__t")).as("__term"))
+    val tf = staged.groupBy(col("__id"), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+
+    // Vocabulary-sized document frequency.
+    val dfq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+
+    // One-row corpus constants, broadcast-attached. Σtf ≡ Σdl (every
+    // token occurrence counts once in each), so total rides the tf
+    // agg — no second corpus pass.
+    val consts = docs.agg(count(lit(1)).as("__nn")).crossJoin(
+      tf.agg(coalesce(sum(col("__tf")), lit(0L)).as("__total")))
+
+    // Distinct query terms — small by contract, broadcast.
+    val qterms = queries.select(col(qidCol).as("qid"),
+        toks(col(qtextCol)).as("__qt"))
+      .select(col("qid"), explode(col("__qt")).as("__term"))
+      .distinct()
+
+    val scored = broadcast(qterms)
+      .join(tf, "__term")
+      .join(dfq, "__term")
+      .crossJoin(broadcast(consts))
+      .withColumn("__dlr_ppt",
+        expr("(1000 * __dl * __nn) div greatest(__total, 1)"))
+      .withColumn("__kden_ppt",
+        expr(s"($k1Ppt * ((1000 - $bPpt) + " +
+          s"($bPpt * __dlr_ppt) div 1000)) div 1000"))
+      .withColumn("__tfc_ppm",
+        expr(s"(__tf * ($k1Ppt + 1000) * 1000000) div " +
+          "(1000 * __tf + __kden_ppt)"))
+      .withColumn("__idf_ppm",
+        expr("((2 * (__nn - __df) + 1) * 1000000) div (2 * __df + 1)"))
+      .groupBy(col("qid"), col("__id").as("cid"))
+      .agg(sum(expr("(__idf_ppm * __tfc_ppm) div 1000000")).as("cos_m"))
+    AnnSearch.rankTopK(scored.select(col("qid"), col("cid"), col("cos_m")), k)
+      .withColumnRenamed("cos_m", "score_ppm")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BM25 retrieval vs an independent in-memory reference scorer —
+  * same integer-exact formulas re-derived over plain Scala
+  * collections, so a mistranslated `div` or join on either side
+  * breaks the comparison. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K1 = 1200L
+  private val B = 750L
+
+  private def tok(s: String): Seq[String] =
+    "[a-z]+".r.findAllIn(s.toLowerCase).toSeq
+
+  /** Reference scorer: Map(qid -> sorted top-k (cid, score)). */
+  private def refBm25(docs: Seq[(Long, String)], queries: Seq[(Long, String)],
+      k: Int): Map[Long, Seq[(Long, Long)]] = {
+    val toks = docs.map { case (id, t) => id -> tok(t) }.toMap
+    val nn = docs.size.toLong
+    val total = toks.values.map(_.size.toLong).sum
+    val tf = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => (id, t) -> o.size.toLong }
+    }
+    val dfq = tf.keys.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+    queries.map { case (qid, qt) =>
+      val terms = tok(qt).distinct
+      val scores = toks.keys.flatMap { cid =>
+        val dl = toks(cid).size.toLong
+        val s = terms.flatMap { t =>
+          tf.get((cid, t)).map { f =>
+            val dlr = (1000L * dl * nn) / math.max(total, 1L)
+            val kden = (K1 * ((1000L - B) + (B * dlr) / 1000L)) / 1000L
+            val tfc = (f * (K1 + 1000L) * 1000000L) / (1000L * f + kden)
+            val df = dfq(t)
+            val idf = ((2L * (nn - df) + 1L) * 1000000L) / (2L * df + 1L)
+            (idf * tfc) / 1000000L
+          }
+        }.sum
+        if (s == 0L && terms.forall(t => !tf.contains((cid, t)))) None
+        else Some(cid -> s)
+      }.toSeq
+      qid -> scores.sortBy { case (cid, s) => (-s, cid) }.take(k)
+    }.toMap
+  }
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox"),
+    (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+    (4L, "quick quick quick fox fox dog"),
+    (5L, "a completely unrelated document about spark and parquet"),
+    (6L, "")) // zero tokens: counted in N, never a candidate
+
+  test("bm25TopK matches the independent reference scorer exactly") {
+    val docs = corpus.toDF("doc_id", "text")
+    val queries = Seq((100L, "quick fox"), (101L, "spark parquet"),
+      (102L, "zzz absent")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 3)
+      .orderBy($"qid", $"rank")
+      .as[(Long, Int, Long, Long)].collect()
+    val want = refBm25(corpus, Seq((100L, "quick fox"),
+      (101L, "spark parquet"), (102L, "zzz absent")), 3)
+    val gotByQ = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    assert(gotByQ.keySet == want.filter(_._2.nonEmpty).keySet)
+    for ((qid, exp) <- want if exp.nonEmpty)
+      assert(gotByQ(qid) == exp, s"qid=$qid")
+    // ranks are 1..n contiguous
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.size).toSeq)
+    }
+    // no-match query returns no rows
+    assert(!got.exists(_._1 == 102L))
+  }
+
+  test("longer documents score below shorter at equal tf (dl penalty)") {
+    val docs = Seq(
+      (1L, "fox " + Seq.fill(50)("pad").mkString(" ")),
+      (2L, "fox den")).toDF("doc_id", "text")
+    val q = Seq((9L, "fox")).toDF("qid", "qtext")
+    val r = Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", 2)
+      .orderBy($"rank").as[(Long, Int, Long, Long)].collect()
+    assert(r.map(_._3).toSeq == Seq(2L, 1L))
+    assert(r(0)._4 > r(1)._4)
+  }
+
+  test("rare terms outweigh common terms (idf)") {
+    val docs = Seq(
+      (1L, "common rare"),
+      (2L, "common stuff"),
+      (3L, "common words"),
+      (4L, "common filler")).toDF("doc_id", "text")
+    val q = Seq((9L, "rare"), (10L, "common")).toDF("qid", "qtext")
+    val r = Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", 1)
+      .as[(Long, Int, Long, Long)].collect()
+    val rare = r.find(_._1 == 9L).get._4
+    val common = r.find(_._1 == 10L).get._4
+    assert(rare > common)
+  }
+
+  test("runs on the driver testdata with sane shape") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      docs.filter($"doc_id" % 97 === 0), "doc_id", "text", k = 5)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every query's own text should retrieve itself at rank 1
+    val self = out.filter($"rank" === 1).select($"qid", $"cid")
+      .as[(Long, Long)].collect()
+    assert(self.count { case (q, c) => q == c } >= self.length / 2)
+    assert(out.groupBy($"qid").count().agg(max($"count")).as[Long].head <= 5)
+  }
+}
