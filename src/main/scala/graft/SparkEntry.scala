@@ -4632,7 +4632,8 @@ object SparkEntry {
         |       ((tf.tf * (1200 + 1000) * 1000000) //
         |        (1000 * tf.tf +
         |         (1200 * ((1000 - 750) +
-        |           (750 * ((1000 * tf.dl * c.nn) // greatest(c.total, 1)))
+        |           (750 * greatest((1000 * tf.dl * c.nn)
+        |                             // greatest(c.total, 1), 0))
         |             // 1000)) // 1000)))
         |      // 1000000) AS BIGINT) AS score_ppm
         |  FROM qt JOIN tf USING (term) JOIN dfq USING (term) CROSS JOIN c

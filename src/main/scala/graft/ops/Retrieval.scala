@@ -38,10 +38,18 @@ import org.apache.spark.sql.functions._
   * }}}
   * and score(q, d) = Σ w_ppm over the DISTINCT terms of q (the
   * standard bag-of-words query relaxation). k1/b arrive pre-scaled in
-  * ppt (1200/750 = the classic 1.2/0.75). Overflow bound: the
-  * idf·tfc product needs (2N+1)·10⁶·(k1+1000)·1000 < 2⁶³, i.e.
-  * N ≲ 4·10⁹ documents at default k1 — the corpus-count analogue of
-  * [[TextAnalysis.lmScore]]'s documented ~9.2e12 count ceiling.
+  * ppt (1200/750 = the classic 1.2/0.75). Overflow bounds (both must
+  * hold): the idf·tfc product needs (2N+1)·10⁶·(k1+1000)·1000 < 2⁶³,
+  * i.e. N ≲ 4·10⁹ documents at default k1 — the corpus-count analogue
+  * of [[TextAnalysis.lmScore]]'s documented ~9.2e12 count ceiling —
+  * and the dl/avgdl numerator needs 1000·dl·N < 2⁶³, i.e.
+  * dl·N ≲ 9.2e15 (a 2.3M-token document caps N at ~4·10⁹; a 2B-token
+  * outlier caps N at ~4.6M). The dlr term is additionally clamped
+  * non-negative (`greatest(…, 0)`, identical on both engines) so that
+  * even past the bound a wrapped-negative product cannot flip the
+  * sign of kden and silently diverge Spark's truncating `div` from
+  * DuckDB's flooring `//` — past-bound scores are still wrong, but
+  * deterministically and identically wrong on both engines.
   *
   * Scale shape: tokens are staged behind a projection boundary and
   * exploded as a plain column reference (the r3 Generate-over-HOF
@@ -63,15 +71,32 @@ object Retrieval {
     * doc). Output: (qid, rank, cid, score_ppm) — rank 1-based by
     * (score_ppm desc, cid asc). Documents with zero tokens are never
     * candidates but still count in N; empty-token queries return no
-    * rows. `queries` must be small (broadcast). */
+    * rows.
+    *
+    * WARNING: score_ppm is a monotone per-term surrogate for BM25,
+    * not log-scale BM25 — the idf log is replaced by its rational
+    * argument (object doc), which preserves single-term ordering but
+    * inflates rare terms relative to log scale, so MULTI-term
+    * rankings are effectively lexicographic by rarest matched term
+    * and may diverge from standard BM25.
+    *
+    * `queries` must be small — the distinct (qid, term) side is
+    * broadcast so candidate scoring never shuffles the corpus. That
+    * contract is enforced, not assumed: the distinct query-term count
+    * is checked against `maxQueryTerms` (default 4M ≈ tens of MB
+    * broadcast) and the call refuses with a corrective message when
+    * exceeded, rather than silently OOMing the driver at scale. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
       k1Ppt: Long = 1200L, bPpt: Long = 750L,
-      unicode: Boolean = false): DataFrame = {
+      unicode: Boolean = false,
+      maxQueryTerms: Long = 4000000L): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
     require(k1Ppt >= 0, s"k1Ppt must be >= 0 (got $k1Ppt)")
     require(bPpt >= 0 && bPpt <= 1000,
       s"bPpt must be in [0, 1000] (got $bPpt)")
+    require(maxQueryTerms > 0,
+      s"maxQueryTerms must be positive (got $maxQueryTerms)")
 
     def toks(c: Column): Column = TextAnalysis.alphaTokens(c, unicode)
 
@@ -94,18 +119,27 @@ object Retrieval {
     val consts = docs.agg(count(lit(1)).as("__nn")).crossJoin(
       tf.agg(coalesce(sum(col("__tf")), lit(0L)).as("__total")))
 
-    // Distinct query terms — small by contract, broadcast.
+    // Distinct query terms — small by contract, broadcast. The
+    // contract is audited before the hint is trusted: one count over
+    // the (small) query side, refusing over-capacity inputs instead
+    // of handing an unbounded broadcast to the driver.
     val qterms = queries.select(col(qidCol).as("qid"),
         toks(col(qtextCol)).as("__qt"))
       .select(col("qid"), explode(col("__qt")).as("__term"))
       .distinct()
+    val nq = qterms.count()
+    require(nq <= maxQueryTerms,
+      s"query side has $nq distinct (qid, term) pairs > maxQueryTerms=" +
+        s"$maxQueryTerms; bm25TopK broadcasts the query side, so either " +
+        "batch the queries into smaller calls or raise maxQueryTerms " +
+        "if the cluster's driver/executor memory allows a larger broadcast")
 
     val scored = broadcast(qterms)
       .join(tf, "__term")
       .join(dfq, "__term")
       .crossJoin(broadcast(consts))
       .withColumn("__dlr_ppt",
-        expr("(1000 * __dl * __nn) div greatest(__total, 1)"))
+        expr("greatest((1000 * __dl * __nn) div greatest(__total, 1), 0)"))
       .withColumn("__kden_ppt",
         expr(s"($k1Ppt * ((1000 - $bPpt) + " +
           s"($bPpt * __dlr_ppt) div 1000)) div 1000"))

@@ -33,7 +33,7 @@ class RetrievalSpec extends SparkSpec {
         val dl = toks(cid).size.toLong
         val s = terms.flatMap { t =>
           tf.get((cid, t)).map { f =>
-            val dlr = (1000L * dl * nn) / math.max(total, 1L)
+            val dlr = math.max((1000L * dl * nn) / math.max(total, 1L), 0L)
             val kden = (K1 * ((1000L - B) + (B * dlr) / 1000L)) / 1000L
             val tfc = (f * (K1 + 1000L) * 1000000L) / (1000L * f + kden)
             val df = dfq(t)
@@ -102,6 +102,16 @@ class RetrievalSpec extends SparkSpec {
     val rare = r.find(_._1 == 9L).get._4
     val common = r.find(_._1 == 10L).get._4
     assert(rare > common)
+  }
+
+  test("refuses an over-capacity query side instead of broadcasting it") {
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha beta gamma")).toDF("qid", "qtext")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext",
+        k = 1, maxQueryTerms = 2L)
+    }
+    assert(e.getMessage.contains("maxQueryTerms"))
   }
 
   test("runs on the driver testdata with sane shape") {
