@@ -460,7 +460,7 @@ object SparkEntry {
       // memory sink all live in the scoped session
       val s = scopedSession(s0, 4)
       val src = graft.streaming.GraftStream.reader(s, dir)
-        .glob("events.parquet").load()
+        .glob("events.parquet").load().transform(Tables.tsToNanos)
         .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       val agg = graft.streaming.GraftStream.windowedCounts(src, "ts_t",
         "1 hour", "0 seconds", Seq("event_type"))
@@ -489,7 +489,7 @@ object SparkEntry {
       // 4-partition scoped session (caller's session untouched)
       val s = scopedSession(s0, 4)
       val src = graft.streaming.GraftStream.reader(s, dir)
-        .glob("events.parquet").load()
+        .glob("events.parquet").load().transform(Tables.tsToNanos)
         .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
           col("user_id"), col("event_type"))
       val admitted = graft.streaming.GraftStream.admitFirstN(
@@ -1259,7 +1259,7 @@ object SparkEntry {
       // scale. Scoped session — caller's session keeps full width.
       val s = scopedSession(s0, 2)
       val ev = graft.streaming.GraftStream.reader(s, dir)
-        .glob("events.parquet").load()
+        .glob("events.parquet").load().transform(Tables.tsToNanos)
         .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),

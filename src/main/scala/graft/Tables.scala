@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided TPC-H-ish tables (TESTDATA.md).
   *
@@ -30,6 +32,25 @@ object Tables {
         !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") tsToNanos(df) else df
   }
+
+  /** Normalize `events.ts` to epoch-NANOSECONDS as a Long — the
+    * contract every downstream operator codes against (`ts DIV 1000`
+    * = µs view). Testdata generations differ: the original fixtures
+    * wrote INT64 TIMESTAMP(NANOS) (arrives as a raw ns Long via
+    * nanosAsLong), later ones write plain µs TIMESTAMP/TIMESTAMP_NTZ.
+    * NTZ casts through TIMESTAMP under the session's pinned UTC zone,
+    * so the wall-clock value IS the epoch value — exact, no shift.
+    * µs→ns is a ×1000 widen (no overflow until year ~2262). Works on
+    * batch and streaming frames alike. */
+  def tsToNanos(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df // already raw nanos
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn(
+          "ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
 }

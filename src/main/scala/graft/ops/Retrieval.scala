@@ -83,9 +83,15 @@ object Retrieval {
     * `queries` must be small — the distinct (qid, term) side is
     * broadcast so candidate scoring never shuffles the corpus. That
     * contract is enforced, not assumed: the distinct query-term count
-    * is checked against `maxQueryTerms` (default 4M ≈ tens of MB
-    * broadcast) and the call refuses with a corrective message when
-    * exceeded, rather than silently OOMing the driver at scale. */
+    * is checked against `maxQueryTerms` and the call refuses with a
+    * corrective message when exceeded, rather than silently OOMing
+    * the driver at scale. Size the cap to the driver: 4M (qid, term)
+    * rows is ~100–200 MB as a broadcast hash relation (two longs +
+    * term bytes + hash-table overhead per row) — lower it on small
+    * drivers. The query side is collected ONCE (bounded at cap+1
+    * rows) and broadcast as that same snapshot, so the enforced count
+    * can't drift from what's broadcast (no recompute, no TOCTOU
+    * against a mutable source). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
       k1Ppt: Long = 1200L, bPpt: Long = 750L,
@@ -123,16 +129,29 @@ object Retrieval {
     // contract is audited before the hint is trusted: one count over
     // the (small) query side, refusing over-capacity inputs instead
     // of handing an unbounded broadcast to the driver.
-    val qterms = queries.select(col(qidCol).as("qid"),
+    // The broadcast hash relation is driver-built anyway, so the
+    // guard and the broadcast share ONE evaluation: collect the
+    // distinct (qid, term) side bounded at cap+1 rows (an
+    // over-capacity query side costs one extra row, never an
+    // unbounded driver collect), refuse if it overflowed, and ship
+    // the audited snapshot back as a LocalRelation. No second plan
+    // evaluation, no persisted-cache bookkeeping, and a mutable
+    // `queries` source can't drift between guard and broadcast
+    // (TOCTOU) — the snapshot IS what's broadcast.
+    val cap = math.min(maxQueryTerms, (Int.MaxValue - 1).toLong).toInt
+    val qtermRows = queries.select(col(qidCol).as("qid"),
         toks(col(qtextCol)).as("__qt"))
       .select(col("qid"), explode(col("__qt")).as("__term"))
       .distinct()
-    val nq = qterms.count()
-    require(nq <= maxQueryTerms,
-      s"query side has $nq distinct (qid, term) pairs > maxQueryTerms=" +
-        s"$maxQueryTerms; bm25TopK broadcasts the query side, so either " +
+      .limit(cap + 1)
+    val snap = qtermRows.collect()
+    require(snap.length <= cap,
+      s"query side has > maxQueryTerms=$maxQueryTerms distinct " +
+        "(qid, term) pairs; bm25TopK broadcasts the query side, so either " +
         "batch the queries into smaller calls or raise maxQueryTerms " +
         "if the cluster's driver/executor memory allows a larger broadcast")
+    val qterms = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(snap: _*), qtermRows.schema)
 
     val scored = broadcast(qterms)
       .join(tf, "__term")
