@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, AsOf, Dedup, Gram, NGram, NearDedup, Packing, RangeJoin, Retrieval, Sampling, SemanticDedup, Sketch, Stats, TextAnalysis, TransformSpec}
+import graft.ops.{AnnSearch, AsOf, Dedup, Gram, Graph, NGram, NearDedup, Packing, RangeJoin, Retrieval, Sampling, SemanticDedup, Sketch, Stats, TextAnalysis, TransformSpec}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize, RowGroupIndex}
@@ -2033,6 +2033,69 @@ object SparkEntry {
       Retrieval.bm25TopK(docs, "doc_id", "text",
           docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 5)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- Streaming exact-dedup (dropDuplicatesWithinWatermark) ----
+    // The streaming face of q09's exact dedup as a REAL stateful
+    // stream: every doc arrives TWICE (id-disjoint injected copy),
+    // the built-in watermark-bounded dedup state drops the rerun,
+    // and survivors land in an append-mode sink. Which copy survives
+    // is scheduler-dependent, so the result aggregates survivors by
+    // TEXT-DERIVED features only (length centile buckets) — class
+    // members are byte-identical, making the report deterministic
+    // and equal to the batch distinct-text histogram the oracle
+    // computes. State is bounded by the watermark horizon — this
+    // scales to an unbounded crawl where q09's global groupBy cannot
+    // run (it would need the whole history resident).
+    "q129_stream_dedup" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val src = graft.streaming.GraftStream.reader(s, dir)
+        .glob("documents.parquet").load()
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          explode(array(lit(0L), lit(1L))).as("__copy"))
+        // +1 day: an event time of exactly epoch 0 equals the
+        // stream's INITIAL watermark and the row is dropped as
+        // already-expired before its class ever enters state —
+        // synthetic event times must stay clear of epoch 0
+        .select((col("doc_id") + col("__copy") * 10000000L).as("doc_id"),
+          col("text"),
+          timestamp_micros((col("doc_id") % 10000000L) * 1000L +
+            86400000000L).as("ts_t"))
+      val deduped = graft.streaming.GraftStream.dedupByFingerprint(
+        src, "text", "ts_t", "1 hour")
+      val name = "graft_q129_sink"
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // Bucket by the NORMALIZED text's length (the fingerprint's own
+      // trim/lower/ws-collapse): class members share the normalized
+      // form even when raw spellings differ, so the report cannot
+      // depend on which copy the dedup state admitted first.
+      s.table(name)
+        .withColumn("__nlen",
+          length(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+        .groupBy(expr("__nlen div 100").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("len_bucket"))
+    }),
+
+    // ---- Integer PageRank over the event-type transition graph ----
+    // Markov-transition authority of event types: consecutive-event
+    // edges per user timeline (the q20 lead-window derivation), then
+    // 3 supersteps of integer-ppm PageRank — the iterated join-agg
+    // whose scale shape (edge table pinned once, vertex-sized rank
+    // exchanged per step, lineage truncated on long runs) is the
+    // domain-authority pattern a crawl-curation pipeline runs on the
+    // web link graph. Integer div at engine-shared flooring points
+    // keeps 3 iterations bit-equal to the oracle's unrolled CTEs.
+    "q130_pagerank" -> ((s, dir) => {
+      val edges = Graph.transitionEdges(t(s, dir, "events"),
+        "user_id", "event_type", expr("ts DIV 1000"), col("event_id"))
+      Graph.pageRankInt(edges, "src", "dst", "w", iterations = 3)
+        .orderBy(col("id"))
     })
   )
 
@@ -4645,6 +4708,63 @@ object SparkEntry {
         |  FROM sc
         |)
         |SELECT qid, rank, cid, score_ppm FROM rk WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin
+        |ORDER BY qid, rank""".stripMargin,
+
+    // Survivors of the doubled stream collapse to one row per
+    // distinct NORMALIZED text (the fingerprint's trim/lower/
+    // ws-collapse); the batch histogram over those normal forms IS
+    // the deterministic face of the stream's dedup state.
+    "q129_stream_dedup" ->
+      """SELECT length(n) // 100 AS len_bucket, count(DISTINCT n) AS n
+        |FROM (SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+        |      FROM documents WHERE text IS NOT NULL)
+        |GROUP BY 1 ORDER BY len_bucket""".stripMargin,
+
+    // 3 supersteps unrolled: r_{t+1}(v) = 150000 +
+    // (850 * Σ_u (r_t(u)·w(u,v)) // ow(u)) // 1000, floors at the
+    // exact points Spark's `div` floors (all operands positive).
+    "q130_pagerank" ->
+      """WITH seq AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS b
+        |  FROM events
+        |), e AS (
+        |  SELECT a AS src, b AS dst, count(*)::BIGINT AS w
+        |  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+        |), v AS (
+        |  SELECT src AS id FROM e UNION SELECT dst FROM e
+        |), ow AS (
+        |  SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src
+        |), ej AS (
+        |  SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow USING (src)
+        |), r0 AS (
+        |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM v
+        |), r1 AS (
+        |  SELECT v.id,
+        |    CAST(150000 + (850 * COALESCE(c.sc, 0)) // 1000 AS BIGINT) AS r
+        |  FROM v LEFT JOIN (
+        |    SELECT ej.dst AS id,
+        |      CAST(sum((r0.r * ej.w) // ej.ow) AS BIGINT) AS sc
+        |    FROM ej JOIN r0 ON ej.src = r0.id GROUP BY ej.dst) c
+        |    ON v.id = c.id
+        |), r2 AS (
+        |  SELECT v.id,
+        |    CAST(150000 + (850 * COALESCE(c.sc, 0)) // 1000 AS BIGINT) AS r
+        |  FROM v LEFT JOIN (
+        |    SELECT ej.dst AS id,
+        |      CAST(sum((r1.r * ej.w) // ej.ow) AS BIGINT) AS sc
+        |    FROM ej JOIN r1 ON ej.src = r1.id GROUP BY ej.dst) c
+        |    ON v.id = c.id
+        |), r3 AS (
+        |  SELECT v.id,
+        |    CAST(150000 + (850 * COALESCE(c.sc, 0)) // 1000 AS BIGINT) AS r
+        |  FROM v LEFT JOIN (
+        |    SELECT ej.dst AS id,
+        |      CAST(sum((r2.r * ej.w) // ej.ow) AS BIGINT) AS sc
+        |    FROM ej JOIN r2 ON ej.src = r2.id GROUP BY ej.dst) c
+        |    ON v.id = c.id
+        |)
+        |SELECT id, r AS rank_ppm FROM r3 ORDER BY id""".stripMargin
   )
 }
