@@ -2096,6 +2096,17 @@ object SparkEntry {
         "user_id", "event_type", expr("ts DIV 1000"), col("event_id"))
       Graph.pageRankInt(edges, "src", "dst", "w", iterations = 3)
         .orderBy(col("id"))
+    }),
+
+    // ---- Collocation extraction (integer-PMI phrase mining) ----
+    // Corpus-wide word-bigram association in exact ppm — the phrase
+    // signal a tokenizer-vocab / stop-phrase pass mines before
+    // training. One tokenize pass, vocab-sized aggs, minCount prunes
+    // before the joins; flooring points shared with the oracle.
+    "q131_collocations" -> ((s, dir) => {
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+          minCount = 20L)
+        .orderBy(col("assoc_ppm").desc, col("pair"))
     })
   )
 
@@ -4765,6 +4776,33 @@ object SparkEntry {
         |    FROM ej JOIN r2 ON ej.src = r2.id GROUP BY ej.dst) c
         |    ON v.id = c.id
         |)
-        |SELECT id, r AS rank_ppm FROM r3 ORDER BY id""".stripMargin
+        |SELECT id, r AS rank_ppm FROM r3 ORDER BY id""".stripMargin,
+
+    // assoc_ppm = ((n_ab·1e6) // n_a · N) // n_b — ÷n_a floors
+    // first, then ÷n_b, matching TextAnalysis.collocations exactly.
+    "q131_collocations" ->
+      """WITH tok AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT u AS w, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(t) AS u FROM tok) GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn FROM uni
+        |), bi AS (
+        |  SELECT pair, count(*)::BIGINT AS n_ab FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS pair
+        |    FROM tok WHERE len(t) >= 2)
+        |  GROUP BY pair HAVING count(*) >= 20
+        |)
+        |SELECT bi.pair, bi.n_ab,
+        |  CAST((((bi.n_ab * 1000000) // u1.n) * nn.nn) // u2.n
+        |    AS BIGINT) AS assoc_ppm
+        |FROM bi
+        |JOIN uni u1 ON u1.w = split_part(bi.pair, ' ', 1)
+        |JOIN uni u2 ON u2.w = split_part(bi.pair, ' ', 2)
+        |CROSS JOIN nn
+        |ORDER BY assoc_ppm DESC, pair""".stripMargin
   )
 }

@@ -529,6 +529,48 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
   }
 
+  /** Collocation extraction — corpus-wide word-bigram association
+    * strength, the phrase-mining signal ("new york", "machine
+    * learning") a tokenizer-vocabulary or stop-phrase pipeline runs
+    * before training. For each adjacent word pair (within-document,
+    * order-preserving): `assoc_ppm = ((n_ab·1e6) div n_a · N) div
+    * n_b` — the integer-ppm surrogate of pointwise mutual
+    * information's rational argument `P(ab)/(P(a)P(b))` (no log: the
+    * no-libm doctrine of q52/q108; log is monotone, so rankings
+    * agree). Flooring points are fixed (÷n_a first, then ÷n_b) so
+    * DuckDB's `//` replays them bit-for-bit. Overflow bound:
+    * `(n_ab·1e6 div n_a) ≤ 1e6` (a bigram can't outnumber its own
+    * first word), so the product with N stays in Long up to ~9e12
+    * total corpus tokens; chunk the corpus or raise to ppb-free
+    * scale beyond that.
+    *
+    * Scale shape: one tokenize pass feeds both aggs — unigram and
+    * bigram counts are vocabulary-/bigram-vocabulary-sized with
+    * map-side combine; `minCount` prunes the bigram tail BEFORE the
+    * two vocab-keyed joins; N rides a one-row broadcast cross join
+    * (derived from the unigram agg — no second corpus pass).
+    *
+    * Output: (pair "w1 w2", n_ab, assoc_ppm), pairs with
+    * n_ab ≥ `minCount`. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      unicode: Boolean = false): DataFrame = {
+    require(minCount > 0, s"minCount must be positive (got $minCount)")
+    val toks = df.select(alphaTokens(col(textCol), unicode).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = uni.agg(coalesce(sum(col("n_w")), lit(0L)).as("nn"))
+    val bi = toks.select(explode(bigramsOfTokens(col("__t"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .withColumn("__w1", split(col("pair"), " ").getItem(0))
+      .withColumn("__w2", split(col("pair"), " ").getItem(1))
+    bi.join(uni.select(col("w").as("__w1"), col("n_w").as("__na")), "__w1")
+      .join(uni.select(col("w").as("__w2"), col("n_w").as("__nb")), "__w2")
+      .crossJoin(broadcast(total))
+      .select(col("pair"), col("n_ab"),
+        expr("(((n_ab * 1000000) div __na) * nn) div __nb").as("assoc_ppm"))
+  }
+
   /** BPE symbol segmentation of a token under an ORDERED merge list
     * — the apply half of a trained tokenizer: split to characters,
     * then for each merge `(l, r)` in order run one greedy

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Collocations vs an independent in-memory reference — same ppm
+  * arithmetic over plain Scala collections, so a swapped n_a/n_b or
+  * a reordered flooring point on the Spark side breaks the match. */
+class CollocationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tok(s: String): Seq[String] =
+    "[a-z]+".r.findAllIn(s.toLowerCase).toSeq
+
+  private def ref(texts: Seq[String], minCount: Long)
+      : Map[String, (Long, Long)] = {
+    val toks = texts.map(tok)
+    val uni = toks.flatten.groupBy(identity).map { case (w, o) =>
+      w -> o.size.toLong }
+    val nn = uni.values.sum
+    toks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).map { case ((a, b), o) => (a, b) -> o.size.toLong }
+      .collect { case ((a, b), nab) if nab >= minCount =>
+        s"$a $b" -> (nab, ((nab * 1000000L) / uni(a)) * nn / uni(b))
+      }
+  }
+
+  private val corpus = Seq(
+    "new york is big and new york is old",
+    "the new day in york",
+    "big day big day new york")
+
+  test("matches the reference on counts and assoc_ppm") {
+    val got = TextAnalysis.collocations(
+        corpus.toDF("text"), "text", minCount = 1L)
+      .as[(String, Long, Long)].collect()
+      .map { case (p, n, s) => p -> (n, s) }.toMap
+    assert(got == ref(corpus, 1L))
+  }
+
+  test("minCount prunes the bigram tail") {
+    val got = TextAnalysis.collocations(
+        corpus.toDF("text"), "text", minCount = 3L)
+      .as[(String, Long, Long)].collect()
+    assert(got.map(_._1).toSet == Set("new york"))
+    assert(got.head._2 == 3L)
+  }
+
+  test("bigrams never cross document boundaries") {
+    val got = TextAnalysis.collocations(
+        Seq("alpha beta", "beta alpha").toDF("text"), "text", 1L)
+      .as[(String, Long, Long)].collect().map(_._1).toSet
+    assert(got == Set("alpha beta", "beta alpha"))
+  }
+
+  test("null and empty texts contribute nothing") {
+    val got = TextAnalysis.collocations(
+        Seq(Some("a b"), None, Some(""), Some("a b")).toDF("text"),
+        "text", 1L)
+      .as[(String, Long, Long)].collect()
+    assert(got.toSeq == Seq(("a b", 2L, ((2L * 1000000L) / 2L) * 4L / 2L)))
+  }
+}
