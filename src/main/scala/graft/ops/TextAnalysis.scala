@@ -544,11 +544,15 @@ object TextAnalysis {
     * total corpus tokens; chunk the corpus or raise to ppb-free
     * scale beyond that.
     *
-    * Scale shape: one tokenize pass feeds both aggs — unigram and
-    * bigram counts are vocabulary-/bigram-vocabulary-sized with
-    * map-side combine; `minCount` prunes the bigram tail BEFORE the
-    * two vocab-keyed joins; N rides a one-row broadcast cross join
-    * (derived from the unigram agg — no second corpus pass).
+    * Scale shape: ONE corpus scan — the unigram and bigram streams
+    * ride a single tagged-union explode into one map-side-combined
+    * agg (separate uni/bi aggs would each rescan and re-tokenize the
+    * corpus: 2× the dominant cost). The combined count table is
+    * vocabulary-sized; it is persisted and materialized because three
+    * small downstream reads (unigram side ×2 joins, corpus total)
+    * branch from it — without the pin each branch would replay the
+    * corpus pass. `minCount` prunes the bigram tail BEFORE the two
+    * vocab-keyed joins; N rides a one-row broadcast cross join.
     *
     * Output: (pair "w1 w2", n_ab, assoc_ppm), pairs with
     * n_ab ≥ `minCount`. */
@@ -556,12 +560,22 @@ object TextAnalysis {
       unicode: Boolean = false): DataFrame = {
     require(minCount > 0, s"minCount must be positive (got $minCount)")
     val toks = df.select(alphaTokens(col(textCol), unicode).as("__t"))
-    val uni = toks.select(explode(col("__t")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val stage = toks.select(explode(concat(
+        transform(col("__t"),
+          x => struct(lit("u").as("k"), x.as("v"))),
+        transform(bigramsOfTokens(col("__t")),
+          x => struct(lit("b").as("k"), x.as("v"))))).as("e"))
+      .select(col("e.k").as("k"), col("e.v").as("v"))
+    val counts = stage.groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count() // materialize: downstream branches reuse the pin
+    val uni = counts.filter(col("k") === "u")
+      .select(col("v").as("w"), col("n").as("n_w"))
     val total = uni.agg(coalesce(sum(col("n_w")), lit(0L)).as("nn"))
-    val bi = toks.select(explode(bigramsOfTokens(col("__t"))).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minCount)
+    val bi = counts.filter(col("k") === "b")
+      .filter(col("n") >= minCount)
+      .select(col("v").as("pair"), col("n").as("n_ab"))
       .withColumn("__w1", split(col("pair"), " ").getItem(0))
       .withColumn("__w2", split(col("pair"), " ").getItem(1))
     bi.join(uni.select(col("w").as("__w1"), col("n_w").as("__na")), "__w1")
