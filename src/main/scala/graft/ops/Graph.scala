@@ -58,9 +58,15 @@ object Graph {
     require(pinEvery > 0, s"pinEvery must be positive (got $pinEvery)")
     import org.apache.spark.sql.graftbridge.ColumnBridge
 
+    // The edge projection is referenced FOUR times below (both sides
+    // of the out-weight join, twice in the vertex union) — pin it for
+    // the setup phase so the caller's upstream derivation (often a
+    // corpus-sized window + agg) executes once, not four times, then
+    // release it once the two durable pins are materialized.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("long").as("w"))
       .filter(col("w") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Pre-join each edge with its source's total out-weight ONCE —
     // the per-superstep plan then never re-aggregates the edge table.
     val ej = e.join(e.groupBy(col("src")).agg(sum(col("w")).as("ow")), "src")
@@ -68,6 +74,8 @@ object Graph {
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    ej.count(); verts.count() // materialize through the setup pin
+    e.unpersist()
 
     val basePpm = ((1000L - dampingPpt) * 1000000L) / 1000L
     var rank = verts.select(col("id"), lit(1000000L).as("rank_ppm"))
