@@ -2107,6 +2107,22 @@ object SparkEntry {
       TextAnalysis.collocations(t(s, dir, "documents"), "text",
           minCount = 20L)
         .orderBy(col("assoc_ppm").desc, col("pair"))
+    }),
+
+    // ---- Personalized PageRank / TrustRank (seeded teleport) ----
+    // Same transition graph as q130, but teleport mass lands only on
+    // a curated seed set (event types < 'm') — trust flows outward
+    // through edges, non-seeds earn rank purely via in-links. The
+    // crawl-curation move for propagating source trust.
+    "q132_trustrank" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = Graph.transitionEdges(ev,
+        "user_id", "event_type", expr("ts DIV 1000"), col("event_id"))
+      val seeds = ev.select(col("event_type").as("id")).distinct()
+        .filter(col("id") < "m")
+      Graph.pageRankInt(edges, "src", "dst", "w", iterations = 3,
+          dampingPpt = 850L, pinEvery = 8, seeds = Some((seeds, "id")))
+        .orderBy(col("id"))
     })
   )
 
@@ -4803,6 +4819,63 @@ object SparkEntry {
         |JOIN uni u1 ON u1.w = split_part(bi.pair, ' ', 1)
         |JOIN uni u2 ON u2.w = split_part(bi.pair, ' ', 2)
         |CROSS JOIN nn
-        |ORDER BY assoc_ppm DESC, pair""".stripMargin
+        |ORDER BY assoc_ppm DESC, pair""".stripMargin,
+
+    // q130's unrolled supersteps with a seeded teleport base:
+    // base(v) = 150000 on seeds, 0 elsewhere; r0 = 1e6 on seeds.
+    "q132_trustrank" ->
+      """WITH seq AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS b
+        |  FROM events
+        |), e AS (
+        |  SELECT a AS src, b AS dst, count(*)::BIGINT AS w
+        |  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+        |), v0 AS (
+        |  SELECT src AS id FROM e UNION SELECT dst FROM e
+        |), sd AS (
+        |  SELECT DISTINCT event_type AS id FROM events
+        |  WHERE event_type < 'm'
+        |), v AS (
+        |  SELECT v0.id,
+        |    CASE WHEN sd.id IS NOT NULL
+        |      THEN CAST(150000 AS BIGINT) ELSE CAST(0 AS BIGINT)
+        |    END AS base
+        |  FROM v0 LEFT JOIN sd ON v0.id = sd.id
+        |), ow AS (
+        |  SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src
+        |), ej AS (
+        |  SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow USING (src)
+        |), r0 AS (
+        |  SELECT id, CASE WHEN base > 0
+        |    THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r
+        |  FROM v
+        |), r1 AS (
+        |  SELECT v.id,
+        |    CAST(v.base + (850 * COALESCE(c.sc, 0)) // 1000 AS BIGINT) AS r
+        |  FROM v LEFT JOIN (
+        |    SELECT ej.dst AS id,
+        |      CAST(sum((r0.r * ej.w) // ej.ow) AS BIGINT) AS sc
+        |    FROM ej JOIN r0 ON ej.src = r0.id GROUP BY ej.dst) c
+        |    ON v.id = c.id
+        |), r2 AS (
+        |  SELECT v.id,
+        |    CAST(v.base + (850 * COALESCE(c.sc, 0)) // 1000 AS BIGINT) AS r
+        |  FROM v LEFT JOIN (
+        |    SELECT ej.dst AS id,
+        |      CAST(sum((r1.r * ej.w) // ej.ow) AS BIGINT) AS sc
+        |    FROM ej JOIN r1 ON ej.src = r1.id GROUP BY ej.dst) c
+        |    ON v.id = c.id
+        |), r3 AS (
+        |  SELECT v.id,
+        |    CAST(v.base + (850 * COALESCE(c.sc, 0)) // 1000 AS BIGINT) AS r
+        |  FROM v LEFT JOIN (
+        |    SELECT ej.dst AS id,
+        |      CAST(sum((r2.r * ej.w) // ej.ow) AS BIGINT) AS sc
+        |    FROM ej JOIN r2 ON ej.src = r2.id GROUP BY ej.dst) c
+        |    ON v.id = c.id
+        |)
+        |SELECT id, r AS rank_ppm FROM r3 ORDER BY id""".stripMargin
   )
 }

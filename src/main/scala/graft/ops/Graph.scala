@@ -50,7 +50,22 @@ object Graph {
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iterations: Int, dampingPpt: Long = 850L,
-      pinEvery: Int = 8): DataFrame = {
+      pinEvery: Int = 8): DataFrame =
+    pageRankInt(edges, srcCol, dstCol, wCol, iterations, dampingPpt,
+      pinEvery, seeds = None)
+
+  /** Personalized (TrustRank-style) variant: the teleport mass lands
+    * ONLY on `seeds` vertices — rank flows outward from a curated
+    * trust set instead of uniformly, the standard crawl-curation move
+    * for propagating source trust through a link graph (Gyöngyi et
+    * al. 2004). `seeds = None` is plain [[pageRankInt]]; seeds not
+    * present in the graph are ignored; non-seed vertices start at 0
+    * and earn rank only through in-edges. The seed frame must be
+    * small enough to broadcast-join against the vertex set (it is a
+    * curated list by definition). */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iterations: Int, dampingPpt: Long,
+      pinEvery: Int, seeds: Option[(DataFrame, String)]): DataFrame = {
     require(iterations >= 0 && iterations <= 200,
       s"iterations must be in [0, 200] (got $iterations)")
     require(dampingPpt >= 0 && dampingPpt <= 1000,
@@ -74,11 +89,32 @@ object Graph {
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ej.count(); verts.count() // materialize through the setup pin
-    e.unpersist()
-
     val basePpm = ((1000L - dampingPpt) * 1000000L) / 1000L
-    var rank = verts.select(col("id"), lit(1000000L).as("rank_ppm"))
+    // Per-vertex teleport base: uniform for plain PageRank, basePpm
+    // on seeds / 0 elsewhere for the personalized variant. Folded
+    // into the vertex pin so the loop sees one frame either way.
+    val vb = (seeds match {
+      case None => verts.select(col("id"), lit(basePpm).as("__base"))
+      case Some((sdf, scol)) =>
+        val sd = broadcast(
+          sdf.select(col(scol).as("id")).distinct()
+            .withColumn("__m", lit(1)))
+        verts.join(sd, Seq("id"), "left")
+          .select(col("id"),
+            when(col("__m").isNotNull, lit(basePpm)).otherwise(lit(0L))
+              .as("__base"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    ej.count(); vb.count() // materialize through the setup pin
+    e.unpersist(); verts.unpersist()
+
+    // Initial mass mirrors the teleport support: uniform 1e6, or 1e6
+    // concentrated on the seed set (non-seeds earn rank via in-edges).
+    var rank = vb.select(col("id"),
+      (seeds match {
+        case None => lit(1000000L)
+        case Some(_) =>
+          when(col("__base") > 0L, lit(1000000L)).otherwise(lit(0L))
+      }).as("rank_ppm"))
     var pinnedRdds = List.empty[org.apache.spark.rdd.RDD[_]]
     var i = 0
     while (i < iterations) {
@@ -87,9 +123,9 @@ object Graph {
         .select(col("dst").as("id"),
           expr("(rank_ppm * w) div ow").as("__offer"))
         .groupBy(col("id")).agg(sum(col("__offer")).as("__in"))
-      rank = verts.join(offers, Seq("id"), "left")
+      rank = vb.join(offers, Seq("id"), "left")
         .select(col("id"),
-          (lit(basePpm) +
+          (col("__base") +
             expr(s"($dampingPpt * coalesce(__in, 0L)) div 1000"))
             .as("rank_ppm"))
       i += 1

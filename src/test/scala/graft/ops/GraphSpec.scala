@@ -11,19 +11,24 @@ import graft.SparkSpec
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Reference: Map(id -> rank_ppm) after `iters` supersteps. */
+  /** Reference: Map(id -> rank_ppm) after `iters` supersteps.
+    * `seeds = None` → uniform teleport; `Some(set)` → personalized. */
   private def refRank(edges: Seq[(String, String, Long)], iters: Int,
-      dPpt: Long = 850L): Map[String, Long] = {
+      dPpt: Long = 850L, seeds: Option[Set[String]] = None)
+      : Map[String, Long] = {
     val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val ow = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
-    val base = ((1000L - dPpt) * 1000000L) / 1000L
-    var rank = verts.map(_ -> 1000000L).toMap
+    val basePpm = ((1000L - dPpt) * 1000000L) / 1000L
+    def base(v: String): Long =
+      if (seeds.forall(_.contains(v))) basePpm else 0L
+    var rank = verts.map(v =>
+      v -> (if (seeds.forall(_.contains(v))) 1000000L else 0L)).toMap
     (1 to iters).foreach { _ =>
       val in = edges.groupBy(_._2).map { case (d, es) =>
         d -> es.map { case (s, _, w) => (rank(s) * w) / ow(s) }.sum
       }
       rank = verts.map(v =>
-        v -> (base + (dPpt * in.getOrElse(v, 0L)) / 1000L)).toMap
+        v -> (base(v) + (dPpt * in.getOrElse(v, 0L)) / 1000L)).toMap
     }
     rank
   }
@@ -70,6 +75,27 @@ class GraphSpec extends SparkSpec {
         col("ts"), col("event_id"))
       .as[(String, String, Long)].collect().toSet
     assert(got == Set(("x", "y", 1L), ("y", "x", 1L)))
+  }
+
+  test("personalized teleport matches the seeded reference") {
+    val seeds = Set("a")
+    (1 to 4).foreach { iters =>
+      val got = Graph.pageRankInt(diamond.toDF("src", "dst", "w"),
+          "src", "dst", "w", iters, 850L, 8,
+          Some((Seq("a", "zz_not_in_graph").toDF("id"), "id")))
+        .as[(String, Long)].collect().toMap
+      assert(got == refRank(diamond, iters, seeds = Some(seeds)),
+        s"diverged at $iters iterations")
+    }
+  }
+
+  test("non-seed vertices start at zero and earn rank via in-edges") {
+    val e = Seq(("a", "b", 1L))
+    val got = Graph.pageRankInt(e.toDF("src", "dst", "w"),
+        "src", "dst", "w", 1, 850L, 8, Some((Seq("a").toDF("id"), "id")))
+      .as[(String, Long)].collect().toMap
+    // b: base 0 + 850 * (1e6 * 1 / 1) / 1000 = 850000
+    assert(got == Map("a" -> 150000L, "b" -> 850000L))
   }
 
   test("rank mass is conserved up to flooring on a stochastic cycle") {
