@@ -2123,6 +2123,31 @@ object SparkEntry {
       Graph.pageRankInt(edges, "src", "dst", "w", iterations = 3,
           dampingPpt = 850L, pinEvery = 8, seeds = Some((seeds, "id")))
         .orderBy(col("id"))
+    }),
+
+    // ---- Graph degree/weight profile (skew diagnosis) ----
+    // Per-vertex out/in distinct degree, weight totals and self-loop
+    // weight over the transition graph — the pre-flight skew report
+    // that decides salting/AQE settings for the iterative algorithms.
+    // One tagged-union pass over edges, no joins.
+    "q133_graph_profile" -> ((s, dir) => {
+      val edges = Graph.transitionEdges(t(s, dir, "events"),
+        "user_id", "event_type", expr("ts DIV 1000"), col("event_id"))
+      Graph.degreeProfile(edges, "src", "dst", "w")
+        .orderBy(col("id"))
+    }),
+
+    // ---- Deterministic random walks (graph-embedding sampling) ----
+    // node2vec/DeepWalk sequence sampling with md5-derived uniform
+    // steps — reproducible across engines and retries; the skip-gram
+    // training-pair generator for graph embeddings. 2 walks per
+    // vertex, 3 steps, over the transition graph.
+    "q134_random_walks" -> ((s, dir) => {
+      val edges = Graph.transitionEdges(t(s, dir, "events"),
+        "user_id", "event_type", expr("ts DIV 1000"), col("event_id"))
+      Graph.randomWalks(edges, "src", "dst", steps = 3,
+          walksPerVertex = 2)
+        .orderBy(col("start"), col("walk_id"), col("step"))
     })
   )
 
@@ -4876,6 +4901,81 @@ object SparkEntry {
         |    FROM ej JOIN r2 ON ej.src = r2.id GROUP BY ej.dst) c
         |    ON v.id = c.id
         |)
-        |SELECT id, r AS rank_ppm FROM r3 ORDER BY id""".stripMargin
+        |SELECT id, r AS rank_ppm FROM r3 ORDER BY id""".stripMargin,
+
+    "q133_graph_profile" ->
+      """WITH seq AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS b
+        |  FROM events
+        |), e AS (
+        |  SELECT a AS src, b AS dst, count(*)::BIGINT AS w
+        |  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+        |), o AS (
+        |  SELECT src AS id, count(DISTINCT dst)::BIGINT AS od,
+        |    CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1
+        |), i AS (
+        |  SELECT dst AS id, count(DISTINCT src)::BIGINT AS idg,
+        |    CAST(sum(w) AS BIGINT) AS iw FROM e GROUP BY 1
+        |), sl AS (
+        |  SELECT src AS id, CAST(sum(w) AS BIGINT) AS sw
+        |  FROM e WHERE src = dst GROUP BY 1
+        |), v AS (
+        |  SELECT src AS id FROM e UNION SELECT dst FROM e
+        |)
+        |SELECT v.id, COALESCE(od, 0) AS out_deg, COALESCE(idg, 0) AS in_deg,
+        |  COALESCE(ow, 0) AS out_w, COALESCE(iw, 0) AS in_w,
+        |  COALESCE(sw, 0) AS self_w
+        |FROM v LEFT JOIN o USING (id) LEFT JOIN i USING (id)
+        |  LEFT JOIN sl USING (id)
+        |ORDER BY id""".stripMargin,
+
+    // Uniform md5-indexed steps over the dst-sorted DISTINCT
+    // adjacency; step t picks idx = H(start, walk_id, t) mod deg.
+    "q134_random_walks" ->
+      """WITH seq AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS b
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT a AS src, b AS dst
+        |  FROM seq WHERE b IS NOT NULL
+        |), adj AS (
+        |  SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY src) AS deg
+        |  FROM e
+        |), v AS (
+        |  SELECT src AS id FROM e UNION SELECT dst FROM e
+        |), w0 AS (
+        |  SELECT id AS start, wid AS walk_id, id AS node
+        |  FROM v CROSS JOIN (SELECT unnest([0, 1])::BIGINT AS wid)
+        |), s1 AS (
+        |  SELECT w0.start, w0.walk_id, adj.dst AS node
+        |  FROM w0 JOIN adj ON adj.src = w0.node
+        |    AND adj.idx = ('0x' || substr(md5(
+        |      w0.start || ':' || w0.walk_id::VARCHAR || ':1'),
+        |      1, 15))::BIGINT % adj.deg
+        |), s2 AS (
+        |  SELECT s1.start, s1.walk_id, adj.dst AS node
+        |  FROM s1 JOIN adj ON adj.src = s1.node
+        |    AND adj.idx = ('0x' || substr(md5(
+        |      s1.start || ':' || s1.walk_id::VARCHAR || ':2'),
+        |      1, 15))::BIGINT % adj.deg
+        |), s3 AS (
+        |  SELECT s2.start, s2.walk_id, adj.dst AS node
+        |  FROM s2 JOIN adj ON adj.src = s2.node
+        |    AND adj.idx = ('0x' || substr(md5(
+        |      s2.start || ':' || s2.walk_id::VARCHAR || ':3'),
+        |      1, 15))::BIGINT % adj.deg
+        |)
+        |SELECT start, walk_id, step, node FROM (
+        |  SELECT start, walk_id, 0 AS step, node FROM w0
+        |  UNION ALL SELECT start, walk_id, 1, node FROM s1
+        |  UNION ALL SELECT start, walk_id, 2, node FROM s2
+        |  UNION ALL SELECT start, walk_id, 3, node FROM s3)
+        |ORDER BY start, walk_id, step""".stripMargin
   )
 }

@@ -142,6 +142,108 @@ object Graph {
     rank
   }
 
+  /** Per-vertex degree/weight profile — the skew diagnosis to run
+    * BEFORE any iterative graph algorithm: a vertex with a dominant
+    * share of in-weight is the hot key that decides whether the
+    * superstep joins need salting ([[graft.ops.Skew]]) or AQE skew
+    * handling. One pass over the edge table (a tagged union of the
+    * out and in projections into a single map-side-combined agg — no
+    * second edge scan, no join): per vertex, distinct out/in
+    * neighbor counts, total out/in weight, and self-loop weight.
+    * Missing direction → 0, not null. */
+  def degreeProfile(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w"))
+    val tagged = e.select(explode(array(
+        struct(col("src").as("id"), lit("o").as("d"), col("dst").as("nb"),
+          col("w"),
+          when(col("src") === col("dst"), col("w")).otherwise(lit(0L))
+            .as("sw")),
+        struct(col("dst").as("id"), lit("i").as("d"), col("src").as("nb"),
+          col("w"), lit(0L).as("sw")))).as("t"))
+      .select(col("t.*"))
+    tagged.groupBy(col("id"))
+      .agg(
+        count_distinct(when(col("d") === "o", col("nb"))).as("out_deg"),
+        count_distinct(when(col("d") === "i", col("nb"))).as("in_deg"),
+        coalesce(sum(when(col("d") === "o", col("w"))), lit(0L))
+          .as("out_w"),
+        coalesce(sum(when(col("d") === "i", col("w"))), lit(0L))
+          .as("in_w"),
+        coalesce(sum(col("sw")), lit(0L)).as("self_w"))
+  }
+
+  /** Deterministic random walks — node2vec/DeepWalk-style sequence
+    * sampling for graph-embedding training data (Grover & Leskovec
+    * 2016 with p=q=1, i.e. uniform first-order steps). Every vertex
+    * starts `walksPerVertex` walks; at step t a walk at `u` moves to
+    * u's neighbor with index `H(start, walkId, t) mod deg(u)`, where
+    * H is the first 60 bits of md5 — the repo's standard
+    * engine-reproducible randomness (a per-task PRNG would change
+    * results under retries/repartitioning; md5 cannot). Neighbor
+    * indexing is dst-sort-order over the DISTINCT neighbor set;
+    * weights don't bias the step (uniform choice — expand
+    * multi-edges upstream if weighted steps are needed). A walk
+    * reaching a dangling vertex simply ends early.
+    *
+    * Output: (start, walk_id, step, node), step 0 = the start row.
+    *
+    * Scale shape: the indexed adjacency (edge-sized: row_number +
+    * count windows partitioned by src) is pinned once; each step is
+    * ONE join of the walk frontier (|V|·walksPerVertex rows) against
+    * it — frontier-sized exchanges, never edge re-aggregation. The
+    * hash condition rides the join, so the matched row count equals
+    * the frontier size. `steps` is bounded small (walk windows for
+    * skip-gram training are ≤ ~10); the union-of-steps plan stays
+    * linear in `steps`. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      steps: Int, walksPerVertex: Int = 1): DataFrame = {
+    require(steps >= 0 && steps <= 32,
+      s"steps must be in [0, 32] (got $steps)")
+    require(walksPerVertex > 0 && walksPerVertex <= 1024,
+      s"walksPerVertex must be in [1, 1024] (got $walksPerVertex)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wsrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val adj = e
+      .withColumn("idx",
+        row_number().over(wsrc.orderBy(col("dst"))) - 1)
+      .withColumn("deg", count(lit(1)).over(wsrc))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val starts = verts
+      .select(col("id").as("start"),
+        explode(sequence(lit(0L), lit(walksPerVertex - 1L)))
+          .as("walk_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count(); starts.count() // materialize through the edge pin
+    e.unpersist()
+
+    var out = starts.select(col("start"), col("walk_id"),
+      lit(0).as("step"), col("start").as("node"))
+    var frontier = starts.select(col("start"), col("walk_id"),
+      col("start").as("node"))
+    var t = 1
+    while (t <= steps) {
+      val pick = conv(substring(md5(concat(
+          col("start").cast("string"), lit(":"),
+          col("walk_id").cast("string"),
+          lit(s":$t"))), 1, 15), 16, 10).cast("long") % col("deg")
+      frontier = frontier
+        .join(adj, frontier("node") === adj("src") &&
+          adj("idx") === pick)
+        .select(col("start"), col("walk_id"), col("dst").as("node"))
+      out = out.union(frontier.select(col("start"), col("walk_id"),
+        lit(t).as("step"), col("node")))
+      t += 1
+    }
+    out
+  }
+
   /** Event-type transition edges from an event log: one weighted
     * directed edge per ordered pair of CONSECUTIVE event types within
     * a user's timeline (`lead` over (user, ts, tie)), weight = number

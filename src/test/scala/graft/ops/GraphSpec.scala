@@ -98,6 +98,74 @@ class GraphSpec extends SparkSpec {
     assert(got == Map("a" -> 150000L, "b" -> 850000L))
   }
 
+  test("degree profile counts directions, weights and self-loops") {
+    val e = Seq(
+      ("a", "b", 2L), ("a", "c", 1L), ("a", "a", 5L), ("b", "a", 3L))
+    val got = Graph.degreeProfile(e.toDF("src", "dst", "w"),
+        "src", "dst", "w")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == Map(
+      // id -> (out_deg, in_deg, out_w, in_w, self_w)
+      "a" -> ((3L, 2L, 8L, 8L, 5L)),
+      "b" -> ((1L, 1L, 3L, 2L, 0L)),
+      "c" -> ((0L, 1L, 0L, 1L, 0L))))
+  }
+
+  /** Reference walker: md5-hex first 15 chars parsed base-16 mod
+    * deg, dst-sorted distinct adjacency — independent of the Spark
+    * expressions. */
+  private def refWalks(edges: Seq[(String, String)], steps: Int,
+      walks: Int): Set[(String, Long, Int, String)] = {
+    val adj = edges.distinct.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).distinct.sorted }
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def h(start: String, wid: Long, t: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$start:$wid:$t".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    (for {
+      v <- verts; wid <- 0L until walks.toLong
+    } yield {
+      var node = v
+      var rows = List((v, wid, 0, v))
+      var t = 1
+      var alive = true
+      while (t <= steps && alive) {
+        adj.get(node) match {
+          case Some(ns) =>
+            node = ns((h(v, wid, t) % ns.length).toInt)
+            rows = (v, wid, t, node) :: rows
+          case None => alive = false
+        }
+        t += 1
+      }
+      rows
+    }).flatten.toSet
+  }
+
+  test("random walks match the independent md5 reference walker") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("b", "d")) // d dangles
+    val got = Graph.randomWalks(
+        edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+        "src", "dst", steps = 4, walksPerVertex = 3)
+      .as[(String, Long, Int, String)].collect().toSet
+    assert(got == refWalks(edges, 4, 3))
+  }
+
+  test("walks end early at dangling vertices") {
+    val got = Graph.randomWalks(
+        Seq(("a", "b", 1L)).toDF("src", "dst", "w"),
+        "src", "dst", steps = 5, walksPerVertex = 1)
+      .as[(String, Long, Int, String)].collect().toSet
+    // a: step0 a, step1 b (deg 1), then b dangles; b: step0 only
+    assert(got == Set(("a", 0L, 0, "a"), ("a", 0L, 1, "b"),
+      ("b", 0L, 0, "b")))
+  }
+
   test("rank mass is conserved up to flooring on a stochastic cycle") {
     // pure cycle, uniform weights: every vertex keeps rank exactly 1e6
     val cyc = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
