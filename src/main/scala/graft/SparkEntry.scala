@@ -2148,6 +2148,19 @@ object SparkEntry {
       Graph.randomWalks(edges, "src", "dst", steps = 3,
           walksPerVertex = 2)
         .orderBy(col("start"), col("walk_id"), col("step"))
+    }),
+
+    // ---- Skip-gram pairs from walks (SGNS training tensor) ----
+    // The positive (center, context) pair counts skip-gram/SGNS
+    // embedding training consumes, window 2 over q134's walks —
+    // walk-sized join groups, map-side-combined pair agg.
+    "q135_skipgram_pairs" -> ((s, dir) => {
+      val edges = Graph.transitionEdges(t(s, dir, "events"),
+        "user_id", "event_type", expr("ts DIV 1000"), col("event_id"))
+      val walks = Graph.randomWalks(edges, "src", "dst", steps = 3,
+        walksPerVertex = 2)
+      Graph.skipGramPairs(walks, window = 2)
+        .orderBy(col("center"), col("context"))
     })
   )
 
@@ -4976,6 +4989,57 @@ object SparkEntry {
         |  UNION ALL SELECT start, walk_id, 1, node FROM s1
         |  UNION ALL SELECT start, walk_id, 2, node FROM s2
         |  UNION ALL SELECT start, walk_id, 3, node FROM s3)
-        |ORDER BY start, walk_id, step""".stripMargin
+        |ORDER BY start, walk_id, step""".stripMargin,
+
+    // q134's walks self-joined on walk identity within window 2.
+    "q135_skipgram_pairs" ->
+      """WITH seq AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS b
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT a AS src, b AS dst
+        |  FROM seq WHERE b IS NOT NULL
+        |), adj AS (
+        |  SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY src) AS deg
+        |  FROM e
+        |), v AS (
+        |  SELECT src AS id FROM e UNION SELECT dst FROM e
+        |), w0 AS (
+        |  SELECT id AS start, wid AS walk_id, id AS node
+        |  FROM v CROSS JOIN (SELECT unnest([0, 1])::BIGINT AS wid)
+        |), s1 AS (
+        |  SELECT w0.start, w0.walk_id, adj.dst AS node
+        |  FROM w0 JOIN adj ON adj.src = w0.node
+        |    AND adj.idx = ('0x' || substr(md5(
+        |      w0.start || ':' || w0.walk_id::VARCHAR || ':1'),
+        |      1, 15))::BIGINT % adj.deg
+        |), s2 AS (
+        |  SELECT s1.start, s1.walk_id, adj.dst AS node
+        |  FROM s1 JOIN adj ON adj.src = s1.node
+        |    AND adj.idx = ('0x' || substr(md5(
+        |      s1.start || ':' || s1.walk_id::VARCHAR || ':2'),
+        |      1, 15))::BIGINT % adj.deg
+        |), s3 AS (
+        |  SELECT s2.start, s2.walk_id, adj.dst AS node
+        |  FROM s2 JOIN adj ON adj.src = s2.node
+        |    AND adj.idx = ('0x' || substr(md5(
+        |      s2.start || ':' || s2.walk_id::VARCHAR || ':3'),
+        |      1, 15))::BIGINT % adj.deg
+        |), walks AS (
+        |  SELECT start, walk_id, 0 AS step, node FROM w0
+        |  UNION ALL SELECT start, walk_id, 1, node FROM s1
+        |  UNION ALL SELECT start, walk_id, 2, node FROM s2
+        |  UNION ALL SELECT start, walk_id, 3, node FROM s3
+        |)
+        |SELECT a.node AS center, b.node AS context, count(*) AS n
+        |FROM walks a JOIN walks b
+        |  ON a.start = b.start AND a.walk_id = b.walk_id
+        |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
+        |GROUP BY 1, 2
+        |ORDER BY center, context""".stripMargin
   )
 }

@@ -244,6 +244,27 @@ object Graph {
     out
   }
 
+  /** Skip-gram training pairs from [[randomWalks]] output: for every
+    * walk, all ordered (center, context) node pairs within `window`
+    * steps of each other (excluding the center itself), aggregated to
+    * corpus-wide counts — the positive-pair tensor skip-gram/SGNS
+    * graph-embedding training consumes. The self-join keys on the
+    * walk identity, so join groups are walk-sized (≤ steps+1 rows) —
+    * no quadratic blowup beyond the window, and the pair agg is
+    * map-side-combined down to |V|² at most. */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window > 0, s"window must be positive (got $window)")
+    val a = walks.select(col("start"), col("walk_id"),
+      col("step").as("__sa"), col("node").as("center"))
+    val b = walks.select(col("start"), col("walk_id"),
+      col("step").as("__sb"), col("node").as("context"))
+    a.join(b, Seq("start", "walk_id"))
+      .filter(col("__sa") =!= col("__sb") &&
+        abs(col("__sa") - col("__sb")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Event-type transition edges from an event log: one weighted
     * directed edge per ordered pair of CONSECUTIVE event types within
     * a user's timeline (`lead` over (user, ts, tie)), weight = number

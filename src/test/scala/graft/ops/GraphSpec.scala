@@ -166,6 +166,26 @@ class GraphSpec extends SparkSpec {
       ("b", 0L, 0, "b")))
   }
 
+  test("skip-gram pairs window correctly and count with multiplicity") {
+    val walks = Seq(
+      // one walk a->b->c->a (steps 0..3)
+      ("a", 0L, 0, "a"), ("a", 0L, 1, "b"), ("a", 0L, 2, "c"),
+      ("a", 0L, 3, "a")).toDF("start", "walk_id", "step", "node")
+    val got = Graph.skipGramPairs(walks, window = 1)
+      .as[(String, String, Long)].collect().toSet
+    // adjacent-only pairs, both directions, (c,a)+(a,c) etc.
+    assert(got == Set(
+      ("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L), ("c", "b", 1L),
+      ("c", "a", 1L), ("a", "c", 1L)))
+    val w2 = Graph.skipGramPairs(walks, window = 2)
+      .as[(String, String, Long)].collect()
+      .map { case (c, x, n) => (c, x) -> n }.toMap
+    // (a,c) now twice: steps 0->2 and 3->2... 3-2=1 already in w1;
+    // w2 adds 0->2 ⇒ ("a","c") count 2, plus ("a","a") from 0<->3? no:
+    // |0-3|=3 > 2 — excluded; ("b","a") gains 1->3
+    assert(w2(("a", "c")) == 2L && w2(("b", "a")) == 2L)
+  }
+
   test("rank mass is conserved up to flooring on a stochastic cycle") {
     // pure cycle, uniform weights: every vertex keeps rank exactly 1e6
     val cyc = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
