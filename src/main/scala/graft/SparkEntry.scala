@@ -2161,6 +2161,15 @@ object SparkEntry {
         walksPerVertex = 2)
       Graph.skipGramPairs(walks, window = 2)
         .orderBy(col("center"), col("context"))
+    }),
+
+    // ---- Text co-occurrence pairs (word2vec positive sampling) ----
+    // Ordered (left, right) token pairs within window 3, counted
+    // corpus-wide — one scan, zero joins, array-level shifted zips.
+    "q136_cooccurrence" -> ((s, dir) => {
+      TextAnalysis.cooccurrencePairs(t(s, dir, "documents"), "text",
+          window = 3, minCount = 50L)
+        .orderBy(col("pair"))
     })
   )
 
@@ -5040,6 +5049,16 @@ object SparkEntry {
         |  ON a.start = b.start AND a.walk_id = b.walk_id
         |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
         |GROUP BY 1, 2
-        |ORDER BY center, context""".stripMargin
+        |ORDER BY center, context""".stripMargin,
+
+    "q136_cooccurrence" ->
+      """SELECT pair, count(*)::BIGINT AS n FROM (
+        |  SELECT unnest(flatten(list_transform(range(1, 4),
+        |    k -> list_transform(range(1, len(t) - k + 1),
+        |      i -> t[i] || ' ' || t[i + k])))) AS pair
+        |  FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+        |        FROM documents))
+        |GROUP BY pair HAVING count(*) >= 50
+        |ORDER BY pair""".stripMargin
   )
 }

@@ -585,6 +585,38 @@ object TextAnalysis {
         expr("(((n_ab * 1000000) div __na) * nn) div __nb").as("assoc_ppm"))
   }
 
+  /** Word co-occurrence pairs within a token window — the
+    * word2vec/SGNS positive-pair generator over TEXT (the sibling of
+    * [[Graph.skipGramPairs]] over walks): for every document, every
+    * ordered pair (t[i], t[i+k]) with 1 ≤ k ≤ `window`, counted
+    * corpus-wide. Left-to-right pairs only — SGNS symmetrizes in the
+    * loss, and emitting one direction halves the exchange; union
+    * with the swapped columns downstream if both are needed.
+    *
+    * ONE corpus scan, ZERO joins: the per-k shifted zips are built
+    * array-level (`slice`+`zip_with`, codegen) and exploded once;
+    * the pair agg map-side-combines. Token-pair volume is
+    * `window × corpus_tokens` rows into the combiner — the inherent
+    * word2vec cost, linear in both. `minCount` prunes the output
+    * vocabulary tail. */
+  def cooccurrencePairs(df: DataFrame, textCol: String, window: Int,
+      minCount: Long, unicode: Boolean = false): DataFrame = {
+    require(window > 0 && window <= 64,
+      s"window must be in [1, 64] (got $window)")
+    require(minCount > 0, s"minCount must be positive (got $minCount)")
+    val toks = df.select(alphaTokens(col(textCol), unicode).as("__t"))
+    val shifted = (1 to window).map { k =>
+      when(size(col("__t")) <= k, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - k),
+          slice(col("__t"), lit(k + 1), size(col("__t")) - k),
+          (a, b) => concat(a, lit(" "), b)))
+    }
+    toks.select(explode(concat(shifted: _*)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** BPE symbol segmentation of a token under an ORDERED merge list
     * — the apply half of a trained tokenizer: split to characters,
     * then for each merge `(l, r)` in order run one greedy

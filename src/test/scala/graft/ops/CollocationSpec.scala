@@ -52,6 +52,23 @@ class CollocationSpec extends SparkSpec {
     assert(got == Set("alpha beta", "beta alpha"))
   }
 
+  test("co-occurrence pairs cover every window offset exactly once") {
+    // "a b c d": window 2 ⇒ k=1: ab bc cd; k=2: ac bd
+    val got = TextAnalysis.cooccurrencePairs(
+        Seq("a b c d").toDF("text"), "text", window = 2, minCount = 1L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a b" -> 1L, "b c" -> 1L, "c d" -> 1L,
+      "a c" -> 1L, "b d" -> 1L))
+  }
+
+  test("co-occurrence window never crosses documents and counts multiplicity") {
+    val got = TextAnalysis.cooccurrencePairs(
+        Seq("x y", "x y", "y x").toDF("text"), "text",
+        window = 3, minCount = 2L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("x y" -> 2L)) // "y x" appears once → pruned
+  }
+
   test("null and empty texts contribute nothing") {
     val got = TextAnalysis.collocations(
         Seq(Some("a b"), None, Some(""), Some("a b")).toDF("text"),
