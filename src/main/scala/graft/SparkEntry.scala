@@ -2170,6 +2170,19 @@ object SparkEntry {
       TextAnalysis.cooccurrencePairs(t(s, dir, "documents"), "text",
           window = 3, minCount = 50L)
         .orderBy(col("pair"))
+    }),
+
+    // ---- Weighted random walks (full first-order node2vec) ----
+    // Steps biased by transition weight: the md5 draw lands in the
+    // neighbor's cumulative-weight interval, so hot transitions are
+    // walked proportionally — the faithful sampler for skip-gram
+    // training over weighted graphs.
+    "q137_weighted_walks" -> ((s, dir) => {
+      val edges = Graph.transitionEdges(t(s, dir, "events"),
+        "user_id", "event_type", expr("ts DIV 1000"), col("event_id"))
+      Graph.weightedRandomWalks(edges, "src", "dst", "w", steps = 3,
+          walksPerVertex = 2)
+        .orderBy(col("start"), col("walk_id"), col("step"))
     })
   )
 
@@ -5059,6 +5072,64 @@ object SparkEntry {
         |  FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
         |        FROM documents))
         |GROUP BY pair HAVING count(*) >= 50
-        |ORDER BY pair""".stripMargin
+        |ORDER BY pair""".stripMargin,
+
+    // q134's walk unrolling with cumulative-weight interval choice:
+    // step t lands H(start, walk_id, t) mod out_w in [lo, lo + w).
+    "q137_weighted_walks" ->
+      """WITH seq AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS b
+        |  FROM events
+        |), e AS (
+        |  SELECT a AS src, b AS dst, count(*)::BIGINT AS w
+        |  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+        |), adj AS (
+        |  SELECT src, dst, w,
+        |    COALESCE(sum(w) OVER (PARTITION BY src ORDER BY dst
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS lo,
+        |    sum(w) OVER (PARTITION BY src) AS ow
+        |  FROM e
+        |), v AS (
+        |  SELECT src AS id FROM e UNION SELECT dst FROM e
+        |), w0 AS (
+        |  SELECT id AS start, wid AS walk_id, id AS node
+        |  FROM v CROSS JOIN (SELECT unnest([0, 1])::BIGINT AS wid)
+        |), s1 AS (
+        |  SELECT w0.start, w0.walk_id, adj.dst AS node
+        |  FROM w0 JOIN adj ON adj.src = w0.node
+        |    AND ('0x' || substr(md5(
+        |        w0.start || ':' || w0.walk_id::VARCHAR || ':1'),
+        |        1, 15))::BIGINT % adj.ow >= adj.lo
+        |    AND ('0x' || substr(md5(
+        |        w0.start || ':' || w0.walk_id::VARCHAR || ':1'),
+        |        1, 15))::BIGINT % adj.ow < adj.lo + adj.w
+        |), s2 AS (
+        |  SELECT s1.start, s1.walk_id, adj.dst AS node
+        |  FROM s1 JOIN adj ON adj.src = s1.node
+        |    AND ('0x' || substr(md5(
+        |        s1.start || ':' || s1.walk_id::VARCHAR || ':2'),
+        |        1, 15))::BIGINT % adj.ow >= adj.lo
+        |    AND ('0x' || substr(md5(
+        |        s1.start || ':' || s1.walk_id::VARCHAR || ':2'),
+        |        1, 15))::BIGINT % adj.ow < adj.lo + adj.w
+        |), s3 AS (
+        |  SELECT s2.start, s2.walk_id, adj.dst AS node
+        |  FROM s2 JOIN adj ON adj.src = s2.node
+        |    AND ('0x' || substr(md5(
+        |        s2.start || ':' || s2.walk_id::VARCHAR || ':3'),
+        |        1, 15))::BIGINT % adj.ow >= adj.lo
+        |    AND ('0x' || substr(md5(
+        |        s2.start || ':' || s2.walk_id::VARCHAR || ':3'),
+        |        1, 15))::BIGINT % adj.ow < adj.lo + adj.w
+        |)
+        |SELECT start, walk_id, step, node FROM (
+        |  SELECT start, walk_id, 0 AS step, node FROM w0
+        |  UNION ALL SELECT start, walk_id, 1, node FROM s1
+        |  UNION ALL SELECT start, walk_id, 2, node FROM s2
+        |  UNION ALL SELECT start, walk_id, 3, node FROM s3)
+        |ORDER BY start, walk_id, step""".stripMargin
   )
 }

@@ -183,8 +183,8 @@ object Graph {
     * engine-reproducible randomness (a per-task PRNG would change
     * results under retries/repartitioning; md5 cannot). Neighbor
     * indexing is dst-sort-order over the DISTINCT neighbor set;
-    * weights don't bias the step (uniform choice — expand
-    * multi-edges upstream if weighted steps are needed). A walk
+    * weights don't bias the step (uniform choice — see
+    * [[weightedRandomWalks]] for weight-proportional steps). A walk
     * reaching a dangling vertex simply ends early.
     *
     * Output: (start, walk_id, step, node), step 0 = the start row.
@@ -236,6 +236,69 @@ object Graph {
       frontier = frontier
         .join(adj, frontier("node") === adj("src") &&
           adj("idx") === pick)
+        .select(col("start"), col("walk_id"), col("dst").as("node"))
+      out = out.union(frontier.select(col("start"), col("walk_id"),
+        lit(t).as("step"), col("node")))
+      t += 1
+    }
+    out
+  }
+
+  /** [[randomWalks]] with WEIGHT-PROPORTIONAL steps — full
+    * first-order node2vec: at `u`, neighbor `v` is chosen with
+    * probability `w(u,v) / outW(u)` by landing the md5 draw
+    * `H mod outW(u)` in v's cumulative-weight interval
+    * `[lo(v), lo(v) + w(v))` over the dst-sorted adjacency.
+    * Multi-edges collapse by summing weights. Same determinism,
+    * output shape, dangling behavior and scale shape as the uniform
+    * variant — the adjacency carries a windowed cumulative sum
+    * instead of a row_number, and the step join's interval predicate
+    * still matches exactly one adjacency row per frontier row. */
+  def weightedRandomWalks(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, steps: Int,
+      walksPerVertex: Int = 1): DataFrame = {
+    require(steps >= 0 && steps <= 32,
+      s"steps must be in [0, 32] (got $steps)")
+    require(walksPerVertex > 0 && walksPerVertex <= 1024,
+      s"walksPerVertex must be in [1, 1024] (got $walksPerVertex)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wsrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val byDst = wsrc.orderBy(col("dst"))
+    val adj = e
+      .withColumn("lo", coalesce(
+        sum(col("w")).over(byDst.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("ow", sum(col("w")).over(wsrc))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val starts = verts
+      .select(col("id").as("start"),
+        explode(sequence(lit(0L), lit(walksPerVertex - 1L)))
+          .as("walk_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count(); starts.count() // materialize through the edge pin
+    e.unpersist()
+
+    var out = starts.select(col("start"), col("walk_id"),
+      lit(0).as("step"), col("start").as("node"))
+    var frontier = starts.select(col("start"), col("walk_id"),
+      col("start").as("node"))
+    var t = 1
+    while (t <= steps) {
+      val pick = conv(substring(md5(concat(
+          col("start").cast("string"), lit(":"),
+          col("walk_id").cast("string"),
+          lit(s":$t"))), 1, 15), 16, 10).cast("long") % col("ow")
+      frontier = frontier
+        .join(adj, frontier("node") === adj("src") &&
+          pick >= adj("lo") && pick < adj("lo") + adj("w"))
         .select(col("start"), col("walk_id"), col("dst").as("node"))
       out = out.union(frontier.select(col("start"), col("walk_id"),
         lit(t).as("step"), col("node")))

@@ -186,6 +186,63 @@ class GraphSpec extends SparkSpec {
     assert(w2(("a", "c")) == 2L && w2(("b", "a")) == 2L)
   }
 
+  /** Reference weighted walker: md5 draw mod out-weight lands in the
+    * dst-sorted cumulative interval. */
+  private def refWeightedWalks(edges: Seq[(String, String, Long)],
+      steps: Int, walks: Int): Set[(String, Long, Int, String)] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      val merged = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map(_._3).sum }.toSeq.sortBy(_._1)
+      s -> merged
+    }
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def h(start: String, wid: Long, t: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$start:$wid:$t".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    (for { v <- verts; wid <- 0L until walks.toLong } yield {
+      var node = v
+      var rows = List((v, wid, 0, v))
+      var t = 1
+      var alive = true
+      while (t <= steps && alive) {
+        adj.get(node) match {
+          case Some(ns) =>
+            val ow = ns.map(_._2).sum
+            val r = h(v, wid, t) % ow
+            var acc = 0L
+            val nxt = ns.find { case (_, w) =>
+              val in = r >= acc && r < acc + w; acc += w; in }.get._1
+            node = nxt
+            rows = (v, wid, t, node) :: rows
+          case None => alive = false
+        }
+        t += 1
+      }
+      rows
+    }).flatten.toSet
+  }
+
+  test("weighted walks match the interval reference walker") {
+    val edges = Seq(("a", "b", 9L), ("a", "c", 1L), ("b", "a", 2L),
+      ("c", "a", 1L), ("c", "b", 3L))
+    val got = Graph.weightedRandomWalks(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", steps = 4, walksPerVertex = 3)
+      .as[(String, Long, Int, String)].collect().toSet
+    assert(got == refWeightedWalks(edges, 4, 3))
+  }
+
+  test("weighted walks collapse multi-edges by summing weights") {
+    // a->b twice (1+1) vs a->c (1): interval widths 2 and 1
+    val e = Seq(("a", "b", 1L), ("a", "b", 1L), ("a", "c", 1L))
+    val got = Graph.weightedRandomWalks(e.toDF("src", "dst", "w"),
+        "src", "dst", "w", steps = 1, walksPerVertex = 4)
+      .as[(String, Long, Int, String)].collect().toSet
+    assert(got == refWeightedWalks(e, 1, 4))
+  }
+
   test("rank mass is conserved up to flooring on a stochastic cycle") {
     // pure cycle, uniform weights: every vertex keeps rank exactly 1e6
     val cyc = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
