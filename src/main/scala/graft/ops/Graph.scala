@@ -115,7 +115,6 @@ object Graph {
         case Some(_) =>
           when(col("__base") > 0L, lit(1000000L)).otherwise(lit(0L))
       }).as("rank_ppm"))
-    var pinnedRdds = List.empty[org.apache.spark.rdd.RDD[_]]
     var i = 0
     while (i < iterations) {
       val offers = ej
@@ -131,12 +130,14 @@ object Graph {
       i += 1
       if (i % pinEvery == 0 && i < iterations) {
         // Truncate lineage: materialize to a persisted InternalRow
-        // RDD and rewrap. Keeps the optimizer's input bounded on
-        // long runs; intermediate pins are released at the end.
+        // RDD and rewrap, keeping the optimizer's input bounded on
+        // long runs. Pins are LAZY — they fill on the caller's first
+        // action, and earlier pins sit in later pins' lineage — so
+        // none can be released here; they stay cached (LRU-managed,
+        // vertex-sized) for the returned frame's lifetime.
         val rdd = ColumnBridge.internalRdd(rank).map(_.copy())
           .persist(StorageLevel.MEMORY_AND_DISK)
         rank = ColumnBridge.internalCreateDataFrame(rank, rdd, rank.schema)
-        pinnedRdds = rdd :: pinnedRdds
       }
     }
     rank
