@@ -2183,6 +2183,23 @@ object SparkEntry {
       Graph.weightedRandomWalks(edges, "src", "dst", "w", steps = 3,
           walksPerVertex = 2)
         .orderBy(col("start"), col("walk_id"), col("step"))
+    }),
+
+    // ---- SGNS negative sampling (embedding-training negatives) ----
+    // Two frequency-proportional negatives per q136 positive pair:
+    // md5 draws land in cumulative-count vocab intervals built by the
+    // distributed prefix scan and looked up via the binned range
+    // join — the deterministic negatives tensor for SGNS training.
+    "q138_negative_samples" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextAnalysis.cooccurrencePairs(docs, "text",
+        window = 3, minCount = 50L)
+      val vocab = docs
+        .select(explode(TextAnalysis.alphaTokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      TextAnalysis.negativeSamples(pairs.select(col("pair")), "pair",
+          vocab, "w", "n", k = 2)
+        .orderBy(col("key"), col("draw"))
     })
   )
 
@@ -5130,6 +5147,41 @@ object SparkEntry {
         |  UNION ALL SELECT start, walk_id, 1, node FROM s1
         |  UNION ALL SELECT start, walk_id, 2, node FROM s2
         |  UNION ALL SELECT start, walk_id, 3, node FROM s3)
-        |ORDER BY start, walk_id, step""".stripMargin
+        |ORDER BY start, walk_id, step""".stripMargin,
+
+    // Draws H('0:neg:' || pair || ':' || j) mod N land in word-sorted
+    // cumulative-count intervals [lo, lo + n).
+    "q138_negative_samples" ->
+      """WITH tok AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT u AS w, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(t) AS u FROM tok) GROUP BY 1
+        |), iv AS (
+        |  SELECT w, n, COALESCE(sum(n) OVER (ORDER BY w
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS lo
+        |  FROM uni
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn FROM uni
+        |), pairs AS (
+        |  SELECT pair FROM (
+        |    SELECT unnest(flatten(list_transform(range(1, 4),
+        |      k -> list_transform(range(1, len(t) - k + 1),
+        |        i -> t[i] || ' ' || t[i + k])))) AS pair
+        |    FROM tok)
+        |  GROUP BY pair HAVING count(*) >= 50
+        |), draws AS (
+        |  SELECT pair AS key, d AS draw,
+        |    ('0x' || substr(md5('0:neg:' || pair || ':' || d::VARCHAR),
+        |      1, 15))::BIGINT % tot.nn AS r
+        |  FROM pairs
+        |  CROSS JOIN (SELECT unnest([0, 1])::BIGINT AS d)
+        |  CROSS JOIN tot
+        |)
+        |SELECT draws.key, draws.draw, iv.w AS neg
+        |FROM draws JOIN iv ON draws.r >= iv.lo AND draws.r < iv.lo + iv.n
+        |ORDER BY key, draw""".stripMargin
   )
 }

@@ -617,6 +617,54 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+  /** Deterministic SGNS negative sampling — the third leg of the
+    * skip-gram training-data path (positives: [[cooccurrencePairs]] /
+    * [[Graph.skipGramPairs]]): for every key row, `k` negatives drawn
+    * from the unigram distribution ∝ count, by landing the md5 draw
+    * `H(seed, key, j) mod N` in the word's cumulative-count interval
+    * over the word-sorted vocabulary. α=1 frequency weighting — the
+    * integer-exact surrogate of word2vec's f^0.75 smoothing (a
+    * fractional power needs libm and breaks cross-engine
+    * bit-parity); callers wanting the 0.75 tilt can pre-transform the
+    * count column with any monotone integer map.
+    *
+    * Scale shape: the cumulative intervals ride
+    * [[Ranking.withRunningTotal]]'s distributed prefix scan (the
+    * classic `sum().over(Window.orderBy)` spelling is a
+    * single-partition scale-killer), and the draw→interval lookup is
+    * the binned range equi-join ([[RangeJoin.byBins]]) — never a
+    * broadcast nested loop over a million-word vocabulary. One md5
+    * per draw; draws-per-key explode before the join, so the
+    * exchange is draws-sized (k × keys).
+    *
+    * Output: (key, draw, neg) — `k` rows per input key. */
+  def negativeSamples(keys: DataFrame, keyCol: String, vocab: DataFrame,
+      wordCol: String, countCol: String, k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0 && k <= 1024, s"k must be in [1, 1024] (got $k)")
+    val v0 = vocab.select(col(wordCol).cast("string").as("__w"),
+        col(countCol).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    val iv = Ranking.withRunningTotal(v0, Seq(col("__w")), "__n", "__lo")
+      .withColumn("__hi", col("__lo") + col("__n") - 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = iv.agg(coalesce(sum(col("__n")), lit(0L)))
+      .head().getLong(0)
+    require(total > 0, "negativeSamples needs a non-empty vocabulary")
+    // bin near the mean interval length: ~1 replica per interval,
+    // bucket width ~1 vocab word per bin
+    val binSize = math.max(total / math.max(iv.count(), 1L), 1L)
+    val draws = keys.select(col(keyCol).cast("string").as("key"))
+      .select(col("key"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("draw"))
+      .withColumn("__r", conv(substring(md5(concat(
+        lit(s"$seed:neg:"), col("key"), lit(":"),
+        col("draw").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % total)
+    RangeJoin.byBins(draws, "__r", iv, "__lo", "__hi", binSize)
+      .select(col("key"), col("draw"), col("__w").as("neg"))
+  }
+
   /** BPE symbol segmentation of a token under an ORDERED merge list
     * — the apply half of a trained tokenizer: split to characters,
     * then for each merge `(l, r)` in order run one greedy

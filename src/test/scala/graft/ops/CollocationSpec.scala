@@ -69,6 +69,35 @@ class CollocationSpec extends SparkSpec {
     assert(got == Map("x y" -> 2L)) // "y x" appears once → pruned
   }
 
+  test("negative samples match the interval reference sampler") {
+    val vocab = Seq(("apple", 7L), ("pear", 2L), ("plum", 1L))
+    def refDraw(key: String, j: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"0:neg:$key:$j".getBytes("UTF-8"))
+      val r = java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16) % 10L
+      val sorted = vocab.sortBy(_._1)
+      var acc = 0L
+      sorted.find { case (_, n) =>
+        val in = r >= acc && r < acc + n; acc += n; in }.get._1
+    }
+    val keys = Seq("k1", "k2", "k3").toDF("key")
+    val got = TextAnalysis.negativeSamples(keys, "key",
+        vocab.toDF("w", "n"), "w", "n", k = 4)
+      .as[(String, Long, String)].collect().toSet
+    val want = (for (key <- Seq("k1", "k2", "k3"); j <- 0L to 3L)
+      yield (key, j, refDraw(key, j))).toSet
+    assert(got == want)
+    // frequency proportionality sanity: over many draws the heavy
+    // word dominates
+    val many = TextAnalysis.negativeSamples(
+        (1 to 50).map(i => s"x$i").toDF("key"), "key",
+        vocab.toDF("w", "n"), "w", "n", k = 4)
+      .as[(String, Long, String)].collect()
+    val byWord = many.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byWord.getOrElse("apple", 0) > byWord.getOrElse("plum", 0))
+  }
+
   test("null and empty texts contribute nothing") {
     val got = TextAnalysis.collocations(
         Seq(Some("a b"), None, Some(""), Some("a b")).toDF("text"),
