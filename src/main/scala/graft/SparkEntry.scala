@@ -2200,6 +2200,73 @@ object SparkEntry {
       TextAnalysis.negativeSamples(pairs.select(col("pair")), "pair",
           vocab, "w", "n", k = 2)
         .orderBy(col("key"), col("draw"))
+    }),
+
+    // ---- Degree-oriented triangle counting ----
+    // Per-part triangle membership over the co-purchase graph
+    // (basket pairs at support >= 2) — the clustering-coefficient
+    // signal. Degree orientation bounds wedge fan-out at hubs to
+    // O(sqrt(|E|)), the move that keeps a 100 TB link graph's first
+    // join from going quadratic.
+    "q139_triangles" -> ((s, dir) => {
+      val edges = Graph.basketPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2L)
+      Graph.triangles(edges, "item_a", "item_b")
+        .orderBy(col("id"))
+    }),
+
+    // ---- Deterministic label propagation (communities) ----
+    // Two synchronous supersteps over the weighted co-purchase
+    // graph; max-incident-weight label with greatest-label
+    // tie-break — a total order, so communities reproduce bit-for-bit
+    // on any engine/partitioning, unlike the paper's random sweeps.
+    "q140_label_prop" -> ((s, dir) => {
+      val edges = Graph.basketPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2L)
+      Graph.labelPropagation(edges, "item_a", "item_b", "n",
+          iterations = 2)
+        .orderBy(col("id"))
+    }),
+
+    // ---- Count-min sketch (bounded-state frequency) ----
+    // 3×512 counter grid over the token stream; estimates for the
+    // >= 50-count vocabulary joined against true counts — est >= true
+    // always, and the sketch state is d·w counters regardless of
+    // vocabulary size (the 100 TB story: the true frequency table
+    // is itself huge; the sketch isn't).
+    "q141_countmin" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(TextAnalysis.alphaTokens(col("text"))).as("w"))
+      val sk = Sketch.countMinSketch(tok, "w", depth = 3, width = 512)
+      val tc = tok.groupBy(col("w")).agg(count(lit(1)).as("true_n"))
+        .filter(col("true_n") >= 50)
+      Sketch.countMinEstimate(sk, tc, "w", depth = 3, width = 512)
+        .join(tc.select(col("w").as("key"), col("true_n")), "key")
+        .select(col("key").as("token"), col("true_n"), col("est"))
+        .orderBy(col("token"))
+    }),
+
+    // ---- Market-basket co-occurrence pairs ----
+    // Canonical item-item co-purchase counts at support >= 2 — the
+    // edge builder for recommender candidate generation and for the
+    // graph family above. Basket-keyed self-join with an explicit
+    // hub-basket cap, map-side-combined pair agg.
+    "q142_basket_pairs" -> ((s, dir) => {
+      Graph.basketPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minCount = 2L)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // ---- Vocabulary-growth curve (Heaps law) ----
+    // Distinct-vocabulary and token totals at 50-document
+    // checkpoints in doc_id order — the corpus-health curve (linear
+    // growth = UUID/boilerplate pollution; early flattening =
+    // repetitive corpus). First sightings are order-free min-bucket
+    // aggs; cumulatives ride the distributed prefix scan.
+    "q143_vocab_growth" -> ((s, dir) => {
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"),
+          "doc_id", "text", bucketSize = 50L)
+        .orderBy(col("bucket"))
     })
   )
 
@@ -5182,6 +5249,150 @@ object SparkEntry {
         |)
         |SELECT draws.key, draws.draw, iv.w AS neg
         |FROM draws JOIN iv ON draws.r >= iv.lo AND draws.r < iv.lo + iv.n
-        |ORDER BY key, draw""".stripMargin
+        |ORDER BY key, draw""".stripMargin,
+
+    // Degree-oriented triangle count over the support-2 co-purchase
+    // graph: orient low→high in (degree, id) order, wedge join from
+    // the common tail, close on the (single-direction) oriented edge.
+    "q139_triangles" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem
+        |), ok AS (
+        |  SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000
+        |), e0 AS (
+        |  SELECT x.it AS a, y.it AS b2 FROM b x
+        |  JOIN ok ON ok.bk = x.bk
+        |  JOIN b y ON y.bk = x.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT id, count(*)::BIGINT AS d FROM (
+        |    SELECT a AS id FROM e0 UNION ALL SELECT b2 FROM e0)
+        |  GROUP BY 1
+        |), o AS (
+        |  SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b2)
+        |      THEN e0.a ELSE e0.b2 END AS u,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b2)
+        |      THEN e0.b2 ELSE e0.a END AS v
+        |  FROM e0 JOIN deg da ON da.id = e0.a
+        |    JOIN deg db ON db.id = e0.b2
+        |), tri AS (
+        |  SELECT x.u AS w0, x.v AS w1, y.v AS w2
+        |  FROM o x JOIN o y ON x.u = y.u AND x.v < y.v
+        |  JOIN o z ON (z.u = x.v AND z.v = y.v)
+        |    OR (z.u = y.v AND z.v = x.v)
+        |), pv AS (
+        |  SELECT id, count(*)::BIGINT AS tri FROM (
+        |    SELECT w0 AS id FROM tri UNION ALL SELECT w1 FROM tri
+        |    UNION ALL SELECT w2 FROM tri)
+        |  GROUP BY 1
+        |)
+        |SELECT deg.id, COALESCE(pv.tri, 0) AS tri
+        |FROM deg LEFT JOIN pv USING (id) ORDER BY id""".stripMargin,
+
+    // Two unrolled LPA supersteps: per-(id, label) incident weight,
+    // arg-max by (weight, then greatest label).
+    "q140_label_prop" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem
+        |), ok AS (
+        |  SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000
+        |), pr AS (
+        |  SELECT x.it AS a, y.it AS b2, count(*)::BIGINT AS n
+        |  FROM b x
+        |  JOIN ok ON ok.bk = x.bk
+        |  JOIN b y ON y.bk = x.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT id, nb, CAST(sum(w) AS BIGINT) AS w FROM (
+        |    SELECT a AS id, b2 AS nb, n AS w FROM pr
+        |    UNION ALL SELECT b2, a, n FROM pr)
+        |  GROUP BY 1, 2
+        |), l0 AS (
+        |  SELECT DISTINCT id, id AS label FROM sym
+        |), n1 AS (
+        |  SELECT s.id, l.label, CAST(sum(s.w) AS BIGINT) AS lw
+        |  FROM sym s JOIN l0 l ON s.nb = l.id GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT id, max(label) AS label FROM (
+        |    SELECT id, label, lw, max(lw) OVER (PARTITION BY id) AS mw
+        |    FROM n1) WHERE lw = mw GROUP BY id
+        |), n2 AS (
+        |  SELECT s.id, l.label, CAST(sum(s.w) AS BIGINT) AS lw
+        |  FROM sym s JOIN l1 l ON s.nb = l.id GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT id, max(label) AS label FROM (
+        |    SELECT id, label, lw, max(lw) OVER (PARTITION BY id) AS mw
+        |    FROM n2) WHERE lw = mw GROUP BY id
+        |)
+        |SELECT id, label FROM l2 ORDER BY id""".stripMargin,
+
+    // 3×512 count-min grid; per-key estimate = min over rows of the
+    // hashed counter; est >= true by construction.
+    "q141_countmin" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents
+        |), sk AS (
+        |  SELECT rr.r,
+        |    ('0x' || substr(md5(rr.r::VARCHAR || ':' || w), 1, 15))::BIGINT
+        |      % 512 AS c,
+        |    count(*)::BIGINT AS cnt
+        |  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr
+        |  GROUP BY 1, 2
+        |), tc AS (
+        |  SELECT w, count(*)::BIGINT AS n FROM tok
+        |  GROUP BY 1 HAVING count(*) >= 50
+        |), est AS (
+        |  SELECT tc.w, CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+        |  FROM tc CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr
+        |  LEFT JOIN sk ON sk.r = rr.r AND sk.c =
+        |    ('0x' || substr(md5(rr.r::VARCHAR || ':' || tc.w),
+        |      1, 15))::BIGINT % 512
+        |  GROUP BY tc.w
+        |)
+        |SELECT tc.w AS token, tc.n AS true_n, est.est
+        |FROM tc JOIN est ON est.w = tc.w ORDER BY token""".stripMargin,
+
+    "q142_basket_pairs" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem
+        |), ok AS (
+        |  SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000
+        |)
+        |SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS n
+        |FROM b x
+        |JOIN ok ON ok.bk = x.bk
+        |JOIN b y ON y.bk = x.bk AND x.it < y.it
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // First sighting of each term = min 50-doc bucket; per-bucket
+    // token/new-term counts with inclusive cumulative curves.
+    "q143_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id // 50 AS bucket,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents
+        |), fs AS (
+        |  SELECT min(bucket) AS bucket FROM tok GROUP BY w
+        |), nt AS (
+        |  SELECT bucket, count(*)::BIGINT AS new_terms FROM fs GROUP BY 1
+        |), tt AS (
+        |  SELECT bucket, count(*)::BIGINT AS n_tokens FROM tok GROUP BY 1
+        |), per AS (
+        |  SELECT tt.bucket, tt.n_tokens,
+        |    COALESCE(nt.new_terms, 0) AS new_terms
+        |  FROM tt LEFT JOIN nt USING (bucket)
+        |)
+        |SELECT bucket, n_tokens, new_terms,
+        |  CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT)
+        |    AS cum_vocab
+        |FROM per ORDER BY bucket""".stripMargin
   )
 }

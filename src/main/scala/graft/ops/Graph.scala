@@ -329,6 +329,274 @@ object Graph {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Degree-oriented triangle counting — the clustering-coefficient /
+    * spam-farm signal over link graphs (Suri & Vassilvitskii 2011's
+    * MapReduce formulation). Edges are canonicalized undirected
+    * (least, greatest), self-loops dropped, then each edge is oriented
+    * from its (degree, id)-smaller endpoint to the larger one. Every
+    * triangle then has EXACTLY one vertex with two out-edges (the
+    * orientation order is total), so the wedge join counts each
+    * triangle once — and wedge fan-out at a degree-d hub is bounded by
+    * its ORIENTED out-degree, O(sqrt(|E|)) by the standard argument,
+    * not d². That re-orientation is precisely why a 100 TB link graph
+    * with celebrity hubs doesn't quadratically explode the first join.
+    *
+    * Output: (id, tri) per vertex (0 for triangle-free vertices),
+    * tri = number of triangles the vertex participates in.
+    *
+    * Scale shape: one distinct over canonical edges, one vertex-sized
+    * degree agg joined back twice (broadcast at dim scale; shuffled
+    * hash join on the edge key otherwise), then wedge join + closing
+    * join both keyed on vertex ids — AQE handles residual skew; the
+    * final per-vertex agg is map-side combined. */
+  def triangles(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Orient each canonical edge low→high in (degree, id) order.
+    val o = e0
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the two durable pins (oriented edges + degrees),
+    // then release the canonical-edge pin — nothing downstream reads
+    // it. deg/o stay cached (LRU-managed, edge-sized at most) for the
+    // returned frame's lifetime, same convention as [[pageRankInt]].
+    o.count(); deg.count()
+    e0.unpersist()
+    val tri = o.as("x")
+      .join(o.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("w0"), col("x.v").as("w1"),
+        col("y.v").as("w2"))
+      // closing oriented edge exists in exactly one direction
+      .join(o.as("z"),
+        (col("w1") === col("z.u") && col("w2") === col("z.v")) ||
+        (col("w2") === col("z.u") && col("w1") === col("z.v")))
+      .select(col("w0"), col("w1"), col("w2"))
+    val perVertex = tri
+      .select(explode(array(col("w0"), col("w1"), col("w2"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    val out = deg.select(col("id"))
+      .join(perVertex, Seq("id"), "left")
+      .select(col("id"), coalesce(col("tri"), lit(0L)).as("tri"))
+    out
+  }
+
+  /** Deterministic synchronous label propagation — community
+    * detection for corpus partitioning (Raghavan et al. 2007 made
+    * reproducible): labels start as vertex ids; each superstep every
+    * vertex adopts the label carrying the greatest total incident
+    * weight among its (undirected) neighbors, ties broken by the
+    * GREATEST label — a total order, so results are independent of
+    * scheduling, partitioning and retries, unlike the paper's
+    * random-order asynchronous sweep. Synchronous LPA can oscillate
+    * on bipartite structures; bounded `iterations` (the useful range
+    * for curation is small) and the deterministic tie-break make
+    * every run reproduce bit-for-bit, oscillation included.
+    *
+    * Output: (id, label) per vertex after `iterations` supersteps.
+    *
+    * Scale shape: the symmetrized edge table is pinned once; each
+    * superstep is one join of the vertex-sized label frame against it
+    * plus two map-side-combined aggs ((id, label) weight, then the
+    * arg-max via a single `max(struct(w, label))` — no window, no
+    * per-vertex sort). Lineage is truncated through ColumnBridge
+    * every `pinEvery` supersteps, same as [[pageRankInt]]. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iterations: Int, pinEvery: Int = 8): DataFrame = {
+    require(iterations >= 0 && iterations <= 100,
+      s"iterations must be in [0, 100] (got $iterations)")
+    require(pinEvery > 0, s"pinEvery must be positive (got $pinEvery)")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0 && col("src") =!= col("dst"))
+    val sym = e.select(explode(array(
+        struct(col("src").as("id"), col("dst").as("nb"), col("w")),
+        struct(col("dst").as("id"), col("src").as("nb"), col("w"))))
+        .as("t"))
+      .select(col("t.*"))
+      .groupBy(col("id"), col("nb")).agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    var lab = sym.select(col("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var i = 0
+    while (i < iterations) {
+      lab = sym
+        .join(lab.select(col("id").as("nb"), col("label")), "nb")
+        .groupBy(col("id"), col("label"))
+        .agg(sum(col("w")).as("lw"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("lw"), col("label"))).as("m"))
+        .select(col("id"), col("m.label").as("label"))
+      i += 1
+      if (i % pinEvery == 0 && i < iterations) {
+        val rdd = ColumnBridge.internalRdd(lab).map(_.copy())
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        lab = ColumnBridge.internalCreateDataFrame(lab, rdd, lab.schema)
+      }
+    }
+    lab
+  }
+
+  /** Neighborhood link prediction over an undirected graph — the
+    * candidate generator for "related items" / "you may also like":
+    * for every NON-adjacent vertex pair sharing at least `minCommon`
+    * neighbors, the three classic affinity scores (Liben-Nowell &
+    * Kleinberg 2003; Zhou et al. 2009): common-neighbor count `cn`,
+    * resource-allocation index `ra_ppm` = Σ_z 1e6 div deg(z) over
+    * shared neighbors z (the integer-exact stand-in for Adamic-Adar's
+    * 1/log deg — same ranking intent, engine-reproducible), and
+    * Jaccard `jacc_ppm` = cn·1e6 div (deg(a)+deg(b)-cn).
+    *
+    * Scale shape: candidate pairs come from ONE self-join of the
+    * symmetrized adjacency keyed on the shared neighbor — join groups
+    * are neighbor-list-sized, and centers above `maxDegree` are
+    * dropped first (a degree-d hub contributes d² wedge pairs and
+    * near-zero signal: every celebrity co-neighbor pair — the
+    * standard cap in production candidate generation; dropped-center
+    * count is knowable from [[degreeProfile]]). The existing-edge
+    * anti-join and the two degree joins are all vertex- or
+    * candidate-sized. */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Long = 1L, maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be >= 1 (got $maxDegree)")
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = e0.select(explode(array(
+        struct(col("a").as("id"), col("b").as("nb")),
+        struct(col("b").as("id"), col("a").as("nb")))).as("t"))
+      .select(col("t.*"))
+    val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    deg.count()
+    val centers = sym.join(
+      deg.filter(col("d") <= maxDegree).select(col("id")), "id")
+    val cand = centers.as("s1")
+      .join(centers.as("s2"),
+        col("s1.id") === col("s2.id") && col("s1.nb") < col("s2.nb"))
+      .select(col("s1.id").as("z"), col("s1.nb").as("a"),
+        col("s2.nb").as("b"))
+      .join(deg.select(col("id").as("z"), col("d").as("dz")), "z")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000L div dz")).as("ra_ppm"))
+      .filter(col("cn") >= minCommon)
+      .join(e0, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(col("a").as("item_a"), col("b").as("item_b"), col("cn"),
+        col("ra_ppm"),
+        expr("(cn * 1000000L) div (da + db - cn)").as("jacc_ppm"))
+  }
+
+  /** Bounded-round k-core peeling (Matula & Beck 1983, the
+    * distributed formulation): repeatedly delete vertices whose
+    * degree in the CURRENT induced subgraph is below `k`. After
+    * `rounds` sweeps the survivor set is a superset of the true
+    * k-core, equal to it once a sweep deletes nothing — callers pick
+    * `rounds` by graph diameter expectations (peeling converges in
+    * few sweeps on power-law graphs; the degeneracy ordering needs
+    * |V| rounds only on pathological paths). The dense-core signal
+    * for curation: spam link farms and template clusters live in
+    * high-k cores.
+    *
+    * Output: surviving (id, deg) — `deg` is the QUALIFYING degree,
+    * i.e. within the subgraph induced by the previous sweep's
+    * survivors (the value the final `>= k` test saw).
+    *
+    * Scale shape: each sweep is one vertex-sized degree agg plus two
+    * semi-joins of the edge table against the survivor set; the edge
+    * frame shrinks monotonically, and lineage is truncated through
+    * the per-sweep persist handoff (previous pin released as soon as
+    * the next materializes). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50] (got $rounds)")
+    var sym = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .select(explode(array(
+        struct(col("a").as("id"), col("b").as("nb")),
+        struct(col("b").as("id"), col("a").as("nb")))).as("t"))
+      .select(col("t.*"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    var deg = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var r = 1
+    while (r < rounds) {
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+      val next = sym.join(keep, "id")
+        .join(keep.select(col("id").as("nb")), "nb")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      sym.unpersist()
+      sym = next
+      deg = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      r += 1
+    }
+    deg.filter(col("deg") >= k)
+  }
+
+  /** Market-basket co-occurrence pairs — the item-item edge builder
+    * for co-purchase / co-visitation graphs (the input to
+    * collaborative-filter candidate generation and to
+    * [[pageRankInt]]-style item ranking). Canonical unordered pairs
+    * (a < b) of DISTINCT items within a basket, counted corpus-wide,
+    * pruned at `minCount` before leaving the agg.
+    *
+    * Scale shape: one distinct on (basket, item), then a self-join
+    * keyed on the basket id — join groups are basket-sized, so the
+    * quadratic blowup is bounded by `maxBasket` (baskets above it are
+    * dropped ENTIRELY first: a 10k-item crawl-artifact basket would
+    * otherwise contribute 50M pairs and its pairs are uninformative
+    * anyway — the standard cap in co-occurrence mining). The pair agg
+    * is map-side combined down to the distinct-pair vocabulary. */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long = 1L, maxBasket: Int = 1000): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2 (got $maxBasket)")
+    val bi = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .filter(col("it").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ok = bi.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBasket)
+      .select(col("bk"))
+    // bi is read three times (basket-size census + both join sides);
+    // the pin stays cached (LRU-managed) for the result's lifetime.
+    val b = bi.join(ok, "bk")
+    b.as("x").join(b.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Event-type transition edges from an event log: one weighted
     * directed edge per ordered pair of CONSECUTIVE event types within
     * a user's timeline (`lead` over (user, ts, tie)), weight = number

@@ -111,6 +111,54 @@ object Sampling {
       .drop("__ws_cid")
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup 2007) — the
+    * weight-proportional without-replacement sample that also carries
+    * an UNBIASED subset-sum estimator: row i gets priority
+    * `p_i = w_i / u_i` with `u_i = (h_i + 1) / 2^60` a 60-bit md5
+    * uniform, the top-k priorities are kept, and every kept row's
+    * weight estimate is `est_w = max(w_i, τ)` where τ is the
+    * (k+1)-th priority — `Σ est_w` over any kept subset estimates
+    * that subset's true weight sum, the property a sampled corpus
+    * audit needs (plain top-k-by-weight has no such estimator).
+    * All arithmetic is integer (p = (w·2^60) div (h+1), DECIMAL(38)
+    * headroom), so selection and estimates reproduce on any engine.
+    *
+    * Output: the selected rows' (key, w, est_w), est_w as
+    * DECIMAL(38,0) — τ can legitimately exceed a long when k
+    * approaches the row count. Fewer than k+1 input rows → τ = 0 and
+    * est_w = w (the sample is the population, estimates exact).
+    *
+    * Scale shape: one md5 + fixed-point arithmetic per row at scan
+    * speed; the global top-(k+1) is Spark's TakeOrdered (bounded
+    * per-partition heaps + one tiny merge — no full sort, no single
+    * partition seeing the corpus); τ derives from that k+1-row frame
+    * and broadcasts back over the k winners. Ties at equal priority
+    * break by key — total order, deterministic. */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, seed: Long = 0): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val w = col(weightCol).cast("long")
+    val h = conv(substring(md5(concat(lit(s"$seed:pri:"),
+      col(keyCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val slim = df.filter(w >= 1)
+      .select(col(keyCol).as("key"), w.as("w"),
+        (h + 1L).as("__h1"))
+      .withColumn("__p", expr(
+        "(CAST(w AS DECIMAL(38,0)) * 1152921504606846976) div __h1"))
+    val topk1 = slim
+      .orderBy(col("__p").desc, col("key"))
+      .limit(k + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tau = topk1.agg(
+      when(count(lit(1)) === (k + 1L), min(col("__p")))
+        .otherwise(lit(0L).cast("decimal(38,0)")).as("__tau"))
+    topk1.orderBy(col("__p").desc, col("key")).limit(k)
+      .crossJoin(broadcast(tau))
+      .select(col("key"), col("w"),
+        greatest(col("w").cast("decimal(38,0)"), col("__tau"))
+          .as("est_w"))
+  }
+
   /** Weighted union of readers (SH3): each input is sampled at its
     * probability (independent hash families per branch), then
     * union'd. The reference mixes by drawing per-row at read time —

@@ -86,6 +86,66 @@ object Sketch {
       .select(groupCols.map(col) ++ Seq(col("kmv_rank"), col("kmv_hash")): _*)
   }
 
+  /** 60-bit md5 hash of a value under hash-family row `r` — the
+    * count-min row hashes. Seeding by prefixing the row index keeps
+    * the d rows pairwise independent enough in practice while staying
+    * engine-reproducible (same convention as every md5 draw here). */
+  def rowHash60(r: Int, v: Column): Column =
+    conv(substring(md5(concat(lit(s"$r:"), v.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** Count-min sketch build (Cormode & Muthukrishnan 2005): a d×w
+    * grid of counters; every input row increments one counter per
+    * hash row. Returns the sketch AS data — (cm_row, cm_col, cnt),
+    * at most d·w rows — so sketches merge by unioning and re-summing
+    * (the update is a pure counter add: linear, commutative,
+    * shuffle-order-free, hence bit-stable on any engine).
+    *
+    * Why a sketch at 100 TB: the true frequency table of a web-scale
+    * token stream is itself huge; the sketch bounds state at d·w
+    * counters regardless of vocabulary size, and the agg is map-side
+    * combined so only ≤ d·w·partitions counter rows ever shuffle.
+    * Estimates overcount (never undercount) by at most εN with
+    * ε = e/w at probability 1-δ, δ = e^-d. */
+  def countMinSketch(df: DataFrame, valueCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"depth must be in [1, 16] (got $depth)")
+    require(width >= 2, s"width must be >= 2 (got $width)")
+    val rows = (0 until depth).map { r =>
+      struct(lit(r).as("cm_row"),
+        (rowHash60(r, col(valueCol)) % width).as("cm_col"))
+    }
+    df.select(explode(array(rows: _*)).as("t"))
+      .select(col("t.cm_row"), col("t.cm_col"))
+      .groupBy(col("cm_row"), col("cm_col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinSketch]]: for every key in
+    * `keys` (distinct), est = min over the d rows of the counter the
+    * key hashes into (0 if a counter row is absent — possible only
+    * when nothing hashed there). The keys frame re-derives the same
+    * (row, col) coordinates, joins the d·w-row sketch (broadcast — the
+    * sketch is tiny by construction) and takes a per-key min.
+    * Output: (key, est). est ≥ true count, always. */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame,
+      keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"depth must be in [1, 16] (got $depth)")
+    require(width >= 2, s"width must be >= 2 (got $width)")
+    val rows = (0 until depth).map { r =>
+      struct(lit(r).as("cm_row"),
+        (rowHash60(r, col("key")) % width).as("cm_col"))
+    }
+    keys.select(col(keyCol).as("key")).distinct()
+      .select(col("key"), explode(array(rows: _*)).as("t"))
+      .select(col("key"), col("t.cm_row"), col("t.cm_col"))
+      .join(broadcast(sketch), Seq("cm_row", "cm_col"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Per-group distinct-count estimates from the bottom-k sketch:
     * (groupCols*, kmv_n, kth_min, est_distinct). Groups with fewer
     * than k distinct values are EXACT (kmv_n < k → the sketch is the

@@ -638,6 +638,44 @@ object TextAnalysis {
     * exchange is draws-sized (k × keys).
     *
     * Output: (key, draw, neg) — `k` rows per input key. */
+  /** Vocabulary-growth (Heaps-law) curve — how fast the distinct
+    * vocabulary grows as the corpus is consumed in `idCol` order,
+    * sampled at `bucketSize`-document checkpoints. The sublinear
+    * growth exponent is the standard corpus-health signal: a curve
+    * that keeps growing linearly means boilerplate/UUID pollution
+    * (tokenizer-vocab poison); one that flattens too early means the
+    * corpus is repetitive (Heaps 1978; Baeza-Yates & Ribeiro-Neto).
+    *
+    * Per bucket: token count, newly-first-seen term count, and the
+    * INCLUSIVE cumulative token/vocab totals up to that bucket.
+    * A term's first sighting is `min(bucket)` over its occurrences —
+    * order-free, so the result is engine/partitioning-independent.
+    *
+    * Scale shape: one tokenize pass; the first-sighting agg is
+    * map-side combined down to the vocabulary; per-bucket rollups are
+    * bucket-count-sized; the cumulative totals ride
+    * [[Ranking.withRunningTotal]]'s range-shuffle prefix scan — no
+    * single-partition window anywhere. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      bucketSize: Long, unicode: Boolean = false): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive (got $bucketSize)")
+    val tok = df.select(expr(s"$idCol div ${bucketSize}L").as("bucket"),
+      explode(alphaTokens(col(textCol), unicode)).as("w"))
+    val firsts = tok.groupBy(col("w")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
+    val per = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+      .join(firsts, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+    val a = Ranking.withRunningTotal(per, Seq(col("bucket")),
+      "n_tokens", "__ct")
+    val b = Ranking.withRunningTotal(a, Seq(col("bucket")),
+      "new_terms", "__cv")
+    b.select(col("bucket"), col("n_tokens"), col("new_terms"),
+      (col("__ct") + col("n_tokens")).as("cum_tokens"),
+      (col("__cv") + col("new_terms")).as("cum_vocab"))
+  }
+
   def negativeSamples(keys: DataFrame, keyCol: String, vocab: DataFrame,
       wordCol: String, countCol: String, k: Int,
       seed: Long = 0L): DataFrame = {

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Triangle counting, label propagation and basket pairs vs
+  * independent in-memory references — brute-force triple enumeration
+  * and a plain-Map LPA re-deriving the same arg-max rule, so an
+  * orientation bug (triangle double-count) or a tie-break drift on
+  * either side breaks the comparison. */
+class GraphMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def triRun(edges: Seq[(String, String)]): Map[String, Long] =
+    Graph.triangles(edges.toDF("s", "d"), "s", "d")
+      .as[(String, Long)].collect().toMap
+
+  /** Brute-force per-vertex triangle membership over the canonical
+    * undirected simple graph. */
+  private def triRef(edges: Seq[(String, String)]): Map[String, Long] = {
+    val es = edges.collect {
+      case (a, b) if a != b =>
+        if (a < b) (a, b) else (b, a)
+    }.toSet
+    val vs = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val counts = scala.collection.mutable.Map(vs.map(_ -> 0L): _*)
+    for {
+      i <- vs.indices; j <- (i + 1) until vs.size; k <- (j + 1) until vs.size
+      a = vs(i); b = vs(j); c = vs(k)
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  test("triangles: K4 plus a pendant vertex") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    val got = triRun(k4 :+ ("d" -> "e"))
+    // every K4 vertex sits in C(3,2) = 3 triangles; the pendant in 0
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "e" -> 0L))
+  }
+
+  test("triangles: star graph is triangle-free") {
+    val star = Seq("b", "c", "d", "e").map(("hub", _))
+    assert(triRun(star).values.forall(_ == 0L))
+  }
+
+  test("triangles: reversed duplicates and self-loops canonicalize") {
+    val messy = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+      ("a", "a"), ("a", "c"))
+    assert(triRun(messy) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangles: matches brute force on a hashed pseudo-random graph") {
+    // deterministic edge set: ~60 edges over 16 vertices
+    val vs = (0 until 16).map(i => f"v$i%02d")
+    val edges = for {
+      i <- vs.indices; j <- (i + 1) until vs.size
+      if java.util.UUID.nameUUIDFromBytes(
+        s"${vs(i)}-${vs(j)}".getBytes).getLeastSignificantBits % 2 == 0
+    } yield (vs(i), vs(j))
+    assert(triRun(edges) == triRef(edges))
+  }
+
+  /** Reference LPA: same synchronous rule (max incident weight,
+    * greatest label on ties) over plain maps. */
+  private def lpaRef(edges: Seq[(String, String, Long)], iters: Int)
+      : Map[String, String] = {
+    val sym = edges.filter(e => e._1 != e._2 && e._3 > 0)
+      .flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+      .groupBy(e => (e._1, e._2)).map { case ((s, d), es) =>
+        (s, d, es.map(_._3).sum) }.toSeq
+    var lab = sym.map(_._1).distinct.map(v => v -> v).toMap
+    (1 to iters).foreach { _ =>
+      lab = sym.groupBy(_._1).map { case (v, nbs) =>
+        val byLab = nbs.groupBy(e => lab(e._2))
+          .map { case (l, es) => l -> es.map(_._3).sum }
+        val mw = byLab.values.max
+        v -> byLab.collect { case (l, w) if w == mw => l }.max
+      }
+    }
+    lab
+  }
+
+  private def lpaRun(edges: Seq[(String, String, Long)], iters: Int,
+      pinEvery: Int = 8): Map[String, String] =
+    Graph.labelPropagation(edges.toDF("src", "dst", "w"), "src", "dst",
+        "w", iters, pinEvery)
+      .as[(String, String)].collect().toMap
+
+  private val twoCliques = Seq(
+    ("a", "b", 5L), ("a", "c", 5L), ("b", "c", 5L),
+    ("x", "y", 5L), ("x", "z", 5L), ("y", "z", 5L),
+    ("c", "x", 1L))
+
+  test("label propagation matches the reference rule per superstep") {
+    (0 to 3).foreach { iters =>
+      assert(lpaRun(twoCliques, iters) == lpaRef(twoCliques, iters),
+        s"diverged at $iters supersteps")
+    }
+  }
+
+  test("label propagation: cliques converge to one label each") {
+    val got = lpaRun(twoCliques, 3)
+    assert(Set(got("a"), got("b"), got("c")).size == 1)
+    assert(Set(got("x"), got("y"), got("z")).size == 1)
+  }
+
+  test("label propagation tie-break picks the greatest label") {
+    // hub sees b and c with equal weight; greatest label wins
+    val star = Seq(("hub", "b", 1L), ("hub", "c", 1L))
+    assert(lpaRun(star, 1)("hub") == "c")
+  }
+
+  test("label propagation lineage pinning does not change results") {
+    assert(lpaRun(twoCliques, 3, pinEvery = 1) == lpaRun(twoCliques, 3))
+  }
+
+  test("basket pairs: canonical counts with support pruning") {
+    val rows = Seq(
+      (1L, "p"), (1L, "q"), (1L, "r"),
+      (2L, "p"), (2L, "q"),
+      (3L, "q"), (3L, "p"), (3L, "p")) // dup (3,p) collapses
+    val got = Graph.basketPairs(rows.toDF("bk", "it"), "bk", "it")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("p", "q", 3L), ("p", "r", 1L), ("q", "r", 1L)))
+    val pruned = Graph.basketPairs(rows.toDF("bk", "it"), "bk", "it",
+        minCount = 2L)
+      .as[(String, String, Long)].collect().toSet
+    assert(pruned == Set(("p", "q", 3L)))
+  }
+
+  test("basket pairs: hub baskets above the cap are dropped entirely") {
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "c"))
+    val got = Graph.basketPairs(rows.toDF("bk", "it"), "bk", "it",
+        minCount = 1L, maxBasket = 2)
+      .as[(String, String, Long)].collect().toSet
+    // basket 2 (3 items) is dropped; only basket 1's pair remains
+    assert(got == Set(("a", "b", 1L)))
+  }
+}
