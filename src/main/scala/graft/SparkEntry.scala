@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, AsOf, Dedup, Gram, Graph, NGram, NearDedup, Packing, RangeJoin, Retrieval, Sampling, SemanticDedup, Sketch, Stats, TextAnalysis, TransformSpec}
+import graft.ops.{AnnSearch, AsOf, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, RangeJoin, Retrieval, Sampling, SemanticDedup, Sketch, Stats, TextAnalysis, TransformSpec}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize, RowGroupIndex}
@@ -2267,6 +2267,82 @@ object SparkEntry {
       TextAnalysis.vocabGrowth(t(s, dir, "documents"),
           "doc_id", "text", bucketSize = 50L)
         .orderBy(col("bucket"))
+    }),
+
+    // ---- Neighborhood link prediction ----
+    // Related-item candidates over the co-purchase graph: for every
+    // non-adjacent pair with >= 2 common neighbors, common-neighbor
+    // count, resource-allocation index (integer Adamic-Adar stand-in)
+    // and Jaccard — wedge join keyed on the shared neighbor with a
+    // hub-degree cap, the production candidate-generation shape.
+    "q144_link_predict" -> ((s, dir) => {
+      val edges = Graph.basketPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2L)
+      Graph.linkPredict(edges, "item_a", "item_b", minCommon = 2L)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // ---- Bounded-round k-core peeling ----
+    // Survivors of 3 peeling sweeps at k=5 over the co-purchase
+    // graph — the dense-core signal (spam farms / template clusters
+    // live in high-k cores). Edge frame shrinks monotonically;
+    // per-sweep persist handoff truncates lineage.
+    "q145_kcore" -> ((s, dir) => {
+      val edges = Graph.basketPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2L)
+      Graph.kCore(edges, "item_a", "item_b", k = 5, rounds = 3)
+        .orderBy(col("id"))
+    }),
+
+    // ---- TextRank keyword scoring ----
+    // PageRank over the symmetrized word co-occurrence graph
+    // (window 3, minCount 50) — Mihalcea & Tarau 2004's keyword
+    // extractor composed from the repo's own pieces: one tokenize
+    // pass builds the graph, two integer-ppm supersteps rank it.
+    "q146_textrank" -> ((s, dir) => {
+      val pairs = TextAnalysis.cooccurrencePairs(
+        t(s, dir, "documents"), "text", window = 3, minCount = 50L)
+      val e = pairs.select(
+        split(col("pair"), " ").getItem(0).as("src"),
+        split(col("pair"), " ").getItem(1).as("dst"), col("n"))
+      val sym = e.unionByName(e.select(col("dst").as("src"),
+        col("src").as("dst"), col("n")))
+      Graph.pageRankInt(sym, "src", "dst", "n", iterations = 2)
+        .orderBy(col("id"))
+    }),
+
+    // ---- Conversion funnel (signup -> view -> purchase) ----
+    // First-match anchored, strictly ordered, 6-hour max gap per
+    // stage — per-stage distinct-user counts via user-keyed min-aggs
+    // and joins, never a window over the raw event table.
+    "q147_funnel" -> ((s, dir) => {
+      Funnel.conversionFunnel(t(s, dir, "events"), "user_id",
+          "event_type", expr("ts DIV 1000"),
+          Seq("signup", "view", "purchase"),
+          maxGapUs = 21600000000L)
+        .orderBy(col("stage"))
+    }),
+
+    // ---- Cohort retention matrix ----
+    // Users cohorted by first-event day; each (cohort, day) cell
+    // counts distinct active users — the standard retention
+    // triangle, all shuffles user-keyed.
+    "q148_cohorts" -> ((s, dir) => {
+      Funnel.cohortRetention(t(s, dir, "events"), "user_id",
+          expr("ts DIV 1000"), bucketUs = 86400000000L)
+        .orderBy(col("cohort"), col("bucket"))
+    }),
+
+    // ---- Priority sampling (weighted, without replacement) ----
+    // Duffield-Lund-Thorup top-k by p = w/u with the tau-threshold
+    // estimator: sum(est_w) over any kept subset unbiasedly
+    // estimates that subset's true weight sum — the sampled-audit
+    // property plain top-k-by-weight lacks. Integer arithmetic in
+    // DECIMAL(38) headroom; TakeOrdered top-k, no full sort.
+    "q149_priority_sample" -> ((s, dir) => {
+      Sampling.prioritySample(t(s, dir, "orders"), "o_orderkey",
+          "o_totalprice", k = 100)
+        .orderBy(col("key"))
     })
   )
 
@@ -5393,6 +5469,195 @@ object SparkEntry {
         |    AS cum_tokens,
         |  CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT)
         |    AS cum_vocab
-        |FROM per ORDER BY bucket""".stripMargin
+        |FROM per ORDER BY bucket""".stripMargin,
+
+    // Wedge join on the shared neighbor (hub centers capped), minus
+    // existing edges; ra = sum(1e6 // deg(z)), jacc in ppm.
+    "q144_link_predict" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem
+        |), ok AS (
+        |  SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000
+        |), pr AS (
+        |  SELECT x.it AS a, y.it AS b2 FROM b x
+        |  JOIN ok ON ok.bk = x.bk
+        |  JOIN b y ON y.bk = x.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT a AS id, b2 AS nb FROM pr
+        |  UNION ALL SELECT b2, a FROM pr
+        |), deg AS (
+        |  SELECT id, count(*)::BIGINT AS d FROM sym GROUP BY 1
+        |), ctr AS (
+        |  SELECT s.id, s.nb FROM sym s
+        |  JOIN deg ON deg.id = s.id AND deg.d <= 10000
+        |), cand AS (
+        |  SELECT s1.nb AS a, s2.nb AS b2, count(*)::BIGINT AS cn,
+        |    CAST(sum(1000000 // dz.d) AS BIGINT) AS ra
+        |  FROM ctr s1
+        |  JOIN ctr s2 ON s1.id = s2.id AND s1.nb < s2.nb
+        |  JOIN deg dz ON dz.id = s1.id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), ne AS (
+        |  SELECT cand.* FROM cand
+        |  LEFT JOIN pr ON pr.a = cand.a AND pr.b2 = cand.b2
+        |  WHERE pr.a IS NULL
+        |)
+        |SELECT ne.a AS item_a, ne.b2 AS item_b, ne.cn,
+        |  ne.ra AS ra_ppm,
+        |  CAST((ne.cn * 1000000) // (da.d + db.d - ne.cn) AS BIGINT)
+        |    AS jacc_ppm
+        |FROM ne JOIN deg da ON da.id = ne.a
+        |  JOIN deg db ON db.id = ne.b2
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // Three unrolled peeling sweeps at k=5: threshold, induce,
+    // re-degree, twice; final threshold reports qualifying degrees.
+    "q145_kcore" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem
+        |), ok AS (
+        |  SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000
+        |), pr AS (
+        |  SELECT x.it AS a, y.it AS b2 FROM b x
+        |  JOIN ok ON ok.bk = x.bk
+        |  JOIN b y ON y.bk = x.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), s0 AS (
+        |  SELECT a AS id, b2 AS nb FROM pr
+        |  UNION ALL SELECT b2, a FROM pr
+        |), d0 AS (
+        |  SELECT id, count(*)::BIGINT AS deg FROM s0 GROUP BY 1
+        |), k0 AS (
+        |  SELECT id FROM d0 WHERE deg >= 5
+        |), s1 AS (
+        |  SELECT s0.id, s0.nb FROM s0
+        |  JOIN k0 x ON x.id = s0.id JOIN k0 y ON y.id = s0.nb
+        |), d1 AS (
+        |  SELECT id, count(*)::BIGINT AS deg FROM s1 GROUP BY 1
+        |), k1 AS (
+        |  SELECT id FROM d1 WHERE deg >= 5
+        |), s2 AS (
+        |  SELECT s1.id, s1.nb FROM s1
+        |  JOIN k1 x ON x.id = s1.id JOIN k1 y ON y.id = s1.nb
+        |), d2 AS (
+        |  SELECT id, count(*)::BIGINT AS deg FROM s2 GROUP BY 1
+        |)
+        |SELECT id, deg FROM d2 WHERE deg >= 5 ORDER BY id""".stripMargin,
+
+    // Window-3 co-occurrence pairs -> symmetrized word graph -> two
+    // unrolled integer-ppm PageRank supersteps (q130's arithmetic).
+    "q146_textrank" ->
+      """WITH tok AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT pair, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(flatten(list_transform(range(1, 4),
+        |      k -> list_transform(range(1, len(t) - k + 1),
+        |        i -> t[i] || ' ' || t[i + k])))) AS pair
+        |    FROM tok)
+        |  GROUP BY pair HAVING count(*) >= 50
+        |), e AS (
+        |  SELECT split_part(pair, ' ', 1) AS src,
+        |    split_part(pair, ' ', 2) AS dst, n AS w FROM pairs
+        |  UNION ALL
+        |  SELECT split_part(pair, ' ', 2), split_part(pair, ' ', 1), n
+        |  FROM pairs
+        |), v AS (
+        |  SELECT src AS id FROM e UNION SELECT dst FROM e
+        |), ow AS (
+        |  SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src
+        |), ej AS (
+        |  SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow USING (src)
+        |), r0 AS (
+        |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM v
+        |), r1 AS (
+        |  SELECT v.id,
+        |    CAST(150000 + (850 * COALESCE(c.sc, 0)) // 1000 AS BIGINT) AS r
+        |  FROM v LEFT JOIN (
+        |    SELECT ej.dst AS id,
+        |      CAST(sum((r0.r * ej.w) // ej.ow) AS BIGINT) AS sc
+        |    FROM ej JOIN r0 ON ej.src = r0.id GROUP BY ej.dst) c
+        |    ON v.id = c.id
+        |), r2 AS (
+        |  SELECT v.id,
+        |    CAST(150000 + (850 * COALESCE(c.sc, 0)) // 1000 AS BIGINT) AS r
+        |  FROM v LEFT JOIN (
+        |    SELECT ej.dst AS id,
+        |      CAST(sum((r1.r * ej.w) // ej.ow) AS BIGINT) AS sc
+        |    FROM ej JOIN r1 ON ej.src = r1.id GROUP BY ej.dst) c
+        |    ON v.id = c.id
+        |)
+        |SELECT id, r AS rank_ppm FROM r2 ORDER BY id""".stripMargin,
+
+    // First-match anchored strict-order funnel with a 6h max gap per
+    // stage; per-stage distinct-user counts.
+    "q147_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts
+        |  FROM events
+        |), a1 AS (
+        |  SELECT u, min(ts) AS a FROM ev WHERE t = 'signup' GROUP BY u
+        |), a2 AS (
+        |  SELECT ev.u, min(ev.ts) AS a FROM ev
+        |  JOIN a1 ON a1.u = ev.u AND ev.ts > a1.a
+        |    AND ev.ts - a1.a <= 21600000000
+        |  WHERE ev.t = 'view' GROUP BY ev.u
+        |), a3 AS (
+        |  SELECT ev.u, min(ev.ts) AS a FROM ev
+        |  JOIN a2 ON a2.u = ev.u AND ev.ts > a2.a
+        |    AND ev.ts - a2.a <= 21600000000
+        |  WHERE ev.t = 'purchase' GROUP BY ev.u
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
+        |    (SELECT count(*) FROM a1)::BIGINT AS users
+        |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM a2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM a3))
+        |ORDER BY stage""".stripMargin,
+
+    // First-event-day cohorts x active-day cells, distinct users.
+    "q148_cohorts" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS bucket
+        |  FROM events
+        |), coh AS (
+        |  SELECT u, min(bucket) AS cohort FROM act GROUP BY u
+        |)
+        |SELECT coh.cohort, act.bucket,
+        |  count(DISTINCT act.u)::BIGINT AS users
+        |FROM act JOIN coh ON coh.u = act.u
+        |GROUP BY 1, 2 ORDER BY cohort, bucket""".stripMargin,
+
+    // Priority sampling: p = (w * 2^60) // (h+1), top-100 by
+    // (p DESC, key); tau = the 101st priority; est_w = max(w, tau).
+    "q149_priority_sample" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS key,
+        |    CAST(trunc(o_totalprice) AS BIGINT) AS w
+        |  FROM orders
+        |), h AS (
+        |  SELECT key, w,
+        |    ('0x' || substr(md5('0:pri:' || key::VARCHAR), 1, 15))::BIGINT
+        |      + 1 AS h1
+        |  FROM o WHERE w >= 1
+        |), p AS (
+        |  SELECT key, w,
+        |    (w::HUGEINT * 1152921504606846976) // h1 AS p
+        |  FROM h
+        |), topk1 AS (
+        |  SELECT * FROM p ORDER BY p DESC, key LIMIT 101
+        |), tau AS (
+        |  SELECT CASE WHEN count(*) = 101 THEN min(p)
+        |    ELSE 0::HUGEINT END AS tau FROM topk1
+        |)
+        |SELECT s.key, s.w, greatest(s.w::HUGEINT, tau.tau) AS est_w
+        |FROM (SELECT * FROM topk1 ORDER BY p DESC, key LIMIT 100) s
+        |CROSS JOIN tau
+        |ORDER BY key""".stripMargin
   )
 }

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** User-journey analytics over event logs — conversion funnels and
+  * cohort retention, the two standard product-warehouse rollups. Both
+  * are beyond-reference components in the events family (sessionize
+  * q38, rolling counts q91, transition graphs q130): the reference
+  * stops at row-group I/O, while a training-data platform's telemetry
+  * side runs exactly these to audit ingest behavior.
+  *
+  * Timestamps follow the repo-wide ns-Long contract
+  * (`graft.Tables.tsToNanos`); gaps and buckets are µs integers, so
+  * every comparison is integer arithmetic — engine-reproducible.
+  */
+object Funnel {
+
+  /** Ordered conversion funnel: stage 1 anchors at a user's FIRST
+    * `steps(0)` event; stage i+1 requires the first `steps(i)` event
+    * STRICTLY after the previous stage's anchor and within
+    * `maxGapUs` of it. Strict ordering + first-match anchoring is
+    * the common product-analytics semantics (a later, closer match
+    * never replaces the first qualifying one — deterministic and
+    * monotone: stage counts never increase).
+    *
+    * Output: (stage, step, users) — stage 1..n, users = distinct
+    * users that reached it.
+    *
+    * Scale shape: one user-keyed min-agg per stage plus one
+    * user-keyed join per stage — n small (funnels are 3-6 steps).
+    * Each stage's frame is user-sized, far below the event table; no
+    * window over the raw events, no per-user event sort. */
+  def conversionFunnel(events: DataFrame, userCol: String,
+      typeCol: String, tsUsCol: Column, steps: Seq[String],
+      maxGapUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapUs > 0, s"maxGapUs must be positive (got $maxGapUs)")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      tsUsCol.cast("long").as("ts"))
+    // each stage's anchor frame is pinned before its count so later
+    // stages extend a materialized user-sized frame, not a recomputed
+    // event-table lineage
+    var anchor = ev.filter(col("t") === steps.head)
+      .groupBy(col("u")).agg(min(col("ts")).as("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = Seq.newBuilder[(Long, String, Long)]
+    counts += ((1L, steps.head, anchor.count()))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev = anchor
+      anchor = ev.filter(col("t") === st)
+        .join(prev.select(col("u"), col("a").as("__prev")), "u")
+        .filter(col("ts") > col("__prev") &&
+          col("ts") - col("__prev") <= maxGapUs)
+        .groupBy(col("u")).agg(min(col("ts")).as("a"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      counts += ((i + 1L, st, anchor.count()))
+      prev.unpersist()
+    }
+    anchor.unpersist()
+    val s = events.sparkSession
+    import s.implicits._
+    counts.result().toDF("stage", "step", "users")
+  }
+
+  /** Cohort retention matrix: users are cohorted by the time bucket
+    * of their FIRST event; every (cohort, active-bucket) cell counts
+    * the distinct cohort users active in that bucket. The standard
+    * retention triangle (active_bucket >= cohort always).
+    *
+    * Output: (cohort, bucket, users), bucket = µs div `bucketUs`.
+    *
+    * Scale shape: first-event cohorts are one user-keyed min-agg;
+    * the (user, bucket) activity set is one distinct over a
+    * projection; the join is user-keyed and the final agg is
+    * cohort×bucket-sized — all shuffles on the user id, no skew
+    * beyond what the data carries. */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsUsCol: Column, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
+    // integer floor bucket (values are non-negative by contract)
+    val act = events.select(col(userCol).as("u"),
+        tsUsCol.cast("long").as("__ts"))
+      .select(col("u"), expr(s"__ts div ${bucketUs}L").as("bucket"))
+      .distinct()
+    val cohort = act.groupBy(col("u")).agg(min(col("bucket")).as("cohort"))
+    act.join(cohort, "u")
+      .groupBy(col("cohort"), col("bucket"))
+      .agg(count_distinct(col("u")).as("users"))
+  }
+}

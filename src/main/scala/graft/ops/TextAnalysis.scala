@@ -638,6 +638,33 @@ object TextAnalysis {
     * exchange is draws-sized (k × keys).
     *
     * Output: (key, draw, neg) — `k` rows per input key. */
+  def negativeSamples(keys: DataFrame, keyCol: String, vocab: DataFrame,
+      wordCol: String, countCol: String, k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0 && k <= 1024, s"k must be in [1, 1024] (got $k)")
+    val v0 = vocab.select(col(wordCol).cast("string").as("__w"),
+        col(countCol).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    val iv = Ranking.withRunningTotal(v0, Seq(col("__w")), "__n", "__lo")
+      .withColumn("__hi", col("__lo") + col("__n") - 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = iv.agg(coalesce(sum(col("__n")), lit(0L)))
+      .head().getLong(0)
+    require(total > 0, "negativeSamples needs a non-empty vocabulary")
+    // bin near the mean interval length: ~1 replica per interval,
+    // bucket width ~1 vocab word per bin
+    val binSize = math.max(total / math.max(iv.count(), 1L), 1L)
+    val draws = keys.select(col(keyCol).cast("string").as("key"))
+      .select(col("key"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("draw"))
+      .withColumn("__r", conv(substring(md5(concat(
+        lit(s"$seed:neg:"), col("key"), lit(":"),
+        col("draw").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % total)
+    RangeJoin.byBins(draws, "__r", iv, "__lo", "__hi", binSize)
+      .select(col("key"), col("draw"), col("__w").as("neg"))
+  }
+
   /** Vocabulary-growth (Heaps-law) curve — how fast the distinct
     * vocabulary grows as the corpus is consumed in `idCol` order,
     * sampled at `bucketSize`-document checkpoints. The sublinear
@@ -674,33 +701,6 @@ object TextAnalysis {
     b.select(col("bucket"), col("n_tokens"), col("new_terms"),
       (col("__ct") + col("n_tokens")).as("cum_tokens"),
       (col("__cv") + col("new_terms")).as("cum_vocab"))
-  }
-
-  def negativeSamples(keys: DataFrame, keyCol: String, vocab: DataFrame,
-      wordCol: String, countCol: String, k: Int,
-      seed: Long = 0L): DataFrame = {
-    require(k > 0 && k <= 1024, s"k must be in [1, 1024] (got $k)")
-    val v0 = vocab.select(col(wordCol).cast("string").as("__w"),
-        col(countCol).cast("long").as("__n"))
-      .filter(col("__n") > 0)
-    val iv = Ranking.withRunningTotal(v0, Seq(col("__w")), "__n", "__lo")
-      .withColumn("__hi", col("__lo") + col("__n") - 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = iv.agg(coalesce(sum(col("__n")), lit(0L)))
-      .head().getLong(0)
-    require(total > 0, "negativeSamples needs a non-empty vocabulary")
-    // bin near the mean interval length: ~1 replica per interval,
-    // bucket width ~1 vocab word per bin
-    val binSize = math.max(total / math.max(iv.count(), 1L), 1L)
-    val draws = keys.select(col(keyCol).cast("string").as("key"))
-      .select(col("key"),
-        explode(sequence(lit(0L), lit(k - 1L))).as("draw"))
-      .withColumn("__r", conv(substring(md5(concat(
-        lit(s"$seed:neg:"), col("key"), lit(":"),
-        col("draw").cast("string"))), 1, 15), 16, 10)
-        .cast("long") % total)
-    RangeJoin.byBins(draws, "__r", iv, "__lo", "__hi", binSize)
-      .select(col("key"), col("draw"), col("__w").as("neg"))
   }
 
   /** BPE symbol segmentation of a token under an ORDERED merge list

@@ -134,6 +134,63 @@ class GraphMiningSpec extends SparkSpec {
     assert(pruned == Set(("p", "q", 3L)))
   }
 
+  test("link prediction: square with one diagonal") {
+    // a-b, b-c, c-d, d-a, a-c. Non-adjacent pair (b,d): common nbrs
+    // {a, c} with deg(a)=3, deg(c)=3 → cn=2, ra=333333+333333;
+    // deg(b)=deg(d)=2 → jacc = 2e6 // (2+2-2) = 1e6 (identical
+    // neighborhoods)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("a", "c"))
+    val got = Graph.linkPredict(edges.toDF("s", "d"), "s", "d")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("b", "d", 2L, 666666L, 1000000L)))
+  }
+
+  test("link prediction: existing edges are excluded, minCommon prunes") {
+    // triangle a-b-c plus pendant d on a: every adjacent pair shares
+    // a neighbor but is excluded; (b,c) adjacent too; only
+    // non-adjacent pairs through a: (b,d), (c,d) with cn=1
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"))
+    val got = Graph.linkPredict(edges.toDF("s", "d"), "s", "d")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got.map(t => (t._1, t._2)) == Set(("b", "d"), ("c", "d")))
+    val pruned = Graph.linkPredict(edges.toDF("s", "d"), "s", "d",
+      minCommon = 2L).count()
+    assert(pruned == 0L)
+  }
+
+  test("link prediction: hub centers above maxDegree generate no wedges") {
+    val hub = Seq("b", "c", "d").map(("hub", _))
+    assert(Graph.linkPredict(hub.toDF("s", "d"), "s", "d").count() == 3L)
+    assert(Graph.linkPredict(hub.toDF("s", "d"), "s", "d",
+      maxDegree = 2).count() == 0L)
+  }
+
+  test("k-core: peeling strips pendants from a clique") {
+    // K4 on a..d, pendant chain d-e, e-f
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    val edges = k4 ++ Seq(("d", "e"), ("e", "f"))
+    val got = Graph.kCore(edges.toDF("s", "d"), "s", "d", k = 3,
+        rounds = 3)
+      .as[(String, Long)].collect().toMap
+    // after peeling e (deg 2) and f (deg 1), the K4 survives at deg 3
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("k-core: one round filters on raw degree only") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val got = Graph.kCore(path.toDF("s", "d"), "s", "d", k = 2,
+        rounds = 1)
+      .as[(String, Long)].collect().toMap
+    // b and c have raw degree 2; one sweep keeps them
+    assert(got == Map("b" -> 2L, "c" -> 2L))
+    // more rounds peel the path away entirely
+    assert(Graph.kCore(path.toDF("s", "d"), "s", "d", 2, 4).count() == 0)
+  }
+
   test("basket pairs: hub baskets above the cap are dropped entirely") {
     val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "c"))
     val got = Graph.basketPairs(rows.toDF("bk", "it"), "bk", "it",
