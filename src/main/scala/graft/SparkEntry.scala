@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, AsOf, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, RangeJoin, Retrieval, Sampling, SemanticDedup, Sketch, Stats, TextAnalysis, TransformSpec}
+import graft.ops.{AnnSearch, AsOf, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, TextAnalysis, TransformSpec}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, Materialize, RowGroupIndex}
@@ -2343,6 +2343,129 @@ object SparkEntry {
       Sampling.prioritySample(t(s, dir, "orders"), "o_orderkey",
           "o_totalprice", k = 100)
         .orderBy(col("key"))
+    }),
+
+    // ---- Interval-overlap join (sessions x busy windows) ----
+    // User sessions (2h gap) overlap-joined against globally busy
+    // hours (count >= 1.5x the hourly mean, integer-exact) through
+    // the canonical-bin replication join — each qualifying pair
+    // meets in exactly one bin (the overlap start's), so no dedup
+    // shuffle; the naive overlap predicate would plan as a broadcast
+    // nested loop.
+    "q150_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val H = 3600000000L
+      val sess = graft.streaming.GraftStream.sessionize(
+          ev.withColumn("tstamp", timestamp_micros(expr("ts DIV 1000"))),
+          "user_id", "tstamp", "2 hours")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("ss_us"),
+          unix_micros(col("session_end")).as("se_us"))
+      val hr = ev.select(expr(s"(ts DIV 1000) div ${H}L").as("hr"))
+        .groupBy(col("hr")).agg(count(lit(1)).as("n"))
+      val tot = hr.agg(sum(col("n")).as("tot"),
+        count(lit(1)).as("hrs"))
+      val busy = hr.crossJoin(broadcast(tot))
+        .filter(col("n") * col("hrs") * 2 >= col("tot") * 3)
+        .select((col("hr") * H).as("win_lo"),
+          (col("hr") * H + (H - 1)).as("win_hi"))
+      RangeJoin.overlapByBins(sess, "ss_us", "se_us",
+          busy, "win_lo", "win_hi", binSize = H)
+        .select(col("user_id"), col("ss_us"), col("win_lo"),
+          (least(col("se_us"), col("win_hi")) -
+            greatest(col("ss_us"), col("win_lo")) + 1)
+            .as("overlap_us"))
+        .orderBy(col("user_id"), col("ss_us"), col("win_lo"))
+    }),
+
+    // ---- Edit-distance-1 fuzzy join (SymSpell blocking) ----
+    // Distance-1 name pairs over the customer vocabulary via
+    // deletion-neighborhood blocking — provably complete candidates,
+    // verified by levenshtein. The oracle computes the SAME answer by
+    // the naive quadratic join, independently validating the
+    // blocking's completeness.
+    "q151_fuzzy_join" -> ((s, dir) => {
+      graft.ops.FuzzyJoin.typoPairs(t(s, dir, "customer"), "c_name")
+        .orderBy(col("word_a"), col("word_b"))
+    }),
+
+    // ---- Streaming session windows ----
+    // session_window sessions over the event stream (2h gap) —
+    // complete-mode flush, same q38 batch semantics, so the batch
+    // sessionize SQL is the oracle.
+    "q152_stream_sessions" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val src = graft.streaming.GraftStream.reader(s, dir)
+        .glob("events.parquet").load().transform(Tables.tsToNanos)
+        .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      val sess = graft.streaming.GraftStream.sessionize(
+        src, "user_id", "ts_t", "2 hours")
+      val name = "graft_q152_sink"
+      val q = sess.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("ss_us"),
+          unix_micros(col("session_end")).as("se_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("ss_us"))
+    }),
+
+    // ---- Exact set-similarity join (prefix filtering) ----
+    // ALL doc pairs with token-set Jaccard >= 0.95, found via the
+    // prefix-filter theorem (rarest-first global order) and exactly
+    // verified — the certified-complete counterpart of MinHash-LSH.
+    // 20% doc sample: the fixture's 31-word vocabulary is the
+    // worst case for prefix selectivity (real Zipf vocabs give tiny
+    // rare-token buckets); the sample bounds candidate quadratics at
+    // bench scale while exercising the identical plan.
+    "q153_setsim_join" -> ((s, dir) => {
+      SetSim.jaccardJoin(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", thetaPpm = 950000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- CUSUM change-point detection per event type ----
+    // Page's cumulative-sum chart, offline argmax form, over daily
+    // event counts — integer mean/deviation/cusum so the peak
+    // location is engine-exact; the ingest drift detector.
+    "q154_changepoint" -> ((s, dir) => {
+      graft.ops.Resample.cusumChangepoint(t(s, dir, "events"),
+          "event_type", expr("ts DIV 1000"),
+          bucketUs = 86400000000L)
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- KNN label-agreement audit ----
+    // For a 20% query sample: 5 exact nearest neighbors (self
+    // excluded), per-query majority neighbor label (ties -> greatest)
+    // and own-label agreement count — the KNN flavor of the label
+    // noise audit (q121 is nearest-centroid).
+    "q155_knn_labels" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val lab = e.select(col("vec_id"), col("label"))
+      val knn = AnnSearch.bruteForceTopK(
+          e.filter(col("vec_id") % 5 === 0), e,
+          "vec_id", "vec_id", "embedding", k = 6)
+        .filter(col("qid") =!= col("cid"))
+      val per = knn
+        .join(lab.select(col("vec_id").as("cid"),
+          col("label").as("nb_label")), "cid")
+        .join(lab.select(col("vec_id").as("qid"),
+          col("label").as("own_label")), "qid")
+      per.groupBy(col("qid"), col("own_label"), col("nb_label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("qid"), col("own_label"))
+        .agg(max(struct(col("c"), col("nb_label"))).as("m"),
+          coalesce(sum(when(col("nb_label") === col("own_label"),
+            col("c"))), lit(0L)).as("n_agree"))
+        .select(col("qid"), col("own_label"),
+          col("m.nb_label").as("maj_label"), col("n_agree"))
+        .orderBy(col("qid"))
     })
   )
 
@@ -5658,6 +5781,175 @@ object SparkEntry {
         |SELECT s.key, s.w, greatest(s.w::HUGEINT, tau.tau) AS est_w
         |FROM (SELECT * FROM topk1 ORDER BY p DESC, key LIMIT 100) s
         |CROSS JOIN tau
-        |ORDER BY key""".stripMargin
+        |ORDER BY key""".stripMargin,
+
+    // q38's sessions overlap-joined (naive predicate — DuckDB scale
+    // is fine) against hours with count >= 1.5x the hourly mean.
+    "q150_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tu FROM events
+        |), m AS (
+        |  SELECT user_id, tu,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |           OR tu - lag(tu) OVER w >= 7200000000 THEN 1 ELSE 0
+        |    END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)
+        |), g AS (
+        |  SELECT user_id, tu,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tu
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |), sess AS (
+        |  SELECT user_id, min(tu) AS ss_us,
+        |    max(tu) + 7200000000 AS se_us
+        |  FROM g GROUP BY user_id, sid
+        |), hr AS (
+        |  SELECT tu // 3600000000 AS hr, count(*)::BIGINT AS n
+        |  FROM e GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    count(*)::BIGINT AS hrs FROM hr
+        |), busy AS (
+        |  SELECT hr * 3600000000 AS win_lo,
+        |    hr * 3600000000 + 3599999999 AS win_hi
+        |  FROM hr CROSS JOIN tot WHERE n * hrs * 2 >= tot * 3
+        |)
+        |SELECT s.user_id, s.ss_us, b.win_lo,
+        |  least(s.se_us, b.win_hi) - greatest(s.ss_us, b.win_lo) + 1
+        |    AS overlap_us
+        |FROM sess s JOIN busy b
+        |  ON s.ss_us <= b.win_hi AND b.win_lo <= s.se_us
+        |ORDER BY user_id, ss_us, win_lo""".stripMargin,
+
+    // Naive quadratic distance-1 join — a DIFFERENT algorithm than
+    // the engine's deletion-neighborhood blocking, so agreement also
+    // validates the blocking's completeness guarantee.
+    "q151_fuzzy_join" ->
+      """SELECT a.c_name AS word_a, b.c_name AS word_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_name < b.c_name
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY word_a, word_b""".stripMargin,
+
+    // Streaming session windows == batch sessionize (q38's SQL).
+    "q152_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tu FROM events
+        |), m AS (
+        |  SELECT user_id, tu,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |           OR tu - lag(tu) OVER w >= 7200000000 THEN 1 ELSE 0
+        |    END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)
+        |), g AS (
+        |  SELECT user_id, tu,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tu
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id, min(tu) AS ss_us, max(tu) + 7200000000 AS se_us,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, ss_us""".stripMargin,
+
+    // Naive quadratic Jaccard join — a different algorithm, so
+    // agreement also certifies the prefix filter's completeness.
+    "q153_setsim_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(
+        |      regexp_extract_all(lower(text), '[a-z]+'))) AS tok
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), sets AS (
+        |  SELECT doc_id, list(tok) AS ts, count(*)::BIGINT AS n
+        |  FROM toks GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+        |    a.n + b.n
+        |      - CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS u
+        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, inter,
+        |  CAST((inter * 1000000) // u AS BIGINT) AS jacc_ppm
+        |FROM pairs WHERE (inter * 1000000) // u >= 950000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Daily counts, integer mean, running cusum, argmax |cusum|
+    // (ties -> earliest day).
+    "q154_changepoint" ->
+      """WITH c AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS bucket,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT k, CAST(sum(n) AS BIGINT) // count(*) AS mean,
+        |    count(*)::BIGINT AS nb
+        |  FROM c GROUP BY k
+        |), cu AS (
+        |  SELECT c.k, c.bucket, st.mean, st.nb,
+        |    CAST(sum(c.n - st.mean) OVER (PARTITION BY c.k
+        |      ORDER BY c.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cusum
+        |  FROM c JOIN st ON st.k = c.k
+        |), pick AS (
+        |  SELECT k, bucket, cusum, mean, nb,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY abs(cusum) DESC, bucket ASC) AS rn
+        |  FROM cu
+        |)
+        |SELECT k AS event_type, bucket AS cp_bucket,
+        |  cusum AS cusum_at_cp, mean AS mean_per_bucket,
+        |  nb AS n_buckets
+        |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // q23's exact-cosine ranking for a 20% query sample; 5 neighbors
+    // (self excluded), majority label (ties -> greatest), own-label
+    // agreement count.
+    "q155_knn_labels" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS emb
+        |  FROM embeddings
+        |), q AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> q.emb[i] * c.emb[i]), (a, b) -> a + b) AS dot,
+        |    sqrt(list_reduce(list_transform(range(1, 65),
+        |      i -> q.emb[i] * q.emb[i]), (a, b) -> a + b)) AS nq,
+        |    sqrt(list_reduce(list_transform(range(1, 65),
+        |      i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)) AS nc
+        |  FROM e c CROSS JOIN q
+        |), scored AS (
+        |  SELECT qid, cid,
+        |    CAST(floor(dot / (nq * nc) * 1000000) AS BIGINT) AS cos_m
+        |  FROM pairs
+        |), ranked AS (
+        |  SELECT qid, cid, cos_m,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos_m DESC, cid) AS rank
+        |  FROM scored
+        |), knn AS (
+        |  SELECT qid, cid FROM ranked WHERE rank <= 6 AND cid <> qid
+        |), per AS (
+        |  SELECT knn.qid, eq.label AS own_label, ec.label AS nb_label
+        |  FROM knn JOIN e ec ON ec.vec_id = knn.cid
+        |  JOIN e eq ON eq.vec_id = knn.qid
+        |), cnt AS (
+        |  SELECT qid, own_label, nb_label, count(*)::BIGINT AS c
+        |  FROM per GROUP BY 1, 2, 3
+        |), mj AS (
+        |  SELECT qid, own_label, max(nb_label) AS maj_label FROM (
+        |    SELECT *, max(c) OVER (PARTITION BY qid) AS mc FROM cnt)
+        |  WHERE c = mc GROUP BY 1, 2
+        |), ag AS (
+        |  SELECT qid, CAST(COALESCE(sum(CASE WHEN nb_label = own_label
+        |    THEN c END), 0) AS BIGINT) AS n_agree
+        |  FROM cnt GROUP BY qid
+        |)
+        |SELECT mj.qid, mj.own_label, mj.maj_label, ag.n_agree
+        |FROM mj JOIN ag USING (qid) ORDER BY qid""".stripMargin
   )
 }

@@ -88,4 +88,45 @@ object Resample {
       .rangeBetween(-(windowUs - 1), Window.currentRow)
     df.withColumn("n_trailing", count(lit(1)).over(w))
   }
+
+  /** Integer CUSUM change-point detection per series (Page 1954's
+    * cumulative-sum chart, the offline argmax form): bucket counts
+    * per (`keyCol`, bucket), deviations from the series' integer
+    * mean (`tot div buckets`), cumulative deviation in bucket order,
+    * and the change point = the bucket where |cusum| peaks (ties →
+    * earliest bucket). The drift/level-shift detector an ingest
+    * monitor runs per source/event type — all integer, so the peak
+    * location is engine-exact.
+    *
+    * Output: (keyCol, cp_bucket, cusum_at_cp, mean_per_bucket,
+    * n_buckets) — one row per series.
+    *
+    * Scale shape: bucket counts are one map-side-combined agg; the
+    * cumulative window partitions BY SERIES (each partition is
+    * bucket-count-sized, bounded by the time range — never the
+    * corpus), and the argmax is `max(struct(abs, -bucket))` — one
+    * more tiny agg, no sort of the full frame. */
+  def cusumChangepoint(df: DataFrame, keyCol: String, tsUsCol: Column,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
+    val counts = df.select(col(keyCol).as("k"),
+        tsUsCol.cast("long").as("__ts"))
+      .select(col("k"), expr(s"__ts div ${bucketUs}L").as("bucket"))
+      .groupBy(col("k"), col("bucket")).agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(col("k"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("nb"))
+      .select(col("k"), expr("tot div nb").as("mean"), col("nb"))
+    val w = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.join(stats, "k")
+      .withColumn("__cusum", sum(col("n") - col("mean")).over(w))
+      .groupBy(col("k"))
+      .agg(max(struct(abs(col("__cusum")).as("a"),
+        (-col("bucket")).as("nb2"), col("__cusum").as("c"))).as("m"),
+        first(col("mean")).as("mean_per_bucket"),
+        first(col("nb")).as("n_buckets"))
+      .select(col("k").as(keyCol), (-col("m.nb2")).as("cp_bucket"),
+        col("m.c").as("cusum_at_cp"), col("mean_per_bucket"),
+        col("n_buckets"))
+  }
 }
