@@ -2466,6 +2466,93 @@ object SparkEntry {
         .select(col("qid"), col("own_label"),
           col("m.nb_label").as("maj_label"), col("n_agree"))
         .orderBy(col("qid"))
+    }),
+
+    // ---- Streaming count-min sketch ----
+    // The d x w counter grid built over the document token stream in
+    // complete mode — counter adds are linear and commutative, so
+    // the streaming sketch equals the batch sketch bit-for-bit and
+    // q141's build CTE is the oracle.
+    "q156_stream_countmin" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val src = graft.streaming.GraftStream.reader(s, dir)
+        .glob("documents.parquet").load()
+        .select(explode(TextAnalysis.alphaTokens(col("text"))).as("w"))
+      val sk = Sketch.countMinSketch(src, "w", depth = 3, width = 512)
+      val name = "graft_q156_sink"
+      val q = sk.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("cm_row"), col("cm_col"))
+    }),
+
+    // ---- Changelog compaction (CDC upsert + tombstone) ----
+    // Latest event per user wins via ONE argmax agg (no per-key
+    // window sort over the log); an 'error' winner is a tombstone
+    // and the user drops out — Kafka-log-compaction / CDC-merge
+    // semantics as a pure Spark agg.
+    "q157_cdc_compact" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_type"), col("event_id"),
+        expr("ts DIV 1000").as("ts_us"))
+      Dedup.compactLatest(ev, Seq("user_id"), col("ts_us"),
+          col("event_id"), Seq("ts_us", "event_type", "event_id"),
+          tombstone = col("event_type") === "error")
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- OOV rate per language ----
+    // Tokens outside the global top-20 vocabulary (count desc, token
+    // asc — a total order) as ppm per language: the
+    // tokenizer-coverage audit run before fixing a vocab.
+    "q158_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("lang"),
+        explode(TextAnalysis.alphaTokens(col("text"))).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(20)
+        .select(col("w"), lit(1).as("__in"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm",
+          expr("(n_oov * 1000000L) div n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- Empirical-CDF transform ----
+    // Percentile-ppm of every distinct l_quantity — the rank
+    // normalization table a feature pipeline joins back; cumulative
+    // counts ride the distributed prefix scan.
+    "q159_ecdf" -> ((s, dir) => {
+      Stats.ecdf(t(s, dir, "lineitem"), "l_quantity")
+        .orderBy(col("value"))
+    }),
+
+    // ---- Streaming changelog compaction ----
+    // q157's argmax-compaction over the event STREAM in complete
+    // mode — the agg is order-free, so stream equals batch and
+    // shares its oracle shape.
+    "q160_stream_cdc" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val src = graft.streaming.GraftStream.reader(s, dir)
+        .glob("events.parquet").load().transform(Tables.tsToNanos)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts DIV 1000").as("ts_us"))
+      val compacted = Dedup.compactLatest(src, Seq("user_id"),
+        col("ts_us"), col("event_id"),
+        Seq("ts_us", "event_type", "event_id"),
+        tombstone = col("event_type") === "error")
+      val name = "graft_q160_sink"
+      val q = compacted.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("user_id"))
     })
   )
 
@@ -5950,6 +6037,79 @@ object SparkEntry {
         |  FROM cnt GROUP BY qid
         |)
         |SELECT mj.qid, mj.own_label, mj.maj_label, ag.n_agree
-        |FROM mj JOIN ag USING (qid) ORDER BY qid""".stripMargin
+        |FROM mj JOIN ag USING (qid) ORDER BY qid""".stripMargin,
+
+    // The streaming sketch equals the batch sketch (linear counter
+    // adds): q141's build CTE, emitted as the raw grid.
+    "q156_stream_countmin" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents
+        |)
+        |SELECT rr.r AS cm_row,
+        |  ('0x' || substr(md5(rr.r::VARCHAR || ':' || w), 1, 15))::BIGINT
+        |    % 512 AS cm_col,
+        |  count(*)::BIGINT AS cnt
+        |FROM tok CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr
+        |GROUP BY 1, 2 ORDER BY cm_row, cm_col""".stripMargin,
+
+    // Latest row per user by (ts, event_id); 'error' winners are
+    // tombstones and drop out.
+    "q157_cdc_compact" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, ts_us, event_type, event_id
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    // Global top-20 vocabulary (count desc, token asc); per-language
+    // out-of-vocabulary token ppm.
+    "q158_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents
+        |), voc AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS n,
+        |      row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+        |    FROM tok GROUP BY w)
+        |  WHERE rn <= 20
+        |)
+        |SELECT lang, count(*)::BIGINT AS n_tokens,
+        |  CAST(sum(CASE WHEN voc.w IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oov,
+        |  CAST((sum(CASE WHEN voc.w IS NULL THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS oov_ppm
+        |FROM tok LEFT JOIN voc ON voc.w = tok.w
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Distinct-value counts with inclusive cumulative rank in ppm.
+    "q159_ecdf" ->
+      """WITH c AS (
+        |  SELECT CAST(trunc(l_quantity) AS BIGINT) AS value,
+        |    count(*)::BIGINT AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+        |), t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT value, n,
+        |  CAST((CAST(sum(n) OVER (ORDER BY value) AS BIGINT)
+        |    * 1000000) // t.tot AS BIGINT) AS cdf_ppm
+        |FROM c CROSS JOIN t ORDER BY value""".stripMargin,
+
+    // Stream == batch for the order-free argmax compaction.
+    "q160_stream_cdc" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, ts_us, event_type, event_id
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin
   )
 }

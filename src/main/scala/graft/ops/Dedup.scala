@@ -44,6 +44,35 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Changelog compaction — the CDC "upsert + tombstone" collapse
+    * that turns an append-only event log into current state: per
+    * key, the row with the greatest (orderCol, tieCol) wins; winners
+    * matching `tombstone` are deletions and drop out entirely. The
+    * standard log-compacted-topic / CDC-merge semantics (Kafka log
+    * compaction; Delta/Hudi merge), as a pure Spark agg.
+    *
+    * Output: one row per surviving key with `keyCols` plus the
+    * winner's `payloadCols`, via a single `max(struct(order, tie,
+    * payload...))` — ONE map-side-combined agg over the log, never a
+    * per-key window sort (the naive `row_number` spelling shuffles
+    * and sorts the whole log; the argmax reduces it to key-sized
+    * partials first — the shape that matters when the changelog is
+    * 100 TB and current state is gigabytes). `(orderCol, tieCol)`
+    * must be a total order per key for determinism. */
+  def compactLatest(df: DataFrame, keyCols: Seq[String],
+      orderCol: Column, tieCol: Column, payloadCols: Seq[String],
+      tombstone: Column): DataFrame = {
+    val packed = struct(
+      (orderCol.as("__o") +: tieCol.as("__t") +:
+        payloadCols.map(c => col(c).as(c))): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(packed).as("__w"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"__w.$c").as(c)): _*)
+      // tombstone references the winner's payload columns by name
+      .filter(!tombstone)
+  }
+
   /** Connected components over a near-dup pair graph — the step a
     * real pipeline needs AFTER pair generation: near-duplicate
     * relations are not transitive pairwise, so keeping "one doc per

@@ -597,6 +597,88 @@ object Graph {
       .filter(col("n") >= minCount)
   }
 
+  /** Distinct reach within two hops — the neighborhood-size feature
+    * (|{w : 0 < dist(v,w) <= 2}|) feeding graph-feature tables and
+    * sampling-fanout estimates for GNN-style training. One wedge
+    * join over the symmetrized adjacency unioned with the 1-hop
+    * set, one distinct, one count — hub centers above `maxDegree`
+    * don't relay 2-hop paths (same cap doctrine as [[linkPredict]]:
+    * a celebrity hub makes everyone 2-hop-adjacent and the count
+    * stops meaning anything).
+    *
+    * Output: (id, reach1, reach2) — distinct 1-hop and <=2-hop
+    * neighbor counts (self excluded). */
+  def twoHopReach(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be >= 1 (got $maxDegree)")
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val sym = e0.select(explode(array(
+        struct(col("a").as("id"), col("b").as("nb")),
+        struct(col("b").as("id"), col("a").as("nb")))).as("t"))
+      .select(col("t.*"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val relay = sym.join(
+      deg.filter(col("d") <= maxDegree).select(col("id").as("nb")), "nb")
+    val hop2 = relay.as("x").join(sym.as("y"),
+        col("x.nb") === col("y.id") && col("x.id") =!= col("y.nb"))
+      .select(col("x.id").as("id"), col("y.nb").as("w"))
+    val reach2 = sym.select(col("id"), col("nb").as("w")).union(hop2)
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("reach2"))
+    deg.select(col("id"), col("d").as("reach1"))
+      .join(reach2, "id")
+  }
+
+  /** Frequent triple mining over baskets — the 3-itemset step of
+    * Apriori (Agrawal & Srikant 1994): canonical (a < b < c) item
+    * triples co-occurring in at least `minSupport` baskets. Items
+    * are pre-pruned to those in a frequent pair (the Apriori
+    * antimonotonicity prune: a triple's support is bounded by its
+    * pairs'), so the cubic enumeration runs over the reduced
+    * item set only.
+    *
+    * Scale shape: the basket self-joins key on the basket id — join
+    * groups are basket-sized and the `maxBasket` cap (shared with
+    * [[basketPairs]]) bounds the per-basket cube; the triple agg is
+    * map-side combined. For k-itemsets beyond 3, iterate the same
+    * prune-join step. */
+  def basketTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasket: Int = 1000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1 (got $minSupport)")
+    val bi = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .filter(col("it").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ok = bi.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBasket)
+      .select(col("bk"))
+    val b0 = bi.join(ok, "bk")
+    // Apriori prune: keep only items appearing in a frequent pair
+    val fp = b0.as("x").join(b0.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+    val keep = fp.select(col("a").as("it"))
+      .union(fp.select(col("b").as("it"))).distinct()
+    val b = b0.join(keep, "it").select(col("bk"), col("it"))
+    b.as("x")
+      .join(b.as("y"), col("x.bk") === col("y.bk") &&
+        col("x.it") < col("y.it"))
+      .join(b.as("z"), col("x.bk") === col("z.bk") &&
+        col("y.it") < col("z.it"))
+      .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"),
+        col("z.it").as("item_c"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+  }
+
   /** Event-type transition edges from an event log: one weighted
     * directed edge per ordered pair of CONSECUTIVE event types within
     * a user's timeline (`lead` over (user, ts, tie)), weight = number

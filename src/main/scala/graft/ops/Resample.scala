@@ -89,6 +89,45 @@ object Resample {
     df.withColumn("n_trailing", count(lit(1)).over(w))
   }
 
+  /** Bucket-over-bucket categorical distribution drift — the total
+    * variation distance (×2, to stay integral) between consecutive
+    * time buckets' category shares: `tv2_ppm(d, d+1) =
+    * Σ_cat |p_d(cat) - p_{d+1}(cat)|` with shares in integer ppm.
+    * The data-drift monitor an ingest pipeline alarms on (PSI needs
+    * a log; total variation is the libm-free member of the family
+    * with the same alerting role).
+    *
+    * Missing (bucket, category) cells count as share 0 — the
+    * complete bucket×category grid is materialized first (bounded:
+    * time range × category cardinality, never corpus-sized).
+    *
+    * Output: (bucket, next_bucket, tv2_ppm) for each consecutive
+    * bucket pair present in the data. */
+  def distributionDrift(df: DataFrame, catCol: String, tsUsCol: Column,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
+    val cells = df.select(col(catCol).as("cat"),
+        tsUsCol.cast("long").as("__ts"))
+      .select(col("cat"), expr(s"__ts div ${bucketUs}L").as("bucket"))
+      .groupBy(col("bucket"), col("cat")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = cells.select(col("bucket")).distinct()
+    val cats = cells.select(col("cat")).distinct()
+    val totals = cells.groupBy(col("bucket")).agg(sum(col("n")).as("tot"))
+    val grid = buckets.crossJoin(cats)
+      .join(cells, Seq("bucket", "cat"), "left")
+      .join(totals, "bucket")
+      .select(col("bucket"), col("cat"),
+        expr("(coalesce(n, 0L) * 1000000L) div tot").as("ppm"))
+    grid.as("a")
+      .join(grid.as("b"),
+        col("a.bucket") + 1 === col("b.bucket") &&
+          col("a.cat") === col("b.cat"))
+      .groupBy(col("a.bucket").as("bucket"),
+        col("b.bucket").as("next_bucket"))
+      .agg(sum(abs(col("a.ppm") - col("b.ppm"))).as("tv2_ppm"))
+  }
+
   /** Integer CUSUM change-point detection per series (Page 1954's
     * cumulative-sum chart, the offline argmax form): bucket counts
     * per (`keyCol`, bucket), deviations from the series' integer

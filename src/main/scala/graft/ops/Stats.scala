@@ -195,6 +195,29 @@ object Stats {
     *
     * Returns `(source, n_docs, n_chars, n_tokens, n_dup_docs,
     * n_langs, dup_ppm)`. */
+  /** Empirical-CDF transform of an integer column — the rank
+    * normalization a feature pipeline applies before quantile-based
+    * clipping or monotone model inputs: for every DISTINCT value,
+    * its multiplicity and `cdf_ppm = count(x <= v) · 1e6 div N`.
+    * Joining this table back to the data maps each value to its
+    * percentile in one broadcast/hash join.
+    *
+    * Scale shape: one map-side-combined distinct-value count agg
+    * (value-cardinality-sized output), then the cumulative count
+    * rides [[Ranking.withRunningTotal]]'s range-shuffle prefix
+    * scan — never a single-partition `Window.orderBy` over the
+    * corpus. Nulls are excluded (no rank). */
+  def ecdf(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df.select(col(valueCol).cast("long").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy(col("value")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__tot"))
+    Ranking.withRunningTotal(counts, Seq(col("value")), "n", "__lt")
+      .crossJoin(broadcast(tot))
+      .select(col("value"), col("n"),
+        expr("((__lt + n) * 1000000L) div __tot").as("cdf_ppm"))
+  }
+
   def sourceReport(df: DataFrame, srcCol: String, idCol: String,
       textCol: String, langCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
