@@ -2553,6 +2553,90 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(name).orderBy(col("user_id"))
+    }),
+
+    // ---- Reciprocal-rank fusion (hybrid retrieval) ----
+    // BM25 top-5 fused with a Jaccard-token-set top-5 via integer
+    // RRF (Cormack, Clarke & Buettcher 2009): score =
+    // Σ 1e6 div (60 + rank) over the lists a doc appears in — THE
+    // standard hybrid-retrieval combiner for RAG stacks, no score
+    // calibration needed, rank-only and so integer-exact.
+    "q161_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+      val bm = Retrieval.bm25TopK(docs, "doc_id", "text",
+          queries, "doc_id", "text", k = 5)
+        .select(col("qid"), col("cid"), col("rank"))
+      val sets = docs.select(col("doc_id"),
+        array_distinct(TextAnalysis.alphaTokens(col("text"))).as("ts"))
+      val qs = sets.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"), col("ts").as("qt"))
+      val scored = sets.crossJoin(broadcast(qs))
+        .select(col("qid"), col("doc_id").as("cid"),
+          size(array_intersect(col("qt"), col("ts"))).cast("long")
+            .as("__i"),
+          (size(col("qt")) + size(col("ts"))).cast("long").as("__s"))
+        .select(col("qid"), col("cid"),
+          when(col("__s") - col("__i") > 0,
+            expr("(__i * 1000000L) div (__s - __i)"))
+            .otherwise(lit(0L)).as("cos_m"))
+      val jc = AnnSearch.rankTopK(scored, 5)
+        .select(col("qid"), col("cid"), col("rank"))
+      val fused = bm.union(jc).groupBy(col("qid"), col("cid"))
+        .agg(sum(expr("1000000L div (60 + rank)")).as("cos_m"))
+      AnnSearch.rankTopK(fused, 5)
+        .select(col("qid"), col("rank"), col("cid"),
+          col("cos_m").as("rrf_ppm"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- Two-hop reach (graph feature table) ----
+    // Distinct <=2-hop neighborhood sizes over the co-purchase
+    // graph — the fanout feature for GNN-style sampling budgets;
+    // hub relays capped as in link prediction.
+    "q162_two_hop" -> ((s, dir) => {
+      val edges = Graph.basketPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2L)
+      Graph.twoHopReach(edges, "item_a", "item_b")
+        .orderBy(col("id"))
+    }),
+
+    // ---- Day-over-day distribution drift (total variation) ----
+    // Event-type share drift between consecutive days in integer
+    // ppm over the completed day x type grid — the libm-free drift
+    // alarm (PSI's role without the log).
+    "q163_dist_drift" -> ((s, dir) => {
+      graft.ops.Resample.distributionDrift(t(s, dir, "events"),
+          "event_type", expr("ts DIV 1000"),
+          bucketUs = 86400000000L)
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- Leakage-safe CV folds (group-aware split) ----
+    // Every exact-dup cluster lands in ONE fold (fold keyed on the
+    // cluster representative's hash) — the GroupKFold guard against
+    // a near-copy of a training doc inflating eval numbers. Report:
+    // per-fold doc and cluster counts.
+    "q164_cv_folds" -> ((s, dir) => {
+      val fp = t(s, dir, "documents")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val rep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+      Sampling.groupFolds(fp.join(rep, "fp"), col("rep"), k = 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("rep")).as("n_clusters"))
+        .orderBy(col("fold"))
+    }),
+
+    // ---- Degree assortativity moments ----
+    // Newman's degree-degree correlation as exact integer raw
+    // moments over the symmetrized co-purchase edges — mergeable
+    // sufficient statistics (moments add across shards; the float
+    // correlation is the caller's last step).
+    "q165_assortativity" -> ((s, dir) => {
+      val edges = Graph.basketPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2L)
+      Graph.assortativityMoments(edges, "item_a", "item_b")
     })
   )
 
@@ -6110,6 +6194,187 @@ object SparkEntry {
         |)
         |SELECT user_id, ts_us, event_type, event_id
         |FROM r WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    // q128's BM25 ranking + a Jaccard-set ranking, fused by integer
+    // RRF: sum over lists of 1e6 // (60 + rank), re-ranked.
+    "q161_rrf_fusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM tok
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        |  FROM st GROUP BY doc_id, dl, term
+        |), dfq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+        |), c AS (
+        |  SELECT (SELECT count(*)::BIGINT FROM documents) AS nn,
+        |    (SELECT coalesce(sum(tf), 0)::BIGINT FROM tf) AS total
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS qid,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents WHERE doc_id % 97 = 0
+        |), sc AS (
+        |  SELECT qt.qid, tf.doc_id AS cid,
+        |    CAST(sum(
+        |      ((((2 * (c.nn - dfq.df) + 1) * 1000000) // (2 * dfq.df + 1)) *
+        |       ((tf.tf * (1200 + 1000) * 1000000) //
+        |        (1000 * tf.tf +
+        |         (1200 * ((1000 - 750) +
+        |           (750 * greatest((1000 * tf.dl * c.nn)
+        |                             // greatest(c.total, 1), 0))
+        |             // 1000)) // 1000)))
+        |      // 1000000) AS BIGINT) AS score_ppm
+        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term) CROSS JOIN c
+        |  GROUP BY qt.qid, tf.doc_id
+        |), rk AS (
+        |  SELECT qid, cid, score_ppm,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_ppm DESC, cid) AS rank
+        |  FROM sc
+        |), sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ts
+        |  FROM documents
+        |), qsets AS (
+        |  SELECT doc_id AS qid, ts AS qt FROM sets WHERE doc_id % 97 = 0
+        |), jp AS (
+        |  SELECT q.qid, s.doc_id AS cid,
+        |    CAST(len(list_intersect(q.qt, s.ts)) AS BIGINT) AS inter,
+        |    CAST(len(q.qt) + len(s.ts) AS BIGINT) AS sz
+        |  FROM sets s CROSS JOIN qsets q
+        |), js AS (
+        |  SELECT qid, cid, CASE WHEN sz - inter > 0
+        |    THEN (inter * 1000000) // (sz - inter) ELSE 0 END AS jacc
+        |  FROM jp
+        |), jrk AS (
+        |  SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY jacc DESC, cid) AS rank
+        |  FROM js
+        |), u AS (
+        |  SELECT qid, cid, rank FROM rk WHERE rank <= 5
+        |  UNION ALL SELECT qid, cid, rank FROM jrk WHERE rank <= 5
+        |), f AS (
+        |  SELECT qid, cid,
+        |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf
+        |  FROM u GROUP BY 1, 2
+        |), fr AS (
+        |  SELECT qid, cid, rrf,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY rrf DESC, cid) AS rank
+        |  FROM f
+        |)
+        |SELECT qid, rank, cid, rrf AS rrf_ppm FROM fr WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    // Symmetrized support-2 co-purchase adjacency: 1-hop degree and
+    // distinct <=2-hop reach (hub relays capped at 10000).
+    "q162_two_hop" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem
+        |), ok AS (
+        |  SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000
+        |), pr AS (
+        |  SELECT x.it AS a, y.it AS b2 FROM b x
+        |  JOIN ok ON ok.bk = x.bk
+        |  JOIN b y ON y.bk = x.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT a AS id, b2 AS nb FROM pr
+        |  UNION ALL SELECT b2, a FROM pr
+        |), deg AS (
+        |  SELECT id, count(*)::BIGINT AS d FROM sym GROUP BY 1
+        |), hop2 AS (
+        |  SELECT x.id, y.nb AS w
+        |  FROM sym x
+        |  JOIN deg dn ON dn.id = x.nb AND dn.d <= 10000
+        |  JOIN sym y ON y.id = x.nb AND y.nb <> x.id
+        |), reach AS (
+        |  SELECT id, count(DISTINCT w)::BIGINT AS reach2 FROM (
+        |    SELECT id, nb AS w FROM sym
+        |    UNION SELECT id, w FROM hop2)
+        |  GROUP BY id
+        |)
+        |SELECT deg.id, deg.d AS reach1, reach.reach2
+        |FROM deg JOIN reach USING (id) ORDER BY id""".stripMargin,
+
+    // Completed day x type grid in ppm; consecutive-day total
+    // variation (x2) per bucket pair.
+    "q163_dist_drift" ->
+      """WITH cells AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS bucket,
+        |    event_type AS cat, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT bucket, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM cells GROUP BY 1
+        |), grid AS (
+        |  SELECT bu.bucket, ca.cat,
+        |    (COALESCE(cells.n, 0) * 1000000) // tot.tot AS ppm
+        |  FROM (SELECT DISTINCT bucket FROM cells) bu
+        |  CROSS JOIN (SELECT DISTINCT cat FROM cells) ca
+        |  LEFT JOIN cells ON cells.bucket = bu.bucket
+        |    AND cells.cat = ca.cat
+        |  JOIN tot ON tot.bucket = bu.bucket
+        |)
+        |SELECT a.bucket AS bucket, b.bucket AS next_bucket,
+        |  CAST(sum(abs(a.ppm - b.ppm)) AS BIGINT) AS tv2_ppm
+        |FROM grid a JOIN grid b
+        |  ON a.bucket + 1 = b.bucket AND a.cat = b.cat
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // Exact-dup clusters (q09's fingerprint) → fold by the
+    // representative's md5 → per-fold doc/cluster counts.
+    "q164_cv_folds" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      AS fp
+        |  FROM documents
+        |), r AS (
+        |  SELECT fp, min(doc_id) AS rep FROM f GROUP BY fp
+        |), a AS (
+        |  SELECT f.doc_id, r.rep,
+        |    ('0x' || substr(md5('0:fold:' || r.rep::VARCHAR),
+        |      1, 15))::BIGINT % 5 AS fold
+        |  FROM f JOIN r USING (fp)
+        |)
+        |SELECT fold, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT rep)::BIGINT AS n_clusters
+        |FROM a GROUP BY fold ORDER BY fold""".stripMargin,
+
+    // Symmetrized support-2 co-purchase edges; degree-degree raw
+    // moments (every ordered direction once).
+    "q165_assortativity" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem
+        |), ok AS (
+        |  SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000
+        |), pr AS (
+        |  SELECT x.it AS a, y.it AS b2 FROM b x
+        |  JOIN ok ON ok.bk = x.bk
+        |  JOIN b y ON y.bk = x.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT a AS u, b2 AS v FROM pr
+        |  UNION ALL SELECT b2, a FROM pr
+        |), deg AS (
+        |  SELECT u AS id, count(*)::BIGINT AS d FROM sym GROUP BY 1
+        |), j AS (
+        |  SELECT dx.d AS x, dy.d AS y FROM sym
+        |  JOIN deg dx ON dx.id = sym.u
+        |  JOIN deg dy ON dy.id = sym.v
+        |)
+        |SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sum_x,
+        |  CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_x2,
+        |  CAST(sum(y * y) AS BIGINT) AS sum_y2
+        |FROM j""".stripMargin
   )
 }

@@ -597,6 +597,44 @@ object Graph {
       .filter(col("n") >= minCount)
   }
 
+  /** Degree-assortativity raw moments (Newman 2002) — the exact
+    * integer sufficient statistics for the degree-degree Pearson
+    * correlation over the symmetrized edge set: n, Σx, Σy, Σxy,
+    * Σx², Σy² with x = deg(source endpoint), y = deg(other
+    * endpoint), every ordered edge direction counted once (the
+    * standard symmetric convention, so Σx = Σy). The correlation
+    * itself is a float ratio the CALLER derives; shipping moments
+    * keeps the operator engine-exact and mergeable across shards
+    * (moments add; correlations don't). Positive assortativity =
+    * hub-hub linking (social-graph shape), negative = hub-leaf
+    * (web/crawl shape) — a one-row graph-health fingerprint.
+    *
+    * Scale shape: one degree agg + two vertex-keyed joins onto the
+    * edge list + one scalar agg — all map-side combined. */
+  def assortativityMoments(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val sym = e0.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("t"))
+      .select(col("t.*"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.select(col("id").as("u"), col("d").as("x")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("y")), "v")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+  }
+
   /** Distinct reach within two hops — the neighborhood-size feature
     * (|{w : 0 < dist(v,w) <= 2}|) feeding graph-feature tables and
     * sampling-fanout estimates for GNN-style training. One wedge

@@ -159,6 +159,26 @@ object Sampling {
           .as("est_w"))
   }
 
+  /** Leakage-safe cross-validation folds — the group-aware split
+    * that keeps every member of a duplicate cluster in the SAME
+    * fold: a near-copy of a training document landing in the eval
+    * fold is the classic contamination bug that inflates eval
+    * numbers (the reason GroupKFold exists). Rows are keyed by a
+    * GROUP id (e.g. a dedup-cluster representative, a domain, an
+    * author); the fold is `H(seed, group) mod k` — one md5 per row,
+    * engine-reproducible, no coordination.
+    *
+    * Output: the input plus a `fold` column. Fold sizes are
+    * multinomial around n/k; stratification is the caller's job
+    * (pass a stratum-qualified seed per stratum if needed). */
+  def groupFolds(df: DataFrame, groupCol: Column, k: Int,
+      seed: Long = 0): DataFrame = {
+    require(k > 1 && k <= 4096, s"k must be in [2, 4096] (got $k)")
+    df.withColumn("fold",
+      conv(substring(md5(concat(lit(s"$seed:fold:"),
+        groupCol.cast("string"))), 1, 15), 16, 10).cast("long") % k)
+  }
+
   /** Weighted union of readers (SH3): each input is sampled at its
     * probability (independent hash families per branch), then
     * union'd. The reference mixes by drawing per-row at read time —
