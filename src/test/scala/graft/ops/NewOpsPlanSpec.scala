@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** In-plan proofs for the round-12 operators: the scale-critical
+  * plan shapes claimed in the scaladocs are asserted against the
+  * actual physical plans, not just narrated. */
+class NewOpsPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("count-min estimate joins the sketch by broadcast") {
+    val data = (1 to 100).map(i => s"t${i % 10}").toDF("v")
+    val sk = Sketch.countMinSketch(data, "v", 3, 64)
+    val p = plan(Sketch.countMinEstimate(sk, data, "v", 3, 64))
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch join should broadcast the d*w grid:\n$p")
+  }
+
+  test("overlap join plans as an equi-join on the bin id") {
+    val a = Seq(("a", 0L, 100L)).toDF("ai", "alo", "ahi")
+    val b = Seq(("b", 50L, 60L)).toDF("bi", "blo", "bhi")
+    val p = plan(RangeJoin.overlapByBins(a, "alo", "ahi",
+      b, "blo", "bhi", 10L))
+    assert(!p.contains("CartesianProduct"),
+      s"overlap join must not go cartesian:\n$p")
+    // the bin key makes it a hash-joinable equi-join
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
+  test("priority sample's top-k is TakeOrdered, not a full sort") {
+    val df = (1 to 50).map(i => (s"k$i", i.toLong)).toDF("key", "w")
+    val p = plan(Sampling.prioritySample(df, "key", "w", k = 5))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-(k+1) should ride bounded heaps:\n$p")
+  }
+
+  test("changelog compaction is one agg — no window, no sort") {
+    val log = Seq((1L, "a", 1L, 10L)).toDF("u", "t", "id", "ts")
+    val p = plan(Dedup.compactLatest(log, Seq("u"), col("ts"),
+      col("id"), Seq("ts", "t", "id"), col("t") === "x"))
+    assert(!p.contains("Window"), s"no per-key window expected:\n$p")
+    assert(p.contains("Aggregate"), p)
+  }
+
+  test("ecdf cumulative rides the prefix scan, not a global window") {
+    val p = plan(Stats.ecdf((1 to 100).map(_.toLong).toDF("v"), "v"))
+    assert(!p.contains("Window"),
+      s"ecdf must not use a single-partition Window.orderBy:\n$p")
+  }
+}
