@@ -2637,6 +2637,42 @@ object SparkEntry {
       val edges = Graph.basketPairs(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCount = 2L)
       Graph.assortativityMoments(edges, "item_a", "item_b")
+    }),
+
+    // ---- Recency-decayed activity score ----
+    // Per-user activity with base-2 decay (3-day half-life) anchored
+    // at the corpus' latest day — shifts instead of exp(), so the
+    // freshness prior is integer-exact on any engine.
+    "q166_decayed_score" -> ((s, dir) => {
+      graft.ops.Resample.decayedCount(t(s, dir, "events"),
+          "user_id", expr("ts DIV 1000"),
+          bucketUs = 86400000000L, halfLifeBuckets = 3L)
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- Data-quality audit report (Deequ-style) ----
+    // Constraint rows unioned into one report: FK orphans via
+    // single-pass left joins, predicate rules as scan-speed
+    // conditional aggs — the ingest gate a 100 TB pipeline runs
+    // before admitting a batch.
+    "q167_dq_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val cu = t(s, dir, "customer"); val docs = t(s, dir, "documents")
+      val ev = t(s, dir, "events")
+      Stats.dqOrphans("fk_lineitem_orders", li, col("l_orderkey"),
+          o, col("o_orderkey"))
+        .unionByName(Stats.dqOrphans("fk_orders_customer", o,
+          col("o_custkey"), cu, col("c_custkey")))
+        .unionByName(Stats.dqRule("orders_nonpositive_price", o,
+          col("o_totalprice") <= 0))
+        .unionByName(Stats.dqRule("orders_date_range", o,
+          year(col("o_orderdate")) < 1995 ||
+          year(col("o_orderdate")) > 2000))
+        .unionByName(Stats.dqRule("documents_empty_text", docs,
+          col("text").isNull || length(trim(col("text"))) === 0))
+        .unionByName(Stats.dqRule("events_null_user", ev,
+          col("user_id").isNull))
+        .orderBy(col("rule"))
     })
   )
 
@@ -6375,6 +6411,63 @@ object SparkEntry {
         |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
         |  CAST(sum(x * x) AS BIGINT) AS sum_x2,
         |  CAST(sum(y * y) AS BIGINT) AS sum_y2
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    // Daily counts decayed by 2^(age // 3) from the latest day.
+    "q166_decayed_score" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS b,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2
+        |), r AS (SELECT max(b) AS ref_bucket FROM c)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN (r.ref_bucket - b) // 3 <= 62
+        |    THEN n // (1::BIGINT << ((r.ref_bucket - b) // 3))
+        |    ELSE 0 END) AS BIGINT) AS score,
+        |  CAST(min(r.ref_bucket) AS BIGINT) AS ref_bucket
+        |FROM c CROSS JOIN r GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // One row per constraint: FK orphans + predicate rules.
+    "q167_dq_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'fk_lineitem_orders' AS rule,
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS violations,
+        |    count(*)::BIGINT AS checked
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey
+        |    FROM orders) o ON o.o_orderkey = l.l_orderkey
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer',
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    count(*)::BIGINT
+        |  FROM orders o2 LEFT JOIN (SELECT DISTINCT c_custkey
+        |    FROM customer) c ON c.c_custkey = o2.o_custkey
+        |  UNION ALL
+        |  SELECT 'orders_nonpositive_price',
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    count(*)::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_date_range',
+        |    CAST(sum(CASE WHEN year(o_orderdate) < 1995
+        |      OR year(o_orderdate) > 2000 THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*)::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'documents_empty_text',
+        |    CAST(sum(CASE WHEN text IS NULL
+        |      OR length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*)::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'events_null_user',
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    count(*)::BIGINT
+        |  FROM events
+        |) ORDER BY rule""".stripMargin
   )
 }

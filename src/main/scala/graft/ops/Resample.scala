@@ -89,6 +89,41 @@ object Resample {
     df.withColumn("n_trailing", count(lit(1)).over(w))
   }
 
+  /** Recency-weighted activity score with base-2 exponential decay —
+    * `score(k) = Σ_b count(k, b) div 2^((ref - b) div halfLife)`
+    * where `ref` is the globally latest bucket. The libm-free decay:
+    * shifts instead of exp(), so the score is integer-exact and
+    * engine-reproducible, with the same ranking role as e^-λt
+    * recency weighting (feature stores, trending feeds, freshness
+    * priors). Ages beyond 62 half-lives contribute 0 (shift cap).
+    *
+    * Output: (keyCol, score, ref_bucket) — one row per key.
+    *
+    * Scale shape: one (key, bucket) map-side-combined count agg, a
+    * broadcast one-row ref join, and a key-sized final agg. */
+  def decayedCount(df: DataFrame, keyCol: String, tsUsCol: Column,
+      bucketUs: Long, halfLifeBuckets: Long = 1L): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive (got $bucketUs)")
+    require(halfLifeBuckets > 0,
+      s"halfLifeBuckets must be positive (got $halfLifeBuckets)")
+    val counts = df.select(col(keyCol).as("k"),
+        tsUsCol.cast("long").as("__ts"))
+      .select(col("k"), expr(s"__ts div ${bucketUs}L").as("b"))
+      .groupBy(col("k"), col("b")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ref = counts.agg(max(col("b")).as("ref_bucket"))
+    counts.crossJoin(broadcast(ref))
+      .withColumn("__age",
+        expr(s"(ref_bucket - b) div ${halfLifeBuckets}L"))
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("__age") <= 62,
+          expr("n div shiftleft(1L, CAST(__age AS INT))"))
+          .otherwise(lit(0L))).as("score"),
+        first(col("ref_bucket")).as("ref_bucket"))
+      .select(col("k").as(keyCol), col("score"), col("ref_bucket"))
+  }
+
   /** Bucket-over-bucket categorical distribution drift — the total
     * variation distance (×2, to stay integral) between consecutive
     * time buckets' category shares: `tv2_ppm(d, d+1) =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -195,6 +195,35 @@ object Stats {
     *
     * Returns `(source, n_docs, n_chars, n_tokens, n_dup_docs,
     * n_langs, dup_ppm)`. */
+  /** One data-quality rule → one report row (rule, violations,
+    * checked): the Deequ-style constraint check as a single
+    * map-side-combined conditional agg (violation predicate
+    * evaluated at scan speed; no second pass for the denominator).
+    * Union rows from many rules into the audit report. */
+  def dqRule(name: String, df: DataFrame, violation: Column): DataFrame =
+    df.agg(
+        coalesce(sum(when(violation, 1L).otherwise(0L)), lit(0L))
+          .as("violations"),
+        count(lit(1)).as("checked"))
+      .select(lit(name).as("rule"), col("violations"), col("checked"))
+
+  /** Referential-integrity rule row: child rows whose key has no
+    * match in the parent's key set. One left join against the
+    * DISTINCT parent keys (key-sized, broadcastable when the parent
+    * is a dim; AQE decides) + one conditional agg — never two
+    * passes over the child. Null child keys count as orphans (they
+    * reference nothing). */
+  def dqOrphans(name: String, child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column): DataFrame =
+    child.select(childKey.as("__k"))
+      .join(parent.select(parentKey.as("__k")).distinct()
+        .withColumn("__hit", lit(1)), Seq("__k"), "left")
+      .agg(
+        coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("violations"),
+        count(lit(1)).as("checked"))
+      .select(lit(name).as("rule"), col("violations"), col("checked"))
+
   /** Empirical-CDF transform of an integer column — the rank
     * normalization a feature pipeline applies before quantile-based
     * clipping or monotone model inputs: for every DISTINCT value,
