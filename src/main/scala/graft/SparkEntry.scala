@@ -2673,6 +2673,26 @@ object SparkEntry {
         .unionByName(Stats.dqRule("events_null_user", ev,
           col("user_id").isNull))
         .orderBy(col("rule"))
+    }),
+
+    // ---- HyperLogLog distinct sketch (registers + integer z) ----
+    // Per-language distinct-token cardinality as an HLL register
+    // summary — the O(m)-state sketch for when even KMV's
+    // distinct-bottom-k pass is too wide — with the exact count
+    // joined as the audit column. The oracle recomputes the register
+    // table bit-for-bit (md5 bucket + bin()-derived rho, merged by
+    // max), certifying the sketch contents, not just a row count;
+    // the float estimate stays out of the oracle per the
+    // moments-not-floats doctrine and is spec-asserted instead.
+    "q168_hll_distinct" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextAnalysis.alphaTokens(col("text"))).as("tok"))
+      val exact = toks.groupBy(col("lang"))
+        .agg(count_distinct(col("tok")).as("exact_distinct"))
+      Sketch.hllSummary(toks, Seq("lang"), "tok", p = 8)
+        .join(exact, "lang")
+        .orderBy(col("lang"))
     })
   )
 
@@ -6468,6 +6488,39 @@ object SparkEntry {
         |      AS BIGINT),
         |    count(*)::BIGINT
         |  FROM events
-        |) ORDER BY rule""".stripMargin
+        |) ORDER BY rule""".stripMargin,
+
+    // HLL registers: bucket = top 8 of 60 md5 bits, rho = 1 +
+    // leading zeros of the 52-bit suffix (bin() length), merged by
+    // max; z_int treats the 256 - buckets_set empty registers as
+    // rho = 0 (2^53 each).
+    "q168_hll_distinct" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT DISTINCT lang,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM toks
+        |), reg AS (
+        |  SELECT lang, h // 4503599627370496 AS hll_bucket,
+        |    max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |        ELSE 53 - length(bin(h % 4503599627370496)) END) AS hll_rho
+        |  FROM h GROUP BY 1, 2
+        |), s AS (
+        |  SELECT lang, count(*)::BIGINT AS buckets_set,
+        |    CAST(sum(hll_rho) AS BIGINT) AS sum_rho,
+        |    CAST(sum(1::BIGINT << (53 - hll_rho)) AS BIGINT) AS z_set
+        |  FROM reg GROUP BY lang
+        |), e AS (
+        |  SELECT lang, count(DISTINCT tok)::BIGINT AS exact_distinct
+        |  FROM toks GROUP BY lang
+        |)
+        |SELECT s.lang, 256::BIGINT AS m, buckets_set, sum_rho,
+        |  CAST(z_set + (256 - buckets_set) * (1::BIGINT << 53) AS BIGINT)
+        |    AS z_int,
+        |  exact_distinct
+        |FROM s JOIN e ON e.lang = s.lang
+        |ORDER BY s.lang""".stripMargin
   )
 }

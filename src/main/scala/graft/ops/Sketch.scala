@@ -146,6 +146,89 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** HyperLogLog register table (Flajolet, Fuchs, Gandouet & Meunier
+    * 2007), md5-keyed and float-free. Every non-null value hashes to
+    * 60 bits (same [[hash60]] as KMV); the top `p` bits pick one of
+    * m = 2^p registers and rho = 1 + (leading zeros of the remaining
+    * 60-p suffix bits) updates that register by MAX. Returns the
+    * registers AS data — (groupCols*, hll_bucket, hll_rho), at most m
+    * rows per group — so sketches merge by unioning and re-MAXing;
+    * max is commutative and idempotent, so the register table is
+    * independent of engine, partitioning and replay order
+    * (DuckDB-oracle-checkable bit-for-bit, unlike library HLLs whose
+    * register bytes are implementation-private).
+    *
+    * rho rides `bin()` — present with identical no-leading-zeros
+    * string semantics in Spark and DuckDB — so for a non-zero suffix
+    * the leading-zero count is `(60-p) - length(bin(suffix))`, with
+    * the all-zero suffix pinned to rho = 61-p.
+    *
+    * Scale shape: the register grid is the WHOLE state — m ints per
+    * group regardless of corpus size — and the max-agg is map-side
+    * combined, so at most m·groups·partitions register rows ever
+    * shuffle. This is the sketch to ship when even KMV's per-value
+    * distinct pass is too wide: updates never materialize a distinct
+    * set at all. */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16] (got $p)")
+    val span = 60 - p
+    val h = hash60(col(valueCol))
+    val suffix = h.bitwiseAND(lit((1L << span) - 1L))
+    val rho = when(suffix === 0L, lit(span + 1))
+      .otherwise(lit(span + 1) - length(bin(suffix)))
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col)
+        :+ shiftright(h, span).as("hll_bucket")
+        :+ rho.cast("int").as("hll_rho"): _*)
+      .groupBy((groupCols :+ "hll_bucket").map(col): _*)
+      .agg(max(col("hll_rho")).as("hll_rho"))
+  }
+
+  /** Integer summary of a [[hllSketch]] per group: (groupCols*, m,
+    * buckets_set, sum_rho, z_int) where z_int = Σ over ALL m
+    * registers of 2^(61-p-rho), empty registers contributing rho = 0
+    * (i.e. 2^(61-p) each). z_int is the float estimator's entire
+    * sufficient statistic — E = α_m · m² · 2^(61-p) / z_int, see
+    * [[hllEstimate]] — kept integer-exact here per the
+    * moments-not-floats doctrine (assortativity q165): the mergeable
+    * statistics are engine-exact, the float is the caller's last
+    * step. Overflow bound: each term ≤ 2^(61-p) and there are 2^p of
+    * them, so z_int ≤ 2^61 < Long.MaxValue for every legal p. */
+  def hllSummary(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      p: Int = 8): DataFrame = {
+    val q = 61 - p
+    val m = 1L << p
+    hllSketch(df, groupCols, valueCol, p)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("buckets_set"),
+        sum(col("hll_rho").cast("long")).as("sum_rho"),
+        expr(s"sum(shiftleft(CAST(1 AS BIGINT), $q - hll_rho))").as("z_set"))
+      .withColumn("m", lit(m))
+      .withColumn("z_int",
+        col("z_set") + (lit(m) - col("buckets_set")) * lit(1L << q))
+      .select(groupCols.map(col) ++ Seq(col("m"), col("buckets_set"),
+        col("sum_rho"), col("z_int")): _*)
+  }
+
+  /** Float distinct-count estimates from [[hllSummary]] rows:
+    * est = α_m · m² · 2^(61-p) / z_int with the standard small-range
+    * linear-counting correction (est < 2.5m and empty registers
+    * present → m·ln(m/empty)). Deliberately NOT part of the oracle
+    * contract (float); accuracy is spec-asserted against exact
+    * distinct counts (expected RSE ≈ 1.04/√m). */
+  def hllEstimate(summary: DataFrame, p: Int = 8): DataFrame = {
+    val m = (1L << p).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val q = 61 - p
+    val raw = lit(alpha * m * m * math.pow(2.0, q.toDouble)) /
+      col("z_int").cast("double")
+    val empty = lit(m) - col("buckets_set").cast("double")
+    summary.withColumn("est_distinct",
+      when(raw < lit(2.5 * m) && empty > 0.0,
+        lit(m) * log(lit(m) / empty)).otherwise(raw))
+  }
+
   /** Per-group distinct-count estimates from the bottom-k sketch:
     * (groupCols*, kmv_n, kth_min, est_distinct). Groups with fewer
     * than k distinct values are EXACT (kmv_n < k → the sketch is the

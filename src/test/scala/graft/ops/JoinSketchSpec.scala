@@ -87,6 +87,48 @@ class JoinSketchSpec extends SparkSpec {
     assert(rows.tail.forall(_._3.nonEmpty))
   }
 
+  test("hll registers: mergeable by max; summary z_int bound holds") {
+    val df = spark.range(5000)
+      .select(($"id" % 2).cast("string").as("g"), $"id".as("v"))
+    // merging two partial sketches by re-MAXing equals the sketch of
+    // the union (the HLL merge law)
+    val a = Sketch.hllSketch(df.filter($"v" < 2500), Seq("g"), "v")
+    val b = Sketch.hllSketch(df.filter($"v" >= 2500), Seq("g"), "v")
+    val remerged = a.unionByName(b)
+      .groupBy($"g", $"hll_bucket").agg(max($"hll_rho").as("hll_rho"))
+      .as[(String, Long, Int)].collect().toSet
+    val direct = Sketch.hllSketch(df, Seq("g"), "v")
+      .as[(String, Long, Int)].collect().toSet
+    assert(remerged == direct)
+    val summ = Sketch.hllSummary(df, Seq("g"), "v")
+      .select("m", "buckets_set", "z_int")
+      .as[(Long, Long, Long)].collect()
+    summ.foreach { case (m, set, z) =>
+      assert(m == 256L && set <= m && set > 0)
+      assert(z > 0 && z <= (1L << 61), s"z_int $z out of bound")
+    }
+  }
+
+  test("hll estimate within tolerance; small range uses linear counting") {
+    val big = spark.range(20000).select(lit("g").as("g"), $"id".as("v"))
+    val est = Sketch.hllEstimate(Sketch.hllSummary(big, Seq("g"), "v"))
+      .select("est_distinct").as[Double].head()
+    // p=8 -> RSE ~6.5%; allow 3 sigma
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.20, s"est $est")
+    val small = spark.range(40).select(lit("g").as("g"), $"id".as("v"))
+    val es = Sketch.hllEstimate(Sketch.hllSummary(small, Seq("g"), "v"))
+      .select("est_distinct").as[Double].head()
+    // linear counting is near-exact at 40 << m=256
+    assert(math.abs(es - 40.0) < 6.0, s"small est $es")
+  }
+
+  test("hll rho: all-zero suffix pinned, register values in range") {
+    val df = spark.range(100000).select(lit("g").as("g"), $"id".as("v"))
+    val regs = Sketch.hllSketch(df, Seq("g"), "v")
+      .select("hll_bucket", "hll_rho").as[(Long, Int)].collect()
+    assert(regs.forall { case (b, r) => b >= 0 && b < 256 && r >= 1 && r <= 53 })
+  }
+
   test("kmv sketch exchange is sketch-sized, not vocabulary-sized") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
     val n = 200000L
