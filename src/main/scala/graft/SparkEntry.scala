@@ -2693,6 +2693,21 @@ object SparkEntry {
       Sketch.hllSummary(toks, Seq("lang"), "tok", p = 8)
         .join(exact, "lang")
         .orderBy(col("lang"))
+    }),
+
+    // ---- HITS hubs & authorities (integer L∞ normalization) ----
+    // Kleinberg's dual eigenvector scores over the event-transition
+    // graph: authorities are the event types sessions converge INTO,
+    // hubs the types that route into strong authorities — the
+    // complementary centrality to q130's PageRank. ppm-of-max
+    // renormalization per superstep keeps every round engine-exact;
+    // the oracle unrolls both supersteps as CTEs sharing the same
+    // flooring points.
+    "q169_hits" -> ((s, dir) => {
+      val edges = Graph.transitionEdges(t(s, dir, "events"),
+        "user_id", "event_type", expr("ts DIV 1000"), col("event_id"))
+      Graph.hitsInt(edges, "src", "dst", "w", iterations = 2)
+        .orderBy(col("id"))
     })
   )
 
@@ -6521,6 +6536,53 @@ object SparkEntry {
         |    AS z_int,
         |  exact_distinct
         |FROM s JOIN e ON e.lang = s.lang
-        |ORDER BY s.lang""".stripMargin
+        |ORDER BY s.lang""".stripMargin,
+
+    // Two HITS supersteps unrolled; each normalization is
+    // (raw * 1e6) // max(raw) in HUGEINT — the same flooring points
+    // as hitsInt's DECIMAL(38,0) integral divide.
+    "q169_hits" ->
+      """WITH seq AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS b
+        |  FROM events
+        |), e AS (
+        |  SELECT a AS src, b AS dst, count(*)::BIGINT AS w
+        |  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+        |), v AS (
+        |  SELECT src AS id FROM e UNION SELECT dst FROM e
+        |), a1r AS (
+        |  SELECT dst AS id, sum(1000000::HUGEINT * w) AS raw
+        |  FROM e GROUP BY 1
+        |), a1 AS (
+        |  SELECT v.id, CAST((COALESCE(r.raw, 0::HUGEINT) * 1000000)
+        |    // (SELECT max(raw) FROM a1r) AS BIGINT) AS sc
+        |  FROM v LEFT JOIN a1r r ON r.id = v.id
+        |), h1r AS (
+        |  SELECT e.src AS id, sum(a1.sc::HUGEINT * e.w) AS raw
+        |  FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1
+        |), h1 AS (
+        |  SELECT v.id, CAST((COALESCE(r.raw, 0::HUGEINT) * 1000000)
+        |    // (SELECT max(raw) FROM h1r) AS BIGINT) AS sc
+        |  FROM v LEFT JOIN h1r r ON r.id = v.id
+        |), a2r AS (
+        |  SELECT e.dst AS id, sum(h1.sc::HUGEINT * e.w) AS raw
+        |  FROM e JOIN h1 ON h1.id = e.src GROUP BY 1
+        |), a2 AS (
+        |  SELECT v.id, CAST((COALESCE(r.raw, 0::HUGEINT) * 1000000)
+        |    // (SELECT max(raw) FROM a2r) AS BIGINT) AS sc
+        |  FROM v LEFT JOIN a2r r ON r.id = v.id
+        |), h2r AS (
+        |  SELECT e.src AS id, sum(a2.sc::HUGEINT * e.w) AS raw
+        |  FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1
+        |), h2 AS (
+        |  SELECT v.id, CAST((COALESCE(r.raw, 0::HUGEINT) * 1000000)
+        |    // (SELECT max(raw) FROM h2r) AS BIGINT) AS sc
+        |  FROM v LEFT JOIN h2r r ON r.id = v.id
+        |)
+        |SELECT v.id, a2.sc AS auth_ppm, h2.sc AS hub_ppm
+        |FROM v JOIN a2 ON a2.id = v.id JOIN h2 ON h2.id = v.id
+        |ORDER BY v.id""".stripMargin
   )
 }

@@ -724,6 +724,86 @@ object Graph {
     * derivation feeding [[pageRankInt]] — at scale the window runs
     * one shuffle on the partition key and the edge agg is
     * map-side-combined down to |types|² rows. */
+  /** HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) in exact
+    * integers. Per superstep: auth_raw(v) = Σ_{u→v} hub(u)·w(u,v),
+    * renormalized, then hub_raw(u) = Σ_{u→v} auth_new(v)·w(u,v),
+    * renormalized — the classic sequential update (power iteration on
+    * AᵀA). Normalization is parts-per-million OF THE MAX raw score
+    * (L∞) instead of the paper's L2 norm: same fixed-point direction,
+    * but the flooring point is a plain integral divide, so any
+    * engine/replay/oracle reproduces every round bit-for-bit (the
+    * moments-not-floats doctrine; sqrt would inject float rounding
+    * into each superstep).
+    *
+    * Plan shape per superstep: one frontier join + map-side-combined
+    * agg per direction; the round max rides a broadcast 1-row
+    * aggregate attached by cross join (no driver action per round —
+    * the r8 trainBpe lesson), and the exchange under it is reused for
+    * the vertex join (spark.sql.exchange.reuse). Each side's scores
+    * are lineage-pinned EVERY round via ColumnBridge: a HITS round
+    * references the previous frame twice (max + join), so unpinned
+    * lineage would double the analyzed plan tree per round — pinning
+    * keeps it linear, the same reason pageRankInt pins on long runs,
+    * just at period 1. Pins are vertex-sized and LRU-evictable.
+    *
+    * Overflow: sums ride DECIMAL(38,0) — scores are ≤ 1e6 post-
+    * normalization, so raw ≤ in_degree·max_w·1e6 must stay under
+    * 1e32 (comfortable at web-graph degrees; Long would cap the
+    * degree·weight product at ~9e6).
+    *
+    * Output: (id, auth_ppm, hub_ppm) — one row per vertex; each
+    * side's argmax vertex carries exactly 1e6. Sinks have hub 0,
+    * sources auth 0, matching the oracle's COALESCE(…, 0). */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100] (got $iterations)")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def pin(df: DataFrame): DataFrame = {
+      val rdd = ColumnBridge.internalRdd(df).map(_.copy())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ColumnBridge.internalCreateDataFrame(df, rdd, df.schema)
+    }
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // One renormalized power step along one direction: raw(v) =
+    // Σ over edges into v (keyed `joinKey` → grouped `outKey`) of
+    // score·w in DECIMAL(38,0), then ppm-of-max via integral div
+    // (IntegralDivide on decimals returns BIGINT in both engines).
+    def step(scores: DataFrame, scoreCol: String, joinKey: String,
+        outKey: String, outCol: String): DataFrame = {
+      val raw = e
+        .join(scores.select(col("id").as(joinKey), col(scoreCol)), joinKey)
+        .select(col(outKey).as("id"),
+          expr(s"CAST($scoreCol AS DECIMAL(38,0)) * w").as("x"))
+        .groupBy(col("id")).agg(sum(col("x")).as("raw"))
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      pin(verts.join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("id"),
+          expr("CAST((coalesce(raw, CAST(0 AS DECIMAL(38,0))) * 1000000)" +
+            " div mx AS BIGINT)").as(outCol)))
+    }
+
+    var auth = verts.select(col("id"), lit(1000000L).as("auth_ppm"))
+    var hub = verts.select(col("id"), lit(1000000L).as("hub_ppm"))
+    var i = 0
+    while (i < iterations) {
+      auth = step(hub, "hub_ppm", "src", "dst", "auth_ppm")
+      hub = step(auth, "auth_ppm", "dst", "src", "hub_ppm")
+      i += 1
+    }
+    verts.join(auth, Seq("id"), "left").join(hub, Seq("id"), "left")
+      .select(col("id"), coalesce(col("auth_ppm"), lit(0L)).as("auth_ppm"),
+        coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"))
+  }
+
   def transitionEdges(events: DataFrame, keyCol: String, typeCol: String,
       orderCol: Column, tieCol: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

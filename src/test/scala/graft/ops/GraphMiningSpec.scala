@@ -191,6 +191,33 @@ class GraphMiningSpec extends SparkSpec {
     assert(Graph.kCore(path.toDF("s", "d"), "s", "d", 2, 4).count() == 0)
   }
 
+  test("hits: weighted hand-check, argmax carries 1e6, sinks/sources 0") {
+    import spark.implicits._
+    // a->c w1, b->c w3, c->d w2. Round 1 by hand:
+    //   auth raw: c=4e6, d=2e6 -> auth c=1e6, d=500000, a=b=0
+    //   hub  raw: a=1e6, b=3e6, c=1e6 -> hub b=1e6, a=c=333333, d=0
+    val e = Seq(("a", "c", 1L), ("b", "c", 3L), ("c", "d", 2L))
+      .toDF("src", "dst", "w")
+    val got = Graph.hitsInt(e, "src", "dst", "w", iterations = 1)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 0L, 333333L), ("b", 0L, 1000000L),
+      ("c", 1000000L, 333333L), ("d", 500000L, 0L)))
+  }
+
+  test("hits: second iteration stays normalized and deterministic") {
+    import spark.implicits._
+    val e = Seq(("a", "c", 1L), ("b", "c", 3L), ("c", "d", 2L),
+      ("d", "a", 1L)).toDF("src", "dst", "w")
+    val r1 = Graph.hitsInt(e, "src", "dst", "w", iterations = 2)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val r2 = Graph.hitsInt(e, "src", "dst", "w", iterations = 2)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r1 == r2)
+    assert(r1.map(_._2).max == 1000000L && r1.map(_._3).max == 1000000L)
+    assert(r1.forall { case (_, a, h) =>
+      a >= 0 && a <= 1000000L && h >= 0 && h <= 1000000L })
+  }
+
   test("basket pairs: hub baskets above the cap are dropped entirely") {
     val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "c"))
     val got = Graph.basketPairs(rows.toDF("bk", "it"), "bk", "it",
