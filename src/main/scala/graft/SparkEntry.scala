@@ -2708,6 +2708,24 @@ object SparkEntry {
         "user_id", "event_type", expr("ts DIV 1000"), col("event_id"))
       Graph.hitsInt(edges, "src", "dst", "w", iterations = 2)
         .orderBy(col("id"))
+    }),
+
+    // ---- All-pairs correlation moments, one scan ----
+    // Pearson sufficient statistics for every pair of lineitem
+    // measures as 6·C(4,2) columns of ONE map-side-combined agg,
+    // unpivoted by stack — the feature-correlation audit before
+    // training, with zero per-pair jobs and zero row explosion.
+    // Integer-exact: quantity/dollars/cents floors shared with the
+    // oracle; the float correlation is the caller's last step.
+    "q170_corr_moments" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        expr("CAST(round(l_quantity * 100) AS BIGINT) div 100").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100")
+          .as("price_d"),
+        cents(col("l_discount")).as("disc_c"),
+        cents(col("l_tax")).as("tax_c"))
+      Stats.corrMoments(li, Seq("qty", "price_d", "disc_c", "tax_c"))
+        .orderBy(col("col_x"), col("col_y"))
     })
   )
 
@@ -6583,6 +6601,61 @@ object SparkEntry {
         |)
         |SELECT v.id, a2.sc AS auth_ppm, h2.sc AS hub_ppm
         |FROM v JOIN a2 ON a2.id = v.id JOIN h2 ON h2.id = v.id
-        |ORDER BY v.id""".stripMargin
+        |ORDER BY v.id""".stripMargin,
+
+    // Same cents→integer floors as the Spark side; one scan per
+    // pair here (the oracle may be lazy — the engine under test may
+    // not).
+    "q170_corr_moments" ->
+      """WITH s AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) // 100 AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS price_d,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+        |  FROM lineitem
+        |)
+        |SELECT * FROM (
+        |  SELECT 'qty' AS col_x, 'price_d' AS col_y, count(*)::BIGINT AS n,
+        |    CAST(sum(qty) AS BIGINT) AS sum_x, CAST(sum(price_d) AS BIGINT) AS sum_y,
+        |    CAST(sum(qty * price_d) AS BIGINT) AS sum_xy,
+        |    CAST(sum(qty * qty) AS BIGINT) AS sum_x2,
+        |    CAST(sum(price_d * price_d) AS BIGINT) AS sum_y2
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'qty', 'disc_c', count(*)::BIGINT,
+        |    CAST(sum(qty) AS BIGINT), CAST(sum(disc_c) AS BIGINT),
+        |    CAST(sum(qty * disc_c) AS BIGINT),
+        |    CAST(sum(qty * qty) AS BIGINT),
+        |    CAST(sum(disc_c * disc_c) AS BIGINT)
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'qty', 'tax_c', count(*)::BIGINT,
+        |    CAST(sum(qty) AS BIGINT), CAST(sum(tax_c) AS BIGINT),
+        |    CAST(sum(qty * tax_c) AS BIGINT),
+        |    CAST(sum(qty * qty) AS BIGINT),
+        |    CAST(sum(tax_c * tax_c) AS BIGINT)
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'price_d', 'disc_c', count(*)::BIGINT,
+        |    CAST(sum(price_d) AS BIGINT), CAST(sum(disc_c) AS BIGINT),
+        |    CAST(sum(price_d * disc_c) AS BIGINT),
+        |    CAST(sum(price_d * price_d) AS BIGINT),
+        |    CAST(sum(disc_c * disc_c) AS BIGINT)
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'price_d', 'tax_c', count(*)::BIGINT,
+        |    CAST(sum(price_d) AS BIGINT), CAST(sum(tax_c) AS BIGINT),
+        |    CAST(sum(price_d * tax_c) AS BIGINT),
+        |    CAST(sum(price_d * price_d) AS BIGINT),
+        |    CAST(sum(tax_c * tax_c) AS BIGINT)
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'disc_c', 'tax_c', count(*)::BIGINT,
+        |    CAST(sum(disc_c) AS BIGINT), CAST(sum(tax_c) AS BIGINT),
+        |    CAST(sum(disc_c * tax_c) AS BIGINT),
+        |    CAST(sum(disc_c * disc_c) AS BIGINT),
+        |    CAST(sum(tax_c * tax_c) AS BIGINT)
+        |  FROM s
+        |) ORDER BY col_x, col_y""".stripMargin
   )
 }

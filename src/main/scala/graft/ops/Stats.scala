@@ -247,6 +247,57 @@ object Stats {
         expr("((__lt + n) * 1000000L) div __tot").as("cdf_ppm"))
   }
 
+  /** All-pairs Pearson correlation sufficient statistics in ONE
+    * corpus scan: for every unordered column pair (x, y), the row
+    * (col_x, col_y, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2) over
+    * rows where BOTH are non-null (pairwise deletion). The float
+    * correlation `(n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² −
+    * (Σy)²))` is the caller's last step — moments, not floats, cross
+    * the oracle boundary (q165 doctrine), and moments from disjoint
+    * shards ADD, so the statistics merge across clusters/days for
+    * free.
+    *
+    * Scale shape: the 6·C(k,2) aggregates are columns of ONE
+    * map-side-combined global agg — one scan, one 1-row exchange, no
+    * per-pair jobs and no row explosion (an explode-by-pair form
+    * would shuffle rows×pairs). The 1-row result is unpivoted to
+    * pair rows by `stack` — a projection, not a shuffle. Sums ride
+    * DECIMAL(38,0) internally and return as BIGINT; callers keep
+    * |value| ≤ ~1e5-scale integers so Σx² fits Long at any corpus
+    * size they intend (the cents→dollars floor in q170). Columns
+    * must be integer-typed (cast upstream — the caller owns the
+    * exactness contract). */
+  def corrMoments(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns (got ${cols.size})")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (i, j)
+    def dec(c: String) = s"CAST($c AS DECIMAL(38,0))"
+    val aggs = pairs.flatMap { case (i, j) =>
+      val (a, b) = (cols(i), cols(j))
+      val both = col(a).isNotNull && col(b).isNotNull
+      Seq(
+        coalesce(sum(when(both, lit(1L))), lit(0L)).as(s"n_${i}_$j"),
+        sum(when(both, expr(dec(a)))).as(s"sx_${i}_$j"),
+        sum(when(both, expr(dec(b)))).as(s"sy_${i}_$j"),
+        sum(when(both, expr(s"${dec(a)} * $b"))).as(s"sxy_${i}_$j"),
+        sum(when(both, expr(s"${dec(a)} * $a"))).as(s"sx2_${i}_$j"),
+        sum(when(both, expr(s"${dec(b)} * $b"))).as(s"sy2_${i}_$j"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      Seq(s"'${cols(i)}'", s"'${cols(j)}'", s"n_${i}_$j",
+        s"CAST(coalesce(sx_${i}_$j, 0) AS BIGINT)",
+        s"CAST(coalesce(sy_${i}_$j, 0) AS BIGINT)",
+        s"CAST(coalesce(sxy_${i}_$j, 0) AS BIGINT)",
+        s"CAST(coalesce(sx2_${i}_$j, 0) AS BIGINT)",
+        s"CAST(coalesce(sy2_${i}_$j, 0) AS BIGINT)").mkString(", ")
+    }
+    one.select(expr(s"stack(${pairs.size}, ${rows.mkString(", ")})" +
+      " AS (col_x, col_y, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2)"))
+  }
+
   def sourceReport(df: DataFrame, srcCol: String, idCol: String,
       textCol: String, langCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))

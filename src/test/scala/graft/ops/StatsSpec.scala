@@ -163,6 +163,36 @@ class StatsSpec extends SparkSpec {
     assert(z.length == 1 && z.head.isNullAt(0))
   }
 
+  test("corrMoments: hand-check, pairwise deletion, shard additivity") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some(2L), Some(3L)),
+      (Some(2L), None, Some(5L)),
+      (Some(3L), Some(6L), None)).toDF("a", "b", "c")
+    val rows = Stats.corrMoments(df, Seq("a", "b", "c"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // (a,b): rows 1 and 3 -> n=2, sx=4, sy=8, sxy=20, sx2=10, sy2=40
+    assert(rows(("a", "b")) ==
+      (("a", "b", 2L, 4L, 8L, 20L, 10L, 40L)))
+    // (a,c): rows 1 and 2 -> n=2, sx=3, sy=8, sxy=13, sx2=5, sy2=34
+    assert(rows(("a", "c")) ==
+      (("a", "c", 2L, 3L, 8L, 13L, 5L, 34L)))
+    // (b,c): row 1 only
+    assert(rows(("b", "c")) ==
+      (("b", "c", 1L, 2L, 3L, 6L, 4L, 9L)))
+    // moments from disjoint shards ADD to the full-frame moments
+    val big = spark.range(1000).select($"id".as("a"), ($"id" * 2).as("b"))
+    val full = Stats.corrMoments(big, Seq("a", "b"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].head()
+    val lo = Stats.corrMoments(big.filter($"a" < 500), Seq("a", "b"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].head()
+    val hi = Stats.corrMoments(big.filter($"a" >= 500), Seq("a", "b"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].head()
+    assert((lo._3 + hi._3, lo._4 + hi._4, lo._5 + hi._5, lo._6 + hi._6,
+      lo._7 + hi._7, lo._8 + hi._8) ==
+      ((full._3, full._4, full._5, full._6, full._7, full._8)))
+  }
+
   test("sourceReport attributes corpus-wide dups to both sources") {
     val df = Seq(
       (0L, "A", "a", "en"),
