@@ -2726,6 +2726,16 @@ object SparkEntry {
         cents(col("l_tax")).as("tax_c"))
       Stats.corrMoments(li, Seq("qty", "price_d", "disc_c", "tax_c"))
         .orderBy(col("col_x"), col("col_y"))
+    }),
+
+    // ---- Chi-squared contingency (lang × source) ----
+    // Is document language independent of crawl source? Full grid
+    // including unobserved cells, expected counts and per-cell χ²
+    // contributions in exact ppm — one corpus scan; totals
+    // re-aggregate from the persisted cell table.
+    "q171_chi_square" -> ((s, dir) => {
+      Stats.chiSquareCells(t(s, dir, "documents"), "lang", "source")
+        .orderBy(col("x"), col("y"))
     })
   )
 
@@ -6656,6 +6666,33 @@ object SparkEntry {
         |    CAST(sum(disc_c * disc_c) AS BIGINT),
         |    CAST(sum(tax_c * tax_c) AS BIGINT)
         |  FROM s
-        |) ORDER BY col_x, col_y""".stripMargin
+        |) ORDER BY col_x, col_y""".stripMargin,
+
+    // Full kx×ky grid with zero cells; chi2_ppm's single flooring
+    // point (1e6·d²) // (N·rx·cy) matches chiSquareCells' DECIMAL
+    // integral divide.
+    "q171_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang AS x, source AS y, count(*)::BIGINT AS o
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2
+        |), rx AS (
+        |  SELECT x, CAST(sum(o) AS BIGINT) AS rx FROM cells GROUP BY x
+        |), cy AS (
+        |  SELECT y, CAST(sum(o) AS BIGINT) AS cy FROM cells GROUP BY y
+        |), nn AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells
+        |), g AS (
+        |  SELECT rx.x, cy.y, rx.rx, cy.cy, nn.nn,
+        |    COALESCE(cells.o, 0::BIGINT) AS o
+        |  FROM rx CROSS JOIN cy CROSS JOIN nn
+        |  LEFT JOIN cells ON cells.x = rx.x AND cells.y = cy.y
+        |)
+        |SELECT x, y, o,
+        |  CAST((1000000::HUGEINT * rx * cy) // nn AS BIGINT) AS e_ppm,
+        |  CAST((1000000::HUGEINT * (nn * o - rx * cy) * (nn * o - rx * cy))
+        |    // (nn::HUGEINT * rx * cy) AS BIGINT) AS chi2_ppm
+        |FROM g ORDER BY x, y""".stripMargin
   )
 }

@@ -247,6 +247,50 @@ object Stats {
         expr("((__lt + n) * 1000000L) div __tot").as("cdf_ppm"))
   }
 
+  /** Chi-squared contingency cells for two categorical columns —
+    * the categorical-association audit (is `lang` independent of
+    * `source`?) that complements [[corrMoments]]'s numeric one. Per
+    * grid cell (x, y): the observed count `o`, the expected count in
+    * ppm `e_ppm = 1e6·rx·cy div N`, and the cell's χ² contribution
+    * in ppm via the algebraically cleared form
+    * `chi2_ppm = 1e6·(N·o − rx·cy)² div (N·rx·cy)` — one flooring
+    * point, engine-exact (the float χ² is Σ chi2_ppm / 1e6, the
+    * caller's last step; compare to the (kx−1)(ky−1)-df critical
+    * value off-engine). UNOBSERVED grid cells are included with
+    * o = 0 — dropping them understates the statistic — via the
+    * row-total × column-total cross join.
+    *
+    * Scale shape: ONE corpus scan (the cell agg, map-side combined);
+    * row totals, column totals and N are all re-aggregated from the
+    * CELL table, which is value-cardinality-sized, so the corpus is
+    * never rescanned (the cell frame is persisted across its four
+    * uses). The grid cross join is kx×ky — categorical by contract;
+    * a high-cardinality "category" column belongs in
+    * [[quantileBins]] first. DECIMAL(38,0) headroom: N·o ≤ N²
+    * must fit a Long (N ≤ 3e9 rows — beyond that, pre-aggregate per
+    * shard and sum cells; cells merge by adding o). */
+  def chiSquareCells(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rx = cells.groupBy(col("x")).agg(sum(col("o")).as("rx"))
+    val cy = cells.groupBy(col("y")).agg(sum(col("o")).as("cy"))
+    val nn = cells.agg(sum(col("o")).as("nn"))
+    rx.crossJoin(cy).crossJoin(broadcast(nn))
+      .join(cells, Seq("x", "y"), "left")
+      .select(col("x"), col("y"), coalesce(col("o"), lit(0L)).as("o"),
+        col("rx"), col("cy"), col("nn"))
+      .withColumn("__d", col("nn") * col("o") - col("rx") * col("cy"))
+      .select(col("x"), col("y"), col("o"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * rx * cy) div nn" +
+          " AS BIGINT)").as("e_ppm"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __d * __d) div" +
+          " (CAST(nn AS DECIMAL(38,0)) * rx * cy) AS BIGINT)")
+          .as("chi2_ppm"))
+  }
+
   /** All-pairs Pearson correlation sufficient statistics in ONE
     * corpus scan: for every unordered column pair (x, y), the row
     * (col_x, col_y, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2) over

@@ -163,6 +163,26 @@ class StatsSpec extends SparkSpec {
     assert(z.length == 1 && z.head.isNullAt(0))
   }
 
+  test("chiSquareCells: 2x2 hand-check including the zero cell") {
+    import spark.implicits._
+    // 3/1/1/3 table: E = 2 everywhere, chi2 contribution 0.5/cell
+    val df = (Seq.fill(3)(("a", "u")) ++ Seq(("a", "v")) ++
+      Seq(("b", "u")) ++ Seq.fill(3)(("b", "v"))).toDF("x", "y")
+    val got = Stats.chiSquareCells(df, "x", "y")
+      .as[(String, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("a", "u", 3L, 2000000L, 500000L), ("a", "v", 1L, 2000000L, 500000L),
+      ("b", "u", 1L, 2000000L, 500000L), ("b", "v", 3L, 2000000L, 500000L)))
+    // unobserved grid cells appear with o = 0 and contribute E
+    val sparse = Seq(("a", "u"), ("b", "v")).toDF("x", "y")
+    val g = Stats.chiSquareCells(sparse, "x", "y")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(g.size == 4)
+    assert(g(("a", "v")) == (("a", "v", 0L, 500000L, 500000L)))
+    assert(g(("a", "u")) == (("a", "u", 1L, 500000L, 500000L)))
+  }
+
   test("corrMoments: hand-check, pairwise deletion, shard additivity") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(2L), Some(3L)),
