@@ -2736,6 +2736,18 @@ object SparkEntry {
     "q171_chi_square" -> ((s, dir) => {
       Stats.chiSquareCells(t(s, dir, "documents"), "lang", "source")
         .orderBy(col("x"), col("y"))
+    }),
+
+    // ---- Smoothed Markov transition matrix (session paths) ----
+    // Add-one next-event probabilities over the FULL state grid in
+    // exact ppm, with the deterministic argmax next state flagged —
+    // the session-path model (never-seen transitions score > 0,
+    // timeline-final states go uniform). One corpus pass; the rest
+    // is state²-sized.
+    "q172_transition_probs" -> ((s, dir) => {
+      Graph.transitionProbs(t(s, dir, "events"), "user_id",
+          "event_type", expr("ts DIV 1000"), col("event_id"))
+        .orderBy(col("src"), col("dst"))
     })
   )
 
@@ -6693,6 +6705,38 @@ object SparkEntry {
         |  CAST((1000000::HUGEINT * rx * cy) // nn AS BIGINT) AS e_ppm,
         |  CAST((1000000::HUGEINT * (nn * o - rx * cy) * (nn * o - rx * cy))
         |    // (nn::HUGEINT * rx * cy) AS BIGINT) AS chi2_ppm
-        |FROM g ORDER BY x, y""".stripMargin
+        |FROM g ORDER BY x, y""".stripMargin,
+
+    // Full k×k grid, add-one smoothing, argmax tie-broken by
+    // (p_ppm DESC, dst) — same total order as transitionProbs.
+    "q172_transition_probs" ->
+      """WITH seq AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS b
+        |  FROM events
+        |), e AS (
+        |  SELECT a AS src, b AS dst, count(*)::BIGINT AS w
+        |  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+        |), st AS (
+        |  SELECT src AS s FROM e UNION SELECT dst FROM e
+        |), k AS (
+        |  SELECT count(*)::BIGINT AS k FROM st
+        |), rt AS (
+        |  SELECT src, CAST(sum(w) AS BIGINT) AS rt FROM e GROUP BY src
+        |), p AS (
+        |  SELECT a.s AS src, b.s AS dst,
+        |    COALESCE(e.w, 0::BIGINT) AS w,
+        |    CAST(((COALESCE(e.w, 0) + 1) * 1000000)
+        |      // (COALESCE(rt.rt, 0) + k.k) AS BIGINT) AS p_ppm
+        |  FROM st a CROSS JOIN st b CROSS JOIN k
+        |  LEFT JOIN e ON e.src = a.s AND e.dst = b.s
+        |  LEFT JOIN rt ON rt.src = a.s
+        |)
+        |SELECT src, dst, w, p_ppm,
+        |  CASE WHEN row_number() OVER (PARTITION BY src
+        |    ORDER BY p_ppm DESC, dst) = 1
+        |    THEN 1::BIGINT ELSE 0::BIGINT END AS is_mode
+        |FROM p ORDER BY src, dst""".stripMargin
   )
 }

@@ -804,6 +804,50 @@ object Graph {
         coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"))
   }
 
+  /** Laplace-smoothed Markov transition matrix over an event
+    * timeline: for every ordered state pair (src, dst) in the FULL
+    * k×k grid — including never-observed transitions — the observed
+    * count `w` and the add-α next-state probability in exact ppm,
+    * `p_ppm = 1e6·(w + α) div (rowTotal + α·k)`, plus `is_mode` = 1
+    * on each source's deterministic argmax next state (highest
+    * p_ppm, then smallest dst — a total order, engine-reproducible).
+    * States with no outgoing transitions (timeline-final states) get
+    * the uniform row 1e6·α div (α·k) — the reason smoothing exists:
+    * a session-path model must score unseen continuations > 0.
+    *
+    * Scale shape: the corpus is touched once, by
+    * [[transitionEdges]]'s user-partitioned lead window + count agg;
+    * everything after operates on the EDGE table (state²-sized,
+    * categorical by contract — persisted across its three uses). k
+    * arrives as a broadcast 1-row aggregate, never a driver action;
+    * the mode flag's window partitions by src over the k²-row grid.
+    * Overflow: (w + α)·1e6 must fit a Long — w ≤ 9.2e12 transitions
+    * per cell, comfortable at any corpus this engine targets. */
+  def transitionProbs(events: DataFrame, keyCol: String, typeCol: String,
+      orderCol: Column, tieCol: Column, alpha: Long = 1L): DataFrame = {
+    require(alpha >= 1, s"alpha must be >= 1 (got $alpha)")
+    val e = transitionEdges(events, keyCol, typeCol, orderCol, tieCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val states = e.select(col("src").as("st"))
+      .union(e.select(col("dst"))).distinct()
+    val kdf = states.agg(count(lit(1)).as("k"))
+    val rt = e.groupBy(col("src")).agg(sum(col("w")).as("rt"))
+    val grid = states.select(col("st").as("src"))
+      .crossJoin(states.select(col("st").as("dst")))
+      .join(e, Seq("src", "dst"), "left")
+      .join(rt, Seq("src"), "left")
+      .crossJoin(broadcast(kdf))
+      .select(col("src"), col("dst"),
+        coalesce(col("w"), lit(0L)).as("w"),
+        expr(s"((coalesce(w, 0L) + $alpha) * 1000000) div" +
+          s" (coalesce(rt, 0L) + $alpha * k)").as("p_ppm"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("p_ppm").desc, col("dst"))
+    grid.withColumn("is_mode",
+      when(row_number().over(win) === 1, lit(1L)).otherwise(lit(0L)))
+  }
+
   def transitionEdges(events: DataFrame, keyCol: String, typeCol: String,
       orderCol: Column, tieCol: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -218,6 +218,35 @@ class GraphMiningSpec extends SparkSpec {
       a >= 0 && a <= 1000000L && h >= 0 && h <= 1000000L })
   }
 
+  test("transitionProbs: add-one grid, absorbing state goes uniform") {
+    import spark.implicits._
+    // user 1: a->b->c ; user 2: a->b. States {a,b,c}, k=3.
+    // counts: a->b 2, b->c 1. Row totals: a=2, b=1, c=0.
+    val ev = Seq((1L, "a", 10L, 100L), (1L, "b", 20L, 101L),
+      (1L, "c", 30L, 102L), (2L, "a", 10L, 103L), (2L, "b", 20L, 104L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Graph.transitionProbs(ev, "user_id", "event_type",
+        col("ts"), col("event_id"))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.size == 9)
+    // a row: total 2+k=5; a->b (2+1)/5 = 600000, others 200000
+    assert(got(("a", "b")) == (("a", "b", 2L, 600000L, 1L)))
+    assert(got(("a", "a")) == (("a", "a", 0L, 200000L, 0L)))
+    // b row: total 1+3=4; b->c 500000 mode; others 250000
+    assert(got(("b", "c")) == (("b", "c", 1L, 500000L, 1L)))
+    assert(got(("b", "a")) == (("b", "a", 0L, 250000L, 0L)))
+    // c is absorbing: uniform 333333, mode = smallest dst 'a'
+    assert(got(("c", "a")) == (("c", "a", 0L, 333333L, 1L)))
+    assert(got(("c", "b")) == (("c", "b", 0L, 333333L, 0L)))
+    // each source row sums to ~1e6 and has exactly one mode
+    val bySrc = got.values.groupBy(_._1)
+    bySrc.values.foreach { rows =>
+      assert(rows.map(_._5).sum == 1L)
+      assert(math.abs(rows.map(_._4).sum - 1000000L) <= 3)
+    }
+  }
+
   test("basket pairs: hub baskets above the cap are dropped entirely") {
     val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "c"))
     val got = Graph.basketPairs(rows.toDF("bk", "it"), "bk", "it",
