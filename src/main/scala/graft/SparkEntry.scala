@@ -2748,6 +2748,22 @@ object SparkEntry {
       Graph.transitionProbs(t(s, dir, "events"), "user_id",
           "event_type", expr("ts DIV 1000"), col("event_id"))
         .orderBy(col("src"), col("dst"))
+    }),
+
+    // ---- Dictionary keyword tagging (broadcast contains-join) ----
+    // Curated (tag, keyword) lexicon broadcast against the corpus:
+    // per-doc hit rows with exact non-overlapping occurrence counts
+    // via the replace-length identity — the topic/blocklist/PII
+    // tagger. Corpus scanned once, zero corpus shuffle.
+    "q173_keyword_tags" -> ((s, dir) => {
+      import s.implicits._
+      val dict = Seq(("data", "batch"), ("data", "stream"),
+        ("data", "table"), ("exec", "join"), ("exec", "merge"),
+        ("exec", "scan")).toDF("tag", "kw")
+      TextAnalysis.tagKeywords(t(s, dir, "documents"), "doc_id", "text",
+          dict, "tag", "kw")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("tag"), col("keyword"))
     })
   )
 
@@ -6737,6 +6753,21 @@ object SparkEntry {
         |  CASE WHEN row_number() OVER (PARTITION BY src
         |    ORDER BY p_ppm DESC, dst) = 1
         |    THEN 1::BIGINT ELSE 0::BIGINT END AS is_mode
-        |FROM p ORDER BY src, dst""".stripMargin
+        |FROM p ORDER BY src, dst""".stripMargin,
+
+    // Same replace-length occurrence count and substring-containment
+    // predicate as tagKeywords.
+    "q173_keyword_tags" ->
+      """WITH dict(tag, keyword) AS (
+        |  VALUES ('data', 'batch'), ('data', 'stream'), ('data', 'table'),
+        |         ('exec', 'join'), ('exec', 'merge'), ('exec', 'scan')
+        |), docs AS (
+        |  SELECT doc_id, lower(COALESCE(text, '')) AS lt FROM documents
+        |)
+        |SELECT doc_id, tag, keyword,
+        |  CAST((length(lt) - length(replace(lt, keyword, '')))
+        |    // length(keyword) AS BIGINT) AS n_hits
+        |FROM docs JOIN dict ON instr(lt, keyword) > 0
+        |ORDER BY doc_id, tag, keyword""".stripMargin
   )
 }

@@ -502,6 +502,40 @@ object TextAnalysis {
     lmScore(df, idCol, textCol, uni, bi, unicode)
   }
 
+  /** Dictionary keyword tagging — the broadcast contains-join that
+    * labels every document with every matching (tag, keyword) from a
+    * curated dictionary (topic lexicons, blocklists, PII term lists):
+    * the Aho-Corasick role, expressed as Spark's broadcast
+    * nested-loop over a dictionary that is small BY CONTRACT (a
+    * curated list — same contract as pageRankInt's seed set). Output:
+    * (id, tag, keyword, n_hits) for hits only, where n_hits counts
+    * non-overlapping case-insensitive SUBSTRING occurrences via the
+    * replace-length identity `(len(t) − len(replace(t, kw))) div
+    * len(kw)` — pure codegen'd string arithmetic, no regex
+    * compilation per keyword, identical semantics in any SQL engine.
+    * Word-boundary matching is [[redactionCount]]'s regex territory;
+    * substring semantics is the standard dictionary-tagger contract
+    * (it finds "key" inside "keys").
+    *
+    * Scale shape: the corpus is scanned once; each row is checked
+    * against the broadcast dictionary in-task (no shuffle of the
+    * corpus at all), and only hit rows — ≤ dict-size per doc,
+    * typically ≪ 1 — survive to the output. */
+  def tagKeywords(df: DataFrame, idCol: String, textCol: String,
+      dict: DataFrame, tagCol: String, kwCol: String): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      lower(coalesce(col(textCol), lit(""))).as("__lt"))
+    val d = broadcast(dict
+      .select(col(tagCol).as("tag"), lower(col(kwCol)).as("keyword"))
+      .filter(col("keyword").isNotNull && length(col("keyword")) > 0)
+      .distinct())
+    docs.crossJoin(d)
+      .filter(expr("instr(__lt, keyword) > 0"))
+      .select(col("id"), col("tag"), col("keyword"),
+        expr("(length(__lt) - length(replace(__lt, keyword, ''))) div" +
+          " length(keyword)").as("n_hits"))
+  }
+
   /** Adjacent-symbol pair counts for BPE tokenizer training — the
     * counting step of the first merge round (Sennrich et al. 2016),
     * at corpus scale. The scale insight: count over the VOCABULARY,

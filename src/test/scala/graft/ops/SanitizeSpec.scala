@@ -31,6 +31,20 @@ class SanitizeSpec extends SparkSpec {
     assert(md5a == md5b)
   }
 
+  test("tagKeywords: substring hits, exact counts, misses dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, "Scan the scanner; rescan."), (2L, "no match here"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val dict = Seq(("exec", "scan"), ("exec", "merge"), ("x", "SCAN"))
+      .toDF("tag", "kw")
+    val got = TextAnalysis.tagKeywords(docs, "doc_id", "text",
+        dict, "tag", "kw")
+      .as[(Long, String, String, Long)].collect().toSet
+    // lowercased dictionary dedups ('scan' under both tags kept apart),
+    // doc 1 contains 'scan' 3 times (scan, scanner, rescan)
+    assert(got == Set((1L, "exec", "scan", 3L), (1L, "x", "scan", 3L)))
+  }
+
   test("ctrl chars adjacent to spaces do not double-count") {
     // ctrl removed first -> "x  y" -> collapse -> "x y"
     val (_, nCtrl, nWs, nClean, _) = run("x \u0007 y")
