@@ -2764,6 +2764,17 @@ object SparkEntry {
           dict, "tag", "kw")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("tag"), col("keyword"))
+    }),
+
+    // ---- Winsorized robust stats (p05/p95 clamp) ----
+    // Outlier-tamed per-language length statistics: values clamped
+    // to the exact p05/p95 cuts before summing, clip counts and cut
+    // points reported. One corpus scan — clipped sums come from the
+    // persisted value histogram, never a rescan.
+    "q174_winsorized" -> ((s, dir) => {
+      Stats.winsorizedStats(t(s, dir, "documents"), Seq("lang"),
+          "n_chars", loP = 0.05, hiP = 0.95)
+        .orderBy(col("lang"))
     })
   )
 
@@ -6768,6 +6779,33 @@ object SparkEntry {
         |  CAST((length(lt) - length(replace(lt, keyword, '')))
         |    // length(keyword) AS BIGINT) AS n_hits
         |FROM docs JOIN dict ON instr(lt, keyword) > 0
-        |ORDER BY doc_id, tag, keyword""".stripMargin
+        |ORDER BY doc_id, tag, keyword""".stripMargin,
+
+    // Same cume_dist >= p integer cut rule as exactPercentiles;
+    // clipped sums over the value histogram.
+    "q174_winsorized" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT lang, v, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS tot
+        |  FROM h
+        |), cuts AS (
+        |  SELECT lang,
+        |    min(CASE WHEN cum * 10000 >= tot * 500 THEN v END) AS lo_cut,
+        |    min(CASE WHEN cum * 10000 >= tot * 9500 THEN v END) AS hi_cut
+        |  FROM cu GROUP BY lang
+        |)
+        |SELECT h.lang, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(v * c) AS BIGINT) AS sum_raw,
+        |  CAST(sum(GREATEST(lo_cut, LEAST(hi_cut, v)) * c) AS BIGINT)
+        |    AS sum_wins,
+        |  CAST(sum(CASE WHEN v < lo_cut THEN c ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN v > hi_cut THEN c ELSE 0 END) AS BIGINT) AS n_hi,
+        |  min(lo_cut) AS lo_cut, min(hi_cut) AS hi_cut
+        |FROM h JOIN cuts ON cuts.lang = h.lang
+        |GROUP BY h.lang ORDER BY h.lang""".stripMargin
   )
 }

@@ -247,6 +247,66 @@ object Stats {
         expr("((__lt + n) * 1000000L) div __tot").as("cdf_ppm"))
   }
 
+  /** Winsorized (percentile-clipped) robust statistics per group —
+    * the outlier-tamed mean a curation dashboard reports when a few
+    * giant documents would otherwise dominate: values below the
+    * `loP` cut or above the `hiP` cut are CLAMPED to the cut before
+    * summing (winsorization; trimming would drop them). Cuts use the
+    * same integer cume_dist ≥ p definition as [[exactPercentiles]],
+    * so they are engine-exact.
+    *
+    * Output per group: (groupCols*, n, sum_raw, sum_wins, n_lo,
+    * n_hi, lo_cut, hi_cut) — integer sums; the float means are the
+    * caller's division. Null values are excluded (no rank), matching
+    * [[quantileBins]].
+    *
+    * Scale shape: ONE corpus scan. The value histogram (groupBy
+    * (group, value), map-side combined, value-domain-sized) is
+    * persisted and serves both the cut computation (per-group window
+    * prefix sums over the HISTOGRAM — partitioned, never a global
+    * sort) and the clipped sums: Σ clip(v)·count over histogram rows
+    * equals Σ clip(v) over the corpus, so the corpus is never
+    * rescanned after the histogram agg. */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, loP: Double = 0.05,
+      hiP: Double = 0.95): DataFrame = {
+    require(groupCols.nonEmpty, "winsorizedStats needs group columns")
+    require(loP > 0 && hiP <= 1 && loP < hiP,
+      s"need 0 < loP < hiP <= 1 (got $loP, $hiP)")
+    Seq(loP, hiP).foreach { p =>
+      require(math.abs(p * 10000 - math.round(p * 10000)) < 1e-9,
+        s"percentile $p is not a basis-point multiple (1e-4 grid)")
+    }
+    val (loBp, hiBp) = (math.round(loP * 10000), math.round(hiP * 10000))
+    val gcols = groupCols.map(col)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(gcols :+ col(valueCol).cast("long").as("__v"): _*)
+      .groupBy(gcols :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val running = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+    val whole = Window.partitionBy(gcols: _*)
+    val cuts = hist
+      .withColumn("__cum", sum(col("__c")).over(running))
+      .withColumn("__tot", sum(col("__c")).over(whole))
+      .groupBy(gcols: _*)
+      .agg(
+        min(when(col("__cum") * 10000 >= col("__tot") * loBp, col("__v")))
+          .as("__lo"),
+        min(when(col("__cum") * 10000 >= col("__tot") * hiBp, col("__v")))
+          .as("__hi"))
+    val clipped = greatest(col("__lo"), least(col("__hi"), col("__v")))
+    hist.join(cuts, groupCols)
+      .groupBy(gcols: _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__v") * col("__c")).as("sum_raw"),
+        sum(clipped * col("__c")).as("sum_wins"),
+        sum(when(col("__v") < col("__lo"), col("__c")).otherwise(lit(0L)))
+          .as("n_lo"),
+        sum(when(col("__v") > col("__hi"), col("__c")).otherwise(lit(0L)))
+          .as("n_hi"),
+        min(col("__lo")).as("lo_cut"), min(col("__hi")).as("hi_cut"))
+  }
+
   /** Chi-squared contingency cells for two categorical columns —
     * the categorical-association audit (is `lang` independent of
     * `source`?) that complements [[corrMoments]]'s numeric one. Per

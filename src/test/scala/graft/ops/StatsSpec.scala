@@ -163,6 +163,27 @@ class StatsSpec extends SparkSpec {
     assert(z.length == 1 && z.head.isNullAt(0))
   }
 
+  test("winsorizedStats: clamps to exact cuts, counts clips, " +
+      "identity when nothing clips") {
+    import spark.implicits._
+    // 1..10 with p10/p90: cuts at 1 and 9 (cume_dist >= p rule);
+    // only 10 clips high -> sum_wins = 55 - 10 + 9 = 54
+    val df = (1L to 10L).map(v => ("g", v)).toDF("g", "v")
+    val got = Stats.winsorizedStats(df, Seq("g"), "v", 0.10, 0.90)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == (("g", 10L, 55L, 54L, 0L, 1L, 1L, 9L)))
+    // p-range covering everything is the identity
+    val id = Stats.winsorizedStats(df, Seq("g"), "v", 0.0001, 1.0)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(id._4 == 55L && id._5 == 0L && id._6 == 0L)
+    // null values neither shift cuts nor count
+    val wn = (1L to 10L).map(v => ("g", Some(v))).toDF("g", "v")
+      .unionByName(Seq(("g", None: Option[Long])).toDF("g", "v"))
+    val gn = Stats.winsorizedStats(wn, Seq("g"), "v", 0.10, 0.90)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(gn == got)
+  }
+
   test("chiSquareCells: 2x2 hand-check including the zero cell") {
     import spark.implicits._
     // 3/1/1/3 table: E = 2 everywhere, chi2 contribution 0.5/cell
