@@ -2775,6 +2775,15 @@ object SparkEntry {
       Stats.winsorizedStats(t(s, dir, "documents"), Seq("lang"),
           "n_chars", loP = 0.05, hiP = 0.95)
         .orderBy(col("lang"))
+    }),
+
+    // ---- HHI concentration per user (bot signal) ----
+    // Event-type concentration in exact ppm — 1e6 means a
+    // single-action "user" (bot smell), 1e6/k means uniform
+    // browsing. Two nested count aggs; no raw-event shuffle.
+    "q175_concentration" -> ((s, dir) => {
+      Stats.concentration(t(s, dir, "events"), "user_id", "event_type")
+        .orderBy(col("user_id"))
     })
   )
 
@@ -6806,6 +6815,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v > hi_cut THEN c ELSE 0 END) AS BIGINT) AS n_hi,
         |  min(lo_cut) AS lo_cut, min(hi_cut) AS hi_cut
         |FROM h JOIN cuts ON cuts.lang = h.lang
-        |GROUP BY h.lang ORDER BY h.lang""".stripMargin
+        |GROUP BY h.lang ORDER BY h.lang""".stripMargin,
+
+    // hhi_ppm = (Σ n_i² · 1e6) // n² — one flooring point.
+    "q175_concentration" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*)::BIGINT AS n
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n,
+        |  count(*)::BIGINT AS n_cats,
+        |  CAST(sum(n * n) AS BIGINT) AS sum_sq,
+        |  CAST((sum(n * n)::HUGEINT * 1000000)
+        |    // (sum(n)::HUGEINT * sum(n)) AS BIGINT) AS hhi_ppm
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

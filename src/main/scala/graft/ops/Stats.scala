@@ -247,6 +247,36 @@ object Stats {
         expr("((__lt + n) * 1000000L) div __tot").as("cdf_ppm"))
   }
 
+  /** Herfindahl–Hirschman concentration index per key in exact ppm —
+    * the no-libm diversity measure (Simpson index's complement):
+    * hhi_ppm = 1e6·Σᵢnᵢ² div n², where nᵢ are the per-category
+    * counts under the key. 1e6 = all activity in one category;
+    * 1e6/k = uniform over k categories. The entropy-style diversity
+    * report without a log in sight — rankings agree with entropy for
+    * the monitoring purposes this serves (bot detection: a "user"
+    * hammering one event type scores ~1e6; drift: a source feeding
+    * one language). Output: (key, n, n_cats, sum_sq, hhi_ppm); the
+    * integer moments merge across shards (sum_sq adds only if
+    * category sets are disjoint — re-aggregate from the (key,
+    * category) level when merging, which is why that level is the
+    * published intermediate).
+    *
+    * Scale shape: two nested map-side-combined aggs — (key,
+    * category) then (key) — both shuffles carry count rows, never
+    * raw events. DECIMAL(38,0) guards the n² product for hot keys. */
+  def concentration(df: DataFrame, keyCol: String,
+      catCol: String): DataFrame = {
+    val cells = df
+      .filter(col(keyCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(keyCol), col(catCol)).agg(count(lit(1)).as("__n"))
+    cells.groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_cats"),
+        sum(col("__n") * col("__n")).as("sum_sq"))
+      .withColumn("hhi_ppm",
+        expr("CAST((CAST(sum_sq AS DECIMAL(38,0)) * 1000000) div" +
+          " (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+  }
+
   /** Winsorized (percentile-clipped) robust statistics per group —
     * the outlier-tamed mean a curation dashboard reports when a few
     * giant documents would otherwise dominate: values below the

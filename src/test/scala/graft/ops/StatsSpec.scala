@@ -163,6 +163,21 @@ class StatsSpec extends SparkSpec {
     assert(z.length == 1 && z.head.isNullAt(0))
   }
 
+  test("concentration: 1e6 for a monoculture, 1e6/k uniform, nulls out") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("bot", "click")) ++
+      Seq(("u", "click"), ("u", "view"), ("u", "buy"), ("u", "view")) ++
+      Seq((null.asInstanceOf[String], "click"), ("u", null.asInstanceOf[String])))
+      .toDF("k", "c")
+    val got = Stats.concentration(df, "k", "c")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 2)
+    assert(got("bot") == (("bot", 5L, 1L, 25L, 1000000L)))
+    // u: click 1, view 2, buy 1 -> sum_sq 6, n=4 -> 6e6/16 = 375000
+    assert(got("u") == (("u", 4L, 3L, 6L, 375000L)))
+  }
+
   test("winsorizedStats: clamps to exact cuts, counts clips, " +
       "identity when nothing clips") {
     import spark.implicits._
