@@ -2784,6 +2784,16 @@ object SparkEntry {
     "q175_concentration" -> ((s, dir) => {
       Stats.concentration(t(s, dir, "events"), "user_id", "event_type")
         .orderBy(col("user_id"))
+    }),
+
+    // ---- Sequence-length histogram + padding waste ----
+    // Power-of-two token-length buckets with the pad-to-bucket
+    // waste fraction per bucket — the batch-shape report that
+    // decides packing vs padding vs length caps. One scan; bucket
+    // ceilings via the engine-portable bin()-length trick.
+    "q176_length_histogram" -> ((s, dir) => {
+      Packing.lengthHistogram(t(s, dir, "documents"), "text")
+        .orderBy(col("bucket"))
     })
   )
 
@@ -6830,6 +6840,23 @@ object SparkEntry {
         |  CAST(sum(n * n) AS BIGINT) AS sum_sq,
         |  CAST((sum(n * n)::HUGEINT * 1000000)
         |    // (sum(n)::HUGEINT * sum(n)) AS BIGINT) AS hhi_ppm
-        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // bucket = 2^bits(L-1) (L=1 → 1); waste over the padded total.
+    "q176_length_histogram" ->
+      """WITH n AS (
+        |  SELECT len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS n
+        |  FROM documents
+        |), f AS (
+        |  SELECT n, CASE WHEN n <= 1 THEN 1::BIGINT
+        |    ELSE (1::BIGINT << length(bin(n - 1))) END AS bucket
+        |  FROM n WHERE n >= 1
+        |)
+        |SELECT bucket, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |  CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+        |  CAST(((bucket * count(*) - sum(n)) * 1000000)
+        |    // (bucket * count(*)) AS BIGINT) AS waste_ppm
+        |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -56,6 +56,23 @@ class ChunkSpec extends SparkSpec {
       (1L, 2, 1, "файл")))
   }
 
+  test("lengthHistogram: power-of-two ceilings, waste math, empties out") {
+    import spark.implicits._
+    // lengths: 1, 2, 3, 4, 5, 0 -> buckets 1, 2, 4, 4, 8; empty dropped
+    val docs = Seq("a", "a b", "a b c", "a b c d", "a b c d e", "??? 123")
+      .toDF("text")
+    val got = Packing.lengthHistogram(docs, "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 4L, 8L))
+    assert(got(1L) == ((1L, 1L, 1L, 1L, 0L)))
+    assert(got(2L) == ((2L, 1L, 2L, 2L, 0L)))
+    // bucket 4: lengths 3+4=7 real, 8 padded -> waste 125000
+    assert(got(4L) == ((4L, 2L, 7L, 8L, 125000L)))
+    // bucket 8: 5 real, 8 padded -> 375000
+    assert(got(8L) == ((8L, 1L, 5L, 8L, 375000L)))
+  }
+
   test("guards: chunkSize positive, overlap within [0, chunkSize)") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Chunk.chunkTokens(df, "doc_id", "text", 0))
