@@ -2794,6 +2794,15 @@ object SparkEntry {
     "q176_length_histogram" -> ((s, dir) => {
       Packing.lengthHistogram(t(s, dir, "documents"), "text")
         .orderBy(col("bucket"))
+    }),
+
+    // ---- Cross-language vocabulary overlap (Jaccard matrix) ----
+    // Exact vocabulary Jaccard for every language pair, zero-overlap
+    // pairs included — the corpus-comparison triage. One tokenize
+    // scan; everything after is vocabulary-sized.
+    "q177_vocab_overlap" -> ((s, dir) => {
+      TextAnalysis.vocabOverlap(t(s, dir, "documents"), "lang", "text")
+        .orderBy(col("lang_a"), col("lang_b"))
     })
   )
 
@@ -6857,6 +6866,30 @@ object SparkEntry {
         |  CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
         |  CAST(((bucket * count(*) - sum(n)) * 1000000)
         |    // (bucket * count(*)) AS BIGINT) AS waste_ppm
-        |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q177_vocab_overlap" ->
+      """WITH t AS (
+        |  SELECT lang AS g,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents WHERE lang IS NOT NULL
+        |), v AS (
+        |  SELECT DISTINCT g, tok FROM t
+        |), s AS (
+        |  SELECT g, count(*)::BIGINT AS n FROM v GROUP BY g
+        |), i AS (
+        |  SELECT a.g AS ga, b.g AS gb, count(*)::BIGINT AS c
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.g < b.g
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT sa.g AS lang_a, sb.g AS lang_b, sa.n AS n_a, sb.n AS n_b,
+        |    COALESCE(i.c, 0::BIGINT) AS n_common
+        |  FROM s sa JOIN s sb ON sa.g < sb.g
+        |  LEFT JOIN i ON i.ga = sa.g AND i.gb = sb.g
+        |)
+        |SELECT lang_a, lang_b, n_a, n_b, n_common,
+        |  CAST((n_common * 1000000) // (n_a + n_b - n_common) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM p ORDER BY lang_a, lang_b""".stripMargin
   )
 }

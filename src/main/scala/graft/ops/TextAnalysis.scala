@@ -502,6 +502,44 @@ object TextAnalysis {
     lmScore(df, idCol, textCol, uni, bi, unicode)
   }
 
+  /** Cross-group vocabulary overlap matrix — for every unordered
+    * group pair (corpus slices: languages, sources, snapshots), the
+    * exact vocabulary Jaccard in ppm: `1e6·|A∩B| div |A∪B|` with
+    * |A∪B| = n_a + n_b − n_common. The corpus-comparison report
+    * behind contamination triage ("which crawl sources share
+    * vocabulary?") and merge decisions; zero-overlap pairs are kept
+    * (the size cross join completes the grid), because "these two
+    * slices share NOTHING" is exactly the finding that matters.
+    *
+    * Scale shape: one tokenize scan reduced to the distinct (group,
+    * token) table (vocabulary-sized, persisted across its three
+    * uses); the intersection self-join keys on token — a token in g
+    * groups fans out g², bounded by the group count squared, never
+    * by corpus size — and the final grid is C(groups, 2) rows. */
+  def vocabOverlap(df: DataFrame, groupCol: String, textCol: String,
+      unicode: Boolean = false): DataFrame = {
+    val vocab = df
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(alphaTokens(col(textCol), unicode)).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = vocab.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = vocab.select(col("g").as("ga"), col("tok"))
+      .join(vocab.select(col("g").as("gb"), col("tok")), "tok")
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("c"))
+    sizes.select(col("g").as("lang_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("g").as("lang_b"), col("n").as("n_b")))
+      .filter(col("lang_a") < col("lang_b"))
+      .join(inter, col("lang_a") === col("ga") &&
+        col("lang_b") === col("gb"), "left")
+      .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+        coalesce(col("c"), lit(0L)).as("n_common"))
+      .withColumn("jaccard_ppm",
+        expr("(n_common * 1000000) div (n_a + n_b - n_common)"))
+  }
+
   /** Dictionary keyword tagging — the broadcast contains-join that
     * labels every document with every matching (tag, keyword) from a
     * curated dictionary (topic lexicons, blocklists, PII term lists):

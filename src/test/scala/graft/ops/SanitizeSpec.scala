@@ -45,6 +45,20 @@ class SanitizeSpec extends SparkSpec {
     assert(got == Set((1L, "exec", "scan", 3L), (1L, "x", "scan", 3L)))
   }
 
+  test("vocabOverlap: exact Jaccard, zero-overlap pairs kept") {
+    import spark.implicits._
+    val docs = Seq(("en", "a b c"), ("en", "a a b"), ("fr", "b c d"),
+      ("zz", "x")).toDF("lang", "text")
+    val got = TextAnalysis.vocabOverlap(docs, "lang", "text")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.size == 3)
+    // en {a,b,c} vs fr {b,c,d}: common 2, union 4 -> 500000
+    assert(got(("en", "fr")) == (("en", "fr", 3L, 3L, 2L, 500000L)))
+    assert(got(("en", "zz")) == (("en", "zz", 3L, 1L, 0L, 0L)))
+    assert(got(("fr", "zz")) == (("fr", "zz", 3L, 1L, 0L, 0L)))
+  }
+
   test("ctrl chars adjacent to spaces do not double-count") {
     // ctrl removed first -> "x  y" -> collapse -> "x y"
     val (_, nCtrl, nWs, nClean, _) = run("x \u0007 y")
