@@ -52,4 +52,54 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"ecdf must not use a single-partition Window.orderBy:\n$p")
   }
+
+  test("corrMoments is one agg over one scan — no join, no window") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong * 2, i.toLong % 7))
+      .toDF("a", "b", "c")
+    val p = plan(Stats.corrMoments(df, Seq("a", "b", "c")))
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("CartesianProduct"),
+      s"all-pairs moments must stay a single agg:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("chiSquareCells totals reuse the persisted cell table") {
+    val df = (1 to 100).map(i => (s"x${i % 3}", s"y${i % 4}")).toDF("x", "y")
+    val out = Stats.chiSquareCells(df, "x", "y")
+    val p = plan(out)
+    assert(p.contains("InMemoryTableScan"),
+      s"row/col/N totals must re-aggregate the cached cells:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row N total should broadcast:\n$p")
+    out.unpersist()
+  }
+
+  test("tagKeywords never shuffles the corpus (broadcast NLJ only)") {
+    val docs = (1 to 50).map(i => (i.toLong, s"text $i scan")).toDF("id", "t")
+    val dict = Seq(("a", "scan")).toDF("tag", "kw")
+    val p = plan(TextAnalysis.tagKeywords(docs, "id", "t", dict,
+      "tag", "kw"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"dictionary should ride a broadcast nested loop:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffleExchange"),
+      s"the corpus must not shuffle for tagging:\n$p")
+  }
+
+  test("lengthHistogram is scan + one agg; no join, no window") {
+    val docs = (1 to 50).map(i => "a b c").toDF("text")
+    val p = plan(Packing.lengthHistogram(docs, "text"))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"length histogram must be a pure agg:\n$p")
+  }
+
+  test("transitionProbs' k arrives by broadcast, not a driver action") {
+    val ev = Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val p = plan(Graph.transitionProbs(ev, "user_id", "event_type",
+      col("ts"), col("event_id")))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row k aggregate should broadcast into the grid:\n$p")
+  }
 }
