@@ -2803,6 +2803,29 @@ object SparkEntry {
     "q177_vocab_overlap" -> ((s, dir) => {
       TextAnalysis.vocabOverlap(t(s, dir, "documents"), "lang", "text")
         .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
+    // ---- HLL pair-union merge (federated cardinality) ----
+    // Union-distinct registers for every source pair by re-MAXing
+    // per-source registers — the merge law oracled: DuckDB rebuilds
+    // the pair registers independently and the exact union distinct
+    // rides along as the audit column. No corpus rescan for any
+    // pair.
+    "q178_hll_union" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.alphaTokens(col("text"))).as("tok"))
+      val v = toks.select(col("source").as("g"), col("tok")).distinct()
+      val gs = broadcast(v.select(col("g").as("g2")).distinct())
+      val exact = v.join(gs, col("g") =!= col("g2"))
+        .select(least(col("g"), col("g2")).as("src_a"),
+          greatest(col("g"), col("g2")).as("src_b"), col("tok"))
+        .distinct()
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("exact_union"))
+      Sketch.hllPairUnionSummary(toks, "source", "tok", p = 8)
+        .join(exact, Seq("src_a", "src_b"))
+        .orderBy(col("src_a"), col("src_b"))
     })
   )
 
@@ -6890,6 +6913,53 @@ object SparkEntry {
         |SELECT lang_a, lang_b, n_a, n_b, n_common,
         |  CAST((n_common * 1000000) // (n_a + n_b - n_common) AS BIGINT)
         |    AS jaccard_ppm
-        |FROM p ORDER BY lang_a, lang_b""".stripMargin
+        |FROM p ORDER BY lang_a, lang_b""".stripMargin,
+
+    // Per-source registers re-MAXed per pair; z_int as in q168.
+    "q178_hll_union" ->
+      """WITH toks AS (
+        |  SELECT source AS g,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents WHERE source IS NOT NULL
+        |), h AS (
+        |  SELECT DISTINCT g,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM toks
+        |), reg AS (
+        |  SELECT g, h // 4503599627370496 AS b,
+        |    max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |        ELSE 53 - length(bin(h % 4503599627370496)) END) AS rho
+        |  FROM h GROUP BY 1, 2
+        |), gs AS (
+        |  SELECT DISTINCT g FROM reg
+        |), pairs AS (
+        |  SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g
+        |), tag AS (
+        |  SELECT p.ga, p.gb, r.b, r.rho
+        |  FROM pairs p JOIN reg r ON r.g = p.ga
+        |  UNION ALL
+        |  SELECT p.ga, p.gb, r.b, r.rho
+        |  FROM pairs p JOIN reg r ON r.g = p.gb
+        |), preg AS (
+        |  SELECT ga, gb, b, max(rho) AS rho FROM tag GROUP BY 1, 2, 3
+        |), s AS (
+        |  SELECT ga, gb, count(*)::BIGINT AS buckets_set,
+        |    CAST(sum(rho) AS BIGINT) AS sum_rho,
+        |    CAST(sum(1::BIGINT << (53 - rho)) AS BIGINT) AS z_set
+        |  FROM preg GROUP BY 1, 2
+        |), vv AS (
+        |  SELECT DISTINCT g, tok FROM toks
+        |), ex AS (
+        |  SELECT p.ga, p.gb, count(DISTINCT v.tok)::BIGINT AS exact_union
+        |  FROM pairs p JOIN vv v ON v.g = p.ga OR v.g = p.gb
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.ga AS src_a, s.gb AS src_b, 256::BIGINT AS m,
+        |  buckets_set, sum_rho,
+        |  CAST(z_set + (256 - buckets_set) * (1::BIGINT << 53) AS BIGINT)
+        |    AS z_int,
+        |  exact_union
+        |FROM s JOIN ex ON ex.ga = s.ga AND ex.gb = s.gb
+        |ORDER BY src_a, src_b""".stripMargin
   )
 }

@@ -211,6 +211,49 @@ object Sketch {
         col("sum_rho"), col("z_int")): _*)
   }
 
+  /** Pair-union HLL summaries — the merge law made observable: for
+    * every unordered group pair, the UNION sketch obtained by
+    * re-MAXing the two groups' registers, summarized like
+    * [[hllSummary]]. This is the operation that makes HLL the right
+    * sketch for federated cardinality questions ("how many distinct
+    * tokens across sources A and B?") — the answer comes from m
+    * integers per source, NOT from re-scanning either corpus, and
+    * because max-merge is exact (not an approximation on top of the
+    * sketch), the union registers are bit-identical to the sketch of
+    * the concatenated data (spec-asserted, and the DuckDB oracle
+    * rebuilds them independently).
+    *
+    * Scale shape: the per-group sketch build is [[hllSketch]]'s one
+    * scan; pair expansion joins the m·groups register table against
+    * the broadcast group list (register rows × (groups−1) — bounded
+    * by the categorical group count, never the corpus), then two
+    * map-side-combined aggs. Output: (src_a, src_b, m, buckets_set,
+    * sum_rho, z_int). */
+  def hllPairUnionSummary(df: DataFrame, groupCol: String,
+      valueCol: String, p: Int = 8): DataFrame = {
+    val q = 61 - p
+    val m = 1L << p
+    val sk = hllSketch(df.filter(col(groupCol).isNotNull),
+        Seq(groupCol), valueCol, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = broadcast(sk.select(col(groupCol).as("__g2")).distinct())
+    sk.join(groups, col(groupCol) =!= col("__g2"))
+      .select(least(col(groupCol), col("__g2")).as("src_a"),
+        greatest(col(groupCol), col("__g2")).as("src_b"),
+        col("hll_bucket"), col("hll_rho"))
+      .groupBy(col("src_a"), col("src_b"), col("hll_bucket"))
+      .agg(max(col("hll_rho")).as("hll_rho"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("buckets_set"),
+        sum(col("hll_rho").cast("long")).as("sum_rho"),
+        expr(s"sum(shiftleft(CAST(1 AS BIGINT), $q - hll_rho))").as("z_set"))
+      .withColumn("m", lit(m))
+      .withColumn("z_int",
+        col("z_set") + (lit(m) - col("buckets_set")) * lit(1L << q))
+      .select(col("src_a"), col("src_b"), col("m"), col("buckets_set"),
+        col("sum_rho"), col("z_int"))
+  }
+
   /** Float distinct-count estimates from [[hllSummary]] rows:
     * est = α_m · m² · 2^(61-p) / z_int with the standard small-range
     * linear-counting correction (est < 2.5m and empty registers

@@ -129,6 +129,25 @@ class JoinSketchSpec extends SparkSpec {
     assert(regs.forall { case (b, r) => b >= 0 && b < 256 && r >= 1 && r <= 53 })
   }
 
+  test("hll pair-union equals the sketch of the concatenated data") {
+    val df = spark.range(6000)
+      .select(($"id" % 3).cast("string").as("g"), ($"id" % 2500).as("v"))
+    val pair = Sketch.hllPairUnionSummary(df, "g", "v")
+      .filter($"src_a" === "0" && $"src_b" === "1")
+      .select("m", "buckets_set", "sum_rho", "z_int")
+      .as[(Long, Long, Long, Long)].head()
+    val direct = Sketch.hllSummary(df.filter($"g" =!= "2"), Seq("g"), "v")
+    // collapse the two groups into one sketch by re-deriving from
+    // the raw union — the ground truth the merged pair must equal
+    val truth = Sketch.hllSummary(
+      df.filter($"g" =!= "2").select(lit("u").as("g"), $"v"),
+      Seq("g"), "v")
+      .select("m", "buckets_set", "sum_rho", "z_int")
+      .as[(Long, Long, Long, Long)].head()
+    assert(pair == truth)
+    assert(direct.count() == 2) // sanity: two per-group rows existed
+  }
+
   test("kmv sketch exchange is sketch-sized, not vocabulary-sized") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
     val n = 200000L
