@@ -2826,6 +2826,28 @@ object SparkEntry {
       Sketch.hllPairUnionSummary(toks, "source", "tok", p = 8)
         .join(exact, Seq("src_a", "src_b"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // ---- Inter-arrival gap percentiles (engagement latency) ----
+    // Time until the user's NEXT action, keyed by the type of the
+    // action they just took — exact p50/p90/p99 per event type via
+    // the histogram-cumsum reduction, plus count/sum moments. The
+    // lead window is user-keyed (parallel), never a global sort.
+    "q179_interarrival" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(expr("ts DIV 1000"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("event_type"),
+          (lead(expr("ts DIV 1000"), 1).over(w) - expr("ts DIV 1000"))
+            .as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+      Stats.exactPercentiles(gaps, Seq("event_type"), "gap_us",
+          Seq(0.5, 0.9, 0.99))
+        .join(gaps.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("gap_us")).as("sum_gap_us")), "event_type")
+        .orderBy(col("event_type"))
     })
   )
 
@@ -6960,6 +6982,39 @@ object SparkEntry {
         |    AS z_int,
         |  exact_union
         |FROM s JOIN ex ON ex.ga = s.ga AND ex.gb = s.gb
-        |ORDER BY src_a, src_b""".stripMargin
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // Same cume_dist >= p cut rule; gaps keyed by the prior event's
+    // type.
+    "q179_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS gap_us
+        |  FROM events
+        |), f AS (
+        |  SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL
+        |), h AS (
+        |  SELECT event_type, gap_us AS v, count(*)::BIGINT AS c
+        |  FROM f GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT event_type, v, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS tot
+        |  FROM h
+        |), p AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum * 10000 >= tot * 5000 THEN v END) AS p50,
+        |    min(CASE WHEN cum * 10000 >= tot * 9000 THEN v END) AS p90,
+        |    min(CASE WHEN cum * 10000 >= tot * 9900 THEN v END) AS p99
+        |  FROM cu GROUP BY 1
+        |), a AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |    CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT p.event_type, p50, p90, p99, n_gaps, sum_gap_us
+        |FROM p JOIN a ON a.event_type = p.event_type
+        |ORDER BY p.event_type""".stripMargin
   )
 }
