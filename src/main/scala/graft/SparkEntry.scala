@@ -2848,6 +2848,33 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_gaps"),
             sum(col("gap_us")).as("sum_gap_us")), "event_type")
         .orderBy(col("event_type"))
+    }),
+
+    // ---- RFM customer segmentation (quartile bins) ----
+    // Recency/frequency/monetary quartiles per customer, each cut
+    // by the exact cume_dist ≥ p rule, rolled up to segment counts —
+    // the classic lifecycle segmentation, integer-exact end to end.
+    // The customer rollup is one orders scan; the three bin passes
+    // run on the customer-sized frame.
+    "q180_rfm" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(cents(col("o_totalprice"))).as("mon_c"))
+        .crossJoin(broadcast(
+          o.agg(max(col("o_orderdate").cast("date")).as("mxd"))))
+        .withColumn("rec_days", datediff(col("mxd"), col("last_d"))
+          .cast("long"))
+      val qs = Seq(0.25, 0.5, 0.75)
+      val binned = Seq(("rec_days", "r_bin"), ("freq", "f_bin"),
+        ("mon_c", "m_bin")).foldLeft(cust) { case (df, (v, b)) =>
+          Stats.quantileBins(df, Nil, v, qs).withColumnRenamed("bin", b)
+        }
+      binned.groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("mon_c")).as("sum_monetary_c"))
+        .orderBy(col("r_bin"), col("f_bin"), col("m_bin"))
     })
   )
 
@@ -7015,6 +7042,68 @@ object SparkEntry {
         |)
         |SELECT p.event_type, p50, p90, p99, n_gaps, sum_gap_us
         |FROM p JOIN a ON a.event_type = p.event_type
-        |ORDER BY p.event_type""".stripMargin
+        |ORDER BY p.event_type""".stripMargin,
+
+    // bin = #quartile cuts the value exceeds (quantileBins rule).
+    "q180_rfm" ->
+      """WITH c AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    count(*)::BIGINT AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS mon_c
+        |  FROM orders GROUP BY 1
+        |), mx AS (
+        |  SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders
+        |), b AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', last_d, mxd)::BIGINT AS rec_days, freq, mon_c
+        |  FROM c CROSS JOIN mx
+        |), hr AS (
+        |  SELECT rec_days AS v, count(*)::BIGINT AS cnt FROM b GROUP BY 1
+        |), cur AS (
+        |  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+        |    sum(cnt) OVER () AS tot FROM hr
+        |), pr AS (
+        |  SELECT min(CASE WHEN cum * 10000 >= tot * 2500 THEN v END) AS q1,
+        |    min(CASE WHEN cum * 10000 >= tot * 5000 THEN v END) AS q2,
+        |    min(CASE WHEN cum * 10000 >= tot * 7500 THEN v END) AS q3
+        |  FROM cur
+        |), hf AS (
+        |  SELECT freq AS v, count(*)::BIGINT AS cnt FROM b GROUP BY 1
+        |), cuf AS (
+        |  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+        |    sum(cnt) OVER () AS tot FROM hf
+        |), pf AS (
+        |  SELECT min(CASE WHEN cum * 10000 >= tot * 2500 THEN v END) AS q1,
+        |    min(CASE WHEN cum * 10000 >= tot * 5000 THEN v END) AS q2,
+        |    min(CASE WHEN cum * 10000 >= tot * 7500 THEN v END) AS q3
+        |  FROM cuf
+        |), hm AS (
+        |  SELECT mon_c AS v, count(*)::BIGINT AS cnt FROM b GROUP BY 1
+        |), cum2 AS (
+        |  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+        |    sum(cnt) OVER () AS tot FROM hm
+        |), pm AS (
+        |  SELECT min(CASE WHEN cum * 10000 >= tot * 2500 THEN v END) AS q1,
+        |    min(CASE WHEN cum * 10000 >= tot * 5000 THEN v END) AS q2,
+        |    min(CASE WHEN cum * 10000 >= tot * 7500 THEN v END) AS q3
+        |  FROM cum2
+        |), seg AS (
+        |  SELECT
+        |    (CASE WHEN rec_days > pr.q1 THEN 1 ELSE 0 END
+        |     + CASE WHEN rec_days > pr.q2 THEN 1 ELSE 0 END
+        |     + CASE WHEN rec_days > pr.q3 THEN 1 ELSE 0 END)::BIGINT AS r_bin,
+        |    (CASE WHEN freq > pf.q1 THEN 1 ELSE 0 END
+        |     + CASE WHEN freq > pf.q2 THEN 1 ELSE 0 END
+        |     + CASE WHEN freq > pf.q3 THEN 1 ELSE 0 END)::BIGINT AS f_bin,
+        |    (CASE WHEN mon_c > pm.q1 THEN 1 ELSE 0 END
+        |     + CASE WHEN mon_c > pm.q2 THEN 1 ELSE 0 END
+        |     + CASE WHEN mon_c > pm.q3 THEN 1 ELSE 0 END)::BIGINT AS m_bin,
+        |    mon_c
+        |  FROM b CROSS JOIN pr CROSS JOIN pf CROSS JOIN pm
+        |)
+        |SELECT r_bin, f_bin, m_bin, count(*)::BIGINT AS n_customers,
+        |  CAST(sum(mon_c) AS BIGINT) AS sum_monetary_c
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }
