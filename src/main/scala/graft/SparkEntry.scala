@@ -2875,6 +2875,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"),
           sum(col("mon_c")).as("sum_monetary_c"))
         .orderBy(col("r_bin"), col("f_bin"), col("m_bin"))
+    }),
+
+    // ---- RAKE keyphrases (stopword-delimited phrase mining) ----
+    // Candidate phrases between stopword/punct delimiters scored by
+    // summed word deg/freq in exact ppm — the keyphrase extractor
+    // complementary to q131's PMI collocations. Corpus phrase-
+    // tokenized once, all scoring on the distinct-phrase table.
+    "q181_rake" -> ((s, dir) => {
+      TextAnalysis.rakeKeyphrases(t(s, dir, "documents"), "text",
+          minCount = 20L)
+        .orderBy(col("score_ppm").desc, col("phrase"))
     })
   )
 
@@ -7104,6 +7115,39 @@ object SparkEntry {
         |)
         |SELECT r_bin, f_bin, m_bin, count(*)::BIGINT AS n_customers,
         |  CAST(sum(mon_c) AS BIGINT) AS sum_monetary_c
-        |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Same delimiter regex and deg/freq flooring as rakeKeyphrases;
+    // word scores computed over ALL candidates, minCount prunes
+    // phrases only.
+    "q181_rake" ->
+      """WITH ph AS (
+        |  SELECT trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+        |  FROM (
+        |    SELECT unnest(string_split(regexp_replace(lower(COALESCE(text, '')),
+        |      '\b(the|a|an|and|or|of|to|in|on|for|with|is|are|was|were|be|as|at|by|it|this|that)\b|[^a-z ]',
+        |      '|', 'g'), '|')) AS p
+        |    FROM documents)
+        |  WHERE trim(regexp_replace(p, ' +', ' ', 'g')) <> ''
+        |), pc AS (
+        |  SELECT phrase, count(*)::BIGINT AS cnt FROM ph GROUP BY 1
+        |), w AS (
+        |  SELECT phrase, cnt,
+        |    len(string_split(phrase, ' '))::BIGINT AS plen,
+        |    unnest(string_split(phrase, ' ')) AS word
+        |  FROM pc
+        |), sc AS (
+        |  SELECT word,
+        |    (CAST(sum(cnt * plen) AS BIGINT) * 1000000)
+        |      // CAST(sum(cnt) AS BIGINT) AS wscore
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT w.phrase, CAST(min(w.cnt) AS BIGINT) AS n_occurrences,
+        |  CAST(min(w.plen) AS BIGINT) AS n_words,
+        |  CAST(sum(sc.wscore) AS BIGINT) AS score_ppm
+        |FROM w JOIN sc ON sc.word = w.word
+        |WHERE w.cnt >= 20
+        |GROUP BY w.phrase
+        |ORDER BY score_ppm DESC, phrase""".stripMargin
   )
 }

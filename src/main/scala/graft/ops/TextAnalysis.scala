@@ -502,6 +502,60 @@ object TextAnalysis {
     lmScore(df, idCol, textCol, uni, bi, unicode)
   }
 
+  /** RAKE stopword list (Rose et al. 2010 use a full SMART list;
+    * this is the deterministic core subset — callers pass their
+    * own for production lexicons). */
+  val RakeStopwords: Seq[String] = Seq("the", "a", "an", "and", "or",
+    "of", "to", "in", "on", "for", "with", "is", "are", "was", "were",
+    "be", "as", "at", "by", "it", "this", "that")
+
+  /** RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010):
+    * candidate phrases are the maximal runs between stopwords /
+    * non-letter characters; each word scores `deg/freq` where freq
+    * counts the word's occurrences inside candidates and deg weights
+    * each occurrence by its phrase length (words in longer phrases
+    * score higher — the paper's co-occurrence degree); a phrase
+    * scores the sum of its member words. All in integer ppm
+    * (`1e6·deg div freq`), one flooring point per word, so both
+    * engines rank identically with no float in sight.
+    *
+    * Scale shape: the corpus is tokenized into phrases ONCE and
+    * immediately reduced to the distinct-phrase count table
+    * (vocabulary-sized — the BPE count-over-the-vocabulary move);
+    * word statistics and phrase scores are both derived from that
+    * persisted table, so the corpus is never rescanned. Output:
+    * (phrase, n_occurrences, n_words, score_ppm), `minCount`
+    * pruning on occurrences BEFORE the score join. */
+  def rakeKeyphrases(df: DataFrame, textCol: String, minCount: Long = 1L,
+      stopwords: Seq[String] = RakeStopwords): DataFrame = {
+    require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),
+      "stopwords must be non-empty lowercase words")
+    val stopPat = "\\b(" + stopwords.mkString("|") + ")\\b|[^a-z ]"
+    val norm = trim(regexp_replace(col("__p"), " +", " "))
+    val pc = df
+      .select(explode(split(
+        regexp_replace(lower(coalesce(col(textCol), lit(""))),
+          stopPat, "|"), "\\|")).as("__p"))
+      .select(norm.as("phrase"))
+      .filter(col("phrase") =!= "")
+      .groupBy(col("phrase")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = pc.select(col("phrase"), col("cnt"),
+        size(split(col("phrase"), " ")).cast("long").as("plen"),
+        explode(split(col("phrase"), " ")).as("word"))
+    val scores = words.groupBy(col("word"))
+      .agg(sum(col("cnt")).as("freq"),
+        sum(col("cnt") * col("plen")).as("deg"))
+      .select(col("word"),
+        expr("(deg * 1000000) div freq").as("__wscore"))
+    words.filter(col("cnt") >= minCount)
+      .join(scores, "word")
+      .groupBy(col("phrase"))
+      .agg(min(col("cnt")).as("n_occurrences"),
+        min(col("plen")).as("n_words"),
+        sum(col("__wscore")).as("score_ppm"))
+  }
+
   /** Cross-group vocabulary overlap matrix — for every unordered
     * group pair (corpus slices: languages, sources, snapshots), the
     * exact vocabulary Jaccard in ppm: `1e6·|A∩B| div |A∪B|` with

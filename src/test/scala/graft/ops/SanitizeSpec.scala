@@ -45,6 +45,26 @@ class SanitizeSpec extends SparkSpec {
     assert(got == Set((1L, "exec", "scan", 3L), (1L, "x", "scan", 3L)))
   }
 
+  test("rakeKeyphrases: paper scoring on a hand-checked example") {
+    import spark.implicits._
+    val docs = Seq("Machine learning drives machine vision; learning helps.")
+      .toDF("text")
+    val got = TextAnalysis.rakeKeyphrases(docs, "text")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // phrases: "machine learning drives machine vision" (len 5),
+    // "learning helps" (len 2)
+    // freq: machine 2, learning 2, drives 1, vision 1, helps 1
+    // deg:  machine 10, learning 7, drives 5, vision 5, helps 2
+    // scores ppm: 5e6, 3.5e6, 5e6, 5e6, 2e6
+    assert(got.size == 2)
+    assert(got("machine learning drives machine vision") ==
+      (("machine learning drives machine vision", 1L, 5L, 23500000L)))
+    assert(got("learning helps") == (("learning helps", 1L, 2L, 5500000L)))
+    // minCount prunes phrases but not the word statistics
+    val pruned = TextAnalysis.rakeKeyphrases(docs, "text", minCount = 2L)
+    assert(pruned.count() == 0L)
+  }
+
   test("vocabOverlap: exact Jaccard, zero-overlap pairs kept") {
     import spark.implicits._
     val docs = Seq(("en", "a b c"), ("en", "a a b"), ("fr", "b c d"),
