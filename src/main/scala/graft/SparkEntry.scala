@@ -2886,6 +2886,30 @@ object SparkEntry {
       TextAnalysis.rakeKeyphrases(t(s, dir, "documents"), "text",
           minCount = 20L)
         .orderBy(col("score_ppm").desc, col("phrase"))
+    }),
+
+    // ---- Per-user activity-trend moments (a million regressions) ----
+    // Day-vs-count least-squares sufficient statistics per user as
+    // ONE map-side-combined agg over the daily rollup — the engaged/
+    // churning trend fit; slope and r are the caller's last floats.
+    "q182_trend_moments" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          expr("(ts DIV 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_ev"))
+      Stats.groupedMoments(daily, Seq("user_id"), "day", "n_ev")
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- Median/MAD robust outlier report ----
+    // Hampel's |v − med| > 3·MAD rule per language over document
+    // lengths — median and MAD from the SAME persisted histogram
+    // (the deviation histogram is re-keyed histogram rows, not a
+    // rescan), so the whole report costs one corpus scan.
+    "q183_mad_outliers" -> ((s, dir) => {
+      Stats.madStats(t(s, dir, "documents"), Seq("lang"), "n_chars",
+          k = 3L)
+        .orderBy(col("lang"))
     })
   )
 
@@ -7148,6 +7172,53 @@ object SparkEntry {
         |FROM w JOIN sc ON sc.word = w.word
         |WHERE w.cnt >= 20
         |GROUP BY w.phrase
-        |ORDER BY score_ppm DESC, phrase""".stripMargin
+        |ORDER BY score_ppm DESC, phrase""".stripMargin,
+
+    "q182_trend_moments" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    count(*)::BIGINT AS n_ev
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*)::BIGINT AS n,
+        |  CAST(sum(day) AS BIGINT) AS sum_x,
+        |  CAST(sum(n_ev) AS BIGINT) AS sum_y,
+        |  CAST(sum(day * n_ev) AS BIGINT) AS sum_xy,
+        |  CAST(sum(day * day) AS BIGINT) AS sum_x2,
+        |  CAST(sum(n_ev * n_ev) AS BIGINT) AS sum_y2
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // med and mad via the cume_dist*2 >= tot integer rule; the
+    // deviation histogram re-keys the value histogram.
+    "q183_mad_outliers" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT lang, v, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS tot
+        |  FROM h
+        |), med AS (
+        |  SELECT lang, min(CASE WHEN cum * 2 >= tot THEN v END) AS med
+        |  FROM cu GROUP BY 1
+        |), dh AS (
+        |  SELECT h.lang, abs(v - med) AS d, CAST(sum(c) AS BIGINT) AS c
+        |  FROM h JOIN med ON med.lang = h.lang GROUP BY 1, 2
+        |), cud AS (
+        |  SELECT lang, d, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY d) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS tot
+        |  FROM dh
+        |), mad AS (
+        |  SELECT lang, min(CASE WHEN cum * 2 >= tot THEN d END) AS mad
+        |  FROM cud GROUP BY 1
+        |)
+        |SELECT h.lang, CAST(sum(c) AS BIGINT) AS n,
+        |  min(med) AS med, min(mad) AS mad,
+        |  CAST(sum(CASE WHEN abs(v - med) > 3 * mad THEN c ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM h JOIN med ON med.lang = h.lang JOIN mad ON mad.lang = h.lang
+        |GROUP BY h.lang ORDER BY h.lang""".stripMargin
   )
 }

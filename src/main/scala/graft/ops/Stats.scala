@@ -247,6 +247,85 @@ object Stats {
         expr("((__lt + n) * 1000000L) div __tot").as("cdf_ppm"))
   }
 
+  /** Per-group bivariate moments — [[corrMoments]]' single-pair,
+    * grouped sibling: for each group, (n, sum_x, sum_y, sum_xy,
+    * sum_x2, sum_y2) over rows where both are non-null. The
+    * sufficient statistics for a per-group least-squares slope
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` and correlation — the
+    * per-user activity-trend fit, a million tiny regressions as ONE
+    * map-side-combined agg. Moments add across shards. Sums ride
+    * DECIMAL(38,0), outputs BIGINT (callers keep values ≤ ~1e5
+    * scale, same contract as corrMoments). */
+  def groupedMoments(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupedMoments needs group columns")
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    def dec(c: String) = s"CAST($c AS DECIMAL(38,0))"
+    df.groupBy(groupCols.map(col): _*)
+      .agg(coalesce(sum(when(both, lit(1L))), lit(0L)).as("n"),
+        sum(when(both, expr(dec(xCol)))).as("__sx"),
+        sum(when(both, expr(dec(yCol)))).as("__sy"),
+        sum(when(both, expr(s"${dec(xCol)} * $yCol"))).as("__sxy"),
+        sum(when(both, expr(s"${dec(xCol)} * $xCol"))).as("__sx2"),
+        sum(when(both, expr(s"${dec(yCol)} * $yCol"))).as("__sy2"))
+      .select(groupCols.map(col) ++ Seq(col("n"),
+        expr("CAST(coalesce(__sx, 0) AS BIGINT)").as("sum_x"),
+        expr("CAST(coalesce(__sy, 0) AS BIGINT)").as("sum_y"),
+        expr("CAST(coalesce(__sxy, 0) AS BIGINT)").as("sum_xy"),
+        expr("CAST(coalesce(__sx2, 0) AS BIGINT)").as("sum_x2"),
+        expr("CAST(coalesce(__sy2, 0) AS BIGINT)").as("sum_y2")): _*)
+  }
+
+  /** Median / MAD robust outlier report per group — the
+    * non-parametric cousin of z-scoring (no mean, no variance, no
+    * float): med = p50 of the values, mad = p50 of |v − med|, and a
+    * value is an outlier when |v − med| > k·mad (Hampel's rule;
+    * k = 3 by default — for a normal distribution 3·MAD ≈ 2σ).
+    * Both medians use the cume_dist ≥ p integer rule, so the report
+    * is engine-exact. mad = 0 (over half the mass on one value)
+    * makes every deviating value an outlier — correct and
+    * deliberate for the degenerate distributions it flags.
+    *
+    * Output: (groupCols*, n, med, mad, n_outliers).
+    *
+    * Scale shape: ONE corpus scan. Everything derives from the
+    * persisted value histogram: the median from its cumsum, the
+    * DEVIATION histogram by re-keying histogram rows on |v − med|
+    * (value-domain-sized arithmetic, not a rescan), the MAD from
+    * that, and the outlier count from the original histogram joined
+    * to both cuts. */
+  def madStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Long = 3L): DataFrame = {
+    require(groupCols.nonEmpty, "madStats needs group columns")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val gcols = groupCols.map(col)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(gcols :+ col(valueCol).cast("long").as("__v"): _*)
+      .groupBy(gcols :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def p50(h: DataFrame, vCol: String): DataFrame = {
+      val running = Window.partitionBy(gcols: _*).orderBy(col(vCol))
+      val whole = Window.partitionBy(gcols: _*)
+      h.withColumn("__cum", sum(col("__c")).over(running))
+        .withColumn("__tot", sum(col("__c")).over(whole))
+        .groupBy(gcols: _*)
+        .agg(min(when(col("__cum") * 2 >= col("__tot"), col(vCol)))
+          .as(s"__p50_$vCol"))
+    }
+    val med = p50(hist, "__v").withColumnRenamed("__p50___v", "med")
+    val devHist = hist.join(med, groupCols)
+      .select(gcols :+ abs(col("__v") - col("med")).as("__d")
+        :+ col("__c"): _*)
+      .groupBy(gcols :+ col("__d"): _*).agg(sum(col("__c")).as("__c"))
+    val mad = p50(devHist, "__d").withColumnRenamed("__p50___d", "mad")
+    hist.join(med, groupCols).join(mad, groupCols)
+      .groupBy(gcols: _*)
+      .agg(sum(col("__c")).as("n"), min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(abs(col("__v") - col("med")) > lit(k) * col("mad"),
+          col("__c")).otherwise(lit(0L))).as("n_outliers"))
+  }
+
   /** Herfindahl–Hirschman concentration index per key in exact ppm —
     * the no-libm diversity measure (Simpson index's complement):
     * hhi_ppm = 1e6·Σᵢnᵢ² div n², where nᵢ are the per-category

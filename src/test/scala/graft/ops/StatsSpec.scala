@@ -163,6 +163,34 @@ class StatsSpec extends SparkSpec {
     assert(z.length == 1 && z.head.isNullAt(0))
   }
 
+  test("madStats: hand-checked median/MAD, Hampel outliers, mad=0 case") {
+    import spark.implicits._
+    // values 1..9 plus outlier 100: med of 10 values (cume_dist rule
+    // picks the 5th) = 5; deviations {4,3,2,1,0,1,2,3,4,95} -> mad
+    // (5th smallest) = 2; |v-5| > 6 flags only 100
+    val df = ((1L to 9L) :+ 100L).map(v => ("g", v)).toDF("g", "v")
+    val got = Stats.madStats(df, Seq("g"), "v")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(got == (("g", 10L, 5L, 2L, 1L)))
+    // constant-heavy distribution -> mad = 0, every deviation flags
+    val const = (Seq.fill(5)(7L) ++ Seq(8L, 9L)).map(v => ("g", v))
+      .toDF("g", "v")
+    val gc = Stats.madStats(const, Seq("g"), "v")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(gc == (("g", 7L, 7L, 0L, 2L)))
+  }
+
+  test("groupedMoments: per-group sums with pairwise deletion") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("b", 3L, 1L))
+      .toDF("g", "x", "y")
+    val got = Stats.groupedMoments(df, Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 3L, 6L, 10L, 5L, 20L)))
+    assert(got("b") == (("b", 1L, 3L, 1L, 3L, 9L, 1L)))
+  }
+
   test("concentration: 1e6 for a monoculture, 1e6/k uniform, nulls out") {
     import spark.implicits._
     val df = (Seq.fill(5)(("bot", "click")) ++
