@@ -2910,6 +2910,30 @@ object SparkEntry {
       Stats.madStats(t(s, dir, "documents"), Seq("lang"), "n_chars",
           k = 3L)
         .orderBy(col("lang"))
+    }),
+
+    // ---- HDR histogram percentiles (bounded-state latency) ----
+    // q179's gaps are µs-resolution (near-unique), so the exact
+    // histogram is corpus-sized; the HDR sketch bounds state at
+    // ~63·2^5 buckets per type with ≤ 3.1% relative error. The
+    // bucket table is a pure integer function of the value — the
+    // oracle rebuilds it bit-for-bit; n_buckets is the state proof.
+    "q184_hdr_latency" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(expr("ts DIV 1000"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("event_type"),
+          (lead(expr("ts DIV 1000"), 1).over(w) - expr("ts DIV 1000"))
+            .as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+      val sk = Stats.hdrSketch(gaps, Seq("event_type"), "gap_us",
+        subBits = 5)
+      Stats.hdrPercentiles(sk, Seq("event_type"), Seq(0.5, 0.9, 0.99))
+        .join(sk.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_buckets"), sum(col("cnt")).as("n_gaps")),
+          "event_type")
+        .orderBy(col("event_type"))
     })
   )
 
@@ -7219,6 +7243,47 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN abs(v - med) > 3 * mad THEN c ELSE 0 END)
         |    AS BIGINT) AS n_outliers
         |FROM h JOIN med ON med.lang = h.lang JOIN mad ON mad.lang = h.lang
-        |GROUP BY h.lang ORDER BY h.lang""".stripMargin
+        |GROUP BY h.lang ORDER BY h.lang""".stripMargin,
+
+    // bucket_lo keeps the top 6 significant bits: (v >> s) << s with
+    // s = max(bits(v)-6, 0); cume_dist >= p over bucket lows.
+    "q184_hdr_latency" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS gap_us
+        |  FROM events
+        |), f AS (
+        |  SELECT event_type, gap_us FROM g
+        |  WHERE gap_us IS NOT NULL AND gap_us >= 0
+        |), h AS (
+        |  SELECT event_type,
+        |    (gap_us >> GREATEST(length(bin(gap_us)) - 6, 0))
+        |      << GREATEST(length(bin(gap_us)) - 6, 0) AS bucket_lo,
+        |    count(*)::BIGINT AS cnt
+        |  FROM f GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT event_type, bucket_lo, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket_lo)
+        |      AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS tot
+        |  FROM h
+        |), p AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum * 10000 >= tot * 5000 THEN bucket_lo END)
+        |      AS p50,
+        |    min(CASE WHEN cum * 10000 >= tot * 9000 THEN bucket_lo END)
+        |      AS p90,
+        |    min(CASE WHEN cum * 10000 >= tot * 9900 THEN bucket_lo END)
+        |      AS p99
+        |  FROM cu GROUP BY 1
+        |), s AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_buckets,
+        |    CAST(sum(cnt) AS BIGINT) AS n_gaps
+        |  FROM h GROUP BY 1
+        |)
+        |SELECT p.event_type, p50, p90, p99, n_buckets, n_gaps
+        |FROM p JOIN s ON s.event_type = p.event_type
+        |ORDER BY p.event_type""".stripMargin
   )
 }

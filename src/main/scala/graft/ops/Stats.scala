@@ -247,6 +247,65 @@ object Stats {
         expr("((__lt + n) * 1000000L) div __tot").as("cdf_ppm"))
   }
 
+  /** HDR-style histogram sketch (Gray & Tene's HdrHistogram bucket
+    * scheme): each non-negative value keeps its top `subBits`+1
+    * significant bits — bucket lower bound
+    * `lb = (v >> s) << s, s = max(bits(v) − 1 − subBits, 0)` — so
+    * state is bounded at ~63·2^subBits buckets per group for ANY
+    * long-valued domain, with relative error ≤ 2^−subBits. This is
+    * the honest percentile path when [[exactPercentiles]]' value
+    * histogram would be corpus-sized (µs-resolution latencies,
+    * byte-exact sizes: near-unique values make "exact" a full
+    * shuffle of the column). Buckets are pure functions of the value
+    * (bin()-length arithmetic, engine-portable like the HLL rho) and
+    * merge by adding counts — shard/replay/engine independent.
+    * Negative values are rejected by filter (latencies/sizes are the
+    * contract; signed data should be offset upstream).
+    *
+    * Output: (groupCols*, bucket_lo, cnt), ordered-joinable;
+    * map-side combined, ≤ buckets·partitions rows shuffle. */
+  def hdrSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      subBits: Int = 5): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"subBits must be in [1, 16] (got $subBits)")
+    val gcols = groupCols.map(col)
+    val b1 = subBits + 1
+    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(gcols :+ col(valueCol).cast("long").as("__v"): _*)
+      .withColumn("bucket_lo", expr(
+        s"shiftleft(shiftright(__v, greatest(length(bin(__v)) - $b1, 0))," +
+          s" greatest(length(bin(__v)) - $b1, 0))"))
+      .groupBy(gcols :+ col("bucket_lo"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Percentile estimates from a [[hdrSketch]]: the cume_dist ≥ p
+    * rule over buckets ordered by lower bound, reporting the bucket
+    * lower bound — an underestimate by at most 2^−subBits relative
+    * (spec-asserted against exact percentiles). The window runs over
+    * the SKETCH (≤ 63·2^subBits rows per group), never the data. */
+  def hdrPercentiles(sketch: DataFrame, groupCols: Seq[String],
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    ps.foreach { p =>
+      require(p > 0 && p <= 1, s"percentile $p outside (0, 1]")
+      require(math.abs(p * 10000 - math.round(p * 10000)) < 1e-9,
+        s"percentile $p is not a basis-point multiple (1e-4 grid)")
+    }
+    val gcols = groupCols.map(col)
+    val running = Window.partitionBy(gcols: _*).orderBy(col("bucket_lo"))
+    val whole = Window.partitionBy(gcols: _*)
+    val picks = ps.map { p =>
+      val bp = math.round(p * 10000)
+      min(when(col("__cum") * 10000 >= col("__tot") * bp,
+        col("bucket_lo"))).as(pName(p))
+    }
+    sketch
+      .withColumn("__cum", sum(col("cnt")).over(running))
+      .withColumn("__tot", sum(col("cnt")).over(whole))
+      .groupBy(gcols: _*).agg(picks.head, picks.tail: _*)
+  }
+
   /** Per-group bivariate moments — [[corrMoments]]' single-pair,
     * grouped sibling: for each group, (n, sum_x, sum_y, sum_xy,
     * sum_x2, sum_y2) over rows where both are non-null. The

@@ -163,6 +163,31 @@ class StatsSpec extends SparkSpec {
     assert(z.length == 1 && z.head.isNullAt(0))
   }
 
+  test("hdrSketch: bounded buckets, small values exact, error bound") {
+    import spark.implicits._
+    val df = spark.range(1, 100001).select(lit("g").as("g"), $"id".as("v"))
+    val sk = Stats.hdrSketch(df, Seq("g"), "v", subBits = 5)
+    val nb = sk.count()
+    // 17-bit domain at subBits=5: at most ~(17-6)*32 + 64 buckets
+    assert(nb <= 420L, s"state should be bucket-bounded, got $nb")
+    // values below 2^6 are their own buckets (exact)
+    val small = sk.filter($"bucket_lo" < 64).count()
+    assert(small == 63L)
+    val p = Stats.hdrPercentiles(sk, Seq("g"), Seq(0.5, 0.99))
+      .as[(String, Long, Long)].head()
+    // lower-bound estimate within 2^-5 relative below the exact
+    assert(p._2 <= 50000L && p._2 >= (50000 * 31) / 32 - 1, s"p50 ${p._2}")
+    assert(p._3 <= 99000L && p._3 >= (99000 * 31) / 32 - 1, s"p99 ${p._3}")
+    // sketches merge by adding counts
+    val a = Stats.hdrSketch(df.filter($"v" % 2 === 0), Seq("g"), "v", 5)
+    val b = Stats.hdrSketch(df.filter($"v" % 2 === 1), Seq("g"), "v", 5)
+    val merged = a.unionByName(b).groupBy($"g", $"bucket_lo")
+      .agg(sum($"cnt").as("cnt"))
+      .as[(String, Long, Long)].collect().toSet
+    val direct = sk.as[(String, Long, Long)].collect().toSet
+    assert(merged == direct)
+  }
+
   test("madStats: hand-checked median/MAD, Hampel outliers, mad=0 case") {
     import spark.implicits._
     // values 1..9 plus outlier 100: med of 10 values (cume_dist rule
