@@ -2934,6 +2934,28 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_buckets"), sum(col("cnt")).as("n_gaps")),
           "event_type")
         .orderBy(col("event_type"))
+    }),
+
+    // ---- Streaming HLL registers == batch (parity oracle) ----
+    // The register table built by a REAL Structured Streaming query
+    // must equal the batch build bit-for-bit: max-merge is
+    // commutative and idempotent, so arrival order and batch
+    // boundaries cannot perturb a register — the q156 linear-counter
+    // argument, for the max monoid.
+    "q185_stream_hll" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val src = graft.streaming.GraftStream.reader(s, dir)
+        .glob("documents.parquet").load()
+        .select(col("lang"),
+          explode(TextAnalysis.alphaTokens(col("text"))).as("tok"))
+      val sk = Sketch.hllSketch(src, Seq("lang"), "tok", p = 8)
+      val name = "graft_q185_sink"
+      val q = sk.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("lang"), col("hll_bucket"))
     })
   )
 
@@ -7284,6 +7306,24 @@ object SparkEntry {
         |)
         |SELECT p.event_type, p50, p90, p99, n_buckets, n_gaps
         |FROM p JOIN s ON s.event_type = p.event_type
-        |ORDER BY p.event_type""".stripMargin
+        |ORDER BY p.event_type""".stripMargin,
+
+    // The batch register build (q168's reg CTE) — the streaming
+    // query must reproduce it exactly.
+    "q185_stream_hll" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT DISTINCT lang,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM toks
+        |)
+        |SELECT lang, h // 4503599627370496 AS hll_bucket,
+        |  CAST(max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |      ELSE 53 - length(bin(h % 4503599627370496)) END) AS INT)
+        |    AS hll_rho
+        |FROM h GROUP BY 1, 2
+        |ORDER BY lang, hll_bucket""".stripMargin
   )
 }
