@@ -2956,6 +2956,21 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(name).orderBy(col("lang"), col("hll_bucket"))
+    }),
+
+    // ---- Daily event-type affinity (co-engagement pairs) ----
+    // basketPairs with (user, day) as the basket: which action
+    // types co-occur in the same user-day — the co-engagement
+    // signal behind "users who X also Y", with the same hub-basket
+    // cap and support pruning as the co-purchase graph.
+    "q186_daily_affinity" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(concat_ws("#", col("user_id"),
+          expr("(ts DIV 1000) div 86400000000")).as("basket"),
+          col("event_type"))
+      Graph.basketPairs(ev, "basket", "event_type", minCount = 2L)
+        .orderBy(col("item_a"), col("item_b"))
     })
   )
 
@@ -7324,6 +7339,27 @@ object SparkEntry {
         |      ELSE 53 - length(bin(h % 4503599627370496)) END) AS INT)
         |    AS hll_rho
         |FROM h GROUP BY 1, 2
-        |ORDER BY lang, hll_bucket""".stripMargin
+        |ORDER BY lang, hll_bucket""".stripMargin,
+
+    // Same distinct-basket-item, hub-cap and support rules as
+    // basketPairs (q165's CTE shape with a user#day basket).
+    "q186_daily_affinity" ->
+      """WITH b AS (
+        |  SELECT DISTINCT
+        |    CAST(user_id AS VARCHAR) || '#'
+        |      || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS bk,
+        |    event_type AS it
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), ok AS (
+        |  SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000
+        |), g AS (
+        |  SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS n
+        |  FROM b x
+        |  JOIN ok ON ok.bk = x.bk
+        |  JOIN b y ON y.bk = x.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT item_a, item_b, n FROM g ORDER BY item_a, item_b""".stripMargin
   )
 }
