@@ -2971,6 +2971,22 @@ object SparkEntry {
           col("event_type"))
       Graph.basketPairs(ev, "basket", "event_type", minCount = 2L)
         .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // ---- Token-weighted length percentiles ----
+    // "Under what length does half the corpus' TOKEN mass live?" —
+    // the weighted p50/p90 a packing plan needs (the row-count
+    // median is dominated by small docs that carry few tokens).
+    "q187_weighted_pct" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          regexp_count(lower(coalesce(col("text"), lit(""))),
+            lit("[a-z]+")).cast("long").as("toks"))
+      Stats.exactPercentilesWeighted(docs, Seq("lang"), "n_chars",
+          "toks", Seq(0.5, 0.9))
+        .join(docs.groupBy(col("lang"))
+          .agg(sum(col("toks")).as("total_tokens")), "lang")
+        .orderBy(col("lang"))
     })
   )
 
@@ -7360,6 +7376,34 @@ object SparkEntry {
         |  JOIN b y ON y.bk = x.bk AND x.it < y.it
         |  GROUP BY 1, 2 HAVING count(*) >= 2
         |)
-        |SELECT item_a, item_b, n FROM g ORDER BY item_a, item_b""".stripMargin
+        |SELECT item_a, item_b, n FROM g ORDER BY item_a, item_b""".stripMargin,
+
+    // Histogram weighted by token count; same cume_dist >= p rule.
+    "q187_weighted_pct" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars::BIGINT AS v,
+        |    len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))::BIGINT
+        |      AS w
+        |  FROM documents
+        |), h AS (
+        |  SELECT lang, v, CAST(sum(w) AS BIGINT) AS c
+        |  FROM d WHERE w > 0 GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT lang, v, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS tot
+        |  FROM h
+        |), p AS (
+        |  SELECT lang,
+        |    min(CASE WHEN cum * 10000 >= tot * 5000 THEN v END) AS p50,
+        |    min(CASE WHEN cum * 10000 >= tot * 9000 THEN v END) AS p90
+        |  FROM cu GROUP BY 1
+        |), tt AS (
+        |  SELECT lang, CAST(sum(w) AS BIGINT) AS total_tokens
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT p.lang, p50, p90, total_tokens
+        |FROM p JOIN tt ON tt.lang = p.lang
+        |ORDER BY p.lang""".stripMargin
   )
 }

@@ -48,6 +48,30 @@ object Stats {
     * LongType column per requested percentile. `ps` must sit on the
     * basis-point grid (multiples of 1e-4). */
   def exactPercentiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[Double]): DataFrame =
+    percentilesFromHist(
+      df.groupBy((groupCols :+ valueCol).map(col): _*)
+        .agg(count(lit(1)).as("__c")),
+      groupCols, valueCol, ps)
+
+  /** WEIGHTED exact percentiles — the cut below which p of the
+    * total WEIGHT (not the row count) sits: "the document length
+    * under which half the corpus tokens live" is the
+    * token-weighted p50 of length, the number a packing/compute
+    * plan actually needs (a row-count median is dominated by the
+    * many small docs that carry few tokens). Same histogram-cumsum
+    * reduction and cume_dist ≥ p integer rule, with the histogram
+    * weighted by `sum(weightCol)`; rows with null or non-positive
+    * weight are excluded (they carry no mass). */
+  def exactPercentilesWeighted(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String, ps: Seq[Double]): DataFrame =
+    percentilesFromHist(
+      df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+        .groupBy((groupCols :+ valueCol).map(col): _*)
+        .agg(sum(col(weightCol).cast("long")).as("__c")),
+      groupCols, valueCol, ps)
+
+  private def percentilesFromHist(hist: DataFrame, groupCols: Seq[String],
       valueCol: String, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty, "need at least one percentile")
     ps.foreach { p =>
@@ -61,8 +85,6 @@ object Stats {
         col(valueCol).cast("long"))).as(pName(p))
     }
     val gcols = groupCols.map(col)
-    val hist = df.groupBy((groupCols :+ valueCol).map(col): _*)
-      .agg(count(lit(1)).as("__c"))
     if (groupCols.nonEmpty) {
       val running = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
       val whole = Window.partitionBy(gcols: _*)

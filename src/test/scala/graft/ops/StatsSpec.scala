@@ -163,6 +163,20 @@ class StatsSpec extends SparkSpec {
     assert(z.length == 1 && z.head.isNullAt(0))
   }
 
+  test("weighted percentiles: mass cut, zero-weight rows carry none") {
+    import spark.implicits._
+    // values 1..4 with weights 1,1,1,7: half the mass (>=5 of 10)
+    // is reached at v=4; unweighted p50 would be 2
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L),
+      ("g", 4L, 7L), ("g", 9L, 0L)).toDF("g", "v", "w")
+    val got = Stats.exactPercentilesWeighted(df, Seq("g"), "v", "w",
+      Seq(0.5)).as[(String, Long)].head()
+    assert(got == (("g", 4L)))
+    val unw = Stats.exactPercentiles(df.filter($"w" > 0), Seq("g"), "v",
+      Seq(0.5)).as[(String, Long)].head()
+    assert(unw == (("g", 2L)))
+  }
+
   test("hdrSketch: bounded buckets, small values exact, error bound") {
     import spark.implicits._
     val df = spark.range(1, 100001).select(lit("g").as("g"), $"id".as("v"))
