@@ -2987,6 +2987,16 @@ object SparkEntry {
         .join(docs.groupBy(col("lang"))
           .agg(sum(col("toks")).as("total_tokens")), "lang")
         .orderBy(col("lang"))
+    }),
+
+    // ---- Duplicate-cluster size histogram ----
+    // Fingerprint-multiplicity distribution with each size's doc
+    // share in ppm — the one-page duplication profile that decides
+    // dedup policy (broad 2× copies vs a few giant mirror
+    // clusters).
+    "q188_cluster_sizes" -> ((s, dir) => {
+      Dedup.clusterSizeHistogram(t(s, dir, "documents"), "text")
+        .orderBy(col("cluster_size"))
     })
   )
 
@@ -7404,6 +7414,22 @@ object SparkEntry {
         |)
         |SELECT p.lang, p50, p90, total_tokens
         |FROM p JOIN tt ON tt.lang = p.lang
-        |ORDER BY p.lang""".stripMargin
+        |ORDER BY p.lang""".stripMargin,
+
+    "q188_cluster_sizes" ->
+      """WITH c AS (
+        |  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |    AS fp, count(*)::BIGINT AS cluster_size
+        |  FROM documents GROUP BY 1
+        |), h AS (
+        |  SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+        |    CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |  FROM c GROUP BY 1
+        |), t2 AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM h
+        |)
+        |SELECT cluster_size, n_clusters, n_docs,
+        |  CAST((n_docs * 1000000) // tot AS BIGINT) AS doc_share_ppm
+        |FROM h CROSS JOIN t2 ORDER BY cluster_size""".stripMargin
   )
 }

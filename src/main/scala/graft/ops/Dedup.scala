@@ -261,4 +261,27 @@ object Dedup {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .withColumn("keep", col(idCol) === col("cluster_id"))
   }
+
+  /** Duplicate-cluster size histogram — the one-page answer to "how
+    * duplicated is this corpus": for every exact-dup cluster size s
+    * (fingerprint multiplicity), the number of clusters, the docs
+    * they hold (s·n_clusters), and those docs' share of the corpus
+    * in exact ppm. Size 1 = unique docs; the tail rows are the mass
+    * a dedup pass would reclaim. The distribution (not just a dup
+    * rate) is what decides policy: a 2×-heavy corpus dedups cheap,
+    * a few 10⁵-sized clusters signal mirror domains to blocklist.
+    *
+    * Scale shape: fingerprint agg (corpus → cluster table), size
+    * agg (cluster table → ≤ max-multiplicity rows), then the share
+    * attaches via a broadcast 1-row total. All map-side combined. */
+  def clusterSizeHistogram(df: DataFrame, textCol: String): DataFrame = {
+    val hist = df
+      .select(graft.ops.TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .groupBy(col("__fp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    hist.crossJoin(broadcast(hist.agg(sum(col("n_docs")).as("__tot"))))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("(n_docs * 1000000) div __tot").as("doc_share_ppm"))
+  }
 }
