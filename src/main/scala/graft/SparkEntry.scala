@@ -2997,6 +2997,23 @@ object SparkEntry {
     "q188_cluster_sizes" -> ((s, dir) => {
       Dedup.clusterSizeHistogram(t(s, dir, "documents"), "text")
         .orderBy(col("cluster_size"))
+    }),
+
+    // ---- Count-min join-size estimate (shuffle planning) ----
+    // "How many rows would a user_id self-join of events produce?"
+    // answered from one d×w counter grid via the CM inner-product
+    // estimator — never an undercount — with the exact Σn_u² audit
+    // beside it. The number that decides salting BEFORE running the
+    // join.
+    "q189_join_size" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val sk = Sketch.countMinSketch(ev, "user_id", depth = 3,
+        width = 512)
+      val exact = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("__x"))
+        .select(expr("CAST(__x AS BIGINT)").as("exact_join_size"))
+      Sketch.countMinJoinSize(sk, sk).crossJoin(exact)
     })
   )
 
@@ -7430,6 +7447,27 @@ object SparkEntry {
         |)
         |SELECT cluster_size, n_clusters, n_docs,
         |  CAST((n_docs * 1000000) // tot AS BIGINT) AS doc_share_ppm
-        |FROM h CROSS JOIN t2 ORDER BY cluster_size""".stripMargin
+        |FROM h CROSS JOIN t2 ORDER BY cluster_size""".stripMargin,
+
+    // CM inner product per hash row, min over rows; exact = Σ n_u².
+    "q189_join_size" ->
+      """WITH u AS (
+        |  SELECT user_id FROM events WHERE user_id IS NOT NULL
+        |), sk AS (
+        |  SELECT rr.r,
+        |    ('0x' || substr(md5(rr.r::VARCHAR || ':'
+        |      || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 512 AS c,
+        |    count(*)::BIGINT AS cnt
+        |  FROM u CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr
+        |  GROUP BY 1, 2
+        |), ip AS (
+        |  SELECT r, sum(cnt::HUGEINT * cnt) AS v FROM sk GROUP BY r
+        |), est AS (
+        |  SELECT CAST(min(v) AS BIGINT) AS est_join_size FROM ip
+        |), ex AS (
+        |  SELECT CAST(sum(n::HUGEINT * n) AS BIGINT) AS exact_join_size
+        |  FROM (SELECT user_id, count(*)::BIGINT AS n FROM u GROUP BY 1)
+        |)
+        |SELECT est_join_size, exact_join_size FROM est CROSS JOIN ex""".stripMargin
   )
 }

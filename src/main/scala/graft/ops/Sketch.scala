@@ -211,6 +211,35 @@ object Sketch {
         col("sum_rho"), col("z_int")): _*)
   }
 
+  /** Join-size estimate from two [[countMinSketch]]es (the AGMS /
+    * Cormode-Muthukrishnan inner-product estimator): for each hash
+    * row r, Σ_col cntA[r,c]·cntB[r,c] overestimates the true join
+    * cardinality Σ_k a(k)·b(k) (colliding keys only ADD mass), and
+    * the minimum over the d rows is the estimate — never an
+    * undercount, within εN_aN_b/w with the usual CM probability.
+    * This is the shuffle-planning number: "how many rows will this
+    * key join produce" answered from two d×w counter grids, no scan
+    * of either side.
+    *
+    * Both sketches must share depth/width (same [[rowHash60]]
+    * family by construction). Rows with no overlapping cells
+    * contribute 0 (left join from the row domain — a min over only
+    * the joined rows would silently overestimate disjoint inputs).
+    * Output: one row, `est_join_size` (BIGINT; products ride
+    * DECIMAL(38,0)). */
+  def countMinJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
+    val ip = a.select(col("cm_row"), col("cm_col"), col("cnt").as("__ca"))
+      .join(b.select(col("cm_row"), col("cm_col"), col("cnt").as("__cb")),
+        Seq("cm_row", "cm_col"))
+      .groupBy(col("cm_row"))
+      .agg(sum(expr("CAST(__ca AS DECIMAL(38,0)) * __cb")).as("__ip"))
+    a.select(col("cm_row")).distinct()
+      .join(ip, Seq("cm_row"), "left")
+      .agg(min(coalesce(col("__ip"), expr("CAST(0 AS DECIMAL(38,0))")))
+        .as("__est"))
+      .select(expr("CAST(__est AS BIGINT)").as("est_join_size"))
+  }
+
   /** Pair-union HLL summaries — the merge law made observable: for
     * every unordered group pair, the UNION sketch obtained by
     * re-MAXing the two groups' registers, summarized like

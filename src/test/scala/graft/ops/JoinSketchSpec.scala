@@ -148,6 +148,24 @@ class JoinSketchSpec extends SparkSpec {
     assert(direct.count() == 2) // sanity: two per-group rows existed
   }
 
+  test("countMinJoinSize: never undercounts; near-exact when sparse") {
+    val a = spark.range(1, 101).select($"id".cast("string").as("v"))
+    val b = spark.range(1, 101).select($"id".cast("string").as("v"))
+      .union(spark.range(1, 101).select($"id".cast("string").as("v")))
+    val ska = Sketch.countMinSketch(a, "v", 3, 4096)
+    val skb = Sketch.countMinSketch(b, "v", 3, 4096)
+    val est = Sketch.countMinJoinSize(ska, skb)
+      .as[Long].head()
+    // exact join size = 100 keys × 1 × 2 = 200; 100 keys in 4096
+    // slots leave the estimate essentially collision-free
+    assert(est >= 200L && est <= 220L, s"est $est")
+    // disjoint key sets -> at most a few collision products
+    val c = spark.range(5001, 5101).select($"id".cast("string").as("v"))
+    val skc = Sketch.countMinSketch(c, "v", 3, 4096)
+    val dz = Sketch.countMinJoinSize(ska, skc).as[Long].head()
+    assert(dz <= 5L, s"disjoint est $dz")
+  }
+
   test("kmv sketch exchange is sketch-sized, not vocabulary-sized") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
     val n = 200000L
