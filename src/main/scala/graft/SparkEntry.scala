@@ -3014,6 +3014,21 @@ object SparkEntry {
         .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("__x"))
         .select(expr("CAST(__x AS BIGINT)").as("exact_join_size"))
       Sketch.countMinJoinSize(sk, sk).crossJoin(exact)
+    }),
+
+    // ---- Decile lift: does length predict duplication? ----
+    // Documents ranked into length deciles; per decile the
+    // exact-dup rate and its lift over the base rate in exact ppm —
+    // the score-evaluation table (here auditing the "short docs
+    // duplicate more" curation heuristic against ground truth).
+    "q190_lift_table" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val fc = docs.groupBy(col("fp")).agg(count(lit(1)).as("__nc"))
+      val labeled = docs.join(fc, "fp")
+        .withColumn("is_dup", col("__nc") >= 2)
+      Stats.liftTable(labeled, "n_chars", "is_dup", nBins = 10)
+        .orderBy(col("bin"))
     })
   )
 
@@ -7468,6 +7483,61 @@ object SparkEntry {
         |  SELECT CAST(sum(n::HUGEINT * n) AS BIGINT) AS exact_join_size
         |  FROM (SELECT user_id, count(*)::BIGINT AS n FROM u GROUP BY 1)
         |)
-        |SELECT est_join_size, exact_join_size FROM est CROSS JOIN ex""".stripMargin
+        |SELECT est_join_size, exact_join_size FROM est CROSS JOIN ex""".stripMargin,
+
+    // Decile cuts via the cume_dist rule; lift's single flooring
+    // point (pos·N·1e6) // (n·P).
+    "q190_lift_table" ->
+      """WITH fp AS (
+        |  SELECT n_chars::BIGINT AS v,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents
+        |), fc AS (
+        |  SELECT f, count(*)::BIGINT AS nc FROM fp GROUP BY 1
+        |), lab AS (
+        |  SELECT fp.v, (fc.nc >= 2) AS pos FROM fp JOIN fc ON fc.f = fp.f
+        |), h AS (
+        |  SELECT v, count(*)::BIGINT AS c FROM lab GROUP BY 1
+        |), cu AS (
+        |  SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+        |    sum(c) OVER () AS tot
+        |  FROM h
+        |), cuts AS (
+        |  SELECT
+        |    min(CASE WHEN cum * 10000 >= tot * 1000 THEN v END) AS c1,
+        |    min(CASE WHEN cum * 10000 >= tot * 2000 THEN v END) AS c2,
+        |    min(CASE WHEN cum * 10000 >= tot * 3000 THEN v END) AS c3,
+        |    min(CASE WHEN cum * 10000 >= tot * 4000 THEN v END) AS c4,
+        |    min(CASE WHEN cum * 10000 >= tot * 5000 THEN v END) AS c5,
+        |    min(CASE WHEN cum * 10000 >= tot * 6000 THEN v END) AS c6,
+        |    min(CASE WHEN cum * 10000 >= tot * 7000 THEN v END) AS c7,
+        |    min(CASE WHEN cum * 10000 >= tot * 8000 THEN v END) AS c8,
+        |    min(CASE WHEN cum * 10000 >= tot * 9000 THEN v END) AS c9
+        |  FROM cu
+        |), seg AS (
+        |  SELECT (CASE WHEN v > c1 THEN 1 ELSE 0 END
+        |    + CASE WHEN v > c2 THEN 1 ELSE 0 END
+        |    + CASE WHEN v > c3 THEN 1 ELSE 0 END
+        |    + CASE WHEN v > c4 THEN 1 ELSE 0 END
+        |    + CASE WHEN v > c5 THEN 1 ELSE 0 END
+        |    + CASE WHEN v > c6 THEN 1 ELSE 0 END
+        |    + CASE WHEN v > c7 THEN 1 ELSE 0 END
+        |    + CASE WHEN v > c8 THEN 1 ELSE 0 END
+        |    + CASE WHEN v > c9 THEN 1 ELSE 0 END)::BIGINT AS bin, pos
+        |  FROM lab CROSS JOIN cuts
+        |), per AS (
+        |  SELECT bin, count(*)::BIGINT AS n,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM seg GROUP BY 1
+        |), t2 AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(pos) AS BIGINT) AS tp
+        |  FROM per
+        |)
+        |SELECT bin, n, pos,
+        |  CAST((pos * 1000000) // n AS BIGINT) AS rate_ppm,
+        |  CAST(CASE WHEN tp > 0 THEN (pos::HUGEINT * tn * 1000000)
+        |    // (n::HUGEINT * tp) END AS BIGINT) AS lift_ppm
+        |FROM per CROSS JOIN t2 ORDER BY bin""".stripMargin
   )
 }

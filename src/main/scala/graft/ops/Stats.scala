@@ -269,6 +269,41 @@ object Stats {
         expr("((__lt + n) * 1000000L) div __tot").as("cdf_ppm"))
   }
 
+  /** Decile lift table — the model-evaluation staple: rows ranked
+    * into `nBins` score bins by the exact [[quantileBins]] cuts;
+    * per bin, the positive count, rate and LIFT over the base rate
+    * in exact ppm (`lift = rate_bin / rate_overall`, computed as one
+    * integral divide `(pos·N·1e6) div (n·P)` — a single flooring
+    * point, no intermediate rate rounding). Lift ≫ 1e6 in high
+    * bins = the score ranks well; flat 1e6 everywhere = the score
+    * is noise. Zero positives overall → null lift (no base rate).
+    *
+    * Scale shape: the bin cuts ride the percentile histogram
+    * reduction; binning is a broadcast join of the 1-row cut table;
+    * the per-bin rollup is one map-side-combined agg; totals attach
+    * as a broadcast 1-row aggregate. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100,
+      s"nBins must be in [2, 100] (got $nBins)")
+    require(10000 % nBins == 0,
+      s"nBins must divide the basis-point grid (got $nBins)")
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val per = quantileBins(df.filter(col(scoreCol).isNotNull), Nil,
+        scoreCol, ps)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), lit(1L)).otherwise(lit(0L))).as("pos"))
+    per.crossJoin(broadcast(
+        per.agg(sum(col("n")).as("__tn"), sum(col("pos")).as("__tp"))))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("(pos * 1000000) div n").as("rate_ppm"),
+        expr("CAST(CASE WHEN __tp > 0 THEN" +
+          " (CAST(pos AS DECIMAL(38,0)) * __tn * 1000000)" +
+          " div (CAST(n AS DECIMAL(38,0)) * __tp) END AS BIGINT)")
+          .as("lift_ppm"))
+  }
+
   /** HDR-style histogram sketch (Gray & Tene's HdrHistogram bucket
     * scheme): each non-negative value keeps its top `subBits`+1
     * significant bits — bucket lower bound

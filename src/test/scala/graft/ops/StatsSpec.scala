@@ -163,6 +163,23 @@ class StatsSpec extends SparkSpec {
     assert(z.length == 1 && z.head.isNullAt(0))
   }
 
+  test("liftTable: perfect score concentrates lift; flat score is 1e6") {
+    import spark.implicits._
+    // 20 rows, positives are exactly the top-quarter scores ->
+    // 4 bins: top bin all positive, rest zero; base rate 1/4
+    val df = (1L to 20L).map(v => (v, v > 15L)).toDF("s", "y")
+    val got = Stats.liftTable(df, "s", "y", nBins = 4)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(3L) == ((3L, 5L, 5L, 1000000L, Some(4000000L))))
+    assert(got(0L)._3 == 0L && got(0L)._5 == Some(0L))
+    // no positives at all -> null lift everywhere
+    val none = (1L to 8L).map(v => (v, false)).toDF("s", "y")
+    val gn = Stats.liftTable(none, "s", "y", nBins = 4)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    assert(gn.forall(_._5.isEmpty))
+  }
+
   test("weighted percentiles: mass cut, zero-weight rows carry none") {
     import spark.implicits._
     // values 1..4 with weights 1,1,1,7: half the mass (>=5 of 10)
