@@ -3029,6 +3029,20 @@ object SparkEntry {
         .withColumn("is_dup", col("__nc") >= 2)
       Stats.liftTable(labeled, "n_chars", "is_dup", nBins = 10)
         .orderBy(col("bin"))
+    }),
+
+    // ---- Exact AUC per language (Mann–Whitney from histogram) ----
+    // Does length rank duplicates? AUC with mid-rank tie handling
+    // in doubled-integer units — q190's lift table answers "where",
+    // this answers "how well overall", both engine-exact.
+    "q191_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val fc = docs.groupBy(col("fp")).agg(count(lit(1)).as("__nc"))
+      val labeled = docs.join(fc, "fp")
+        .withColumn("is_dup", col("__nc") >= 2)
+      Stats.aucTable(labeled, Seq("lang"), "n_chars", "is_dup")
+        .orderBy(col("lang"))
     })
   )
 
@@ -7538,6 +7552,39 @@ object SparkEntry {
         |  CAST((pos * 1000000) // n AS BIGINT) AS rate_ppm,
         |  CAST(CASE WHEN tp > 0 THEN (pos::HUGEINT * tn * 1000000)
         |    // (n::HUGEINT * tp) END AS BIGINT) AS lift_ppm
-        |FROM per CROSS JOIN t2 ORDER BY bin""".stripMargin
+        |FROM per CROSS JOIN t2 ORDER BY bin""".stripMargin,
+
+    // U2 = Σ pos(s)·(2·neg_below + neg_at); auc = U2·1e6 // (2PN).
+    "q191_auc" ->
+      """WITH fp AS (
+        |  SELECT lang, n_chars::BIGINT AS v,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents
+        |), fc AS (
+        |  SELECT f, count(*)::BIGINT AS nc FROM fp GROUP BY 1
+        |), lab AS (
+        |  SELECT fp.lang, fp.v, (fc.nc >= 2) AS pos
+        |  FROM fp JOIN fc ON fc.f = fp.f
+        |), h AS (
+        |  SELECT lang, v,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS ng
+        |  FROM lab GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, v, p, ng,
+        |    COALESCE(sum(ng) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM h
+        |), a AS (
+        |  SELECT lang, CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(ng) AS BIGINT) AS n_neg,
+        |    CAST(sum(p::HUGEINT * (2 * nb + ng)) AS HUGEINT) AS u2
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT lang, n_pos, n_neg, CAST(u2 AS BIGINT) AS u2,
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    (u2 * 1000000) // (2::HUGEINT * n_pos * n_neg) END AS BIGINT)
+        |    AS auc_ppm
+        |FROM a ORDER BY lang""".stripMargin
   )
 }

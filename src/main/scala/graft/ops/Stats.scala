@@ -269,6 +269,42 @@ object Stats {
         expr("((__lt + n) * 1000000L) div __tot").as("cdf_ppm"))
   }
 
+  /** Exact AUC (Mann–Whitney U) per group from the score histogram —
+    * no float ranks, no sampling: with pos(s)/neg(s) counts per
+    * distinct score, `U·2 = Σ_s pos(s)·(2·neg_below(s) + neg(s))`
+    * (ties count half — the standard mid-rank convention, kept
+    * integer by working in doubled units) and
+    * `auc_ppm = U2·1e6 div (2·P·N)`. One corpus scan; the running
+    * neg_below is a window over the per-group SCORE HISTOGRAM
+    * (score-cardinality-sized), partitioned by group — grouped-only
+    * by contract, so no single-partition corpus window exists (an
+    * ungrouped corpus-wide AUC should bucket scores first, e.g.
+    * through [[hdrSketch]], and accept the bucket-resolution tie
+    * handling). No positives or no negatives → null AUC. */
+  def aucTable(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    require(groupCols.nonEmpty,
+      "aucTable is grouped-only (bucket scores for a global AUC)")
+    val gcols = groupCols.map(col)
+    val hist = df.filter(col(scoreCol).isNotNull)
+      .groupBy(gcols :+ col(scoreCol).cast("long").as("__v"): _*)
+      .agg(sum(when(col(labelCol), lit(1L)).otherwise(lit(0L))).as("__pos"),
+        sum(when(col(labelCol), lit(0L)).otherwise(lit(1L))).as("__neg"))
+    val below = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("__nb", coalesce(sum(col("__neg")).over(below), lit(0L)))
+      .groupBy(gcols: _*)
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        sum(expr("CAST(__pos AS DECIMAL(38,0)) * (2 * __nb + __neg)"))
+          .as("__u2"))
+      .select(gcols ++ Seq(col("n_pos"), col("n_neg"),
+        expr("CAST(coalesce(__u2, 0) AS BIGINT)").as("u2"),
+        expr("CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN" +
+          " (__u2 * 1000000) div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)" +
+          " END AS BIGINT)").as("auc_ppm")): _*)
+  }
+
   /** Decile lift table — the model-evaluation staple: rows ranked
     * into `nBins` score bins by the exact [[quantileBins]] cuts;
     * per bin, the positive count, rate and LIFT over the base rate

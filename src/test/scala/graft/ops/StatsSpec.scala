@@ -163,6 +163,29 @@ class StatsSpec extends SparkSpec {
     assert(z.length == 1 && z.head.isNullAt(0))
   }
 
+  test("aucTable: perfect, tied and degenerate cases are exact") {
+    import spark.implicits._
+    // perfect separation -> 1e6
+    val perfect = Seq(("g", 1L, false), ("g", 2L, false),
+      ("g", 3L, true), ("g", 4L, true)).toDF("g", "s", "y")
+    val gp = Stats.aucTable(perfect, Seq("g"), "s", "y")
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    assert(gp == (("g", 2L, 2L, 8L, Some(1000000L))))
+    // tie at s=2 counts half: AUC = 3.5/4 = 875000
+    val tied = Seq(("g", 1L, false), ("g", 2L, false),
+      ("g", 2L, true), ("g", 3L, true)).toDF("g", "s", "y")
+    val gt = Stats.aucTable(tied, Seq("g"), "s", "y")
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    assert(gt == (("g", 2L, 2L, 7L, Some(875000L))))
+    // anti-ranking -> 0; no positives -> null
+    val anti = Seq(("g", 3L, false), ("g", 1L, true)).toDF("g", "s", "y")
+    assert(Stats.aucTable(anti, Seq("g"), "s", "y")
+      .as[(String, Long, Long, Long, Option[Long])].head()._5 == Some(0L))
+    val none = Seq(("g", 1L, false)).toDF("g", "s", "y")
+    assert(Stats.aucTable(none, Seq("g"), "s", "y")
+      .as[(String, Long, Long, Long, Option[Long])].head()._5.isEmpty)
+  }
+
   test("liftTable: perfect score concentrates lift; flat score is 1e6") {
     import spark.implicits._
     // 20 rows, positives are exactly the top-quarter scores ->
