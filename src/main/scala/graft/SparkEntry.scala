@@ -3043,6 +3043,19 @@ object SparkEntry {
         .withColumn("is_dup", col("__nc") >= 2)
       Stats.aucTable(labeled, Seq("lang"), "n_chars", "is_dup")
         .orderBy(col("lang"))
+    }),
+
+    // ---- ROLLUP report (grouping-sets parity) ----
+    // lang × source subtotals and grand total in ONE pass via
+    // Catalyst's rollup + grouping_id — the OLAP subtotal report,
+    // gid disambiguating rollup nulls from data nulls.
+    "q192_rollup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("lang"), col("source"))
     })
   )
 
@@ -7585,6 +7598,16 @@ object SparkEntry {
         |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
         |    (u2 * 1000000) // (2::HUGEINT * n_pos * n_neg) END AS BIGINT)
         |    AS auc_ppm
-        |FROM a ORDER BY lang""".stripMargin
+        |FROM a ORDER BY lang""".stripMargin,
+
+    // GROUPING(lang, source) uses the same leftmost-MSB convention
+    // as Spark's grouping_id; NULLS FIRST matches Spark's asc order.
+    "q192_rollup" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents
+        |GROUP BY ROLLUP (lang, source)
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
   )
 }
