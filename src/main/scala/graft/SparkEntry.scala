@@ -3056,6 +3056,40 @@ object SparkEntry {
           sum(col("n_chars").cast("long")).as("sum_chars"),
           grouping_id().as("gid"))
         .orderBy(col("gid"), col("lang"), col("source"))
+    }),
+
+    // ---- Rolling 7-day distinct users from merged HLL days ----
+    // The sketch-composition payoff: daily register tables merge by
+    // max into every 7-day window they belong to — the rolling
+    // distinct-user curve costs 256 ints per day, never a re-scan —
+    // with the exact windowed distinct as the audit column.
+    "q193_rolling_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(expr("(ts DIV 1000) div 86400000000").as("day"),
+          col("user_id"))
+      val days = ev.select(col("day")).distinct()
+      val merged = Sketch.hllSketch(ev, Seq("day"), "user_id", p = 8)
+        .select(explode(sequence(col("day"), col("day") + 6)).as("w"),
+          col("hll_bucket"), col("hll_rho"))
+        .join(days.select(col("day").as("w")), "w")
+        .groupBy(col("w"), col("hll_bucket"))
+        .agg(max(col("hll_rho")).as("hll_rho"))
+      val summ = merged.groupBy(col("w"))
+        .agg(count(lit(1)).as("buckets_set"),
+          sum(col("hll_rho").cast("long")).as("sum_rho"),
+          expr("sum(shiftleft(CAST(1 AS BIGINT), 53 - hll_rho))")
+            .as("__z"))
+        .select(col("w").as("day"), col("buckets_set"), col("sum_rho"),
+          (col("__z") + (lit(256L) - col("buckets_set")) * lit(1L << 53))
+            .as("z_int"))
+      val exact = ev
+        .select(explode(sequence(col("day"), col("day") + 6)).as("w"),
+          col("user_id"))
+        .join(days.select(col("day").as("w")), "w")
+        .distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("exact_distinct"))
+        .withColumnRenamed("w", "day")
+      summ.join(exact, "day").orderBy(col("day"))
     })
   )
 
@@ -7608,6 +7642,47 @@ object SparkEntry {
         |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
         |FROM documents
         |GROUP BY ROLLUP (lang, source)
-        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    // Window w covers days [w-6, w]; registers re-MAXed per window;
+    // windows restricted to observed days.
+    "q193_rolling_distinct" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), days AS (
+        |  SELECT DISTINCT day FROM ev
+        |), h AS (
+        |  SELECT DISTINCT day,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM ev
+        |), reg AS (
+        |  SELECT day, h // 4503599627370496 AS b,
+        |    max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |        ELSE 53 - length(bin(h % 4503599627370496)) END) AS rho
+        |  FROM h GROUP BY 1, 2
+        |), wreg AS (
+        |  SELECT w, b, max(rho) AS rho FROM (
+        |    SELECT unnest(range(day, day + 7)) AS w, b, rho FROM reg) x
+        |  JOIN days d ON d.day = x.w
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT w AS day, count(*)::BIGINT AS buckets_set,
+        |    CAST(sum(rho) AS BIGINT) AS sum_rho,
+        |    CAST(sum(1::BIGINT << (53 - rho)) AS BIGINT) AS z_set
+        |  FROM wreg GROUP BY 1
+        |), ex AS (
+        |  SELECT w AS day, count(DISTINCT user_id)::BIGINT AS exact_distinct
+        |  FROM (SELECT unnest(range(day, day + 7)) AS w, user_id FROM ev) x
+        |  JOIN days d ON d.day = x.w
+        |  GROUP BY 1
+        |)
+        |SELECT s.day, buckets_set, sum_rho,
+        |  CAST(z_set + (256 - buckets_set) * (1::BIGINT << 53) AS BIGINT)
+        |    AS z_int,
+        |  exact_distinct
+        |FROM s JOIN ex ON ex.day = s.day
+        |ORDER BY s.day""".stripMargin
   )
 }
