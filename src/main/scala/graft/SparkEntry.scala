@@ -3090,6 +3090,27 @@ object SparkEntry {
         .groupBy(col("w")).agg(count(lit(1)).as("exact_distinct"))
         .withColumnRenamed("w", "day")
       summ.join(exact, "day").orderBy(col("day"))
+    }),
+
+    // ---- Entity resolution: typo variants → canonical spellings ----
+    // The full ER pipeline composed from shipped parts: SymSpell
+    // distance-1 blocking over the frequent lexicon → pointer-
+    // jumping connected components → min-label canonical per
+    // cluster. The oracle independently recomputes the closure with
+    // a naive quadratic levenshtein join + RECURSIVE transitive
+    // closure — certifying blocking completeness AND the CC labels.
+    "q194_entity_resolution" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.alphaTokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 50L)
+      val pairs = graft.ops.FuzzyJoin.typoPairs(vocab, "w")
+      val cc = Dedup.clusters(pairs
+        .select(col("word_a").as("id_a"), col("word_b").as("id_b")))
+      vocab.join(cc.withColumnRenamed("id", "w"), "w")
+        .select(col("cluster_id").as("canonical"), col("w").as("variant"),
+          col("n"))
+        .orderBy(col("canonical"), col("variant"))
     })
   )
 
@@ -7683,6 +7704,36 @@ object SparkEntry {
         |    AS z_int,
         |  exact_distinct
         |FROM s JOIN ex ON ex.day = s.day
-        |ORDER BY s.day""".stripMargin
+        |ORDER BY s.day""".stripMargin,
+
+    // Naive quadratic blocking + RECURSIVE transitive closure;
+    // canonical = min reachable member (the CC min-label rule).
+    "q194_entity_resolution" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents
+        |), v AS (
+        |  SELECT w, count(*)::BIGINT AS n FROM tok
+        |  GROUP BY 1 HAVING count(*) >= 50
+        |), vv AS (
+        |  SELECT w FROM v WHERE length(w) >= 3 AND length(w) <= 64
+        |), p AS (
+        |  SELECT a.w AS wa, b.w AS wb FROM vv a JOIN vv b
+        |  ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+        |), e AS (
+        |  SELECT wa AS a, wb AS b FROM p
+        |  UNION SELECT wb, wa FROM p
+        |  UNION SELECT wa, wa FROM p
+        |  UNION SELECT wb, wb FROM p
+        |), r AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON e.a = r.b
+        |), canon AS (
+        |  SELECT a AS w, min(b) AS canonical FROM r GROUP BY 1
+        |)
+        |SELECT canon.canonical, v.w AS variant, v.n
+        |FROM canon JOIN v ON v.w = canon.w
+        |ORDER BY canonical, variant""".stripMargin
   )
 }
