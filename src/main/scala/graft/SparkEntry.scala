@@ -3111,6 +3111,20 @@ object SparkEntry {
         .select(col("cluster_id").as("canonical"), col("w").as("variant"),
           col("n"))
         .orderBy(col("canonical"), col("variant"))
+    }),
+
+    // ---- Largest-remainder token-budget allocation ----
+    // Split a 10M-token training budget across sources proportional
+    // to their token mass, integer-exact and summing EXACTLY to the
+    // budget (Hamilton's method) — the mixture plan that feeds
+    // tokenBudgetMixture's per-group budgets.
+    "q195_budget_allocation" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("source"),
+          size(TextAnalysis.alphaTokens(col("text"))).cast("long")
+            .as("toks"))
+      Sampling.allocateBudget(w, "source", "toks", budget = 10000000L)
+        .orderBy(col("key"))
     })
   )
 
@@ -7734,6 +7748,29 @@ object SparkEntry {
         |)
         |SELECT canon.canonical, v.w AS variant, v.n
         |FROM canon JOIN v ON v.w = canon.w
-        |ORDER BY canonical, variant""".stripMargin
+        |ORDER BY canonical, variant""".stripMargin,
+
+    // Hamilton floors + largest-remainder top-up (rem DESC, key).
+    "q195_budget_allocation" ->
+      """WITH w AS (
+        |  SELECT source AS key,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+')))
+        |      AS BIGINT) AS w
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1
+        |), tw AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS tw FROM w
+        |), b AS (
+        |  SELECT key, w,
+        |    CAST((w::HUGEINT * 10000000) // tw AS BIGINT) AS base,
+        |    (w::HUGEINT * 10000000) % tw AS rem
+        |  FROM w CROSS JOIN tw WHERE w > 0
+        |), r AS (
+        |  SELECT CAST(10000000 - sum(base) AS BIGINT) AS spare FROM b
+        |)
+        |SELECT key, w,
+        |  CAST(base + CASE WHEN row_number()
+        |    OVER (ORDER BY rem DESC, key) <= spare
+        |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM b CROSS JOIN r ORDER BY key""".stripMargin
   )
 }

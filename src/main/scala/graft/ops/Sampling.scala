@@ -357,6 +357,48 @@ object Sampling {
         col("cum_tokens"))
   }
 
+  /** Largest-remainder budget allocation (Hamilton's method) — the
+    * step UPSTREAM of [[tokenBudgetMixture]]: split one global token
+    * budget across sources proportionally to their weights, in exact
+    * integers that SUM TO THE BUDGET (floor division alone
+    * undershoots by up to k−1 tokens; the remainder ranking tops up
+    * the floors deterministically — remainder desc, then key asc, a
+    * total order). This is the mixture-planning calculation (DoReMi-
+    * style reweighting, dataset cards): quota_i = ⌊B·w_i/W⌋ + 1 for
+    * the R = B − Σ⌊·⌋ largest remainders.
+    *
+    * Output: (key, w, quota) with Σ quota = budget exactly
+    * (spec-asserted). Zero/negative weights are dropped (no mass).
+    * Scale shape: one weight agg; everything after runs on the
+    * key-cardinality table (sources are categorical by contract —
+    * the window ranks k rows, not the corpus); totals attach as
+    * broadcast 1-row aggregates; B·w rides DECIMAL(38,0). */
+  def allocateBudget(df: DataFrame, keyCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0 (got $budget)")
+    val w = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"), col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .groupBy(col("key")).agg(sum(col("__w")).as("w"))
+    val tot = w.agg(sum(col("w")).as("__tw"))
+    val based = w.crossJoin(broadcast(tot))
+      .withColumn("__base",
+        expr(s"CAST((CAST(w AS DECIMAL(38,0)) * $budget) div __tw" +
+          " AS BIGINT)"))
+      .withColumn("__rem",
+        expr(s"CAST((CAST(w AS DECIMAL(38,0)) * $budget) % __tw" +
+          " AS DECIMAL(38,0))"))
+    val spare = based.agg((lit(budget) - sum(col("__base"))).as("__r"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("key"))
+    based.crossJoin(broadcast(spare))
+      .withColumn("__rk", row_number().over(rk))
+      .select(col("key"), col("w"),
+        (col("__base") +
+          when(col("__rk") <= col("__r"), lit(1L)).otherwise(lit(0L)))
+          .as("quota"))
+  }
+
   /** A4 parity (test_util/shuffling_analysis.py:52-109): Pearson
     * correlation between the key order and its shuffled position —
     * ~0 for a good shuffle, 1.0 for unshuffled. */

@@ -163,6 +163,25 @@ class StatsSpec extends SparkSpec {
     assert(z.length == 1 && z.head.isNullAt(0))
   }
 
+  test("allocateBudget: quotas sum exactly to the budget, " +
+      "proportionality and tie order hold") {
+    import spark.implicits._
+    // weights 3,3,1 with budget 10: floors 4,4,1 (30/7=4.28->4,
+    // 10/7=1.43->1), spare 1 goes to largest remainder
+    val df = Seq(("a", 3L), ("b", 3L), ("c", 1L)).toDF("k", "w")
+    val got = Sampling.allocateBudget(df, "k", "w", 10L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.values.sum == 10L)
+    // 3/7 and 3/7 share remainder 2/7; 1/7 has remainder 3/7 ->
+    // c gets the top-up: (4, 4, 2)
+    assert(got == Map("a" -> 4L, "b" -> 4L, "c" -> 2L))
+    // degenerate: one key takes everything; zero weights dropped
+    val one = Seq(("x", 5L), ("z", 0L)).toDF("k", "w")
+    val g1 = Sampling.allocateBudget(one, "k", "w", 7L)
+      .as[(String, Long, Long)].collect()
+    assert(g1.toSeq == Seq(("x", 5L, 7L)))
+  }
+
   test("aucTable: perfect, tied and degenerate cases are exact") {
     import spark.implicits._
     // perfect separation -> 1e6
