@@ -3125,6 +3125,15 @@ object SparkEntry {
             .as("toks"))
       Sampling.allocateBudget(w, "source", "toks", budget = 10000000L)
         .orderBy(col("key"))
+    }),
+
+    // ---- Per-dimension embedding moments by label (drift) ----
+    // Integer ⌊v·1e6⌋ moments per (label, dim) — the embedding
+    // distribution-shift profile between cohorts; floor has no tie
+    // rule so the float→int step is engine-exact.
+    "q196_dim_moments" -> ((s, dir) => {
+      Gram.dimMoments(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("g"), col("dim"))
     })
   )
 
@@ -7771,6 +7780,21 @@ object SparkEntry {
         |  CAST(base + CASE WHEN row_number()
         |    OVER (ORDER BY rem DESC, key) <= spare
         |    THEN 1 ELSE 0 END AS BIGINT) AS quota
-        |FROM b CROSS JOIN r ORDER BY key""".stripMargin
+        |FROM b CROSS JOIN r ORDER BY key""".stripMargin,
+
+    // e = floor(CAST(v AS DOUBLE) * 1e6); 1-based list indexing.
+    "q196_dim_moments" ->
+      """WITH x AS (
+        |  SELECT label AS g, i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS e
+        |  FROM embeddings,
+        |    unnest(range(1, len(embedding) + 1)) AS t(i)
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |)
+        |SELECT g, CAST(dim AS BIGINT) AS dim, count(*)::BIGINT AS n,
+        |  CAST(sum(e) AS BIGINT) AS sum_e6,
+        |  CAST(sum(e::HUGEINT * e) AS BIGINT) AS sum_sq
+        |FROM x GROUP BY 1, 2 ORDER BY g, dim""".stripMargin
   )
 }

@@ -69,4 +69,32 @@ object Gram {
       .toDF("i", "j", "g")
     partial.groupBy(col("i"), col("j")).agg(sum(col("g")).as("g"))
   }
+
+  /** Per-dimension embedding moments by group — the drift /
+    * distribution-shift profile for an embedding column: for every
+    * (group, dimension), n, Σe and Σe² where e = ⌊v·1e6⌋ (floor has
+    * no tie rule, so the float→integer step is bit-identical on any
+    * engine; the multiply is forced to DOUBLE first — a FLOAT×INT
+    * would be engine-dependent 32-bit arithmetic). Comparing two
+    * groups' per-dim means/variances (caller-side floats from the
+    * integer moments) is the standard embedding-drift alarm between
+    * snapshots/sources; moments add across shards.
+    *
+    * Scale shape: posexplode is the d× columnar pivot (narrow d by
+    * contract — the embedding dimension, not the corpus), then one
+    * map-side-combined agg whose exchange carries ≤ d·groups rows
+    * per task. */
+  def dimMoments(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    df.filter(col(vecCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("g"), col("dim").cast("long").as("dim"),
+        expr("CAST(floor(CAST(__v AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("__e"))
+      .groupBy(col("g"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("__e")).as("sum_e6"),
+        expr("CAST(sum(CAST(__e AS DECIMAL(38,0)) * __e) AS BIGINT)")
+          .as("sum_sq"))
+  }
 }
