@@ -3134,6 +3134,19 @@ object SparkEntry {
     "q196_dim_moments" -> ((s, dir) => {
       Gram.dimMoments(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy(col("g"), col("dim"))
+    }),
+
+    // ---- Traffic spike days (Hampel rule on daily rates) ----
+    // Which (event_type, day) cells spiked beyond 3·MAD of that
+    // type's daily median — the robust rate-anomaly list, run on
+    // the daily rollup (not raw events).
+    "q197_rate_spikes" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(ts DIV 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_ev"))
+      Stats.madOutlierRows(daily, Seq("event_type"), "n_ev", k = 3L)
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -7795,6 +7808,45 @@ object SparkEntry {
         |SELECT g, CAST(dim AS BIGINT) AS dim, count(*)::BIGINT AS n,
         |  CAST(sum(e) AS BIGINT) AS sum_e6,
         |  CAST(sum(e::HUGEINT * e) AS BIGINT) AS sum_sq
-        |FROM x GROUP BY 1, 2 ORDER BY g, dim""".stripMargin
+        |FROM x GROUP BY 1, 2 ORDER BY g, dim""".stripMargin,
+
+    // Daily rollup -> q183's med/mad rule -> offending rows.
+    "q197_rate_spikes" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*)::BIGINT AS n_ev
+        |  FROM events GROUP BY 1, 2
+        |), h AS (
+        |  SELECT event_type, n_ev AS v, count(*)::BIGINT AS c
+        |  FROM d GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT event_type, v, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS tot
+        |  FROM h
+        |), med AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum * 2 >= tot THEN v END) AS med
+        |  FROM cu GROUP BY 1
+        |), dh AS (
+        |  SELECT h.event_type, abs(v - med) AS dv,
+        |    CAST(sum(c) AS BIGINT) AS c
+        |  FROM h JOIN med ON med.event_type = h.event_type GROUP BY 1, 2
+        |), cud AS (
+        |  SELECT event_type, dv, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY dv) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS tot
+        |  FROM dh
+        |), mad AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum * 2 >= tot THEN dv END) AS mad
+        |  FROM cud GROUP BY 1
+        |)
+        |SELECT d.event_type, d.day, d.n_ev, med.med, mad.mad
+        |FROM d
+        |JOIN med ON med.event_type = d.event_type
+        |JOIN mad ON mad.event_type = d.event_type
+        |WHERE abs(d.n_ev - med.med) > 3 * mad.mad
+        |ORDER BY d.event_type, d.day""".stripMargin
   )
 }

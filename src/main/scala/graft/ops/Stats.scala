@@ -451,6 +451,22 @@ object Stats {
     require(groupCols.nonEmpty, "madStats needs group columns")
     require(k >= 1, s"k must be >= 1 (got $k)")
     val gcols = groupCols.map(col)
+    val (hist, med, mad) = medMadOf(df, groupCols, valueCol)
+    hist.join(med, groupCols).join(mad, groupCols)
+      .groupBy(gcols: _*)
+      .agg(sum(col("__c")).as("n"), min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(abs(col("__v") - col("med")) > lit(k) * col("mad"),
+          col("__c")).otherwise(lit(0L))).as("n_outliers"))
+  }
+
+  /** Shared med/MAD derivation: the persisted value histogram, the
+    * per-group median, and the MAD — all by the cume_dist·2 ≥ tot
+    * integer rule, the deviation histogram re-keyed from the value
+    * histogram (no input rescan). */
+  private def medMadOf(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val gcols = groupCols.map(col)
     val hist = df.filter(col(valueCol).isNotNull)
       .select(gcols :+ col(valueCol).cast("long").as("__v"): _*)
       .groupBy(gcols :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
@@ -470,12 +486,25 @@ object Stats {
         :+ col("__c"): _*)
       .groupBy(gcols :+ col("__d"): _*).agg(sum(col("__c")).as("__c"))
     val mad = p50(devHist, "__d").withColumnRenamed("__p50___d", "mad")
-    hist.join(med, groupCols).join(mad, groupCols)
-      .groupBy(gcols: _*)
-      .agg(sum(col("__c")).as("n"), min(col("med")).as("med"),
-        min(col("mad")).as("mad"),
-        sum(when(abs(col("__v") - col("med")) > lit(k) * col("mad"),
-          col("__c")).otherwise(lit(0L))).as("n_outliers"))
+    (hist, med, mad)
+  }
+
+  /** Row-level companion of [[madStats]] — the offending rows
+    * themselves, with med/mad attached: the spike/anomaly LIST
+    * (which days spiked, which docs are length freaks), where
+    * madStats gives only counts. Same Hampel rule
+    * |v − med| > k·mad. Costs one extra pass over the input to
+    * emit rows (the summary derives everything from the histogram;
+    * a row list cannot) — run it on rollups, not raw corpora, when
+    * the input is corpus-sized. */
+  def madOutlierRows(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Long = 3L): DataFrame = {
+    require(groupCols.nonEmpty, "madOutlierRows needs group columns")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val (_, med, mad) = medMadOf(df, groupCols, valueCol)
+    df.join(med, groupCols).join(mad, groupCols)
+      .filter(col(valueCol).isNotNull &&
+        abs(col(valueCol).cast("long") - col("med")) > lit(k) * col("mad"))
   }
 
   /** Herfindahl–Hirschman concentration index per key in exact ppm —
