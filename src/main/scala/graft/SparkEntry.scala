@@ -3147,6 +3147,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_ev"))
       Stats.madOutlierRows(daily, Seq("event_type"), "n_ev", k = 3L)
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // ---- Top-2 sources per language with "(other)" rollup ----
+    // The dashboard reporting idiom, deterministic (metric desc,
+    // key asc) — the window ranks the categorical rollup, never raw
+    // docs.
+    "q198_topk_others" -> ((s, dir) => {
+      val agg = t(s, dir, "documents")
+        .filter(col("source").isNotNull)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      graft.ops.Ranking.topKOthers(agg, Seq("lang"), "source",
+          "n_docs", k = 2)
+        .orderBy(col("lang"), col("n_docs").desc, col("source"))
     })
   )
 
@@ -7847,6 +7861,25 @@ object SparkEntry {
         |JOIN med ON med.event_type = d.event_type
         |JOIN mad ON mad.event_type = d.event_type
         |WHERE abs(d.n_ev - med.med) > 3 * mad.mad
-        |ORDER BY d.event_type, d.day""".stripMargin
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
+    "q198_topk_others" ->
+      """WITH a AS (
+        |  SELECT lang, source, count(*)::BIGINT AS n_docs
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, source, n_docs,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_docs DESC, source) AS rk
+        |  FROM a
+        |), g AS (
+        |  SELECT lang,
+        |    CASE WHEN rk <= 2 THEN source ELSE '(other)' END AS source,
+        |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |    count(*)::BIGINT AS n_members
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT lang, source, n_docs, n_members
+        |FROM g ORDER BY lang, n_docs DESC, source""".stripMargin
   )
 }

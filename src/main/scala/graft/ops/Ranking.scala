@@ -108,4 +108,28 @@ object Ranking {
     ColumnBridge.internalCreateDataFrame(sorted, scanned, schema, order,
       orderTailCols = Seq(outCol), partitionPrefix = sortCols.length)
   }
+
+  /** Top-k rows per group with everything else rolled into one
+    * "(other)" row — the reporting idiom every dashboard wants
+    * (per-language top sources, per-day top referrers) done
+    * deterministically: rank by (metric desc, key asc — a total
+    * order), keep k, aggregate the tail's metric and member count.
+    * Input is the PRE-AGGREGATED (group, key, metric) table by
+    * contract (group×key cardinality, not the corpus), so the
+    * per-group window ranks a categorical table, never raw data.
+    * Output: (groupCols*, keyCol as string, metric sum, n_members)
+    * — n_members > 1 only on the "(other)" rows. */
+  def topKOthers(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      nCol: String, k: Int, otherLabel: String = "(other)"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(nCol).desc, col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__k", when(col("__rk") <= k,
+        col(keyCol).cast("string")).otherwise(lit(otherLabel)))
+      .groupBy(groupCols.map(col) :+ col("__k").as(keyCol): _*)
+      .agg(sum(col(nCol)).as(nCol), count(lit(1)).as("n_members"))
+  }
 }
