@@ -3161,6 +3161,27 @@ object SparkEntry {
       graft.ops.Ranking.topKOthers(agg, Seq("lang"), "source",
           "n_docs", k = 2)
         .orderBy(col("lang"), col("n_docs").desc, col("source"))
+    }),
+
+    // ---- Signup → purchase conversion latency ----
+    // First-signup to first-subsequent-purchase latency per user,
+    // exact p50/p90 over the converter population plus the funnel
+    // counts — user-keyed min-aggs, no raw-event window.
+    "q199_conversion_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("us"))
+      val sgn = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(sgn, "user_id").filter(col("us") >= col("t0"))
+        .groupBy(col("user_id"))
+        .agg((min(col("us")) - min(col("t0"))).as("lat_us"))
+      Stats.exactPercentiles(conv.withColumn("g", lit("all")), Seq("g"),
+          "lat_us", Seq(0.5, 0.9))
+        .drop("g")
+        .crossJoin(sgn.agg(count(lit(1)).as("n_signups")))
+        .crossJoin(conv.agg(count(lit(1)).as("n_converted")))
     })
   )
 
@@ -7880,6 +7901,37 @@ object SparkEntry {
         |  FROM r GROUP BY 1, 2
         |)
         |SELECT lang, source, n_docs, n_members
-        |FROM g ORDER BY lang, n_docs DESC, source""".stripMargin
+        |FROM g ORDER BY lang, n_docs DESC, source""".stripMargin,
+
+    "q199_conversion_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL
+        |), s AS (
+        |  SELECT user_id, min(us) AS t0 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), b AS (
+        |  SELECT e.user_id, min(e.us) - min(s.t0) AS lat
+        |  FROM e JOIN s ON s.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= s.t0
+        |  GROUP BY e.user_id
+        |), h AS (
+        |  SELECT lat AS v, count(*)::BIGINT AS c FROM b GROUP BY 1
+        |), cu AS (
+        |  SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+        |    sum(c) OVER () AS tot
+        |  FROM h
+        |), p AS (
+        |  SELECT
+        |    min(CASE WHEN cum * 10000 >= tot * 5000 THEN v END) AS p50,
+        |    min(CASE WHEN cum * 10000 >= tot * 9000 THEN v END) AS p90
+        |  FROM cu
+        |), n1 AS (
+        |  SELECT count(*)::BIGINT AS n_signups FROM s
+        |), n2 AS (
+        |  SELECT count(*)::BIGINT AS n_converted FROM b
+        |)
+        |SELECT p50, p90, n_signups, n_converted
+        |FROM p CROSS JOIN n1 CROSS JOIN n2""".stripMargin
   )
 }
