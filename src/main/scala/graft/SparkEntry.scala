@@ -3182,6 +3182,22 @@ object SparkEntry {
         .drop("g")
         .crossJoin(sgn.agg(count(lit(1)).as("n_signups")))
         .crossJoin(conv.agg(count(lit(1)).as("n_converted")))
+    }),
+
+    // ---- Modularity of the LPA communities (clustering gate) ----
+    // Integer modularity moments (E_c, D_c, M2) for q140's label
+    // propagation over the co-purchase graph — Q·M2² = M2·ΣE_c −
+    // ΣD_c², the number that says whether the "communities" beat
+    // random wiring. The float Q stays caller-side (it can be
+    // negative; trunc-vs-floor divides differ across engines).
+    "q200_modularity" -> ((s, dir) => {
+      val edges = Graph.basketPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2L)
+      val labels = Graph.labelPropagation(edges, "item_a", "item_b",
+        "n", iterations = 2)
+      Graph.modularityByCommunity(edges, "item_a", "item_b", "n",
+          labels, "id", "label")
+        .orderBy(col("community"))
     })
   )
 
@@ -7932,6 +7948,66 @@ object SparkEntry {
         |  SELECT count(*)::BIGINT AS n_converted FROM b
         |)
         |SELECT p50, p90, n_signups, n_converted
-        |FROM p CROSS JOIN n1 CROSS JOIN n2""".stripMargin
+        |FROM p CROSS JOIN n1 CROSS JOIN n2""".stripMargin,
+
+    // q140's unrolled LPA labels extended with the community
+    // modularity moments.
+    "q200_modularity" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem
+        |), ok AS (
+        |  SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000
+        |), pr AS (
+        |  SELECT x.it AS a, y.it AS b2, count(*)::BIGINT AS n
+        |  FROM b x
+        |  JOIN ok ON ok.bk = x.bk
+        |  JOIN b y ON y.bk = x.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT id, nb, CAST(sum(w) AS BIGINT) AS w FROM (
+        |    SELECT a AS id, b2 AS nb, n AS w FROM pr
+        |    UNION ALL SELECT b2, a, n FROM pr)
+        |  GROUP BY 1, 2
+        |), l0 AS (
+        |  SELECT DISTINCT id, id AS label FROM sym
+        |), n1 AS (
+        |  SELECT s.id, l.label, CAST(sum(s.w) AS BIGINT) AS lw
+        |  FROM sym s JOIN l0 l ON s.nb = l.id GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT id, max(label) AS label FROM (
+        |    SELECT id, label, lw, max(lw) OVER (PARTITION BY id) AS mw
+        |    FROM n1) WHERE lw = mw GROUP BY id
+        |), n2 AS (
+        |  SELECT s.id, l.label, CAST(sum(s.w) AS BIGINT) AS lw
+        |  FROM sym s JOIN l1 l ON s.nb = l.id GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT id, max(label) AS label FROM (
+        |    SELECT id, label, lw, max(lw) OVER (PARTITION BY id) AS mw
+        |    FROM n2) WHERE lw = mw GROUP BY id
+        |), j AS (
+        |  SELECT la.label AS ca, lb.label AS cb, sym.w
+        |  FROM sym
+        |  JOIN l2 la ON la.id = sym.id
+        |  JOIN l2 lb ON lb.id = sym.nb
+        |), m2 AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS m2 FROM j
+        |), dt AS (
+        |  SELECT ca AS community, CAST(sum(w) AS BIGINT) AS d_tot
+        |  FROM j GROUP BY 1
+        |), ei AS (
+        |  SELECT ca AS community, CAST(sum(w) AS BIGINT) AS e_in
+        |  FROM j WHERE ca = cb GROUP BY 1
+        |), nn AS (
+        |  SELECT label AS community, count(*)::BIGINT AS n_nodes
+        |  FROM l2 GROUP BY 1
+        |)
+        |SELECT nn.community, n_nodes, COALESCE(ei.e_in, 0::BIGINT) AS e_in,
+        |  dt.d_tot, m2.m2
+        |FROM nn
+        |JOIN dt ON dt.community = nn.community
+        |LEFT JOIN ei ON ei.community = nn.community
+        |CROSS JOIN m2
+        |ORDER BY nn.community""".stripMargin
   )
 }

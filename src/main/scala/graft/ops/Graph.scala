@@ -804,6 +804,53 @@ object Graph {
         coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"))
   }
 
+  /** Per-community modularity sufficient statistics (Newman 2004,
+    * weighted form) for a given labeling: with the symmetrized
+    * directed weight M2 = Σ_ij A_ij, each community's intra-weight
+    * E_c = Σ_{i,j∈c} A_ij and total degree D_c = Σ_{i∈c} k_i give
+    * `Q = Σ_c (E_c/M2 − (D_c/M2)²)` — equivalently
+    * `Q·M2² = M2·ΣE_c − ΣD_c²`, all integers. The ratio is the
+    * CALLER's last float (Q can be negative; an integral divide's
+    * trunc-vs-floor would differ across engines on negatives —
+    * exactly why only the integer moments cross the oracle
+    * boundary). Feed it [[labelPropagation]]'s labels to score how
+    * community-like they actually are — the graph-clustering
+    * quality gate.
+    *
+    * Input `edges` are canonical undirected pairs (a < b) with
+    * weight; `labels` maps every vertex to its community. Output:
+    * (community, n_nodes, e_in, d_tot, m2), one row per community.
+    * Scale shape: symmetrize, two vertex-keyed label joins onto the
+    * edge list, then community-keyed aggs; M2 attaches as a
+    * broadcast 1-row agg. */
+  def modularityByCommunity(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, labels: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    val e2 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(wCol).cast("long").as("w"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
+        col(wCol).cast("long").as("w")))
+    val lab = labels.select(col(idCol).as("__id"),
+      col(labelCol).as("__lab"))
+    val j = e2
+      .join(lab.select(col("__id").as("a"), col("__lab").as("ca")), "a")
+      .join(lab.select(col("__id").as("b"), col("__lab").as("cb")), "b")
+    val m2 = j.agg(sum(col("w")).as("m2"))
+    val dt = j.groupBy(col("ca").as("community"))
+      .agg(sum(col("w")).as("d_tot"))
+    val ei = j.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(sum(col("w")).as("e_in"))
+    val nn = lab.groupBy(col("__lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nn.join(dt, Seq("community"))
+      .join(ei, Seq("community"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+        col("m2"))
+  }
+
   /** Laplace-smoothed Markov transition matrix over an event
     * timeline: for every ordered state pair (src, dst) in the FULL
     * k×k grid — including never-observed transitions — the observed

@@ -247,6 +247,28 @@ class GraphMiningSpec extends SparkSpec {
     }
   }
 
+  test("modularity moments: two clean triangles give Q = 1/2") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L),
+      ("x", "y", 1L), ("x", "z", 1L), ("y", "z", 1L))
+      .toDF("u", "v", "w")
+    val labels = Seq(("a", "t1"), ("b", "t1"), ("c", "t1"),
+      ("x", "t2"), ("y", "t2"), ("z", "t2")).toDF("id", "label")
+    val got = Graph.modularityByCommunity(edges, "u", "v", "w",
+        labels, "id", "label")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("t1", 3L, 6L, 6L, 12L), ("t2", 3L, 6L, 6L, 12L)))
+    // Q·M2² = M2·ΣE − ΣD² = 12·12 − 72 = 72 -> Q = 72/144 = 0.5
+    val q = (12L * 12L - (36L + 36L)).toDouble / (12.0 * 12.0)
+    assert(q == 0.5)
+    // everything in ONE community: Q = 0 exactly
+    val one = labels.select($"id", lit("all").as("label"))
+    val g1 = Graph.modularityByCommunity(edges, "u", "v", "w",
+        one, "id", "label")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(g1._5 * g1._3 - g1._4 * g1._4 == 0L)
+  }
+
   test("basket pairs: hub baskets above the cap are dropped entirely") {
     val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "c"))
     val got = Graph.basketPairs(rows.toDF("bk", "it"), "bk", "it",
