@@ -3198,6 +3198,85 @@ object SparkEntry {
       Graph.modularityByCommunity(edges, "item_a", "item_b", "n",
           labels, "id", "label")
         .orderBy(col("community"))
+    }),
+
+    // ---- Top user-journey trigrams ----
+    // The most common 3-step event-type paths across user
+    // timelines — q172's transition matrix sees one step, this
+    // sees the journey motifs. User-keyed lead window, then one
+    // count agg; support-pruned.
+    "q201_path_trigrams" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(expr("ts DIV 1000"), col("event_id"))
+      t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("event_type").as("s1"),
+          lead(col("event_type"), 1).over(w).as("s2"),
+          lead(col("event_type"), 2).over(w).as("s3"))
+        .filter(col("s2").isNotNull && col("s3").isNotNull)
+        .groupBy(col("s1"), col("s2"), col("s3"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20L)
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+    }),
+
+    // ---- Inactivity survival curve (churn triage) ----
+    // Days-since-last-activity distribution as the exact eCDF:
+    // "what share of users have been silent ≥ k days" read
+    // directly off cdf_ppm — per-user max agg + the ecdf prefix
+    // scan, never a per-user window.
+    "q202_inactivity" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("(ts DIV 1000) div 86400000000").as("day"))
+      val inact = ev.groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"))
+        .crossJoin(broadcast(ev.agg(max(col("day")).as("mx"))))
+        .select((col("mx") - col("last_day")).as("inactive_days"))
+      Stats.ecdf(inact, "inactive_days").orderBy(col("value"))
+    }),
+
+    // ---- Revenue Gini moments (concentration audit) ----
+    // How concentrated is customer revenue? Global ascending rank
+    // via the distributed prefix scan (never a single-task window),
+    // integer moments out, float Gini caller-side.
+    "q203_gini_moments" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      Stats.giniMoments(rev, "rev_c")
+    }),
+
+    // ---- Readability components per language ----
+    // Sentence/word/vowel-group sums with words-per-sentence and
+    // syllables-per-word in exact ppm — the Flesch inputs, scan-
+    // speed regexp counting.
+    "q204_readability" -> ((s, dir) => {
+      TextAnalysis.readabilityStats(t(s, dir, "documents"), "lang",
+          "text")
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("lang"))
+    }),
+
+    // ---- Daily-activity streaks (gaps-and-islands) ----
+    // Longest consecutive-day run per user via the day − row_number
+    // island key — user-keyed windows over DISTINCT active days,
+    // never raw events.
+    "q205_streaks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("(ts DIV 1000) div 86400000000").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("n_active_days"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -8008,6 +8087,97 @@ object SparkEntry {
         |JOIN dt ON dt.community = nn.community
         |LEFT JOIN ei ON ei.community = nn.community
         |CROSS JOIN m2
-        |ORDER BY nn.community""".stripMargin
+        |ORDER BY nn.community""".stripMargin,
+
+    "q201_path_trigrams" ->
+      """WITH s AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS s2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS s3
+        |  FROM events WHERE user_id IS NOT NULL
+        |)
+        |SELECT s1, s2, s3, count(*)::BIGINT AS n
+        |FROM s WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 20
+        |ORDER BY n DESC, s1, s2, s3""".stripMargin,
+
+    "q202_inactivity" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL
+        |), l AS (
+        |  SELECT user_id, max(day) AS ld FROM ev GROUP BY 1
+        |), m AS (
+        |  SELECT max(day) AS mx FROM ev
+        |), i AS (
+        |  SELECT mx - ld AS v FROM l CROSS JOIN m
+        |), h AS (
+        |  SELECT v AS value, count(*)::BIGINT AS n FROM i GROUP BY 1
+        |), c AS (
+        |  SELECT value, n, sum(n) OVER (ORDER BY value) AS cum,
+        |    sum(n) OVER () AS tot
+        |  FROM h
+        |)
+        |SELECT value, n, CAST((cum * 1000000) // tot AS BIGINT) AS cdf_ppm
+        |FROM c ORDER BY value""".stripMargin,
+
+    // Σ r·x is tie-permutation invariant, so any total order works.
+    "q203_gini_moments" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1
+        |), rk AS (
+        |  SELECT x, row_number() OVER (ORDER BY x) AS r FROM r
+        |  WHERE x >= 0
+        |)
+        |SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sum_x,
+        |  CAST(sum(r::HUGEINT * x) AS BIGINT) AS sum_rx
+        |FROM rk""".stripMargin,
+
+    "q204_readability" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(COALESCE(text, ''), '[.!?]+'))::BIGINT
+        |      AS sent,
+        |    len(regexp_extract_all(COALESCE(text, ''), '\S+'))::BIGINT
+        |      AS w,
+        |    len(regexp_extract_all(lower(COALESCE(text, '')),
+        |      '[aeiouy]+'))::BIGINT AS syl
+        |  FROM documents
+        |), a AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(sent) AS BIGINT) AS n_sentences,
+        |    CAST(sum(w) AS BIGINT) AS n_words,
+        |    CAST(sum(syl) AS BIGINT) AS n_syllables
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT lang, n_docs, n_sentences, n_words, n_syllables,
+        |  CAST(CASE WHEN n_sentences > 0 THEN
+        |    (n_words * 1000000) // n_sentences END AS BIGINT) AS wps_ppm,
+        |  CAST(CASE WHEN n_words > 0 THEN
+        |    (n_syllables * 1000000) // n_words END AS BIGINT) AS spw_ppm
+        |FROM a ORDER BY lang""".stripMargin,
+
+    "q205_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL
+        |), g AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM d
+        |), st AS (
+        |  SELECT user_id, grp, count(*)::BIGINT AS len
+        |  FROM g GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  count(*)::BIGINT AS n_streaks,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM st GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 }

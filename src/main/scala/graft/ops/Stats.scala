@@ -305,6 +305,32 @@ object Stats {
           " END AS BIGINT)").as("auc_ppm")): _*)
   }
 
+  /** Gini / Lorenz-curve sufficient statistics — the inequality
+    * audit ("how concentrated is revenue / token mass / degree"):
+    * with x ranked ascending (1-based rank r over a TOTAL order —
+    * ties ordered arbitrarily, which is safe because Σ r·x is
+    * invariant under permutations within an equal-x block),
+    * `G = 2·Σ r·x / (n·Σx) − (n+1)/n`. The moments (n, sum_x,
+    * sum_rx) are the output — integer-exact, the float G is the
+    * caller's last step. Negative values are rejected by filter
+    * (the Lorenz construction assumes non-negative mass).
+    *
+    * Scale shape: the global rank rides
+    * [[Ranking.withGlobalIndex]]'s distributed prefix scan (range
+    * shuffle + partials + broadcast offsets) — never
+    * `row_number().over(Window.orderBy(...))`'s single task — and
+    * the moment agg is map-side combined. Σ r·x rides
+    * DECIMAL(38,0) (r ≤ n, so the product caps at n²·max_x). */
+  def giniMoments(df: DataFrame, valueCol: String): DataFrame = {
+    val v = df.select(col(valueCol).cast("long").as("__x"))
+      .filter(col("__x").isNotNull && col("__x") >= 0)
+    Ranking.withGlobalIndex(v, Seq(col("__x")), "__r0")
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("sum_x"),
+        sum(expr("CAST(__r0 + 1 AS DECIMAL(38,0)) * __x")).as("__srx"))
+      .select(col("n"), col("sum_x"),
+        expr("CAST(coalesce(__srx, 0) AS BIGINT)").as("sum_rx"))
+  }
+
   /** Decile lift table — the model-evaluation staple: rows ranked
     * into `nBins` score bins by the exact [[quantileBins]] cuts;
     * per bin, the positive count, rate and LIFT over the base rate

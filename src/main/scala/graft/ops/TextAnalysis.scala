@@ -502,6 +502,32 @@ object TextAnalysis {
     lmScore(df, idCol, textCol, uni, bi, unicode)
   }
 
+  /** Readability component sums per group — the integer sufficient
+    * statistics behind Flesch-style scores: sentence count
+    * (terminal-punctuation runs `[.!?]+`), word count (`\S+` runs)
+    * and syllable surrogate (vowel-group runs `[aeiouy]+`, the
+    * standard cheap estimator), summed per group with the two
+    * ratios in exact ppm (words/sentence and syllables/word —
+    * Flesch is an affine combination of exactly these two, applied
+    * caller-side in floats). Groups with zero sentences/words get
+    * null ratios rather than a division blow-up. One scan, all
+    * codegen'd regexp counting. */
+  def readabilityStats(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t0 = coalesce(col(textCol), lit(""))
+    df.select(col(groupCol).as("g"),
+        regexp_count(t0, lit("[.!?]+")).cast("long").as("__sent"),
+        regexp_count(t0, lit("\\S+")).cast("long").as("__w"),
+        regexp_count(lower(t0), lit("[aeiouy]+")).cast("long").as("__syl"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__sent")).as("n_sentences"),
+        sum(col("__w")).as("n_words"), sum(col("__syl")).as("n_syllables"))
+      .withColumn("wps_ppm", expr("CASE WHEN n_sentences > 0 THEN" +
+        " (n_words * 1000000) div n_sentences END"))
+      .withColumn("spw_ppm", expr("CASE WHEN n_words > 0 THEN" +
+        " (n_syllables * 1000000) div n_words END"))
+  }
+
   /** RAKE stopword list (Rose et al. 2010 use a full SMART list;
     * this is the deterministic core subset — callers pass their
     * own for production lexicons). */
