@@ -163,6 +163,31 @@ class StatsSpec extends SparkSpec {
     assert(z.length == 1 && z.head.isNullAt(0))
   }
 
+  test("giniMoments: equal masses give G = 0, extremes approach 1") {
+    import spark.implicits._
+    val eq = Seq(5L, 5L, 5L, 5L).toDF("x")
+    val (n, sx, srx) = Stats.giniMoments(eq, "x")
+      .as[(Long, Long, Long)].head()
+    // G = 2·srx/(n·sx) − (n+1)/n = 2·50/(4·20) − 5/4 = 0
+    assert((n, sx, srx) == ((4L, 20L, 50L)))
+    assert(2.0 * srx / (n * sx) - (n + 1.0) / n == 0.0)
+    val skew = (Seq.fill(9)(0L) :+ 100L).toDF("x")
+    val (n2, sx2, srx2) = Stats.giniMoments(skew, "x")
+      .as[(Long, Long, Long)].head()
+    // one holder of everything: G = 2·1000/(10·100) − 11/10 = 0.9
+    assert(math.abs(2.0 * srx2 / (n2 * sx2) - (n2 + 1.0) / n2 - 0.9) < 1e-12)
+  }
+
+  test("topKOthers: deterministic ranks, tail rolled into (other)") {
+    import spark.implicits._
+    val agg = Seq(("en", "a", 10L), ("en", "b", 5L), ("en", "c", 3L),
+      ("en", "d", 3L), ("fr", "a", 1L)).toDF("lang", "src", "n")
+    val got = Ranking.topKOthers(agg, Seq("lang"), "src", "n", k = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("en", "a", 10L, 1L), ("en", "b", 5L, 1L),
+      ("en", "(other)", 6L, 2L), ("fr", "a", 1L, 1L)))
+  }
+
   test("allocateBudget: quotas sum exactly to the budget, " +
       "proportionality and tie order hold") {
     import spark.implicits._
