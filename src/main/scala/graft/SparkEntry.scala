@@ -3277,6 +3277,36 @@ object SparkEntry {
           count(lit(1)).as("n_streaks"),
           sum(col("len")).as("n_active_days"))
         .orderBy(col("user_id"))
+    }),
+
+    // ---- KMV audience-overlap Jaccard (sketch set ops) ----
+    // Per event-type pair: estimated user-audience Jaccard from the
+    // union bottom-64 of each pair's KMV sketches — 64 longs per
+    // type replace any set intersection — with the exact Jaccard
+    // audited beside it.
+    "q206_kmv_jaccard" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val sk = Sketch.kmvSketch(ev, Seq("event_type"), "user_id", k = 64)
+      val est = Sketch.kmvPairJaccard(sk, "event_type", k = 64)
+      val v = ev.select(col("event_type").as("g"), col("user_id"))
+        .distinct()
+      val sizes = v.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val inter = v.select(col("g").as("ga"), col("user_id"))
+        .join(v.select(col("g").as("gb"), col("user_id")), "user_id")
+        .filter(col("ga") < col("gb"))
+        .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("c"))
+      val exact = sizes.select(col("g").as("src_a"), col("n").as("na"))
+        .crossJoin(sizes.select(col("g").as("src_b"), col("n").as("nb")))
+        .filter(col("src_a") < col("src_b"))
+        .join(inter, col("src_a") === col("ga") &&
+          col("src_b") === col("gb"), "left")
+        .select(col("src_a"), col("src_b"),
+          coalesce(col("c"), lit(0L)).as("common"), col("na"), col("nb"))
+        .withColumn("exact_jaccard_ppm",
+          expr("(common * 1000000) div (na + nb - common)"))
+        .select(col("src_a"), col("src_b"), col("exact_jaccard_ppm"))
+      est.join(exact, Seq("src_a", "src_b"))
+        .orderBy(col("src_a"), col("src_b"))
     })
   )
 
@@ -8178,6 +8208,65 @@ object SparkEntry {
         |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
         |  count(*)::BIGINT AS n_streaks,
         |  CAST(sum(len) AS BIGINT) AS n_active_days
-        |FROM st GROUP BY 1 ORDER BY user_id""".stripMargin
+        |FROM st GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // Union bottom-64 per pair; match = hash present in BOTH
+    // sketches; exact via the distinct (type, user) self-join.
+    "q206_kmv_jaccard" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT event_type AS g, user_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), hd AS (
+        |  SELECT DISTINCT g,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS kh
+        |  FROM ev
+        |), r AS (
+        |  SELECT g, kh,
+        |    row_number() OVER (PARTITION BY g ORDER BY kh) AS rk
+        |  FROM hd
+        |), sk AS (
+        |  SELECT g, kh FROM r WHERE rk <= 64
+        |), gs AS (
+        |  SELECT DISTINCT g FROM sk
+        |), pairs AS (
+        |  SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g
+        |), tag AS (
+        |  SELECT p.ga, p.gb, s.g AS side, s.kh
+        |  FROM pairs p JOIN sk s ON s.g = p.ga
+        |  UNION ALL
+        |  SELECT p.ga, p.gb, s.g, s.kh
+        |  FROM pairs p JOIN sk s ON s.g = p.gb
+        |), ph AS (
+        |  SELECT ga, gb, kh, count(DISTINCT side)::BIGINT AS sides
+        |  FROM tag GROUP BY 1, 2, 3
+        |), rk2 AS (
+        |  SELECT ga, gb, kh, sides,
+        |    row_number() OVER (PARTITION BY ga, gb ORDER BY kh) AS rk
+        |  FROM ph
+        |), est AS (
+        |  SELECT ga, gb, count(*)::BIGINT AS k_used,
+        |    CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match
+        |  FROM rk2 WHERE rk <= 64 GROUP BY 1, 2
+        |), szs AS (
+        |  SELECT g, count(*)::BIGINT AS n FROM ev GROUP BY 1
+        |), i AS (
+        |  SELECT a.g AS ga, b.g AS gb, count(*)::BIGINT AS c
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.g < b.g
+        |  GROUP BY 1, 2
+        |), ex AS (
+        |  SELECT sa.g AS ga, sb.g AS gb,
+        |    COALESCE(i.c, 0::BIGINT) AS common, sa.n AS na, sb.n AS nb
+        |  FROM szs sa JOIN szs sb ON sa.g < sb.g
+        |  LEFT JOIN i ON i.ga = sa.g AND i.gb = sb.g
+        |)
+        |SELECT est.ga AS src_a, est.gb AS src_b, k_used, n_match,
+        |  CAST((n_match * 1000000) // k_used AS BIGINT)
+        |    AS jaccard_est_ppm,
+        |  CAST((common * 1000000) // (na + nb - common) AS BIGINT)
+        |    AS exact_jaccard_ppm
+        |FROM est JOIN ex ON ex.ga = est.ga AND ex.gb = est.gb
+        |ORDER BY src_a, src_b""".stripMargin
   )
 }

@@ -830,11 +830,18 @@ object Graph {
         col(wCol).cast("long").as("w"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
         col(wCol).cast("long").as("w")))
+    // The labeling is referenced by BOTH endpoint joins and the
+    // node-count agg, and the labeled edge frame feeds three aggs
+    // (m2 / d_tot / e_in) — pin both so an upstream iterative
+    // labeler (LPA supersteps) and the edge derivation execute once,
+    // not once per consumer.
     val lab = labels.select(col(idCol).as("__id"),
-      col(labelCol).as("__lab"))
+        col(labelCol).as("__lab"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val j = e2
       .join(lab.select(col("__id").as("a"), col("__lab").as("ca")), "a")
       .join(lab.select(col("__id").as("b"), col("__lab").as("cb")), "b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val m2 = j.agg(sum(col("w")).as("m2"))
     val dt = j.groupBy(col("ca").as("community"))
       .agg(sum(col("w")).as("d_tot"))

@@ -148,6 +148,24 @@ class JoinSketchSpec extends SparkSpec {
     assert(direct.count() == 2) // sanity: two per-group rows existed
   }
 
+  test("kmvPairJaccard: small unions exact, large within tolerance") {
+    // A = 0..9, B = 5..14: union 15 < k -> exact 5/15
+    val small = spark.range(0, 10).select(lit("A").as("g"), $"id".as("v"))
+      .union(spark.range(5, 15).select(lit("B").as("g"), $"id".as("v")))
+    val sk = Sketch.kmvSketch(small, Seq("g"), "v", k = 64)
+    val got = Sketch.kmvPairJaccard(sk, "g", k = 64)
+      .as[(String, String, Long, Long, Long)].head()
+    assert(got == (("A", "B", 15L, 5L, 333333L)))
+    // A = 0..999, B = 500..1499: J = 1/3; k=64 estimate in range
+    val big = spark.range(0, 1000).select(lit("A").as("g"), $"id".as("v"))
+      .union(spark.range(500, 1500).select(lit("B").as("g"), $"id".as("v")))
+    val skb = Sketch.kmvSketch(big, Seq("g"), "v", k = 64)
+    val gb = Sketch.kmvPairJaccard(skb, "g", k = 64)
+      .as[(String, String, Long, Long, Long)].head()
+    assert(gb._3 == 64L)
+    assert(math.abs(gb._5 / 1e6 - 1.0 / 3.0) < 0.15, s"est ${gb._5}")
+  }
+
   test("countMinJoinSize: never undercounts; near-exact when sparse") {
     val a = spark.range(1, 101).select($"id".cast("string").as("v"))
     val b = spark.range(1, 101).select($"id".cast("string").as("v"))
