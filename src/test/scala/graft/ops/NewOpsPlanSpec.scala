@@ -93,6 +93,30 @@ class NewOpsPlanSpec extends SparkSpec {
       s"length histogram must be a pure agg:\n$p")
   }
 
+  test("hdrSketch is scan + one agg — no join, no window") {
+    val df = (1 to 100).map(_.toLong).toDF("v")
+    val p = plan(Stats.hdrSketch(df, Nil, "v")) // ungrouped global sketch
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"hdr bucketing must stay a pure agg:\n$p")
+  }
+
+  test("giniMoments ranks via the prefix scan, not a global window") {
+    val df = (1 to 100).map(_.toLong).toDF("x")
+    val p = plan(Stats.giniMoments(df, "x"))
+    assert(!p.contains("Window"),
+      s"global rank must ride the distributed prefix scan:\n$p")
+  }
+
+  test("kmvPairJaccard expands pairs against a broadcast group list") {
+    val df = spark.range(100)
+      .select(($"id" % 2).cast("string").as("g"), $"id".as("v"))
+    val sk = Sketch.kmvSketch(df, Seq("g"), "v", 16)
+    val p = plan(Sketch.kmvPairJaccard(sk, "g", 16))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"group list should broadcast:\n$p")
+  }
+
   test("transitionProbs' k arrives by broadcast, not a driver action") {
     val ev = Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L))
       .toDF("user_id", "event_type", "ts", "event_id")
