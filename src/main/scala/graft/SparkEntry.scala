@@ -3307,6 +3307,24 @@ object SparkEntry {
         .select(col("src_a"), col("src_b"), col("exact_jaccard_ppm"))
       est.join(exact, Seq("src_a", "src_b"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // ---- Two-sample KS statistic per language pair ----
+    // max |cumA·nb − cumB·na| over the union length grid — the
+    // shape-sensitive drift alarm q163's share drift can't see;
+    // float KS = ks_scaled/(na·nb) caller-side.
+    "q207_ks_pairs" -> ((s, dir) => {
+      Stats.ksPairs(t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy(col("ga"), col("gb"))
+    }),
+
+    // ---- Benford first-digit audit on order totals ----
+    // Observed vs Benford-expected first-digit shares in ppm with
+    // per-digit divergence — the fabricated-numbers smell test.
+    "q208_benford" -> ((s, dir) => {
+      val v = t(s, dir, "orders")
+        .select(cents(col("o_totalprice")).as("cents"))
+      Stats.benfordDigits(v, "cents").orderBy(col("digit"))
     })
   )
 
@@ -8267,6 +8285,63 @@ object SparkEntry {
         |  CAST((common * 1000000) // (na + nb - common) AS BIGINT)
         |    AS exact_jaccard_ppm
         |FROM est JOIN ex ON ex.ga = est.ga AND ex.gb = est.gb
-        |ORDER BY src_a, src_b""".stripMargin
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q207_ks_pairs" ->
+      """WITH h AS (
+        |  SELECT lang AS g, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2
+        |), s AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1
+        |), gs AS (
+        |  SELECT DISTINCT g FROM h
+        |), tag AS (
+        |  SELECT least(a.g, g2.g) AS ga, greatest(a.g, g2.g) AS gb,
+        |    a.g AS side, a.v, a.c
+        |  FROM h a JOIN gs g2 ON a.g <> g2.g
+        |), cells AS (
+        |  SELECT ga, gb, v,
+        |    CAST(sum(CASE WHEN side = ga THEN c ELSE 0 END) AS BIGINT)
+        |      AS da,
+        |    CAST(sum(CASE WHEN side = gb THEN c ELSE 0 END) AS BIGINT)
+        |      AS db
+        |  FROM tag GROUP BY 1, 2, 3
+        |), cu AS (
+        |  SELECT ga, gb, v,
+        |    sum(da) OVER (PARTITION BY ga, gb ORDER BY v) AS cuma,
+        |    sum(db) OVER (PARTITION BY ga, gb ORDER BY v) AS cumb
+        |  FROM cells
+        |)
+        |SELECT cu.ga, cu.gb, sa.n AS na, sb.n AS nb,
+        |  CAST(max(abs(cuma * sb.n - cumb * sa.n)) AS BIGINT) AS ks_scaled
+        |FROM cu JOIN s sa ON sa.g = cu.ga JOIN s sb ON sb.g = cu.gb
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY ga, gb""".stripMargin,
+
+    // Benford expected ppm are the standard rounded constants
+    // (sum exactly 1e6).
+    "q208_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders
+        |), d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*)::BIGINT AS n
+        |  FROM v WHERE c > 0 GROUP BY 1
+        |), t2 AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS tot FROM d
+        |), e(digit, exp_ppm) AS (
+        |  VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+        |    (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+        |), o AS (
+        |  SELECT d.digit, d.n,
+        |    CAST((d.n * 1000000) // tot AS BIGINT) AS obs_ppm
+        |  FROM d CROSS JOIN t2
+        |)
+        |SELECT o.digit, o.n, o.obs_ppm, CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+        |  CAST(((o.obs_ppm - e.exp_ppm) * (o.obs_ppm - e.exp_ppm))
+        |    // e.exp_ppm AS BIGINT) AS dev_ppm
+        |FROM o JOIN e ON e.digit = o.digit ORDER BY o.digit""".stripMargin
   )
 }

@@ -305,6 +305,81 @@ object Stats {
           " END AS BIGINT)").as("auc_ppm")): _*)
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistics for every group pair,
+    * in exact integer units: over the union value grid,
+    * `ks_scaled = max |cumA·nb − cumB·na|`, with the float
+    * statistic ks_scaled/(na·nb) the caller's last step. KS sees
+    * SHAPE differences (location/spread shifts) that q163's
+    * total-variation share drift can miss on re-binned categories —
+    * the right drift alarm for ordered quantities (lengths,
+    * latencies, scores). Engine-exact: cumulative counts are
+    * integers; no empirical-CDF floats ever materialize.
+    *
+    * Scale shape: one corpus scan into the per-group value
+    * histogram (persisted); pair expansion joins histogram rows
+    * against the broadcast group list (rows × (groups−1), group
+    * count categorical by contract); cumulatives ride windows
+    * PARTITIONED BY PAIR over the value-domain-sized grid. Overflow
+    * bound: cum·n ≤ na·nb must fit a Long (fine to ~3e9 rows per
+    * group). */
+  def ksPairs(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val hist = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = hist.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val groups = broadcast(hist.select(col("__g").as("__g2")).distinct())
+    val cells = hist.join(groups, col("__g") =!= col("__g2"))
+      .select(least(col("__g"), col("__g2")).as("ga"),
+        greatest(col("__g"), col("__g2")).as("gb"),
+        col("__g").as("__side"), col("__v"), col("__c"))
+      .groupBy(col("ga"), col("gb"), col("__v"))
+      .agg(sum(when(col("__side") === col("ga"), col("__c"))
+          .otherwise(lit(0L))).as("__da"),
+        sum(when(col("__side") === col("gb"), col("__c"))
+          .otherwise(lit(0L))).as("__db"))
+    val w = Window.partitionBy(col("ga"), col("gb")).orderBy(col("__v"))
+    cells
+      .withColumn("__cuma", sum(col("__da")).over(w))
+      .withColumn("__cumb", sum(col("__db")).over(w))
+      .join(sizes.select(col("__g").as("ga"), col("__n").as("na")), "ga")
+      .join(sizes.select(col("__g").as("gb"), col("__n").as("nb")), "gb")
+      .groupBy(col("ga"), col("gb"))
+      .agg(min(col("na")).as("na"), min(col("nb")).as("nb"),
+        max(abs(col("__cuma") * col("nb") - col("__cumb") * col("na")))
+          .as("ks_scaled"))
+  }
+
+  /** Benford first-digit audit (Newcomb 1881; Benford 1938) — the
+    * fabricated-numbers smell test for financial/measure columns:
+    * observed first-significant-digit shares vs the Benford
+    * expectation log10(1+1/d), shipped as the standard rounded-ppm
+    * constant table (301030 … 45757, summing to exactly 1e6 — fixed
+    * literals, not computed logs, per the no-libm doctrine), plus a
+    * per-digit divergence `(obs_ppm − exp_ppm)² div exp_ppm`. Only
+    * positive values participate (first digit of |0| is undefined).
+    * Output: (digit, n, obs_ppm, exp_ppm, dev_ppm), 9 rows. */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(expr(s"CAST(substring(CAST($valueCol AS STRING), 1, 1)" +
+        " AS BIGINT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("__tot"))))
+      .withColumn("obs_ppm", expr("(n * 1000000) div __tot"))
+      .withColumn("exp_ppm",
+        element_at(array(benford.map(lit): _*), col("digit").cast("int")))
+      .withColumn("dev_ppm",
+        expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) div exp_ppm"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"))
+  }
+
   /** Gini / Lorenz-curve sufficient statistics — the inequality
     * audit ("how concentrated is revenue / token mass / degree"):
     * with x ranked ascending (1-based rank r over a TOTAL order —

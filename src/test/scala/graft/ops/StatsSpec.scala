@@ -163,6 +163,46 @@ class StatsSpec extends SparkSpec {
     assert(z.length == 1 && z.head.isNullAt(0))
   }
 
+  test("ksPairs: identical samples give 0, disjoint supports give max") {
+    import spark.implicits._
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "v")
+    val g0 = Stats.ksPairs(same, "g", "v")
+      .as[(String, String, Long, Long, Long)].head()
+    assert(g0 == (("a", "b", 2L, 2L, 0L)))
+    // fully separated supports -> D = 1 -> ks_scaled = na·nb
+    val sep = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L),
+      ("b", 30L)).toDF("g", "v")
+    val g1 = Stats.ksPairs(sep, "g", "v")
+      .as[(String, String, Long, Long, Long)].head()
+    assert(g1 == (("a", "b", 2L, 3L, 6L)))
+    // hand-check a partial overlap: a={1,2}, b={2,3}
+    // grid cums: v1 a1b0 ->|1·2−0·2|=2; v2 a2b1 ->|4−2|=2; v3 ->0
+    val mid = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val g2 = Stats.ksPairs(mid, "g", "v")
+      .as[(String, String, Long, Long, Long)].head()
+    assert(g2 == (("a", "b", 2L, 2L, 2L)))
+  }
+
+  test("benfordDigits: constants sum to 1e6; uniform digits deviate") {
+    import spark.implicits._
+    // values 1..9 once each -> obs_ppm = 111111 per digit
+    val df = (1L to 9L).toDF("v")
+    val got = Stats.benfordDigits(df, "v")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 9)
+    assert(got.map(_._4).sum == 1000000L)
+    assert(got.forall(_._3 == 111111L))
+    // digit 1: (111111-301030)²/301030 floors to 119819
+    assert(got.head == ((1L, 1L, 111111L, 301030L, 119819L)))
+    // zero and negative values are excluded
+    val z = Seq(0L, -5L, 10L).toDF("v")
+    val gz = Stats.benfordDigits(z, "v")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(gz.toSeq == Seq((1L, 1L, 1000000L, 301030L, 1622958L)))
+  }
+
   test("giniMoments: equal masses give G = 0, extremes approach 1") {
     import spark.implicits._
     val eq = Seq(5L, 5L, 5L, 5L).toDF("x")
