@@ -3325,6 +3325,31 @@ object SparkEntry {
       val v = t(s, dir, "orders")
         .select(cents(col("o_totalprice")).as("cents"))
       Stats.benfordDigits(v, "cents").orderBy(col("digit"))
+    }),
+
+    // ---- Language-ID evaluation: confusion + per-class P/R ----
+    // q16's heuristic classifier scored against the labeled lang:
+    // per (true, predicted) cell count, plus per-class precision
+    // and recall in exact ppm attached to the diagonal's class
+    // totals — the classifier-eval report, engine-exact.
+    "q209_langid_eval" -> ((s, dir) => {
+      val pred = TextAnalysis.langIdDF(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("text")), "text")
+        .select(col("lang").as("y_true"), col("lang_pred").as("y_pred"))
+      val cells = pred.groupBy(col("y_true"), col("y_pred"))
+        .agg(count(lit(1)).as("n"))
+      val byTrue = cells.groupBy(col("y_true"))
+        .agg(sum(col("n")).as("n_true"))
+      val byPred = cells.groupBy(col("y_pred"))
+        .agg(sum(col("n")).as("n_pred"))
+      cells.join(byTrue, "y_true").join(byPred, "y_pred")
+        .select(col("y_true"), col("y_pred"), col("n"),
+          expr("CASE WHEN y_true = y_pred THEN" +
+            " (n * 1000000) div n_pred END").as("precision_ppm"),
+          expr("CASE WHEN y_true = y_pred THEN" +
+            " (n * 1000000) div n_true END").as("recall_ppm"))
+        .orderBy(col("y_true"), col("y_pred"))
     })
   )
 
@@ -8342,6 +8367,48 @@ object SparkEntry {
         |SELECT o.digit, o.n, o.obs_ppm, CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
         |  CAST(((o.obs_ppm - e.exp_ppm) * (o.obs_ppm - e.exp_ppm))
         |    // e.exp_ppm AS BIGINT) AS dev_ppm
-        |FROM o JOIN e ON e.digit = o.digit ORDER BY o.digit""".stripMargin
+        |FROM o JOIN e ON e.digit = o.digit ORDER BY o.digit""".stripMargin,
+
+    // q16's langid CTEs rolled into a confusion matrix with
+    // diagonal precision/recall.
+    "q209_langid_eval" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_intersect(toks, ['the','and','is','was','that','with','this','have'])) AS h_en,
+        |    len(list_intersect(toks, ['der','die','und','das','ist','nicht','ein','mit'])) AS h_de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','une','que','pour'])) AS h_fr,
+        |    len(list_intersect(toks, ['el','los','las','es','una','que','por','para'])) AS h_es,
+        |    len(list_intersect(toks, ['il','di','che','per','una','sono','con','non'])) AS h_it
+        |  FROM t
+        |), p AS (
+        |  SELECT lang AS y_true,
+        |    CASE WHEN greatest(h_en,h_de,h_fr,h_es,h_it) <= 0 THEN 'und'
+        |         WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_it THEN 'en'
+        |         WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_it THEN 'de'
+        |         WHEN h_fr >= h_es AND h_fr >= h_it THEN 'fr'
+        |         WHEN h_es >= h_it THEN 'es'
+        |         ELSE 'it' END AS y_pred
+        |  FROM h
+        |), cells AS (
+        |  SELECT y_true, y_pred, count(*)::BIGINT AS n
+        |  FROM p GROUP BY 1, 2
+        |), bt AS (
+        |  SELECT y_true, CAST(sum(n) AS BIGINT) AS n_true
+        |  FROM cells GROUP BY 1
+        |), bp AS (
+        |  SELECT y_pred, CAST(sum(n) AS BIGINT) AS n_pred
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT c.y_true, c.y_pred, c.n,
+        |  CAST(CASE WHEN c.y_true = c.y_pred THEN
+        |    (c.n * 1000000) // bp.n_pred END AS BIGINT) AS precision_ppm,
+        |  CAST(CASE WHEN c.y_true = c.y_pred THEN
+        |    (c.n * 1000000) // bt.n_true END AS BIGINT) AS recall_ppm
+        |FROM cells c
+        |JOIN bt ON bt.y_true = c.y_true
+        |JOIN bp ON bp.y_pred = c.y_pred
+        |ORDER BY c.y_true, c.y_pred""".stripMargin
   )
 }
