@@ -3350,6 +3350,44 @@ object SparkEntry {
           expr("CASE WHEN y_true = y_pred THEN" +
             " (n * 1000000) div n_true END").as("recall_ppm"))
         .orderBy(col("y_true"), col("y_pred"))
+    }),
+
+    // ---- Epoch mixing plan (quota vs availability) ----
+    // q195's quotas turned into the executable schedule: full
+    // epochs = quota div available tokens, plus the partial-epoch
+    // sample fraction in ppm — "3.2 epochs of wiki, 0.8 of cc",
+    // LLaMA-style repetition planning, integer-exact.
+    "q210_mix_plan" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("source"),
+          size(TextAnalysis.alphaTokens(col("text"))).cast("long")
+            .as("toks"))
+      Sampling.allocateBudget(w, "source", "toks", budget = 10000000L)
+        .withColumn("epochs", expr("quota div w"))
+        .withColumn("partial_ppm", expr("((quota % w) * 1000000) div w"))
+        .orderBy(col("key"))
+    }),
+
+    // ---- Temporal pair support (a-then-b within a day) ----
+    // For every ordered event-type pair: users whose FIRST a is
+    // followed by a b within 24h — the all-pairs funnel screen that
+    // finds which stage pairs are worth a full q147 funnel. Per
+    // (user, type) min-ts aggs, then a type²-sized join.
+    "q211_temporal_pairs" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("us"))
+      val firsts = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("us")).as("t0"))
+      val hits = firsts.select(col("user_id"),
+          col("event_type").as("a"), col("t0"))
+        .join(ev.select(col("user_id"), col("event_type").as("b"),
+          col("us")), "user_id")
+        .filter(col("a") =!= col("b") && col("us") > col("t0") &&
+          col("us") <= col("t0") + lit(86400000000L))
+        .select(col("user_id"), col("a"), col("b")).distinct()
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_users"))
+      hits.orderBy(col("a"), col("b"))
     })
   )
 
@@ -8409,6 +8447,49 @@ object SparkEntry {
         |FROM cells c
         |JOIN bt ON bt.y_true = c.y_true
         |JOIN bp ON bp.y_pred = c.y_pred
-        |ORDER BY c.y_true, c.y_pred""".stripMargin
+        |ORDER BY c.y_true, c.y_pred""".stripMargin,
+
+    // q195's allocation extended with epochs and partial fraction.
+    "q210_mix_plan" ->
+      """WITH w AS (
+        |  SELECT source AS key,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+')))
+        |      AS BIGINT) AS w
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1
+        |), tw AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS tw FROM w
+        |), b AS (
+        |  SELECT key, w,
+        |    CAST((w::HUGEINT * 10000000) // tw AS BIGINT) AS base,
+        |    (w::HUGEINT * 10000000) % tw AS rem
+        |  FROM w CROSS JOIN tw WHERE w > 0
+        |), r AS (
+        |  SELECT CAST(10000000 - sum(base) AS BIGINT) AS spare FROM b
+        |), q AS (
+        |  SELECT key, w,
+        |    CAST(base + CASE WHEN row_number()
+        |      OVER (ORDER BY rem DESC, key) <= spare
+        |      THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM b CROSS JOIN r
+        |)
+        |SELECT key, w, quota, CAST(quota // w AS BIGINT) AS epochs,
+        |  CAST(((quota % w) * 1000000) // w AS BIGINT) AS partial_ppm
+        |FROM q ORDER BY key""".stripMargin,
+
+    "q211_temporal_pairs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL
+        |), f AS (
+        |  SELECT user_id, event_type AS a, min(us) AS t0
+        |  FROM e GROUP BY 1, 2
+        |), hits AS (
+        |  SELECT DISTINCT f.user_id, f.a, e.event_type AS b
+        |  FROM f JOIN e ON e.user_id = f.user_id
+        |  WHERE f.a <> e.event_type AND e.us > f.t0
+        |    AND e.us <= f.t0 + 86400000000
+        |)
+        |SELECT a, b, count(*)::BIGINT AS n_users
+        |FROM hits GROUP BY 1, 2 ORDER BY a, b""".stripMargin
   )
 }
