@@ -3388,6 +3388,35 @@ object SparkEntry {
         .select(col("user_id"), col("a"), col("b")).distinct()
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_users"))
       hits.orderBy(col("a"), col("b"))
+    }),
+
+    // ---- Nearest-centroid classifier eval (Rocchio) ----
+    // Per-label integer centroids (floor-division means of ⌊v·1e6⌋
+    // — the pmod trick keeps Spark's trunc-div equal to the
+    // oracle's floor-div on negative sums), L2 assignment with a
+    // deterministic tie-break, confusion matrix out. The label-
+    // quality audit for an embedding space.
+    "q212_centroid_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "__v")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          expr("CAST(floor(CAST(__v AS DOUBLE) * 1000000) AS BIGINT)")
+            .as("e6"))
+      val cent = e.groupBy(col("label").as("c_label"), col("dim"))
+        .agg(expr("(sum(e6) - pmod(sum(e6), count(1))) div count(1)")
+          .as("c_e6"))
+      val dist = e.join(cent, "dim")
+        .groupBy(col("vec_id"), col("label"), col("c_label"))
+        .agg(sum(expr("CAST(e6 - c_e6 AS DECIMAL(38,0)) * (e6 - c_e6)"))
+          .as("d2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
+      dist.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy(col("label").as("y_true"), col("c_label").as("y_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("y_true"), col("y_pred"))
     })
   )
 
@@ -8490,6 +8519,33 @@ object SparkEntry {
         |    AND e.us <= f.t0 + 86400000000
         |)
         |SELECT a, b, count(*)::BIGINT AS n_users
-        |FROM hits GROUP BY 1, 2 ORDER BY a, b""".stripMargin
+        |FROM hits GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+
+    // DuckDB // floors; the Spark side reproduces floor via pmod.
+    "q212_centroid_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS e6
+        |  FROM embeddings,
+        |    unnest(range(1, len(embedding) + 1)) AS t(i)
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |), cent AS (
+        |  SELECT label AS c_label, dim,
+        |    CAST(sum(e6) // count(*) AS BIGINT) AS c_e6
+        |  FROM e GROUP BY 1, 2
+        |), dist AS (
+        |  SELECT e.vec_id, e.label, c.c_label,
+        |    sum((e.e6 - c.c_e6)::HUGEINT * (e.e6 - c.c_e6)) AS d2
+        |  FROM e JOIN cent c ON c.dim = e.dim
+        |  GROUP BY 1, 2, 3
+        |), a AS (
+        |  SELECT vec_id, label, c_label,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, c_label) AS rk
+        |  FROM dist
+        |)
+        |SELECT label AS y_true, c_label AS y_pred, count(*)::BIGINT AS n
+        |FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY y_true, y_pred""".stripMargin
   )
 }
