@@ -3417,6 +3417,28 @@ object SparkEntry {
         .groupBy(col("label").as("y_true"), col("c_label").as("y_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("y_true"), col("y_pred"))
+    }),
+
+    // ---- Tokenizer fertility per language ----
+    // BPE symbols per word under the corpus-trained merges — the
+    // multilingual tokenizer-fairness metric (a language with high
+    // fertility pays more compute per word). Vocabulary-deduped
+    // segmentation; one corpus tokenize for the word side.
+    "q213_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = topPairMerges(s, docs.select(col("text")), 8)
+      val counts = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text",
+        merges)
+      val words = docs.select(col("doc_id"), col("lang"),
+        size(TextAnalysis.alphaTokens(coalesce(col("text"), lit(""))))
+          .cast("long").as("n_words"))
+      words.join(counts, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe"))
+        .withColumn("fertility_ppm", expr("CASE WHEN n_words > 0 THEN" +
+          " (n_bpe * 1000000) div n_words END"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -8546,6 +8568,62 @@ object SparkEntry {
         |  FROM dist
         |)
         |SELECT label AS y_true, c_label AS y_pred, count(*)::BIGINT AS n
-        |FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY y_true, y_pred""".stripMargin
+        |FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY y_true, y_pred""".stripMargin,
+
+    // q102's list_reduce BPE replay; per-token symbol counts joined
+    // back to per-language token streams.
+    "q213_fertility" ->
+      """WITH v AS (
+        |  SELECT tok, count(*)::BIGINT AS tc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |    FROM documents)
+        |  GROUP BY tok
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, len(tok)),
+        |    i -> tok[i] || ' ' || tok[i+1])) AS pair, tc
+        |  FROM v WHERE len(tok) >= 2
+        |), pc AS (
+        |  SELECT pair, CAST(sum(tc) AS BIGINT) AS cnt FROM p GROUP BY pair
+        |), m AS (
+        |  SELECT list(pair ORDER BY rnk) AS merges FROM (
+        |    SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+        |    FROM pc) WHERE rnk <= 8
+        |), seg AS (
+        |  SELECT v.tok,
+        |    list_reduce(
+        |      list_prepend(
+        |        array_to_string(list_transform(range(1, len(tok) + 1),
+        |          i -> '(' || tok[i] || ')'), ''),
+        |        m.merges),
+        |      (acc, mm) -> replace(acc,
+        |        '(' || split_part(mm, ' ', 1) || ')(' ||
+        |          split_part(mm, ' ', 2) || ')',
+        |        '(' || split_part(mm, ' ', 1) ||
+        |          split_part(mm, ' ', 2) || ')')) AS enc
+        |  FROM v CROSS JOIN m
+        |), nsym AS (
+        |  SELECT tok,
+        |    len(regexp_extract_all(enc, '\(([^()]+)\)'))::BIGINT AS ns
+        |  FROM seg
+        |), dt AS (
+        |  SELECT lang,
+        |    unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))
+        |      AS tok
+        |  FROM documents
+        |), agg AS (
+        |  SELECT lang, count(*)::BIGINT AS n_words,
+        |    CAST(sum(ns) AS BIGINT) AS n_bpe
+        |  FROM dt JOIN nsym ON nsym.tok = dt.tok GROUP BY 1
+        |), nd AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+        |)
+        |SELECT nd.lang, nd.n_docs,
+        |  COALESCE(agg.n_words, 0::BIGINT) AS n_words,
+        |  COALESCE(agg.n_bpe, 0::BIGINT) AS n_bpe,
+        |  CAST(CASE WHEN agg.n_words > 0 THEN
+        |    (agg.n_bpe * 1000000) // agg.n_words END AS BIGINT)
+        |    AS fertility_ppm
+        |FROM nd LEFT JOIN agg ON agg.lang = nd.lang
+        |ORDER BY nd.lang""".stripMargin
   )
 }
