@@ -3439,6 +3439,34 @@ object SparkEntry {
         .withColumn("fertility_ppm", expr("CASE WHEN n_words > 0 THEN" +
           " (n_bpe * 1000000) div n_words END"))
         .orderBy(col("lang"))
+    }),
+
+    // ---- Sorted-neighborhood blocking (ER for long keys) ----
+    // Rank-adjacent candidate pairs within a 5-rank window over
+    // sorted customer names, levenshtein-verified — the O(n·w)
+    // blocking that complements q151's SymSpell completeness. The
+    // oracle recomputes via row_number adjacency.
+    "q214_sorted_neighbors" -> ((s, dir) => {
+      graft.ops.FuzzyJoin.sortedNeighborPairs(
+          t(s, dir, "customer"), "c_name", window = 5, maxDist = 1)
+        .orderBy(col("word_a"), col("word_b"))
+    }),
+
+    // ---- Session-size histogram ----
+    // Events-per-session distribution over 2h-gap sessions with
+    // each size's share in ppm — the engagement-depth profile on
+    // top of q38's sessionization.
+    "q215_session_sizes" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      val hist = graft.streaming.GraftStream
+        .sessionize(ev, "user_id", "tstamp", "2 hours")
+        .groupBy(col("n_events")).agg(count(lit(1)).as("n_sessions"))
+      hist.crossJoin(broadcast(
+          hist.agg(sum(col("n_sessions")).as("__tot"))))
+        .select(col("n_events"), col("n_sessions"),
+          expr("(n_sessions * 1000000) div __tot").as("share_ppm"))
+        .orderBy(col("n_events"))
     })
   )
 
@@ -8624,6 +8652,47 @@ object SparkEntry {
         |    (agg.n_bpe * 1000000) // agg.n_words END AS BIGINT)
         |    AS fertility_ppm
         |FROM nd LEFT JOIN agg ON agg.lang = nd.lang
-        |ORDER BY nd.lang""".stripMargin
+        |ORDER BY nd.lang""".stripMargin,
+
+    "q214_sorted_neighbors" ->
+      """WITH w AS (
+        |  SELECT DISTINCT c_name AS w FROM customer
+        |  WHERE c_name IS NOT NULL
+        |), r AS (
+        |  SELECT w, row_number() OVER (ORDER BY w) AS rk FROM w
+        |)
+        |SELECT a.w AS word_a, b.w AS word_b,
+        |  CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5
+        |WHERE levenshtein(a.w, b.w) <= 1
+        |ORDER BY word_a, word_b""".stripMargin,
+
+    // q38's gaps-and-islands sessions rolled into a size histogram.
+    "q215_session_sizes" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tu FROM events
+        |), m AS (
+        |  SELECT user_id, tu,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |           OR tu - lag(tu) OVER w >= 7200000000 THEN 1 ELSE 0 END
+        |      AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)
+        |), g AS (
+        |  SELECT user_id, tu,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tu
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |), s AS (
+        |  SELECT user_id, sid, count(*)::BIGINT AS n_events
+        |  FROM g GROUP BY 1, 2
+        |), h AS (
+        |  SELECT n_events, count(*)::BIGINT AS n_sessions
+        |  FROM s GROUP BY 1
+        |), t2 AS (
+        |  SELECT CAST(sum(n_sessions) AS BIGINT) AS tot FROM h
+        |)
+        |SELECT n_events, n_sessions,
+        |  CAST((n_sessions * 1000000) // tot AS BIGINT) AS share_ppm
+        |FROM h CROSS JOIN t2 ORDER BY n_events""".stripMargin
   )
 }

@@ -61,4 +61,41 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
       .filter(col("dist") <= 1)
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1997): rank
+    * the distinct keys in lexicographic order and take every pair
+    * within `window` ranks as a candidate, then verify
+    * `levenshtein ≤ maxDist`. Recall is HEURISTIC (an edit at the
+    * first character sorts far away — the exact failure
+    * [[typoPairs]]' deletion neighborhoods provably avoid), but the
+    * candidate count is O(n·window) REGARDLESS of key length, where
+    * SymSpell's variant table grows with length — so SN is the
+    * blocking for LONG keys (addresses, titles, URLs) and the
+    * standard recall/cost trade to run BESIDE typoPairs, not
+    * instead of it.
+    *
+    * Scale shape: the global rank rides
+    * [[Ranking.withGlobalIndex]]'s prefix scan (no single-task
+    * window); the rank-adjacency join is an EQUI-join on
+    * rank+offset (offsets exploded 1..window — no range or theta
+    * join); verification is codegen'd levenshtein on n·window
+    * pairs. Output: (word_a, word_b, dist), word_a < word_b. */
+  def sortedNeighborPairs(vocab: DataFrame, wordCol: String,
+      window: Int = 3, maxDist: Int = 1): DataFrame = {
+    require(window >= 1 && window <= 100,
+      s"window must be in [1, 100] (got $window)")
+    require(maxDist >= 1, s"maxDist must be >= 1 (got $maxDist)")
+    val w = vocab.select(col(wordCol).cast("string").as("w"))
+      .filter(col("w").isNotNull).distinct()
+    val ranked = Ranking.withGlobalIndex(w, Seq(col("w")), "__rk")
+    val offsets = array((1 to window).map(lit): _*)
+    ranked.select(col("w").as("word_a"),
+        explode(offsets).as("__o"), col("__rk"))
+      .withColumn("__rk2", col("__rk") + col("__o"))
+      .join(ranked.select(col("w").as("word_b"),
+        col("__rk").as("__rk2")), "__rk2")
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("word_a"), col("word_b"), col("dist"))
+  }
 }

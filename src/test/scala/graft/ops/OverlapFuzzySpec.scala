@@ -92,4 +92,19 @@ class OverlapFuzzySpec extends SparkSpec {
     assert(fuzzyRun(ws).size == 45)
     assert(fuzzyRun(ws, maxBucket = 5).isEmpty)
   }
+
+  test("sortedNeighborPairs: window bounds candidates, verify filters") {
+    import spark.implicits._
+    val v = Seq("cat", "cap", "car", "dog", "doh", "zebra").toDF("w")
+    // window 5 covers every candidate; verify keeps distance-1 pairs
+    val got = FuzzyJoin.sortedNeighborPairs(v, "w", window = 5)
+      .as[(String, String, Int)].collect().toSet
+    assert(got == Set(("cap", "car", 1), ("cap", "cat", 1),
+      ("car", "cat", 1), ("dog", "doh", 1)))
+    // window 1 only sees rank-adjacent pairs: cap-car, car-cat, dog-doh
+    val w1 = FuzzyJoin.sortedNeighborPairs(v, "w", window = 1)
+      .as[(String, String, Int)].collect().toSet
+    assert(w1 == Set(("cap", "car", 1), ("car", "cat", 1),
+      ("dog", "doh", 1)))
+  }
 }
