@@ -3467,6 +3467,46 @@ object SparkEntry {
         .select(col("n_events"), col("n_sessions"),
           expr("(n_sessions * 1000000) div __tot").as("share_ppm"))
         .orderBy(col("n_events"))
+    }),
+
+    // ---- SCD2 history from a changelog ----
+    // Each user's event-type timeline compressed into
+    // change-intervals: consecutive repeats collapse, valid_to =
+    // next change (null = current) — the slowly-changing-dimension
+    // build that q157's compaction (latest-only) doesn't keep.
+    // Two user-keyed windows, no global sort.
+    "q216_scd2" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("vf"), col("event_id"))
+      val marked = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type").as("status"),
+          expr("ts DIV 1000").as("vf"), col("event_id"))
+        .withColumn("__prev", lag(col("status"), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("status"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("vf"), col("event_id"))
+      marked
+        .withColumn("valid_to", lead(col("vf"), 1).over(w2))
+        .select(col("user_id"), col("status"),
+          col("vf").as("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    // ---- Content manifest (cheap snapshot diff) ----
+    // Per source: doc count plus order-free sum and xor of 60-bit
+    // content hashes — the Merkle-style manifest two snapshots
+    // compare to find WHICH partitions changed without reading
+    // either corpus twice.
+    "q217_manifest" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          Sketch.hash60(TextAnalysis.fingerprint(col("text"))).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("hash_sum"),
+          expr("bit_xor(h)").as("hash_xor"))
+        .orderBy(col("source"))
     })
   )
 
@@ -8693,6 +8733,37 @@ object SparkEntry {
         |)
         |SELECT n_events, n_sessions,
         |  CAST((n_sessions * 1000000) // tot AS BIGINT) AS share_ppm
-        |FROM h CROSS JOIN t2 ORDER BY n_events""".stripMargin
+        |FROM h CROSS JOIN t2 ORDER BY n_events""".stripMargin,
+
+    "q216_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS status, epoch_us(ts) AS vf,
+        |    event_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), m AS (
+        |  SELECT user_id, status, vf, event_id,
+        |    lag(status) OVER (PARTITION BY user_id
+        |      ORDER BY vf, event_id) AS prev
+        |  FROM e
+        |), f AS (
+        |  SELECT user_id, status, vf, event_id FROM m
+        |  WHERE prev IS NULL OR prev <> status
+        |)
+        |SELECT user_id, status, vf AS valid_from,
+        |  lead(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id)
+        |    AS valid_to
+        |FROM f ORDER BY user_id, valid_from""".stripMargin,
+
+    // hash = first 15 hex of md5 of the md5 fingerprint string.
+    "q217_manifest" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(h) AS BIGINT) AS hash_sum,
+        |  CAST(bit_xor(h) AS BIGINT) AS hash_xor
+        |FROM (
+        |  SELECT source,
+        |    ('0x' || substr(md5(md5(regexp_replace(trim(lower(text)),
+        |      '\s+', ' ', 'g'))), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }
