@@ -3504,7 +3504,12 @@ object SparkEntry {
         .select(col("source"),
           Sketch.hash60(TextAnalysis.fingerprint(col("text"))).as("h"))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("hash_sum"),
+        .agg(count(lit(1)).as("n_docs"),
+          // modular sum: 60-bit hashes overflow a Long quickly, so
+          // the manifest carries the sum mod 2^60 (order-free and
+          // mergeable like the xor)
+          expr("CAST(sum(CAST(h AS DECIMAL(38,0)))" +
+            " % 1152921504606846976 AS BIGINT)").as("hash_sum"),
           expr("bit_xor(h)").as("hash_xor"))
         .orderBy(col("source"))
     })
@@ -8757,7 +8762,7 @@ object SparkEntry {
     // hash = first 15 hex of md5 of the md5 fingerprint string.
     "q217_manifest" ->
       """SELECT source, count(*)::BIGINT AS n_docs,
-        |  CAST(sum(h) AS BIGINT) AS hash_sum,
+        |  CAST(sum(h) % 1152921504606846976 AS BIGINT) AS hash_sum,
         |  CAST(bit_xor(h) AS BIGINT) AS hash_xor
         |FROM (
         |  SELECT source,
