@@ -3512,6 +3512,26 @@ object SparkEntry {
             " % 1152921504606846976 AS BIGINT)").as("hash_sum"),
           expr("bit_xor(h)").as("hash_xor"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Retrieval self-recovery eval (MRR / hits@k) ----
+    // Every 97th doc queries the BM25 index with its own text; the
+    // relevant answer IS the query doc. hits@1, top-5 recovery and
+    // the integer MRR numerator Σ(1e6 div rank) — the index
+    // health check a RAG pipeline runs after every rebuild.
+    "q218_retrieval_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+      val topk = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "doc_id", "text", k = 5)
+      topk.filter(col("cid") === col("qid"))
+        .agg(count(lit(1)).as("n_found_top5"),
+          coalesce(sum(when(col("rank") === 1, lit(1L))
+            .otherwise(lit(0L))), lit(0L)).as("hits_at_1"),
+          coalesce(sum(expr("1000000 div rank")), lit(0L))
+            .as("mrr_sum_ppm"))
+        .crossJoin(broadcast(
+          queries.agg(count(lit(1)).as("n_queries"))))
     })
   )
 
@@ -8769,6 +8789,59 @@ object SparkEntry {
         |    ('0x' || substr(md5(md5(regexp_replace(trim(lower(text)),
         |      '\s+', ' ', 'g'))), 1, 15))::BIGINT AS h
         |  FROM documents)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q128's scoring CTEs, evaluated for self-recovery.
+    "q218_retrieval_eval" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM tok
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        |  FROM st GROUP BY doc_id, dl, term
+        |), dfq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+        |), c AS (
+        |  SELECT (SELECT count(*)::BIGINT FROM documents) AS nn,
+        |    (SELECT coalesce(sum(tf), 0)::BIGINT FROM tf) AS total
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS qid,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents WHERE doc_id % 97 = 0
+        |), sc AS (
+        |  SELECT qt.qid, tf.doc_id AS cid,
+        |    CAST(sum(
+        |      ((((2 * (c.nn - dfq.df) + 1) * 1000000) // (2 * dfq.df + 1)) *
+        |       ((tf.tf * (1200 + 1000) * 1000000) //
+        |        (1000 * tf.tf +
+        |         (1200 * ((1000 - 750) +
+        |           (750 * greatest((1000 * tf.dl * c.nn)
+        |                             // greatest(c.total, 1), 0))
+        |             // 1000)) // 1000)))
+        |      // 1000000) AS BIGINT) AS score_ppm
+        |  FROM qt JOIN tf USING (term) JOIN dfq USING (term) CROSS JOIN c
+        |  GROUP BY qt.qid, tf.doc_id
+        |), rk AS (
+        |  SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_ppm DESC, cid) AS rank
+        |  FROM sc
+        |), self AS (
+        |  SELECT qid, rank FROM rk WHERE cid = qid AND rank <= 5
+        |), agg AS (
+        |  SELECT count(*)::BIGINT AS n_found_top5,
+        |    CAST(COALESCE(sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS hits_at_1,
+        |    CAST(COALESCE(sum(1000000 // rank), 0) AS BIGINT)
+        |      AS mrr_sum_ppm
+        |  FROM self
+        |), nq AS (
+        |  SELECT count(*)::BIGINT AS n_queries FROM documents
+        |  WHERE doc_id % 97 = 0
+        |)
+        |SELECT n_found_top5, hits_at_1, mrr_sum_ppm, n_queries
+        |FROM agg CROSS JOIN nq""".stripMargin
   )
 }
