@@ -3532,6 +3532,16 @@ object SparkEntry {
             .as("mrr_sum_ppm"))
         .crossJoin(broadcast(
           queries.agg(count(lit(1)).as("n_queries"))))
+    }),
+
+    // ---- Weighted vocabulary Jaccard between sources ----
+    // Σmin/Σmax over token COUNT vectors — the distribution-aware
+    // corpus similarity q177's binary Jaccard can't see (shared
+    // hapax tails vs shared mass).
+    "q219_weighted_jaccard" -> ((s, dir) => {
+      TextAnalysis.vocabOverlapWeighted(t(s, dir, "documents"),
+          "source", "text")
+        .orderBy(col("lang_a"), col("lang_b"))
     })
   )
 
@@ -8842,6 +8852,36 @@ object SparkEntry {
         |  WHERE doc_id % 97 = 0
         |)
         |SELECT n_found_top5, hits_at_1, mrr_sum_ppm, n_queries
-        |FROM agg CROSS JOIN nq""".stripMargin
+        |FROM agg CROSS JOIN nq""".stripMargin,
+
+    "q219_weighted_jaccard" ->
+      """WITH c AS (
+        |  SELECT source AS g,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents WHERE source IS NOT NULL
+        |), n AS (
+        |  SELECT g, tok, count(*)::BIGINT AS n FROM c GROUP BY 1, 2
+        |), gs AS (
+        |  SELECT DISTINCT g FROM n
+        |), tag AS (
+        |  SELECT least(n.g, g2.g) AS lang_a, greatest(n.g, g2.g) AS lang_b,
+        |    n.g AS side, n.tok, n.n
+        |  FROM n JOIN gs g2 ON n.g <> g2.g
+        |), cells AS (
+        |  SELECT lang_a, lang_b, tok,
+        |    CAST(sum(CASE WHEN side = lang_a THEN n ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN side = lang_b THEN n ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM tag GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT lang_a, lang_b,
+        |    CAST(sum(least(ca, cb)) AS BIGINT) AS inter_w,
+        |    CAST(sum(greatest(ca, cb)) AS BIGINT) AS union_w
+        |  FROM cells GROUP BY 1, 2
+        |)
+        |SELECT lang_a, lang_b, inter_w, union_w,
+        |  CAST((inter_w * 1000000) // union_w AS BIGINT) AS wjaccard_ppm
+        |FROM agg ORDER BY lang_a, lang_b""".stripMargin
   )
 }
