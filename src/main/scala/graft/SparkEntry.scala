@@ -3542,6 +3542,26 @@ object SparkEntry {
       TextAnalysis.vocabOverlapWeighted(t(s, dir, "documents"),
           "source", "text")
         .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
+    // ---- Daily inter-arrival percentile timeline ----
+    // q179's latency percentiles as a time series — per day, exact
+    // p50/p90 of the gap distribution plus volume: the SLO
+    // dashboard's backing table, day-keyed histogram windows.
+    "q220_latency_timeline" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(expr("ts DIV 1000"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 1000").as("us"),
+          col("event_id"))
+        .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("gap_us").isNotNull)
+        .select(expr("us div 86400000000").as("day"), col("gap_us"))
+      Stats.exactPercentiles(gaps, Seq("day"), "gap_us", Seq(0.5, 0.9))
+        .join(gaps.groupBy(col("day")).agg(count(lit(1)).as("n_gaps")),
+          "day")
+        .orderBy(col("day"))
     })
   )
 
@@ -8882,6 +8902,35 @@ object SparkEntry {
         |)
         |SELECT lang_a, lang_b, inter_w, union_w,
         |  CAST((inter_w * 1000000) // union_w AS BIGINT) AS wjaccard_ppm
-        |FROM agg ORDER BY lang_a, lang_b""".stripMargin
+        |FROM agg ORDER BY lang_a, lang_b""".stripMargin,
+
+    "q220_latency_timeline" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS gap_us
+        |  FROM events
+        |), f AS (
+        |  SELECT us // 86400000000 AS day, gap_us FROM g
+        |  WHERE gap_us IS NOT NULL
+        |), h AS (
+        |  SELECT day, gap_us AS v, count(*)::BIGINT AS c
+        |  FROM f GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT day, v, c,
+        |    sum(c) OVER (PARTITION BY day ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY day) AS tot
+        |  FROM h
+        |), p AS (
+        |  SELECT day,
+        |    min(CASE WHEN cum * 10000 >= tot * 5000 THEN v END) AS p50,
+        |    min(CASE WHEN cum * 10000 >= tot * 9000 THEN v END) AS p90
+        |  FROM cu GROUP BY 1
+        |), a AS (
+        |  SELECT day, count(*)::BIGINT AS n_gaps FROM f GROUP BY 1
+        |)
+        |SELECT p.day, p50, p90, n_gaps
+        |FROM p JOIN a ON a.day = p.day
+        |ORDER BY p.day""".stripMargin
   )
 }
