@@ -3551,7 +3551,7 @@ object SparkEntry {
     "q220_latency_timeline" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
-        .orderBy(expr("ts DIV 1000"), col("event_id"))
+        .orderBy(col("us"), col("event_id"))
       val gaps = t(s, dir, "events")
         .select(col("user_id"), expr("ts DIV 1000").as("us"),
           col("event_id"))
