@@ -3562,6 +3562,29 @@ object SparkEntry {
         .join(gaps.groupBy(col("day")).agg(count(lit(1)).as("n_gaps")),
           "day")
         .orderBy(col("day"))
+    }),
+
+    // ---- Human-eval batch builder (banded deterministic pick) ----
+    // Near-dup candidate pairs banded by similarity decile, two
+    // pairs per band chosen by md5 order — the reproducible
+    // annotation batch a threshold-calibration round sends to
+    // humans. Band windows partition the candidate set, never the
+    // corpus.
+    "q221_eval_batch" -> ((s, dir) => {
+      val pairs = SetSim.jaccardJoin(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", thetaPpm = 500000L)
+      val banded = pairs
+        .withColumn("band", expr("jacc_ppm div 100000"))
+        .withColumn("__h", md5(concat_ws(":",
+          col("id_a").cast("string"), col("id_b").cast("string"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band")).orderBy(col("__h"), col("id_a"))
+      banded.withColumn("pick", row_number().over(w))
+        .filter(col("pick") <= 2)
+        .select(col("band"), col("pick"), col("id_a"), col("id_b"),
+          col("jacc_ppm"))
+        .orderBy(col("band"), col("pick"))
     })
   )
 
@@ -8931,6 +8954,42 @@ object SparkEntry {
         |)
         |SELECT p.day, p50, p90, n_gaps
         |FROM p JOIN a ON a.day = p.day
-        |ORDER BY p.day""".stripMargin
+        |ORDER BY p.day""".stripMargin,
+
+    // q153's naive pair derivation at θ=0.5, banded, md5-picked.
+    "q221_eval_batch" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(
+        |      regexp_extract_all(lower(text), '[a-z]+'))) AS tok
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), sets AS (
+        |  SELECT doc_id, list(tok) AS ts, count(*)::BIGINT AS n
+        |  FROM toks GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+        |    a.n + b.n
+        |      - CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS u
+        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |), cand AS (
+        |  SELECT id_a, id_b, inter,
+        |    CAST((inter * 1000000) // u AS BIGINT) AS jacc_ppm
+        |  FROM pairs WHERE (inter * 1000000) // u >= 500000
+        |), banded AS (
+        |  SELECT id_a, id_b, jacc_ppm, jacc_ppm // 100000 AS band,
+        |    md5(CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR))
+        |      AS h
+        |  FROM cand
+        |), picked AS (
+        |  SELECT band, id_a, id_b, jacc_ppm,
+        |    row_number() OVER (PARTITION BY band ORDER BY h, id_a)
+        |      AS pick
+        |  FROM banded
+        |)
+        |SELECT CAST(band AS BIGINT) AS band, CAST(pick AS INTEGER) AS pick,
+        |  id_a, id_b, jacc_ppm
+        |FROM picked WHERE pick <= 2
+        |ORDER BY band, pick""".stripMargin
   )
 }
