@@ -3585,6 +3585,37 @@ object SparkEntry {
         .select(col("band"), col("pick"), col("id_a"), col("id_b"),
           col("jacc_ppm"))
         .orderBy(col("band"), col("pick"))
+    }),
+
+    // ---- Curation run summary (the pipeline in one table) ----
+    // Per source: docs and tokens in, Gopher-quality passes, exact-
+    // dedup keeps, and the tokens that survive BOTH gates — the
+    // run report a 100 TB curation job prints at the end. Composes
+    // gopherRules + fingerprint-keep + token counts; every number
+    // oracle-exact.
+    "q222_pipeline_summary" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = TextAnalysis.gopherRules(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+        .select(col("doc_id"), col("passes"))
+      val fp = docs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      docs.select(col("doc_id"), col("source"),
+          size(TextAnalysis.alphaTokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("n_tok"))
+        .join(g, "doc_id")
+        .join(fp, "doc_id").join(keep, "fp")
+        .withColumn("is_keep", col("doc_id") === col("keep_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("passes") === 1, lit(1L)).otherwise(lit(0L)))
+            .as("n_pass_quality"),
+          sum(when(col("is_keep"), lit(1L)).otherwise(lit(0L)))
+            .as("n_dedup_keep"),
+          sum(when(col("passes") === 1 && col("is_keep"), col("n_tok"))
+            .otherwise(lit(0L))).as("n_tokens_final"))
+        .orderBy(col("source"))
     })
   )
 
@@ -8990,6 +9021,59 @@ object SparkEntry {
         |SELECT CAST(band AS BIGINT) AS band, CAST(pick AS INTEGER) AS pick,
         |  id_a, id_b, jacc_ppm
         |FROM picked WHERE pick <= 2
-        |ORDER BY band, pick""".stripMargin
+        |ORDER BY band, pick""".stripMargin,
+
+    // q119's passes flag + fingerprint keep + token counts, rolled
+    // per source.
+    "q222_pipeline_summary" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, coalesce(text, '') AS t,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |    len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))::BIGINT
+        |      AS n_tok
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[^ \t\n\r]+')) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(t, '[ \t\n\r]', '', 'g')) AS BIGINT) AS sum_len,
+        |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.|…')) AS BIGINT) AS symbols,
+        |    CAST(len(regexp_extract_all(t, '(?m)^[ ]*[-*•]')) AS BIGINT) AS bullets,
+        |    CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)[ ]*$')) AS BIGINT) AS ell_ends,
+        |    CAST(len(regexp_extract_all(t, '(?:^|[ \t\n\r])[^ \t\n\r]*[a-zA-Z]')) AS BIGINT) AS alpha_words,
+        |    CAST((CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits
+        |  FROM d
+        |), p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_words BETWEEN 50 AND 100000
+        |      AND sum_len * 1000000 // greatest(n_words, 1)
+        |        BETWEEN 3000000 AND 10000000
+        |      AND symbols * 1000000 // greatest(n_words, 1) <= 100000
+        |      AND bullets * 1000000 // greatest(n_lines, 1) <= 900000
+        |      AND ell_ends * 1000000 // greatest(n_lines, 1) <= 300000
+        |      AND alpha_words * 1000000 // greatest(n_words, 1) >= 800000
+        |      AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS passes
+        |  FROM c
+        |), k AS (
+        |  SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp
+        |)
+        |SELECT d.source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(d.n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(p.passes) AS BIGINT) AS n_pass_quality,
+        |  CAST(sum(CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dedup_keep,
+        |  CAST(sum(CASE WHEN p.passes = 1 AND d.doc_id = k.keep_id
+        |    THEN d.n_tok ELSE 0 END) AS BIGINT) AS n_tokens_final
+        |FROM d
+        |JOIN p ON p.doc_id = d.doc_id
+        |JOIN k ON k.fp = d.fp
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 }
