@@ -3616,6 +3616,31 @@ object SparkEntry {
           sum(when(col("passes") === 1 && col("is_keep"), col("n_tok"))
             .otherwise(lit(0L))).as("n_tokens_final"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Out-of-order lateness audit (watermark sizing) ----
+    // In arrival order (event_id), how late do event times lag the
+    // per-user running max? n_late / max / total lateness per type —
+    // the numbers that SIZE a streaming watermark before deploying
+    // one. User-keyed running-max window, never a global sort.
+    "q223_out_of_order" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts DIV 1000").as("us"))
+        .withColumn("late_us",
+          greatest(lit(0L), coalesce(max(col("us")).over(w), col("us"))
+            - col("us")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 0, lit(1L)).otherwise(lit(0L)))
+            .as("n_late"),
+          max(col("late_us")).as("max_late_us"),
+          sum(col("late_us")).as("sum_late_us"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -9074,6 +9099,25 @@ object SparkEntry {
         |FROM d
         |JOIN p ON p.doc_id = d.doc_id
         |JOIN k ON k.fp = d.fp
-        |GROUP BY d.source ORDER BY d.source""".stripMargin
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q223_out_of_order" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL
+        |), m AS (
+        |  SELECT event_type, us,
+        |    greatest(0, COALESCE(max(us) OVER (PARTITION BY user_id
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us)
+        |      - us) AS late_us
+        |  FROM e
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+        |  CAST(sum(late_us) AS BIGINT) AS sum_late_us
+        |FROM m GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }
