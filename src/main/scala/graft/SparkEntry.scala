@@ -3641,6 +3641,32 @@ object SparkEntry {
           max(col("late_us")).as("max_late_us"),
           sum(col("late_us")).as("sum_late_us"))
         .orderBy(col("event_type"))
+    }),
+
+    // ---- Vocabulary coverage curve (vocab-size planning) ----
+    // Token-mass share covered by the top-k most frequent words for
+    // k in {10, 100, 1000} — the complement of q158's OOV rate that
+    // picks the vocab size BEFORE training a tokenizer. Global rank
+    // by the prefix scan; one ranked frame serves all three k's.
+    "q224_vocab_coverage" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.alphaTokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val ranked = graft.ops.Ranking.withGlobalIndex(vocab,
+          Seq(col("n").desc, col("w")), "rk0")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = broadcast(ranked.agg(sum(col("n")).as("__tot"),
+        count(lit(1)).as("__vocab")))
+      val rows = Seq(10L, 100L, 1000L).map { k =>
+        ranked.filter(col("rk0") < k)
+          .agg(lit(k).as("k"), count(lit(1)).as("n_words"),
+            sum(col("n")).as("tokens_covered"))
+      }.reduce(_ unionByName _)
+      rows.crossJoin(tot)
+        .select(col("k"), col("n_words"), col("tokens_covered"),
+          expr("(tokens_covered * 1000000) div __tot").as("share_ppm"),
+          col("__vocab").as("vocab_size"))
+        .orderBy(col("k"))
     })
   )
 
@@ -9118,6 +9144,33 @@ object SparkEntry {
         |    AS n_late,
         |  CAST(max(late_us) AS BIGINT) AS max_late_us,
         |  CAST(sum(late_us) AS BIGINT) AS sum_late_us
-        |FROM m GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM m GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q224_vocab_coverage" ->
+      """WITH v AS (
+        |  SELECT w, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT w, n,
+        |    row_number() OVER (ORDER BY n DESC, w) - 1 AS rk0
+        |  FROM v
+        |), t2 AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    count(*)::BIGINT AS vocab_size
+        |  FROM v
+        |), ks AS (
+        |  SELECT unnest([10, 100, 1000]) AS k
+        |), c AS (
+        |  SELECT ks.k::BIGINT AS k, count(r.w)::BIGINT AS n_words,
+        |    CAST(COALESCE(sum(r.n), 0) AS BIGINT) AS tokens_covered
+        |  FROM ks LEFT JOIN r ON r.rk0 < ks.k
+        |  GROUP BY 1
+        |)
+        |SELECT k, n_words, tokens_covered,
+        |  CAST((tokens_covered * 1000000) // tot AS BIGINT) AS share_ppm,
+        |  vocab_size
+        |FROM c CROSS JOIN t2 ORDER BY k""".stripMargin
   )
 }
