@@ -117,6 +117,33 @@ class NewOpsPlanSpec extends SparkSpec {
       s"group list should broadcast:\n$p")
   }
 
+  test("sortedNeighborPairs joins on rank+offset equality — no " +
+      "cartesian, no range join") {
+    val v = (1 to 50).map(i => f"w$i%03d").toDF("w")
+    val p = plan(FuzzyJoin.sortedNeighborPairs(v, "w", window = 3))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rank adjacency must be an equi-join:\n$p")
+  }
+
+  test("vocabOverlapWeighted expands pairs against a broadcast list") {
+    val docs = Seq(("a", "x y z"), ("b", "y z w")).toDF("src", "text")
+    val p = plan(TextAnalysis.vocabOverlapWeighted(docs, "src", "text"))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"group list should broadcast:\n$p")
+  }
+
+  test("ksPairs windows partition by pair, never a bare global sort") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val p = plan(Stats.ksPairs(df, "g", "v"))
+    // the cumulative window's spec must lead with the pair columns
+    // (windowspecdefinition(ga, gb, ...)) — a bare global-sort
+    // window would have an empty partition prefix
+    assert(p.contains("windowspecdefinition(ga"),
+      s"pair windows must partition by (ga, gb):\n$p")
+  }
+
   test("transitionProbs' k arrives by broadcast, not a driver action") {
     val ev = Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L))
       .toDF("user_id", "event_type", "ts", "event_id")
