@@ -25,7 +25,10 @@ for name in sorted(oracle):
         for c in got.columns:
             g, e = got[c].values, exp[c].values
             if g.dtype.kind == 'f' or e.dtype.kind == 'f':
-                eq = np.array_equal(g.astype('f8'), e.astype('f8'))
+                # equal_nan: nullable BIGINT columns arrive as float
+                # with NaN for NULL; NaN == NaN must count as equal
+                eq = np.array_equal(g.astype('f8'), e.astype('f8'),
+                                    equal_nan=True)
             else:
                 eq = (pd.Series(g).astype(str) == pd.Series(e).astype(str)).all()
             if not eq:
