@@ -362,6 +362,13 @@ object Stats {
     * positive values participate (first digit of |0| is undefined).
     * Output: (digit, n, obs_ppm, exp_ppm, dev_ppm), 9 rows. */
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    // the first-digit extraction goes through the value's canonical
+    // string form — integral types only, or "1.5" would read digit
+    // '1' at the wrong magnitude (cast money to cents upstream)
+    require(Seq("long", "integer", "short", "byte")
+        .contains(df.schema(valueCol).dataType.typeName),
+      s"benfordDigits needs an integral column (got " +
+        s"${df.schema(valueCol).dataType.typeName}); cast to cents first")
     val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
       66947L, 57992L, 51153L, 45757L)
     val counts = df
