@@ -3667,6 +3667,53 @@ object SparkEntry {
           expr("(tokens_covered * 1000000) div __tot").as("share_ppm"),
           col("__vocab").as("vocab_size"))
         .orderBy(col("k"))
+    }),
+
+    // ---- Dedup-threshold sensitivity curve ----
+    // Candidate pairs per similarity decile band — how the near-dup
+    // pair population falls off with θ, the calibration curve read
+    // BEFORE picking a threshold (q221 samples the bands for
+    // humans; this counts them).
+    "q225_threshold_curve" -> ((s, dir) => {
+      val pairs = SetSim.jaccardJoin(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", thetaPpm = 500000L)
+      val hist = pairs
+        .withColumn("band", expr("jacc_ppm div 100000"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+      hist.crossJoin(broadcast(hist.agg(sum(col("n_pairs")).as("__tot"))))
+        .select(col("band"), col("n_pairs"),
+          expr("(n_pairs * 1000000) div __tot").as("share_ppm"))
+        .orderBy(col("band"))
+    }),
+
+    // ---- Association lift for co-engagement pairs ----
+    // q186's user-day baskets with confidence and integer-floored
+    // lift attached — the market-basket rule strength (lift > 1e6 =
+    // genuinely associated, not just popular). Flooring points:
+    // ÷n_a first, then ·N ÷n_b, the q131 collocation convention.
+    "q226_affinity_lift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(concat_ws("#", col("user_id"),
+          expr("(ts DIV 1000) div 86400000000")).as("basket"),
+          col("event_type"))
+      val bi = ev.distinct()
+      val nb = bi.groupBy(col("event_type")).agg(count(lit(1)).as("nA"))
+      val tot = broadcast(bi.select(col("basket")).distinct()
+        .agg(count(lit(1)).as("nBaskets")))
+      Graph.basketPairs(ev, "basket", "event_type", minCount = 2L)
+        .join(nb.select(col("event_type").as("item_a"),
+          col("nA").as("n_a")), "item_a")
+        .join(nb.select(col("event_type").as("item_b"),
+          col("nA").as("n_b")), "item_b")
+        .crossJoin(tot)
+        .select(col("item_a"), col("item_b"), col("n"), col("n_a"),
+          col("n_b"),
+          expr("(n * 1000000) div n_a").as("confidence_ppm"),
+          expr("(((n * 1000000) div n_a) * nBaskets) div n_b")
+            .as("lift_ppm"))
+        .orderBy(col("item_a"), col("item_b"))
     })
   )
 
@@ -9171,6 +9218,66 @@ object SparkEntry {
         |SELECT k, n_words, tokens_covered,
         |  CAST((tokens_covered * 1000000) // tot AS BIGINT) AS share_ppm,
         |  vocab_size
-        |FROM c CROSS JOIN t2 ORDER BY k""".stripMargin
+        |FROM c CROSS JOIN t2 ORDER BY k""".stripMargin,
+
+    "q225_threshold_curve" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(
+        |      regexp_extract_all(lower(text), '[a-z]+'))) AS tok
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), sets AS (
+        |  SELECT doc_id, list(tok) AS ts, count(*)::BIGINT AS n
+        |  FROM toks GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+        |    a.n + b.n
+        |      - CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS u
+        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |), cand AS (
+        |  SELECT (inter * 1000000) // u AS jacc_ppm
+        |  FROM pairs WHERE (inter * 1000000) // u >= 500000
+        |), h AS (
+        |  SELECT jacc_ppm // 100000 AS band, count(*)::BIGINT AS n_pairs
+        |  FROM cand GROUP BY 1
+        |), t2 AS (
+        |  SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM h
+        |)
+        |SELECT CAST(band AS BIGINT) AS band, n_pairs,
+        |  CAST((n_pairs * 1000000) // tot AS BIGINT) AS share_ppm
+        |FROM h CROSS JOIN t2 ORDER BY band""".stripMargin,
+
+    // q186's baskets + confidence/lift with the q131 flooring order.
+    "q226_affinity_lift" ->
+      """WITH b AS (
+        |  SELECT DISTINCT
+        |    CAST(user_id AS VARCHAR) || '#'
+        |      || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS bk,
+        |    event_type AS it
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), ok AS (
+        |  SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000
+        |), g AS (
+        |  SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS n
+        |  FROM b x
+        |  JOIN ok ON ok.bk = x.bk
+        |  JOIN b y ON y.bk = x.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), nb AS (
+        |  SELECT it, count(*)::BIGINT AS nA FROM b GROUP BY 1
+        |), t2 AS (
+        |  SELECT count(DISTINCT bk)::BIGINT AS nBaskets FROM b
+        |)
+        |SELECT g.item_a, g.item_b, g.n, a.nA AS n_a, c.nA AS n_b,
+        |  CAST((g.n * 1000000) // a.nA AS BIGINT) AS confidence_ppm,
+        |  CAST((((g.n * 1000000) // a.nA) * nBaskets) // c.nA AS BIGINT)
+        |    AS lift_ppm
+        |FROM g
+        |JOIN nb a ON a.it = g.item_a
+        |JOIN nb c ON c.it = g.item_b
+        |CROSS JOIN t2
+        |ORDER BY g.item_a, g.item_b""".stripMargin
   )
 }
