@@ -3714,6 +3714,40 @@ object SparkEntry {
           expr("(((n * 1000000) div n_a) * nBaskets) div n_b")
             .as("lift_ppm"))
         .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // ---- Exact key-candidate uniqueness profile ----
+    // The schema-audit pass before declaring a join key or dedup
+    // identity: exact per-column distinct/null/multiplicity and the
+    // is_key verdict. One (column, value)-histogram exchange.
+    "q227_uniqueness" -> ((s, dir) => {
+      Stats.uniquenessProfile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("col_name"))
+    }),
+
+    // ---- Functional-dependency violation report ----
+    // l_orderkey → l_returnflag fails wherever one order's lines
+    // carry mixed return flags — the data-contract check before
+    // denormalizing the flag onto the order.
+    "q228_fd_check" -> ((s, dir) => {
+      Stats.fdViolations(t(s, dir, "lineitem"),
+        Seq("l_orderkey"), "l_returnflag")
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // ---- Linear multi-touch attribution, exact to the cent ----
+    // Purchase cents split across the user's view/click touches in
+    // the prior 7 days; Hamilton remainder cents go to the most
+    // recent touches, so channel cents sum EXACTLY to revenue.
+    "q229_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      Funnel.linearAttribution(ev, "user_id", "event_type",
+          expr("ts DIV 1000"), "event_id",
+          expr("CAST(round(value*100) AS BIGINT)"),
+          convType = "purchase", touchTypes = Seq("view", "click"),
+          windowUs = 7L * 86400L * 1000000L)
+        .orderBy(col("channel"))
     })
   )
 
@@ -9278,6 +9312,81 @@ object SparkEntry {
         |JOIN nb a ON a.it = g.item_a
         |JOIN nb c ON c.it = g.item_b
         |CROSS JOIN t2
-        |ORDER BY g.item_a, g.item_b""".stripMargin
+        |ORDER BY g.item_a, g.item_b""".stripMargin,
+
+    // Exact per-column uniqueness; VARCHAR cast mirrors the impl's
+    // string-form histogram (safe on int/varchar columns).
+    "q227_uniqueness" ->
+      """WITH u AS (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+        |  FROM orders
+        |), h AS (
+        |  SELECT col_name, v, count(*)::BIGINT AS c
+        |  FROM u GROUP BY 1, 2
+        |)
+        |SELECT col_name,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN v IS NULL THEN c END), 0)
+        |    AS BIGINT) AS n_null,
+        |  count(v)::BIGINT AS n_distinct,
+        |  CAST(coalesce(max(CASE WHEN v IS NOT NULL THEN c END), 0)
+        |    AS BIGINT) AS max_mult,
+        |  coalesce(sum(CASE WHEN v IS NULL THEN c END), 0) = 0
+        |    AND count(v) = sum(c) AS is_key
+        |FROM h GROUP BY col_name
+        |ORDER BY col_name""".stripMargin,
+
+    "q228_fd_check" ->
+      """SELECT l_orderkey,
+        |  count(DISTINCT l_returnflag)::BIGINT AS n_dep_values,
+        |  count(*)::BIGINT AS n_rows
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING count(DISTINCT l_returnflag) > 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    // Hamilton largest-remainder split replayed with the same
+    // (touch_ts DESC, touch_id) remainder order.
+    "q229_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id AS u, event_id AS conv_id,
+        |    epoch_us(ts) AS conv_ts,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |), touch AS (
+        |  SELECT user_id AS u, event_id AS touch_id,
+        |    event_type AS channel, epoch_us(ts) AS touch_ts
+        |  FROM events
+        |  WHERE event_type IN ('view','click') AND user_id IS NOT NULL
+        |), paired AS (
+        |  SELECT c.conv_id, c.cents, t.touch_id, t.channel, t.touch_ts
+        |  FROM conv c LEFT JOIN touch t
+        |    ON t.u = c.u AND t.touch_ts <= c.conv_ts
+        |    AND t.touch_ts > c.conv_ts - 604800000000
+        |), credited AS (
+        |  SELECT conv_id, cents, touch_id,
+        |    CASE WHEN touch_id IS NULL THEN '(direct)'
+        |         ELSE channel END AS channel,
+        |    count(touch_id) OVER (PARTITION BY conv_id) AS k,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY touch_ts DESC, touch_id) AS rk
+        |  FROM paired
+        |)
+        |SELECT channel,
+        |  count(DISTINCT conv_id)::BIGINT AS n_conversions,
+        |  count(touch_id)::BIGINT AS n_touches,
+        |  CAST(sum(CASE WHEN touch_id IS NULL THEN cents
+        |    ELSE cents // k
+        |      + CASE WHEN rk <= cents % k THEN 1 ELSE 0 END END)
+        |    AS BIGINT) AS attributed_cents
+        |FROM credited GROUP BY channel
+        |ORDER BY channel""".stripMargin
   )
 }

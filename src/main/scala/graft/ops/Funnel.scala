@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** User-journey analytics over event logs — conversion funnels and
@@ -87,5 +88,70 @@ object Funnel {
     act.join(cohort, "u")
       .groupBy(col("cohort"), col("bucket"))
       .agg(count_distinct(col("u")).as("users"))
+  }
+
+  /** Linear multi-touch revenue attribution, EXACT to the cent: each
+    * conversion's cents split evenly across the user's touch events
+    * in the preceding `windowUs`, with the remainder cents assigned
+    * by Hamilton's largest-remainder rule to the MOST RECENT touches
+    * (deterministic tie-break on touch id) — so the per-channel
+    * attributed cents sum EXACTLY to total conversion cents, the
+    * invariant float "credit fractions" always break. Conversions
+    * with zero in-window touches credit the synthetic `(direct)`
+    * channel in full.
+    *
+    * Inputs are column-generic: `convIdCol` must uniquely identify a
+    * conversion row and `touchIdCol` a touch row (event ids).
+    * `centsCol` is the conversion's integer cents.
+    *
+    * Output: (channel, n_conversions, n_touches, attributed_cents),
+    * one row per touch channel that received credit (+ `(direct)`).
+    *
+    * Scale shape: the conversion×touch pairing is a user-keyed join
+    * (shuffles on the user id); the remainder ranking partitions by
+    * CONVERSION id, so the window's partition size is one user's
+    * touches within one window — bounded by per-user activity, the
+    * same per-key skew contract as rollingCount (a bot user with
+    * millions of in-window touches is a data problem to cap
+    * upstream, not a plan problem). Channel rollup output is
+    * channel-sized. */
+  def linearAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsUsCol: Column, idCol: String,
+      centsCol: Column, convType: String, touchTypes: Seq[String],
+      windowUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs touch types")
+    require(windowUs > 0, s"windowUs must be positive (got $windowUs)")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), col(idCol).as("conv_id"),
+        tsUsCol.cast("long").as("conv_ts"),
+        centsCol.cast("long").as("cents"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__tu"), col(idCol).as("touch_id"),
+        col(typeCol).as("channel"), tsUsCol.cast("long").as("touch_ts"))
+    // window bounds live in the JOIN condition: a conversion whose
+    // user HAS touches but none in-window must still survive as a
+    // left-join miss (a post-join filter would drop it entirely)
+    val paired = conv.join(touch,
+        col("u") === col("__tu") &&
+          col("touch_ts") <= col("conv_ts") &&
+          col("touch_ts") > col("conv_ts") - windowUs,
+        "left")
+    val w = Window.partitionBy(col("conv_id"))
+    val ord = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ts").desc, col("touch_id"))
+    val credited = paired
+      .withColumn("__k", count(col("touch_id")).over(w))
+      .withColumn("__rk", row_number().over(ord))
+      .withColumn("channel",
+        when(col("touch_id").isNull, lit("(direct)"))
+          .otherwise(col("channel")))
+      .withColumn("attr_cents",
+        when(col("touch_id").isNull, col("cents"))
+          .otherwise(expr("cents div __k") +
+            when(col("__rk") <= expr("cents % __k"), 1L).otherwise(0L)))
+    credited.groupBy(col("channel"))
+      .agg(count_distinct(col("conv_id")).as("n_conversions"),
+        count(col("touch_id")).as("n_touches"),
+        sum(col("attr_cents")).as("attributed_cents"))
   }
 }

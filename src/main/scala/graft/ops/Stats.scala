@@ -800,6 +800,78 @@ object Stats {
       " AS (col_x, col_y, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2)"))
   }
 
+  /** Exact per-column uniqueness profile — the key-candidate
+    * discovery pass a schema audit runs before declaring a join key
+    * or dedup identity: for each column its exact non-null distinct
+    * count, null count, maximum multiplicity, and an `is_key` verdict
+    * (no nulls AND distinct == rows).
+    *
+    * [[profile]] deliberately estimates distincts (KMV) because an
+    * exact per-column distinct over arbitrary columns is a
+    * vocabulary-sized exchange; THIS pass is the one you run when you
+    * need the exact answer for candidate keys, and its shape is the
+    * honest floor for exactness: ONE `groupBy(col_name, value)`
+    * histogram (map-side combined, exchange = distinct (column,
+    * value) pairs — value-domain-sized, not corpus-sized) followed by
+    * a C-row rollup. Run it on the columns you suspect are keys, not
+    * on free-text payloads.
+    *
+    * Output: (col_name, n_rows, n_null, n_distinct, max_mult,
+    * is_key), one row per requested column; `n_distinct` counts
+    * non-null values, `max_mult` is the largest multiplicity among
+    * non-null values (0 for an all-null column). */
+  def uniquenessProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "uniquenessProfile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"uniquenessProfile of absent column(s): ${missing.mkString(", ")}")
+    val stacked = df.selectExpr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
+        ") AS (col_name, v)")
+    stacked.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("col_name"))
+      .agg(
+        sum(col("__cnt")).as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("__cnt"))), lit(0L))
+          .as("n_null"),
+        count(col("v")).as("n_distinct"),
+        coalesce(max(when(col("v").isNotNull, col("__cnt"))), lit(0L))
+          .as("max_mult"))
+      .withColumn("is_key",
+        col("n_null") === 0L && col("n_distinct") === col("n_rows"))
+  }
+
+  /** Functional-dependency violation report: the determinant groups
+    * where `detCols → depCol` FAILS — more than one distinct
+    * dependent value under one determinant. The schema-inference /
+    * data-contract check ("order_status is a function of order_key",
+    * "one language per document id") run before denormalizing or
+    * keying on the determinant.
+    *
+    * A null dependent value counts as a value of its own (two-level
+    * groupBy, not `count(DISTINCT)` — a group holding {X, NULL}
+    * genuinely has two observed states and IS a violation; SQL's
+    * null-skipping count would hide it).
+    *
+    * Scale shape: one `groupBy(det, dep)` histogram (map-side
+    * combined; exchange = distinct (det, dep) pairs) then a
+    * det-keyed rollup — never a distinct-count window over raw rows.
+    * Output: one row per VIOLATING determinant: (detCols...,
+    * n_dep_values, n_rows). Empty result = the FD holds. */
+  def fdViolations(df: DataFrame, detCols: Seq[String],
+      depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "fdViolations needs determinant columns")
+    val pairs = df
+      .groupBy((detCols :+ depCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    pairs.groupBy(detCols.map(col): _*)
+      .agg(count(lit(1)).as("n_dep_values"),
+        sum(col("__cnt")).as("n_rows"))
+      .filter(col("n_dep_values") > 1L)
+  }
+
   def sourceReport(df: DataFrame, srcCol: String, idCol: String,
       textCol: String, langCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
