@@ -3748,6 +3748,45 @@ object SparkEntry {
           convType = "purchase", touchTypes = Seq("view", "click"),
           windowUs = 7L * 86400L * 1000000L)
         .orderBy(col("channel"))
+    }),
+
+    // ---- Zipf rank-frequency octave profile ----
+    // Types and token mass per power-of-two frequency band — the
+    // log-free Zipf curve (template spikes / hapax noise alarm).
+    "q230_zipf_octaves" -> ((s, dir) => {
+      TextAnalysis.zipfOctaves(t(s, dir, "documents"), "text")
+        .orderBy(col("octave"))
+    }),
+
+    // ---- Power moments to order 4 per event type ----
+    // Shard-mergeable Σe..Σe⁴ (skew/kurtosis basis); the DECIMAL
+    // sums travel as strings for cross-engine hashing.
+    "q231_power_moments" -> ((s, dir) => {
+      Stats.powerMoments(t(s, dir, "events"), Seq("event_type"),
+          "value", scale = 1000L)
+        .select(col("event_type"), col("n"), col("s1"),
+          col("s2").cast("string").as("s2"),
+          col("s3").cast("string").as("s3"),
+          col("s4").cast("string").as("s4"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- Embedding-column health audit ----
+    // Per dimension class: vector counts, zero vectors, NaN/Inf
+    // carriers, floor-micros norm range — the pre-ANN gate.
+    "q232_embedding_audit" -> ((s, dir) => {
+      Gram.embeddingAudit(t(s, dir, "embeddings"), "vec_id",
+          "embedding")
+        .orderBy(col("dims"))
+    }),
+
+    // ---- Deterministic distinct-value sample per group ----
+    // Five example users per event type via bottom-k md5 draws —
+    // reproducible anywhere, no distinct shuffle of the domain.
+    "q233_distinct_sample" -> ((s, dir) => {
+      Sketch.distinctSample(t(s, dir, "events"), Seq("event_type"),
+          "user_id", k = 5)
+        .orderBy(col("event_type"), col("smp_rank"))
     })
   )
 
@@ -9387,6 +9426,100 @@ object SparkEntry {
         |      + CASE WHEN rk <= cents % k THEN 1 ELSE 0 END END)
         |    AS BIGINT) AS attributed_cents
         |FROM credited GROUP BY channel
-        |ORDER BY channel""".stripMargin
+        |ORDER BY channel""".stripMargin,
+
+    // bit_length-free octave: length of the binary string minus 1,
+    // the same bin() parity as the Spark side.
+    "q230_zipf_octaves" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |    AS term
+        |  FROM documents
+        |), f AS (
+        |  SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term
+        |), o AS (
+        |  SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS octave,
+        |    count(*)::BIGINT AS n_types,
+        |    CAST(sum(n) AS BIGINT) AS sum_tokens
+        |  FROM f GROUP BY 1
+        |), t2 AS (
+        |  SELECT CAST(sum(n_types) AS BIGINT) AS tt,
+        |    CAST(sum(sum_tokens) AS BIGINT) AS tk FROM o
+        |)
+        |SELECT octave, CAST(1::BIGINT << octave AS BIGINT) AS freq_lo,
+        |  n_types, sum_tokens,
+        |  CAST((n_types * 1000000) // tt AS BIGINT) AS type_share_ppm,
+        |  CAST((sum_tokens * 1000000) // tk AS BIGINT)
+        |    AS token_share_ppm
+        |FROM o CROSS JOIN t2 ORDER BY octave""".stripMargin,
+
+    "q231_power_moments" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT) AS e
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  CAST(sum(e) AS BIGINT) AS s1,
+        |  CAST(sum(e::HUGEINT * e) AS VARCHAR) AS s2,
+        |  CAST(sum(e::HUGEINT * e * e) AS VARCHAR) AS s3,
+        |  CAST(sum(e::HUGEINT * e * e * e) AS VARCHAR) AS s4
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Per-vector stats from the unnest, NaN/Inf-guarded identically.
+    "q232_embedding_audit" ->
+      """WITH el AS (
+        |  SELECT vec_id, len(embedding)::BIGINT AS dims,
+        |    CAST(x AS DOUBLE) AS d
+        |  FROM embeddings, unnest(embedding) AS t(x)
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |), pv AS (
+        |  SELECT vec_id, dims,
+        |    max(CASE WHEN isnan(d) OR isinf(d) THEN 1 ELSE 0 END)
+        |      AS z_nan,
+        |    min(CASE WHEN isnan(d) OR isinf(d) THEN 0
+        |             WHEN d = 0 THEN 1 ELSE 0 END) AS z_zero,
+        |    CAST(sum(CASE WHEN isnan(d) OR isinf(d) THEN 0
+        |      ELSE CAST(floor(d * 1000000) AS BIGINT)::HUGEINT
+        |        * CAST(floor(d * 1000000) AS BIGINT) END) AS BIGINT)
+        |      AS norm
+        |  FROM el GROUP BY 1, 2
+        |), deg AS (
+        |  SELECT CASE WHEN embedding IS NULL THEN -1 ELSE 0 END::BIGINT
+        |    AS dims, 0::BIGINT AS z_zero, 0::BIGINT AS z_nan,
+        |    NULL::BIGINT AS norm
+        |  FROM embeddings
+        |  WHERE embedding IS NULL OR len(embedding) = 0
+        |), u AS (
+        |  SELECT dims, z_zero, z_nan, norm FROM pv
+        |  UNION ALL SELECT dims, z_zero, z_nan, norm FROM deg
+        |)
+        |SELECT dims, count(*)::BIGINT AS n_vecs,
+        |  CAST(sum(z_zero) AS BIGINT) AS n_zero,
+        |  CAST(sum(z_nan) AS BIGINT) AS n_nan,
+        |  min(CASE WHEN dims > 0 THEN norm END) AS min_norm_sq,
+        |  max(CASE WHEN dims > 0 THEN norm END) AS max_norm_sq
+        |FROM u GROUP BY dims ORDER BY dims""".stripMargin,
+
+    // hash60 replay with the 'ds:' seed prefix; value is the string
+    // form, ties ordered (hash, value).
+    "q233_distinct_sample" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(user_id AS VARCHAR) AS value
+        |  FROM events WHERE user_id IS NOT NULL
+        |), h AS (
+        |  SELECT event_type, value,
+        |    ('0x' || substr(md5('ds:' || value), 1, 15))::BIGINT AS hh
+        |  FROM d
+        |), r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hh, value) AS smp_rank
+        |  FROM h
+        |)
+        |SELECT event_type, CAST(smp_rank AS BIGINT) AS smp_rank, value
+        |FROM r WHERE smp_rank <= 5
+        |ORDER BY event_type, smp_rank""".stripMargin
   )
 }

@@ -97,4 +97,55 @@ object Gram {
         expr("CAST(sum(CAST(__e AS DECIMAL(38,0)) * __e) AS BIGINT)")
           .as("sum_sq"))
   }
+
+  /** Embedding-column health audit, rolled up by DIMENSION CLASS —
+    * the pre-flight gate before ANN / dedup / k-means runs trust a
+    * vector column: per observed dimensionality (null vectors report
+    * as dims = -1, empty as 0) the vector count, exact-zero vectors,
+    * vectors carrying any NaN/Inf element, and the min/max squared
+    * norm in floor-micros integer units. A mixed-dims table breaks
+    * every dot-product kernel downstream; zero vectors poison cosine
+    * (division by zero); NaNs propagate silently — this one table
+    * says which, where, and how many BEFORE the expensive job.
+    *
+    * Scale shape: the dimMoments move — posexplode, one id-keyed
+    * map-side-combined agg back to per-vector stats (exchange ≤ one
+    * row per vector), then a dims-class rollup (a handful of rows).
+    * NaN/Inf elements contribute 0 to the norm on BOTH engines (a
+    * guard, not a semantic: their presence is reported in n_nan). */
+  def embeddingAudit(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val deg = base.filter(col("v").isNull || size(col("v")) === 0)
+      .select(
+        when(col("v").isNull, lit(-1L)).otherwise(lit(0L)).as("dims"),
+        lit(0L).as("__zero"), lit(0L).as("__nan"),
+        lit(0L).as("__norm"))
+    val perVec = base.filter(col("v").isNotNull && size(col("v")) > 0)
+      .select(col("id"), size(col("v")).cast("long").as("dims"),
+        posexplode(col("v")).as(Seq("__i", "__x")))
+      .select(col("id"), col("dims"),
+        expr("CAST(__x AS DOUBLE)").as("__d"))
+      .withColumn("__bad",
+        expr("isnan(__d) OR __d = CAST('Infinity' AS DOUBLE)" +
+          " OR __d = CAST('-Infinity' AS DOUBLE)"))
+      .withColumn("__e",
+        when(col("__bad"), lit(0L))
+          .otherwise(expr("CAST(floor(__d * 1000000) AS BIGINT)")))
+      .groupBy(col("id"), col("dims"))
+      .agg(
+        max(col("__bad").cast("long")).as("__nan"),
+        min(when(col("__bad"), 0L)
+          .otherwise((col("__d") === 0.0d).cast("long"))).as("__zero"),
+        expr("CAST(sum(CAST(__e AS DECIMAL(38,0)) * __e) AS BIGINT)")
+          .as("__norm"))
+      .select(col("dims"), col("__zero"), col("__nan"), col("__norm"))
+    perVec.unionByName(deg)
+      .groupBy(col("dims"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("__zero")).as("n_zero"),
+        sum(col("__nan")).as("n_nan"),
+        min(when(col("dims") > 0L, col("__norm"))).as("min_norm_sq"),
+        max(when(col("dims") > 0L, col("__norm"))).as("max_norm_sq"))
+  }
 }

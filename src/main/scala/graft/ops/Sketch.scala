@@ -86,6 +86,72 @@ object Sketch {
       .select(groupCols.map(col) ++ Seq(col("kmv_rank"), col("kmv_hash")): _*)
   }
 
+  /** Deterministic uniform sample of k DISTINCT values per group —
+    * "show me 20 example user ids per segment" without a distinct
+    * shuffle of the whole value domain: the k distinct values with
+    * the smallest [[hash60]] draws (ties broken on the value's
+    * string form), a pure function of the data, reproducible across
+    * engines, retries and partitionings. The bottom-k-by-hash set IS
+    * a uniform sample of the distinct values (the KMV argument), and
+    * seeding via `seed` yields independent samples.
+    *
+    * Scale shape: the kmvSketch move — per-partition bounded
+    * distinct-bottom-k heaps per group, so the exchange carries ≤
+    * k·groups·partitions candidate rows and the global distinct set
+    * is never shuffled; the final rank window runs over that
+    * candidate set only. Null values are excluded (a sample of
+    * values, not of presence). Values are returned in STRING form
+    * (the heap orders on it; samples are for inspection).
+    *
+    * Output: (groupCols*, smp_rank, value), smp_rank 1..k. */
+  def distinctSample(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int, seed: String = "ds"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val hashed = df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        hash60(concat_ws(":", lit(seed), col(valueCol).cast("string")))
+          .as("__h"),
+        col(valueCol).cast("string").as("value")): _*)
+    val gN = groupCols.length
+    val ord = new Ordering[(Long, String)] {
+      def compare(a: (Long, String), b: (Long, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
+    }
+    val candidates = hashed.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Seq[Any], java.util.TreeSet[(Long, String)]]
+      it.foreach { r =>
+        val key: Seq[Any] = (0 until gN).map(r.get)
+        val e = (r.getLong(gN), r.getString(gN + 1))
+        val set = heaps.getOrElseUpdate(key, {
+          new java.util.TreeSet[(Long, String)](
+            (a: (Long, String), b: (Long, String)) => ord.compare(a, b))
+        })
+        if (!set.contains(e)) {
+          if (set.size < k) set.add(e)
+          else if (ord.compare(e, set.last()) < 0) {
+            set.add(e); set.pollLast()
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (key, set) =>
+        scala.jdk.CollectionConverters.SetHasAsScala(set).asScala
+          .iterator.map { case (h, v) =>
+            org.apache.spark.sql.Row.fromSeq(key ++ Seq(h, v))
+          }
+      }
+    }(org.apache.spark.sql.Encoders.row(hashed.schema))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__h"), col("value"))
+    candidates.distinct() // ≤ k·groups·partitions rows
+      .withColumn("smp_rank", row_number().over(w))
+      .filter(col("smp_rank") <= k)
+      .select(groupCols.map(col) ++
+        Seq(col("smp_rank").cast("long").as("smp_rank"), col("value")): _*)
+  }
+
   /** 60-bit md5 hash of a value under hash-family row `r` — the
     * count-min row hashes. Seeding by prefixing the row index keeps
     * the d rows pairwise independent enough in practice while staying

@@ -800,6 +800,40 @@ object Stats {
       " AS (col_x, col_y, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2)"))
   }
 
+  /** Per-group power moments to order 4 — the shard-mergeable basis
+    * for variance, skewness and kurtosis (the shape alarms a drift
+    * monitor derives downstream): n and Σe, Σe², Σe³, Σe⁴ over
+    * `e = floor(value·scale)`. Keeping raw POWER SUMS instead of
+    * central moments is deliberate: power sums add across shards and
+    * days (central moments don't), and the single flooring point
+    * makes the whole table engine-exact — skew/kurtosis themselves
+    * are one float division away, computed caller-side where float
+    * semantics are the caller's problem.
+    *
+    * Σe²–Σe⁴ overflow int64 at corpus scales, so they are carried
+    * and RETURNED as DECIMAL(38,0) — cast to string for cross-engine
+    * hashing if needed (HUGEINT territory in DuckDB).
+    *
+    * Scale shape: ONE map-side-combined agg, groups-sized output,
+    * no second pass. Nulls are excluded per group. */
+  def powerMoments(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, scale: Long = 1000L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1 (got $scale)")
+    val e = df.filter(col(valueCol).isNotNull)
+      .withColumn("__e",
+        expr(s"CAST(floor(CAST($valueCol AS DOUBLE) * $scale) AS BIGINT)"))
+    val d = "CAST(__e AS DECIMAL(38,0))"
+    val grouped =
+      if (groupCols.nonEmpty) e.groupBy(groupCols.map(col): _*)
+      else e.groupBy()
+    grouped.agg(
+      count(lit(1)).as("n"),
+      sum(col("__e")).as("s1"),
+      expr(s"sum($d * __e)").as("s2"),
+      expr(s"sum($d * __e * __e)").as("s3"),
+      expr(s"sum($d * __e * __e * __e)").as("s4"))
+  }
+
   /** Exact per-column uniqueness profile — the key-candidate
     * discovery pass a schema audit runs before declaring a join key
     * or dedup identity: for each column its exact non-null distinct

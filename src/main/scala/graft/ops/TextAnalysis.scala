@@ -284,6 +284,41 @@ object TextAnalysis {
   def docFrequency(tc: DataFrame): DataFrame =
     tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+  /** Zipf rank-frequency profile by frequency OCTAVE — the corpus
+    * health curve read before trusting token statistics: how many
+    * word types and how much token mass sit at each power-of-two
+    * frequency band. A natural corpus shows type counts decaying
+    * smoothly across octaves (Zipf); boilerplate-heavy or
+    * template-generated corpora spike in high octaves, OCR noise
+    * fattens octave 0 (hapax legomena). This is the log-log Zipf
+    * slope read without logs: octave = floor(log2(freq)) computed
+    * integer-exactly via the bin()-length trick (the q176/HLL
+    * parity), so the table reproduces bit-for-bit on any engine.
+    *
+    * Scale shape: one token explode → term-keyed count (map-side
+    * combined, vocabulary-sized exchange — the exchange floor of any
+    * exact frequency profile), then a ≤ ~40-row octave rollup.
+    *
+    * Output: (octave, freq_lo, n_types, sum_tokens, type_share_ppm,
+    * token_share_ppm), octave ascending. */
+  def zipfOctaves(df: DataFrame, textCol: String,
+      unicode: Boolean = false): DataFrame = {
+    val freqs = df
+      .select(explode(alphaTokens(col(textCol), unicode)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__n"))
+    val oct = freqs
+      .withColumn("octave", (length(bin(col("__n"))) - 1).cast("long"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_types"), sum(col("__n")).as("sum_tokens"))
+    oct.crossJoin(broadcast(oct.agg(
+        sum(col("n_types")).as("__tt"), sum(col("sum_tokens")).as("__tk"))))
+      .select(col("octave"),
+        expr("shiftleft(1L, CAST(octave AS INT))").as("freq_lo"),
+        col("n_types"), col("sum_tokens"),
+        expr("(n_types * 1000000) div __tt").as("type_share_ppm"),
+        expr("(sum_tokens * 1000000) div __tk").as("token_share_ppm"))
+  }
+
   /** Term-keyed inverted index: per term its document frequency,
     * corpus frequency, and a bounded posting list — the top-`topK`
     * documents by term frequency as an "id:tf,id:tf" string (tf
