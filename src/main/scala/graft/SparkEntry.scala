@@ -3787,6 +3787,21 @@ object SparkEntry {
       Sketch.distinctSample(t(s, dir, "events"), Seq("event_type"),
           "user_id", k = 5)
         .orderBy(col("event_type"), col("smp_rank"))
+    }),
+
+    // ---- Aho-Corasick dictionary tagging at scan speed ----
+    // q173's contains-join output reproduced by the one-pass
+    // automaton (O(text) per row, dict-size-independent) — the
+    // oracle IS the q173 replace-count SQL.
+    "q234_ac_tags" -> ((s, dir) => {
+      import s.implicits._
+      val dict = Seq(("data", "batch"), ("data", "stream"),
+        ("data", "table"), ("exec", "join"), ("exec", "merge"),
+        ("exec", "scan")).toDF("tag", "kw")
+      TextAnalysis.tagKeywordsFast(t(s, dir, "documents"), "doc_id",
+          "text", dict, "tag", "kw")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("tag"), col("keyword"))
     })
   )
 
@@ -9520,6 +9535,21 @@ object SparkEntry {
         |)
         |SELECT event_type, CAST(smp_rank AS BIGINT) AS smp_rank, value
         |FROM r WHERE smp_rank <= 5
-        |ORDER BY event_type, smp_rank""".stripMargin
+        |ORDER BY event_type, smp_rank""".stripMargin,
+
+    // The q173 contains-join replay — the automaton must reproduce
+    // the replace-count convention byte-for-byte.
+    "q234_ac_tags" ->
+      """WITH dict(tag, keyword) AS (
+        |  VALUES ('data', 'batch'), ('data', 'stream'), ('data', 'table'),
+        |         ('exec', 'join'), ('exec', 'merge'), ('exec', 'scan')
+        |), docs AS (
+        |  SELECT doc_id, lower(COALESCE(text, '')) AS lt FROM documents
+        |)
+        |SELECT doc_id, tag, keyword,
+        |  CAST((length(lt) - length(replace(lt, keyword, '')))
+        |    // length(keyword) AS BIGINT) AS n_hits
+        |FROM docs JOIN dict ON instr(lt, keyword) > 0
+        |ORDER BY doc_id, tag, keyword""".stripMargin
   )
 }

@@ -133,6 +133,14 @@ object GraftExtensions {
         "graft_apply_bpe_tokens(tokens, 'l r,l r,…')")
       graft.ops.ApplyBpeTokens(args(0),
         parseMerges(litString(args(1), "merges")))
+    },
+    // keywords as a ','-separated string literal (keywords carrying
+    // commas need the Column API, TextAnalysis.tagKeywordsFast)
+    "graft_ac_counts" -> { args =>
+      require(args.length == 2, "graft_ac_counts(text, 'kw,kw,…')")
+      AcMatchCounts(args(0),
+        litString(args(1), "keywords").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty))
     })
 
   private def parseMerges(spec: String): Seq[(String, String)] =

@@ -727,6 +727,55 @@ object TextAnalysis {
           " length(keyword)").as("n_hits"))
   }
 
+  /** [[tagKeywords]] at scan speed: the whole dictionary is compiled
+    * into ONE Aho–Corasick automaton ([[graft.codecs.AcMatchCounts]])
+    * and every document is scanned ONCE — O(text) per row instead of
+    * the contains-join's O(text · dict) instr+replace scans, the
+    * difference that keeps a 10k-phrase lexicon viable at 100 TB.
+    * Identical output contract and replace-count semantics (byte-
+    * for-byte — the q234 oracle is the q173 contains-join SQL).
+    *
+    * Scale shape: the dictionary collects to the driver (bounded by
+    * contract — it was broadcast-sized already) and ships inside the
+    * expression; the scan is a pure projection with ZERO joins — the
+    * keyword index maps back through an array literal, and only the
+    * tag attachment joins a dict-sized broadcast. `maxKeywords`
+    * guards the driver collect the same way BM25 guards its query
+    * side. */
+  def tagKeywordsFast(df: DataFrame, idCol: String, textCol: String,
+      dict: DataFrame, tagCol: String, kwCol: String,
+      maxKeywords: Int = 1000000): DataFrame = {
+    val dRows = dict
+      .select(col(tagCol).cast("string").as("tag"),
+        lower(col(kwCol)).as("keyword"))
+      .filter(col("keyword").isNotNull && length(col("keyword")) > 0)
+      .distinct()
+      .limit(maxKeywords + 1)
+      .collect()
+    require(dRows.length <= maxKeywords,
+      s"dictionary exceeds maxKeywords=$maxKeywords")
+    val kws: Array[String] =
+      dRows.map(_.getString(1)).distinct.sorted
+    require(kws.nonEmpty, "empty dictionary")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kwArr = array(kws.map(lit).toIndexedSeq: _*)
+    val counts = graft.functions.GraftFunctions.column(
+      graft.codecs.AcMatchCounts(
+        graft.functions.GraftFunctions.expr(
+          lower(coalesce(col(textCol), lit("")))), kws.toSeq))
+    val hits = df.select(col(idCol).as("id"), counts.as("__c"))
+      .select(col("id"), posexplode(col("__c")).as(Seq("__ki", "n_hits")))
+      .filter(col("n_hits") > 0L)
+      .select(col("id"),
+        element_at(kwArr, col("__ki") + 1).as("keyword"), col("n_hits"))
+    val tags = broadcast(
+      dRows.map(r => (r.getString(0), r.getString(1)))
+        .toSeq.toDF("tag", "keyword"))
+    hits.join(tags, Seq("keyword"))
+      .select(col("id"), col("tag"), col("keyword"), col("n_hits"))
+  }
+
   /** Adjacent-symbol pair counts for BPE tokenizer training — the
     * counting step of the first merge round (Sennrich et al. 2016),
     * at corpus scale. The scale insight: count over the VOCABULARY,
