@@ -8,7 +8,7 @@ import graft.functions.GraftFunctions
 import graft.ops.{AnnSearch, AsOf, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, TextAnalysis, TransformSpec}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
-import graft.sources.{GraftRead, Materialize, RowGroupIndex}
+import graft.sources.{GraftRead, JsonlIngest, Materialize, RowGroupIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -3802,6 +3802,48 @@ object SparkEntry {
           "text", dict, "tag", "kw")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("tag"), col("keyword"))
+    }),
+
+    // ---- JSONL ingest with corrupt-record quarantine ----
+    // Documents round-trip through a JSONL landing file with every
+    // doc_id % 7 == 3 line deterministically truncated; PERMISSIVE
+    // schema-enforced read quarantines them (never drops, never
+    // aborts) and the report rolls up per (status, lang).
+    "q235_jsonl_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType,
+        StructField, StructType}
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val url = sys.props("java.io.tmpdir") + "/graft_q235_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      docs.withColumn("__j",
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+        .select(
+          when(pmod(col("doc_id"), lit(7)) === 3,
+            expr("substring(__j, 1, length(__j) div 2)"))
+            .otherwise(col("__j")).as("value"))
+        .write.mode("overwrite").text(url)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      JsonlIngest.readQuarantined(s, url, schema)
+        .groupBy(
+          when(col(JsonlIngest.CorruptCol).isNotNull, "corrupt")
+            .otherwise("ok").as("status"),
+          col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("status"), col("lang").asc_nulls_last)
+    }),
+
+    // ---- Deterministic bootstrap confidence band ----
+    // Per-type mean event value with a 40-replicate Poisson-weight
+    // bootstrap band (ranks 2/39 ≈ 5th/95th) — error bars that
+    // reproduce bit-for-bit on any engine.
+    "q236_bootstrap_ci" -> ((s, dir) => {
+      Stats.bootstrapMeans(t(s, dir, "events"), Seq("event_type"),
+          "value", "event_id")
+        .orderBy(col("event_type"))
     })
   )
 
@@ -9550,6 +9592,64 @@ object SparkEntry {
         |  CAST((length(lt) - length(replace(lt, keyword, '')))
         |    // length(keyword) AS BIGINT) AS n_hits
         |FROM docs JOIN dict ON instr(lt, keyword) > 0
-        |ORDER BY doc_id, tag, keyword""".stripMargin
+        |ORDER BY doc_id, tag, keyword""".stripMargin,
+
+    // The quarantine partition rule replayed relationally: corrupt
+    // rows carry no parsed fields (null lang, null char sum).
+    "q235_jsonl_ingest" ->
+      """SELECT
+        |  CASE WHEN doc_id % 7 = 3 THEN 'corrupt' ELSE 'ok' END
+        |    AS status,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE lang END AS lang,
+        |  count(*)::BIGINT AS n,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n_chars END)
+        |    AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY status, lang NULLS LAST""".stripMargin,
+
+    // Full replay: Poisson(1) CDF-threshold weights from the same
+    // md5 draws, floor-div replicate means, rank-2/39 band.
+    "q236_bootstrap_ci" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+        |    CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS e
+        |  FROM events WHERE value IS NOT NULL
+        |), x AS (
+        |  SELECT g, id, e, b,
+        |    ('0x' || substr(md5('bs:' || b || ':' || id), 1, 15))::BIGINT
+        |      % 1000000 AS u
+        |  FROM e CROSS JOIN range(40) t(b)
+        |), w AS (
+        |  SELECT g, b, e,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |         WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM x
+        |), c AS (
+        |  SELECT g, b, CAST(sum(w) AS BIGINT) AS sw,
+        |    CAST(sum(w * e) AS BIGINT) AS swe
+        |  FROM w GROUP BY 1, 2
+        |), m AS (
+        |  SELECT g, b, swe // sw AS mean FROM c WHERE sw > 0
+        |), r AS (
+        |  SELECT g, b, mean,
+        |    row_number() OVER (PARTITION BY g ORDER BY mean, b) AS rk
+        |  FROM m
+        |), band AS (
+        |  SELECT g, count(*)::BIGINT AS n_boots,
+        |    max(CASE WHEN rk = 2 THEN mean END) AS boot_lo_e6,
+        |    max(CASE WHEN rk = 39 THEN mean END) AS boot_hi_e6
+        |  FROM r GROUP BY g
+        |), pt AS (
+        |  SELECT g, count(*)::BIGINT AS n,
+        |    CAST(sum(e) // count(*) AS BIGINT) AS mean_e6
+        |  FROM e GROUP BY g
+        |)
+        |SELECT pt.g AS event_type, pt.n, pt.mean_e6, band.n_boots,
+        |  band.boot_lo_e6, band.boot_hi_e6
+        |FROM pt JOIN band ON band.g = pt.g
+        |ORDER BY event_type""".stripMargin
   )
 }

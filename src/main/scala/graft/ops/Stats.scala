@@ -800,6 +800,86 @@ object Stats {
       " AS (col_x, col_y, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2)"))
   }
 
+  /** Fixed Poisson(1) CDF thresholds ×1e6 (cumP(0)..cumP(5); draws
+    * ≥ the last take weight 6). The ONLINE-bootstrap weight table:
+    * a deterministic integer surrogate for the multinomial resample
+    * (Oza & Russell 2001's Poisson approximation), chosen over true
+    * multinomial weights because each row's weight is then a pure
+    * function of (seed, replicate, row id) — no global coordination,
+    * no RNG stream, bit-identical on any engine. */
+  private val PoissonCdfE6 =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L)
+
+  /** Deterministic bootstrap confidence band for per-group means —
+    * "is this week's quality-score shift real?" answered with error
+    * bars that reproduce across engines, retries and partitionings:
+    * `b` resample replicates, each row weighted by the Poisson(1)
+    * surrogate drawn from md5(seed:replicate:id), per-replicate
+    * integer-micros means ranked, and the band read at `loRank`/
+    * `hiRank` of the ranked replicate means (defaults ≈ 5th/95th
+    * percentile at b = 40). The point estimate (floor-div mean of
+    * the real data) rides along.
+    *
+    * All arithmetic is integer: e = floor(value·1e6), replicate mean
+    * = FLOOR(Σw·e / Σw) via the pmod floor-division trick (the q212
+    * move — Spark's `div` truncates while floor is the cross-engine
+    * form), so the entire table is hash-exact.
+    *
+    * Scale shape: the replicate explode multiplies SCAN work by `b`
+    * (the standard online-bootstrap price) but the exchange is
+    * map-side combined to ≤ groups·b cells; the ranking window
+    * partitions by group over exactly `b` rows. A replicate whose
+    * weights all drew 0 contributes no mean (n_boots counts the
+    * survivors).
+    *
+    * Output: (groupCols*, n, mean_e6, n_boots, boot_lo_e6,
+    * boot_hi_e6). */
+  def bootstrapMeans(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String, b: Int = 40,
+      loRank: Int = 2, hiRank: Int = 39,
+      seed: String = "bs"): DataFrame = {
+    require(groupCols.nonEmpty, "bootstrapMeans needs group columns")
+    require(b >= 2 && loRank >= 1 && hiRank <= b && loRank <= hiRank,
+      s"bad ranks: b=$b lo=$loRank hi=$hiRank")
+    val g = groupCols.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(idCol).cast("string").as("__id") :+
+        expr(s"CAST(floor(CAST($valueCol AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("__e"): _*)
+    val thresholds = PoissonCdfE6.zipWithIndex
+      .map { case (t, w) => s"WHEN __u < ${t}L THEN ${w}L" }
+      .mkString("CASE ", " ", " ELSE 6L END")
+    val cells = base
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", pmod(Sketch.hash60(
+        concat_ws(":", lit(seed), col("__b"), col("__id"))),
+        lit(1000000L)))
+      .withColumn("__w", expr(thresholds))
+      .groupBy(g :+ col("__b"): _*)
+      .agg(sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__e")).as("__swe"))
+    val means = cells.filter(col("__sw") > 0L)
+      .withColumn("__mean",
+        expr("(__swe - pmod(__swe, __sw)) div __sw")) // floor div
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col("__mean"), col("__b"))
+    val band = means
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_boots"),
+        max(when(col("__rk") === loRank, col("__mean")))
+          .as("boot_lo_e6"),
+        max(when(col("__rk") === hiRank, col("__mean")))
+          .as("boot_hi_e6"))
+    val point = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__e")).as("__se"))
+      .withColumn("mean_e6", expr("(__se - pmod(__se, n)) div n"))
+      .drop("__se")
+    point.join(band, groupCols)
+      .select(g ++ Seq(col("n"), col("mean_e6"), col("n_boots"),
+        col("boot_lo_e6"), col("boot_hi_e6")): _*)
+  }
+
   /** Per-group power moments to order 4 — the shard-mergeable basis
     * for variance, skewness and kurtosis (the shape alarms a drift
     * monitor derives downstream): n and Σe, Σe², Σe³, Σe⁴ over
