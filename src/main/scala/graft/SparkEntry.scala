@@ -3844,6 +3844,29 @@ object SparkEntry {
       Stats.bootstrapMeans(t(s, dir, "events"), Seq("event_type"),
           "value", "event_id")
         .orderBy(col("event_type"))
+    }),
+
+    // ---- Bloom file index: high-cardinality data skipping ----
+    // One bloom per (field, file) — file-count-sized sidecar where
+    // q33's exact index would be vocabulary-sized; probe prunes the
+    // scan's file list, row filter keeps the result exact (fpp only
+    // costs extra files). Build amortized behind the q33 marker.
+    "q237_bloom_index" -> ((s, dir) => {
+      val base = cachedBase(dir, "q237")
+      val (dataUrl, idxUrl) = (base + "/data", base + "/bloomidx")
+      if (!new java.io.File(idxUrl, "_SUCCESS").exists()) {
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars"))
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite").parquet(dataUrl)
+        RowGroupIndex.buildBloom(s, dataUrl, Seq("doc_id"), idxUrl,
+          expectedPerFile = 100000L)
+      }
+      val ids = Seq(11L, 77L, 123L, 404L)
+      RowGroupIndex.readBloomSelected(s, dataUrl, idxUrl, "doc_id", ids)
+        .filter(col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -9650,6 +9673,12 @@ object SparkEntry {
         |SELECT pt.g AS event_type, pt.n, pt.mean_e6, band.n_boots,
         |  band.boot_lo_e6, band.boot_hi_e6
         |FROM pt JOIN band ON band.g = pt.g
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // The indexed read + row filter must equal the plain filter.
+    "q237_bloom_index" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (11, 77, 123, 404)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -98,6 +98,102 @@ object RowGroupIndex {
       .filter(f => keep.contains(norm(f)))
   }
 
+  /** Bloom file index — the data-skipping index for HIGH-CARDINALITY
+    * fields, where [[build]]'s exact value→files map would be
+    * vocabulary-sized: ONE Bloom filter per (field, file), so the
+    * sidecar is file-count-sized no matter how many distinct values
+    * the field carries (a doc-id index over 100 TB is ~bytes·files,
+    * not ~rows). Skipping is a SUPERSET guarantee at the filter's
+    * fpp — a probed file may be a false positive but never a false
+    * negative — so callers keep their row-level filter and results
+    * stay exact; fpp only costs extra files scanned.
+    *
+    * Build shape: per-partition partial blooms per file (a task
+    * folds only the rows it already reads), merged per (field, file)
+    * — no per-file single-task funnel, shuffle carries bloom bytes
+    * per partition. `expectedPerFile` sizes the filter (Spark's
+    * BloomFilter merge requires identical geometry, so it is pinned
+    * in the sidecar's build, not guessed per file). */
+  def buildBloom(spark: SparkSession, datasetUrl: String,
+      fields: Seq[String], indexUrl: String,
+      expectedPerFile: Long = 100000L, fpp: Double = 0.01): Unit = {
+    require(fields.nonEmpty, "buildBloom needs fields")
+    import org.apache.spark.util.sketch.BloomFilter
+    val files = Materialize.listParquetFiles(spark, datasetUrl)
+    val df = spark.read.parquet(files: _*)
+      .withColumn("__file", input_file_name())
+    val parts = fields.map { f =>
+      df.select(col("__file"), col(f).cast("string").as("__v"))
+        .filter(col("__v").isNotNull)
+        .withColumn("field", lit(f))
+    }
+    val all = parts.reduce(_.unionByName(_))
+    import spark.implicits._
+    val partials = all.mapPartitions { it =>
+      val blooms = scala.collection.mutable.HashMap
+        .empty[(String, String), BloomFilter]
+      it.foreach { r =>
+        val key = (r.getString(2), r.getString(0)) // (field, file)
+        val bf = blooms.getOrElseUpdate(key,
+          BloomFilter.create(expectedPerFile, fpp))
+        bf.putString(r.getString(1))
+      }
+      blooms.iterator.map { case ((fld, file), bf) =>
+        (fld, file, graft.codecs.BloomBytes.toBytes(bf))
+      }
+    }
+    partials.groupByKey { case (fld, file, _) => (fld, file) }
+      .reduceGroups { (a, b) =>
+        val x = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(a._3))
+        val y = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b._3))
+        x.mergeInPlace(y)
+        (a._1, a._2, graft.codecs.BloomBytes.toBytes(x))
+      }
+      .map(_._2)
+      .toDF("field", "file", "bloom")
+      .write.mode("overwrite").parquet(indexUrl)
+  }
+
+  /** Files a bloom index admits for `field IN values` — every file
+    * whose filter might contain ANY of the values (union semantics,
+    * mirroring [[ValueIn]]). Probing runs where the sidecar rows
+    * live; only admitted file names reach the driver. */
+  def bloomSelectedFiles(spark: SparkSession, datasetUrl: String,
+      indexUrl: String, field: String, values: Seq[Any]): Seq[String] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val probes = values.map(_.toString).toArray
+    val idx = spark.read.parquet(indexUrl)
+      .filter(col("field") === field)
+    import spark.implicits._
+    val admitted = idx.mapPartitions { it =>
+      it.flatMap { r =>
+        val bf = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        if (probes.exists(bf.mightContainString)) Some(r.getAs[String]("file"))
+        else None
+      }
+    }.collect().toSet
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val keep = admitted.map(norm)
+    Materialize.listParquetFiles(spark, datasetUrl)
+      .filter(f => keep.contains(norm(f)))
+  }
+
+  /** Read scanning only bloom-admitted files (superset at fpp —
+    * callers still apply the row filter; see [[buildBloom]]). */
+  def readBloomSelected(spark: SparkSession, datasetUrl: String,
+      indexUrl: String, field: String, values: Seq[Any]): DataFrame = {
+    val selected =
+      bloomSelectedFiles(spark, datasetUrl, indexUrl, field, values)
+    if (selected.isEmpty) {
+      val all = Materialize.listParquetFiles(spark, datasetUrl)
+      spark.read.option("basePath", datasetUrl).parquet(all: _*).limit(0)
+    } else spark.read.option("basePath", datasetUrl).parquet(selected: _*)
+  }
+
   /** Read the dataset scanning ONLY files the selector admits.
     * Returns an empty DataFrame (with the right schema) when the
     * selector admits nothing. The selected files are a superset
