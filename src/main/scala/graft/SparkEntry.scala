@@ -3867,6 +3867,19 @@ object SparkEntry {
         .filter(col("doc_id").isin(ids: _*))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Exact-size stratified train/val/test split ----
+    // 80/10/10 per language with Hamilton quotas summing EXACTLY to
+    // each stratum's size; membership a pure function of
+    // md5('xs:'||doc_id). Rolled up per (lang, split).
+    "q238_exact_split" -> ((s, dir) => {
+      Sampling.exactSplit(t(s, dir, "documents"), Seq("lang"),
+          Seq(("train", 8L), ("val", 1L), ("test", 1L)), "doc_id")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("split"))
     })
   )
 
@@ -9679,6 +9692,48 @@ object SparkEntry {
     "q237_bloom_index" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (11, 77, 123, 404)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Hamilton quotas + md5 rank dealing, replayed per stratum.
+    "q238_exact_split" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), n AS (
+        |  SELECT lang, count(*)::BIGINT AS n FROM b GROUP BY lang
+        |), defs(split, w, i) AS (
+        |  VALUES ('train', 8, 0), ('val', 1, 1), ('test', 1, 2)
+        |), q AS (
+        |  SELECT lang, split, i, n, (n * w) // 10 AS base,
+        |    (n * w) % 10 AS rem
+        |  FROM n CROSS JOIN defs
+        |), q2 AS (
+        |  SELECT lang, split, i, base, n,
+        |    n - sum(base) OVER (PARTITION BY lang) AS R,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY rem DESC, i) AS rk
+        |  FROM q
+        |), q3 AS (
+        |  SELECT lang, split, i,
+        |    base + CASE WHEN rk <= R THEN 1 ELSE 0 END AS quota
+        |  FROM q2
+        |), bounds AS (
+        |  SELECT lang, split,
+        |    sum(quota) OVER (PARTITION BY lang ORDER BY i) AS hi,
+        |    sum(quota) OVER (PARTITION BY lang ORDER BY i) - quota
+        |      AS lo
+        |  FROM q3
+        |), r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5('xs:' || doc_id), 1, 15))::BIGINT,
+        |      doc_id) AS r
+        |  FROM b
+        |)
+        |SELECT r.lang, bounds.split, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM r JOIN bounds ON bounds.lang = r.lang
+        |  AND r.r > bounds.lo AND r.r <= bounds.hi
+        |GROUP BY 1, 2 ORDER BY r.lang, bounds.split""".stripMargin
   )
 }

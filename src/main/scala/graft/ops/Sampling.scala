@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.predicates.PseudorandomSplit
@@ -426,5 +427,78 @@ object Sampling {
       sum(x).as("sx"), sum(y).as("sy"),
       sum(x * y).as("sxy"),
       sum(x * x).as("sxx"), sum(y * y).as("syy"))
+  }
+
+  /** EXACT-size stratified split — train/val/test with sizes that
+    * are exactly right per stratum, not approximately right: the
+    * ppm-threshold split (q08) hits 80/10/10 only in expectation,
+    * while eval sets, labeling budgets and benchmark slices are
+    * specified in exact counts. Per stratum the split sizes are
+    * Hamilton largest-remainder quotas of the stratum's row count
+    * over `splits` weights (they sum EXACTLY to the stratum size),
+    * and rows are dealt to splits by their md5(seed:id) rank — a
+    * pure function of the data, reproducible across engines,
+    * retries and partitionings, and stable under re-stratification
+    * of OTHER strata.
+    *
+    * Scale shape: one stratum-count agg; quota arithmetic runs on
+    * the strata×splits table (splits are a literal handful); the
+    * row ranking is a per-stratum sort window — the per-key skew
+    * contract (a stratum's rows sort within its partition; strata
+    * are the parallelism). The boundary attach is a stratum-keyed
+    * join against k rows per stratum. Null ids are refused (the
+    * rank would be ambiguous).
+    *
+    * Output: the input columns + `split` (name from `splits`). */
+  def exactSplit(df: DataFrame, strataCols: Seq[String],
+      splits: Seq[(String, Long)], idCol: String,
+      seed: String = "xs"): DataFrame = {
+    require(strataCols.nonEmpty, "exactSplit needs strata columns")
+    require(splits.size >= 2, "exactSplit needs at least two splits")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "duplicate split names")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sCols = strataCols.map(col)
+    val totW = splits.map(_._2).sum
+    val defs = broadcast(splits.zipWithIndex
+      .map { case ((nm, w), i) => (nm, w, i) }
+      .toDF("split", "__w", "__i"))
+    val base = df.filter(col(idCol).isNotNull)
+    val counts = base.groupBy(sCols: _*).agg(count(lit(1)).as("__n"))
+    val wRem = Window.partitionBy(sCols: _*)
+      .orderBy(expr(s"(__n * __w) % $totW").desc, col("__i"))
+    val wCum = Window.partitionBy(sCols: _*).orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(sCols: _*)
+    // Hamilton per stratum: base = floor(n·w/W); the R = n − Σbase
+    // leftovers go to the largest remainders (ties by split order);
+    // [lo, hi) boundaries follow from the cumulative quota.
+    val bounds = counts.crossJoin(defs)
+      .withColumn("__base", expr(s"(__n * __w) div $totW"))
+      .withColumn("__R", col("__n") - sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(wRem))
+      .withColumn("__quota", col("__base") +
+        when(col("__rk") <= col("__R"), 1L).otherwise(0L))
+      .withColumn("__hi", sum(col("__quota")).over(wCum))
+      .withColumn("__lo", col("__hi") - col("__quota"))
+      .select(strataCols.map(c => col(c).as(s"__sb_$c")) ++
+        Seq(col("split"), col("__lo"), col("__hi")): _*)
+    val wRank = Window.partitionBy(sCols: _*)
+      .orderBy(Sketch.hash60(concat_ws(":", lit(seed),
+        col(idCol).cast("string"))), col(idCol))
+    // null ids are excluded (their rank would be an engine-dependent
+    // tie) — the ecdf convention; quotas above count the same
+    // filtered frame. Null STRATUM keys are strata like any other:
+    // the boundary join is null-safe (the quantileBins lesson).
+    val ranked = base
+      .withColumn("__r", row_number().over(wRank).cast("long"))
+    val cond = strataCols.map(c => col(c) <=> col(s"__sb_$c"))
+      .reduce(_ && _)
+    ranked.join(bounds, cond)
+      .filter(col("__r") > col("__lo") && col("__r") <= col("__hi"))
+      .drop(strataCols.map(c => s"__sb_$c") ++
+        Seq("__r", "__lo", "__hi"): _*)
   }
 }
