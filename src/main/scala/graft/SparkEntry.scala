@@ -3880,6 +3880,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("split"))
+    }),
+
+    // ---- CUPED variance-reduced experiment readout ----
+    // Arms = user_id parity; covariate x = view count, metric y =
+    // purchase cents per user; pooled theta, per-arm adjusted means,
+    // all flooring points named and replayed.
+    "q239_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val units = ev.groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("event_type") === "view", 1L)
+            .otherwise(0L)), lit(0L)).as("x"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            expr("CAST(round(value*100) AS BIGINT)"))
+            .otherwise(0L)), lit(0L)).as("y"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "control")
+            .otherwise("treat"))
+      Stats.cupedAdjust(units, "arm", "x", "y").orderBy(col("arm"))
+    }),
+
+    // ---- Hour-of-day seasonal index per event type ----
+    // The load/anomaly baseline: phase mass and index_ppm (1e6 =
+    // flat) over 24 hour buckets, pure integer phase arithmetic.
+    "q240_seasonal" -> ((s, dir) => {
+      graft.ops.Resample.seasonalProfile(
+          t(s, dir, "events"), Seq("event_type"),
+          expr("ts DIV 1000"), periodUs = 86400000000L, buckets = 24)
+        .orderBy(col("event_type"), col("bucket"))
     })
   )
 
@@ -9734,6 +9763,72 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM r JOIN bounds ON bounds.lang = r.lang
         |  AND r.r > bounds.lo AND r.r <= bounds.hi
-        |GROUP BY 1, 2 ORDER BY r.lang, bounds.split""".stripMargin
+        |GROUP BY 1, 2 ORDER BY r.lang, bounds.split""".stripMargin,
+
+    // Pooled theta over HUGEINT sums; every floor point mirrored.
+    "q239_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view'
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS x,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value*100) AS BIGINT) ELSE 0 END), 0)
+        |      AS BIGINT) AS y,
+        |    CASE WHEN user_id % 2 = 0 THEN 'control'
+        |         ELSE 'treat' END AS arm
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY user_id
+        |), p AS (
+        |  SELECT count(*)::HUGEINT AS pn,
+        |    sum(x)::HUGEINT AS psx, sum(y)::HUGEINT AS psy,
+        |    sum(x::HUGEINT * y) AS psxy, sum(x::HUGEINT * x) AS psxx
+        |  FROM u
+        |), a AS (
+        |  SELECT arm, count(*)::BIGINT AS n,
+        |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy
+        |  FROM u GROUP BY arm
+        |)
+        |, th AS (
+        |  -- DuckDB // truncates; floor via the shifted-mod trick
+        |  SELECT pn, psx,
+        |    CASE WHEN (pn * psxx - psx * psx) = 0 THEN 0::HUGEINT
+        |      ELSE (((pn * psxy - psx * psy) * 1000000)
+        |        - ((((pn * psxy - psx * psy) * 1000000)
+        |            % (pn * psxx - psx * psx)
+        |           + (pn * psxx - psx * psx))
+        |          % (pn * psxx - psx * psx)))
+        |        // (pn * psxx - psx * psx) END AS theta
+        |  FROM p
+        |), ax AS (
+        |  SELECT arm, n,
+        |    CAST((sx * 1000000) // n AS BIGINT) AS mean_x_e6,
+        |    CAST((sy * 1000000) // n AS BIGINT) AS mean_y_e6,
+        |    CAST(theta AS BIGINT) AS theta_ppm,
+        |    theta * ((sx * 1000000) // n - (psx * 1000000) // pn)
+        |      AS adjnum
+        |  FROM a CROSS JOIN th
+        |)
+        |SELECT arm, n, mean_x_e6, mean_y_e6, theta_ppm,
+        |  CAST(mean_y_e6 -
+        |    (adjnum - ((adjnum % 1000000 + 1000000) % 1000000))
+        |      // 1000000 AS BIGINT) AS adj_mean_e6
+        |FROM ax ORDER BY arm""".stripMargin,
+
+    // Integer phase arithmetic on epoch-µs timestamps.
+    "q240_seasonal" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS bucket,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2
+        |), t2 AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT c.event_type, bucket, n,
+        |  CAST((n * 1000000) // tot AS BIGINT) AS share_ppm,
+        |  CAST((n * 24 * 1000000) // tot AS BIGINT) AS index_ppm
+        |FROM c JOIN t2 ON t2.event_type = c.event_type
+        |ORDER BY c.event_type, bucket""".stripMargin
   )
 }

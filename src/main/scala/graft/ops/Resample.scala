@@ -203,4 +203,47 @@ object Resample {
         col("m.c").as("cusum_at_cp"), col("mean_per_bucket"),
         col("n_buckets"))
   }
+
+  /** Periodic seasonal profile — traffic mass per phase bucket of a
+    * repeating period (hour-of-day, day-of-week): the seasonal index
+    * table an anomaly monitor divides by before alarming ("is 3am
+    * Tuesday low, or just 3am?"), and the load model a scheduler
+    * reads. `index_ppm = n·buckets·1e6 div n_group` — 1e6 = exactly
+    * flat; `share_ppm` is the plain fraction.
+    *
+    * The phase is pure integer arithmetic on the µs timestamp
+    * (`(ts div slot) mod buckets` with slot = periodUs/buckets), so
+    * the table reproduces anywhere; timestamps are epoch-UTC by the
+    * repo contract (a local-time profile shifts phase by the zone
+    * offset — callers add it to ts first if they want wall-clock
+    * phases).
+    *
+    * Scale shape: one map-side-combined agg to groups×buckets cells;
+    * group totals re-aggregate the CELL table (never a second corpus
+    * scan) and attach by a group-keyed join of the bucket-sized
+    * frame. */
+  def seasonalProfile(df: DataFrame, groupCols: Seq[String],
+      tsUsCol: Column, periodUs: Long, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    require(periodUs > 0 && periodUs % buckets == 0,
+      s"periodUs $periodUs must be a positive multiple of $buckets")
+    val slot = periodUs / buckets
+    val cells = df
+      .select(groupCols.map(col) :+ tsUsCol.cast("long").as("__ts"): _*)
+      .filter(col("__ts").isNotNull)
+      .withColumn("bucket",
+        expr(s"pmod(__ts div ${slot}L, ${buckets}L)"))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("__tot"))
+    val joined =
+      if (groupCols.nonEmpty) cells.join(broadcast(totals), groupCols)
+      else cells.crossJoin(broadcast(totals))
+    joined
+      .withColumn("share_ppm", expr("(n * 1000000) div __tot"))
+      .withColumn("index_ppm",
+        expr(s"(n * ${buckets}L * 1000000) div __tot"))
+      .drop("__tot")
+  }
 }
