@@ -153,4 +153,74 @@ class NewOpsPlanSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"),
       s"the 1-row k aggregate should broadcast into the grid:\n$p")
   }
+
+  // ---- round-13 operators ----
+
+  test("uniquenessProfile is two aggs over one scan — no join") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val p = plan(Stats.uniquenessProfile(df, Seq("id", "s")))
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
+  test("powerMoments is one map-side-combined agg, no window") {
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
+    val p = plan(Stats.powerMoments(df, Seq("g"), "v"))
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("zipfOctaves totals attach by broadcast over the octave table") {
+    val p = plan(TextAnalysis.zipfOctaves(
+      Seq("a b c").toDF("text"), "text"))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"octave totals should broadcast:\n$p")
+  }
+
+  test("linearAttribution windows partition by conversion id") {
+    val ev = Seq((1L, "view", 10L, 1L, 1.0),
+      (1L, "buy", 20L, 2L, 3.0)).toDF("u", "t", "ts", "id", "v")
+    val p = plan(Funnel.linearAttribution(ev, "u", "t", col("ts"),
+      "id", expr("CAST(round(v*100) AS BIGINT)"), "buy",
+      Seq("view"), 100L))
+    assert(p.contains("windowspecdefinition(conv_id"),
+      s"remainder ranking must partition by conv_id:\n$p")
+  }
+
+  test("tagKeywordsFast's only join is the broadcast tag attach") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val dict = Seq(("t", "a")).toDF("tag", "kw")
+    val p = plan(TextAnalysis.tagKeywordsFast(docs, "doc_id", "text",
+      dict, "tag", "kw"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the corpus must never cross-join the dict:\n$p")
+  }
+
+  test("seasonalProfile totals broadcast back over the cell table") {
+    val df = Seq(("g", 5L)).toDF("g", "ts")
+    val p = plan(Resample.seasonalProfile(df, Seq("g"), col("ts"),
+      40L, 4))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cupedAdjust pools by broadcast, one pass per frame") {
+    val u = Seq(("A", 1L, 2L)).toDF("arm", "x", "y")
+    val p = plan(Stats.cupedAdjust(u, "arm", "x", "y"))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"pooled moments should broadcast into arms:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("bootstrapMeans cells aggregate before any exchange") {
+    val df = Seq(("g", 1L, 1.0)).toDF("g", "id", "v")
+    val p = plan(Stats.bootstrapMeans(df, Seq("g"), "v", "id", b = 4,
+      loRank = 1, hiRank = 4))
+    // the replicate window runs over the groups×b cell table, whose
+    // partition spec leads with the group column
+    assert(p.contains("windowspecdefinition(g"), p)
+  }
 }
