@@ -3909,6 +3909,61 @@ object SparkEntry {
           t(s, dir, "events"), Seq("event_type"),
           expr("ts DIV 1000"), periodUs = 86400000000L, buckets = 24)
         .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ---- Mixed-script homoglyph token audit ----
+    // Injected Cyrillic/Greek confusables ("pаypаl") on
+    // every 10th doc; zero-shuffle per-row script-flag filters (the
+    // TR#39 spoof screen). Only flagged docs are reported.
+    "q241_mixed_script" -> ((s, dir) => {
+      val dirt = " pаypаl pаypаl αβc"
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(pmod(col("doc_id"), lit(10)) === 0, lit(dirt))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.mixedScriptTokens(docs, "doc_id", "text")
+        .filter(col("n_mixed_any") > 0L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Lag-1 autocorrelation moments of daily traffic ----
+    // Per event type: regression moments of (count_t, count_{t-1})
+    // over the daily rollup — the burstiness/seasonality screen;
+    // moments, not floats, cross the oracle (q165 doctrine).
+    "q242_autocorr" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(ts DIV 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val lagged = daily.select(col("event_type"),
+        (col("day") + 1).as("day"), col("cnt").as("prev"))
+      Stats.groupedMoments(daily.join(lagged, Seq("event_type", "day")),
+          Seq("event_type"), "cnt", "prev")
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- Exact precision-recall curve per language ----
+    // Label: long doc (n_chars >= 600); score: 'e'-count decile —
+    // every threshold's exact TP/FP and ppm precision/recall from
+    // the per-group score histogram.
+    "q243_pr_curve" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("lang"),
+        expr("(length(coalesce(text, '')) -" +
+          " length(replace(coalesce(text, ''), 'e', ''))) div 10")
+          .as("score"),
+        (col("n_chars") >= 600L).cast("long").as("label"))
+      Stats.prCurve(scored, Seq("lang"), "score", "label")
+        .orderBy(col("lang"), col("score"))
+    }),
+
+    // ---- Cohen's kappa annotator agreement ----
+    // Stored lang vs a deterministically-noised annotator (every
+    // 7th doc mislabeled 'xx') — po/pe/kappa in exact ppm.
+    "q244_kappa" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents").select(col("lang").as("a"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("xx"))
+          .otherwise(col("lang")).as("b"))
+      Stats.cohenKappa(pairs, "a", "b")
     })
   )
 
@@ -9829,6 +9884,121 @@ object SparkEntry {
         |  CAST((n * 1000000) // tot AS BIGINT) AS share_ppm,
         |  CAST((n * 24 * 1000000) // tot AS BIGINT) AS index_ppm
         |FROM c JOIN t2 ON t2.event_type = c.event_type
-        |ORDER BY c.event_type, bucket""".stripMargin
+        |ORDER BY c.event_type, bucket""".stripMargin,
+
+    // RE2 \p{Latin} == Java \p{IsLatin} (q106 parity); same dirt.
+    "q241_mixed_script" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(coalesce(text, '') ||
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN ' pаypаl pаypаl αβc' ELSE '' END) AS lt
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lt, '[\p{L}\p{N}]+') AS toks
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(list_filter(toks, t -> regexp_matches(t, '\p{Latin}')
+        |    AND regexp_matches(t, '\p{Cyrillic}')))::BIGINT
+        |    AS n_lat_cyr,
+        |  len(list_filter(toks, t ->
+        |    (CASE WHEN regexp_matches(t, '\p{Latin}') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(t, '\p{Cyrillic}') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(t, '\p{Greek}') THEN 1 ELSE 0 END)
+        |    >= 2))::BIGINT AS n_mixed_any
+        |FROM tk
+        |WHERE len(list_filter(toks, t ->
+        |    (CASE WHEN regexp_matches(t, '\p{Latin}') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(t, '\p{Cyrillic}') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN regexp_matches(t, '\p{Greek}') THEN 1 ELSE 0 END)
+        |    >= 2)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // Daily rollup self-joined at lag 1; q182's moment shape.
+    "q242_autocorr" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), j AS (
+        |  SELECT a.event_type, a.cnt AS x, b.cnt AS y
+        |  FROM d a JOIN d b ON b.event_type = a.event_type
+        |    AND b.day = a.day - 1
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x,
+        |  CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x::HUGEINT * y) AS BIGINT) AS sum_xy,
+        |  CAST(sum(x::HUGEINT * x) AS BIGINT) AS sum_x2,
+        |  CAST(sum(y::HUGEINT * y) AS BIGINT) AS sum_y2
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Descending-threshold cumulative over the score histogram.
+    "q243_pr_curve" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    (length(coalesce(text, ''))
+        |     - length(replace(coalesce(text, ''), 'e', ''))) // 10
+        |      AS score,
+        |    CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL
+        |), h AS (
+        |  SELECT lang, score,
+        |    CAST(sum(y) AS BIGINT) AS np,
+        |    CAST(sum(1 - y) AS BIGINT) AS nn
+        |  FROM s GROUP BY 1, 2
+        |), c AS (
+        |  SELECT lang, score,
+        |    sum(np) OVER (PARTITION BY lang ORDER BY score DESC
+        |      ROWS UNBOUNDED PRECEDING) AS tp,
+        |    sum(nn) OVER (PARTITION BY lang ORDER BY score DESC
+        |      ROWS UNBOUNDED PRECEDING) AS fp,
+        |    sum(np) OVER (PARTITION BY lang) AS P
+        |  FROM h
+        |)
+        |SELECT lang, score, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp,
+        |  CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_ppm,
+        |  CAST(CASE WHEN P = 0 THEN NULL
+        |    ELSE (tp * 1000000) // P END AS BIGINT) AS recall_ppm
+        |FROM c ORDER BY lang, score""".stripMargin,
+
+    // Marginals re-aggregated from the cell table; kappa floors via
+    // the shifted-mod form (negative numerator when below chance).
+    "q244_kappa" ->
+      """WITH pairs AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS b
+        |  FROM documents
+        |  WHERE lang IS NOT NULL
+        |), cells AS (
+        |  SELECT a, b, count(*)::BIGINT AS c FROM pairs GROUP BY 1, 2
+        |), ra AS (
+        |  SELECT a, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY a
+        |), cb AS (
+        |  SELECT b, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY b
+        |), base AS (
+        |  SELECT (SELECT sum(c) FROM cells)::BIGINT AS n,
+        |    (SELECT coalesce(sum(c), 0) FROM cells WHERE a = b)::BIGINT
+        |      AS n_agree,
+        |    (SELECT coalesce(sum(ra.c::HUGEINT * cb.c), 0)
+        |     FROM ra JOIN cb ON cb.b = ra.a) AS pesum
+        |), pp AS (
+        |  SELECT n, n_agree,
+        |    CAST((n_agree * 1000000) // n AS BIGINT) AS po_ppm,
+        |    CAST((pesum * 1000000) // (n::HUGEINT * n) AS BIGINT)
+        |      AS pe_ppm
+        |  FROM base
+        |)
+        |SELECT n, n_agree, po_ppm, pe_ppm,
+        |  CAST(CASE WHEN pe_ppm = 1000000 THEN NULL ELSE
+        |    ((po_ppm - pe_ppm) * 1000000
+        |     - ((((po_ppm - pe_ppm) * 1000000) % (1000000 - pe_ppm)
+        |         + (1000000 - pe_ppm)) % (1000000 - pe_ppm)))
+        |    // (1000000 - pe_ppm) END AS BIGINT) AS kappa_ppm
+        |FROM pp""".stripMargin
   )
 }

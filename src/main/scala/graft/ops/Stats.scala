@@ -269,6 +269,96 @@ object Stats {
         expr("((__lt + n) * 1000000L) div __tot").as("cdf_ppm"))
   }
 
+  /** Exact precision–recall curve per group from the score
+    * histogram — the threshold-picking table next to [[aucTable]]'s
+    * single-number ROC summary (PR is the one that matters under
+    * class imbalance, the usual regime for quality filters and
+    * contamination flags): for every distinct score s, classify
+    * `score >= s` positive and report exact TP/FP plus
+    * precision/recall in ppm.
+    *
+    * Grouped-only by the [[aucTable]] contract: the cumulative runs
+    * as a window over the per-group SCORE HISTOGRAM (score-
+    * cardinality-sized, partitioned by group) — an ungrouped
+    * corpus-wide curve should bucket scores first (e.g. through
+    * [[hdrSketch]] or [[quantileBins]]). Labels are 0/1; null
+    * labels/scores are excluded. Groups with no positives emit null
+    * recall (0-denominator), not a crash.
+    *
+    * Output: (groupCols*, score, tp, fp, precision_ppm, recall_ppm)
+    * — one row per distinct score, descending thresholds. */
+  def prCurve(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    require(groupCols.nonEmpty,
+      "prCurve is grouped-only (bucket scores for a global curve)")
+    val g = groupCols.map(col)
+    val hist = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(g :+ col(scoreCol).cast("long").as("score") :+
+        col(labelCol).cast("long").as("__y"): _*)
+      .groupBy(g :+ col("score"): _*)
+      .agg(sum(when(col("__y") === 1L, 1L).otherwise(0L)).as("__np"),
+        sum(when(col("__y") === 1L, 0L).otherwise(1L)).as("__nn"))
+    val wDesc = Window.partitionBy(g: _*).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    hist
+      .withColumn("tp", sum(col("__np")).over(wDesc))
+      .withColumn("fp", sum(col("__nn")).over(wDesc))
+      .withColumn("__P", sum(col("__np")).over(wAll))
+      .select(g ++ Seq(col("score"), col("tp"), col("fp"),
+        expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
+        expr("CASE WHEN __P = 0 THEN NULL" +
+          " ELSE (tp * 1000000) div __P END").as("recall_ppm")): _*)
+  }
+
+  /** Cohen's kappa inter-annotator agreement in exact ppm — the
+    * human-eval QA gate (q221 builds the annotation batches; this
+    * scores the annotators): observed agreement po, chance-expected
+    * agreement pe from the marginals, and
+    * `kappa_ppm = (po_ppm − pe_ppm)·1e6 div (1e6 − pe_ppm)`.
+    * Three named flooring points (po, pe, kappa) — stacked floors
+    * are the price of a bit-exact cross-engine number, and at ppm
+    * resolution the bias is ≤ 2e-6, far below any agreement
+    * decision threshold. Perfect chance agreement (pe = 1e6) emits
+    * null kappa (undefined), not a division error.
+    *
+    * Scale shape: one pass to the k×k label-pair cell table,
+    * marginals re-aggregated from the CELLS (never a second corpus
+    * scan), one output row. Pairs with a null on either side are
+    * excluded (no verdict). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__c")).as("__ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    val n = cells.agg(sum(col("__c")).as("__n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))),
+        lit(0L)).as("__agree"))
+    val pe = ra.join(cb, col("__a") === col("__b"))
+      .select((col("__ra") * col("__cb")).as("__rc"))
+      .agg(coalesce(sum(col("__rc")), lit(0L)).as("__pesum"))
+    n.crossJoin(pe)
+      .withColumn("po_ppm", expr("(__agree * 1000000) div __n"))
+      .withColumn("pe_ppm",
+        expr("CAST((CAST(__pesum AS DECIMAL(38,0)) * 1000000)" +
+          " div (CAST(__n AS DECIMAL(38,0)) * __n) AS BIGINT)"))
+      // negative numerator when agreement is below chance — FLOOR
+      // explicitly (pmod trick) so both engines read the same value
+      .withColumn("__kn", expr("(po_ppm - pe_ppm) * 1000000"))
+      .withColumn("kappa_ppm",
+        expr("CASE WHEN pe_ppm = 1000000 THEN NULL ELSE" +
+          " (__kn - pmod(__kn, 1000000 - pe_ppm))" +
+          " div (1000000 - pe_ppm) END"))
+      .drop("__kn")
+      .select(col("__n").as("n"), col("__agree").as("n_agree"),
+        col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
+  }
+
   /** Exact AUC (Mann–Whitney U) per group from the score histogram —
     * no float ranks, no sampling: with pos(s)/neg(s) counts per
     * distinct score, `U·2 = Σ_s pos(s)·(2·neg_below(s) + neg(s))`

@@ -284,6 +284,38 @@ object TextAnalysis {
   def docFrequency(tc: DataFrame): DataFrame =
     tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+  /** Mixed-script (homoglyph) token audit — the spoofing screen a
+    * crawl pipeline runs before trusting URLs, brand mentions or
+    * dedup keys: a single token mixing Latin with Cyrillic/Greek
+    * letters ("pаypаl" with U+0430) is the confusable-attack
+    * signature (Unicode TR#39 skeleton class), and it also breaks
+    * exact dedup by splitting visually-identical strings. Per doc:
+    * token count, Latin∩Cyrillic mixed tokens (the classic spoof
+    * pair), and tokens mixing any two of Latin/Cyrillic/Greek.
+    *
+    * Scale shape: ZERO shuffles — the token array is filtered
+    * per-row with script-class regex flags (Java `\p{IsXxx}` == RE2
+    * `\p{Xxx}`, the q106 parity), one scan, output one row per doc.
+    * Counts are of token OCCURRENCES (a repeated spoof counts each
+    * time — it is a per-document risk mass, not a vocabulary). */
+  def mixedScriptTokens(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lat = "\\\\p{IsLatin}"
+    val cyr = "\\\\p{IsCyrillic}"
+    val grk = "\\\\p{IsGreek}"
+    df.select(col(idCol),
+        unicodeTokens(coalesce(col(textCol), lit(""))).as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        expr(s"CAST(size(filter(__toks, t -> t RLIKE '$lat'" +
+          s" AND t RLIKE '$cyr')) AS BIGINT)").as("n_lat_cyr"),
+        expr("CAST(size(filter(__toks, t ->" +
+          s" (CASE WHEN t RLIKE '$lat' THEN 1 ELSE 0 END)" +
+          s" + (CASE WHEN t RLIKE '$cyr' THEN 1 ELSE 0 END)" +
+          s" + (CASE WHEN t RLIKE '$grk' THEN 1 ELSE 0 END) >= 2))" +
+          " AS BIGINT)").as("n_mixed_any"))
+  }
+
   /** Zipf rank-frequency profile by frequency OCTAVE — the corpus
     * health curve read before trusting token statistics: how many
     * word types and how much token mass sit at each power-of-two
