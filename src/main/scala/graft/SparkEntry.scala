@@ -3964,6 +3964,60 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(7)) === 0, lit("xx"))
           .otherwise(col("lang")).as("b"))
       Stats.cohenKappa(pairs, "a", "b")
+    }),
+
+    // ---- Streaming JSONL landing with quarantine ----
+    // q235's corruption rule flows through a REAL file stream
+    // (3 files, maxFilesPerTrigger=1 → 3 micro-batches) into
+    // ingest-keyed good/quarantine stores; the read-back report
+    // matches the same batch oracle.
+    "q245_stream_jsonl" -> ((s0, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType,
+        StructField, StructType}
+      val s = scopedSession(s0, 4)
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q245"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("__j",
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+        .select(
+          when(pmod(col("doc_id"), lit(7)) === 3,
+            expr("substring(__j, 1, length(__j) div 2)"))
+            .otherwise(col("__j")).as("value"))
+        .repartition(3)
+        .write.mode("overwrite").text(s"$base/in")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      val lines = s.readStream
+        .option("maxFilesPerTrigger", 1).text(s"$base/in")
+      val q = graft.streaming.GraftStream.jsonlQuarantineIngest(lines,
+          schema, s"$base/good", s"$base/quarantine",
+          streamId = "q245")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val ok = s.read.parquet(s"$base/good")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit("ok").as("status"), col("lang"), col("n"),
+          col("sum_chars"))
+      val bad = s.read.parquet(s"$base/quarantine")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("corrupt").as("status"),
+          lit(null).cast("string").as("lang"), col("n"),
+          lit(null).cast("long").as("sum_chars"))
+      bad.unionByName(ok)
+        .orderBy(col("status"), col("lang").asc_nulls_last)
     })
   )
 
@@ -9999,6 +10053,19 @@ object SparkEntry {
         |     - ((((po_ppm - pe_ppm) * 1000000) % (1000000 - pe_ppm)
         |         + (1000000 - pe_ppm)) % (1000000 - pe_ppm)))
         |    // (1000000 - pe_ppm) END AS BIGINT) AS kappa_ppm
-        |FROM pp""".stripMargin
+        |FROM pp""".stripMargin,
+
+    // The streamed stores must reproduce the q235 batch rule.
+    "q245_stream_jsonl" ->
+      """SELECT
+        |  CASE WHEN doc_id % 7 = 3 THEN 'corrupt' ELSE 'ok' END
+        |    AS status,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE lang END AS lang,
+        |  count(*)::BIGINT AS n,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n_chars END)
+        |    AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY status, lang NULLS LAST""".stripMargin
   )
 }

@@ -369,6 +369,79 @@ object GraftStream {
     } finally slim.unpersist()
   }
 
+  /** Streaming JSONL landing ingest with corrupt-record quarantine —
+    * [[graft.sources.JsonlIngest]] as a continuous pipeline: raw
+    * JSONL files arrive (the crawler landing zone), every micro-batch
+    * parses under the ENFORCED schema, admitted rows land in
+    * `goodUrl` and the raw offending lines in `quarantineUrl` —
+    * never dropped, never aborting the stream, inspectable for
+    * replay. Both stores are partitioned by `ingest_key` under the
+    * [[nearDupIngest]] idempotency contract: a replayed batch
+    * REPLACES its own partitions on both sides (a changed or empty
+    * replay drops its stale partitions), so restarts never double-
+    * or half-land a batch.
+    *
+    * Parsing uses `from_json` in PERMISSIVE mode with the corrupt
+    * column — per-batch, stateless, the exact batch-reader
+    * semantics; there is no streaming-agg state to size. */
+  def jsonlQuarantineIngest(lines: DataFrame, schema: org.apache.spark.sql.types.StructType,
+      goodUrl: String, quarantineUrl: String,
+      streamId: String): DataStreamWriter[Row] =
+    lines.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      jsonlQuarantineBatch(batch, batchId, schema, goodUrl,
+        quarantineUrl, streamId)
+    }
+
+  /** One [[jsonlQuarantineIngest]] micro-batch — exposed so replay
+    * semantics are directly testable. Idempotent per
+    * (streamId, batchId). */
+  def jsonlQuarantineBatch(batch: DataFrame, batchId: Long,
+      schema: org.apache.spark.sql.types.StructType, goodUrl: String,
+      quarantineUrl: String, streamId: String): Unit = {
+    import graft.sources.JsonlIngest
+    require(streamId.matches("[A-Za-z0-9_.-]+"),
+      s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+)")
+    require(!schema.fieldNames.contains(JsonlIngest.CorruptCol),
+      s"schema already contains ${JsonlIngest.CorruptCol}")
+    val s = batch.sparkSession
+    val ingestKey = s"${streamId}_b$batchId"
+    def dropOwnPartition(url: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(url, s"ingest_key=$ingestKey")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    def landOrDrop(df: DataFrame, url: String): Unit =
+      if (df.isEmpty) dropOwnPartition(url)
+      else df.withColumn("ingest_key", lit(ingestKey))
+        .write.partitionBy("ingest_key")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(url)
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        JsonlIngest.CorruptCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    // one parse, two routes — pin the parsed frame across them
+    val parsed = batch
+      .select(from_json(col("value"), withCorrupt, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> JsonlIngest.CorruptCol))
+        .as("__j"), col("value"))
+      .persist()
+    try {
+      // a null struct (e.g. an empty line) is quarantine, not an
+      // all-null admitted row
+      val bad = col("__j").isNull ||
+        col(s"__j.${JsonlIngest.CorruptCol}").isNotNull
+      landOrDrop(
+        parsed.filter(!bad)
+          .select(schema.fieldNames.map(f => col(s"__j.$f")): _*),
+        goodUrl)
+      landOrDrop(
+        parsed.filter(bad).select(col("value").as("raw_line")),
+        quarantineUrl)
+    } finally parsed.unpersist()
+  }
+
   /** Compact an ingest-keyed store ([[nearDupIngest]] /
     * [[lmGateIngest]] output) IN PLACE, partition by partition — the
     * maintenance pass those sinks document ("compact them offline"):
