@@ -4018,6 +4018,36 @@ object SparkEntry {
           lit(null).cast("long").as("sum_chars"))
       bad.unionByName(ok)
         .orderBy(col("status"), col("lang").asc_nulls_last)
+    }),
+
+    // ---- Two-sample bootstrap: treat - control band ----
+    // Per-user purchase cents by user-parity arms; the replicate
+    // machinery shared with q236 (one md5 per unit, stepped draws).
+    "q246_bootstrap_diff" -> ((s, dir) => {
+      val units = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value*100) AS BIGINT)")).otherwise(0L)),
+          lit(0L)).as("y"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "control")
+            .otherwise("treat"))
+      Stats.bootstrapDiff(units, "arm", "y", "user_id",
+        "control", "treat")
+    }),
+
+    // ---- Declarative DQ suite in one scan ----
+    // Six contract rules over orders evaluated as columns of ONE
+    // agg and unpivoted — never a per-rule pass.
+    "q247_dq_suite" -> ((s, dir) => {
+      Stats.dqSuite(t(s, dir, "orders"), Seq(
+          ("cust_null", col("o_custkey").isNull),
+          ("date_null", col("o_orderdate").isNull),
+          ("key_nonpos", col("o_orderkey") <= 0L),
+          ("price_nonpos", col("o_totalprice") <= 0.0),
+          ("priority_empty", length(col("o_orderpriority")) === 0),
+          ("status_unknown", !col("o_orderstatus").isin("O", "F", "P"))))
+        .orderBy(col("rule"))
     })
   )
 
@@ -9782,17 +9812,21 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY status, lang NULLS LAST""".stripMargin,
 
-    // Full replay: Poisson(1) CDF-threshold weights from the same
-    // md5 draws, floor-div replicate means, rank-2/39 band.
+    // Full replay: ONE md5 per row, replicate draws stepped by the
+    // double-hash mix (h1 + b·(h2 mod 2^54)) mod 2^60 mod 1e6,
+    // Poisson CDF-threshold weights, floor-div means, rank-2/39 band.
     "q236_bootstrap_ci" ->
       """WITH e AS (
         |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
-        |    CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS e
+        |    CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS e,
+        |    ('0x' || substr(md5('bs:' || event_id), 1, 15))::BIGINT
+        |      AS h1,
+        |    ('0x' || substr(md5('bs:' || event_id), 17, 15))::BIGINT
+        |      % 18014398509481984 AS h2
         |  FROM events WHERE value IS NOT NULL
         |), x AS (
         |  SELECT g, id, e, b,
-        |    ('0x' || substr(md5('bs:' || b || ':' || id), 1, 15))::BIGINT
-        |      % 1000000 AS u
+        |    ((h1 + b * h2) % 1152921504606846976) % 1000000 AS u
         |  FROM e CROSS JOIN range(40) t(b)
         |), w AS (
         |  SELECT g, b, e,
@@ -10066,6 +10100,110 @@ object SparkEntry {
         |    AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id IS NOT NULL
         |GROUP BY 1, 2
-        |ORDER BY status, lang NULLS LAST""".stripMargin
+        |ORDER BY status, lang NULLS LAST""".stripMargin,
+
+    // Same replicate machinery as q236 under seed 'bd'; per-b arm
+    // means pivot to a diff, rank-2/39 band on the diffs.
+    "q246_bootstrap_diff" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value*100) AS BIGINT) ELSE 0 END), 0)
+        |      AS BIGINT) AS y,
+        |    CASE WHEN user_id % 2 = 0 THEN 'control'
+        |         ELSE 'treat' END AS arm
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY user_id
+        |), e AS (
+        |  SELECT arm, CAST(user_id AS VARCHAR) AS id, y * 1000000 AS e,
+        |    ('0x' || substr(md5('bd:' || user_id), 1, 15))::BIGINT
+        |      AS h1,
+        |    ('0x' || substr(md5('bd:' || user_id), 17, 15))::BIGINT
+        |      % 18014398509481984 AS h2
+        |  FROM u
+        |), x AS (
+        |  SELECT arm, e, b,
+        |    ((h1 + b * h2) % 1152921504606846976) % 1000000 AS uu
+        |  FROM e CROSS JOIN range(40) t(b)
+        |), w AS (
+        |  SELECT arm, b, e,
+        |    CASE WHEN uu < 367879 THEN 0 WHEN uu < 735758 THEN 1
+        |         WHEN uu < 919698 THEN 2 WHEN uu < 981011 THEN 3
+        |         WHEN uu < 996340 THEN 4 WHEN uu < 999405 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM x
+        |), c AS (
+        |  SELECT arm, b, CAST(sum(w) AS BIGINT) AS sw,
+        |    CAST(sum(w::HUGEINT * e) AS HUGEINT) AS swe
+        |  FROM w GROUP BY 1, 2
+        |), m AS (
+        |  SELECT arm, b,
+        |    CAST((swe - ((swe % sw + sw) % sw)) // sw AS BIGINT)
+        |      AS mean
+        |  FROM c WHERE sw > 0
+        |), d AS (
+        |  SELECT t.b, t.mean - ct.mean AS dd
+        |  FROM (SELECT b, mean FROM m WHERE arm = 'treat') t
+        |  JOIN (SELECT b, mean FROM m WHERE arm = 'control') ct
+        |    ON ct.b = t.b
+        |), r AS (
+        |  SELECT b, dd, row_number() OVER (ORDER BY dd, b) AS rk
+        |  FROM d
+        |), band AS (
+        |  SELECT count(*)::BIGINT AS n_boots,
+        |    max(CASE WHEN rk = 2 THEN dd END) AS diff_lo_e6,
+        |    max(CASE WHEN rk = 39 THEN dd END) AS diff_hi_e6
+        |  FROM r
+        |), pt AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_control,
+        |    CAST(sum(CASE WHEN arm = 'treat' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_treat,
+        |    CAST(sum(CASE WHEN arm = 'treat' THEN y::HUGEINT END)
+        |      * 1000000
+        |      // sum(CASE WHEN arm = 'treat' THEN 1 ELSE 0 END)
+        |      - sum(CASE WHEN arm = 'control' THEN y::HUGEINT END)
+        |      * 1000000
+        |      // sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS diff_e6
+        |  FROM u
+        |)
+        |SELECT n_control, n_treat, diff_e6, n_boots,
+        |  CAST(diff_lo_e6 AS BIGINT) AS diff_lo_e6,
+        |  CAST(diff_hi_e6 AS BIGINT) AS diff_hi_e6
+        |FROM pt CROSS JOIN band""".stripMargin,
+
+    "q247_dq_suite" ->
+      """SELECT 'cust_null' AS rule,
+        |  CAST(coalesce(sum(CASE WHEN o_custkey IS NULL
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
+        |  count(*)::BIGINT AS checked FROM orders
+        |UNION ALL
+        |SELECT 'date_null',
+        |  CAST(coalesce(sum(CASE WHEN o_orderdate IS NULL
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT), count(*)::BIGINT
+        |FROM orders
+        |UNION ALL
+        |SELECT 'key_nonpos',
+        |  CAST(coalesce(sum(CASE WHEN o_orderkey <= 0
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT), count(*)::BIGINT
+        |FROM orders
+        |UNION ALL
+        |SELECT 'price_nonpos',
+        |  CAST(coalesce(sum(CASE WHEN o_totalprice <= 0
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT), count(*)::BIGINT
+        |FROM orders
+        |UNION ALL
+        |SELECT 'priority_empty',
+        |  CAST(coalesce(sum(CASE WHEN length(o_orderpriority) = 0
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT), count(*)::BIGINT
+        |FROM orders
+        |UNION ALL
+        |SELECT 'status_unknown',
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT), count(*)::BIGINT
+        |FROM orders
+        |ORDER BY rule""".stripMargin
   )
 }

@@ -966,15 +966,49 @@ object Stats {
   private val PoissonCdfE6 =
     Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L)
 
+  /** Shared replicate-cell builder for the bootstrap family: ONE md5
+    * per row yields two 60-bit uniforms, and replicate `b`'s draw is
+    * the double-hash mix `(h1 + b·(h2 mod 2^54)) mod 2^60 mod 1e6`
+    * (the TicketRaceMin arithmetic-progression move — h2 is reduced
+    * to 54 bits so `b·h2` stays inside a signed long at any sane
+    * replicate count; the dispersion trade is the one documented at
+    * the HashRace kernel, and a weight draw needs far less than even
+    * 54 bits). This replaces b md5 digests per row with one — at
+    * b = 40 the digest work that dominated the scan drops 40×.
+    * Poisson weights come from the fixed CDF thresholds; cells are
+    * map-side combined to groups×b rows. */
+  private def bootCells(base: DataFrame,
+      g: Seq[Column], b: Int, seed: String): DataFrame = {
+    val thresholds = PoissonCdfE6.zipWithIndex
+      .map { case (t, w) => s"WHEN __u < ${t}L THEN ${w}L" }
+      .mkString("CASE ", " ", " ELSE 6L END")
+    val digest = md5(concat_ws(":", lit(seed), col("__id")))
+    base
+      .withColumn("__h1",
+        conv(substring(digest, 1, 15), 16, 10).cast("long"))
+      .withColumn("__h2",
+        pmod(conv(substring(digest, 17, 15), 16, 10).cast("long"),
+          lit(18014398509481984L))) // 2^54
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u",
+        pmod(pmod(col("__h1") + col("__b") * col("__h2"),
+          lit(1152921504606846976L)), lit(1000000L))) // 2^60, 1e6
+      .withColumn("__w", expr(thresholds))
+      .groupBy(g :+ col("__b"): _*)
+      .agg(sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__e")).as("__swe"))
+  }
+
   /** Deterministic bootstrap confidence band for per-group means —
     * "is this week's quality-score shift real?" answered with error
     * bars that reproduce across engines, retries and partitionings:
     * `b` resample replicates, each row weighted by the Poisson(1)
-    * surrogate drawn from md5(seed:replicate:id), per-replicate
-    * integer-micros means ranked, and the band read at `loRank`/
-    * `hiRank` of the ranked replicate means (defaults ≈ 5th/95th
-    * percentile at b = 40). The point estimate (floor-div mean of
-    * the real data) rides along.
+    * surrogate drawn from ONE md5(seed:id) stepped per replicate by
+    * the [[bootCells]] double-hash mix, per-replicate integer-micros
+    * means ranked, and the band read at `loRank`/`hiRank` of the
+    * ranked replicate means (defaults ≈ 5th/95th percentile at
+    * b = 40). The point estimate (floor-div mean of the real data)
+    * rides along.
     *
     * All arithmetic is integer: e = floor(value·1e6), replicate mean
     * = FLOOR(Σw·e / Σw) via the pmod floor-division trick (the q212
@@ -1002,18 +1036,7 @@ object Stats {
       .select(g :+ col(idCol).cast("string").as("__id") :+
         expr(s"CAST(floor(CAST($valueCol AS DOUBLE) * 1000000) AS BIGINT)")
           .as("__e"): _*)
-    val thresholds = PoissonCdfE6.zipWithIndex
-      .map { case (t, w) => s"WHEN __u < ${t}L THEN ${w}L" }
-      .mkString("CASE ", " ", " ELSE 6L END")
-    val cells = base
-      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("__u", pmod(Sketch.hash60(
-        concat_ws(":", lit(seed), col("__b"), col("__id"))),
-        lit(1000000L)))
-      .withColumn("__w", expr(thresholds))
-      .groupBy(g :+ col("__b"): _*)
-      .agg(sum(col("__w")).as("__sw"),
-        sum(col("__w") * col("__e")).as("__swe"))
+    val cells = bootCells(base, g, b, seed)
     val means = cells.filter(col("__sw") > 0L)
       .withColumn("__mean",
         expr("(__swe - pmod(__swe, __sw)) div __sw")) // floor div
@@ -1034,6 +1057,88 @@ object Stats {
     point.join(band, groupCols)
       .select(g ++ Seq(col("n"), col("mean_e6"), col("n_boots"),
         col("boot_lo_e6"), col("boot_hi_e6")): _*)
+  }
+
+  /** Two-sample bootstrap: confidence band for the DIFFERENCE of
+    * means between two arms — the experiment readout itself ("is
+    * treat − control real?"), built on [[bootstrapMeans]]'
+    * replicate machinery: per replicate both arms' floor-div means
+    * difference, the b diffs ranked, the band read at loRank/hiRank.
+    * Weights per (replicate, unit) are identical to
+    * [[bootstrapMeans]] under the same seed family — the two arms'
+    * draws are independent because the unit ids differ.
+    *
+    * Rows outside the two named arms are ignored (multi-arm tables
+    * pass through unchanged). Replicates where either arm drew
+    * all-zero weights are dropped (n_boots counts survivors).
+    *
+    * Output (one row): (n_control, n_treat, diff_e6, n_boots,
+    * diff_lo_e6, diff_hi_e6), diff = treat − control. */
+  def bootstrapDiff(df: DataFrame, armCol: String, valueCol: String,
+      idCol: String, control: String, treat: String, b: Int = 40,
+      loRank: Int = 2, hiRank: Int = 39,
+      seed: String = "bd"): DataFrame = {
+    require(control != treat, "control and treat must differ")
+    require(b >= 2 && loRank >= 1 && hiRank <= b && loRank <= hiRank,
+      s"bad ranks: b=$b lo=$loRank hi=$hiRank")
+    val base = df
+      .filter(col(valueCol).isNotNull &&
+        col(armCol).isin(control, treat))
+      .select(col(armCol).cast("string").as("__arm"),
+        col(idCol).cast("string").as("__id"),
+        expr(s"CAST(floor(CAST($valueCol AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("__e"))
+    val cells = bootCells(base, Seq(col("__arm")), b, seed)
+      .filter(col("__sw") > 0L)
+      .withColumn("__mean",
+        expr("(__swe - pmod(__swe, __sw)) div __sw"))
+    val diffs = cells.filter(col("__arm") === control)
+      .select(col("__b"), col("__mean").as("__mc"))
+      .join(cells.filter(col("__arm") === treat)
+        .select(col("__b"), col("__mean").as("__mt")), Seq("__b"))
+      .withColumn("__d", col("__mt") - col("__mc"))
+    val w = Window.orderBy(col("__d"), col("__b")) // b rows total
+    val band = diffs.withColumn("__rk", row_number().over(w))
+      .agg(count(lit(1)).as("n_boots"),
+        max(when(col("__rk") === loRank, col("__d"))).as("diff_lo_e6"),
+        max(when(col("__rk") === hiRank, col("__d"))).as("diff_hi_e6"))
+    val point = base.groupBy(col("__arm"))
+      .agg(count(lit(1)).as("__n"), sum(col("__e")).as("__se"))
+      .withColumn("__mean", expr("(__se - pmod(__se, __n)) div __n"))
+    val pc = point.filter(col("__arm") === control)
+      .select(col("__n").as("n_control"), col("__mean").as("__mc"))
+    val pt = point.filter(col("__arm") === treat)
+      .select(col("__n").as("n_treat"), col("__mean").as("__mt"))
+    pc.crossJoin(pt).crossJoin(band)
+      .select(col("n_control"), col("n_treat"),
+        (col("__mt") - col("__mc")).as("diff_e6"), col("n_boots"),
+        col("diff_lo_e6"), col("diff_hi_e6"))
+  }
+
+  /** Declarative data-quality suite in ONE corpus scan — [[dqRule]]
+    * runs one aggregation pass per rule; at a 100 TB table the scan
+    * IS the cost, so the suite form evaluates every rule predicate
+    * as a conditional-sum COLUMN of a single map-side-combined agg
+    * and unpivots the 1-row result to the per-rule report (the
+    * corrMoments stack move — a projection, not a shuffle, and
+    * provably no Union of per-rule subplans).
+    *
+    * Output: (rule, violations, checked), one row per rule in
+    * declaration order semantics (sort for a total order). */
+  def dqSuite(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "dqSuite needs rules")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "duplicate rule names")
+    val aggs = rules.zipWithIndex.map { case ((_, violation), i) =>
+      coalesce(sum(when(violation, 1L).otherwise(0L)), lit(0L))
+        .as(s"__v_$i")
+    } :+ count(lit(1)).as("__checked")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"'${name.replace("'", "''")}', __v_$i, __checked"
+    }
+    one.select(expr(s"stack(${rules.size}, ${rows.mkString(", ")})" +
+      " AS (rule, violations, checked)"))
   }
 
   /** Per-group power moments to order 4 — the shard-mergeable basis
