@@ -4048,6 +4048,46 @@ object SparkEntry {
           ("priority_empty", length(col("o_orderpriority")) === 0),
           ("status_unknown", !col("o_orderstatus").isin("O", "F", "P"))))
         .orderBy(col("rule"))
+    }),
+
+    // ---- Cross-source duplicate overlap matrix ----
+    // WHICH sources mirror each other: shared exact-dup fingerprints
+    // per source pair with the overlap coefficient. The fixture has
+    // no cross-source dups, so a deterministic 'mirror' feed
+    // re-hosting every 10th doc is injected (the q86 dirt rule).
+    "q248_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("text"), col("source"), col("doc_id"))
+      val mirrored = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("source", lit("mirror"))
+      Dedup.sourceOverlapMatrix(docs.unionByName(mirrored), "text",
+          "source")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // ---- LSH banding recall audit ----
+    // The approximation, quantified: exact shingle-Jaccard pairs at
+    // theta=0.3 (PPJoin, recall 1.0) vs the minhash banding's
+    // candidate set — banding recall and candidate precision in
+    // ppm, all integer.
+    "q249_lsh_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val exact = NearDedup.jaccardJoin(docs, "doc_id", "text",
+          minJaccardPpm = 300000L)
+        .select(col("id_a"), col("id_b"))
+      val cand = NearDedup.candidatePairs(docs, "doc_id", "text")
+      val nTrue = exact.agg(count(lit(1)).as("n_true"))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nHits = exact.join(cand, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hits"))
+      nTrue.crossJoin(nCand).crossJoin(nHits)
+        .select(col("n_true"), col("n_candidates"), col("n_hits"),
+          expr("CASE WHEN n_true = 0 THEN NULL" +
+            " ELSE (n_hits * 1000000) div n_true END").as("recall_ppm"),
+          expr("CASE WHEN n_candidates = 0 THEN NULL ELSE" +
+            " (n_hits * 1000000) div n_candidates END")
+            .as("candidate_precision_ppm"))
     })
   )
 
@@ -10204,6 +10244,91 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
         |    THEN 1 ELSE 0 END), 0) AS BIGINT), count(*)::BIGINT
         |FROM orders
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    "q248_source_overlap" ->
+      """WITH u AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'mirror' AS source FROM documents
+        |  WHERE doc_id % 10 = 0
+        |), fps AS (
+        |  SELECT DISTINCT
+        |    md5(regexp_replace(trim(lower(coalesce(text, ''))),
+        |      '\s+', ' ', 'g')) AS fp,
+        |    source AS src
+        |  FROM u WHERE source IS NOT NULL
+        |), c AS (
+        |  SELECT src, count(*)::BIGINT AS nfp FROM fps GROUP BY src
+        |), p AS (
+        |  SELECT a.src AS source_a, b.src AS source_b,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM fps a JOIN fps b ON b.fp = a.fp AND a.src < b.src
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source_a, source_b, n_shared,
+        |  ca.nfp AS na, cb.nfp AS nb,
+        |  CAST((n_shared * 1000000) // least(ca.nfp, cb.nfp) AS BIGINT)
+        |    AS overlap_ppm
+        |FROM p
+        |JOIN c ca ON ca.src = p.source_a
+        |JOIN c cb ON cb.src = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // Exact side = the naive quadratic shingle-Jaccard (independently
+    // certifying PPJoin completeness); candidate side = the q21 LSH
+    // banding replay.
+    "q249_lsh_recall" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+        |    AS sh
+        |  FROM (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |    FROM documents)
+        |), ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |sz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM t),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*)::BIGINT AS i
+        |  FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), etrue AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE (i * 1000000 // (sa.n + sb.n - i)) >= 300000
+        |), sigs AS (
+        |  SELECT doc_id, list_transform(range(16), h ->
+        |    list_min(list_transform(sh, s ->
+        |      ('0x' || substr(md5((h // 4)::VARCHAR || ':' || s),
+        |        (h % 4) * 8 + 1, 8))::BIGINT))) AS sig
+        |  FROM t
+        |), bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(4), j ->
+        |    j::VARCHAR || '|' || array_to_string(sig[j*4+1 : j*4+4], '_')))
+        |    AS band_key
+        |  FROM sigs
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b USING (band_key)
+        |  WHERE a.doc_id < b.doc_id
+        |), agg AS (
+        |  SELECT
+        |    (SELECT count(*) FROM etrue)::BIGINT AS n_true,
+        |    (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+        |    (SELECT count(*) FROM etrue e JOIN cand c
+        |      ON c.id_a = e.id_a AND c.id_b = e.id_b)::BIGINT AS n_hits
+        |)
+        |SELECT n_true, n_candidates, n_hits,
+        |  CAST(CASE WHEN n_true = 0 THEN NULL
+        |    ELSE (n_hits * 1000000) // n_true END AS BIGINT)
+        |    AS recall_ppm,
+        |  CAST(CASE WHEN n_candidates = 0 THEN NULL
+        |    ELSE (n_hits * 1000000) // n_candidates END AS BIGINT)
+        |    AS candidate_precision_ppm
+        |FROM agg""".stripMargin
   )
 }

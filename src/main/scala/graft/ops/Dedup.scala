@@ -284,4 +284,47 @@ object Dedup {
       .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
         expr("(n_docs * 1000000) div __tot").as("doc_share_ppm"))
   }
+
+  /** Cross-source duplicate overlap matrix — WHICH sources mirror
+    * each other, not just how much duplication exists (q125 gives
+    * the per-source dup rate; this names the pairs): for every
+    * source pair, the count of exact-dup fingerprints present in
+    * BOTH, plus each side's distinct-fingerprint count and the
+    * overlap coefficient `shared·1e6 div min(na, nb)` in ppm. The
+    * table a curation run reads before deciding which crawl feed is
+    * a re-host and which to keep.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (fingerprint,
+    * source) once (fp-keyed exchange — the q09 dedup floor); the
+    * pair expansion is a fp-keyed self-join whose per-fp fan-out is
+    * bounded by C(#sources, 2), sources being categorical by
+    * contract; output is source-pair-sized. Null texts fingerprint
+    * as a value like any other (two sources both carrying null-text
+    * docs DO share that content class). */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val fps = df.filter(col(srcCol).isNotNull)
+      .select(graft.ops.TextAnalysis
+          .fingerprint(coalesce(col(textCol), lit(""))).as("__fp"),
+        col(srcCol).as("__src"))
+      .distinct()
+    val counts = fps.groupBy(col("__src"))
+      .agg(count(lit(1)).as("__nfp"))
+    val pairs = fps.as("a")
+      .join(fps.as("b"),
+        col("a.__fp") === col("b.__fp") &&
+          col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"),
+        col("b.__src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(counts.select(col("__src").as("source_a"),
+        col("__nfp").as("na"))), "source_a")
+      .join(broadcast(counts.select(col("__src").as("source_b"),
+        col("__nfp").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("na"), col("nb"),
+        expr("(n_shared * 1000000) div least(na, nb)")
+          .as("overlap_ppm"))
+  }
 }

@@ -76,4 +76,25 @@ class BootstrapDiffSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got == Seq(("r", 0L, 0L)))
   }
+
+  test("sourceOverlapMatrix counts shared fingerprints per pair") {
+    val df = Seq(
+      ("hello  world", "a"), ("hello world", "b"),  // same fp (ws)
+      ("unique to a", "a"), ("unique to b", "b"),
+      ("both again", "a"), ("both again", "b"), ("both again", "c"))
+      .toDF("text", "source")
+    val got = Dedup.sourceOverlapMatrix(df, "text", "source")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map { case (a, b, s, na, nb, p) => ((a, b), (s, na, nb, p)) }
+      .toMap
+    // a: 3 fps, b: 3 fps, c: 1 fp
+    assert(got(("a", "b")) == (2L, 3L, 3L, 666666L))
+    assert(got(("a", "c")) == (1L, 3L, 1L, 1000000L))
+    assert(got(("b", "c")) == (1L, 3L, 1L, 1000000L))
+  }
+
+  test("sourceOverlapMatrix: disjoint sources emit no row") {
+    val df = Seq(("x", "a"), ("y", "b")).toDF("text", "source")
+    assert(Dedup.sourceOverlapMatrix(df, "text", "source").isEmpty)
+  }
 }
