@@ -4088,6 +4088,29 @@ object SparkEntry {
           expr("CASE WHEN n_candidates = 0 THEN NULL ELSE" +
             " (n_hits * 1000000) div n_candidates END")
             .as("candidate_precision_ppm"))
+    }),
+
+    // ---- Streaming seasonal-phase parity ----
+    // q240's phase cells computed as a REAL complete-mode streaming
+    // aggregation (counter adds are linear — the q156/q185 argument)
+    // and hash-matched against the batch SQL.
+    "q250_stream_seasonal" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val src = graft.streaming.GraftStream.reader(s, dir)
+        .glob("events.parquet").load().transform(Tables.tsToNanos)
+        .withColumn("bucket",
+          expr("pmod((ts DIV 1000) div 3600000000L, 24L)"))
+      val agg = src.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val name = "graft_q250_sink"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("event_type"), col("bucket"), col("n"))
+        .orderBy(col("event_type"), col("bucket"))
     })
   )
 
@@ -10329,6 +10352,14 @@ object SparkEntry {
         |  CAST(CASE WHEN n_candidates = 0 THEN NULL
         |    ELSE (n_hits * 1000000) // n_candidates END AS BIGINT)
         |    AS candidate_precision_ppm
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // The stream's complete-mode cells must equal the batch rollup.
+    "q250_stream_seasonal" ->
+      """SELECT event_type,
+        |  (epoch_us(ts) // 3600000000) % 24 AS bucket,
+        |  count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin
   )
 }

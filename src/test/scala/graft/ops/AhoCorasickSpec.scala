@@ -88,6 +88,36 @@ class AhoCorasickSpec extends SparkSpec {
     assert(got == Seq(2L, 1L, 0L))
   }
 
+  test("scan-speed evidence: one pass beats the contains-join on a wide dict") {
+    // 2000 docs x ~100 words, 200-keyword dictionary — the regime
+    // the automaton exists for. Numbers land in the AhoCorasick
+    // scaladoc; the assertion is only directional (>=1x) to stay
+    // robust on a loaded machine.
+    val vocab = (0 until 400).map(i => s"w$i")
+    val docs = (0 until 2000).map { d =>
+      (d.toLong, (0 until 100).map(i => vocab((d * 31 + i * 7) % 400))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = (0 until 200).map(i => ("t", s"w${i * 2}")).toDF("tag", "kw")
+    def time(f: => Long): (Long, Long) = {
+      f // warmup
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1000000, n)
+    }
+    val (tSlow, nSlow) =
+      time(TextAnalysis.tagKeywords(docs, "doc_id", "text",
+        dict, "tag", "kw").count())
+    val (tFast, nFast) =
+      time(TextAnalysis.tagKeywordsFast(docs, "doc_id", "text",
+        dict, "tag", "kw").count())
+    info(s"contains-join ${tSlow}ms vs automaton ${tFast}ms " +
+      f"(${tSlow.toDouble / tFast}%.1fx) on 2000 docs x 200 keywords")
+    assert(nSlow == nFast && nFast > 0)
+    assert(tFast <= tSlow * 2, s"automaton unexpectedly slow: $tFast vs $tSlow")
+    docs.unpersist()
+  }
+
   test("maxKeywords guard refuses an oversized dictionary") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     val dict = (1 to 20).map(i => ("t", s"kw$i")).toDF("tag", "kw")
