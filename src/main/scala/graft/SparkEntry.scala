@@ -4111,6 +4111,47 @@ object SparkEntry {
       s.table(name)
         .select(col("event_type"), col("bucket"), col("n"))
         .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ---- Keyed MERGE into a store (bloom-bounded rewrite) ----
+    // Replace every 11th doc, tombstone every 13th, insert shadow
+    // rows for every 17th — only bloom-admitted files rewrite; the
+    // read-back rollup must equal the relational merge.
+    "q251_merge_upsert" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q251"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id").isNotNull)
+      docs.repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/store")
+      RowGroupIndex.buildBloom(s, s"$base/store", Seq("doc_id"),
+        s"$base/idx", expectedPerFile = 100000L)
+      val changed = docs
+        .filter(pmod(col("doc_id"), lit(11)) === 0 ||
+          pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"),
+          (pmod(col("doc_id"), lit(13)) === 0).as("del"))
+      val inserts = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("xx").as("lang"), lit(77L).as("n_chars"),
+          lit(false).as("del"))
+      Materialize.mergeUpsert(s, s"$base/store",
+        changed.unionByName(inserts), "doc_id",
+        bloomIndexUrl = Some(s"$base/idx"), deleteCol = Some("del"))
+      s.read.parquet(s"$base/store")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -10360,6 +10401,24 @@ object SparkEntry {
         |  (epoch_us(ts) // 3600000000) % 24 AS bucket,
         |  count(*)::BIGINT AS n
         |FROM events GROUP BY 1, 2
-        |ORDER BY event_type, bucket""".stripMargin
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // Relational replay of the merge: delete %13, bump %11, insert
+    // shadow rows for %17.
+    "q251_merge_upsert" ->
+      """WITH merged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'xx', 77
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 17 = 0
+        |)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -196,6 +196,91 @@ object Materialize {
     (files.length, staged.length)
   }
 
+  /** Keyed MERGE (upsert + tombstone delete) into a plain-parquet
+    * store — the Delta-style `MERGE INTO` for stores this library
+    * materializes, rewriting ONLY the files that can contain an
+    * affected key: with a [[RowGroupIndex.buildBloom]] sidecar the
+    * touched set is the bloom-admitted files (fpp only costs extra
+    * rewrites, never a missed row — the superset contract), without
+    * one every file is rewritten. At 100 TB this is the difference
+    * between a CDC batch costing O(changed files) and O(store).
+    *
+    * Semantics: every store row whose `keyCol` appears in `updates`
+    * is REPLACED (or deleted, when the update row's `deleteCol` is
+    * true); update rows for keys not in the store INSERT. Duplicate
+    * keys within `updates` are refused (ambiguous intent). The
+    * update batch's distinct keys drive the file probe and are
+    * bounded by `maxKeys` (CDC batches are bounded by contract; a
+    * larger-than-cap batch should compact its changelog first —
+    * [[graft.ops.Dedup.compactLatest]]).
+    *
+    * Crash-safety is the [[compact]] contract: new files stage in an
+    * underscore-invisible tmp dir and promote by pure renames after
+    * the old files are removed; concurrent READERS of a live store
+    * should read through a listing snapshot. The sidecar, when
+    * present, is refreshed incrementally. A bloom index sidecar goes
+    * STALE for the rewritten files (the file set changed) — rebuild
+    * it after merging, or accept full-file probes for merged keys.
+    *
+    * Returns (filesRewritten, filesTotal). */
+  def mergeUpsert(spark: SparkSession, url: String, updates: DataFrame,
+      keyCol: String, bloomIndexUrl: Option[String] = None,
+      deleteCol: Option[String] = None,
+      maxKeys: Int = 1000000): (Int, Int) = {
+    val root = new Path(url)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = listParquetFiles(spark, url)
+    require(files.nonEmpty, s"nothing to merge into at $url")
+    val rel = relativizer(spark, url)
+    require(!files.exists(f => rel(f).contains("/")),
+      s"mergeUpsert does not handle hive-partitioned stores: $url")
+    val store = spark.read.parquet(url)
+    val dataCols = store.columns.toSeq
+    val upCols = updates.columns.toSeq.filterNot(deleteCol.contains)
+    require(upCols.sorted == dataCols.sorted,
+      s"update schema ${upCols.sorted} != store schema ${dataCols.sorted}")
+    val keyRows = updates.select(col(keyCol)).distinct()
+      .limit(maxKeys + 1).collect()
+    require(keyRows.length <= maxKeys,
+      s"update batch exceeds maxKeys=$maxKeys distinct keys — " +
+        "compact the changelog first")
+    // under the cap, keyRows.length IS the distinct-key count
+    require(updates.count() == keyRows.length,
+      s"duplicate $keyCol values in the update batch")
+    val keys = keyRows.map(_.get(0)).toSeq
+    require(!keys.contains(null), s"null $keyCol in the update batch")
+    val affected = bloomIndexUrl match {
+      case Some(idx) =>
+        RowGroupIndex.bloomSelectedFiles(spark, url, idx, keyCol, keys)
+      case None => files
+    }
+    val upserts = deleteCol
+      .map(d => updates.filter(!coalesce(col(d), lit(false)))
+        .drop(d))
+      .getOrElse(updates)
+      .select(dataCols.map(col): _*)
+    val merged =
+      if (affected.isEmpty) upserts
+      else spark.read.parquet(affected: _*)
+        .join(broadcast(updates.select(col(keyCol).as("__mk"))),
+          col(keyCol) === col("__mk"), "left_anti")
+        .unionByName(upserts)
+    val tmp = new Path(root, "_merge_tmp")
+    fs.delete(tmp, true)
+    merged.repartition(math.max(1, affected.length))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val staged = listParquetFiles(spark, tmp.toString)
+    affected.foreach(f => fs.delete(new Path(f), false))
+    staged.foreach { f =>
+      val name = new Path(f).getName
+      require(fs.rename(new Path(f), new Path(root, name)),
+        s"rename failed promoting $name")
+    }
+    fs.delete(tmp, true)
+    loadSchema(spark, url).foreach(updateMetadata(spark, url, _))
+    (affected.length, files.length)
+  }
+
   /** S9 parity (etl/petastorm_generate_metadata.py): (re)write the
     * sidecar for an existing parquet store (full footer rescan). */
   def writeMetadata(spark: SparkSession, url: String, schema: GraftSchema): Unit =
