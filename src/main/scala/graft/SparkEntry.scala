@@ -4152,6 +4152,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // ---- Term burstiness moments (keyword-spam screen) ----
+    // Church-Gale burstiness as shard-addable integers: per-doc
+    // count moments for terms at df >= 50 (the Fano factor is one
+    // caller-side division away).
+    "q252_burstiness" -> ((s, dir) => {
+      TextAnalysis.termBurstiness(t(s, dir, "documents"), "doc_id",
+          "text", minDf = 50L)
+        .orderBy(col("term"))
+    }),
+
+    // ---- Unigram (SentencePiece-style) Viterbi piece budget ----
+    // Deterministic a^n/b^m/hello text per doc under a vocabulary
+    // whose optimum has a closed form: ceil(n/2) 'aa|a' pieces + m
+    // 'b' pieces + 1 'hello' — the DP must find it (general-vocab
+    // optimality is brute-force-pinned in UnigramSpec).
+    "q253_unigram_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          expr("concat(repeat('a', CAST(1 + doc_id % 9 AS INT)), ' ', " +
+            "repeat('b', CAST(1 + doc_id % 5 AS INT)), ' hello')")
+            .as("text"))
+      val vocab = Seq(("aa", 3L), ("a", 2L), ("b", 5L),
+        ("hello", 1L), ("hel", 4L), ("lo", 4L))
+      TextAnalysis.unigramEncode(docs, "doc_id", "text", vocab,
+          unkCost = 50L)
+        .select(col("doc_id"), col("n_pieces"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -10419,6 +10448,29 @@ object SparkEntry {
         |)
         |SELECT lang, count(*)::BIGINT AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q252_burstiness" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok AS term, count(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT term, count(*)::BIGINT AS df,
+        |  CAST(sum(tf) AS BIGINT) AS sum_tf,
+        |  CAST(sum(tf::HUGEINT * tf) AS BIGINT) AS sum_tf_sq,
+        |  CAST(max(tf) AS BIGINT) AS max_tf
+        |FROM tc GROUP BY term HAVING count(*) >= 50
+        |ORDER BY term""".stripMargin,
+
+    // The closed-form optimum: ceil(na/2) + nb + 1 pieces.
+    "q253_unigram_budget" ->
+      """SELECT doc_id,
+        |  CAST((1 + doc_id % 9 + 1) // 2 + (1 + doc_id % 5) + 1
+        |    AS BIGINT) AS n_pieces
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -141,6 +141,20 @@ object GraftExtensions {
       AcMatchCounts(args(0),
         litString(args(1), "keywords").split(",").toSeq
           .map(_.trim).filter(_.nonEmpty))
+    },
+    // vocabulary as 'piece:cost,piece:cost' (pieces are tokenizer
+    // alphabet runs — ':' and ',' are outside it by contract)
+    "graft_unigram_segment_tokens" -> { args =>
+      require(args.length == 3,
+        "graft_unigram_segment_tokens(tokens, 'p:c,p:c,…', unkCost)")
+      val pieces = litString(args(1), "vocab").split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty).map { pc =>
+          val i = pc.lastIndexOf(':')
+          require(i > 0, s"bad piece:cost '$pc'")
+          (pc.substring(0, i), pc.substring(i + 1).trim.toLong)
+        }
+      graft.ops.UnigramSegmentTokens(args(0), pieces,
+        litInt(args(2), "unkCost").toLong)
     })
 
   private def parseMerges(spec: String): Seq[(String, String)] =

@@ -284,6 +284,71 @@ object TextAnalysis {
   def docFrequency(tc: DataFrame): DataFrame =
     tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+  /** Unigram-LM (SentencePiece-style) document encode — every token
+    * Viterbi-segmented under the integer-cost vocabulary
+    * ([[UnigramSegmentTokens]] semantics and tie-breaks), pieces in
+    * token order plus the exact piece budget. The BPE family's
+    * sibling: same one-codegen-pass scale shape as
+    * [[bpeEncode]] (zero joins/shuffles — encode output is
+    * piece-stream-sized however organized).
+    *
+    * Output: (idCol, pieces array<string>, n_pieces). */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[(String, Long)], unkCost: Long,
+      unicode: Boolean = false): DataFrame = {
+    val kernel = graft.functions.GraftFunctions.column(
+      UnigramSegmentTokens(
+        graft.functions.GraftFunctions.expr(
+          alphaTokens(coalesce(col(textCol), lit("")), unicode)),
+        pieces, unkCost))
+    df.select(col(idCol), kernel.as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+  }
+
+  /** Load a persisted unigram vocabulary (piece, cost) into the
+    * literal form [[unigramEncode]] bakes into the kernel — the
+    * [[mergesFromDF]] counterpart for the unigram family. Bounded
+    * by `maxPieces` (vocabularies are bounded by construction; the
+    * guard catches a mis-joined frame). */
+  def unigramVocabFromDF(vocab: DataFrame, pieceCol: String,
+      costCol: String, maxPieces: Int = 2000000): Seq[(String, Long)] = {
+    val rows = vocab
+      .select(col(pieceCol).cast("string"), col(costCol).cast("long"))
+      .filter(col(pieceCol).isNotNull && col(costCol).isNotNull)
+      .limit(maxPieces + 1).collect()
+    require(rows.length <= maxPieces,
+      s"vocabulary exceeds maxPieces=$maxPieces")
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** Per-term burstiness moments — the keyword-spam / topicality
+    * screen: for every term (above a document-frequency floor) the
+    * moments of its per-document counts (df, Σtf, Σtf²), from which
+    * the Fano factor var/mean — ~1 for Poisson-scattered function
+    * words, ≫1 for bursty topical terms, extreme for SEO keyword
+    * stuffing — is one float division away (moments, not floats,
+    * cross the oracle: the q165 doctrine). Church & Gale 1995's
+    * burstiness, as shard-addable integers.
+    *
+    * `max_tf` rides along: a single document repeating one term
+    * thousands of times is the stuffing signature even when the
+    * corpus-wide moments look tame.
+    *
+    * Scale shape: one token explode → (term, doc) tf agg (the
+    * termCounts exchange floor), then a term-keyed moment rollup;
+    * `minDf` prunes the hapax tail BEFORE the output (the exchange
+    * already happened — the floor of any exact per-term statistic).
+    * Output: (term, df, sum_tf, sum_tf_sq, max_tf). */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 2L, unicode: Boolean = false): DataFrame =
+    termCounts(df, idCol, textCol, unicode)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("sum_tf"),
+        expr("CAST(sum(CAST(tf AS DECIMAL(38,0)) * tf) AS BIGINT)")
+          .as("sum_tf_sq"),
+        max(col("tf")).as("max_tf"))
+      .filter(col("df") >= minDf)
+
   /** Mixed-script (homoglyph) token audit — the spoofing screen a
     * crawl pipeline runs before trusting URLs, brand mentions or
     * dedup keys: a single token mixing Latin with Cyrillic/Greek
@@ -2139,4 +2204,122 @@ case class ApplyBpeTokens(
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
   override def prettyName: String = "apply_bpe_tokens"
+}
+
+/** Unigram-LM Viterbi segmentation (Kudo 2018, the SentencePiece
+  * unigram model's ENCODE step — the other tokenizer family next to
+  * BPE): one token segments into vocabulary pieces minimizing the
+  * total integer piece cost (a trained model's `-log p` scaled to
+  * integers by the caller — integer costs are what make the DP
+  * engine-exact; two candidate splits differing in the last float
+  * ulp is precisely the nondeterminism this library refuses).
+  *
+  * DP over codepoints, O(len·maxPieceLen) per token. Any single
+  * codepoint absent from the vocabulary is an UNK piece at
+  * `unkCost` (coverage is total, nothing is dropped). Tie-break,
+  * fixed and documented: lower total cost, then fewer pieces, then
+  * the LONGEST last piece (applied recursively through the DP —
+  * accepting equal keys at increasing length implements it).
+  *
+  * Training is out of scope by design: unigram training is EM over
+  * the same Viterbi (feasible on this kernel) but every production
+  * pipeline we target applies a PRE-TRAINED vocabulary; costs
+  * arrive via [[TextAnalysis.unigramVocabFromDF]]. */
+case class UnigramSegmentTokens(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    pieces: Seq[(String, Long)], // Seq: structural equality for CSE
+    unkCost: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(pieces.nonEmpty, "empty unigram vocabulary")
+  require(pieces.forall(_._1.nonEmpty), "empty piece")
+  require(pieces.map(_._1).distinct.size == pieces.size,
+    "duplicate pieces in vocabulary")
+
+  @transient private lazy val vocab: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    pieces.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+    m
+  }
+  @transient private lazy val maxPieceCp: Int =
+    pieces.map(p => p._1.codePointCount(0, p._1.length)).max
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(toks: ArrayData): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val segs = UnigramSegmentTokens.segment(
+        toks.getUTF8String(i).toString, vocab, maxPieceCp, unkCost)
+      var j = 0
+      while (j < segs.length) { out += UTF8String.fromString(segs(j)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramSegment", this,
+      classOf[UnigramSegmentTokens].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+  override def prettyName: String = "unigram_segment_tokens"
+}
+
+object UnigramSegmentTokens {
+  /** Viterbi over codepoints. best/pieces/back arrays; acceptance at
+    * strictly-better (cost, pieces) or equal keys at LONGER length
+    * implements the documented tie-break. */
+  private[ops] def segment(tok: String,
+      vocab: java.util.HashMap[String, java.lang.Long],
+      maxPieceCp: Int, unkCost: Long): Array[String] = {
+    if (tok.isEmpty) return Array.empty
+    val cps = tok.codePoints().toArray
+    val n = cps.length
+    val INF = Long.MaxValue / 4
+    val best = Array.fill(n + 1)(INF)
+    val np = Array.fill(n + 1)(Int.MaxValue / 4)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0L; np(0) = 0
+    var i = 1
+    while (i <= n) {
+      var len = 1
+      val maxL = math.min(maxPieceCp, i)
+      while (len <= maxL) {
+        val sub = new String(cps, i - len, len)
+        val c = vocab.get(sub)
+        val cost: Long =
+          if (c != null) c.longValue()
+          else if (len == 1) unkCost
+          else -1L
+        if (cost >= 0 && best(i - len) < INF) {
+          val nc = best(i - len) + cost
+          val npc = np(i - len) + 1
+          if (nc < best(i) || (nc == best(i) && npc < np(i)) ||
+              (nc == best(i) && npc == np(i))) {
+            best(i) = nc; np(i) = npc; back(i) = i - len
+          }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val j = back(pos)
+      segs += new String(cps, j, pos - j)
+      pos = j
+    }
+    segs.reverse.toArray
+  }
 }

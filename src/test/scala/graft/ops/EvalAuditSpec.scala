@@ -45,6 +45,21 @@ class EvalAuditSpec extends SparkSpec {
     assert(r.getLong(4) == -1000000L)  // kappa
   }
 
+  test("termBurstiness: moments and the stuffing signature") {
+    val docs = Seq(
+      (1L, "spam spam spam spam the"),
+      (2L, "the cat"), (3L, "the dog"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.termBurstiness(docs, "doc_id", "text",
+        minDf = 2L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (t, df, s1, s2, mx) => (t, (df, s1, s2, mx)) }.toMap
+    // 'the': tf 1 in each of 3 docs
+    assert(got("the") == (3L, 3L, 3L, 1L))
+    // 'spam': df 1 < minDf -> pruned even at tf 4
+    assert(!got.contains("spam") && !got.contains("cat"))
+  }
+
   test("mixedScriptTokens flags confusables, zero on clean text") {
     val docs = Seq(
       (1L, "pаypаl abc αβγ αc"),
