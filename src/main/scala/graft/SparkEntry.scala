@@ -4181,6 +4181,55 @@ object SparkEntry {
           unkCost = 50L)
         .select(col("doc_id"), col("n_pieces"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Split leakage audit ----
+    // THE reason leakage-safe splitting exists: near-dup pairs
+    // (minhash + exact verify at 0.5) crossing the q238 train/val/
+    // test split boundaries — every (split, split) cell counted,
+    // cross-split cells are eval contamination.
+    "q254_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .filter(col("doc_id").isNotNull)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val split = Sampling.exactSplit(docs, Seq("lang"),
+          Seq(("train", 8L), ("val", 1L), ("test", 1L)), "doc_id")
+        .select(col("doc_id"), col("split"))
+      val pairs = NearDedup.nearDuplicates(docs, "doc_id", "text",
+          minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"))
+      pairs
+        .join(split.select(col("doc_id").as("id_a"),
+          col("split").as("__sa")), "id_a")
+        .join(split.select(col("doc_id").as("id_b"),
+          col("split").as("__sb")), "id_b")
+        .groupBy(least(col("__sa"), col("__sb")).as("split_a"),
+          greatest(col("__sa"), col("__sb")).as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak",
+          (col("split_a") =!= col("split_b")).cast("long"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
+    // ---- Calibration / reliability table ----
+    // q243's scorer binned into score quintiles: per bin the doc
+    // count and observed long-doc rate in ppm — the reliability
+    // diagram in exact integers (well-calibrated = rate tracks bin).
+    "q255_calibration" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        expr("(length(coalesce(text, '')) -" +
+          " length(replace(coalesce(text, ''), 'e', ''))) div 10")
+          .as("score"),
+        (col("n_chars") >= 600L).cast("long").as("label"))
+      Stats.quantileBins(scored, Nil, "score",
+          Seq(0.2, 0.4, 0.6, 0.8))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+          min(col("score")).as("score_lo"),
+          max(col("score")).as("score_hi"))
+        .withColumn("pos_rate_ppm", expr("(n_pos * 1000000) div n"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -10471,6 +10520,125 @@ object SparkEntry {
         |  CAST((1 + doc_id % 9 + 1) // 2 + (1 + doc_id % 5) + 1
         |    AS BIGINT) AS n_pieces
         |FROM documents WHERE doc_id IS NOT NULL
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q21's LSH+verify replay at theta 0.5 joined to q238's split
+    // replay; least/greatest normalizes the cell key.
+    "q254_split_leakage" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+        |    AS sh
+        |  FROM (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |    FROM documents WHERE doc_id IS NOT NULL)
+        |), sigs AS (
+        |  SELECT doc_id, list_transform(range(16), h ->
+        |    list_min(list_transform(sh, s ->
+        |      ('0x' || substr(md5((h // 4)::VARCHAR || ':' || s),
+        |        (h % 4) * 8 + 1, 8))::BIGINT))) AS sig
+        |  FROM t
+        |), bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(4), j ->
+        |    j::VARCHAR || '|' || array_to_string(sig[j*4+1 : j*4+4], '_')))
+        |    AS band_key
+        |  FROM sigs
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b USING (band_key)
+        |  WHERE a.doc_id < b.doc_id
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM cand p
+        |  JOIN t sa ON p.id_a = sa.doc_id
+        |  JOIN t sb ON p.id_b = sb.doc_id
+        |  WHERE floor(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        |    / len(list_distinct(sa.sh || sb.sh)) * 1000000) >= 500000
+        |), b0 AS (
+        |  SELECT lang, doc_id FROM documents WHERE doc_id IS NOT NULL
+        |), n AS (
+        |  SELECT lang, count(*)::BIGINT AS n FROM b0 GROUP BY lang
+        |), defs(split, w, i) AS (
+        |  VALUES ('train', 8, 0), ('val', 1, 1), ('test', 1, 2)
+        |), q AS (
+        |  SELECT lang, split, i, n, (n * w) // 10 AS base,
+        |    (n * w) % 10 AS rem
+        |  FROM n CROSS JOIN defs
+        |), q2 AS (
+        |  SELECT lang, split, i, base, n,
+        |    n - sum(base) OVER (PARTITION BY lang) AS R,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY rem DESC, i) AS rk
+        |  FROM q
+        |), q3 AS (
+        |  SELECT lang, split, i,
+        |    base + CASE WHEN rk <= R THEN 1 ELSE 0 END AS quota
+        |  FROM q2
+        |), bounds AS (
+        |  SELECT lang, split,
+        |    sum(quota) OVER (PARTITION BY lang ORDER BY i) AS hi,
+        |    sum(quota) OVER (PARTITION BY lang ORDER BY i) - quota
+        |      AS lo
+        |  FROM q3
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5('xs:' || doc_id), 1, 15))::BIGINT,
+        |      doc_id) AS r
+        |  FROM b0
+        |), sp AS (
+        |  SELECT r.doc_id, bounds.split
+        |  FROM r JOIN bounds ON bounds.lang = r.lang
+        |    AND r.r > bounds.lo AND r.r <= bounds.hi
+        |)
+        |SELECT least(a.split, b.split) AS split_a,
+        |  greatest(a.split, b.split) AS split_b,
+        |  count(*)::BIGINT AS n_pairs,
+        |  CAST(CASE WHEN least(a.split, b.split)
+        |    <> greatest(a.split, b.split) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_leak
+        |FROM pairs p
+        |JOIN sp a ON a.doc_id = p.id_a
+        |JOIN sp b ON b.doc_id = p.id_b
+        |GROUP BY 1, 2, 4
+        |ORDER BY split_a, split_b""".stripMargin,
+
+    // Quintile cuts by the cume_dist >= p rule; observed rate ppm.
+    "q255_calibration" ->
+      """WITH s AS (
+        |  SELECT (length(coalesce(text, ''))
+        |    - length(replace(coalesce(text, ''), 'e', ''))) // 10
+        |      AS score,
+        |    CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END AS label
+        |  FROM documents
+        |), h AS (
+        |  SELECT score, count(*)::BIGINT AS c FROM s GROUP BY score
+        |), t AS (
+        |  SELECT score, sum(c) OVER (ORDER BY score) AS cum,
+        |    sum(c) OVER () AS tot
+        |  FROM h
+        |), b AS (
+        |  SELECT
+        |    min(CASE WHEN cum*10000 >= tot*2000 THEN score END) AS p20,
+        |    min(CASE WHEN cum*10000 >= tot*4000 THEN score END) AS p40,
+        |    min(CASE WHEN cum*10000 >= tot*6000 THEN score END) AS p60,
+        |    min(CASE WHEN cum*10000 >= tot*8000 THEN score END) AS p80
+        |  FROM t
+        |), binned AS (
+        |  SELECT label, score,
+        |    (CASE WHEN score > p20 THEN 1 ELSE 0 END
+        |     + CASE WHEN score > p40 THEN 1 ELSE 0 END
+        |     + CASE WHEN score > p60 THEN 1 ELSE 0 END
+        |     + CASE WHEN score > p80 THEN 1 ELSE 0 END)::BIGINT AS bin
+        |  FROM s CROSS JOIN b
+        |)
+        |SELECT bin, count(*)::BIGINT AS n,
+        |  CAST(sum(label) AS BIGINT) AS n_pos,
+        |  CAST(min(score) AS BIGINT) AS score_lo,
+        |  CAST(max(score) AS BIGINT) AS score_hi,
+        |  CAST((sum(label) * 1000000) // count(*) AS BIGINT)
+        |    AS pos_rate_ppm
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
   )
 }
