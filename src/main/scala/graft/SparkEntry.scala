@@ -4230,6 +4230,32 @@ object SparkEntry {
           max(col("score")).as("score_hi"))
         .withColumn("pos_rate_ppm", expr("(n_pos * 1000000) div n"))
         .orderBy(col("bin"))
+    }),
+
+    // ---- Embedding-space split leakage ----
+    // q254's audit in embedding space: hyperplane-LSH cosine pairs
+    // (>= 0.3) crossing a label-stratified exact split — the
+    // semantic-duplicate contamination check for eval sets.
+    "q256_embedding_leakage" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull)
+      val split = Sampling.exactSplit(e, Seq("label"),
+          Seq(("train", 8L), ("val", 1L), ("test", 1L)), "vec_id")
+        .select(col("vec_id"), col("split"))
+      val pairs = NearDedup.embeddingNearDups(e, "vec_id",
+          "embedding", minCosM = 300000L, planes = 8)
+        .select(col("id_a"), col("id_b"))
+      pairs
+        .join(split.select(col("vec_id").as("id_a"),
+          col("split").as("__sa")), "id_a")
+        .join(split.select(col("vec_id").as("id_b"),
+          col("split").as("__sb")), "id_b")
+        .groupBy(least(col("__sa"), col("__sb")).as("split_a"),
+          greatest(col("__sa"), col("__sb")).as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak",
+          (col("split_a") =!= col("split_b")).cast("long"))
+        .orderBy(col("split_a"), col("split_b"))
     })
   )
 
@@ -10639,6 +10665,82 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS score_hi,
         |  CAST((sum(label) * 1000000) // count(*) AS BIGINT)
         |    AS pos_rate_ppm
-        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // q36's hyperplane-LSH + cosine replay joined to the Hamilton
+    // split replay over (label, vec_id).
+    "q256_embedding_leakage" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS emb
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |), b AS (
+        |  SELECT vec_id, emb,
+        |    CAST(list_sum(list_transform(range(8), p ->
+        |      CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+        |          emb[i] * (('0x' || substr(md5(p::VARCHAR || ':' ||
+        |            (i-1)::VARCHAR), 1, 8))::BIGINT
+        |            / 4294967296.0 - 0.5)),
+        |        (a, b) -> a + b) > 0
+        |      THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM e
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        |  FROM b a JOIN b c ON a.bucket = c.bucket
+        |    AND a.vec_id < c.vec_id
+        |  WHERE floor(
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> a.emb[i] * c.emb[i]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> a.emb[i] * a.emb[i]), (x, y) -> x + y))
+        |      * sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> c.emb[i] * c.emb[i]), (x, y) -> x + y)))
+        |    * 1000000) >= 300000
+        |), n AS (
+        |  SELECT label, count(*)::BIGINT AS n FROM e GROUP BY label
+        |), defs(split, w, i) AS (
+        |  VALUES ('train', 8, 0), ('val', 1, 1), ('test', 1, 2)
+        |), q AS (
+        |  SELECT label, split, i, n, (n * w) // 10 AS base,
+        |    (n * w) % 10 AS rem
+        |  FROM n CROSS JOIN defs
+        |), q2 AS (
+        |  SELECT label, split, i, base, n,
+        |    n - sum(base) OVER (PARTITION BY label) AS R,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY rem DESC, i) AS rk
+        |  FROM q
+        |), q3 AS (
+        |  SELECT label, split, i,
+        |    base + CASE WHEN rk <= R THEN 1 ELSE 0 END AS quota
+        |  FROM q2
+        |), bounds AS (
+        |  SELECT label, split,
+        |    sum(quota) OVER (PARTITION BY label ORDER BY i) AS hi,
+        |    sum(quota) OVER (PARTITION BY label ORDER BY i) - quota
+        |      AS lo
+        |  FROM q3
+        |), r AS (
+        |  SELECT label, vec_id,
+        |    row_number() OVER (PARTITION BY label ORDER BY
+        |      ('0x' || substr(md5('xs:' || vec_id), 1, 15))::BIGINT,
+        |      vec_id) AS r
+        |  FROM e
+        |), sp AS (
+        |  SELECT r.vec_id, bounds.split
+        |  FROM r JOIN bounds ON bounds.label = r.label
+        |    AND r.r > bounds.lo AND r.r <= bounds.hi
+        |)
+        |SELECT least(a.split, b.split) AS split_a,
+        |  greatest(a.split, b.split) AS split_b,
+        |  count(*)::BIGINT AS n_pairs,
+        |  CAST(CASE WHEN least(a.split, b.split)
+        |    <> greatest(a.split, b.split) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_leak
+        |FROM pairs p
+        |JOIN sp a ON a.vec_id = p.id_a
+        |JOIN sp b ON b.vec_id = p.id_b
+        |GROUP BY 1, 2, 4
+        |ORDER BY split_a, split_b""".stripMargin
   )
 }
