@@ -4256,6 +4256,27 @@ object SparkEntry {
         .withColumn("is_leak",
           (col("split_a") =!= col("split_b")).cast("long"))
         .orderBy(col("split_a"), col("split_b"))
+    }),
+
+    // ---- Audio VAD feature pair: energy + zero-crossing rate ----
+    // q88's energy joined by its classic companion — per-frame sign
+    // changes (voiced speech low, fricatives/noise high), one
+    // codegen pass each over the same PCM16 windows.
+    "q257_audio_zcr" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.pcm16FrameEnergy(col("text").cast("binary"), 16)
+            .as("en"),
+          GraftFunctions.pcm16FrameZcr(col("text").cast("binary"), 16)
+            .as("zc"))
+        .filter(size(col("en")) > 0)
+        .select(col("doc_id"),
+          size(col("en")).cast("long").as("n_frames"),
+          call_function("div", GraftFunctions.arraySumLong(col("en")),
+            size(col("en")).cast("long")).as("mean_energy"),
+          GraftFunctions.arraySumLong(col("zc")).as("sum_zcr"),
+          array_max(col("zc")).as("max_zcr"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -10741,6 +10762,45 @@ object SparkEntry {
         |JOIN sp a ON a.vec_id = p.id_a
         |JOIN sp b ON b.vec_id = p.id_b
         |GROUP BY 1, 2, 4
-        |ORDER BY split_a, split_b""".stripMargin
+        |ORDER BY split_a, split_b""".stripMargin,
+
+    // The q88 decode replay + per-frame sign-change counts
+    // (sign: s < 0 vs s >= 0, frame-internal pairs only).
+    "q257_audio_zcr" ->
+      """WITH v AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, hx,
+        |    CAST((len // 2) // 16 AS BIGINT) AS n_frames
+        |  FROM v WHERE (len // 2) // 16 >= 1
+        |), sm AS (
+        |  SELECT doc_id, n_frames,
+        |    list_transform(range(0, CAST(n_frames * 16 AS INT)), k ->
+        |      CASE WHEN ('0x' || substr(hx, 4*k + 1, 2))::BIGINT
+        |              + 256 * ('0x' || substr(hx, 4*k + 3, 2))::BIGINT >= 32768
+        |           THEN ('0x' || substr(hx, 4*k + 1, 2))::BIGINT
+        |              + 256 * ('0x' || substr(hx, 4*k + 3, 2))::BIGINT - 65536
+        |           ELSE ('0x' || substr(hx, 4*k + 1, 2))::BIGINT
+        |              + 256 * ('0x' || substr(hx, 4*k + 3, 2))::BIGINT END) AS s
+        |  FROM f
+        |), e AS (
+        |  SELECT doc_id, n_frames,
+        |    list_transform(range(0, CAST(n_frames AS INT)), fr ->
+        |      CAST(list_sum(list_transform(range(0, 16), i ->
+        |        s[fr*16 + i + 1] * s[fr*16 + i + 1])) AS BIGINT)) AS en,
+        |    list_transform(range(0, CAST(n_frames AS INT)), fr ->
+        |      CAST(coalesce(list_sum(list_transform(range(0, 15), i ->
+        |        CASE WHEN (s[fr*16 + i + 1] < 0)
+        |          <> (s[fr*16 + i + 2] < 0) THEN 1 ELSE 0 END)), 0)
+        |        AS BIGINT)) AS zc
+        |  FROM sm
+        |)
+        |SELECT doc_id, n_frames,
+        |  (CAST(list_sum(en) AS BIGINT) // n_frames) AS mean_energy,
+        |  CAST(coalesce(list_sum(zc), 0) AS BIGINT) AS sum_zcr,
+        |  CAST(list_max(zc) AS BIGINT) AS max_zcr
+        |FROM e ORDER BY doc_id""".stripMargin
   )
 }

@@ -68,6 +68,59 @@ case class Pcm16FrameEnergy(child: Expression, frameSamples: Int)
   override def prettyName: String = "pcm16_frame_energy"
 }
 
+/** `pcm16_frame_zcr(bin)` → array<long>: per-frame ZERO-CROSSING
+  * count over the same fixed windows as [[Pcm16FrameEnergy]] — the
+  * classic companion feature: energy says HOW LOUD, ZCR says HOW
+  * NOISY (voiced speech crosses rarely, fricatives/hiss cross
+  * constantly), and the (energy, zcr) pair is the standard
+  * two-feature VAD. A crossing is a sign change between CONSECUTIVE
+  * samples within the frame (sign: `s < 0` vs `s >= 0` — zero is
+  * positive, the convention that makes silence zero-crossing-free);
+  * frameSamples−1 comparisons per frame, frame boundaries don't
+  * count across. Same one-codegen-pass/no-sample-array shape and
+  * the same partial-frame drop as the energy kernel. */
+case class Pcm16FrameZcr(child: Expression, frameSamples: Int)
+    extends UnaryExpression {
+  require(frameSamples > 1,
+    s"frameSamples must be > 1 (got $frameSamples)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(bytes: Array[Byte]): UnsafeArrayData = {
+    val nSamples = bytes.length / 2
+    val nFrames = nSamples / frameSamples
+    val out = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0L
+      var i = f * frameSamples
+      val end = i + frameSamples - 1
+      var prevNeg =
+        ((((bytes(2 * i + 1) & 0xFF) << 8) | (bytes(2 * i) & 0xFF))
+          .toShort) < 0
+      while (i < end) {
+        val nxt =
+          ((((bytes(2 * i + 3) & 0xFF) << 8) | (bytes(2 * i + 2) & 0xFF))
+            .toShort) < 0
+        if (nxt != prevNeg) c += 1L
+        prevNeg = nxt
+        i += 1
+      }
+      out(f) = c
+      f += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pcm16FrameZcr", this,
+      classOf[Pcm16FrameZcr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "pcm16_frame_zcr"
+}
+
 /** `decode_pcm16(bin)` → array<short> (little-endian samples;
   * trailing odd byte ignored). */
 case class DecodePcm16(child: Expression) extends UnaryExpression {

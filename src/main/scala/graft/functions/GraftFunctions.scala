@@ -45,6 +45,11 @@ object GraftFunctions {
   def pcm16FrameEnergy(bin: Column, frameSamples: Int): Column =
     column(graft.codecs.Pcm16FrameEnergy(expr(bin), frameSamples))
 
+  /** PCM16LE binary → array<long> per-frame zero-crossing counts
+    * (same windows as [[pcm16FrameEnergy]] — the VAD pair). */
+  def pcm16FrameZcr(bin: Column, frameSamples: Int): Column =
+    column(graft.codecs.Pcm16FrameZcr(expr(bin), frameSamples))
+
   /** Max-abs int8 quantization of a float/double vector →
     * struct<scale: double, q: array<tinyint>>. */
   def quantizeInt8(vec: Column): Column =

@@ -67,4 +67,20 @@ class MultimodalSpec extends SparkSpec {
       .select(Multimodal.firstFrame($"vid", 8)).as[Array[Byte]].head()
     assert(f.toSeq == (0 until 8).map(_.toByte))
   }
+
+  test("pcm16FrameZcr counts sign changes within frames only") {
+    def pcm(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap(s => Seq((s & 0xFF).toByte,
+        ((s >> 8) & 0xFF).toByte)).toArray
+    // frame size 4: frame0 = [1,-1,1,-1] → 3 crossings;
+    // frame1 = [0,5,7,2] → 0 (zero counts as positive);
+    // frame2 = [-3,-3,4,9] → 1; trailing partial [8] dropped.
+    // Boundary -1 → 0 between frames 0/1 must NOT count.
+    val bytes = pcm(Seq(1, -1, 1, -1, 0, 5, 7, 2, -3, -3, 4, 9, 8))
+    val got = Seq(Tuple1(bytes)).toDF("b")
+      .select(graft.functions.GraftFunctions
+        .pcm16FrameZcr(col("b"), 4).as("z"))
+      .as[Seq[Long]].head()
+    assert(got == Seq(3L, 0L, 1L))
+  }
 }
