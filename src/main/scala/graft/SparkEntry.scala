@@ -4277,6 +4277,35 @@ object SparkEntry {
           GraftFunctions.arraySumLong(col("zc")).as("sum_zcr"),
           array_max(col("zc")).as("max_zcr"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Per-channel image normalization statistics ----
+    // The mean/std basis every vision loader precomputes: decode the
+    // q39 RGB png store and roll pixel moments up per channel (pos
+    // mod 3) — integer sums, corpus scanned once; the oracle derives
+    // the same numbers from the synthetic pixel formula.
+    "q258_image_stats" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id").isNotNull)
+        .withColumn("img", transform(sequence(lit(0), lit(191)),
+          i => pmod(col("doc_id") * 31 + i, lit(256)).cast("short")))
+      val schema = GraftSchema("doc_rgb2", Seq(
+        FieldSpec("doc_id", org.apache.spark.sql.types.LongType),
+        FieldSpec("img", org.apache.spark.sql.types.ShortType,
+          shape = Seq(8, 8, 3), codec = Some(CodecSpec("png")))))
+      val url = sys.props("java.io.tmpdir") + "/graft_q258_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Materialize.materialize(src, url, schema, partitions = Some(4))
+      GraftRead.reader(s, url).load()
+        .select(posexplode(col("img.data")).as(Seq("__i", "__p")))
+        .groupBy(pmod(col("__i"), lit(3)).cast("long").as("channel"))
+        .agg(count(lit(1)).as("n_pixels"),
+          sum(col("__p").cast("long")).as("sum_p"),
+          expr("CAST(sum(CAST(__p AS BIGINT) * __p) AS BIGINT)")
+            .as("sum_sq"),
+          min(col("__p").cast("long")).as("min_p"),
+          max(col("__p").cast("long")).as("max_p"))
+        .orderBy(col("channel"))
     })
   )
 
@@ -10801,6 +10830,22 @@ object SparkEntry {
         |  (CAST(list_sum(en) AS BIGINT) // n_frames) AS mean_energy,
         |  CAST(coalesce(list_sum(zc), 0) AS BIGINT) AS sum_zcr,
         |  CAST(list_max(zc) AS BIGINT) AS max_zcr
-        |FROM e ORDER BY doc_id""".stripMargin
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // The png round-trip is lossless, so the synthetic pixel formula
+    // IS the decoded data.
+    "q258_image_stats" ->
+      """WITH px AS (
+        |  SELECT (doc_id * 31 + i) % 256 AS p, i % 3 AS channel
+        |  FROM documents, unnest(range(0, 192)) AS t(i)
+        |  WHERE doc_id IS NOT NULL
+        |)
+        |SELECT CAST(channel AS BIGINT) AS channel,
+        |  count(*)::BIGINT AS n_pixels,
+        |  CAST(sum(p) AS BIGINT) AS sum_p,
+        |  CAST(sum(p::HUGEINT * p) AS BIGINT) AS sum_sq,
+        |  CAST(min(p) AS BIGINT) AS min_p,
+        |  CAST(max(p) AS BIGINT) AS max_p
+        |FROM px GROUP BY channel ORDER BY channel""".stripMargin
   )
 }
