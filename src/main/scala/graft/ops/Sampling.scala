@@ -447,7 +447,10 @@ object Sampling {
     * contract (a stratum's rows sort within its partition; strata
     * are the parallelism). The boundary attach is a stratum-keyed
     * join against k rows per stratum. Null ids are refused (the
-    * rank would be ambiguous).
+    * rank would be ambiguous). Ids should be UNIQUE within a
+    * stratum: duplicate ids draw identical ranks-by-hash, so which
+    * copy lands in which split is arbitrary (sizes stay exact; the
+    * per-ROW assignment of the copies does not).
     *
     * Output: the input columns + `split` (name from `splits`). */
   def exactSplit(df: DataFrame, strataCols: Seq[String],
