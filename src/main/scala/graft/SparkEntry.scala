@@ -4306,6 +4306,36 @@ object SparkEntry {
           min(col("__p").cast("long")).as("min_p"),
           max(col("__p").cast("long")).as("max_p"))
         .orderBy(col("channel"))
+    }),
+
+    // ---- HDR-sketch percentile error audit ----
+    // The approximation quantified (the q249 theme for quantiles):
+    // hdr bucket-floor percentiles vs the exact histogram cuts on
+    // the same data, per-percentile underestimate in ppm — the
+    // number that justifies (or refuses) the sketch at a given
+    // subBits.
+    "q259_hdr_error" -> ((s, dir) => {
+      val v = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+        .filter(col("cents").isNotNull)
+      val exact = Stats.exactPercentiles(v, Seq("event_type"),
+          "cents", Seq(0.5, 0.99))
+        .select(col("event_type"), col("p50").as("p50_exact"),
+          col("p99").as("p99_exact"))
+      val hdr = Stats.hdrPercentiles(
+          Stats.hdrSketch(v, Seq("event_type"), "cents", subBits = 5),
+          Seq("event_type"), Seq(0.5, 0.99))
+        .select(col("event_type"), col("p50").as("p50_hdr"),
+          col("p99").as("p99_hdr"))
+      exact.join(hdr, "event_type")
+        .select(col("event_type"), col("p50_exact"), col("p50_hdr"),
+          expr("((p50_exact - p50_hdr) * 1000000) div p50_exact")
+            .as("p50_err_ppm"),
+          col("p99_exact"), col("p99_hdr"),
+          expr("((p99_exact - p99_hdr) * 1000000) div p99_exact")
+            .as("p99_err_ppm"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -10846,6 +10876,58 @@ object SparkEntry {
         |  CAST(sum(p::HUGEINT * p) AS BIGINT) AS sum_sq,
         |  CAST(min(p) AS BIGINT) AS min_p,
         |  CAST(max(p) AS BIGINT) AS max_p
-        |FROM px GROUP BY channel ORDER BY channel""".stripMargin
+        |FROM px GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // Exact cume_dist cuts vs the q184 bucket arithmetic, same data.
+    "q259_hdr_error" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |), he AS (
+        |  SELECT event_type, c, count(*)::BIGINT AS cnt
+        |  FROM v GROUP BY 1, 2
+        |), cue AS (
+        |  SELECT event_type, c, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS tot
+        |  FROM he
+        |), pe AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum * 10000 >= tot * 5000 THEN c END)
+        |      AS p50_exact,
+        |    min(CASE WHEN cum * 10000 >= tot * 9900 THEN c END)
+        |      AS p99_exact
+        |  FROM cue GROUP BY 1
+        |), hb AS (
+        |  SELECT event_type,
+        |    (c >> GREATEST(length(bin(c)) - 6, 0))
+        |      << GREATEST(length(bin(c)) - 6, 0) AS bucket_lo,
+        |    count(*)::BIGINT AS cnt
+        |  FROM v WHERE c >= 0 GROUP BY 1, 2
+        |), cuh AS (
+        |  SELECT event_type, bucket_lo, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket_lo)
+        |      AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS tot
+        |  FROM hb
+        |), ph AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum * 10000 >= tot * 5000 THEN bucket_lo END)
+        |      AS p50_hdr,
+        |    min(CASE WHEN cum * 10000 >= tot * 9900 THEN bucket_lo END)
+        |      AS p99_hdr
+        |  FROM cuh GROUP BY 1
+        |)
+        |SELECT pe.event_type,
+        |  CAST(p50_exact AS BIGINT) AS p50_exact,
+        |  CAST(p50_hdr AS BIGINT) AS p50_hdr,
+        |  CAST(((p50_exact - p50_hdr) * 1000000) // p50_exact
+        |    AS BIGINT) AS p50_err_ppm,
+        |  CAST(p99_exact AS BIGINT) AS p99_exact,
+        |  CAST(p99_hdr AS BIGINT) AS p99_hdr,
+        |  CAST(((p99_exact - p99_hdr) * 1000000) // p99_exact
+        |    AS BIGINT) AS p99_err_ppm
+        |FROM pe JOIN ph ON ph.event_type = pe.event_type
+        |ORDER BY pe.event_type""".stripMargin
   )
 }
