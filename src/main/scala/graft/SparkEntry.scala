@@ -4336,6 +4336,51 @@ object SparkEntry {
           expr("((p99_exact - p99_hdr) * 1000000) div p99_exact")
             .as("p99_err_ppm"))
         .orderBy(col("event_type"))
+    }),
+
+    // ---- Store maintenance pipeline end-to-end ----
+    // The full operational loop on one store: keyed MERGE (q251's
+    // batch), COMPACT the fragments, REBUILD the bloom sidecar,
+    // then an index-pruned read — every step composing on the same
+    // files, the read hash-checked against the relational merge.
+    "q260_store_maintenance" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q260"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val store = s"$base/store"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id").isNotNull)
+      docs.repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(store)
+      val changed = docs
+        .filter(pmod(col("doc_id"), lit(11)) === 0 ||
+          pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"),
+          (pmod(col("doc_id"), lit(13)) === 0).as("del"))
+      val inserts = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("xx").as("lang"), lit(77L).as("n_chars"),
+          lit(false).as("del"))
+      Materialize.mergeUpsert(s, store,
+        changed.unionByName(inserts), "doc_id",
+        deleteCol = Some("del"))
+      Materialize.compact(s, store, targetFileMb = 256)
+      RowGroupIndex.buildBloom(s, store, Seq("doc_id"), s"$base/idx",
+        expectedPerFile = 100000L)
+      val probe = Seq(22L, 26L, 33L, 1000000L, 1000017L, 3L, 44L)
+      RowGroupIndex.readBloomSelected(s, store, s"$base/idx",
+          "doc_id", probe)
+        .filter(col("doc_id").isin(probe: _*))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -10928,6 +10973,25 @@ object SparkEntry {
         |  CAST(((p99_exact - p99_hdr) * 1000000) // p99_exact
         |    AS BIGINT) AS p99_err_ppm
         |FROM pe JOIN ph ON ph.event_type = pe.event_type
-        |ORDER BY pe.event_type""".stripMargin
+        |ORDER BY pe.event_type""".stripMargin,
+
+    // The q251 relational merge, filtered to the probed keys — the
+    // maintenance steps must be invisible to correctness.
+    "q260_store_maintenance" ->
+      """WITH merged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'xx', 77
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 17 = 0
+        |)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM merged
+        |WHERE doc_id IN (22, 26, 33, 1000000, 1000017, 3, 44)
+        |ORDER BY doc_id""".stripMargin
   )
 }
