@@ -4381,6 +4381,32 @@ object SparkEntry {
         .filter(col("doc_id").isin(probe: _*))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Retention curve with bootstrap confidence bands ----
+    // Day-k retention (k = 0..7 from each user's first day) with the
+    // q236 replicate band per offset — the product curve WITH error
+    // bars, all integer. One md5 per user, shared across offsets
+    // (bands are rank-correlated across k — right for reading a
+    // CURVE, where per-user pairing is the comparison that matters).
+    "q261_retention_band" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("(ts DIV 1000) div 86400000000").as("day"))
+      val fd = ev.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+      val act = ev.distinct()
+        .select(col("user_id").as("__u"), col("day").as("__d"))
+      val frame = fd
+        .withColumn("day_offset", explode(sequence(lit(0L), lit(7L))))
+        .join(act,
+          col("__u") === col("user_id") &&
+            col("__d") === col("fd") + col("day_offset"), "left")
+        .select(col("user_id"), col("day_offset"),
+          when(col("__d").isNotNull, 1.0d).otherwise(0.0d)
+            .as("active"))
+      Stats.bootstrapMeans(frame, Seq("day_offset"), "active",
+          "user_id")
+        .orderBy(col("day_offset"))
     })
   )
 
@@ -10992,6 +11018,69 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         |FROM merged
         |WHERE doc_id IN (22, 26, 33, 1000000, 1000017, 3, 44)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // The q236 replicate replay over the retention indicator frame
+    // (one md5 per user, offsets share the draws).
+    "q261_retention_band" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL
+        |), fd AS (
+        |  SELECT user_id, min(day) AS fd FROM ev GROUP BY 1
+        |), fr AS (
+        |  SELECT f.user_id, o AS day_offset,
+        |    CASE WHEN a.user_id IS NOT NULL THEN 1000000
+        |         ELSE 0 END AS e
+        |  FROM fd f CROSS JOIN range(0, 8) t(o)
+        |  LEFT JOIN ev a ON a.user_id = f.user_id
+        |    AND a.day = f.fd + o
+        |), hh AS (
+        |  SELECT user_id,
+        |    ('0x' || substr(md5('bs:' || user_id), 1, 15))::BIGINT
+        |      AS h1,
+        |    ('0x' || substr(md5('bs:' || user_id), 17, 15))::BIGINT
+        |      % 18014398509481984 AS h2
+        |  FROM fd
+        |), x AS (
+        |  SELECT fr.day_offset, fr.e, b,
+        |    ((h1 + b * h2) % 1152921504606846976) % 1000000 AS u
+        |  FROM fr JOIN hh USING (user_id) CROSS JOIN range(40) t(b)
+        |), w AS (
+        |  SELECT day_offset, b, e,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |         WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM x
+        |), c AS (
+        |  SELECT day_offset, b, CAST(sum(w) AS BIGINT) AS sw,
+        |    CAST(sum(w::HUGEINT * e) AS HUGEINT) AS swe
+        |  FROM w GROUP BY 1, 2
+        |), m AS (
+        |  SELECT day_offset, b,
+        |    CAST((swe - ((swe % sw + sw) % sw)) // sw AS BIGINT)
+        |      AS mean
+        |  FROM c WHERE sw > 0
+        |), r AS (
+        |  SELECT day_offset, b, mean,
+        |    row_number() OVER (PARTITION BY day_offset
+        |      ORDER BY mean, b) AS rk
+        |  FROM m
+        |), band AS (
+        |  SELECT day_offset, count(*)::BIGINT AS n_boots,
+        |    max(CASE WHEN rk = 2 THEN mean END) AS boot_lo_e6,
+        |    max(CASE WHEN rk = 39 THEN mean END) AS boot_hi_e6
+        |  FROM r GROUP BY 1
+        |), pt AS (
+        |  SELECT day_offset, count(*)::BIGINT AS n,
+        |    CAST(sum(e) // count(*) AS BIGINT) AS mean_e6
+        |  FROM fr GROUP BY 1
+        |)
+        |SELECT CAST(pt.day_offset AS BIGINT) AS day_offset, pt.n,
+        |  pt.mean_e6, band.n_boots, band.boot_lo_e6, band.boot_hi_e6
+        |FROM pt JOIN band ON band.day_offset = pt.day_offset
+        |ORDER BY day_offset""".stripMargin
   )
 }
