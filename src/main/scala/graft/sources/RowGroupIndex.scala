@@ -118,8 +118,77 @@ object RowGroupIndex {
       fields: Seq[String], indexUrl: String,
       expectedPerFile: Long = 100000L, fpp: Double = 0.01): Unit = {
     require(fields.nonEmpty, "buildBloom needs fields")
-    import org.apache.spark.util.sketch.BloomFilter
     val files = Materialize.listParquetFiles(spark, datasetUrl)
+    bloomRowsFor(spark, files, fields, expectedPerFile, fpp)
+      .write.mode("overwrite").parquet(indexUrl)
+  }
+
+  /** Incremental bloom refresh for append-only/merged stores — the
+    * [[Materialize.updateMetadata]] move applied to the bloom
+    * sidecar: only files ABSENT from the existing index are scanned
+    * and bloomed; entries for files that vanished (compaction,
+    * [[Materialize.mergeUpsert]] rewrites) are pruned against the
+    * current listing. Batch k of a landing stream costs O(new
+    * files), not O(store) — the full [[buildBloom]] rescan made an
+    * append-only store's cumulative index cost quadratic. Geometry
+    * (`expectedPerFile`, fpp) must match the original build (Spark
+    * bloom merge and probe semantics are geometry-bound); `fields`
+    * must equal the built fields — both enforced against the
+    * sidecar's existing field set where detectable.
+    *
+    * A missing index falls back to a full [[buildBloom]]. */
+  def updateBloom(spark: SparkSession, datasetUrl: String,
+      fields: Seq[String], indexUrl: String,
+      expectedPerFile: Long = 100000L, fpp: Double = 0.01): Unit = {
+    val idxPath = new org.apache.hadoop.fs.Path(indexUrl)
+    val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(idxPath)) {
+      buildBloom(spark, datasetUrl, fields, indexUrl, expectedPerFile,
+        fpp)
+      return
+    }
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val existing = spark.read.parquet(indexUrl)
+    val known = existing.select("field", "file").collect()
+      .map(r => (r.getString(0), norm(r.getString(1)))).toSet
+    val knownFields = known.map(_._1)
+    require(fields.toSet == knownFields || knownFields.isEmpty,
+      s"field set ${fields.sorted} != indexed ${knownFields.toSeq.sorted}" +
+        " — rebuild with buildBloom")
+    val current = Materialize.listParquetFiles(spark, datasetUrl)
+    val currentNorm = current.map(norm).toSet
+    val fresh = current.filter(f =>
+      fields.exists(fl => !known.contains((fl, norm(f)))))
+    // survivors: entries whose file still exists
+    val keep = existing.filter(
+      udfFileKept(currentNorm)(col("file")))
+    val freshRows =
+      if (fresh.isEmpty) None
+      else Some(bloomRowsFor(spark, fresh, fields, expectedPerFile,
+        fpp))
+    val merged = freshRows.map(keep.unionByName(_)).getOrElse(keep)
+    // stage-and-swap: the sidecar is tiny, rewrite atomically-enough
+    val tmp = new org.apache.hadoop.fs.Path(indexUrl + "__tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(idxPath, true)
+    require(fs.rename(tmp, idxPath), s"rename failed for $indexUrl")
+  }
+
+  private def udfFileKept(currentNorm: Set[String]) = {
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    org.apache.spark.sql.functions.udf(
+      (f: String) => currentNorm.contains(norm(f)))
+  }
+
+  /** The shared per-file bloom build over an explicit file list
+    * ([[buildBloom]]'s body, reusable for incremental refresh). */
+  private def bloomRowsFor(spark: SparkSession, files: Seq[String],
+      fields: Seq[String], expectedPerFile: Long,
+      fpp: Double): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
     val df = spark.read.parquet(files: _*)
       .withColumn("__file", input_file_name())
     val parts = fields.map { f =>
@@ -133,7 +202,7 @@ object RowGroupIndex {
       val blooms = scala.collection.mutable.HashMap
         .empty[(String, String), BloomFilter]
       it.foreach { r =>
-        val key = (r.getString(2), r.getString(0)) // (field, file)
+        val key = (r.getString(2), r.getString(0))
         val bf = blooms.getOrElseUpdate(key,
           BloomFilter.create(expectedPerFile, fpp))
         bf.putString(r.getString(1))
@@ -153,7 +222,6 @@ object RowGroupIndex {
       }
       .map(_._2)
       .toDF("field", "file", "bloom")
-      .write.mode("overwrite").parquet(indexUrl)
   }
 
   /** Files a bloom index admits for `field IN values` — every file

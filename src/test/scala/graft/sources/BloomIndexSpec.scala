@@ -64,6 +64,55 @@ class BloomIndexSpec extends SparkSpec {
     assert(got.count() == expect.count() && got.count() > 0L)
   }
 
+  test("updateBloom indexes only new files and prunes vanished ones") {
+    val data = scratch("bloom_upd_data")
+    val idx = scratch("bloom_upd_idx")
+    (1 to 100).map(i => (i.toLong, i % 4)).toDF("id", "bucket")
+      .repartition(4, col("bucket"))
+      .write.mode("overwrite").parquet(data)
+    RowGroupIndex.buildBloom(spark, data, Seq("id"), idx, 1000L)
+    val before = spark.read.parquet(idx)
+      .select("file").as[String].collect().toSet
+    // append a new file carrying fresh keys
+    Seq((9001L, 9)).toDF("id", "bucket")
+      .coalesce(1).write.mode("append").parquet(data)
+    RowGroupIndex.updateBloom(spark, data, Seq("id"), idx, 1000L)
+    val after = spark.read.parquet(idx)
+      .select("file").as[String].collect().toSet
+    assert(before.subsetOf(after) && after.size == before.size + 1,
+      s"expected exactly one fresh entry: ${after.size} vs ${before.size}")
+    // the fresh key probes through the updated sidecar
+    val got = RowGroupIndex.readBloomSelected(spark, data, idx,
+        "id", Seq(9001L))
+      .filter(col("id") === 9001L)
+    assert(got.count() == 1L)
+    // compaction: rewrite the store to one file; update prunes all
+    // stale entries and blooms the survivor
+    val all = spark.read.parquet(data)
+    val tmp = scratch("bloom_upd_tmp")
+    all.coalesce(1).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).coalesce(1)
+      .write.mode("overwrite").parquet(data)
+    RowGroupIndex.updateBloom(spark, data, Seq("id"), idx, 1000L)
+    val files = spark.read.parquet(idx).select("file")
+      .as[String].collect().toSet
+    assert(files.size == 1, s"stale entries survived: $files")
+    assert(RowGroupIndex.readBloomSelected(spark, data, idx, "id",
+      Seq(42L)).filter(col("id") === 42L).count() == 1L)
+  }
+
+  test("updateBloom refuses a changed field set; missing idx builds") {
+    val data = scratch("bloom_upd2_data")
+    val idx = scratch("bloom_upd2_idx")
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(data)
+    // no index yet -> full build fallback
+    RowGroupIndex.updateBloom(spark, data, Seq("id"), idx, 100L)
+    assert(spark.read.parquet(idx).count() >= 1L)
+    intercept[IllegalArgumentException] {
+      RowGroupIndex.updateBloom(spark, data, Seq("s"), idx, 100L)
+    }
+  }
+
   test("sidecar is file-count-sized per field") {
     val (data, idx) = store("size")
     val n = spark.read.parquet(idx)
