@@ -4407,6 +4407,42 @@ object SparkEntry {
       Stats.bootstrapMeans(frame, Seq("day_offset"), "active",
           "user_id")
         .orderBy(col("day_offset"))
+    }),
+
+    // ---- Incremental index maintenance on an appended store ----
+    // Initial store + bloom build, a second landing batch appended,
+    // updateBloom scans ONLY the new files — then keys from both
+    // generations probe through the refreshed sidecar.
+    "q262_incremental_index" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q262"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val store = s"$base/store"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id").isNotNull)
+      docs.filter(col("doc_id") < 250)
+        .repartition(4, col("doc_id"))
+        .write.mode("overwrite").parquet(store)
+      RowGroupIndex.buildBloom(s, store, Seq("doc_id"), s"$base/idx",
+        expectedPerFile = 100000L)
+      docs.filter(col("doc_id") >= 250)
+        .repartition(2, col("doc_id"))
+        .write.mode("append").parquet(store)
+      RowGroupIndex.updateBloom(s, store, Seq("doc_id"),
+        s"$base/idx", expectedPerFile = 100000L)
+      val probe = Seq(10L, 400L)
+      RowGroupIndex.readBloomSelected(s, store, s"$base/idx",
+          "doc_id", probe)
+        .filter(col("doc_id").isin(probe: _*))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -11081,6 +11117,13 @@ object SparkEntry {
         |SELECT CAST(pt.day_offset AS BIGINT) AS day_offset, pt.n,
         |  pt.mean_e6, band.n_boots, band.boot_lo_e6, band.boot_hi_e6
         |FROM pt JOIN band ON band.day_offset = pt.day_offset
-        |ORDER BY day_offset""".stripMargin
+        |ORDER BY day_offset""".stripMargin,
+
+    // Index maintenance must be invisible: indexed read + row
+    // filter equals the plain filter over both generations.
+    "q262_incremental_index" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (10, 400)
+        |ORDER BY doc_id""".stripMargin
   )
 }
