@@ -4443,6 +4443,26 @@ object SparkEntry {
         .filter(col("doc_id").isin(probe: _*))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Data card: per-source report + deterministic examples ----
+    // q125's rollup joined with three md5-sampled example doc ids
+    // per source (q233 machinery) — the dataset-card row a release
+    // review reads, reproducible anywhere.
+    "q263_data_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val rep = Stats.sourceReport(docs, "source", "doc_id", "text",
+        "lang")
+      val examples = Sketch.distinctSample(docs, Seq("source"),
+          "doc_id", k = 3)
+        .groupBy(col("source"))
+        .agg(expr("array_join(transform(" +
+          "array_sort(collect_list(struct(smp_rank, value)))," +
+          " x -> x.value), ',')").as("example_ids"))
+      rep.join(examples, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_dup_docs"), col("dup_ppm"), col("example_ids"))
+        .orderBy(col("source"))
     })
   )
 
@@ -11124,6 +11144,46 @@ object SparkEntry {
     "q262_incremental_index" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (10, 400)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q125's rollup + the 'ds:' sample replay aggregated in rank
+    // order via string_agg.
+    "q263_data_card" ->
+      """WITH b AS (
+        |  SELECT source, lang,
+        |    len(regexp_extract_all(lower(coalesce(text, '')),
+        |      '[a-z0-9]+'))::BIGINT AS toks,
+        |    md5(regexp_replace(trim(lower(coalesce(text, ''))),
+        |      '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), fpc AS (
+        |  SELECT fp, count(*)::BIGINT AS nfp FROM b GROUP BY fp
+        |), rep AS (
+        |  SELECT b.source, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(b.toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN fpc.nfp >= 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dup_docs,
+        |    (CAST(sum(CASE WHEN fpc.nfp >= 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) * 1000000 // count(*)) AS dup_ppm
+        |  FROM b JOIN fpc USING (fp)
+        |  GROUP BY b.source
+        |), d AS (
+        |  SELECT DISTINCT source, CAST(doc_id AS VARCHAR) AS value
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), r AS (
+        |  SELECT source, value,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5('ds:' || value), 1, 15))::BIGINT,
+        |      value) AS rk
+        |  FROM d
+        |), ex AS (
+        |  SELECT source,
+        |    string_agg(value, ',' ORDER BY rk) AS example_ids
+        |  FROM r WHERE rk <= 3 GROUP BY source
+        |)
+        |SELECT rep.source, n_docs, n_tokens, n_dup_docs, dup_ppm,
+        |  example_ids
+        |FROM rep JOIN ex ON ex.source = rep.source
+        |ORDER BY rep.source""".stripMargin
   )
 }
