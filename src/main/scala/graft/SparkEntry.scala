@@ -4463,6 +4463,38 @@ object SparkEntry {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("n_dup_docs"), col("dup_ppm"), col("example_ids"))
         .orderBy(col("source"))
+    }),
+
+    // ---- Per-source eCDF rank normalization ----
+    // Every doc's length mapped to its percentile WITHIN its source
+    // — thresholds made comparable across sources with different
+    // scales; histogram windows, never a corpus sort.
+    "q264_group_ecdf" -> ((s, dir) => {
+      Stats.groupEcdf(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull)
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("source"), "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Dedup savings forecast ----
+    // What an exact-dedup pass would reclaim: chars beyond each
+    // cluster's keeper (min doc_id), corpus-wide, in one rollup —
+    // the run/don't-run decision number.
+    "q265_dedup_savings" -> ((s, dir) => {
+      val fp = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.fingerprint(coalesce(col("text"), lit("")))
+            .as("__fp"))
+      fp.groupBy(col("__fp"))
+        .agg(count(lit(1)).as("__n"), sum(col("n_chars")).as("__sc"),
+          min_by(col("n_chars"), col("doc_id")).as("__keep_chars"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("__n")).as("n_docs"),
+          sum(col("__sc")).as("total_chars"),
+          sum(col("__sc") - col("__keep_chars")).as("saved_chars"))
+        .withColumn("saved_ppm",
+          expr("(saved_chars * 1000000) div total_chars"))
     })
   )
 
@@ -11184,6 +11216,48 @@ object SparkEntry {
         |SELECT rep.source, n_docs, n_tokens, n_dup_docs, dup_ppm,
         |  example_ids
         |FROM rep JOIN ex ON ex.source = rep.source
-        |ORDER BY rep.source""".stripMargin
+        |ORDER BY rep.source""".stripMargin,
+
+    // Per-source cumulative over the length histogram.
+    "q264_group_ecdf" ->
+      """WITH h AS (
+        |  SELECT source, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2
+        |), t AS (
+        |  SELECT source, v,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS tot
+        |  FROM h
+        |)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CAST((t.cum * 1000000) // t.tot AS BIGINT) AS cdf_ppm
+        |FROM documents d
+        |LEFT JOIN t ON t.source IS NOT DISTINCT FROM d.source
+        |  AND t.v = d.n_chars
+        |WHERE d.doc_id IS NOT NULL
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // arg_min keeps the keeper's chars; saved = beyond-keeper mass.
+    "q265_dedup_savings" ->
+      """WITH fp AS (
+        |  SELECT doc_id, n_chars,
+        |    md5(regexp_replace(trim(lower(coalesce(text, ''))),
+        |      '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), cl AS (
+        |  SELECT fp, count(*)::BIGINT AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sc,
+        |    CAST(arg_min(n_chars, doc_id) AS BIGINT) AS keep_chars
+        |  FROM fp GROUP BY fp
+        |)
+        |SELECT count(*)::BIGINT AS n_clusters,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(sc) AS BIGINT) AS total_chars,
+        |  CAST(sum(sc - keep_chars) AS BIGINT) AS saved_chars,
+        |  CAST((sum(sc - keep_chars) * 1000000) // sum(sc) AS BIGINT)
+        |    AS saved_ppm
+        |FROM cl""".stripMargin
   )
 }

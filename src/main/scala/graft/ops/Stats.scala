@@ -269,6 +269,45 @@ object Stats {
         expr("((__lt + n) * 1000000L) div __tot").as("cdf_ppm"))
   }
 
+  /** Per-GROUP empirical-CDF transform — every row's value mapped to
+    * its percentile WITHIN its group (`cdf_ppm = count(v' <= v in
+    * group)·1e6 div group_n`): the cross-source score normalizer
+    * ("is 2k chars long FOR THIS SOURCE?") that makes thresholds
+    * comparable across groups with different scales — the per-group
+    * sibling of [[ecdf]] and the rank-normalization feeding
+    * quantile-matching pipelines.
+    *
+    * Scale shape: one (group, value) histogram (map-side combined,
+    * value-domain-sized), per-group cumulative window over the
+    * COMPACTED histogram (the q62 contract), then a broadcast-sized
+    * join back on (group, value) — the corpus is scanned once and
+    * never window-sorted. Null values keep a null cdf (no rank);
+    * null GROUPS are groups (null-safe join back).
+    *
+    * Output: the input columns + `cdf_ppm`. */
+  def groupEcdf(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupEcdf needs group columns")
+    val g = groupCols.map(col)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).cast("long").as("__v"): _*)
+      .groupBy(g :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    val table = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__tot", sum(col("__c")).over(wAll))
+      .select(groupCols.map(c => col(c).as(s"__ge_$c")) ++ Seq(
+        col("__v"),
+        expr("(__cum * 1000000) div __tot").as("cdf_ppm")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__ge_$c"))
+      .reduce(_ && _) && col(valueCol).cast("long") === col("__v")
+    df.join(table, cond, "left")
+      .drop(groupCols.map(c => s"__ge_$c") :+ "__v": _*)
+  }
+
   /** Exact precision–recall curve per group from the score
     * histogram — the threshold-picking table next to [[aucTable]]'s
     * single-number ROC summary (PR is the one that matters under

@@ -98,6 +98,25 @@ class CorpusHealthSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("groupEcdf: within-group percentiles, null edges") {
+    val df = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("a"), Some(20L)),
+      (3L, Some("a"), Some(20L)), (4L, Some("a"), Some(30L)),
+      (5L, Some("b"), Some(5L)),
+      (6L, None, Some(7L)),              // null group is a group
+      (7L, Some("a"), None))             // null value -> null cdf
+      .toDF("id", "g", "v")
+    val got = Stats.groupEcdf(df, Seq("g"), "v")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(1L) == 250000L)
+    assert(got(2L) == 750000L && got(3L) == 750000L) // ties share
+    assert(got(4L) == 1000000L)
+    assert(got(5L) == 1000000L)
+    assert(got(6L) == 1000000L)
+    assert(got(7L) == -1L)
+  }
+
   test("distinctSample: duplicates collapse; k beyond domain is all") {
     val df = Seq(("g", 1), ("g", 1), ("g", 2)).toDF("g", "v")
     val got = Sketch.distinctSample(df, Seq("g"), "v", k = 10)
