@@ -4495,6 +4495,41 @@ object SparkEntry {
           sum(col("__sc") - col("__keep_chars")).as("saved_chars"))
         .withColumn("saved_ppm",
           expr("(saved_chars * 1000000) div total_chars"))
+    }),
+
+    // ---- Streaming read of a codec store, oracled ----
+    // The q19 store consumed INCREMENTALLY (GraftStream.reader,
+    // AvailableNow, maxFiles=1 → one micro-batch per file) — the
+    // streamed decode must be bit-identical to the batch read, so
+    // the q19-style oracle applies unchanged.
+    "q266_stream_store_read" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("lang"),
+        array(col("n_chars").cast("double"),
+          (col("doc_id") * 2).cast("double"), lit(7.0)).as("tvec"))
+      val schema = GraftSchema("docs_t2", Seq(
+        FieldSpec("doc_id", org.apache.spark.sql.types.LongType),
+        FieldSpec("lang", org.apache.spark.sql.types.StringType,
+          nullable = true),
+        FieldSpec("tvec", org.apache.spark.sql.types.DoubleType,
+          shape = Seq(3), codec = Some(CodecSpec("ndarray")))))
+      val url = sys.props("java.io.tmpdir") + "/graft_q266_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Materialize.materialize(src, url, schema, partitions = Some(4))
+      val name = "graft_q266_sink"
+      val q = graft.streaming.GraftStream.reader(s, url)
+        .maxFiles(1)
+        .predicate(pmod(col("doc_id"), lit(7)) === 0)
+        .load()
+        .select(col("doc_id"), col("tvec.data")(0).as("v0"),
+          col("tvec.data")(1).as("v1"), col("tvec.data")(2).as("v2"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("doc_id"))
     })
   )
 
@@ -11258,6 +11293,13 @@ object SparkEntry {
         |  CAST(sum(sc - keep_chars) AS BIGINT) AS saved_chars,
         |  CAST((sum(sc - keep_chars) * 1000000) // sum(sc) AS BIGINT)
         |    AS saved_ppm
-        |FROM cl""".stripMargin
+        |FROM cl""".stripMargin,
+
+    // Streamed decode == batch decode == the synthetic formula.
+    "q266_stream_store_read" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) AS v0,
+        |  CAST(doc_id * 2 AS DOUBLE) AS v1, 7.0 AS v2
+        |FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin
   )
 }
