@@ -4530,6 +4530,25 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(name).orderBy(col("doc_id"))
+    }),
+
+    // ---- Semi-structured schema discovery ----
+    // Key histogram of the props JSON per event type (every 3rd
+    // event carries an injected 'extra' key — schema drift made
+    // visible): the pass that decides a typed extraction schema
+    // (q72) before trusting it.
+    "q267_json_schema" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          when(pmod(col("event_id"), lit(3)) === 0,
+            expr("""replace(props, '}', ',"extra":1}')"""))
+            .otherwise(col("props")).as("__p"))
+        .filter(col("__p").isNotNull)
+        .select(col("event_type"),
+          explode(expr("json_object_keys(__p)")).as("key"))
+        .groupBy(col("event_type"), col("key"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("key"))
     })
   )
 
@@ -11300,6 +11319,21 @@ object SparkEntry {
       """SELECT doc_id, CAST(n_chars AS DOUBLE) AS v0,
         |  CAST(doc_id * 2 AS DOUBLE) AS v1, 7.0 AS v2
         |FROM documents WHERE doc_id % 7 = 0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // json_keys over the same injected-drift payloads.
+    "q267_json_schema" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 3 = 0
+        |      THEN replace(props, '}', ',"extra":1}')
+        |      ELSE props END AS pp
+        |  FROM events WHERE props IS NOT NULL
+        |), k AS (
+        |  SELECT event_type, unnest(json_keys(pp)) AS key FROM p
+        |)
+        |SELECT event_type, key, count(*)::BIGINT AS n
+        |FROM k GROUP BY 1, 2
+        |ORDER BY event_type, key""".stripMargin
   )
 }
