@@ -4549,6 +4549,18 @@ object SparkEntry {
         .groupBy(col("event_type"), col("key"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"), col("key"))
+    }),
+
+    // ---- Day-of-week seasonal profile ----
+    // q240's phase machinery at the weekly period (7 buckets,
+    // epoch-day phase: bucket 0 = Thursday, the 1970-01-01 anchor)
+    // — weekday/weekend load shape per event type.
+    "q268_weekly_profile" -> ((s, dir) => {
+      graft.ops.Resample.seasonalProfile(
+          t(s, dir, "events"), Seq("event_type"),
+          expr("ts DIV 1000"), periodUs = 7L * 86400000000L,
+          buckets = 7)
+        .orderBy(col("event_type"), col("bucket"))
     })
   )
 
@@ -11334,6 +11346,22 @@ object SparkEntry {
         |)
         |SELECT event_type, key, count(*)::BIGINT AS n
         |FROM k GROUP BY 1, 2
-        |ORDER BY event_type, key""".stripMargin
+        |ORDER BY event_type, key""".stripMargin,
+
+    "q268_weekly_profile" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS bucket,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2
+        |), t2 AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT c.event_type, bucket, n,
+        |  CAST((n * 1000000) // tot AS BIGINT) AS share_ppm,
+        |  CAST((n * 7 * 1000000) // tot AS BIGINT) AS index_ppm
+        |FROM c JOIN t2 ON t2.event_type = c.event_type
+        |ORDER BY c.event_type, bucket""".stripMargin
   )
 }
