@@ -170,31 +170,44 @@ object Bench {
       }
 
     // The driver's stdout tail capture is bounded (~2.5 KB observed):
-    // r5's full-name 3-decimal map outgrew it and the official record
-    // parsed null. stdout therefore carries the compact form — qNN
-    // short keys (names are "qNN_description", the prefix is unique)
-    // at 2 decimals — while bench_out.json keeps full names at 3
-    // decimals as the durable copy.
+    // r5's full-name 3-decimal map outgrew it (73 queries) and the
+    // r13 short-key form outgrew it AGAIN at 268 queries — a
+    // per-query stdout map cannot survive an unbounded query count.
+    // stdout therefore carries a BOUNDED line: totals, query/error
+    // counts, the 5 slowest queries (the only per-query numbers a
+    // tail reader acts on), capped+truncated errors, hello_world,
+    // load, contended. bench_out.json keeps full names at 3 decimals
+    // as the durable complete copy.
     val qsFull = timings.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val qsShort = timings.map { case (k, v) =>
-      f""""${k.takeWhile(_ != '_')}":$v%.2f""" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val cs = contended.map(n => s""""${n.takeWhile(_ != '_')}"""")
-      .mkString("[", ",", "]")
+    val qsSlow = timings.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => f""""${k.takeWhile(_ != '_')}":$v%.2f""" }
+      .mkString("{", ",", "}")
+    val esFull = errors.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    val esShort = errors.take(5).map { case (k, v) =>
+      s""""${k.takeWhile(_ != '_')}":"${v.take(60)}"""" }
+      .mkString("{", ",", "}")
+    // cap the stdout contended list too (an all-contended run would
+    // re-overflow the tail); bench_out.json has the uncapped copy
+    val csFull = contended.map(n => s""""${n.takeWhile(_ != '_')}"""")
+    val cs = csFull.mkString("[", ",", "]")
+    val csShort = csFull.take(20).mkString("[", ",", "]")
     val total = timings.values.sum
     val loadEnd = loadAvg1m()
-    def line(qs: String): String =
+    def line(qs: String, es: String, c: String): String =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
+        s""""n_queries":${timings.size},"n_errors":${errors.size},""" +
         s""""errors":$es,"hello_world_samples_per_sec":$hello,""" +
         f""""load_avg":[$loadStart%.2f,$loadEnd%.2f],""" +
-        s""""contended":$cs,"sf":"$sfDir"}"""
+        s""""contended":$c,"n_contended":${contended.size},"sf":"$sfDir"}"""
     // File copy first (survives stdout interleaving with sbt noise),
     // then the contractual single stdout JSON line, flushed last.
-    try Files.writeString(Paths.get("bench_out.json"), line(qsFull) + "\n")
+    try Files.writeString(Paths.get("bench_out.json"),
+      line(qsFull, esFull, cs) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    println(line(qsShort))
+    println(line(qsSlow, esShort, csShort))
     Console.flush()
   }
 }

@@ -2560,27 +2560,17 @@ object SparkEntry {
     // RRF (Cormack, Clarke & Buettcher 2009): score =
     // Σ 1e6 div (60 + rank) over the lists a doc appears in — THE
     // standard hybrid-retrieval combiner for RAG stacks, no score
-    // calibration needed, rank-only and so integer-exact.
+    // calibration needed, rank-only and so integer-exact. Both legs
+    // run through the posting lists (token equi-join) — candidates
+    // only where vocabulary overlaps, never corpus × queries.
     "q161_rrf_fusion" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val queries = docs.filter(col("doc_id") % 97 === 0)
       val bm = Retrieval.bm25TopK(docs, "doc_id", "text",
           queries, "doc_id", "text", k = 5)
         .select(col("qid"), col("cid"), col("rank"))
-      val sets = docs.select(col("doc_id"),
-        array_distinct(TextAnalysis.alphaTokens(col("text"))).as("ts"))
-      val qs = sets.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("qid"), col("ts").as("qt"))
-      val scored = sets.crossJoin(broadcast(qs))
-        .select(col("qid"), col("doc_id").as("cid"),
-          size(array_intersect(col("qt"), col("ts"))).cast("long")
-            .as("__i"),
-          (size(col("qt")) + size(col("ts"))).cast("long").as("__s"))
-        .select(col("qid"), col("cid"),
-          when(col("__s") - col("__i") > 0,
-            expr("(__i * 1000000L) div (__s - __i)"))
-            .otherwise(lit(0L)).as("cos_m"))
-      val jc = AnnSearch.rankTopK(scored, 5)
+      val jc = Retrieval.jaccardTopK(docs, "doc_id", "text",
+          queries, "doc_id", "text", k = 5)
         .select(col("qid"), col("cid"), col("rank"))
       val fused = bm.union(jc).groupBy(col("qid"), col("cid"))
         .agg(sum(expr("1000000L div (60 + rank)")).as("cos_m"))
@@ -7873,7 +7863,8 @@ object SparkEntry {
         |  SELECT CASE WHEN count(*) = 101 THEN min(p)
         |    ELSE 0::HUGEINT END AS tau FROM topk1
         |)
-        |SELECT s.key, s.w, greatest(s.w::HUGEINT, tau.tau) AS est_w
+        |SELECT s.key, s.w,
+        |  greatest(s.w::HUGEINT, tau.tau)::BIGINT AS est_w
         |FROM (SELECT * FROM topk1 ORDER BY p DESC, key LIMIT 100) s
         |CROSS JOIN tau
         |ORDER BY key""".stripMargin,
@@ -8170,9 +8161,8 @@ object SparkEntry {
         |    CAST(len(q.qt) + len(s.ts) AS BIGINT) AS sz
         |  FROM sets s CROSS JOIN qsets q
         |), js AS (
-        |  SELECT qid, cid, CASE WHEN sz - inter > 0
-        |    THEN (inter * 1000000) // (sz - inter) ELSE 0 END AS jacc
-        |  FROM jp
+        |  SELECT qid, cid, (inter * 1000000) // (sz - inter) AS jacc
+        |  FROM jp WHERE inter >= 1
         |), jrk AS (
         |  SELECT qid, cid,
         |    row_number() OVER (PARTITION BY qid

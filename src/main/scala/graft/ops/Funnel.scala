@@ -147,8 +147,13 @@ object Funnel {
           .otherwise(col("channel")))
       .withColumn("attr_cents",
         when(col("touch_id").isNull, col("cents"))
-          .otherwise(expr("cents div __k") +
-            when(col("__rk") <= expr("cents % __k"), 1L).otherwise(0L)))
+          // floored division with a floored (pmod) remainder: credits
+          // sum to cents EXACTLY for any sign — truncating div plus a
+          // `% __k` top-up under-distributes negative cents (refunds:
+          // cents=-5, k=2 would attribute -4)
+          .otherwise(expr("(cents - pmod(cents, __k)) div __k") +
+            when(col("__rk") <= expr("pmod(cents, __k)"), 1L)
+              .otherwise(0L)))
     credited.groupBy(col("channel"))
       .agg(count_distinct(col("conv_id")).as("n_conversions"),
         count(col("touch_id")).as("n_touches"),

@@ -172,4 +172,77 @@ object Retrieval {
     AnnSearch.rankTopK(scored.select(col("qid"), col("cid"), col("cos_m")), k)
       .withColumnRenamed("cos_m", "score_ppm")
   }
+
+  /** Top-`k` documents per query by integer-ppm Jaccard over DISTINCT
+    * alpha-token sets, computed through the POSTING LISTS — never an
+    * all-pairs comparison: |A∩B| is the pair count of the token
+    * equi-join (both sides distinct per document, so the join emits
+    * each shared term once), and |A∪B| = |A| + |B| − |A∩B| from the
+    * set sizes that ride the pair agg as dependent grouping keys.
+    * jaccard_ppm = (|A∩B|·10⁶) div |A∪B| — integral, engine-exact.
+    *
+    * Candidates are pairs that SHARE at least one token. A
+    * zero-overlap pair scores 0 and can never outrank a positive
+    * candidate, so excluding it changes nothing a retrieval consumer
+    * sees — except that a query overlapping fewer than k documents
+    * returns a shorter list instead of padding with arbitrary
+    * zero-score documents (the honest answer). This is what makes
+    * the operator scale: the exchange is bounded by the posting
+    * lists of the query's own terms (corpus×queries only in the
+    * degenerate all-docs-share-a-token case), where the naive
+    * `crossJoin` + `array_intersect` plan touches every (doc, query)
+    * pair regardless of vocabulary — the r13 verdict's one flagged
+    * scale-killer.
+    *
+    * The query side follows [[bm25TopK]]'s audited-snapshot contract:
+    * the exploded (qid, |Q|, term) side is collected ONCE bounded at
+    * `maxQueryTerms`+1 rows, refused if over, and broadcast as that
+    * same LocalRelation snapshot — single evaluation, bounded driver
+    * memory, no TOCTOU. Ranking rides [[AnnSearch.rankTopK]]'s
+    * two-phase bounded heaps. Output: (qid, rank, cid, jaccard_ppm),
+    * rank 1-based by (jaccard_ppm desc, cid asc). */
+  def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      unicode: Boolean = false,
+      maxQueryTerms: Long = 4000000L): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(maxQueryTerms > 0,
+      s"maxQueryTerms must be positive (got $maxQueryTerms)")
+    def toks(c: Column): Column =
+      array_distinct(TextAnalysis.alphaTokens(c, unicode))
+
+    // (cid, |C|, term) — the posting side; |C| staged behind a
+    // projection boundary and carried as a dependent grouping key
+    // (the bm25 dl pattern: set size costs no extra exchange).
+    val posts = docs.select(col(idCol).as("cid"),
+        toks(col(textCol)).as("__ts"))
+      .select(col("cid"), size(col("__ts")).cast("long").as("__cn"),
+        col("__ts"))
+      .select(col("cid"), col("__cn"), explode(col("__ts")).as("__term"))
+
+    // Query side: bounded snapshot, broadcast (see scaladoc).
+    val cap = math.min(maxQueryTerms, (Int.MaxValue - 1).toLong).toInt
+    val qRows = queries.select(col(qidCol).as("qid"),
+        toks(col(qtextCol)).as("__qt"))
+      .select(col("qid"), size(col("__qt")).cast("long").as("__qn"),
+        col("__qt"))
+      .select(col("qid"), col("__qn"), explode(col("__qt")).as("__term"))
+      .limit(cap + 1)
+    val snap = qRows.collect()
+    require(snap.length <= cap,
+      s"query side has > maxQueryTerms=$maxQueryTerms (qid, term) " +
+        "rows; jaccardTopK broadcasts the query side, so batch the " +
+        "queries into smaller calls or raise maxQueryTerms if memory " +
+        "allows a larger broadcast")
+    val qterms = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(snap: _*), qRows.schema)
+
+    val scored = broadcast(qterms).join(posts, "__term")
+      .groupBy(col("qid"), col("__qn"), col("cid"), col("__cn"))
+      .agg(count(lit(1)).as("__i"))
+      .select(col("qid"), col("cid"),
+        expr("(__i * 1000000L) div (__qn + __cn - __i)").as("cos_m"))
+    AnnSearch.rankTopK(scored, k)
+      .withColumnRenamed("cos_m", "jaccard_ppm")
+  }
 }

@@ -124,10 +124,15 @@ object Sampling {
     * All arithmetic is integer (p = (w·2^60) div (h+1), DECIMAL(38)
     * headroom), so selection and estimates reproduce on any engine.
     *
-    * Output: the selected rows' (key, w, est_w), est_w as
-    * DECIMAL(38,0) — τ can legitimately exceed a long when k
-    * approaches the row count. Fewer than k+1 input rows → τ = 0 and
-    * est_w = w (the sample is the population, estimates exact).
+    * Output: the selected rows' (key, w, est_w), est_w as BIGINT —
+    * the internal priority arithmetic stays in DECIMAL(38,0)
+    * headroom, but τ over any realistic (k, weights) is far inside
+    * long range (τ ≤ max(w)·2^60/k'th-hash; here ≈ max(w)·n/k), so
+    * the published estimate is a plain long. The adversarial case
+    * (k within a few rows of n drives τ toward w·2^60) is guarded:
+    * an est_w above Long.MaxValue raises rather than silently
+    * wrapping. Fewer than k+1 input rows → τ = 0 and est_w = w (the
+    * sample is the population, estimates exact).
     *
     * Scale shape: one md5 + fixed-point arithmetic per row at scan
     * speed; the global top-(k+1) is Spark's TakeOrdered (bounded
@@ -153,10 +158,16 @@ object Sampling {
     val tau = topk1.agg(
       when(count(lit(1)) === (k + 1L), min(col("__p")))
         .otherwise(lit(0L).cast("decimal(38,0)")).as("__tau"))
+    val estDec = greatest(col("w").cast("decimal(38,0)"), col("__tau"))
     topk1.orderBy(col("__p").desc, col("key")).limit(k)
       .crossJoin(broadcast(tau))
       .select(col("key"), col("w"),
-        greatest(col("w").cast("decimal(38,0)"), col("__tau"))
+        when(estDec <= lit(Long.MaxValue).cast("decimal(38,0)"),
+            estDec.cast("long"))
+          .otherwise(expr("CAST(raise_error('prioritySample: est_w " +
+            "exceeds BIGINT range (k too close to the row count " +
+            "drives tau toward w*2^60) — reduce k or rescale " +
+            "weights') AS BIGINT)"))
           .as("est_w"))
   }
 

@@ -1093,7 +1093,15 @@ object Stats {
       .agg(count(lit(1)).as("n"), sum(col("__e")).as("__se"))
       .withColumn("mean_e6", expr("(__se - pmod(__se, n)) div n"))
       .drop("__se")
-    point.join(band, groupCols)
+    // eqNullSafe join: null groups are groups (the quantileBins /
+    // groupEcdf / exactSplit convention) — a plain equi-join would
+    // silently drop a null-keyed group's row from the output
+    val bandR = band.select(
+      groupCols.map(c => col(c).as(s"__bb_$c")) ++
+        Seq(col("n_boots"), col("boot_lo_e6"), col("boot_hi_e6")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__bb_$c"))
+      .reduce(_ && _)
+    point.join(bandR, cond)
       .select(g ++ Seq(col("n"), col("mean_e6"), col("n_boots"),
         col("boot_lo_e6"), col("boot_hi_e6")): _*)
   }

@@ -2239,6 +2239,16 @@ case class UnigramSegmentTokens(
   require(pieces.forall(_._1.nonEmpty), "empty piece")
   require(pieces.map(_._1).distinct.size == pieces.size,
     "duplicate pieces in vocabulary")
+  // costs are -log p scaled to integers — non-negative by
+  // construction; a negative unkCost would disable segment()'s
+  // cost >= 0 reachability gate and surface as an opaque
+  // StringIndexOutOfBounds during path reconstruction, so misuse
+  // must fail HERE with a message naming the contract
+  require(unkCost >= 0, s"unkCost must be >= 0 (got $unkCost): " +
+    "unigram costs are scaled -log p, never negative")
+  require(pieces.forall(_._2 >= 0),
+    "negative piece cost: unigram costs are scaled -log p, never " +
+      s"negative (got ${pieces.filter(_._2 < 0).take(3)})")
 
   @transient private lazy val vocab: java.util.HashMap[String, java.lang.Long] = {
     val m = new java.util.HashMap[String, java.lang.Long]()

@@ -185,12 +185,18 @@ object Materialize {
       .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
       .mode("overwrite").parquet(tmp.toString)
     val staged = listParquetFiles(spark, tmp.toString)
-    files.foreach(f => fs.delete(new Path(f), false))
+    // promote BEFORE removing the old files: a crash between the two
+    // phases leaves transient DUPLICATE rows (which the documented
+    // listing-snapshot reader discipline tolerates and a re-run
+    // repairs), never lost rows — and every fs call is checked, so a
+    // silent delete failure can't leave duplicates unnoticed
     staged.foreach { f =>
       val name = new Path(f).getName
       require(fs.rename(new Path(f), new Path(root, name)),
         s"rename failed promoting $name")
     }
+    files.foreach(f => require(fs.delete(new Path(f), false),
+      s"delete failed removing compacted source $f"))
     fs.delete(tmp, true)
     loadSchema(spark, url).foreach(writeMetadata(spark, url, _))
     (files.length, staged.length)
@@ -215,8 +221,10 @@ object Materialize {
     * [[graft.ops.Dedup.compactLatest]]).
     *
     * Crash-safety is the [[compact]] contract: new files stage in an
-    * underscore-invisible tmp dir and promote by pure renames after
-    * the old files are removed; concurrent READERS of a live store
+    * underscore-invisible tmp dir, promote by pure renames, and only
+    * THEN are the replaced originals deleted — a crash anywhere in
+    * the swap leaves transient duplicates (repaired by re-running),
+    * never lost rows; concurrent READERS of a live store
     * should read through a listing snapshot. The sidecar, when
     * present, is refreshed incrementally. A bloom index sidecar goes
     * STALE for the rewritten files (the file set changed) — rebuild
@@ -270,12 +278,20 @@ object Materialize {
     merged.repartition(math.max(1, affected.length))
       .write.mode("overwrite").parquet(tmp.toString)
     val staged = listParquetFiles(spark, tmp.toString)
-    affected.foreach(f => fs.delete(new Path(f), false))
+    // two-phase swap, promote-first (same contract as [[compact]]):
+    // a crash after some renames leaves the merged rows ALONGSIDE
+    // the not-yet-deleted originals — transient duplicates a re-run
+    // repairs — instead of the old order's window where deleted
+    // originals + still-staged merges lost the affected rows
+    // outright. Delete results are checked: a silently failed
+    // delete was the one path to persistent unnoticed duplicates.
     staged.foreach { f =>
       val name = new Path(f).getName
       require(fs.rename(new Path(f), new Path(root, name)),
         s"rename failed promoting $name")
     }
+    affected.foreach(f => require(fs.delete(new Path(f), false),
+      s"delete failed removing merged source $f"))
     fs.delete(tmp, true)
     loadSchema(spark, url).foreach(updateMetadata(spark, url, _))
     (affected.length, files.length)

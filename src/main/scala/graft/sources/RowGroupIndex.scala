@@ -160,9 +160,13 @@ object RowGroupIndex {
     val currentNorm = current.map(norm).toSet
     val fresh = current.filter(f =>
       fields.exists(fl => !known.contains((fl, norm(f)))))
-    // survivors: entries whose file still exists
+    // survivors: entries whose file still exists AND is not being
+    // rescanned — a rescan re-emits EVERY field's row for the file
+    // (bloomRowsFor's marker contract), so keeping a partial older
+    // row would accumulate duplicate (field, file) entries
+    val freshNorm = fresh.map(norm).toSet
     val keep = existing.filter(
-      udfFileKept(currentNorm)(col("file")))
+      udfFileKept(currentNorm -- freshNorm)(col("file")))
     val freshRows =
       if (fresh.isEmpty) None
       else Some(bloomRowsFor(spark, fresh, fields, expectedPerFile,
@@ -184,11 +188,23 @@ object RowGroupIndex {
   }
 
   /** The shared per-file bloom build over an explicit file list
-    * ([[buildBloom]]'s body, reusable for incremental refresh). */
+    * ([[buildBloom]]'s body, reusable for incremental refresh).
+    *
+    * COVERAGE CONTRACT: emits exactly ONE row per (field, file) pair
+    * scanned — a pair whose column is entirely null gets an EMPTY
+    * geometry-consistent bloom (admits nothing, which is correct: an
+    * all-null file cannot contain any probe value). Without the
+    * marker, [[updateBloom]] would re-classify such a file as fresh
+    * on every refresh — rescanned each time, with duplicate rows for
+    * its other fields accumulating unboundedly. File names are
+    * stored path-normalized (`Path.toUri.getPath`) so the marker
+    * seeding and `input_file_name()`'s URI form key identically. */
   private def bloomRowsFor(spark: SparkSession, files: Seq[String],
       fields: Seq[String], expectedPerFile: Long,
       fpp: Double): DataFrame = {
     import org.apache.spark.util.sketch.BloomFilter
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
     val df = spark.read.parquet(files: _*)
       .withColumn("__file", input_file_name())
     val parts = fields.map { f =>
@@ -202,7 +218,8 @@ object RowGroupIndex {
       val blooms = scala.collection.mutable.HashMap
         .empty[(String, String), BloomFilter]
       it.foreach { r =>
-        val key = (r.getString(2), r.getString(0))
+        val key = (r.getString(2),
+          new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
         val bf = blooms.getOrElseUpdate(key,
           BloomFilter.create(expectedPerFile, fpp))
         bf.putString(r.getString(1))
@@ -211,16 +228,33 @@ object RowGroupIndex {
         (fld, file, graft.codecs.BloomBytes.toBytes(bf))
       }
     }
-    partials.groupByKey { case (fld, file, _) => (fld, file) }
+    // one zero-length-bytes marker per (field, file) pair seeds the
+    // reduce — the sentinel is the identity of the merge, and any
+    // pair that saw no values surfaces as exactly one empty bloom
+    // row (materialized per-task from geometry, not shipped per-row)
+    val markers = spark.createDataset(
+      for { fl <- fields; f <- files }
+        yield (fl, norm(f), Array.empty[Byte]))
+    partials.union(markers)
+      .groupByKey { case (fld, file, _) => (fld, file) }
       .reduceGroups { (a, b) =>
-        val x = BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(a._3))
-        val y = BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(b._3))
-        x.mergeInPlace(y)
-        (a._1, a._2, graft.codecs.BloomBytes.toBytes(x))
+        if (a._3.isEmpty) b
+        else if (b._3.isEmpty) a
+        else {
+          val x = BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(a._3))
+          val y = BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(b._3))
+          x.mergeInPlace(y)
+          (a._1, a._2, graft.codecs.BloomBytes.toBytes(x))
+        }
       }
       .map(_._2)
+      .map { case (fld, file, bytes) =>
+        if (bytes.nonEmpty) (fld, file, bytes)
+        else (fld, file, graft.codecs.BloomBytes.toBytes(
+          BloomFilter.create(expectedPerFile, fpp)))
+      }
       .toDF("field", "file", "bloom")
   }
 

@@ -70,6 +70,18 @@ class AttributionAuditSpec extends SparkSpec {
     assert(m == Map("click" -> 60L))
   }
 
+  test("attribution: refund (negative cents) still sums exactly") {
+    // cents=-5 over 2 touches: floored split -3/-2 sums to -5 — the
+    // truncating-div form attributed -4 and broke the invariant
+    val rows = Seq(
+      (1L, "view", 10L, 101L, 0L), (1L, "click", 20L, 102L, 0L),
+      (1L, "buy", 30L, 103L, -5L))
+    val m = attrib(rows).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(m.values.sum == -5L, s"credits must sum to -5: $m")
+    assert(!m.contains("(direct)"))
+  }
+
   test("uniquenessProfile: key verdict, nulls, multiplicity") {
     val df = Seq(
       (1L, Some("a"), "x"), (2L, Some("a"), "y"),

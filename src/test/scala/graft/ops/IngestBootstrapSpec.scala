@@ -72,6 +72,18 @@ class IngestBootstrapSpec extends SparkSpec {
     assert(r.getLong(4) != r.getLong(5))
   }
 
+  test("bootstrap: a null group key is a group (eqNullSafe join)") {
+    val df = ((1 to 60).map(i => (Option("g"), i.toLong, 2.0)) ++
+      (1 to 60).map(i => (Option.empty[String], 1000L + i, 5.0)))
+      .toDF("g", "id", "v")
+    val m = Stats.bootstrapMeans(df, Seq("g"), "v", "id").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(2))).toMap
+    // the repo convention (quantileBins/groupEcdf/exactSplit): null
+    // groups are groups — the plain equi-join silently dropped them
+    assert(m.keySet == Set(Some("g"), None), s"groups: ${m.keySet}")
+    assert(m(None) == 5000000L && m(Some("g")) == 2000000L)
+  }
+
   test("bootstrap: groups are independent (separate bands)") {
     val df = ((1 to 60).map(i => ("lo", i.toLong, 1.0)) ++
       (1 to 60).map(i => ("hi", 1000L + i, 100.0)))

@@ -215,6 +215,28 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("jaccardTopK rides the posting lists — no all-pairs join") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the lazy dog"),
+      (97L, "quick dog")).toDF("doc_id", "text")
+    val qs = docs.filter(col("doc_id") === 97L)
+    val p = plan(Retrieval.jaccardTopK(docs, "doc_id", "text",
+      qs, "doc_id", "text", k = 2))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"jaccard candidates must come from the token equi-join, " +
+        s"never corpus x queries:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the audited query-term snapshot should broadcast:\n$p")
+  }
+
+  test("prioritySample publishes est_w as BIGINT") {
+    val df = (1 to 50).map(i => (s"k$i", i.toLong)).toDF("key", "w")
+    val out = Sampling.prioritySample(df, "key", "w", k = 5)
+    assert(out.schema("est_w").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "est_w is the published estimator column — BIGINT by contract")
+  }
+
   test("bootstrapMeans cells aggregate before any exchange") {
     val df = Seq(("g", 1L, 1.0)).toDF("g", "id", "v")
     val p = plan(Stats.bootstrapMeans(df, Seq("g"), "v", "id", b = 4,

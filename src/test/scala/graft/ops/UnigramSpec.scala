@@ -104,6 +104,25 @@ class UnigramSpec extends SparkSpec {
     assert(got == Seq("a", "bc")) // 14 beats ab+c=15
   }
 
+  test("negative costs are refused at construction, not as an " +
+      "opaque DP crash") {
+    // a negative unkCost (or piece cost) disables segment()'s
+    // cost >= 0 reachability gate — the old failure was a
+    // StringIndexOutOfBounds deep in path reconstruction
+    val e1 = intercept[IllegalArgumentException] {
+      UnigramSegmentTokens(
+        org.apache.spark.sql.catalyst.expressions.Literal(null),
+        Seq(("a", 1L)), unkCost = -5L)
+    }
+    assert(e1.getMessage.contains("unkCost"))
+    val e2 = intercept[IllegalArgumentException] {
+      UnigramSegmentTokens(
+        org.apache.spark.sql.catalyst.expressions.Literal(null),
+        Seq(("a", -1L)), unkCost = 10L)
+    }
+    assert(e2.getMessage.contains("negative piece cost"))
+  }
+
   test("vocab round-trips through a DataFrame with the guard") {
     val v = Seq(("ab", 10L), ("c", 5L)).toDF("piece", "cost")
     val loaded = TextAnalysis.unigramVocabFromDF(v, "piece", "cost")

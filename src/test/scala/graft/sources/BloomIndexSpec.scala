@@ -101,6 +101,41 @@ class BloomIndexSpec extends SparkSpec {
       Seq(42L)).filter(col("id") === 42L).count() == 1L)
   }
 
+  test("updateBloom: an all-null field reaches steady state (marker " +
+      "rows, no duplicate sidecar entries)") {
+    val data = scratch("bloom_null_data")
+    val idx = scratch("bloom_null_idx")
+    // file whose `user` column is ENTIRELY null: without marker rows
+    // it would emit no (user, file) sidecar entry and be re-scanned
+    // (and re-duplicated for `id`) on every refresh
+    Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "user").coalesce(1)
+      .write.mode("overwrite").parquet(data)
+    Seq((3L, Option("u3"))).toDF("id", "user").coalesce(1)
+      .write.mode("append").parquet(data)
+    RowGroupIndex.buildBloom(spark, data, Seq("id", "user"), idx, 100L)
+    val nFiles = Materialize.listParquetFiles(spark, data).length
+    def pairs() = spark.read.parquet(idx)
+      .select("field", "file").as[(String, String)].collect().toSeq
+    // full coverage: one row per (field, file), including the
+    // all-null (user, file) pair
+    assert(pairs().length == 2 * nFiles, s"coverage: ${pairs()}")
+    assert(pairs().distinct.length == pairs().length)
+    // repeated refreshes are no-ops: no growth, no duplicates
+    RowGroupIndex.updateBloom(spark, data, Seq("id", "user"), idx, 100L)
+    RowGroupIndex.updateBloom(spark, data, Seq("id", "user"), idx, 100L)
+    assert(pairs().length == 2 * nFiles,
+      s"sidecar grew across refreshes: ${pairs()}")
+    assert(pairs().distinct.length == pairs().length,
+      s"duplicate (field, file) rows: ${pairs()}")
+    // the empty bloom admits nothing for the all-null file, and
+    // results stay exact for the real one
+    val got = RowGroupIndex.readBloomSelected(spark, data, idx,
+        "user", Seq("u3"))
+      .filter(col("user") === "u3")
+    assert(got.count() == 1L)
+  }
+
   test("updateBloom refuses a changed field set; missing idx builds") {
     val data = scratch("bloom_upd2_data")
     val idx = scratch("bloom_upd2_idx")
