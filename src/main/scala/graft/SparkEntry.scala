@@ -4551,6 +4551,45 @@ object SparkEntry {
           expr("ts DIV 1000"), periodUs = 7L * 86400000000L,
           buckets = 7)
         .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ---- Genuine petastorm-store interop: `.npy` decode ----
+    // Reads the reference's own committed 0.7.6 legacy store
+    // (tests/data/legacy, the dataset test_reading_legacy_datasets.py
+    // reads; vendored unmodified under fixtures/) through the
+    // inferred-schema path and decodes its np.save-format BLOB
+    // tensors natively: header descr + dims, the full uint16 value
+    // checksum, and the IEEE754-exact f4 floor(v*1e6) checksum — the
+    // DuckDB oracle re-derives every value from the raw bytes (hex
+    // arithmetic + the public .npy spec), so the decode is proven
+    // cross-engine, element for element. Scalars, the hive partition
+    // key, DECIMAL rendering and tensor-null passthrough ride along.
+    "q269_legacy_npy_store" -> ((s, dir) => {
+      import graft.functions.{GraftFunctions => GF}
+      val fx = {
+        val f = new java.io.File("fixtures/petastorm_legacy_0.7.6")
+        if (f.exists) f.getAbsolutePath
+        else "/root/repo/fixtures/petastorm_legacy_0.7.6"
+      }
+      val df = s.read.parquet(fx)
+      val m16 = GF.npyLongs(col("matrix_uint16"))
+      df.select(col("id"), col("partition_key").as("pk"),
+          col("id2"), col("id_odd"),
+          col("python_primitive_uint8").as("prim_u8"),
+          col("integer_nullable").as("int_nul"),
+          col("decimal").cast("string").as("dec_str"),
+          col("matrix_nullable").isNull.as("mn_null"),
+          GF.npyDescr(col("matrix")).as("m_descr"),
+          GF.npyShape(col("matrix"))(0).as("m_d0"),
+          GF.npyShape(col("matrix"))(1).as("m_d1"),
+          GF.npyShape(col("matrix"))(2).as("m_d2"),
+          size(m16).cast("long").as("m_n"),
+          GF.arraySumLong(m16).as("m16_sum"),
+          aggregate(
+            transform(GF.npyDoubles(col("matrix")),
+              v => floor(v * lit(1000000.0))),
+            lit(0L), (a, x) => a + x).as("m_sum_e6"))
+        .orderBy(col("id"))
     })
   )
 
@@ -11352,6 +11391,80 @@ object SparkEntry {
         |  CAST((n * 1000000) // tot AS BIGINT) AS share_ppm,
         |  CAST((n * 7 * 1000000) // tot AS BIGINT) AS index_ppm
         |FROM c JOIN t2 ON t2.event_type = c.event_type
-        |ORDER BY c.event_type, bucket""".stripMargin
+        |ORDER BY c.event_type, bucket""".stripMargin,
+
+    // Legacy-store .npy decode, re-derived from raw bytes: v1.0
+    // header length at offsets 8-9 (LE), ASCII dict regexp'd for
+    // descr/shape, u2 values from LE hex pairs, f4 values rebuilt
+    // from the IEEE754 fields (exact: 24-bit mantissa x power of two
+    // is exact in double, so both engines floor identical products).
+    "q269_legacy_npy_store" ->
+      """WITH t AS (
+        |  SELECT * FROM read_parquet(
+        |    '/root/repo/fixtures/petastorm_legacy_0.7.6/*/*.parquet',
+        |    hive_partitioning=1)
+        |), h AS (
+        |  SELECT id, partition_key, id2, id_odd,
+        |    python_primitive_uint8, integer_nullable,
+        |    decimal::VARCHAR AS dec_str,
+        |    matrix_nullable IS NULL AS mn_null,
+        |    hex(matrix) AS mh, hex(matrix_uint16) AS uh
+        |  FROM t
+        |), p AS (
+        |  SELECT *,
+        |    ('0x'||substr(mh,17,2))::INT
+        |      + 256*('0x'||substr(mh,19,2))::INT AS mhl,
+        |    ('0x'||substr(uh,17,2))::INT
+        |      + 256*('0x'||substr(uh,19,2))::INT AS uhl
+        |  FROM h
+        |), d AS (
+        |  SELECT *, decode(unhex(substr(mh, 21, 2*mhl))) AS mhdr,
+        |    10 + mhl AS mdoff, 10 + uhl AS udoff
+        |  FROM p
+        |), s AS (
+        |  SELECT *,
+        |    regexp_extract(mhdr, '''descr'': ''([^'']+)''', 1) AS m_descr,
+        |    regexp_extract(mhdr,
+        |      '''shape'': \((\d+), (\d+), (\d+)\)', 1)::INT AS m_d0,
+        |    regexp_extract(mhdr,
+        |      '''shape'': \((\d+), (\d+), (\d+)\)', 2)::INT AS m_d1,
+        |    regexp_extract(mhdr,
+        |      '''shape'': \((\d+), (\d+), (\d+)\)', 3)::INT AS m_d2
+        |  FROM d
+        |), e AS (
+        |  SELECT s.id, g.j,
+        |    ('0x'||substr(s.uh, 2*(s.udoff + 2*g.j) + 1, 2))::BIGINT
+        |      + 256*('0x'||substr(s.uh, 2*(s.udoff + 2*g.j) + 3, 2))::BIGINT
+        |      AS u2v,
+        |    ('0x'||substr(s.mh, 2*(s.mdoff + 4*g.j) + 1, 2))::BIGINT
+        |      + 256*('0x'||substr(s.mh, 2*(s.mdoff + 4*g.j) + 3, 2))::BIGINT
+        |      + 65536*('0x'||substr(s.mh, 2*(s.mdoff + 4*g.j) + 5, 2))::BIGINT
+        |      + 16777216*('0x'||substr(s.mh, 2*(s.mdoff + 4*g.j) + 7, 2))::BIGINT
+        |      AS u4w
+        |  FROM s, unnest(generate_series(0, s.m_d0*s.m_d1*s.m_d2 - 1)) AS g(j)
+        |), f AS (
+        |  SELECT id, u2v,
+        |    CAST(floor(
+        |      (CASE WHEN u4w >= 2147483648 THEN -1.0 ELSE 1.0 END) *
+        |      (CASE WHEN (u4w // 8388608) % 256 = 0
+        |            THEN (u4w % 8388608) * POWER(2.0::DOUBLE, -149)
+        |            ELSE ((u4w % 8388608) + 8388608)
+        |                 * POWER(2.0::DOUBLE,
+        |                         ((u4w // 8388608) % 256) - 150)
+        |       END) * 1000000.0) AS BIGINT) AS fe6
+        |  FROM e
+        |), agg AS (
+        |  SELECT id, CAST(sum(u2v) AS BIGINT) AS m16_sum,
+        |    CAST(sum(fe6) AS BIGINT) AS m_sum_e6,
+        |    count(*)::BIGINT AS m_n
+        |  FROM f GROUP BY id
+        |)
+        |SELECT s.id, s.partition_key AS pk, s.id2, s.id_odd,
+        |  s.python_primitive_uint8 AS prim_u8,
+        |  s.integer_nullable AS int_nul, s.dec_str, s.mn_null,
+        |  s.m_descr, s.m_d0, s.m_d1, s.m_d2,
+        |  agg.m_n, agg.m16_sum, agg.m_sum_e6
+        |FROM s JOIN agg ON s.id = agg.id
+        |ORDER BY s.id""".stripMargin
   )
 }

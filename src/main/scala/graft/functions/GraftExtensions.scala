@@ -76,6 +76,26 @@ object GraftExtensions {
       require(args.length == 3, "graft_winnow_fingerprints(text, k, w)")
       WinnowFingerprint(args(0), litInt(args(1), "k"), litInt(args(2), "w"))
     },
+    "graft_npy_shape" -> { args =>
+      require(args.length == 1, "graft_npy_shape(bin)")
+      NpyShape(args(0))
+    },
+    "graft_npy_descr" -> { args =>
+      require(args.length == 1, "graft_npy_descr(bin)")
+      NpyDescr(args(0))
+    },
+    "graft_npy_longs" -> { args =>
+      require(args.length == 1, "graft_npy_longs(bin)")
+      NpyLongs(args(0))
+    },
+    "graft_npy_doubles" -> { args =>
+      require(args.length == 1, "graft_npy_doubles(bin)")
+      NpyDoubles(args(0))
+    },
+    "graft_npy_strings" -> { args =>
+      require(args.length == 1, "graft_npy_strings(bin)")
+      NpyStrings(args(0))
+    },
     "graft_quantize_int8" -> { args =>
       require(args.length == 1, "graft_quantize_int8(vec)")
       QuantizeInt8(args(0))

@@ -50,6 +50,27 @@ object GraftFunctions {
   def pcm16FrameZcr(bin: Column, frameSamples: Int): Column =
     column(graft.codecs.Pcm16FrameZcr(expr(bin), frameSamples))
 
+  /** NumPy `.npy` cell → array<int> shape (petastorm-store interop,
+    * see [[graft.codecs.NpyCodec]]). */
+  def npyShape(bin: Column): Column =
+    column(graft.codecs.NpyShape(expr(bin)))
+
+  /** NumPy `.npy` cell → dtype descr string (e.g. '<f4'). */
+  def npyDescr(bin: Column): Column =
+    column(graft.codecs.NpyDescr(expr(bin)))
+
+  /** NumPy `.npy` integer/bool cell → array<long>, C order. */
+  def npyLongs(bin: Column): Column =
+    column(graft.codecs.NpyLongs(expr(bin)))
+
+  /** NumPy `.npy` float cell → array<double>, C order. */
+  def npyDoubles(bin: Column): Column =
+    column(graft.codecs.NpyDoubles(expr(bin)))
+
+  /** NumPy `.npy` string cell (`|Sn`, `<Un`) → array<string>. */
+  def npyStrings(bin: Column): Column =
+    column(graft.codecs.NpyStrings(expr(bin)))
+
   /** Max-abs int8 quantization of a float/double vector →
     * struct<scale: double, q: array<tinyint>>. */
   def quantizeInt8(vec: Column): Column =
