@@ -882,9 +882,13 @@ object SparkEntry {
         RowGroupIndex.build(s, dataUrl, Seq(RowGroupIndex.Indexer("lang")),
           idxUrl)
       }
-      RowGroupIndex.readSelected(s, dataUrl, idxUrl,
-          RowGroupIndex.ValueIn("lang", Seq("de")))
-        .filter(col("lang") === "de")
+      // one-call reader-param composition (make_reader's
+      // rowgroup_selector=): index skip + field view + row predicate
+      // in a single builder chain
+      GraftRead.reader(s, dataUrl)
+        .index(idxUrl, RowGroupIndex.ValueIn("lang", Seq("de")))
+        .predicate(col("lang") === "de")
+        .load()
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -941,8 +945,10 @@ object SparkEntry {
           RowGroupIndex.ValueIn("lang", Seq("de")),
           RowGroupIndex.ValueIn("lang", Seq("fr")))),
         RowGroupIndex.NotNull("n_chars")))
-      RowGroupIndex.readSelected(s, dataUrl, idxUrl, sel)
-        .filter(col("lang").isin("de", "fr") && col("n_chars").isNotNull)
+      GraftRead.reader(s, dataUrl)
+        .index(idxUrl, sel)
+        .predicate(col("lang").isin("de", "fr") && col("n_chars").isNotNull)
+        .load()
         .select(col("doc_id"), col("n_chars"), col("lang"))
         .orderBy(col("doc_id"))
     }),

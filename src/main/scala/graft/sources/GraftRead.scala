@@ -51,7 +51,9 @@ final case class GraftRead private (
     decodeOutput: Boolean,
     transformSpec: Option[TransformSpec],
     cacheLevel: Option[org.apache.spark.storage.StorageLevel],
-    allowEvolution: Boolean) {
+    allowEvolution: Boolean,
+    indexSel: Option[(String, RowGroupIndex.Selector)] = None,
+    bloomSel: Option[(String, String, Seq[Any])] = None) {
 
   def fields(selectors: String*): GraftRead = copy(fieldSel = selectors)
   def predicate(p: RowPredicate): GraftRead = copy(preds = preds :+ p.toColumn)
@@ -62,6 +64,28 @@ final case class GraftRead private (
     copy(shardSpec = Some((index, count)))
   }
   def shuffle(seed: Long): GraftRead = copy(shuffleSeed = Some(seed))
+
+  /** Reader-param parity with `make_reader(rowgroup_selector=…)`
+    * (reader.py:92, applied :599-618): scan ONLY the files a
+    * [[RowGroupIndex]] sidecar admits for `selector`, composed with
+    * fields/predicate/shard/shuffle in one chain. Like the
+    * reference, selection intersects with sharding (shard membership
+    * is by position in the full stable listing, so a file's shard
+    * never changes with the selector). Admitted files are a superset
+    * contract — keep the row predicate for exactness. Single-store
+    * only (the index sidecar is per-store); an empty admission reads
+    * an empty frame with the store schema, mirroring the reference's
+    * empty-selection warning path. */
+  def index(indexUrl: String, selector: RowGroupIndex.Selector): GraftRead =
+    copy(indexSel = Some((indexUrl, selector)))
+
+  /** [[index]]'s Bloom-sidecar variant for HIGH-CARDINALITY fields
+    * ([[RowGroupIndex.buildBloom]]): admits files whose filter might
+    * contain any of `values` (superset at fpp — keep the row
+    * predicate; fpp only costs extra files scanned). */
+  def bloomIndex(indexUrl: String, field: String,
+      values: Seq[Any]): GraftRead =
+    copy(bloomSel = Some((indexUrl, field, values)))
 
   /** Iteration control (E1). `k ≥ 1` unions k epoch copies, epoch j
     * reshuffled with seed+j (ventilator re-shuffle parity,
@@ -109,7 +133,7 @@ final case class GraftRead private (
     // 1. stable file listing (per store, URL order) + shard (SH1/O5)
     val allFiles = urls.flatMap(u => Materialize.listParquetFiles(spark, u))
     require(allFiles.nonEmpty, s"no parquet files at ${urls.mkString(", ")}")
-    val files = shardSpec match {
+    val sharded = shardSpec match {
       case Some((i, n)) =>
         require(allFiles.length >= n,
           s"cannot shard ${allFiles.length} files into $n shards " +
@@ -117,6 +141,33 @@ final case class GraftRead private (
         allFiles.zipWithIndex.collect { case (f, idx) if idx % n == i => f }
       case None => allFiles
     }
+    // 1b. index-sidecar admission (rowgroup_selector parity): shard
+    //     membership came from the FULL listing above, so selection
+    //     only ever narrows a shard (reference order: selector then
+    //     original-index modulo, reader.py:556-566)
+    def normPath(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val admitted: Option[Set[String]] =
+      if (indexSel.isEmpty && bloomSel.isEmpty) None
+      else {
+        require(urls.length == 1,
+          "index()/bloomIndex() are single-store: the index sidecar " +
+            "is built per store")
+        val viaSel = indexSel.map { case (iu, sel) =>
+          RowGroupIndex.selectedFiles(spark, urls.head, iu, sel) }
+        val viaBloom = bloomSel.map { case (iu, f, vs) =>
+          RowGroupIndex.bloomSelectedFiles(spark, urls.head, iu, f, vs) }
+        Some(Seq(viaSel, viaBloom).flatten
+          .map(_.map(normPath).toSet).reduce(_ intersect _))
+      }
+    val files = admitted match {
+      case None => sharded
+      case Some(keep) => sharded.filter(f => keep(normPath(f)))
+    }
+    // empty admission: read the store's schema but zero rows (the
+    // reference warns and yields nothing; a DataFrame needs a schema)
+    val emptySelection = files.isEmpty
+    val readFiles = if (emptySelection) allFiles else files
     // basePath keeps hive-partition columns derivable when reading an
     // explicit (possibly sharded) file list from a partitioned store;
     // with several stores there is no single base → no derivation
@@ -149,7 +200,8 @@ final case class GraftRead private (
                   else reader0
     val reader2 = if (allowEvolution) reader1.option("mergeSchema", "true")
                   else reader1
-    val storage = reader2.parquet(files: _*)
+    val storage0 = reader2.parquet(readFiles: _*)
+    val storage = if (emptySelection) storage0.limit(0) else storage0
 
     // 2. schema: stored or inferred (dataset_metadata.py:410-418).
     //    Multi-store: ALL stores must have sidecars (each checked to
