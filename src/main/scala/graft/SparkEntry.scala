@@ -4596,6 +4596,38 @@ object SparkEntry {
               v => floor(v * lit(1000000.0))),
             lit(0L), (a, x) => a + x).as("m_sum_e6"))
         .orderBy(col("id"))
+    }),
+
+    // ---- Unigram-LM training (SentencePiece EM) + encode ----
+    // trainUnigram learns the probabilistic tokenizer on the corpus
+    // (seed substrings -> quantized-integer EM -> prune, bit-equal
+    // across partitionings and the in-memory/distributed split —
+    // UnigramTrainSpec), then the trained integer costs drive the
+    // Viterbi encode over the same corpus. The EM floats aren't
+    // SQL-expressible, so the oracle checks the encode's LOSSLESS
+    // CONTRACT cross-engine, per document: piece count bounds, the
+    // exact covered-codepoint total, and an md5 of the concatenated
+    // pieces (== concatenated alpha tokens iff no piece is dropped,
+    // duplicated or reordered); optimality is spec-adjudicated
+    // against a brute-force lattice reference.
+    "q270_unigram_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val vocab = TextAnalysis.trainUnigram(docs, "text",
+        vocabSize = 500, maxPieceCp = 4, seedSize = 2000,
+        minCount = 2L)
+      val enc = TextAnalysis.unigramEncode(docs, "doc_id", "text",
+        vocab, unkCost = 20000000L)
+      val toks = docs.select(col("doc_id"),
+        TextAnalysis.alphaTokens(coalesce(col("text"), lit("")))
+          .as("__t"))
+      toks.join(enc, "doc_id")
+        .select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_toks"),
+          aggregate(transform(col("pieces"), p => length(p)),
+            lit(0), (a, x) => a + x).cast("long").as("n_chars"),
+          md5(concat_ws("", col("pieces"))).as("recon_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -11471,6 +11503,22 @@ object SparkEntry {
         |  s.m_descr, s.m_d0, s.m_d1, s.m_d2,
         |  agg.m_n, agg.m16_sum, agg.m_sum_e6
         |FROM s JOIN agg ON s.id = agg.id
-        |ORDER BY s.id""".stripMargin
+        |ORDER BY s.id""".stripMargin,
+
+    // Lossless-encode contract of the trained unigram tokenizer:
+    // concatenating the pieces reproduces the alpha token stream
+    // exactly (training guarantees total coverage: every corpus
+    // codepoint is a mandatory single-cp piece).
+    "q270_unigram_train" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |)
+        |SELECT doc_id, len(tk)::BIGINT AS n_toks,
+        |  coalesce(list_sum(list_transform(tk, x -> length(x))), 0)::BIGINT
+        |    AS n_chars,
+        |  md5(array_to_string(tk, '')) AS recon_md5
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }

@@ -1289,6 +1289,301 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Unigram-LM tokenizer training — the SentencePiece EM loop (Kudo
+    * 2018: seed a large substring vocabulary, iterate
+    * expectation-maximization over the segmentation lattice, prune to
+    * the target size), producing the integer-cost (piece, cost) table
+    * [[unigramEncode]] / [[UnigramSegmentTokens]] apply. The BPE
+    * family's other half: [[trainBpe]] trains the merge tokenizer;
+    * this trains the probabilistic one.
+    *
+    * Determinism doctrine (the repo's engine-exactness rule applied
+    * to EM): every per-token expected count from the
+    * forward-backward pass is QUANTIZED to fixed-point
+    * (floor(e · 2^20)) BEFORE summation, so accumulation is integer
+    * and associative — the in-memory and distributed E-steps produce
+    * bit-identical count tables on any partitioning (spec-pinned,
+    * the [[trainBpe]] merge-for-merge guarantee). All transcendental
+    * steps use StrictMath, bit-exact across JVMs. Final costs are
+    * round(-ln(p) · 10⁶) with Laplace(+1) smoothing over the
+    * quantized counts — non-negative integers by construction
+    * (guarded), ready for the integer-cost Viterbi encode.
+    *
+    * Loop shape: seed = every single codepoint (mandatory — total
+    * coverage needs them, and they are never pruned) plus the top
+    * `seedSize` multi-codepoint substrings by (count·len desc, piece
+    * UTF-8 asc) with count ≥ `minCount`; then rounds of `emIters`
+    * EM passes followed by a prune to 3/4 size (keeping singles +
+    * top pieces by expected count, ties by piece) until the target
+    * `vocabSize` is reached; one final EM refresh prices the
+    * surviving vocabulary.
+    *
+    * Scale shape — the [[trainBpe]] reduction, unchanged: the corpus
+    * collapses to its (distinct token, count) vocabulary in ONE hash
+    * agg; seeding explodes substrings of DISTINCT tokens only
+    * (vocabulary·maxPieceCp work, never corpus work). Under
+    * `maxVocabRows` (exact count, never trusted) the EM loop runs on
+    * the driver; over it, each E-step is one Spark job over the
+    * persisted vocabulary with the piece table broadcast, reduced by
+    * integer sum. Driver state is the piece table (≤ seed size),
+    * never corpus data. */
+  def trainUnigram(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceCp: Int = 8, seedSize: Int = 20000, minCount: Long = 2L,
+      emIters: Int = 2, unicode: Boolean = false,
+      maxVocabRows: Long = 4000000L): Seq[(String, Long)] = {
+    require(vocabSize > 0, s"vocabSize must be positive (got $vocabSize)")
+    require(maxPieceCp >= 1, s"maxPieceCp must be >= 1 (got $maxPieceCp)")
+    require(seedSize >= 0 && minCount > 0 && emIters >= 1,
+      s"bad trainUnigram params: seedSize=$seedSize minCount=$minCount " +
+        s"emIters=$emIters")
+    val vocab = df
+      .select(explode(alphaTokens(col(textCol), unicode)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import df.sparkSession.implicits._
+      if (vocab.count() <= maxVocabRows) {
+        trainUnigramCore(vocab.as[(String, Long)].collect(), vocabSize,
+          maxPieceCp, seedSize, minCount, emIters, eStep = null)
+      } else {
+        val ds = vocab.as[(String, Long)]
+        trainUnigramCore(
+          // seeding still needs the token vocabulary driver-side; an
+          // over-cap vocabulary seeds DISTRIBUTED (top-k collect) and
+          // runs E-steps as Spark jobs
+          Array.empty, vocabSize, maxPieceCp, seedSize, minCount,
+          emIters,
+          eStep = pieces => distributedEStep(ds, pieces, maxPieceCp),
+          seedOverride = Some(distributedSeed(ds, maxPieceCp, seedSize,
+            minCount)))
+      }
+    } finally vocab.unpersist()
+  }
+
+  /** Distributed seed: substring counts over the (token, count)
+    * vocabulary, top `seedSize` multi-cp by (count·len desc, piece
+    * UTF-8 asc) ≥ minCount, plus ALL single codepoints. Bounded
+    * collect: seedSize + distinct-codepoint count rows. */
+  private def distributedSeed(vocab: org.apache.spark.sql.Dataset[(String, Long)],
+      maxPieceCp: Int, seedSize: Int, minCount: Long): Array[(String, Long)] = {
+    import vocab.sparkSession.implicits._
+    val subs = vocab.flatMap { case (tok, w) =>
+      val cps = tok.codePoints().toArray
+      for {
+        i <- cps.indices
+        l <- 1 to math.min(maxPieceCp, cps.length - i)
+      } yield (new String(cps, i, l), w)
+    }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .map { case (p, c) => (p, c) }
+      .toDF("piece", "cnt")
+    val singles = subs
+      .filter(length(col("piece")) <= 2) // cp may be 2 UTF-16 units
+      .as[(String, Long)].collect()
+      .filter { case (p, _) => p.codePointCount(0, p.length) == 1 }
+    val multis = subs
+      .filter(col("cnt") >= minCount)
+      .as[(String, Long)].collect()
+      .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+      .sortWith { case ((pa, ca), (pb, cb)) =>
+        val sa = ca * pa.codePointCount(0, pa.length)
+        val sb = cb * pb.codePointCount(0, pb.length)
+        if (sa != sb) sa > sb else utf8Less(pa, pb)
+      }
+      .take(seedSize)
+    singles ++ multis
+  }
+
+  /** One distributed E-step: per-token lattice expectations under the
+    * broadcast piece log-probs, quantized per token (integer), summed
+    * by piece. Bit-equal to the in-memory loop by integer summation. */
+  private def distributedEStep(vocab: org.apache.spark.sql.Dataset[(String, Long)],
+      pieces: Array[(String, Double)],
+      maxPieceCp: Int): scala.collection.mutable.HashMap[String, Long] = {
+    import vocab.sparkSession.implicits._
+    val bc = vocab.sparkSession.sparkContext.broadcast(pieces)
+    try {
+      val partial = vocab.mapPartitions { it =>
+        val lp = new java.util.HashMap[String, java.lang.Double]()
+        bc.value.foreach { case (p, v) => lp.put(p, v) }
+        val acc = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { case (tok, w) =>
+          unigramLatticeCounts(tok, w, lp, maxPieceCp, acc)
+        }
+        acc.iterator
+      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case (p, c) => (p, c) }.collect()
+      scala.collection.mutable.HashMap(partial: _*)
+    } finally bc.destroy()
+  }
+
+  /** Forward-backward expected piece counts for ONE token (weight w),
+    * quantized floor(e · 2^20 · w) per occurrence, accumulated into
+    * `acc`. Log-space throughout; StrictMath for JVM bit-equality.
+    * Package-private: UnigramTrainSpec brute-force-checks it. */
+  private[ops] def unigramLatticeCounts(tok: String, w: Long,
+      lp: java.util.HashMap[String, java.lang.Double], maxPieceCp: Int,
+      acc: scala.collection.mutable.HashMap[String, Long]): Unit = {
+    val cps = tok.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return
+    val NEG = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NEG) b else if (b == NEG) a
+      else if (a > b) a + StrictMath.log1p(StrictMath.exp(b - a))
+      else b + StrictMath.log1p(StrictMath.exp(a - b))
+    val alpha = Array.fill(n + 1)(NEG); alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val maxL = math.min(maxPieceCp, i)
+      while (l <= maxL) {
+        val c = lp.get(new String(cps, i - l, l))
+        if (c != null && alpha(i - l) != NEG)
+          alpha(i) = lse(alpha(i), alpha(i - l) + c.doubleValue())
+        l += 1
+      }
+      i += 1
+    }
+    if (alpha(n) == NEG) return // unreachable token (no covering pieces)
+    val beta = Array.fill(n + 1)(NEG); beta(n) = 0.0
+    i = n - 1
+    while (i >= 0) {
+      var l = 1
+      val maxL = math.min(maxPieceCp, n - i)
+      while (l <= maxL) {
+        val c = lp.get(new String(cps, i, l))
+        if (c != null && beta(i + l) != NEG)
+          beta(i) = lse(beta(i), beta(i + l) + c.doubleValue())
+        l += 1
+      }
+      i -= 1
+    }
+    val z = alpha(n)
+    i = 0
+    while (i < n) {
+      var l = 1
+      val maxL = math.min(maxPieceCp, n - i)
+      while (l <= maxL) {
+        val p = new String(cps, i, l)
+        val c = lp.get(p)
+        if (c != null && alpha(i) != NEG && beta(i + l) != NEG) {
+          val e = StrictMath.exp(alpha(i) + c.doubleValue() +
+            beta(i + l) - z)
+          val q = (e * 1048576.0 * w).toLong // floor; integer, associative
+          if (q > 0) acc.update(p, acc.getOrElse(p, 0L) + q)
+        }
+        l += 1
+      }
+      i += 1
+    }
+  }
+
+  /** The shared seed→EM→prune loop. `eStep == null` runs EM on the
+    * driver over `tokens`; otherwise each E-step delegates (the
+    * distributed path). Exposed package-private so UnigramTrainSpec
+    * can pin both paths equal. */
+  private[ops] def trainUnigramCore(tokens: Array[(String, Long)],
+      vocabSize: Int, maxPieceCp: Int, seedSize: Int, minCount: Long,
+      emIters: Int,
+      eStep: Array[(String, Double)] => scala.collection.mutable.HashMap[String, Long],
+      seedOverride: Option[Array[(String, Long)]] = None): Seq[(String, Long)] = {
+    // ---- seed ----
+    val seeded: Array[(String, Long)] = seedOverride.getOrElse {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      tokens.foreach { case (tok, w) =>
+        val cps = tok.codePoints().toArray
+        var i = 0
+        while (i < cps.length) {
+          var l = 1
+          val maxL = math.min(maxPieceCp, cps.length - i)
+          while (l <= maxL) {
+            val p = new String(cps, i, l)
+            counts.update(p, counts.getOrElse(p, 0L) + w)
+            l += 1
+          }
+          i += 1
+        }
+      }
+      val (singles, multis) = counts.toArray.partition {
+        case (p, _) => p.codePointCount(0, p.length) == 1 }
+      singles ++ multis.filter(_._2 >= minCount)
+        .sortWith { case ((pa, ca), (pb, cb)) =>
+          val sa = ca * pa.codePointCount(0, pa.length)
+          val sb = cb * pb.codePointCount(0, pb.length)
+          if (sa != sb) sa > sb else utf8Less(pa, pb)
+        }
+        .take(seedSize)
+    }
+    require(seeded.nonEmpty, "trainUnigram: empty corpus (no tokens)")
+
+    // current vocabulary: piece → quantized expected count
+    var current: Array[(String, Long)] = seeded.sortWith {
+      case ((a, _), (b, _)) => utf8Less(a, b) }
+    def isSingle(p: String): Boolean = p.codePointCount(0, p.length) == 1
+
+    def mStepLogProbs(cnt: Array[(String, Long)]): Array[(String, Double)] = {
+      // Laplace(+1) over quantized counts: every piece keeps nonzero
+      // mass, costs stay finite
+      val total = cnt.foldLeft(0L) { case (a, (_, c)) => a + c + 1L }
+      cnt.map { case (p, c) =>
+        (p, StrictMath.log((c + 1L).toDouble / total.toDouble)) }
+    }
+    def runEStep(lpArr: Array[(String, Double)])
+        : scala.collection.mutable.HashMap[String, Long] =
+      if (eStep != null) eStep(lpArr)
+      else {
+        val lp = new java.util.HashMap[String, java.lang.Double]()
+        lpArr.foreach { case (p, v) => lp.put(p, v) }
+        val acc = scala.collection.mutable.HashMap.empty[String, Long]
+        tokens.foreach { case (tok, w) =>
+          unigramLatticeCounts(tok, w, lp, maxPieceCp, acc) }
+        acc
+      }
+    def emRounds(k: Int): Unit = {
+      var r = 0
+      while (r < k) {
+        val got = runEStep(mStepLogProbs(current))
+        current = current.map { case (p, _) => (p, got.getOrElse(p, 0L)) }
+        r += 1
+      }
+    }
+
+    // ---- EM + prune to target ----
+    emRounds(emIters)
+    var done = false
+    while (!done && current.length > vocabSize) {
+      val (singles, multis) = current.partition { case (p, _) => isSingle(p) }
+      if (multis.isEmpty) {
+        // vocabSize is below the single-codepoint floor: singles are
+        // the total-coverage contract and are never pruned — the
+        // smallest legal vocabulary wins over the requested size
+        done = true
+      } else {
+        val keepMultis =
+          math.max(vocabSize - singles.length, (current.length * 3 / 4)
+            .min(current.length - 1) - singles.length).max(0)
+        val kept = multis.sortWith { case ((pa, ca), (pb, cb)) =>
+            if (ca != cb) ca > cb else utf8Less(pa, pb) }
+          .take(keepMultis)
+        current = (singles ++ kept).sortWith {
+          case ((a, _), (b, _)) => utf8Less(a, b) }
+        if (current.length > vocabSize) emRounds(emIters)
+      }
+    }
+    emRounds(1) // final refresh prices the surviving vocabulary
+
+    // ---- integer costs ----
+    val total = current.foldLeft(0L) { case (a, (_, c)) => a + c + 1L }
+    val out = current.map { case (p, c) =>
+      val cost = StrictMath.round(
+        -StrictMath.log((c + 1L).toDouble / total.toDouble) * 1e6)
+      require(cost >= 0, s"negative unigram cost for '$p'")
+      (p, cost)
+    }
+    out.sortWith { case ((pa, ca), (pb, cb)) =>
+      if (ca != cb) ca < cb else utf8Less(pa, pb) }.toSeq
+  }
+
   /** Persistable form of an ORDERED merge list — (merge_idx, left,
     * right), merge_idx dense from 0 in training order. A trained
     * tokenizer is train-once/apply-everywhere state: write this
