@@ -137,6 +137,96 @@ class GraftStreamSpec extends SparkSpec {
     assert(sdf.queryExecution.analyzed.toString.contains("session_window"))
   }
 
+  test("sessionize APPEND mode: watermark-closed sessions emit once, " +
+      "equal batch on the closed set, state evicted (q152's " +
+      "production shape)") {
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val sess = GraftStream.sessionize(input.toDF().toDF("ts", "user"),
+      "user", "ts", "10 seconds", watermarkDelay = Some("5 seconds"))
+    val q = sess.writeStream.format("memory").queryName("sess_append")
+      .outputMode("append")
+      .option("checkpointLocation", freshCkpt("sess_append"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((t(0), "u1"), (t(5), "u1"), (t(8), "u1"), (t(2), "u2"))
+      q.processAllAvailable()
+      // nothing closed yet (watermark still at 3s): append emits none
+      assert(spark.table("sess_append").isEmpty)
+      // t=100 advances the watermark to 95s — both early sessions
+      // (ends 18s, 12s) close and emit; the 100s session stays open
+      input.addData((t(100), "u1"))
+      q.processAllAvailable()
+      val emitted = spark.table("sess_append")
+        .select($"user", $"session_start".cast("long"),
+          $"session_end".cast("long"), $"n_events")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(emitted == Set(("u1", 0L, 18L, 3L), ("u2", 2L, 12L, 1L)))
+      // closed-window equality with the batch spelling over the same
+      // events (the q83/q129 discipline): batch sessions whose end
+      // precedes the watermark == exactly the append emissions
+      val batchClosed = GraftStream.sessionize(
+          Seq((t(0), "u1"), (t(5), "u1"), (t(8), "u1"), (t(2), "u2"),
+            (t(100), "u1")).toDF("ts", "user"),
+          "user", "ts", "10 seconds")
+        .filter($"session_end".cast("long") <= 95L)
+        .select($"user", $"session_start".cast("long"),
+          $"session_end".cast("long"), $"n_events")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(emitted == batchClosed)
+      // exactly-once: closing the last session must not re-emit the
+      // earlier ones
+      input.addData((t(200), "u2"))
+      q.processAllAvailable()
+      val all = spark.table("sess_append")
+        .select($"user", $"session_start".cast("long"))
+        .as[(String, Long)].collect().toSeq
+      assert(all.size == all.distinct.size, s"re-emission: $all")
+      assert(all.toSet == Set(("u1", 0L), ("u2", 2L), ("u1", 100L)))
+      // bounded state: only the single open session (u2 @200s) may
+      // hold state after the watermark passed everything else
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st(0).numRowsTotal <= 2,
+        s"state not evicted: ${st(0).numRowsTotal} rows")
+    } finally q.stop()
+  }
+
+  test("seasonal profile APPEND mode: closed windows equal the batch " +
+      "cells, open window withheld (q250's production shape)") {
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    // hour-of-day parity scaled down: 60s 'days', 10s 'hours' —
+    // bucket = (secs / 10) % 6 rides windowedCounts as a group col
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val src = input.toDF().toDF("ts", "kind")
+      .withColumn("bucket",
+        expr("(CAST(ts AS LONG) div 10) % 6"))
+    val prof = GraftStream.windowedCounts(src, "ts", "60 seconds",
+      "5 seconds", groupCols = Seq("kind", "bucket"))
+    val q = prof.writeStream.format("memory").queryName("seas_append")
+      .outputMode("append")
+      .option("checkpointLocation", freshCkpt("seas_append"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val day1 = Seq((t(1), "a"), (t(11), "a"), (t(12), "a"),
+        (t(31), "b"), (t(55), "a"))
+      input.addData(day1: _*)
+      q.processAllAvailable()
+      assert(spark.table("seas_append").isEmpty) // day 1 still open
+      input.addData((t(130), "a")) // watermark 125s closes day 1
+      q.processAllAvailable()
+      val emitted = spark.table("seas_append")
+        .select($"window_start".cast("long"), $"kind", $"bucket", $"n")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val batchDay1 = day1.toDF("ts", "kind")
+        .withColumn("bucket", expr("(CAST(ts AS LONG) div 10) % 6"))
+        .groupBy($"kind", $"bucket").agg(count(lit(1)).as("n"))
+        .select(lit(0L), $"kind", $"bucket", $"n")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(emitted == batchDay1,
+        s"closed-day cells diverge: $emitted vs $batchDay1")
+    } finally q.stop()
+  }
+
   test("admitFirstN on a batch frame equals the row_number spelling") {
     val df = Seq(
       (1L, 30L, 103L), (1L, 10L, 101L), (1L, 20L, 102L), (1L, 40L, 104L),
