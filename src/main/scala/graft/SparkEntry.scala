@@ -4628,6 +4628,36 @@ object SparkEntry {
             lit(0), (a, x) => a + x).cast("long").as("n_chars"),
           md5(concat_ws("", col("pieces"))).as("recon_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- `.npy` WRITE interop: emit cells np.load can read ----
+    // The reverse migration of q269: a (6,8) uint16 tensor derived
+    // from each doc is encoded with NpyEncode (byte-identical to
+    // np.save — spec-asserted), persisted through a plain-parquet
+    // store round-trip, read back and decoded; the oracle re-derives
+    // dims and the value checksum arithmetically. A store written
+    // this way is readable by the reference's NdarrayCodec (np.load
+    // on the BLOB) with no shim.
+    "q271_npy_roundtrip" -> ((s, dir) => {
+      import graft.functions.{GraftFunctions => GF}
+      val src = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(47)),
+            i => pmod(col("doc_id") * 13 + i, lit(4096)).cast("long"))
+            .as("vals"))
+        .select(col("doc_id"),
+          GF.npyFromLongs(col("vals"), array(lit(6), lit(8)), "<u2")
+            .as("cell"))
+      val url = sys.props("java.io.tmpdir") + "/graft_q271_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      src.repartition(4).write.mode("overwrite").parquet(url)
+      val back = s.read.parquet(url)
+      back.select(col("doc_id"),
+          GF.npyShape(col("cell"))(0).as("d0"),
+          GF.npyShape(col("cell"))(1).as("d1"),
+          GF.npyDescr(col("cell")).as("descr"),
+          GF.arraySumLong(GF.npyLongs(col("cell"))).as("vsum"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -11519,6 +11549,15 @@ object SparkEntry {
         |  coalesce(list_sum(list_transform(tk, x -> length(x))), 0)::BIGINT
         |    AS n_chars,
         |  md5(array_to_string(tk, '')) AS recon_md5
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // npy write round-trip: dims fixed by construction, value
+    // checksum re-derived arithmetically per doc.
+    "q271_npy_roundtrip" ->
+      """SELECT doc_id, 6 AS d0, 8 AS d1, '<u2' AS descr,
+        |  (SELECT CAST(sum((doc_id * 13 + j) % 4096) AS BIGINT)
+        |   FROM unnest(generate_series(0, 47)) AS g(j)) AS vsum
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -265,6 +265,160 @@ object NpyCodec {
   }
 }
 
+/** Encode side of [[NpyCodec]] — emit cells BYTE-IDENTICAL to
+  * numpy's own `np.save` (v1.0 header, C order, 64-byte-aligned
+  * space-padded header ending `\n`), so a store our engine writes is
+  * readable by the reference's NdarrayCodec (`np.load` on the BLOB)
+  * with no shim: the migration path in the other direction.
+  * Byte-parity is spec-asserted against `np.save` outputs. */
+object NpyEncode {
+  private def header(descr: String, shape: Array[Int]): Array[Byte] = {
+    val shapeStr = shape.length match {
+      case 0 => "()"
+      case 1 => s"(${shape(0)},)"
+      case _ => shape.mkString("(", ", ", ")")
+    }
+    val dict = s"{'descr': '$descr', 'fortran_order': False, " +
+      s"'shape': $shapeStr, }"
+    // v1.0: total (6 magic + 2 version + 2 hlen + header) is padded
+    // with spaces to a multiple of 64 and terminated by '\n'
+    val unpadded = 10 + dict.length + 1
+    val pad = (64 - unpadded % 64) % 64
+    val hdr = dict + (" " * pad) + "\n"
+    require(hdr.length <= 0xffff, "npy v1.0 header too long")
+    val out = new Array[Byte](10 + hdr.length)
+    out(0) = 0x93.toByte
+    out(1) = 'N'; out(2) = 'U'; out(3) = 'M'; out(4) = 'P'; out(5) = 'Y'
+    out(6) = 1; out(7) = 0
+    out(8) = (hdr.length & 0xff).toByte
+    out(9) = ((hdr.length >> 8) & 0xff).toByte
+    var i = 0
+    while (i < hdr.length) { out(10 + i) = hdr.charAt(i).toByte; i += 1 }
+    out
+  }
+
+  private def checkedShape(dims: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): Array[Int] = {
+    val d = dims.toIntArray()
+    var prod = 1L
+    d.foreach { x => require(x >= 0, s"negative npy dim $x"); prod *= x }
+    require(prod == n,
+      s"shape ${d.mkString("x")} does not match $n elements")
+    d
+  }
+
+  /** array<long> + dims → `.npy` bytes under an integer/bool descr
+    * (`<i1/2/4/8`, `<u1/2/4/8`, `|b1`); values range-checked against
+    * the descr, never silently truncated. */
+  def fromLongs(data: org.apache.spark.sql.catalyst.util.ArrayData,
+      dims: org.apache.spark.sql.catalyst.util.ArrayData,
+      descr: String): Array[Byte] = {
+    val n = data.numElements()
+    val d = checkedShape(dims, n)
+    val (lo, hi, w) = descr match {
+      case "<i1" => (Byte.MinValue.toLong, Byte.MaxValue.toLong, 1)
+      case "<i2" => (Short.MinValue.toLong, Short.MaxValue.toLong, 2)
+      case "<i4" => (Int.MinValue.toLong, Int.MaxValue.toLong, 4)
+      case "<i8" => (Long.MinValue, Long.MaxValue, 8)
+      case "<u1" => (0L, 255L, 1)
+      case "<u2" => (0L, 65535L, 2)
+      case "<u4" => (0L, 4294967295L, 4)
+      case "<u8" => (0L, Long.MaxValue, 8) // emit-side ceiling
+      case "|b1" => (0L, 1L, 1)
+      case x => throw new IllegalArgumentException(
+        s"npy_from_longs: unsupported descr '$x'")
+    }
+    val hdr = header(descr, d)
+    val buf = ByteBuffer.allocate(hdr.length + n * w)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(hdr)
+    var i = 0
+    while (i < n) {
+      val v = data.getLong(i)
+      require(v >= lo && v <= hi,
+        s"value $v out of range for npy descr $descr (element $i)")
+      w match {
+        case 1 => buf.put(v.toByte)
+        case 2 => buf.putShort(v.toShort)
+        case 4 => buf.putInt(v.toInt)
+        case 8 => buf.putLong(v)
+      }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** array<double> + dims → `.npy` bytes under `<f4` or `<f8` (the
+    * f4 narrowing is numpy's own double→float cast). */
+  def fromDoubles(data: org.apache.spark.sql.catalyst.util.ArrayData,
+      dims: org.apache.spark.sql.catalyst.util.ArrayData,
+      descr: String): Array[Byte] = {
+    val n = data.numElements()
+    val d = checkedShape(dims, n)
+    val w = descr match {
+      case "<f4" => 4
+      case "<f8" => 8
+      case x => throw new IllegalArgumentException(
+        s"npy_from_doubles: unsupported descr '$x'")
+    }
+    val hdr = header(descr, d)
+    val buf = ByteBuffer.allocate(hdr.length + n * w)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(hdr)
+    var i = 0
+    while (i < n) {
+      if (w == 4) buf.putFloat(data.getDouble(i).toFloat)
+      else buf.putDouble(data.getDouble(i))
+      i += 1
+    }
+    buf.array()
+  }
+}
+
+/** `npy_from_longs(data, dims, descr)` → binary `.npy` cell. */
+case class NpyFromLongs(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression,
+    descr: String)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(data: Any, dims: Any): Any =
+    NpyEncode.fromLongs(
+      data.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      dims.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      descr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (data, dims) =>
+      s"""${ev.value} = graft.codecs.NpyEncode.fromLongs($data, $dims, "$descr");""")
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "npy_from_longs"
+}
+
+/** `npy_from_doubles(data, dims, descr)` → binary `.npy` cell. */
+case class NpyFromDoubles(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression,
+    descr: String)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(data: Any, dims: Any): Any =
+    NpyEncode.fromDoubles(
+      data.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      dims.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      descr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (data, dims) =>
+      s"""${ev.value} = graft.codecs.NpyEncode.fromDoubles($data, $dims, "$descr");""")
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "npy_from_doubles"
+}
+
 /** `npy_shape(bin)` → array<int>: the header's shape tuple. */
 case class NpyShape(child: org.apache.spark.sql.catalyst.expressions.Expression)
     extends UnaryExpression {

@@ -96,6 +96,14 @@ object GraftExtensions {
       require(args.length == 1, "graft_npy_strings(bin)")
       NpyStrings(args(0))
     },
+    "graft_npy_from_longs" -> { args =>
+      require(args.length == 3, "graft_npy_from_longs(data, dims, descr)")
+      NpyFromLongs(args(0), args(1), litString(args(2), "descr"))
+    },
+    "graft_npy_from_doubles" -> { args =>
+      require(args.length == 3, "graft_npy_from_doubles(data, dims, descr)")
+      NpyFromDoubles(args(0), args(1), litString(args(2), "descr"))
+    },
     "graft_quantize_int8" -> { args =>
       require(args.length == 1, "graft_quantize_int8(vec)")
       QuantizeInt8(args(0))

@@ -71,6 +71,15 @@ object GraftFunctions {
   def npyStrings(bin: Column): Column =
     column(graft.codecs.NpyStrings(expr(bin)))
 
+  /** array<long> + dims → `.npy` cell bytes (np.save byte-parity;
+    * integer/bool descrs, range-checked). */
+  def npyFromLongs(data: Column, dims: Column, descr: String): Column =
+    column(graft.codecs.NpyFromLongs(expr(data), expr(dims), descr))
+
+  /** array<double> + dims → `.npy` cell bytes (`<f4`/`<f8`). */
+  def npyFromDoubles(data: Column, dims: Column, descr: String): Column =
+    column(graft.codecs.NpyFromDoubles(expr(data), expr(dims), descr))
+
   /** Max-abs int8 quantization of a float/double vector →
     * struct<scale: double, q: array<tinyint>>. */
   def quantizeInt8(vec: Column): Column =

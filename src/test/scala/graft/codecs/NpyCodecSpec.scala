@@ -129,6 +129,57 @@ class NpyCodecSpec extends SparkSpec {
     assert(viaSql.getString(0) == "<u2")
   }
 
+  test("encode is BYTE-IDENTICAL to np.save (v1.0 header, padding, " +
+      "payload)") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def la(v: Long*) = UnsafeArrayData.fromPrimitiveArray(v.toArray)
+    def da(v: Double*) = UnsafeArrayData.fromPrimitiveArray(v.toArray)
+    def ia(v: Int*) = UnsafeArrayData.fromPrimitiveArray(v.toArray)
+    assert(NpyEncode.fromLongs(la((0L until 24L): _*), ia(2, 3, 4),
+      "<u2").sameElements(bytes(u2C)))
+    assert(NpyEncode.fromDoubles(da(0.5, -1.25, 3.75, 100.125),
+      ia(2, 2), "<f4").sameElements(bytes(f4)))
+    assert(NpyEncode.fromLongs(la(1L, 0L, 1L), ia(3), "|b1")
+      .sameElements(bytes(boolArr)))
+    assert(NpyEncode.fromLongs(la(Long.MinValue, Long.MaxValue),
+      ia(2), "<i8").sameElements(bytes(i8)))
+    assert(NpyEncode.fromLongs(la(), ia(0, 3), "<i4")
+      .sameElements(bytes(empty)))
+    assert(NpyEncode.fromDoubles(da(2.5), ia(), "<f8")
+      .sameElements(bytes(scalar0d)))
+  }
+
+  test("encode guards: range check and shape mismatch refuse") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def la(v: Long*) = UnsafeArrayData.fromPrimitiveArray(v.toArray)
+    def ia(v: Int*) = UnsafeArrayData.fromPrimitiveArray(v.toArray)
+    intercept[IllegalArgumentException] {
+      NpyEncode.fromLongs(la(256L), ia(1), "<u1") // out of u1 range
+    }
+    intercept[IllegalArgumentException] {
+      NpyEncode.fromLongs(la(1L, 2L), ia(3), "<i4") // 2 elems vs (3)
+    }
+    intercept[IllegalArgumentException] {
+      NpyEncode.fromLongs(la(1L), ia(1), "<x9")
+    }
+  }
+
+  test("encode->decode round-trip in-plan (and the cell is what the " +
+      "petastorm decoder would np.load)") {
+    val df = Seq((1L, Seq(5L, 300L, 70000L, 0L, 4294967295L)))
+      .toDF("id", "vals")
+    val cell = GraftFunctions.npyFromLongs(col("vals"),
+      array(lit(5)), "<u4")
+    val got = df.select(col("id"),
+        GraftFunctions.npyLongs(cell).as("back"),
+        GraftFunctions.npyDescr(cell).as("d"),
+        GraftFunctions.npyShape(cell).as("s"))
+      .head()
+    assert(got.getSeq[Long](1) == Seq(5L, 300L, 70000L, 0L, 4294967295L))
+    assert(got.getString(2) == "<u4")
+    assert(got.getSeq[Int](3) == Seq(5))
+  }
+
   test("legacy 0.7.6 petastorm store: scalars, tensors and strings " +
       "decode through the inferred-schema read") {
     val df = spark.read.parquet(fixtureDir)
