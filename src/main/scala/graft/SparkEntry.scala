@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, AsOf, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, TextAnalysis, TransformSpec}
+import graft.ops.{AnnSearch, AsOf, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, Pii, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, TextAnalysis, TransformSpec, WebCurate}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{GraftRead, JsonlIngest, Materialize, RowGroupIndex}
@@ -4657,6 +4657,100 @@ object SparkEntry {
           GF.npyShape(col("cell"))(1).as("d1"),
           GF.npyDescr(col("cell")).as("descr"),
           GF.arraySumLong(GF.npyLongs(col("cell"))).as("vsum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PII detection (compliance scan) ----
+    // Deterministic PII is injected per doc (email, in-range IP,
+    // varying 16-digit card, +phone) so both engines detect over
+    // identical text; the card candidates are verified by the
+    // codegen'd Luhn expression, which the oracle replays
+    // digit-for-digit in SQL — validity varies by doc_id (~5% of
+    // docs carry a mod-10-clean number), so the checksum logic is
+    // genuinely cross-engine-checked, not just the regex.
+    "q272_pii_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val injected = docs.select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com ip 10."), pmod(col("doc_id"), lit(256)),
+          lit(".0."), pmod(col("doc_id"), lit(100)), lit(" card 4111"),
+          lpad(pmod(col("doc_id") * 7919, lit(100000000)).cast("string"),
+            8, "0"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" tel +1 650-555-0"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"))
+          .as("text"))
+      Pii.piiCounts(injected, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
+    // ---- PII redaction (safe-to-ship transform) ----
+    // The redaction chain's exact output is hashed per doc and
+    // matched against DuckDB running the same replace chain — a
+    // byte-level cross-engine proof that every placeholder lands
+    // where it should and nothing else moves.
+    "q273_pii_redact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val injected = docs.select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          lit(" ssn 123-45-6789 mail a@b.co card 4111 1111 1111 1111" +
+            " ip 8.8.8.8 tel +44 20 7946 0958")).as("text"))
+      injected.select(col("doc_id"),
+          md5(Pii.redact(col("text"))).as("red_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- URL curation: host / registrable domain / normalization ----
+    // Deterministic URLs exercise every path (mixed-case scheme,
+    // userinfo, subdomains, two-level TLDs, default and non-default
+    // ports, query, fragment); the oracle replays the same regex
+    // pipeline and suffix table, and the normalized-URL md5 is a
+    // byte-level cross-engine check of the dedup key.
+    "q274_url_parse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val url = concat(
+        expr("CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http' " +
+          "ELSE 'https' END"),
+        lit("://"),
+        expr("CASE WHEN doc_id % 7 = 0 THEN 'u:p@' ELSE '' END"),
+        expr("CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' " +
+          "ELSE '' END"),
+        lit("site"), pmod(col("doc_id"), lit(37)),
+        expr("CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' " +
+          "WHEN 2 THEN '.org' ELSE '.com.au' END"),
+        expr("CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443' " +
+          "WHEN 2 THEN ':8080' ELSE '' END"),
+        lit("/P/"), col("doc_id"),
+        expr("CASE WHEN doc_id % 2 = 0 THEN '?q=' || (doc_id % 9) " +
+          "ELSE '' END"),
+        expr("CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END"))
+      val withUrl = docs.select(col("doc_id"), url.as("url"))
+      withUrl.select(col("doc_id"),
+          WebCurate.urlHost(col("url")).as("host"),
+          WebCurate.registrableDomain(WebCurate.urlHost(col("url")))
+            .as("domain"),
+          md5(WebCurate.normalizeUrl(col("url"))).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Per-domain cap + corpus mix (C4 anti-monoculture) ----
+    // Cap each registrable domain at 3 docs by a seeded md5
+    // permutation (WindowGroupLimit — plan-asserted in
+    // WebCurateSpec), then report the capped corpus's domain mix;
+    // the oracle replays the identical hash ranking, so WHICH doc
+    // survives is checked, not just how many.
+    "q275_domain_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val url = concat(lit("https://"),
+        expr("CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'm.' " +
+          "ELSE '' END"),
+        lit("host"), pmod(col("doc_id"), lit(17)), lit(".com/d/"),
+        col("doc_id"))
+      val withUrl = docs.select(col("doc_id"), url.as("url"))
+      val capped = WebCurate.domainCap(withUrl, "url", "doc_id", cap = 3)
+      capped.select(col("doc_id"),
+          WebCurate.registrableDomain(WebCurate.urlHost(col("url")))
+            .as("domain"))
         .orderBy(col("doc_id"))
     })
   )
@@ -11558,6 +11652,149 @@ object SparkEntry {
         |  (SELECT CAST(sum((doc_id * 13 + j) % 4096) AS BIGINT)
         |   FROM unnest(generate_series(0, 47)) AS g(j)) AS vsum
         |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // PII scan: detectors replayed verbatim (Java regex and RE2
+    // agree on these patterns); Luhn replayed digit-for-digit.
+    "q272_pii_scan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || ' contact user' || doc_id
+        |    || '@example.com ip 10.' || (doc_id % 256) || '.0.'
+        |    || (doc_id % 100) || ' card 4111'
+        |    || lpad(((doc_id * 7919) % 100000000)::VARCHAR, 8, '0')
+        |    || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |    || ' tel +1 650-555-0'
+        |    || lpad((doc_id % 1000)::VARCHAR, 3, '0') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, t,
+        |    regexp_extract_all(t, '\b(?:[0-9][ -]?){12,18}[0-9]\b')
+        |      AS cards
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+        |    AS n_email,
+        |  len(regexp_extract_all(t,
+        |    '\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b'))::BIGINT
+        |    AS n_ipv4,
+        |  len(regexp_extract_all(t,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::BIGINT AS n_ssn,
+        |  len(regexp_extract_all(t,
+        |    '\+[0-9]{1,3}[ -]?[0-9](?:[ -]?[0-9]){6,12}\b'))::BIGINT
+        |    AS n_phone,
+        |  len(cards)::BIGINT AS n_card_cand,
+        |  len(list_filter(cards, s ->
+        |    list_sum(list_transform(
+        |      generate_series(1, len(replace(replace(s,' ',''),'-',''))),
+        |      i -> CASE
+        |        WHEN (len(replace(replace(s,' ',''),'-','')) - i) % 2 = 1
+        |        THEN CASE
+        |          WHEN 2*substr(replace(replace(s,' ',''),'-',''), i, 1)::INT > 9
+        |          THEN 2*substr(replace(replace(s,' ',''),'-',''), i, 1)::INT - 9
+        |          ELSE 2*substr(replace(replace(s,' ',''),'-',''), i, 1)::INT
+        |        END
+        |        ELSE substr(replace(replace(s,' ',''),'-',''), i, 1)::INT
+        |      END)) % 10 = 0))::BIGINT AS n_card_luhn
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // PII redaction: same replace chain, same order, 'g' flag for
+    // Spark's replace-all semantics, byte-level md5 compare.
+    "q273_pii_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '')
+        |    || ' ssn 123-45-6789 mail a@b.co card 4111 1111 1111 1111'
+        |    || ' ip 8.8.8.8 tel +44 20 7946 0958' AS t
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |)
+        |SELECT doc_id, md5(
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(t,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |            '<EMAIL>', 'g'),
+        |          '\b(?:[0-9][ -]?){12,18}[0-9]\b', '<CARD>', 'g'),
+        |        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |      '\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b',
+        |      '<IP>', 'g'),
+        |    '\+[0-9]{1,3}[ -]?[0-9](?:[ -]?[0-9]){6,12}\b',
+        |    '<PHONE>', 'g')) AS red_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // URL parse/normalize: same regex pipeline + suffix table.
+    "q274_url_parse" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'
+        |      ELSE 'https' END
+        |    || '://' || CASE WHEN doc_id % 7 = 0 THEN 'u:p@' ELSE '' END
+        |    || CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+        |      ELSE '' END
+        |    || 'site' || (doc_id % 37)
+        |    || CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |      WHEN 2 THEN '.org' ELSE '.com.au' END
+        |    || CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+        |      WHEN 2 THEN ':8080' ELSE '' END
+        |    || '/P/' || doc_id
+        |    || CASE WHEN doc_id % 2 = 0 THEN '?q=' || (doc_id % 9)
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS u
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), h AS (
+        |  SELECT doc_id, u,
+        |    lower(regexp_extract(u,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))
+        |      AS host,
+        |    regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+        |      AS scheme,
+        |    lower(regexp_extract(u,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]*)', 1))
+        |      AS hp,
+        |    regexp_extract(
+        |      regexp_replace(regexp_replace(u, '#.*$', ''), '\?$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*(.*)$', 1)
+        |      AS rest
+        |  FROM d
+        |)
+        |SELECT doc_id, host,
+        |  CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+        |    WHEN (string_split(host, '.')[-2] || '.' ||
+        |          string_split(host, '.')[-1]) IN
+        |      ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp',
+        |       'or.jp','com.au','net.au','org.au','com.br','com.cn',
+        |       'com.mx','co.in','co.kr','com.sg','com.tr','co.za',
+        |       'com.ar','co.nz')
+        |    THEN string_split(host, '.')[-3] || '.' ||
+        |         string_split(host, '.')[-2] || '.' ||
+        |         string_split(host, '.')[-1]
+        |    ELSE string_split(host, '.')[-2] || '.' ||
+        |         string_split(host, '.')[-1] END AS domain,
+        |  md5(lower(scheme) || '://' ||
+        |    CASE WHEN lower(scheme) = 'http'
+        |           THEN regexp_replace(hp, ':80$', '')
+        |         WHEN lower(scheme) = 'https'
+        |           THEN regexp_replace(hp, ':443$', '')
+        |         ELSE hp END || rest) AS norm_md5
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Domain cap: identical md5 permutation rank, identical winners.
+    "q275_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'host' || (doc_id % 17) || '.com' AS domain
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), r AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY substr(md5('0:cap:' || domain || ':' || doc_id),
+        |        1, 16), doc_id) AS rk
+        |  FROM d
+        |)
+        |SELECT doc_id, domain FROM r WHERE rk <= 3
         |ORDER BY doc_id""".stripMargin
   )
 }

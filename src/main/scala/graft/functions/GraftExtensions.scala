@@ -104,6 +104,10 @@ object GraftExtensions {
       require(args.length == 3, "graft_npy_from_doubles(data, dims, descr)")
       NpyFromDoubles(args(0), args(1), litString(args(2), "descr"))
     },
+    "graft_luhn_valid" -> { args =>
+      require(args.length == 1, "graft_luhn_valid(str)")
+      graft.ops.LuhnValid(args(0))
+    },
     "graft_quantize_int8" -> { args =>
       require(args.length == 1, "graft_quantize_int8(vec)")
       QuantizeInt8(args(0))

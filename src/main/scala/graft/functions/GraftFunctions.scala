@@ -80,6 +80,10 @@ object GraftFunctions {
   def npyFromDoubles(data: Column, dims: Column, descr: String): Column =
     column(graft.codecs.NpyFromDoubles(expr(data), expr(dims), descr))
 
+  /** Luhn mod-10 card-number check (separators tolerated). */
+  def luhnValid(s: Column): Column =
+    column(graft.ops.LuhnValid(expr(s)))
+
   /** Max-abs int8 quantization of a float/double vector →
     * struct<scale: double, q: array<tinyint>>. */
   def quantizeInt8(vec: Column): Column =
