@@ -104,6 +104,25 @@ class RetrievalSpec extends SparkSpec {
     assert(rare > common)
   }
 
+  test("maxDfPpm drops ubiquitous terms from scoring (skew valve)") {
+    val docs = Seq(
+      (1L, "common rare"),
+      (2L, "common stuff"),
+      (3L, "common words"),
+      (4L, "common filler")).toDF("doc_id", "text")
+    val q = Seq((9L, "common rare")).toDF("qid", "qtext")
+    // default: 'common' (df=4/4) contributes to every doc's score →
+    // all four docs are candidates
+    val full = Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid",
+      "qtext", k = 4)
+    assert(full.count() == 4L)
+    // with the 50% cutoff, 'common' is dropped BEFORE scoring: only
+    // the rare-term match survives as a candidate
+    val cut = Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid",
+      "qtext", k = 4, maxDfPpm = 500000L)
+    assert(cut.select($"cid").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("refuses an over-capacity query side instead of broadcasting it") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val q = Seq((1L, "alpha beta gamma")).toDF("qid", "qtext")
