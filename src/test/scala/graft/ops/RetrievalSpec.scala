@@ -160,4 +160,49 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(out.groupBy($"qid").count().agg(max($"count")).as[Long].head <= 5)
   }
+
+  test("jaccardTopK equals the brute-force all-pairs ranking on " +
+      "positive-overlap pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta epsilon"),
+      (3L, "zeta eta theta"),
+      (4L, "alpha zeta"),
+      (5L, "iota kappa")).toDF("doc_id", "text")
+    val qs = Seq((10L, "alpha beta"), (11L, "zeta"), (12L, "nomatch"))
+      .toDF("qid", "qtext")
+    val got = Retrieval.jaccardTopK(docs, "doc_id", "text", qs, "qid",
+        "qtext", k = 3)
+      .select($"qid", $"rank", $"cid", $"jaccard_ppm")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // brute force over distinct alpha-token sets
+    def toks(s: String) = s.split(" ").distinct.toSet
+    val dsets = Map(1L -> toks("alpha beta gamma"),
+      2L -> toks("alpha beta delta epsilon"), 3L -> toks("zeta eta theta"),
+      4L -> toks("alpha zeta"), 5L -> toks("iota kappa"))
+    val qsets = Map(10L -> toks("alpha beta"), 11L -> toks("zeta"),
+      12L -> toks("nomatch"))
+    val expect = (for {
+      (qid, q) <- qsets.toSeq
+      (cid, d) <- dsets.toSeq
+      i = (q & d).size if i >= 1
+    } yield (qid, cid, i.toLong * 1000000L / (q.size + d.size - i)))
+      .groupBy(_._1).flatMap { case (qid, rows) =>
+        rows.sortBy { case (_, cid, j) => (-j, cid) }.take(3).zipWithIndex
+          .map { case ((_, cid, j), r) => (qid, r + 1, cid, j) }
+      }.toSet
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // the no-overlap query honestly returns nothing
+    assert(!got.exists(_._1 == 12L))
+  }
+
+  test("jaccardTopK refuses an over-capacity query side") {
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha beta gamma")).toDF("qid", "qtext")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.jaccardTopK(docs, "doc_id", "text", q, "qid", "qtext",
+        k = 1, maxQueryTerms = 2L)
+    }
+    assert(e.getMessage.contains("maxQueryTerms"))
+  }
 }
