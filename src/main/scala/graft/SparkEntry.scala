@@ -4752,6 +4752,21 @@ object SparkEntry {
           WebCurate.registrableDomain(WebCurate.urlHost(col("url")))
             .as("domain"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Learned quality-filter apply (fastText-style) ----
+    // A trained hashed-bigram linear classifier applied at scan
+    // speed: features via the DSIR hash map, score = bias + Σ n_b·w_b
+    // through the codegen'd broadcast dot. Weights here are a
+    // deterministic test vector ((b·37) mod 101 − 50); the oracle
+    // replays gram construction, md5 bucketing and the dot
+    // gram-for-gram, so the whole feature pipeline is cross-checked.
+    "q276_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      TextAnalysis.linearClassify(docs, "doc_id", "text",
+          Seq.tabulate(64)(b => (b.toLong * 37) % 101 - 50),
+          biasPpm = 7L, thresholdPpm = 0L)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -11795,6 +11810,31 @@ object SparkEntry {
         |  FROM d
         |)
         |SELECT doc_id, domain FROM r WHERE rk <= 3
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Quality classifier: bigram construction (whole-text gram under
+    // 2 tokens — the HashedGrams contract), md5-bucket hashing and
+    // the weight dot replayed exactly.
+    "q276_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+        |      AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(generate_series(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i + 1]) END AS grams
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, len(grams)::BIGINT AS n_feats,
+        |    (7 + coalesce(list_sum(list_transform(grams, s ->
+        |       ((('0x' || substr(md5(s), 1, 8))::BIGINT % 64) * 37)
+        |         % 101 - 50)), 0))::BIGINT AS score_ppm
+        |  FROM g
+        |)
+        |SELECT doc_id, n_feats, score_ppm, score_ppm >= 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

@@ -2112,6 +2112,38 @@ object TextAnalysis {
         expr("n_chars * 1000000 div greatest(n_bpe, 1)"))
   }
 
+  /** Apply a TRAINED hashed-n-gram linear classifier — the
+    * fastText-style quality-filter APPLY step (CCNet/LLaMA-pipeline
+    * "keep if the wiki-vs-crawl classifier says wiki"): features are
+    * the [[graft.codecs.HashedGramCounts]] histogram (same map DSIR
+    * uses), the score is `bias + Σ_b n_b·w_b` in exact integer ppm
+    * via the codegen'd broadcast dot
+    * ([[graft.codecs.LinearScoreLong]]) — scan speed, zero shuffles,
+    * engine-reproducible (the weights arrive ALREADY TRAINED as
+    * integers; training a logistic model is upstream/offline work —
+    * this operator is the corpus-sized part). Output: (idCol,
+    * n_feats, score_ppm, keep) with keep = score ≥ threshold. */
+  def linearClassify(df: DataFrame, idCol: String, textCol: String,
+      weightsPpm: Seq[Long], biasPpm: Long = 0L,
+      thresholdPpm: Long = 0L, n: Int = 2,
+      unicode: Boolean = false): DataFrame = {
+    import graft.functions.GraftFunctions
+    require(weightsPpm.nonEmpty, "linearClassify needs weights")
+    val buckets = weightsPpm.length
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        GraftFunctions.hashedGramCounts(
+          NearDedup.tokens(coalesce(col(textCol), lit("")), unicode),
+          n, buckets)
+          .as("__fc"))
+      .select(col(idCol),
+        aggregate(col("__fc"), lit(0L), (a, x) => a + x).as("n_feats"),
+        (lit(biasPpm) +
+          GraftFunctions.linearScoreLong(col("__fc"),
+            weightsPpm.toArray)).as("score_ppm"))
+      .withColumn("keep", col("score_ppm") >= thresholdPpm)
+  }
+
   /** DSIR-style hashed n-gram importance score (Xie et al. 2023,
     * arXiv:2302.03169): documents resembling a TARGET corpus more
     * than the source corpus score high. Features are n-gram counts

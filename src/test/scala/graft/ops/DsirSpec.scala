@@ -44,4 +44,45 @@ class DsirSpec extends SparkSpec {
     assert(sa.min > sb.max,
       s"A-dialect scores $sa must exceed B-dialect $sb")
   }
+
+  test("linearClassify: score = bias + feature dot, threshold gates " +
+      "keep, null text is empty text") {
+    // hand-derivable weights: every bucket weighs 1 → score =
+    // bias + gram count; 'a b c' has 2 bigrams
+    val docs = Seq((1L, "a b c"), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.linearClassify(docs, "doc_id", "text",
+        weightsPpm = Seq.fill(16)(1L), biasPpm = 100L,
+        thresholdPpm = 102L)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // doc 1: 2 bigrams → 102, keep; doc 2: one whole-text gram →
+    // 101, drop; doc 3: empty text still one '' gram → 101, drop
+    assert(out == Seq((1L, 2L, 102L, true), (2L, 1L, 101L, false),
+      (3L, 1L, 101L, false)), s"$out")
+  }
+
+  test("linearClassify: differential weights separate dialects") {
+    val docs = Seq((1L, "alpha beta alpha beta"),
+      (2L, "omega psi omega psi")).toDF("doc_id", "text")
+    // learn-free check: weight = +1 on doc 1's buckets, -1 on doc
+    // 2's, via the same hash map the classifier uses
+    val b = 32
+    def bucketOf(s: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      (v % b).toInt
+    }
+    val pos = Seq("alpha beta", "beta alpha").map(bucketOf).toSet
+    val neg = Seq("omega psi", "psi omega").map(bucketOf).toSet
+    val w = Seq.tabulate(b)(i =>
+      if (pos(i)) 1L else if (neg(i)) -1L else 0L)
+    val out = TextAnalysis.linearClassify(docs, "doc_id", "text", w)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out(0)._3 > 0 && out(0)._4)
+    assert(out(1)._3 < 0 && !out(1)._4)
+  }
 }
