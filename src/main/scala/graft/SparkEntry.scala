@@ -4767,6 +4767,40 @@ object SparkEntry {
           Seq.tabulate(64)(b => (b.toLong * 37) % 101 - 50),
           biasPpm = 7L, thresholdPpm = 0L)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Petastorm-compatible store WRITE (full interop) ----
+    // materializePetastorm emits the reference's own store layout:
+    // np.save tensor cells, a _common_metadata footer carrying the
+    // pickled Unischema + row-group JSON under petastorm's keys —
+    // unmodified petastorm make_reader opens it (cross-language leg
+    // proven by tools/check_petastorm_store.py, which unpickles with
+    // the reference classes and decodes cells with its NdarrayCodec).
+    // This q-row proves the Spark-side round trip: write, read back
+    // through the inferred-schema + npy path, decode exactly.
+    "q277_petastorm_write" -> ((s, dir) => {
+      import graft.functions.{GraftFunctions => GF}
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val schema = GraftSchema("DocsInterop", Seq(
+        FieldSpec("doc_id", org.apache.spark.sql.types.LongType,
+          codec = Some(CodecSpec("scalar"))),
+        FieldSpec("feat", org.apache.spark.sql.types.IntegerType,
+          shape = Seq(5, 4), codec = Some(CodecSpec("ndarray")))))
+      val src = docs.select(col("doc_id"),
+        transform(sequence(lit(0), lit(19)),
+          i => pmod(col("doc_id") * 17 + i * 3, lit(1000)).cast("int"))
+          .as("feat"))
+      val url = sys.props("java.io.tmpdir") + "/graft_q277_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Materialize.materializePetastorm(src, url, schema,
+        partitions = Some(4))
+      s.read.parquet(url)
+        .select(col("doc_id"),
+          GF.npyDescr(col("feat")).as("descr"),
+          GF.npyShape(col("feat"))(0).as("d0"),
+          GF.npyShape(col("feat"))(1).as("d1"),
+          GF.arraySumLong(GF.npyLongs(col("feat"))).as("fsum"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -11835,6 +11869,15 @@ object SparkEntry {
         |  FROM g
         |)
         |SELECT doc_id, n_feats, score_ppm, score_ppm >= 0 AS keep
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Petastorm-store write round-trip: dims fixed by the schema,
+    // the value checksum re-derived arithmetically.
+    "q277_petastorm_write" ->
+      """SELECT doc_id, '<i4' AS descr, 5 AS d0, 4 AS d1,
+        |  (SELECT CAST(sum((doc_id * 17 + j * 3) % 1000) AS BIGINT)
+        |   FROM unnest(generate_series(0, 19)) AS g(j)) AS fsum
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin
   )
 }

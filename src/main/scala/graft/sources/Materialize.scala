@@ -297,6 +297,114 @@ object Materialize {
     (affected.length, files.length)
   }
 
+  /** Petastorm-COMPATIBLE materialization: the same store layout the
+    * reference's own `materialize_dataset` produces, so unmodified
+    * petastorm (`make_reader`) opens it with no shim — the write-side
+    * mirror of the q269 `.npy` read interop. Differences from
+    * [[materialize]]: ndarray cells encode in the np.save layout
+    * ([[graft.codecs.NpyEncode]], byte-identical to numpy) instead of
+    * GRT1; image cells are the same genuine png/jpeg bytes; and the
+    * metadata is petastorm's — a `_common_metadata` footer carrying
+    * the PICKLED Unischema ([[UnischemaPickle]]) and the
+    * row-groups-per-file JSON under the reference's keys
+    * (etl/dataset_metadata.py:34-35). The graft sidecar is NOT
+    * written: this store's tensor layout is petastorm's, and our own
+    * engine reads it back through the inferred-schema path + the
+    * `npy_*` decode family exactly as it reads a genuine petastorm
+    * store. `compressed_ndarray` fields are refused
+    * ([[UnischemaPickle]] scope). */
+  def materializePetastorm(df: DataFrame, url: String,
+      schema: GraftSchema, rowGroupSizeMb: Int = 32,
+      partitions: Option[Int] = None): Unit = {
+    val cols = schema.fields.map { f =>
+      val c = col(f.name)
+      def npyDescr: String = f.dataType match {
+        case org.apache.spark.sql.types.ByteType    => "<i1"
+        case org.apache.spark.sql.types.ShortType   => "<i2"
+        case org.apache.spark.sql.types.IntegerType => "<i4"
+        case org.apache.spark.sql.types.LongType    => "<i8"
+        case org.apache.spark.sql.types.FloatType   => "<f4"
+        case org.apache.spark.sql.types.DoubleType  => "<f8"
+        case org.apache.spark.sql.types.BooleanType => "|b1"
+        case t => throw new IllegalArgumentException(
+          s"no npy descr for tensor element type $t (${f.name})")
+      }
+      val enc = f.codec match {
+        case Some(CodecSpec("ndarray", _)) => f.dataType match {
+          case org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.DoubleType =>
+            GraftFunctions.npyFromDoubles(
+              c.cast(ArrayType(org.apache.spark.sql.types.DoubleType)),
+              shapeDims(f, c), npyDescr)
+          case _ =>
+            GraftFunctions.npyFromLongs(
+              c.cast(ArrayType(LongType)), shapeDims(f, c), npyDescr)
+        }
+        case Some(CodecSpec(fmt @ ("png" | "jpeg"), args)) =>
+          GraftFunctions.encodeImage(shapeDims(f, c),
+            c.cast(ArrayType(ShortType)), fmt,
+            quality = args.getOrElse("quality", "80").toInt)
+        case Some(CodecSpec("scalar", _)) => c.cast(f.dataType)
+        case None => c
+        case Some(CodecSpec(other, _)) =>
+          throw new IllegalArgumentException(
+            s"codec '$other' is not petastorm-serializable " +
+              "(see UnischemaPickle) — use materialize() or 'ndarray'")
+      }
+      val checked =
+        if (f.nullable) enc
+        else when(c.isNull, raise_error(lit(
+          s"field ${f.name} is not nullable but got null"))).otherwise(enc)
+      checked.as(f.name)
+    }
+    val encoded = df.select(cols: _*)
+    val sized = partitions.map(encoded.repartition).getOrElse(encoded)
+    sized.write
+      .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
+      .mode("overwrite").parquet(url)
+    writePetastormMetadata(df.sparkSession, url, schema)
+  }
+
+  /** Write petastorm's `_common_metadata`: a footer-only parquet file
+    * whose key-value metadata carries the pickled Unischema and the
+    * row-groups-per-file JSON under the reference's keys — what
+    * `make_reader`'s `get_schema`/`load_row_groups` read
+    * (etl/dataset_metadata.py:356-386, :244-273). The physical
+    * schema is copied from the first data file (petastorm opens the
+    * file with `validate_schema=False`, but pyarrow still wants a
+    * coherent footer). The pickle is protocol-0 ASCII, so the
+    * Java-String (UTF-8) round trip is byte-exact. */
+  def writePetastormMetadata(spark: SparkSession, url: String,
+      schema: GraftSchema): Unit = {
+    val files = listParquetFiles(spark, url)
+    require(files.nonEmpty, s"no data files at $url")
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(files.head), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val (msgType, baseKv) =
+      try {
+        val fm = r.getFooter.getFileMetaData
+        (fm.getSchema, fm.getKeyValueMetaData)
+      } finally r.close()
+    val counts = rowGroupCounts(spark, url)
+    val countsJson = counts.toSeq.sortBy(_._1)
+      .map { case (f, n) => s"${GraftSchema.quote(f)}: $n" }
+      .mkString("{", ", ", "}")
+    val out = new Path(new Path(url), "_common_metadata")
+    val w = new org.apache.parquet.hadoop.ParquetFileWriter(
+      org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(out, conf),
+      msgType, org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE,
+      128L * 1024 * 1024, 0)
+    w.start()
+    val kv = new java.util.HashMap[String, String](baseKv)
+    kv.put("dataset-toolkit.unischema.v1",
+      new String(UnischemaPickle.pickle(schema),
+        java.nio.charset.StandardCharsets.US_ASCII))
+    kv.put("dataset-toolkit.num_row_groups_per_file.v1", countsJson)
+    w.end(kv)
+  }
+
   /** S9 parity (etl/petastorm_generate_metadata.py): (re)write the
     * sidecar for an existing parquet store (full footer rescan). */
   def writeMetadata(spark: SparkSession, url: String, schema: GraftSchema): Unit =
