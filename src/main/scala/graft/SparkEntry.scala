@@ -4801,6 +4801,34 @@ object SparkEntry {
           GF.npyShape(col("feat"))(1).as("d1"),
           GF.arraySumLong(GF.npyLongs(col("feat"))).as("fsum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Zero-declaration petastorm read (schema from the pickle) ----
+    // GraftRead pointed at the reference's legacy store with NO
+    // user-side schema: the store's own pickled Unischema is parsed
+    // on the JVM (PickleReader — nothing executed), tensor cells
+    // auto-decode through the npy family, scalars cast to the
+    // Unischema's declared types (id2 SMALLINT->int32 below is the
+    // visible proof the CAST path ran). The oracle re-derives every
+    // value from the raw parquet bytes as in q269.
+    "q278_auto_schema_read" -> ((s, dir) => {
+      val fx = {
+        val f = new java.io.File("fixtures/petastorm_legacy_0.7.6")
+        if (f.exists) f.getAbsolutePath
+        else "/root/repo/fixtures/petastorm_legacy_0.7.6"
+      }
+      val df = GraftRead.reader(s, fx).load()
+      df.select(col("id"), col("partition_key").as("pk"),
+          col("id2"), col("id_odd"),
+          col("decimal").cast("string").as("dec_str"),
+          size(col("matrix_uint16")).cast("long").as("m16_n"),
+          graft.functions.GraftFunctions.arraySumLong(
+            col("matrix_uint16")).as("m16_sum"),
+          aggregate(transform(col("matrix"),
+              v => floor(v * lit(1000000.0))),
+            lit(0L), (a, x) => a + x).as("m_sum_e6"),
+          element_at(col("sensor_name"), 1).as("sensor"))
+        .orderBy(col("id"))
     })
   )
 
@@ -11878,6 +11906,78 @@ object SparkEntry {
         |  (SELECT CAST(sum((doc_id * 17 + j * 3) % 1000) AS BIGINT)
         |   FROM unnest(generate_series(0, 19)) AS g(j)) AS fsum
         |FROM documents WHERE doc_id IS NOT NULL
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Zero-declaration read of the legacy store: scalars (with the
+    // Unischema's declared int32 cast for id2), u2/f4 checksums from
+    // raw bytes (the q269 machinery), and the <U11 sensor string
+    // decoded from its UTF-32LE payload.
+    "q278_auto_schema_read" ->
+      """WITH t AS (
+        |  SELECT * FROM read_parquet(
+        |    '/root/repo/fixtures/petastorm_legacy_0.7.6/*/*.parquet',
+        |    hive_partitioning=1)
+        |), h AS (
+        |  SELECT id, partition_key, id2, id_odd,
+        |    decimal::VARCHAR AS dec_str,
+        |    hex(matrix) AS mh, hex(matrix_uint16) AS uh,
+        |    hex(sensor_name) AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT *,
+        |    ('0x'||substr(mh,17,2))::INT
+        |      + 256*('0x'||substr(mh,19,2))::INT AS mhl,
+        |    ('0x'||substr(uh,17,2))::INT
+        |      + 256*('0x'||substr(uh,19,2))::INT AS uhl,
+        |    ('0x'||substr(sh,17,2))::INT
+        |      + 256*('0x'||substr(sh,19,2))::INT AS shl
+        |  FROM h
+        |), d AS (
+        |  SELECT *, 10 + mhl AS mdoff, 10 + uhl AS udoff FROM p
+        |), e AS (
+        |  SELECT d.id, g.j,
+        |    ('0x'||substr(d.uh, 2*(d.udoff + 2*g.j) + 1, 2))::BIGINT
+        |      + 256*('0x'||substr(d.uh, 2*(d.udoff + 2*g.j) + 3, 2))::BIGINT
+        |      AS u2v,
+        |    ('0x'||substr(d.mh, 2*(d.mdoff + 4*g.j) + 1, 2))::BIGINT
+        |      + 256*('0x'||substr(d.mh, 2*(d.mdoff + 4*g.j) + 3, 2))::BIGINT
+        |      + 65536*('0x'||substr(d.mh, 2*(d.mdoff + 4*g.j) + 5, 2))::BIGINT
+        |      + 16777216*('0x'||substr(d.mh, 2*(d.mdoff + 4*g.j) + 7, 2))::BIGINT
+        |      AS u4w
+        |  FROM d, unnest(generate_series(0, 32*16*3 - 1)) AS g(j)
+        |), f AS (
+        |  SELECT id, u2v,
+        |    CAST(floor(
+        |      (CASE WHEN u4w >= 2147483648 THEN -1.0 ELSE 1.0 END) *
+        |      (CASE WHEN (u4w // 8388608) % 256 = 0
+        |            THEN (u4w % 8388608) * POWER(2.0::DOUBLE, -149)
+        |            ELSE ((u4w % 8388608) + 8388608)
+        |                 * POWER(2.0::DOUBLE,
+        |                         ((u4w // 8388608) % 256) - 150)
+        |       END) * 1000000.0) AS BIGINT) AS fe6
+        |  FROM e
+        |), agg AS (
+        |  SELECT id, count(*)::BIGINT AS m16_n,
+        |    CAST(sum(u2v) AS BIGINT) AS m16_sum,
+        |    CAST(sum(fe6) AS BIGINT) AS m_sum_e6
+        |  FROM f GROUP BY id
+        |), sen AS (
+        |  SELECT id, array_to_string(
+        |    list_transform(
+        |      list_filter(
+        |        list_transform(generate_series(0, 10), j ->
+        |          ('0x'||substr(sh, 2*(10+shl+4*j)+1, 2))::INT
+        |          + 256*('0x'||substr(sh, 2*(10+shl+4*j)+3, 2))::INT
+        |          + 65536*('0x'||substr(sh, 2*(10+shl+4*j)+5, 2))::INT
+        |          + 16777216*('0x'||substr(sh, 2*(10+shl+4*j)+7, 2))::INT),
+        |        c -> c > 0),
+        |      c -> chr(c)), '') AS sensor
+        |  FROM d
+        |)
+        |SELECT d.id, d.partition_key AS pk, d.id2::INT AS id2,
+        |  d.id_odd, d.dec_str, agg.m16_n, agg.m16_sum, agg.m_sum_e6,
+        |  sen.sensor
+        |FROM d JOIN agg ON d.id = agg.id JOIN sen ON d.id = sen.id
+        |ORDER BY d.id""".stripMargin
   )
 }

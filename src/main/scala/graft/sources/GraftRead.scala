@@ -175,8 +175,16 @@ final case class GraftRead private (
     // sidecar schemas load (and merge-validate) BEFORE the parquet
     // read: a type-conflicting evolution must fail with the sidecar
     // diagnostic, not Spark's raw mergeSchema error
-    val sidecars = urls.flatMap(u =>
+    val graftSidecars = urls.flatMap(u =>
       Materialize.loadSchema(spark, u).map(u -> _))
+    // no graft sidecar → a PETASTORM store's own pickled Unischema
+    // serves as the schema (parsed on the JVM, nothing executed —
+    // see UnischemaPickle.parse): make_reader-written datasets open
+    // with full codec decode and no user-side field declarations
+    val sidecars =
+      if (graftSidecars.nonEmpty) graftSidecars
+      else urls.flatMap(u =>
+        Materialize.loadPetastormSchema(spark, u).map(u -> _))
     require(sidecars.isEmpty || sidecars.length == urls.length,
       s"mixed stores: ${sidecars.length} of ${urls.length} have a " +
         "schema sidecar — all must, or none (plain parquet)")

@@ -91,6 +91,20 @@ object Materialize {
         case Some(CodecSpec("ndarray" | "compressed_ndarray", _)) =>
           GraftFunctions.decodeTensor(c,
             graft.codecs.Dtype.forSparkType(f.dataType))
+        // petastorm-store cells (np.save layout — see
+        // UnischemaPickle.parse): flat C-order arrays typed by family
+        case Some(CodecSpec("npy", _)) => f.dataType match {
+          case org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.DoubleType =>
+            GraftFunctions.npyDoubles(c)
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.BinaryType =>
+            GraftFunctions.npyStrings(c)
+          case _ => GraftFunctions.npyLongs(c)
+        }
+        // pyarrow-compressed ndarray container: no JVM decoder —
+        // surface the raw bytes rather than promising a decode
+        case Some(CodecSpec("npy_compressed", _)) => c
         case Some(CodecSpec("png" | "jpeg", _)) =>
           GraftFunctions.decodeImage(c)
         case Some(CodecSpec("scalar", _)) => c.cast(f.dataType)
@@ -363,6 +377,68 @@ object Materialize {
       .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
       .mode("overwrite").parquet(url)
     writePetastormMetadata(df.sparkSession, url, schema)
+  }
+
+  /** Schema of a PETASTORM-written store, parsed from its own
+    * `_common_metadata` pickle ([[UnischemaPickle.parse]]) — None
+    * when the file or the unischema key is absent. The graft-side
+    * mirror of the reference's `get_schema`
+    * (etl/dataset_metadata.py:356-386). */
+  def loadPetastormSchema(spark: SparkSession,
+      url: String): Option[GraftSchema] = {
+    val p = new Path(new Path(url), "_common_metadata")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      // Read the pickle from the RAW thrift footer bytes: parquet-mr
+      // surfaces key-value metadata as UTF-8 Strings, which destroys
+      // BINARY pickle protocols (modern py3 petastorm pickles at
+      // protocol >= 3; only the py2-era protocol-0 pickles are
+      // ASCII). In thrift-compact a KeyValue is `key: binary` then
+      // `value: binary` — locate the varint-length-prefixed key and
+      // take the length-prefixed value after its one-byte field
+      // header; validated by requiring the pickle to actually parse.
+      val st = fs.getFileStatus(p)
+      val len = st.getLen.toInt
+      val buf = new Array[Byte](len)
+      val inS = fs.open(p)
+      try inS.readFully(0, buf) finally inS.close()
+      val key = "dataset-toolkit.unischema.v1"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      def varint(at: Int): (Long, Int) = {
+        var v = 0L; var shift = 0; var i = at
+        while ((buf(i) & 0x80) != 0) {
+          v |= (buf(i) & 0x7fL) << shift; shift += 7; i += 1
+        }
+        v |= (buf(i) & 0x7fL) << shift
+        (v, i + 1)
+      }
+      var at = 0
+      var found: Option[Array[Byte]] = None
+      while (found.isEmpty && at + key.length < buf.length) {
+        val hit = (0 until key.length).forall(k => buf(at + k) == key(k))
+        if (hit) {
+          try {
+            val after = at + key.length
+            // field header for `value` (binary, field id delta 1)
+            if ((buf(after) & 0x0f) == 8) {
+              val (vlen, dataAt) = varint(after + 1)
+              if (vlen > 0 && dataAt + vlen <= buf.length) {
+                val blob = java.util.Arrays.copyOfRange(
+                  buf, dataAt, dataAt + vlen.toInt)
+                found = Some(blob)
+                // validate by parsing; a false hit moves on
+                UnischemaPickle.parse(blob)
+              }
+            }
+          } catch {
+            case _: Exception => found = None
+          }
+        }
+        at += 1
+      }
+      found.map(UnischemaPickle.parse)
+    }
   }
 
   /** Write petastorm's `_common_metadata`: a footer-only parquet file

@@ -143,6 +143,163 @@ object UnischemaPickle {
       .reduce()
   }
 
+  // ------------------------------------------------------------------
+  // READ side: any petastorm store's pickled Unischema → GraftSchema
+  // ------------------------------------------------------------------
+
+  import PickleReader._
+
+  /** numpy dtype name → widened Spark logical type (the Unischema
+    * convention our FieldSpec carries: unsigned widens to the next
+    * signed type, unischema.py numpy→spark mapping). */
+  private def sparkTypeOf(numpy: String): org.apache.spark.sql.types.DataType =
+    numpy match {
+      case "int8" => ByteType
+      case "int16" | "uint8" => ShortType
+      case "int32" | "uint16" => IntegerType
+      case "int64" | "uint32" | "uint64" => LongType
+      case "float32" | "float16" => FloatType
+      case "float64" => DoubleType
+      case "bool_" | "bool" => BooleanType
+      case "str_" | "unicode_" | "unicode" | "str" => StringType
+      case "bytes_" | "string_" | "bytes" => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"unsupported numpy dtype in Unischema: $other")
+    }
+
+  private def dtypeName(p: Py): String = p match {
+    case PyGlobal("numpy", n) => n
+    case o: PyObject if o.cls.name == "dtype" =>
+      // np.dtype('f4')-style: first arg is the descr string
+      o.args.headOption match {
+        case Some(PyString(d)) => d.dropWhile("<>|=".contains(_)) match {
+          case "i1" => "int8"
+          case "i2" => "int16"
+          case "i4" => "int32"
+          case "i8" => "int64"
+          case "u1" => "uint8"
+          case "u2" => "uint16"
+          case "u4" => "uint32"
+          case "u8" => "uint64"
+          case "f4" => "float32"
+          case "f8" => "float64"
+          case "b1" => "bool_"
+          case d2 => throw new IllegalArgumentException(
+            s"unsupported np.dtype descr $d2")
+        }
+        case o2 => throw new IllegalArgumentException(
+          s"np.dtype with non-string arg $o2")
+      }
+    case o => throw new IllegalArgumentException(
+      s"field dtype is not a numpy type: $o")
+  }
+
+  private def codecSpec(p: Py): Option[CodecSpec] = p match {
+    case PyNone => None
+    case o: PyObject => o.cls.name match {
+      case "ScalarCodec" => Some(CodecSpec("scalar"))
+      // cells are np.save-format in a petastorm store — decoded by
+      // the npy family, NOT our GRT1 tensor codec
+      case "NdarrayCodec" => Some(CodecSpec("npy"))
+      case "CompressedNdarrayCodec" => Some(CodecSpec("npy_compressed"))
+      case "CompressedImageCodec" =>
+        val fmt = o.attr("_image_codec") match {
+          case Some(PyString(s)) => s.stripPrefix(".")
+          case _ => "png"
+        }
+        val q = o.attr("_quality") match {
+          case Some(PyLong(v)) => v.toString
+          case _ => "80"
+        }
+        Some(CodecSpec(fmt, Map("quality" -> q)))
+      case other => throw new IllegalArgumentException(
+        s"unknown petastorm codec class $other")
+    }
+    case o => throw new IllegalArgumentException(s"codec field is $o")
+  }
+
+  /** Parse a pickled petastorm `Unischema` (any protocol CPython
+    * emits, 0-5) into a [[GraftSchema]]. Nothing is executed — see
+    * [[PickleReader]]. NdarrayCodec fields map to the `npy` codec
+    * (np.save cells); CompressedNdarrayCodec to `npy_compressed`
+    * (decoded as raw bytes — its pyarrow container has no JVM
+    * decoder here). */
+  def parse(bytes: Array[Byte]): GraftSchema = {
+    val root = PickleReader.loads(bytes) match {
+      case o: PyObject if o.cls.name == "Unischema" => o
+      case o => throw new IllegalArgumentException(
+        s"not a pickled Unischema: $o")
+    }
+    val name = root.attr("_name") match {
+      case Some(PyString(s)) => s
+      case o => throw new IllegalArgumentException(s"Unischema _name: $o")
+    }
+    val fieldDict = root.attr("_fields") match {
+      case Some(d: PyDict) => d
+      case o => throw new IllegalArgumentException(s"Unischema _fields: $o")
+    }
+    def pysparkToSpark(st: PyObject): org.apache.spark.sql.types.DataType =
+      st.cls.name match {
+        case "ByteType" => ByteType
+        case "ShortType" => ShortType
+        case "IntegerType" => IntegerType
+        case "LongType" => LongType
+        case "FloatType" => FloatType
+        case "DoubleType" => DoubleType
+        case "BooleanType" => BooleanType
+        case "StringType" => StringType
+        case "BinaryType" => BinaryType
+        case "DateType" => org.apache.spark.sql.types.DateType
+        case "TimestampType" => org.apache.spark.sql.types.TimestampType
+        case "DecimalType" =>
+          val p = st.attr("precision") match {
+            case Some(PyLong(v)) => v.toInt; case _ => 10 }
+          val s = st.attr("scale") match {
+            case Some(PyLong(v)) => v.toInt; case _ => 0 }
+          org.apache.spark.sql.types.DecimalType(p, s)
+        case other => throw new IllegalArgumentException(
+          s"unsupported pyspark type $other")
+      }
+    val fields = fieldDict.m.values.map {
+      case f: PyObject if f.cls.name == "UnischemaField" =>
+        require(f.args.length == 5,
+          s"UnischemaField arity ${f.args.length}")
+        val fname = f.args(0) match {
+          case PyString(s) => s
+          case o => throw new IllegalArgumentException(s"field name: $o")
+        }
+        // dtype from the numpy type; fields whose dtype is not a
+        // numpy scalar (Decimal, date, timestamp) carry their truth
+        // in the ScalarCodec's pyspark type — use that
+        val dt = try sparkTypeOf(dtypeName(f.args(1))) catch {
+          case e: IllegalArgumentException => f.args(3) match {
+            case c: PyObject if c.cls.name == "ScalarCodec" =>
+              c.attr("_spark_type") match {
+                case Some(st: PyObject) => pysparkToSpark(st)
+                case _ => throw e
+              }
+            case _ => throw e
+          }
+        }
+        val shape = f.args(2) match {
+          case PyTuple(items) => items.map {
+            case PyLong(v) => v.toInt
+            case PyNone => -1
+            case o => throw new IllegalArgumentException(s"shape dim: $o")
+          }
+          case o => throw new IllegalArgumentException(s"field shape: $o")
+        }
+        val nullable = f.args(4) match {
+          case PyBool(b) => b
+          case PyLong(v) => v != 0
+          case o => throw new IllegalArgumentException(s"nullable: $o")
+        }
+        FieldSpec(fname, dt, shape, codecSpec(f.args(3)), nullable)
+      case o => throw new IllegalArgumentException(s"field entry: $o")
+    }.toSeq
+    GraftSchema(name, fields)
+  }
+
   /** The pickle bytes petastorm's `get_schema` unpickles into a live
     * `Unischema`. Pure ASCII (spec-asserted). */
   def pickle(schema: GraftSchema): Array[Byte] = {
