@@ -51,12 +51,17 @@ object GraftStream {
     def glob(pattern: String): Reader = copy(globFilter = Some(pattern))
 
     def load(): DataFrame = {
-      val schema = Materialize.loadSchema(spark, url).getOrElse {
-        val r0 = spark.read
-        val r1 = globFilter.map(g => r0.option("pathGlobFilter", g))
-          .getOrElse(r0)
-        GraftSchema.fromStructType("inferred", r1.parquet(url).schema)
-      }
+      // schema precedence mirrors GraftRead: graft sidecar, else a
+      // PETASTORM store's own pickled Unischema (npy auto-decode —
+      // Materialize.loadPetastormSchema), else inferred
+      val schema = Materialize.loadSchema(spark, url)
+        .orElse(Materialize.loadPetastormSchema(spark, url))
+        .getOrElse {
+          val r0 = spark.read
+          val r1 = globFilter.map(g => r0.option("pathGlobFilter", g))
+            .getOrElse(r0)
+          GraftSchema.fromStructType("inferred", r1.parquet(url).schema)
+        }
       val viewed = if (fieldSel.isEmpty) schema else schema.view(fieldSel)
       val rs0 = spark.readStream.schema(schema.toStructType)
       val rs = globFilter.map(g => rs0.option("pathGlobFilter", g))

@@ -227,6 +227,29 @@ class GraftStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming reader auto-decodes a PETASTORM store from its own " +
+      "pickled Unischema (schema parity with GraftRead)") {
+    val fx = {
+      val f = new java.io.File("fixtures/petastorm_legacy_0.7.6")
+      if (f.exists) f.getAbsolutePath
+      else "/root/repo/fixtures/petastorm_legacy_0.7.6"
+    }
+    val stream = GraftStream.reader(spark, fx).load()
+    assert(stream.isStreaming)
+    runAvailableNow(stream.select($"id", $"matrix_uint16", $"sensor_name"),
+      "ps_stream")
+    val got = spark.table("ps_stream")
+    assert(got.count() == 100L)
+    val row = got.filter($"id" === 3L).head()
+    assert(row.getSeq[Long](1).length == 32 * 16 * 3)
+    assert(row.getSeq[String](2) == Seq("test_sensor"))
+    // equal to the batch auto-decode path
+    val batch = GraftRead.reader(spark, fx).load()
+      .select($"id", $"matrix_uint16", $"sensor_name")
+    assert(got.orderBy($"id").collect().toSeq ==
+      batch.orderBy($"id").collect().toSeq)
+  }
+
   test("admitFirstN on a batch frame equals the row_number spelling") {
     val df = Seq(
       (1L, 30L, 103L), (1L, 10L, 101L), (1L, 20L, 102L), (1L, 40L, 104L),
