@@ -203,9 +203,15 @@ object Bench {
         s""""contended":$c,"n_contended":${contended.size},"sf":"$sfDir"}"""
     // File copy first (survives stdout interleaving with sbt noise),
     // then the contractual single stdout JSON line, flushed last.
-    try Files.writeString(Paths.get("bench_out.json"),
-      line(qsFull, esFull, cs) + "\n")
-    catch { case _: Throwable => () }
+    // A SPARK_GRAFT_ONLY dev run must NOT clobber the durable
+    // full-record copy — it is the self-baseline the contention
+    // retry compares against (a 5-query dev record silently disables
+    // the retry pass for every other query).
+    if (only.isEmpty) {
+      try Files.writeString(Paths.get("bench_out.json"),
+        line(qsFull, esFull, cs) + "\n")
+      catch { case _: Throwable => () }
+    }
     spark.stop()
     println(line(qsSlow, esShort, csShort))
     Console.flush()

@@ -298,12 +298,17 @@ object NpyEncode {
   }
 
   private def checkedShape(dims: org.apache.spark.sql.catalyst.util.ArrayData,
-      n: Int): Array[Int] = {
+      n: Int, width: Int): Array[Int] = {
     val d = dims.toIntArray()
     var prod = 1L
     d.foreach { x => require(x >= 0, s"negative npy dim $x"); prod *= x }
     require(prod == n,
       s"shape ${d.mkString("x")} does not match $n elements")
+    // a cell is one in-memory byte[]: n·width + header must fit an
+    // int allocation (overflow would wrap negative and throw
+    // opaquely inside ByteBuffer)
+    require(n.toLong * width <= Int.MaxValue - 4096L,
+      s"npy cell too large: $n elements x $width bytes")
     d
   }
 
@@ -314,7 +319,6 @@ object NpyEncode {
       dims: org.apache.spark.sql.catalyst.util.ArrayData,
       descr: String): Array[Byte] = {
     val n = data.numElements()
-    val d = checkedShape(dims, n)
     val (lo, hi, w) = descr match {
       case "<i1" => (Byte.MinValue.toLong, Byte.MaxValue.toLong, 1)
       case "<i2" => (Short.MinValue.toLong, Short.MaxValue.toLong, 2)
@@ -328,6 +332,7 @@ object NpyEncode {
       case x => throw new IllegalArgumentException(
         s"npy_from_longs: unsupported descr '$x'")
     }
+    val d = checkedShape(dims, n, w)
     val hdr = header(descr, d)
     val buf = ByteBuffer.allocate(hdr.length + n * w)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -354,13 +359,13 @@ object NpyEncode {
       dims: org.apache.spark.sql.catalyst.util.ArrayData,
       descr: String): Array[Byte] = {
     val n = data.numElements()
-    val d = checkedShape(dims, n)
     val w = descr match {
       case "<f4" => 4
       case "<f8" => 8
       case x => throw new IllegalArgumentException(
         s"npy_from_doubles: unsupported descr '$x'")
     }
+    val d = checkedShape(dims, n, w)
     val hdr = header(descr, d)
     val buf = ByteBuffer.allocate(hdr.length + n * w)
       .order(ByteOrder.LITTLE_ENDIAN)
