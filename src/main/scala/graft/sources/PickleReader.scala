@@ -53,7 +53,21 @@ object PickleReader {
   private val Reconstructors =
     Set(("copyreg", "_reconstructor"), ("copy_reg", "_reconstructor"))
 
-  def loads(data: Array[Byte]): Py = {
+  /** Parse `data`; ANY malformation — unknown opcode, truncation,
+    * stack underflow, bad numbers — surfaces as
+    * IllegalArgumentException with the failing byte position (the
+    * fuzz contract: adversarial input cannot leak raw
+    * IndexOutOfBounds/NoSuchElement errors, let alone hang). */
+  def loads(data: Array[Byte]): Py =
+    try loadsUnsafe(data)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"malformed pickle: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  private def loadsUnsafe(data: Array[Byte]): Py = {
     var i = 0
     val stack = scala.collection.mutable.ArrayBuffer.empty[Py]
     val marks = scala.collection.mutable.ArrayBuffer.empty[Int]

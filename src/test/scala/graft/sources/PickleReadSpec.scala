@@ -88,6 +88,36 @@ class PickleReadSpec extends SparkSpec {
     assert(back("img").dataType == ShortType)
   }
 
+  test("adversarial bytes fail fast and clean (no hangs, no " +
+      "out-of-bounds escapes) — the VM parses UNTRUSTED metadata") {
+    val rnd = new scala.util.Random(42)
+    var done = 0
+    (0 until 500).foreach { k =>
+      val n = 1 + rnd.nextInt(200)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      try { PickleReader.loads(bytes); done += 1 }
+      catch {
+        case _: IllegalArgumentException => done += 1
+        case e: Throwable =>
+          fail(s"case $k leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    assert(done == 500)
+    // truncations of a VALID pickle must also fail cleanly
+    val good = UnischemaPickle.pickle(graft.schema.GraftSchema("T",
+      Seq(graft.schema.FieldSpec("id",
+        org.apache.spark.sql.types.LongType,
+        codec = Some(graft.schema.CodecSpec("scalar"))))))
+    (1 until good.length by 7).foreach { cut =>
+      try PickleReader.loads(good.take(cut))
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"truncation at $cut leaked ${e.getClass.getName}")
+      }
+    }
+  }
+
   test("GraftRead opens a petastorm store with ZERO user-side schema " +
       "declarations (auto-decode from its own pickle)") {
     val df = GraftRead.reader(spark, fixtureDir).load()
