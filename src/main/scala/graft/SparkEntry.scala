@@ -8,7 +8,7 @@ import graft.functions.GraftFunctions
 import graft.ops.{AnnSearch, AsOf, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, Pii, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, TextAnalysis, TransformSpec, WebCurate}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
-import graft.sources.{GraftRead, JsonlIngest, Materialize, RowGroupIndex}
+import graft.sources.{GraftRead, JsonlIngest, Materialize, MaterializedView, RowGroupIndex, Snapshots}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -4829,6 +4829,120 @@ object SparkEntry {
             lit(0L), (a, x) => a + x).as("m_sum_e6"),
           element_at(col("sensor_name"), 1).as("sensor"))
         .orderBy(col("id"))
+    }),
+
+    // ---- Snapshot store: MVCC time travel + vacuum (lifecycle) ----
+    // create v1 → copy-on-write upsert v2 (the q260 merge shape) →
+    // append v3 → vacuum below v2. Each version's aggregate is
+    // COLLECTED before vacuum can retire its files (readAsOf resolves
+    // a manifest eagerly, so a lazy frame over v1 would race the
+    // vacuum); v3 is re-aggregated AFTER the vacuum — the surviving
+    // floor, proving retention never touches live versions.
+    "q279_snapshot_store" -> ((s, dir) => {
+      import s.implicits._
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q279"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val store = s"$base/store"
+      val v1 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id").isNotNull)
+      Snapshots.create(s, store, v1, nFiles = 8)
+      val changed = v1
+        .filter(pmod(col("doc_id"), lit(11)) === 0 ||
+          pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"),
+          (pmod(col("doc_id"), lit(13)) === 0).as("del"))
+      val inserts = v1.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("xx").as("lang"), lit(77L).as("n_chars"),
+          lit(false).as("del"))
+      Snapshots.upsert(s, store, changed.unionByName(inserts),
+        "doc_id", deleteCol = Some("del"))
+      Snapshots.append(s, store,
+        v1.filter(pmod(col("doc_id"), lit(19)) === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            col("lang"), col("n_chars")), nFiles = 2)
+      def aggOf(v: Int): (Int, Long, Long, Long) = {
+        val r = Snapshots.readAsOf(s, store, v)
+          .agg(count(lit(1)), sum(col("n_chars")),
+            countDistinct(col("doc_id"))).head()
+        (v, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val a1 = aggOf(1)
+      val a2 = aggOf(2)
+      Snapshots.vacuum(s, store, keepFrom = 2, graceMs = 0L)
+      val a3 = aggOf(3)
+      Seq(a1, a2, a3)
+        .toDF("version", "n_rows", "sum_chars", "n_ids")
+        .orderBy(col("version"))
+    }),
+
+    // ---- Incremental materialized view: 3 deltas + a replay ----
+    // Per-(user,event_type) COUNT/SUM/MIN/MAX maintained across three
+    // event_id-sliced batches; batch 1 is applied TWICE — the
+    // partition-overwrite idempotency contract means the replay is a
+    // no-op — and the folded view must equal the one-shot GROUP BY
+    // the oracle computes. Each applyDelta touches only its batch's
+    // partitions: O(batch) per increment, never O(history).
+    "q280_incremental_view" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q280"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val mv = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString + "/mv"
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        col("event_id"))
+      MaterializedView.init(s, mv, Seq("user_id", "event_type"),
+        Seq("cents"), buckets = 16)
+      (0 until 3).foreach { b =>
+        MaterializedView.applyDelta(s, mv,
+          ev.filter(pmod(col("event_id"), lit(3)) === b)
+            .drop("event_id"), b.toLong)
+      }
+      MaterializedView.applyDelta(s, mv,
+        ev.filter(pmod(col("event_id"), lit(3)) === 1)
+          .drop("event_id"), 1L)
+      orderSmall(MaterializedView.read(s, mv)
+        .select(col("user_id"), col("event_type"),
+          col("cnt"), col("sum_cents"),
+          col("min_cents"), col("max_cents")),
+        col("user_id"), col("event_type"))
+    }),
+
+    // ---- Differentially-private per-key release (ε = ln 2) ----
+    // Per-event_type counts with user-level contribution bounding
+    // (clip=3) and seeded dyadic discrete-Laplace noise — the exact
+    // integer mechanism the oracle replays bit-for-bit.
+    "q281_dp_release" -> ((s, dir) => {
+      orderSmall(Stats.dpGroupCounts(t(s, dir, "events"),
+        Seq("event_type"), "user_id", clip = 3, seed = "dp14"),
+        col("event_type"))
+    }),
+
+    // ---- k-anonymity audit over quasi-identifiers ----
+    // Equivalence-class size histogram for (nation, segment): the
+    // re-identification risk report q227's per-column uniqueness
+    // can't see (risk lives in the combination).
+    "q282_kanon_audit" -> ((s, dir) => {
+      orderSmall(Stats.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 9)
+        .select(col("class_size"), col("n_classes"),
+          col("n_rows"), col("at_risk")),
+        col("class_size"))
     })
   )
 
@@ -11978,6 +12092,82 @@ object SparkEntry {
         |  d.id_odd, d.dec_str, agg.m16_n, agg.m16_sum, agg.m_sum_e6,
         |  sen.sensor
         |FROM d JOIN agg ON d.id = agg.id JOIN sen ON d.id = sen.id
-        |ORDER BY d.id""".stripMargin
+        |ORDER BY d.id""".stripMargin,
+
+    "q279_snapshot_store" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), v2 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM v1 WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'xx', 77 FROM v1
+        |  WHERE doc_id % 17 = 0
+        |), v3 AS (
+        |  SELECT * FROM v2
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, lang, n_chars FROM v1
+        |  WHERE doc_id % 19 = 0
+        |)
+        |SELECT 1 AS version, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT doc_id) AS n_ids FROM v1
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT),
+        |  count(DISTINCT doc_id) FROM v2
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(n_chars) AS BIGINT),
+        |  count(DISTINCT doc_id) FROM v3
+        |ORDER BY version""".stripMargin,
+
+    "q280_incremental_view" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT user_id, event_type, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM e GROUP BY 1, 2
+        |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+
+    "q281_dp_release" ->
+      """WITH pu AS (
+        |  SELECT user_id, event_type, least(count(*), 3) AS c
+        |  FROM events GROUP BY 1, 2
+        |), cl AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS t
+        |  FROM pu GROUP BY 1
+        |), uu AS (
+        |  SELECT event_type, t,
+        |    ('0x' || substr(md5('dp14:' ||
+        |      coalesce(CAST(event_type AS VARCHAR), ' ')), 1, 15))::BIGINT
+        |      AS u1,
+        |    ('0x' || substr(md5('dp14:' ||
+        |      coalesce(CAST(event_type AS VARCHAR), ' ')), 16, 15))::BIGINT
+        |      AS u2
+        |  FROM cl
+        |)
+        |SELECT event_type,
+        |  t + 3 * ((CASE WHEN u1 = 0 THEN 60
+        |                 ELSE 60 - length(bin(u1)) END)
+        |         - (CASE WHEN u2 = 0 THEN 60
+        |                 ELSE 60 - length(bin(u2)) END)) AS noised_count
+        |FROM uu ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q282_kanon_audit" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT class_size, count(*) AS n_classes,
+        |  class_size * count(*) AS n_rows,
+        |  CAST(class_size < 9 AS BIGINT) AS at_risk
+        |FROM classes GROUP BY class_size
+        |ORDER BY class_size""".stripMargin
   )
 }

@@ -1313,4 +1313,69 @@ object Stats {
         countDistinct(col("__lang")).as("n_langs"))
       .withColumn("dup_ppm", expr("n_dup_docs * 1000000 div n_docs"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns: every row's
+    * equivalence class is the set of rows sharing its QI tuple, and a
+    * class smaller than k re-identifies its members. One histogram
+    * exchange (`groupBy(QIs).count`, map-side combined) then a
+    * class-SIZE histogram — output is O(distinct class sizes), tiny
+    * at any corpus scale. Null QI values form classes like any other
+    * value (the repo's null-groups-are-groups convention): an absent
+    * zip code is itself identifying. Complements [[uniquenessProfile]]
+    * (per-column) — re-identification risk lives in the COMBINATION. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 1)
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    classes.groupBy(col("class_size"))
+      .agg(count(lit(1)).cast("long").as("n_classes"))
+      .withColumn("n_rows", col("class_size") * col("n_classes"))
+      .withColumn("at_risk", (col("class_size") < k).cast("long"))
+  }
+
+  /** Differentially-private per-key counts, exactly reproducible
+    * given `seed` — the governance release an aggregate leaves the
+    * data boundary through (per-domain doc counts to a dashboard,
+    * per-source token tallies to a paper) when the raw histogram
+    * would leak membership.
+    *
+    * Mechanism (all integer, bit-for-bit cross-engine):
+    *  - Contribution bounding: each `unitCol` value contributes at
+    *    most `clip` rows to each key group (`least(cnt, clip)` over
+    *    the per-(unit,key) histogram) — unit-level sensitivity ≤
+    *    clip. Two map-side-combined exchanges, no windows.
+    *  - Noise: clip-scaled difference of two Geom(1/2) draws,
+    *    `z = clip·(g1 − g2)`, where g = leading zeros of a 60-bit
+    *    integer cut from md5(seed:key) — P(g=j) = 2^-(j+1), so
+    *    g1−g2 is the exact discrete Laplace with ratio 2 per step.
+    *    Adjacent datasets (one unit added/removed) shift a key's
+    *    clipped sum by ≤ clip = one noise step, so the per-key
+    *    release is ε-DP with ε = ln 2. No floats, no ln/exp — the
+    *    geometric inverse-CDF IS the bit length, `60 − length(bin(u))`,
+    *    identical in Spark and DuckDB.
+    *
+    * Per-key ε composes across the released keys a unit can touch;
+    * callers bound that (e.g. one unit ⇒ few domains) or account for
+    * it. Noise std is clip·2 — the price of exact dyadic sampling. */
+  def dpGroupCounts(df: DataFrame, keyCols: Seq[String],
+      unitCol: String, clip: Int, seed: String): DataFrame = {
+    require(keyCols.nonEmpty && clip >= 1)
+    val perUnit = df.groupBy((unitCol +: keyCols).map(col): _*)
+      .agg(least(count(lit(1)), lit(clip.toLong)).as("__c"))
+    val clipped = perUnit.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__c")).cast("long").as("__true"))
+    // one md5 per key: chars 1-15 and 16-30 are two independent
+    // 60-bit uniforms (the q236/q261 draw-splitting discipline)
+    val keyTag = concat_ws("",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)
+    val h = md5(concat(lit(s"$seed:"), keyTag))
+    def geo(u: Column): Column =
+      when(u === 0L, lit(60L)).otherwise(lit(60L) - length(bin(u)))
+    val u1 = conv(substring(h, 1, 15), 16, 10).cast("long")
+    val u2 = conv(substring(h, 16, 15), 16, 10).cast("long")
+    clipped
+      .withColumn("noised_count",
+        col("__true") + lit(clip.toLong) * (geo(u1) - geo(u2)))
+      .drop("__true")
+  }
 }

@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained keyed aggregate view (IVM) over a stream
+  * of delta batches — the "running corpus ledger" pattern: per-key
+  * COUNT/SUM/MIN/MAX kept current as new data lands, WITHOUT ever
+  * rescanning the history.
+  *
+  * Out of the reference's scope entirely (its ETL is write-once); at
+  * 100 TB a full nightly recompute of `GROUP BY key` over the fact
+  * history is the single most wasteful job in a pipeline, and the fix
+  * is the classic log-structured view:
+  *
+  *  - State lives as PARTIAL aggregates partitioned by
+  *    `__b` (= pmod(xxhash64(keys), buckets)) and `__batch` (the
+  *    caller's batch id). [[applyDelta]] aggregates ONLY the incoming
+  *    batch — a batch-sized map-side-combined exchange — and lands it
+  *    with dynamic partition overwrite into its own
+  *    `__b=…/__batch=…` partitions.
+  *  - Replay-IDEMPOTENT by construction: re-running a batch
+  *    overwrites exactly its own partitions with identical content
+  *    (the repo's streaming ingest discipline, `nearDupIngest`).
+  *    There is no read-modify-write of existing state, hence no
+  *    double-count crash window at all.
+  *  - [[read]] folds partials with one keys-exchange; COUNT/SUM/
+  *    MIN/MAX are self-mergeable, AVG is derived. [[readKeys]] point
+  *    lookups prune to the probed keys' buckets — O(state/buckets)
+  *    scan, not O(state).
+  *  - Read cost grows with the batch count until [[rebuild]] folds
+  *    history into a single base batch on a FRESH url (blue/green):
+  *    the swap is the caller's atomic pointer flip, so no fold/delete
+  *    crash window exists here either.
+  */
+object MaterializedView {
+
+  private val MetaName = "_mv.json"
+
+  final case class MvMeta(keys: Seq[String], sums: Seq[String],
+      buckets: Int)
+
+  private def metaPath(url: String) = new Path(new Path(url), MetaName)
+
+  def init(spark: SparkSession, url: String, keys: Seq[String],
+      sums: Seq[String], buckets: Int = 64): Unit = {
+    require(keys.nonEmpty && buckets > 0)
+    require((keys ++ sums).forall(c => !c.contains("\"")))
+    val p = metaPath(url)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p), s"materialized view already exists at $url")
+    fs.mkdirs(p.getParent)
+    val json = s"""{"keys":[${keys.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""sums":[${sums.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""buckets":$buckets}"""
+    val out = fs.create(p, false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def meta(spark: SparkSession, url: String): MvMeta = {
+    val p = metaPath(url)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no materialized view at $url")
+    val in = fs.open(p)
+    val json = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var k = in.read(buf)
+      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+    def arr(k: String): Seq[String] = {
+      val at = json.indexOf("\"" + k + "\":[")
+      val body = json.substring(json.indexOf('[', at) + 1,
+        json.indexOf(']', at))
+      if (body.trim.isEmpty) Seq.empty
+      else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+    val b = json.drop(json.indexOf("\"buckets\":") + 10)
+      .takeWhile(_.isDigit).toInt
+    MvMeta(arr("keys"), arr("sums"), b)
+  }
+
+  private def bucketCol(m: MvMeta): Column =
+    pmod(xxhash64(m.keys.map(col): _*), lit(m.buckets)).cast("int")
+
+  /** The batch's partial-aggregate frame (shared by apply + rebuild). */
+  private def partials(delta: DataFrame, m: MvMeta): DataFrame = {
+    val aggs = count(lit(1)).as("__cnt") +:
+      m.sums.flatMap(c => Seq(
+        sum(col(c).cast("long")).as(s"sum_$c"),
+        min(col(c).cast("long")).as(s"min_$c"),
+        max(col(c).cast("long")).as(s"max_$c")))
+    delta.groupBy(m.keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Land one delta batch. Safe to re-run with the same `batchId`
+    * and the same data (exact overwrite); a batchId reuse with
+    * DIFFERENT data silently replaces the old batch — callers own
+    * batch-id discipline (the streaming sink's epoch id fits). */
+  def applyDelta(spark: SparkSession, url: String, delta: DataFrame,
+      batchId: Long): Unit = {
+    val m = meta(spark, url)
+    require(batchId >= 0, "batchId must be non-negative")
+    partials(delta, m)
+      .withColumn("__b", bucketCol(m))
+      .withColumn("__batch", lit(batchId))
+      .write.partitionBy("__b", "__batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(url)
+  }
+
+  private def foldPartials(state: DataFrame, m: MvMeta): DataFrame = {
+    val aggs = sum(col("__cnt")).cast("long").as("cnt") +:
+      m.sums.flatMap(c => Seq(
+        sum(col(s"sum_$c")).cast("long").as(s"sum_$c"),
+        min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c")))
+    state.groupBy(m.keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Current view: one fold exchange over the partials. */
+  def read(spark: SparkSession, url: String): DataFrame =
+    foldPartials(spark.read.parquet(url), meta(spark, url))
+
+  /** Point lookups: bucket-pruned — the scan touches only the probed
+    * keys' `__b=` partitions (partition pruning on the filter), so a
+    * k-key probe reads ~k/buckets of the state. Single-key-column
+    * views only (composite probes would need tuple literals). */
+  def readKeys(spark: SparkSession, url: String,
+      keys: Seq[Any]): DataFrame = {
+    val m = meta(spark, url)
+    require(m.keys.length == 1, "readKeys: single-key views only")
+    require(keys.nonEmpty)
+    val k = m.keys.head
+    val probe = spark.range(1).select(
+      explode(array(keys.map(lit): _*)).as(k))
+      .select(col(k), bucketCol(m).as("__pb"))
+      .collect().map(r => r.getInt(1)).distinct.toSeq
+    val state = spark.read.parquet(url)
+      .filter(col("__b").isin(probe: _*))
+      .filter(col(k).isin(keys: _*))
+    foldPartials(state, m)
+  }
+
+  /** Fold history into a fresh single-batch view at `newUrl`
+    * (blue/green: the caller flips its pointer, then drops the old
+    * url — no in-place fold, no crash window). */
+  def rebuild(spark: SparkSession, url: String, newUrl: String): Unit = {
+    val m = meta(spark, url)
+    init(spark, newUrl, m.keys, m.sums, m.buckets)
+    val folded = foldPartials(spark.read.parquet(url), m)
+      .withColumnRenamed("cnt", "__cnt")
+    folded
+      .withColumn("__b", bucketCol(m))
+      .withColumn("__batch", lit(0L))
+      .write.partitionBy("__b", "__batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(newUrl)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshUrl(tag: String): String =
+    scratch(s"mv_$tag/${java.util.UUID.randomUUID().toString.take(8)}")
+
+  private def mk(n: Int) = (1 to n).map { i =>
+    (i.toLong % 7, s"t${i % 3}", i.toLong)
+  }.toDF("k", "g", "x")
+
+  test("incremental == one-shot recompute, and replaying a batch " +
+      "is a no-op (partition-overwrite idempotency)") {
+    val url = freshUrl("inc")
+    val all = mk(200).cache()
+    MaterializedView.init(spark, url, Seq("k", "g"), Seq("x"),
+      buckets = 8)
+    (0 until 4).foreach { b =>
+      MaterializedView.applyDelta(spark, url,
+        all.filter(pmod(col("x"), lit(4)) === b), b.toLong)
+    }
+    // replay batch 2 twice more — state must not change
+    (0 until 2).foreach { _ =>
+      MaterializedView.applyDelta(spark, url,
+        all.filter(pmod(col("x"), lit(4)) === 2), 2L)
+    }
+    val got = MaterializedView.read(spark, url)
+      .orderBy("k", "g").collect().map(_.toSeq)
+    val want = all.groupBy("k", "g")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum("x").cast("long").as("sum_x"),
+        min("x").as("min_x"), max("x").as("max_x"))
+      .orderBy("k", "g").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    all.unpersist()
+  }
+
+  test("applyDelta rewrites ONLY the delta's partitions — earlier " +
+      "batches' files are untouched (O(batch) increments)") {
+    val url = freshUrl("touch")
+    MaterializedView.init(spark, url, Seq("k"), Seq("x"), buckets = 4)
+    MaterializedView.applyDelta(spark, url,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), 0L)
+    val root = new java.io.File(url)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    MaterializedView.applyDelta(spark, url,
+      Seq((3L, 30L)).toDF("k", "x"), 1L)
+    val after = files()
+    // batch 0's files survive bit-for-bit (same path, same mtime)
+    assert(before.forall { case (p, m) => after.get(p).contains(m) })
+    assert(after.size > before.size)
+    assert(after.keys.filterNot(before.contains)
+      .forall(_.contains("__batch=1")))
+  }
+
+  test("readKeys prunes to the probed buckets and folds exactly") {
+    val url = freshUrl("probe")
+    val all = mk(300)
+    MaterializedView.init(spark, url, Seq("k"), Seq("x"),
+      buckets = 16)
+    MaterializedView.applyDelta(spark, url, all.drop("g"), 0L)
+    val got = MaterializedView.readKeys(spark, url, Seq(3L, 5L))
+      .orderBy("k").collect().map(_.toSeq)
+    val want = all.filter(col("k").isin(3L, 5L)).groupBy("k")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum("x").cast("long").as("sum_x"),
+        min("x").as("min_x"), max("x").as("max_x"))
+      .orderBy("k").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    // pruning proof: the scan reads only the probed buckets' dirs
+    val plan = MaterializedView.readKeys(spark, url, Seq(3L))
+      .queryExecution.executedPlan.toString
+    // partition filter must appear on __b (pruned scan), and the
+    // single probed key hashes to exactly one bucket
+    assert(plan.contains("__b"))
+  }
+
+  test("rebuild folds history into a fresh single-batch view with " +
+      "identical reads (blue/green compaction)") {
+    val url = freshUrl("fold")
+    val url2 = freshUrl("fold2")
+    val all = mk(120)
+    MaterializedView.init(spark, url, Seq("k", "g"), Seq("x"),
+      buckets = 8)
+    (0 until 3).foreach { b =>
+      MaterializedView.applyDelta(spark, url,
+        all.filter(pmod(col("x"), lit(3)) === b), b.toLong)
+    }
+    MaterializedView.rebuild(spark, url, url2)
+    val a = MaterializedView.read(spark, url)
+      .orderBy("k", "g").collect().map(_.toSeq)
+    val b = MaterializedView.read(spark, url2)
+      .orderBy("k", "g").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // folded: exactly one __batch partition value remains
+    def batches(u: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(u)).map(_.getPath)
+        .flatMap("__batch=(\\d+)".r.findFirstMatchIn(_))
+        .map(_.group(1)).toSet
+    }
+    assert(batches(url) == Set("0", "1", "2") &&
+      batches(url2) == Set("0"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshUrl(tag: String): String = {
+    val u = scratch(s"snap_$tag/${java.util.UUID.randomUUID().toString.take(8)}")
+    u
+  }
+
+  test("create/append/overwrite commit monotone versions and " +
+      "readAsOf sees each version's exact rows") {
+    val url = freshUrl("basic")
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Snapshots.create(spark, url, a, nFiles = 2) == 1)
+    assert(Snapshots.append(spark, url,
+      Seq((3L, "c")).toDF("id", "v"), nFiles = 1) == 2)
+    assert(Snapshots.overwrite(spark, url,
+      Seq((9L, "z")).toDF("id", "v"), nFiles = 1) == 3)
+    assert(Snapshots.versions(spark, url) == Seq(1, 2, 3))
+    assert(Snapshots.readAsOf(spark, url, 1).count() == 2)
+    assert(Snapshots.readAsOf(spark, url, 2).count() == 3)
+    assert(Snapshots.read(spark, url).as[(Long, String)].collect()
+      .toSet == Set((9L, "z")))
+    // an appended version shares its parent's files (no rewrite)
+    val s1 = Snapshots.snap(spark, url, 1).files.toSet
+    val s2 = Snapshots.snap(spark, url, 2).files.toSet
+    assert(s1.subsetOf(s2) && (s2 -- s1).size == 1)
+  }
+
+  test("upsert is copy-on-write: the parent version still reads " +
+      "its pre-merge rows, and unaffected files are shared") {
+    val url = freshUrl("cow")
+    val base = (1L to 100L).map(i => (i, i * 10)).toDF("id", "x")
+    Snapshots.create(spark, url, base, nFiles = 4)
+    val ups = Seq((5L, 999L, false), (101L, 1L, false), (7L, 0L, true))
+      .toDF("id", "x", "del")
+    val v = Snapshots.upsert(spark, url, ups, "id",
+      deleteCol = Some("del"))
+    assert(v == 2)
+    // old version intact
+    val old = Snapshots.readAsOf(spark, url, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(old(5L) == 50L && old.contains(7L) && old.size == 100)
+    // new version merged
+    val now = Snapshots.read(spark, url).as[(Long, Long)].collect().toMap
+    assert(now(5L) == 999L && !now.contains(7L) && now(101L) == 1L &&
+      now.size == 100)
+  }
+
+  test("vacuum retires only below the floor; orphans need grace; " +
+      "surviving versions stay readable") {
+    val url = freshUrl("vac")
+    Snapshots.create(spark, url,
+      (1L to 50L).toDF("id"), nFiles = 4)
+    Snapshots.overwrite(spark, url,
+      (51L to 60L).toDF("id"), nFiles = 2)
+    Snapshots.append(spark, url, Seq(61L).toDF("id"), nFiles = 1)
+    val (nF, nM) = Snapshots.vacuum(spark, url, keepFrom = 2,
+      graceMs = 0L)
+    assert(nF == 4 && nM == 1) // v1's 4 files + its manifest
+    assert(Snapshots.versions(spark, url) == Seq(2, 3))
+    assert(Snapshots.read(spark, url).count() == 11)
+    assert(Snapshots.readAsOf(spark, url, 2).count() == 10)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, url, 1)
+    }
+    // an unreferenced file younger than the grace window survives
+    // (it may be an in-flight commit's staged rename)
+    val root = new org.apache.hadoop.fs.Path(url)
+    val fs = root.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val stray = new org.apache.hadoop.fs.Path(root,
+      "s99999999-deadbeef-00000.parquet")
+    fs.create(stray, true).close()
+    val (nF2, _) = Snapshots.vacuum(spark, url, keepFrom = 2,
+      graceMs = 3600L * 1000)
+    assert(nF2 == 0 && fs.exists(stray))
+    val (nF3, _) = Snapshots.vacuum(spark, url, keepFrom = 2,
+      graceMs = 0L)
+    assert(nF3 == 1 && !fs.exists(stray))
+  }
+
+  test("concurrent commit loses the race loudly (create-exclusive " +
+      "manifest), duplicate update keys and schema drift refused") {
+    val url = freshUrl("race")
+    Snapshots.create(spark, url, Seq((1L, "a")).toDF("id", "v"))
+    val root = new org.apache.hadoop.fs.Path(url)
+    // two writers that both resolved parent v1 race for the v2
+    // slot: the second commit to the same version must fail (the
+    // create-exclusive manifest is the whole concurrency story)
+    Snapshots.commit(spark, root, 2, "append", Seq())
+    val e = intercept[RuntimeException] {
+      Snapshots.commit(spark, root, 2, "append", Seq())
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // a LATER writer sees the winner and builds on it
+    assert(Snapshots.append(spark, url,
+      Seq((2L, "b")).toDF("id", "v")) == 3)
+    intercept[IllegalArgumentException] {
+      Snapshots.upsert(spark, url,
+        Seq((1L, "x"), (1L, "y")).toDF("id", "v"), "id")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.upsert(spark, url,
+        Seq((1L, "x", 0)).toDF("id", "v", "extra"), "id")
+    }
+  }
+}
