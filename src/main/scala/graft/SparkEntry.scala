@@ -4933,6 +4933,90 @@ object SparkEntry {
         col("event_type"))
     }),
 
+    // ---- Streaming materialized-view maintenance ----
+    // The q280 view maintained by a real Structured Streaming
+    // lifecycle: a file source drips the staged event slices one
+    // file per micro-batch through GraftStream.viewMaintain, each
+    // epoch landing as its own idempotent partition; the folded view
+    // must equal the one-shot GROUP BY.
+    "q283_stream_view" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q283"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val ev = t(s, dir, "events").select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      ev.repartition(3).write.mode("overwrite")
+        .parquet(s"$base/stage")
+      val mv = s"$base/mv"
+      MaterializedView.init(s, mv, Seq("event_type"), Seq("cents"),
+        buckets = 4)
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/stage")
+      val q = graft.streaming.GraftStream
+        .viewMaintain(src, mv, "q283")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      orderSmall(MaterializedView.read(s, mv)
+        .select(col("event_type"), col("cnt"), col("sum_cents"),
+          col("min_cents"), col("max_cents")),
+        col("event_type"))
+    }),
+
+    // ---- Snapshot CDC: manifest-diff change feed ----
+    // The q279 store WITHOUT the vacuum: the v1→v2 upsert surfaces
+    // value-exact update/insert/delete rows and the v2→v3 append
+    // surfaces pure inserts — all computed from only the files the
+    // manifests disagree on (O(changed files), never O(store)).
+    "q284_snapshot_changes" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q284"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val store = s"$base/store"
+      val v1 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id").isNotNull)
+      Snapshots.create(s, store, v1, nFiles = 8)
+      val changed = v1
+        .filter(pmod(col("doc_id"), lit(11)) === 0 ||
+          pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"),
+          (pmod(col("doc_id"), lit(13)) === 0).as("del"))
+      val inserts = v1.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("xx").as("lang"), lit(77L).as("n_chars"),
+          lit(false).as("del"))
+      Snapshots.upsert(s, store, changed.unionByName(inserts),
+        "doc_id", deleteCol = Some("del"))
+      Snapshots.append(s, store,
+        v1.filter(pmod(col("doc_id"), lit(19)) === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            col("lang"), col("n_chars")), nFiles = 2)
+      val d12 = Snapshots.changes(s, store, "doc_id", 1, 2)
+        .withColumn("span", lit("v1v2"))
+      val d23 = Snapshots.changes(s, store, "doc_id", 2, 3)
+        .withColumn("span", lit("v2v3"))
+      orderSmall(d12.unionByName(d23)
+        .select(col("span"), col("_change"), col("doc_id"),
+          col("lang"), col("n_chars")),
+        col("span"), col("doc_id"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12158,6 +12242,39 @@ object SparkEntry {
         |         - (CASE WHEN u2 = 0 THEN 60
         |                 ELSE 60 - length(bin(u2)) END)) AS noised_count
         |FROM uu ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q283_stream_view" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM e GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q284_snapshot_changes" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |)
+        |SELECT * FROM (
+        |  SELECT 'v1v2' AS span, 'update' AS _change, doc_id, lang,
+        |    n_chars + 1000 AS n_chars
+        |  FROM v1 WHERE doc_id % 11 = 0 AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'v1v2', 'insert', doc_id + 1000000, 'xx', 77
+        |  FROM v1 WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT 'v1v2', 'delete', doc_id, lang, n_chars
+        |  FROM v1 WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT 'v2v3', 'insert', doc_id + 2000000, lang, n_chars
+        |  FROM v1 WHERE doc_id % 19 = 0
+        |)
+        |ORDER BY span, doc_id""".stripMargin,
 
     "q282_kanon_audit" ->
       """WITH classes AS (

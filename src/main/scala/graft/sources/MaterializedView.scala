@@ -102,11 +102,24 @@ object MaterializedView {
     * batch-id discipline (the streaming sink's epoch id fits). */
   def applyDelta(spark: SparkSession, url: String, delta: DataFrame,
       batchId: Long): Unit = {
-    val m = meta(spark, url)
     require(batchId >= 0, "batchId must be non-negative")
+    applyDeltaKeyed(spark, url, delta, f"b$batchId%08d")
+  }
+
+  /** Keyed form for streams: the partition value is
+    * `<streamId>_b<epoch>` ([[graft.streaming.GraftStream]]'s
+    * lineage discipline — epoch ids restart at 0 on a fresh
+    * checkpoint, so the stream qualifier keeps a new lineage's
+    * batch 0 from silently replacing an old one's). Path-safe keys
+    * only: the value becomes a literal partition directory name. */
+  def applyDeltaKeyed(spark: SparkSession, url: String,
+      delta: DataFrame, batchKey: String): Unit = {
+    val m = meta(spark, url)
+    require(batchKey.matches("[A-Za-z0-9_.-]+"),
+      s"batchKey '$batchKey' must be path-safe ([A-Za-z0-9_.-]+)")
     partials(delta, m)
       .withColumn("__b", bucketCol(m))
-      .withColumn("__batch", lit(batchId))
+      .withColumn("__batch", lit(batchKey))
       .write.partitionBy("__b", "__batch")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(url)
@@ -156,7 +169,7 @@ object MaterializedView {
       .withColumnRenamed("cnt", "__cnt")
     folded
       .withColumn("__b", bucketCol(m))
-      .withColumn("__batch", lit(0L))
+      .withColumn("__batch", lit("base"))
       .write.partitionBy("__b", "__batch")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(newUrl)

@@ -252,6 +252,60 @@ object Snapshots {
   def read(spark: SparkSession, url: String): DataFrame =
     readAsOf(spark, url, latest(spark, url))
 
+  /** Change-data feed between two committed versions, computed from
+    * the MANIFEST DIFF: only files added or dropped between `fromV`
+    * and `toV` are read — a CDC consumer pays O(changed files), never
+    * O(store), which is what makes incremental downstream pipelines
+    * viable at 100 TB (the 10-file upsert on a 100k-file corpus reads
+    * ~20 files here vs two full scans for a naive snapshot diff).
+    *
+    * Emits one row per changed key with `_change` ∈ insert / update /
+    * delete and the NEW row values (deletes carry the old values):
+    *  - key only in added files            → insert
+    *  - key in added AND dropped files     → update (new values)
+    *  - key only in dropped files          → delete (old values)
+    * Keys present in files shared by both versions never appear —
+    * untouched files are never opened. Requires `keyCol` unique per
+    * version (the [[upsert]] store contract). The exchange is keyed
+    * on the changed files' rows only. */
+  def changes(spark: SparkSession, url: String, keyCol: String,
+      fromV: Int, toV: Int): DataFrame = {
+    require(fromV < toV, s"changes needs fromV < toV, got $fromV..$toV")
+    val (_, root) = fsOf(spark, url)
+    val a = snap(spark, url, fromV).files.toSet
+    val b = snap(spark, url, toV).files.toSet
+    val droppedF = (a -- b).toSeq.sorted.map(f => new Path(root, f).toString)
+    val addedF = (b -- a).toSeq.sorted.map(f => new Path(root, f).toString)
+    val schema = readAsOf(spark, url, toV).schema
+    def readOr(files: Seq[String]): DataFrame =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.parquet(files: _*)
+    val added = readOr(addedF).alias("__a")
+    val dropped = readOr(droppedF).alias("__d")
+    val valueCols = schema.fieldNames.filterNot(_ == keyCol).toSeq
+    // rows co-resident in a rewritten file land in added files with
+    // UNCHANGED values (upsert rewrites whole affected files); the
+    // null-safe whole-tuple anti-join removes them, leaving a
+    // value-level-exact feed
+    val tupleEq = schema.fieldNames
+      .map(c => col(s"__a.$c") <=> col(s"__d.$c")).reduce(_ && _)
+    val touched = added.join(dropped, tupleEq, "left_anti")
+    val changedNew = touched.join(
+      dropped.select(col(keyCol).as("__ok")).distinct(),
+      col(keyCol) === col("__ok"), "left")
+      .withColumn("_change",
+        when(col("__ok").isNotNull, lit("update"))
+          .otherwise(lit("insert")))
+      .drop("__ok")
+    val deleted = dropped
+      .join(added.select(col(keyCol).as("__nk")).distinct(),
+        col(keyCol) === col("__nk"), "left_anti")
+      .withColumn("_change", lit("delete"))
+    changedNew.unionByName(deleted)
+      .select((keyCol +: valueCols).map(col) :+ col("_change"): _*)
+  }
+
   /** Retire history: drop every version below `keepFrom`, delete data
     * files referenced ONLY by dropped versions, then the dropped
     * manifests (in that order — a crash leaves orphan data files,

@@ -98,6 +98,28 @@ object GraftStream {
       }
   }
 
+  /** Streaming maintenance of a [[Materialize]]-independent keyed
+    * aggregate view ([[graft.sources.MaterializedView]]): every
+    * micro-batch lands as its own partial-aggregate partition under
+    * the `<streamId>_b<epoch>` key, so Structured Streaming's
+    * at-least-once foreachBatch retries are EXACT no-ops (dynamic
+    * partition overwrite replays the identical partition) and a
+    * fresh checkpoint lineage cannot collide with an old one's
+    * epochs. Increment cost is O(batch); the view is readable midway
+    * through the stream ([[graft.sources.MaterializedView.read]]).
+    * `streamId` must be stable across restarts of one checkpoint
+    * lineage and unique across lineages (derive from the checkpoint
+    * path). */
+  def viewMaintain(batches: DataFrame, url: String,
+      streamId: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.matches("[A-Za-z0-9_.-]+"),
+      s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+)")
+    batches.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      graft.sources.MaterializedView.applyDeltaKeyed(
+        batch.sparkSession, url, batch, s"${streamId}_b$id")
+    }
+  }
+
   /** Event-time tumbling-window counts with a watermark — the
     * canonical streaming aggregation, parameterized the way the
     * training-data pipelines use it (events/documents per key per

@@ -61,7 +61,7 @@ class MaterializedViewSpec extends SparkSpec {
     assert(before.forall { case (p, m) => after.get(p).contains(m) })
     assert(after.size > before.size)
     assert(after.keys.filterNot(before.contains)
-      .forall(_.contains("__batch=1")))
+      .forall(_.contains("__batch=b00000001")))
   }
 
   test("readKeys prunes to the probed buckets and folds exactly") {
@@ -109,10 +109,11 @@ class MaterializedViewSpec extends SparkSpec {
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
         else Seq(f)
       walk(new java.io.File(u)).map(_.getPath)
-        .flatMap("__batch=(\\d+)".r.findFirstMatchIn(_))
+        .flatMap("__batch=([A-Za-z0-9]+)".r.findFirstMatchIn(_))
         .map(_.group(1)).toSet
     }
-    assert(batches(url) == Set("0", "1", "2") &&
-      batches(url2) == Set("0"))
+    assert(batches(url) ==
+      Set("b00000000", "b00000001", "b00000002") &&
+      batches(url2) == Set("base"))
   }
 }

@@ -84,6 +84,35 @@ class SnapshotSpec extends SparkSpec {
     assert(nF3 == 1 && !fs.exists(stray))
   }
 
+  test("changes: manifest-diff CDC feed is value-level exact — " +
+      "co-resident rewritten rows do not appear") {
+    val url = freshUrl("cdc")
+    val base = (1L to 40L).map(i => (i, i * 10)).toDF("id", "x")
+    Snapshots.create(spark, url, base, nFiles = 2)
+    // file-granular rewrite: ids 1..40 live in 2 files, so the
+    // upsert of 3 keys rewrites files carrying ~20 neighbors each
+    val ups = Seq((5L, 999L, false), (100L, 1L, false), (7L, 0L, true))
+      .toDF("id", "x", "del")
+    Snapshots.upsert(spark, url, ups, "id", deleteCol = Some("del"))
+    val got = Snapshots.changes(spark, url, "id", 1, 2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((5L, 999L, "update"), (100L, 1L, "insert"),
+      (7L, 70L, "delete")))
+    // append span: pure inserts
+    Snapshots.append(spark, url, Seq((200L, 2L)).toDF("id", "x"))
+    assert(Snapshots.changes(spark, url, "id", 2, 3)
+      .as[(Long, Long, String)].collect().toSeq ==
+      Seq((200L, 2L, "insert")))
+    // full-span diff composes: v1 -> v3
+    val full = Snapshots.changes(spark, url, "id", 1, 3)
+      .as[(Long, Long, String)].collect().toSet
+    assert(full == Set((5L, 999L, "update"), (100L, 1L, "insert"),
+      (7L, 70L, "delete"), (200L, 2L, "insert")))
+    intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, url, "id", 2, 2)
+    }
+  }
+
   test("concurrent commit loses the race loudly (create-exclusive " +
       "manifest), duplicate update keys and schema drift refused") {
     val url = freshUrl("race")
