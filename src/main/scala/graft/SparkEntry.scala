@@ -5017,6 +5017,27 @@ object SparkEntry {
         col("span"), col("doc_id"))
     }),
 
+    // ---- Code-corpus quality profile ----
+    // StarCoder/The-Stack-style line-structure signals over a
+    // deterministically code-shaped derivation of the documents
+    // corpus (sentinel words become statement/comment line breaks;
+    // every 7th doc gets an auto-generated footer) — one scan of
+    // codegen'd string/array builtins, no UDFs, no shuffle.
+    "q285_code_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val t0 = coalesce(col("text"), lit(""))
+      val code = concat(lit("# header\n"),
+        regexp_replace(
+          regexp_replace(t0, " line ", ";\n\t"),
+          " scan ", "\n# "),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("\n// generated by tool")).otherwise(lit("")))
+      TextAnalysis.codeStats(
+        docs.select(col("doc_id"), code.as("code")),
+        "doc_id", "code")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12275,6 +12296,41 @@ object SparkEntry {
         |  FROM v1 WHERE doc_id % 19 = 0
         |)
         |ORDER BY span, doc_id""".stripMargin,
+
+    "q285_code_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '# header' || chr(10) ||
+        |    regexp_replace(
+        |      regexp_replace(coalesce(text,''), ' line ',
+        |        ';' || chr(10) || chr(9), 'g'),
+        |      ' scan ', chr(10) || '# ', 'g')
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || '// generated by tool'
+        |         ELSE '' END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), e AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM d
+        |)
+        |SELECT doc_id, len(ls)::BIGINT AS n_lines,
+        |  list_max(list_transform(ls, l -> length(l)))::BIGINT
+        |    AS max_line_len,
+        |  len(list_filter(ls, l -> regexp_matches(l, '^[ \t]')))::BIGINT
+        |    AS n_indented,
+        |  len(list_filter(ls, l ->
+        |    regexp_matches(l, '^[ \t]*(//|#|\*|;|--)')))::BIGINT
+        |    AS n_comment,
+        |  len(regexp_extract_all(t, '[{}()\[\];]'))::BIGINT
+        |    AS n_brackets,
+        |  CAST(regexp_matches(t,
+        |    '(?i)(auto-?generated|do not edit|generated by)') AS BIGINT)
+        |    AS autogen,
+        |  len(list_filter(ls, l -> regexp_matches(l, '^[ \t]')))
+        |    * 1000000 // len(ls) AS indent_ppm,
+        |  len(list_filter(ls, l ->
+        |    regexp_matches(l, '^[ \t]*(//|#|\*|;|--)')))
+        |    * 1000000 // len(ls) AS comment_ppm
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "q282_kanon_audit" ->
       """WITH classes AS (

@@ -2282,6 +2282,40 @@ object TextAnalysis {
     c = regexp_replace(c, "\\n{3,}", "\n\n")
     trim(c, " \n")
   }
+
+  /** Per-document CODE-corpus quality profile — the line-structure
+    * signals code curation filters on (StarCoder/The-Stack-style
+    * rules): line count, longest line, indented-line and
+    * comment-line counts, bracket density, and the auto-generated
+    * marker every dedup-before-train pipeline drops. All built-in
+    * codegen'd string/array expressions over one `split('\n')` —
+    * one scan, no shuffle, no UDF; ratios are integer ppm per the
+    * repo's determinism convention. The rules are deliberately
+    * language-agnostic (comment prefixes cover the //, #, (star),
+    * ;, -- families); real pipelines layer per-language configs on
+    * the same frame. */
+  def codeStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    def nMatching(re: String): Column =
+      size(filter(lines, l => l.rlike(re))).cast("long")
+    df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      array_max(transform(lines, l => length(l))).cast("long")
+        .as("max_line_len"),
+      nMatching("^[ \\t]").as("n_indented"),
+      nMatching("^[ \\t]*(//|#|\\*|;|--)").as("n_comment"),
+      regexp_count(t, lit("[{}()\\[\\];]")).cast("long")
+        .as("n_brackets"),
+      t.rlike("(?i)(auto-?generated|do not edit|generated by)")
+        .cast("long").as("autogen"))
+      .withColumn("indent_ppm",
+        expr("n_indented * 1000000 div n_lines"))
+      .withColumn("comment_ppm",
+        expr("n_comment * 1000000 div n_lines"))
+  }
 }
 
 /** `simple_lower(text)` → codepoint-wise Unicode simple lowercase

@@ -53,7 +53,8 @@ final case class GraftRead private (
     cacheLevel: Option[org.apache.spark.storage.StorageLevel],
     allowEvolution: Boolean,
     indexSel: Option[(String, RowGroupIndex.Selector)] = None,
-    bloomSel: Option[(String, String, Seq[Any])] = None) {
+    bloomSel: Option[(String, String, Seq[Any])] = None,
+    asOfVersion: Option[Int] = None) {
 
   def fields(selectors: String*): GraftRead = copy(fieldSel = selectors)
   def predicate(p: RowPredicate): GraftRead = copy(preds = preds :+ p.toColumn)
@@ -64,6 +65,12 @@ final case class GraftRead private (
     copy(shardSpec = Some((index, count)))
   }
   def shuffle(seed: Long): GraftRead = copy(shuffleSeed = Some(seed))
+
+  /** Time-travel over a [[Snapshots]] store: pin the read to one
+    * committed version's manifest. Single-store only. Without this,
+    * a snapshot store already reads through its LATEST manifest —
+    * never the raw listing, which holds every version's files. */
+  def asOf(version: Int): GraftRead = copy(asOfVersion = Some(version))
 
   /** Reader-param parity with `make_reader(rowgroup_selector=…)`
     * (reader.py:92, applied :599-618): scan ONLY the files a
@@ -130,8 +137,26 @@ final case class GraftRead private (
     copy(cacheLevel = Some(level))
 
   def load(): DataFrame = {
-    // 1. stable file listing (per store, URL order) + shard (SH1/O5)
-    val allFiles = urls.flatMap(u => Materialize.listParquetFiles(spark, u))
+    // 1. stable file listing (per store, URL order) + shard (SH1/O5).
+    //    A Snapshots store resolves through a MANIFEST — latest by
+    //    default, `asOf` pinned — because its directory holds every
+    //    version's immutable files and a raw listing would read dead
+    //    versions alongside live rows.
+    require(asOfVersion.isEmpty || urls.length == 1,
+      "asOf() is single-store: versions are per-store")
+    val allFiles = urls.flatMap { u =>
+      val versions = Snapshots.versions(spark, u)
+      if (versions.nonEmpty) {
+        val v = asOfVersion.getOrElse(versions.last)
+        val root = new org.apache.hadoop.fs.Path(u)
+        Snapshots.snap(spark, u, v).files.sorted
+          .map(f => new org.apache.hadoop.fs.Path(root, f).toString)
+      } else {
+        require(asOfVersion.isEmpty,
+          s"asOf() needs a Snapshots store (no _snap manifests at $u)")
+        Materialize.listParquetFiles(spark, u)
+      }
+    }
     require(allFiles.nonEmpty, s"no parquet files at ${urls.mkString(", ")}")
     val sharded = shardSpec match {
       case Some((i, n)) =>
