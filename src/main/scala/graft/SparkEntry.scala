@@ -5038,6 +5038,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Streaming snapshot ingest + manifest-resolved read ----
+    // Micro-batches land as exactly-once snapshot versions
+    // (GraftStream.snapshotSink), and the read goes through
+    // GraftRead's manifest resolution — torn batches are
+    // unobservable by construction. The folded aggregate must equal
+    // the one-shot GROUP BY.
+    "q286_stream_snapshot" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q286"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      ev.repartition(3).write.parquet(s"$base/stage")
+      val store = s"$base/store"
+      Snapshots.create(s, store, ev.limit(0), nFiles = 1)
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/stage")
+      val q = graft.streaming.GraftStream
+        .snapshotSink(src, store, "q286", nFiles = 2)
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      orderSmall(GraftRead.reader(s, store).load()
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("event_id")).as("n_events"),
+          sum(col("cents")).as("sum_cents")),
+        col("event_type"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12331,6 +12369,14 @@ object SparkEntry {
         |    regexp_matches(l, '^[ \t]*(//|#|\*|;|--)')))
         |    * 1000000 // len(ls) AS comment_ppm
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "q286_stream_snapshot" ->
+      """SELECT event_type,
+        |  count(DISTINCT event_id) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q282_kanon_audit" ->
       """WITH classes AS (

@@ -174,6 +174,31 @@ object Snapshots {
       parent.files ++ writeFiles(spark, root, df, v, nFiles))
   }
 
+  /** Exactly-once append for at-least-once callers (foreachBatch
+    * retries, re-run jobs): the commit's `op` field carries
+    * `append:<commitKey>`, and a retry whose key already sits in ANY
+    * manifest is a no-op returning that version. The key scan reads
+    * the manifests we already list for version resolution —
+    * O(versions), no data files touched. The loser of a concurrent
+    * commit race retries through the same dedup check, so a crash
+    * between data-file staging and manifest commit leaves only
+    * vacuum-collectable orphans, never duplicate rows. */
+  def appendOnce(spark: SparkSession, url: String, df: DataFrame,
+      commitKey: String, nFiles: Int = 8): Int = {
+    require(commitKey.matches("[A-Za-z0-9_.-]+"),
+      s"commitKey '$commitKey' must be [A-Za-z0-9_.-]+")
+    val op = s"append:$commitKey"
+    val prior = versions(spark, url)
+      .find(v => snap(spark, url, v).op == op)
+    prior.getOrElse {
+      val (_, root) = fsOf(spark, url)
+      val parent = snap(spark, url, latest(spark, url))
+      val v = parent.version + 1
+      commit(spark, root, v, op,
+        parent.files ++ writeFiles(spark, root, df, v, nFiles))
+    }
+  }
+
   /** Replace the live file set wholesale (schema migration, full
     * rewrite) — old versions stay readable until [[vacuum]]. */
   def overwrite(spark: SparkSession, url: String, df: DataFrame,

@@ -98,6 +98,25 @@ object GraftStream {
       }
   }
 
+  /** Streaming append into a [[graft.sources.Snapshots]] store:
+    * every micro-batch becomes one snapshot version via
+    * [[graft.sources.Snapshots.appendOnce]] keyed
+    * `<streamId>_b<epoch>`, so foreachBatch's at-least-once retries
+    * commit exactly once (a replayed epoch finds its key in the
+    * manifest log and no-ops) and readers NEVER see a torn batch —
+    * they resolve a manifest, each of which is pre- or post-batch.
+    * The store must exist ([[graft.sources.Snapshots.create]]) —
+    * version 1 anchors the lineage. */
+  def snapshotSink(batches: DataFrame, url: String,
+      streamId: String, nFiles: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.matches("[A-Za-z0-9_.-]+"),
+      s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+)")
+    batches.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      graft.sources.Snapshots.appendOnce(batch.sparkSession, url,
+        batch, s"${streamId}_b$id", nFiles): Unit
+    }
+  }
+
   /** Streaming maintenance of a [[Materialize]]-independent keyed
     * aggregate view ([[graft.sources.MaterializedView]]): every
     * micro-batch lands as its own partial-aggregate partition under

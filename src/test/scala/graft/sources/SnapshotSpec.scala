@@ -113,6 +113,50 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("appendOnce: a replayed commit key is a no-op (exactly-once " +
+      "for at-least-once callers), distinct keys append") {
+    val url = freshUrl("once")
+    Snapshots.create(spark, url, Seq(1L).toDF("id"), nFiles = 1)
+    val v2 = Snapshots.appendOnce(spark, url, Seq(2L).toDF("id"),
+      "s1_b0", nFiles = 1)
+    assert(v2 == 2)
+    // replay (the foreachBatch retry): same key, same version, no
+    // new rows even with different data offered
+    assert(Snapshots.appendOnce(spark, url, Seq(99L).toDF("id"),
+      "s1_b0", nFiles = 1) == 2)
+    assert(Snapshots.read(spark, url).count() == 2)
+    assert(Snapshots.appendOnce(spark, url, Seq(3L).toDF("id"),
+      "s1_b1", nFiles = 1) == 3)
+    assert(Snapshots.read(spark, url).count() == 3)
+    intercept[IllegalArgumentException] {
+      Snapshots.appendOnce(spark, url, Seq(4L).toDF("id"), "bad key")
+    }
+  }
+
+  test("snapshotSink streams micro-batches into versioned commits " +
+      "— one version per epoch, replay-safe lineage") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = freshUrl("sink")
+    val stage = s"$base/stage"
+    val url = s"$base/store"
+    val df = (1L to 9L).toDF("id")
+    df.repartition(3).write.parquet(stage)
+    Snapshots.create(spark, url, Seq(0L).toDF("id"), nFiles = 1)
+    val src = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = graft.streaming.GraftStream
+      .snapshotSink(src, url, "t1", nFiles = 1)
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(Snapshots.read(spark, url).count() == 10)
+    val ops = Snapshots.versions(spark, url)
+      .map(v => Snapshots.snap(spark, url, v).op)
+    assert(ops.head == "create" &&
+      ops.tail.forall(_.startsWith("append:t1_b")))
+    assert(ops.tail.distinct.length == ops.tail.length)
+  }
+
   test("concurrent commit loses the race loudly (create-exclusive " +
       "manifest), duplicate update keys and schema drift refused") {
     val url = freshUrl("race")
