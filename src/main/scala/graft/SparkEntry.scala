@@ -5076,6 +5076,55 @@ object SparkEntry {
         col("event_type"))
     }),
 
+    // ---- Retractable view maintained from the CDC feed ----
+    // The full lakehouse composition: a snapshot upsert's change
+    // feed (with pre-images) retracts −old and adds +new into a
+    // retractable aggregate view, which must equal a GROUP BY over
+    // the store's LATEST version — at O(changed files) per
+    // increment, never a history rescan. The feed application is
+    // replayed once to prove span-keyed idempotency in-lifecycle.
+    "q287_cdc_view" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q287"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val store = s"$base/store"
+      val view = s"$base/view"
+      val v1 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id").isNotNull)
+      Snapshots.create(s, store, v1, nFiles = 8)
+      MaterializedView.init(s, view, Seq("lang"), Seq("n_chars"),
+        buckets = 4, retractable = true)
+      MaterializedView.applyDeltaKeyed(s, view, v1.drop("doc_id"),
+        "v0-v1")
+      val changed = v1
+        .filter(pmod(col("doc_id"), lit(11)) === 0 ||
+          pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"),
+          (pmod(col("doc_id"), lit(13)) === 0).as("del"))
+      val inserts = v1.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("xx").as("lang"), lit(77L).as("n_chars"),
+          lit(false).as("del"))
+      Snapshots.upsert(s, store, changed.unionByName(inserts),
+        "doc_id", deleteCol = Some("del"))
+      val feed = Snapshots.changes(s, store, "doc_id", 1, 2,
+        includeOld = true)
+      MaterializedView.applyCdc(s, view, feed, "v1-v2")
+      MaterializedView.applyCdc(s, view, feed, "v1-v2") // replay
+      orderSmall(MaterializedView.read(s, view)
+        .select(col("lang"), col("cnt"),
+          col("sum_n_chars").as("sum_chars")),
+        col("lang"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12377,6 +12426,24 @@ object SparkEntry {
         |    AS sum_cents
         |FROM events GROUP BY 1
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q287_cdc_view" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), v2 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM v1 WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'xx', 77 FROM v1
+        |  WHERE doc_id % 17 = 0
+        |)
+        |SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM v2 GROUP BY 1
+        |ORDER BY lang NULLS FIRST""".stripMargin,
 
     "q282_kanon_audit" ->
       """WITH classes AS (

@@ -39,12 +39,17 @@ object MaterializedView {
   private val MetaName = "_mv.json"
 
   final case class MvMeta(keys: Seq[String], sums: Seq[String],
-      buckets: Int)
+      buckets: Int, retractable: Boolean = false)
 
   private def metaPath(url: String) = new Path(new Path(url), MetaName)
 
+  /** `retractable = true` declares a COUNT/SUM-only view that a CDC
+    * feed can maintain through deletions ([[applyCdc]]): partials
+    * carry signed weights and MIN/MAX — which cannot retract — are
+    * not kept. */
   def init(spark: SparkSession, url: String, keys: Seq[String],
-      sums: Seq[String], buckets: Int = 64): Unit = {
+      sums: Seq[String], buckets: Int = 64,
+      retractable: Boolean = false): Unit = {
     require(keys.nonEmpty && buckets > 0)
     require((keys ++ sums).forall(c => !c.contains("\"")))
     val p = metaPath(url)
@@ -53,7 +58,7 @@ object MaterializedView {
     fs.mkdirs(p.getParent)
     val json = s"""{"keys":[${keys.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""sums":[${sums.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""buckets":$buckets}"""
+      s""""buckets":$buckets,"retract":${if (retractable) 1 else 0}}"""
     val out = fs.create(p, false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -79,19 +84,24 @@ object MaterializedView {
     }
     val b = json.drop(json.indexOf("\"buckets\":") + 10)
       .takeWhile(_.isDigit).toInt
-    MvMeta(arr("keys"), arr("sums"), b)
+    val r = json.contains("\"retract\":1")
+    MvMeta(arr("keys"), arr("sums"), b, r)
   }
 
   private def bucketCol(m: MvMeta): Column =
     pmod(xxhash64(m.keys.map(col): _*), lit(m.buckets)).cast("int")
 
-  /** The batch's partial-aggregate frame (shared by apply + rebuild). */
-  private def partials(delta: DataFrame, m: MvMeta): DataFrame = {
-    val aggs = count(lit(1)).as("__cnt") +:
+  /** The batch's partial-aggregate frame (shared by apply + rebuild).
+    * `sign` weights rows (+1 inserts, −1 retractions); MIN/MAX only
+    * exist in non-retractable views, where sign is constant +1. */
+  private def partials(delta: DataFrame, m: MvMeta,
+      sign: Column = lit(1L)): DataFrame = {
+    val aggs = sum(sign).cast("long").as("__cnt") +:
       m.sums.flatMap(c => Seq(
-        sum(col(c).cast("long")).as(s"sum_$c"),
-        min(col(c).cast("long")).as(s"min_$c"),
-        max(col(c).cast("long")).as(s"max_$c")))
+        sum(sign * col(c).cast("long")).as(s"sum_$c")) ++
+        (if (m.retractable) Seq.empty else Seq(
+          min(col(c).cast("long")).as(s"min_$c"),
+          max(col(c).cast("long")).as(s"max_$c"))))
     delta.groupBy(m.keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -125,14 +135,50 @@ object MaterializedView {
       .mode("overwrite").parquet(url)
   }
 
+  /** Maintain a `retractable` view straight from a
+    * [[Snapshots.changes]] feed (taken with `includeOld = true`):
+    * insert/update rows weigh +1, delete/update_old rows −1, so the
+    * landed partials retract exactly what the store mutation
+    * removed. Same idempotent partition contract as
+    * [[applyDeltaKeyed]] — key a batch by its version span
+    * (`v<from>-v<to>`) and a replay is a no-op. The view equals a
+    * GROUP BY over the store's LATEST version at all times, at
+    * O(changed files) per increment. */
+  def applyCdc(spark: SparkSession, url: String, changes: DataFrame,
+      batchKey: String): Unit = {
+    val m = meta(spark, url)
+    require(m.retractable,
+      "applyCdc needs a retractable view (init(..., retractable = " +
+        "true)): MIN/MAX partials cannot retract deletions")
+    require(changes.columns.contains("_change"),
+      "applyCdc expects a Snapshots.changes frame (_change column)")
+    val sign = when(col("_change").isin("insert", "update"), lit(1L))
+      .when(col("_change").isin("delete", "update_old"), lit(-1L))
+    val signed = changes.withColumn("__sign",
+      coalesce(sign, lit(0L)))
+    val keyed = partials(signed.filter(col("__sign") =!= 0L),
+      m, col("__sign"))
+    require(batchKey.matches("[A-Za-z0-9_.-]+"),
+      s"batchKey '$batchKey' must be path-safe ([A-Za-z0-9_.-]+)")
+    keyed
+      .withColumn("__b", bucketCol(m))
+      .withColumn("__batch", lit(batchKey))
+      .write.partitionBy("__b", "__batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(url)
+  }
+
   private def foldPartials(state: DataFrame, m: MvMeta): DataFrame = {
     val aggs = sum(col("__cnt")).cast("long").as("cnt") +:
       m.sums.flatMap(c => Seq(
-        sum(col(s"sum_$c")).cast("long").as(s"sum_$c"),
-        min(col(s"min_$c")).as(s"min_$c"),
-        max(col(s"max_$c")).as(s"max_$c")))
-    state.groupBy(m.keys.map(col): _*)
+        sum(col(s"sum_$c")).cast("long").as(s"sum_$c")) ++
+        (if (m.retractable) Seq.empty else Seq(
+          min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c"))))
+    val folded = state.groupBy(m.keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+    // a fully-retracted key folds to cnt 0 — it left the view
+    if (m.retractable) folded.filter(col("cnt") =!= 0L) else folded
   }
 
   /** Current view: one fold exchange over the partials. */

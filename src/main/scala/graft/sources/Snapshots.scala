@@ -294,7 +294,15 @@ object Snapshots {
     * version (the [[upsert]] store contract). The exchange is keyed
     * on the changed files' rows only. */
   def changes(spark: SparkSession, url: String, keyCol: String,
-      fromV: Int, toV: Int): DataFrame = {
+      fromV: Int, toV: Int): DataFrame =
+    changes(spark, url, keyCol, fromV, toV, includeOld = false)
+
+  /** With `includeOld`, each update also emits its PRE-image as an
+    * `update_old` row — the retraction a downstream incremental
+    * aggregate needs (−old +new); see
+    * [[MaterializedView.applyCdc]]. */
+  def changes(spark: SparkSession, url: String, keyCol: String,
+      fromV: Int, toV: Int, includeOld: Boolean): DataFrame = {
     require(fromV < toV, s"changes needs fromV < toV, got $fromV..$toV")
     val (_, root) = fsOf(spark, url)
     val a = snap(spark, url, fromV).files.toSet
@@ -327,8 +335,20 @@ object Snapshots {
       .join(added.select(col(keyCol).as("__nk")).distinct(),
         col(keyCol) === col("__nk"), "left_anti")
       .withColumn("_change", lit("delete"))
-    changedNew.unionByName(deleted)
-      .select((keyCol +: valueCols).map(col) :+ col("_change"): _*)
+    val base = changedNew.unionByName(deleted)
+    val all =
+      if (!includeOld) base
+      else {
+        // pre-images: dropped-side rows whose tuple changed AND
+        // whose key survived into the new version
+        val touchedOld = dropped.join(added, tupleEq, "left_anti")
+        val updateOld = touchedOld.join(
+          added.select(col(keyCol).as("__nk")).distinct(),
+          col(keyCol) === col("__nk"), "left_semi")
+          .withColumn("_change", lit("update_old"))
+        base.unionByName(updateOld)
+      }
+    all.select((keyCol +: valueCols).map(col) :+ col("_change"): _*)
   }
 
   /** Retire history: drop every version below `keepFrom`, delete data

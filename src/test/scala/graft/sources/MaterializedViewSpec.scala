@@ -86,6 +86,50 @@ class MaterializedViewSpec extends SparkSpec {
     assert(plan.contains("__b"))
   }
 
+  test("applyCdc maintains a retractable view from the snapshot " +
+      "change feed — equals GROUP BY over the latest version, " +
+      "through updates AND deletes, replays are no-ops") {
+    val store = freshUrl("cdc_store")
+    val view = freshUrl("cdc_view")
+    val v1 = (1L to 60L).map(i => (i, i % 5, i * 10)).toDF("id", "g", "x")
+    Snapshots.create(spark, store, v1, nFiles = 3)
+    MaterializedView.init(spark, view, Seq("g"), Seq("x"),
+      buckets = 4, retractable = true)
+    // seed the view from v1 (a plain +1 delta)
+    MaterializedView.applyDeltaKeyed(spark, view,
+      v1.drop("id"), "v0-v1")
+    // mutate: bump g-4 rows' x, delete g-0 rows, insert new ids
+    val ups = v1.filter(col("g") === 4L)
+      .select(col("id"), col("g"), (col("x") + 1L).as("x"),
+        lit(false).as("del"))
+      .unionByName(v1.filter(col("g") === 0L)
+        .select(col("id"), col("g"), col("x"), lit(true).as("del")))
+      .unionByName(Seq((100L, 7L, 5L, false), (101L, 7L, 6L, false))
+        .toDF("id", "g", "x", "del"))
+    Snapshots.upsert(spark, store, ups, "id", deleteCol = Some("del"))
+    val feed = Snapshots.changes(spark, store, "id", 1, 2,
+      includeOld = true)
+    MaterializedView.applyCdc(spark, view, feed, "v1-v2")
+    // replay the same span — no-op
+    MaterializedView.applyCdc(spark, view, feed, "v1-v2")
+    val got = MaterializedView.read(spark, view)
+      .orderBy("g").collect().map(_.toSeq)
+    val want = Snapshots.read(spark, store).groupBy("g")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum("x").cast("long").as("sum_x"))
+      .orderBy("g").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    // g = 0 left the view entirely (cnt folded to zero)
+    assert(!got.exists(_.head == 0L))
+    // a non-retractable view refuses the feed
+    val plain = freshUrl("cdc_plain")
+    MaterializedView.init(spark, plain, Seq("g"), Seq("x"))
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.applyCdc(spark, plain, feed, "v1-v2")
+    }
+    assert(e.getMessage.contains("retractable"))
+  }
+
   test("rebuild folds history into a fresh single-batch view with " +
       "identical reads (blue/green compaction)") {
     val url = freshUrl("fold")
