@@ -5125,6 +5125,43 @@ object SparkEntry {
         col("lang"))
     }),
 
+    // ---- File-stats data skipping over a clustered snapshot ----
+    // The Delta-style scan-pruning composition: cluster the store by
+    // n_chars (range layout), build the per-file min/max sidecar,
+    // then answer a range predicate opening ONLY the overlapping
+    // band of files — O(files) metadata, no data touched outside the
+    // band. The residual filter keeps the result exact even with
+    // stale or absent stats, so correctness never depends on the
+    // sidecar being fresh.
+    "q288_snapshot_prune" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q288"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val v1 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id").isNotNull)
+      Snapshots.create(s, store, v1, nFiles = 8)
+      Snapshots.cluster(s, store, "n_chars", nFiles = 8)
+      Snapshots.indexStats(s, store, Seq("n_chars"))
+      val v = Snapshots.latest(s, store)
+      val total = Snapshots.snap(s, store, v).files.size
+      val kept = Snapshots
+        .prunedFiles(s, store, v, "n_chars", 100L, 300L).size
+      require(kept < total,
+        s"stats pruning kept $kept/$total files on a clustered store")
+      orderSmall(Snapshots.readWhere(s, store, "n_chars", 100L, 300L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("sum_chars")),
+        col("lang"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12443,6 +12480,14 @@ object SparkEntry {
         |SELECT lang, count(*) AS cnt,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM v2 GROUP BY 1
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q288_snapshot_prune" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
+        |GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
 
     "q282_kanon_audit" ->

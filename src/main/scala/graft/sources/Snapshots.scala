@@ -133,14 +133,20 @@ object Snapshots {
   }
 
   /** Write `df`'s rows as immutable data files named
-    * `s{version}-{uuid}-{k}.parquet` and return the names. */
+    * `s{version}-{uuid}-{k}.parquet` and return the names.
+    * `clusterBy` range-partitions instead of round-robin, giving each
+    * file a narrow value band — what makes [[indexStats]] pruning
+    * actually skip files. */
   private def writeFiles(spark: SparkSession, root: Path, df: DataFrame,
-      version: Int, nFiles: Int): Seq[String] = {
+      version: Int, nFiles: Int,
+      clusterBy: Option[String] = None): Seq[String] = {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_snap_stage_$tag")
     fs.delete(tmp, true)
-    df.repartition(math.max(1, nFiles))
+    clusterBy
+      .map(c => df.repartitionByRange(math.max(1, nFiles), col(c)))
+      .getOrElse(df.repartition(math.max(1, nFiles)))
       .write.mode("overwrite").parquet(tmp.toString)
     val staged = Materialize.listParquetFiles(spark, tmp.toString)
     val named = staged.zipWithIndex.map { case (f, k) =>
@@ -349,6 +355,144 @@ object Snapshots {
         base.unionByName(updateOld)
       }
     all.select((keyCol +: valueCols).map(col) :+ col("_change"): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // File statistics & data skipping (Delta/Iceberg-style, re-derived)
+  // ------------------------------------------------------------------
+
+  private def statsDir(root: Path) = new Path(root, "_stats")
+  private def statsPath(root: Path) = new Path(statsDir(root), "filestats")
+
+  /** Build or incrementally refresh the per-file min/max statistics
+    * sidecar for `fields` (columns castable to long: ints, dates,
+    * timestamps). Data files are immutable, so a stats row is valid
+    * for EVERY version that references the file and a refresh scans
+    * only files not yet covered — O(new files) per call, the
+    * property that keeps stats maintenance viable when a 100 TB
+    * store takes a 10-file CDC batch. Emits exactly one row per
+    * (field, file) scanned — all-null and zero-row files get a
+    * marker row (`min_v`/`max_v` null) rather than being
+    * re-classified as fresh forever (the [[RowGroupIndex.updateBloom]]
+    * coverage lesson). The sidecar lives under `_stats/` where
+    * [[vacuum]]'s root-level `.parquet` sweep never looks.
+    *
+    * Returns the number of files scanned this call. */
+  def indexStats(spark: SparkSession, url: String,
+      fields: Seq[String]): Int = {
+    require(fields.nonEmpty, "indexStats needs at least one field")
+    val (fs, root) = fsOf(spark, url)
+    val vs = versions(spark, url)
+    require(vs.nonEmpty, s"no snapshot store at $url")
+    val allFiles = vs.flatMap(v => snap(spark, url, v).files).distinct
+    val sp = statsPath(root)
+    val existing: Option[DataFrame] =
+      if (fs.exists(sp)) Some(spark.read.parquet(sp.toString)) else None
+    existing.foreach { e =>
+      val known = e.select("field").distinct()
+        .collect().map(_.getString(0)).toSet
+      require(known == fields.toSet,
+        s"stats field set ${fields.sorted} != indexed " +
+          s"${known.toSeq.sorted} — delete _stats and rebuild")
+    }
+    val covered = existing match {
+      case None => Set.empty[String]
+      case Some(e) => e.select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    val fresh = allFiles.filterNot(covered)
+    if (fresh.isEmpty) return 0
+    val freshAbs = fresh.map(f => new Path(root, f).toString)
+    val perField = fields.map(f =>
+      struct(lit(f).as("field"), col(f).cast("long").as("v")))
+    val scanned = spark.read.parquet(freshAbs: _*)
+      .select(input_file_name().as("__f"),
+        explode(array(perField: _*)).as("e"))
+      .groupBy(col("__f"), col("e.field").as("field"))
+      .agg(min(col("e.v")).as("min_v"), max(col("e.v")).as("max_v"),
+        sum(when(col("e.v").isNull, 1L).otherwise(0L)).as("n_null"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("file",
+        element_at(split(col("__f"), "/"), -1)).drop("__f")
+    // marker rows: a zero-row file produces no aggregate — without
+    // one it would be rescanned on every refresh
+    import spark.implicits._
+    val frame = fresh.flatMap(f => fields.map(fl => (f, fl)))
+      .toDF("file", "field")
+    val freshRows = frame.join(scanned, Seq("file", "field"), "left")
+      .select(col("file"), col("field"), col("min_v"), col("max_v"),
+        coalesce(col("n_null"), lit(0L)).as("n_null"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+    val merged = existing.map(_.unionByName(freshRows))
+      .getOrElse(freshRows)
+    // stage-and-swap: the sidecar is O(files), tiny next to the data
+    val tmp = new Path(statsDir(root), "filestats__tmp")
+    fs.delete(tmp, true)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(sp, true)
+    require(fs.rename(tmp, sp), s"rename failed for $sp")
+    fresh.length
+  }
+
+  /** The subset of `version`'s files that can contain a row with
+    * `field` in [lo, hi] — resolved from the stats sidecar WITHOUT
+    * opening any data file. A file is kept when its stats row says
+    * the range overlaps [min_v, max_v], or when no stats row covers
+    * it (stats lag is a performance bug, never a correctness bug).
+    * All-null and zero-row files are skipped: a range predicate
+    * cannot match NULL. Returns absolute paths. */
+  def prunedFiles(spark: SparkSession, url: String, version: Int,
+      field: String, lo: Long, hi: Long): Seq[String] = {
+    val (fs, root) = fsOf(spark, url)
+    val s = snap(spark, url, version)
+    val sp = statsPath(root)
+    if (!fs.exists(sp))
+      return s.files.map(f => new Path(root, f).toString)
+    val stats = spark.read.parquet(sp.toString)
+      .filter(col("field") === field)
+      .select("file", "min_v", "max_v", "n_rows").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    s.files.filter { f =>
+      stats.get(f) match {
+        case None => true // unknown file: must read
+        case Some(None) => false // all-null or empty: range never hits
+        case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+      }
+    }.map(f => new Path(root, f).toString)
+  }
+
+  /** Range-predicate read with file skipping: resolve the version's
+    * manifest, prune files through [[prunedFiles]], and apply the
+    * residual filter to the survivors (so the result is exact even
+    * when stats are stale or absent). The metadata cost is O(files);
+    * the data cost is only the overlapping band — on a store
+    * [[cluster]]ed by `field`, a narrow range touches a handful of
+    * files out of 100k. */
+  def readWhere(spark: SparkSession, url: String, field: String,
+      lo: Long, hi: Long, version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else latest(spark, url)
+    val files = prunedFiles(spark, url, v, field, lo, hi)
+    val pred = col(field) >= lit(lo) && col(field) <= lit(hi)
+    if (files.isEmpty)
+      readAsOf(spark, url, v).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(pred)
+  }
+
+  /** Maintenance rewrite: re-lay the live rows range-clustered on
+    * `field` as a NEW version (op "cluster") — old versions stay
+    * readable, readers never see a half-clustered store. Pair with
+    * [[indexStats]] to turn the layout into file skipping. */
+  def cluster(spark: SparkSession, url: String, field: String,
+      nFiles: Int = 8): Int = {
+    val (_, root) = fsOf(spark, url)
+    val parent = snap(spark, url, latest(spark, url))
+    val df = readAsOf(spark, url, parent.version)
+    require(df.columns.contains(field), s"no column $field to cluster on")
+    val v = parent.version + 1
+    commit(spark, root, v, "cluster",
+      writeFiles(spark, root, df, v, nFiles, clusterBy = Some(field)))
   }
 
   /** Retire history: drop every version below `keepFrom`, delete data

@@ -182,4 +182,70 @@ class SnapshotSpec extends SparkSpec {
         Seq((1L, "x", 0)).toDF("id", "v", "extra"), "id")
     }
   }
+
+  test("indexStats + cluster: range reads skip files by manifest " +
+      "stats, refresh is O(new files), stale stats stay correct") {
+    val url = freshUrl("stats")
+    val base = (1L to 400L).map(i => (i, i % 7, i)).toDF("id", "g", "x")
+    Snapshots.create(spark, url, base, nFiles = 8)
+    // round-robin layout: every file spans the full x range, so
+    // stats prune nothing — clustering is what creates skippability
+    Snapshots.cluster(spark, url, "x", nFiles = 8)
+    assert(Snapshots.indexStats(spark, url, Seq("x")) ==
+      Snapshots.versions(spark, url)
+        .flatMap(v => Snapshots.snap(spark, url, v).files).distinct.size)
+    val v = Snapshots.latest(spark, url)
+    val total = Snapshots.snap(spark, url, v).files.size
+    val pruned = Snapshots.prunedFiles(spark, url, v, "x", 10L, 60L)
+    assert(pruned.size < total,
+      s"expected pruning on a clustered store (kept ${pruned.size}/$total)")
+    val got = Snapshots.readWhere(spark, url, "x", 10L, 60L)
+      .agg(count(lit(1)), sum("x")).as[(Long, Long)].head()
+    assert(got == ((51L, (10L to 60L).sum)))
+    // a second refresh scans nothing (every file covered, including
+    // the pre-cluster v1 files)
+    assert(Snapshots.indexStats(spark, url, Seq("x")) == 0)
+    // stale stats: new files from an upsert are unknown → kept, so
+    // the read stays exact before any refresh
+    Snapshots.upsert(spark, url,
+      Seq((1000L, 0L, 30L, false)).toDF("id", "g", "x", "del"),
+      "id", deleteCol = Some("del"))
+    val got2 = Snapshots.readWhere(spark, url, "x", 10L, 60L)
+      .agg(count(lit(1)), sum("x")).as[(Long, Long)].head()
+    assert(got2 == ((52L, (10L to 60L).sum + 30L)))
+    // refresh now covers exactly the upsert's rewritten files
+    val newFiles = Snapshots.versions(spark, url)
+      .flatMap(vv => Snapshots.snap(spark, url, vv).files)
+      .distinct.size
+    val covered = total + Snapshots.snap(spark, url, 1).files.size
+    assert(Snapshots.indexStats(spark, url, Seq("x")) ==
+      newFiles - covered)
+    // field-set drift is refused (a half-indexed sidecar would
+    // silently stop pruning the missing field)
+    intercept[IllegalArgumentException] {
+      Snapshots.indexStats(spark, url, Seq("x", "g"))
+    }
+  }
+
+  test("indexStats marker rows: all-null and empty files are " +
+      "skipped by range reads and never rescanned") {
+    val url = freshUrl("statsnull")
+    val withNulls = Seq[(Long, java.lang.Long)](
+      (1L, 5L), (2L, 6L), (3L, null), (4L, null), (5L, null),
+      (6L, null), (7L, null), (8L, null))
+      .toDF("id", "x")
+    // only 2 non-null rows over 4 files: by pigeonhole at least two
+    // files are all-null (or empty) on x
+    Snapshots.create(spark, url, withNulls, nFiles = 4)
+    assert(Snapshots.indexStats(spark, url, Seq("x")) ==
+      Snapshots.snap(spark, url, 1).files.size)
+    // nothing fresh on re-run: the all-null files got marker rows
+    assert(Snapshots.indexStats(spark, url, Seq("x")) == 0)
+    // a range read never keeps an all-null file (NULL can't match)
+    val kept = Snapshots.prunedFiles(spark, url, 1, "x", 0L, 100L)
+    assert(kept.size < Snapshots.snap(spark, url, 1).files.size)
+    assert(Snapshots.readWhere(spark, url, "x", 5L, 5L)
+      .as[(Long, java.lang.Long)].collect().toSet ==
+      Set((1L, 5L: java.lang.Long)))
+  }
 }
