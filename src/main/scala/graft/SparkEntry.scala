@@ -5162,6 +5162,44 @@ object SparkEntry {
         col("lang"))
     }),
 
+    // ---- Schema evolution + restore on the snapshot store ----
+    // Delta-style schema-in-the-log: an append carrying a NEW column
+    // pins the merged schema in the manifest (O(1) resolution, no
+    // footer merge over 100k files) and pre-existing files read the
+    // column as null; a bad overwrite is then rolled back with
+    // restore — a zero-data-movement manifest commit — and the read
+    // lands on the evolved version's exact content.
+    "q289_schema_evolve" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q289"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      Snapshots.create(s, store,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("lang")), nFiles = 4)
+      Snapshots.append(s, store,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        nFiles = 4)
+      Snapshots.overwrite(s, store, // the bad deploy
+        s.range(1).select(col("id").as("doc_id"),
+          lit("zz").as("lang"), lit(0L).as("n_chars")))
+      Snapshots.restore(s, store, 2)
+      orderSmall(Snapshots.read(s, store)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("n_chars")).as("cnt_scored"),
+          coalesce(sum(col("n_chars")), lit(0L)).cast("long")
+            .as("sum_chars")),
+        col("lang"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12488,6 +12526,19 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
         |GROUP BY 1
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q289_schema_evolve" ->
+      """WITH v2 AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 2 = 1
+        |)
+        |SELECT lang, count(*) AS cnt, count(n_chars) AS cnt_scored,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        |FROM v2 GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
 
     "q282_kanon_audit" ->

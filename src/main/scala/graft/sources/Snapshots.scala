@@ -44,8 +44,13 @@ object Snapshots {
 
   private val SnapDir = "_snap"
 
-  /** One resolved manifest. `files` are root-relative names. */
-  final case class Snap(version: Int, op: String, files: Seq[String])
+  /** One resolved manifest. `files` are root-relative names.
+    * `schema`, when present, is the version's PINNED read schema
+    * (Delta-style schema-in-the-log): readers resolve it from the
+    * manifest in O(1) instead of merging footers across 100k files,
+    * and files written before a column existed read it as NULL. */
+  final case class Snap(version: Int, op: String, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private def fsOf(spark: SparkSession, url: String) = {
     val p = new Path(url)
@@ -104,7 +109,16 @@ object Snapshots {
     val files =
       if (body.trim.isEmpty) Seq.empty
       else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    Snap(v, op, files)
+    // optional pinned schema: base64 of StructType.json (base64's
+    // charset has no quotes, so takeWhile is exact)
+    val schema = "\"schema\":\"".r.findFirstMatchIn(json).map { m =>
+      val b64 = json.drop(m.end).takeWhile(_ != '"')
+      org.apache.spark.sql.types.DataType
+        .fromJson(new String(java.util.Base64.getDecoder.decode(b64),
+          "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    Snap(v, op, files, schema)
   }
 
   /** Atomic commit: stage the manifest under an underscore-invisible
@@ -112,15 +126,22 @@ object Snapshots {
     * fails on every Hadoop FS, so two writers committing the same
     * next version cannot both win. */
   private[sources] def commit(spark: SparkSession, root: Path,
-      version: Int, op: String, files: Seq[String]): Int = {
+      version: Int, op: String, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(files.forall(f => !f.contains("/") && !f.contains("\"")),
       "manifest entries must be flat root-relative names")
     val dir = new Path(root, SnapDir)
     fs.mkdirs(dir)
+    val schemaField = schema.map { st =>
+      val b64 = java.util.Base64.getEncoder
+        .encodeToString(st.json.getBytes("UTF-8"))
+      s""","schema":"$b64""""
+    }.getOrElse("")
     val json = files.sorted
       .map(f => "\"" + f + "\"").mkString(
-        s"""{"version":$version,"op":"$op","files":[""", ",", "]}")
+        s"""{"version":$version,"op":"$op","files":[""", ",",
+        s"]$schemaField}")
     val tmp = new Path(dir, s"_tmp-v$version-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -159,6 +180,34 @@ object Snapshots {
     named
   }
 
+  /** The schema a version's rows read under: the manifest's pinned
+    * schema, or (pre-pinning stores) one inferred from its files. */
+  private def schemaOf(spark: SparkSession, root: Path,
+      s: Snap): org.apache.spark.sql.types.StructType =
+    s.schema.getOrElse {
+      require(s.files.nonEmpty, s"v${s.version} has no schema source")
+      spark.read.parquet(
+        s.files.map(f => new Path(root, f).toString): _*).schema
+    }
+
+  /** Additive schema evolution: base columns keep position and type,
+    * genuinely new columns append as NULLABLE (files written before
+    * the column existed read it as null). A type change is refused —
+    * that is a rewrite ([[overwrite]]), not an evolution. */
+  private def evolve(base: org.apache.spark.sql.types.StructType,
+      add: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val baseNames = base.fieldNames.toSet
+    add.fields.filter(f => baseNames.contains(f.name)).foreach { f =>
+      require(base(f.name).dataType == f.dataType,
+        s"column ${f.name} type changed (${base(f.name).dataType} -> " +
+          s"${f.dataType}) — additive evolution only; use overwrite")
+    }
+    org.apache.spark.sql.types.StructType(base.fields ++
+      add.fields.filterNot(f => baseNames.contains(f.name))
+        .map(_.copy(nullable = true)))
+  }
+
   /** Create version 1 (refuses an existing store). */
   def create(spark: SparkSession, url: String, df: DataFrame,
       nFiles: Int = 8): Int = {
@@ -167,18 +216,31 @@ object Snapshots {
       s"snapshot store already exists at $url")
     fs.mkdirs(root)
     commit(spark, root, 1, "create",
-      writeFiles(spark, root, df, 1, nFiles))
+      writeFiles(spark, root, df, 1, nFiles), Some(df.schema))
   }
 
-  /** Append-only commit: new files + the parent's, no rewrites. */
+  /** Append-only commit: new files + the parent's, no rewrites.
+    * The committed schema is the parent's evolved additively with
+    * `df`'s — appending a frame with a NEW column upgrades the
+    * store's read schema in the manifest, and every pre-existing
+    * file reads the column as null. */
   def append(spark: SparkSession, url: String, df: DataFrame,
       nFiles: Int = 8): Int = {
     val (_, root) = fsOf(spark, url)
     val parent = snap(spark, url, latest(spark, url))
     val v = parent.version + 1
     commit(spark, root, v, "append",
-      parent.files ++ writeFiles(spark, root, df, v, nFiles))
+      parent.files ++ writeFiles(spark, root, df, v, nFiles),
+      Some(evolveFrom(spark, root, parent, df)))
   }
+
+  /** The schema an append commits: the parent's evolved with the
+    * batch's (a parent with no files and no pinned schema — e.g. an
+    * empty bootstrap commit — contributes nothing). */
+  private def evolveFrom(spark: SparkSession, root: Path, parent: Snap,
+      df: DataFrame): org.apache.spark.sql.types.StructType =
+    if (parent.files.isEmpty && parent.schema.isEmpty) df.schema
+    else evolve(schemaOf(spark, root, parent), df.schema)
 
   /** Exactly-once append for at-least-once callers (foreachBatch
     * retries, re-run jobs): the commit's `op` field carries
@@ -201,7 +263,8 @@ object Snapshots {
       val parent = snap(spark, url, latest(spark, url))
       val v = parent.version + 1
       commit(spark, root, v, op,
-        parent.files ++ writeFiles(spark, root, df, v, nFiles))
+        parent.files ++ writeFiles(spark, root, df, v, nFiles),
+        Some(evolveFrom(spark, root, parent, df)))
     }
   }
 
@@ -212,7 +275,7 @@ object Snapshots {
     val (_, root) = fsOf(spark, url)
     val v = latest(spark, url) + 1
     commit(spark, root, v, "overwrite",
-      writeFiles(spark, root, df, v, nFiles))
+      writeFiles(spark, root, df, v, nFiles), Some(df.schema))
   }
 
   /** Copy-on-write keyed MERGE: [[Materialize.mergeUpsert]] semantics
@@ -234,7 +297,8 @@ object Snapshots {
     val parent = snap(spark, url, latest(spark, url))
     require(parent.files.nonEmpty, s"nothing to merge into at $url")
     val abs = parent.files.map(f => new Path(root, f).toString)
-    val store = spark.read.parquet(abs: _*)
+    val storeSchema = schemaOf(spark, root, parent)
+    val store = spark.read.schema(storeSchema).parquet(abs: _*)
     val dataCols = store.columns.toSeq
     val upCols = updates.columns.toSeq.filterNot(deleteCol.contains)
     require(upCols.sorted == dataCols.sorted,
@@ -260,7 +324,7 @@ object Snapshots {
       .select(dataCols.map(col): _*)
     val merged =
       if (affectedAbs.isEmpty) upserts
-      else spark.read.parquet(affectedAbs: _*)
+      else spark.read.schema(storeSchema).parquet(affectedAbs: _*)
         .join(broadcast(updates.select(col(keyCol).as("__mk"))),
           col(keyCol) === col("__mk"), "left_anti")
         .unionByName(upserts)
@@ -268,15 +332,20 @@ object Snapshots {
     val rewritten = writeFiles(spark, root, merged, v,
       math.max(1, affectedAbs.length))
     commit(spark, root, v, "upsert",
-      parent.files.filterNot(affectedNames) ++ rewritten)
+      parent.files.filterNot(affectedNames) ++ rewritten,
+      Some(storeSchema))
   }
 
-  /** Read exactly one version's file set (snapshot isolation). */
+  /** Read exactly one version's file set (snapshot isolation) under
+    * its pinned schema — files older than an evolved column read it
+    * as null; schema resolution never opens a data file. */
   def readAsOf(spark: SparkSession, url: String, version: Int): DataFrame = {
     val (_, root) = fsOf(spark, url)
     val s = snap(spark, url, version)
     require(s.files.nonEmpty, s"v$version of $url is empty")
-    spark.read.parquet(s.files.map(f => new Path(root, f).toString): _*)
+    val reader = s.schema
+      .map(spark.read.schema).getOrElse(spark.read)
+    reader.parquet(s.files.map(f => new Path(root, f).toString): _*)
   }
 
   /** Read the latest committed version. */
@@ -316,10 +385,13 @@ object Snapshots {
     val droppedF = (a -- b).toSeq.sorted.map(f => new Path(root, f).toString)
     val addedF = (b -- a).toSeq.sorted.map(f => new Path(root, f).toString)
     val schema = readAsOf(spark, url, toV).schema
+    // both sides read under toV's schema, so a feed crossing an
+    // evolution boundary sees the old rows' new column as null
+    // instead of a resolution error
     def readOr(files: Seq[String]): DataFrame =
       if (files.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.parquet(files: _*)
+      else spark.read.schema(schema).parquet(files: _*)
     val added = readOr(addedF).alias("__a")
     val dropped = readOr(droppedF).alias("__d")
     val valueCols = schema.fieldNames.filterNot(_ == keyCol).toSeq
@@ -492,7 +564,23 @@ object Snapshots {
     require(df.columns.contains(field), s"no column $field to cluster on")
     val v = parent.version + 1
     commit(spark, root, v, "cluster",
-      writeFiles(spark, root, df, v, nFiles, clusterBy = Some(field)))
+      writeFiles(spark, root, df, v, nFiles, clusterBy = Some(field)),
+      Some(df.schema))
+  }
+
+  /** Roll the store back (or forward) to `toVersion`'s exact content
+    * as a NEW commit — zero data movement (the manifest re-lists the
+    * target's immutable files), history is never rewritten, the bad
+    * version stays auditable, and in-flight readers are never torn.
+    * The op records the provenance (`restore:v<N>`). */
+  def restore(spark: SparkSession, url: String, toVersion: Int): Int = {
+    val (_, root) = fsOf(spark, url)
+    val target = snap(spark, url, toVersion)
+    val head = latest(spark, url)
+    require(toVersion != head,
+      s"v$toVersion is already the latest version")
+    commit(spark, root, head + 1, s"restore:v$toVersion", target.files,
+      Some(schemaOf(spark, root, target)))
   }
 
   /** Retire history: drop every version below `keepFrom`, delete data

@@ -227,6 +227,62 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: append with a new column pins the merged " +
+      "schema in the manifest; old files read it as null; type " +
+      "changes refused; CDC crosses the boundary") {
+    val url = freshUrl("evolve")
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Snapshots.create(spark, url, v1, nFiles = 1)
+    // additive append: new column `score` arrives
+    Snapshots.append(spark, url,
+      Seq((3L, "c", 10L)).toDF("id", "v", "score"), nFiles = 1)
+    val now = Snapshots.read(spark, url)
+    assert(now.columns.toSeq == Seq("id", "v", "score"))
+    val rows = now.as[(Long, String, Option[Long])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(10L))))
+    // time travel still reads v1 under ITS schema (no score column)
+    assert(Snapshots.readAsOf(spark, url, 1).columns.toSeq ==
+      Seq("id", "v"))
+    // schema resolution came from the manifest, not a footer merge
+    assert(Snapshots.snap(spark, url, 2).schema.isDefined)
+    // a type change is refused (rewrite territory, not evolution)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.append(spark, url,
+        Seq((4L, "d", "not-a-long")).toDF("id", "v", "score"))
+    }
+    assert(e.getMessage.contains("type changed"))
+    // upsert and CDC work across the boundary: old rows' score is
+    // null in the feed, not a resolution error
+    Snapshots.upsert(spark, url,
+      Seq((1L, "a2", 5L, false)).toDF("id", "v", "score", "del"),
+      "id", deleteCol = Some("del"))
+    val feed = Snapshots.changes(spark, url, "id", 2, 3)
+      .as[(Long, String, Option[Long], String)].collect().toSet
+    assert(feed == Set((1L, "a2", Some(5L), "update")))
+  }
+
+  test("restore re-lists an old version's files as a new commit — " +
+      "zero data movement, history intact") {
+    val url = freshUrl("restore")
+    Snapshots.create(spark, url, Seq((1L, "a")).toDF("id", "v"))
+    Snapshots.overwrite(spark, url, Seq((9L, "bad")).toDF("id", "v"))
+    val v3 = Snapshots.restore(spark, url, 1)
+    assert(v3 == 3)
+    // exact v1 content, and the SAME immutable files (no rewrite)
+    assert(Snapshots.read(spark, url).as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
+    assert(Snapshots.snap(spark, url, 3).files ==
+      Snapshots.snap(spark, url, 1).files)
+    assert(Snapshots.snap(spark, url, 3).op == "restore:v1")
+    // the bad version stays auditable
+    assert(Snapshots.readAsOf(spark, url, 2).as[(Long, String)]
+      .collect().toSet == Set((9L, "bad")))
+    intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, url, 3)
+    }
+  }
+
   test("indexStats marker rows: all-null and empty files are " +
       "skipped by range reads and never rescanned") {
     val url = freshUrl("statsnull")
