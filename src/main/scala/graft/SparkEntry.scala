@@ -5200,6 +5200,75 @@ object SparkEntry {
         col("lang"))
     }),
 
+    // ---- Z-order layout + multi-dimensional file skipping ----
+    // The 1-D clustered store (q288) prunes only on its sort column;
+    // re-laying the files along the Morton curve of (n_chars,
+    // doc_id) gives every file a sub-rectangle of the key space, so
+    // the same min/max sidecar prunes a CONJUNCTION of ranges —
+    // dimension independence is what multi-filter scans need at
+    // 100 TB. Residual predicates keep the result exact regardless
+    // of layout.
+    "q290_zorder_prune" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q290"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, store, docs, nFiles = 8)
+      Snapshots.zcluster(s, store, 20, Seq("n_chars", "doc_id"),
+        nFiles = 8)
+      Snapshots.indexStats(s, store, Seq("n_chars", "doc_id"))
+      orderSmall(Snapshots.readWhereAll(s, store,
+        Seq(("n_chars", 100L, 300L), ("doc_id", 100L, 400L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("sum_chars")),
+        col("lang"))
+    }),
+
+    // ---- Small-file compaction on the snapshot store ----
+    // Incremental ingest leaves a tail of tiny files; compactSmall
+    // bin-packs ONLY that tail into target-sized files as a new
+    // manifest commit — cold data is never rewritten, readers of
+    // older versions are untouched, and the post-compaction read is
+    // row-identical to the accumulated appends.
+    "q291_snapshot_compact" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q291"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Snapshots.create(s, store,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), nFiles = 2)
+      (1 to 4).foreach { k => // the incremental-ingest small tail
+        Snapshots.append(s, store,
+          docs.filter(pmod(col("doc_id"), lit(5)) === k), nFiles = 2)
+      }
+      val before = Snapshots
+        .snap(s, store, Snapshots.latest(s, store)).files.size
+      val v = Snapshots.compactSmall(s, store, smallBytes = 8L << 20)
+      val after = Snapshots.snap(s, store, v).files.size
+      require(after < before,
+        s"compaction should shrink the file count ($before -> $after)")
+      orderSmall(Snapshots.read(s, store)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("sum_chars")),
+        col("source"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12527,6 +12596,23 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
         |GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q290_zorder_prune" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL
+        |  AND n_chars BETWEEN 100 AND 300
+        |  AND doc_id BETWEEN 100 AND 400
+        |GROUP BY 1
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q291_snapshot_compact" ->
+      """SELECT source, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY source NULLS FIRST""".stripMargin,
 
     "q289_schema_evolve" ->
       """WITH v2 AS (

@@ -160,15 +160,23 @@ object Snapshots {
     * actually skip files. */
   private def writeFiles(spark: SparkSession, root: Path, df: DataFrame,
       version: Int, nFiles: Int,
-      clusterBy: Option[String] = None): Seq[String] = {
+      clusterBy: Option[String] = None): Seq[String] =
+    writeArranged(spark, root,
+      clusterBy
+        .map(c => df.repartitionByRange(math.max(1, nFiles), col(c)))
+        .getOrElse(df.repartition(math.max(1, nFiles))),
+      version)
+
+  /** [[writeFiles]] for a frame whose partitioning IS the layout
+    * (z-order, bin-packing): writes it as-is, one file per
+    * partition. */
+  private def writeArranged(spark: SparkSession, root: Path,
+      arranged: DataFrame, version: Int): Seq[String] = {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_snap_stage_$tag")
     fs.delete(tmp, true)
-    clusterBy
-      .map(c => df.repartitionByRange(math.max(1, nFiles), col(c)))
-      .getOrElse(df.repartition(math.max(1, nFiles)))
-      .write.mode("overwrite").parquet(tmp.toString)
+    arranged.write.mode("overwrite").parquet(tmp.toString)
     val staged = Materialize.listParquetFiles(spark, tmp.toString)
     val named = staged.zipWithIndex.map { case (f, k) =>
       val name = f"s$version%08d-$tag-$k%05d.parquet"
@@ -566,6 +574,85 @@ object Snapshots {
     commit(spark, root, v, "cluster",
       writeFiles(spark, root, df, v, nFiles, clusterBy = Some(field)),
       Some(df.schema))
+  }
+
+  /** Multi-dimensional maintenance rewrite: re-lay the live rows
+    * sorted by the Morton z-value of `fields` ([[graft.ops.Zorder]])
+    * as a new version, so each file covers a sub-RECTANGLE of the
+    * key space and [[indexStats]] on the same fields prunes on ANY
+    * of them — the 1-D [[cluster]] skips only on its own column.
+    * `bits` must bound every field's values (`Zorder.zvalue` raises
+    * on out-of-range rather than folding into a wrong cell). */
+  def zcluster(spark: SparkSession, url: String, bits: Int,
+      fields: Seq[String], nFiles: Int = 8): Int = {
+    val (_, root) = fsOf(spark, url)
+    val parent = snap(spark, url, latest(spark, url))
+    val df = readAsOf(spark, url, parent.version)
+    fields.foreach(f => require(df.columns.contains(f),
+      s"no column $f to z-order on"))
+    val z = graft.ops.Zorder.zvalue(bits, fields.map(col): _*)
+    val arranged = df.repartitionByRange(math.max(1, nFiles), z)
+      .sortWithinPartitions(z)
+    val v = parent.version + 1
+    commit(spark, root, v, "zcluster",
+      writeArranged(spark, root, arranged, v), Some(df.schema))
+  }
+
+  /** Conjunctive multi-field pruning: a file survives only if EVERY
+    * range can overlap it ([[prunedFiles]] per field, intersected).
+    * On a [[zcluster]]ed store each predicate prunes independently. */
+  def prunedFilesAll(spark: SparkSession, url: String, version: Int,
+      preds: Seq[(String, Long, Long)]): Seq[String] = {
+    require(preds.nonEmpty, "prunedFilesAll needs at least one range")
+    preds.map { case (f, lo, hi) =>
+      prunedFiles(spark, url, version, f, lo, hi).toSet }
+      .reduce(_ intersect _).toSeq.sorted
+  }
+
+  /** [[readWhere]] over a conjunction of ranges: files pruned by
+    * [[prunedFilesAll]], every residual predicate applied. */
+  def readWhereAll(spark: SparkSession, url: String,
+      preds: Seq[(String, Long, Long)], version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else latest(spark, url)
+    val files = prunedFilesAll(spark, url, v, preds)
+    val pred = preds.map { case (f, lo, hi) =>
+      col(f) >= lit(lo) && col(f) <= lit(hi) }.reduce(_ && _)
+    if (files.isEmpty) readAsOf(spark, url, v).filter(lit(false))
+    else spark.read.schema(schemaOf(spark, fsOf(spark, url)._2,
+      snap(spark, url, v))).parquet(files: _*).filter(pred)
+  }
+
+  /** Bin-pack maintenance: rewrite ONLY the live files smaller than
+    * `smallBytes` into ~`targetBytes` files (new version, op
+    * "compact"); files already at weight are re-listed untouched.
+    * Incremental ingest (streaming epochs, small CDC batches) makes
+    * small files constantly; compaction cost here is proportional to
+    * the SMALL tail, never the store — the property that keeps the
+    * scan-side file count bounded at 100 TB without ever rewriting
+    * cold data. Returns the committed version (or the current one
+    * when fewer than two small files exist — nothing to pack). */
+  def compactSmall(spark: SparkSession, url: String,
+      smallBytes: Long, targetBytes: Long = 128L << 20): Int = {
+    require(smallBytes > 0 && targetBytes >= smallBytes,
+      s"need 0 < smallBytes <= targetBytes")
+    val (fs, root) = fsOf(spark, url)
+    val parent = snap(spark, url, latest(spark, url))
+    val sized = parent.files.map(f =>
+      f -> fs.getFileStatus(new Path(root, f)).getLen)
+    val small = sized.filter(_._2 < smallBytes)
+    if (small.size < 2) return parent.version
+    val totalSmall = small.map(_._2).sum
+    val n = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
+    val schema = schemaOf(spark, root, parent)
+    val packed = spark.read.schema(schema)
+      .parquet(small.map(f => new Path(root, f._1).toString): _*)
+      .repartition(n)
+    val v = parent.version + 1
+    val smallNames = small.map(_._1).toSet
+    commit(spark, root, v, "compact",
+      parent.files.filterNot(smallNames) ++
+        writeArranged(spark, root, packed, v),
+      Some(schema))
   }
 
   /** Roll the store back (or forward) to `toVersion`'s exact content

@@ -283,6 +283,62 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("zcluster + prunedFilesAll: a z-ordered store prunes on " +
+      "EITHER dimension; the 1-D layout cannot") {
+    val url = freshUrl("zorder")
+    // 4096-point uniform grid: x, y in [0, 64)
+    val grid = (0L until 4096L)
+      .map(i => (i, i % 64, i / 64)).toDF("id", "x", "y")
+    Snapshots.create(spark, url, grid, nFiles = 16)
+    Snapshots.cluster(spark, url, "x", nFiles = 16) // 1-D layout
+    Snapshots.zcluster(spark, url, 6, Seq("x", "y"), nFiles = 16)
+    Snapshots.indexStats(spark, url, Seq("x", "y"))
+    val zV = Snapshots.latest(spark, url)
+    val total = Snapshots.snap(spark, url, zV).files.size
+    // a narrow rectangle prunes on both dims under z-order
+    val keptZ = Snapshots.prunedFilesAll(spark, url, zV,
+      Seq(("x", 0L, 15L), ("y", 0L, 15L))).size
+    assert(keptZ < total, s"z-order kept $keptZ/$total")
+    // the 1-D x-clustered version prunes on x but NOT on y
+    val kept1dY = Snapshots.prunedFiles(spark, url, zV - 1, "y",
+      0L, 15L).size
+    assert(kept1dY == Snapshots.snap(spark, url, zV - 1).files.size,
+      "x-clustered files should all span the full y range")
+    // and the read is exact
+    val got = Snapshots.readWhereAll(spark, url,
+      Seq(("x", 0L, 15L), ("y", 0L, 15L)))
+      .agg(count(lit(1))).as[Long].head()
+    assert(got == 16L * 16L)
+  }
+
+  test("compactSmall bin-packs ONLY the small tail: big files " +
+      "re-listed by name, reads identical, history intact") {
+    val url = freshUrl("binpack")
+    val big = (1L to 20000L).map(i => (i, i)).toDF("id", "x")
+    Snapshots.create(spark, url, big, nFiles = 1)
+    // a stream of tiny appends builds up a small-file tail
+    (1 to 5).foreach { k =>
+      Snapshots.append(spark, url,
+        Seq((100000L + k, k.toLong)).toDF("id", "x"), nFiles = 1)
+    }
+    val parent = Snapshots.snap(spark, url, Snapshots.latest(spark, url))
+    assert(parent.files.size == 6)
+    val bigName = Snapshots.snap(spark, url, 1).files.head
+    val v = Snapshots.compactSmall(spark, url, smallBytes = 64 << 10)
+    assert(v == 7)
+    val now = Snapshots.snap(spark, url, v)
+    // the big file survives by NAME (never rewritten); the 5 tiny
+    // files collapsed into one packed file
+    assert(now.files.contains(bigName))
+    assert(now.files.size == 2)
+    assert(Snapshots.read(spark, url).count() == 20005L)
+    assert(Snapshots.readAsOf(spark, url, 6).count() == 20005L)
+    // idempotent: one packed file left under the threshold is not
+    // worth a new version
+    assert(Snapshots.compactSmall(spark, url, smallBytes = 64 << 10)
+      == v)
+  }
+
   test("indexStats marker rows: all-null and empty files are " +
       "skipped by range reads and never rescanned") {
     val url = freshUrl("statsnull")
