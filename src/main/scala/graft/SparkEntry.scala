@@ -5269,6 +5269,81 @@ object SparkEntry {
         col("source"))
     }),
 
+    // ---- CDC-maintained near-dup signature store ----
+    // The incremental-everything composition: a DERIVED snapshot
+    // store of per-doc LSH band keys is kept in lockstep with the
+    // base corpus purely from its change feed — signatures are
+    // recomputed ONLY for changed docs (O(changed files), never a
+    // corpus re-hash), deletions retract their rows via the keyed
+    // upsert. The near-dup pairs read from the maintained sidecar at
+    // the latest version must equal a from-scratch rebuild, which is
+    // exactly what the oracle computes. Production pairing would add
+    // candidatePairs' bucket-width cap; at the verified scales every
+    // bucket is enumerable.
+    "q292_cdc_signatures" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q292"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val baseDir = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val base = s"$baseDir/corpus"
+      val sigs = s"$baseDir/sigs"
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text"))
+      Snapshots.create(s, base, docs, nFiles = 8)
+      def sigRows(df: DataFrame): DataFrame =
+        graft.ops.NearDedup.bandTable(df, "doc_id", "text")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("band_key"))).as("band_keys"))
+      Snapshots.create(s, sigs, sigRows(docs), nFiles = 8)
+      val updates = docs
+        .filter(pmod(col("doc_id"), lit(11)) === 0 &&
+          pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" graft appended section")).as("text"),
+          lit(false).as("del"))
+      val deletes = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), col("text"), lit(true).as("del"))
+      val inserts = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("fresh document "), col("doc_id").cast("string"))
+            .as("text"),
+          lit(false).as("del"))
+      Snapshots.upsert(s, base,
+        updates.unionByName(deletes).unionByName(inserts),
+        "doc_id", deleteCol = Some("del"))
+      // derived-store maintenance straight from the change feed
+      val feed = Snapshots.changes(s, base, "doc_id", 1, 2)
+      val sigUp = sigRows(feed
+          .filter(col("_change").isin("insert", "update"))
+          .select(col("doc_id"), col("text")))
+        .withColumn("del", lit(false))
+        .unionByName(feed.filter(col("_change") === "delete")
+          .select(col("doc_id"),
+            lit(null).cast("array<string>").as("band_keys"),
+            lit(true).as("del")))
+      Snapshots.upsert(s, sigs, sigUp, "doc_id", deleteCol = Some("del"))
+      // pairs at the latest version, from the maintained sidecar
+      val bandsNow = Snapshots.read(s, sigs)
+        .select(col("doc_id"), explode(col("band_keys")).as("band_key"))
+      val pairs = bandsNow.alias("a")
+        .join(bandsNow.alias("b"),
+          col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_new"),
+          col("b.doc_id").as("id_corpus")).distinct()
+      val corpusNow = Snapshots.read(s, base)
+      graft.ops.NearDedup.verifyPairsJaccardPpm(pairs, corpusNow,
+          corpusNow, "doc_id", "text", 3)
+        .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"),
+          col("jaccard_ppm"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12596,6 +12671,37 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
         |GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q292_cdc_signatures" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN text || ' graft appended section' ELSE text END AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'fresh document ' || doc_id
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 17 = 0
+        |), t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM corpus)
+        |), sigs AS (
+        |  SELECT doc_id, list_transform(range(16), h ->
+        |    list_min(list_transform(sh, s -> ('0x' || substr(md5((h // 4)::VARCHAR || ':' || s), (h % 4) * 8 + 1, 8))::BIGINT))) AS sig
+        |  FROM t
+        |), bands AS (
+        |  SELECT doc_id, unnest(list_transform(range(4), j ->
+        |    j::VARCHAR || '|' || array_to_string(sig[j*4+1 : j*4+4], '_'))) AS band_key
+        |  FROM sigs
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b USING (band_key)
+        |  WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(floor(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)) * 1000000) AS BIGINT) AS jaccard_ppm
+        |FROM pairs p JOIN t sa ON p.id_a = sa.doc_id JOIN t sb ON p.id_b = sb.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q290_zorder_prune" ->
       """SELECT lang, count(*) AS cnt,
