@@ -5344,6 +5344,39 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Reader-level range skipping over a snapshot store ----
+    // make_reader predicate parity meets the lakehouse layer: one
+    // builder chain pins a snapshot version, prunes the file list
+    // from the stats sidecar, projects columns, and applies the
+    // residual predicate — the one-call read path a training job
+    // uses against a mutating corpus.
+    "q293_reader_range" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q293"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      Snapshots.create(s, store,
+        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        nFiles = 8)
+      Snapshots.cluster(s, store, "n_chars", nFiles = 8)
+      Snapshots.indexStats(s, store, Seq("n_chars"))
+      orderSmall(GraftRead.reader(s, store)
+        .range("n_chars", 150L, 350L)
+        .fields("lang", "n_chars")
+        .predicate(col("lang").isNotNull)
+        .load()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("sum_chars")),
+        col("lang"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12669,6 +12702,15 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
+        |GROUP BY 1
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q293_reader_range" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars BETWEEN 150 AND 350
         |GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
 

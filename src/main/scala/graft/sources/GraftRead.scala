@@ -54,7 +54,8 @@ final case class GraftRead private (
     allowEvolution: Boolean,
     indexSel: Option[(String, RowGroupIndex.Selector)] = None,
     bloomSel: Option[(String, String, Seq[Any])] = None,
-    asOfVersion: Option[Int] = None) {
+    asOfVersion: Option[Int] = None,
+    rangeSel: Option[(String, Long, Long)] = None) {
 
   def fields(selectors: String*): GraftRead = copy(fieldSel = selectors)
   def predicate(p: RowPredicate): GraftRead = copy(preds = preds :+ p.toColumn)
@@ -93,6 +94,15 @@ final case class GraftRead private (
   def bloomIndex(indexUrl: String, field: String,
       values: Seq[Any]): GraftRead =
     copy(bloomSel = Some((indexUrl, field, values)))
+
+  /** Range-predicate file skipping over a [[Snapshots]] store with a
+    * [[Snapshots.indexStats]] sidecar: the file list is pruned to
+    * the [lo, hi]-overlapping band before the scan, and the residual
+    * predicate is applied after decode — exact even with stale or
+    * absent stats. Composes with fields/predicate/shard/shuffle/asOf
+    * in one chain; single-store only (the sidecar is per-store). */
+  def range(field: String, lo: Long, hi: Long): GraftRead =
+    copy(rangeSel = Some((field, lo, hi)))
 
   /** Iteration control (E1). `k ≥ 1` unions k epoch copies, epoch j
     * reshuffled with seed+j (ventilator re-shuffle parity,
@@ -173,16 +183,24 @@ final case class GraftRead private (
     def normPath(s: String): String =
       new org.apache.hadoop.fs.Path(s).toUri.getPath
     val admitted: Option[Set[String]] =
-      if (indexSel.isEmpty && bloomSel.isEmpty) None
+      if (indexSel.isEmpty && bloomSel.isEmpty && rangeSel.isEmpty) None
       else {
         require(urls.length == 1,
-          "index()/bloomIndex() are single-store: the index sidecar " +
-            "is built per store")
+          "index()/bloomIndex()/range() are single-store: the index " +
+            "sidecar is built per store")
         val viaSel = indexSel.map { case (iu, sel) =>
           RowGroupIndex.selectedFiles(spark, urls.head, iu, sel) }
         val viaBloom = bloomSel.map { case (iu, f, vs) =>
           RowGroupIndex.bloomSelectedFiles(spark, urls.head, iu, f, vs) }
-        Some(Seq(viaSel, viaBloom).flatten
+        val viaRange = rangeSel.map { case (f, lo, hi) =>
+          require(Snapshots.versions(spark, urls.head).nonEmpty,
+            ".range() needs a Snapshots store (the stats sidecar " +
+              "lives in its root; see Snapshots.indexStats)")
+          val v = asOfVersion
+            .getOrElse(Snapshots.latest(spark, urls.head))
+          Snapshots.prunedFiles(spark, urls.head, v, f, lo, hi)
+        }
+        Some(Seq(viaSel, viaBloom, viaRange).flatten
           .map(_.map(normPath).toSet).reduce(_ intersect _))
       }
     val files = admitted match {
@@ -255,8 +273,12 @@ final case class GraftRead private (
       else Materialize.decodeColumns(projected, viewed)
 
     // 5. residual predicate (decoded values, like the worker-side
-    //    predicate; Catalyst pushes what it can into the scan)
-    val filtered = preds.foldLeft(decoded)(_.filter(_))
+    //    predicate; Catalyst pushes what it can into the scan).
+    //    range()'s residual rides here too: skipping is a superset
+    //    admission, the filter makes it exact
+    val rangePred = rangeSel.map { case (f, lo, hi) =>
+      col(f) >= lit(lo) && col(f) <= lit(hi) }
+    val filtered = (preds ++ rangePred).foldLeft(decoded)(_.filter(_))
 
     // 6. post-decode transform (T1)
     val transformed = transformSpec.map(_(filtered)).getOrElse(filtered)

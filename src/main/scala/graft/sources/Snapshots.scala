@@ -655,6 +655,50 @@ object Snapshots {
       Some(schema))
   }
 
+  /** Largest version committed at or before `ts` (epoch millis) —
+    * timestamp time travel, resolved from manifest mtimes alone
+    * ("read the corpus as of last Tuesday's training run"). Commit
+    * rename preserves the manifest's write time, and versions commit
+    * in order, so mtimes are monotone per store. */
+  def versionAt(spark: SparkSession, url: String, ts: Long): Int = {
+    val (fs, root) = fsOf(spark, url)
+    val vs = versions(spark, url)
+    require(vs.nonEmpty, s"no snapshot store at $url")
+    val at = vs.filter(v =>
+      fs.getFileStatus(manifestPath(root, v)).getModificationTime <= ts)
+    require(at.nonEmpty,
+      s"no version committed at or before $ts (earliest is v${vs.min})")
+    at.max
+  }
+
+  /** [[readAsOf]] by wall-clock instant instead of version number. */
+  def readAsOfTime(spark: SparkSession, url: String, ts: Long): DataFrame =
+    readAsOf(spark, url, versionAt(spark, url, ts))
+
+  /** Drop stats-sidecar rows for files NO committed manifest
+    * references any more — [[vacuum]]'s sidecar hygiene (stale rows
+    * are harmless for correctness, pruning always intersects the
+    * manifest, but an unbounded sidecar is a metadata leak). Returns
+    * rows dropped. */
+  def pruneStats(spark: SparkSession, url: String): Long = {
+    val (fs, root) = fsOf(spark, url)
+    val sp = statsPath(root)
+    if (!fs.exists(sp)) return 0L
+    val live = versions(spark, url)
+      .flatMap(v => snap(spark, url, v).files).toSet
+    val existing = spark.read.parquet(sp.toString)
+    val keepUdf = udf((f: String) => live.contains(f))
+    val kept = existing.filter(keepUdf(col("file")))
+    val dropped = existing.count() - kept.count()
+    if (dropped == 0L) return 0L
+    val tmp = new Path(statsDir(root), "filestats__tmp")
+    fs.delete(tmp, true)
+    kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(sp, true)
+    require(fs.rename(tmp, sp), s"rename failed for $sp")
+    dropped
+  }
+
   /** Roll the store back (or forward) to `toVersion`'s exact content
     * as a NEW commit — zero data movement (the manifest re-lists the
     * target's immutable files), history is never rewritten, the bad
@@ -705,6 +749,7 @@ object Snapshots {
     val deadVs = vs.filter(_ < keepFrom)
     deadVs.foreach(v => require(fs.delete(manifestPath(root, v), false),
       s"delete failed retiring manifest v$v"))
+    pruneStats(spark, url) // sidecar hygiene rides every vacuum
     (doomed.length, deadVs.length)
   }
 }

@@ -38,4 +38,79 @@ class ReaderAsOfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("Snapshots store"))
   }
+
+  test("reader.range() prunes a clustered snapshot store's file " +
+      "list from the stats sidecar and stays exact; composes with " +
+      "fields/predicate/asOf") {
+    val url = scratch(
+      s"rd_range/${java.util.UUID.randomUUID().toString.take(8)}")
+    val v1 = (1L to 400L).map(i => (i, i % 7, i)).toDF("id", "g", "x")
+    Snapshots.create(spark, url, v1, nFiles = 8)
+    Snapshots.cluster(spark, url, "x", nFiles = 8)
+    Snapshots.indexStats(spark, url, Seq("x"))
+    val v = Snapshots.latest(spark, url)
+    val total = Snapshots.snap(spark, url, v).files.size
+    val df = GraftRead.reader(spark, url).range("x", 10L, 60L).load()
+    // fewer files in the scan than the store holds (prune proof via
+    // the plan's file-source listing)
+    val scanned = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+    assert(scanned < total, s"scanned $scanned of $total files")
+    assert(df.agg(sum("x")).as[Long].head() == (10L to 60L).sum)
+    // exactness with STALE stats: mutate without refreshing
+    Snapshots.upsert(spark, url,
+      Seq((1000L, 0L, 30L)).toDF("id", "g", "x"), "id")
+    val stale = GraftRead.reader(spark, url).range("x", 10L, 60L)
+      .fields("x").load()
+    assert(stale.columns.toSeq == Seq("x"))
+    assert(stale.agg(sum("x")).as[Long].head() ==
+      (10L to 60L).sum + 30L)
+    // pinned version still reads the pre-mutation band
+    val pinned = GraftRead.reader(spark, url).asOf(v)
+      .range("x", 10L, 60L).load()
+    assert(pinned.count() == 51)
+    // a plain store refuses range() with a clear message
+    val plain = scratch(
+      s"rd_range/plain_${java.util.UUID.randomUUID().toString.take(8)}")
+    v1.write.parquet(plain)
+    val e = intercept[IllegalArgumentException] {
+      GraftRead.reader(spark, plain).range("x", 1L, 2L).load()
+    }
+    assert(e.getMessage.contains("Snapshots store"))
+  }
+
+  test("versionAt/readAsOfTime resolve timestamp time travel from " +
+      "manifest mtimes; pruneStats drops sidecar rows vacuum " +
+      "orphaned") {
+    val url = scratch(
+      s"rd_time/${java.util.UUID.randomUUID().toString.take(8)}")
+    Snapshots.create(spark, url, Seq((1L, "a")).toDF("id", "v"))
+    Snapshots.overwrite(spark, url, Seq((2L, "b")).toDF("id", "v"))
+    Snapshots.indexStats(spark, url, Seq("id"))
+    // pin synthetic, deterministic mtimes on the manifests
+    val root = new org.apache.hadoop.fs.Path(url)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapDir = new org.apache.hadoop.fs.Path(root, "_snap")
+    fs.setTimes(new org.apache.hadoop.fs.Path(snapDir,
+      "v00000001.json"), 1000L, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(snapDir,
+      "v00000002.json"), 2000L, -1)
+    assert(Snapshots.versionAt(spark, url, 1500L) == 1)
+    assert(Snapshots.versionAt(spark, url, 2500L) == 2)
+    assert(Snapshots.readAsOfTime(spark, url, 1500L)
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAt(spark, url, 500L)
+    }
+    // vacuum to v2 retires v1's file; its stats rows go with it
+    val dropped = {
+      Snapshots.vacuum(spark, url, keepFrom = 2, graceMs = 0L)
+      val sp = new org.apache.hadoop.fs.Path(url, "_stats/filestats")
+      spark.read.parquet(sp.toString).select("file").as[String]
+        .collect().toSet
+    }
+    assert(dropped == Snapshots.snap(spark, url, 2).files.toSet)
+  }
 }
