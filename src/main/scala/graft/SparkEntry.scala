@@ -5076,6 +5076,48 @@ object SparkEntry {
         col("event_type"))
     }),
 
+    // ---- Streaming ingest with per-epoch stats maintenance ----
+    // snapshotSink's statsFields hook refreshes the min/max sidecar
+    // inside every foreachBatch epoch — the incremental refresh
+    // scans only that epoch's new files, so range-skipping reads
+    // (readWhere) stay fresh at O(batch) per epoch while the stream
+    // runs. The post-stream refresh must scan ZERO files (proof the
+    // stream left nothing uncovered), and the range read is oracled.
+    "q294_stream_stats" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q294"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      ev.repartition(3).write.parquet(s"$base/stage")
+      val store = s"$base/store"
+      Snapshots.create(s, store, ev.limit(0), nFiles = 1)
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/stage")
+      val q = graft.streaming.GraftStream
+        .snapshotSink(src, store, "q294", nFiles = 2,
+          statsFields = Seq("cents"))
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(Snapshots.indexStats(s, store, Seq("cents")) == 0,
+        "the stream should have left every file stats-covered")
+      orderSmall(Snapshots.readWhere(s, store, "cents", 2000L, 20000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).cast("long").as("sum_cents")),
+        col("event_type"))
+    }),
+
     // ---- Retractable view maintained from the CDC feed ----
     // The full lakehouse composition: a snapshot upsert's change
     // feed (with pre-images) retracts −old and adds +new into a
@@ -12677,6 +12719,18 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM events GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q294_stream_stats" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM ev WHERE cents BETWEEN 2000 AND 20000
+        |GROUP BY 1
         |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q287_cdc_view" ->

@@ -108,12 +108,20 @@ object GraftStream {
     * The store must exist ([[graft.sources.Snapshots.create]]) —
     * version 1 anchors the lineage. */
   def snapshotSink(batches: DataFrame, url: String,
-      streamId: String, nFiles: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] = {
+      streamId: String, nFiles: Int = 8,
+      statsFields: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] = {
     require(streamId.matches("[A-Za-z0-9_.-]+"),
       s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+)")
     batches.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       graft.sources.Snapshots.appendOnce(batch.sparkSession, url,
         batch, s"${streamId}_b$id", nFiles): Unit
+      // per-epoch stats maintenance: the incremental refresh scans
+      // ONLY this epoch's new files (covered files are skipped), so
+      // range-skipping reads stay fresh at O(batch) per epoch — and
+      // a retried epoch whose append no-opped rescans nothing
+      if (statsFields.nonEmpty)
+        graft.sources.Snapshots.indexStats(batch.sparkSession, url,
+          statsFields): Unit
     }
   }
 
