@@ -245,4 +245,22 @@ class NewOpsPlanSpec extends SparkSpec {
     // partition spec leads with the group column
     assert(p.contains("windowspecdefinition(g"), p)
   }
+
+  test("band-table self-pairing is an equi-join on band_key — " +
+      "never all-pairs (the q292 sidecar-pairing shape)") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"some shared text body variant ${i % 5}"))
+      .toDF("doc_id", "text")
+    val bands = NearDedup.bandTable(docs, "doc_id", "text")
+    val pairs = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val p = plan(pairs)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"band pairing must ride the band_key equi-join:\n$p")
+  }
 }
