@@ -5419,6 +5419,54 @@ object SparkEntry {
         col("lang"))
     }),
 
+    // ---- Unbiased pass@k (the HumanEval estimator) ----
+    // Per-task attempt outcomes → pass@{1,5,10} in exact integer
+    // arithmetic (falling-factorial binomials, ppm floor) — the
+    // eval-harness number every code-model training run reports,
+    // with zero float drift between engines. 40 tasks × first 20
+    // attempts (event_id order makes the sample deterministic).
+    "q295_pass_at_k" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .withColumn("task_id", pmod(col("user_id"), lit(40)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("task_id")).orderBy(col("event_id"))
+      val attempts = ev.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+      graft.ops.Stats.passAtK(attempts, "task_id",
+        col("value") > 50, Seq(1, 5, 10))
+        .orderBy(col("task_id"))
+    }),
+
+    // ---- Krippendorff's alpha over a 3-rater labeling panel ----
+    // Multi-rater nominal agreement where Cohen's kappa (q244) stops
+    // at two raters — the labeling-QA number for an annotation
+    // pipeline. One exact rational published as a ppm floor in pure
+    // long arithmetic (true floor even for negative alpha).
+    "q296_krippendorff" -> ((s, dir) => {
+      val lab = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull
+          && col("event_type").isNotNull)
+        .withColumn("item", pmod(col("user_id"), lit(100)))
+        .withColumn("rater", pmod(col("event_id"), lit(3)))
+        .groupBy(col("item"), col("rater"))
+        .agg(min_by(col("event_type"), col("event_id")).as("label"))
+      graft.ops.Stats.krippendorffAlpha(lab, "item", "rater",
+        "label", raters = 3)
+    }),
+
+    // ---- Chao1 + Good-Turing vocabulary richness census ----
+    // How much of the corpus' trigram type space is still unseen:
+    // Chao1's lower bound on true vocabulary (V + f1(f1-1)/(2(f2+1)))
+    // and the Good-Turing unseen-probability mass (f1/N) — the
+    // coverage numbers a data card reports before claiming a corpus
+    // is "diverse". Exact integer rationals; the only exchange is
+    // the vocabulary-sized frequency-of-frequency agg.
+    "q297_vocab_richness" -> ((s, dir) => {
+      graft.ops.TextAnalysis.vocabRichness(
+        t(s, dir, "documents"), "text", n = 3)
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12758,6 +12806,83 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
         |GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q297_vocab_richness" ->
+      """WITH d AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS t
+        |  FROM (SELECT toks, unnest(range(1, len(toks)-1)) AS i FROM d)
+        |), c AS (SELECT t, count(*) AS c FROM g GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM c
+        |)
+        |SELECT n_tokens, vocab, f1, f2,
+        |  CAST(1000*vocab + (1000*f1*(f1-1)) // (2*(f2+1)) AS BIGINT)
+        |    AS chao1_milli,
+        |  CAST((1000000*f1) // n_tokens AS BIGINT) AS unseen_ppm
+        |FROM s""".stripMargin,
+
+    "q296_krippendorff" ->
+      """WITH lab AS (
+        |  SELECT user_id % 100 AS item, event_id % 3 AS rater,
+        |    arg_min(event_type, event_id) AS label
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), full3 AS (
+        |  SELECT item, label FROM lab
+        |  WHERE item IN (SELECT item FROM lab GROUP BY 1
+        |                 HAVING count(*) = 3)
+        |), niv AS (
+        |  SELECT item, label, count(*) AS n_iv FROM full3 GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT
+        |    CAST((SELECT count(DISTINCT item) FROM full3) AS BIGINT) AS i,
+        |    CAST((SELECT sum(n_iv*(3-n_iv)) FROM niv) AS BIGINT) AS a,
+        |    CAST((SELECT sum(n_v * (3*(SELECT count(DISTINCT item)
+        |        FROM full3) - n_v))
+        |      FROM (SELECT label, sum(n_iv) AS n_v FROM niv
+        |            GROUP BY 1)) AS BIGINT) AS b
+        |)
+        |SELECT i AS n_items, a AS disagree_sum,
+        |  CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+        |    AS alpha_ppm
+        |FROM (SELECT i, a, 1000000*(2*b - a*(3*i-1)) AS num,
+        |        2*b AS den FROM sc)""".stripMargin,
+
+    "q295_pass_at_k" ->
+      """WITH s AS (
+        |  SELECT user_id % 40 AS task_id, event_id, (value > 50) AS pass,
+        |    row_number() OVER (PARTITION BY user_id % 40
+        |      ORDER BY event_id) AS rk
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |), agg AS (
+        |  SELECT task_id, count(*) AS n,
+        |    sum(CASE WHEN pass THEN 1 ELSE 0 END) AS c
+        |  FROM s WHERE rk <= 20 GROUP BY 1
+        |)
+        |SELECT task_id, CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+        |  CASE WHEN n >= 1 THEN CAST((1000000*c) // n AS BIGINT) END
+        |    AS pass_at_1,
+        |  CASE WHEN n >= 5 THEN CAST((1000000*(
+        |      (n*(n-1)*(n-2)*(n-3)*(n-4))//120
+        |    - ((n-c)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4))//120))
+        |    // ((n*(n-1)*(n-2)*(n-3)*(n-4))//120) AS BIGINT) END
+        |    AS pass_at_5,
+        |  CASE WHEN n >= 10 THEN CAST((1000000*(
+        |      (n*(n-1)*(n-2)*(n-3)*(n-4)*(n-5)*(n-6)*(n-7)*(n-8)*(n-9))//3628800
+        |    - ((n-c)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4)*(n-c-5)*(n-c-6)*(n-c-7)*(n-c-8)*(n-c-9))//3628800))
+        |    // ((n*(n-1)*(n-2)*(n-3)*(n-4)*(n-5)*(n-6)*(n-7)*(n-8)*(n-9))//3628800) AS BIGINT) END
+        |    AS pass_at_10
+        |FROM agg ORDER BY task_id""".stripMargin,
 
     "q293_reader_range" ->
       """SELECT lang, count(*) AS cnt,

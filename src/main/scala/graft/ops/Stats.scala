@@ -1378,4 +1378,100 @@ object Stats {
         col("__true") + lit(clip.toLong) * (geo(u1) - geo(u2)))
       .drop("__true")
   }
+
+  /** Krippendorff's alpha for NOMINAL labels with a fixed panel of
+    * `raters` judges per item — the multi-rater agreement number a
+    * labeling pipeline reports where Cohen's kappa (q244) stops at
+    * two raters. Complete-case convention: items without exactly
+    * `raters` single-labeled judges are excluded (duplicate
+    * (item, rater) labels make an item incomplete, not an error).
+    * With m raters, I complete items, N = mI, per-item value counts
+    * n_iv and global counts n_v:
+    *   Do = Σ n_iv(m−n_iv) / (N(m−1)),  De = Σ n_v(N−n_v) / (N(N−1))
+    *   alpha = 1 − Do/De = 1 − A(N−1) / ((m−1)B)
+    * — a single exact rational, published as a ppm FLOOR computed in
+    * pure long arithmetic (`div` on an exactly-divisible numerator;
+    * the pmod subtraction makes it a true floor for negative alpha,
+    * which truncating division would round the wrong way). All-same
+    * labels ⇒ De = 0 ⇒ alpha undefined ⇒ null. Long-safe to
+    * N ≈ 1e6 labels (runtime-enforced); the exchanges are the item-
+    * and label-keyed aggs, nothing row-count-squared. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+      raterCol: String, labelCol: String, raters: Int): DataFrame = {
+    require(raters >= 2, s"need >= 2 raters per item, got $raters")
+    val m = raters.toLong
+    val labels = df.select(col(itemCol).as("__i"),
+      col(raterCol).as("__r"), col(labelCol).as("__l"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull &&
+        col("__l").isNotNull)
+    val kept = labels.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__rows"),
+        count_distinct(col("__r")).as("__rt"))
+      .filter(col("__rows") === m && col("__rt") === m)
+      .select(col("__i"))
+    val niv = labels.join(kept, "__i")
+      .groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).cast("long").as("n_iv"))
+    val ai = niv.agg(
+      sum(col("n_iv") * (lit(m) - col("n_iv"))).cast("long").as("a"),
+      count_distinct(col("__i")).as("i"))
+    val b = niv.groupBy(col("__l"))
+      .agg(sum(col("n_iv")).cast("long").as("n_v"))
+      .crossJoin(ai.select((lit(m) * col("i")).as("__n")))
+      .agg(sum(col("n_v") * (col("__n") - col("n_v")))
+        .cast("long").as("b"))
+    ai.crossJoin(b)
+      .withColumn("i", when(col("i") * m > 1000000L, raise_error(
+        lit("krippendorffAlpha is long-safe to N = m*items <= 1e6")))
+        .otherwise(col("i")))
+      .withColumn("__num", lit(1000000L) *
+        (lit(m - 1) * col("b") - col("a") * (lit(m) * col("i") - 1)))
+      .withColumn("__den", lit(m - 1) * col("b"))
+      .withColumn("alpha_ppm",
+        when(col("b") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "(__num - pmod(__num, __den)) div __den")))
+      .select(col("i").as("n_items"), col("a").as("disagree_sum"),
+        col("alpha_ppm"))
+  }
+
+  /** Unbiased pass@k over per-task attempt outcomes (Chen et al.
+    * 2021, arXiv 2107.03374 §2.1 — the HumanEval estimator):
+    * pass@k = 1 − C(n−c, k)/C(n, k), the expectation over k-subsets
+    * of a task's n attempts of "at least one passes"; the naive
+    * 1 − (1 − c/n)^k is biased. Exact integer arithmetic end to end:
+    * binomials via falling factorials (long-safe for n ≤ 30,
+    * runtime-enforced; k ≤ 10), the ppm result an exact integral
+    * division — no float anywhere, so any engine reproduces it
+    * bit-identically. One scan, one agg, all ks share it; the only
+    * exchange is the task-keyed groupBy. */
+  def passAtK(df: DataFrame, taskCol: String, passCol: Column,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 10),
+      s"ks must sit in [1, 10] (long-safe binomials), got $ks")
+    val agg = df.groupBy(col(taskCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(passCol, 1L).otherwise(0L)).as("c"))
+      .withColumn("n", when(col("n") > 30, raise_error(concat(
+        lit("passAtK needs n <= 30 attempts per task (long-safe "),
+        lit("binomials); got "), col("n").cast("string"))))
+        .otherwise(col("n")))
+    // x and y are exactly-divisible longs well under 2^53, so the
+    // double division is exact (pmod strips any remainder first)
+    def exactDiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)) / y).cast("long")
+    // C(top, k): the k-term falling factorial hits a zero factor
+    // whenever top < k (top is never negative here), so the binomial
+    // is naturally 0 without a guard
+    def binom(top: Column, k: Int): Column =
+      exactDiv((0 until k).map(i => top - lit(i.toLong)).reduce(_ * _),
+        lit((1 to k).map(_.toLong).product))
+    ks.foldLeft(agg) { (acc, k) =>
+      val den = binom(col("n"), k)
+      val num = binom(col("n") - col("c"), k)
+      acc.withColumn(s"pass_at_$k",
+        when(col("n") < k, lit(null).cast("long"))
+          .otherwise(exactDiv(lit(1000000L) * (den - num), den)))
+    }
+  }
 }

@@ -2316,6 +2316,42 @@ object TextAnalysis {
       .withColumn("comment_ppm",
         expr("n_comment * 1000000 div n_lines"))
   }
+
+  /** Vocabulary-richness estimates a corpus census reports alongside
+    * raw vocab size: Chao1's lower bound on TRUE vocabulary
+    * (Chao 1984 — `V + f1(f1−1)/(2(f2+1))`, the bias-corrected form
+    * that stays finite when no type occurs twice) and Good–Turing's
+    * unseen-probability mass (`f1/N` — the chance the NEXT token is
+    * a new type; Gale & Sampson 1995). Both are exact integer
+    * rationals here: chao1 ×1000 floor, unseen mass ppm floor.
+    * Shape: one distinct-(token) agg for the frequency-of-frequency
+    * table, then 1-row arithmetic — the f-of-f exchange is
+    * vocabulary-sized, never corpus-sized. */
+  def vocabRichness(df: DataFrame, textCol: String, n: Int = 1,
+      unicode: Boolean = false): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = if (unicode) unicodeTokens(col(textCol))
+               else alphaTokens(col(textCol))
+    // n > 1 censuses the n-gram type space (the unigram vocabulary
+    // of a synthetic or templated corpus can be tiny while its gram
+    // space still has a heavy unseen tail)
+    val grams =
+      if (n == 1) toks
+      else when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i =>
+          concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val counts = df.select(explode(grams).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).cast("long").as("__c"))
+    counts.agg(sum(col("__c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_milli", lit(1000L) * col("vocab") +
+        expr("1000 * f1 * (f1 - 1) div (2 * (f2 + 1))"))
+      .withColumn("unseen_ppm",
+        expr("1000000 * f1 div n_tokens"))
+  }
 }
 
 /** `simple_lower(text)` → codepoint-wise Unicode simple lowercase

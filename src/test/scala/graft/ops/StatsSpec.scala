@@ -455,4 +455,89 @@ class StatsSpec extends SparkSpec {
       ("A", 3L, 9L, 3L, 1L, 2L, 333333L),
       ("B", 2L, 16L, 4L, 1L, 1L, 500000L)))
   }
+
+  test("passAtK matches exact BigInt binomials on every (n, c) " +
+      "up to 30 attempts; guards fire on misuse") {
+    // one task per (n, c): task t = n*31 + c with n attempts, c passes
+    val cases = for { n <- 1 to 30; c <- 0 to n } yield (n, c)
+    val rows = cases.flatMap { case (n, c) =>
+      (1 to n).map(i => (n.toLong * 31 + c, i <= c))
+    }
+    val df = rows.toDF("task", "ok")
+    val got = Stats.passAtK(df, "task", col("ok"), Seq(1, 5, 10))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          Seq(3, 4, 5).map(i => if (r.isNullAt(i)) None
+            else Some(r.getLong(i)))))
+      .toMap
+    def comb(n: Int, k: Int): BigInt =
+      if (k > n) BigInt(0)
+      else (0 until k).map(i => BigInt(n - i)).product /
+        (1 to k).map(BigInt(_)).product
+    cases.foreach { case (n, c) =>
+      val (gn, gc, ks) = got(n.toLong * 31 + c)
+      assert((gn, gc) == ((n.toLong, c.toLong)))
+      Seq(1, 5, 10).zip(ks).foreach { case (k, gk) =>
+        val want =
+          if (n < k) None
+          else Some(((BigInt(1000000) * (comb(n, k) - comb(n - c, k)))
+            / comb(n, k)).toLong)
+        assert(gk == want, s"pass@$k(n=$n, c=$c): got $gk want $want")
+      }
+    }
+    // guards: n > 30 raises with a clear message; bad k refused
+    val big = (1 to 31).map(i => (1L, true)).toDF("task", "ok")
+    val e = intercept[Exception] {
+      Stats.passAtK(big, "task", col("ok"), Seq(1)).collect()
+    }
+    assert(e.getMessage.contains("n <= 30"))
+    intercept[IllegalArgumentException] {
+      Stats.passAtK(df, "task", col("ok"), Seq(11))
+    }
+  }
+
+  test("krippendorffAlpha matches the float reference (true floor " +
+      "for negative alpha), excludes incomplete items, nulls on " +
+      "all-same labels") {
+    // deterministic 3-rater panel over 60 items, 4 label values
+    val rows = for { i <- 0 until 60; r <- 0 until 3 } yield
+      (i.toLong, r.toLong, s"v${(i * 7 + r * (i % 5)) % 4}")
+    val df = rows.toDF("item", "rater", "label")
+    val out = Stats.krippendorffAlpha(df, "item", "rater", "label", 3)
+      .as[(Long, Long, Option[Long])].head()
+    // float reference on the same panel
+    val byItem = rows.groupBy(_._1).values.map(_.map(_._3)).toSeq
+    val i = byItem.size; val n = 3 * i
+    val a = byItem.map(_.groupBy(identity).values
+      .map(g => g.size * (3 - g.size)).sum).sum
+    val nv = rows.map(_._3).groupBy(identity).values.map(_.size)
+    val bb = nv.map(c => c.toLong * (n - c)).sum
+    val alpha = 1.0 -
+      (a.toDouble / (n * 2)) / (bb.toDouble / (n.toLong * (n - 1)))
+    assert(out._1 == i.toLong && out._2 == a.toLong)
+    assert(out._3.contains(math.floor(alpha * 1e6).toLong),
+      s"got ${out._3}, float says ${math.floor(alpha * 1e6).toLong}")
+    // a panel engineered to DISAGREE maximally goes negative, and
+    // the published ppm is the FLOOR (truncation would round up)
+    val neg = Seq((0L, 0L, "x"), (0L, 1L, "y"), (0L, 2L, "x"),
+      (1L, 0L, "y"), (1L, 1L, "x"), (1L, 2L, "y"))
+      .toDF("item", "rater", "label")
+    val negOut = Stats
+      .krippendorffAlpha(neg, "item", "rater", "label", 3)
+      .as[(Long, Long, Option[Long])].head()
+    assert(negOut._3.exists(_ < 0L))
+    // incomplete and double-labeled items are excluded, not fatal
+    val messy = df.unionByName(Seq((100L, 0L, "v0"), (101L, 0L, "v0"),
+      (101L, 0L, "v1"), (101L, 1L, "v2"), (101L, 2L, "v3"))
+      .toDF("item", "rater", "label"))
+    val messyOut = Stats
+      .krippendorffAlpha(messy, "item", "rater", "label", 3)
+      .as[(Long, Long, Option[Long])].head()
+    assert(messyOut == out)
+    // all-identical labels: De = 0, alpha undefined → null
+    val same = (0 until 9).map(k => ((k / 3).toLong, (k % 3).toLong,
+      "only")).toDF("item", "rater", "label")
+    assert(Stats.krippendorffAlpha(same, "item", "rater", "label", 3)
+      .as[(Long, Long, Option[Long])].head()._3.isEmpty)
+  }
 }
