@@ -5467,6 +5467,41 @@ object SparkEntry {
         t(s, dir, "documents"), "text", n = 3)
     }),
 
+    // ---- Commit-log audit over a full store lifecycle ----
+    // history() resolves every manifest into (version, op, file
+    // count, files added/removed vs parent) — the audit a platform
+    // team reads before trusting a store. The lifecycle below is
+    // file-count-deterministic (writeFiles emits exactly nFiles
+    // parts), so the whole log is oracled as a constant table:
+    // proof the op semantics (append shares parent files, upsert
+    // rewrites the affected set, cluster rewrites all, restore
+    // re-lists with zero data movement) hold exactly.
+    "q298_history" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q298"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, store,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), nFiles = 4)
+      Snapshots.append(s, store,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), nFiles = 2)
+      Snapshots.upsert(s, store,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 1L).as("n_chars")),
+        "doc_id")
+      Snapshots.cluster(s, store, "n_chars", nFiles = 3)
+      Snapshots.restore(s, store, 2)
+      Snapshots.history(s, store).orderBy(col("version"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12806,6 +12841,20 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
         |GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q298_history" ->
+      """SELECT CAST(version AS INTEGER) AS version, op,
+        |  CAST(n_files AS BIGINT) AS n_files,
+        |  CAST(n_added AS BIGINT) AS n_added,
+        |  CAST(n_removed AS BIGINT) AS n_removed
+        |FROM (VALUES
+        |  (1, 'create', 4, 4, 0),
+        |  (2, 'append', 6, 2, 0),
+        |  (3, 'upsert', 6, 6, 6),
+        |  (4, 'cluster', 3, 3, 6),
+        |  (5, 'restore:v2', 6, 6, 3))
+        |  AS t(version, op, n_files, n_added, n_removed)
+        |ORDER BY version""".stripMargin,
 
     "q297_vocab_richness" ->
       """WITH d AS (

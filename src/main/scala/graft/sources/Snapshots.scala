@@ -655,6 +655,27 @@ object Snapshots {
       Some(schema))
   }
 
+  /** The commit log as a DataFrame — one row per version with its
+    * op, live-file count, and the file-level delta against its
+    * parent (what a "describe history" audit reads before trusting a
+    * store: which commit rewrote half the files, which one only
+    * touched two). Resolution is manifests only — O(versions ×
+    * files) driver-side metadata, no data file opened. */
+  def history(spark: SparkSession, url: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, url)
+    require(vs.nonEmpty, s"no snapshot store at $url")
+    val snaps = vs.map(v => snap(spark, url, v))
+    val rows = snaps.zipWithIndex.map { case (s, k) =>
+      val parent = if (k == 0) Set.empty[String]
+                   else snaps(k - 1).files.toSet
+      val cur = s.files.toSet
+      (s.version, s.op, s.files.size.toLong,
+        (cur -- parent).size.toLong, (parent -- cur).size.toLong)
+    }
+    rows.toDF("version", "op", "n_files", "n_added", "n_removed")
+  }
+
   /** Largest version committed at or before `ts` (epoch millis) —
     * timestamp time travel, resolved from manifest mtimes alone
     * ("read the corpus as of last Tuesday's training run"). Commit
