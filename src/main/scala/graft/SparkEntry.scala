@@ -5378,9 +5378,16 @@ object SparkEntry {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_new"),
           col("b.doc_id").as("id_corpus")).distinct()
-      val corpusNow = Snapshots.read(s, base)
-      graft.ops.NearDedup.verifyPairsJaccardPpm(pairs, corpusNow,
-          corpusNow, "doc_id", "text", 3)
+      // bound the exact-Jaccard verify to pair-touched docs BEFORE
+      // shingling: at 100 TB the corpus must never be re-shingled
+      // for a handful of candidate pairs
+      val touched = Snapshots.read(s, base).join(
+        pairs.select(col("id_new").as("doc_id"))
+          .unionByName(pairs.select(col("id_corpus").as("doc_id")))
+          .distinct(),
+        Seq("doc_id"), "left_semi")
+      graft.ops.NearDedup.verifyPairsJaccardPpm(pairs, touched,
+          touched, "doc_id", "text", 3)
         .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"),
           col("jaccard_ppm"))
         .orderBy(col("id_a"), col("id_b"))
