@@ -5509,6 +5509,48 @@ object SparkEntry {
       Snapshots.history(s, store).orderBy(col("version"))
     }),
 
+    // ---- CHECK-constrained ingest (write-boundary data contract) ----
+    // Constraints declared on the store refuse violating batches
+    // atomically (SQL CHECK semantics, one combined O(batch)
+    // validation pass per commit) — a 100 TB corpus is cheaper to
+    // keep clean at the write boundary than to audit after. The
+    // poisoned batch below must bounce without minting a version,
+    // and the surviving content is oracled.
+    "q299_constraints" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q299"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, store,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), nFiles = 4)
+      Snapshots.addConstraint(s, store, "chars_nonneg", "n_chars >= 0")
+      Snapshots.addConstraint(s, store, "lang_present",
+        "lang IS NOT NULL")
+      Snapshots.append(s, store,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), nFiles = 4)
+      val poison = s.range(1).select(
+        (col("id") + 2000000L).as("doc_id"), lit("xx").as("lang"),
+        lit(-1L).as("n_chars"))
+      val refused =
+        try { Snapshots.append(s, store, poison); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "poisoned batch must be refused")
+      require(Snapshots.latest(s, store) == 2,
+        "a refused batch must not mint a version")
+      orderSmall(Snapshots.read(s, store)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("sum_chars")),
+        col("lang"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12846,6 +12888,13 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
+        |GROUP BY 1
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q299_constraints" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id IS NOT NULL
         |GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
 

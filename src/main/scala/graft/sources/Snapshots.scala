@@ -236,6 +236,7 @@ object Snapshots {
       nFiles: Int = 8): Int = {
     val (_, root) = fsOf(spark, url)
     val parent = snap(spark, url, latest(spark, url))
+    validateBatch(spark, root, url, df)
     val v = parent.version + 1
     commit(spark, root, v, "append",
       parent.files ++ writeFiles(spark, root, df, v, nFiles),
@@ -269,6 +270,7 @@ object Snapshots {
     prior.getOrElse {
       val (_, root) = fsOf(spark, url)
       val parent = snap(spark, url, latest(spark, url))
+      validateBatch(spark, root, url, df)
       val v = parent.version + 1
       commit(spark, root, v, op,
         parent.files ++ writeFiles(spark, root, df, v, nFiles),
@@ -281,6 +283,7 @@ object Snapshots {
   def overwrite(spark: SparkSession, url: String, df: DataFrame,
       nFiles: Int = 8): Int = {
     val (_, root) = fsOf(spark, url)
+    validateBatch(spark, root, url, df)
     val v = latest(spark, url) + 1
     commit(spark, root, v, "overwrite",
       writeFiles(spark, root, df, v, nFiles), Some(df.schema))
@@ -330,6 +333,7 @@ object Snapshots {
       .map(d => updates.filter(!coalesce(col(d), lit(false))).drop(d))
       .getOrElse(updates)
       .select(dataCols.map(col): _*)
+    validateBatch(spark, root, url, upserts) // only NEW rows checked
     val merged =
       if (affectedAbs.isEmpty) upserts
       else spark.read.schema(storeSchema).parquet(affectedAbs: _*)
@@ -653,6 +657,88 @@ object Snapshots {
       parent.files.filterNot(smallNames) ++
         writeArranged(spark, root, packed, v),
       Some(schema))
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK constraints (Delta-style, SQL semantics: NULL passes)
+  // ------------------------------------------------------------------
+
+  private def constraintsPath(root: Path) =
+    new Path(root, "_constraints.json")
+
+  /** Declare a CHECK constraint every future write must satisfy
+    * (ingest-side data contracts: a 100 TB corpus is cheaper to keep
+    * clean at the write boundary than to audit after). SQL CHECK
+    * semantics: a row violates only when the expression evaluates to
+    * FALSE — NULL/unknown passes, matching every SQL engine. The
+    * whole batch is refused on the first violating row (validation
+    * is one combined pass over the batch, O(batch) per commit).
+    * Constraints do NOT retro-validate existing rows — declare
+    * before the offending data, or [[overwrite]] clean. */
+  def addConstraint(spark: SparkSession, url: String, name: String,
+      exprSql: String): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"constraint name '$name' must be [A-Za-z0-9_.-]+")
+    require(!exprSql.contains("\"") && !exprSql.contains("\\"),
+      "constraint SQL must not contain quotes or backslashes")
+    org.apache.spark.sql.functions.expr(exprSql) // parse now, not at write
+    val (fs, root) = fsOf(spark, url)
+    require(versions(spark, url).nonEmpty, s"no snapshot store at $url")
+    val existing = constraints(spark, url)
+    require(!existing.exists(_._1 == name),
+      s"constraint '$name' already declared")
+    val all = existing :+ (name, exprSql)
+    val json = all.map { case (n, e) => s"""{"name":"$n","expr":"$e"}""" }
+      .mkString("[", ",", "]")
+    val tmp = new Path(root, "_constraints.json__tmp")
+    fs.delete(tmp, false)
+    val out = fs.create(tmp, false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    fs.delete(constraintsPath(root), false)
+    require(fs.rename(tmp, constraintsPath(root)),
+      s"rename failed for ${constraintsPath(root)}")
+  }
+
+  /** Declared constraints, oldest first. */
+  def constraints(spark: SparkSession, url: String): Seq[(String, String)] = {
+    val (fs, root) = fsOf(spark, url)
+    val p = constraintsPath(root)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val json = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var k = in.read(buf)
+      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+    """\{"name":"([^"]+)","expr":"([^"]+)"\}""".r
+      .findAllMatchIn(json).map(m => (m.group(1), m.group(2))).toSeq
+  }
+
+  /** One combined validation pass over a write batch; throws with
+    * the first violated constraint's name. */
+  private def validateBatch(spark: SparkSession, root: Path,
+      url: String, df: DataFrame): Unit = {
+    val cs = constraints(spark, url)
+    if (cs.isEmpty) return
+    val cols = df.columns.toSet
+    val applicable = cs.filter { case (_, e) =>
+      spark.sessionState.sqlParser.parseExpression(e)
+        .references.map(_.name).forall(cols.contains) }
+    if (applicable.isEmpty) return
+    val flags = applicable.map { case (n, e) =>
+      (coalesce(expr(e), lit(true)) === false).as(s"__viol_$n") }
+    val hit = df.select(flags: _*)
+      .filter(applicable.map(c => col(s"__viol_${c._1}")).reduce(_ || _))
+      .limit(1).collect()
+    hit.headOption.foreach { r =>
+      val bad = applicable.indices.find(i => r.getBoolean(i)).get
+      throw new IllegalArgumentException(
+        s"CHECK constraint '${applicable(bad)._1}' " +
+          s"(${applicable(bad)._2}) violated by the write batch — " +
+          "commit refused")
+    }
   }
 
   /** The commit log as a DataFrame — one row per version with its

@@ -339,6 +339,40 @@ class SnapshotSpec extends SparkSpec {
       == v)
   }
 
+  test("CHECK constraints refuse violating writes atomically (SQL " +
+      "semantics: NULL passes), skip columns a batch lacks") {
+    val url = freshUrl("check")
+    Snapshots.create(spark, url,
+      Seq((1L, 10L)).toDF("id", "x"))
+    Snapshots.addConstraint(spark, url, "x_nonneg", "x >= 0")
+    intercept[IllegalArgumentException] {
+      Snapshots.addConstraint(spark, url, "x_nonneg", "x >= 1")
+    }
+    // good batch commits; NULL x passes (SQL CHECK semantics)
+    Snapshots.append(spark, url,
+      Seq[(Long, java.lang.Long)]((2L, 5L), (3L, null)).toDF("id", "x"))
+    // violating append refused, store unchanged
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.append(spark, url, Seq((4L, -1L)).toDF("id", "x"))
+    }
+    assert(e.getMessage.contains("x_nonneg"))
+    assert(Snapshots.latest(spark, url) == 2)
+    assert(Snapshots.read(spark, url).count() == 3)
+    // violating upsert refused; delete-marked rows are NOT validated
+    intercept[IllegalArgumentException] {
+      Snapshots.upsert(spark, url, Seq((1L, -5L)).toDF("id", "x"), "id")
+    }
+    Snapshots.upsert(spark, url,
+      Seq((1L, -5L, true)).toDF("id", "x", "del"), "id",
+      deleteCol = Some("del")) // a delete row may carry any values
+    assert(Snapshots.read(spark, url).count() == 2)
+    // an evolved append lacking the constrained column still commits
+    // (the column reads as NULL there — which CHECK passes)
+    Snapshots.addConstraint(spark, url, "y_pos", "y > 0")
+    Snapshots.append(spark, url, Seq((9L, 1L)).toDF("id", "x"))
+    assert(Snapshots.read(spark, url).count() == 3)
+  }
+
   test("indexStats marker rows: all-null and empty files are " +
       "skipped by range reads and never rescanned") {
     val url = freshUrl("statsnull")
