@@ -5551,6 +5551,41 @@ object SparkEntry {
         col("lang"))
     }),
 
+    // ---- End-to-end curation pipeline (the flagship composition) ----
+    // The full pretraining-data funnel in one declarative plan, every
+    // stage a proven library op: quality gate (length/token rules) →
+    // exact dedup keep-lowest → decontamination against a held-out
+    // eval set (3-gram shingle containment, zero tolerance) →
+    // per-source token-budget mixture (deterministic md5 order, the
+    // q111 prefix-scan shape). The oracle replays all four stages in
+    // SQL — one hash mismatch anywhere in the funnel fails the row.
+    "q300_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"),
+          col("n_chars"))
+      val eval = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val pool = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val gated = pool.filter(
+        size(graft.ops.TextAnalysis.alphaTokens(col("text")))
+          .between(30, 5000) && col("n_chars") <= 2000)
+      val keepIds = gated.groupBy(md5(lower(col("text"))))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val kept = gated.join(keepIds, Seq("doc_id"), "left_semi")
+      val cleanIds = graft.ops.NearDedup.contamination(
+        kept, "doc_id", "text", eval, "doc_id", "text")
+        .filter(col("n_contaminated") === 0L).select("doc_id")
+      val clean = kept.join(cleanIds, Seq("doc_id"), "left_semi")
+      val mixed = graft.ops.Sampling.tokenBudgetMixture(
+        clean, "doc_id", "source", "text",
+        Map("src0" -> 500L, "src1" -> 300L, "src2" -> 700L),
+        seed = 300)
+      orderSmall(mixed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens")),
+        col("source"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12890,6 +12925,63 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
         |GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q300_curation_pipeline" ->
+      """WITH pool AS (
+        |  SELECT doc_id, source, text, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 97 <> 0
+        |), gated AS (
+        |  SELECT doc_id, source, text FROM pool
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z]+'))
+        |          BETWEEN 30 AND 5000
+        |    AND n_chars <= 2000
+        |), dd AS (
+        |  SELECT min(doc_id) AS doc_id FROM gated
+        |  GROUP BY md5(lower(text))
+        |), kept AS (
+        |  SELECT g.doc_id, g.source, g.text FROM gated g
+        |  JOIN dd USING (doc_id)
+        |), ksh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)) AS s
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |        FROM kept)
+        |), bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)) AS s
+        |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |        FROM documents
+        |        WHERE doc_id IS NOT NULL AND doc_id % 97 = 0)
+        |), contam AS (SELECT DISTINCT doc_id FROM ksh JOIN bench USING (s)),
+        |clean AS (
+        |  SELECT k.doc_id, k.source, k.text FROM kept k
+        |  LEFT JOIN contam c USING (doc_id) WHERE c.doc_id IS NULL
+        |), b AS (
+        |  SELECT * FROM (VALUES ('src0', 500), ('src1', 300),
+        |                        ('src2', 700)) AS v(source, budget)
+        |), d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+        |      '[a-z]+')) AS BIGINT) AS n_tokens,
+        |    md5('300:mix:' || source || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM clean
+        |), j AS (SELECT d.*, b.budget FROM d JOIN b USING (source)),
+        |c AS (
+        |  SELECT source, n_tokens, budget,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM j
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM c WHERE cum_tokens <= budget
+        |GROUP BY 1
+        |ORDER BY source NULLS FIRST""".stripMargin,
 
     "q299_constraints" ->
       """SELECT lang, count(*) AS cnt,
