@@ -5586,6 +5586,50 @@ object SparkEntry {
         col("source"))
     }),
 
+    // ---- Variance-bearing retractable view from the CDC feed ----
+    // q287's composition with second moments: the view keeps signed
+    // Σx² partials alongside COUNT/SUM, so a reader derives mean and
+    // variance per key from a view that stays equal to a GROUP BY
+    // over the store's LATEST version through updates and deletes —
+    // exact long arithmetic, no float in the maintained state.
+    "q301_moments_view" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q301"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val store = s"$base/store"
+      val view = s"$base/view"
+      val v1 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id").isNotNull)
+      Snapshots.create(s, store, v1, nFiles = 8)
+      MaterializedView.init(s, view, Seq("lang"), Seq("n_chars"),
+        buckets = 4, retractable = true, moments = true)
+      MaterializedView.applyDeltaKeyed(s, view, v1.drop("doc_id"),
+        "v0-v1")
+      val changed = v1
+        .filter(pmod(col("doc_id"), lit(11)) === 0 ||
+          pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"),
+          (pmod(col("doc_id"), lit(13)) === 0).as("del"))
+      Snapshots.upsert(s, store, changed, "doc_id",
+        deleteCol = Some("del"))
+      val feed = Snapshots.changes(s, store, "doc_id", 1, 2,
+        includeOld = true)
+      MaterializedView.applyCdc(s, view, feed, "v1-v2")
+      orderSmall(MaterializedView.read(s, view)
+        .select(col("lang"), col("cnt"),
+          col("sum_n_chars").as("sum_chars"),
+          col("sq_n_chars").as("sumsq_chars")),
+        col("lang"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12924,6 +12968,22 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
         |GROUP BY 1
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q301_moments_view" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), v2 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM v1 WHERE doc_id % 13 <> 0
+        |)
+        |SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq_chars
+        |FROM v2 GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
 
     "q300_curation_pipeline" ->

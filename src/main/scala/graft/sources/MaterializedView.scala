@@ -39,17 +39,22 @@ object MaterializedView {
   private val MetaName = "_mv.json"
 
   final case class MvMeta(keys: Seq[String], sums: Seq[String],
-      buckets: Int, retractable: Boolean = false)
+      buckets: Int, retractable: Boolean = false,
+      moments: Boolean = false)
 
   private def metaPath(url: String) = new Path(new Path(url), MetaName)
 
   /** `retractable = true` declares a COUNT/SUM-only view that a CDC
     * feed can maintain through deletions ([[applyCdc]]): partials
     * carry signed weights and MIN/MAX — which cannot retract — are
-    * not kept. */
+    * not kept. `moments = true` additionally keeps the signed second
+    * moment `sq_<c>` = Σ x² per sum column — exact long partials
+    * from which a reader derives mean and variance; they retract, so
+    * the two flags compose. */
   def init(spark: SparkSession, url: String, keys: Seq[String],
       sums: Seq[String], buckets: Int = 64,
-      retractable: Boolean = false): Unit = {
+      retractable: Boolean = false,
+      moments: Boolean = false): Unit = {
     require(keys.nonEmpty && buckets > 0)
     require((keys ++ sums).forall(c => !c.contains("\"")))
     val p = metaPath(url)
@@ -58,7 +63,8 @@ object MaterializedView {
     fs.mkdirs(p.getParent)
     val json = s"""{"keys":[${keys.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""sums":[${sums.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""buckets":$buckets,"retract":${if (retractable) 1 else 0}}"""
+      s""""buckets":$buckets,"retract":${if (retractable) 1 else 0},""" +
+      s""""moments":${if (moments) 1 else 0}}"""
     val out = fs.create(p, false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -85,7 +91,8 @@ object MaterializedView {
     val b = json.drop(json.indexOf("\"buckets\":") + 10)
       .takeWhile(_.isDigit).toInt
     val r = json.contains("\"retract\":1")
-    MvMeta(arr("keys"), arr("sums"), b, r)
+    val mo = json.contains("\"moments\":1")
+    MvMeta(arr("keys"), arr("sums"), b, r, mo)
   }
 
   private def bucketCol(m: MvMeta): Column =
@@ -99,6 +106,9 @@ object MaterializedView {
     val aggs = sum(sign).cast("long").as("__cnt") +:
       m.sums.flatMap(c => Seq(
         sum(sign * col(c).cast("long")).as(s"sum_$c")) ++
+        (if (m.moments) Seq( // signed second moment: retracts too
+          sum(sign * col(c).cast("long") * col(c).cast("long"))
+            .as(s"sq_$c")) else Seq.empty) ++
         (if (m.retractable) Seq.empty else Seq(
           min(col(c).cast("long")).as(s"min_$c"),
           max(col(c).cast("long")).as(s"max_$c"))))
@@ -172,6 +182,8 @@ object MaterializedView {
     val aggs = sum(col("__cnt")).cast("long").as("cnt") +:
       m.sums.flatMap(c => Seq(
         sum(col(s"sum_$c")).cast("long").as(s"sum_$c")) ++
+        (if (m.moments) Seq(
+          sum(col(s"sq_$c")).cast("long").as(s"sq_$c")) else Seq.empty) ++
         (if (m.retractable) Seq.empty else Seq(
           min(col(s"min_$c")).as(s"min_$c"),
           max(col(s"max_$c")).as(s"max_$c"))))

@@ -130,6 +130,34 @@ class MaterializedViewSpec extends SparkSpec {
     assert(e.getMessage.contains("retractable"))
   }
 
+  test("moments views carry signed sum-of-squares partials that " +
+      "retract exactly through the CDC feed") {
+    val store = freshUrl("mom_store")
+    val view = freshUrl("mom_view")
+    val v1 = (1L to 50L).map(i => (i, i % 4, i)).toDF("id", "g", "x")
+    Snapshots.create(spark, store, v1, nFiles = 3)
+    MaterializedView.init(spark, view, Seq("g"), Seq("x"),
+      buckets = 4, retractable = true, moments = true)
+    MaterializedView.applyDeltaKeyed(spark, view, v1.drop("id"), "v0-v1")
+    val ups = v1.filter(col("g") === 2L)
+      .select(col("id"), col("g"), (col("x") * 3L).as("x"),
+        lit(false).as("del"))
+      .unionByName(v1.filter(col("g") === 0L)
+        .select(col("id"), col("g"), col("x"), lit(true).as("del")))
+    Snapshots.upsert(spark, store, ups, "id", deleteCol = Some("del"))
+    MaterializedView.applyCdc(spark, view,
+      Snapshots.changes(spark, store, "id", 1, 2, includeOld = true),
+      "v1-v2")
+    val got = MaterializedView.read(spark, view)
+      .orderBy("g").collect().map(_.toSeq)
+    val want = Snapshots.read(spark, store).groupBy("g")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum("x").cast("long").as("sum_x"),
+        sum(col("x") * col("x")).cast("long").as("sq_x"))
+      .orderBy("g").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("rebuild folds history into a fresh single-batch view with " +
       "identical reads (blue/green compaction)") {
     val url = freshUrl("fold")
