@@ -5630,6 +5630,28 @@ object SparkEntry {
         col("lang"))
     }),
 
+    // ---- Group-aware leakage-free train/val/test split ----
+    // The constructive counterpart of the split-leakage audits: a
+    // whole group (here: source) lands in ONE split, so near-dups
+    // and shared provenance can never straddle the eval boundary.
+    // The in-query require proves zero straddling; the per-split
+    // census is oracled.
+    "q302_group_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull)
+      val split = graft.ops.Sampling.splitByGroup(docs, col("source"),
+        Seq(("train", 8L), ("val", 1L), ("test", 1L)), seed = 7)
+      require(split.groupBy(col("source"))
+        .agg(countDistinct(col("split")).as("k"))
+        .filter(col("k") > 1).limit(1).collect().isEmpty,
+        "a group must never straddle splits")
+      orderSmall(split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).cast("long").as("sum_chars")),
+        col("split"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12969,6 +12991,21 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
         |GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q302_group_split" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ('0x' || substr(md5('7:gsplit:' || source), 1, 15))::BIGINT
+        |      % 10 AS h
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |)
+        |SELECT CASE WHEN h < 8 THEN 'train'
+        |            WHEN h < 9 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM g GROUP BY 1
+        |ORDER BY split NULLS FIRST""".stripMargin,
 
     "q301_moments_view" ->
       """WITH v1 AS (

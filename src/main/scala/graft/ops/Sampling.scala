@@ -191,6 +191,37 @@ object Sampling {
         groupCol.cast("string"))), 1, 15), 16, 10).cast("long") % k)
   }
 
+  /** Weighted leakage-free split: every row of a GROUP lands in the
+    * same split — the constructive counterpart of the split-leakage
+    * audits (q254/q256): dedup clusters, url domains, authors must
+    * not straddle train/val/test, or eval is contaminated by
+    * construction. Assignment is `H(seed, group) mod Σw` against the
+    * cumulative weight ranges — one md5 per row, engine-
+    * reproducible, independent of row order and partitioning, zero
+    * coordination. Split sizes are multinomial around the weights:
+    * exact quotas are impossible without splitting a group (use
+    * [[exactSplit]] when rows, not groups, are the leakage unit).
+    * NULL groups hash as one group (they land together, not spread).
+    *
+    * Output: the input plus a `split` column. */
+  def splitByGroup(df: DataFrame, groupCol: Column,
+      splits: Seq[(String, Long)], seed: Long = 0): DataFrame = {
+    require(splits.size >= 2, "splitByGroup needs at least two splits")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "duplicate split names")
+    val tot = splits.map(_._2).sum
+    val h = conv(substring(md5(concat(lit(s"$seed:gsplit:"),
+      coalesce(groupCol.cast("string"), lit(" ")))), 1, 15),
+      16, 10).cast("long") % tot
+    val uppers = splits.scanLeft(0L)(_ + _._2).tail.zip(splits.map(_._1))
+    val assigned = uppers.dropRight(1)
+      .foldRight(lit(splits.last._1): Column) {
+        case ((ub, nm), acc) => when(h < ub, lit(nm)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Weighted union of readers (SH3): each input is sampled at its
     * probability (independent hash families per branch), then
     * union'd. The reference mixes by drawing per-row at read time —
