@@ -5652,6 +5652,45 @@ object SparkEntry {
         col("split"))
     }),
 
+    // ---- Incremental corpus-profile diff from the change feed ----
+    // "What moved between v1 and v2" — per-lang row and char deltas
+    // computed from the CDC feed at O(changed files), oracled against
+    // the difference of two full GROUP BYs. The incremental data-card
+    // update: a 10-file upsert on a 100k-file corpus never rescans
+    // history to refresh its profile.
+    "q303_profile_delta" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q303"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val v1 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id").isNotNull)
+      Snapshots.create(s, store, v1, nFiles = 8)
+      val changed = v1
+        .filter(pmod(col("doc_id"), lit(11)) === 0 ||
+          pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"),
+          (pmod(col("doc_id"), lit(13)) === 0).as("del"))
+      val inserts = v1.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("xx").as("lang"), lit(77L).as("n_chars"),
+          lit(false).as("del"))
+      Snapshots.upsert(s, store, changed.unionByName(inserts),
+        "doc_id", deleteCol = Some("del"))
+      orderSmall(Snapshots.profileDelta(s, store, "doc_id", 1, 2,
+        Seq("lang"), Seq("n_chars"))
+        .select(col("lang"), col("d_cnt"),
+          col("d_n_chars").as("d_chars")),
+        col("lang"))
+    }),
+
     // ---- k-anonymity audit over quasi-identifiers ----
     // Equivalence-class size histogram for (nation, segment): the
     // re-identification risk report q227's per-column uniqueness
@@ -12990,6 +13029,37 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
         |GROUP BY 1
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q303_profile_delta" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), v2 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM v1 WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'xx', 77 FROM v1
+        |  WHERE doc_id % 17 = 0
+        |), p1 AS (
+        |  SELECT lang, count(*) AS c, sum(n_chars) AS s
+        |  FROM v1 GROUP BY 1
+        |), p2 AS (
+        |  SELECT lang, count(*) AS c, sum(n_chars) AS s
+        |  FROM v2 GROUP BY 1
+        |), d AS (
+        |  SELECT coalesce(p2.lang, p1.lang) AS lang,
+        |    CAST(coalesce(p2.c, 0) - coalesce(p1.c, 0) AS BIGINT)
+        |      AS d_cnt,
+        |    CAST(coalesce(p2.s, 0) - coalesce(p1.s, 0) AS BIGINT)
+        |      AS d_chars
+        |  FROM p1 FULL OUTER JOIN p2 ON p1.lang IS NOT DISTINCT FROM
+        |    p2.lang
+        |)
+        |SELECT lang, d_cnt, d_chars FROM d
+        |WHERE d_cnt <> 0 OR d_chars <> 0
         |ORDER BY lang NULLS FIRST""".stripMargin,
 
     "q302_group_split" ->

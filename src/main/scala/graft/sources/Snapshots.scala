@@ -821,6 +821,31 @@ object Snapshots {
       Some(schemaOf(spark, root, target)))
   }
 
+  /** Incremental profile diff between two versions, computed from
+    * the CHANGE FEED — "what moved in the corpus between v7 and v8"
+    * at O(changed files), never two full scans: insert/update rows
+    * weigh +1, delete/update_old rows −1, so per-group row and value
+    * deltas equal the difference of full GROUP BYs over both
+    * versions. Groups whose deltas all cancel (or were untouched)
+    * are dropped — the report lists what MOVED. */
+  def profileDelta(spark: SparkSession, url: String, keyCol: String,
+      fromV: Int, toV: Int, groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "profileDelta needs group columns")
+    val feed = changes(spark, url, keyCol, fromV, toV, includeOld = true)
+    val sign = when(col("_change").isin("insert", "update"), lit(1L))
+      .when(col("_change").isin("delete", "update_old"), lit(-1L))
+      .otherwise(lit(0L))
+    val aggs = sum(col("__s")).cast("long").as("d_cnt") +:
+      sumCols.map(c =>
+        sum(col("__s") * col(c).cast("long")).cast("long").as(s"d_$c"))
+    feed.withColumn("__s", sign)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter((col("d_cnt") =!= 0L) +:
+        sumCols.map(c => col(s"d_$c") =!= 0L) reduce (_ || _))
+  }
+
   /** Retire history: drop every version below `keepFrom`, delete data
     * files referenced ONLY by dropped versions, then the dropped
     * manifests (in that order — a crash leaves orphan data files,
