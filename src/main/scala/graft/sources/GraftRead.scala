@@ -55,7 +55,7 @@ final case class GraftRead private (
     indexSel: Option[(String, RowGroupIndex.Selector)] = None,
     bloomSel: Option[(String, String, Seq[Any])] = None,
     asOfVersion: Option[Int] = None,
-    rangeSel: Option[(String, Long, Long)] = None) {
+    rangeSel: Seq[(String, Long, Long)] = Nil) {
 
   def fields(selectors: String*): GraftRead = copy(fieldSel = selectors)
   def predicate(p: RowPredicate): GraftRead = copy(preds = preds :+ p.toColumn)
@@ -102,7 +102,7 @@ final case class GraftRead private (
     * absent stats. Composes with fields/predicate/shard/shuffle/asOf
     * in one chain; single-store only (the sidecar is per-store). */
   def range(field: String, lo: Long, hi: Long): GraftRead =
-    copy(rangeSel = Some((field, lo, hi)))
+    copy(rangeSel = rangeSel :+ ((field, lo, hi)))
 
   /** Iteration control (E1). `k ≥ 1` unions k epoch copies, epoch j
     * reshuffled with seed+j (ventilator re-shuffle parity,
@@ -200,7 +200,7 @@ final case class GraftRead private (
             .getOrElse(Snapshots.latest(spark, urls.head))
           Snapshots.prunedFiles(spark, urls.head, v, f, lo, hi)
         }
-        Some(Seq(viaSel, viaBloom, viaRange).flatten
+        Some((viaSel.toSeq ++ viaBloom.toSeq ++ viaRange)
           .map(_.map(normPath).toSet).reduce(_ intersect _))
       }
     val files = admitted match {

@@ -71,6 +71,11 @@ class ReaderAsOfSpec extends SparkSpec {
     val pinned = GraftRead.reader(spark, url).asOf(v)
       .range("x", 10L, 60L).load()
     assert(pinned.count() == 51)
+    // chained ranges intersect (conjunction), still exact — the
+    // upserted x=30 row falls outside [40,60] and must not appear
+    val two = GraftRead.reader(spark, url)
+      .range("x", 10L, 60L).range("x", 40L, 100L).load()
+    assert(two.agg(sum("x")).as[Long].head() == (40L to 60L).sum)
     // a plain store refuses range() with a clear message
     val plain = scratch(
       s"rd_range/plain_${java.util.UUID.randomUUID().toString.take(8)}")
