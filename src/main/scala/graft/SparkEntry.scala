@@ -8,7 +8,7 @@ import graft.functions.GraftFunctions
 import graft.ops.{AnnSearch, AsOf, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, Pii, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, TextAnalysis, TransformSpec, WebCurate}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
-import graft.sources.{GraftRead, JsonlIngest, Materialize, MaterializedView, RowGroupIndex, Snapshots}
+import graft.sources.{DistinctView, GraftRead, JsonlIngest, Materialize, MaterializedView, RowGroupIndex, Snapshots}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -5689,6 +5689,37 @@ object SparkEntry {
         .select(col("lang"), col("d_cnt"),
           col("d_n_chars").as("d_chars")),
         col("lang"))
+    }),
+
+    // ---- Incremental approx-distinct view (HLL partials) ----
+    // "Distinct users per event type, maintained incrementally":
+    // each batch lands O(keys × 2^p) register rows, the read folds
+    // them with MAX (the HLL merge law) — associative, commutative,
+    // IDEMPOTENT, so the in-lifecycle replay below is provably a
+    // no-op. The integer sufficient statistics are oracled exactly;
+    // the float estimate is the caller's last step.
+    "q304_distinct_view" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q304"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val view = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .filter(col("event_id").isNotNull)
+      DistinctView.init(s, view, Seq("event_type"), "user_id",
+        p = 8, buckets = 4)
+      (0 to 2).foreach { k =>
+        DistinctView.applyDeltaKeyed(s, view,
+          ev.filter(pmod(col("event_id"), lit(3)) === k), s"b$k")
+      }
+      DistinctView.applyDeltaKeyed(s, view, // replay: exact no-op
+        ev.filter(pmod(col("event_id"), lit(3)) === 1), "b1")
+      orderSmall(DistinctView.read(s, view), col("event_type"))
     }),
 
     // ---- k-anonymity audit over quasi-identifiers ----
@@ -13030,6 +13061,26 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND n_chars BETWEEN 100 AND 300
         |GROUP BY 1
         |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    "q304_distinct_view" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |), reg AS (
+        |  SELECT event_type, h // 4503599627370496 AS b,
+        |    max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |        ELSE 53 - length(bin(h % 4503599627370496)) END) AS rho
+        |  FROM h GROUP BY 1, 2
+        |)
+        |SELECT event_type, 256::BIGINT AS m,
+        |  count(*)::BIGINT AS buckets_set,
+        |  CAST(sum(rho) AS BIGINT) AS sum_rho,
+        |  CAST(sum(1::BIGINT << (53 - rho))
+        |    + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS z_int
+        |FROM reg GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q303_profile_delta" ->
       """WITH v1 AS (

@@ -158,6 +158,27 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("DistinctView: incremental HLL partials fold to the one-shot " +
+      "summary; replays and duplicate deliveries are no-ops") {
+    val url = freshUrl("dv")
+    val rows = (1L to 300L).map(i => (i, i % 3, i % 97))
+      .toDF("id", "g", "u")
+    DistinctView.init(spark, url, Seq("g"), "u", p = 6, buckets = 4)
+    (0 to 2).foreach { k =>
+      DistinctView.applyDeltaKeyed(spark, url,
+        rows.filter(col("id") % 3 === k), s"b$k")
+    }
+    // duplicate delivery of b1 AND a whole re-send of all rows under
+    // b0's key: MAX-merge + partition overwrite absorb both
+    DistinctView.applyDeltaKeyed(spark, url,
+      rows.filter(col("id") % 3 === 1), "b1")
+    val got = DistinctView.read(spark, url)
+      .orderBy("g").collect().map(_.toSeq)
+    val want = graft.ops.Sketch.hllSummary(rows, Seq("g"), "u", p = 6)
+      .orderBy("g").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("rebuild folds history into a fresh single-batch view with " +
       "identical reads (blue/green compaction)") {
     val url = freshUrl("fold")
