@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, AsOf, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, Pii, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, TextAnalysis, TransformSpec, WebCurate}
+import graft.ops.{AnnSearch, AsOf, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, Pii, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, SuffixArray, TextAnalysis, TransformSpec, WebCurate}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{DistinctView, GraftRead, JsonlIngest, Materialize, MaterializedView, RowGroupIndex, Snapshots}
@@ -5732,6 +5732,138 @@ object SparkEntry {
         .select(col("class_size"), col("n_classes"),
           col("n_rows"), col("at_risk")),
         col("class_size"))
+    }),
+
+    // ---- Kneser–Ney bigram LM training ----
+    // The smoothing KenLM/CCNet actually use, trained distributed:
+    // every model input is an exact integer aggregate, so the 1e-9
+    // -scaled probabilities replay bit-for-bit in any engine. Top
+    // 300 transitions under a total order.
+    "q305_kn_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      TextAnalysis.trainKneserNey(docs, "text")
+        .orderBy(col("p_kn_e9").desc, col("w1"), col("w2")).limit(300)
+    }),
+
+    // ---- Distributed suffix ranks (prefix doubling) ----
+    // The Lee-et-al ExactSubstr machinery: corpus-wide dense suffix
+    // ranks in O(log maxLen) integer-pair sort rounds — strings
+    // never shuffle after round 0. Oracled against a direct
+    // dense_rank-over-suffix-strings sort of the same slice.
+    "q306_suffix_ranks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull &&
+          pmod(col("doc_id"), lit(10)) === 0)
+      SuffixArray.suffixRanks(docs, "doc_id", "text", maxLen = 200)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- Bradley–Terry preference aggregation ----
+    // Arena-style pairwise preference strengths: consecutive
+    // same-user events are "matches" won by the higher value; the
+    // MM fixed point runs in scaled-integer arithmetic (exact
+    // cross-engine, no float reduction order) — see
+    // [[Stats.bradleyTerry]].
+    "q307_bradley_terry" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val games = t(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts"), col("event_id"))
+        .withColumn("__nt", lead(col("event_type"), 1).over(w))
+        .withColumn("__nv", lead(col("value"), 1).over(w))
+        .filter(col("__nt").isNotNull &&
+          col("__nt") =!= col("event_type") &&
+          col("__nv") =!= col("value"))
+        .select(when(col("value") > col("__nv"), col("event_type"))
+            .otherwise(col("__nt")).as("winner"),
+          when(col("value") > col("__nv"), col("__nt"))
+            .otherwise(col("event_type")).as("loser"))
+        .groupBy(col("winner"), col("loser"))
+        .agg(count(lit(1)).as("n"))
+      orderSmall(Stats.bradleyTerry(games, "winner", "loser", "n"),
+        col("item"))
+    }),
+
+    // ---- B-cubed cluster evaluation ----
+    // Extrinsic clustering quality against `source` as gold labels:
+    // per-item integral-ppm precision/recall summed per label
+    // ([[Dedup.bcubed]]). The predicted clustering here is a
+    // deliberately crude (lang, length-bucket) key — the corpus has
+    // no natural exact dups, and a non-trivial confusion structure
+    // is what exercises the metric; production callers pass their
+    // minhash/CC cluster ids.
+    "q308_bcubed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+      orderSmall(Dedup.bcubed(docs,
+        concat(coalesce(col("lang"), lit("?")), lit(":"),
+          expr("n_chars div 100").cast("string")),
+        col("source")), col("label"))
+    }),
+
+    // ---- Instruction-template dedup ----
+    // Near-boilerplate detection for instruction/synthetic data:
+    // normalize (lowercase, digit runs → '#', collapsed whitespace)
+    // and key on the first 6 tokens — templated prompts collapse to
+    // one key regardless of filled-in values. Pure composition of
+    // codegen'd builtins; one hash agg.
+    "q309_template_dedup" -> ((s, dir) => {
+      val norm = regexp_replace(regexp_replace(
+        lower(trim(col("text"))), "[0-9]+", "#"), "\\s+", " ")
+      t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .groupBy(concat_ws(" ", slice(split(norm, " "), 1, 6))
+          .as("template"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).cast("long").as("first_doc"))
+        .orderBy(col("n_docs").desc, col("template")).limit(100)
+    }),
+
+    // ---- Split-conformal calibration ----
+    // Distribution-free coverage: calibrate a threshold on an
+    // md5-hash slice at alpha=0.1 and report the realized held-out
+    // coverage ([[Stats.conformal]]; exact integer order statistic
+    // via the histogram + distributed running total).
+    "q310_conformal" -> ((s, dir) => {
+      val calib = conv(substring(md5(concat(lit("310:conf:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 2 === 0
+      Stats.conformal(
+        t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("n_chars").isNotNull),
+        "n_chars", calib, alphaPpm = 100000L)
+    }),
+
+    // ---- Longest repeated substring per document ----
+    // Exact intra-doc repetition via per-doc suffix order + the
+    // codegen'd common-prefix kernel — no global sort, suffixes
+    // stay inside their doc's window partition
+    // ([[SuffixArray.longestRepeat]]).
+    "q311_lrs" -> ((s, dir) => {
+      SuffixArray.longestRepeat(
+        t(s, dir, "documents").filter(col("doc_id").isNotNull),
+        "doc_id", "text", maxLen = 200)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Held-out scoring under the trained KN model ----
+    // Train on doc_id % 7 != 0, score the held-out slice: exact
+    // integer sufficient statistics for model fit (bigram coverage
+    // + summed scaled probabilities) — the engine-exact alternative
+    // to float perplexity ([[TextAnalysis.knScore]]).
+    "q312_kn_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val model = TextAnalysis.trainKneserNey(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), "text")
+      TextAnalysis.knScore(
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text", model)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -13378,6 +13510,235 @@ object SparkEntry {
         |  class_size * count(*) AS n_rows,
         |  CAST(class_size < 9 AS BIGINT) AS at_risk
         |FROM classes GROUP BY class_size
-        |ORDER BY class_size""".stripMargin
+        |ORDER BY class_size""".stripMargin,
+
+    "q305_kn_train" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |), bi AS (
+        |  SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c
+        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  GROUP BY 1, 2
+        |), ctx AS (
+        |  SELECT w1, CAST(sum(c) AS BIGINT) AS cw1, count(*)::BIGINT AS fw
+        |  FROM bi GROUP BY 1
+        |), bwd AS (SELECT w2, count(*)::BIGINT AS bw FROM bi GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS alln FROM bi)
+        |SELECT w1, w2, c,
+        |  CAST(floor(1e9 * ((greatest(c - 0.75, 0.0)
+        |    + 0.75 * fw * (bw / alln)) / cw1)) AS BIGINT) AS p_kn_e9
+        |FROM bi JOIN ctx USING (w1) JOIN bwd USING (w2) CROSS JOIN tot
+        |ORDER BY p_kn_e9 DESC, w1, w2 LIMIT 300""".stripMargin,
+
+    "q306_suffix_ranks" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 200) AS t FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 10 = 0
+        |    AND text IS NOT NULL AND length(text) >= 1
+        |), n AS (SELECT unnest(range(1, 201)) AS i),
+        |s AS (
+        |  SELECT doc_id, i AS pos, substr(t, i::INT) AS suf
+        |  FROM d JOIN n ON i <= length(t)
+        |)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS rnk
+        |FROM s ORDER BY doc_id, pos""".stripMargin,
+
+    "q307_bradley_terry" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |), mm AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    a.value AS va, b.value AS vb
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        |  WHERE a.value <> b.value AND a.event_type <> b.event_type
+        |), wt AS (
+        |  SELECT CASE WHEN va > vb THEN ta ELSE tb END AS w,
+        |         CASE WHEN va > vb THEN tb ELSE ta END AS l,
+        |         count(*)::BIGINT AS n
+        |  FROM mm GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT i, j, CAST(sum(n) AS BIGINT) AS nij FROM (
+        |    SELECT w AS i, l AS j, n FROM wt
+        |    UNION ALL SELECT l AS i, w AS j, n FROM wt) GROUP BY 1, 2
+        |), wi AS (SELECT w AS i, CAST(sum(n) AS BIGINT) AS wins
+        |          FROM wt GROUP BY 1),
+        |g AS (SELECT i, CAST(sum(nij) AS BIGINT) AS games FROM pr GROUP BY 1),
+        |base AS (
+        |  SELECT g.i, g.games, CAST(coalesce(wi.wins, 0) AS BIGINT) AS wins
+        |  FROM g LEFT JOIN wi USING (i)
+        |), r0 AS (SELECT i, 10000000::BIGINT AS p FROM base),
+        |r1 AS (
+        |  SELECT b.i, CASE WHEN d.den IS NULL OR d.den = 0 THEN 0
+        |    ELSE CAST((b.wins * 100000000000000) // d.den AS BIGINT) END AS p
+        |  FROM base b LEFT JOIN (
+        |    SELECT pr.i, CAST(sum((pr.nij * 100000000000000)
+        |      // (ri.p + rj.p)) AS BIGINT) AS den
+        |    FROM pr JOIN r0 ri ON ri.i = pr.i JOIN r0 rj ON rj.i = pr.j
+        |    GROUP BY pr.i) d ON d.i = b.i
+        |), r2 AS (
+        |  SELECT b.i, CASE WHEN d.den IS NULL OR d.den = 0 THEN 0
+        |    ELSE CAST((b.wins * 100000000000000) // d.den AS BIGINT) END AS p
+        |  FROM base b LEFT JOIN (
+        |    SELECT pr.i, CAST(sum((pr.nij * 100000000000000)
+        |      // (ri.p + rj.p)) AS BIGINT) AS den
+        |    FROM pr JOIN r1 ri ON ri.i = pr.i JOIN r1 rj ON rj.i = pr.j
+        |    GROUP BY pr.i) d ON d.i = b.i
+        |), r3 AS (
+        |  SELECT b.i, CASE WHEN d.den IS NULL OR d.den = 0 THEN 0
+        |    ELSE CAST((b.wins * 100000000000000) // d.den AS BIGINT) END AS p
+        |  FROM base b LEFT JOIN (
+        |    SELECT pr.i, CAST(sum((pr.nij * 100000000000000)
+        |      // (ri.p + rj.p)) AS BIGINT) AS den
+        |    FROM pr JOIN r2 ri ON ri.i = pr.i JOIN r2 rj ON rj.i = pr.j
+        |    GROUP BY pr.i) d ON d.i = b.i
+        |), r4 AS (
+        |  SELECT b.i, CASE WHEN d.den IS NULL OR d.den = 0 THEN 0
+        |    ELSE CAST((b.wins * 100000000000000) // d.den AS BIGINT) END AS p
+        |  FROM base b LEFT JOIN (
+        |    SELECT pr.i, CAST(sum((pr.nij * 100000000000000)
+        |      // (ri.p + rj.p)) AS BIGINT) AS den
+        |    FROM pr JOIN r3 ri ON ri.i = pr.i JOIN r3 rj ON rj.i = pr.j
+        |    GROUP BY pr.i) d ON d.i = b.i
+        |), r5 AS (
+        |  SELECT b.i, CASE WHEN d.den IS NULL OR d.den = 0 THEN 0
+        |    ELSE CAST((b.wins * 100000000000000) // d.den AS BIGINT) END AS p
+        |  FROM base b LEFT JOIN (
+        |    SELECT pr.i, CAST(sum((pr.nij * 100000000000000)
+        |      // (ri.p + rj.p)) AS BIGINT) AS den
+        |    FROM pr JOIN r4 ri ON ri.i = pr.i JOIN r4 rj ON rj.i = pr.j
+        |    GROUP BY pr.i) d ON d.i = b.i
+        |),
+        |tot AS (SELECT CAST(sum(p) AS BIGINT) AS t FROM r5)
+        |SELECT b.i AS item, b.games, b.wins,
+        |  CAST((r.p * 1000000) // tot.t AS BIGINT) AS rating
+        |FROM base b JOIN r5 r ON r.i = b.i CROSS JOIN tot
+        |ORDER BY item""".stripMargin,
+
+    "q308_bcubed" ->
+      """WITH b AS (
+        |  SELECT coalesce(lang, '?') || ':' ||
+        |    CAST(n_chars // 100 AS VARCHAR) AS c, source AS l
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |), cs AS (SELECT c, count(*) AS csz FROM b GROUP BY 1),
+        |ls AS (SELECT l, count(*) AS lsz FROM b GROUP BY 1),
+        |i AS (SELECT c, l, count(*) AS isz FROM b GROUP BY 1, 2)
+        |SELECT b.l AS label, count(*) AS n_items,
+        |  CAST(sum((1000000 * isz) // csz) AS BIGINT) AS sum_p_ppm,
+        |  CAST(sum((1000000 * isz) // lsz) AS BIGINT) AS sum_r_ppm
+        |FROM b JOIN i USING (c, l) JOIN cs USING (c) JOIN ls USING (l)
+        |GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q309_template_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_slice(string_split(regexp_replace(
+        |      regexp_replace(lower(trim(text)), '[0-9]+', '#', 'g'),
+        |      '\s+', ' ', 'g'), ' '), 1, 6), ' ') AS template
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |)
+        |SELECT template, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM n GROUP BY 1 ORDER BY n_docs DESC, template LIMIT 100""".stripMargin,
+
+    "q310_conformal" ->
+      """WITH s AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS sc,
+        |    (('0x' || substr(md5('310:conf:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 2 = 0) AS cal
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |), c AS (SELECT sc FROM s WHERE cal),
+        |kk AS (
+        |  SELECT count(*)::BIGINT AS n_cal,
+        |    ((count(*) + 1) * 900000 + 999999) // 1000000 AS k
+        |  FROM c
+        |), o AS (SELECT sc, row_number() OVER (ORDER BY sc) AS rn FROM c),
+        |th AS (
+        |  SELECT kk.n_cal, kk.k,
+        |    (SELECT o.sc FROM o, kk WHERE o.rn = kk.k) AS thr
+        |  FROM kk
+        |), tst AS (
+        |  SELECT count(*)::BIGINT AS n_test,
+        |    CAST(sum(CASE WHEN th.thr IS NULL OR s.sc <= th.thr
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+        |  FROM s, th WHERE NOT s.cal
+        |)
+        |SELECT th.n_cal, CAST(th.k AS BIGINT) AS k, th.thr, tst.n_test,
+        |  CAST(CASE WHEN tst.n_test = 0 THEN 1000000
+        |    ELSE (1000000 * tst.n_cov) // tst.n_test END AS BIGINT)
+        |    AS cov_ppm
+        |FROM th, tst""".stripMargin,
+
+    "q311_lrs" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 200) AS t FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND length(text) >= 2
+        |), n AS (SELECT unnest(range(1, 201)) AS i),
+        |s AS (
+        |  SELECT doc_id, i AS pos, substr(t, i::INT) AS suf
+        |  FROM d JOIN n ON i <= length(t)
+        |), adj AS (
+        |  SELECT doc_id, suf,
+        |    lag(suf) OVER (PARTITION BY doc_id ORDER BY suf, pos) AS prev
+        |  FROM s
+        |), k AS (SELECT unnest(range(1, 201)) AS g),
+        |lcp AS (
+        |  SELECT a.doc_id, a.suf, a.prev,
+        |    CAST(coalesce(max(k.g), 0) AS BIGINT) AS l
+        |  FROM adj a LEFT JOIN k
+        |    ON k.g <= least(length(a.suf), length(a.prev))
+        |    AND substr(a.suf, 1, k.g::INT) = substr(a.prev, 1, k.g::INT)
+        |  WHERE a.prev IS NOT NULL GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, max(l) AS lrs FROM lcp GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q312_kn_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |), tr AS (SELECT * FROM tk WHERE doc_id % 7 <> 0),
+        |bi AS (
+        |  SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c
+        |  FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  GROUP BY 1, 2
+        |), ctx AS (
+        |  SELECT w1, CAST(sum(c) AS BIGINT) AS cw1, count(*)::BIGINT AS fw
+        |  FROM bi GROUP BY 1
+        |), bwd AS (SELECT w2, count(*)::BIGINT AS bw FROM bi GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS alln FROM bi),
+        |model AS (
+        |  SELECT w1, w2,
+        |    CAST(floor(1e9 * ((greatest(c - 0.75, 0.0)
+        |      + 0.75 * fw * (bw / alln)) / cw1)) AS BIGINT) AS p
+        |  FROM bi JOIN ctx USING (w1) JOIN bwd USING (w2) CROSS JOIN tot
+        |), hb AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.doc_id % 7 = 0
+        |), agg AS (
+        |  SELECT hb.doc_id, count(*)::BIGINT AS n_bi,
+        |    CAST(sum(CASE WHEN m.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_seen,
+        |    CAST(sum(coalesce(m.p, 0)) AS BIGINT) AS sum_p_e9
+        |  FROM hb LEFT JOIN model m USING (w1, w2) GROUP BY 1
+        |), ids AS (
+        |  SELECT DISTINCT doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 7 = 0
+        |)
+        |SELECT ids.doc_id, coalesce(agg.n_bi, 0) AS n_bi,
+        |  coalesce(agg.n_seen, 0) AS n_seen,
+        |  coalesce(agg.sum_p_e9, 0) AS sum_p_e9
+        |FROM ids LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

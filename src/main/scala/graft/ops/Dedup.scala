@@ -327,4 +327,41 @@ object Dedup {
         expr("(n_shared * 1000000) div least(na, nb)")
           .as("overlap_ppm"))
   }
+
+  /** B-cubed cluster-quality evaluation (Bagga & Baldwin 1998) —
+    * the standard extrinsic score for a dedup/entity clustering
+    * against gold labels, and the one that (unlike pairwise F1)
+    * weights every ITEM equally instead of quadratically favoring
+    * big clusters. Per item i: precision_i = |C(i)∩L(i)| / |C(i)|,
+    * recall_i = |C(i)∩L(i)| / |L(i)| where C is the item's predicted
+    * cluster and L its gold class.
+    *
+    * Exactness: per-item scores are integral-div ppm
+    * ((1e6·|C∩L|) div |C|) and the report sums those integers —
+    * bit-reproducible across engines (a float mean would depend on
+    * reduction order). Callers derive avg precision/recall as
+    * sum_p_ppm / n_items.
+    *
+    * Scale: three hash-aggregations (cluster sizes, class sizes,
+    * intersection sizes) + three key joins back onto the items —
+    * every frame is bounded by distinct keys, nothing is collected.
+    * Output: one row per gold label (label, n_items, sum_p_ppm,
+    * sum_r_ppm). */
+  def bcubed(items: DataFrame, clusterCol: Column,
+      labelCol: Column): DataFrame = {
+    val base = items.select(clusterCol.as("__c"), labelCol.as("__l"))
+      .filter(col("__c").isNotNull && col("__l").isNotNull)
+    val cs = base.groupBy(col("__c")).agg(count(lit(1)).as("__csz"))
+    val ls = base.groupBy(col("__l")).agg(count(lit(1)).as("__lsz"))
+    val is = base.groupBy(col("__c"), col("__l"))
+      .agg(count(lit(1)).as("__isz"))
+    base.join(is, Seq("__c", "__l"))
+      .join(cs, Seq("__c")).join(ls, Seq("__l"))
+      .select(col("__l"),
+        expr("(1000000 * __isz) div __csz").as("__p"),
+        expr("(1000000 * __isz) div __lsz").as("__r"))
+      .groupBy(col("__l").as("label"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__p")).as("sum_p_ppm"),
+        sum(col("__r")).as("sum_r_ppm"))
+  }
 }

@@ -1474,4 +1474,122 @@ object Stats {
           .otherwise(exactDiv(lit(1000000L) * (den - num), den)))
     }
   }
+
+  /** Bradley–Terry preference strengths from a directed win table —
+    * the aggregation step of pairwise human/model preference data
+    * (RLHF comparisons, arena-style eval): given `n` games won by
+    * `winnerCol` over `loserCol`, estimate per-item strengths p_i
+    * under P(i beats j) = p_i / (p_i + p_j) by the standard MM fixed
+    * point  p_i ← W_i / Σ_j n_ij / (p_i + p_j)  (Hunter 2004),
+    * run for `iters` rounds from the uniform start.
+    *
+    * The iteration runs in SCALED INTEGER arithmetic (fixed point at
+    * `scale`): term_j = (n_ij·scale²) div (P_i + P_j), P'_i =
+    * (W_i·scale²) div Σ term_j — every step is exact 64-bit integer
+    * math, so the result is bit-reproducible across engines and
+    * partitionings (float Σ would depend on reduction order). A
+    * guard rejects inputs where W_i·scale² could overflow a long.
+    *
+    * Scale design: items × opponents is the model-sized pair table
+    * (k² for k items), NOT the game log — the caller aggregates raw
+    * games down to (winner, loser, n) first (one shuffle on the
+    * pair). Rounds are hash joins + one sum per item on that table;
+    * k can reach millions before any stage is large.
+    *
+    * Output: (item, games, wins, rating) — rating is the strength
+    * normalized to Σ = 1, in ppm (floor((P_i·1e6) / ΣP)). Items with
+    * zero wins rate 0 (the MLE boundary). */
+  def bradleyTerry(winTable: DataFrame, winnerCol: String,
+      loserCol: String, nCol: String, iters: Int = 5,
+      scale: Long = 10000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters in [1,20], got $iters")
+    require(scale >= 1000L && scale <= 100000000L,
+      s"scale in [1e3,1e8], got $scale")
+    val s2 = scale * scale
+    val directed = winTable.select(col(winnerCol).as("__w"),
+      col(loserCol).as("__l"), col(nCol).cast("long").as("__n"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l") && col("__n") > 0)
+    // symmetric games table + per-item win totals
+    val pairs = directed.select(col("__w").as("__i"), col("__l").as("__j"),
+        col("__n"))
+      .union(directed.select(col("__l").as("__i"), col("__w").as("__j"),
+        col("__n")))
+      .groupBy(col("__i"), col("__j")).agg(sum(col("__n")).as("__nij"))
+    val items = pairs.groupBy(col("__i"))
+      .agg(sum(col("__nij")).as("__games"))
+      .join(directed.groupBy(col("__w").as("__i"))
+        .agg(sum(col("__n")).as("__wins")), Seq("__i"), "left")
+      .withColumn("__wins", coalesce(col("__wins"), lit(0L)))
+    val maxW = items.agg(max(col("__wins"))).head().getLong(0)
+    require(maxW <= Long.MaxValue / s2,
+      s"bradleyTerry: max wins $maxW overflows at scale $scale — " +
+        "lower `scale` or pre-aggregate items")
+    var r = items.select(col("__i"), lit(scale).as("__p"))
+    for (_ <- 1 to iters) {
+      val den = pairs
+        .join(r.select(col("__i"), col("__p").as("__pi")), Seq("__i"))
+        .join(r.select(col("__i").as("__j"), col("__p").as("__pj")),
+          Seq("__j"))
+        .select(col("__i"), call_function("div",
+          col("__nij") * lit(s2), col("__pi") + col("__pj")).as("__t"))
+        .groupBy(col("__i")).agg(sum(col("__t")).as("__den"))
+      r = items.join(den, Seq("__i"), "left")
+        .select(col("__i"),
+          when(col("__den").isNull || col("__den") === 0, lit(0L))
+            .otherwise(call_function("div",
+              col("__wins") * lit(s2), col("__den"))).as("__p"))
+    }
+    val tot = r.agg(sum(col("__p")).as("__tot"))
+    items.join(r, Seq("__i")).crossJoin(broadcast(tot))
+      .select(col("__i").as("item"), col("__games").as("games"),
+        col("__wins").as("wins"),
+        call_function("div", col("__p") * lit(1000000L), col("__tot"))
+          .as("rating"))
+  }
+
+  /** Split-conformal calibration over a discrete score — the
+    * distribution-free coverage guarantee for a quality/anomaly
+    * score: on the calibration slice (`calibFlag` true) take the
+    * k-th smallest score with k = ⌈(n_cal+1)·(1−α)⌉; scores ≤ that
+    * threshold then cover ≥ 1−α of exchangeable held-out points.
+    * Reports the realized held-out coverage next to the guarantee.
+    *
+    * Exactness: k and the threshold are integer order statistics via
+    * the two-level histogram (groupBy(score).count + the distributed
+    * running total — never a global sort of rows); coverage is an
+    * integral-div ppm. When k exceeds n_cal (α too small for the
+    * slice) the threshold is NULL = +∞ and coverage is 1e6 by
+    * definition.
+    *
+    * Output (one row): n_cal, k, thr, n_test, cov_ppm. */
+  def conformal(df: DataFrame, scoreCol: String, calibFlag: Column,
+      alphaPpm: Long = 100000L): DataFrame = {
+    require(alphaPpm >= 1L && alphaPpm < 1000000L,
+      s"alphaPpm in [1, 1e6), got $alphaPpm")
+    val scored = df.select(col(scoreCol).cast("long").as("__s"),
+        calibFlag.as("__cal"))
+      .filter(col("__s").isNotNull)
+    val calHist = scored.filter(col("__cal"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("__cnt"))
+    val cum = Ranking.withRunningTotal(calHist, Seq(col("__s")),
+      "__cnt", "__cum")
+    val nCal = scored.filter(col("__cal")).count()
+    val k = ((nCal + 1L) * (1000000L - alphaPpm) + 999999L) / 1000000L
+    val thr: Option[Long] =
+      if (k > nCal) None
+      else Some(cum.filter(col("__cum") < k && lit(k) <= col("__cum") +
+          col("__cnt"))
+        .agg(min(col("__s"))).head().getLong(0))
+    val test = scored.filter(!col("__cal"))
+    val agg = test.agg(count(lit(1)).as("__n"),
+      sum(when(thr.map(t => col("__s") <= t).getOrElse(lit(true)),
+        1L).otherwise(0L)).as("__cov")).head()
+    val (nTest, nCov) = (agg.getLong(0), agg.getLong(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nCal, k, thr, nTest,
+      if (nTest == 0) 1000000L else 1000000L * nCov / nTest))
+      .toDF("n_cal", "k", "thr", "n_test", "cov_ppm")
+  }
 }

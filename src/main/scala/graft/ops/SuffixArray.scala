@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array machinery — the exact-substring path of
+  * the dedup family (Lee et al., "Deduplicating Training Data Makes
+  * Language Models Better": ExactSubstr builds a suffix array over
+  * the corpus and walks rank-adjacent suffixes for long shared
+  * prefixes). The gram-based span family ([[DupSpans]]) approximates
+  * this with fixed-width shingles; this module computes the REAL
+  * suffix order, distributed.
+  *
+  * Scale design — prefix doubling (Manber–Myers, the classic
+  * O(n log n) construction re-expressed in joins):
+  *   - round 0 ranks single characters;
+  *   - round m replaces each suffix's key by the integer PAIR
+  *     (rank of its first 2^(m-1) chars, rank of the next
+  *     2^(m-1) chars) and re-ranks — after ceil(log2 maxLen)
+  *     rounds the ranks order full suffixes lexicographically.
+  * Strings are touched ONLY in round 0; every later round shuffles
+  * fixed-width integer tuples — at 100 TB no long-string comparison
+  * ever crosses the wire, which is the whole point vs sorting
+  * suffix strings directly. Each round is: distinct pair keys →
+  * [[Ranking.withGlobalIndex]] (range shuffle, no single-task
+  * window) → two hash joins on (doc, pos). Rounds pin their frame as
+  * an InternalRow RDD ([[Dedup.clusters]]' lineage-truncation idiom)
+  * so the plan tree stays flat, and stop early once every suffix
+  * holds a distinct rank (one tiny agg action per round).
+  *
+  * Suffixes are DOC-CONFINED (a suffix never runs past its
+  * document's end): ranks follow lexicographic order where a suffix
+  * that is a proper prefix of another sorts first (missing
+  * continuation ranks as -1, below every real rank). Equal suffix
+  * strings — within or across documents — receive equal (dense)
+  * ranks, so the output matches `dense_rank() OVER (ORDER BY
+  * suffix)` computed by any engine with bytewise string collation.
+  *
+  * Reference behavior anchor: dedup span semantics per
+  * `/root/reference/README.rst`-era petastorm has no suffix ops;
+  * this is part of the beyond-reference LLM-pipeline layer.
+  */
+object SuffixArray {
+
+  /** (idCol, pos, rnk): 1-based dense global rank of the suffix of
+    * `substring(textCol, 1, maxLen)` starting at 1-based `pos`,
+    * under corpus-wide lexicographic order. Empty/null texts yield
+    * no rows. */
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
+      maxLen: Int, maxRounds: Int = 40): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1 (got $maxLen)")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def pin(df: DataFrame)
+        : (DataFrame,
+           org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+      val rdd = ColumnBridge.internalRdd(df).map(_.copy())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (ColumnBridge.internalCreateDataFrame(df, rdd, df.schema), rdd)
+    }
+    // Round 0: one row per (doc, pos) carrying ONLY that position's
+    // single character — the last time a string column exists.
+    // split(t, "") appends a trailing "" under Java split semantics
+    // (limit -1); the length filter drops it.
+    val chars = docs
+      .select(col(idCol).as("__doc"),
+        substring(col(textCol), 1, maxLen).as("__t"))
+      .filter(col("__t").isNotNull && length(col("__t")) >= 1)
+      .select(col("__doc"),
+        posexplode(split(col("__t"), "")).as(Seq("__i", "__ch")))
+      .filter(length(col("__ch")) >= 1)
+      .select(col("__doc"), (col("__i") + 1).as("pos"), col("__ch"))
+    var (cur, curRdd) = pin(denseRank(chars, Seq("__ch"))
+      .select(col("__doc"), col("pos"), col("__rnk")))
+    val total = curRdd.count()
+    var distinctRanks = cur.agg(
+      (max(col("__rnk")) + 1).as("d")).head().getLong(0)
+    var width = 1L
+    var rounds = 0
+    while (distinctRanks < total && width < maxLen.toLong &&
+        rounds < maxRounds) {
+      // continuation rank: the CURRENT rank of the suffix `width`
+      // positions later in the same doc; absent (suffix shorter than
+      // 2*width) ranks below everything.
+      val right = cur.select(col("__doc").as("__d2"),
+        (col("pos") - width).as("__p2"), col("__rnk").as("__r2"))
+      val paired = cur.join(right,
+          col("__doc") === col("__d2") && col("pos") === col("__p2"),
+          "left")
+        .select(col("__doc"), col("pos"), col("__rnk").as("__r1"),
+          coalesce(col("__r2"), lit(-1L)).as("__r2"))
+      val next = pin(denseRank(paired, Seq("__r1", "__r2"))
+        .select(col("__doc"), col("pos"), col("__rnk")))
+      curRdd.unpersist()
+      cur = next._1; curRdd = next._2
+      distinctRanks = cur.agg(
+        (max(col("__rnk")) + 1).as("d")).head().getLong(0)
+      width *= 2
+      rounds += 1
+    }
+    // Ties can legitimately remain (identical suffix strings); once
+    // width covers maxLen the ranks ARE the dense suffix order.
+    cur.select(col("__doc").as(idCol), col("pos").cast("long").as("pos"),
+      (col("__rnk") + 1).as("rnk"))
+  }
+
+  /** Dense 0-based rank of `keyCols` tuples appended as `__rnk`:
+    * distinct keys → distributed global index (range shuffle; the
+    * scale-safe dense_rank) → hash join back. */
+  private def denseRank(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val ranked = Ranking.withGlobalIndex(
+      df.select(keyCols.map(col): _*).distinct(),
+      keyCols.map(col), "__rnk")
+    df.join(ranked, keyCols)
+  }
+
+  /** Longest repeated substring per document — the intra-document
+    * repetition signal, exact (vs [[TextAnalysis]]'s gram-based
+    * repetition ratios): max common prefix of rank-adjacent suffixes
+    * within each doc. One row per doc with >= 2 suffix positions in
+    * the first `maxLen` chars; `lrs` is 0 when nothing repeats.
+    *
+    * Scale: suffixes of one doc sort inside that doc's window
+    * partition (docs are bounded-length by contract — truncation to
+    * `maxLen` enforces it), so there is no global sort and no
+    * single-task window; the LCP kernel ([[CommonPrefixLen]]) is a
+    * codegen'd code-point scan. */
+  def longestRepeat(docs: DataFrame, idCol: String, textCol: String,
+      maxLen: Int): DataFrame = {
+    require(maxLen >= 2, s"maxLen must be >= 2 (got $maxLen)")
+    val sufs = docs
+      .select(col(idCol).as("__doc"),
+        substring(col(textCol), 1, maxLen).as("__t"))
+      .filter(col("__t").isNotNull && length(col("__t")) >= 2)
+      .select(col("__doc"),
+        explode(sequence(lit(1), length(col("__t")))).as("pos"),
+        col("__t"))
+      .withColumn("__suf", expr("substring(__t, pos)"))
+    val w = Window.partitionBy(col("__doc"))
+      .orderBy(col("__suf"), col("pos"))
+    sufs.withColumn("__prev", lag(col("__suf"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__doc").as(idCol))
+      .agg(max(commonPrefixLen(col("__suf"), col("__prev"))).as("lrs"))
+  }
+
+  /** Length (in code points) of the common prefix of two strings —
+    * see [[CommonPrefixLen]]. */
+  def commonPrefixLen(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.column(CommonPrefixLen(
+      graft.functions.GraftFunctions.expr(a),
+      graft.functions.GraftFunctions.expr(b)))
+}
+
+/** `common_prefix_len(a, b)` → BIGINT count of leading code points
+  * equal in both strings. Code points (not UTF-16 units, not bytes)
+  * so the count matches engines that index strings by character
+  * (DuckDB `substr`/`length` semantics) on any plane. */
+case class CommonPrefixLen(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, LongType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+
+  def compute(ua: UTF8String, ub: UTF8String): Long = {
+    val a = ua.toString; val b = ub.toString
+    val la = a.length; val lb = b.length
+    var i = 0; var n = 0L
+    while (i < la && i < lb) {
+      val ca = a.codePointAt(i)
+      if (ca != b.codePointAt(i)) return n
+      // surrogate pairs advance two UTF-16 units but count once
+      i += Character.charCount(ca)
+      n += 1L
+    }
+    n
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("commonPrefixLen", this,
+      classOf[CommonPrefixLen].getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "common_prefix_len"
+}

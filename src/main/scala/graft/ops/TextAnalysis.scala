@@ -634,6 +634,98 @@ object TextAnalysis {
     lmScore(df, idCol, textCol, uni, bi, unicode)
   }
 
+  /** Interpolated Kneser–Ney bigram model trained from a corpus —
+    * the smoothing the KenLM models in the CCNet recipe actually
+    * use (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.28), vs
+    * [[lmScore]]'s stupid backoff:
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *            + D·N₁₊(w1·)/c(w1·) · N₁₊(·w2)/N₁₊(··)
+    *
+    * with absolute discount D and continuation counts N₁₊ (how many
+    * DISTINCT partners a word has — "Francisco" is frequent but only
+    * ever follows "San", so its continuation weight is tiny).
+    *
+    * Every input to the formula is an exact integer aggregate
+    * (bigram counts, distinct-partner counts); the only floats are
+    * the final fixed expression over one row's integers — no
+    * float SUM whose reduction order could differ between engines —
+    * so `p_kn_e9 = floor(1e9·P)` is engine-exact and DuckDB can
+    * replay the model bit-for-bit from the same parquet.
+    *
+    * Scale shape: one corpus pass to bigram counts (map-side
+    * combined; the bigram explode rides the typed flatMap, the
+    * measured Generate-over-HOF fix), then three vocabulary-bounded
+    * aggregations off that table and key joins back onto it — the
+    * corpus is never touched again, and the model size is the
+    * distinct-bigram count, broadcastable after `minCount` pruning
+    * exactly like [[lmTables]]. Output: (w1, w2, c, p_kn_e9).
+    * Rows with `c >= minCount` only; the discounted mass shifted to
+    * pruned bigrams is the standard backoff regime (callers score
+    * unseen pairs by the continuation term alone). */
+  def trainKneserNey(train: DataFrame, textCol: String,
+      discount: Double = 0.75, minCount: Long = 1L,
+      unicode: Boolean = false): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must sit in (0,1), got $discount")
+    require(minCount >= 1, s"minCount must be positive (got $minCount)")
+    val toks = train.select(alphaTokens(col(textCol), unicode).as("__t"))
+    val staged = toks.select(lit(0L).as("__z"),
+      bigramsOfTokens(col("__t")).as("__bg"))
+    // IMPORTANT: continuation counts are computed BEFORE pruning —
+    // they are properties of the full distribution, not of the kept
+    // rows.
+    val bi = NearDedup.explodeStrings(staged, "__z", "__bg", "__g")
+      .groupBy(col("__g")).agg(count(lit(1)).as("c"))
+      .select(split(col("__g"), " ").getItem(0).as("w1"),
+        split(col("__g"), " ").getItem(1).as("w2"), col("c"))
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("c")).as("__cw1"), count(lit(1)).as("__fw"))
+    val bwd = bi.groupBy(col("w2")).agg(count(lit(1)).as("__bw"))
+    val tot = bi.agg(count(lit(1)).as("__all"))
+    bi.filter(col("c") >= minCount)
+      .join(ctx, Seq("w1")).join(bwd, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c"),
+        floor(lit(1e9) * ((greatest(col("c") - lit(discount), lit(0.0))
+          + lit(discount) * col("__fw") * (col("__bw") / col("__all")))
+          / col("__cw1"))).cast("long").as("p_kn_e9"))
+  }
+
+  /** Score documents under a trained Kneser–Ney model
+    * ([[trainKneserNey]] output): per doc, the bigram occurrence
+    * count, how many of those occurrences the model covers, and the
+    * exact integer sum of their `p_kn_e9` — the sufficient
+    * statistics for held-out fit (callers derive mean transition
+    * probability; an exact-integer alternative to float perplexity,
+    * whose `log` differs across libm implementations). Output: one
+    * row per distinct non-null id: (idCol, n_bi, n_seen, sum_p_e9).
+    *
+    * Scale: docs reduce to exploded bigrams (the exchange floor),
+    * one key join against the model (broadcast when pruned), one
+    * agg back to ids. */
+  def knScore(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, unicode: Boolean = false): DataFrame = {
+    val staged = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        bigramsOfTokens(alphaTokens(col(textCol), unicode)).as("__bg"))
+    val grams = NearDedup.explodeStrings(staged, "__id", "__bg", "__g")
+      .select(col("__id"), split(col("__g"), " ").getItem(0).as("w1"),
+        split(col("__g"), " ").getItem(1).as("w2"))
+    val scored = grams.join(model.select(col("w1"), col("w2"),
+        col("p_kn_e9")), Seq("w1", "w2"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bi"),
+        sum(when(col("p_kn_e9").isNotNull, 1L).otherwise(0L)).as("n_seen"),
+        sum(coalesce(col("p_kn_e9"), lit(0L))).as("sum_p_e9"))
+    df.filter(col(idCol).isNotNull).select(col(idCol).as("__id")).distinct()
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        coalesce(col("sum_p_e9"), lit(0L)).as("sum_p_e9"))
+  }
+
   /** Readability component sums per group — the integer sufficient
     * statistics behind Flesch-style scores: sentence count
     * (terminal-punctuation runs `[.!?]+`), word count (`\S+` runs)
