@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, AsOf, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, Pii, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, SuffixArray, TextAnalysis, TransformSpec, WebCurate}
+import graft.ops.{AnnSearch, AsOf, Chunk, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, Pii, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, SuffixArray, TextAnalysis, TransformSpec, WebCurate}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{DistinctView, GraftRead, JsonlIngest, Materialize, MaterializedView, RowGroupIndex, Snapshots}
@@ -5864,6 +5864,101 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(7)) === 0),
         "doc_id", "text", model)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Cross-document shared substrings ----
+    // The corpus-wide half of ExactSubstr: verbatim shared-substring
+    // CERTIFICATES >= 25 chars from the doc-changing adjacencies of
+    // the prefix-doubled suffix order — sound, corpus-max exact,
+    // doc-covering; deliberately NOT the quadratic pair closure
+    // (see [[SuffixArray.crossDocShared]]'s contract).
+    "q313_cross_doc_spans" -> ((s, dir) => {
+      orderSmall(SuffixArray.crossDocShared(
+        t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", "text", maxLen = 200, minLen = 25),
+        col("doc_a"), col("doc_b"))
+    }),
+
+    // ---- Content-defined chunking dedup ----
+    // The rsync/LBFS shift-resilient dedup proof: chunk originals
+    // and prefix-shifted copies with the rolling-hash CDC kernel
+    // ([[Chunk.cdcChunks]]); most copy chunks re-align with the
+    // originals despite every byte offset moving — the property
+    // fixed-size blocks cannot have. One summary row.
+    "q314_cdc_chunks" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val corpus = base.select(lit("orig").as("grp"), col("text"))
+        .union(base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(lit("copy").as("grp"),
+            concat(lit("edited: "), col("text")).as("text")))
+      val ch = corpus.select(col("grp"),
+        explode(Chunk.cdcChunks(col("text"), window = 16, divisor = 64))
+          .as("chunk"))
+      val stats = ch.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk")).as("n_distinct"))
+      val o = stats.filter(col("grp") === "orig")
+        .select(col("n_chunks").as("n_chunks_orig"),
+          col("n_distinct").as("n_distinct_orig"))
+      val c = stats.filter(col("grp") === "copy")
+        .select(col("n_chunks").as("n_chunks_copy"),
+          col("n_distinct").as("n_distinct_copy"))
+      val shared = ch.filter(col("grp") === "orig")
+        .select(col("chunk")).distinct()
+        .join(ch.filter(col("grp") === "copy")
+          .select(col("chunk")).distinct(), Seq("chunk"))
+        .agg(count(lit(1)).as("n_shared_distinct"))
+      o.crossJoin(c).crossJoin(shared)
+        .withColumn("shared_ppm",
+          expr("(1000000 * n_shared_distinct) div n_distinct_copy"))
+    }),
+
+    // ---- l-diversity audit ----
+    // The homogeneity-attack report k-anonymity (q282) misses: per
+    // (customer, priority) equivalence class, how many DISTINCT
+    // order statuses — classes with one value disclose it outright
+    // ([[Stats.lDiversity]]).
+    "q315_l_diversity" -> ((s, dir) => {
+      orderSmall(Stats.lDiversity(t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderpriority"), "o_orderstatus", l = 2)
+        .select(col("diversity"), col("n_classes"), col("n_rows"),
+          col("at_risk")),
+        col("diversity"))
+    }),
+
+    // ---- Embedding dimension-ablation audit ----
+    // Matryoshka-style truncation check: does the top (non-self)
+    // cosine neighbour under 4/8/16 prefix dims agree with the full
+    // 64-dim neighbour? On these random synthetic embeddings the
+    // honest answer is "almost never" — the audit exists to MEASURE
+    // that before anyone ships truncated vectors.
+    "q316_dim_ablation" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      def nn(d: Option[Int]): DataFrame = {
+        val trunc = (f: DataFrame) => d match {
+          case Some(k) => f.select(col("vec_id"),
+            slice(col("embedding"), 1, k).as("embedding"))
+          case None => f.select(col("vec_id"), col("embedding"))
+        }
+        AnnSearch.bruteForceTopK(trunc(q), trunc(e), "vec_id", "vec_id",
+            "embedding", k = 2)
+          .filter(col("cid") =!= col("qid"))
+          .groupBy(col("qid"))
+          .agg(min_by(col("cid"), col("rank")).as("nn"))
+      }
+      val full = nn(None).select(col("qid"), col("nn").as("fnn"))
+      val perDim = Seq(4, 8, 16).map { d =>
+        nn(Some(d)).join(full, Seq("qid"))
+          .agg(lit(d).as("dim"), count(lit(1)).as("n_q"),
+            sum(when(col("nn") === col("fnn"), 1L).otherwise(0L))
+              .as("n_agree"))
+      }.reduce(_.unionByName(_))
+      orderSmall(perDim.withColumn("agree_ppm",
+        expr("(1000000 * n_agree) div n_q")), col("dim"))
     })
   )
 
@@ -13739,6 +13834,182 @@ object SparkEntry {
         |SELECT ids.doc_id, coalesce(agg.n_bi, 0) AS n_bi,
         |  coalesce(agg.n_seen, 0) AS n_seen,
         |  coalesce(agg.sum_p_e9, 0) AS sum_p_e9
-        |FROM ids LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM ids LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q313_cross_doc_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 200) AS t FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND length(text) >= 1
+        |), n AS (SELECT unnest(range(1, 201)) AS i),
+        |s AS (
+        |  SELECT doc_id, i AS pos, substr(t, i::INT) AS suf
+        |  FROM d JOIN n ON i <= length(t)
+        |), adj AS (
+        |  SELECT doc_id, pos, suf,
+        |    lag(doc_id) OVER w AS pd, lag(suf) OVER w AS ps
+        |  FROM s WINDOW w AS (ORDER BY suf, doc_id, pos)
+        |), ch AS (
+        |  SELECT * FROM adj WHERE pd IS NOT NULL AND pd <> doc_id
+        |), k AS (SELECT unnest(range(1, 201)) AS g),
+        |lcp AS (
+        |  SELECT a.doc_id, a.pd, a.suf, a.ps, coalesce(max(k.g), 0) AS l
+        |  FROM ch a LEFT JOIN k
+        |    ON k.g <= least(length(a.suf), length(a.ps))
+        |    AND substr(a.suf, 1, k.g::INT) = substr(a.ps, 1, k.g::INT)
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT least(doc_id, pd) AS doc_a, greatest(doc_id, pd) AS doc_b,
+        |  CAST(max(l) AS BIGINT) AS lcp
+        |FROM lcp GROUP BY 1, 2 HAVING max(l) >= 25
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q314_cdc_chunks" ->
+      """WITH cid AS (
+        |  SELECT 'orig' AS grp, doc_id AS rid, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'copy' AS grp, doc_id + 1000000 AS rid, 'edited: ' || text
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 5 = 0
+        |), pw AS (
+        |  SELECT j, CAST(pj AS BIGINT) AS pj FROM (VALUES (0,1),(1,257),
+        |    (2,66049),(3,16974593),(4,362470373),(5,154885210),
+        |    (6,805498697),(7,13163680),(8,383065739),(9,447894237),
+        |    (10,108818104),(11,966252539),(12,326900787),(13,13501671),
+        |    (14,469929426),(15,771861642)) AS v(j, pj)
+        |), n AS (SELECT unnest(range(1, 4001)) AS i),
+        |pos AS (
+        |  SELECT rid, grp, text, i::INT AS p
+        |  FROM cid JOIN n ON i <= length(text)
+        |), h AS (
+        |  SELECT rid, grp, text, p,
+        |    CAST(sum(CAST(ascii(substr(text, p - 15 + k.j, 1)) AS BIGINT)
+        |      * pw.pj) AS BIGINT) % 1000000007 AS hv
+        |  FROM pos, (SELECT unnest(range(0, 16)) AS j) k
+        |    JOIN pw ON pw.j = 15 - k.j
+        |  WHERE pos.p >= 16
+        |  GROUP BY 1, 2, 3, 4
+        |), ends AS (
+        |  SELECT DISTINCT rid, grp, text, p AS e FROM h WHERE hv % 64 = 0
+        |  UNION
+        |  SELECT rid, grp, text, length(text) AS e FROM cid
+        |), ch AS (
+        |  SELECT rid, grp,
+        |    substr(text,
+        |      coalesce(lag(e) OVER (PARTITION BY rid ORDER BY e), 0) + 1,
+        |      e - coalesce(lag(e) OVER (PARTITION BY rid ORDER BY e), 0))
+        |      AS chunk
+        |  FROM ends
+        |), stats AS (
+        |  SELECT grp, count(*) AS n_chunks,
+        |    count(DISTINCT chunk) AS n_distinct
+        |  FROM ch GROUP BY 1
+        |), shared AS (
+        |  SELECT count(*) AS n_shared FROM
+        |    (SELECT DISTINCT chunk FROM ch WHERE grp = 'orig') o
+        |    JOIN (SELECT DISTINCT chunk FROM ch WHERE grp = 'copy') c
+        |      USING (chunk)
+        |)
+        |SELECT o.n_chunks AS n_chunks_orig,
+        |  o.n_distinct AS n_distinct_orig,
+        |  c.n_chunks AS n_chunks_copy, c.n_distinct AS n_distinct_copy,
+        |  CAST(s.n_shared AS BIGINT) AS n_shared_distinct,
+        |  (1000000 * s.n_shared) // c.n_distinct AS shared_ppm
+        |FROM (SELECT * FROM stats WHERE grp = 'orig') o,
+        |     (SELECT * FROM stats WHERE grp = 'copy') c, shared s""".stripMargin,
+
+    "q315_l_diversity" ->
+      """WITH classes AS (
+        |  SELECT o_custkey, o_orderpriority, count(*) AS class_size,
+        |    count(DISTINCT o_orderstatus) AS diversity
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT diversity, count(*) AS n_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  CAST(diversity < 2 AS BIGINT) AS at_risk
+        |FROM classes GROUP BY diversity
+        |ORDER BY diversity""".stripMargin,
+
+    "q316_dim_ablation" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        |  FROM embeddings
+        |), q AS (SELECT * FROM e WHERE vec_id < 50),
+        |pfull AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    CAST(floor(
+        |      list_reduce(list_transform(range(1, 65),
+        |        i -> q.emb[i] * c.emb[i]), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(range(1, 65),
+        |          i -> q.emb[i] * q.emb[i]), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(range(1, 65),
+        |          i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)))
+        |      * 1000000) AS BIGINT) AS cos_m
+        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+        |), nfull AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos_m DESC, cid) AS rk FROM pfull) WHERE rk = 1
+        |), pd4 AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    CAST(floor(
+        |      list_reduce(list_transform(range(1, 5),
+        |        i -> q.emb[i] * c.emb[i]), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(range(1, 5),
+        |          i -> q.emb[i] * q.emb[i]), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(range(1, 5),
+        |          i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)))
+        |      * 1000000) AS BIGINT) AS cos_m
+        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+        |), nd4 AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos_m DESC, cid) AS rk FROM pd4) WHERE rk = 1
+        |), pd8 AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    CAST(floor(
+        |      list_reduce(list_transform(range(1, 9),
+        |        i -> q.emb[i] * c.emb[i]), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(range(1, 9),
+        |          i -> q.emb[i] * q.emb[i]), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(range(1, 9),
+        |          i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)))
+        |      * 1000000) AS BIGINT) AS cos_m
+        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+        |), nd8 AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos_m DESC, cid) AS rk FROM pd8) WHERE rk = 1
+        |), pd16 AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    CAST(floor(
+        |      list_reduce(list_transform(range(1, 17),
+        |        i -> q.emb[i] * c.emb[i]), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(range(1, 17),
+        |          i -> q.emb[i] * q.emb[i]), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(range(1, 17),
+        |          i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)))
+        |      * 1000000) AS BIGINT) AS cos_m
+        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+        |), nd16 AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos_m DESC, cid) AS rk FROM pd16) WHERE rk = 1
+        |)
+        |SELECT dim, count(*) AS n_q,
+        |  CAST(sum(CASE WHEN nn = fnn THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree,
+        |  (1000000 * sum(CASE WHEN nn = fnn THEN 1 ELSE 0 END))
+        |    // count(*) AS agree_ppm
+        |FROM (
+        |  SELECT 4 AS dim, a.qid, a.cid AS nn, f.cid AS fnn
+        |  FROM nd4 a JOIN nfull f USING (qid)
+        |  UNION ALL
+        |  SELECT 8, a.qid, a.cid, f.cid FROM nd8 a JOIN nfull f USING (qid)
+        |  UNION ALL
+        |  SELECT 16, a.qid, a.cid, f.cid
+        |  FROM nd16 a JOIN nfull f USING (qid)
+        |) GROUP BY dim ORDER BY dim""".stripMargin
   )
 }

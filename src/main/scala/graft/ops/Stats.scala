@@ -1333,6 +1333,29 @@ object Stats {
       .withColumn("at_risk", (col("class_size") < k).cast("long"))
   }
 
+  /** l-diversity audit — the sensitive-attribute companion to
+    * [[kAnonymity]]: a class of indistinguishable quasi-identifier
+    * rows is still a disclosure if everyone in it shares the same
+    * sensitive value (the "homogeneity attack" k-anonymity misses).
+    * Reports the equivalence-class histogram keyed by DISTINCT
+    * sensitive values per class: (diversity, n_classes, n_rows,
+    * at_risk) with at_risk = 1 where diversity < l.
+    *
+    * Scale: two hash aggregations (classes, then the
+    * class-cardinality histogram) — the first is bounded by distinct
+    * QI combinations, the second by the sensitive-domain size. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensCol: String,
+      l: Int): DataFrame = {
+    require(qiCols.nonEmpty && l >= 1)
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensCol)).as("diversity"))
+    classes.groupBy(col("diversity"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .withColumn("at_risk", (col("diversity") < l).cast("long"))
+  }
+
   /** Differentially-private per-key counts, exactly reproducible
     * given `seed` — the governance release an aggregate leaves the
     * data boundary through (per-domain doc counts to a dashboard,
