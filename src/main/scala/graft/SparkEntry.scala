@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.ops.{AnnSearch, AsOf, Chunk, Dedup, Funnel, Gram, Graph, NGram, NearDedup, Packing, Pii, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, SuffixArray, TextAnalysis, TransformSpec, WebCurate}
+import graft.ops.{AnnSearch, AsOf, Chunk, Dedup, Funnel, Gram, Graph, Multimodal, NGram, NearDedup, Packing, Pii, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, SuffixArray, TextAnalysis, TransformSpec, WebCurate}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
 import graft.sources.{DistinctView, GraftRead, JsonlIngest, Materialize, MaterializedView, RowGroupIndex, Snapshots}
@@ -5959,6 +5959,73 @@ object SparkEntry {
       }.reduce(_.unionByName(_))
       orderSmall(perDim.withColumn("agree_ppm",
         expr("(1000000 * n_agree) div n_q")), col("dim"))
+    }),
+
+    // ---- ANALYZE-style per-column statistics ----
+    // One-scan stats rows for the optimizer/manifest: rows, nulls,
+    // exact NDV, and the KMV distinct-sketch state per column —
+    // both the exact and the 100 TB sketch path, reconciled in one
+    // output ([[Stats.analyzeTable]]).
+    "q317_analyze_table" -> ((s, dir) => {
+      orderSmall(Stats.analyzeTable(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"), k = 64),
+        col("col_name"))
+    }),
+
+    // ---- Perceptual-hash image near-dup ----
+    // dHash over deterministic 8×9 thumbnails (md5-mixed pixels;
+    // copies carry a one-pixel bump) → banded 64-bit Hamming join
+    // ([[Multimodal.dhash64]] + [[NearDedup.hammingNearDups64]]).
+    // The oracle brute-forces all pairs; the banded plan must find
+    // exactly the same ones (pigeonhole: hamming <= 4 < 8 bands).
+    "q318_phash_dedup" -> ((s, dir) => {
+      val px = (id: Column, i: Column) => pmod(
+        conv(substring(md5(concat(id.cast("string"), lit(":"),
+          i.cast("string"))), 1, 4), 16, 10).cast("long"), lit(256))
+      val base = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(71)),
+            i => px(col("doc_id"), i)).as("img"))
+      val copies = base.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          transform(sequence(lit(1), lit(72)), p =>
+            when(p === 6, pmod(element_at(col("img"), p) + 1, lit(256)))
+              .otherwise(element_at(col("img"), p))).as("img"))
+      val hs = base.union(copies)
+        .select(col("doc_id"), Multimodal.dhash64(col("img")).as("phash"))
+      orderSmall(NearDedup.hammingNearDups64(hs, "doc_id", "phash",
+        maxHamming = 4, maxBucket = 100000),
+        col("id_a"), col("id_b"))
+    }),
+
+    // ---- CDC-chunk benchmark decontamination ----
+    // The shift-robust complement to shingle decontamination (q53/
+    // q81): the benchmark quotes corpus passages from offset 30;
+    // content-defined boundaries re-align inside the quoted span,
+    // so shared chunks identify the quoted docs without any fixed
+    // shingle grid. Per-source contamination report.
+    "q319_cdc_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val bench = docs
+        .filter(pmod(col("doc_id"), lit(40)) === 0 &&
+          length(col("text")) >= 60)
+        .select(substring(col("text"), 30, 300).as("text"))
+      def chunks(df: DataFrame, cs: Column*) = df.select(
+        (cs :+ explode(Chunk.cdcChunks(col("text"), 16, 64))
+          .as("chunk")): _*)
+        .filter(length(col("chunk")) >= 20)
+      val bch = chunks(bench).select(col("chunk")).distinct()
+      val contam = chunks(docs, col("doc_id")).join(bch, Seq("chunk"))
+        .select(col("doc_id")).distinct().withColumn("__hit", lit(1L))
+      orderSmall(docs.select(col("doc_id"), col("source"))
+        .join(contam, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_contam"))
+        .withColumn("contam_ppm",
+          expr("(1000000 * n_contam) div n_docs")),
+        col("source"))
     })
   )
 
@@ -14010,6 +14077,154 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 16, a.qid, a.cid, f.cid
         |  FROM nd16 a JOIN nfull f USING (qid)
-        |) GROUP BY dim ORDER BY dim""".stripMargin
+        |) GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "q317_analyze_table" ->
+      """WITH basic AS (
+        |  SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_rows,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nulls,
+        |    count(DISTINCT CAST(doc_id AS VARCHAR))::BIGINT AS ndv
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*)::BIGINT,
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT text)::BIGINT FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*)::BIGINT,
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT lang)::BIGINT FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*)::BIGINT,
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT source)::BIGINT FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*)::BIGINT,
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT CAST(n_chars AS VARCHAR))::BIGINT FROM documents
+        |), hs AS (
+        |  SELECT 'doc_id' AS col_name,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS kmv_hash
+        |  FROM (SELECT DISTINCT doc_id FROM documents
+        |        WHERE doc_id IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'text', ('0x' || substr(md5(text), 1, 15))::BIGINT
+        |  FROM (SELECT DISTINCT text FROM documents WHERE text IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'lang', ('0x' || substr(md5(lang), 1, 15))::BIGINT
+        |  FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'source', ('0x' || substr(md5(source), 1, 15))::BIGINT
+        |  FROM (SELECT DISTINCT source FROM documents
+        |        WHERE source IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'n_chars',
+        |    ('0x' || substr(md5(CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT
+        |  FROM (SELECT DISTINCT n_chars FROM documents
+        |        WHERE n_chars IS NOT NULL)
+        |), r AS (
+        |  SELECT col_name, kmv_hash,
+        |    row_number() OVER (PARTITION BY col_name
+        |      ORDER BY kmv_hash) AS rk
+        |  FROM hs
+        |), s AS (
+        |  SELECT col_name, count(*)::BIGINT AS kmv_n,
+        |    max(kmv_hash) AS kth_min
+        |  FROM r WHERE rk <= 64 GROUP BY col_name
+        |)
+        |SELECT b.col_name, b.n_rows, b.n_nulls, b.ndv,
+        |  coalesce(s.kmv_n, 0) AS kmv_n, s.kth_min,
+        |  CASE WHEN s.kmv_n IS NULL THEN 0
+        |       WHEN s.kmv_n < 64 THEN s.kmv_n
+        |       ELSE CAST((63::HUGEINT * 1152921504606846976) // s.kth_min
+        |         AS BIGINT)
+        |  END AS est_distinct
+        |FROM basic b LEFT JOIN s USING (col_name)
+        |ORDER BY col_name""".stripMargin,
+
+    "q318_phash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id IS NOT NULL
+        |), base AS (
+        |  SELECT doc_id, list_transform(range(0, 72), i ->
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(i AS VARCHAR)), 1, 4))::BIGINT % 256) AS img
+        |  FROM ids
+        |), imgs AS (
+        |  SELECT doc_id, img FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    list_transform(range(1, 73), p ->
+        |      CASE WHEN p = 6 THEN (img[p] + 1) % 256 ELSE img[p] END)
+        |  FROM base WHERE doc_id % 4 = 0
+        |), hs AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 63), k ->
+        |      CASE WHEN img[(k // 8) * 9 + (k % 8) + 1]
+        |              > img[(k // 8) * 9 + (k % 8) + 2]
+        |        THEN 1::BIGINT << k ELSE 0::BIGINT END))
+        |    + CASE WHEN img[71] > img[72]
+        |        THEN -9223372036854775807::BIGINT - 1 ELSE 0 END AS phash
+        |  FROM imgs
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q319_cdc_decontam" ->
+      """WITH cid AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '__bench', substr(text, 30, 300)
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 40 = 0 AND length(text) >= 60
+        |), pw AS (
+        |  SELECT j, CAST(pj AS BIGINT) AS pj FROM (VALUES (0,1),(1,257),
+        |    (2,66049),(3,16974593),(4,362470373),(5,154885210),
+        |    (6,805498697),(7,13163680),(8,383065739),(9,447894237),
+        |    (10,108818104),(11,966252539),(12,326900787),(13,13501671),
+        |    (14,469929426),(15,771861642)) AS v(j, pj)
+        |), n AS (SELECT unnest(range(1, 4001)) AS i),
+        |pos AS (
+        |  SELECT doc_id, text, i::INT AS p
+        |  FROM cid JOIN n ON i <= length(text)
+        |), h AS (
+        |  SELECT doc_id, text, p,
+        |    CAST(sum(CAST(ascii(substr(text, p - 15 + k.j, 1)) AS BIGINT)
+        |      * pw.pj) AS BIGINT) % 1000000007 AS hv
+        |  FROM pos, (SELECT unnest(range(0, 16)) AS j) k
+        |    JOIN pw ON pw.j = 15 - k.j
+        |  WHERE pos.p >= 16 GROUP BY 1, 2, 3
+        |), ends AS (
+        |  SELECT DISTINCT doc_id, text, p AS e FROM h WHERE hv % 64 = 0
+        |  UNION
+        |  SELECT doc_id, text, length(text) AS e FROM cid
+        |), ch AS (
+        |  SELECT doc_id,
+        |    substr(text,
+        |      coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1,
+        |      e - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0))
+        |      AS chunk
+        |  FROM ends
+        |), good AS (SELECT doc_id, chunk FROM ch
+        |            WHERE length(chunk) >= 20),
+        |bch AS (SELECT DISTINCT chunk FROM good WHERE doc_id >= 1000000),
+        |contam AS (
+        |  SELECT DISTINCT g.doc_id FROM good g JOIN bch USING (chunk)
+        |  WHERE g.doc_id < 1000000
+        |)
+        |SELECT c.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN co.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contam,
+        |  (1000000 * sum(CASE WHEN co.doc_id IS NOT NULL THEN 1 ELSE 0 END))
+        |    // count(*) AS contam_ppm
+        |FROM cid c LEFT JOIN contam co USING (doc_id)
+        |WHERE c.doc_id < 1000000
+        |GROUP BY 1 ORDER BY source""".stripMargin
   )
 }

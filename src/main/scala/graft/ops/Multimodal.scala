@@ -40,4 +40,28 @@ object Multimodal {
   /** First sampled frame convenience (thumbnail extraction shape). */
   def firstFrame(video: Column, frameBytes: Int): Column =
     substring(video, 1, frameBytes)
+
+  /** 64-bit difference hash (dHash, the standard perceptual image
+    * fingerprint): over a row-major 8×9 grayscale thumbnail, bit
+    * k = (row k/8, col k%8) is 1 iff pixel[r][c] > pixel[r][c+1] —
+    * gradient direction, which survives brightness/contrast shifts
+    * that break exact pixel hashes. Near-duplicate images land
+    * within a few bits of Hamming distance
+    * ([[NearDedup.hammingNearDups64]] is the banded join for that).
+    *
+    * `img` is the 72-element numeric array (a downscaled luminance
+    * thumbnail — compose with the resize kernel upstream). Bit 63
+    * is folded in as the two's-complement sign term so the value is
+    * a plain BIGINT in every engine (engines refuse `1 << 63`).
+    * Pure integer builtin composition — engine-replayable. */
+  def dhash64(img: Column): Column = {
+    def bit(k: Int): Column = {
+      val i = (k / 8) * 9 + (k % 8)
+      element_at(img, i + 1) > element_at(img, i + 2)
+    }
+    val low = graft.functions.GraftFunctions.arraySumLong(
+      array((0 until 63).map(k =>
+        when(bit(k), lit(1L << k)).otherwise(lit(0L))): _*))
+    low + when(bit(63), lit(Long.MinValue)).otherwise(lit(0L))
+  }
 }

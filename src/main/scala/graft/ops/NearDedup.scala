@@ -525,6 +525,41 @@ object NearDedup {
       .distinct()
   }
 
+  /** Banded near-duplicate pairs over a PRECOMPUTED 64-bit hash
+    * column (SimHash over embeddings, [[Multimodal.dhash64]]
+    * perceptual image hashes, …) — the [[simhashNearDups]] scale
+    * shape generalized: 8 byte-bands, so by pigeonhole any pair
+    * within Hamming distance <= 7 shares an untouched band and
+    * meets in that band's bucket; the exact `bit_count(xor)` filter
+    * verifies. Never an all-pairs exchange; `maxBucket` caps
+    * pathological buckets. Output: (id_a, id_b, hamming),
+    * id_a < id_b. */
+  def hammingNearDups64(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      s"8-band hashing guarantees recall only for hamming < 8 (got $maxHamming)")
+    require(maxBucket >= 1)
+    val bands = array((0 until 8).map(b =>
+      concat(lit(s"$b|"),
+        (shiftrightunsigned(col(hashCol), b * 8) % 256).cast("string"))): _*)
+    val banded = df.select(col(idCol), col(hashCol),
+      explode(bands).as("band_key"))
+    val bucketCount = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("band_key")))
+    val capped = banded.withColumn("__bc", bucketCount)
+      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val a = capped.select(col(idCol).as("id_a"), col(hashCol).as("__ha"),
+      col("band_key"))
+    val b = capped.select(col(idCol).as("id_b"), col(hashCol).as("__hb"),
+      col("band_key"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("__ha"), col("__hb")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Benchmark decontamination: per-document shingle containment
     * against a benchmark corpus — the standard pre-training
     * decontamination check (flag or drop training documents that

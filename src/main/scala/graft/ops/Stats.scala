@@ -1333,6 +1333,47 @@ object Stats {
       .withColumn("at_risk", (col("class_size") < k).cast("long"))
   }
 
+  /** ANALYZE-style per-column statistics in ONE table scan — the
+    * stats row a cost-based optimizer / snapshot-store manifest
+    * wants per column: row count, null count, exact NDV, and the
+    * KMV distinct sketch (count + k-th min hash + estimate, the
+    * [[Sketch.kmvEstimate]] state) so readers can choose between
+    * the exact number and the mergeable sketch path.
+    *
+    * Scale shape: `stack` unpivots the projected columns in one
+    * Generate over one scan (vs one scan per column); everything
+    * downstream groups on the column name — exchange bounded by
+    * (columns × distinct values) for the NDV agg, columns × k for
+    * the sketch. Values are hashed/compared AS STRINGS (the cast is
+    * injective for the integer/string columns this targets;
+    * document the cast when analyzing floats). Exact NDV of a
+    * high-cardinality column is the one genuinely corpus-sized
+    * aggregation — that is what the sketch columns are for at
+    * 100 TB; both ship so the caller can reconcile them.
+    *
+    * Output: (column, n_rows, n_nulls, ndv, kmv_n, kth_min,
+    * est_distinct), one row per analyzed column. */
+  def analyzeTable(df: DataFrame, cols: Seq[String],
+      k: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "analyzeTable needs at least one column")
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)")
+      .mkString(", ")
+    val up = df.select(
+      expr(s"stack(${cols.size}, $stackArgs)").as(Seq("col_name", "val")))
+    val basic = up.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      countDistinct(col("val")).as("ndv"))
+    val kmv = Sketch.kmvEstimate(up.filter(col("val").isNotNull),
+      Seq("col_name"), "val", k)
+    basic.join(kmv, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
+        coalesce(col("kmv_n"), lit(0L)).as("kmv_n"), col("kth_min"),
+        coalesce(col("est_distinct").cast("long"), lit(0L))
+          .as("est_distinct"))
+  }
+
   /** l-diversity audit — the sensitive-attribute companion to
     * [[kAnonymity]]: a class of indistinguishable quasi-identifier
     * rows is still a disclosure if everyone in it shares the same
