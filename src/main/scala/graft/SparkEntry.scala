@@ -6026,6 +6026,50 @@ object SparkEntry {
         .withColumn("contam_ppm",
           expr("(1000000 * n_contam) div n_docs")),
         col("source"))
+    }),
+
+    // ---- Out-of-fold target encoding ----
+    // The leakage-free categorical feature (constructive fix for
+    // what q254/q302 audit): per (priority, fold) cell, the mean
+    // order value over every OTHER fold — integral cents, exact
+    // ([[Stats.targetEncode]]).
+    "q320_target_encode" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isNotNull &&
+          col("o_totalprice").isNotNull && col("o_orderkey").isNotNull)
+        .select(col("o_orderpriority").as("cat"),
+          cents(col("o_totalprice")).as("t"),
+          (conv(substring(md5(concat(lit("320:te:"),
+            col("o_orderkey").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 5).as("fold"))
+      orderSmall(Stats.targetEncode(o, "cat", "t", "fold"),
+        col("category"), col("fold"))
+    }),
+
+    // ---- k-center greedy diverse selection ----
+    // Farthest-point coreset picking over the embeddings (eval-set
+    // seeding / exemplar selection): 6 picks, each round one corpus
+    // scan against the broadcast selected set
+    // ([[AnnSearch.kCenterGreedy]]; max_cos_m shrinks monotonically
+    // toward the seed — the 2-approx coverage radius trace).
+    "q321_kcenter_select" -> ((s, dir) => {
+      orderSmall(AnnSearch.kCenterGreedy(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 6), col("rank"))
+    }),
+
+    // ---- Cross-source quantile normalization ----
+    // Make per-source score scales comparable before one global
+    // threshold: each doc's length maps to the GLOBAL length at its
+    // within-source midpoint quantile ([[Stats.quantileNormalize]]
+    // — group windows + the distributed order-statistic lookup, no
+    // global row sort).
+    "q322_quantile_norm" -> ((s, dir) => {
+      Stats.quantileNormalize(
+        t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+            col("n_chars").isNotNull),
+        "source", "n_chars", "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -14225,6 +14269,149 @@ object SparkEntry {
         |    // count(*) AS contam_ppm
         |FROM cid c LEFT JOIN contam co USING (doc_id)
         |WHERE c.doc_id < 1000000
-        |GROUP BY 1 ORDER BY source""".stripMargin
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q320_target_encode" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS category,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS t,
+        |    ('0x' || substr(md5('320:te:' || CAST(o_orderkey AS VARCHAR)),
+        |      1, 15))::BIGINT % 5 AS fold
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND o_orderkey IS NOT NULL
+        |), cells AS (
+        |  SELECT category, fold, count(*)::BIGINT AS n_in_fold,
+        |    CAST(sum(t) AS BIGINT) AS s FROM b GROUP BY 1, 2
+        |), pc AS (
+        |  SELECT category, CAST(sum(n_in_fold) AS BIGINT) AS cn,
+        |    CAST(sum(s) AS BIGINT) AS cs FROM cells GROUP BY 1
+        |), g AS (
+        |  SELECT fold,
+        |    CAST((SELECT sum(n_in_fold) FROM cells) - sum(n_in_fold)
+        |      AS BIGINT) AS gn,
+        |    CAST((SELECT sum(s) FROM cells) - sum(s) AS BIGINT) AS gs
+        |  FROM cells GROUP BY fold
+        |)
+        |SELECT c.category, c.fold, c.n_in_fold,
+        |  CAST(pc.cn - c.n_in_fold AS BIGINT) AS n_oof,
+        |  CASE WHEN pc.cn - c.n_in_fold > 0
+        |    THEN (pc.cs - c.s) // (pc.cn - c.n_in_fold)
+        |    WHEN g.gn > 0 THEN g.gs // g.gn ELSE NULL END AS enc
+        |FROM cells c JOIN pc USING (category) JOIN g USING (fold)
+        |ORDER BY category, fold""".stripMargin,
+
+    "q321_kcenter_select" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL
+        |), sel0 AS (SELECT min(vec_id) AS vec_id FROM e),
+        |p1 AS (
+        |  SELECT c.vec_id, max(CAST(floor(
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> c.emb[i] * s.emb[i]), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> c.emb[i] * c.emb[i]), (a, b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> s.emb[i] * s.emb[i]), (a, b) -> a + b)))
+        |    * 1000000) AS BIGINT)) AS mx
+        |  FROM e c, e s
+        |  WHERE s.vec_id IN (SELECT vec_id FROM sel0)
+        |    AND c.vec_id NOT IN (SELECT vec_id FROM sel0)
+        |  GROUP BY c.vec_id
+        |), n1 AS (SELECT vec_id, mx FROM p1 ORDER BY mx, vec_id LIMIT 1),
+        |sel1 AS (SELECT vec_id FROM sel0 UNION ALL SELECT vec_id FROM n1),
+        |p2 AS (
+        |  SELECT c.vec_id, max(CAST(floor(
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> c.emb[i] * s.emb[i]), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> c.emb[i] * c.emb[i]), (a, b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> s.emb[i] * s.emb[i]), (a, b) -> a + b)))
+        |    * 1000000) AS BIGINT)) AS mx
+        |  FROM e c, e s
+        |  WHERE s.vec_id IN (SELECT vec_id FROM sel1)
+        |    AND c.vec_id NOT IN (SELECT vec_id FROM sel1)
+        |  GROUP BY c.vec_id
+        |), n2 AS (SELECT vec_id, mx FROM p2 ORDER BY mx, vec_id LIMIT 1),
+        |sel2 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM n2),
+        |p3 AS (
+        |  SELECT c.vec_id, max(CAST(floor(
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> c.emb[i] * s.emb[i]), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> c.emb[i] * c.emb[i]), (a, b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> s.emb[i] * s.emb[i]), (a, b) -> a + b)))
+        |    * 1000000) AS BIGINT)) AS mx
+        |  FROM e c, e s
+        |  WHERE s.vec_id IN (SELECT vec_id FROM sel2)
+        |    AND c.vec_id NOT IN (SELECT vec_id FROM sel2)
+        |  GROUP BY c.vec_id
+        |), n3 AS (SELECT vec_id, mx FROM p3 ORDER BY mx, vec_id LIMIT 1),
+        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM n3),
+        |p4 AS (
+        |  SELECT c.vec_id, max(CAST(floor(
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> c.emb[i] * s.emb[i]), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> c.emb[i] * c.emb[i]), (a, b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> s.emb[i] * s.emb[i]), (a, b) -> a + b)))
+        |    * 1000000) AS BIGINT)) AS mx
+        |  FROM e c, e s
+        |  WHERE s.vec_id IN (SELECT vec_id FROM sel3)
+        |    AND c.vec_id NOT IN (SELECT vec_id FROM sel3)
+        |  GROUP BY c.vec_id
+        |), n4 AS (SELECT vec_id, mx FROM p4 ORDER BY mx, vec_id LIMIT 1),
+        |sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM n4),
+        |p5 AS (
+        |  SELECT c.vec_id, max(CAST(floor(
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> c.emb[i] * s.emb[i]), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> c.emb[i] * c.emb[i]), (a, b) -> a + b))
+        |     * sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> s.emb[i] * s.emb[i]), (a, b) -> a + b)))
+        |    * 1000000) AS BIGINT)) AS mx
+        |  FROM e c, e s
+        |  WHERE s.vec_id IN (SELECT vec_id FROM sel4)
+        |    AND c.vec_id NOT IN (SELECT vec_id FROM sel4)
+        |  GROUP BY c.vec_id
+        |), n5 AS (SELECT vec_id, mx FROM p5 ORDER BY mx, vec_id LIMIT 1)
+        |SELECT 1::BIGINT AS rank, (SELECT vec_id FROM sel0) AS vec_id,
+        |  CAST(NULL AS BIGINT) AS max_cos_m
+        |UNION ALL SELECT 2, vec_id, mx FROM n1
+        |UNION ALL SELECT 3, vec_id, mx FROM n2
+        |UNION ALL SELECT 4, vec_id, mx FROM n3
+        |UNION ALL SELECT 5, vec_id, mx FROM n4
+        |UNION ALL SELECT 6, vec_id, mx FROM n5
+        |ORDER BY rank""".stripMargin,
+
+    "q322_quantile_norm" ->
+      """WITH b AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |    AND source IS NOT NULL
+        |), r AS (
+        |  SELECT source, doc_id, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+        |      AS rr,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM b
+        |), q AS (
+        |  SELECT source, doc_id, v,
+        |    ((2 * rr - 1) * 1000000) // (2 * n) AS q_ppm
+        |  FROM r
+        |), tot AS (SELECT count(*)::BIGINT AS t FROM b),
+        |ord AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM b)
+        |SELECT q.source, q.doc_id, q.v AS n_chars,
+        |  CAST(q.q_ppm AS BIGINT) AS q_ppm, ord.v AS norm
+        |FROM q CROSS JOIN tot
+        |JOIN ord ON ord.rk = least((q.q_ppm * tot.t) // 1000000 + 1, tot.t)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -560,4 +560,75 @@ object AnnSearch {
           graft.functions.GraftFunctions.floorMicros(col(embCol))),
         signs)).as("proj"))
   }
+
+  /** k-center greedy (farthest-point) diverse selection — the
+    * classic 2-approximation coreset picker for "give me k maximally
+    * diverse examples" (eval-set seeding, dedup-cluster exemplars,
+    * active-learning batches): start from the smallest id, then
+    * repeatedly add the vector whose maximum cosine to the selected
+    * set is SMALLEST (= farthest point under cosine distance).
+    *
+    * Determinism: similarity is the floor-micro cosine (`cos_m`,
+    * the q23 convention) and every argmin tie breaks on id, so the
+    * selection sequence is engine-reproducible. Each round is one
+    * corpus scan against the BROADCAST k-row selected set (the
+    * selected embeddings are model-sized driver state by
+    * construction — k vectors), a `min` agg per id, and a
+    * TakeOrdered(1) — never a corpus×corpus exchange; k rounds
+    * total. Output: (rank 1..k, idCol, max_cos_m — similarity to
+    * the previously selected set at pick time, null for the seed).
+    */
+  def kCenterGreedy(df: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val spark = df.sparkSession
+    val base = df.filter(col(idCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).as("__id"), col(embCol).as("__e"))
+    val seedRow = base.orderBy(col("__id")).limit(1).collect()
+    require(seedRow.nonEmpty, "kCenterGreedy on an empty corpus")
+    // driver-side selected state: k (id, embedding) pairs — bounded
+    // by k·dim, the algorithm's own model size
+    val picked = scala.collection.mutable.ArrayBuffer[
+      (Any, Seq[Float], Option[Long])]()
+    picked += ((seedRow(0).get(0), seedRow(0).getSeq[Float](1), None))
+    while (picked.size < k) {
+      import scala.jdk.CollectionConverters._
+      val selDf = spark.createDataFrame(
+        picked.map(p => org.apache.spark.sql.Row(p._2)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__se",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+      val chosenIds = picked.map(_._1).toSet
+      val next = base
+        .filter(!col("__id").isInCollection(chosenIds))
+        .crossJoin(broadcast(selDf))
+        .select(col("__id"), col("__e"),
+          floor(cosine(col("__e"), col("__se")) * 1000000L)
+            .cast("long").as("__cos"))
+        .groupBy(col("__id")).agg(max(col("__cos")).as("__mx"),
+          first(col("__e")).as("__e"))
+        .orderBy(col("__mx"), col("__id")).limit(1).collect()
+      if (next.isEmpty)
+        return result(spark, picked.toSeq, idCol, base.schema(0).dataType)
+      picked += ((next(0).get(0), next(0).getSeq[Float](2),
+        Some(next(0).getLong(1))))
+    }
+    result(spark, picked.toSeq, idCol, base.schema(0).dataType)
+  }
+
+  private def result(spark: org.apache.spark.sql.SparkSession,
+      picked: Seq[(Any, Seq[Float], Option[Long])], idCol: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val rows = picked.zipWithIndex.map { case ((id, _, mx), i) =>
+      org.apache.spark.sql.Row(i + 1L, id,
+        mx.map(java.lang.Long.valueOf).orNull)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("rank", LongType, nullable = false),
+      StructField(idCol, idType),
+      StructField("max_cos_m", LongType))))
+  }
 }

@@ -1333,6 +1333,91 @@ object Stats {
       .withColumn("at_risk", (col("class_size") < k).cast("long"))
   }
 
+  /** Leakage-free (out-of-fold) target encoding — the standard
+    * high-cardinality categorical feature for tabular/ranker
+    * training, built so a row NEVER sees its own fold's targets:
+    * enc(cat, fold) = mean(target | cat, all folds except `fold`).
+    * In-fold means leak the label (the q254/q302 audits detect it;
+    * this is the constructive fix). Cells whose category only
+    * occurs in the row's own fold fall back to the fold-excluded
+    * GLOBAL mean (the prior).
+    *
+    * All arithmetic is integral: targets are summed as longs and
+    * the mean is one `div` — engine-exact. Output is the
+    * model-sized encoding TABLE (category, fold, n_in_fold, n_oof,
+    * enc), one row per observed (category, fold); callers join it
+    * onto rows. Scale: one (cat, fold) agg off the data, tiny
+    * per-cat and global rollups off that — nothing row-sized ever
+    * re-exchanges. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      foldCol: String): DataFrame = {
+    val cells = df
+      .filter(col(catCol).isNotNull && col(foldCol).isNotNull &&
+        col(targetCol).isNotNull)
+      .groupBy(col(catCol).as("category"), col(foldCol).as("fold"))
+      .agg(count(lit(1)).as("n_in_fold"),
+        sum(col(targetCol).cast("long")).as("__s"))
+    val perCat = cells.groupBy(col("category"))
+      .agg(sum(col("n_in_fold")).as("__cn"), sum(col("__s")).as("__cs"))
+    val glob = cells.groupBy(col("fold"))
+      .agg(sum(col("n_in_fold")).as("__fn"), sum(col("__s")).as("__fs"))
+      .crossJoin(broadcast(cells.agg(sum(col("n_in_fold")).as("__tn"),
+        sum(col("__s")).as("__ts"))))
+      .select(col("fold"), (col("__tn") - col("__fn")).as("__gn"),
+        (col("__ts") - col("__fs")).as("__gs"))
+    cells.join(perCat, Seq("category")).join(glob, Seq("fold"))
+      .select(col("category"), col("fold"), col("n_in_fold"),
+        (col("__cn") - col("n_in_fold")).as("n_oof"),
+        when(col("__cn") - col("n_in_fold") > 0,
+          expr("(__cs - __s) div (__cn - n_in_fold)"))
+          .otherwise(when(col("__gn") > 0, expr("__gs div __gn"))
+            .otherwise(lit(null).cast("long"))).as("enc"))
+  }
+
+  /** Cross-source quantile normalization — map each row's score to
+    * the GLOBAL score at the same within-group quantile, so
+    * heterogeneous sources become comparable before one corpus-wide
+    * threshold (per-source score scales are the classic trap when
+    * mixing crawls: source A's "p90 quality" must mean the same as
+    * source B's). Midpoint quantile q_ppm = (2r−1)·1e6 div 2n over
+    * the within-group row_number r (ties broken by `tieCol` — a
+    * total order, so reproducible); the normalized value is the
+    * global k-th order statistic at k = q_ppm·N div 1e6 + 1.
+    *
+    * Exactness and scale: within-group ranks ride group-partitioned
+    * windows (groups bound the partition); the global order
+    * statistics ride [[Ranking.withGlobalIndex]] over the DISTINCT
+    * value histogram + the distributed running total — no global
+    * row sort, no single-task window; the rank→value lookup is a
+    * range join against the value-bounded histogram. Output: input
+    * columns' keys + (q_ppm, norm). */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      scoreCol: String, tieCol: String): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(tieCol).as("__t"),
+        col(scoreCol).cast("long").as("__v"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__v"), col("__t"))
+    val ranked = base
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("__g"))))
+      .withColumn("q_ppm", expr("((2 * __r - 1) * 1000000) div (2 * __n)"))
+    // global order statistics from the compacted value histogram
+    val hist = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val cum = Ranking.withRunningTotal(hist, Seq(col("__v")), "__c",
+      "__lo") // exclusive prefix: ranks (__lo, __lo+__c] hold __v
+    val total = base.count()
+    val target = ranked.withColumn("__k",
+      least(expr(s"(q_ppm * ${total}L) div 1000000") + 1L, lit(total)))
+    target.join(cum,
+        col("__k") > col("__lo") && col("__k") <= col("__lo") + col("__c"))
+      .select(col("__g").as(groupCol), col("__t").as(tieCol),
+        target("__v").as(scoreCol), col("q_ppm"),
+        cum("__v").as("norm"))
+  }
+
   /** ANALYZE-style per-column statistics in ONE table scan — the
     * stats row a cost-based optimizer / snapshot-store manifest
     * wants per column: row count, null count, exact NDV, and the
