@@ -5876,7 +5876,7 @@ object SparkEntry {
       orderSmall(SuffixArray.crossDocShared(
         t(s, dir, "documents")
           .filter(col("doc_id").isNotNull && col("text").isNotNull),
-        "doc_id", "text", maxLen = 200, minLen = 25),
+        "doc_id", "text", maxLen = 128, minLen = 25),
         col("doc_a"), col("doc_b"))
     }),
 
@@ -13949,10 +13949,10 @@ object SparkEntry {
 
     "q313_cross_doc_spans" ->
       """WITH d AS (
-        |  SELECT doc_id, substr(text, 1, 200) AS t FROM documents
+        |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents
         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |    AND length(text) >= 1
-        |), n AS (SELECT unnest(range(1, 201)) AS i),
+        |), n AS (SELECT unnest(range(1, 129)) AS i),
         |s AS (
         |  SELECT doc_id, i AS pos, substr(t, i::INT) AS suf
         |  FROM d JOIN n ON i <= length(t)

@@ -1655,21 +1655,34 @@ object Stats {
     require(scale >= 1000L && scale <= 100000000L,
       s"scale in [1e3,1e8], got $scale")
     val s2 = scale * scale
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // pin = persisted InternalRow RDD + rewrap (the Dedup.clusters
+    // lineage-truncation idiom): every MM round references pairs,
+    // items and the previous ratings SEVERAL times, so a lazy
+    // lineage re-runs the caller's pair-generation pipeline an
+    // exponential-in-rounds number of times (measured 19 s at sf0.1
+    // for a 5-item table; pinned: ~1 s). ContextCleaner unpersists
+    // the pins once the result is unreferenced.
+    def pin(df: DataFrame): DataFrame = {
+      val rdd = ColumnBridge.internalRdd(df).map(_.copy())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ColumnBridge.internalCreateDataFrame(df, rdd, df.schema)
+    }
     val directed = winTable.select(col(winnerCol).as("__w"),
       col(loserCol).as("__l"), col(nCol).cast("long").as("__n"))
       .filter(col("__w").isNotNull && col("__l").isNotNull &&
         col("__w") =!= col("__l") && col("__n") > 0)
     // symmetric games table + per-item win totals
-    val pairs = directed.select(col("__w").as("__i"), col("__l").as("__j"),
-        col("__n"))
+    val pairs = pin(directed
+      .select(col("__w").as("__i"), col("__l").as("__j"), col("__n"))
       .union(directed.select(col("__l").as("__i"), col("__w").as("__j"),
         col("__n")))
-      .groupBy(col("__i"), col("__j")).agg(sum(col("__n")).as("__nij"))
-    val items = pairs.groupBy(col("__i"))
+      .groupBy(col("__i"), col("__j")).agg(sum(col("__n")).as("__nij")))
+    val items = pin(pairs.groupBy(col("__i"))
       .agg(sum(col("__nij")).as("__games"))
       .join(directed.groupBy(col("__w").as("__i"))
         .agg(sum(col("__n")).as("__wins")), Seq("__i"), "left")
-      .withColumn("__wins", coalesce(col("__wins"), lit(0L)))
+      .withColumn("__wins", coalesce(col("__wins"), lit(0L))))
     val maxW = items.agg(max(col("__wins"))).head().getLong(0)
     require(maxW <= Long.MaxValue / s2,
       s"bradleyTerry: max wins $maxW overflows at scale $scale — " +
@@ -1683,11 +1696,11 @@ object Stats {
         .select(col("__i"), call_function("div",
           col("__nij") * lit(s2), col("__pi") + col("__pj")).as("__t"))
         .groupBy(col("__i")).agg(sum(col("__t")).as("__den"))
-      r = items.join(den, Seq("__i"), "left")
+      r = pin(items.join(den, Seq("__i"), "left")
         .select(col("__i"),
           when(col("__den").isNull || col("__den") === 0, lit(0L))
             .otherwise(call_function("div",
-              col("__wins") * lit(s2), col("__den"))).as("__p"))
+              col("__wins") * lit(s2), col("__den"))).as("__p")))
     }
     val tot = r.agg(sum(col("__p")).as("__tot"))
     items.join(r, Seq("__i")).crossJoin(broadcast(tot))

@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale design — prefix doubling (Manber–Myers, the classic
   * O(n log n) construction re-expressed in joins):
-  *   - round 0 ranks single characters;
+  *   - round 0 ranks fixed-width prefix blocks (8 chars — the
+  *     block strings order exactly like 8-char suffix prefixes, so
+  *     the doubling starts at width 8 and skips three rounds);
   *   - round m replaces each suffix's key by the integer PAIR
-  *     (rank of its first 2^(m-1) chars, rank of the next
-  *     2^(m-1) chars) and re-ranks — after ceil(log2 maxLen)
-  *     rounds the ranks order full suffixes lexicographically.
+  *     (rank of its first w chars, rank of the next w chars) and
+  *     re-ranks, doubling w — after ceil(log2(maxLen/8)) rounds
+  *     the ranks order full suffixes lexicographically.
   * Strings are touched ONLY in round 0; every later round shuffles
   * fixed-width integer tuples — at 100 TB no long-string comparison
   * ever crosses the wire, which is the whole point vs sorting
@@ -58,26 +60,46 @@ object SuffixArray {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (ColumnBridge.internalCreateDataFrame(df, rdd, df.schema), rdd)
     }
-    // Round 0: one row per (doc, pos) carrying ONLY that position's
-    // single character — the last time a string column exists.
-    // split(t, "") appends a trailing "" under Java split semantics
-    // (limit -1); the length filter drops it.
-    val chars = docs
+    // Round 0 ranks fixed-width prefix BLOCKS (8 chars), not single
+    // characters: block strings sort exactly like the suffixes'
+    // first min(8, len) chars (a shorter block is a prefix of a
+    // longer one only when the suffix itself ends — and prefix-
+    // shorter sorts first in both orders), so starting the doubling
+    // at width 8 is correct and saves three full rounds. This is
+    // the last time a string column exists.
+    val initWidth = math.min(16, maxLen)
+    val blocks = docs
       .select(col(idCol).as("__doc"),
         substring(col(textCol), 1, maxLen).as("__t"))
       .filter(col("__t").isNotNull && length(col("__t")) >= 1)
       .select(col("__doc"),
-        posexplode(split(col("__t"), "")).as(Seq("__i", "__ch")))
-      .filter(length(col("__ch")) >= 1)
-      .select(col("__doc"), (col("__i") + 1).as("pos"), col("__ch"))
-    var (cur, curRdd) = pin(denseRank(chars, Seq("__ch"))
+        explode(sequence(lit(1), length(col("__t")))).as("pos"),
+        col("__t"))
+      .select(col("__doc"), col("pos"),
+        expr(s"substring(__t, pos, $initWidth)").as("__blk"))
+    // Round 0 plans under the CALLER's session at full width (it is
+    // the one corpus-sized string pass); the integer doubling rounds
+    // then run on a conf-scoped session with parallelism sized to
+    // the SUFFIX TABLE (~250k rows per partition): at sf-small the
+    // fixed per-stage scheduling of 32-way shuffles dominated the
+    // round cost (the Dedup.clusters graph-width discipline), while
+    // billions of suffixes keep the session's full width.
+    val spark = docs.sparkSession
+    val (r0, r0Rdd) = pin(denseRank(blocks, Seq("__blk"))
       .select(col("__doc"), col("pos"), col("__rnk")))
-    val total = curRdd.count()
+    val total = r0Rdd.count()
+    val roundParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      total / 250000L + 1L)).toInt
+    val scoped = graft.GraftSession.scoped(spark, roundParts)
+    var cur = ColumnBridge.internalCreateDataFrame(scoped, r0Rdd, r0.schema)
+    var curRdd = r0Rdd
     var distinctRanks = cur.agg(
       (max(col("__rnk")) + 1).as("d")).head().getLong(0)
-    var width = 1L
+    var width = initWidth.toLong
     var rounds = 0
-    while (distinctRanks < total && width < maxLen.toLong &&
+    var plateau = false
+    while (distinctRanks < total && !plateau && width < maxLen.toLong &&
         rounds < maxRounds) {
       // continuation rank: the CURRENT rank of the suffix `width`
       // positions later in the same doc; absent (suffix shorter than
@@ -93,15 +115,23 @@ object SuffixArray {
         .select(col("__doc"), col("pos"), col("__rnk")))
       curRdd.unpersist()
       cur = next._1; curRdd = next._2
-      distinctRanks = cur.agg(
-        (max(col("__rnk")) + 1).as("d")).head().getLong(0)
+      val d = cur.agg((max(col("__rnk")) + 1).as("d")).head().getLong(0)
+      // ranks only ever SPLIT (the pair key refines the partition),
+      // so an unchanged class count means no pair split this round —
+      // a fixed point: the remaining ties are exact duplicate
+      // suffixes that no wider window can separate. Stop.
+      plateau = d == distinctRanks
+      distinctRanks = d
       width *= 2
       rounds += 1
     }
     // Ties can legitimately remain (identical suffix strings); once
     // width covers maxLen the ranks ARE the dense suffix order.
-    cur.select(col("__doc").as(idCol), col("pos").cast("long").as("pos"),
-      (col("__rnk") + 1).as("rnk"))
+    // Rewrap onto the CALLER's session so downstream plans keep its
+    // full width (the Dedup.clusters exit discipline).
+    ColumnBridge.internalCreateDataFrame(spark, curRdd, cur.schema)
+      .select(col("__doc").as(idCol), col("pos").cast("long").as("pos"),
+        (col("__rnk") + 1).as("rnk"))
   }
 
   /** Dense 0-based rank of `keyCols` tuples appended as `__rnk`:
