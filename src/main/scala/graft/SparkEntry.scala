@@ -6070,6 +6070,37 @@ object SparkEntry {
             col("n_chars").isNotNull),
         "source", "n_chars", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Differentially-private sum release ----
+    // q281's value companion: per-priority revenue released under
+    // clipped-contribution discrete-Laplace noise — each customer's
+    // per-priority cents clamp to ±100000, noise is the exact
+    // dyadic draw scaled by the clip ([[Stats.dpGroupSums]]).
+    "q323_dp_sums" -> ((s, dir) => {
+      orderSmall(Stats.dpGroupSums(
+        t(s, dir, "orders")
+          .filter(col("o_custkey").isNotNull &&
+            col("o_orderpriority").isNotNull &&
+            col("o_totalprice").isNotNull)
+          .withColumn("cents", cents(col("o_totalprice"))),
+        Seq("o_orderpriority"), "o_custkey", "cents",
+        clip = 100000L, seed = "dps14"),
+        col("o_orderpriority"))
+    }),
+
+    // ---- Greedy decode under the trained KN model ----
+    // The LM determinism smoke test: argmax transitions from the
+    // heaviest context, 15 steps ([[TextAnalysis.knGreedyDecode]]).
+    // The oracle replays the walk with a recursive CTE over the
+    // same SQL-built model; word-soup greedy decoding cycles — that
+    // cycle matching EXACTLY across engines is the point.
+    "q324_kn_decode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      orderSmall(TextAnalysis.knGreedyDecode(
+        TextAnalysis.trainKneserNey(docs, "text"), steps = 15),
+        col("step"))
     })
   )
 
@@ -14412,6 +14443,72 @@ object SparkEntry {
         |  CAST(q.q_ppm AS BIGINT) AS q_ppm, ord.v AS norm
         |FROM q CROSS JOIN tot
         |JOIN ord ON ord.rk = least((q.q_ppm * tot.t) // 1000000 + 1, tot.t)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q323_dp_sums" ->
+      """WITH pu AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |    greatest(least(CAST(sum(CAST(round(o_totalprice * 100)
+        |      AS BIGINT)) AS BIGINT), 100000), -100000) AS s
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2
+        |), cl AS (
+        |  SELECT o_orderpriority, CAST(sum(s) AS BIGINT) AS t
+        |  FROM pu GROUP BY 1
+        |), uu AS (
+        |  SELECT o_orderpriority, t,
+        |    ('0x' || substr(md5('dps14:' ||
+        |      coalesce(CAST(o_orderpriority AS VARCHAR), ' ')), 1, 15))
+        |      ::BIGINT AS u1,
+        |    ('0x' || substr(md5('dps14:' ||
+        |      coalesce(CAST(o_orderpriority AS VARCHAR), ' ')), 16, 15))
+        |      ::BIGINT AS u2
+        |  FROM cl
+        |)
+        |SELECT o_orderpriority,
+        |  t + 100000 * ((CASE WHEN u1 = 0 THEN 60
+        |                 ELSE 60 - length(bin(u1)) END)
+        |         - (CASE WHEN u2 = 0 THEN 60
+        |                 ELSE 60 - length(bin(u2)) END)) AS noised_sum
+        |FROM uu ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q324_kn_decode" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |), bi AS (
+        |  SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c
+        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  GROUP BY 1, 2
+        |), ctx AS (
+        |  SELECT w1, CAST(sum(c) AS BIGINT) AS cw1, count(*)::BIGINT AS fw
+        |  FROM bi GROUP BY 1
+        |), bwd AS (SELECT w2, count(*)::BIGINT AS bw FROM bi GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS alln FROM bi),
+        |model AS (
+        |  SELECT w1, w2, c,
+        |    CAST(floor(1e9 * ((greatest(c - 0.75, 0.0)
+        |      + 0.75 * fw * (bw / alln)) / cw1)) AS BIGINT) AS p
+        |  FROM bi JOIN ctx USING (w1) JOIN bwd USING (w2) CROSS JOIN tot
+        |), start AS (
+        |  SELECT w1 FROM model GROUP BY w1
+        |  ORDER BY CAST(sum(c) AS BIGINT) DESC, w1 LIMIT 1
+        |), walk(step, w) AS (
+        |  SELECT 0::BIGINT, (SELECT w1 FROM start)
+        |  UNION ALL
+        |  SELECT step + 1,
+        |    (SELECT m.w2 FROM model m WHERE m.w1 = walk.w
+        |     ORDER BY m.p DESC, m.w2 LIMIT 1)
+        |  FROM walk WHERE step < 14 AND w IS NOT NULL
+        |)
+        |SELECT walk.step, walk.w AS w1,
+        |  (SELECT m.w2 FROM model m WHERE m.w1 = walk.w
+        |   ORDER BY m.p DESC, m.w2 LIMIT 1) AS w2,
+        |  (SELECT m.p FROM model m WHERE m.w1 = walk.w
+        |   ORDER BY m.p DESC, m.w2 LIMIT 1) AS p_kn_e9
+        |FROM walk WHERE walk.w IS NOT NULL ORDER BY step""".stripMargin
   )
 }

@@ -1528,6 +1528,36 @@ object Stats {
       .drop("__true")
   }
 
+  /** Differentially-private per-key SUMS — [[dpGroupCounts]]' value
+    * release: each unit's per-key contribution is first summed then
+    * CLAMPED to [−clip, clip] (unit-level sensitivity ≤ clip for
+    * add/remove-a-unit adjacency), and the clipped key total is
+    * released with the same exact dyadic discrete-Laplace noise,
+    * scaled by clip: z = clip·(g1 − g2) with g the md5-derived
+    * Geom(1/2) draws. ε = ln 2 per key release, all integer, bit-
+    * reproducible in any engine. Output: keyCols + noised_sum. */
+  def dpGroupSums(df: DataFrame, keyCols: Seq[String], unitCol: String,
+      valueCol: String, clip: Long, seed: String): DataFrame = {
+    require(keyCols.nonEmpty && clip >= 1)
+    val perUnit = df.groupBy((unitCol +: keyCols).map(col): _*)
+      .agg(sum(col(valueCol).cast("long")).as("__s0"))
+      .withColumn("__s",
+        greatest(least(col("__s0"), lit(clip)), lit(-clip)))
+    val clipped = perUnit.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__s")).cast("long").as("__true"))
+    val keyTag = concat_ws("",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)
+    val h = md5(concat(lit(s"$seed:"), keyTag))
+    def geo(u: Column): Column =
+      when(u === 0L, lit(60L)).otherwise(lit(60L) - length(bin(u)))
+    val u1 = conv(substring(h, 1, 15), 16, 10).cast("long")
+    val u2 = conv(substring(h, 16, 15), 16, 10).cast("long")
+    clipped
+      .withColumn("noised_sum",
+        col("__true") + lit(clip) * (geo(u1) - geo(u2)))
+      .drop("__true")
+  }
+
   /** Krippendorff's alpha for NOMINAL labels with a fixed panel of
     * `raters` judges per item — the multi-rater agreement number a
     * labeling pipeline reports where Cohen's kappa (q244) stops at

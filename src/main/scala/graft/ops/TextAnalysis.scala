@@ -692,6 +692,51 @@ object TextAnalysis {
           / col("__cw1"))).cast("long").as("p_kn_e9"))
   }
 
+  /** Greedy decode under a trained Kneser–Ney model
+    * ([[trainKneserNey]] output) — the determinism smoke test every
+    * n-gram LM gets: from the heaviest context (max Σc, ties to the
+    * lexicographically first word), repeatedly take the argmax
+    * transition (ties to the first w2) for `steps` steps. Word-soup
+    * models cycle quickly — that IS the expected greedy behaviour.
+    *
+    * Decoding is inherently sequential, so this is a bounded driver
+    * loop (`steps` actions) over the CACHED vocabulary-sized model —
+    * each step is one filtered TakeOrdered(1) against the cache,
+    * never a corpus touch. Output: (step, w1, w2, p_kn_e9), ending
+    * early if a context has no outgoing transition. */
+  def knGreedyDecode(model: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 1000,
+      s"steps must sit in [1, 1000] (got $steps)")
+    val spark = model.sparkSession
+    val m = model.select(col("w1"), col("w2"), col("c"),
+      col("p_kn_e9")).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val start = m.groupBy(col("w1")).agg(sum(col("c")).as("__cw"))
+      .orderBy(col("__cw").desc, col("w1")).limit(1)
+      .select(col("w1")).collect()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String,
+      String, Long)]()
+    if (start.nonEmpty) {
+      var cur = start(0).getString(0)
+      var step = 0L
+      var dead = false
+      while (step < steps && !dead) {
+        val nxt = m.filter(col("w1") === cur)
+          .orderBy(col("p_kn_e9").desc, col("w2")).limit(1)
+          .select(col("w2"), col("p_kn_e9")).collect()
+        if (nxt.isEmpty) dead = true
+        else {
+          out += ((step, cur, nxt(0).getString(0), nxt(0).getLong(1)))
+          cur = nxt(0).getString(0)
+          step += 1
+        }
+      }
+    }
+    m.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("step", "w1", "w2", "p_kn_e9")
+  }
+
   /** Score documents under a trained Kneser–Ney model
     * ([[trainKneserNey]] output): per doc, the bigram occurrence
     * count, how many of those occurrences the model covers, and the

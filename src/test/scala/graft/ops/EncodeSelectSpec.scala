@@ -51,6 +51,51 @@ class EncodeSelectSpec extends SparkSpec {
     assert(all.length == 4)
   }
 
+  test("dpGroupSums: clipped sensitivity, deterministic dyadic noise") {
+    val rows = Seq(
+      ("u1", "k1", 50L), ("u1", "k1", 80L),  // u1 on k1: 130 -> clip 100
+      ("u2", "k1", -300L),                   // u2 on k1: -300 -> clip -100
+      ("u3", "k2", 10L)).toDF("u", "k", "v")
+    val got = Stats.dpGroupSums(rows, Seq("k"), "u", "v",
+        clip = 100L, seed = "t")
+      .as[(String, Long)].collect().toMap
+    // replay the md5 noise independently
+    def noise(key: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      def geo(hex: String): Long = {
+        val u = java.lang.Long.parseLong(hex, 16)
+        if (u == 0L) 60L else 60L - java.lang.Long.toBinaryString(u).length
+      }
+      100L * (geo(h.substring(0, 15)) - geo(h.substring(15, 30)))
+    }
+    assert(got("k1") == 100L - 100L + noise("k1")) // clipped both ways
+    assert(got("k2") == 10L + noise("k2"))
+    // determinism: same seed, same release
+    val again = Stats.dpGroupSums(rows, Seq("k"), "u", "v", 100L, "t")
+      .as[(String, Long)].collect().toMap
+    assert(again == got)
+  }
+
+  test("knGreedyDecode follows argmax transitions and stops at dead ends") {
+    // hand model: a->b (p 9), a->c (p 9, tie -> b wins), b->a (p 5),
+    // c has no outgoing edge
+    val model = Seq(
+      ("a", "b", 3L, 9L), ("a", "c", 3L, 9L), ("b", "a", 2L, 5L))
+      .toDF("w1", "w2", "c", "p_kn_e9")
+    val got = TextAnalysis.knGreedyDecode(model, steps = 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    // heaviest context: a (sum c = 6) over b (2); walk a->b->a->b->a
+    assert(got.map(r => (r._2, r._3)).toSeq ==
+      Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "a")))
+    // a dead-end start terminates the walk early
+    val dead = TextAnalysis.knGreedyDecode(
+      Seq(("z", "q", 10L, 5L)).toDF("w1", "w2", "c", "p_kn_e9"),
+      steps = 4).as[(Long, String, String, Long)].collect()
+    assert(dead.length == 1 && dead(0)._2 == "z" && dead(0)._3 == "q")
+  }
+
   test("quantileNormalize maps within-group ranks onto global order statistics") {
     // group A values 1,2,3; group B values 101,102,103 — after
     // normalization both groups map onto the SAME global values
