@@ -6101,6 +6101,56 @@ object SparkEntry {
       orderSmall(TextAnalysis.knGreedyDecode(
         TextAnalysis.trainKneserNey(docs, "text"), steps = 15),
         col("step"))
+    }),
+
+    // ---- Hierarchical (single-link) dedup levels ----
+    // The dedup POLICY explorer: one exact PPJoin at the loose
+    // threshold serves BOTH levels (tight >= 0.7, loose >= 0.3);
+    // each level's clusters come from the log-diameter CC, and
+    // single-link nesting (every tight cluster sits inside one
+    // loose cluster) is PROVEN in-query (nest_violations = 0).
+    // Light copies (prefix edit) join at both levels; heavy copies
+    // (every 8th token mutated) only at the loose level — the
+    // threshold ladder a production dedup run sweeps before fixing
+    // its cut. Oracle replays CC with a recursive closure.
+    "q325_dedup_levels" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val mutated = array_join(
+        transform(NearDedup.tokens(col("text")),
+          (w, i) => when(pmod(i + 1, lit(8)) === 0, lit("zzz"))
+            .otherwise(w)), " ")
+      val tenth = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = base
+        .union(tenth.select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("edited "), col("text")).as("text")))
+        .union(tenth.select((col("doc_id") + 2000000).as("doc_id"),
+          mutated.as("text")))
+      val pairs = NearDedup.jaccardJoin(corpus, "doc_id", "text",
+          minJaccardPpm = 300000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ids = corpus.select(col("doc_id"))
+      val lo = Dedup.clusterAssignments(pairs, ids, "doc_id")
+      val hi = Dedup.clusterAssignments(
+        pairs.filter(col("jaccard_ppm") >= 700000L), ids, "doc_id")
+      val viol = hi.select(col("doc_id"), col("cluster_id").as("__ch"))
+        .join(lo.select(col("doc_id"), col("cluster_id").as("__cl")),
+          Seq("doc_id"))
+        .groupBy(col("__ch"))
+        .agg(countDistinct(col("__cl")).as("__nlo"))
+        .agg(coalesce(sum(when(col("__nlo") > 1, 1L).otherwise(0L)),
+          lit(0L)).as("nest_violations"))
+      def hist(a: DataFrame, level: String) = a
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(level).as("level"), col("cluster_size"),
+          col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      orderSmall(hist(hi, "hi").unionByName(hist(lo, "lo"))
+        .crossJoin(broadcast(viol)),
+        col("level"), col("cluster_size"))
     })
   )
 
@@ -14509,6 +14559,80 @@ object SparkEntry {
         |   ORDER BY m.p DESC, m.w2 LIMIT 1) AS w2,
         |  (SELECT m.p FROM model m WHERE m.w1 = walk.w
         |   ORDER BY m.p DESC, m.w2 LIMIT 1) AS p_kn_e9
-        |FROM walk WHERE walk.w IS NOT NULL ORDER BY step""".stripMargin
+        |FROM walk WHERE walk.w IS NOT NULL ORDER BY step""".stripMargin,
+
+    "q325_dedup_levels" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), corpus AS (
+        |  SELECT doc_id, ws FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, list_concat(['edited'], ws)
+        |  FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    list_transform(range(1, len(ws) + 1),
+        |      i -> CASE WHEN i % 8 = 0 THEN 'zzz' ELSE ws[i] END)
+        |  FROM base WHERE doc_id % 10 = 0
+        |), t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(range(1, len(ws)-1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sh
+        |  FROM corpus
+        |), ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |sz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM t),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+        |  FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), jac AS (
+        |  SELECT id_a, id_b, (i*1000000 // (sa.n + sb.n - i)) AS j
+        |  FROM inter JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |), e_lo AS (
+        |  SELECT id_a AS a, id_b AS b FROM jac WHERE j >= 300000
+        |  UNION SELECT id_b, id_a FROM jac WHERE j >= 300000
+        |), e_hi AS (
+        |  SELECT id_a AS a, id_b AS b FROM jac WHERE j >= 700000
+        |  UNION SELECT id_b, id_a FROM jac WHERE j >= 700000
+        |), reach_lo(src, dst) AS (
+        |  SELECT a, b FROM e_lo
+        |  UNION
+        |  SELECT r.src, e.b FROM reach_lo r JOIN e_lo e ON e.a = r.dst
+        |), reach_hi(src, dst) AS (
+        |  SELECT a, b FROM e_hi
+        |  UNION
+        |  SELECT r.src, e.b FROM reach_hi r JOIN e_hi e ON e.a = r.dst
+        |), lab_lo AS (
+        |  SELECT c.doc_id,
+        |    least(c.doc_id, coalesce(min(r.dst), c.doc_id)) AS cl
+        |  FROM corpus c LEFT JOIN reach_lo r ON r.src = c.doc_id
+        |  GROUP BY c.doc_id
+        |), lab_hi AS (
+        |  SELECT c.doc_id,
+        |    least(c.doc_id, coalesce(min(r.dst), c.doc_id)) AS cl
+        |  FROM corpus c LEFT JOIN reach_hi r ON r.src = c.doc_id
+        |  GROUP BY c.doc_id
+        |), viol AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN nlo > 1 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS v
+        |  FROM (SELECT h.cl, count(DISTINCT l.cl) AS nlo
+        |        FROM lab_hi h JOIN lab_lo l USING (doc_id) GROUP BY h.cl)
+        |), hist AS (
+        |  SELECT 'hi' AS level, cnt AS cluster_size,
+        |    count(*)::BIGINT AS n_clusters
+        |  FROM (SELECT cl, count(*)::BIGINT AS cnt FROM lab_hi GROUP BY cl)
+        |  GROUP BY cnt
+        |  UNION ALL
+        |  SELECT 'lo', cnt, count(*)::BIGINT
+        |  FROM (SELECT cl, count(*)::BIGINT AS cnt FROM lab_lo GROUP BY cl)
+        |  GROUP BY cnt
+        |)
+        |SELECT level, cluster_size, n_clusters,
+        |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+        |  (SELECT v FROM viol) AS nest_violations
+        |FROM hist ORDER BY level, cluster_size""".stripMargin
   )
 }
