@@ -263,4 +263,50 @@ class NewOpsPlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"),
       s"band pairing must ride the band_key equi-join:\n$p")
   }
+
+  test("hammingNearDups64 candidates ride the band-key equi-join") {
+    val hs = (1 to 50).map(i => (i.toLong, i.toLong * 2654435761L))
+      .toDF("id", "h")
+    val p = plan(NearDedup.hammingNearDups64(hs, "id", "h"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"64-bit hamming candidates must meet in band buckets:\n$p")
+  }
+
+  test("bcubed and targetEncode are hash aggs + key joins — no window") {
+    val items = (1 to 60).map(i => (s"c${i % 7}", s"l${i % 4}"))
+      .toDF("c", "l")
+    val p1 = plan(Dedup.bcubed(items, col("c"), col("l")))
+    assert(!p1.contains("Window") && !p1.contains("CartesianProduct"),
+      s"bcubed must stay aggs+joins:\n$p1")
+    val rows = (1 to 60).map(i => (s"c${i % 5}", i.toLong, i.toLong % 3))
+      .toDF("cat", "t", "fold")
+    val p2 = plan(Stats.targetEncode(rows, "cat", "t", "fold"))
+    assert(!p2.contains("Window"), s"targetEncode must not window:\n$p2")
+    assert(p2.contains("HashAggregate"), p2)
+  }
+
+  test("contentDefined chunking is pure scan work — zero exchanges") {
+    val docs = (1 to 30).map(i => (i.toLong, s"text body $i " * 20))
+      .toDF("id", "text")
+    val p = plan(Chunk.contentDefined(docs, "id", "text"))
+    assert(!p.contains("Exchange"),
+      s"CDC chunking must not shuffle:\n$p")
+  }
+
+  test("quantileNormalize: the order-statistic lookup broadcasts the " +
+      "value-bounded histogram; the rank window is group-partitioned") {
+    val rows = (1 to 200).map(i => (s"g${i % 4}", i.toLong, (i % 37).toLong))
+      .toDF("g", "id", "v")
+    val out = Stats.quantileNormalize(rows, "g", "v", "id")
+    val p = plan(out)
+    // the non-equi rank->value lookup is INTENTIONALLY a broadcast
+    // nested loop against the histogram (bounded by the value
+    // domain, never the row count) — assert the broadcast, and that
+    // the within-group rank window carries a partition spec
+    assert(p.contains("BroadcastExchange"),
+      s"histogram lookup side must broadcast:\n$p")
+    assert(!p.contains("Window [") ||
+      p.contains("windowspecdefinition"), p)
+  }
 }
