@@ -6151,6 +6151,45 @@ object SparkEntry {
       orderSmall(hist(hi, "hi").unionByName(hist(lo, "lo"))
         .crossJoin(broadcast(viol)),
         col("level"), col("cluster_size"))
+    }),
+
+    // ---- Audio constellation fingerprint matching ----
+    // Shazam-style shift-invariant audio near-dup: frame-energy
+    // peaks → (bucket, bucket, gap) fingerprints → posting-list
+    // self-join with a containment precision filter. Copies carry a
+    // 2-frame prepend — every byte offset moves, every fingerprint
+    // survives ([[Multimodal.pcmConstellation]]). Audio = the text
+    // bytes as PCM16LE, the q88 convention the oracle re-decodes
+    // from hex.
+    "q326_audio_fingerprint" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val corpus = base
+        .union(base.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("a" * 64), col("text")).as("text")))
+        .select(col("doc_id"), col("text").cast("binary").as("pcm"))
+      val fps = Multimodal.pcmConstellation(corpus, "doc_id", "pcm",
+        frameSamples = 8)
+      val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+      val mt = fps.select(col("doc_id").as("id_a"), col("fp"))
+        .join(fps.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      orderSmall(mt
+        .join(nf.select(col("doc_id").as("id_a"), col("__n").as("__na")),
+          Seq("id_a"))
+        .join(nf.select(col("doc_id").as("id_b"), col("__n").as("__nb")),
+          Seq("id_b"))
+        .withColumn("contain_ppm",
+          expr("(1000000 * n_shared) div least(__na, __nb)"))
+        .filter(col("contain_ppm") >= 600000L)
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          col("contain_ppm")),
+        col("id_a"), col("id_b"))
     })
   )
 
@@ -14633,6 +14672,78 @@ object SparkEntry {
         |SELECT level, cluster_size, n_clusters,
         |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
         |  (SELECT v FROM viol) AS nest_violations
-        |FROM hist ORDER BY level, cluster_size""".stripMargin
+        |FROM hist ORDER BY level, cluster_size""".stripMargin,
+
+    "q326_audio_fingerprint" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, repeat('a', 64) || text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 10 = 0
+        |), v AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS len
+        |  FROM corpus
+        |), f AS (
+        |  SELECT doc_id, hx, CAST((len // 2) // 8 AS BIGINT) AS n_frames
+        |  FROM v WHERE (len // 2) // 8 >= 3
+        |), sm AS (
+        |  SELECT doc_id, n_frames,
+        |    list_transform(range(0, CAST(n_frames * 8 AS INT)), k ->
+        |      CASE WHEN ('0x' || substr(hx, 4*k + 1, 2))::BIGINT
+        |              + 256 * ('0x' || substr(hx, 4*k + 3, 2))::BIGINT
+        |              >= 32768
+        |           THEN ('0x' || substr(hx, 4*k + 1, 2))::BIGINT
+        |              + 256 * ('0x' || substr(hx, 4*k + 3, 2))::BIGINT
+        |              - 65536
+        |           ELSE ('0x' || substr(hx, 4*k + 1, 2))::BIGINT
+        |              + 256 * ('0x' || substr(hx, 4*k + 3, 2))::BIGINT
+        |      END) AS s
+        |  FROM f
+        |), e AS (
+        |  SELECT doc_id, n_frames,
+        |    list_transform(range(0, CAST(n_frames AS INT)), fr ->
+        |      CAST(list_sum(list_transform(range(0, 8), i ->
+        |        s[fr*8 + i + 1] * s[fr*8 + i + 1])) AS BIGINT)) AS en
+        |  FROM sm
+        |), pk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(range(1, CAST(n_frames AS INT) - 1),
+        |      p -> en[p+1] > en[p] AND en[p+1] > en[p+2])) AS p, en
+        |  FROM e
+        |), pe AS (
+        |  SELECT doc_id, p AS fr,
+        |    en[CAST(p AS INT) + 1] // 268435456 AS b FROM pk
+        |), ld AS (
+        |  SELECT doc_id, fr, b,
+        |    lead(b, 1) OVER w AS b1, lead(fr, 1) OVER w AS f1,
+        |    lead(b, 2) OVER w AS b2, lead(fr, 2) OVER w AS f2,
+        |    lead(b, 3) OVER w AS b3, lead(fr, 3) OVER w AS f3
+        |  FROM pe WINDOW w AS (PARTITION BY doc_id ORDER BY fr)
+        |), fp0 AS (
+        |  SELECT doc_id, b * 1000003 + b1 * 1009 + (f1 - fr) AS fp FROM ld
+        |  WHERE b1 IS NOT NULL AND f1 - fr < 1009
+        |  UNION ALL
+        |  SELECT doc_id, b * 1000003 + b2 * 1009 + (f2 - fr) FROM ld
+        |  WHERE b2 IS NOT NULL AND f2 - fr < 1009
+        |  UNION ALL
+        |  SELECT doc_id, b * 1000003 + b3 * 1009 + (f3 - fr) FROM ld
+        |  WHERE b3 IS NOT NULL AND f3 - fr < 1009
+        |), fps AS (SELECT DISTINCT doc_id, fp FROM fp0),
+        |nf AS (SELECT doc_id, count(*)::BIGINT AS n FROM fps GROUP BY 1),
+        |mt AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT id_a, id_b, n_shared,
+        |  (1000000 * n_shared) // least(na.n, nb.n) AS contain_ppm
+        |FROM mt JOIN nf na ON na.doc_id = id_a
+        |JOIN nf nb ON nb.doc_id = id_b
+        |WHERE (1000000 * n_shared) // least(na.n, nb.n) >= 600000
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

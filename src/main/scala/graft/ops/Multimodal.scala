@@ -41,6 +41,60 @@ object Multimodal {
   def firstFrame(video: Column, frameBytes: Int): Column =
     substring(video, 1, frameBytes)
 
+  /** Constellation fingerprints over PCM16 audio (the Shazam idea,
+    * Wang 2003, reduced to the energy envelope): frame energies →
+    * strict local maxima ("peaks") → hashes of (anchor bucket,
+    * target bucket, frame gap) for the next `maxGap` peaks. The
+    * gap/bucket pairs are TIME-SHIFT INVARIANT — prepending whole
+    * frames of audio moves every peak index but no gap and no
+    * bucket, so shifted copies share their fingerprints; that is
+    * what makes constellation matching the audio near-dup join.
+    *
+    * One row per distinct (idCol, fp). Scale: the energy kernel is
+    * the codegen'd one-pass [[graft.codecs.Pcm16FrameEnergy]]; peak
+    * pairing rides doc-partitioned windows (a doc's frames bound
+    * the partition); matching is a hash self-join on fp — posting
+    * lists, never all-pairs.
+    *
+    * `bucketShift` coarsens energies (`energy >> bucketShift`) so
+    * small amplitude wobble keeps the bucket; fp packs
+    * bucket_a·1000003 + bucket_b·1009 + gap (unique while
+    * bucket < 991 and gap < 1009 — enforced). */
+  def pcmConstellation(df: org.apache.spark.sql.DataFrame,
+      idCol: String, pcmCol: String, frameSamples: Int = 16,
+      bucketShift: Int = 28, maxGap: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    require(frameSamples >= 2 && bucketShift >= 0 && bucketShift <= 40)
+    require(maxGap >= 1 && maxGap <= 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__fr"))
+    val frames = df.select(col(idCol).as("__id"),
+        posexplode(graft.functions.GraftFunctions.pcm16FrameEnergy(
+          col(pcmCol), frameSamples)).as(Seq("__fr", "__e")))
+    val peaks = frames
+      .withColumn("__pe", lag(col("__e"), 1).over(w))
+      .withColumn("__ne", lead(col("__e"), 1).over(w))
+      .filter(col("__pe").isNotNull && col("__ne").isNotNull &&
+        col("__e") > col("__pe") && col("__e") > col("__ne"))
+      .select(col("__id"), col("__fr"),
+        shiftrightunsigned(col("__e"), bucketShift).as("__b"))
+      .withColumn("__b", when(col("__b") >= 991,
+        raise_error(lit("pcmConstellation: energy bucket >= 991 — " +
+          "raise bucketShift"))).otherwise(col("__b")))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__fr"))
+    (1 to maxGap).map { k =>
+      peaks
+        .withColumn("__tb", lead(col("__b"), k).over(wp))
+        .withColumn("__tf", lead(col("__fr"), k).over(wp))
+        .filter(col("__tb").isNotNull &&
+          col("__tf") - col("__fr") < 1009)
+        .select(col("__id").as(idCol),
+          (col("__b") * 1000003L + col("__tb") * 1009L +
+            (col("__tf") - col("__fr"))).as("fp"))
+    }.reduce(_.unionByName(_)).distinct()
+  }
+
   /** 64-bit difference hash (dHash, the standard perceptual image
     * fingerprint): over a row-major 8×9 grayscale thumbnail, bit
     * k = (row k/8, col k%8) is 1 iff pixel[r][c] > pixel[r][c+1] —

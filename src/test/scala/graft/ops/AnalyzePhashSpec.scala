@@ -48,6 +48,30 @@ class AnalyzePhashSpec extends SparkSpec {
     assert(h == 1L)
   }
 
+  test("pcmConstellation: fingerprints are whole-frame shift invariant") {
+    // PCM16LE bytes from sample values; frame = 8 samples
+    def pcm(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap(v => Seq((v & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte)).toArray
+    // energy profile across frames: quiet / LOUD / quiet / LOUD /
+    // quiet / louder / quiet — three interior peaks
+    val frames = Seq(10, 3000, 20, 5000, 30, 8000, 40)
+    val samples = frames.flatMap(a => Seq.fill(8)(a))
+    val shifted = Seq.fill(16)(0) ++ samples // +2 whole frames
+    val df = Seq((1L, pcm(samples)), (2L, pcm(shifted)))
+      .toDF("id", "pcm")
+    val fps = Multimodal.pcmConstellation(df, "id", "pcm",
+        frameSamples = 8)
+      .as[(Long, Long)].collect()
+    val a = fps.filter(_._1 == 1L).map(_._2).toSet
+    val b = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert(a.nonEmpty)
+    // the original's fingerprints all survive the 2-frame shift
+    assert(a.subsetOf(b), s"lost fingerprints: ${a.diff(b)}")
+    // 3 peaks -> pairs (1,2),(1,3),(2,3) = 3 fingerprints
+    assert(a.size == 3)
+  }
+
   test("hammingNearDups64 equals brute force and honors the pigeonhole bound") {
     var st = 7L
     def next(): Long = {
