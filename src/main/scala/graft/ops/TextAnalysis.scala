@@ -708,31 +708,42 @@ object TextAnalysis {
     require(steps >= 1 && steps <= 1000,
       s"steps must sit in [1, 1000] (got $steps)")
     val spark = model.sparkSession
-    val m = model.select(col("w1"), col("w2"), col("c"),
-      col("p_kn_e9")).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val start = m.groupBy(col("w1")).agg(sum(col("c")).as("__cw"))
-      .orderBy(col("__cw").desc, col("w1")).limit(1)
-      .select(col("w1")).collect()
+    // ONE distributed pass reduces the model to its greedy policy —
+    // per context, the argmax transition (min_by over (−p, w2): p
+    // desc, then w2 asc — deterministic) plus the context weight.
+    // That table is vocabulary-bounded by construction (one row per
+    // w1), so collecting it is the same bounded-driver contract as
+    // k-means centroids; the walk itself is then pure driver map
+    // lookups (greedy decoding is inherently sequential). The old
+    // shape paid one cluster action per STEP.
+    val policy = model
+      .groupBy(col("w1"))
+      .agg(sum(col("c")).as("__cw"),
+        min_by(struct(col("w2"), col("p_kn_e9")),
+          struct((-col("p_kn_e9")).as("a"), col("w2").as("b")))
+          .as("__best"))
+      .select(col("w1"), col("__cw"), col("__best.w2").as("__w2"),
+        col("__best.p_kn_e9").as("__p"))
+      .collect()
     val out = scala.collection.mutable.ArrayBuffer[(Long, String,
       String, Long)]()
-    if (start.nonEmpty) {
-      var cur = start(0).getString(0)
+    if (policy.nonEmpty) {
+      val best = policy.map(r =>
+        r.getString(0) -> ((r.getString(2), r.getLong(3)))).toMap
+      var cur = policy.minBy(r => (-r.getLong(1), r.getString(0)))
+        .getString(0)
       var step = 0L
       var dead = false
       while (step < steps && !dead) {
-        val nxt = m.filter(col("w1") === cur)
-          .orderBy(col("p_kn_e9").desc, col("w2")).limit(1)
-          .select(col("w2"), col("p_kn_e9")).collect()
-        if (nxt.isEmpty) dead = true
-        else {
-          out += ((step, cur, nxt(0).getString(0), nxt(0).getLong(1)))
-          cur = nxt(0).getString(0)
-          step += 1
+        best.get(cur) match {
+          case None => dead = true
+          case Some((w2, p)) =>
+            out += ((step, cur, w2, p))
+            cur = w2
+            step += 1
         }
       }
     }
-    m.unpersist()
     import spark.implicits._
     out.toSeq.toDF("step", "w1", "w2", "p_kn_e9")
   }
