@@ -6190,6 +6190,31 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("n_shared"),
           col("contain_ppm")),
         col("id_a"), col("id_b"))
+    }),
+
+    // ---- Video keyframe selection by inter-frame energy delta ----
+    // The q37 frame-sampling story completed with CONTENT-driven
+    // selection: a frame is a keyframe when its energy jumps more
+    // than 2e9 from the previous frame (scene-cut detection reduced
+    // to the fixed-layout contract). Pure composition: the codegen
+    // energy kernel + a doc-partitioned lag — no new machinery, no
+    // corpus-order window.
+    "q327_video_keyframes" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("fr"))
+      t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(GraftFunctions.pcm16FrameEnergy(
+            col("text").cast("binary"), 16)).as(Seq("fr", "e")))
+        .withColumn("__prev", lag(col("e"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .withColumn("__key", abs(col("e") - col("__prev")) > 2000000000L)
+        .groupBy(col("doc_id"))
+        .agg((max(col("fr")) + 1).cast("long").as("n_frames"),
+          sum(when(col("__key"), 1L).otherwise(0L)).as("n_keyframes"),
+          min(when(col("__key"), col("fr"))).cast("long").as("first_key"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -14744,6 +14769,45 @@ object SparkEntry {
         |FROM mt JOIN nf na ON na.doc_id = id_a
         |JOIN nf nb ON nb.doc_id = id_b
         |WHERE (1000000 * n_shared) // least(na.n, nb.n) >= 600000
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q327_video_keyframes" ->
+      """WITH v AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |), f AS (
+        |  SELECT doc_id, hx, CAST((len // 2) // 16 AS BIGINT) AS n_frames
+        |  FROM v WHERE (len // 2) // 16 >= 2
+        |), sm AS (
+        |  SELECT doc_id, n_frames,
+        |    list_transform(range(0, CAST(n_frames * 16 AS INT)), k ->
+        |      CASE WHEN ('0x' || substr(hx, 4*k + 1, 2))::BIGINT
+        |              + 256 * ('0x' || substr(hx, 4*k + 3, 2))::BIGINT
+        |              >= 32768
+        |           THEN ('0x' || substr(hx, 4*k + 1, 2))::BIGINT
+        |              + 256 * ('0x' || substr(hx, 4*k + 3, 2))::BIGINT
+        |              - 65536
+        |           ELSE ('0x' || substr(hx, 4*k + 1, 2))::BIGINT
+        |              + 256 * ('0x' || substr(hx, 4*k + 3, 2))::BIGINT
+        |      END) AS s
+        |  FROM f
+        |), e AS (
+        |  SELECT doc_id, n_frames,
+        |    list_transform(range(0, CAST(n_frames AS INT)), fr ->
+        |      CAST(list_sum(list_transform(range(0, 16), i ->
+        |        s[fr*16 + i + 1] * s[fr*16 + i + 1])) AS BIGINT)) AS en
+        |  FROM sm
+        |), d AS (
+        |  SELECT doc_id, n_frames, fr, en[CAST(fr AS INT) + 1] AS cur,
+        |    en[CAST(fr AS INT)] AS prev
+        |  FROM e, unnest(range(1, CAST(n_frames AS INT))) AS t(fr)
+        |)
+        |SELECT doc_id, CAST(max(n_frames) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN abs(cur - prev) > 2000000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keyframes,
+        |  CAST(min(CASE WHEN abs(cur - prev) > 2000000000 THEN fr END)
+        |    AS BIGINT) AS first_key
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
