@@ -5935,24 +5935,51 @@ object SparkEntry {
     // 64-dim neighbour? On these random synthetic embeddings the
     // honest answer is "almost never" — the audit exists to MEASURE
     // that before anyone ships truncated vectors.
+    //
+    // INTEGER-EXACT contract (r15): components quantize to
+    // floor(double(f4)·1e6) — exact in IEEE double, identical in
+    // every engine — then dot/norms are BIGINT sums, isqrt =
+    // floor(sqrt(exact-int)) (IEEE sqrt is correctly rounded and the
+    // true root of a non-square BIGINT < 2^53 is never within half
+    // an ulp of an integer, so the floor is engine-independent), and
+    // the rank key ((d + 2·den)·1e5) div den is pure integer
+    // arithmetic with a positive numerator (Cauchy–Schwarz gives
+    // d ≥ -(denq+1)(denc+1) » -2·den). No float fold order or libm
+    // divide can flip a neighbour across engines — the r14 driver
+    // red was a floor(float-cosine·1e6) tie evaluated differently
+    // by a different DuckDB build.
     "q316_dim_ablation" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 50)
-      def nn(d: Option[Int]): DataFrame = {
-        val trunc = (f: DataFrame) => d match {
-          case Some(k) => f.select(col("vec_id"),
-            slice(col("embedding"), 1, k).as("embedding"))
-          case None => f.select(col("vec_id"), col("embedding"))
-        }
-        AnnSearch.bruteForceTopK(trunc(q), trunc(e), "vec_id", "vec_id",
-            "embedding", k = 2)
+      val qz = t(s, dir, "embeddings").filter(col("vec_id").isNotNull)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000d).cast("long"))
+            .as("qv"))
+      def nn(d: Int): DataFrame = {
+        val cc = qz.select(col("vec_id").as("cid"),
+          slice(col("qv"), 1, d).as("ce"))
+        val qq = qz.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), slice(col("qv"), 1, d).as("qe"))
+        val keyed = cc.crossJoin(broadcast(qq))
           .filter(col("cid") =!= col("qid"))
-          .groupBy(col("qid"))
-          .agg(min_by(col("cid"), col("rank")).as("nn"))
+          .withColumn("d", aggregate(
+            zip_with(col("qe"), col("ce"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("den", greatest(
+            floor(sqrt(aggregate(col("qe"), lit(0L),
+              (acc, x) => acc + x * x).cast("double"))).cast("long") *
+            floor(sqrt(aggregate(col("ce"), lit(0L),
+              (acc, x) => acc + x * x).cast("double"))).cast("long"),
+            lit(1L)))
+          .withColumn("key", expr("((d + 2 * den) * 100000) div den"))
+        keyed.withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("key").desc, col("cid"))))
+          .filter(col("rk") === 1)
+          .select(col("qid"), col("cid").as("nn"))
       }
-      val full = nn(None).select(col("qid"), col("nn").as("fnn"))
+      val full = nn(64).select(col("qid"), col("nn").as("fnn"))
       val perDim = Seq(4, 8, 16).map { d =>
-        nn(Some(d)).join(full, Seq("qid"))
+        nn(d).join(full, Seq("qid"))
           .agg(lit(d).as("dim"), count(lit(1)).as("n_q"),
             sum(when(col("nn") === col("fnn"), 1L).otherwise(0L))
               .as("n_agree"))
@@ -14189,84 +14216,49 @@ object SparkEntry {
 
     "q316_dim_ablation" ->
       """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-        |  FROM embeddings
-        |), q AS (SELECT * FROM e WHERE vec_id < 50),
-        |pfull AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |    CAST(floor(
-        |      list_reduce(list_transform(range(1, 65),
-        |        i -> q.emb[i] * c.emb[i]), (a, b) -> a + b)
-        |      / (sqrt(list_reduce(list_transform(range(1, 65),
-        |          i -> q.emb[i] * q.emb[i]), (a, b) -> a + b))
-        |       * sqrt(list_reduce(list_transform(range(1, 65),
-        |          i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)))
-        |      * 1000000) AS BIGINT) AS cos_m
-        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id
-        |), nfull AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-        |      ORDER BY cos_m DESC, cid) AS rk FROM pfull) WHERE rk = 1
-        |), pd4 AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |    CAST(floor(
-        |      list_reduce(list_transform(range(1, 5),
-        |        i -> q.emb[i] * c.emb[i]), (a, b) -> a + b)
-        |      / (sqrt(list_reduce(list_transform(range(1, 5),
-        |          i -> q.emb[i] * q.emb[i]), (a, b) -> a + b))
-        |       * sqrt(list_reduce(list_transform(range(1, 5),
-        |          i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)))
-        |      * 1000000) AS BIGINT) AS cos_m
-        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id
-        |), nd4 AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-        |      ORDER BY cos_m DESC, cid) AS rk FROM pd4) WHERE rk = 1
-        |), pd8 AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |    CAST(floor(
-        |      list_reduce(list_transform(range(1, 9),
-        |        i -> q.emb[i] * c.emb[i]), (a, b) -> a + b)
-        |      / (sqrt(list_reduce(list_transform(range(1, 9),
-        |          i -> q.emb[i] * q.emb[i]), (a, b) -> a + b))
-        |       * sqrt(list_reduce(list_transform(range(1, 9),
-        |          i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)))
-        |      * 1000000) AS BIGINT) AS cos_m
-        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id
-        |), nd8 AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-        |      ORDER BY cos_m DESC, cid) AS rk FROM pd8) WHERE rk = 1
-        |), pd16 AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |    CAST(floor(
-        |      list_reduce(list_transform(range(1, 17),
-        |        i -> q.emb[i] * c.emb[i]), (a, b) -> a + b)
-        |      / (sqrt(list_reduce(list_transform(range(1, 17),
-        |          i -> q.emb[i] * q.emb[i]), (a, b) -> a + b))
-        |       * sqrt(list_reduce(list_transform(range(1, 17),
-        |          i -> c.emb[i] * c.emb[i]), (a, b) -> a + b)))
-        |      * 1000000) AS BIGINT) AS cos_m
-        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.vec_id
-        |), nd16 AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-        |      ORDER BY cos_m DESC, cid) AS rk FROM pd16) WHERE rk = 1
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |), dims(dim) AS (VALUES (4), (8), (16), (64)),
+        |pairs AS (
+        |  SELECT d.dim, q.vec_id AS qid, c.vec_id AS cid,
+        |    list_reduce(list_transform(range(1, 65), i ->
+        |      CASE WHEN i <= d.dim THEN q.qv[i] * c.qv[i]
+        |           ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b) AS dp,
+        |    greatest(
+        |      CAST(floor(sqrt(CAST(list_reduce(list_transform(range(1, 65),
+        |        i -> CASE WHEN i <= d.dim THEN q.qv[i] * q.qv[i]
+        |             ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)
+        |        AS DOUBLE))) AS BIGINT)
+        |      * CAST(floor(sqrt(CAST(list_reduce(list_transform(range(1, 65),
+        |        i -> CASE WHEN i <= d.dim THEN c.qv[i] * c.qv[i]
+        |             ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)
+        |        AS DOUBLE))) AS BIGINT),
+        |      CAST(1 AS BIGINT)) AS den
+        |  FROM e c
+        |  CROSS JOIN (SELECT * FROM e WHERE vec_id < 50) q
+        |  CROSS JOIN dims d
+        |  WHERE c.vec_id <> q.vec_id
+        |), keyed AS (
+        |  SELECT dim, qid, cid,
+        |    ((dp + 2 * den) * 100000) // den AS key
+        |  FROM pairs
+        |), nn AS (
+        |  SELECT dim, qid, cid FROM (
+        |    SELECT dim, qid, cid, row_number() OVER (
+        |      PARTITION BY dim, qid ORDER BY key DESC, cid) AS rk
+        |    FROM keyed) WHERE rk = 1
+        |), full_nn AS (
+        |  SELECT qid, cid AS fnn FROM nn WHERE dim = 64
         |)
-        |SELECT dim, count(*) AS n_q,
-        |  CAST(sum(CASE WHEN nn = fnn THEN 1 ELSE 0 END) AS BIGINT)
+        |SELECT a.dim, count(*) AS n_q,
+        |  CAST(sum(CASE WHEN a.cid = f.fnn THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_agree,
-        |  (1000000 * sum(CASE WHEN nn = fnn THEN 1 ELSE 0 END))
-        |    // count(*) AS agree_ppm
-        |FROM (
-        |  SELECT 4 AS dim, a.qid, a.cid AS nn, f.cid AS fnn
-        |  FROM nd4 a JOIN nfull f USING (qid)
-        |  UNION ALL
-        |  SELECT 8, a.qid, a.cid, f.cid FROM nd8 a JOIN nfull f USING (qid)
-        |  UNION ALL
-        |  SELECT 16, a.qid, a.cid, f.cid
-        |  FROM nd16 a JOIN nfull f USING (qid)
-        |) GROUP BY dim ORDER BY dim""".stripMargin,
+        |  CAST((1000000 * sum(CASE WHEN a.cid = f.fnn THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS agree_ppm
+        |FROM nn a JOIN full_nn f USING (qid)
+        |WHERE a.dim < 64
+        |GROUP BY a.dim ORDER BY a.dim""".stripMargin,
 
     "q317_analyze_table" ->
       """WITH basic AS (
@@ -14372,22 +14364,22 @@ object SparkEntry {
         |  FROM documents
         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |    AND doc_id % 40 = 0 AND length(text) >= 60
-        |), pw AS (
-        |  SELECT j, CAST(pj AS BIGINT) AS pj FROM (VALUES (0,1),(1,257),
-        |    (2,66049),(3,16974593),(4,362470373),(5,154885210),
-        |    (6,805498697),(7,13163680),(8,383065739),(9,447894237),
-        |    (10,108818104),(11,966252539),(12,326900787),(13,13501671),
-        |    (14,469929426),(15,771861642)) AS v(j, pj)
-        |), n AS (SELECT unnest(range(1, 4001)) AS i),
+        |), kv AS (
+        |  SELECT j, CAST(pj AS BIGINT) AS pj FROM (VALUES
+        |    (0,771861642),(1,469929426),(2,13501671),(3,326900787),
+        |    (4,966252539),(5,108818104),(6,447894237),(7,383065739),
+        |    (8,13163680),(9,805498697),(10,154885210),(11,362470373),
+        |    (12,16974593),(13,66049),(14,257),(15,1)) AS v(j, pj)
+        |), n AS (SELECT unnest(range(1,
+        |    (SELECT max(length(text)) + 1 FROM cid))) AS i),
         |pos AS (
         |  SELECT doc_id, text, i::INT AS p
         |  FROM cid JOIN n ON i <= length(text)
         |), h AS (
         |  SELECT doc_id, text, p,
-        |    CAST(sum(CAST(ascii(substr(text, p - 15 + k.j, 1)) AS BIGINT)
-        |      * pw.pj) AS BIGINT) % 1000000007 AS hv
-        |  FROM pos, (SELECT unnest(range(0, 16)) AS j) k
-        |    JOIN pw ON pw.j = 15 - k.j
+        |    CAST(sum(CAST(ascii(substr(text, p - 15 + kv.j, 1)) AS BIGINT)
+        |      * kv.pj) AS BIGINT) % 1000000007 AS hv
+        |  FROM pos CROSS JOIN kv
         |  WHERE pos.p >= 16 GROUP BY 1, 2, 3
         |), ends AS (
         |  SELECT DISTINCT doc_id, text, p AS e FROM h WHERE hv % 64 = 0
@@ -14410,8 +14402,8 @@ object SparkEntry {
         |SELECT c.source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN co.doc_id IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_contam,
-        |  (1000000 * sum(CASE WHEN co.doc_id IS NOT NULL THEN 1 ELSE 0 END))
-        |    // count(*) AS contam_ppm
+        |  CAST((1000000 * sum(CASE WHEN co.doc_id IS NOT NULL THEN 1
+        |    ELSE 0 END)) // count(*) AS BIGINT) AS contam_ppm
         |FROM cid c LEFT JOIN contam co USING (doc_id)
         |WHERE c.doc_id < 1000000
         |GROUP BY 1 ORDER BY source""".stripMargin,
