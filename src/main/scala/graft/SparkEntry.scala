@@ -6183,11 +6183,14 @@ object SparkEntry {
     // ---- Audio constellation fingerprint matching ----
     // Shazam-style shift-invariant audio near-dup: frame-energy
     // peaks → (bucket, bucket, gap) fingerprints → posting-list
-    // self-join with a containment precision filter. Copies carry a
-    // 2-frame prepend — every byte offset moves, every fingerprint
-    // survives ([[Multimodal.pcmConstellation]]). Audio = the text
-    // bytes as PCM16LE, the q88 convention the oracle re-decodes
-    // from hex.
+    // self-join with a containment precision filter AND the hot-fp
+    // posting cap (fps held by >256 ids are non-discriminative and
+    // dropped on BOTH sides — [[Multimodal.constellationMatches]];
+    // the cap genuinely fires at sf0.1, max posting there is 564).
+    // Copies carry a 2-frame prepend — every byte offset moves,
+    // every fingerprint survives ([[Multimodal.pcmConstellation]]).
+    // Audio = the text bytes as PCM16LE, the q88 convention the
+    // oracle re-decodes from hex.
     "q326_audio_fingerprint" -> ((s, dir) => {
       val base = t(s, dir, "documents")
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
@@ -6199,23 +6202,8 @@ object SparkEntry {
         .select(col("doc_id"), col("text").cast("binary").as("pcm"))
       val fps = Multimodal.pcmConstellation(corpus, "doc_id", "pcm",
         frameSamples = 8)
-      val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
-      val mt = fps.select(col("doc_id").as("id_a"), col("fp"))
-        .join(fps.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 3)
-      orderSmall(mt
-        .join(nf.select(col("doc_id").as("id_a"), col("__n").as("__na")),
-          Seq("id_a"))
-        .join(nf.select(col("doc_id").as("id_b"), col("__n").as("__nb")),
-          Seq("id_b"))
-        .withColumn("contain_ppm",
-          expr("(1000000 * n_shared) div least(__na, __nb)"))
-        .filter(col("contain_ppm") >= 600000L)
-        .select(col("id_a"), col("id_b"), col("n_shared"),
-          col("contain_ppm")),
+      orderSmall(Multimodal.constellationMatches(fps, "doc_id",
+          minShared = 3L, minContainPpm = 600000L, maxPosting = 256L),
         col("id_a"), col("id_b"))
     }),
 
@@ -14749,11 +14737,14 @@ object SparkEntry {
         |  SELECT doc_id, b * 1000003 + b3 * 1009 + (f3 - fr) FROM ld
         |  WHERE b3 IS NOT NULL AND f3 - fr < 1009
         |), fps AS (SELECT DISTINCT doc_id, fp FROM fp0),
-        |nf AS (SELECT doc_id, count(*)::BIGINT AS n FROM fps GROUP BY 1),
+        |keptfp AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 256
+        |), kept AS (SELECT fps.* FROM fps JOIN keptfp USING (fp)),
+        |nf AS (SELECT doc_id, count(*)::BIGINT AS n FROM kept GROUP BY 1),
         |mt AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    count(*)::BIGINT AS n_shared
-        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2 HAVING count(*) >= 3
         |)
         |SELECT id_a, id_b, n_shared,

@@ -95,6 +95,55 @@ object Multimodal {
     }.reduce(_.unionByName(_)).distinct()
   }
 
+  /** Posting-capped constellation match join: the self-join stage of
+    * audio fingerprint matching, with the standard hot-hash guard.
+    * Fingerprints held by more than `maxPosting` distinct ids are
+    * dropped BEFORE the join — a silent/constant-tone fp shared by
+    * millions of clips is non-discriminative (it matches everything)
+    * and, uncapped, makes the posting self-join quadratic in the
+    * hottest list at 100 TB. Same doctrine as
+    * [[NearDedup.hammingNearDups64]]'s `maxBucket` and the LSH bucket
+    * caps. Both `n_shared` and the containment denominator count only
+    * the kept (discriminative) fingerprints, so the score stays
+    * self-consistent under the cap.
+    *
+    * Input: one row per distinct (idCol, fp) — [[pcmConstellation]]'s
+    * output shape. Output: (id_a, id_b, n_shared, contain_ppm) with
+    * n_shared >= minShared and contain_ppm >= minContainPpm, where
+    * contain_ppm = 1e6·n_shared div min(|fps_a|, |fps_b|) over kept
+    * fps. Scale: posting counts ride a window partitioned by fp —
+    * the exact partitioning the equi-join needs next, so the cap adds
+    * no extra corpus exchange; the join carries posting lists, never
+    * all-pairs. */
+  def constellationMatches(fps: org.apache.spark.sql.DataFrame,
+      idCol: String, minShared: Long = 3L, minContainPpm: Long = 600000L,
+      maxPosting: Long = 256L): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1 && minContainPpm >= 0 && maxPosting >= 1,
+      "constellationMatches: minShared>=1, minContainPpm>=0, maxPosting>=1")
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+    val kept = fps.select(col(idCol).as("__id"), col("fp"))
+      .withColumn("__pc", count(lit(1)).over(wf))
+      .filter(col("__pc") <= maxPosting)
+      .drop("__pc")
+    val nf = kept.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val mt = kept.select(col("__id").as("id_a"), col("fp"))
+      .join(kept.select(col("__id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    mt.join(nf.select(col("__id").as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(nf.select(col("__id").as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
+      .withColumn("contain_ppm",
+        expr("(1000000 * n_shared) div least(__na, __nb)"))
+      .filter(col("contain_ppm") >= minContainPpm)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("contain_ppm"))
+  }
+
   /** 64-bit difference hash (dHash, the standard perceptual image
     * fingerprint): over a row-major 8×9 grayscale thumbnail, bit
     * k = (row k/8, col k%8) is 1 iff pixel[r][c] > pixel[r][c+1] —

@@ -83,4 +83,28 @@ class MultimodalSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(got == Seq(3L, 0L, 1L))
   }
+  test("constellationMatches: hot fingerprints are dropped by maxPosting") {
+    // fp 111 is "silence" — held by every id (posting list 4 > cap 2);
+    // fps 201..204 are discriminative and shared only by ids 1 and 2.
+    val hot = (1L to 4L).map(id => (id, 111L))
+    val disc = Seq(201L, 202L, 203L, 204L).flatMap(fp =>
+      Seq((1L, fp), (2L, fp)))
+    val lone = Seq((3L, 301L), (4L, 401L)) // so every id keeps some fps
+    val fps = (hot ++ disc ++ lone).toDF("doc_id", "fp")
+    val capped = Multimodal.constellationMatches(fps, "doc_id",
+        minShared = 3L, minContainPpm = 600000L, maxPosting = 2L)
+      .collect()
+    // only (1,2) survives: 4 shared kept fps, containment 4/4
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+    assert(capped.head.getLong(2) == 4L)      // n_shared excludes fp 111
+    assert(capped.head.getLong(3) == 1000000L) // denominators exclude it too
+    // uncapped, the hot fp inflates every pair's candidate set: with a
+    // high cap the (1,2) pair counts 5 shared fps
+    val open = Multimodal.constellationMatches(fps, "doc_id",
+        minShared = 3L, minContainPpm = 0L, maxPosting = 100L)
+      .collect()
+    val p12 = open.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(p12.getLong(2) == 5L)
+  }
 }
