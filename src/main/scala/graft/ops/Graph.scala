@@ -876,14 +876,31 @@ object Graph {
     * arrives as a broadcast 1-row aggregate, never a driver action;
     * the mode flag's window partitions by src over the k²-row grid.
     * Overflow: (w + α)·1e6 must fit a Long — w ≤ 9.2e12 transitions
-    * per cell, comfortable at any corpus this engine targets. */
+    * per cell, comfortable at any corpus this engine targets.
+    *
+    * `maxStates` guards the dense k×k grid: the state alphabet is
+    * categorical BY CONTRACT (event types, session stages), and the
+    * crossJoin densification is quadratic in it — passing a
+    * high-cardinality column (user ids, urls) would silently build a
+    * billions-row grid. The guard is the repo's bounded-action
+    * doctrine: a `limit(maxStates+1).count()` over the distinct
+    * states (edge-table-sized, already persisted upstream) fails
+    * fast BEFORE any k×k work is scheduled. */
   def transitionProbs(events: DataFrame, keyCol: String, typeCol: String,
-      orderCol: Column, tieCol: Column, alpha: Long = 1L): DataFrame = {
+      orderCol: Column, tieCol: Column, alpha: Long = 1L,
+      maxStates: Int = 10000): DataFrame = {
     require(alpha >= 1, s"alpha must be >= 1 (got $alpha)")
+    require(maxStates >= 1 && maxStates < Int.MaxValue,
+      s"maxStates must be in [1, 2^31-2] (got $maxStates)")
     val e = transitionEdges(events, keyCol, typeCol, orderCol, tieCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val states = e.select(col("src").as("st"))
       .union(e.select(col("dst"))).distinct()
+    val nStates = states.limit(maxStates + 1).count()
+    require(nStates <= maxStates,
+      s"transitionProbs: state alphabet exceeds maxStates=$maxStates — " +
+        "the k×k grid is quadratic in the alphabet; pass a categorical " +
+        "type column or raise maxStates explicitly")
     val kdf = states.agg(count(lit(1)).as("k"))
     val rt = e.groupBy(col("src")).agg(sum(col("w")).as("rt"))
     val grid = states.select(col("st").as("src"))

@@ -247,6 +247,23 @@ class GraphMiningSpec extends SparkSpec {
     }
   }
 
+  test("transitionProbs: over-wide alphabet refused before densifying") {
+    import spark.implicits._
+    // 5 distinct states > maxStates=3 — must fail fast with the cap
+    // in the message, never scheduling the k*k grid.
+    val ev = (1 to 5).map(i => (1L, s"s$i", i * 10L, 100L + i))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.transitionProbs(ev, "user_id", "event_type",
+        col("ts"), col("event_id"), maxStates = 3)
+    }
+    assert(ex.getMessage.contains("maxStates=3"))
+    // at the cap boundary it still runs (k = 5 == maxStates)
+    val ok = Graph.transitionProbs(ev, "user_id", "event_type",
+      col("ts"), col("event_id"), maxStates = 5)
+    assert(ok.count() == 25L)
+  }
+
   test("modularity moments: two clean triangles give Q = 1/2") {
     import spark.implicits._
     val edges = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L),
