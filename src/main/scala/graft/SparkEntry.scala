@@ -6230,6 +6230,47 @@ object SparkEntry {
           sum(when(col("__key"), 1L).otherwise(0L)).as("n_keyframes"),
           min(when(col("__key"), col("fr"))).cast("long").as("first_key"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Petastorm `compressed_ndarray` WRITE interop ----
+    // The last interop sliver: cells encode as genuine
+    // `np.savez_compressed` zip containers ([[graft.codecs.NpzCodec]]
+    // — reference codecs.py:188-199), the pickled Unischema carries
+    // CompressedNdarrayCodec, and unmodified petastorm's decode
+    // (np.load(memfile)['arr']) opens them — the cross-language leg
+    // is tools/check_petastorm_store.py on this store. This q-row
+    // proves the Spark round trip BOTH ways: the raw leg checks the
+    // cell is a real zip (PK magic) whose npy member has the declared
+    // descr+shape; the decoded leg re-opens the store with ZERO
+    // schema declarations (auto-schema from the pickle → npz unwrap →
+    // npy decode) and checks every value arithmetically.
+    "q328_npz_write_interop" -> ((s, dir) => {
+      import graft.functions.{GraftFunctions => GF}
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val schema = GraftSchema("DocsNpz", Seq(
+        FieldSpec("doc_id", org.apache.spark.sql.types.LongType,
+          codec = Some(CodecSpec("scalar"))),
+        FieldSpec("feat", org.apache.spark.sql.types.IntegerType,
+          shape = Seq(6, 4),
+          codec = Some(CodecSpec("compressed_ndarray")))))
+      val src = docs.select(col("doc_id"),
+        transform(sequence(lit(0), lit(23)),
+          i => pmod(col("doc_id") * 13 + i * 7, lit(997)).cast("int"))
+          .as("feat"))
+      val url = sys.props("java.io.tmpdir") + "/graft_q328_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Materialize.materializePetastorm(src, url, schema,
+        partitions = Some(4))
+      val raw = s.read.parquet(url).select(col("doc_id"),
+        hex(substring(col("feat"), 1, 2)).as("zip_magic"),
+        GF.npyDescr(GF.npzUnwrap(col("feat"))).as("descr"),
+        GF.npyShape(GF.npzUnwrap(col("feat")))(0).as("d0"),
+        GF.npyShape(GF.npzUnwrap(col("feat")))(1).as("d1"))
+      val dec = GraftRead.reader(s, url).load()
+        .select(col("doc_id"),
+          size(col("feat")).cast("long").as("n"),
+          GF.arraySumLong(col("feat")).as("fsum"))
+      raw.join(dec, Seq("doc_id")).orderBy(col("doc_id"))
     })
   )
 
@@ -14791,6 +14832,15 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keyframes,
         |  CAST(min(CASE WHEN abs(cur - prev) > 2000000000 THEN fr END)
         |    AS BIGINT) AS first_key
-        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q328_npz_write_interop" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents WHERE doc_id IS NOT NULL
+        |), i AS (SELECT unnest(range(0, 24)) AS i)
+        |SELECT d.doc_id, '504B' AS zip_magic, '<i4' AS descr,
+        |  6 AS d0, 4 AS d1, CAST(24 AS BIGINT) AS n,
+        |  CAST(sum((d.doc_id * 13 + i.i * 7) % 997) AS BIGINT) AS fsum
+        |FROM d CROSS JOIN i
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -80,6 +80,17 @@ object GraftFunctions {
   def npyFromDoubles(data: Column, dims: Column, descr: String): Column =
     column(graft.codecs.NpyFromDoubles(expr(data), expr(dims), descr))
 
+  /** `.npy` bytes → `.npz` cell (the zip/deflate container
+    * petastorm's CompressedNdarrayCodec reads; deterministic bytes,
+    * see [[graft.codecs.NpzCodec]]). */
+  def npzWrap(npy: Column): Column =
+    column(graft.codecs.NpzWrap(expr(npy)))
+
+  /** `.npz` cell → the contained `.npy` bytes (compose with the
+    * `npy*` decode family). */
+  def npzUnwrap(npz: Column): Column =
+    column(graft.codecs.NpzUnwrap(expr(npz)))
+
   /** Luhn mod-10 card-number check (separators tolerated). */
   def luhnValid(s: Column): Column =
     column(graft.ops.LuhnValid(expr(s)))

@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale design — prefix doubling (Manber–Myers, the classic
   * O(n log n) construction re-expressed in joins):
-  *   - round 0 ranks fixed-width prefix blocks (8 chars — the
-  *     block strings order exactly like 8-char suffix prefixes, so
-  *     the doubling starts at width 8 and skips three rounds);
+  *   - round 0 ranks fixed-width prefix blocks (16 chars — the
+  *     block strings order exactly like 16-char suffix prefixes, so
+  *     the doubling starts at width 16 and skips four rounds);
   *   - round m replaces each suffix's key by the integer PAIR
   *     (rank of its first w chars, rank of the next w chars) and
-  *     re-ranks, doubling w — after ceil(log2(maxLen/8)) rounds
+  *     re-ranks, doubling w — after ceil(log2(maxLen/16)) rounds
   *     the ranks order full suffixes lexicographically.
   * Strings are touched ONLY in round 0; every later round shuffles
   * fixed-width integer tuples — at 100 TB no long-string comparison
@@ -60,12 +60,12 @@ object SuffixArray {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (ColumnBridge.internalCreateDataFrame(df, rdd, df.schema), rdd)
     }
-    // Round 0 ranks fixed-width prefix BLOCKS (8 chars), not single
+    // Round 0 ranks fixed-width prefix BLOCKS (16 chars), not single
     // characters: block strings sort exactly like the suffixes'
-    // first min(8, len) chars (a shorter block is a prefix of a
+    // first min(16, len) chars (a shorter block is a prefix of a
     // longer one only when the suffix itself ends — and prefix-
     // shorter sorts first in both orders), so starting the doubling
-    // at width 8 is correct and saves three full rounds. This is
+    // at width 16 is correct and saves four full rounds. This is
     // the last time a string column exists.
     val initWidth = math.min(16, maxLen)
     val blocks = docs

@@ -92,19 +92,22 @@ object Materialize {
           GraftFunctions.decodeTensor(c,
             graft.codecs.Dtype.forSparkType(f.dataType))
         // petastorm-store cells (np.save layout — see
-        // UnischemaPickle.parse): flat C-order arrays typed by family
-        case Some(CodecSpec("npy", _)) => f.dataType match {
-          case org.apache.spark.sql.types.FloatType |
-               org.apache.spark.sql.types.DoubleType =>
-            GraftFunctions.npyDoubles(c)
-          case org.apache.spark.sql.types.StringType |
-               org.apache.spark.sql.types.BinaryType =>
-            GraftFunctions.npyStrings(c)
-          case _ => GraftFunctions.npyLongs(c)
-        }
-        // pyarrow-compressed ndarray container: no JVM decoder —
-        // surface the raw bytes rather than promising a decode
-        case Some(CodecSpec("npy_compressed", _)) => c
+        // UnischemaPickle.parse): flat C-order arrays typed by
+        // family; npz cells (CompressedNdarrayCodec's
+        // np.savez_compressed zip) unwrap first, then decode the
+        // contained npy identically
+        case Some(CodecSpec(fmt @ ("npy" | "npy_compressed"), _)) =>
+          val cell =
+            if (fmt == "npy") c else GraftFunctions.npzUnwrap(c)
+          f.dataType match {
+            case org.apache.spark.sql.types.FloatType |
+                 org.apache.spark.sql.types.DoubleType =>
+              GraftFunctions.npyDoubles(cell)
+            case org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.BinaryType =>
+              GraftFunctions.npyStrings(cell)
+            case _ => GraftFunctions.npyLongs(cell)
+          }
         case Some(CodecSpec("png" | "jpeg", _)) =>
           GraftFunctions.decodeImage(c)
         case Some(CodecSpec("scalar", _)) => c.cast(f.dataType)
@@ -273,7 +276,16 @@ object Materialize {
     require(!keys.contains(null), s"null $keyCol in the update batch")
     val affected = bloomIndexUrl match {
       case Some(idx) =>
-        RowGroupIndex.bloomSelectedFiles(spark, url, idx, keyCol, keys)
+        val admitted =
+          RowGroupIndex.bloomSelectedFiles(spark, url, idx, keyCol, keys)
+        // same staleness guard as [[Snapshots.upsert]]: files the
+        // sidecar never indexed (landed after the last updateBloom)
+        // cannot be pruned — treat them as affected so correctness
+        // never depends on sidecar freshness.
+        val covered = RowGroupIndex.bloomCoveredFiles(spark, idx, keyCol)
+        val uncovered =
+          files.filterNot(f => covered.contains(new Path(f).getName))
+        (admitted ++ uncovered).distinct
       case None => files
     }
     val upserts = deleteCol
@@ -325,8 +337,10 @@ object Materialize {
     * written: this store's tensor layout is petastorm's, and our own
     * engine reads it back through the inferred-schema path + the
     * `npy_*` decode family exactly as it reads a genuine petastorm
-    * store. `compressed_ndarray` fields are refused
-    * ([[UnischemaPickle]] scope). */
+    * store. `compressed_ndarray` fields encode as genuine
+    * `np.savez_compressed` zip cells ([[graft.codecs.NpzCodec]]) —
+    * the reference's CompressedNdarrayCodec decodes them with
+    * `np.load(memfile)['arr']` unmodified (codecs.py:197-199). */
   def materializePetastorm(df: DataFrame, url: String,
       schema: GraftSchema, rowGroupSizeMb: Int = 32,
       partitions: Option[Int] = None): Unit = {
@@ -343,17 +357,23 @@ object Materialize {
         case t => throw new IllegalArgumentException(
           s"no npy descr for tensor element type $t (${f.name})")
       }
+      def npyCell: Column = f.dataType match {
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType =>
+          GraftFunctions.npyFromDoubles(
+            c.cast(ArrayType(org.apache.spark.sql.types.DoubleType)),
+            shapeDims(f, c), npyDescr)
+        case _ =>
+          GraftFunctions.npyFromLongs(
+            c.cast(ArrayType(LongType)), shapeDims(f, c), npyDescr)
+      }
       val enc = f.codec match {
-        case Some(CodecSpec("ndarray", _)) => f.dataType match {
-          case org.apache.spark.sql.types.FloatType |
-               org.apache.spark.sql.types.DoubleType =>
-            GraftFunctions.npyFromDoubles(
-              c.cast(ArrayType(org.apache.spark.sql.types.DoubleType)),
-              shapeDims(f, c), npyDescr)
-          case _ =>
-            GraftFunctions.npyFromLongs(
-              c.cast(ArrayType(LongType)), shapeDims(f, c), npyDescr)
-        }
+        case Some(CodecSpec("ndarray", _)) => npyCell
+        // the np.savez_compressed container petastorm's
+        // CompressedNdarrayCodec decodes
+        case Some(CodecSpec("compressed_ndarray" | "npy_compressed",
+            _)) =>
+          GraftFunctions.npzWrap(npyCell)
         case Some(CodecSpec(fmt @ ("png" | "jpeg"), args)) =>
           GraftFunctions.encodeImage(shapeDims(f, c),
             c.cast(ArrayType(ShortType)), fmt,

@@ -222,7 +222,13 @@ object MaterializedView {
     * url — no in-place fold, no crash window). */
   def rebuild(spark: SparkSession, url: String, newUrl: String): Unit = {
     val m = meta(spark, url)
-    init(spark, newUrl, m.keys, m.sums, m.buckets)
+    // forward EVERY meta flag: a rebuilt retractable view must stay
+    // retractable (or read() on the new url references min_/max_
+    // columns the folded base never wrote, and applyCdc refuses it),
+    // and a moments view must keep sq_<c> in its meta so later
+    // applyDelta partials share the base batch's parquet schema.
+    init(spark, newUrl, m.keys, m.sums, m.buckets, m.retractable,
+      m.moments)
     val folded = foldPartials(spark.read.parquet(url), m)
       .withColumnRenamed("cnt", "__cnt")
     folded

@@ -284,6 +284,19 @@ object RowGroupIndex {
       .filter(f => keep.contains(norm(f)))
   }
 
+  /** File names (flat, no directory) the bloom sidecar covers for
+    * `field` — every file with an index row, including the empty-
+    * bloom markers. O(files) driver-side; the staleness guard
+    * [[Snapshots.upsert]] needs: a live file ABSENT here was never
+    * indexed and cannot be bloom-pruned. */
+  def bloomCoveredFiles(spark: SparkSession, indexUrl: String,
+      field: String): Set[String] =
+    spark.read.parquet(indexUrl)
+      .filter(col("field") === field)
+      .select(col("file")).distinct().collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+      .toSet
+
   /** Read scanning only bloom-admitted files (superset at fpp —
     * callers still apply the row filter; see [[buildBloom]]). */
   def readBloomSelected(spark: SparkSession, datasetUrl: String,

@@ -122,9 +122,24 @@ object Snapshots {
   }
 
   /** Atomic commit: stage the manifest under an underscore-invisible
-    * temp name, then rename to the version slot. Rename-onto-existing
-    * fails on every Hadoop FS, so two writers committing the same
-    * next version cannot both win. */
+    * temp name, then claim the version slot exclusively.
+    *
+    * The claim is scheme-aware because "atomic exclusive" differs:
+    *  - `file://`: Hadoop's local FS delegates rename to POSIX
+    *    rename(2), which silently REPLACES an existing destination —
+    *    two writers racing the same version could both pass an
+    *    exists() check (TOCTOU) and the second rename would erase
+    *    the first manifest, a lost commit. link(2) is the POSIX
+    *    primitive with the right semantics: atomic-exclusive (the
+    *    loser gets EEXIST) and content-atomic (the linked name
+    *    appears fully written). We hard-link tmp → slot and unlink
+    *    tmp. Filesystems without hard links fall back to the
+    *    exists+rename path below (best-effort, like every local
+    *    test harness).
+    *  - real Hadoop filesystems (HDFS; ABFS/GCS connectors): rename
+    *    onto an existing destination fails atomically in the
+    *    namenode/store, so exists+rename keeps the exactly-once
+    *    contract there. */
   private[sources] def commit(spark: SparkSession, root: Path,
       version: Int, op: String, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
@@ -146,10 +161,22 @@ object Snapshots {
     val out = fs.create(tmp, false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val dst = manifestPath(root, version)
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
+    val claimed =
+      if (fs.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            !fs.exists(dst) && fs.rename(tmp, dst)
+        }
+      } else !fs.exists(dst) && fs.rename(tmp, dst)
+    fs.delete(tmp, false) // no-op if the rename path consumed it
+    if (!claimed)
       sys.error(s"concurrent commit lost the race for v$version at $root")
-    }
     version
   }
 
@@ -324,8 +351,21 @@ object Snapshots {
     require(!keys.contains(null), s"null $keyCol in the update batch")
     val affectedAbs = bloomIndexUrl match {
       case Some(idx) =>
-        RowGroupIndex.bloomSelectedFiles(spark, url, idx, keyCol, keys)
-          .filter(f => parent.files.contains(new Path(f).getName))
+        val admitted =
+          RowGroupIndex.bloomSelectedFiles(spark, url, idx, keyCol, keys)
+            .filter(f => parent.files.contains(new Path(f).getName))
+        // Staleness guard: the sidecar only prunes files it has
+        // actually indexed. A live file with NO index row (committed
+        // after the last updateBloom — e.g. snapshotSink refreshes
+        // stats but not blooms) might hold matching keys, and
+        // treating it as unaffected would leave duplicate keys in
+        // the new version. Uncovered live files are conservatively
+        // affected: correctness never depends on sidecar freshness,
+        // pruning quality does. O(files) driver-side.
+        val covered = RowGroupIndex.bloomCoveredFiles(spark, idx, keyCol)
+        val uncovered = parent.files.filterNot(covered)
+          .map(f => new Path(root, f).toString)
+        (admitted ++ uncovered).distinct
       case None => abs
     }
     val affectedNames = affectedAbs.map(f => new Path(f).getName).toSet

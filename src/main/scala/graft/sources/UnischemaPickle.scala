@@ -28,11 +28,12 @@ import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
   * class GLOBALs (`numpy.int64`), codec instances rebuild bare and
   * take their state via BUILD.
   *
-  * Scope: scalar/ndarray/png/jpeg codecs and codec-less columns over
-  * the numpy-mappable Spark types below. `compressed_ndarray` is
-  * refused (petastorm's CompressedNdarrayCodec uses a pyarrow
-  * compression container, not our deflate layout — emitting its
-  * class would promise a decode that fails). */
+  * Scope: scalar/ndarray/compressed_ndarray/png/jpeg codecs and
+  * codec-less columns over the numpy-mappable Spark types below.
+  * `compressed_ndarray` serializes to the reference's
+  * CompressedNdarrayCodec with cells written as genuine
+  * `np.savez_compressed` zip containers ([[graft.codecs.NpzCodec]]
+  * — codecs.py:188-199), so unmodified petastorm decodes them. */
 object UnischemaPickle {
 
   /** numpy scalar-type GLOBAL name for a Spark element type. */
@@ -105,6 +106,13 @@ object UnischemaPickle {
       w.dict().build()
     case Some(CodecSpec("ndarray", _)) =>
       bareInstance(w, "petastorm.codecs", "NdarrayCodec")
+    // both our GRT1-compressed spec name and the parse-side npz name
+    // serialize to the reference's CompressedNdarrayCodec — the
+    // cells themselves are written as np.savez_compressed containers
+    // (NpzCodec.wrap) by materializePetastorm, which its decode
+    // (np.load(memfile)['arr'], codecs.py:197-199) opens directly
+    case Some(CodecSpec("compressed_ndarray" | "npy_compressed", _)) =>
+      bareInstance(w, "petastorm.codecs", "CompressedNdarrayCodec")
     case Some(CodecSpec(fmt @ ("png" | "jpeg"), args)) =>
       bareInstance(w, "petastorm.codecs", "CompressedImageCodec")
       w.mark().str("_image_codec").str("." + fmt)
@@ -113,9 +121,7 @@ object UnischemaPickle {
         .dict().build()
     case Some(CodecSpec(other, _)) =>
       throw new IllegalArgumentException(
-        s"codec '$other' has no petastorm-compatible serialization " +
-          "(compressed_ndarray's pyarrow container differs from our " +
-          "deflate layout) — materialize it as 'ndarray' for interop")
+        s"codec '$other' has no petastorm-compatible serialization")
   }
 
   private def writeField(w: W, f: FieldSpec): Unit = {

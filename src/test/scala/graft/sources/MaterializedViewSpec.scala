@@ -209,4 +209,41 @@ class MaterializedViewSpec extends SparkSpec {
       Set("b00000000", "b00000001", "b00000002") &&
       batches(url2) == Set("base"))
   }
+  test("rebuild forwards retractable+moments flags: the rebuilt view " +
+      "reads identically and still accepts the CDC feed") {
+    val store = freshUrl("rb_store")
+    val view = freshUrl("rb_view")
+    val view2 = freshUrl("rb_view2")
+    val v1 = (1L to 40L).map(i => (i, i % 3, i)).toDF("id", "g", "x")
+    Snapshots.create(spark, store, v1, nFiles = 2)
+    MaterializedView.init(spark, view, Seq("g"), Seq("x"),
+      buckets = 4, retractable = true, moments = true)
+    MaterializedView.applyDeltaKeyed(spark, view, v1.drop("id"), "v0-v1")
+    MaterializedView.rebuild(spark, view, view2)
+    // the rebuilt meta kept BOTH flags (regression: they were dropped,
+    // so read() looked for min_/max_ columns the base never wrote)
+    val m2 = MaterializedView.meta(spark, view2)
+    assert(m2.retractable && m2.moments)
+    val a = MaterializedView.read(spark, view)
+      .orderBy("g").collect().map(_.toSeq)
+    val b = MaterializedView.read(spark, view2)
+      .orderBy("g").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq && a.exists(_.length == 4)) // cnt,sum,sq
+    // and the rebuilt view still retracts through CDC
+    val ups = v1.filter(col("g") === 0L)
+      .select(col("id"), col("g"), col("x"), lit(true).as("del"))
+    Snapshots.upsert(spark, store, ups, "id", deleteCol = Some("del"))
+    MaterializedView.applyCdc(spark, view2,
+      Snapshots.changes(spark, store, "id", 1, 2, includeOld = true),
+      "v1-v2")
+    val got = MaterializedView.read(spark, view2)
+      .orderBy("g").collect().map(_.toSeq)
+    val want = Snapshots.read(spark, store).groupBy("g")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum("x").cast("long").as("sum_x"),
+        sum(col("x") * col("x")).cast("long").as("sq_x"))
+      .orderBy("g").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    assert(!got.exists(_.head == 0L))
+  }
 }

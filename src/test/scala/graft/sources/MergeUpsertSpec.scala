@@ -54,6 +54,24 @@ class MergeUpsertSpec extends SparkSpec {
     assert(spark.read.parquet(data).count() == 400L)
   }
 
+
+  test("stale bloom sidecar cannot cause duplicate keys: files the " +
+      "sidecar never indexed are conservatively affected") {
+    val (data, idx) = store("stale", withBloom = true)
+    // land a NEW file AFTER the sidecar was built — key 9500 lives
+    // only there, and the sidecar has no row for that file
+    Seq((9500L, "late", 3)).toDF("id", "payload", "bucket")
+      .coalesce(1).write.mode("append").parquet(data)
+    val updates = Seq((9500L, "MERGED", 3, false))
+      .toDF("id", "payload", "bucket", "del")
+    Materialize.mergeUpsert(spark, data, updates, "id",
+      bloomIndexUrl = idx, deleteCol = Some("del"))
+    val hits = spark.read.parquet(data).filter(col("id") === 9500L)
+      .select("payload").as[String].collect().toSeq
+    // pre-guard this was Seq("late", "MERGED") — a duplicate key
+    assert(hits == Seq("MERGED"))
+  }
+
   test("without an index every file is rewritten — still exact") {
     val (data, _) = store("full", withBloom = false)
     val updates = Seq((1L, "Y", 1)).toDF("id", "payload", "bucket")

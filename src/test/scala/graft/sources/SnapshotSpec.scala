@@ -394,4 +394,59 @@ class SnapshotSpec extends SparkSpec {
       .as[(Long, java.lang.Long)].collect().toSet ==
       Set((1L, 5L: java.lang.Long)))
   }
+  test("commit slot claim is exclusive on the local FS: N racing " +
+      "writers for one version -> exactly one wins, its manifest " +
+      "survives intact (POSIX rename would have replaced it)") {
+    val url = freshUrl("race")
+    Snapshots.create(spark, url,
+      Seq((1L, "a")).toDF("id", "v"), nFiles = 1)
+    val root = new org.apache.hadoop.fs.Path(url)
+    val n = 8
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        gate.await()
+        val ok = try {
+          Snapshots.commit(spark, root, 2, "append",
+            Seq(s"s2-writer$i-0.parquet"))
+          true
+        } catch { case _: Throwable => false }
+        results.put(i, ok)
+      })
+    }
+    threads.foreach(_.start()); gate.countDown()
+    threads.foreach(_.join(60000))
+    val winners = (0 until n).filter(results.get(_))
+    assert(winners.size == 1, s"winners: $winners")
+    // the surviving manifest is the winner's, byte-consistent
+    val s2 = Snapshots.snap(spark, url, 2)
+    assert(s2.files == Seq(s"s2-writer${winners.head}-0.parquet"))
+    assert(Snapshots.versions(spark, url) == Seq(1, 2))
+    // and no _tmp staging files leak
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_snap"))
+      .map(_.getPath.getName).filter(_.startsWith("_tmp"))
+    assert(left.isEmpty, left.mkString(","))
+  }
+  test("upsert with a stale bloom sidecar: a post-index append's keys " +
+      "are still merged (uncovered files are affected)") {
+    val url = freshUrl("stalebloom")
+    val idx = freshUrl("stalebloom_idx")
+    Snapshots.create(spark, url,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), nFiles = 4)
+    RowGroupIndex.buildBloom(spark, url, Seq("id"), idx, 1000L)
+    // v2 lands AFTER the sidecar build — its file has no bloom row
+    Snapshots.append(spark, url,
+      Seq((500L, "late")).toDF("id", "v"), nFiles = 1)
+    Snapshots.upsert(spark, url,
+      Seq((500L, "MERGED", false)).toDF("id", "v", "del"),
+      "id", deleteCol = Some("del"), bloomIndexUrl = Some(idx))
+    val hits = Snapshots.read(spark, url).filter(col("id") === 500L)
+      .select("v").as[String].collect().toSeq
+    // pre-guard the stale sidecar admitted no files for key 500, the
+    // late file was treated as unaffected, and BOTH rows survived
+    assert(hits == Seq("MERGED"))
+    assert(Snapshots.read(spark, url).count() == 101L)
+  }
 }
