@@ -6271,6 +6271,63 @@ object SparkEntry {
           size(col("feat")).cast("long").as("n"),
           GF.arraySumLong(col("feat")).as("fsum"))
       raw.join(dec, Seq("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // ---- Streaming ingest with per-epoch BLOOM maintenance ----
+    // q294's range-stats companion for keyed merges: snapshotSink's
+    // bloomIndex hook runs updateBloom inside every foreachBatch
+    // epoch (only that epoch's new files are scanned), so a keyed
+    // upsert arriving mid-lifecycle finds EVERY live file covered
+    // and prunes to the bloom-admitted affected set — O(changed
+    // files) CDC against a live stream. Both halves are enforced
+    // in-query: full coverage (no uncovered fallback fired) and a
+    // genuine prune (some parent files survive unrewritten). The
+    // oracle replays the whole lifecycle arithmetically.
+    "q329_stream_bloom_upsert" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val rootPath = new org.apache.hadoop.fs.Path(cachedBase(dir, "q329"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      ev.repartition(3).write.parquet(s"$base/stage")
+      val store = s"$base/store"
+      val idx = s"$base/idx"
+      Snapshots.create(s, store, ev.limit(0), nFiles = 1)
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/stage")
+      val q = graft.streaming.GraftStream
+        .snapshotSink(src, store, "q329", nFiles = 2,
+          bloomIndex = Some((idx, Seq("event_id"))))
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val live = Snapshots.snap(s, store, Snapshots.latest(s, store))
+        .files.toSet
+      val covered = RowGroupIndex.bloomCoveredFiles(s, idx, "event_id")
+      require(live.subsetOf(covered),
+        s"stream left ${(live -- covered).size} files bloom-uncovered")
+      val ups = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id"), col("event_type"),
+          (col("cents") + 7L).as("cents"))
+      val v = Snapshots.upsert(s, store, ups, "event_id",
+        bloomIndexUrl = Some(idx))
+      val kept = Snapshots.snap(s, store, v).files.count(live.contains)
+      require(kept > 0 && kept < live.size,
+        s"bloom prune did not bite: kept $kept of ${live.size}")
+      orderSmall(Snapshots.read(s, store)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).cast("long").as("sum_cents")),
+        col("event_type"))
     })
   )
 
@@ -14841,6 +14898,21 @@ object SparkEntry {
         |  6 AS d0, 4 AS d1, CAST(24 AS BIGINT) AS n,
         |  CAST(sum((d.doc_id * 13 + i.i * 7) % 997) AS BIGINT) AS fsum
         |FROM d CROSS JOIN i
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q329_stream_bloom_upsert" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), fin AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 100 = 0 THEN cents + 7
+        |         ELSE cents END AS cents
+        |  FROM ev
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -804,9 +804,13 @@ object Snapshots {
 
   /** Largest version committed at or before `ts` (epoch millis) —
     * timestamp time travel, resolved from manifest mtimes alone
-    * ("read the corpus as of last Tuesday's training run"). Commit
-    * rename preserves the manifest's write time, and versions commit
-    * in order, so mtimes are monotone per store. */
+    * ("read the corpus as of last Tuesday's training run"). The
+    * commit claim (rename on Hadoop filesystems, hard-link on
+    * `file://` — same inode, same mtime) preserves the manifest's
+    * write time, and versions commit in order, so mtimes are
+    * monotone per store. Instants below the vacuum retention floor
+    * fail loudly here (no surviving manifest is old enough) instead
+    * of resolving to a newer version. */
   def versionAt(spark: SparkSession, url: String, ts: Long): Int = {
     val (fs, root) = fsOf(spark, url)
     val vs = versions(spark, url)
@@ -893,7 +897,19 @@ object Snapshots {
     * surviving manifest references). Unreferenced files from FAILED
     * commits (crashed before their manifest landed) are also
     * collected, `graceMs` old at least (so an in-flight writer's
-    * staged files survive). Returns (filesDeleted, manifestsDeleted). */
+    * staged files survive). Returns (filesDeleted, manifestsDeleted).
+    *
+    * RETENTION CONTRACT (time-travel interaction): `keepFrom` is the
+    * retention floor. Below it every read fails LOUDLY, never
+    * approximately — [[readAsOf]] on a vacuumed version raises "no
+    * snapshot vN" (its manifest is gone), [[readAsOfTime]] with an
+    * instant older than the floor's commit raises "no version
+    * committed at or before ts" rather than silently resolving to a
+    * newer version, and [[changes]]/[[profileDelta]] spanning a
+    * vacuumed `fromV` fail on the manifest resolve. A lazy DataFrame
+    * handle obtained from [[readAsOf]] BEFORE the vacuum races it
+    * (manifests resolve eagerly, data files lazily) — collect
+    * pinned-version aggregates before vacuuming, as q279 does. */
   def vacuum(spark: SparkSession, url: String, keepFrom: Int,
       graceMs: Long = 3600L * 1000): (Int, Int) = {
     val (fs, root) = fsOf(spark, url)

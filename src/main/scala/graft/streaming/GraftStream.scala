@@ -109,7 +109,9 @@ object GraftStream {
     * version 1 anchors the lineage. */
   def snapshotSink(batches: DataFrame, url: String,
       streamId: String, nFiles: Int = 8,
-      statsFields: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] = {
+      statsFields: Seq[String] = Nil,
+      bloomIndex: Option[(String, Seq[String])] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(streamId.matches("[A-Za-z0-9_.-]+"),
       s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+)")
     batches.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
@@ -122,6 +124,16 @@ object GraftStream {
       if (statsFields.nonEmpty)
         graft.sources.Snapshots.indexStats(batch.sparkSession, url,
           statsFields): Unit
+      // per-epoch bloom maintenance ((indexUrl, fields)):
+      // updateBloom indexes only files without a sidecar row — the
+      // same O(new files) shape. A sink WITHOUT this stays safe
+      // because upsert's coverage guard treats unindexed files as
+      // affected; WITH it, upsert keeps its O(changed files) prune
+      // through a live stream.
+      bloomIndex.foreach { case (idxUrl, fields) =>
+        graft.sources.RowGroupIndex.updateBloom(batch.sparkSession,
+          url, fields, idxUrl)
+      }
     }
   }
 

@@ -54,10 +54,17 @@ class PetastormWriteSpec extends SparkSpec {
     assert(s.contains("cnumpy\nfloat32\n"))
     assert(s.contains("cnumpy\nuint8\n"), "image dtype must be uint8")
     assert(s.endsWith("."))
-    // refuse what petastorm could not decode
+    // compressed_ndarray pickles to the reference's codec class
+    // (r15: cells are genuine np.savez_compressed zips — NpzCodec)
+    val z = new String(UnischemaPickle.pickle(GraftSchema("x",
+      Seq(FieldSpec("t", LongType, Seq(2),
+        Some(CodecSpec("compressed_ndarray")))))),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    assert(z.contains("cpetastorm.codecs\nCompressedNdarrayCodec\n"))
+    // a codec with no petastorm counterpart still refuses
     intercept[IllegalArgumentException] {
       UnischemaPickle.pickle(GraftSchema("x", Seq(FieldSpec("t",
-        LongType, Seq(2), Some(CodecSpec("compressed_ndarray"))))))
+        LongType, Seq(2), Some(CodecSpec("no_such_codec"))))))
     }
   }
 

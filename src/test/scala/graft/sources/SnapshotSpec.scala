@@ -157,6 +157,46 @@ class SnapshotSpec extends SparkSpec {
     assert(ops.tail.distinct.length == ops.tail.length)
   }
 
+  test("snapshotSink bloomIndex hook keeps the sidecar fresh per " +
+      "epoch: post-stream upsert prunes AND stays exact") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = freshUrl("sinkbloom")
+    val stage = s"$base/stage"
+    val url = s"$base/store"
+    val idx = s"$base/idx"
+    val df = (1L to 9L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(3).write.parquet(stage)
+    Snapshots.create(spark, url, Seq((0L, "v0")).toDF("id", "v"),
+      nFiles = 1)
+    RowGroupIndex.buildBloom(spark, url, Seq("id"), idx, 1000L)
+    val src = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = graft.streaming.GraftStream
+      .snapshotSink(src, url, "t2", nFiles = 1,
+        bloomIndex = Some((idx, Seq("id"))))
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // every live file is covered — the sidecar tracked each epoch
+    val covered = RowGroupIndex.bloomCoveredFiles(spark, idx, "id")
+    val live = Snapshots.snap(spark, url,
+      Snapshots.latest(spark, url)).files.toSet
+    assert(live.subsetOf(covered), s"uncovered: ${live -- covered}")
+    // and the upsert prune actually bites: one key touches few files
+    val parentFiles = live.size
+    val v = Snapshots.upsert(spark, url,
+      Seq((5L, "MERGED", false)).toDF("id", "v", "del"),
+      "id", deleteCol = Some("del"), bloomIndexUrl = Some(idx))
+    val kept = Snapshots.snap(spark, url, v).files
+      .count(f => live.contains(f))
+    assert(kept > 0, "no file survived — prune did nothing")
+    assert(kept < parentFiles, s"no prune: rewrote all $parentFiles")
+    val hits = Snapshots.read(spark, url).filter(col("id") === 5L)
+      .select("v").as[String].collect().toSeq
+    assert(hits == Seq("MERGED"))
+    assert(Snapshots.read(spark, url).count() == 10L)
+  }
+
   test("concurrent commit loses the race loudly (create-exclusive " +
       "manifest), duplicate update keys and schema drift refused") {
     val url = freshUrl("race")
@@ -448,5 +488,42 @@ class SnapshotSpec extends SparkSpec {
     // late file was treated as unaffected, and BOTH rows survived
     assert(hits == Seq("MERGED"))
     assert(Snapshots.read(spark, url).count() == 101L)
+  }
+  test("retention contract: every read below the vacuum floor fails " +
+      "loudly — version, timestamp, and change-feed paths") {
+    val url = freshUrl("retention")
+    Snapshots.create(spark, url,
+      Seq((1L, "a")).toDF("id", "v"), nFiles = 1)
+    Snapshots.append(spark, url,
+      Seq((2L, "b")).toDF("id", "v"), nFiles = 1)
+    Snapshots.append(spark, url,
+      Seq((3L, "c")).toDF("id", "v"), nFiles = 1)
+    val (fs, root) = (new org.apache.hadoop.fs.Path(url)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(url))
+    val v2mtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      root, "_snap/v00000002.json")).getModificationTime
+    Snapshots.vacuum(spark, url, keepFrom = 2, graceMs = 0L)
+    // version path: the manifest is gone, the error names it
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, url, 1)
+    }
+    assert(e1.getMessage.contains("no snapshot v1"))
+    // timestamp path: an instant below the floor never resolves to a
+    // newer version silently
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.readAsOfTime(spark, url, v2mtime - 1)
+    }
+    assert(e2.getMessage.contains("no version committed"))
+    // change-feed path: a vacuumed fromV fails on manifest resolve
+    val e3 = intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, url, "id", 1, 3).collect()
+    }
+    assert(e3.getMessage.contains("no snapshot v1"))
+    // surviving versions read exactly
+    assert(Snapshots.readAsOf(spark, url, 2).count() == 2L)
+    assert(Snapshots.read(spark, url).count() == 3L)
+    assert(Snapshots.readAsOfTime(spark, url,
+      System.currentTimeMillis()).count() == 3L)
   }
 }
