@@ -83,6 +83,39 @@ class MultimodalSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(got == Seq(3L, 0L, 1L))
   }
+  test("constellationMatches: the posting-cap window adds no extra " +
+      "exchange — every shuffle carries (fp, id) pairs, no payloads") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val fps = (1L to 50L).flatMap(id =>
+      (0L until 8L).map(k => (id, id % 5 + k * 100)))
+      .toDF("doc_id", "fp")
+    val d = Multimodal.constellationMatches(fps, "doc_id",
+      minShared = 1L, minContainPpm = 0L, maxPosting = 100L)
+    d.collect()
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case e: ShuffleExchangeLike => e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    val ex = exchanges(d.queryExecution.executedPlan)
+    // one fp exchange for the cap window (reused by the equi-join
+    // probe side), per-id count aggs, and the final pair agg — the
+    // cap must NOT introduce a second corpus-wide fp exchange per
+    // join side (that would double the dominant shuffle at scale)
+    val fpExchanges = ex.count(_.outputPartitioning.toString
+      .contains("fp"))
+    assert(fpExchanges <= 2, s"fp exchanged $fpExchanges times:\n" +
+      d.queryExecution.executedPlan.toString.take(4000))
+    val names = ex.flatMap(_.child.output.map(_.name)).toSet
+    assert(names.subsetOf(Set("fp", "__id", "id_a", "id_b", "__n",
+      "n_shared", "__pc", "count", "__na")) ||
+      names.forall(n => !n.contains("pcm") && !n.contains("text")),
+      s"unexpected exchange columns: $names")
+  }
+
   test("constellationMatches: hot fingerprints are dropped by maxPosting") {
     // fp 111 is "silence" — held by every id (posting list 4 > cap 2);
     // fps 201..204 are discriminative and shared only by ids 1 and 2.
