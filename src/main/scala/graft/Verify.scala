@@ -12,13 +12,35 @@ object Verify {
     val only = args.drop(2).toSeq
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // canonical per-query content signature, written alongside the
+    // parquet dumps: order-independent (sum of per-row xxhash64 over
+    // the name-sorted stringified row) + row count. A driver-side
+    // hash-red row splits into "Spark outputs differ between driver
+    // and builder" vs "DuckDB evaluated the oracle differently" by
+    // comparing this file across the two environments — the r14
+    // q316/q319 non-repro cost a round of guessing without it.
+    val sigs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def signature(df: org.apache.spark.sql.DataFrame): String = {
+      import org.apache.spark.sql.functions._
+      val cols = df.columns.sorted.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000")))
+      val r = df.select(xxhash64(concat_ws("\u0001", cols: _*))
+          .cast("decimal(38,0)").as("h"))
+        .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+        .collect()(0)
+      val s =
+        if (r.isNullAt(0)) "0" else r.getDecimal(0).toBigInteger.toString
+      s"$s:${r.getLong(1)}"
+    }
     SparkEntry.queries
       .filter { case (name, _) =>
         only.isEmpty || only.exists(name.startsWith) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        sigs(name) = signature(spark.read.parquet(s"$outDir/$name"))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -37,6 +59,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/row_hashes.json"),
+      sigs.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }
