@@ -6328,6 +6328,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(col("cents")).cast("long").as("sum_cents")),
         col("event_type"))
+    }),
+
+    // ---- Exact rank-correlation audit (Kendall statistics) ----
+    // "Does the value-rank agree with the recency-rank?" — the
+    // filter-agreement audit every scorer migration needs, as pure
+    // integer sufficient statistics (n, C(n,2), tie counts,
+    // concordant, discordant; tau-a/tau-b/gamma are one division
+    // away). The O(n²) pair definition runs as ONE range exchange +
+    // mergesort inversions per partition + the sorted-merge P² grid
+    // ([[Stats.kendallStats]] — partition-layout-invariant counts);
+    // the oracle pays the genuine quadratic cross join.
+    "q330_kendall_agreement" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull && pmod(col("event_id"), lit(17)) === 0)
+        .select(floor(col("value") * 100).cast("long").as("cents"),
+          expr("ts DIV 1000").as("us"))
+      Stats.kendallStats(ev, "cents", "us", parts = 8)
     })
   )
 
@@ -14913,6 +14931,36 @@ object SparkEntry {
         |)
         |SELECT event_type, count(*) AS n_events,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM fin GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM fin GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q330_kendall_agreement" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS x,
+        |    epoch_us(ts) AS y
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL AND event_id % 17 = 0
+        |), n1 AS (SELECT count(*) AS n FROM e),
+        |p AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |        OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) // 2
+        |      AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |        OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) // 2
+        |      AS BIGINT) AS nd,
+        |    CAST((sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+        |      - (SELECT n FROM n1)) // 2 AS BIGINT) AS tx,
+        |    CAST((sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+        |      - (SELECT n FROM n1)) // 2 AS BIGINT) AS ty,
+        |    CAST((sum(CASE WHEN a.x = b.x AND a.y = b.y
+        |      THEN 1 ELSE 0 END) - (SELECT n FROM n1)) // 2
+        |      AS BIGINT) AS txy
+        |  FROM e a CROSS JOIN e b
+        |)
+        |SELECT CAST((SELECT n FROM n1) AS BIGINT) AS n,
+        |  CAST((SELECT n FROM n1) * ((SELECT n FROM n1) - 1) // 2
+        |    AS BIGINT) AS n_pairs,
+        |  tx, ty, txy, nc, nd FROM p""".stripMargin
   )
 }

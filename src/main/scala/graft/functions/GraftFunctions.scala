@@ -91,6 +91,16 @@ object GraftFunctions {
   def npzUnwrap(npz: Column): Column =
     column(graft.codecs.NpzUnwrap(expr(npz)))
 
+  /** Inversion count (pairs i<j with a(i) > a(j)) of an array<long>
+    * — mergesort kernel, see [[graft.codecs.RankMath]]. */
+  def seqInversions(arr: Column): Column =
+    column(graft.codecs.SeqInversions(expr(arr)))
+
+  /** Pairs (x∈a, y∈b) with x > y over two ASCENDING-sorted
+    * array<long> columns — two-pointer merge kernel. */
+  def sortedMergeGreater(a: Column, b: Column): Column =
+    column(graft.codecs.SortedMergeGreater(expr(a), expr(b)))
+
   /** Luhn mod-10 card-number check (separators tolerated). */
   def luhnValid(s: Column): Column =
     column(graft.ops.LuhnValid(expr(s)))

@@ -1784,4 +1784,89 @@ object Stats {
       if (nTest == 0) 1000000L else 1000000L * nCov / nTest))
       .toDF("n_cal", "k", "thr", "n_test", "cov_ppm")
   }
+  /** Exact Kendall rank-correlation sufficient statistics — the
+    * filter-agreement audit ("does the NEW quality scorer rank
+    * documents like the old one?") as pure integers. Output (one
+    * row): `n`, `n_pairs` = C(n,2), `tx`/`ty`/`txy` = pairs tied on
+    * x / y / both, `nc` concordant, `nd` discordant — everything
+    * tau-b, tau-a, or Goodman–Kruskal gamma needs, with no float in
+    * the contract (the repo's q49 exact-moments doctrine: ship the
+    * integer sufficient statistics, let the caller divide).
+    *
+    * Scale design — the O(n²) pair definition computed in
+    * O(n log n) work and ONE range exchange:
+    *  1. range-partition by (x, y): partitions are totally ordered,
+    *     tied keys never split;
+    *  2. per partition, the (x,y)-ascending y-sequence's INVERSIONS
+    *     ([[graft.codecs.SeqInversions]], mergesort kernel) are
+    *     exactly its strict-x discordant pairs (tied-x pairs sit
+    *     y-ascending — zero contribution);
+    *  3. across partitions p < q (all x_p ≤ x_q, ties y-ascending so
+    *     tied-x cross pairs never count), discordant pairs =
+    *     y_p > y_q counts via the sorted two-pointer merge
+    *     ([[graft.codecs.SortedMergeGreater]]) over the P² pair grid
+    *     of partition-level sorted arrays;
+    *  4. ties by groupBy histograms; nc by inclusion–exclusion:
+    *     nc = C(n,2) − tx − ty + txy − nd.
+    * The counts are partition-layout-invariant (any split of a
+    * sorted order yields the same pair totals), so the output is
+    * deterministic even though range boundaries are sampled.
+    *
+    * Bounds, enforced: partition arrays are partition-sized —
+    * `maxRows` (default 1e8, ~25 MB/partition array at parts=32)
+    * caps the input with a loud message, because a rank-correlation
+    * audit beyond that size should run on a scored SAMPLE (the
+    * statistic's precision gains nothing from the tail); `parts` ≤
+    * 256 bounds the P² merge grid. Columns must be integer-valued
+    * (the repo's micro-scaled score convention) — floats would make
+    * the tie counts engine-dependent. */
+  def kendallStats(df: DataFrame, xCol: String, yCol: String,
+      parts: Int = 32, maxRows: Long = 100000000L): DataFrame = {
+    require(parts >= 1 && parts <= 256, s"parts in [1,256], got $parts")
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    val pts = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    val n = pts.count()
+    require(n <= maxRows,
+      s"kendallStats: $n rows > maxRows=$maxRows — exact rank " +
+        "correlation at this size should run on a scored sample " +
+        "(or raise maxRows explicitly)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (n < 2)
+      return Seq((n, 0L, 0L, 0L, 0L, 0L, 0L))
+        .toDF("n", "n_pairs", "tx", "ty", "txy", "nc", "nd")
+    val parted = pts
+      .repartitionByRange(parts, col("__x"), col("__y"))
+      .withColumn("__pid", spark_partition_id())
+    val arrs = parted.groupBy(col("__pid"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__x"), col("__y")))),
+        s => s.getField("__y")).as("__ys"))
+      .withColumn("__ss", sort_array(col("__ys")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = arrs.agg(coalesce(sum(
+      graft.functions.GraftFunctions.seqInversions(col("__ys"))),
+      lit(0L)).as("__loc"))
+    val cross = arrs.select(col("__pid").as("__pa"), col("__ss").as("__sa"))
+      .join(arrs.select(col("__pid").as("__pb"), col("__ss").as("__sb")),
+        col("__pa") < col("__pb"))
+      .agg(coalesce(sum(graft.functions.GraftFunctions
+        .sortedMergeGreater(col("__sa"), col("__sb"))), lit(0L))
+        .as("__cross"))
+    def tiePairs(cols: Column*): DataFrame = pts.groupBy(cols: _*)
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(expr("__c * (__c - 1) div 2")), lit(0L))
+        .as("__t"))
+    val nd = local.head().getLong(0) + cross.head().getLong(0)
+    val tx = tiePairs(col("__x")).head().getLong(0)
+    val ty = tiePairs(col("__y")).head().getLong(0)
+    val txy = tiePairs(col("__x"), col("__y")).head().getLong(0)
+    arrs.unpersist()
+    val nPairs = n * (n - 1) / 2
+    Seq((n, nPairs, tx, ty, txy, nPairs - tx - ty + txy - nd, nd))
+      .toDF("n", "n_pairs", "tx", "ty", "txy", "nc", "nd")
+  }
 }

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+
+/** Exact Kendall sufficient statistics vs the quadratic pair
+  * definition, plus the mergesort/two-pointer kernels. */
+class KendallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(pts: Seq[(Long, Long)])
+      : (Long, Long, Long, Long, Long, Long, Long) = {
+    val n = pts.length.toLong
+    var (tx, ty, txy, nc, nd) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val (xa, ya) = pts(i); val (xb, yb) = pts(j)
+      if (xa == xb && ya == yb) { tx += 1; ty += 1; txy += 1 }
+      else if (xa == xb) tx += 1
+      else if (ya == yb) ty += 1
+      else if ((xa < xb) == (ya < yb)) nc += 1
+      else nd += 1
+    }
+    (n, n * (n - 1) / 2, tx, ty, txy, nc, nd)
+  }
+
+  private def engine(pts: Seq[(Long, Long)], parts: Int = 5)
+      : (Long, Long, Long, Long, Long, Long, Long) = {
+    val r = Stats.kendallStats(pts.toDF("x", "y"), "x", "y",
+      parts = parts).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+  }
+
+  test("kernels: inversions and sorted-merge counts on hand vectors") {
+    val inv = Seq(Tuple1(Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)))
+      .toDF("a").select(GraftFunctions.seqInversions($"a"))
+      .as[Long].head()
+    // pairs out of order: (3,1),(3,1),(3,2),(4,1),(4,2),(5,2),(9,2),(9,6)
+    assert(inv == 8L)
+    assert(Seq(Tuple1(1)).toDF("z").select(GraftFunctions
+      .seqInversions(typedLit(Seq.empty[Long]))).as[Long].head() == 0L)
+    val mg = Seq(Tuple1(1)).toDF("z").select(
+      GraftFunctions.sortedMergeGreater(
+        typedLit(Seq(2L, 5L, 7L)), typedLit(Seq(1L, 5L, 6L))))
+      .as[Long].head()
+    // a>b pairs: 2>1, 5>1, 7>1, 7>5, 7>6
+    assert(mg == 5L)
+  }
+
+  test("matches the quadratic definition: random data with heavy " +
+      "ties, any partition count") {
+    // deterministic pseudo-random points with many x and y ties
+    val pts = (1 to 400).map { i =>
+      val h = java.util.UUID.nameUUIDFromBytes(
+        s"kend:$i".getBytes).getLeastSignificantBits
+      ((h % 13 + 13) % 13, ((h >> 17) % 7 + 7) % 7)
+    }
+    val want = brute(pts)
+    assert(engine(pts, parts = 1) == want)
+    assert(engine(pts, parts = 5) == want)
+    assert(engine(pts, parts = 64) == want)
+  }
+
+  test("edges: perfect agreement, perfect reversal, constant column, " +
+      "tiny inputs") {
+    val mono = (1L to 50L).map(i => (i, i * 3))
+    val (_, np, _, _, _, nc, nd) = engine(mono)
+    assert(nc == np && nd == 0L)
+    val rev = (1L to 50L).map(i => (i, -i))
+    val r = engine(rev)
+    assert(r._6 == 0L && r._7 == r._2)
+    val const = (1L to 30L).map(i => (i, 7L))
+    val c = engine(const)
+    assert(c._4 == c._2 && c._6 == 0L && c._7 == 0L) // all ty
+    assert(engine(Seq((1L, 1L))) == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(engine(Seq.empty[(Long, Long)]) ==
+      ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("maxRows refuses with the sample-first message") {
+    val e = intercept[IllegalArgumentException] {
+      Stats.kendallStats((1L to 10L).map(i => (i, i)).toDF("x", "y"),
+        "x", "y", maxRows = 5L)
+    }
+    assert(e.getMessage.contains("scored sample"))
+  }
+}
