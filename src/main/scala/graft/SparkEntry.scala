@@ -14943,18 +14943,18 @@ object SparkEntry {
         |), n1 AS (SELECT count(*) AS n FROM e),
         |p AS (
         |  SELECT
-        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
-        |        OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) // 2
-        |      AS BIGINT) AS nc,
-        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
-        |        OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) // 2
-        |      AS BIGINT) AS nd,
-        |    CAST((sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
-        |      - (SELECT n FROM n1)) // 2 AS BIGINT) AS tx,
-        |    CAST((sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
-        |      - (SELECT n FROM n1)) // 2 AS BIGINT) AS ty,
-        |    CAST((sum(CASE WHEN a.x = b.x AND a.y = b.y
-        |      THEN 1 ELSE 0 END) - (SELECT n FROM n1)) // 2
+        |    CAST(COALESCE(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |        OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END), 0)
+        |      // 2 AS BIGINT) AS nc,
+        |    CAST(COALESCE(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |        OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END), 0)
+        |      // 2 AS BIGINT) AS nd,
+        |    CAST((COALESCE(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END),
+        |      0) - (SELECT n FROM n1)) // 2 AS BIGINT) AS tx,
+        |    CAST((COALESCE(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END),
+        |      0) - (SELECT n FROM n1)) // 2 AS BIGINT) AS ty,
+        |    CAST((COALESCE(sum(CASE WHEN a.x = b.x AND a.y = b.y
+        |      THEN 1 ELSE 0 END), 0) - (SELECT n FROM n1)) // 2
         |      AS BIGINT) AS txy
         |  FROM e a CROSS JOIN e b
         |)

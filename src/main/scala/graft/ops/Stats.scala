@@ -1817,9 +1817,15 @@ object Stats {
     * caps the input with a loud message, because a rank-correlation
     * audit beyond that size should run on a scored SAMPLE (the
     * statistic's precision gains nothing from the tail); `parts` ≤
-    * 256 bounds the P² merge grid. Columns must be integer-valued
-    * (the repo's micro-scaled score convention) — floats would make
-    * the tie counts engine-dependent. */
+    * 256 bounds the P² merge grid. The range key carries a unique
+    * spread column after (x, y), so even a CONSTANT scorer (the
+    * degenerate case this audit exists to catch) splits evenly
+    * across partitions instead of collapsing into one array — the
+    * tied-pair argument above is indifferent to how tied groups
+    * split (equal (x,y) cross pairs count 0 under strict >).
+    * Columns must be integer-valued (the repo's micro-scaled score
+    * convention) — floats would make the tie counts
+    * engine-dependent. */
   def kendallStats(df: DataFrame, xCol: String, yCol: String,
       parts: Int = 32, maxRows: Long = 100000000L): DataFrame = {
     require(parts >= 1 && parts <= 256, s"parts in [1,256], got $parts")
@@ -1828,22 +1834,30 @@ object Stats {
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
-    val n = pts.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = pts.count() // also materializes the cache for the 4 jobs below
     require(n <= maxRows,
       s"kendallStats: $n rows > maxRows=$maxRows — exact rank " +
         "correlation at this size should run on a scored sample " +
         "(or raise maxRows explicitly)")
     val spark = df.sparkSession
     import spark.implicits._
-    if (n < 2)
+    if (n < 2) {
+      pts.unpersist()
       return Seq((n, 0L, 0L, 0L, 0L, 0L, 0L))
         .toDF("n", "n_pairs", "tx", "ty", "txy", "nc", "nd")
+    }
+    // __r spreads TIED keys across range partitions (a constant
+    // column must not collapse into one partition-sized array); the
+    // counts are invariant to its values, see scaladoc
     val parted = pts
-      .repartitionByRange(parts, col("__x"), col("__y"))
+      .withColumn("__r", monotonically_increasing_id())
+      .repartitionByRange(parts, col("__x"), col("__y"), col("__r"))
       .withColumn("__pid", spark_partition_id())
     val arrs = parted.groupBy(col("__pid"))
       .agg(transform(
-        sort_array(collect_list(struct(col("__x"), col("__y")))),
+        sort_array(collect_list(struct(col("__x"), col("__y"),
+          col("__r")))),
         s => s.getField("__y")).as("__ys"))
       .withColumn("__ss", sort_array(col("__ys")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1865,6 +1879,7 @@ object Stats {
     val ty = tiePairs(col("__y")).head().getLong(0)
     val txy = tiePairs(col("__x"), col("__y")).head().getLong(0)
     arrs.unpersist()
+    pts.unpersist()
     val nPairs = n * (n - 1) / 2
     Seq((n, nPairs, tx, ty, txy, nPairs - tx - ty + txy - nd, nd))
       .toDF("n", "n_pairs", "tx", "ty", "txy", "nc", "nd")

@@ -276,13 +276,12 @@ object Materialize {
     require(!keys.contains(null), s"null $keyCol in the update batch")
     val affected = bloomIndexUrl match {
       case Some(idx) =>
-        val admitted =
-          RowGroupIndex.bloomSelectedFiles(spark, url, idx, keyCol, keys)
+        val (admitted, covered) =
+          RowGroupIndex.bloomProbe(spark, url, idx, keyCol, keys)
         // same staleness guard as [[Snapshots.upsert]]: files the
         // sidecar never indexed (landed after the last updateBloom)
         // cannot be pruned — treat them as affected so correctness
-        // never depends on sidecar freshness.
-        val covered = RowGroupIndex.bloomCoveredFiles(spark, idx, keyCol)
+        // never depends on sidecar freshness. One sidecar scan.
         val uncovered =
           files.filterNot(f => covered.contains(new Path(f).getName))
         (admitted ++ uncovered).distinct

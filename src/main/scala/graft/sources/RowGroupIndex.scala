@@ -263,25 +263,39 @@ object RowGroupIndex {
     * mirroring [[ValueIn]]). Probing runs where the sidecar rows
     * live; only admitted file names reach the driver. */
   def bloomSelectedFiles(spark: SparkSession, datasetUrl: String,
-      indexUrl: String, field: String, values: Seq[Any]): Seq[String] = {
+      indexUrl: String, field: String, values: Seq[Any]): Seq[String] =
+    bloomProbe(spark, datasetUrl, indexUrl, field, values)._1
+
+  /** One sidecar scan answering BOTH upsert questions: (dataset
+    * files a bloom might-contain ANY probe value, flat names of
+    * every file the sidecar covers). The coverage half feeds the
+    * staleness guard ([[Snapshots.upsert]] /
+    * [[Materialize.mergeUpsert]]) without re-reading the sidecar —
+    * on a 100k-file store the index scan + driver collect happens
+    * once per merge, not twice. Probing runs where the sidecar rows
+    * live; only (name, admitted) pairs reach the driver. */
+  def bloomProbe(spark: SparkSession, datasetUrl: String,
+      indexUrl: String, field: String, values: Seq[Any])
+      : (Seq[String], Set[String]) = {
     import org.apache.spark.util.sketch.BloomFilter
     val probes = values.map(_.toString).toArray
     val idx = spark.read.parquet(indexUrl)
       .filter(col("field") === field)
     import spark.implicits._
-    val admitted = idx.mapPartitions { it =>
-      it.flatMap { r =>
+    val rows = idx.mapPartitions { it =>
+      it.map { r =>
         val bf = BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-        if (probes.exists(bf.mightContainString)) Some(r.getAs[String]("file"))
-        else None
+        (r.getAs[String]("file"), probes.exists(bf.mightContainString))
       }
-    }.collect().toSet
+    }.collect()
     def norm(s: String): String =
       new org.apache.hadoop.fs.Path(s).toUri.getPath
-    val keep = admitted.map(norm)
-    Materialize.listParquetFiles(spark, datasetUrl)
-      .filter(f => keep.contains(norm(f)))
+    val keep = rows.collect { case (f, true) => norm(f) }.toSet
+    val covered = rows
+      .map(r => new org.apache.hadoop.fs.Path(r._1).getName).toSet
+    (Materialize.listParquetFiles(spark, datasetUrl)
+      .filter(f => keep.contains(norm(f))), covered)
   }
 
   /** File names (flat, no directory) the bloom sidecar covers for

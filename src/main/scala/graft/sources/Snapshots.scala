@@ -169,8 +169,15 @@ object Snapshots {
             java.nio.file.Paths.get(tmp.toUri.getPath))
           true
         } catch {
+          // EEXIST → lost the race (must precede the generic case:
+          // FileAlreadyExistsException IS a FileSystemException)
           case _: java.nio.file.FileAlreadyExistsException => false
-          case _: UnsupportedOperationException =>
+          // linkless filesystems (CIFS/FAT/some FUSE): the JDK Unix
+          // provider surfaces EOPNOTSUPP/EPERM as FileSystemException,
+          // NOT UnsupportedOperationException — fall back to the
+          // best-effort exists+rename those mounts always had
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
             !fs.exists(dst) && fs.rename(tmp, dst)
         }
       } else !fs.exists(dst) && fs.rename(tmp, dst)
@@ -351,9 +358,10 @@ object Snapshots {
     require(!keys.contains(null), s"null $keyCol in the update batch")
     val affectedAbs = bloomIndexUrl match {
       case Some(idx) =>
+        val (sel, covered) =
+          RowGroupIndex.bloomProbe(spark, url, idx, keyCol, keys)
         val admitted =
-          RowGroupIndex.bloomSelectedFiles(spark, url, idx, keyCol, keys)
-            .filter(f => parent.files.contains(new Path(f).getName))
+          sel.filter(f => parent.files.contains(new Path(f).getName))
         // Staleness guard: the sidecar only prunes files it has
         // actually indexed. A live file with NO index row (committed
         // after the last updateBloom — e.g. snapshotSink refreshes
@@ -361,8 +369,7 @@ object Snapshots {
         // treating it as unaffected would leave duplicate keys in
         // the new version. Uncovered live files are conservatively
         // affected: correctness never depends on sidecar freshness,
-        // pruning quality does. O(files) driver-side.
-        val covered = RowGroupIndex.bloomCoveredFiles(spark, idx, keyCol)
+        // pruning quality does. One sidecar scan serves both halves.
         val uncovered = parent.files.filterNot(covered)
           .map(f => new Path(root, f).toString)
         (admitted ++ uncovered).distinct

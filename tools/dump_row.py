@@ -4,12 +4,16 @@
 When a driver CORRECTNESS row goes hash-red with rows+schema green, the
 record alone doesn't say WHICH value differs.  This tool re-runs the
 DuckDB oracle from the Verify output's oracle_sql.json, loads the Spark
-parquet for the same query, canonicalizes both exactly like the checker
-(sorted column names, row-sorted by every column), and prints:
+parquet for the same query, aligns columns by sorted name, and prints:
 
   - duckdb version + platform (the usual suspect for divergence)
   - per-column dtype pairs
-  - the first N differing rows side by side (or ALL-EQUAL)
+  - POSITIONAL diffs first (the driver/check.py contract: rows are
+    compared in order), then canonical (row-sorted) diffs — a query
+    that is positional-red but canonical-equal is a ROW-ORDER-ONLY
+    divergence (an ORDER BY that is not a total order, or a
+    collation difference), which needs a tie-break column, not a
+    value fix
 
 Usage: python3 tools/dump_row.py <verify_out_dir> <sf_dir> <query> [N=20]
 """
@@ -26,10 +30,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df):
+def canon(df, row_sort=True):
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    if row_sort:
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
+
+
+def diff_rows(s, o, n, label):
+    diffs = 0
+    for i in range(max(len(s), len(o))):
+        if i >= len(s):
+            print(f"{label} row {i}: spark=<missing> "
+                  f"oracle={o.iloc[i].to_dict()}")
+            diffs += 1
+        elif i >= len(o):
+            print(f"{label} row {i}: spark={s.iloc[i].to_dict()} "
+                  f"oracle=<missing>")
+            diffs += 1
+        else:
+            sr, orow = s.iloc[i], o.iloc[i]
+            cols = [c for c in s.columns if str(sr[c]) != str(orow[c])]
+            if cols:
+                diffs += 1
+                print(f"{label} row {i}: differs on {cols}")
+                print(f"  spark : {sr.to_dict()}")
+                print(f"  oracle: {orow.to_dict()}")
+        if diffs >= n:
+            print(f"... stopping after {n} {label} diffs")
+            break
+    return diffs
 
 
 def main():
@@ -52,39 +82,26 @@ def main():
     s = pd.concat([pd.read_parquet(f) for f in spark_files]) \
         if len(spark_files) > 1 else pd.read_parquet(spark_files[0])
     o = con.execute(oracle[name]).df()
-    s, o = canon(s), canon(o)
-    print(f"# spark rows={len(s)} cols={list(s.columns)}")
-    print(f"# oracle rows={len(o)} cols={list(o.columns)}")
-    for c in sorted(set(s.columns) | set(o.columns)):
-        sd = str(s[c].dtype) if c in s.columns else "<absent>"
-        od = str(o[c].dtype) if c in o.columns else "<absent>"
+    sp, op = canon(s, row_sort=False), canon(o, row_sort=False)
+    sc, oc = canon(s), canon(o)
+    print(f"# spark rows={len(sp)} cols={list(sp.columns)}")
+    print(f"# oracle rows={len(op)} cols={list(op.columns)}")
+    for c in sorted(set(sp.columns) | set(op.columns)):
+        sd = str(sp[c].dtype) if c in sp.columns else "<absent>"
+        od = str(op[c].dtype) if c in op.columns else "<absent>"
         flag = "" if sd == od else "   <-- dtype differs"
         print(f"#   {c}: spark={sd} oracle={od}{flag}")
-    if list(s.columns) != list(o.columns):
+    if list(sp.columns) != list(op.columns):
         print("SCHEMA-DIFF: column sets differ, stopping"); sys.exit(1)
-    diffs = 0
-    for i in range(max(len(s), len(o))):
-        if i >= len(s):
-            print(f"row {i}: spark=<missing> oracle={o.iloc[i].to_dict()}")
-            diffs += 1
-        elif i >= len(o):
-            print(f"row {i}: spark={s.iloc[i].to_dict()} oracle=<missing>")
-            diffs += 1
-        else:
-            sr, orow = s.iloc[i], o.iloc[i]
-            cols = [c for c in s.columns
-                    if str(sr[c]) != str(orow[c])]
-            if cols:
-                diffs += 1
-                print(f"row {i}: differs on {cols}")
-                print(f"  spark : {sr.to_dict()}")
-                print(f"  oracle: {orow.to_dict()}")
-        if diffs >= n:
-            print(f"... stopping after {n} diffs")
-            break
-    if diffs == 0:
-        print("ALL-EQUAL (string-compare over canonical rows)")
-    sys.exit(0 if diffs == 0 else 1)
+    pos = diff_rows(sp, op, n, "positional")
+    can = diff_rows(sc, oc, n, "canonical") if pos else 0
+    if pos == 0:
+        print("ALL-EQUAL (positional string-compare, the checker's view)")
+    elif can == 0:
+        print(f"ROW-ORDER-ONLY divergence: {pos} positional diffs but "
+              "canonical row sets match — fix the ORDER BY tie-break, "
+              "not the values")
+    sys.exit(0 if pos == 0 else 1)
 
 
 if __name__ == "__main__":
