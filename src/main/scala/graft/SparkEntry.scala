@@ -6346,6 +6346,23 @@ object SparkEntry {
         .select(floor(col("value") * 100).cast("long").as("cents"),
           expr("ts DIV 1000").as("us"))
       Stats.kendallStats(ev, "cents", "us", parts = 8)
+    }),
+
+    // ---- Exact Spearman rank-correlation moments ----
+    // q330's companion on the same pair of rankings: the correlation
+    // of tie-AVERAGED rank variables, shipped as six BIGINT moments
+    // over DOUBLED average ranks (2·avgRank = 2·cumBefore + cnt + 1
+    // is always an integer; the ×2 cancels in ρ). Two value-domain
+    // histograms + the distributed prefix scan — never a global row
+    // sort ([[Stats.spearmanStats]]). The 1e6 row cap is the hard
+    // BIGINT bound of Σrank², not advisory.
+    "q331_spearman_agreement" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull && pmod(col("event_id"), lit(17)) === 0)
+        .select(floor(col("value") * 100).cast("long").as("cents"),
+          expr("ts DIV 1000").as("us"))
+      Stats.spearmanStats(ev, "cents", "us")
     })
   )
 
@@ -14961,6 +14978,33 @@ object SparkEntry {
         |SELECT CAST((SELECT n FROM n1) AS BIGINT) AS n,
         |  CAST((SELECT n FROM n1) * ((SELECT n FROM n1) - 1) // 2
         |    AS BIGINT) AS n_pairs,
-        |  tx, ty, txy, nc, nd FROM p""".stripMargin
+        |  tx, ty, txy, nc, nd FROM p""".stripMargin,
+
+    "q331_spearman_agreement" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS x,
+        |    epoch_us(ts) AS y
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL AND event_id % 17 = 0
+        |), rx AS (
+        |  SELECT x, CAST(2 * (sum(cnt) OVER (ORDER BY x) - cnt)
+        |    + cnt + 1 AS BIGINT) AS r
+        |  FROM (SELECT x, count(*) AS cnt FROM e GROUP BY x)
+        |), ry AS (
+        |  SELECT y, CAST(2 * (sum(cnt) OVER (ORDER BY y) - cnt)
+        |    + cnt + 1 AS BIGINT) AS r
+        |  FROM (SELECT y, count(*) AS cnt FROM e GROUP BY y)
+        |), j AS (
+        |  SELECT rx.r AS a, ry.r AS b
+        |  FROM e JOIN rx USING (x) JOIN ry USING (y)
+        |)
+        |SELECT count(*) AS n,
+        |  CAST(COALESCE(sum(a), 0) AS BIGINT) AS sx,
+        |  CAST(COALESCE(sum(b), 0) AS BIGINT) AS sy,
+        |  CAST(COALESCE(sum(a * b), 0) AS BIGINT) AS sxy,
+        |  CAST(COALESCE(sum(a * a), 0) AS BIGINT) AS sxx,
+        |  CAST(COALESCE(sum(b * b), 0) AS BIGINT) AS syy
+        |FROM j""".stripMargin
   )
 }

@@ -1884,4 +1884,65 @@ object Stats {
     Seq((n, nPairs, tx, ty, txy, nPairs - tx - ty + txy - nd, nd))
       .toDF("n", "n_pairs", "tx", "ty", "txy", "nc", "nd")
   }
+  /** Exact Spearman rank-correlation sufficient statistics — the
+    * companion audit to [[kendallStats]]: correlation of the
+    * tie-averaged RANK variables, shipped as the q49 exact-moments
+    * integer six-pack (n, Σrx, Σry, Σrx·ry, Σrx², Σry²) over
+    * DOUBLED average ranks (2·avgRank is always an integer:
+    * 2·cumBefore + cnt + 1), so ρ = (n·sxy − sx·sy) /
+    * √((n·sxx − sx²)(n·syy − sy²)) is one caller-side division away
+    * with no float anywhere in the contract (the ×2 scaling cancels).
+    *
+    * Scale shape: two value HISTOGRAMS (groupBy(value).count — the
+    * §exactPercentiles reduction, map-side combined, value-domain-
+    * sized) each get their exclusive prefix via the distributed
+    * scan ([[Ranking.withRunningTotal]] — never a global row sort),
+    * then each corpus row joins its two rank literals (histogram
+    * joins, AQE-broadcast at typical domains) and one aggregate
+    * emits the six sums.
+    *
+    * `maxRows` is a HARD 1e6 ceiling, not advisory: with ranks ≤ 2n
+    * the sum Σrx² is bounded by n·4n² = 4·10¹⁸ < 2⁶³ exactly at
+    * n = 10⁶ — the cap is what makes the BIGINT contract sound.
+    * Rank-correlation audits at larger n run on a scored sample
+    * (same doctrine as [[kendallStats]]). */
+  def spearmanStats(df: DataFrame, xCol: String, yCol: String,
+      maxRows: Long = 1000000L): DataFrame = {
+    require(maxRows >= 1 && maxRows <= 1000000L,
+      s"maxRows in [1, 1e6] (the BIGINT-moment bound), got $maxRows")
+    val pts = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = pts.count()
+    require(n <= maxRows,
+      s"spearmanStats: $n rows > maxRows=$maxRows — run the audit " +
+        "on a scored sample (the BIGINT moment bound is hard)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (n < 1) {
+      pts.unpersist()
+      return Seq((0L, 0L, 0L, 0L, 0L, 0L))
+        .toDF("n", "sx", "sy", "sxy", "sxx", "syy")
+    }
+    def rank2(c: String, out: String): DataFrame = {
+      val hist = pts.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      Ranking.withRunningTotal(hist, Seq(col(c)), "__cnt", "__cum")
+        .select(col(c),
+          (lit(2L) * col("__cum") + col("__cnt") + 1L).as(out))
+    }
+    val joined = pts
+      .join(rank2("__x", "__rx"), Seq("__x"))
+      .join(rank2("__y", "__ry"), Seq("__y"))
+    val r = joined.agg(
+      sum(col("__rx")).as("sx"), sum(col("__ry")).as("sy"),
+      sum(col("__rx") * col("__ry")).as("sxy"),
+      sum(col("__rx") * col("__rx")).as("sxx"),
+      sum(col("__ry") * col("__ry")).as("syy")).head()
+    pts.unpersist()
+    Seq((n, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)))
+      .toDF("n", "sx", "sy", "sxy", "sxx", "syy")
+  }
 }

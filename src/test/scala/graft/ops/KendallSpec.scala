@@ -86,4 +86,34 @@ class KendallSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("scored sample"))
   }
+  test("spearmanStats: moments equal scipy-style averaged ranks on " +
+      "tied data; monotone data gives rho exactly 1") {
+    val pts = Seq((3L, 9L), (1L, 4L), (3L, 4L), (2L, 9L), (1L, 1L),
+      (3L, 2L), (2L, 2L))
+    // averaged ranks (x): 1->1.5, 2->3.5, 3->6  => 2r: 3, 7, 12
+    // averaged ranks (y): 1->1, 2->2.5, 4->4.5, 9->6.5 => 2r: 2,5,9,13
+    val rx = Map(1L -> 3L, 2L -> 7L, 3L -> 12L)
+    val ry = Map(1L -> 2L, 2L -> 5L, 4L -> 9L, 9L -> 13L)
+    val r = Stats.spearmanStats(pts.toDF("x", "y"), "x", "y").head()
+    val want = pts.map { case (x, y) => (rx(x), ry(y)) }
+    assert(r.getLong(0) == 7L)
+    assert(r.getLong(1) == want.map(_._1).sum)
+    assert(r.getLong(2) == want.map(_._2).sum)
+    assert(r.getLong(3) == want.map(p => p._1 * p._2).sum)
+    assert(r.getLong(4) == want.map(p => p._1 * p._1).sum)
+    assert(r.getLong(5) == want.map(p => p._2 * p._2).sum)
+    // monotone tie-free data: n*sxy - sx*sy == n*sxx - sx^2 (rho = 1)
+    val m = Stats.spearmanStats((1L to 100L).map(i => (i, i * 5 + 2))
+      .toDF("x", "y"), "x", "y").head()
+    val (n, sx, sy, sxy, sxx, syy) = (m.getLong(0), m.getLong(1),
+      m.getLong(2), m.getLong(3), m.getLong(4), m.getLong(5))
+    assert(n * sxy - sx * sy == n * sxx - sx * sx)
+    assert(n * sxx - sx * sx == n * syy - sy * sy)
+    // cap is hard (BIGINT bound), not advisory
+    val e = intercept[IllegalArgumentException] {
+      Stats.spearmanStats(pts.toDF("x", "y"), "x", "y",
+        maxRows = 2000000L)
+    }
+    assert(e.getMessage.contains("1e6"))
+  }
 }
