@@ -6363,6 +6363,174 @@ object SparkEntry {
         .select(floor(col("value") * 100).cast("long").as("cents"),
           expr("ts DIV 1000").as("us"))
       Stats.spearmanStats(ev, "cents", "us")
+    }),
+
+    // ---- Exact Kruskal–Wallis rank sums ----
+    // The k-group generalization of the q330/q331 rank audits: pooled
+    // tie-averaged DOUBLED ranks (2·avgRank = 2·cumBefore + cnt + 1,
+    // always a BIGINT) summed per event_type, plus the pooled tie
+    // term Σ(t³−t) — H and the two-group Mann–Whitney U are one
+    // caller-side division away with no float in the contract. One
+    // pooled value histogram + the distributed prefix scan, never a
+    // global row sort ([[Stats.kruskalStats]]).
+    "q332_kruskal_rank_sums" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      Stats.kruskalStats(ev, "event_type", "cents")
+        .orderBy(col("grp"))
+    }),
+
+    // ---- Exact Kaplan–Meier risk table ----
+    // Time-to-first-failure survival audit: per user, duration = days
+    // from first activity to first 'error' event, administratively
+    // right-censored at a 5-day follow-up horizon (or at last
+    // activity if earlier) — the mixed event/censored table KM needs.
+    // Emits the integer sufficient statistics (at-risk / events /
+    // censored per distinct duration) so the survival product stays
+    // caller-side — no float anywhere. Duration histogram +
+    // distributed prefix scan ([[Stats.kmRiskTable]]);
+    // at_risk(d) = n − cumBefore(d).
+    "q333_km_risk" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      // ts is epoch-nanos (the Tables contract) → UTC calendar date
+      val tsDate = to_date(timestamp_micros(expr("ts DIV 1000")))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(tsDate).as("first_d"),
+          max(tsDate).as("last_d"),
+          min(when(col("event_type") === "error", tsDate))
+            .as("err_d"))
+      val errDays = datediff(col("err_d"), col("first_d"))
+      val observed = col("err_d").isNotNull && errDays <= 5
+      val subj = perUser.select(
+        when(observed, errDays)
+          .otherwise(least(datediff(col("last_d"), col("first_d")),
+            lit(5))).cast("long").as("dur"),
+        observed.cast("long").as("ev"))
+      Stats.kmRiskTable(subj, "dur", "ev")
+        .orderBy(col("duration"))
+    }),
+
+    // ---- Exact t-closeness numerators ----
+    // Third leg of the privacy family (k-anonymity q282, l-diversity
+    // q315): per (lang, source) QI group, the ordered earth-mover's
+    // distance between the group's length-bucket distribution and the
+    // global one, as the exact BIGINT numerator
+    // Σ_j |cumG_j·n − cum_j·n_g| over a guarded groups×levels grid —
+    // the t-threshold check is an integer cross-multiplication
+    // ([[Stats.tCloseness]]).
+    "q334_t_closeness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+        .withColumn("len_bucket", expr("n_chars DIV 100"))
+      Stats.tCloseness(docs, Seq("lang", "source"), "len_bucket")
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // ---- CSV source/sink round-trip ----
+    // Tabular ingest parity: write a typed lineitem projection to
+    // headered CSV, read it back through Spark's splittable CSV scan
+    // with an EXPLICIT schema (longs/date — no inference in the
+    // contract), and aggregate; the oracle computes the same
+    // aggregate from the parquet directly, so any encode/parse drift
+    // (quoting, date format, integer width) breaks the hash.
+    "q335_csv_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long")
+            .as("price_cents"),
+          to_date(col("l_shipdate")).as("ship_date"))
+      val url = sys.props("java.io.tmpdir") + "/graft_q335_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      li.write.mode("overwrite").option("header", "true").csv(url)
+      s.read.option("header", "true")
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "l_orderkey LONG, l_returnflag STRING, qty LONG, " +
+            "price_cents LONG, ship_date DATE"))
+        .csv(url)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+          sum(col("price_cents")).as("sum_cents"),
+          datediff(min(col("ship_date")),
+            to_date(lit("1970-01-01"))).cast("long")
+            .as("min_ship_day"),
+          datediff(max(col("ship_date")),
+            to_date(lit("1970-01-01"))).cast("long")
+            .as("max_ship_day"),
+          sum(col("l_orderkey")).as("sum_key"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- ORC source/sink round-trip ----
+    // Columnar-format parity beyond parquet: write documents (text
+    // included) to ORC, read back, aggregate content-sensitive
+    // measures (byte lengths — octet_length is unambiguous across
+    // engines where char semantics differ on non-BMP points); the
+    // oracle aggregates the parquet directly.
+    "q336_orc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+      val url = sys.props("java.io.tmpdir") + "/graft_q336_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      docs.write.mode("overwrite").orc(url)
+      s.read.orc(url)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(octet_length(col("text"))).as("sum_bytes"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- Exact Wilcoxon signed-rank statistics ----
+    // The PAIRED member of the rank-audit family (q330–q332): per
+    // user, the signed cents difference between first-half and
+    // second-half monthly spend; nonzero |d| ranked with tie-averaged
+    // DOUBLED ranks, emitting (n_nonzero, n_zero, w2_plus, w2_minus,
+    // tie term) — the before/after A-B audit with no float in the
+    // contract ([[Stats.wilcoxonStats]]).
+    "q337_wilcoxon_paired" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+      // ts is epoch-nanos (the Tables contract) → UTC day-of-month
+      val dom = dayofmonth(timestamp_micros(expr("ts DIV 1000")))
+      val diffs = ev.groupBy(col("user_id"))
+        .agg(
+          sum(when(dom <= 15,
+            floor(col("value") * 100).cast("long")).otherwise(0L))
+            .as("a"),
+          sum(when(dom > 15,
+            floor(col("value") * 100).cast("long")).otherwise(0L))
+            .as("b"))
+        .select((col("a") - col("b")).as("d"))
+      Stats.wilcoxonStats(diffs, "d")
+    }),
+
+    // ---- Inclusion-dependency (foreign-key) discovery ----
+    // Schema-constraint audit over the star schema: four true FK
+    // edges plus one deliberately-wrong candidate
+    // (o_custkey → s_suppkey, partially contained) — distinct-frame
+    // containment joins, key-domain-sized exchanges only
+    // ([[Stats.inclusionDependencies]]).
+    "q338_fk_discovery" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      Stats.inclusionDependencies(Seq(
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+          li, "l_partkey", t(s, dir, "part"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+          li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
+        ("orders.o_custkey->customer.c_custkey",
+          o, "o_custkey", t(s, dir, "customer"), "c_custkey"),
+        ("orders.o_custkey->supplier.s_suppkey",
+          o, "o_custkey", t(s, dir, "supplier"), "s_suppkey")))
+        .orderBy(col("candidate"))
     })
   )
 
@@ -15005,6 +15173,206 @@ object SparkEntry {
         |  CAST(COALESCE(sum(a * b), 0) AS BIGINT) AS sxy,
         |  CAST(COALESCE(sum(a * a), 0) AS BIGINT) AS sxx,
         |  CAST(COALESCE(sum(b * b), 0) AS BIGINT) AS syy
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    "q332_kruskal_rank_sums" ->
+      """WITH e AS (
+        |  SELECT event_type AS grp,
+        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), h AS (SELECT v, count(*) AS cnt FROM e GROUP BY v),
+        |r AS (
+        |  SELECT v, CAST(2 * (sum(cnt) OVER (ORDER BY v) - cnt)
+        |    + cnt + 1 AS BIGINT) AS r2
+        |  FROM h
+        |), t1 AS (
+        |  SELECT CAST(COALESCE(sum(cnt*cnt*cnt - cnt), 0) AS BIGINT)
+        |    AS tie_cubes FROM h
+        |), n1 AS (SELECT count(*) AS n FROM e)
+        |SELECT e.grp, count(*) AS n_g,
+        |  CAST(sum(r.r2) AS BIGINT) AS r2_sum,
+        |  CAST((SELECT n FROM n1) AS BIGINT) AS n,
+        |  (SELECT tie_cubes FROM t1) AS tie_cubes
+        |FROM e JOIN r USING (v)
+        |GROUP BY e.grp ORDER BY e.grp""".stripMargin,
+
+    "q333_km_risk" ->
+      """WITH base AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), u AS (
+        |  SELECT user_id, min(d) AS first_d, max(d) AS last_d,
+        |    min(CASE WHEN event_type = 'error' THEN d END) AS err_d
+        |  FROM base GROUP BY user_id
+        |), s AS (
+        |  SELECT
+        |    CAST(CASE WHEN err_d IS NOT NULL
+        |        AND date_diff('day', first_d, err_d) <= 5
+        |      THEN date_diff('day', first_d, err_d)
+        |      ELSE least(date_diff('day', first_d, last_d), 5)
+        |      END AS BIGINT) AS dur,
+        |    CASE WHEN err_d IS NOT NULL
+        |        AND date_diff('day', first_d, err_d) <= 5
+        |      THEN 1 ELSE 0 END AS ev
+        |  FROM u
+        |), h AS (
+        |  SELECT dur AS duration, count(*) AS cnt,
+        |    CAST(sum(ev) AS BIGINT) AS n_event
+        |  FROM s GROUP BY dur
+        |), n1 AS (SELECT count(*) AS n FROM s)
+        |SELECT duration,
+        |  CAST((SELECT n FROM n1)
+        |    - (sum(cnt) OVER (ORDER BY duration) - cnt) AS BIGINT)
+        |    AS n_at_risk,
+        |  n_event,
+        |  CAST(cnt - n_event AS BIGINT) AS n_censored
+        |FROM h ORDER BY duration""".stripMargin,
+
+    "q334_t_closeness" ->
+      """WITH d AS (
+        |  SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS s
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |), lv AS (SELECT s, count(*) AS cv FROM d GROUP BY s),
+        |lc AS (
+        |  SELECT s, CAST(sum(cv) OVER (ORDER BY s) AS BIGINT) AS cum
+        |  FROM lv
+        |), g AS (
+        |  SELECT lang, source, count(*) AS n_g
+        |  FROM d GROUP BY lang, source
+        |), gv AS (
+        |  SELECT lang, source, s, count(*) AS cgv
+        |  FROM d GROUP BY lang, source, s
+        |), grid AS (
+        |  SELECT g.lang, g.source, g.n_g, lc.s, lc.cum,
+        |    COALESCE(gv.cgv, 0) AS cgv
+        |  FROM g CROSS JOIN lc
+        |  LEFT JOIN gv ON gv.lang = g.lang AND gv.source = g.source
+        |    AND gv.s = lc.s
+        |), cg AS (
+        |  SELECT *, sum(cgv) OVER (PARTITION BY lang, source
+        |    ORDER BY s) AS cumg
+        |  FROM grid
+        |), n1 AS (SELECT count(*) AS n FROM d),
+        |m1 AS (SELECT count(*) AS m FROM lv)
+        |SELECT lang, source, CAST(n_g AS BIGINT) AS n_g,
+        |  CAST(sum(abs(cumg * (SELECT n FROM n1) - cum * n_g))
+        |    AS BIGINT) AS emd_num,
+        |  CAST((SELECT n FROM n1) AS BIGINT) AS n,
+        |  CAST((SELECT m FROM m1) AS BIGINT) AS m
+        |FROM cg GROUP BY lang, source, n_g
+        |ORDER BY lang, source""".stripMargin,
+
+    "q335_csv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(min(CAST(l_shipdate AS DATE)) - DATE '1970-01-01'
+        |    AS BIGINT) AS min_ship_day,
+        |  CAST(max(CAST(l_shipdate AS DATE)) - DATE '1970-01-01'
+        |    AS BIGINT) AS max_ship_day,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q336_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents
+        |WHERE lang IS NOT NULL AND source IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q337_wilcoxon_paired" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS c,
+        |    CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS fh
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |), s AS (
+        |  SELECT CAST(sum(CASE WHEN fh = 1 THEN c ELSE 0 END)
+        |    - sum(CASE WHEN fh = 0 THEN c ELSE 0 END) AS BIGINT) AS d
+        |  FROM e GROUP BY user_id
+        |), nz AS (
+        |  SELECT abs(d) AS a,
+        |    CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+        |  FROM s WHERE d <> 0
+        |), h AS (SELECT a, count(*) AS cnt FROM nz GROUP BY a),
+        |r AS (
+        |  SELECT a, CAST(2 * (sum(cnt) OVER (ORDER BY a) - cnt)
+        |    + cnt + 1 AS BIGINT) AS r2
+        |  FROM h
+        |), t1 AS (
+        |  SELECT CAST(COALESCE(sum(cnt*cnt*cnt - cnt), 0) AS BIGINT)
+        |    AS tie_cubes FROM h
+        |), z AS (
+        |  SELECT count(*) AS n_zero FROM s WHERE d = 0
+        |)
+        |SELECT count(*) AS n_nonzero,
+        |  (SELECT n_zero FROM z) AS n_zero,
+        |  CAST(COALESCE(sum(CASE WHEN pos = 1 THEN r.r2 END), 0)
+        |    AS BIGINT) AS w2_plus,
+        |  CAST(COALESCE(sum(CASE WHEN pos = 0 THEN r.r2 END), 0)
+        |    AS BIGINT) AS w2_minus,
+        |  (SELECT tie_cubes FROM t1) AS tie_cubes
+        |FROM nz JOIN r USING (a)""".stripMargin,
+
+    "q338_fk_discovery" ->
+      """WITH c1 AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |), p1 AS (
+        |  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v
+        |  FROM orders WHERE o_orderkey IS NOT NULL
+        |), c2 AS (
+        |  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS v
+        |  FROM lineitem WHERE l_partkey IS NOT NULL
+        |), p2 AS (
+        |  SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS v
+        |  FROM part WHERE p_partkey IS NOT NULL
+        |), c3 AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS v
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL
+        |), p3 AS (
+        |  SELECT DISTINCT CAST(s_suppkey AS VARCHAR) AS v
+        |  FROM supplier WHERE s_suppkey IS NOT NULL
+        |), c4 AS (
+        |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |), p4 AS (
+        |  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |), pairs AS (
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS candidate,
+        |    (SELECT count(*) FROM c1) AS n_distinct,
+        |    (SELECT count(*) FROM c1 WHERE v IN (SELECT v FROM p1))
+        |      AS n_contained
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part.p_partkey',
+        |    (SELECT count(*) FROM c2),
+        |    (SELECT count(*) FROM c2 WHERE v IN (SELECT v FROM p2))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+        |    (SELECT count(*) FROM c3),
+        |    (SELECT count(*) FROM c3 WHERE v IN (SELECT v FROM p3))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer.c_custkey',
+        |    (SELECT count(*) FROM c4),
+        |    (SELECT count(*) FROM c4 WHERE v IN (SELECT v FROM p4))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->supplier.s_suppkey',
+        |    (SELECT count(*) FROM c4),
+        |    (SELECT count(*) FROM c4 WHERE v IN (SELECT v FROM p3))
+        |)
+        |SELECT candidate, n_distinct, n_contained,
+        |  CAST(CASE WHEN n_distinct = n_contained THEN 1 ELSE 0 END
+        |    AS BIGINT) AS holds
+        |FROM pairs ORDER BY candidate""".stripMargin
   )
 }

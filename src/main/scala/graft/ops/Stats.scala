@@ -1945,4 +1945,245 @@ object Stats {
       r.getLong(4)))
       .toDF("n", "sx", "sy", "sxy", "sxx", "syy")
   }
+
+  /** Exact Kruskal–Wallis rank sums — the k-group generalization of
+    * the q330/q331 rank-audit family: pooled tie-averaged ranks of
+    * `valueCol` (DOUBLED, so 2·avgRank = 2·cumBefore + cnt + 1 is
+    * always a BIGINT) summed per `groupCol` group, plus the pooled
+    * tie term Σ(t³−t). From the output row set the caller derives
+    * H = [12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1)] / [1 − Σ(t³−t)/(n³−n)]
+    * with one division (the ×2 rank scaling cancels), and for the
+    * two-group case the Mann–Whitney U: 2·U_g = r2_sum_g − n_g(n_g+1)
+    * — both with no float anywhere in the engine/oracle contract.
+    *
+    * Scale shape: ONE pooled value histogram (`groupBy(value).count`,
+    * map-side combined, value-domain-sized), exclusive prefix via the
+    * [[Ranking.withRunningTotal]] distributed scan (never a global
+    * row sort), a histogram join to attach each row's rank literal
+    * (AQE-broadcast at typical domains), and one per-group aggregate.
+    * The 1e6 `maxRows` cap is the hard BIGINT bound of Σ(t³−t) ≤ n³,
+    * not advisory — larger audits run on a scored sample (same
+    * doctrine as [[spearmanStats]]). */
+  def kruskalStats(df: DataFrame, groupCol: String, valueCol: String,
+      maxRows: Long = 1000000L): DataFrame = {
+    require(maxRows >= 1 && maxRows <= 1000000L,
+      s"maxRows in [1, 1e6] (the BIGINT tie-term bound), got $maxRows")
+    val pts = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = pts.count()
+    require(n <= maxRows,
+      s"kruskalStats: $n rows > maxRows=$maxRows — run the audit " +
+        "on a scored sample (the BIGINT tie-term bound is hard)")
+    val hist = pts.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranks = Ranking
+      .withRunningTotal(hist, Seq(col("__v")), "__cnt", "__cum")
+      .select(col("__v"),
+        (lit(2L) * col("__cum") + col("__cnt") + 1L).as("__r2"))
+    val tieCubes = hist.agg(coalesce(
+      sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt")),
+      lit(0L))).head().getLong(0)
+    val out = pts.join(ranks, Seq("__v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("__r2")).as("r2_sum"))
+      .withColumn("n", lit(n))
+      .withColumn("tie_cubes", lit(tieCubes))
+    // caches only served the two scalar actions above; the returned
+    // plan re-derives from source (pushdown-friendly) when evaluated
+    hist.unpersist(); pts.unpersist()
+    out
+  }
+
+  /** Exact Wilcoxon signed-rank sufficient statistics — the PAIRED
+    * companion to [[kruskalStats]]: given one signed difference per
+    * subject, rank the nonzero |d| with tie-averaged DOUBLED ranks
+    * (2·avgRank = 2·cumBefore + cnt + 1, always a BIGINT) and emit
+    * n_nonzero, n_zero, w2_plus (doubled rank sum over d > 0),
+    * w2_minus, and the tie term Σ(t³−t) over the |d| histogram —
+    * W, the normal-approximation z, and the tie-corrected variance
+    * are caller-side divisions with no float in the contract
+    * (w2_plus + w2_minus = 2·Σranks = n(n+1)·2/2 doubled, a built-in
+    * consistency check).
+    *
+    * Scale shape: one |d| histogram (`groupBy`, map-side combined,
+    * domain-sized), exclusive prefix via [[Ranking.withRunningTotal]],
+    * histogram join, one aggregate — identical shape to
+    * [[kruskalStats]], same hard 1e6 BIGINT cap. */
+  def wilcoxonStats(df: DataFrame, diffCol: String,
+      maxRows: Long = 1000000L): DataFrame = {
+    require(maxRows >= 1 && maxRows <= 1000000L,
+      s"maxRows in [1, 1e6] (the BIGINT tie-term bound), got $maxRows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.filter(col(diffCol).isNotNull)
+      .select(col(diffCol).cast("long").as("__d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = pts.count()
+    require(n <= maxRows,
+      s"wilcoxonStats: $n rows > maxRows=$maxRows — run the audit " +
+        "on a scored sample (the BIGINT tie-term bound is hard)")
+    val nz = pts.filter(col("__d") =!= 0L)
+      .select(abs(col("__d")).as("__a"),
+        when(col("__d") > 0L, 1L).otherwise(0L).as("__pos"))
+    val hist = nz.groupBy(col("__a")).agg(count(lit(1)).as("__cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranks = Ranking
+      .withRunningTotal(hist, Seq(col("__a")), "__cnt", "__cum")
+      .select(col("__a"),
+        (lit(2L) * col("__cum") + col("__cnt") + 1L).as("__r2"))
+    val tieCubes = hist.agg(coalesce(
+      sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt")),
+      lit(0L))).head().getLong(0)
+    val r = nz.join(ranks, Seq("__a"))
+      .agg(count(lit(1)).as("nn"),
+        coalesce(sum(when(col("__pos") === 1L, col("__r2"))
+          .otherwise(0L)), lit(0L)).as("wp"),
+        coalesce(sum(when(col("__pos") === 0L, col("__r2"))
+          .otherwise(0L)), lit(0L)).as("wm")).head()
+    hist.unpersist(); pts.unpersist()
+    Seq((r.getLong(0), n - r.getLong(0), r.getLong(1), r.getLong(2),
+      tieCubes))
+      .toDF("n_nonzero", "n_zero", "w2_plus", "w2_minus", "tie_cubes")
+  }
+
+  /** Exact Kaplan–Meier risk table — the survival-analysis audit a
+    * retention pipeline needs, shipped as integer sufficient
+    * statistics per distinct duration: subjects at risk (duration ≥
+    * d), events at d, censored at d. The survival curve is the
+    * caller-side running product Π(1 − d_i/r_i); emitting the
+    * integer (r, d, c) triples instead keeps floats out of the
+    * engine/oracle contract entirely.
+    *
+    * Input is one row per SUBJECT. Scale shape: a duration histogram
+    * (`groupBy(duration)`, map-side combined, duration-domain-sized),
+    * exclusive prefix via the [[Ranking.withRunningTotal]]
+    * distributed scan — at_risk(d) = n − cumBefore(d) — never a
+    * global row sort, no row cap needed (everything after the first
+    * reduction is histogram-sized). */
+  def kmRiskTable(df: DataFrame, durCol: String,
+      eventCol: String): DataFrame = {
+    val subj = df
+      .filter(col(durCol).isNotNull && col(eventCol).isNotNull)
+      .select(col(durCol).cast("long").as("duration"),
+        col(eventCol).cast("long").as("__e"))
+    val hist = subj.groupBy(col("duration"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col("__e") =!= 0L, 1L).otherwise(0L)).as("n_event"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = hist.agg(coalesce(sum(col("__cnt")), lit(0L)))
+      .head().getLong(0)
+    val out = Ranking
+      .withRunningTotal(hist, Seq(col("duration")), "__cnt", "__cum")
+      .select(col("duration"),
+        (lit(n) - col("__cum")).as("n_at_risk"),
+        col("n_event"),
+        (col("__cnt") - col("n_event")).as("n_censored"))
+    hist.unpersist()
+    out
+  }
+
+  /** Inclusion-dependency (foreign-key) audit — schema discovery for
+    * tables that arrive without declared constraints: for each
+    * candidate child.fk → parent.pk, the count of distinct non-null
+    * child values and how many of them exist on the parent side;
+    * `holds` = 1 iff containment is total. The deliverable of a
+    * profiling pass that decides which joins are safe to rely on.
+    *
+    * Scale shape per candidate: two `distinct()` reductions
+    * (map-side combined, key-domain-sized — never the corpus) and
+    * one left join between the DISTINCT frames (AQE broadcasts the
+    * parent side when it is dimension-sized); results union into a
+    * candidates-count frame. Values audit as strings so the check is
+    * type-agnostic (a LONG fk against a STRING pk is itself a
+    * finding — the cast makes it containment-visible, not an error). */
+  def inclusionDependencies(
+      cands: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(cands.nonEmpty, "inclusionDependencies needs candidates")
+    cands.map { case (nm, child, fk, parent, pk) =>
+      val f = child.filter(col(fk).isNotNull)
+        .select(col(fk).cast("string").as("__v")).distinct()
+      val p = parent.filter(col(pk).isNotNull)
+        .select(col(pk).cast("string").as("__v")).distinct()
+        .withColumn("__hit", lit(1L))
+      f.join(p, Seq("__v"), "left")
+        .agg(count(lit(1)).as("n_distinct"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_contained"))
+        .select(lit(nm).as("candidate"), col("n_distinct"),
+          col("n_contained"),
+          (col("n_distinct") === col("n_contained")).cast("long")
+            .as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Exact t-closeness numerators — the third leg of the privacy
+    * audit family ([[kAnonymity]], [[lDiversity]]): for each
+    * quasi-identifier group, the ordered earth-mover's distance
+    * between the group's distribution of an ORDERED sensitive
+    * attribute and the global one, as an exact integer numerator.
+    * With m sensitive levels, EMD = (1/(m−1))·Σ_j |P≤j − Q≤j|; on
+    * counts that is emd_num / (n_g·n·(m−1)) where
+    * emd_num = Σ_j |cumG_j·n − cum_j·n_g| — pure BIGINT, so the
+    * t-threshold check t̂ ≤ t is an integer cross-multiplication on
+    * the caller side with no float in the contract.
+    *
+    * Scale shape: sensitive-level histograms (`groupBy`, map-side
+    * combined), a groups×levels grid built by cross join with the
+    * m-level frame (m is `require`-capped — the grid is G·m rows,
+    * linear in the number of QI groups), per-group cumulative sums
+    * via a window PARTITIONED by the QI key (parallel; the only
+    * unpartitioned window runs on the m-row level frame). Levels
+    * absent from a group still contribute — the grid makes every
+    * (group, level) cell explicit. */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensCol: String,
+      maxLevels: Int = 1000): DataFrame = {
+    require(qiCols.nonEmpty, "tCloseness needs at least one QI column")
+    require(maxLevels >= 2 && maxLevels <= 100000,
+      s"maxLevels in [2, 1e5], got $maxLevels")
+    val base = df
+      .filter(col(sensCol).isNotNull &&
+        qiCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(qiCols.map(col) :+
+        col(sensCol).cast("long").as("__s"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded-action level census: fail fast before any grid work
+    val levelRows = base.select(col("__s")).distinct()
+      .limit(maxLevels + 1).collect()
+    val m = levelRows.length.toLong
+    require(m <= maxLevels,
+      s"tCloseness: > $maxLevels sensitive levels — EMD over an " +
+        "unbounded ordered domain should bucket first")
+    val levels = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__cv"))
+    // global cumulative over the m-row level frame (m is capped —
+    // this unpartitioned window is grid-sized, not corpus-sized)
+    val wAll = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lv = levels.select(col("__s"), col("__cv"),
+      sum(col("__cv")).over(wAll).as("__cum"))
+    val n = base.count()
+    val groups = base.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_g"))
+    val gv = base.groupBy(qiCols.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__cgv"))
+    val grid = groups.crossJoin(lv)
+      .join(gv, qiCols :+ "__s", "left")
+      .na.fill(0L, Seq("__cgv"))
+    val wGrp = Window.partitionBy(qiCols.map(col): _*)
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = grid
+      .withColumn("__cumG", sum(col("__cgv")).over(wGrp))
+      .groupBy((qiCols.map(col) :+ col("n_g")): _*)
+      .agg(coalesce(sum(abs(col("__cumG") * lit(n) -
+        col("__cum") * col("n_g"))), lit(0L)).as("emd_num"))
+      .withColumn("n", lit(n))
+      .withColumn("m", lit(m))
+    base.unpersist()
+    out
+  }
 }

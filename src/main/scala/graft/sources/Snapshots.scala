@@ -917,6 +917,57 @@ object Snapshots {
     * handle obtained from [[readAsOf]] BEFORE the vacuum races it
     * (manifests resolve eagerly, data files lazily) — collect
     * pinned-version aggregates before vacuuming, as q279 does. */
+  /** Shallow clone — an independent store at `dstUrl` whose v1 holds
+    * exactly `srcUrl`@`version`'s rows (latest when `version` < 0).
+    * Data files are HARD-LINKED on `file://` (zero bytes copied — the
+    * dev-branch clone of lakehouse practice) and byte-copied on
+    * filesystems without link(2). Divergence is free by construction:
+    * data files are immutable (the [[writeFiles]] contract — every
+    * commit lands NEW uuid-named files), so neither store can ever
+    * write through a shared inode; each side's [[vacuum]] unlinks
+    * only its own NAME and the inode survives while any clone still
+    * references it. Stats sidecars and CHECK constraints deliberately
+    * do not travel — sidecars regenerate ([[indexStats]]) and
+    * constraints are store-local policy.
+    *
+    * Scale shape: O(files) namespace operations, zero data movement
+    * on POSIX — cloning a 100k-file store is a metadata pass. */
+  def cloneStore(spark: SparkSession, srcUrl: String, dstUrl: String,
+      version: Int = -1): Int = {
+    val v = if (version < 0) latest(spark, srcUrl) else version
+    val s = snap(spark, srcUrl, v)
+    val (sfs, srcRoot) = fsOf(spark, srcUrl)
+    val (dfs, dstRoot) = fsOf(spark, dstUrl)
+    require(versions(spark, dstUrl).isEmpty,
+      s"clone target $dstUrl is already a snapshot store")
+    dfs.mkdirs(dstRoot)
+    val conf = spark.sessionState.newHadoopConf()
+    s.files.foreach { f =>
+      val from = new Path(srcRoot, f); val to = new Path(dstRoot, f)
+      val linked =
+        sfs.getUri.getScheme == "file" &&
+          dfs.getUri.getScheme == "file" && {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(to.toUri.getPath),
+              java.nio.file.Paths.get(from.toUri.getPath))
+            true
+          } catch {
+            // cross-device links (EXDEV) and linkless mounts fall
+            // back to a byte copy, same doctrine as [[commit]]
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException => false
+          }
+        }
+      if (!linked)
+        require(org.apache.hadoop.fs.FileUtil
+          .copy(sfs, from, dfs, to, false, conf),
+          s"clone copy failed for $f")
+    }
+    commit(spark, dstRoot, 1, "clone", s.files,
+      Some(schemaOf(spark, srcRoot, s)))
+  }
+
   def vacuum(spark: SparkSession, url: String, keepFrom: Int,
       graceMs: Long = 3600L * 1000): (Int, Int) = {
     val (fs, root) = fsOf(spark, url)
