@@ -6531,6 +6531,52 @@ object SparkEntry {
         ("orders.o_custkey->supplier.s_suppkey",
           o, "o_custkey", t(s, dir, "supplier"), "s_suppkey")))
         .orderBy(col("candidate"))
+    }),
+
+    // ---- Snapshot-store shallow clone ----
+    // Dev-branch cloning for the lakehouse layer: clone a store
+    // (hard-linked data files on file:// — zero bytes copied,
+    // [[Snapshots.cloneStore]]), then diverge BOTH sides — the source
+    // appends, the clone upserts — and prove isolation by emitting
+    // each side's content aggregate: the clone's v1 equals the
+    // source's pre-divergence rows, the clone's upsert never leaks
+    // into the source, the source's append never reaches the clone.
+    "q339_snapshot_clone" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q339"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val srcStore = s"$base/src"; val cloneStore = s"$base/clone"
+      val v1 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("doc_id").isNotNull)
+      Snapshots.create(s, srcStore, v1, nFiles = 4)
+      Snapshots.cloneStore(s, srcStore, cloneStore)
+      Snapshots.append(s, srcStore,
+        v1.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("lang"), col("n_chars")), nFiles = 2)
+      Snapshots.upsert(s, cloneStore,
+        v1.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 5000L).as("n_chars")), "doc_id")
+      def sideAgg(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("doc_id")).as("n_ids"))
+          .select(lit(tag).as("side"), col("n"), col("sum_chars"),
+            col("n_ids"))
+      sideAgg("clone_v1", Snapshots.readAsOf(s, cloneStore, 1))
+        .unionByName(sideAgg("clone_v2",
+          Snapshots.read(s, cloneStore)))
+        .unionByName(sideAgg("src_v2", Snapshots.read(s, srcStore)))
+        .orderBy(col("side"))
     })
   )
 
@@ -15373,6 +15419,34 @@ object SparkEntry {
         |SELECT candidate, n_distinct, n_contained,
         |  CAST(CASE WHEN n_distinct = n_contained THEN 1 ELSE 0 END
         |    AS BIGINT) AS holds
-        |FROM pairs ORDER BY candidate""".stripMargin
+        |FROM pairs ORDER BY candidate""".stripMargin,
+
+    "q339_snapshot_clone" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |), sides AS (
+        |  SELECT 'clone_v1' AS side, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    count(DISTINCT doc_id) AS n_ids
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'clone_v2', count(*),
+        |    CAST(sum(n_chars + CASE WHEN doc_id % 5 = 0
+        |      THEN 5000 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT doc_id)
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'src_v2', count(*),
+        |    CAST(sum(n_chars) AS BIGINT), count(DISTINCT doc_id)
+        |  FROM (
+        |    SELECT doc_id, n_chars FROM d
+        |    UNION ALL
+        |    SELECT doc_id + 1000000, n_chars FROM d
+        |    WHERE doc_id % 7 = 0
+        |  )
+        |)
+        |SELECT side, n, sum_chars, n_ids FROM sides
+        |ORDER BY side""".stripMargin
   )
 }
