@@ -6577,6 +6577,58 @@ object SparkEntry {
           Snapshots.read(s, cloneStore)))
         .unionByName(sideAgg("src_v2", Snapshots.read(s, srcStore)))
         .orderBy(col("side"))
+    }),
+
+    // ---- Window-function parity audit ----
+    // The ranked-analytics surface in one oracled row set:
+    // rank / dense_rank (value order, ties exercised), lag / lead /
+    // ntile (total order), and percent_rank / cume_dist re-derived
+    // as EXACT integers — (rank−1)·1e6 DIV (n−1) and the RANGE-frame
+    // tie-inclusive running count ·1e6 DIV n — so the float window
+    // functions' definitions are pinned cross-engine with no float
+    // in the contract. All windows are PARTITIONED (by event_type) —
+    // no global-window scale hazard.
+    "q340_window_parity" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("value").isNotNull &&
+          pmod(col("event_id"), lit(23)) === 0)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          expr("ts DIV 1000").as("us"))
+        .selectExpr("event_type", "event_id", "cents",
+          "CAST(rank() OVER (PARTITION BY event_type ORDER BY cents)" +
+            " AS BIGINT) AS rk",
+          "CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY" +
+            " cents) AS BIGINT) AS drk",
+          "coalesce(lag(cents, 1) OVER (PARTITION BY event_type" +
+            " ORDER BY us, event_id), -1L) AS lag_c",
+          "coalesce(lead(cents, 1) OVER (PARTITION BY event_type" +
+            " ORDER BY us, event_id), -1L) AS lead_c",
+          "CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY us," +
+            " event_id) AS BIGINT) AS nt",
+          "(rank() OVER (PARTITION BY event_type ORDER BY cents)" +
+            " - 1L) * 1000000L DIV (count(*) OVER (PARTITION BY" +
+            " event_type) - 1L) AS pr_micro",
+          "count(*) OVER (PARTITION BY event_type ORDER BY cents" +
+            " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+            " * 1000000L DIV count(*) OVER (PARTITION BY event_type)" +
+            " AS cd_micro")
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // ---- Join-skew advisor ----
+    // The pre-join planning pass a 100 TB shuffle needs: per-key
+    // counts on both sides (map-side-combined histograms — the
+    // corpus is never exchanged), exact pair costs n_l·n_r, and the
+    // integer-ceil salt factor bounded by maxSalt — directly the
+    // `factor` [[ops.Skew.saltedJoin]] consumes ([[ops.Skew
+    // .joinSkewAdvisor]]). Self-join by lang exercises real skew
+    // (en holds ~40% of documents).
+    "q341_skew_advisor" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("lang").isNotNull)
+      graft.ops.Skew.joinSkewAdvisor(d, "lang", d, "lang",
+        targetPairs = 100000L, maxSalt = 64, topK = 10)
+        .orderBy(col("pairs").desc, col("key"))
     })
   )
 
@@ -15447,6 +15499,46 @@ object SparkEntry {
         |  )
         |)
         |SELECT side, n, sum_chars, n_ids FROM sides
-        |ORDER BY side""".stripMargin
+        |ORDER BY side""".stripMargin,
+
+    "q340_window_parity" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS us
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_id % 23 = 0
+        |)
+        |SELECT event_type, event_id, cents,
+        |  CAST(rank() OVER w1 AS BIGINT) AS rk,
+        |  CAST(dense_rank() OVER w1 AS BIGINT) AS drk,
+        |  CAST(coalesce(lag(cents, 1) OVER w2, -1) AS BIGINT)
+        |    AS lag_c,
+        |  CAST(coalesce(lead(cents, 1) OVER w2, -1) AS BIGINT)
+        |    AS lead_c,
+        |  CAST(ntile(4) OVER w2 AS BIGINT) AS nt,
+        |  CAST((rank() OVER w1 - 1) * 1000000
+        |    // (count(*) OVER w3 - 1) AS BIGINT) AS pr_micro,
+        |  CAST(count(*) OVER (PARTITION BY event_type ORDER BY cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * 1000000 // count(*) OVER w3 AS BIGINT) AS cd_micro
+        |FROM e
+        |WINDOW w1 AS (PARTITION BY event_type ORDER BY cents),
+        |  w2 AS (PARTITION BY event_type ORDER BY us, event_id),
+        |  w3 AS (PARTITION BY event_type)
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "q341_skew_advisor" ->
+      """WITH c AS (
+        |  SELECT CAST(lang AS VARCHAR) AS key, count(*) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        |)
+        |SELECT key, a.n AS n_left, b.n AS n_right,
+        |  CAST(a.n * b.n AS BIGINT) AS pairs,
+        |  CAST(least((a.n * b.n + 99999) // 100000, 64) AS BIGINT)
+        |    AS salt
+        |FROM c a JOIN c b USING (key)
+        |ORDER BY pairs DESC, key LIMIT 10""".stripMargin
   )
 }

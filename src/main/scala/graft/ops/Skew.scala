@@ -53,4 +53,36 @@ object Skew {
     df.groupBy(keys.map(col): _*).count()
       .orderBy(col("count").desc)
       .limit(topK)
+
+  /** Join-skew advisor — the planning pass to run BEFORE a big
+    * shuffle join: per join key, both sides' row counts, the pair
+    * cost n_left·n_right (the work a single reducer would do for
+    * that key), and the recommended salt factor
+    * ceil(pairs / targetPairs) capped at `maxSalt` — the number
+    * [[saltedJoin]] takes as `factor`. Integer arithmetic
+    * throughout (ceil = (p + t − 1) DIV t, no float).
+    *
+    * Scale shape: two map-side-combined `groupBy` counts
+    * (key-domain-sized histograms, never the corpus) joined on the
+    * key, then a bounded top-k by pair cost — the advisor's own cost
+    * is O(distinct keys) regardless of corpus size. */
+  def joinSkewAdvisor(left: DataFrame, lKey: String,
+      right: DataFrame, rKey: String, targetPairs: Long = 1000000L,
+      maxSalt: Int = 256, topK: Int = 20): DataFrame = {
+    require(targetPairs >= 1, s"targetPairs $targetPairs")
+    require(maxSalt >= 1 && topK >= 1, "positive maxSalt/topK")
+    val cl = left.filter(col(lKey).isNotNull)
+      .groupBy(col(lKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val cr = right.filter(col(rKey).isNotNull)
+      .groupBy(col(rKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    cl.join(cr, Seq("key"))
+      .withColumn("pairs", col("n_left") * col("n_right"))
+      .withColumn("salt", least(
+        expr(s"(pairs + ${targetPairs - 1}L) DIV ${targetPairs}L"),
+        lit(maxSalt.toLong)))
+      .orderBy(col("pairs").desc, col("key"))
+      .limit(topK)
+  }
 }
