@@ -8,7 +8,7 @@ import graft.functions.GraftFunctions
 import graft.ops.{AnnSearch, AsOf, Chunk, Dedup, Funnel, Gram, Graph, Multimodal, NGram, NearDedup, Packing, Pii, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, SuffixArray, TextAnalysis, TransformSpec, WebCurate}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
-import graft.sources.{DistinctView, GraftRead, JsonlIngest, Materialize, MaterializedView, RowGroupIndex, Snapshots}
+import graft.sources.{DistinctView, GraftRead, JoinView, JsonlIngest, Materialize, MaterializedView, RowGroupIndex, Snapshots}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -6629,6 +6629,83 @@ object SparkEntry {
       graft.ops.Skew.joinSkewAdvisor(d, "lang", d, "lang",
         targetPairs = 100000L, maxSalt = 64, topK = 10)
         .orderBy(col("pairs").desc, col("key"))
+    }),
+
+    // ---- Incrementally-maintained JOIN view ----
+    // The join-bearing member of the MV family: orders ⋈ customer
+    // materialized as a snapshot store, then BOTH bases mutate —
+    // fact updates/deletes/inserts (including a dangling insert onto
+    // a missing dim key), dim segment rewrites and deletions — and
+    // ONE delta-priced refresh (recompute-affected-keys from the two
+    // CDC feeds, bloom-pruned copy-on-write upsert) brings the view
+    // to what a full re-join would produce; the oracle IS that full
+    // re-join ([[JoinView.refresh]]).
+    "q342_join_view" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q342"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val factStore = s"$base/fact"; val dimStore = s"$base/dim"
+      val view = s"$base/view"; val idx = s"$base/idx"
+      val fact = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_custkey").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment"))
+      Snapshots.create(s, factStore, fact, nFiles = 4)
+      Snapshots.create(s, dimStore, dim, nFiles = 2)
+      JoinView.init(s, view, factStore, dimStore,
+        "o_orderkey", "o_custkey")
+      Snapshots.cluster(s, view, "o_orderkey", nFiles = 8)
+      RowGroupIndex.buildBloom(s, view, Seq("o_orderkey"), idx)
+      val ok = col("o_orderkey")
+      Snapshots.upsert(s, factStore,
+        fact.filter(pmod(ok, lit(11)) === 0)
+          .select(ok, col("o_custkey"),
+            (col("cents") + 12345L).as("cents"),
+            lit(false).as("del"))
+          .unionByName(
+            fact.filter(pmod(ok, lit(13)) === 0 &&
+              pmod(ok, lit(11)) =!= 0)
+              .select(ok, col("o_custkey"), col("cents"),
+                lit(true).as("del")))
+          .unionByName(
+            fact.filter(pmod(ok, lit(17)) === 0)
+              .select((ok + 10000000L).as("o_orderkey"),
+                col("o_custkey"), col("cents"),
+                lit(false).as("del")))
+          .unionByName(
+            fact.filter(pmod(ok, lit(19)) === 0)
+              .select((ok + 20000000L).as("o_orderkey"),
+                lit(-1L).as("o_custkey"), col("cents"),
+                lit(false).as("del"))),
+        "o_orderkey", deleteCol = Some("del"))
+      val ck = col("o_custkey")
+      Snapshots.upsert(s, dimStore,
+        dim.filter(pmod(ck, lit(7)) === 0 && pmod(ck, lit(23)) =!= 0)
+          .select(ck, lit("SEGX").as("c_mktsegment"),
+            lit(false).as("del"))
+          .unionByName(
+            dim.filter(pmod(ck, lit(23)) === 0)
+              .select(ck, col("c_mktsegment"), lit(true).as("del"))),
+        "o_custkey", deleteCol = Some("del"))
+      JoinView.refresh(s, view, factStore, dimStore,
+        bloomIndexUrl = Some(idx))
+      JoinView.read(s, view)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -15539,6 +15616,35 @@ object SparkEntry {
         |  CAST(least((a.n * b.n + 99999) // 100000, 64) AS BIGINT)
         |    AS salt
         |FROM c a JOIN c b USING (key)
-        |ORDER BY pairs DESC, key LIMIT 10""".stripMargin
+        |ORDER BY pairs DESC, key LIMIT 10""".stripMargin,
+
+    "q342_join_view" ->
+      """WITH f0 AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |), f1 AS (
+        |  SELECT ok, ck,
+        |    CASE WHEN ok % 11 = 0 THEN cents + 12345
+        |      ELSE cents END AS cents
+        |  FROM f0 WHERE NOT (ok % 13 = 0 AND ok % 11 <> 0)
+        |  UNION ALL
+        |  SELECT ok + 10000000, ck, cents FROM f0 WHERE ok % 17 = 0
+        |  UNION ALL
+        |  SELECT ok + 20000000, -1, cents FROM f0 WHERE ok % 19 = 0
+        |), d0 AS (
+        |  SELECT c_custkey AS ck, c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |), d1 AS (
+        |  SELECT ck, CASE WHEN ck % 7 = 0 THEN 'SEGX' ELSE seg END
+        |    AS seg
+        |  FROM d0 WHERE ck % 23 <> 0
+        |)
+        |SELECT seg AS c_mktsegment, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(DISTINCT ck) AS n_cust
+        |FROM f1 JOIN d1 USING (ck)
+        |GROUP BY seg ORDER BY seg""".stripMargin
   )
 }

@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained JOIN view — the join-bearing member of
+  * the materialized-view family ([[MaterializedView]] covers keyed
+  * aggregates; this covers `fact ⋈ dim`): a snapshot store holding
+  * the inner equi-join of two base snapshot stores, kept current
+  * from their CDC feeds WITHOUT re-joining the corpus.
+  *
+  * Maintenance is the classic recompute-affected-keys IVM, exact for
+  * any mix of inserts / updates / deletes on either side:
+  *
+  *   affected = keys(ΔF) ∪ { fact keys whose join key ∈ keys(ΔD) }
+  *   current  = fact@to ⋉ affected ⋈ dim@to
+  *   upsert(current); delete(affected ∖ keys(current))
+  *
+  * so a fact row whose dim partner changed is re-joined against the
+  * NEW dim row, a deleted dim row retracts all its fact partners
+  * (inner-join semantics), and a fact update that moves a row onto a
+  * missing dim key correctly drops it from the view.
+  *
+  * Contracts: `factKey` unique per fact version and `joinKey` unique
+  * per dim version (both are the [[Snapshots.upsert]] store
+  * contract; a duplicate dim key fails loudly in the view upsert's
+  * own duplicate check). The join column must carry the SAME NAME on
+  * both sides — rename before [[init]].
+  *
+  * Scale shape per refresh: the CDC feeds are manifest-diff-priced
+  * (O(changed files), [[Snapshots.changes]]); the fact-side delta
+  * drives a key-semi-join; the dim-side delta costs one fact scan
+  * filtered by a broadcast of the changed dim keys — cluster the
+  * fact store by `joinKey` ([[Snapshots.cluster]]) and file-stats
+  * skipping prunes that scan to the touched key bands. The view
+  * upsert rewrites only files that can hold an affected key
+  * (copy-on-write — supply a `factKey` bloom sidecar to [[refresh]];
+  * without one [[Snapshots.upsert]] conservatively rewrites all
+  * view files). Nothing is ever O(history).
+  *
+  * Crash contract: refresh commits the view version FIRST, then
+  * advances `_joinview.json`; a crash between the two replays the
+  * same deltas onto identical content (same affected set, same
+  * current rows) — an extra version, never a wrong row. */
+object JoinView {
+
+  private val MetaName = "_joinview.json"
+
+  final case class JvMeta(factKey: String, joinKey: String,
+      factV: Int, dimV: Int)
+
+  private def metaPath(url: String) = new Path(new Path(url), MetaName)
+
+  private def writeMeta(spark: SparkSession, url: String,
+      m: JvMeta, overwrite: Boolean): Unit = {
+    require(!m.factKey.contains("\"") && !m.joinKey.contains("\""))
+    val p = metaPath(url)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    val json = s"""{"factKey":"${m.factKey}",""" +
+      s""""joinKey":"${m.joinKey}",""" +
+      s""""factV":${m.factV},"dimV":${m.dimV}}"""
+    val out = fs.create(p, overwrite)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def meta(spark: SparkSession, url: String): JvMeta = {
+    val p = metaPath(url)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no join view at $url")
+    val in = fs.open(p)
+    val json = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var k = in.read(buf)
+      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+    def str(k: String): String = {
+      val at = json.indexOf("\"" + k + "\":\"")
+      json.drop(at + k.length + 4).takeWhile(_ != '"')
+    }
+    def num(k: String): Int = {
+      val at = json.indexOf("\"" + k + "\":")
+      json.drop(at + k.length + 3).takeWhile(_.isDigit).toInt
+    }
+    JvMeta(str("factKey"), str("joinKey"), num("factV"), num("dimV"))
+  }
+
+  /** Materialize `fact@latest ⋈ dim@latest` (inner, on `joinKey`)
+    * into a fresh snapshot store at `viewUrl` keyed by `factKey`. */
+  def init(spark: SparkSession, viewUrl: String, factUrl: String,
+      dimUrl: String, factKey: String, joinKey: String,
+      nFiles: Int = 8): Unit = {
+    val fv = Snapshots.latest(spark, factUrl)
+    val dv = Snapshots.latest(spark, dimUrl)
+    val fact = Snapshots.readAsOf(spark, factUrl, fv)
+    val dim = Snapshots.readAsOf(spark, dimUrl, dv)
+    require(fact.columns.contains(factKey) &&
+      fact.columns.contains(joinKey),
+      s"fact store needs $factKey and $joinKey")
+    require(dim.columns.contains(joinKey),
+      s"dim store needs $joinKey")
+    val overlap =
+      fact.columns.toSet.intersect(dim.columns.toSet) - joinKey
+    require(overlap.isEmpty,
+      s"fact/dim column collision beyond the join key: $overlap")
+    Snapshots.create(spark, viewUrl,
+      fact.join(dim, Seq(joinKey), "inner"), nFiles = nFiles)
+    writeMeta(spark, viewUrl, JvMeta(factKey, joinKey, fv, dv),
+      overwrite = false)
+  }
+
+  /** Current view contents (the latest committed version). */
+  def read(spark: SparkSession, viewUrl: String): DataFrame =
+    Snapshots.read(spark, viewUrl)
+
+  /** Advance the view to the base stores' latest versions from their
+    * CDC feeds. Returns the view's (possibly unchanged) version.
+    *
+    * `bloomIndexUrl`: a [[RowGroupIndex.buildBloom]] sidecar on the
+    * view store keyed by `factKey`. Without it the view upsert
+    * rewrites every view file (the [[Snapshots.upsert]] default);
+    * with it, only files that can hold an affected key are rewritten
+    * — the copy-on-write behavior a large view needs — and the
+    * sidecar is refreshed here after each commit (an O(new files)
+    * scan, [[RowGroupIndex.updateBloom]]). */
+  def refresh(spark: SparkSession, viewUrl: String, factUrl: String,
+      dimUrl: String, maxKeys: Int = 1000000,
+      bloomIndexUrl: Option[String] = None): Int = {
+    val m = meta(spark, viewUrl)
+    val fv = Snapshots.latest(spark, factUrl)
+    val dv = Snapshots.latest(spark, dimUrl)
+    require(fv >= m.factV && dv >= m.dimV,
+      s"base stores went backwards (restore?) — rebuild the view")
+    if (fv == m.factV && dv == m.dimV)
+      return Snapshots.latest(spark, viewUrl)
+    val factNow = Snapshots.readAsOf(spark, factUrl, fv)
+    val dimNow = Snapshots.readAsOf(spark, dimUrl, dv)
+    val viewSchema = Snapshots.read(spark, viewUrl).schema
+    val dFKeys =
+      if (fv > m.factV)
+        Snapshots.changes(spark, factUrl, m.factKey, m.factV, fv,
+          includeOld = false).select(col(m.factKey))
+      else factNow.select(col(m.factKey)).limit(0)
+    val dDKeys =
+      if (dv > m.dimV)
+        Snapshots.changes(spark, dimUrl, m.joinKey, m.dimV, dv,
+          includeOld = false).select(col(m.joinKey)).distinct()
+      else dimNow.select(col(m.joinKey)).limit(0)
+    // dim-driven invalidation: one fact pass against the broadcast
+    // changed-key set (file-stats-prunable when fact is clustered
+    // by joinKey)
+    val affectedFromDim = factNow
+      .join(broadcast(dDKeys), Seq(m.joinKey), "left_semi")
+      .select(col(m.factKey))
+    val affected = dFKeys.unionByName(affectedFromDim).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val current = factNow
+      .join(affected, Seq(m.factKey), "left_semi")
+      .join(dimNow, Seq(m.joinKey), "inner")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val curAligned = current
+      .select(viewSchema.fieldNames.toSeq.map(col): _*)
+      .withColumn("__del", lit(false))
+    val delRows = affected
+      .join(current.select(col(m.factKey)), Seq(m.factKey),
+        "left_anti")
+      .select(viewSchema.fields.toSeq.map { f =>
+        if (f.name == m.factKey) col(m.factKey)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      .withColumn("__del", lit(true))
+    val v = Snapshots.upsert(spark, viewUrl,
+      curAligned.unionByName(delRows), m.factKey,
+      deleteCol = Some("__del"), bloomIndexUrl = bloomIndexUrl,
+      maxKeys = maxKeys)
+    bloomIndexUrl.foreach(idx =>
+      RowGroupIndex.updateBloom(spark, viewUrl, Seq(m.factKey), idx))
+    affected.unpersist(); current.unpersist()
+    writeMeta(spark, viewUrl, m.copy(factV = fv, dimV = dv),
+      overwrite = true)
+    v
+  }
+}
