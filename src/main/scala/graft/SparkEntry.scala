@@ -6706,6 +6706,66 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
           countDistinct(col("o_custkey")).as("n_cust"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- Streaming fact ingest driving the JOIN view ----
+    // The q342 machinery under streaming pressure: half the fact
+    // table seeds the store, the other half arrives as an
+    // exactly-once snapshotSink stream (file-per-trigger
+    // micro-batches → multiple store versions), ONE refresh folds
+    // the whole multi-version CDC span into the view; then a dim
+    // mutation lands and a SECOND refresh re-joins only the touched
+    // partners. Oracle = the full re-join of everything.
+    "q343_stream_join_view" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q343"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val factStore = s"$base/fact"; val dimStore = s"$base/dim"
+      val view = s"$base/view"
+      val fact = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_custkey").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment"))
+      Snapshots.create(s, factStore,
+        fact.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        nFiles = 4)
+      Snapshots.create(s, dimStore, dim, nFiles = 2)
+      JoinView.init(s, view, factStore, dimStore,
+        "o_orderkey", "o_custkey")
+      fact.filter(pmod(col("o_orderkey"), lit(2)) =!= 0)
+        .repartition(3).write.parquet(s"$base/stage")
+      val src = s.readStream.schema(fact.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/stage")
+      val q = graft.streaming.GraftStream
+        .snapshotSink(src, factStore, "q343", nFiles = 2)
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      JoinView.refresh(s, view, factStore, dimStore)
+      Snapshots.upsert(s, dimStore,
+        dim.filter(pmod(col("o_custkey"), lit(5)) === 0)
+          .select(col("o_custkey"), lit("SEGY").as("c_mktsegment")),
+        "o_custkey")
+      JoinView.refresh(s, view, factStore, dimStore)
+      orderSmall(JoinView.read(s, view)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          countDistinct(col("o_custkey")).as("n_cust")),
+        col("c_mktsegment"))
     })
   )
 
@@ -15645,6 +15705,24 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  count(DISTINCT ck) AS n_cust
         |FROM f1 JOIN d1 USING (ck)
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "q343_stream_join_view" ->
+      """WITH f AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |), d AS (
+        |  SELECT c_custkey AS ck,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'SEGY'
+        |      ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |)
+        |SELECT seg AS c_mktsegment, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(DISTINCT ck) AS n_cust
+        |FROM f JOIN d USING (ck)
         |GROUP BY seg ORDER BY seg""".stripMargin
   )
 }
