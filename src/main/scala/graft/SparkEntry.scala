@@ -6766,6 +6766,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
           countDistinct(col("o_custkey")).as("n_cust")),
         col("c_mktsegment"))
+    }),
+
+    // ---- CUBE / grouping-sets parity ----
+    // Multi-dimensional rollup in one pass (2ⁿ grouping sets per
+    // aggregate exchange — what replaces n separate groupBy jobs in
+    // a profiling pipeline). Engine-convention traps removed from
+    // the contract: the grouping id is the explicit
+    // 2·grouping(a)+grouping(b) (not either engine's grouping_id
+    // bit order), the day key is epoch-day mod 7 (not calendar
+    // dayofweek, whose origin differs across engines), and rolled-up
+    // NULLs are coalesced to sentinels so ordering is total.
+    "q344_cube_profile" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("(ts DIV 86400000000000) % 7").as("dow"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          (grouping(col("event_type")) * 2 + grouping(col("dow")))
+            .cast("long").as("gid"))
+        .select(coalesce(col("event_type"), lit("ALL"))
+          .as("event_type"),
+          coalesce(col("dow"), lit(-1L)).as("dow"),
+          col("n"), col("sum_cents"), col("gid"))
+        .orderBy(col("gid"), col("event_type"), col("dow"))
     })
   )
 
@@ -15723,6 +15751,23 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  count(DISTINCT ck) AS n_cust
         |FROM f JOIN d USING (ck)
-        |GROUP BY seg ORDER BY seg""".stripMargin
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "q344_cube_profile" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL AND ts IS NOT NULL
+        |)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(2 * GROUPING(event_type) + GROUPING(dow) AS BIGINT)
+        |    AS gid
+        |FROM e GROUP BY CUBE (event_type, dow)
+        |ORDER BY gid, event_type, dow""".stripMargin
   )
 }

@@ -309,4 +309,48 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(!p.contains("Window [") ||
       p.contains("windowspecdefinition"), p)
   }
+
+  test("kruskal rank attach: prefix-scan ranks, no window, no " +
+      "cartesian") {
+    val pts = (1 to 300).map(i => (s"g${i % 3}", (i % 17).toLong))
+      .toDF("g", "v")
+    val p = plan(Stats.kruskalStats(pts, "g", "v"))
+    assert(!p.contains("Window"),
+      s"pooled ranks must ride the prefix scan, not a global " +
+        s"window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("wilcoxon signed ranks: no window, no cartesian") {
+    val ds = (1 to 200).map(i => (i % 9).toLong).toDF("d")
+    // wilcoxonStats returns a collected 1-row frame; assert the
+    // shape of the rank-bearing intermediate it aggregates instead
+    val p = plan(Stats.kmRiskTable(
+      ds.select(abs(col("d")).as("dur"),
+        (col("d") > 0).cast("long").as("ev")), "dur", "ev"))
+    assert(!p.contains("Window"),
+      s"risk table must ride the prefix scan:\n$p")
+  }
+
+  test("join-skew advisor: key-histogram join, bounded top-k, " +
+      "never the corpus") {
+    val left = (1 to 500).map(i => s"k${i % 7}").toDF("k")
+    val p = plan(Skew.joinSkewAdvisor(left, "k", left, "k",
+      targetPairs = 100L, topK = 3))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must ride bounded heaps, not a full sort:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"both sides must reduce to key histograms first:\n$p")
+  }
+
+  test("inclusion-dependency audit: distinct-frame join, no " +
+      "cartesian") {
+    val child = (1 to 200).map(i => (i % 50).toLong).toDF("k")
+    val parent = (1 to 60).map(_.toLong).toDF("p")
+    val p = plan(Stats.inclusionDependencies(Seq(
+      ("c", child, "k", parent, "p"))))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
