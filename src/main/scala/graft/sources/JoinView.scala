@@ -144,15 +144,45 @@ object JoinView {
         Snapshots.changes(spark, factUrl, m.factKey, m.factV, fv,
           includeOld = false).select(col(m.factKey))
       else factNow.select(col(m.factKey)).limit(0)
-    val dDKeys =
-      if (dv > m.dimV)
-        Snapshots.changes(spark, dimUrl, m.joinKey, m.dimV, dv,
-          includeOld = false).select(col(m.joinKey)).distinct()
-      else dimNow.select(col(m.joinKey)).limit(0)
-    // dim-driven invalidation: one fact pass against the broadcast
-    // changed-key set (file-stats-prunable when fact is clustered
-    // by joinKey)
-    val affectedFromDim = factNow
+    // dim deltas are dimension-sized: collect the changed keys
+    // (bounded-action, same maxKeys doctrine as the view upsert) so
+    // the fact probe can be file-stats-pruned driver-side
+    val dDKeyVals: Seq[Any] =
+      if (dv > m.dimV) {
+        val rows = Snapshots.changes(spark, dimUrl, m.joinKey,
+          m.dimV, dv, includeOld = false)
+          .select(col(m.joinKey)).distinct()
+          .limit(maxKeys + 1).collect()
+        require(rows.length <= maxKeys,
+          s"dim delta exceeds maxKeys=$maxKeys changed keys — " +
+            "rebuild the view instead of refreshing")
+        rows.map(_.get(0)).toSeq
+      } else Seq.empty
+    val dDKeys = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        dDKeyVals.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        dimNow.schema(m.joinKey))))
+    // dim-driven invalidation: probe the fact store with the changed
+    // dim keys. With a stats sidecar and an integral join key the
+    // probe opens ONLY files whose [min,max] band holds a changed
+    // key ([[Snapshots.prunedFilesForKeys]] — cluster the fact store
+    // by joinKey to make the bands narrow); the broadcast semi-join
+    // stays as the exact residual. Falls back to the full fact scan
+    // when stats are absent or the key is non-integral.
+    val longKeys = dDKeyVals.collect {
+      case l: Long => l
+      case i: Int => i.toLong
+    }
+    val factProbe =
+      if (dDKeyVals.isEmpty) factNow.limit(0)
+      else if (longKeys.length == dDKeyVals.length) {
+        val files = Snapshots.prunedFilesForKeys(spark, factUrl, fv,
+          m.joinKey, longKeys)
+        if (files.isEmpty) factNow.limit(0)
+        else spark.read.schema(factNow.schema).parquet(files: _*)
+      } else factNow
+    val affectedFromDim = factProbe
       .join(broadcast(dDKeys), Seq(m.joinKey), "left_semi")
       .select(col(m.factKey))
     val affected = dFKeys.unionByName(affectedFromDim).distinct()

@@ -660,6 +660,46 @@ object Snapshots {
       .reduce(_ intersect _).toSeq.sorted
   }
 
+  /** File pruning for a KEY SET — the CDC-invalidation shape
+    * ([[JoinView.refresh]]'s dim-driven side probes the fact store
+    * with the changed dim keys): a file survives iff its stats band
+    * [min,max] contains at least one probed key. One stats-sidecar
+    * read, O(files · log k) driver work (binary search per band).
+    * Exactness is the caller's residual filter: files without a
+    * stats row are conservatively kept, all-null bands are skipped —
+    * the [[prunedFiles]] contract. */
+  def prunedFilesForKeys(spark: SparkSession, url: String,
+      version: Int, field: String, keys: Seq[Long]): Seq[String] = {
+    if (keys.isEmpty) return Seq.empty
+    val (fs, root) = fsOf(spark, url)
+    val s = snap(spark, url, version)
+    val sp = statsPath(root)
+    if (!fs.exists(sp))
+      return s.files.map(f => new Path(root, f).toString)
+    val sorted = keys.distinct.sorted.toArray
+    def hits(mn: Long, mx: Long): Boolean = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sorted(mid) < mn) lo = mid + 1 else hi = mid
+      }
+      lo < sorted.length && sorted(lo) <= mx
+    }
+    val stats = spark.read.parquet(sp.toString)
+      .filter(col("field") === field)
+      .select("file", "min_v", "max_v").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    s.files.filter { f =>
+      stats.get(f) match {
+        case None => true
+        case Some(None) => false
+        case Some(Some((mn, mx))) => hits(mn, mx)
+      }
+    }.map(f => new Path(root, f).toString)
+  }
+
   /** [[readWhere]] over a conjunction of ranges: files pruned by
     * [[prunedFilesAll]], every residual predicate applied. */
   def readWhereAll(spark: SparkSession, url: String,

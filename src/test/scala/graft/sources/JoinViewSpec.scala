@@ -90,6 +90,40 @@ class JoinViewSpec extends SparkSpec {
       .as[Long].head() == 777L)
   }
 
+  test("dim-driven invalidation prunes the fact probe by stats " +
+      "bands and still matches the full re-join") {
+    val factUrl = fresh("pr_f"); val dimUrl = fresh("pr_d")
+    val viewUrl = fresh("pr_v")
+    val fact = (1L to 400L).map(i => (i, i % 40, i))
+      .toDF("ok", "ck", "amt")
+    val dim = (0L to 39L).map(k => (k, s"s$k")).toDF("ck", "seg")
+    Snapshots.create(spark, factUrl, fact, nFiles = 8)
+    // cluster the fact store by the JOIN key and index its stats —
+    // the layout that makes key-set pruning bite
+    Snapshots.cluster(spark, factUrl, "ck", nFiles = 8)
+    Snapshots.indexStats(spark, factUrl, Seq("ck"))
+    Snapshots.create(spark, dimUrl, dim, nFiles = 1)
+    JoinView.init(spark, viewUrl, factUrl, dimUrl, "ok", "ck")
+    // the probe for one changed key must open a strict subset
+    val fv = Snapshots.latest(spark, factUrl)
+    val total = Snapshots.snap(spark, factUrl, fv).files.length
+    val pruned = Snapshots.prunedFilesForKeys(spark, factUrl, fv,
+      "ck", Seq(7L))
+    assert(pruned.nonEmpty && pruned.length < total,
+      s"expected a strict subset, got ${pruned.length}/$total")
+    Snapshots.upsert(spark, dimUrl,
+      Seq((7L, "CHANGED", false)).toDF("ck", "seg", "del"),
+      "ck", deleteCol = Some("del"))
+    JoinView.refresh(spark, viewUrl, factUrl, dimUrl)
+    val expect = Snapshots.read(spark, factUrl)
+      .join(Snapshots.read(spark, dimUrl), Seq("ck"), "inner")
+      .select(col("ck"), col("ok"), col("amt"), col("seg"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(viewSet(viewUrl) == expect)
+    assert(JoinView.read(spark, viewUrl)
+      .filter(col("seg") === "CHANGED").count() == 10L)
+  }
+
   test("dim-key uniqueness violations fail loudly, not silently") {
     val factUrl = fresh("dup_f"); val dimUrl = fresh("dup_d")
     val viewUrl = fresh("dup_v")
