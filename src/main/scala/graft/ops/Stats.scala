@@ -1926,12 +1926,10 @@ object Stats {
       return Seq((0L, 0L, 0L, 0L, 0L, 0L))
         .toDF("n", "sx", "sy", "sxy", "sxx", "syy")
     }
-    def rank2(c: String, out: String): DataFrame = {
-      val hist = pts.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
-      Ranking.withRunningTotal(hist, Seq(col(c)), "__cnt", "__cum")
-        .select(col(c),
-          (lit(2L) * col("__cum") + col("__cnt") + 1L).as(out))
-    }
+    def rank2(c: String, out: String): DataFrame =
+      doubledRanksFromHist(
+        pts.groupBy(col(c)).agg(count(lit(1)).as("__cnt")), c)
+        .withColumnRenamed("__r2", out)
     val joined = pts
       .join(rank2("__x", "__rx"), Seq("__x"))
       .join(rank2("__y", "__ry"), Seq("__y"))
@@ -1945,6 +1943,26 @@ object Stats {
       r.getLong(4)))
       .toDF("n", "sx", "sy", "sxy", "sxx", "syy")
   }
+
+  /** Doubled tie-averaged ranks from a value HISTOGRAM
+    * (`(valCol, __cnt)` rows): 2·avgRank = 2·cumBefore + cnt + 1 —
+    * always a BIGINT — with the exclusive prefix from the
+    * [[Ranking.withRunningTotal]] distributed scan, never a global
+    * row sort. THE cross-engine tie-rank contract shared by
+    * [[spearmanStats]], [[kruskalStats]] and [[wilcoxonStats]];
+    * every oracle mirrors this exact expression. */
+  private def doubledRanksFromHist(hist: DataFrame,
+      valCol: String): DataFrame =
+    Ranking.withRunningTotal(hist, Seq(col(valCol)), "__cnt", "__cum")
+      .select(col(valCol),
+        (lit(2L) * col("__cum") + col("__cnt") + 1L).as("__r2"))
+
+  /** Pooled tie term Σ(t³−t) over a value histogram — the variance
+    * correction shared by the rank-statistics family. */
+  private def tieCubesOf(hist: DataFrame): Long =
+    hist.agg(coalesce(
+      sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt")),
+      lit(0L))).head().getLong(0)
 
   /** Exact Kruskal–Wallis rank sums — the k-group generalization of
     * the q330/q331 rank-audit family: pooled tie-averaged ranks of
@@ -1979,13 +1997,8 @@ object Stats {
         "on a scored sample (the BIGINT tie-term bound is hard)")
     val hist = pts.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ranks = Ranking
-      .withRunningTotal(hist, Seq(col("__v")), "__cnt", "__cum")
-      .select(col("__v"),
-        (lit(2L) * col("__cum") + col("__cnt") + 1L).as("__r2"))
-    val tieCubes = hist.agg(coalesce(
-      sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt")),
-      lit(0L))).head().getLong(0)
+    val ranks = doubledRanksFromHist(hist, "__v")
+    val tieCubes = tieCubesOf(hist)
     val out = pts.join(ranks, Seq("__v"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_g"),
@@ -2031,13 +2044,8 @@ object Stats {
         when(col("__d") > 0L, 1L).otherwise(0L).as("__pos"))
     val hist = nz.groupBy(col("__a")).agg(count(lit(1)).as("__cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ranks = Ranking
-      .withRunningTotal(hist, Seq(col("__a")), "__cnt", "__cum")
-      .select(col("__a"),
-        (lit(2L) * col("__cum") + col("__cnt") + 1L).as("__r2"))
-    val tieCubes = hist.agg(coalesce(
-      sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt")),
-      lit(0L))).head().getLong(0)
+    val ranks = doubledRanksFromHist(hist, "__a")
+    val tieCubes = tieCubesOf(hist)
     val r = nz.join(ranks, Seq("__a"))
       .agg(count(lit(1)).as("nn"),
         coalesce(sum(when(col("__pos") === 1L, col("__r2"))
@@ -2140,10 +2148,12 @@ object Stats {
     * absent from a group still contribute — the grid makes every
     * (group, level) cell explicit. */
   def tCloseness(df: DataFrame, qiCols: Seq[String], sensCol: String,
-      maxLevels: Int = 1000): DataFrame = {
+      maxLevels: Int = 1000, maxRows: Long = 1000000L): DataFrame = {
     require(qiCols.nonEmpty, "tCloseness needs at least one QI column")
     require(maxLevels >= 2 && maxLevels <= 100000,
       s"maxLevels in [2, 1e5], got $maxLevels")
+    require(maxRows >= 1 && maxRows <= 1000000L,
+      s"maxRows in [1, 1e6], got $maxRows")
     val base = df
       .filter(col(sensCol).isNotNull &&
         qiCols.map(col(_).isNotNull).reduce(_ && _))
@@ -2166,6 +2176,13 @@ object Stats {
     val lv = levels.select(col("__s"), col("__cv"),
       sum(col("__cv")).over(wAll).as("__cum"))
     val n = base.count()
+    // the BIGINT bound of emd_num: each |cumG·n − cum·n_g| term is
+    // ≤ n_g·n and a group sums ≤ m of them — m·n² ≤ 1e5·1e12 < 2⁶³
+    // exactly under these two caps; larger audits bucket or sample
+    // first (the family doctrine, see [[spearmanStats]])
+    require(n <= maxRows,
+      s"tCloseness: $n rows > maxRows=$maxRows — the BIGINT " +
+        "emd_num bound is hard; audit a sample or coarser buckets")
     val groups = base.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("n_g"))
     val gv = base.groupBy(qiCols.map(col) :+ col("__s"): _*)

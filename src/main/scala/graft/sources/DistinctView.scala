@@ -55,27 +55,11 @@ object DistinctView {
     val mp = metaPath(url)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(mp), s"no distinct view at $url")
-    val in = fs.open(mp)
-    val json = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var k = in.read(buf)
-      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
-      bytes.toString("UTF-8")
-    } finally in.close()
-    val keys = {
-      val at = json.indexOf("\"keys\":[")
-      json.substring(json.indexOf('[', at) + 1, json.indexOf(']', at))
-        .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    }
-    val value = {
-      val at = json.indexOf("\"value\":\"") + 9
-      json.substring(at, json.indexOf('"', at))
-    }
-    val p = json.drop(json.indexOf("\"p\":") + 4).takeWhile(_.isDigit).toInt
-    val b = json.drop(json.indexOf("\"buckets\":") + 10)
-      .takeWhile(_.isDigit).toInt
-    DvMeta(keys, value, p, b)
+    val json = SidecarJson.slurp(fs, mp)
+    DvMeta(SidecarJson.arr(json, "keys"),
+      SidecarJson.str(json, "value"),
+      SidecarJson.num(json, "p").toInt,
+      SidecarJson.num(json, "buckets").toInt)
   }
 
   private def bucketCol(m: DvMeta): Column =

@@ -52,40 +52,49 @@ object JoinView {
 
   private def metaPath(url: String) = new Path(new Path(url), MetaName)
 
+  /** Meta advances by ATOMIC SWAP, never truncate-in-place: the JSON
+    * is staged under a temp name, then moved onto the slot (POSIX
+    * rename replaces atomically on `file://`; on Hadoop filesystems
+    * the delete+rename window can only lose the file entirely —
+    * [[meta]] then fails loudly — never expose a torn write). A
+    * crash before the swap leaves the OLD meta: the next refresh
+    * replays the same deltas onto identical content. */
   private def writeMeta(spark: SparkSession, url: String,
       m: JvMeta, overwrite: Boolean): Unit = {
     require(!m.factKey.contains("\"") && !m.joinKey.contains("\""))
     val p = metaPath(url)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(p.getParent)
+    require(overwrite || !fs.exists(p),
+      s"join view already exists at $url")
     val json = s"""{"factKey":"${m.factKey}",""" +
       s""""joinKey":"${m.joinKey}",""" +
       s""""factV":${m.factV},"dimV":${m.dimV}}"""
-    val out = fs.create(p, overwrite)
+    val tmp = new Path(p.getParent, s"_tmp-jv-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (fs.getUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"meta swap failed at $p")
+    }
   }
 
   def meta(spark: SparkSession, url: String): JvMeta = {
     val p = metaPath(url)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p), s"no join view at $url")
-    val in = fs.open(p)
-    val json = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var k = in.read(buf)
-      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
-      bytes.toString("UTF-8")
-    } finally in.close()
-    def str(k: String): String = {
-      val at = json.indexOf("\"" + k + "\":\"")
-      json.drop(at + k.length + 4).takeWhile(_ != '"')
-    }
-    def num(k: String): Int = {
-      val at = json.indexOf("\"" + k + "\":")
-      json.drop(at + k.length + 3).takeWhile(_.isDigit).toInt
-    }
-    JvMeta(str("factKey"), str("joinKey"), num("factV"), num("dimV"))
+    val json = SidecarJson.slurp(fs, p)
+    JvMeta(SidecarJson.str(json, "factKey"),
+      SidecarJson.str(json, "joinKey"),
+      SidecarJson.num(json, "factV").toInt,
+      SidecarJson.num(json, "dimV").toInt)
   }
 
   /** Materialize `fact@latest ⋈ dim@latest` (inner, on `joinKey`)

@@ -73,26 +73,10 @@ object MaterializedView {
     val p = metaPath(url)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p), s"no materialized view at $url")
-    val in = fs.open(p)
-    val json = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var k = in.read(buf)
-      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
-      bytes.toString("UTF-8")
-    } finally in.close()
-    def arr(k: String): Seq[String] = {
-      val at = json.indexOf("\"" + k + "\":[")
-      val body = json.substring(json.indexOf('[', at) + 1,
-        json.indexOf(']', at))
-      if (body.trim.isEmpty) Seq.empty
-      else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    }
-    val b = json.drop(json.indexOf("\"buckets\":") + 10)
-      .takeWhile(_.isDigit).toInt
-    val r = json.contains("\"retract\":1")
-    val mo = json.contains("\"moments\":1")
-    MvMeta(arr("keys"), arr("sums"), b, r, mo)
+    val json = SidecarJson.slurp(fs, p)
+    MvMeta(SidecarJson.arr(json, "keys"), SidecarJson.arr(json, "sums"),
+      SidecarJson.num(json, "buckets").toInt,
+      json.contains("\"retract\":1"), json.contains("\"moments\":1"))
   }
 
   private def bucketCol(m: MvMeta): Column =

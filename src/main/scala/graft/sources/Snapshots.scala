@@ -572,8 +572,15 @@ object Snapshots {
     * it (stats lag is a performance bug, never a correctness bug).
     * All-null and zero-row files are skipped: a range predicate
     * cannot match NULL. Returns absolute paths. */
-  def prunedFiles(spark: SparkSession, url: String, version: Int,
-      field: String, lo: Long, hi: Long): Seq[String] = {
+  /** Shared skipping skeleton for [[prunedFiles]] /
+    * [[prunedFilesForKeys]]: resolve the version's manifest, load
+    * the sidecar's bands for `field`, keep every file whose band
+    * satisfies `bandHits`. The conservatism contract lives here
+    * once: no sidecar → read everything; file without a stats row →
+    * must read; all-null band → range never hits. */
+  private def pruneByBands(spark: SparkSession, url: String,
+      version: Int, field: String)
+      (bandHits: (Long, Long) => Boolean): Seq[String] = {
     val (fs, root) = fsOf(spark, url)
     val s = snap(spark, url, version)
     val sp = statsPath(root)
@@ -581,18 +588,23 @@ object Snapshots {
       return s.files.map(f => new Path(root, f).toString)
     val stats = spark.read.parquet(sp.toString)
       .filter(col("field") === field)
-      .select("file", "min_v", "max_v", "n_rows").collect()
+      .select("file", "min_v", "max_v").collect()
       .map(r => r.getString(0) ->
         (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
       .toMap
     s.files.filter { f =>
       stats.get(f) match {
-        case None => true // unknown file: must read
-        case Some(None) => false // all-null or empty: range never hits
-        case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+        case None => true
+        case Some(None) => false
+        case Some(Some((mn, mx))) => bandHits(mn, mx)
       }
     }.map(f => new Path(root, f).toString)
   }
+
+  def prunedFiles(spark: SparkSession, url: String, version: Int,
+      field: String, lo: Long, hi: Long): Seq[String] =
+    pruneByBands(spark, url, version, field)(
+      (mn, mx) => mx >= lo && mn <= hi)
 
   /** Range-predicate read with file skipping: resolve the version's
     * manifest, prune files through [[prunedFiles]], and apply the
@@ -671,13 +683,10 @@ object Snapshots {
   def prunedFilesForKeys(spark: SparkSession, url: String,
       version: Int, field: String, keys: Seq[Long]): Seq[String] = {
     if (keys.isEmpty) return Seq.empty
-    val (fs, root) = fsOf(spark, url)
-    val s = snap(spark, url, version)
-    val sp = statsPath(root)
-    if (!fs.exists(sp))
-      return s.files.map(f => new Path(root, f).toString)
     val sorted = keys.distinct.sorted.toArray
-    def hits(mn: Long, mx: Long): Boolean = {
+    pruneByBands(spark, url, version, field) { (mn, mx) =>
+      // any probed key inside [mn,mx]? binary search for the first
+      // key >= mn, then check it is <= mx
       var lo = 0; var hi = sorted.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
@@ -685,19 +694,6 @@ object Snapshots {
       }
       lo < sorted.length && sorted(lo) <= mx
     }
-    val stats = spark.read.parquet(sp.toString)
-      .filter(col("field") === field)
-      .select("file", "min_v", "max_v").collect()
-      .map(r => r.getString(0) ->
-        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
-      .toMap
-    s.files.filter { f =>
-      stats.get(f) match {
-        case None => true
-        case Some(None) => false
-        case Some(Some((mn, mx))) => hits(mn, mx)
-      }
-    }.map(f => new Path(root, f).toString)
   }
 
   /** [[readWhere]] over a conjunction of ranges: files pruned by
@@ -984,6 +980,15 @@ object Snapshots {
     val conf = spark.sessionState.newHadoopConf()
     s.files.foreach { f =>
       val from = new Path(srcRoot, f); val to = new Path(dstRoot, f)
+      // a retried clone (crash after some links, before the commit —
+      // the empty-store check above still passes) finds debris at
+      // `to`. Remove it BEFORE linking: letting the link throw
+      // FileAlreadyExistsException and falling into the copy path
+      // would open the destination with O_TRUNC — and on a retry the
+      // destination IS the source's inode, so the copy would first
+      // truncate the SOURCE data file. Deleting the name only drops
+      // the debris link; the source's own name keeps the inode.
+      if (dfs.exists(to)) dfs.delete(to, false)
       val linked =
         sfs.getUri.getScheme == "file" &&
           dfs.getUri.getScheme == "file" && {

@@ -321,10 +321,11 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("wilcoxon signed ranks: no window, no cartesian") {
+  test("km risk table: prefix-scan at-risk counts, no window") {
+    // wilcoxon/kruskal's shared rank attach (doubledRanksFromHist)
+    // is plan-covered by the kruskal test above; this asserts the
+    // survival histogram path
     val ds = (1 to 200).map(i => (i % 9).toLong).toDF("d")
-    // wilcoxonStats returns a collected 1-row frame; assert the
-    // shape of the rank-bearing intermediate it aggregates instead
     val p = plan(Stats.kmRiskTable(
       ds.select(abs(col("d")).as("dur"),
         (col("d") > 0).cast("long").as("ev")), "dur", "ev"))
