@@ -6794,6 +6794,28 @@ object SparkEntry {
           coalesce(col("dow"), lit(-1L)).as("dow"),
           col("n"), col("sum_cents"), col("gid"))
         .orderBy(col("gid"), col("event_type"), col("dow"))
+    }),
+
+    // ---- Column-level diff blame ----
+    // The question after q82's diff alert fires: WHICH column
+    // drifted, and how much membership churn came with it — per
+    // changed column the count of rows it changed in, plus
+    // __added/__removed membership deltas, all from one delta-sized
+    // pass over the same synthetic v1→v2 mutations as q82 (the two
+    // rows cross-check each other) ([[ops.Diff.columnBlame]]).
+    "q345_column_blame" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 2,
+            concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 19 === 4, col("n_chars") + 1)
+            .otherwise(col("n_chars")))
+      graft.ops.Diff.columnBlame(oldSnap, newSnap, "doc_id")
+        .orderBy(col("column"))
     })
   )
 
@@ -15768,6 +15790,24 @@ object SparkEntry {
         |  CAST(2 * GROUPING(event_type) + GROUPING(dow) AS BIGINT)
         |    AS gid
         |FROM e GROUP BY CUBE (event_type, dow)
-        |ORDER BY gid, event_type, dow""".stripMargin
+        |ORDER BY gid, event_type, dow""".stripMargin,
+
+    "q345_column_blame" ->
+      """WITH surv AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 11 <> 3 AND doc_id % 13 <> 5
+        |), rows AS (
+        |  SELECT '__added' AS "column", count(*) AS n_changed
+        |  FROM documents WHERE doc_id % 11 = 3 AND doc_id % 13 <> 5
+        |  UNION ALL
+        |  SELECT '__removed', count(*)
+        |  FROM documents WHERE doc_id % 13 = 5 AND doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*) FROM surv WHERE doc_id % 19 = 4
+        |  UNION ALL
+        |  SELECT 'text', count(*) FROM surv WHERE doc_id % 17 = 2
+        |)
+        |SELECT "column", n_changed FROM rows WHERE n_changed > 0
+        |ORDER BY "column"""".stripMargin
   )
 }

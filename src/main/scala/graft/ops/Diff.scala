@@ -72,4 +72,32 @@ object Diff {
       idCol: String): DataFrame =
     datasetDiff(oldDf, newDf, idCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** Column-level blame: for ids present in BOTH snapshots, how many
+    * rows changed in each column — the first question after a diff
+    * alert fires ("which field drifted?"), answered without a second
+    * corpus pass: one explode over [[datasetDiff]]'s delta-sized
+    * changed_cols output. Emits one row per column that changed at
+    * least once, (column, n_changed), plus `__added`/`__removed`
+    * pseudo-columns carrying the membership deltas so one frame
+    * tells the whole story. */
+  def columnBlame(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String): DataFrame = {
+    val d = datasetDiff(oldDf, newDf, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val changed = d.filter(col("status") === "changed")
+      .select(explode(split(col("changed_cols"), ",")).as("column"))
+      .groupBy(col("column")).agg(count(lit(1)).as("n_changed"))
+    val membership = d.filter(col("status") =!= "changed")
+      .groupBy(col("status")).agg(count(lit(1)).as("n_changed"))
+      .select(concat(lit("__"), col("status")).as("column"),
+        col("n_changed"))
+    val out = changed.unionByName(membership)
+    val materialized = out.collect() // delta-columns-sized, tiny
+    d.unpersist()
+    val spark = oldDf.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(materialized.toSeq, 1),
+      out.schema)
+  }
 }

@@ -125,6 +125,19 @@ object JoinView {
   def read(spark: SparkSession, viewUrl: String): DataFrame =
     Snapshots.read(spark, viewUrl)
 
+  /** Blue/green rebuild — the recovery path [[refresh]] refuses
+    * (bases recreated/rolled back below the recorded versions, or a
+    * dim delta past `maxKeys`): materialize a FRESH view at `newUrl`
+    * from the bases' CURRENT latest under the old view's keys. The
+    * swap to the new url is the caller's atomic pointer flip, so no
+    * rebuild/crash window exists (the [[MaterializedView.rebuild]]
+    * doctrine). The old view stays readable throughout. */
+  def rebuild(spark: SparkSession, viewUrl: String, newUrl: String,
+      factUrl: String, dimUrl: String, nFiles: Int = 8): Unit = {
+    val m = meta(spark, viewUrl)
+    init(spark, newUrl, factUrl, dimUrl, m.factKey, m.joinKey, nFiles)
+  }
+
   /** Advance the view to the base stores' latest versions from their
     * CDC feeds. Returns the view's (possibly unchanged) version.
     *

@@ -71,6 +71,18 @@ class DiffSpec extends SparkSpec {
     assert(out == Seq(("added", 1L), ("changed", 3L), ("removed", 1L)))
   }
 
+  test("columnBlame: per-column change counts plus membership " +
+      "deltas; zero-count columns omitted") {
+    val rows = Diff.columnBlame(oldDf, newDf, "id")
+      .orderBy("column")
+      .as[(String, Long)].collect().toSeq
+    // text changed on ids 2 and 5, n on id 3; 6 added, 4 removed
+    assert(rows == Seq(("__added", 1L), ("__removed", 1L),
+      ("n", 1L), ("text", 2L)))
+    // a no-op diff yields an empty frame (no zero rows)
+    assert(Diff.columnBlame(oldDf, oldDf, "id").count() == 0L)
+  }
+
   test("the join exchanges carry id+hashes, never row payloads") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

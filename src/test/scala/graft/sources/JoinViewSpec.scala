@@ -124,6 +124,36 @@ class JoinViewSpec extends SparkSpec {
       .filter(col("seg") === "CHANGED").count() == 10L)
   }
 
+  test("refresh refuses rolled-back bases; rebuild recovers " +
+      "blue/green") {
+    val factUrl = fresh("rb_f"); val dimUrl = fresh("rb_d")
+    val viewUrl = fresh("rb_v"); val newUrl = fresh("rb_v2")
+    Snapshots.create(spark, factUrl,
+      Seq((1L, 10L, 1L)).toDF("ok", "ck", "amt"), nFiles = 1)
+    Snapshots.append(spark, factUrl,
+      Seq((2L, 10L, 2L)).toDF("ok", "ck", "amt"), nFiles = 1)
+    Snapshots.create(spark, dimUrl,
+      Seq((10L, "a")).toDF("ck", "seg"), nFiles = 1)
+    JoinView.init(spark, viewUrl, factUrl, dimUrl, "ok", "ck")
+    // simulate a store wiped and recreated BELOW the recorded
+    // version (restore() itself always moves forward)
+    val fs = new org.apache.hadoop.fs.Path(factUrl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(factUrl), true)
+    Snapshots.create(spark, factUrl,
+      Seq((9L, 10L, 9L)).toDF("ok", "ck", "amt"), nFiles = 1)
+    intercept[IllegalArgumentException] {
+      JoinView.refresh(spark, viewUrl, factUrl, dimUrl)
+    }
+    JoinView.rebuild(spark, viewUrl, newUrl, factUrl, dimUrl)
+    assert(JoinView.read(spark, newUrl)
+      .select(col("ok"), col("amt"), col("seg"))
+      .as[(Long, Long, String)].collect().toSet ==
+      Set((9L, 9L, "a")))
+    // the old view is untouched and still readable
+    assert(JoinView.read(spark, viewUrl).count() == 2L)
+  }
+
   test("dim-key uniqueness violations fail loudly, not silently") {
     val factUrl = fresh("dup_f"); val dimUrl = fresh("dup_d")
     val viewUrl = fresh("dup_v")
