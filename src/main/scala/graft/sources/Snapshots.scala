@@ -83,15 +83,7 @@ object Snapshots {
     val p = manifestPath(root, version)
     require(fs.exists(p), s"no snapshot v$version at $url " +
       s"(versions: ${versions(spark, url).mkString(",")})")
-    val in = fs.open(p)
-    val json = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var k = in.read(buf)
-      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
-      bytes.toString("UTF-8")
-    } finally in.close()
-    parseManifest(json)
+    parseManifest(SidecarJson.slurp(fs, p))
   }
 
   /** Manifest JSON is self-authored (names come from [[commit]]'s
@@ -240,12 +232,24 @@ object Snapshots {
       add: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
     val baseNames = base.fieldNames.toSet
+    val addByName = add.fields.map(f => f.name -> f).toMap
     add.fields.filter(f => baseNames.contains(f.name)).foreach { f =>
       require(base(f.name).dataType == f.dataType,
         s"column ${f.name} type changed (${base(f.name).dataType} -> " +
           s"${f.dataType}) — additive evolution only; use overwrite")
     }
-    org.apache.spark.sql.types.StructType(base.fields ++
+    // nullability must stay HONEST, not just the base's claim: a
+    // base column the new batch lacks reads as null from the new
+    // files, and one the batch carries as nullable may now hold
+    // nulls — either way the pinned field must widen to nullable,
+    // or the optimizer constant-folds IsNull on it to empty and
+    // silently hides rows from null audits.
+    val widened = base.fields.map { f =>
+      val stillStrict = !f.nullable &&
+        addByName.get(f.name).exists(a => !a.nullable)
+      f.copy(nullable = !stillStrict)
+    }
+    org.apache.spark.sql.types.StructType(widened ++
       add.fields.filterNot(f => baseNames.contains(f.name))
         .map(_.copy(nullable = true)))
   }
@@ -340,11 +344,12 @@ object Snapshots {
       maxKeys: Int = 1000000): Int = {
     val (_, root) = fsOf(spark, url)
     val parent = snap(spark, url, latest(spark, url))
-    require(parent.files.nonEmpty, s"nothing to merge into at $url")
     val abs = parent.files.map(f => new Path(root, f).toString)
+    // schema from the manifest (or file inference via schemaOf) —
+    // never a data read; an all-deleted parent (zero files, pinned
+    // schema) accepts re-inserts
     val storeSchema = schemaOf(spark, root, parent)
-    val store = spark.read.schema(storeSchema).parquet(abs: _*)
-    val dataCols = store.columns.toSeq
+    val dataCols = storeSchema.fieldNames.toSeq
     val upCols = updates.columns.toSeq.filterNot(deleteCol.contains)
     require(upCols.sorted == dataCols.sorted,
       s"update schema ${upCols.sorted} != store schema ${dataCols.sorted}")
@@ -401,7 +406,17 @@ object Snapshots {
   def readAsOf(spark: SparkSession, url: String, version: Int): DataFrame = {
     val (_, root) = fsOf(spark, url)
     val s = snap(spark, url, version)
-    require(s.files.nonEmpty, s"v$version of $url is empty")
+    // an all-delete upsert legitimately commits ZERO files; with a
+    // pinned schema the version reads as an empty frame (so read/
+    // changes/cluster keep working) — only a schemaless-AND-fileless
+    // manifest is unreadable
+    if (s.files.isEmpty) {
+      require(s.schema.isDefined,
+        s"v$version of $url is empty with no pinned schema")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        s.schema.get)
+    }
     val reader = s.schema
       .map(spark.read.schema).getOrElse(spark.read)
     reader.parquet(s.files.map(f => new Path(root, f).toString): _*)
@@ -620,7 +635,11 @@ object Snapshots {
     val pred = col(field) >= lit(lo) && col(field) <= lit(hi)
     if (files.isEmpty)
       readAsOf(spark, url, v).filter(lit(false))
-    else spark.read.parquet(files: _*).filter(pred)
+    // the version's PINNED schema, not footer inference: pruning to
+    // pre-evolution files must not make evolved columns vanish
+    // (same contract as [[readWhereAll]]/[[readAsOf]])
+    else spark.read.schema(schemaOf(spark, fsOf(spark, url)._2,
+      snap(spark, url, v))).parquet(files: _*).filter(pred)
   }
 
   /** Maintenance rewrite: re-lay the live rows range-clustered on
@@ -667,9 +686,31 @@ object Snapshots {
   def prunedFilesAll(spark: SparkSession, url: String, version: Int,
       preds: Seq[(String, Long, Long)]): Seq[String] = {
     require(preds.nonEmpty, "prunedFilesAll needs at least one range")
-    preds.map { case (f, lo, hi) =>
-      prunedFiles(spark, url, version, f, lo, hi).toSet }
-      .reduce(_ intersect _).toSeq.sorted
+    // ONE sidecar read serves every predicate (a 4-range z-order
+    // probe used to pay 4 Spark jobs + 4 manifest resolves)
+    val (fs, root) = fsOf(spark, url)
+    val s = snap(spark, url, version)
+    val sp = statsPath(root)
+    if (!fs.exists(sp))
+      return s.files.map(f => new Path(root, f).toString).sorted
+    val fields = preds.map(_._1).distinct
+    val byField = spark.read.parquet(sp.toString)
+      .filter(col("field").isin(fields: _*))
+      .select("field", "file", "min_v", "max_v").collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(r => r.getString(1) ->
+        (if (r.isNullAt(2)) None
+         else Some((r.getLong(2), r.getLong(3))))).toMap }
+    s.files.filter { fname =>
+      preds.forall { case (f, lo, hi) =>
+        byField.getOrElse(f, Map.empty[String,
+            Option[(Long, Long)]]).get(fname) match {
+          case None => true
+          case Some(None) => false
+          case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+        }
+      }
+    }.map(f => new Path(root, f).toString).sorted
   }
 
   /** File pruning for a KEY SET — the CDC-invalidation shape
@@ -787,14 +828,7 @@ object Snapshots {
     val (fs, root) = fsOf(spark, url)
     val p = constraintsPath(root)
     if (!fs.exists(p)) return Seq.empty
-    val in = fs.open(p)
-    val json = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var k = in.read(buf)
-      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
-      bytes.toString("UTF-8")
-    } finally in.close()
+    val json = SidecarJson.slurp(fs, p)
     """\{"name":"([^"]+)","expr":"([^"]+)"\}""".r
       .findAllMatchIn(json).map(m => (m.group(1), m.group(2))).toSeq
   }
@@ -805,10 +839,15 @@ object Snapshots {
       url: String, df: DataFrame): Unit = {
     val cs = constraints(spark, url)
     if (cs.isEmpty) return
-    val cols = df.columns.toSet
+    // applicability matches Spark's own resolution: CASE-INSENSITIVE
+    // (a constraint on "ID" must guard a column named "id", not be
+    // silently skipped) and struct references apply by their ROOT
+    // column ("meta.size" is applicable when `meta` is present)
+    val cols = df.columns.map(_.toLowerCase).toSet
     val applicable = cs.filter { case (_, e) =>
       spark.sessionState.sqlParser.parseExpression(e)
-        .references.map(_.name).forall(cols.contains) }
+        .references.map(_.name.split("\\.")(0).toLowerCase)
+        .forall(cols.contains) }
     if (applicable.isEmpty) return
     val flags = applicable.map { case (n, e) =>
       (coalesce(expr(e), lit(true)) === false).as(s"__viol_$n") }
@@ -998,6 +1037,15 @@ object Snapshots {
               java.nio.file.Paths.get(from.toUri.getPath))
             true
           } catch {
+            // a name appearing AFTER the pre-delete above means a
+            // CONCURRENT clone is racing this destination — fail
+            // loudly; falling into the copy path would O_TRUNC the
+            // winner's link (= the source inode). Must precede the
+            // generic case: FileAlreadyExistsException IS a
+            // FileSystemException (the [[commit]] ordering).
+            case _: java.nio.file.FileAlreadyExistsException =>
+              sys.error(s"concurrent clone raced $to — " +
+                "clone targets must have a single writer")
             // cross-device links (EXDEV) and linkless mounts fall
             // back to a byte copy, same doctrine as [[commit]]
             case _: UnsupportedOperationException |
@@ -1035,12 +1083,41 @@ object Snapshots {
       !live.contains(n) &&
         (retired.contains(n) || st.getModificationTime < cutoff)
     }
-    doomed.foreach(st => require(fs.delete(st.getPath, false),
+    // Re-check against the CURRENT manifest set right before
+    // deleting: a concurrent restore() commits a NEW head that
+    // re-lists retired files, and the live set above was computed
+    // from a listing that predates it. Maintenance ops are
+    // documented single-writer, but this narrows the window from
+    // the whole vacuum to one listing round-trip — a file any
+    // now-visible surviving manifest references is never deleted.
+    val liveNow = versions(spark, url).filter(_ >= keepFrom)
+      .flatMap(v => snap(spark, url, v).files).toSet
+    val safe = doomed.filterNot(st => liveNow.contains(st.getPath.getName))
+    safe.foreach(st => require(fs.delete(st.getPath, false),
       s"delete failed vacuuming ${st.getPath}"))
     val deadVs = vs.filter(_ < keepFrom)
     deadVs.foreach(v => require(fs.delete(manifestPath(root, v), false),
       s"delete failed retiring manifest v$v"))
+    // crash-debris sweep beyond root-level data files: a JVM dying
+    // inside writeArranged leaves a `_snap_stage_*` staging DIR, and
+    // one dying inside commit leaves a `_snap/_tmp-v*` manifest —
+    // neither matched the .parquet file filter above, so without
+    // this they leak forever (the documented vacuum contract says
+    // failed-commit debris is collectable). Grace-gated like
+    // everything else.
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_snap_stage_") &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
+    val snapDir = new Path(root, SnapDir)
+    if (fs.exists(snapDir))
+      fs.listStatus(snapDir).toSeq
+        .filter(st => st.isFile &&
+          st.getPath.getName.startsWith("_tmp-v") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, false))
     pruneStats(spark, url) // sidecar hygiene rides every vacuum
-    (doomed.length, deadVs.length)
+    (safe.length, deadVs.length)
   }
 }
