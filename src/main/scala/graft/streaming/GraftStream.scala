@@ -85,17 +85,58 @@ object GraftStream {
     * codecs, same nullability enforcement). The sidecar refresh is
     * INCREMENTAL ([[Materialize.updateMetadata]]): only the new
     * batch's footers are opened — a full rescan per batch would make
-    * an append-only stream quadratic in cumulative footer reads. */
+    * an append-only stream quadratic in cumulative footer reads.
+    *
+    * Exactly-once under foreachBatch's at-least-once retries, by the
+    * stage-promote-marker protocol: each epoch encodes into an
+    * underscore-invisible staging dir, its files are RENAMED to
+    * epoch-deterministic names (`e<epoch>-<k>.parquet`), and an
+    * `_e<epoch>.done` marker (atomic exclusive create, content-free)
+    * commits the epoch. A replayed epoch that finds its marker
+    * no-ops; one that crashed mid-promote sweeps its own partial
+    * `e<epoch>-*` files and re-runs — a naive mode("append") here
+    * would land the batch's rows twice on every retry. */
   def sink(df: DataFrame, url: String, schema: GraftSchema,
       checkpoint: String, rowGroupSizeMb: Int = 32): DataStreamWriter[org.apache.spark.sql.Row] = {
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Materialize.encodeColumns(batch, schema).write
-          .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
-          .mode("append").parquet(url)
-        Materialize.updateMetadata(batch.sparkSession, url, schema)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sinkBatch(batch, epoch, url, schema, rowGroupSizeMb)
       }
+  }
+
+  /** One [[sink]] micro-batch — exposed so replay semantics are
+    * directly testable. Idempotent per epoch. */
+  def sinkBatch(batch: DataFrame, epoch: Long, url: String,
+      schema: GraftSchema, rowGroupSizeMb: Int = 32): Unit = {
+    val s = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(url)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root,
+      f"_e$epoch%08d.done")
+    if (fs.exists(marker)) return
+    // sweep a half-promoted replay's debris before re-staging
+    if (fs.exists(root))
+      fs.listStatus(root).filter(st => st.isFile &&
+          st.getPath.getName.startsWith(f"e$epoch%08d-"))
+        .foreach(st => fs.delete(st.getPath, false))
+    val stage = new org.apache.hadoop.fs.Path(root,
+      f"_stage_e$epoch%08d")
+    fs.delete(stage, true)
+    Materialize.encodeColumns(batch, schema).write
+      .option("parquet.block.size",
+        rowGroupSizeMb.toLong * 1024 * 1024)
+      .mode("overwrite").parquet(stage.toString)
+    Materialize.listParquetFiles(s, stage.toString).zipWithIndex
+      .foreach { case (f, k) =>
+        val name = f"e$epoch%08d-$k%05d.parquet"
+        require(fs.rename(new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.fs.Path(root, name)),
+          s"rename failed promoting $name")
+      }
+    fs.delete(stage, true)
+    fs.create(marker, false).close()
+    Materialize.updateMetadata(s, url, schema)
   }
 
   /** Streaming append into a [[graft.sources.Snapshots]] store:
@@ -228,6 +269,67 @@ object GraftStream {
     * batch 0 would silently overwrite — and hide from its corpus —
     * an old run's batch-0 partition. Returns the writer — caller
     * picks trigger + checkpoint and starts. */
+
+  /** Shared idempotent-ingest machinery for the foreachBatch sinks
+    * ([[nearDupIngest]] / [[lmGateIngest]] / [[jsonlQuarantineIngest]]):
+    * the path-safe id check, the epoch partition key, the
+    * pre-ingest_key layout guard (every WRITE onto an existing
+    * READABLE store must pass it — a dynamic overwrite on top of
+    * loose legacy files corrupts the layout silently), the
+    * own-partition dynamic overwrite, and replay partition hygiene.
+    * ONE implementation of the exactly-once-by-overwrite contract —
+    * the three sinks had drifted (one lost the write guard entirely)
+    * before this was hoisted. */
+  private final case class IngestPartition(s: SparkSession,
+      streamId: String, batchId: Long) {
+    require(streamId.matches("[A-Za-z0-9_.-]+"),
+      s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+) — it " +
+        "names partition directories")
+    val ingestKey = s"${streamId}_b$batchId"
+    def exists(url: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(url)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
+    def requireIngestLayout(df: DataFrame, url: String): DataFrame = {
+      require(df.columns.contains("ingest_key"),
+        s"store at $url was written by the pre-ingest_key (append + " +
+          "batch_id) layout — rewrite it partitioned by ingest_key, " +
+          "or point the stream at fresh store paths")
+      df
+    }
+    /** Layout-guard an existing store before writing into it; a
+      * directory with no parquet footers (a crashed write's leftover,
+      * or an emptied partition) has nothing to corrupt. */
+    private def guardWrite(url: String): Unit =
+      if (exists(url)) {
+        try requireIngestLayout(s.read.parquet(url), url)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => ()
+        }
+      }
+    def overwriteOwn(df: DataFrame, url: String): Unit = {
+      guardWrite(url)
+      df.withColumn("ingest_key", lit(ingestKey))
+        .write.partitionBy("ingest_key")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(url)
+    }
+    /** Drop this batch's partition (replay hygiene when the batch
+      * now produces nothing: skipping the write would leave a
+      * pre-crash attempt's stale rows in place). */
+    def dropOwn(url: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(url,
+        s"ingest_key=$ingestKey")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    /** Empty frames drop the partition, non-empty overwrite it — a
+      * zero-row dynamic overwrite would leave a footer-less dir. */
+    def landOrDrop(df: DataFrame, url: String): Unit =
+      if (df.isEmpty) dropOwn(url) else overwriteOwn(df, url)
+  }
+
   def nearDupIngest(batches: DataFrame, idCol: String, textCol: String,
       bandsUrl: String, docsUrl: String, pairsUrl: String,
       streamId: String, minJaccardPpm: Long = 500000L, k: Int = 16,
@@ -250,53 +352,11 @@ object GraftStream {
       bands: Int = 4, rows: Int = 4, shingleN: Int = 3,
       maxBucket: Int = 1000, unicode: Boolean = false): Unit = {
     import graft.ops.NearDedup
-    // path-safe key: the value becomes a literal partition directory
-    // name (ingest_key=<streamId>_b<batchId>), including the stale-
-    // partition delete below — no escaping games
-    require(streamId.matches("[A-Za-z0-9_.-]+"),
-      s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+) — it " +
-        "names partition directories")
     val s = batch.sparkSession
-    val ingestKey = s"${streamId}_b$batchId"
-    def exists(url: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(url)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-    }
-    // refuse pre-ingest_key stores: filtering would throw an opaque
-    // missing-column error, and a partitioned overwrite on top of
-    // loose legacy files would corrupt the layout silently — checked
-    // on READS and, below, before every WRITE to an existing store
-    def requireIngestLayout(df: DataFrame, url: String): DataFrame = {
-      require(df.columns.contains("ingest_key"),
-        s"store at $url was written by the pre-ingest_key (append + " +
-          "batch_id) layout — rewrite it partitioned by ingest_key, or " +
-          "point the stream at fresh store paths")
-      df
-    }
-    def overwriteOwnPartition(df: DataFrame, url: String): Unit = {
-      if (exists(url)) {
-        // a directory with no parquet footers (a crashed write's
-        // leftover, or dropOwnPartition emptied it) has nothing to
-        // corrupt — only a READABLE store must pass the layout check
-        try requireIngestLayout(s.read.parquet(url), url)
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => ()
-        }
-      }
-      df.withColumn("ingest_key", lit(ingestKey))
-        .write.partitionBy("ingest_key")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(url)
-    }
-    /** Drop this batch's partition (replay hygiene when the batch now
-      * produces nothing: skipping the write would leave a pre-crash
-      * attempt's stale rows in place). */
-    def dropOwnPartition(url: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(url, s"ingest_key=$ingestKey")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    // path-safe id check, layout guard, own-partition overwrite and
+    // replay hygiene all live in [[IngestPartition]]
+    val ip = IngestPartition(s, streamId, batchId)
+    val ingestKey = ip.ingestKey
     val slim = batch.select(col(idCol), col(textCol)).persist()
     try {
       // an empty micro-batch must write NOTHING: a zero-row dynamic
@@ -309,17 +369,17 @@ object GraftStream {
       // survive and re-enter later batches' corpus views (r8 advice)
       if (slim.isEmpty) {
         Seq(bandsUrl, docsUrl, pairsUrl).foreach { url =>
-          if (exists(url)) dropOwnPartition(url)
+          ip.dropOwn(url)
         }
         return
       }
       // both stores must exist — a first-batch retry that crashed
       // between the bands and docs appends has bands but no docs
-      if (exists(bandsUrl) && exists(docsUrl)) {
+      if (ip.exists(bandsUrl) && ip.exists(docsUrl)) {
         // corpus = every batch EXCEPT this one (partition-pruned):
         // on replay the batch's own pre-crash bands are invisible,
         // so it can never pair with itself
-        val corpusBands = requireIngestLayout(s.read.parquet(bandsUrl),
+        val corpusBands = ip.requireIngestLayout(s.read.parquet(bandsUrl),
             bandsUrl)
           .filter(col("ingest_key") =!= lit(ingestKey)).drop("ingest_key")
         val pairs = NearDedup.incrementalPairs(slim, corpusBands,
@@ -327,7 +387,7 @@ object GraftStream {
           .filter(col("id_new") =!= col("id_corpus"))
         // verify against ONLY the matched corpus docs (AQE
         // broadcasts the small matched-id side)
-        val matchedDocs = requireIngestLayout(s.read.parquet(docsUrl),
+        val matchedDocs = ip.requireIngestLayout(s.read.parquet(docsUrl),
             docsUrl)
           .filter(col("ingest_key") =!= lit(ingestKey)).drop("ingest_key")
           .join(pairs.select(col("id_corpus").as(idCol)).distinct(),
@@ -343,17 +403,17 @@ object GraftStream {
         // pin keeps the emptiness probe from re-running the verify
         // pipeline for the write.
         try {
-          if (verified.isEmpty) dropOwnPartition(pairsUrl)
-          else overwriteOwnPartition(verified, pairsUrl)
+          if (verified.isEmpty) ip.dropOwn(pairsUrl)
+          else ip.overwriteOwn(verified, pairsUrl)
         } finally verified.unpersist()
       }
       // admit the batch into the corpus AFTER matching (a batch
       // never pairs with itself)
-      overwriteOwnPartition(
+      ip.overwriteOwn(
         NearDedup.bandTable(slim, idCol, textCol, k, bands, rows, shingleN,
           unicode),
         bandsUrl)
-      overwriteOwnPartition(slim, docsUrl)
+      ip.overwriteOwn(slim, docsUrl)
     } finally slim.unpersist()
   }
 
@@ -389,49 +449,27 @@ object GraftStream {
       textCol: String, uni: DataFrame, bi: DataFrame, minMeanPpm: Long,
       outUrl: String, streamId: String, unicode: Boolean = false): Unit = {
     import graft.ops.TextAnalysis
-    require(streamId.matches("[A-Za-z0-9_.-]+"),
-      s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+) — it " +
-        "names partition directories")
     val s = batch.sparkSession
-    val ingestKey = s"${streamId}_b$batchId"
-    def exists(url: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(url)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-    }
-    def dropOwnPartition(url: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(url, s"ingest_key=$ingestKey")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    val ip = IngestPartition(s, streamId, batchId)
     // the batch feeds three scans (transition explode, distinct ids,
     // the gate join) — pin it for the duration, as nearDupIngest does
     val slim = batch.select(col(idCol), col(textCol)).persist()
     try {
+      // pin the scored frame too: the emptiness probe would otherwise
+      // run the whole LM pipeline (explode + three broadcast joins)
+      // once for the probe and again for the write — the same shape
+      // ingestBatch pins `verified` for
       val admitted = slim
         .join(TextAnalysis.lmScore(slim, idCol, textCol, uni, bi, unicode)
             .filter(col("mean_ppm") >= minMeanPpm),
           Seq(idCol))
+        .persist()
       // empty batches (or none admitted) write NOTHING — a zero-row
       // dynamic overwrite leaves a footer-less directory — but still
       // run replay hygiene: a replayed batch whose admissions changed
       // (or re-read empty) must not leave a pre-crash attempt's rows
-      if (admitted.isEmpty) {
-        if (exists(outUrl)) dropOwnPartition(outUrl)
-        return
-      }
-      if (exists(outUrl)) {
-        try require(s.read.parquet(outUrl).columns.contains("ingest_key"),
-          s"store at $outUrl was written by a non-ingest_key layout — " +
-            "rewrite it partitioned by ingest_key or use a fresh path")
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => ()
-        }
-      }
-      admitted.withColumn("ingest_key", lit(ingestKey))
-        .write.partitionBy("ingest_key")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(outUrl)
+      try ip.landOrDrop(admitted, outUrl)
+      finally admitted.unpersist()
     } finally slim.unpersist()
   }
 
@@ -465,23 +503,16 @@ object GraftStream {
       schema: org.apache.spark.sql.types.StructType, goodUrl: String,
       quarantineUrl: String, streamId: String): Unit = {
     import graft.sources.JsonlIngest
-    require(streamId.matches("[A-Za-z0-9_.-]+"),
-      s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+)")
     require(!schema.fieldNames.contains(JsonlIngest.CorruptCol),
       s"schema already contains ${JsonlIngest.CorruptCol}")
     val s = batch.sparkSession
-    val ingestKey = s"${streamId}_b$batchId"
-    def dropOwnPartition(url: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(url, s"ingest_key=$ingestKey")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    // landOrDrop via IngestPartition also gains the pre-ingest_key
+    // layout guard the other sinks enforce (this sink used to write
+    // unguarded — a legacy flat store would have been corrupted
+    // silently)
+    val ip = IngestPartition(s, streamId, batchId)
     def landOrDrop(df: DataFrame, url: String): Unit =
-      if (df.isEmpty) dropOwnPartition(url)
-      else df.withColumn("ingest_key", lit(ingestKey))
-        .write.partitionBy("ingest_key")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(url)
+      ip.landOrDrop(df, url)
     val withCorrupt = org.apache.spark.sql.types.StructType(
       schema.fields :+ org.apache.spark.sql.types.StructField(
         JsonlIngest.CorruptCol,
@@ -594,11 +625,18 @@ object GraftStream {
         spark.read.parquet(p.getPath.toString).coalesce(nOut)
           .write.mode("overwrite").parquet(tmp.toString)
         // commit point: the marker records exactly which old files
-        // the staged set replaces
-        val out = fs.create(marker, false)
+        // the staged set replaces. Staged under a temp name and
+        // RENAMED into place — create-then-write would make a
+        // half-written marker visible to a crash-recovery run, which
+        // would read a truncated old-file list and roll forward into
+        // duplicated rows
+        val markerTmp = new Path(tmp, "_COMMIT_tmp")
+        val out = fs.create(markerTmp, false)
         try out.write(files.map(_.getPath.getName).mkString("\n")
           .getBytes("UTF-8"))
         finally out.close()
+        require(fs.rename(markerTmp, marker),
+          s"marker commit failed at $marker")
         files.foreach(f => fs.delete(f.getPath, false))
         after += promote()
         rewritten += 1
@@ -627,14 +665,18 @@ object GraftStream {
       leftTsCol: String, rightTsCol: String, watermarkDelay: String,
       bound: String): DataFrame = {
     require(leftTsCol != rightTsCol,
-      s"time columns must be named apart (both '$leftTsCol') — the join " +
-        "condition references them unqualified through the l/r aliases")
+      s"time columns must be named apart (both '$leftTsCol') — the " +
+        "join OUTPUT carries both, and a shared name would make every " +
+        "downstream reference ambiguous")
     val l = left.withWatermark(leftTsCol, watermarkDelay).alias("l")
     val r = right.withWatermark(rightTsCol, watermarkDelay).alias("r")
+    // fully qualified: either input may ALSO carry a column named
+    // like the other side's ts (self-enrichment of one event schema)
+    // and unqualified references would resolve ambiguously
     l.join(r, expr(
       s"l.$keyCol = r.$keyCol AND " +
-        s"$rightTsCol >= $leftTsCol AND " +
-        s"$rightTsCol <= $leftTsCol + INTERVAL $bound"))
+        s"r.$rightTsCol >= l.$leftTsCol AND " +
+        s"r.$rightTsCol <= l.$leftTsCol + INTERVAL $bound"))
   }
 
   /** Stateful per-key admission quota — keep only the FIRST `n` rows
@@ -655,7 +697,9 @@ object GraftStream {
     * tieCol)` ascending, so a single-batch run (or a batch frame —
     * Spark runs the same function per group with empty state) equals
     * the `row_number() <= n` spelling. `orderCol`/`tieCol` must be
-    * LongType; keys group by their string form. */
+    * LongType and NON-NULL (a null fails loudly with the column
+    * named); keys group by their string form, a null key holding its
+    * own quota distinct from the literal string "null". */
   def admitFirstN(df: DataFrame, keyCol: String, orderCol: String,
       tieCol: String, n: Int): DataFrame = {
     require(n > 0, s"quota must be positive, got $n")
@@ -666,7 +710,11 @@ object GraftStream {
     implicit val rowEnc: Encoder[Row] = Encoders.row(schema)
     implicit val keyEnc: Encoder[String] = Encoders.STRING
     implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
-    df.groupByKey((r: Row) => String.valueOf(r.get(keyIdx)))
+    // key by a DISAMBIGUATED string form: a null key and the literal
+    // string "null" must hold separate quotas, not share one
+    df.groupByKey((r: Row) =>
+        if (r.isNullAt(keyIdx)) " null"
+        else "k:" + String.valueOf(r.get(keyIdx)))
       .flatMapGroupsWithState(OutputMode.Append(),
           GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
@@ -679,6 +727,12 @@ object GraftStream {
               Ordering.by((p: (Long, Long, Row)) => (p._1, p._2))
             val heap = mutable.PriorityQueue.empty[(Long, Long, Row)](ord)
             rows.foreach { r =>
+              // a null order/tie value is a data bug — fail with the
+              // column named, not an opaque NPE inside the state fn
+              require(!r.isNullAt(ordIdx) && !r.isNullAt(tieIdx),
+                s"admitFirstN: null $orderCol/$tieCol — filter " +
+                  "nulls upstream (the order contract is LongType, " +
+                  "non-null)")
               val cand = (r.getLong(ordIdx), r.getLong(tieIdx), r)
               if (heap.size < quota) heap.enqueue(cand)
               else if (ord.lt(cand, heap.head)) {

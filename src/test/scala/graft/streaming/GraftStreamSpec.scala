@@ -78,6 +78,33 @@ class GraftStreamSpec extends SparkSpec {
       3L -> Seq(5.0, 6.0)))
   }
 
+  test("sink replay is exactly-once: a re-run epoch no-ops, a " +
+      "half-promoted crash sweeps its own debris") {
+    val url = scratch("sink-replay-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val schema = GraftSchema("replayed", Seq(
+      FieldSpec("id", LongType)))
+    val b0 = Seq(1L, 2L).toDF("id")
+    GraftStream.sinkBatch(b0, 0L, url, schema)
+    // at-least-once retry of the SAME epoch must not duplicate
+    GraftStream.sinkBatch(b0, 0L, url, schema)
+    // crash-mid-promote simulation for epoch 1: debris file, no
+    // marker → the replay must sweep it and land exactly its rows
+    val root = new org.apache.hadoop.fs.Path(url)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(9L).toDF("id").write.parquet(url + "/_debris_tmp")
+    val part = Materialize.listParquetFiles(spark,
+      url + "/_debris_tmp").head
+    fs.rename(new org.apache.hadoop.fs.Path(part),
+      new org.apache.hadoop.fs.Path(root, "e00000001-99999.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(url + "/_debris_tmp"), true)
+    GraftStream.sinkBatch(Seq(3L).toDF("id"), 1L, url, schema)
+    val ids = GraftRead.reader(spark, url).load()
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"replay duplicated or leaked debris rows: $ids")
+  }
+
   test("watermarked tumbling-window counts over event time") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val counts = GraftStream.windowedCounts(
