@@ -193,12 +193,24 @@ object Materialize {
     val rel = relativizer(spark, url)
     require(!files.exists(f => rel(f).contains("/")),
       s"compact does not handle hive-partitioned stores: $url")
-    val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    // one status call per file would be thousands of sequential RPCs
+    // on an object store — batch through listStatus of the root
+    val lenOf = fs.listStatus(root).iterator
+      .filter(_.isFile).map(st => st.getPath.toString -> st.getLen)
+      .toMap
+    val totalBytes = files.map(f => lenOf.getOrElse(f,
+      fs.getFileStatus(new Path(f)).getLen)).sum
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / (targetFileMb.toLong << 20)).toInt)
     val tmp = new Path(root, "_compact_tmp")
     fs.delete(tmp, true)
-    spark.read.parquet(url).repartition(nOut).write
+    // read EXACTLY the snapshot being deleted below — a directory
+    // read would also ingest files appended between the listing and
+    // this job (the streaming sink appends per micro-batch), copying
+    // their rows into the staged set while the delete loop leaves
+    // the originals in place: permanent duplicates, not the
+    // documented transient window
+    spark.read.parquet(files: _*).repartition(nOut).write
       .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
       .mode("overwrite").parquet(tmp.toString)
     val staged = listParquetFiles(spark, tmp.toString)
@@ -248,10 +260,10 @@ object Materialize {
     * it after merging, or accept full-file probes for merged keys.
     *
     * Returns (filesRewritten, filesTotal). */
-  def mergeUpsert(spark: SparkSession, url: String, updates: DataFrame,
+  def mergeUpsert(spark: SparkSession, url: String, updates0: DataFrame,
       keyCol: String, bloomIndexUrl: Option[String] = None,
       deleteCol: Option[String] = None,
-      maxKeys: Int = 1000000): (Int, Int) = {
+      maxKeys: Int = 1000000, rowGroupSizeMb: Int = 32): (Int, Int) = {
     val root = new Path(url)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val files = listParquetFiles(spark, url)
@@ -261,6 +273,13 @@ object Materialize {
       s"mergeUpsert does not handle hive-partitioned stores: $url")
     val store = spark.read.parquet(url)
     val dataCols = store.columns.toSeq
+    // PIN the batch: it feeds four evaluations (distinct-collect,
+    // count, the anti-join broadcast, the written projection) and a
+    // nondeterministic update plan re-evaluating differently per use
+    // could pass the duplicate check yet write different rows
+    val updates = updates0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val upCols = updates.columns.toSeq.filterNot(deleteCol.contains)
     require(upCols.sorted == dataCols.sorted,
       s"update schema ${upCols.sorted} != store schema ${dataCols.sorted}")
@@ -301,7 +320,11 @@ object Materialize {
     val tmp = new Path(root, "_merge_tmp")
     fs.delete(tmp, true)
     merged.repartition(math.max(1, affected.length))
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write
+      // keep the store's row-group geometry — default 128 MB blocks
+      // on merged files would degrade file-granularity pruning
+      .option("parquet.block.size", rowGroupSizeMb.toLong * 1024 * 1024)
+      .mode("overwrite").parquet(tmp.toString)
     val staged = listParquetFiles(spark, tmp.toString)
     // two-phase swap, promote-first (same contract as [[compact]]):
     // a crash after some renames leaves the merged rows ALONGSIDE
@@ -320,6 +343,7 @@ object Materialize {
     fs.delete(tmp, true)
     loadSchema(spark, url).foreach(updateMetadata(spark, url, _))
     (affected.length, files.length)
+    } finally updates.unpersist()
   }
 
   /** Petastorm-COMPATIBLE materialization: the same store layout the
@@ -433,7 +457,7 @@ object Materialize {
         (v, i + 1)
       }
       var at = 0
-      var found: Option[Array[Byte]] = None
+      var found: Option[GraftSchema] = None
       while (found.isEmpty && at + key.length < buf.length) {
         val hit = (0 until key.length).forall(k => buf(at + k) == key(k))
         if (hit) {
@@ -445,9 +469,10 @@ object Materialize {
               if (vlen > 0 && dataAt + vlen <= buf.length) {
                 val blob = java.util.Arrays.copyOfRange(
                   buf, dataAt, dataAt + vlen.toInt)
-                found = Some(blob)
-                // validate by parsing; a false hit moves on
-                UnischemaPickle.parse(blob)
+                // parse ONCE: the successful parse both validates
+                // the hit and IS the result (a false hit throws and
+                // the scan moves on)
+                found = Some(UnischemaPickle.parse(blob))
               }
             }
           } catch {
@@ -456,7 +481,7 @@ object Materialize {
         }
         at += 1
       }
-      found.map(UnischemaPickle.parse)
+      found
     }
   }
 
@@ -532,23 +557,36 @@ object Materialize {
       s"""{"version":1,"schema":${schema.toJson},"rowGroupCounts":$countsJson}"""
     val path = new Path(url, SidecarName)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(path, true)
+    // stage + rename: the sink refreshes this every micro-batch, and
+    // truncate-in-place would expose an empty/partial sidecar to a
+    // crash or a concurrent reader (the RowGroupIndex.updateBloom
+    // swap discipline)
+    val tmp = new Path(url, SidecarName + "__tmp")
+    fs.delete(tmp, false)
+    val out = fs.create(tmp, false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (fs.getUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(path.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      if (fs.exists(path)) fs.delete(path, false)
+      require(fs.rename(tmp, path), s"sidecar swap failed at $path")
+    }
+  }
+
+  /** The sidecar's raw JSON, one filesystem read (None when absent). */
+  private def readSidecar(spark: SparkSession, url: String): Option[String] = {
+    val path = new Path(url, SidecarName)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else Some(SidecarJson.slurp(fs, path))
   }
 
   /** The sidecar's per-file row-group census (empty when absent). */
   def loadRowGroupCounts(spark: SparkSession, url: String): Map[String, Int] = {
-    val path = new Path(url, SidecarName)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) return Map.empty
-    val in = fs.open(path)
-    val json = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var k = in.read(buf)
-      while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
-      bytes.toString("UTF-8")
-    } finally in.close()
+    val json = readSidecar(spark, url).getOrElse(return Map.empty)
     val idx = json.indexOf(""""rowGroupCounts":""")
     if (idx < 0) return Map.empty
     val obj = json.substring(idx + 18)
@@ -580,9 +618,14 @@ object Materialize {
     val rel = relativizer(spark, url)
     val relOf = files.map(f => f -> rel(f)).toMap
     val parts = math.min(n, spark.sparkContext.defaultParallelism).max(1)
+    // ship the SESSION hadoop conf to the executors: a bare
+    // Configuration() loads only classpath XML and drops every
+    // spark.hadoop.* override (object-store credentials/endpoints),
+    // which breaks footer reads on any session-configured filesystem
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     spark.sparkContext.parallelize(files, parts).mapPartitions { it =>
-      // executor-local conf: file:// and cluster-default fs both fine
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = serConf.value
       it.map { f =>
         val p = new Path(f)
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
@@ -611,25 +654,14 @@ object Materialize {
 
   /** Load the stored GraftSchema, or None for plain parquet stores
     * (caller then infers — dataset_metadata.py:410-418 fallback). */
-  def loadSchema(spark: SparkSession, url: String): Option[GraftSchema] = {
-    val path = new Path(url, SidecarName)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) None
-    else {
-      val in = fs.open(path)
-      val json = try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var k = in.read(buf)
-        while (k >= 0) { bytes.write(buf, 0, k); k = in.read(buf) }
-        bytes.toString("UTF-8")
-      } finally in.close()
+  def loadSchema(spark: SparkSession, url: String): Option[GraftSchema] =
+    readSidecar(spark, url).map { json =>
       val idx = json.indexOf("\"schema\":")
       require(idx >= 0, s"malformed $SidecarName")
       // schema object ends before ,"rowGroupCounts"
       val end = json.indexOf(""","rowGroupCounts":""")
-      val schemaJson = json.substring(idx + 9, if (end > 0) end else json.length - 1)
-      Some(GraftSchema.fromJson(schemaJson))
+      val schemaJson = json.substring(idx + 9,
+        if (end > 0) end else json.length - 1)
+      GraftSchema.fromJson(schemaJson)
     }
-  }
 }
