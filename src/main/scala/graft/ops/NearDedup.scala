@@ -77,8 +77,14 @@ object NearDedup {
       slim.schema.fields(0), StructField(outCol, StringType)))
     implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
     slim.flatMap { r =>
-      val id = r.get(0)
-      r.getSeq[String](1).iterator.map(v => Row(id, v))
+      // a null array (null text upstream — the shingle kernels
+      // null-propagate) contributes no rows instead of NPE-ing the
+      // whole job; a no-text document simply cannot pair
+      if (r.isNullAt(1)) Iterator.empty
+      else {
+        val id = r.get(0)
+        r.getSeq[String](1).iterator.map(v => Row(id, v))
+      }
     }
   }
 
@@ -154,16 +160,27 @@ object NearDedup {
       keepOver = true, unicode)
       .groupBy(col("band_key")).agg(count(lit(1)).as("width"))
 
+  /** Bucket-width cap — the file's standard skew guard in ONE place:
+    * keep rows whose `keyCol` bucket holds ≤ `maxBucket` rows
+    * (`keepOver = true` inverts: the observability face listing what
+    * the cap dropped). The partitionBy window count rides the same
+    * hash exchange the downstream self-join needs (ReusedExchange),
+    * so the cap costs no extra pass. */
+  private def capBuckets(df: DataFrame, keyCol: String, maxBucket: Int,
+      keepOver: Boolean): DataFrame = {
+    val widthOf = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol)))
+    val withC = df.withColumn("__bc", widthOf)
+    (if (keepOver) withC.filter(col("__bc") > maxBucket)
+     else withC.filter(col("__bc") <= maxBucket)).drop("__bc")
+  }
+
   private def cappedBands(df: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int, rows: Int, shingleN: Int, maxBucket: Int,
       keepOver: Boolean, unicode: Boolean = false): DataFrame = {
     val ex = signatures(df, idCol, textCol, k, shingleN, unicode)
       .select(col(idCol), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
-    val bucketCount = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("band_key")))
-    val withC = ex.withColumn("__bc", bucketCount)
-    (if (keepOver) withC.filter(col("__bc") > maxBucket)
-     else withC.filter(col("__bc") <= maxBucket)).drop("__bc")
+    capBuckets(ex, "band_key", maxBucket, keepOver)
   }
 
   /** Exact n-gram Jaccard for given (id_a, id_b) pairs — the verify
@@ -230,10 +247,8 @@ object NearDedup {
     val nb = bandTable(newDf, idCol, textCol, k, bands, rows, shingleN,
       unicode)
       .select(col(idCol).as("id_new"), col("band_key"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
-    val cb = corpusBands
-      .withColumn("__bc", count(lit(1)).over(w))
-      .filter(col("__bc") <= maxBucket)
+    val cb = capBuckets(corpusBands, "band_key", maxBucket,
+        keepOver = false)
       .select(col(idCol).as("id_corpus"), col("band_key"))
     nb.join(cb, Seq("band_key"))
       .select(col("id_new"), col("id_corpus")).distinct()
@@ -254,11 +269,15 @@ object NearDedup {
     val shCor = shingleSets(corpusDocs, idCol, textCol, shingleN, unicode)
       .select(col(idCol).as("id_corpus"), col("sh").as("__shb"))
     pairs.join(shNew, Seq("id_new")).join(shCor, Seq("id_corpus"))
-      .withColumn("jaccard_ppm",
-        floor(size(array_intersect(col("__sha"), col("__shb")))
-          .cast("double") /
-          size(array_union(col("__sha"), col("__shb"))) * 1000000)
-          .cast("long"))
+      // EXACT integer ppm (i·1e6 div u) — the [[jaccardJoin]] and
+      // oracle convention; the former double-multiply floor was off
+      // by one ulp at exact-boundary ratios (41/80 → 512499 vs the
+      // true 512500), so a threshold set at the exact value could
+      // drop a pair that meets it
+      .withColumn("jaccard_ppm", expr(
+        "CAST(size(array_intersect(__sha, __shb)) AS BIGINT) " +
+          "* 1000000L DIV " +
+          "CAST(size(array_union(__sha, __shb)) AS BIGINT)"))
       .select(col("id_new"), col("id_corpus"), col("jaccard_ppm"))
   }
 
@@ -318,31 +337,41 @@ object NearDedup {
     * Output: (id_a, id_b, jaccard_ppm), id_a < id_b, exact integer
     * ppm (floor). Pairs sharing no shingle at all are never
     * candidates — correct for any t > 0 since their Jaccard is 0. */
-  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
-      minJaccardPpm: Long = 500000L, shingleN: Int = 3,
-      unicode: Boolean = false): DataFrame = {
-    require(minJaccardPpm > 0 && minJaccardPpm <= 1000000L,
-      s"minJaccardPpm must be in (0, 1e6] (got $minJaccardPpm)")
+  /** The AllPairs/PPJoin shared substrate: per doc, its DISTINCT
+    * shingles in the GLOBAL rarest-first order (corpus frequency
+    * asc, value asc — a total order since per-doc shingles are
+    * distinct). BOTH prefix-filter joins' losslessness proofs assume
+    * the two sides use this identical order and the identical
+    * integer-ceil prefix arithmetic — extracting the substrate makes
+    * drift between them impossible. Output: (idCol, __n, __ord). */
+  private def freqOrderedDocs(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, unicode: Boolean): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, shingleN, unicode)
     val ex = explodeStrings(sh, idCol, "sh", "__s")
     val wByShingle = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__s"))
-    // (id, n, __ord): the doc's distinct shingles, rarest-first
-    // (corpus frequency asc, value asc — a total order since per-doc
-    // shingles are distinct)
-    val docs = ex
-      .withColumn("__df", count(lit(1)).over(wByShingle))
+    ex.withColumn("__df", count(lit(1)).over(wByShingle))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__df"), col("__s"))))
         .as("__sorted"))
       .select(col(idCol),
         size(col("__sorted")).cast("long").as("__n"),
         col("__sorted").getField("__s").as("__ord"))
-    // prefix length n − ceil(t·n) + 1; ceil in pure integer
-    // arithmetic: (t_ppm·n + 999999) div 1e6
-    val pfxLen = (col("__n") -
-      expr(s"(__n * ${minJaccardPpm}L + 999999) div 1000000") + lit(1L))
-      .cast("int")
+  }
+
+  /** Prefix length n − ceil(t·n) + 1; ceil in pure integer
+    * arithmetic: (t_ppm·n + 999999) div 1e6. */
+  private def prefixLen(tPpm: Long): Column =
+    (col("__n") - expr(s"(__n * ${tPpm}L + 999999) div 1000000")
+      + lit(1L)).cast("int")
+
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      minJaccardPpm: Long = 500000L, shingleN: Int = 3,
+      unicode: Boolean = false): DataFrame = {
+    require(minJaccardPpm > 0 && minJaccardPpm <= 1000000L,
+      s"minJaccardPpm must be in (0, 1e6] (got $minJaccardPpm)")
+    val docs = freqOrderedDocs(df, idCol, textCol, shingleN, unicode)
+    val pfxLen = prefixLen(minJaccardPpm)
     // posexplode over a materialized attribute (slice of the
     // projected array) — never a Generate over an interpreted
     // expression. The 1-based position feeds the positional filter.
@@ -411,21 +440,8 @@ object NearDedup {
       unicode: Boolean = false): DataFrame = {
     require(minContainPpm > 0 && minContainPpm <= 1000000L,
       s"minContainPpm must be in (0, 1e6] (got $minContainPpm)")
-    val sh = shingleSets(df, idCol, textCol, shingleN, unicode)
-    val ex = explodeStrings(sh, idCol, "sh", "__s")
-    val wByShingle = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__s"))
-    val docs = ex
-      .withColumn("__df", count(lit(1)).over(wByShingle))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("__df"), col("__s"))))
-        .as("__sorted"))
-      .select(col(idCol),
-        size(col("__sorted")).cast("long").as("__n"),
-        col("__sorted").getField("__s").as("__ord"))
-    val pfxLen = (col("__n") -
-      expr(s"(__n * ${minContainPpm}L + 999999) div 1000000") + lit(1L))
-      .cast("int")
+    val docs = freqOrderedDocs(df, idCol, textCol, shingleN, unicode)
+    val pfxLen = prefixLen(minContainPpm)
     val contained = docs
       .select(col(idCol), col("__n"), slice(col("__ord"), lit(1), pfxLen)
         .as("__pfx"))
@@ -504,10 +520,8 @@ object NearDedup {
         (shiftright(col("simhash"), b * 8) % 256).cast("string"))): _*)
     val banded = sh.select(col(idCol), col("simhash"),
       explode(bands).as("band_key"))
-    val bucketCount = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("band_key")))
-    val capped = banded.withColumn("__bc", bucketCount)
-      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val capped = capBuckets(banded, "band_key", maxBucket,
+      keepOver = false)
     val a = capped.select(col(idCol).as("id_a"), col("simhash").as("__sa"),
       col("band_key"))
     val b = capped.select(col(idCol).as("id_b"), col("simhash").as("__sb"),
@@ -544,10 +558,8 @@ object NearDedup {
         (shiftrightunsigned(col(hashCol), b * 8) % 256).cast("string"))): _*)
     val banded = df.select(col(idCol), col(hashCol),
       explode(bands).as("band_key"))
-    val bucketCount = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("band_key")))
-    val capped = banded.withColumn("__bc", bucketCount)
-      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val capped = capBuckets(banded, "band_key", maxBucket,
+      keepOver = false)
     val a = capped.select(col(idCol).as("id_a"), col(hashCol).as("__ha"),
       col("band_key"))
     val b = capped.select(col(idCol).as("id_b"), col(hashCol).as("__hb"),
@@ -679,7 +691,7 @@ object NearDedup {
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
       minCosM: Long, planes: Int = 0, dim: Int = 64,
       maxBucket: Int = 10000): DataFrame = {
-    val p = checkedPlanes(df, planes, maxBucket)
+    val p = checkedPlanes(df, embCol, planes, maxBucket)
     val capped = cappedEmbBuckets(df, idCol, embCol, p, dim, maxBucket,
       keepOver = false)
     val a = capped.select(col(idCol).as("id_a"), col("__e").as("__ea"),
@@ -700,7 +712,7 @@ object NearDedup {
     * whose members produced no pairs. Empty output = full coverage. */
   def embeddingDroppedBuckets(df: DataFrame, idCol: String, embCol: String,
       planes: Int = 0, dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
-    val p = checkedPlanes(df, planes, maxBucket)
+    val p = checkedPlanes(df, embCol, planes, maxBucket)
     cappedEmbBuckets(df, idCol, embCol, p, dim, maxBucket, keepOver = true)
       .groupBy(col("bucket")).agg(count(lit(1)).as("width"))
   }
@@ -708,8 +720,11 @@ object NearDedup {
   /** Resolve + sanity-check the LSH plane count against the corpus
     * size (one count job — the price of the no-silent-empty
     * guarantee). */
-  private def checkedPlanes(df: DataFrame, planes: Int, maxBucket: Int): Int = {
-    val n = df.count()
+  private def checkedPlanes(df: DataFrame, embCol: String,
+      planes: Int, maxBucket: Int): Int = {
+    // null embeddings are excluded by cappedEmbBuckets — size the
+    // geometry on the rows that will actually be bucketed
+    val n = df.filter(col(embCol).isNotNull).count()
     val p = if (planes > 0) planes else AnnSearch.planesFor(n)
     val expectedWidth = n.toDouble / (1L << math.min(p, 62))
     require(expectedWidth <= maxBucket,
@@ -722,12 +737,12 @@ object NearDedup {
 
   private def cappedEmbBuckets(df: DataFrame, idCol: String, embCol: String,
       planes: Int, dim: Int, maxBucket: Int, keepOver: Boolean): DataFrame = {
+    // a null embedding would bucket to 0 (every sign bit takes the
+    // otherwise-branch), polluting a REAL bucket's width and — past
+    // the cap — evicting its legitimate vectors; drop them here
     val withB = df.select(col(idCol), col(embCol).as("__e"))
+      .filter(col("__e").isNotNull)
       .withColumn("bucket", AnnSearch.bucketOf(col("__e"), planes, dim))
-    val bucketCount = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("bucket")))
-    val withC = withB.withColumn("__bc", bucketCount)
-    (if (keepOver) withC.filter(col("__bc") > maxBucket)
-     else withC.filter(col("__bc") <= maxBucket)).drop("__bc")
+    capBuckets(withB, "bucket", maxBucket, keepOver)
   }
 }

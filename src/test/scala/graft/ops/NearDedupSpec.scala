@@ -235,6 +235,34 @@ class NearDedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("null text never crashes the shingle pipelines — the row " +
+      "just cannot pair") {
+    val docs = Seq((1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val pairs = NearDedup.candidatePairs(docs, "id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    assert(NearDedup.jaccardJoin(docs, "id", "text",
+      minJaccardPpm = 500000L).count() == 1L)
+  }
+
+  test("verify ppm is EXACT integer div — boundary ratios do not " +
+      "drift one ulp below their threshold") {
+    import org.apache.spark.sql.functions._
+    // |A| = 80, |B| = 41, ∩ = 41 → ∪ = 80 and exactly 41/80 =
+    // 512500 ppm; the old double-multiply floor computed 512499
+    val pairs = Seq((1L, 2L)).toDF("id_new", "id_corpus")
+    val nd = Seq((1L, ((1 to 41).map(i => s"a$i") ++
+      (1 to 39).map(i => s"c$i")).mkString(" "))).toDF("id", "text")
+    val cd = Seq((2L, (1 to 41).map(i => s"a$i").mkString(" ")))
+      .toDF("id", "text")
+    val ppm = NearDedup.verifyPairsJaccardPpm(pairs, nd, cd,
+      "id", "text", shingleN = 1)
+      .select(col("jaccard_ppm")).as[Long].head()
+    assert(ppm == 512500L, s"expected exact 512500, got $ppm")
+  }
+
   test("simpleLower applies the Unicode simple map (utf8proc parity), " +
       "not Java's full map") {
     // full mapping would give final-sigma 'μυς', 2-codepoint 'i̇' for İ
