@@ -16,6 +16,12 @@ object Dedup {
   /** Exact dedup on a key expression: keep exactly one row (the one
     * with the smallest `orderCol`) per distinct key.
     *
+    * Determinism precondition: `orderCol` must be UNIQUE within each
+    * key (callers pass the doc id). With ties, `row_number` keeps an
+    * arbitrary tied row and a retry/AQE reshuffle may keep a
+    * different one — the nondeterministic-row_number class the
+    * oracle conventions flag.
+    *
     * Implementation is a single hash-shuffle on the key
     * (`row_number` over a window). At 100 TB this is the canonical
     * map-side-combine-free pattern; keys are md5 fingerprints so the
@@ -32,17 +38,31 @@ object Dedup {
       .drop(rn)
   }
 
-  /** Exact text dedup keyed on the normalized-text fingerprint. */
+  /** Exact text dedup keyed on the normalized-text fingerprint.
+    * NULL-text policy: a null text has no content to compare, so
+    * each null-text doc is its OWN singleton (keyed by id) — window
+    * null-key grouping would otherwise collapse every null-text doc
+    * into one cluster and silently delete all but one. (Genuinely
+    * empty text "" still fingerprints normally and dedups.) */
   def exactByText(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    exact(df, TextAnalysis.fingerprint(col(textCol)), col(idCol))
+    exact(df, nullSafeFingerprint(idCol, textCol), col(idCol))
 
   /** Group-shaped variant: distinct fingerprints with the surviving
-    * (minimum) id and the duplicate count — the "dedup report". */
+    * (minimum) id and the duplicate count — the "dedup report".
+    * Same null-text singleton policy as [[exactByText]]. */
   def exactReport(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+    df.groupBy(nullSafeFingerprint(idCol, textCol).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Content fingerprint with the null-text singleton policy: null
+    * text keys by the doc's own id under a prefix no md5 hex can
+    * collide with. */
+  private def nullSafeFingerprint(idCol: String,
+      textCol: String): Column =
+    coalesce(TextAnalysis.fingerprint(col(textCol)),
+      concat(lit("null-text:"), col(idCol).cast("string")))
 
   /** Changelog compaction — the CDC "upsert + tombstone" collapse
     * that turns an append-only event log into current state: per
@@ -62,6 +82,14 @@ object Dedup {
   def compactLatest(df: DataFrame, keyCols: Seq[String],
       orderCol: Column, tieCol: Column, payloadCols: Seq[String],
       tombstone: Column): DataFrame = {
+    // the packed struct reserves __o/__t, and payload fields are
+    // re-read as col("__w.<name>") — refuse names that would alias
+    // the reserved slots or parse as a nested path
+    require(!payloadCols.exists(c => c == "__o" || c == "__t"),
+      "payload columns must not be named __o/__t (reserved)")
+    require(payloadCols.forall(c => !c.contains(".")),
+      s"payload column names must not contain '.' — col(\"__w.name\") " +
+        "would parse it as a nested path")
     val packed = struct(
       (orderCol.as("__o") +: tieCol.as("__t") +:
         payloadCols.map(c => col(c).as(c))): _*)
@@ -69,8 +97,11 @@ object Dedup {
       .agg(max(packed).as("__w"))
       .select(keyCols.map(col) ++
         payloadCols.map(c => col(s"__w.$c").as(c)): _*)
-      // tombstone references the winner's payload columns by name
-      .filter(!tombstone)
+      // tombstone references the winner's payload columns by name;
+      // null-safe: a predicate evaluating to NULL (e.g. a null
+      // event_type under === ) must KEEP the key — !NULL is NULL and
+      // a bare filter would silently delete it
+      .filter(!coalesce(tombstone, lit(false)))
   }
 
   /** Connected components over a near-dup pair graph — the step a
@@ -105,10 +136,13 @@ object Dedup {
     * subplan twice; its shuffled inputs are reused (ReusedExchange),
     * the post-shuffle join CPU doubles — the price of one action per
     * round instead of three. Convergence
-    * is decided by the MIN step's change count alone, which is sound:
-    * if no vertex label decreases via a neighbor, adjacent labels are
-    * all equal, so every component is already uniform at its minimum
-    * id (jumps never change a converged labeling). Non-convergence
+    * is decided by the round's change count, where "changed" means
+    * moved by EITHER the min step OR the jump (a jump-only change
+    * must re-enter the frontier so its new label is offered to
+    * neighbors next round). changed == 0 is sound: no label
+    * decreased by a neighbor and none chased indirection, so
+    * adjacent labels are all equal and every component is uniform
+    * at its minimum id. Non-convergence
     * within `maxIter` THROWS rather than returning a partial
     * clustering — a half-propagated label is a silently wrong answer.
     * All shuffles are plain hash exchanges on id; nothing is ever
@@ -127,19 +161,14 @@ object Dedup {
   def clusters(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    // Materialize as a persisted InternalRow RDD and rewrap — TRUE
-    // lineage truncation. persist() alone keeps the logical plan: the
-    // pointer-jump self-joins reference the prior round repeatedly,
-    // so the plan tree would grow exponentially with rounds (measured
-    // OOM at ~7 rounds). Rows are copied before persisting (toRdd
-    // reuses UnsafeRow buffers per partition).
+    // TRUE lineage truncation per round ([[ColumnBridge.pinned]]):
+    // the pointer-jump self-joins reference the prior round
+    // repeatedly, so an unpinned plan tree grows exponentially with
+    // rounds (measured OOM at ~7 rounds)
     def pin(df: DataFrame)
         : (DataFrame,
-           org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
-      val rdd = ColumnBridge.internalRdd(df).map(_.copy())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (ColumnBridge.internalCreateDataFrame(df, rdd, df.schema), rdd)
-    }
+           org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) =
+      ColumnBridge.pinned(df)
     // Pin the DIRECTED pairs first (one action): the undirected union
     // references the pair plan twice, and the per-round joins would
     // otherwise re-run the whole candidate pipeline every round.
@@ -183,6 +212,12 @@ object Dedup {
     var changed = pinned.filter(col("__chg")).count()
     var iter = 0
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    // error hygiene: a mid-loop job failure (or the non-convergence
+    // throw below) must not strand the round's cache blocks in a
+    // long-lived session — on ANY throw, unpersist both live pins
+    // before propagating (success keeps labelsRdd persisted for the
+    // returned frame; ContextCleaner reclaims it when unreferenced)
+    try {
     while (changed > 0 && iter < maxIter) {
       val tRound = System.nanoTime()
       val labels = pinned.drop("__chg")
@@ -200,8 +235,9 @@ object Dedup {
         .groupBy(col("u").as("id")).agg(min(col("__nl")).as("__nm"))
       val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster_id"),
-            coalesce(col("__nm"), col("cluster_id"))).as("cluster_id"),
+          // least() ignores NULLs, so a frontier-less vertex
+          // (__nm null) keeps its own label with no coalesce needed
+          least(col("cluster_id"), col("__nm")).as("cluster_id"),
           col("cluster_id").as("__prev"))
       // pointer jump: label values are themselves vertex ids, so a
       // self-join replaces label -> label(label), shrinking any
@@ -240,6 +276,11 @@ object Dedup {
       throw new IllegalStateException(
         s"dedup clustering did not converge in $maxIter rounds — the pair " +
           "graph has a propagation chain longer than 4^maxIter; raise maxIter")
+    } catch {
+      case e: Throwable =>
+        labelsRdd.unpersist(false); edgesRdd.unpersist(false)
+        throw e
+    }
     // Rewrap the final labels onto the CALLER's session: the loop's
     // frames plan under the scoped graph-width session, and a result
     // still bound to it would plan every downstream shuffle a caller
@@ -249,14 +290,18 @@ object Dedup {
       .drop("__chg")
   }
 
-  /** [[clusters]] joined back onto the corpus: every id gets a
-    * cluster (singletons map to themselves) plus the keep flag. */
+  /** [[clusters]] joined back onto the corpus: every NON-NULL id
+    * gets a cluster (singletons map to themselves) plus the keep
+    * flag. Null ids are dropped explicitly — they can never
+    * equi-join the cluster table, and passing them through would
+    * emit keep = NULL, a row every boolean filter silently drops. */
   def clusterAssignments(pairs: DataFrame, ids: DataFrame,
       idCol: String, aCol: String = "id_a", bCol: String = "id_b",
       maxIter: Int = 25): DataFrame = {
     val cc = clusters(pairs, aCol, bCol, maxIter)
       .withColumnRenamed("id", idCol)
-    ids.select(col(idCol)).join(cc, Seq(idCol), "left")
+    ids.select(col(idCol)).filter(col(idCol).isNotNull)
+      .join(cc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .withColumn("keep", col(idCol) === col("cluster_id"))

@@ -759,11 +759,8 @@ object Graph {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100] (got $iterations)")
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    def pin(df: DataFrame): DataFrame = {
-      val rdd = ColumnBridge.internalRdd(df).map(_.copy())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      ColumnBridge.internalCreateDataFrame(df, rdd, df.schema)
-    }
+    // per-iteration lineage truncation ([[ColumnBridge.pinned]])
+    def pin(df: DataFrame): DataFrame = ColumnBridge.pinned(df)._1
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("long").as("w"))
       .filter(col("w") > 0)

@@ -53,13 +53,11 @@ object SuffixArray {
       maxLen: Int, maxRounds: Int = 40): DataFrame = {
     require(maxLen >= 1, s"maxLen must be >= 1 (got $maxLen)")
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    // per-round lineage truncation ([[ColumnBridge.pinned]])
     def pin(df: DataFrame)
         : (DataFrame,
-           org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
-      val rdd = ColumnBridge.internalRdd(df).map(_.copy())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (ColumnBridge.internalCreateDataFrame(df, rdd, df.schema), rdd)
-    }
+           org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) =
+      ColumnBridge.pinned(df)
     // Round 0 ranks fixed-width prefix BLOCKS (16 chars), not single
     // characters: block strings sort exactly like the suffixes'
     // first min(16, len) chars (a shorter block is a prefix of a

@@ -66,6 +66,22 @@ object ColumnBridge {
     * used); the ordering may carry the longer true tail — a
     * projection dropping a tail column truncates the ordering but
     * must not degrade the partitioning to unknown. */
+  /** Persist-copy-rewrap lineage truncation — the iterative-loop pin
+    * shared by Dedup.clusters, Graph.pageRankInt and
+    * SuffixArray.suffixRanks: materialize as a persisted InternalRow
+    * RDD (rows COPIED first — toRdd reuses UnsafeRow buffers per
+    * partition) and rewrap, so a loop's plan tree stays round-sized
+    * instead of growing exponentially with self-referencing rounds
+    * (persist() alone keeps the logical plan). Returns the wrapped
+    * frame and the RDD handle so callers can unpersist retired
+    * rounds. ONE implementation — a storage-level or row-copy change
+    * reaches every loop. */
+  def pinned(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+    val rdd = internalRdd(df).map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (internalCreateDataFrame(df, rdd, df.schema), rdd)
+  }
+
   def internalCreateDataFrame(df: DataFrame, rdd: RDD[InternalRow],
       schema: StructType, sortOrder: Seq[SortOrder] = Nil,
       orderTailCols: Seq[String] = Nil,

@@ -26,6 +26,34 @@ class DedupTextSpec extends SparkSpec {
     assert(rep.toSeq == Seq((1L, 3L), (3L, 2L)))
   }
 
+  test("null-text docs are singletons, never collapsed into one " +
+      "phantom cluster") {
+    val docs = Seq((1L, "same text"), (2L, "same text"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactByText(docs).select("doc_id")
+      .as[Long].collect().toSet
+    // the two real dups collapse to id 1; BOTH null-text docs survive
+    assert(kept == Set(1L, 3L, 4L))
+    val report = Dedup.exactReport(docs)
+    assert(report.count() == 3L)
+    assert(report.filter(col("n_copies") === 2L).count() == 1L)
+  }
+
+  test("compactLatest: a NULL-evaluating tombstone predicate keeps " +
+      "the key (null-safe), matching ones delete") {
+    val log = Seq(
+      (1L, "ok", 10L, 1L), (1L, null.asInstanceOf[String], 20L, 2L),
+      (2L, "err", 10L, 1L), (3L, "ok", 10L, 1L))
+      .toDF("k", "status", "ts", "seq")
+    val out = Dedup.compactLatest(log, Seq("k"), col("ts"), col("seq"),
+      Seq("status"), col("status") === "err")
+      .select("k").as[Long].collect().toSet
+    // k=1's winner has status NULL → predicate NULL → must be KEPT;
+    // k=2's winner matches the tombstone → deleted
+    assert(out == Set(1L, 3L))
+  }
+
   test("exact() temp column does not clobber user columns named __graft_rn0") {
     val df = docs.withColumn("__graft_rn0", lit(99))
     val out = Dedup.exact(df, col("text"), col("doc_id"))
