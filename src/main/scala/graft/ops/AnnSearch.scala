@@ -139,9 +139,11 @@ object AnnSearch {
       .withColumn("cos_m",
         floor(cosine(col("__qe"), col("__ce")) * 1000000L).cast("long"))
     // rankTopK slims to (qid, cid, cos_m); re-attach the negative's
-    // label by joining the q·k-row result back (broadcasts, one
-    // more corpus scan — cheap next to the scoring pass)
-    rankTopK(scored, k)
+    // label by joining the q·k-row result back — HINTED broadcast
+    // (the post-window side has no reliable size estimate, and an
+    // unhinted plan sort-merge-shuffles the whole corpus on cid;
+    // int8TopK/pqTopK hint the identical shape)
+    broadcast(rankTopK(scored, k))
       .join(c.select(col("cid"), col("__cl").as("neg_label")), "cid")
       .select(col("qid"), col("rank"), col("cid"), col("cos_m"),
         col("neg_label"))
@@ -160,6 +162,11 @@ object AnnSearch {
   /** `planes`-bit LSH bucket id for an embedding column. Bit p is the
     * sign of the dot with hyperplane p. */
   def bucketOf(emb: Column, planes: Int, dim: Int): Column = {
+    // 62 is the top usable bit: plane 63 would flip the sign and
+    // plane >= 64 wraps (1L << 64 == 1L), silently collapsing
+    // distinct sign patterns into shared bucket ids
+    require(planes >= 1 && planes <= 62,
+      s"planes must be in [1, 62] (got $planes)")
     val e = emb.cast("array<double>") // match the double plane weights
     (0 until planes).map { p =>
       val w = lit((0 until dim).map(d => planeWeight(p, d)).toArray)
@@ -176,9 +183,15 @@ object AnnSearch {
     * to quantify on a sample). */
   def planesFor(corpusSize: Long, targetBucket: Long = 4096): Int = {
     require(targetBucket > 0)
-    math.max(1, math.ceil(
-      math.log(math.max(1L, corpusSize).toDouble / targetBucket) /
-        math.log(2.0)).toInt)
+    // pure integer: smallest p with corpus / 2^p <= target. The
+    // float spelling (ceil(log2(corpus/target))) returned p+1 at
+    // exact power-of-two ratios (log(2^29)/log(2) = 29.0000000004),
+    // silently halving expected bucket width and LSH recall.
+    val n = math.max(1L, corpusSize)
+    def widthAt(p: Int): Long = (n + (1L << p) - 1) >> p // ceil div
+    var p = 1
+    while (p < 62 && widthAt(p) > targetBucket) p += 1
+    p
   }
 
   /** Resolve the `planes` argument: positive = explicit; the 0
@@ -233,7 +246,12 @@ object AnnSearch {
   def ivfCentroids(corpus: DataFrame, cId: String, embCol: String,
       k: Int): DataFrame = {
     require(k > 0)
+    // null ids hash to null and sort FIRST ascending — an unfiltered
+    // sample would preferentially pick exactly the rows the
+    // assignment kernels cannot use (driver NPE); the module's
+    // contract is "null rows are skipped, not crashed on"
     corpus.select(col(cId).as("centroid_id"), col(embCol).as("__cemb"))
+      .filter(col("centroid_id").isNotNull && col("__cemb").isNotNull)
       .orderBy(md5(col("centroid_id").cast("string")), col("centroid_id"))
       .limit(k)
   }
@@ -371,15 +389,28 @@ object AnnSearch {
 
   /** recall@k of [[int8TopK]] against [[bruteForceTopK]] — quantifies
     * the rerank knob like [[recallAtK]] does for planes. */
+  /** Shared recall@k: |truth ∩ got| / |truth|, truth PINNED so the
+    * brute-force scan runs once (it previously re-ran for the count
+    * and the semi-join), and the empty-truth convention (1.0) lives
+    * in ONE place for all four approximate paths. */
+  private def recallOf(truth0: DataFrame, got: DataFrame): Double = {
+    val truth = truth0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val denom = truth.count()
+      if (denom == 0) 1.0
+      else truth.join(got, Seq("qid", "cid"), "left_semi")
+        .count().toDouble / denom
+    } finally truth.unpersist()
+  }
+
   def int8RecallAtK(queries: DataFrame, corpus: DataFrame, qId: String,
       cId: String, embCol: String, k: Int, rerank: Int = 8): Double = {
-    val truth = bruteForceTopK(queries, corpus, qId, cId, embCol, k)
-      .select(col("qid"), col("cid"))
-    val got = int8TopK(queries, corpus, qId, cId, embCol, k, rerank)
-      .select(col("qid"), col("cid"))
-    val denom = truth.count()
-    if (denom == 0) 1.0
-    else truth.join(got, Seq("qid", "cid"), "left_semi").count().toDouble / denom
+    recallOf(
+      bruteForceTopK(queries, corpus, qId, cId, embCol, k)
+        .select(col("qid"), col("cid")),
+      int8TopK(queries, corpus, qId, cId, embCol, k, rerank)
+        .select(col("qid"), col("cid")))
   }
 
   /** recall@k of [[ivfTopK]] against [[bruteForceTopK]] — see
@@ -387,13 +418,11 @@ object AnnSearch {
   def ivfRecallAtK(queries: DataFrame, corpus: DataFrame, qId: String,
       cId: String, embCol: String, k: Int, centroids: Int = 0,
       nprobe: Int = 4): Double = {
-    val truth = bruteForceTopK(queries, corpus, qId, cId, embCol, k)
-      .select(col("qid"), col("cid"))
-    val got = ivfTopK(queries, corpus, qId, cId, embCol, k, centroids, nprobe)
-      .select(col("qid"), col("cid"))
-    val denom = truth.count()
-    if (denom == 0) 1.0
-    else truth.join(got, Seq("qid", "cid"), "left_semi").count().toDouble / denom
+    recallOf(
+      bruteForceTopK(queries, corpus, qId, cId, embCol, k)
+        .select(col("qid"), col("cid")),
+      ivfTopK(queries, corpus, qId, cId, embCol, k, centroids, nprobe)
+        .select(col("qid"), col("cid")))
   }
 
   /** recall@k of [[lshTopK]] against [[bruteForceTopK]] on the same
@@ -405,13 +434,11 @@ object AnnSearch {
   def recallAtK(queries: DataFrame, corpus: DataFrame, qId: String,
       cId: String, embCol: String, k: Int, planes: Int = 0,
       dim: Int = 64): Double = {
-    val truth = bruteForceTopK(queries, corpus, qId, cId, embCol, k)
-      .select(col("qid"), col("cid"))
-    val got = lshTopK(queries, corpus, qId, cId, embCol, k, planes, dim)
-      .select(col("qid"), col("cid"))
-    val denom = truth.count()
-    if (denom == 0) 1.0
-    else truth.join(got, Seq("qid", "cid"), "left_semi").count().toDouble / denom
+    recallOf(
+      bruteForceTopK(queries, corpus, qId, cId, embCol, k)
+        .select(col("qid"), col("cid")),
+      lshTopK(queries, corpus, qId, cId, embCol, k, planes, dim)
+        .select(col("qid"), col("cid")))
   }
 
   // ---- Product quantization (the memory-COMPRESSION scale path) ----
@@ -434,6 +461,9 @@ object AnnSearch {
         s"point of PQ (got $ksub)")
     val rows = corpus
       .select(col(cId).as("__id"), col(embCol).cast("array<double>").as("__e"))
+      // null ids sort first / null embeddings NPE the slicing below —
+      // sample only usable rows (the ivfCentroids doctrine)
+      .filter(col("__id").isNotNull && col("__e").isNotNull)
       .orderBy(md5(col("__id").cast("string")), col("__id"))
       .limit(ksub).collect()
     require(rows.nonEmpty, "pq: empty corpus")
@@ -513,13 +543,11 @@ object AnnSearch {
   def pqRecallAtK(queries: DataFrame, corpus: DataFrame, qId: String,
       cId: String, embCol: String, k: Int, m: Int = 8,
       ksub: Int = 256, rerank: Int = 8): Double = {
-    val truth = bruteForceTopK(queries, corpus, qId, cId, embCol, k)
-      .select(col("qid"), col("cid"))
-    val got = pqTopK(queries, corpus, qId, cId, embCol, k, m, ksub, rerank)
-      .select(col("qid"), col("cid"))
-    val denom = truth.count()
-    if (denom == 0) 1.0
-    else truth.join(got, Seq("qid", "cid"), "left_semi").count().toDouble / denom
+    recallOf(
+      bruteForceTopK(queries, corpus, qId, cId, embCol, k)
+        .select(col("qid"), col("cid")),
+      pqTopK(queries, corpus, qId, cId, embCol, k, m, ksub, rerank)
+        .select(col("qid"), col("cid")))
   }
 
   /** ±1 sign for JL output dim `j`, input dim `d`: parity of the
@@ -582,8 +610,12 @@ object AnnSearch {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val spark = df.sparkSession
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // cast up front so array<double> corpora work like the sibling
+    // APIs (kernels require matching element types)
     val base = df.filter(col(idCol).isNotNull && col(embCol).isNotNull)
-      .select(col(idCol).as("__id"), col(embCol).as("__e"))
+      .select(col(idCol).as("__id"),
+        col(embCol).cast("array<float>").as("__e"))
     val seedRow = base.orderBy(col("__id")).limit(1).collect()
     require(seedRow.nonEmpty, "kCenterGreedy on an empty corpus")
     // driver-side selected state: k (id, embedding) pairs — bounded
@@ -591,30 +623,39 @@ object AnnSearch {
     val picked = scala.collection.mutable.ArrayBuffer[
       (Any, Seq[Float], Option[Long])]()
     picked += ((seedRow(0).get(0), seedRow(0).getSeq[Float](1), None))
-    while (picked.size < k) {
-      import scala.jdk.CollectionConverters._
-      val selDf = spark.createDataFrame(
-        picked.map(p => org.apache.spark.sql.Row(p._2)).asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__se",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)))))
-      val chosenIds = picked.map(_._1).toSet
-      val next = base
-        .filter(!col("__id").isInCollection(chosenIds))
-        .crossJoin(broadcast(selDf))
+    def cosTo(emb: Seq[Float]): Column =
+      floor(cosine(col("__e"), typedLit(emb)) * 1000000L).cast("long")
+    // classic incremental farthest-point: per-point RUNNING
+    // max-similarity state, each round scored against ONLY the
+    // newest pick (greatest fold) — O(k·n) vector ops; the former
+    // re-score-the-whole-selected-set spelling paid O(k²·n) and a
+    // per-round broadcast that grew with k. Rounds self-reference,
+    // so each is pinned ([[ColumnBridge.pinned]]).
+    var (state, stateRdd) = ColumnBridge.pinned(
+      base.filter(col("__id") =!= lit(seedRow(0).get(0)))
         .select(col("__id"), col("__e"),
-          floor(cosine(col("__e"), col("__se")) * 1000000L)
-            .cast("long").as("__cos"))
-        .groupBy(col("__id")).agg(max(col("__cos")).as("__mx"),
-          first(col("__e")).as("__e"))
-        .orderBy(col("__mx"), col("__id")).limit(1).collect()
-      if (next.isEmpty)
-        return result(spark, picked.toSeq, idCol, base.schema(0).dataType)
-      picked += ((next(0).get(0), next(0).getSeq[Float](2),
-        Some(next(0).getLong(1))))
-    }
-    result(spark, picked.toSeq, idCol, base.schema(0).dataType)
+          cosTo(picked(0)._2).as("__mx")))
+    try {
+      while (picked.size < k) {
+        val next = state.orderBy(col("__mx"), col("__id"))
+          .limit(1).collect()
+        if (next.isEmpty)
+          return result(spark, picked.toSeq, idCol,
+            base.schema(0).dataType)
+        val (id, mx) = (next(0).get(0), next(0).getLong(2))
+        val emb = next(0).getSeq[Float](1)
+        picked += ((id, emb, Some(mx)))
+        if (picked.size < k) {
+          val (ns, nr) = ColumnBridge.pinned(
+            state.filter(col("__id") =!= lit(id))
+              .select(col("__id"), col("__e"),
+                greatest(col("__mx"), cosTo(emb)).as("__mx")))
+          stateRdd.unpersist()
+          state = ns; stateRdd = nr
+        }
+      }
+      result(spark, picked.toSeq, idCol, base.schema(0).dataType)
+    } finally stateRdd.unpersist()
   }
 
   private def result(spark: org.apache.spark.sql.SparkSession,

@@ -220,6 +220,48 @@ class AnnSearchSpec extends SparkSpec {
       s"JL pipeline lost ${truth.count() - hit} of the true top-5")
   }
 
+  test("planesFor is integer-exact at power-of-two ratios — no " +
+      "float-log off-by-one") {
+    // corpus/target = 2^29 exactly: the float spelling returned 30
+    assert(AnnSearch.planesFor(4096L << 29, 4096L) == 29)
+    assert(AnnSearch.planesFor(4096L << 31, 4096L) == 31)
+    // ceil semantics: one row over the boundary needs one more plane
+    assert(AnnSearch.planesFor(8193L, 4096L) == 2)
+    assert(AnnSearch.planesFor(8192L, 4096L) == 1)
+  }
+
+  test("ivf/pq samplers skip null ids and embeddings (the module's " +
+      "null contract)") {
+    def v(d: Int): Seq[Float] =
+      (0 until 4).map(i => if (i == d) 1f else 0f)
+    val dirty = Seq(
+      (Some(1L), Some(v(0))), (Some(2L), Some(v(1))),
+      (None: Option[Long], Some(v(2))),
+      (Some(3L), None: Option[Seq[Float]]))
+      .toDF("id", "emb")
+    // null id would sort FIRST into the centroid set before the fix
+    val cents = AnnSearch.ivfCentroids(dirty, "id", "emb", k = 4)
+    assert(cents.count() == 2L)
+    assert(cents.filter(col("centroid_id").isNull).count() == 0L)
+    // the full ivf path must run clean on the dirty corpus
+    val top = AnnSearch.ivfTopK(
+      Seq((10L, v(0))).toDF("id", "emb"), dirty,
+      "id", "id", "emb", k = 1, centroids = 2)
+    assert(top.count() == 1L)
+    val cb = AnnSearch.pqCodebooks(dirty, "id", "emb", m = 1, ksub = 4)
+    assert(cb(0).length == 2)
+  }
+
+  test("bucketOf refuses out-of-range plane counts instead of " +
+      "wrapping bucket bits") {
+    intercept[IllegalArgumentException] {
+      AnnSearch.bucketOf(col("emb"), planes = 64, dim = 4)
+    }
+    intercept[IllegalArgumentException] {
+      AnnSearch.bucketOf(col("emb"), planes = 0, dim = 4)
+    }
+  }
+
   test("hardNegatives excludes same and null labels, ranks the rest") {
     def ax(d: Int, s: Double) = (0 until 4).map(i => if (i == d) s.toFloat else 0f)
     val corpus = Seq(
