@@ -145,12 +145,17 @@ object Bench {
     // load gets ONE more execution after the main pass — by then the
     // co-tenant window has often moved on — and the min is kept; the
     // names are published in "contended" so a reader knows which
-    // timings to distrust
+    // timings to distrust. The top-cost band retries on a LOWER
+    // relative bar (1.5× AND > 5 s absolute, regardless of the load
+    // sample): a 2× inflation on a 6-second query distorts the
+    // record total more than a 3× inflation on a 0.3-second one
+    // (r15 published q325 at 13.09 s vs a 7.24 s quiet rerun)
     val contended = scala.collection.mutable.ArrayBuffer[String]()
     names.foreach { name =>
       (prior.get(name), timings.get(name)) match {
         case (Some(p), Some(t))
-            if t > p * 2.5 && loadAt.getOrElse(name, 0.0) > 2.0 =>
+            if (t > p * 2.5 && loadAt.getOrElse(name, 0.0) > 2.0) ||
+              (t > p * 1.5 && t > 5.0) =>
           contended += name
           try {
             val t0 = System.nanoTime()

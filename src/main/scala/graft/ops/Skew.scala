@@ -54,6 +54,48 @@ object Skew {
       .orderBy(col("count").desc)
       .limit(topK)
 
+  /** The salt factor [[autoSaltedJoin]] will use: the
+    * [[joinSkewAdvisor]] recommendation for the HEAVIEST key —
+    * ceil(max pair cost / targetPairs) capped at `maxSalt`, 1 when
+    * no key exceeds the target. Integer arithmetic, two
+    * map-side-combined histograms (O(distinct keys), never the
+    * corpus), one driver-read aggregate row. */
+  def recommendSaltFactor(large: DataFrame, small: DataFrame,
+      keys: Seq[String], targetPairs: Long = 1000000L,
+      maxSalt: Int = 256): Int = {
+    require(keys.nonEmpty, "need join keys")
+    require(targetPairs >= 1 && maxSalt >= 1, "positive bounds")
+    val kc = keys.map(col)
+    val cl = large.na.drop(keys).groupBy(kc: _*)
+      .agg(count(lit(1)).as("__nl"))
+    val cr = small.na.drop(keys).groupBy(kc: _*)
+      .agg(count(lit(1)).as("__nr"))
+    val worst = cl.join(cr, keys)
+      .agg(coalesce(max(col("__nl") * col("__nr")), lit(0L)))
+      .head().getLong(0)
+    math.max(1L,
+      math.min(maxSalt.toLong, (worst + targetPairs - 1) / targetPairs))
+      .toInt
+  }
+
+  /** One-call skew-safe inner join: run the advisor histograms,
+    * feed the recommended factor into [[saltedJoin]] — the wiring
+    * [[joinSkewAdvisor]] users previously did by hand. Semantics
+    * identical to `large.join(small, keys)`; when no key exceeds
+    * `targetPairs` it degenerates to exactly that plain join (no
+    * salt column, no small-side replication). The advisor pass
+    * costs two histogram aggregations up front — worth it precisely
+    * when the join is big enough for a hot key to matter; for a
+    * join you already know is uniform, call `join` directly. */
+  def autoSaltedJoin(large: DataFrame, small: DataFrame,
+      keys: Seq[String], targetPairs: Long = 1000000L,
+      maxSalt: Int = 256, saltCols: Seq[String] = Nil): DataFrame = {
+    val f = recommendSaltFactor(large, small, keys, targetPairs,
+      maxSalt)
+    if (f <= 1) large.join(small, keys)
+    else saltedJoin(large, small, keys, f, saltCols)
+  }
+
   /** Join-skew advisor — the planning pass to run BEFORE a big
     * shuffle join: per join key, both sides' row counts, the pair
     * cost n_left·n_right (the work a single reducer would do for

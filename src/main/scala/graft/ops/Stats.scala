@@ -1784,6 +1784,66 @@ object Stats {
       if (nTest == 0) 1000000L else 1000000L * nCov / nTest))
       .toDF("n_cal", "k", "thr", "n_test", "cov_ppm")
   }
+  /** Bottom-up mergesort of `a` IN PLACE that returns its inversion
+    * count (pairs i < j with a(i) > a(j)) — the per-partition
+    * Kendall kernel. One scratch array, no per-row boxing: 16
+    * bytes/row peak, the figure [[kendallStats]]' scaladoc quotes. */
+  private[ops] def sortCountingInversions(a: Array[Long]): Long = {
+    val n = a.length
+    val buf = new Array[Long](n)
+    var inv = 0L
+    var width = 1
+    var src = a; var dst = buf
+    while (width < n) {
+      var lo = 0
+      while (lo < n) {
+        val mid = math.min(lo + width, n)
+        val hi = math.min(lo + 2 * width, n)
+        var i = lo; var j = mid; var k = lo
+        while (i < mid && j < hi) {
+          if (src(i) <= src(j)) { dst(k) = src(i); i += 1 }
+          else { dst(k) = src(j); j += 1; inv += mid - i }
+          k += 1
+        }
+        while (i < mid) { dst(k) = src(i); i += 1; k += 1 }
+        while (j < hi) { dst(k) = src(j); j += 1; k += 1 }
+        lo = hi
+      }
+      val t = src; src = dst; dst = t
+      width *= 2
+    }
+    if (!(src eq a)) System.arraycopy(src, 0, a, 0, n)
+    inv
+  }
+
+  /** #pairs (x ∈ a, y ∈ b) with x > y — both ascending, one
+    * two-pointer pass. */
+  private[ops] def sortedGreaterCount(a: Array[Long],
+      b: Array[Long]): Long = {
+    var i = 0; var j = 0; var c = 0L
+    while (j < b.length) {
+      while (i < a.length && a(i) <= b(j)) i += 1
+      c += a.length - i
+      j += 1
+    }
+    c
+  }
+
+  /** Merge two ascending arrays into one ascending array. */
+  private[ops] def mergeAscending(a: Array[Long],
+      b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](a.length + b.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) <= b(j)) { out(k) = a(i); i += 1 }
+      else { out(k) = b(j); j += 1 }
+      k += 1
+    }
+    while (i < a.length) { out(k) = a(i); i += 1; k += 1 }
+    while (j < b.length) { out(k) = b(j); j += 1; k += 1 }
+    out
+  }
+
   /** Exact Kendall rank-correlation sufficient statistics — the
     * filter-agreement audit ("does the NEW quality scorer rank
     * documents like the old one?") as pure integers. Output (one
@@ -1797,39 +1857,53 @@ object Stats {
     * O(n log n) work and ONE range exchange:
     *  1. range-partition by (x, y): partitions are totally ordered,
     *     tied keys never split;
-    *  2. per partition, the (x,y)-ascending y-sequence's INVERSIONS
-    *     ([[graft.codecs.SeqInversions]], mergesort kernel) are
-    *     exactly its strict-x discordant pairs (tied-x pairs sit
-    *     y-ascending — zero contribution);
+    *  2. per partition, a sortWithinPartitions feeds a mapPartitions
+    *     mergesort kernel ([[sortCountingInversions]]): the
+    *     (x,y)-ascending y-sequence's INVERSIONS are exactly its
+    *     strict-x discordant pairs (tied-x pairs sit y-ascending —
+    *     zero contribution), and the same sort leaves the
+    *     merge-ready ascending array;
     *  3. across partitions p < q (all x_p ≤ x_q, ties y-ascending so
     *     tied-x cross pairs never count), discordant pairs =
-    *     y_p > y_q counts via the sorted two-pointer merge
-    *     ([[graft.codecs.SortedMergeGreater]]) over the P² pair grid
-    *     of partition-level sorted arrays;
+    *     y_p > y_q counts. Because that count is additive over
+    *     multiset union, partitions first fold in pid order into
+    *     GROUPS of `mergeGroup` (within-group cross pairs counted as
+    *     each member merges in), then the pair grid runs over the
+    *     ⌈P/g⌉ merged arrays via the sorted two-pointer merge
+    *     ([[graft.codecs.SortedMergeGreater]]) — exchange volume
+    *     n·P/g instead of the ungrouped grid's n·P;
     *  4. ties by groupBy histograms; nc by inclusion–exclusion:
     *     nc = C(n,2) − tx − ty + txy − nd.
     * The counts are partition-layout-invariant (any split of a
     * sorted order yields the same pair totals), so the output is
     * deterministic even though range boundaries are sampled.
     *
-    * Bounds, enforced: partition arrays are partition-sized —
-    * `maxRows` (default 1e8, ~25 MB/partition array at parts=32)
-    * caps the input with a loud message, because a rank-correlation
-    * audit beyond that size should run on a scored SAMPLE (the
-    * statistic's precision gains nothing from the tail); `parts` ≤
-    * 256 bounds the P² merge grid. The range key carries a unique
-    * spread column after (x, y), so even a CONSTANT scorer (the
-    * degenerate case this audit exists to catch) splits evenly
-    * across partitions instead of collapsing into one array — the
-    * tied-pair argument above is indifferent to how tied groups
-    * split (equal (x,y) cross pairs count 0 under strict >).
-    * Columns must be integer-valued (the repo's micro-scaled score
-    * convention) — floats would make the tie counts
-    * engine-dependent. */
+    * Bounds, enforced — measured shapes, not aspirations:
+    * per-partition tasks hold the y-array plus its mergesort
+    * scratch, 16 bytes/row — ~50 MB/task at the `maxRows` = 1e8
+    * default with parts = 32 (a 32-task wave ≈ 1.6 GB; NO
+    * struct-list buffering anywhere — the rows stream straight into
+    * a long array). Group-merge tasks hold `mergeGroup` member
+    * arrays plus the merged copy: ≤ 2·g·(n/P)·8 bytes ≈ 200 MB at
+    * the defaults. `maxRows` caps the input with a loud message
+    * because a rank-correlation audit beyond that size should run
+    * on a scored SAMPLE (the statistic's precision gains nothing
+    * from the tail); `parts` ≤ 256 bounds the grid. The range key
+    * carries a unique spread column after (x, y), so even a
+    * CONSTANT scorer (the degenerate case this audit exists to
+    * catch) splits evenly across partitions instead of collapsing
+    * into one array — the tied-pair argument above is indifferent
+    * to how tied groups split (equal (x,y) cross pairs count 0
+    * under strict >). Columns must be integer-valued (the repo's
+    * micro-scaled score convention) — floats would make the tie
+    * counts engine-dependent. */
   def kendallStats(df: DataFrame, xCol: String, yCol: String,
-      parts: Int = 32, maxRows: Long = 100000000L): DataFrame = {
+      parts: Int = 32, maxRows: Long = 100000000L,
+      mergeGroup: Int = 4): DataFrame = {
     require(parts >= 1 && parts <= 256, s"parts in [1,256], got $parts")
     require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    require(mergeGroup >= 1 && mergeGroup <= 256,
+      s"mergeGroup in [1,256], got $mergeGroup")
     val pts = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("long").as("__x"),
@@ -1853,28 +1927,67 @@ object Stats {
     val parted = pts
       .withColumn("__r", monotonically_increasing_id())
       .repartitionByRange(parts, col("__x"), col("__y"), col("__r"))
-      .withColumn("__pid", spark_partition_id())
-    val arrs = parted.groupBy(col("__pid"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("__x"), col("__y"),
-          col("__r")))),
-        s => s.getField("__y")).as("__ys"))
-      .withColumn("__ss", sort_array(col("__ys")))
+      .sortWithinPartitions(col("__x"), col("__y"), col("__r"))
+    // rows arrive (x, y, __r)-ascending: the y-sequence streams
+    // straight into one long array per task (+ mergesort scratch,
+    // 16 bytes/row peak), and the inversion count falls out of the
+    // same sort that produces the merge-ready ascending array
+    val perPart = parted.select(col("__y")).as[Long]
+      .mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        while (it.hasNext) b += it.next()
+        val ys = b.result()
+        if (ys.isEmpty) Iterator.empty
+        else Iterator.single(
+          (org.apache.spark.TaskContext.getPartitionId(),
+            sortCountingInversions(ys), ys))
+      }
+    // fold pid-contiguous partitions into groups (greater-counts are
+    // additive over multiset union, so within-group cross pairs
+    // accumulate as each member merges in) — the grid then runs over
+    // ⌈P/g⌉ merged arrays, n·P/g exchange volume instead of n·P
+    val grouped =
+      if (mergeGroup == 1) perPart
+      else perPart.groupByKey(_._1 / mergeGroup).mapGroups {
+        (grp, it) =>
+          val ms = it.toArray.sortBy(_._1)
+          var acc = ms.head._3
+          var cnt = ms.head._2
+          ms.iterator.drop(1).foreach { m =>
+            cnt += m._2 + sortedGreaterCount(acc, m._3)
+            acc = mergeAscending(acc, m._3)
+          }
+          (grp, cnt, acc)
+      }
+    val arrs = grouped.toDF("__pid", "__loc", "__ss")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val local = arrs.agg(coalesce(sum(
-      graft.functions.GraftFunctions.seqInversions(col("__ys"))),
-      lit(0L)).as("__loc"))
-    val cross = arrs.select(col("__pid").as("__pa"), col("__ss").as("__sa"))
-      .join(arrs.select(col("__pid").as("__pb"), col("__ss").as("__sb")),
-        col("__pa") < col("__pb"))
-      .agg(coalesce(sum(graft.functions.GraftFunctions
-        .sortedMergeGreater(col("__sa"), col("__sb"))), lit(0L))
-        .as("__cross"))
+    val local = arrs.agg(coalesce(sum(col("__loc")), lit(0L))
+      .as("__loc"))
+    // the pair grid as an EXPLICIT pair-key equi-join: the grid ids
+    // are driver-enumerated (≤ 256 by the parts bound — a bounded
+    // collect), so the θ-join that would force either a full-array
+    // broadcast (800 MB through the driver at maxRows) or a
+    // cartesian's per-pair re-fetch becomes two shuffles whose
+    // volume is the documented n·(G−1)/2 + n — AQE-planned,
+    // skew-free (each grid id repeats ≤ G−1 times)
+    val gridIds = arrs.select(col("__pid")).as[Int].collect().sorted
+    val gridPairs = gridIds.toSeq.flatMap(i =>
+      gridIds.toSeq.filter(_ > i).map(j => (i, j)))
+    val crossTotal: Long =
+      if (gridPairs.isEmpty) 0L
+      else gridPairs.toDF("__pa", "__pb")
+        .join(arrs.select(col("__pid").as("__pa"),
+          col("__ss").as("__sa")), Seq("__pa"))
+        .join(arrs.select(col("__pid").as("__pb"),
+          col("__ss").as("__sb")), Seq("__pb"))
+        .agg(coalesce(sum(graft.functions.GraftFunctions
+          .sortedMergeGreater(col("__sa"), col("__sb"))), lit(0L)))
+        .head().getLong(0)
     def tiePairs(cols: Column*): DataFrame = pts.groupBy(cols: _*)
       .agg(count(lit(1)).as("__c"))
       .agg(coalesce(sum(expr("__c * (__c - 1) div 2")), lit(0L))
         .as("__t"))
-    val nd = local.head().getLong(0) + cross.head().getLong(0)
+    val nd = local.head().getLong(0) + crossTotal
     val tx = tiePairs(col("__x")).head().getLong(0)
     val ty = tiePairs(col("__y")).head().getLong(0)
     val txy = tiePairs(col("__x"), col("__y")).head().getLong(0)

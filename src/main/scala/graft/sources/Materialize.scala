@@ -570,6 +570,11 @@ object Materialize {
         java.nio.file.Paths.get(tmp.toUri.getPath),
         java.nio.file.Paths.get(path.toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // the nio move bypasses ChecksumFileSystem: drop the tmp's
+      // now-orphaned .crc, and any stale .crc at the slot that
+      // would poison reads with a checksum mismatch
+      def crc(q: Path) = new Path(q.getParent, s".${q.getName}.crc")
+      fs.delete(crc(tmp), false); fs.delete(crc(path), false)
     } else {
       if (fs.exists(path)) fs.delete(path, false)
       require(fs.rename(tmp, path), s"sidecar swap failed at $path")

@@ -510,18 +510,80 @@ object Snapshots {
   private def statsDir(root: Path) = new Path(root, "_stats")
   private def statsPath(root: Path) = new Path(statsDir(root), "filestats")
 
+  /** Band prefix length for string statistics, in Unicode code
+    * points (the unit Spark's `substring` counts). 32 is the
+    * Iceberg-ish default: long document bodies band on their
+    * opening characters; keys and names band exactly. */
+  private[sources] val StrBandCp = 32
+
+  /** Code-point comparator matching Spark's UTF8String binary order
+    * (UTF-8 byte order = Unicode scalar order). Java's
+    * `String.compareTo` orders by UTF-16 unit, which sorts
+    * supplementary characters BELOW some BMP characters —
+    * disagreeing with the engine that computed the bands. */
+  private[sources] def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** First `n` code points of `s` (all of `s` when shorter). */
+  private def cpPrefix(s: String, n: Int): String =
+    if (s.codePointCount(0, s.length) <= n) s
+    else s.substring(0, s.offsetByCodePoints(0, n))
+
+  /** Smallest convenient upper bound for every string sharing the
+    * truncated prefix `p`: strip trailing maximal scalars, then
+    * replace the last code point with its successor SCALAR (U+D7FF
+    * steps over the surrogate gap to U+E000 — incrementing into a
+    * lone surrogate would UTF-8-encode as a replacement byte and
+    * break the band order). None when every code point is U+10FFFF:
+    * the caller stores "unbounded above" and pruning must-reads. */
+  private def cpBump(p: String): Option[String] = {
+    var end = p.length
+    while (end > 0) {
+      val at = p.offsetByCodePoints(end, -1)
+      val cp = p.codePointAt(at)
+      if (cp != 0x10FFFF) {
+        val succ = if (cp == 0xD7FF) 0xE000 else cp + 1
+        return Some(p.substring(0, at) +
+          new String(Character.toChars(succ)))
+      }
+      end = at
+    }
+    None
+  }
+
   /** Build or incrementally refresh the per-file min/max statistics
-    * sidecar for `fields` (columns castable to long: ints, dates,
-    * timestamps). Data files are immutable, so a stats row is valid
-    * for EVERY version that references the file and a refresh scans
-    * only files not yet covered — O(new files) per call, the
-    * property that keeps stats maintenance viable when a 100 TB
-    * store takes a 10-file CDC batch. Emits exactly one row per
-    * (field, file) scanned — all-null and zero-row files get a
-    * marker row (`min_v`/`max_v` null) rather than being
-    * re-classified as fresh forever (the [[RowGroupIndex.updateBloom]]
-    * coverage lesson). The sidecar lives under `_stats/` where
-    * [[vacuum]]'s root-level `.parquet` sweep never looks.
+    * sidecar for `fields`. Long bands (`min_v`/`max_v`) cover
+    * integral, date and timestamp columns; STRING columns get
+    * prefix bands (`min_s` inclusive lower bound = truncated
+    * minimum; `max_s` inclusive-safe upper bound = the maximum when
+    * untruncated, else the truncated prefix's scalar successor via
+    * [[cpBump]] — a deliberate overestimate, so pruning stays
+    * conservative). Any other column type is REFUSED loudly here:
+    * before this gate a non-band-able field silently cast to
+    * all-null marker bands, which [[pruneByBands]] reads as "never
+    * hits" — `readWhere` then returned EMPTY with no error, the one
+    * wrong-answer-shaped path in the skipping layer.
+    *
+    * Data files are immutable, so a stats row is valid for EVERY
+    * version that references the file and a refresh scans only
+    * files not yet covered — O(new files) per call, the property
+    * that keeps stats maintenance viable when a 100 TB store takes
+    * a 10-file CDC batch. Emits exactly one row per (field, file)
+    * scanned — all-null and zero-row files get a marker row (both
+    * band sides null) rather than being re-classified as fresh
+    * forever (the [[RowGroupIndex.updateBloom]] coverage lesson).
+    * Band assembly collects the per-(file,field) aggregate — O(fresh
+    * files · fields) rows of ≤33-code-point prefixes, the same
+    * driver-side O(files) the pruning readers already pay. The
+    * sidecar lives under `_stats/` where [[vacuum]]'s root-level
+    * `.parquet` sweep never looks.
     *
     * Returns the number of files scanned this call. */
   def indexStats(spark: SparkSession, url: String,
@@ -530,6 +592,21 @@ object Snapshots {
     val (fs, root) = fsOf(spark, url)
     val vs = versions(spark, url)
     require(vs.nonEmpty, s"no snapshot store at $url")
+    import org.apache.spark.sql.types._
+    val schema = schemaOf(spark, root, snap(spark, url, vs.max))
+    val strFields: Set[String] = fields.flatMap { f =>
+      require(schema.fieldNames.contains(f),
+        s"indexStats: no column $f in the store schema")
+      schema(f).dataType match {
+        case StringType => Some(f)
+        case ByteType | ShortType | IntegerType | LongType |
+             DateType | TimestampType => None
+        case dt => throw new IllegalArgumentException(
+          s"indexStats: column $f is $dt — only integral/date/" +
+            "timestamp (long bands) and string (prefix bands) " +
+            "columns can be indexed")
+      }
+    }.toSet
     val allFiles = vs.flatMap(v => snap(spark, url, v).files).distinct
     val sp = statsPath(root)
     val existing: Option[DataFrame] =
@@ -540,6 +617,9 @@ object Snapshots {
       require(known == fields.toSet,
         s"stats field set ${fields.sorted} != indexed " +
           s"${known.toSeq.sorted} — delete _stats and rebuild")
+      require(strFields.isEmpty || e.columns.contains("min_s"),
+        "legacy stats sidecar predates string bands — delete " +
+          "_stats and rebuild")
     }
     val covered = existing match {
       case None => Set.empty[String]
@@ -549,27 +629,75 @@ object Snapshots {
     val fresh = allFiles.filterNot(covered)
     if (fresh.isEmpty) return 0
     val freshAbs = fresh.map(f => new Path(root, f).toString)
-    val perField = fields.map(f =>
-      struct(lit(f).as("field"), col(f).cast("long").as("v")))
+    // one prefix code point MORE than the band length, so assembly
+    // can tell "exact maximum" from "truncated" (Spark's substring
+    // counts code points; truncation is order-monotone, so
+    // min/max of prefixes = prefix of min/max)
+    val perField = fields.map { f =>
+      if (strFields(f))
+        struct(lit(f).as("field"), lit(null).cast("long").as("v"),
+          substring(col(f), 1, StrBandCp + 1).as("s"),
+          col(f).isNull.as("isn"))
+      else
+        struct(lit(f).as("field"), col(f).cast("long").as("v"),
+          lit(null).cast("string").as("s"), col(f).isNull.as("isn"))
+    }
     val scanned = spark.read.parquet(freshAbs: _*)
       .select(input_file_name().as("__f"),
         explode(array(perField: _*)).as("e"))
       .groupBy(col("__f"), col("e.field").as("field"))
       .agg(min(col("e.v")).as("min_v"), max(col("e.v")).as("max_v"),
-        sum(when(col("e.v").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("e.s")).as("min_p"), max(col("e.s")).as("max_p"),
+        sum(when(col("e.isn"), 1L).otherwise(0L)).as("n_null"),
         count(lit(1)).as("n_rows"))
       .withColumn("file",
         element_at(split(col("__f"), "/"), -1)).drop("__f")
+      .collect()
+    val byKey = scanned.map { r =>
+      (r.getString(r.fieldIndex("file")),
+        r.getString(r.fieldIndex("field"))) -> r
+    }.toMap
     // marker rows: a zero-row file produces no aggregate — without
     // one it would be rescanned on every refresh
-    import spark.implicits._
-    val frame = fresh.flatMap(f => fields.map(fl => (f, fl)))
-      .toDF("file", "field")
-    val freshRows = frame.join(scanned, Seq("file", "field"), "left")
-      .select(col("file"), col("field"), col("min_v"), col("max_v"),
-        coalesce(col("n_null"), lit(0L)).as("n_null"),
-        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
-    val merged = existing.map(_.unionByName(freshRows))
+    val rows: Seq[org.apache.spark.sql.Row] =
+      fresh.flatMap { f => fields.map { fl =>
+        byKey.get((f, fl)) match {
+          case None =>
+            org.apache.spark.sql.Row(f, fl, null, null, null, null,
+              0L, 0L)
+          case Some(r) =>
+            def optL(c: String): Any =
+              { val i = r.fieldIndex(c)
+                if (r.isNullAt(i)) null else r.getLong(i) }
+            val nNull = r.getLong(r.fieldIndex("n_null"))
+            val nRows = r.getLong(r.fieldIndex("n_rows"))
+            if (strFields(fl)) {
+              val minP = Option(r.getString(r.fieldIndex("min_p")))
+              val maxP = Option(r.getString(r.fieldIndex("max_p")))
+              val minS = minP.map(cpPrefix(_, StrBandCp)).orNull
+              val maxS = maxP.map { p =>
+                if (p.codePointCount(0, p.length) <= StrBandCp) p
+                else cpBump(cpPrefix(p, StrBandCp)).orNull
+              }.orNull
+              org.apache.spark.sql.Row(f, fl, null, null, minS, maxS,
+                nNull, nRows)
+            } else
+              org.apache.spark.sql.Row(f, fl, optL("min_v"),
+                optL("max_v"), null, null, nNull, nRows)
+        }
+      }}
+    val statsSchema = StructType(Seq(
+      StructField("file", StringType), StructField("field", StringType),
+      StructField("min_v", LongType), StructField("max_v", LongType),
+      StructField("min_s", StringType), StructField("max_s", StringType),
+      StructField("n_null", LongType), StructField("n_rows", LongType)))
+    val freshRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), statsSchema)
+    // legacy sidecars lack the string-band columns: union-by-name
+    // with null fill (their rows are all long bands, so null is
+    // exactly what assembly would have written)
+    val merged = existing.map(
+        _.unionByName(freshRows, allowMissingColumns = true))
       .getOrElse(freshRows)
     // stage-and-swap: the sidecar is O(files), tiny next to the data
     val tmp = new Path(statsDir(root), "filestats__tmp")
@@ -580,6 +708,88 @@ object Snapshots {
     fresh.length
   }
 
+  /** One (field, file) statistics band. Exactly one of the long /
+    * string sides is populated (never both); BOTH empty is the
+    * all-null-or-empty-file marker. A populated string band may
+    * still have `maxS` = None — the [[cpBump]]-failed "unbounded
+    * above" case, which pruning must-reads on the upper side. */
+  private final case class Band(minV: Option[Long], maxV: Option[Long],
+      minS: Option[String], maxS: Option[String]) {
+    def allNull: Boolean = minV.isEmpty && minS.isEmpty
+  }
+
+  /** Load the sidecar's bands for `fields`, keyed field → file →
+    * band. None = no sidecar (read everything). Legacy sidecars
+    * without the string-band columns read as null string sides. */
+  private def loadBands(spark: SparkSession, fs:
+      org.apache.hadoop.fs.FileSystem, root: Path,
+      fields: Seq[String]): Option[Map[String, Map[String, Band]]] = {
+    val sp = statsPath(root)
+    if (!fs.exists(sp)) return None
+    val df0 = spark.read.parquet(sp.toString)
+      .filter(col("field").isin(fields: _*))
+    val df = if (df0.columns.contains("min_s")) df0
+      else df0.withColumn("min_s", lit(null).cast("string"))
+        .withColumn("max_s", lit(null).cast("string"))
+    Some(df.select("field", "file", "min_v", "max_v", "min_s", "max_s")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(r => r.getString(1) -> Band(
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        Option(r.getString(4)), Option(r.getString(5)))).toMap })
+  }
+
+  /** A long-range band test with the TYPE GUARD: probing a
+    * string-banded field with a numeric range is a caller bug and
+    * fails loudly — silently treating the null long side as "never
+    * hits" is exactly the empty-read hazard [[indexStats]] closes. */
+  private def longHits(field: String, hits: (Long, Long) => Boolean)
+      (b: Band): Boolean = {
+    require(b.minS.isEmpty,
+      s"field $field carries STRING bands — use the string-range " +
+        "API (prunedFilesStr/readWhereStr/prunedFilesForKeysStr)")
+    hits(b.minV.get, b.maxV.get)
+  }
+
+  /** String-band test: inclusive range overlap under code-point
+    * order ([[cpCompare]], = the UTF-8 binary order the engine used
+    * to compute the bands). An absent upper bound must-reads. */
+  private def strHits(field: String, lo: String, hi: String)
+      (b: Band): Boolean = {
+    require(b.minV.isEmpty,
+      s"field $field carries LONG bands — use the numeric-range " +
+        "API (prunedFiles/readWhere/prunedFilesForKeys)")
+    cpCompare(hi, b.minS.get) >= 0 &&
+      b.maxS.forall(mx => cpCompare(lo, mx) <= 0)
+  }
+
+  /** Shared skipping skeleton for [[prunedFiles]] /
+    * [[prunedFilesStr]] / [[prunedFilesForKeys]]: resolve the
+    * version's manifest, load the sidecar's bands for `field`, keep
+    * every file whose band satisfies `bandHits`. The conservatism
+    * contract lives here once: no sidecar → read everything; file
+    * without a stats row → must read; all-null band → a value
+    * predicate never hits. */
+  private def pruneByBands(spark: SparkSession, url: String,
+      version: Int, field: String)
+      (bandHits: Band => Boolean): Seq[String] = {
+    val (fs, root) = fsOf(spark, url)
+    val s = snap(spark, url, version)
+    loadBands(spark, fs, root, Seq(field)) match {
+      case None => s.files.map(f => new Path(root, f).toString)
+      case Some(byField) =>
+        val stats = byField.getOrElse(field, Map.empty[String, Band])
+        s.files.filter { f =>
+          stats.get(f) match {
+            case None => true
+            case Some(b) if b.allNull => false
+            case Some(b) => bandHits(b)
+          }
+        }.map(f => new Path(root, f).toString)
+    }
+  }
+
   /** The subset of `version`'s files that can contain a row with
     * `field` in [lo, hi] — resolved from the stats sidecar WITHOUT
     * opening any data file. A file is kept when its stats row says
@@ -587,39 +797,19 @@ object Snapshots {
     * it (stats lag is a performance bug, never a correctness bug).
     * All-null and zero-row files are skipped: a range predicate
     * cannot match NULL. Returns absolute paths. */
-  /** Shared skipping skeleton for [[prunedFiles]] /
-    * [[prunedFilesForKeys]]: resolve the version's manifest, load
-    * the sidecar's bands for `field`, keep every file whose band
-    * satisfies `bandHits`. The conservatism contract lives here
-    * once: no sidecar → read everything; file without a stats row →
-    * must read; all-null band → range never hits. */
-  private def pruneByBands(spark: SparkSession, url: String,
-      version: Int, field: String)
-      (bandHits: (Long, Long) => Boolean): Seq[String] = {
-    val (fs, root) = fsOf(spark, url)
-    val s = snap(spark, url, version)
-    val sp = statsPath(root)
-    if (!fs.exists(sp))
-      return s.files.map(f => new Path(root, f).toString)
-    val stats = spark.read.parquet(sp.toString)
-      .filter(col("field") === field)
-      .select("file", "min_v", "max_v").collect()
-      .map(r => r.getString(0) ->
-        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
-      .toMap
-    s.files.filter { f =>
-      stats.get(f) match {
-        case None => true
-        case Some(None) => false
-        case Some(Some((mn, mx))) => bandHits(mn, mx)
-      }
-    }.map(f => new Path(root, f).toString)
-  }
-
   def prunedFiles(spark: SparkSession, url: String, version: Int,
       field: String, lo: Long, hi: Long): Seq[String] =
     pruneByBands(spark, url, version, field)(
-      (mn, mx) => mx >= lo && mn <= hi)
+      longHits(field, (mn, mx) => mx >= lo && mn <= hi))
+
+  /** [[prunedFiles]] for a STRING field: a file survives when its
+    * prefix band can overlap [lo, hi] under code-point order. The
+    * bands are truncated prefixes, so survival is conservative
+    * (never skips a file that could hold a match); the caller's
+    * residual filter keeps the read exact. */
+  def prunedFilesStr(spark: SparkSession, url: String, version: Int,
+      field: String, lo: String, hi: String): Seq[String] =
+    pruneByBands(spark, url, version, field)(strHits(field, lo, hi))
 
   /** Range-predicate read with file skipping: resolve the version's
     * manifest, prune files through [[prunedFiles]], and apply the
@@ -638,6 +828,23 @@ object Snapshots {
     // the version's PINNED schema, not footer inference: pruning to
     // pre-evolution files must not make evolved columns vanish
     // (same contract as [[readWhereAll]]/[[readAsOf]])
+    else spark.read.schema(schemaOf(spark, fsOf(spark, url)._2,
+      snap(spark, url, v))).parquet(files: _*).filter(pred)
+  }
+
+  /** [[readWhere]] for a STRING field: prune through
+    * [[prunedFilesStr]], then apply the exact residual range filter
+    * (Spark's string comparison is the same UTF-8 binary order the
+    * bands were computed under, so band survival and the residual
+    * agree). Cluster the store by the field to make prefix bands
+    * narrow — a name-range probe then opens a handful of files. */
+  def readWhereStr(spark: SparkSession, url: String, field: String,
+      lo: String, hi: String, version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else latest(spark, url)
+    val files = prunedFilesStr(spark, url, v, field, lo, hi)
+    val pred = col(field) >= lit(lo) && col(field) <= lit(hi)
+    if (files.isEmpty)
+      readAsOf(spark, url, v).filter(lit(false))
     else spark.read.schema(schemaOf(spark, fsOf(spark, url)._2,
       snap(spark, url, v))).parquet(files: _*).filter(pred)
   }
@@ -690,27 +897,21 @@ object Snapshots {
     // probe used to pay 4 Spark jobs + 4 manifest resolves)
     val (fs, root) = fsOf(spark, url)
     val s = snap(spark, url, version)
-    val sp = statsPath(root)
-    if (!fs.exists(sp))
-      return s.files.map(f => new Path(root, f).toString).sorted
-    val fields = preds.map(_._1).distinct
-    val byField = spark.read.parquet(sp.toString)
-      .filter(col("field").isin(fields: _*))
-      .select("field", "file", "min_v", "max_v").collect()
-      .groupBy(_.getString(0))
-      .map { case (f, rs) => f -> rs.map(r => r.getString(1) ->
-        (if (r.isNullAt(2)) None
-         else Some((r.getLong(2), r.getLong(3))))).toMap }
-    s.files.filter { fname =>
-      preds.forall { case (f, lo, hi) =>
-        byField.getOrElse(f, Map.empty[String,
-            Option[(Long, Long)]]).get(fname) match {
-          case None => true
-          case Some(None) => false
-          case Some(Some((mn, mx))) => mx >= lo && mn <= hi
-        }
-      }
-    }.map(f => new Path(root, f).toString).sorted
+    loadBands(spark, fs, root, preds.map(_._1).distinct) match {
+      case None => s.files.map(f => new Path(root, f).toString).sorted
+      case Some(byField) =>
+        s.files.filter { fname =>
+          preds.forall { case (f, lo, hi) =>
+            byField.getOrElse(f, Map.empty[String, Band])
+              .get(fname) match {
+                case None => true
+                case Some(b) if b.allNull => false
+                case Some(b) =>
+                  longHits(f, (mn, mx) => mx >= lo && mn <= hi)(b)
+              }
+          }
+        }.map(f => new Path(root, f).toString).sorted
+    }
   }
 
   /** File pruning for a KEY SET — the CDC-invalidation shape
@@ -725,15 +926,40 @@ object Snapshots {
       version: Int, field: String, keys: Seq[Long]): Seq[String] = {
     if (keys.isEmpty) return Seq.empty
     val sorted = keys.distinct.sorted.toArray
-    pruneByBands(spark, url, version, field) { (mn, mx) =>
-      // any probed key inside [mn,mx]? binary search for the first
-      // key >= mn, then check it is <= mx
+    pruneByBands(spark, url, version, field)(longHits(field,
+      (mn, mx) => {
+        // any probed key inside [mn,mx]? binary search for the first
+        // key >= mn, then check it is <= mx
+        var lo = 0; var hi = sorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (sorted(mid) < mn) lo = mid + 1 else hi = mid
+        }
+        lo < sorted.length && sorted(lo) <= mx
+      }))
+  }
+
+  /** [[prunedFilesForKeys]] for a STRING key column: a file
+    * survives iff some probed key can sit inside its prefix band
+    * under code-point order (binary search over the sorted key
+    * set, same O(files · log k) driver cost). The string-dim-key
+    * shape [[JoinView.refresh]] probes with. */
+  def prunedFilesForKeysStr(spark: SparkSession, url: String,
+      version: Int, field: String, keys: Seq[String]): Seq[String] = {
+    if (keys.isEmpty) return Seq.empty
+    val sorted = keys.distinct.sortWith(cpCompare(_, _) < 0).toArray
+    pruneByBands(spark, url, version, field) { b =>
+      require(b.minV.isEmpty,
+        s"field $field carries LONG bands — use prunedFilesForKeys")
+      val mn = b.minS.get
+      // first key >= mn, then check it is <= the upper bound
       var lo = 0; var hi = sorted.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (sorted(mid) < mn) lo = mid + 1 else hi = mid
+        if (cpCompare(sorted(mid), mn) < 0) lo = mid + 1 else hi = mid
       }
-      lo < sorted.length && sorted(lo) <= mx
+      lo < sorted.length &&
+        b.maxS.forall(mx => cpCompare(sorted(lo), mx) <= 0)
     }
   }
 

@@ -79,6 +79,75 @@ class KendallSpec extends SparkSpec {
       ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("scala kernels: in-place inversion sort, greater-count, merge") {
+    val a = Array(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    assert(Stats.sortCountingInversions(a) == 8L)
+    assert(a.toSeq == Seq(1L, 1L, 2L, 3L, 4L, 5L, 6L, 9L))
+    assert(Stats.sortCountingInversions(Array.empty[Long]) == 0L)
+    assert(Stats.sortCountingInversions(Array(7L)) == 0L)
+    assert(Stats.sortedGreaterCount(
+      Array(2L, 5L, 7L), Array(1L, 5L, 6L)) == 5L)
+    assert(Stats.sortedGreaterCount(Array.empty[Long],
+      Array(1L)) == 0L)
+    assert(Stats.mergeAscending(Array(1L, 4L), Array(2L, 3L, 9L))
+      .toSeq == Seq(1L, 2L, 3L, 4L, 9L))
+  }
+
+  test("mergeGroup is a pure exchange-shape knob: any group size " +
+      "gives the same counts") {
+    val pts = (1 to 500).map { i =>
+      val h = java.util.UUID.nameUUIDFromBytes(
+        s"kgrp:$i".getBytes).getLeastSignificantBits
+      ((h % 17 + 17) % 17, ((h >> 13) % 11 + 11) % 11)
+    }
+    val want = brute(pts)
+    for (g <- Seq(1, 2, 7, 64)) {
+      val r = Stats.kendallStats(pts.toDF("x", "y"), "x", "y",
+        parts = 64, mergeGroup = g).head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)) == want,
+        s"mergeGroup=$g diverged")
+    }
+  }
+
+  test("grouped cross-merge cuts shuffle volume at parts=64 " +
+      "(the n·P/g contract, measured)") {
+    val pts = spark.range(200000).select(
+      (col("id") * 2654435761L % 1000003L).as("x"),
+      (col("id") * 40503L % 999983L).as("y"))
+    // at 1e8-row scale the grid side is far past any broadcast
+    // threshold — disable broadcast so the test measures the
+    // at-scale execution path, not the toy-size one
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def shuffleBytes(g: Int): Long = {
+      val total = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            total.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        Stats.kendallStats(pts, "x", "y", parts = 64,
+          mergeGroup = g).collect()
+        Thread.sleep(1000) // listener bus drains asynchronously
+      } finally spark.sparkContext.removeSparkListener(l)
+      total.get()
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val ungrouped = shuffleBytes(1)
+      val grouped = shuffleBytes(8)
+      assert(grouped * 2 < ungrouped,
+        s"expected grouped merge to at least halve shuffle read " +
+          s"bytes: grouped=$grouped ungrouped=$ungrouped")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("maxRows refuses with the sample-first message") {
     val e = intercept[IllegalArgumentException] {
       Stats.kendallStats((1L to 10L).map(i => (i, i)).toDF("x", "y"),

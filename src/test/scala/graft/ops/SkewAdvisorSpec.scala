@@ -31,4 +31,38 @@ class SkewAdvisorSpec extends SparkSpec {
     // 10000 pairs / 10 = 1000 → capped at 8
     assert(rows == Seq(("x", 100L, 100L, 10000L, 8L)))
   }
+
+  test("autoSaltedJoin equals the plain join and actually spreads " +
+      "the hot key; uniform joins degenerate to the unsalted plan") {
+    // hot key 0 on ~half the large side
+    val large = spark.range(2000).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val small = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 10).as("w"))
+    val factor = Skew.recommendSaltFactor(large, small, Seq("k"),
+      targetPairs = 100L, maxSalt = 16)
+    // hot key: 1000×1 = 1000 pairs → ceil(1000/100) = 10
+    assert(factor == 10)
+    val got = Skew.autoSaltedJoin(large, small, Seq("k"),
+      targetPairs = 100L, maxSalt = 16)
+      .select("k", "v", "w").as[(Long, Long, Long)].collect().toSet
+    val want = large.join(small, Seq("k"))
+      .select("k", "v", "w").as[(Long, Long, Long)].collect().toSet
+    // 1000 hot-key rows + the 500 odd ids under 1000
+    assert(got == want && want.size == 1500)
+    // the hot key's rows really landed in >1 salt bucket
+    val spread = large.filter(col("k") === 0L)
+      .withColumn("__salt",
+        pmod(xxhash64(col("k"), col("v")), lit(factor.toLong)))
+      .select(countDistinct(col("__salt"))).as[Long].head()
+    assert(spread > 1L, s"hot key collapsed into $spread buckets")
+    // uniform join: factor 1 → the plain join, no salt machinery
+    val uni = spark.range(500).select(col("id").as("k"))
+    assert(Skew.recommendSaltFactor(uni, small, Seq("k"),
+      targetPairs = 100L) == 1)
+    val plan = Skew.autoSaltedJoin(uni, small, Seq("k"),
+      targetPairs = 100L).queryExecution.analyzed.toString
+    assert(!plan.contains("__salt"))
+  }
 }

@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** String prefix bands in the file-stats skipping layer, and the
+  * type gate that closes the silent-empty hazard: before it, a
+  * non-band-able field cast to all-null marker bands that pruning
+  * read as "never hits" — readWhere then returned EMPTY, no error. */
+class StringBandsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(tag: String): String =
+    scratch(s"sbands_$tag/${java.util.UUID.randomUUID().toString.take(8)}")
+
+  test("indexStats refuses non-band-able column types loudly") {
+    val url = fresh("refuse")
+    Snapshots.create(spark, url,
+      Seq((1L, 0.5, "a")).toDF("id", "score", "name"), nFiles = 1)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.indexStats(spark, url, Seq("score"))
+    }
+    assert(e.getMessage.contains("score") &&
+      e.getMessage.contains("Double"))
+    intercept[IllegalArgumentException] {
+      Snapshots.indexStats(spark, url, Seq("nope"))
+    }
+  }
+
+  test("string bands prune a name-clustered store; readWhereStr " +
+      "stays exact; cross-type probes fail loudly") {
+    val url = fresh("prune")
+    val names = ('a' to 'z').flatMap(c =>
+      (1 to 20).map(i => (f"${c}name_$i%02d", i.toLong)))
+    Snapshots.create(spark, url, names.toDF("name", "v"), nFiles = 8)
+    Snapshots.cluster(spark, url, "name", nFiles = 8)
+    Snapshots.indexStats(spark, url, Seq("name"))
+    val v = Snapshots.latest(spark, url)
+    val total = Snapshots.snap(spark, url, v).files.size
+    val pruned = Snapshots.prunedFilesStr(spark, url, v, "name",
+      "c", "d")
+    assert(pruned.size < total,
+      s"expected string-band pruning (kept ${pruned.size}/$total)")
+    val got = Snapshots.readWhereStr(spark, url, "name", "c", "d")
+      .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
+    assert(got == ((20L, (1L to 20L).sum)))
+    // no-hit range skips every file but the read is still exact
+    assert(Snapshots.prunedFilesStr(spark, url, v, "name",
+      "zzz", "zzzz").isEmpty)
+    assert(Snapshots.readWhereStr(spark, url, "name",
+      "zzz", "zzzz").count() == 0L)
+    // a numeric-range probe on a STRING-banded field is a type
+    // confusion, not an empty read
+    intercept[IllegalArgumentException] {
+      Snapshots.prunedFiles(spark, url, v, "name", 1L, 2L)
+    }
+    // and the reverse on a LONG-banded field
+    val url2 = fresh("longside")
+    Snapshots.create(spark, url2,
+      (1L to 50L).map(i => (i, i)).toDF("id", "x"), nFiles = 2)
+    Snapshots.indexStats(spark, url2, Seq("x"))
+    intercept[IllegalArgumentException] {
+      Snapshots.prunedFilesStr(spark, url2,
+        Snapshots.latest(spark, url2), "x", "a", "b")
+    }
+  }
+
+  test("truncated prefixes stay conservative: long shared-prefix " +
+      "strings never skip a matching file, and the residual keeps " +
+      "reads exact") {
+    val url = fresh("trunc")
+    val pad = "p" * 40 // every value shares a 40-char prefix > band
+    val rows = (1 to 200).map(i => (f"$pad$i%03d", i.toLong))
+    Snapshots.create(spark, url, rows.toDF("k", "v"), nFiles = 4)
+    Snapshots.cluster(spark, url, "k", nFiles = 4)
+    Snapshots.indexStats(spark, url, Seq("k"))
+    val v = Snapshots.latest(spark, url)
+    // range keyed BEYOND the 32-cp band: bands alone cannot decide,
+    // so every clustered file must survive (no false skip)...
+    val lo = f"${pad}050"; val hi = f"${pad}060"
+    val clustered = Snapshots.snap(spark, url, v).files.size
+    assert(Snapshots.prunedFilesStr(spark, url, v, "k", lo, hi)
+      .nonEmpty)
+    // ...and the residual filter keeps the answer exact
+    val got = Snapshots.readWhereStr(spark, url, "k", lo, hi)
+      .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
+    assert(got == ((11L, (50L to 60L).sum)))
+    assert(clustered >= 4)
+  }
+
+  test("maximal-scalar prefixes (unbumpable upper bound) must-read " +
+      "instead of mis-skipping") {
+    val url = fresh("maxcp")
+    val weird = new String(Character.toChars(0x10FFFF)) * 40
+    Snapshots.create(spark, url,
+      Seq((weird, 1L), ("aaa", 2L)).toDF("k", "v"), nFiles = 1)
+    Snapshots.indexStats(spark, url, Seq("k"))
+    val v = Snapshots.latest(spark, url)
+    // upper bound is unbounded → the file survives any probe above
+    // its minimum; the residual keeps the read exact (empty here)
+    assert(Snapshots.prunedFilesStr(spark, url, v, "k",
+      "zzz", "zzzz").nonEmpty)
+    assert(Snapshots.readWhereStr(spark, url, "k", "zzz", "zzzz")
+      .count() == 0L)
+    // a probe that does hit still reads its row
+    assert(Snapshots.readWhereStr(spark, url, "k", weird, weird)
+      .count() == 1L)
+  }
+
+  test("prunedFilesForKeysStr: key-set probe skips non-overlapping " +
+      "files, all-null string files, and keeps band hits") {
+    val url = fresh("keys")
+    val rows = ('a' to 'h').flatMap(c =>
+      (1 to 25).map(i => (s"$c$i", i.toLong)))
+    Snapshots.create(spark, url, rows.toDF("k", "v"), nFiles = 4)
+    Snapshots.cluster(spark, url, "k", nFiles = 4)
+    Snapshots.indexStats(spark, url, Seq("k"))
+    val v = Snapshots.latest(spark, url)
+    val total = Snapshots.snap(spark, url, v).files.size
+    val hit = Snapshots.prunedFilesForKeysStr(spark, url, v, "k",
+      Seq("b3", "b7"))
+    assert(hit.nonEmpty && hit.size < total,
+      s"expected key-set pruning (kept ${hit.size}/$total)")
+    assert(Snapshots.prunedFilesForKeysStr(spark, url, v, "k",
+      Seq("zzz")).isEmpty)
+    assert(Snapshots.prunedFilesForKeysStr(spark, url, v, "k",
+      Nil).isEmpty)
+  }
+
+  test("all-null and empty string files band as markers and are " +
+      "skipped; mixed long+string field sets coexist") {
+    val url = fresh("markers")
+    Snapshots.create(spark, url,
+      Seq((1L, "aa"), (2L, "bb")).toDF("id", "k"), nFiles = 1)
+    Snapshots.append(spark, url,
+      Seq((3L, Option.empty[String]), (4L, Option.empty[String]))
+        .toDF("id", "k"), nFiles = 1)
+    Snapshots.indexStats(spark, url, Seq("id", "k"))
+    val v = Snapshots.latest(spark, url)
+    val total = Snapshots.snap(spark, url, v).files.size
+    assert(total == 2)
+    // the all-null file cannot hold any string value → skipped
+    assert(Snapshots.prunedFilesStr(spark, url, v, "k", "a", "c")
+      .size == 1)
+    // while the long side prunes independently on the same sidecar
+    assert(Snapshots.prunedFiles(spark, url, v, "id", 3L, 4L)
+      .size == 1)
+    val got = Snapshots.readWhereStr(spark, url, "k", "a", "c")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+}
