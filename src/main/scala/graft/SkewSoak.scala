@@ -134,6 +134,49 @@ object SkewSoak {
         minJaccardPpm = 500000L).count()
     }
 
+    // --- JoinView.refresh: hot dim key -------------------------
+    // the rank-1 zipf uid holds ~9% of 1M fact rows; ONE dim
+    // mutation on that uid drives the dim-side invalidation
+    // (file-stats-pruned fact probe + broadcast semi-join), a ~90k
+    // re-join and a bloom-pruned copy-on-write view upsert — the
+    // IVM path must not funnel the hot key through one task
+    val soakBase = sys.props("java.io.tmpdir") + "/graft_skewsoak_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val factStore = s"$soakBase/fact"; val dimStore = s"$soakBase/dim"
+    val view = s"$soakBase/view"; val idx = s"$soakBase/idx"
+    try {
+      val fact = spark.range(nEvents).toDF("id")
+        .select(col("id").as("ok"), zipfId("jv:").as("uid"),
+          (col("id") % 997L).as("cents"))
+      val dim = spark.range(50000L).toDF("id")
+        .select((col("id") + 1L).as("uid"),
+          concat(lit("seg"), pmod(col("id"), lit(7))).as("seg"))
+      graft.sources.Snapshots.create(spark, factStore, fact,
+        nFiles = 32)
+      graft.sources.Snapshots.cluster(spark, factStore, "uid",
+        nFiles = 32)
+      graft.sources.Snapshots.indexStats(spark, factStore, Seq("uid"))
+      graft.sources.Snapshots.create(spark, dimStore, dim, nFiles = 2)
+      graft.sources.JoinView.init(spark, view, factStore, dimStore,
+        "ok", "uid", nFiles = 32)
+      graft.sources.Snapshots.cluster(spark, view, "ok", nFiles = 32)
+      graft.sources.RowGroupIndex.buildBloom(spark, view, Seq("ok"),
+        idx)
+      graft.sources.Snapshots.upsert(spark, dimStore,
+        spark.range(1).select(lit(1L).as("uid"),
+          lit("HOT").as("seg")), "uid")
+      report(spark, "join_view_hot_dim_refresh") {
+        graft.sources.JoinView.refresh(spark, view, factStore,
+          dimStore, bloomIndexUrl = Some(idx))
+        graft.sources.JoinView.read(spark, view)
+          .filter(col("seg") === "HOT").count()
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(soakBase)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+
     spark.stop()
   }
 }

@@ -6816,6 +6816,215 @@ object SparkEntry {
             .otherwise(col("n_chars")))
       graft.ops.Diff.columnBlame(oldSnap, newSnap, "doc_id")
         .orderBy(col("column"))
+    }),
+
+    // ---- String prefix bands: range read on a name-clustered store ----
+    // The r16 skipping-layer close: STRING columns band on truncated
+    // prefixes (code-point-safe successor upper bound) instead of
+    // silently casting to all-null markers. The body ASSERTS the
+    // prune is a strict file subset (the q33 proof style) and the
+    // result is the exact residual-filtered range read.
+    "q346_string_band_read" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q346"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull && col("c_name").isNotNull)
+        .select(col("c_name"), col("c_custkey"),
+          cents(col("c_acctbal")).as("bal_cents"))
+      Snapshots.create(s, store, cust, nFiles = 8)
+      Snapshots.cluster(s, store, "c_name", nFiles = 8)
+      Snapshots.indexStats(s, store, Seq("c_name"))
+      val v = Snapshots.latest(s, store)
+      val total = Snapshots.snap(s, store, v).files.size
+      val lo = "Customer#000000070"; val hi = "Customer#000000090"
+      val pruned = Snapshots.prunedFilesStr(s, store, v, "c_name",
+        lo, hi)
+      require(pruned.nonEmpty && pruned.size < total,
+        s"string bands failed to prune: kept ${pruned.size}/$total")
+      orderSmall(Snapshots.readWhereStr(s, store, "c_name", lo, hi)
+        .select(col("c_name"), col("c_custkey"), col("bal_cents")),
+        col("c_name"))
+    }),
+
+    // ---- Star-schema JOIN view: fact ⋈ part ⋈ supplier from 3 CDC feeds ----
+    // The q342 machinery generalized to TWO dimensions: CDC
+    // mutations land on the fact and BOTH dims (update + delete +
+    // valid and dangling inserts), one refreshStar folds all three
+    // feeds. Oracle = the full re-join of the mutated state.
+    "q347_star_join_view" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q347"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val factStore = s"$base/fact"; val custStore = s"$base/cust"
+      val prioStore = s"$base/prio"; val view = s"$base/view"
+      val fact = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_custkey").isNotNull &&
+          col("o_orderpriority").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"),
+          cents(col("o_totalprice")).as("cents"))
+      val dimCust = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment"))
+      // second dim keyed by a STRING join key — the star path the
+      // r16 prefix bands make prunable
+      val dimPrio = fact.select(col("o_orderpriority")).distinct()
+        .select(col("o_orderpriority"),
+          substring(col("o_orderpriority"), 1, 1).cast("long")
+            .as("prio_rank"))
+      Snapshots.create(s, factStore, fact, nFiles = 4)
+      Snapshots.create(s, custStore, dimCust, nFiles = 2)
+      Snapshots.create(s, prioStore, dimPrio, nFiles = 1)
+      JoinView.initStar(s, view, factStore,
+        Seq((custStore, "o_custkey"),
+          (prioStore, "o_orderpriority")), "o_orderkey")
+      val ok = col("o_orderkey")
+      Snapshots.upsert(s, factStore,
+        fact.filter(ok % 13 === 0)
+          .select(ok, col("o_custkey"), col("o_orderpriority"),
+            (col("cents") + 999L).as("cents"), lit(false).as("del"))
+          .unionByName(
+            fact.filter(ok % 17 === 0 && ok % 13 =!= 0)
+              .select(ok, col("o_custkey"), col("o_orderpriority"),
+                col("cents"), lit(true).as("del")))
+          .unionByName(
+            fact.filter(ok % 19 === 0)
+              .select((ok + 80000000L).as("o_orderkey"),
+                col("o_custkey"), col("o_orderpriority"),
+                col("cents"), lit(false).as("del")))
+          .unionByName(
+            fact.filter(ok % 23 === 0)
+              .select((ok + 90000000L).as("o_orderkey"),
+                lit(-1L).as("o_custkey"), col("o_orderpriority"),
+                col("cents"), lit(false).as("del"))),
+        "o_orderkey", deleteCol = Some("del"))
+      val ck = col("o_custkey")
+      Snapshots.upsert(s, custStore,
+        dimCust.filter(ck % 7 === 0 && ck % 23 =!= 0)
+          .select(ck, lit("SEGX").as("c_mktsegment"),
+            lit(false).as("del"))
+          .unionByName(
+            dimCust.filter(ck % 23 === 0)
+              .select(ck, col("c_mktsegment"), lit(true).as("del"))),
+        "o_custkey", deleteCol = Some("del"))
+      // priority dim: re-rank 2-HIGH, retire 5-LOW entirely (every
+      // 5-LOW fact row must retract from the view)
+      Snapshots.upsert(s, prioStore,
+        dimPrio.filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_orderpriority"),
+            lit(102L).as("prio_rank"), lit(false).as("del"))
+          .unionByName(
+            dimPrio.filter(col("o_orderpriority") === "5-LOW")
+              .select(col("o_orderpriority"), col("prio_rank"),
+                lit(true).as("del"))),
+        "o_orderpriority", deleteCol = Some("del"))
+      JoinView.refreshStar(s, view, factStore,
+        Seq(custStore, prioStore))
+      orderSmall(JoinView.read(s, view)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("prio_rank")).as("sum_rank"),
+          countDistinct(col("o_orderpriority")).as("n_prio")),
+        col("c_mktsegment"))
+    }),
+
+    // ---- JOIN view recovery lifecycle: refusal + blue/green rebuild ----
+    // A base store wiped and recreated BELOW the recorded version is
+    // the corruption refreshStar must refuse (a silent refresh would
+    // compute deltas against the wrong history); recovery is the
+    // blue/green rebuild to a NEW url. The refusal is ASSERTED in
+    // the body; the oracle checks the rebuilt view's parity with the
+    // full re-join of the recreated state.
+    "q348_join_view_recovery" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q348"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val factStore = s"$base/fact"; val dimStore = s"$base/dim"
+      val view = s"$base/view"; val view2 = s"$base/view2"
+      val fact = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_custkey").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("cents"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment"))
+      Snapshots.create(s, factStore,
+        fact.filter(col("o_orderkey") % 2 === 0), nFiles = 2)
+      Snapshots.append(s, factStore,
+        fact.filter(col("o_orderkey") % 2 =!= 0), nFiles = 2)
+      Snapshots.create(s, dimStore, dim, nFiles = 2)
+      JoinView.init(s, view, factStore, dimStore,
+        "o_orderkey", "o_custkey")
+      // the base is wiped and recreated: ONE version where the view
+      // recorded two — refresh must refuse, not silently diff
+      fs.delete(new org.apache.hadoop.fs.Path(factStore), true)
+      Snapshots.create(s, factStore,
+        fact.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("cents") + 5L).as("cents")), nFiles = 2)
+      val refused = scala.util.Try(
+        JoinView.refresh(s, view, factStore, dimStore))
+      require(refused.isFailure,
+        "refresh on a rolled-back base must refuse")
+      JoinView.rebuild(s, view, view2, factStore, dimStore)
+      orderSmall(JoinView.read(s, view2)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          countDistinct(col("o_custkey")).as("n_cust")),
+        col("c_mktsegment"))
+    }),
+
+    // ---- Auto-salted join: advisor-wired skew mitigation ----
+    // One call runs the key histograms, picks the ceil(pairs/target)
+    // factor, and salts — the body ASSERTS the advisor recommended a
+    // real spread (>1) for the synthetic hot key holding ~30% of the
+    // corpus. Semantics = the plain join, which is the oracle.
+    "q349_auto_salted_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull &&
+          col("l_extendedprice").isNotNull)
+        .select(
+          when(col("l_orderkey") % 10 < 3, 0L)
+            .otherwise(col("l_orderkey") % 1000).as("k"),
+          cents(col("l_extendedprice")).as("v"))
+      val dim = big.select(col("k")).distinct()
+        .select(col("k"), (col("k") * 3).as("w"))
+      val factor = graft.ops.Skew.recommendSaltFactor(big, dim,
+        Seq("k"), targetPairs = 1000L, maxSalt = 32)
+      require(factor > 1,
+        s"hot key must trigger a salt recommendation, got $factor")
+      orderSmall(graft.ops.Skew.autoSaltedJoin(big, dim, Seq("k"),
+          targetPairs = 1000L, maxSalt = 32, saltCols = Seq("v"))
+        .groupBy((col("k") % 7).as("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          sum(col("w")).as("sum_w")),
+        col("grp"))
     })
   )
 
@@ -15808,6 +16017,89 @@ object SparkEntry {
         |  SELECT 'text', count(*) FROM surv WHERE doc_id % 17 = 2
         |)
         |SELECT "column", n_changed FROM rows WHERE n_changed > 0
-        |ORDER BY "column"""".stripMargin
+        |ORDER BY "column"""".stripMargin,
+
+    "q346_string_band_read" ->
+      """SELECT c_name, c_custkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        |  AND c_name BETWEEN 'Customer#000000070'
+        |    AND 'Customer#000000090'
+        |ORDER BY c_name""".stripMargin,
+
+    "q347_star_join_view" ->
+      """WITH f0 AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL
+        |), f1 AS (
+        |  SELECT ok, ck, pr,
+        |    CASE WHEN ok % 13 = 0 THEN cents + 999 ELSE cents END
+        |      AS cents
+        |  FROM f0 WHERE NOT (ok % 17 = 0 AND ok % 13 <> 0)
+        |  UNION ALL
+        |  SELECT ok + 80000000, ck, pr, cents FROM f0
+        |  WHERE ok % 19 = 0
+        |  UNION ALL
+        |  SELECT ok + 90000000, -1, pr, cents FROM f0
+        |  WHERE ok % 23 = 0
+        |), d1 AS (
+        |  SELECT c_custkey AS ck,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'SEGX'
+        |      ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_custkey % 23 <> 0
+        |), d2 AS (
+        |  SELECT pr,
+        |    CASE WHEN pr = '2-HIGH' THEN 102
+        |      ELSE CAST(substring(pr, 1, 1) AS BIGINT) END
+        |      AS prio_rank
+        |  FROM (SELECT DISTINCT pr FROM f0)
+        |  WHERE pr <> '5-LOW'
+        |)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(prio_rank) AS BIGINT) AS sum_rank,
+        |  count(DISTINCT pr) AS n_prio
+        |FROM f1 JOIN d1 USING (ck) JOIN d2 USING (pr)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q348_join_view_recovery" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + 5 AS cents
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |    AND o_orderkey % 3 = 0
+        |), d AS (
+        |  SELECT c_custkey AS ck, c_mktsegment
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(DISTINCT ck) AS n_cust
+        |FROM f JOIN d USING (ck)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q349_auto_salted_join" ->
+      """WITH big AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
+        |      ELSE l_orderkey % 1000 END AS k,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |), dim AS (
+        |  SELECT DISTINCT k, k * 3 AS w FROM big
+        |)
+        |SELECT k % 7 AS grp, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(sum(w) AS BIGINT) AS sum_w
+        |FROM big JOIN dim USING (k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
