@@ -7025,6 +7025,81 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
           sum(col("w")).as("sum_w")),
         col("grp"))
+    }),
+
+    // ---- Stacked IVM: keyed aggregate view OVER the join view ----
+    // Two incremental-view layers compose through one CDC contract:
+    // the join view is itself a snapshot store, so its manifest-diff
+    // feed maintains a retractable aggregate view on top. A fact
+    // update + a dim segment flip flow fact/dim → join view
+    // (recompute-affected-keys) → aggregate view (signed partials,
+    // replayed batch is a no-op) with nothing ever O(history).
+    "q350_view_stack" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q350"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val factStore = s"$base/fact"; val dimStore = s"$base/dim"
+      val view = s"$base/view"; val agg = s"$base/agg"
+      val fact = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_custkey").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("cents"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment"))
+      Snapshots.create(s, factStore, fact, nFiles = 4)
+      Snapshots.create(s, dimStore, dim, nFiles = 2)
+      JoinView.init(s, view, factStore, dimStore,
+        "o_orderkey", "o_custkey")
+      MaterializedView.init(s, agg, Seq("c_mktsegment"),
+        Seq("cents"), buckets = 4, retractable = true)
+      MaterializedView.applyDeltaKeyed(s, agg,
+        JoinView.read(s, view).select(col("c_mktsegment"),
+          col("cents")), "v0-v1")
+      val vBefore = Snapshots.latest(s, view)
+      val ok = col("o_orderkey")
+      Snapshots.upsert(s, factStore,
+        fact.filter(pmod(ok, lit(11)) === 0)
+          .select(ok, col("o_custkey"),
+            (col("cents") + 12345L).as("cents"),
+            lit(false).as("del"))
+          .unionByName(
+            fact.filter(pmod(ok, lit(13)) === 0 &&
+              pmod(ok, lit(11)) =!= 0)
+              .select(ok, col("o_custkey"), col("cents"),
+                lit(true).as("del")))
+          .unionByName(
+            fact.filter(pmod(ok, lit(17)) === 0)
+              .select((ok + 10000000L).as("o_orderkey"),
+                col("o_custkey"), col("cents"),
+                lit(false).as("del"))),
+        "o_orderkey", deleteCol = Some("del"))
+      val ck = col("o_custkey")
+      Snapshots.upsert(s, dimStore,
+        dim.filter(pmod(ck, lit(7)) === 0)
+          .select(ck, lit("SEGX").as("c_mktsegment")),
+        "o_custkey")
+      JoinView.refresh(s, view, factStore, dimStore)
+      val vAfter = Snapshots.latest(s, view)
+      val feed = Snapshots.changes(s, view, "o_orderkey", vBefore,
+        vAfter, includeOld = true)
+        .select(col("c_mktsegment"), col("cents"), col("_change"))
+      MaterializedView.applyCdc(s, agg, feed, s"v$vBefore-v$vAfter")
+      MaterializedView.applyCdc(s, agg, feed,
+        s"v$vBefore-v$vAfter") // replay: idempotent by construction
+      orderSmall(MaterializedView.read(s, agg)
+        .filter(col("cnt") > 0L)
+        .select(col("c_mktsegment"), col("cnt"), col("sum_cents")),
+        col("c_mktsegment"))
     })
   )
 
@@ -16100,6 +16175,30 @@ object SparkEntry {
         |  CAST(sum(v) AS BIGINT) AS sum_v,
         |  CAST(sum(w) AS BIGINT) AS sum_w
         |FROM big JOIN dim USING (k)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q350_view_stack" ->
+      """WITH f0 AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |), f1 AS (
+        |  SELECT ok, ck,
+        |    CASE WHEN ok % 11 = 0 THEN cents + 12345
+        |      ELSE cents END AS cents
+        |  FROM f0 WHERE NOT (ok % 13 = 0 AND ok % 11 <> 0)
+        |  UNION ALL
+        |  SELECT ok + 10000000, ck, cents FROM f0 WHERE ok % 17 = 0
+        |), d1 AS (
+        |  SELECT c_custkey AS ck,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'SEGX'
+        |      ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |)
+        |SELECT seg AS c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f1 JOIN d1 USING (ck)
+        |GROUP BY seg ORDER BY seg""".stripMargin
   )
 }

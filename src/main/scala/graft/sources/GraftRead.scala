@@ -55,7 +55,8 @@ final case class GraftRead private (
     indexSel: Option[(String, RowGroupIndex.Selector)] = None,
     bloomSel: Option[(String, String, Seq[Any])] = None,
     asOfVersion: Option[Int] = None,
-    rangeSel: Seq[(String, Long, Long)] = Nil) {
+    rangeSel: Seq[(String, Long, Long)] = Nil,
+    rangeStrSel: Seq[(String, String, String)] = Nil) {
 
   def fields(selectors: String*): GraftRead = copy(fieldSel = selectors)
   def predicate(p: RowPredicate): GraftRead = copy(preds = preds :+ p.toColumn)
@@ -103,6 +104,13 @@ final case class GraftRead private (
     * in one chain; single-store only (the sidecar is per-store). */
   def range(field: String, lo: Long, hi: Long): GraftRead =
     copy(rangeSel = rangeSel :+ ((field, lo, hi)))
+
+  /** [[range]] for STRING fields: file skipping by the sidecar's
+    * truncated-prefix bands ([[Snapshots.prunedFilesStr]] — code-
+    * point order, conservative under truncation), residual filter
+    * after decode. Same composition and single-store contract. */
+  def rangeStr(field: String, lo: String, hi: String): GraftRead =
+    copy(rangeStrSel = rangeStrSel :+ ((field, lo, hi)))
 
   /** Iteration control (E1). `k ≥ 1` unions k epoch copies, epoch j
     * reshuffled with seed+j (ventilator re-shuffle parity,
@@ -183,24 +191,31 @@ final case class GraftRead private (
     def normPath(s: String): String =
       new org.apache.hadoop.fs.Path(s).toUri.getPath
     val admitted: Option[Set[String]] =
-      if (indexSel.isEmpty && bloomSel.isEmpty && rangeSel.isEmpty) None
+      if (indexSel.isEmpty && bloomSel.isEmpty && rangeSel.isEmpty &&
+        rangeStrSel.isEmpty) None
       else {
         require(urls.length == 1,
           "index()/bloomIndex()/range() are single-store: the index " +
             "sidecar is built per store")
+        def snapVersion(): Int = {
+          require(Snapshots.versions(spark, urls.head).nonEmpty,
+            ".range() needs a Snapshots store (the stats sidecar " +
+              "lives in its root; see Snapshots.indexStats)")
+          asOfVersion.getOrElse(Snapshots.latest(spark, urls.head))
+        }
         val viaSel = indexSel.map { case (iu, sel) =>
           RowGroupIndex.selectedFiles(spark, urls.head, iu, sel) }
         val viaBloom = bloomSel.map { case (iu, f, vs) =>
           RowGroupIndex.bloomSelectedFiles(spark, urls.head, iu, f, vs) }
         val viaRange = rangeSel.map { case (f, lo, hi) =>
-          require(Snapshots.versions(spark, urls.head).nonEmpty,
-            ".range() needs a Snapshots store (the stats sidecar " +
-              "lives in its root; see Snapshots.indexStats)")
-          val v = asOfVersion
-            .getOrElse(Snapshots.latest(spark, urls.head))
-          Snapshots.prunedFiles(spark, urls.head, v, f, lo, hi)
+          Snapshots.prunedFiles(spark, urls.head, snapVersion(), f,
+            lo, hi)
         }
-        Some((viaSel.toSeq ++ viaBloom.toSeq ++ viaRange)
+        val viaRangeStr = rangeStrSel.map { case (f, lo, hi) =>
+          Snapshots.prunedFilesStr(spark, urls.head, snapVersion(),
+            f, lo, hi)
+        }
+        Some((viaSel.toSeq ++ viaBloom.toSeq ++ viaRange ++ viaRangeStr)
           .map(_.map(normPath).toSet).reduce(_ intersect _))
       }
     val files = admitted match {
@@ -276,7 +291,7 @@ final case class GraftRead private (
     //    predicate; Catalyst pushes what it can into the scan).
     //    range()'s residual rides here too: skipping is a superset
     //    admission, the filter makes it exact
-    val rangePred = rangeSel.map { case (f, lo, hi) =>
+    val rangePred = (rangeSel ++ rangeStrSel).map { case (f, lo, hi) =>
       col(f) >= lit(lo) && col(f) <= lit(hi) }
     val filtered = (preds ++ rangePred).foldLeft(decoded)(_.filter(_))
 

@@ -86,6 +86,33 @@ class ReaderAsOfSpec extends SparkSpec {
     assert(e.getMessage.contains("Snapshots store"))
   }
 
+  test("reader.rangeStr() prunes by string prefix bands and stays " +
+      "exact, composing with range() on another field") {
+    val url = scratch(
+      s"rd_rangestr/${java.util.UUID.randomUUID().toString.take(8)}")
+    val rows = ('a' to 'z').flatMap(c =>
+      (1 to 20).map(i => (f"${c}key_$i%02d", i.toLong)))
+      .toDF("name", "v")
+    Snapshots.create(spark, url, rows, nFiles = 8)
+    Snapshots.cluster(spark, url, "name", nFiles = 8)
+    Snapshots.indexStats(spark, url, Seq("name"))
+    val v = Snapshots.latest(spark, url)
+    val total = Snapshots.snap(spark, url, v).files.size
+    val df = GraftRead.reader(spark, url)
+      .rangeStr("name", "c", "d").load()
+    val scanned = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+    assert(scanned < total, s"scanned $scanned of $total files")
+    assert(df.count() == 20L &&
+      df.agg(sum("v")).as[Long].head() == (1L to 20L).sum)
+    // conjunction across the typed range flavors stays exact
+    val both = GraftRead.reader(spark, url)
+      .rangeStr("name", "c", "d").range("v", 5L, 7L).load()
+    assert(both.agg(sum("v")).as[Long].head() == (5L to 7L).sum)
+  }
+
   test("versionAt/readAsOfTime resolve timestamp time travel from " +
       "manifest mtimes; pruneStats drops sidecar rows vacuum " +
       "orphaned") {
