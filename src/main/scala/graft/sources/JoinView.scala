@@ -139,16 +139,18 @@ object JoinView {
     }
     // pairwise collision check across fact + every dim (beyond each
     // dim's own join key): a star join must produce unambiguous
-    // column names or the view store schema would be ill-formed
+    // column names or the view store schema would be ill-formed.
+    // Each dim's set excludes only its OWN join key — a dim carrying
+    // ANOTHER dim's join key as payload is a collision too (the
+    // later join on that key would be ambiguous after this one)
     val sides = ("fact", fact.columns.toSet) +:
       dimDfs.zipWithIndex.map { case ((d, jk), i) =>
         (s"dim$i", d.columns.toSet - jk) }
     for (i <- sides.indices; j <- (i + 1) until sides.length) {
-      val overlap = sides(i)._2.intersect(sides(j)._2) --
-        dims.map(_._2).toSet
+      val overlap = sides(i)._2.intersect(sides(j)._2)
       require(overlap.isEmpty,
         s"${sides(i)._1}/${sides(j)._1} column collision beyond " +
-          s"the join keys: $overlap")
+          s"each dim's own join key: $overlap")
     }
     val joined = dimDfs.foldLeft(fact) { case (acc, (d, jk)) =>
       acc.join(d, Seq(jk), "inner") }

@@ -893,22 +893,38 @@ object Snapshots {
   def prunedFilesAll(spark: SparkSession, url: String, version: Int,
       preds: Seq[(String, Long, Long)]): Seq[String] = {
     require(preds.nonEmpty, "prunedFilesAll needs at least one range")
-    // ONE sidecar read serves every predicate (a 4-range z-order
-    // probe used to pay 4 Spark jobs + 4 manifest resolves)
+    prunedFilesMixed(spark, url, version, preds, Nil)
+  }
+
+  /** [[prunedFilesAll]] over a conjunction of LONG ranges and STRING
+    * ranges together — the mixed-type probe a store clustered on a
+    * name and stats-indexed on several fields answers with ONE
+    * sidecar read (a 4-range z-order probe used to pay 4 Spark jobs
+    * + 4 manifest resolves). */
+  def prunedFilesMixed(spark: SparkSession, url: String, version: Int,
+      preds: Seq[(String, Long, Long)],
+      strPreds: Seq[(String, String, String)]): Seq[String] = {
+    require(preds.nonEmpty || strPreds.nonEmpty,
+      "prunedFilesMixed needs at least one range")
     val (fs, root) = fsOf(spark, url)
     val s = snap(spark, url, version)
-    loadBands(spark, fs, root, preds.map(_._1).distinct) match {
+    val fields = (preds.map(_._1) ++ strPreds.map(_._1)).distinct
+    loadBands(spark, fs, root, fields) match {
       case None => s.files.map(f => new Path(root, f).toString).sorted
       case Some(byField) =>
+        def test(fname: String, f: String)(hit: Band => Boolean) =
+          byField.getOrElse(f, Map.empty[String, Band])
+            .get(fname) match {
+              case None => true
+              case Some(b) if b.allNull => false
+              case Some(b) => hit(b)
+            }
         s.files.filter { fname =>
           preds.forall { case (f, lo, hi) =>
-            byField.getOrElse(f, Map.empty[String, Band])
-              .get(fname) match {
-                case None => true
-                case Some(b) if b.allNull => false
-                case Some(b) =>
-                  longHits(f, (mn, mx) => mx >= lo && mn <= hi)(b)
-              }
+            test(fname, f)(
+              longHits(f, (mn, mx) => mx >= lo && mn <= hi))
+          } && strPreds.forall { case (f, lo, hi) =>
+            test(fname, f)(strHits(f, lo, hi))
           }
         }.map(f => new Path(root, f).toString).sorted
     }
@@ -966,11 +982,23 @@ object Snapshots {
   /** [[readWhere]] over a conjunction of ranges: files pruned by
     * [[prunedFilesAll]], every residual predicate applied. */
   def readWhereAll(spark: SparkSession, url: String,
-      preds: Seq[(String, Long, Long)], version: Int = -1): DataFrame = {
+      preds: Seq[(String, Long, Long)], version: Int = -1): DataFrame =
+    readWhereMixed(spark, url, preds, Nil, version)
+
+  /** [[readWhereAll]] with STRING ranges in the conjunction: files
+    * pruned by [[prunedFilesMixed]], every residual applied — one
+    * call answers `price IN [lo,hi] AND name IN [a,b]` with one
+    * sidecar read and an exact result. */
+  def readWhereMixed(spark: SparkSession, url: String,
+      preds: Seq[(String, Long, Long)],
+      strPreds: Seq[(String, String, String)],
+      version: Int = -1): DataFrame = {
     val v = if (version > 0) version else latest(spark, url)
-    val files = prunedFilesAll(spark, url, v, preds)
-    val pred = preds.map { case (f, lo, hi) =>
-      col(f) >= lit(lo) && col(f) <= lit(hi) }.reduce(_ && _)
+    val files = prunedFilesMixed(spark, url, v, preds, strPreds)
+    val pred = (preds.map { case (f, lo, hi) =>
+      col(f) >= lit(lo) && col(f) <= lit(hi) } ++
+      strPreds.map { case (f, lo, hi) =>
+        col(f) >= lit(lo) && col(f) <= lit(hi) }).reduce(_ && _)
     if (files.isEmpty) readAsOf(spark, url, v).filter(lit(false))
     else spark.read.schema(schemaOf(spark, fsOf(spark, url)._2,
       snap(spark, url, v))).parquet(files: _*).filter(pred)

@@ -153,5 +153,14 @@ class StarJoinViewSpec extends SparkSpec {
       JoinView.initStar(spark, fresh("col_v2"), factUrl,
         Seq((d1, "ck"), (d1, "ck")), "ok")
     }
+    // a dim carrying ANOTHER dim's join key as payload would make
+    // the later join ambiguous — refused up front
+    val d3 = fresh("col_d3")
+    Snapshots.create(spark, d3,
+      Seq((10L, 20L)).toDF("ck", "pk"), nFiles = 1)
+    intercept[IllegalArgumentException] {
+      JoinView.initStar(spark, fresh("col_v3"), factUrl,
+        Seq((d3, "ck"), (d2, "pk")), "ok")
+    }
   }
 }

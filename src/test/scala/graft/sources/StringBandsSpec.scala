@@ -127,6 +127,28 @@ class StringBandsSpec extends SparkSpec {
       Nil).isEmpty)
   }
 
+  test("readWhereMixed: long + string ranges conjoin with one " +
+      "sidecar read, prune, and stay exact") {
+    val url = fresh("mixed")
+    val rows = ('a' to 'j').flatMap(c =>
+      (1 to 30).map(i => (s"${c}_row$i", i.toLong)))
+    Snapshots.create(spark, url, rows.toDF("name", "v"), nFiles = 5)
+    Snapshots.cluster(spark, url, "name", nFiles = 5)
+    Snapshots.indexStats(spark, url, Seq("name", "v"))
+    val v = Snapshots.latest(spark, url)
+    val total = Snapshots.snap(spark, url, v).files.size
+    val files = Snapshots.prunedFilesMixed(spark, url, v,
+      Seq(("v", 5L, 7L)), Seq(("name", "c", "d")))
+    assert(files.nonEmpty && files.size < total)
+    val got = Snapshots.readWhereMixed(spark, url,
+      Seq(("v", 5L, 7L)), Seq(("name", "c", "d")))
+      .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
+    assert(got == ((3L, 5L + 6L + 7L)))
+    // a string range alone through the mixed API
+    assert(Snapshots.readWhereMixed(spark, url, Nil,
+      Seq(("name", "a", "b"))).count() == 30L)
+  }
+
   test("all-null and empty string files band as markers and are " +
       "skipped; mixed long+string field sets coexist") {
     val url = fresh("markers")
