@@ -1868,7 +1868,9 @@ object Stats {
     *     y_p > y_q counts. Because that count is additive over
     *     multiset union, partitions first fold in pid order into
     *     GROUPS of `mergeGroup` (within-group cross pairs counted as
-    *     each member merges in), then the pair grid runs over the
+    *     each member merges in; 0 = auto picks max(1, parts/8) — the
+    *     fold is an extra full exchange, only worth paying when it
+    *     shrinks a big grid), then the pair grid runs over the
     *     ⌈P/g⌉ merged arrays via the sorted two-pointer merge
     *     ([[graft.codecs.SortedMergeGreater]]) — exchange volume
     *     n·P/g instead of the ungrouped grid's n·P;
@@ -1899,11 +1901,14 @@ object Stats {
     * counts engine-dependent. */
   def kendallStats(df: DataFrame, xCol: String, yCol: String,
       parts: Int = 32, maxRows: Long = 100000000L,
-      mergeGroup: Int = 4): DataFrame = {
+      mergeGroup: Int = 0): DataFrame = {
     require(parts >= 1 && parts <= 256, s"parts in [1,256], got $parts")
     require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
-    require(mergeGroup >= 1 && mergeGroup <= 256,
-      s"mergeGroup in [1,256], got $mergeGroup")
+    require(mergeGroup >= 0 && mergeGroup <= 256,
+      s"mergeGroup in [0,256] (0 = auto), got $mergeGroup")
+    // auto: the group fold is an EXTRA full exchange, worth paying
+    // only when it shrinks a big grid — small part counts skip it
+    val grp = if (mergeGroup > 0) mergeGroup else math.max(1, parts / 8)
     val pts = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("long").as("__x"),
@@ -1947,8 +1952,8 @@ object Stats {
     // accumulate as each member merges in) — the grid then runs over
     // ⌈P/g⌉ merged arrays, n·P/g exchange volume instead of n·P
     val grouped =
-      if (mergeGroup == 1) perPart
-      else perPart.groupByKey(_._1 / mergeGroup).mapGroups {
+      if (grp == 1) perPart
+      else perPart.groupByKey(_._1 / grp).mapGroups {
         (grp, it) =>
           val ms = it.toArray.sortBy(_._1)
           var acc = ms.head._3
@@ -1961,8 +1966,6 @@ object Stats {
       }
     val arrs = grouped.toDF("__pid", "__loc", "__ss")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val local = arrs.agg(coalesce(sum(col("__loc")), lit(0L))
-      .as("__loc"))
     // the pair grid as an EXPLICIT pair-key equi-join: the grid ids
     // are driver-enumerated (≤ 256 by the parts bound — a bounded
     // collect), so the θ-join that would force either a full-array
@@ -1970,7 +1973,11 @@ object Stats {
     // cartesian's per-pair re-fetch becomes two shuffles whose
     // volume is the documented n·(G−1)/2 + n — AQE-planned,
     // skew-free (each grid id repeats ≤ G−1 times)
-    val gridIds = arrs.select(col("__pid")).as[Int].collect().sorted
+    // one G-row collect serves BOTH the local-inversion sum and the
+    // grid id list (and materializes the arrs cache for the join)
+    val meta = arrs.select(col("__pid"), col("__loc")).collect()
+    val localTotal = meta.iterator.map(_.getLong(1)).sum
+    val gridIds = meta.map(_.getInt(0)).sorted
     val gridPairs = gridIds.toSeq.flatMap(i =>
       gridIds.toSeq.filter(_ > i).map(j => (i, j)))
     val crossTotal: Long =
@@ -1983,14 +1990,23 @@ object Stats {
         .agg(coalesce(sum(graft.functions.GraftFunctions
           .sortedMergeGreater(col("__sa"), col("__sb"))), lit(0L)))
         .head().getLong(0)
-    def tiePairs(cols: Column*): DataFrame = pts.groupBy(cols: _*)
+    // ONE value exchange serves all three tie counts: the (x,y)
+    // histogram is value-domain-sized and tx/ty marginalize it with
+    // domain-sized (not corpus-sized) follow-up aggregations
+    val hist = pts.groupBy(col("__x"), col("__y"))
       .agg(count(lit(1)).as("__c"))
-      .agg(coalesce(sum(expr("__c * (__c - 1) div 2")), lit(0L))
-        .as("__t"))
-    val nd = local.head().getLong(0) + crossTotal
-    val tx = tiePairs(col("__x")).head().getLong(0)
-    val ty = tiePairs(col("__y")).head().getLong(0)
-    val txy = tiePairs(col("__x"), col("__y")).head().getLong(0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def choose2(c: String): Column =
+      coalesce(sum(expr(s"$c * ($c - 1) div 2")), lit(0L))
+    val txy = hist.agg(choose2("__c")).head().getLong(0)
+    val tx = hist.groupBy(col("__x"))
+      .agg(sum(col("__c")).as("__cx"))
+      .agg(choose2("__cx")).head().getLong(0)
+    val ty = hist.groupBy(col("__y"))
+      .agg(sum(col("__c")).as("__cy"))
+      .agg(choose2("__cy")).head().getLong(0)
+    val nd = localTotal + crossTotal
+    hist.unpersist()
     arrs.unpersist()
     pts.unpersist()
     val nPairs = n * (n - 1) / 2
