@@ -7100,6 +7100,46 @@ object SparkEntry {
         .filter(col("cnt") > 0L)
         .select(col("c_mktsegment"), col("cnt"), col("sum_cents")),
         col("c_mktsegment"))
+    }),
+
+    // ---- String z-dimension: mixed-type skipping on one layout ----
+    // Zorder.stringKey folds a name column into the Morton key, so
+    // ONE clustered layout answers `lang ∈ [de,es] AND n_chars ∈
+    // [100,300]` with file skipping on BOTH dimensions — string
+    // prefix bands on one, long bands on the other, one sidecar
+    // read (readWhereMixed). Strict-subset prune asserted in-body.
+    "q351_zorder_string_dim" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q351"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          graft.ops.Zorder.stringKey(col("lang"), 3).as("zlang"))
+      Snapshots.create(s, store, docs, nFiles = 8)
+      Snapshots.zcluster(s, store, 24, Seq("zlang", "n_chars"),
+        nFiles = 8)
+      Snapshots.indexStats(s, store, Seq("lang", "n_chars"))
+      val v = Snapshots.latest(s, store)
+      val total = Snapshots.snap(s, store, v).files.size
+      val files = Snapshots.prunedFilesMixed(s, store, v,
+        Seq(("n_chars", 100L, 300L)), Seq(("lang", "de", "es")))
+      require(files.nonEmpty && files.size < total,
+        s"z-order mixed pruning failed: kept ${files.size}/$total")
+      orderSmall(Snapshots.readWhereMixed(s, store,
+          Seq(("n_chars", 100L, 300L)), Seq(("lang", "de", "es")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars")),
+        col("lang"))
     })
   )
 
@@ -16199,6 +16239,16 @@ object SparkEntry {
         |SELECT seg AS c_mktsegment, count(*) AS cnt,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM f1 JOIN d1 USING (ck)
-        |GROUP BY seg ORDER BY seg""".stripMargin
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "q351_zorder_string_dim" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |  AND lang BETWEEN 'de' AND 'es'
+        |  AND n_chars BETWEEN 100 AND 300
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

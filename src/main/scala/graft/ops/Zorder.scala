@@ -41,6 +41,31 @@ object Zorder {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Order-preserving integer key for a STRING column: the first
+    * `nBytes` UTF-8 bytes as an unsigned big-endian integer
+    * (right-padded with NUL so shorter strings order below their
+    * extensions, exactly like byte-wise string comparison). Byte
+    * truncation is prefix-order-preserving, so
+    * `a <= b ⇒ stringKey(a) <= stringKey(b)` under the engine's
+    * UTF-8 binary collation — the property that lets a z-order
+    * layout carry a name dimension: interleave `stringKey(name)`
+    * with the numeric keys, cluster, and string prefix bands
+    * ([[graft.sources.Snapshots.indexStats]]) prune on the name
+    * while the numeric bands prune on the rest. Built-in
+    * expressions only (codegen'd); `nBytes ≤ 7` keeps the value in
+    * a positive long. Pair with [[zvalue]] at `bits = 8·nBytes`,
+    * which bounds nBytes by the dimension count (2 dims → nBytes ≤ 3
+    * at bits = 24; 3 dims → nBytes ≤ 2 at bits = 16 — prefix keys
+    * this short still spread real name distributions fine, ties
+    * fall to the z-sort's stability). */
+  def stringKey(c: Column, nBytes: Int = 4): Column = {
+    require(nBytes >= 1 && nBytes <= 7,
+      s"nBytes in [1,7] (8·nBytes zvalue bits ≤ 63 with room), " +
+        s"got $nBytes")
+    conv(hex(substring(encode(rpad(c, nBytes, "\u0000"), "UTF-8"),
+      1, nBytes)), 16, 10).cast("long")
+  }
+
   /** Range-partition + sort `df` by the z-value of `cols` — write the
     * result ([[graft.sources.Materialize.materialize]] with
     * `partitions = None`) and each output file covers a z-contiguous

@@ -76,4 +76,35 @@ class ZorderSpec extends SparkSpec {
       .filter($"b" === 7).select($"a").as[Long].collect().sorted
     assert(rows.toSeq == (0L until 64L))
   }
+
+  test("stringKey is order-preserving under the engine's binary " +
+      "collation (padding, control chars, multibyte, truncation)") {
+    val vals = Seq("", "a", "a\t", "a ", "ab", "abc", "abcd",
+      "abcde", "b", "ba", "\u00e9", "\u00e9a", "\u4e2d\u6587", "zz")
+    val df = vals.toDF("s")
+      .select(col("s"), Zorder.stringKey(col("s"), 3).as("k"))
+    // the engine collation is UTF-8 BYTE order (what Spark sorts
+    // and the prefix bands store) -- compare in it, not UTF-16
+    def u8lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    // ordering by the key never inverts a strict string ordering
+    // (ties allowed -- truncation)
+    val pairs = df.as[(String, Long)].collect()
+    for (a <- pairs; b <- pairs if u8lt(a._1, b._1))
+      assert(a._2 <= b._2, s"key order inverted: $a vs $b")
+    // bounded for zvalue at bits = 24
+    assert(pairs.forall(p => p._2 >= 0L && p._2 < (1L << 24)))
+    // exact (collision-free) when strings fit the key
+    val short = pairs.filter(_._1.getBytes("UTF-8").length <= 3)
+    assert(short.map(_._2).distinct.length == short.length)
+  }
 }
