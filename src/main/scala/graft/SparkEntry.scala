@@ -7140,6 +7140,87 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("sum_chars")),
         col("lang"))
+    }),
+
+    // ---- Reader-chain string range (S3 × the r16 prefix bands) ----
+    // The make_reader-parity chain answers a name-range read with
+    // file skipping: .rangeStr composes with .fields, the scan's
+    // file listing is ASSERTED a strict subset of the store, and
+    // the residual filter keeps the rows exact.
+    "q352_reader_string_range" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q352"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull && col("c_name").isNotNull)
+        .select(col("c_name"), col("c_custkey"),
+          cents(col("c_acctbal")).as("bal_cents"))
+      Snapshots.create(s, store, cust, nFiles = 8)
+      Snapshots.cluster(s, store, "c_name", nFiles = 8)
+      Snapshots.indexStats(s, store, Seq("c_name"))
+      val total = Snapshots
+        .snap(s, store, Snapshots.latest(s, store)).files.size
+      val df = GraftRead.reader(s, store)
+        .rangeStr("c_name", "Customer#000000200", "Customer#000000260")
+        .fields("c_name", "c_custkey", "bal_cents").load()
+      val scanned = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+      require(scanned > 0 && scanned < total,
+        s"reader string-band pruning failed: scanned $scanned/$total")
+      orderSmall(df, col("c_name"))
+    }),
+
+    // ---- Copy-on-write range DELETE (retention/GDPR shape) ----
+    // DELETE WHERE over stats bands: only band-overlapping files
+    // rewrite (COW asserted in-body: untouched files re-listed),
+    // a long-range and a string-range delete compose on one store,
+    // a no-match delete is a TRUE no-op (same version back), and
+    // old versions stay readable. Oracle = the surviving rows.
+    "q353_delete_where" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q353"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, store, docs, nFiles = 8)
+      Snapshots.cluster(s, store, "n_chars", nFiles = 8)
+      Snapshots.indexStats(s, store, Seq("n_chars", "lang"))
+      val v0 = Snapshots.latest(s, store)
+      val before = Snapshots.snap(s, store, v0).files.toSet
+      val v1 = Snapshots.deleteWhere(s, store, "n_chars", 100L, 300L)
+      val after = Snapshots.snap(s, store, v1).files.toSet
+      require((before intersect after).nonEmpty,
+        "range delete rewrote every file — not copy-on-write")
+      val v2 = Snapshots.deleteWhereStr(s, store, "lang", "zh", "zz")
+      // a no-match delete is a true no-op: same version back
+      require(Snapshots.deleteWhere(s, store, "n_chars",
+        900000L, 999999L) == v2, "no-match delete committed")
+      // the pre-delete version still reads in full
+      require(Snapshots.readAsOf(s, store, v0).count() ==
+        docs.count(), "old version lost rows")
+      orderSmall(Snapshots.read(s, store)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars")),
+        col("lang"))
     })
   )
 
@@ -16249,6 +16330,25 @@ object SparkEntry {
         |  AND n_chars IS NOT NULL
         |  AND lang BETWEEN 'de' AND 'es'
         |  AND n_chars BETWEEN 100 AND 300
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q352_reader_string_range" ->
+      """SELECT c_name, c_custkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer
+        |WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        |  AND c_name BETWEEN 'Customer#000000200'
+        |    AND 'Customer#000000260'
+        |ORDER BY c_name""".stripMargin,
+
+    "q353_delete_where" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |  AND NOT (n_chars BETWEEN 100 AND 300)
+        |  AND NOT (lang BETWEEN 'zh' AND 'zz')
         |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot-versioned parquet store: MVCC time travel over a plain
@@ -398,6 +398,59 @@ object Snapshots {
     commit(spark, root, v, "upsert",
       parent.files.filterNot(affectedNames) ++ rewritten,
       Some(storeSchema))
+  }
+
+  /** Copy-on-write range DELETE — `DELETE FROM store WHERE field
+    * BETWEEN lo AND hi` as a NEW version: only files whose stats
+    * band can hold a matching row are rewritten
+    * ([[prunedFiles]] — cluster the store on the field and the cost
+    * is the overlapping band, never the corpus: the GDPR/retention
+    * shape at 100 TB); untouched files are re-listed as-is, old
+    * versions stay readable, the CDC feed sees the deletions. Rows
+    * with a NULL field survive (a range predicate cannot match
+    * NULL). Returns the committed version — the CURRENT one when no
+    * file can hold a match (true no-op, nothing committed). */
+  def deleteWhere(spark: SparkSession, url: String, field: String,
+      lo: Long, hi: Long): Int = {
+    val parentV = latest(spark, url)
+    deleteFromFiles(spark, url, parentV, field,
+      prunedFiles(spark, url, parentV, field, lo, hi),
+      col(field) >= lit(lo) && col(field) <= lit(hi))
+  }
+
+  /** [[deleteWhere]] for a STRING field (prefix-band pruning). */
+  def deleteWhereStr(spark: SparkSession, url: String, field: String,
+      lo: String, hi: String): Int = {
+    val parentV = latest(spark, url)
+    deleteFromFiles(spark, url, parentV, field,
+      prunedFilesStr(spark, url, parentV, field, lo, hi),
+      col(field) >= lit(lo) && col(field) <= lit(hi))
+  }
+
+  private def deleteFromFiles(spark: SparkSession, url: String,
+      parentV: Int, field: String, files: Seq[String],
+      pred: Column): Int = {
+    val (_, root) = fsOf(spark, url)
+    val parent = snap(spark, url, parentV)
+    val storeSchema = schemaOf(spark, root, parent)
+    require(storeSchema.fieldNames.contains(field),
+      s"deleteWhere: no column $field in the store schema")
+    if (files.isEmpty) return parent.version
+    val names = files.map(f => new Path(f).getName).toSet
+    val scanned = spark.read.schema(storeSchema).parquet(files: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kept = scanned.filter(!coalesce(pred, lit(false)))
+      // stats admission is conservative (files without a stats row
+      // must-read) — a band-sized row count keeps a no-match delete
+      // a TRUE no-op instead of an empty rewrite commit
+      if (kept.count() == scanned.count()) return parent.version
+      val v = parent.version + 1
+      val rewritten = writeFiles(spark, root, kept, v,
+        math.max(1, files.length))
+      commit(spark, root, v, "delete",
+        parent.files.filterNot(names) ++ rewritten, Some(storeSchema))
+    } finally scanned.unpersist()
   }
 
   /** Read exactly one version's file set (snapshot isolation) under

@@ -149,6 +149,54 @@ class StringBandsSpec extends SparkSpec {
       Seq(("name", "a", "b"))).count() == 30L)
   }
 
+  test("deleteWhere: copy-on-write range delete rewrites only the " +
+      "overlapping band, keeps nulls, no-ops cleanly, feeds CDC") {
+    val url = fresh("del")
+    val rows = (1L to 400L).map(i => (i, if (i % 97 == 0) None
+      else Some(i))).toDF("id", "x")
+    Snapshots.create(spark, url, rows, nFiles = 8)
+    Snapshots.cluster(spark, url, "x", nFiles = 8)
+    Snapshots.indexStats(spark, url, Seq("x"))
+    val v0 = Snapshots.latest(spark, url)
+    val before = Snapshots.snap(spark, url, v0).files.toSet
+    val v1 = Snapshots.deleteWhere(spark, url, "x", 100L, 200L)
+    assert(v1 == v0 + 1)
+    val after = Snapshots.snap(spark, url, v1).files.toSet
+    // untouched band files are re-listed as-is (copy-on-write)
+    assert((before intersect after).nonEmpty,
+      "delete rewrote every file — not copy-on-write")
+    val now = Snapshots.read(spark, url)
+    assert(now.filter(col("x").between(100L, 200L)).count() == 0L)
+    // nulls survive a range delete; total matches the predicate
+    val nulls = (1L to 400L).count(_ % 97 == 0)
+    val killed = (100L to 200L).count(_ % 97 != 0)
+    assert(now.count() == 400L - killed)
+    assert(now.filter(col("x").isNull).count() == nulls)
+    // old version still reads the full corpus; CDC sees the deletes
+    assert(Snapshots.readAsOf(spark, url, v0).count() == 400L)
+    val feed = Snapshots.changes(spark, url, "id", v0, v1)
+    assert(feed.filter(col("_change") === "delete").count() ==
+      killed.toLong)
+    // a no-match range is a true no-op: same version back
+    assert(Snapshots.deleteWhere(spark, url, "x", 9000L, 9999L) == v1)
+    // and the string variant prunes by prefix bands
+    val surl = fresh("dels")
+    val srows = ('a' to 'j').flatMap(c =>
+      (1 to 20).map(i => (s"$c$i", i.toLong))).toDF("k", "v")
+    Snapshots.create(spark, surl, srows, nFiles = 5)
+    Snapshots.cluster(spark, surl, "k", nFiles = 5)
+    Snapshots.indexStats(spark, surl, Seq("k"))
+    val sv0 = Snapshots.latest(spark, surl)
+    val sBefore = Snapshots.snap(spark, surl, sv0).files.toSet
+    Snapshots.deleteWhereStr(spark, surl, "k", "c", "d")
+    val sAfter = Snapshots.snap(spark, surl,
+      Snapshots.latest(spark, surl)).files.toSet
+    assert((sBefore intersect sAfter).nonEmpty)
+    assert(Snapshots.read(spark, surl).count() == 180L)
+    assert(Snapshots.read(spark, surl)
+      .filter(col("k").startsWith("c")).count() == 0L)
+  }
+
   test("all-null and empty string files band as markers and are " +
       "skipped; mixed long+string field sets coexist") {
     val url = fresh("markers")
