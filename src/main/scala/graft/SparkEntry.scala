@@ -7221,6 +7221,57 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("sum_chars")),
         col("lang"))
+    }),
+
+    // ---- Retention delete propagating through the JOIN view ----
+    // The composition a real mart needs: a DELETE WHERE on the fact
+    // store (the COW range delete) is just another CDC span, so the
+    // next refresh retracts exactly the deleted partners from the
+    // view — no rebuild, no full re-join. Oracle = the re-join of
+    // the surviving fact rows.
+    "q354_delete_through_view" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q354"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val factStore = s"$base/fact"; val dimStore = s"$base/dim"
+      val view = s"$base/view"
+      val fact = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_custkey").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("cents"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment"))
+      Snapshots.create(s, factStore, fact, nFiles = 4)
+      Snapshots.cluster(s, factStore, "cents", nFiles = 4)
+      Snapshots.indexStats(s, factStore, Seq("cents"))
+      Snapshots.create(s, dimStore, dim, nFiles = 2)
+      JoinView.init(s, view, factStore, dimStore,
+        "o_orderkey", "o_custkey")
+      // retention: purge the mid-price band from the fact store —
+      // only band-overlapping files rewrite (asserted)
+      val v0 = Snapshots.latest(s, factStore)
+      val before = Snapshots.snap(s, factStore, v0).files.toSet
+      Snapshots.deleteWhere(s, factStore, "cents",
+        5000000L, 15000000L)
+      val after = Snapshots.snap(s, factStore,
+        Snapshots.latest(s, factStore)).files.toSet
+      require((before intersect after).nonEmpty,
+        "range delete rewrote every fact file — not copy-on-write")
+      JoinView.refresh(s, view, factStore, dimStore)
+      orderSmall(JoinView.read(s, view)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents")),
+        col("c_mktsegment"))
     })
   )
 
@@ -16349,6 +16400,24 @@ object SparkEntry {
         |  AND n_chars IS NOT NULL
         |  AND NOT (n_chars BETWEEN 100 AND 300)
         |  AND NOT (lang BETWEEN 'zh' AND 'zz')
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q354_delete_through_view" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |), f1 AS (
+        |  SELECT * FROM f
+        |  WHERE NOT (cents BETWEEN 5000000 AND 15000000)
+        |), d AS (
+        |  SELECT c_custkey AS ck, c_mktsegment
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f1 JOIN d USING (ck)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
