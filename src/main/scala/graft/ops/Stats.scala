@@ -1914,6 +1914,12 @@ object Stats {
       .select(col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // error-path cache hygiene: any of the ~6 actions below can
+    // fail, and a thrown job must not leave pts/arrs/hist pinned
+    // for the session lifetime
+    var arrsCache: Option[DataFrame] = None
+    var histCache: Option[DataFrame] = None
+    try {
     val n = pts.count() // also materializes the cache for the 4 jobs below
     require(n <= maxRows,
       s"kendallStats: $n rows > maxRows=$maxRows — exact rank " +
@@ -1922,7 +1928,6 @@ object Stats {
     val spark = df.sparkSession
     import spark.implicits._
     if (n < 2) {
-      pts.unpersist()
       return Seq((n, 0L, 0L, 0L, 0L, 0L, 0L))
         .toDF("n", "n_pairs", "tx", "ty", "txy", "nc", "nd")
     }
@@ -1954,18 +1959,31 @@ object Stats {
     val grouped =
       if (grp == 1) perPart
       else perPart.groupByKey(_._1 / grp).mapGroups {
-        (grp, it) =>
-          val ms = it.toArray.sortBy(_._1)
-          var acc = ms.head._3
-          var cnt = ms.head._2
-          ms.iterator.drop(1).foreach { m =>
-            cnt += m._2 + sortedGreaterCount(acc, m._3)
-            acc = mergeAscending(acc, m._3)
+        (grpId, it) =>
+          // pull (pid, array) pairs into a slot buffer and NULL each
+          // slot as it folds in, so peak memory stays ≤ 2·group
+          // bytes (acc + out at the final merge) — retaining the
+          // tuple array would pin every member for a ~3× peak
+          var cnt = 0L
+          val slots = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Array[Long])]
+          it.foreach { m => cnt += m._2; slots += ((m._1, m._3)) }
+          slots.sortInPlaceBy(_._1)
+          var acc = slots(0)._2
+          slots(0) = null
+          var i = 1
+          while (i < slots.length) {
+            val a = slots(i)._2
+            slots(i) = null
+            cnt += sortedGreaterCount(acc, a)
+            acc = mergeAscending(acc, a)
+            i += 1
           }
-          (grp, cnt, acc)
+          (grpId, cnt, acc)
       }
     val arrs = grouped.toDF("__pid", "__loc", "__ss")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    arrsCache = Some(arrs)
     // the pair grid as an EXPLICIT pair-key equi-join: the grid ids
     // are driver-enumerated (≤ 256 by the parts bound — a bounded
     // collect), so the θ-join that would force either a full-array
@@ -1996,6 +2014,7 @@ object Stats {
     val hist = pts.groupBy(col("__x"), col("__y"))
       .agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    histCache = Some(hist)
     def choose2(c: String): Column =
       coalesce(sum(expr(s"$c * ($c - 1) div 2")), lit(0L))
     val txy = hist.agg(choose2("__c")).head().getLong(0)
@@ -2006,12 +2025,14 @@ object Stats {
       .agg(sum(col("__c")).as("__cy"))
       .agg(choose2("__cy")).head().getLong(0)
     val nd = localTotal + crossTotal
-    hist.unpersist()
-    arrs.unpersist()
-    pts.unpersist()
     val nPairs = n * (n - 1) / 2
     Seq((n, nPairs, tx, ty, txy, nPairs - tx - ty + txy - nd, nd))
       .toDF("n", "n_pairs", "tx", "ty", "txy", "nc", "nd")
+    } finally {
+      histCache.foreach(_.unpersist())
+      arrsCache.foreach(_.unpersist())
+      pts.unpersist()
+    }
   }
   /** Exact Spearman rank-correlation sufficient statistics — the
     * companion audit to [[kendallStats]]: correlation of the

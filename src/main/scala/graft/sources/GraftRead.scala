@@ -197,7 +197,11 @@ final case class GraftRead private (
         require(urls.length == 1,
           "index()/bloomIndex()/range() are single-store: the index " +
             "sidecar is built per store")
-        def snapVersion(): Int = {
+        // ONE version resolution for every range predicate: resolving
+        // per-predicate would let a concurrent commit land between
+        // two resolutions, pruning each against a different manifest
+        // — their intersection then silently drops rows
+        lazy val snapVersion: Int = {
           require(Snapshots.versions(spark, urls.head).nonEmpty,
             ".range() needs a Snapshots store (the stats sidecar " +
               "lives in its root; see Snapshots.indexStats)")
@@ -208,11 +212,11 @@ final case class GraftRead private (
         val viaBloom = bloomSel.map { case (iu, f, vs) =>
           RowGroupIndex.bloomSelectedFiles(spark, urls.head, iu, f, vs) }
         val viaRange = rangeSel.map { case (f, lo, hi) =>
-          Snapshots.prunedFiles(spark, urls.head, snapVersion(), f,
+          Snapshots.prunedFiles(spark, urls.head, snapVersion, f,
             lo, hi)
         }
         val viaRangeStr = rangeStrSel.map { case (f, lo, hi) =>
-          Snapshots.prunedFilesStr(spark, urls.head, snapVersion(),
+          Snapshots.prunedFilesStr(spark, urls.head, snapVersion,
             f, lo, hi)
         }
         Some((viaSel.toSeq ++ viaBloom.toSeq ++ viaRange ++ viaRangeStr)

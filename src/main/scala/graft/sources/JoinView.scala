@@ -209,6 +209,14 @@ object JoinView {
     val m = meta(spark, viewUrl)
     require(dimUrls.length == m.joinKeys.length,
       s"view joins ${m.joinKeys.length} dims, got ${dimUrls.length}")
+    // writeMeta's key-name guard must fire HERE, before any data
+    // commit: a legacy view whose key would fail the guard must
+    // refuse up front, not wedge itself by committing the upsert
+    // and then throwing before the meta swap on every replay
+    (m.factKey +: m.joinKeys).foreach(k =>
+      require(!k.contains("\"") && !k.contains(","),
+        s"key name $k would break the sidecar JSON — rebuild the " +
+          "view under a renamed key"))
     val fv = Snapshots.latest(spark, factUrl)
     val dvs = dimUrls.map(Snapshots.latest(spark, _))
     require(fv >= m.factV && dvs.zip(m.dimVs).forall(p => p._1 >= p._2),

@@ -413,41 +413,63 @@ object Snapshots {
   def deleteWhere(spark: SparkSession, url: String, field: String,
       lo: Long, hi: Long): Int = {
     val parentV = latest(spark, url)
-    deleteFromFiles(spark, url, parentV, field,
+    deleteFromFiles(spark, url, parentV, field, wantString = false,
       prunedFiles(spark, url, parentV, field, lo, hi),
-      col(field) >= lit(lo) && col(field) <= lit(hi))
+      longRangePred(_, field, lo, hi))
   }
 
   /** [[deleteWhere]] for a STRING field (prefix-band pruning). */
   def deleteWhereStr(spark: SparkSession, url: String, field: String,
       lo: String, hi: String): Int = {
     val parentV = latest(spark, url)
-    deleteFromFiles(spark, url, parentV, field,
+    deleteFromFiles(spark, url, parentV, field, wantString = true,
       prunedFilesStr(spark, url, parentV, field, lo, hi),
-      col(field) >= lit(lo) && col(field) <= lit(hi))
+      _ => col(field) >= lit(lo) && col(field) <= lit(hi))
   }
 
   private def deleteFromFiles(spark: SparkSession, url: String,
-      parentV: Int, field: String, files: Seq[String],
-      pred: Column): Int = {
+      parentV: Int, field: String, wantString: Boolean,
+      files: Seq[String],
+      pred: org.apache.spark.sql.types.StructType => Column): Int = {
     val (_, root) = fsOf(spark, url)
     val parent = snap(spark, url, parentV)
     val storeSchema = schemaOf(spark, root, parent)
     require(storeSchema.fieldNames.contains(field),
       s"deleteWhere: no column $field in the store schema")
+    // the same flavor gate the band probes enforce — WITHOUT it a
+    // wrong-typed range on an unindexed store coerces to a
+    // never-matching predicate and "succeeds" deleting nothing
+    import org.apache.spark.sql.types._
+    val isString = storeSchema(field).dataType == StringType
+    require(isString == wantString,
+      s"deleteWhere: column $field is ${storeSchema(field).dataType}" +
+        s" — use the ${if (isString) "string" else "numeric"}-range " +
+        "API flavor")
+    if (!wantString) storeSchema(field).dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType => ()
+      case dt => throw new IllegalArgumentException(
+        s"deleteWhere: column $field is $dt — not a range-delete " +
+          "type (integral/date/timestamp/string)")
+    }
     if (files.isEmpty) return parent.version
     val names = files.map(f => new Path(f).getName).toSet
     val scanned = spark.read.schema(storeSchema).parquet(files: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val kept = scanned.filter(!coalesce(pred, lit(false)))
+      val kept = scanned.filter(!coalesce(pred(storeSchema),
+        lit(false)))
       // stats admission is conservative (files without a stats row
       // must-read) — a band-sized row count keeps a no-match delete
       // a TRUE no-op instead of an empty rewrite commit
       if (kept.count() == scanned.count()) return parent.version
       val v = parent.version + 1
+      // re-cluster the survivors on the delete field: a round-robin
+      // rewrite would give every new file a full-width band and
+      // progressively de-cluster the store under repeated retention
+      // deletes
       val rewritten = writeFiles(spark, root, kept, v,
-        math.max(1, files.length))
+        math.max(1, files.length), clusterBy = Some(field))
       commit(spark, root, v, "delete",
         parent.files.filterNot(names) ++ rewritten, Some(storeSchema))
     } finally scanned.unpersist()
@@ -695,7 +717,11 @@ object Snapshots {
         struct(lit(f).as("field"), col(f).cast("long").as("v"),
           lit(null).cast("string").as("s"), col(f).isNull.as("isn"))
     }
-    val scanned = spark.read.parquet(freshAbs: _*)
+    // scan under the PINNED schema: a refresh crossing a
+    // schema-evolution boundary must read pre-evolution files'
+    // missing columns as null (correct all-null marker bands), not
+    // inherit an arbitrary footer's schema and fail analysis
+    val scanned = spark.read.schema(schema).parquet(freshAbs: _*)
       .select(input_file_name().as("__f"),
         explode(array(perField: _*)).as("e"))
       .groupBy(col("__f"), col("e.field").as("field"))
@@ -864,6 +890,39 @@ object Snapshots {
       field: String, lo: String, hi: String): Seq[String] =
     pruneByBands(spark, url, version, field)(strHits(field, lo, hi))
 
+  /** The residual for a long-band range: date/timestamp columns
+    * compare through the SAME cast the bands were computed under
+    * (`col.cast("long")` — a bare long literal comparison would
+    * fail analysis on them); integral columns compare directly so
+    * the predicate still pushes into the parquet scan. */
+  private def longRangePred(
+      schema: org.apache.spark.sql.types.StructType, field: String,
+      lo: Long, hi: Long): Column = {
+    import org.apache.spark.sql.types._
+    schema(field).dataType match {
+      case DateType | TimestampType =>
+        col(field).cast("long") >= lit(lo) &&
+          col(field).cast("long") <= lit(hi)
+      case _ => col(field) >= lit(lo) && col(field) <= lit(hi)
+    }
+  }
+
+  /** Shared read tail for the pruned-read family: survivors under
+    * the version's PINNED schema (pruning to pre-evolution files
+    * must not make evolved columns vanish — the [[readAsOf]]
+    * contract), residual applied, schema-shaped empty frame when
+    * nothing survives. */
+  private def readPruned(spark: SparkSession, url: String, v: Int,
+      files: Seq[String],
+      pred: org.apache.spark.sql.types.StructType => Column)
+      : DataFrame = {
+    val schema = schemaOf(spark, fsOf(spark, url)._2,
+      snap(spark, url, v))
+    if (files.isEmpty) readAsOf(spark, url, v).filter(lit(false))
+    else spark.read.schema(schema).parquet(files: _*)
+      .filter(pred(schema))
+  }
+
   /** Range-predicate read with file skipping: resolve the version's
     * manifest, prune files through [[prunedFiles]], and apply the
     * residual filter to the survivors (so the result is exact even
@@ -874,15 +933,9 @@ object Snapshots {
   def readWhere(spark: SparkSession, url: String, field: String,
       lo: Long, hi: Long, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else latest(spark, url)
-    val files = prunedFiles(spark, url, v, field, lo, hi)
-    val pred = col(field) >= lit(lo) && col(field) <= lit(hi)
-    if (files.isEmpty)
-      readAsOf(spark, url, v).filter(lit(false))
-    // the version's PINNED schema, not footer inference: pruning to
-    // pre-evolution files must not make evolved columns vanish
-    // (same contract as [[readWhereAll]]/[[readAsOf]])
-    else spark.read.schema(schemaOf(spark, fsOf(spark, url)._2,
-      snap(spark, url, v))).parquet(files: _*).filter(pred)
+    readPruned(spark, url, v,
+      prunedFiles(spark, url, v, field, lo, hi),
+      longRangePred(_, field, lo, hi))
   }
 
   /** [[readWhere]] for a STRING field: prune through
@@ -894,12 +947,9 @@ object Snapshots {
   def readWhereStr(spark: SparkSession, url: String, field: String,
       lo: String, hi: String, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else latest(spark, url)
-    val files = prunedFilesStr(spark, url, v, field, lo, hi)
-    val pred = col(field) >= lit(lo) && col(field) <= lit(hi)
-    if (files.isEmpty)
-      readAsOf(spark, url, v).filter(lit(false))
-    else spark.read.schema(schemaOf(spark, fsOf(spark, url)._2,
-      snap(spark, url, v))).parquet(files: _*).filter(pred)
+    readPruned(spark, url, v,
+      prunedFilesStr(spark, url, v, field, lo, hi),
+      _ => col(field) >= lit(lo) && col(field) <= lit(hi))
   }
 
   /** Maintenance rewrite: re-lay the live rows range-clustered on
@@ -1047,14 +1097,12 @@ object Snapshots {
       strPreds: Seq[(String, String, String)],
       version: Int = -1): DataFrame = {
     val v = if (version > 0) version else latest(spark, url)
-    val files = prunedFilesMixed(spark, url, v, preds, strPreds)
-    val pred = (preds.map { case (f, lo, hi) =>
-      col(f) >= lit(lo) && col(f) <= lit(hi) } ++
-      strPreds.map { case (f, lo, hi) =>
-        col(f) >= lit(lo) && col(f) <= lit(hi) }).reduce(_ && _)
-    if (files.isEmpty) readAsOf(spark, url, v).filter(lit(false))
-    else spark.read.schema(schemaOf(spark, fsOf(spark, url)._2,
-      snap(spark, url, v))).parquet(files: _*).filter(pred)
+    readPruned(spark, url, v,
+      prunedFilesMixed(spark, url, v, preds, strPreds),
+      schema => (preds.map { case (f, lo, hi) =>
+        longRangePred(schema, f, lo, hi) } ++
+        strPreds.map { case (f, lo, hi) =>
+          col(f) >= lit(lo) && col(f) <= lit(hi) }).reduce(_ && _))
   }
 
   /** Bin-pack maintenance: rewrite ONLY the live files smaller than
