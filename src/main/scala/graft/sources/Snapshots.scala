@@ -1115,7 +1115,8 @@ object Snapshots {
     * cold data. Returns the committed version (or the current one
     * when fewer than two small files exist — nothing to pack). */
   def compactSmall(spark: SparkSession, url: String,
-      smallBytes: Long, targetBytes: Long = 128L << 20): Int = {
+      smallBytes: Long, targetBytes: Long = 128L << 20,
+      clusterBy: Option[String] = None): Int = {
     require(smallBytes > 0 && targetBytes >= smallBytes,
       s"need 0 < smallBytes <= targetBytes")
     val (fs, root) = fsOf(spark, url)
@@ -1127,9 +1128,18 @@ object Snapshots {
     val totalSmall = small.map(_._2).sum
     val n = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
     val schema = schemaOf(spark, root, parent)
-    val packed = spark.read.schema(schema)
+    val read = spark.read.schema(schema)
       .parquet(small.map(f => new Path(root, f._1).toString): _*)
-      .repartition(n)
+    // on a clustered store pass its cluster field: a round-robin
+    // pack would give every compacted file a full-width stats band
+    // and cost the layout its skippability ingest by ingest
+    val packed = clusterBy match {
+      case Some(f) =>
+        require(schema.fieldNames.contains(f),
+          s"compactSmall: no column $f to cluster on")
+        read.repartitionByRange(n, col(f)).sortWithinPartitions(col(f))
+      case None => read.repartition(n)
+    }
     val v = parent.version + 1
     val smallNames = small.map(_._1).toSet
     commit(spark, root, v, "compact",

@@ -379,6 +379,40 @@ class SnapshotSpec extends SparkSpec {
       == v)
   }
 
+  test("compactSmall(clusterBy) keeps the packed files band-narrow " +
+      "so the layout stays skippable after compaction") {
+    val url = freshUrl("binpack_cl")
+    Snapshots.create(spark, url,
+      (1L to 20000L).map(i => (i, i)).toDF("id", "x"), nFiles = 1)
+    Snapshots.cluster(spark, url, "x", nFiles = 8)
+    // small appends land rows SCATTERED across the whole x range —
+    // the worst case for band width
+    (1 to 4).foreach { k =>
+      Snapshots.append(spark, url,
+        (1L to 3000L).map(i => (1000000L * k + i, (i * 37) % 20000L))
+          .toDF("id", "x"), nFiles = 1)
+    }
+    val pre = Snapshots
+      .snap(spark, url, Snapshots.latest(spark, url)).files.toSet
+    Snapshots.compactSmall(spark, url, smallBytes = 64 << 10,
+      targetBytes = 64 << 10, clusterBy = Some("x"))
+    val v = Snapshots.latest(spark, url)
+    val now = Snapshots.snap(spark, url, v).files
+    val packed = now.filterNot(pre).toSet
+    assert(packed.size >= 2,
+      s"need >=2 packed files to show banding, got ${packed.size}")
+    Snapshots.indexStats(spark, url, Seq("x"))
+    // a narrow probe must skip at least one PACKED file: the
+    // clustered pack gives each packed file a sub-band of x (a
+    // round-robin pack would give every packed file the full width)
+    val hit = Snapshots.prunedFiles(spark, url, v, "x", 100L, 200L)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert((packed -- hit).nonEmpty,
+      s"every packed file spans the probe: packed=$packed hit=$hit")
+    // and the compacted store still reads exactly
+    assert(Snapshots.read(spark, url).count() == 20000L + 4 * 3000L)
+  }
+
   test("CHECK constraints refuse violating writes atomically (SQL " +
       "semantics: NULL passes), skip columns a batch lacks") {
     val url = freshUrl("check")
