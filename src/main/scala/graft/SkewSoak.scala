@@ -152,14 +152,11 @@ object SkewSoak {
         .select((col("id") + 1L).as("uid"),
           concat(lit("seg"), pmod(col("id"), lit(7))).as("seg"))
       graft.sources.Snapshots.create(spark, factStore, fact,
-        nFiles = 32)
-      graft.sources.Snapshots.cluster(spark, factStore, "uid",
-        nFiles = 32)
+        nFiles = 32, clusterBy = Some("uid"))
       graft.sources.Snapshots.indexStats(spark, factStore, Seq("uid"))
       graft.sources.Snapshots.create(spark, dimStore, dim, nFiles = 2)
       graft.sources.JoinView.init(spark, view, factStore, dimStore,
-        "ok", "uid", nFiles = 32)
-      graft.sources.Snapshots.cluster(spark, view, "ok", nFiles = 32)
+        "ok", "uid", nFiles = 32, clusterByFactKey = true)
       graft.sources.RowGroupIndex.buildBloom(spark, view, Seq("ok"),
         idx)
       graft.sources.Snapshots.upsert(spark, dimStore,

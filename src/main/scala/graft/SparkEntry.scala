@@ -6665,8 +6665,7 @@ object SparkEntry {
       Snapshots.create(s, factStore, fact, nFiles = 4)
       Snapshots.create(s, dimStore, dim, nFiles = 2)
       JoinView.init(s, view, factStore, dimStore,
-        "o_orderkey", "o_custkey")
-      Snapshots.cluster(s, view, "o_orderkey", nFiles = 8)
+        "o_orderkey", "o_custkey", clusterByFactKey = true)
       RowGroupIndex.buildBloom(s, view, Seq("o_orderkey"), idx)
       val ok = col("o_orderkey")
       Snapshots.upsert(s, factStore,
@@ -6839,8 +6838,8 @@ object SparkEntry {
         .filter(col("c_custkey").isNotNull && col("c_name").isNotNull)
         .select(col("c_name"), col("c_custkey"),
           cents(col("c_acctbal")).as("bal_cents"))
-      Snapshots.create(s, store, cust, nFiles = 8)
-      Snapshots.cluster(s, store, "c_name", nFiles = 8)
+      Snapshots.create(s, store, cust, nFiles = 8,
+        clusterBy = Some("c_name"))
       Snapshots.indexStats(s, store, Seq("c_name"))
       val v = Snapshots.latest(s, store)
       val total = Snapshots.snap(s, store, v).files.size
@@ -7162,8 +7161,8 @@ object SparkEntry {
         .filter(col("c_custkey").isNotNull && col("c_name").isNotNull)
         .select(col("c_name"), col("c_custkey"),
           cents(col("c_acctbal")).as("bal_cents"))
-      Snapshots.create(s, store, cust, nFiles = 8)
-      Snapshots.cluster(s, store, "c_name", nFiles = 8)
+      Snapshots.create(s, store, cust, nFiles = 8,
+        clusterBy = Some("c_name"))
       Snapshots.indexStats(s, store, Seq("c_name"))
       val total = Snapshots
         .snap(s, store, Snapshots.latest(s, store)).files.size
@@ -7200,8 +7199,8 @@ object SparkEntry {
         .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
           col("n_chars").isNotNull)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      Snapshots.create(s, store, docs, nFiles = 8)
-      Snapshots.cluster(s, store, "n_chars", nFiles = 8)
+      Snapshots.create(s, store, docs, nFiles = 8,
+        clusterBy = Some("n_chars"))
       Snapshots.indexStats(s, store, Seq("n_chars", "lang"))
       val v0 = Snapshots.latest(s, store)
       val before = Snapshots.snap(s, store, v0).files.toSet
@@ -7251,8 +7250,8 @@ object SparkEntry {
         .filter(col("c_custkey").isNotNull)
         .select(col("c_custkey").as("o_custkey"),
           col("c_mktsegment"))
-      Snapshots.create(s, factStore, fact, nFiles = 4)
-      Snapshots.cluster(s, factStore, "cents", nFiles = 4)
+      Snapshots.create(s, factStore, fact, nFiles = 4,
+        clusterBy = Some("cents"))
       Snapshots.indexStats(s, factStore, Seq("cents"))
       Snapshots.create(s, dimStore, dim, nFiles = 2)
       JoinView.init(s, view, factStore, dimStore,

@@ -122,7 +122,7 @@ object JoinView {
     * SAME order. */
   def initStar(spark: SparkSession, viewUrl: String, factUrl: String,
       dims: Seq[(String, String)], factKey: String,
-      nFiles: Int = 8): Unit = {
+      nFiles: Int = 8, clusterByFactKey: Boolean = false): Unit = {
     require(dims.nonEmpty, "star join needs at least one dim")
     require(dims.map(_._2).distinct.length == dims.length,
       s"duplicate join keys: ${dims.map(_._2)}")
@@ -154,7 +154,11 @@ object JoinView {
     }
     val joined = dimDfs.foldLeft(fact) { case (acc, (d, jk)) =>
       acc.join(d, Seq(jk), "inner") }
-    Snapshots.create(spark, viewUrl, joined, nFiles = nFiles)
+    // clusterByFactKey writes the view born key-clustered: the
+    // layout [[refreshStar]]'s copy-on-write upsert wants (narrow
+    // key bands per file), without a separate full cluster rewrite
+    Snapshots.create(spark, viewUrl, joined, nFiles = nFiles,
+      clusterBy = if (clusterByFactKey) Some(factKey) else None)
     writeMeta(spark, viewUrl,
       JvMeta(factKey, dims.map(_._2), fv, dvs), overwrite = false)
   }
@@ -162,9 +166,9 @@ object JoinView {
   /** Two-store convenience form of [[initStar]]. */
   def init(spark: SparkSession, viewUrl: String, factUrl: String,
       dimUrl: String, factKey: String, joinKey: String,
-      nFiles: Int = 8): Unit =
+      nFiles: Int = 8, clusterByFactKey: Boolean = false): Unit =
     initStar(spark, viewUrl, factUrl, Seq((dimUrl, joinKey)),
-      factKey, nFiles)
+      factKey, nFiles, clusterByFactKey)
 
   /** Current view contents (the latest committed version). */
   def read(spark: SparkSession, viewUrl: String): DataFrame =

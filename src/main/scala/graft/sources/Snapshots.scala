@@ -256,13 +256,19 @@ object Snapshots {
 
   /** Create version 1 (refuses an existing store). */
   def create(spark: SparkSession, url: String, df: DataFrame,
-      nFiles: Int = 8): Int = {
+      nFiles: Int = 8, clusterBy: Option[String] = None): Int = {
     val (fs, root) = fsOf(spark, url)
     require(versions(spark, url).isEmpty,
       s"snapshot store already exists at $url")
+    clusterBy.foreach(f => require(df.columns.contains(f),
+      s"create: no column $f to cluster on"))
     fs.mkdirs(root)
+    // clusterBy writes v1 range-clustered directly — one write
+    // instead of create + a full [[cluster]] rewrite when the
+    // layout is known up front
     commit(spark, root, 1, "create",
-      writeFiles(spark, root, df, 1, nFiles), Some(df.schema))
+      writeFiles(spark, root, df, 1, nFiles, clusterBy),
+      Some(df.schema))
   }
 
   /** Append-only commit: new files + the parent's, no rewrites.
