@@ -660,11 +660,11 @@ object Snapshots {
     * scanned — all-null and zero-row files get a marker row (both
     * band sides null) rather than being re-classified as fresh
     * forever (the [[RowGroupIndex.updateBloom]] coverage lesson).
-    * Band assembly collects the per-(file,field) aggregate — O(fresh
-    * files · fields) rows of ≤33-code-point prefixes, the same
-    * driver-side O(files) the pruning readers already pay. The
-    * sidecar lives under `_stats/` where [[vacuum]]'s root-level
-    * `.parquet` sweep never looks.
+    * Band assembly is fully distributed (prefix/successor kernels
+    * as metadata-path udfs over the O(fresh files · fields)
+    * aggregate) — the build never collects, so a million-file
+    * refresh has no driver bound. The sidecar lives under `_stats/`
+    * where [[vacuum]]'s root-level `.parquet` sweep never looks.
     *
     * Returns the number of files scanned this call. */
   def indexStats(spark: SparkSession, url: String,
@@ -727,6 +727,16 @@ object Snapshots {
     // schema-evolution boundary must read pre-evolution files'
     // missing columns as null (correct all-null marker bands), not
     // inherit an arbitrary footer's schema and fail analysis
+    // band assembly stays DISTRIBUTED (the sidecar is O(files·
+    // fields) rows — at a million files a driver collect would be
+    // the build's only unbounded spot). The prefix/successor kernels
+    // run as udfs: this is a metadata job, never the scan hot path
+    val prefixBand = udf((s: String) =>
+      if (s == null) null else cpPrefix(s, StrBandCp))
+    val upperBand = udf((s: String) =>
+      if (s == null) null
+      else if (s.codePointCount(0, s.length) <= StrBandCp) s
+      else cpBump(cpPrefix(s, StrBandCp)).orNull)
     val scanned = spark.read.schema(schema).parquet(freshAbs: _*)
       .select(input_file_name().as("__f"),
         explode(array(perField: _*)).as("e"))
@@ -737,47 +747,19 @@ object Snapshots {
         count(lit(1)).as("n_rows"))
       .withColumn("file",
         element_at(split(col("__f"), "/"), -1)).drop("__f")
-      .collect()
-    val byKey = scanned.map { r =>
-      (r.getString(r.fieldIndex("file")),
-        r.getString(r.fieldIndex("field"))) -> r
-    }.toMap
+      .withColumn("min_s", prefixBand(col("min_p")))
+      .withColumn("max_s", upperBand(col("max_p")))
+      .drop("min_p", "max_p")
     // marker rows: a zero-row file produces no aggregate — without
     // one it would be rescanned on every refresh
-    val rows: Seq[org.apache.spark.sql.Row] =
-      fresh.flatMap { f => fields.map { fl =>
-        byKey.get((f, fl)) match {
-          case None =>
-            org.apache.spark.sql.Row(f, fl, null, null, null, null,
-              0L, 0L)
-          case Some(r) =>
-            def optL(c: String): Any =
-              { val i = r.fieldIndex(c)
-                if (r.isNullAt(i)) null else r.getLong(i) }
-            val nNull = r.getLong(r.fieldIndex("n_null"))
-            val nRows = r.getLong(r.fieldIndex("n_rows"))
-            if (strFields(fl)) {
-              val minP = Option(r.getString(r.fieldIndex("min_p")))
-              val maxP = Option(r.getString(r.fieldIndex("max_p")))
-              val minS = minP.map(cpPrefix(_, StrBandCp)).orNull
-              val maxS = maxP.map { p =>
-                if (p.codePointCount(0, p.length) <= StrBandCp) p
-                else cpBump(cpPrefix(p, StrBandCp)).orNull
-              }.orNull
-              org.apache.spark.sql.Row(f, fl, null, null, minS, maxS,
-                nNull, nRows)
-            } else
-              org.apache.spark.sql.Row(f, fl, optL("min_v"),
-                optL("max_v"), null, null, nNull, nRows)
-        }
-      }}
-    val statsSchema = StructType(Seq(
-      StructField("file", StringType), StructField("field", StringType),
-      StructField("min_v", LongType), StructField("max_v", LongType),
-      StructField("min_s", StringType), StructField("max_s", StringType),
-      StructField("n_null", LongType), StructField("n_rows", LongType)))
-    val freshRows = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), statsSchema)
+    import spark.implicits._
+    val frame = fresh.flatMap(f => fields.map(fl => (f, fl)))
+      .toDF("file", "field")
+    val freshRows = frame.join(scanned, Seq("file", "field"), "left")
+      .select(col("file"), col("field"), col("min_v"), col("max_v"),
+        col("min_s"), col("max_s"),
+        coalesce(col("n_null"), lit(0L)).as("n_null"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
     // legacy sidecars lack the string-band columns: union-by-name
     // with null fill (their rows are all long bands, so null is
     // exactly what assembly would have written)
