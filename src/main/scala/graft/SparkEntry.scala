@@ -7271,6 +7271,46 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents")),
         col("c_mktsegment"))
+    }),
+
+    // ---- PIVOT parity (wide per-category profile in one pass) ----
+    // groupBy(dow).pivot(event_type, explicitValues) — the explicit
+    // value list matters at scale: without it Spark runs an extra
+    // distinct-collect job over the corpus to discover columns.
+    // Engine-neutral keys: epoch-day mod 7, counts + cent sums.
+    "q355_pivot_profile" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val base = t(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull && col("ts").isNotNull)
+        .filter(col("event_type").isin(types.map(x => x: Any): _*))
+        .select(expr("(ts DIV 86400000000000) % 7").as("dow"),
+          col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      orderSmall(base.groupBy(col("dow"))
+        .pivot("event_type", types)
+        .agg(coalesce(sum(col("cents")), lit(0L)))
+        .select(col("dow") +: types.map(tp =>
+          col(s"`$tp`").as(s"sum_$tp")): _*),
+        col("dow"))
+    }),
+
+    // ---- Set-operation parity (EXCEPT / INTERSECT semantics) ----
+    // Spark's except/intersect are DISTINCT set ops (SQL EXCEPT/
+    // INTERSECT); the slices are doc_id ranges with engineered
+    // overlap so all three regions are non-trivial.
+    "q356_set_ops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+      val a = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("lang"))
+      val b = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("lang"))
+      val ex = a.except(b)
+        .select(lit("except").as("op"), col("lang"))
+      val in = a.intersect(b)
+        .select(lit("intersect").as("op"), col("lang"))
+      orderSmall(ex.unionByName(in), col("op"), col("lang"))
     })
   )
 
@@ -16417,6 +16457,47 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM f1 JOIN d USING (ck)
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q355_pivot_profile" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN
+        |      ('click','error','purchase','signup','view')
+        |)
+        |SELECT dow,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click'
+        |    THEN cents END), 0) AS BIGINT) AS sum_click,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'error'
+        |    THEN cents END), 0) AS BIGINT) AS sum_error,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN cents END), 0) AS BIGINT) AS sum_purchase,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'signup'
+        |    THEN cents END), 0) AS BIGINT) AS sum_signup,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view'
+        |    THEN cents END), 0) AS BIGINT) AS sum_view
+        |FROM e GROUP BY dow ORDER BY dow""".stripMargin,
+
+    "q356_set_ops" ->
+      """WITH a AS (
+        |  SELECT lang FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND doc_id % 3 = 0
+        |), b AS (
+        |  SELECT lang FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND doc_id % 5 = 0
+        |)
+        |SELECT 'except' AS op, lang FROM (
+        |  SELECT lang FROM a EXCEPT SELECT lang FROM b)
+        |UNION ALL
+        |SELECT 'intersect', lang FROM (
+        |  SELECT lang FROM a INTERSECT SELECT lang FROM b)
+        |ORDER BY op, lang""".stripMargin
   )
 }
