@@ -325,12 +325,15 @@ object Snapshots {
   /** Replace the live file set wholesale (schema migration, full
     * rewrite) — old versions stay readable until [[vacuum]]. */
   def overwrite(spark: SparkSession, url: String, df: DataFrame,
-      nFiles: Int = 8): Int = {
+      nFiles: Int = 8, clusterBy: Option[String] = None): Int = {
     val (_, root) = fsOf(spark, url)
     validateBatch(spark, root, url, df)
+    clusterBy.foreach(f => require(df.columns.contains(f),
+      s"overwrite: no column $f to cluster on"))
     val v = latest(spark, url) + 1
     commit(spark, root, v, "overwrite",
-      writeFiles(spark, root, df, v, nFiles), Some(df.schema))
+      writeFiles(spark, root, df, v, nFiles, clusterBy),
+      Some(df.schema))
   }
 
   /** Copy-on-write keyed MERGE: [[Materialize.mergeUpsert]] semantics

@@ -197,6 +197,35 @@ class StringBandsSpec extends SparkSpec {
       .filter(col("k").startsWith("c")).count() == 0L)
   }
 
+  test("timestamp columns band, prune, read and delete through the " +
+      "long-range APIs (the cast(long)-seconds contract)") {
+    val url = fresh("ts")
+    val rows = (1L to 300L).map(i =>
+      (i, new java.sql.Timestamp(1600000000000L + i * 1000L)))
+    Snapshots.create(spark, url, rows.toDF("id", "event_ts"),
+      nFiles = 5, clusterBy = Some("event_ts"))
+    Snapshots.indexStats(spark, url, Seq("event_ts"))
+    val v = Snapshots.latest(spark, url)
+    val total = Snapshots.snap(spark, url, v).files.size
+    // bands and residual both live in cast-to-long SECONDS
+    val lo = 1600000000L + 100L; val hi = 1600000000L + 150L
+    val pruned = Snapshots.prunedFiles(spark, url, v, "event_ts",
+      lo, hi)
+    assert(pruned.nonEmpty && pruned.size < total,
+      s"timestamp bands failed to prune (${pruned.size}/$total)")
+    val got = Snapshots.readWhere(spark, url, "event_ts", lo, hi)
+      .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+    assert(got == ((51L, (100L to 150L).sum)))
+    // the retention shape: deleteWhere on the time column
+    val v1 = Snapshots.deleteWhere(spark, url, "event_ts", lo, hi)
+    assert(v1 == v + 1)
+    assert(Snapshots.read(spark, url).count() == 249L)
+    // and the string flavor refuses the time column loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.deleteWhereStr(spark, url, "event_ts", "a", "b")
+    }
+  }
+
   test("all-null and empty string files band as markers and are " +
       "skipped; mixed long+string field sets coexist") {
     val url = fresh("markers")
