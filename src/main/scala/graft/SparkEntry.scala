@@ -7311,6 +7311,51 @@ object SparkEntry {
       val in = a.intersect(b)
         .select(lit("intersect").as("op"), col("lang"))
       orderSmall(ex.unionByName(in), col("op"), col("lang"))
+    }),
+
+    // ---- Write-audit-publish ingest gate ----
+    // Whole-batch invariants audited on the STAGED BYTES before the
+    // manifest commit: a batch whose keys clash with the live
+    // version is refused with nothing published (asserted in-body —
+    // version unchanged), the clean batch publishes. CHECK
+    // constraints guard rows; this guards batches. Oracle = the
+    // union of the base and the one admitted batch.
+    "q357_write_audit_publish" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q357"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def noClash(staged: org.apache.spark.sql.DataFrame): Unit = {
+        val clash = staged.join(Snapshots.read(s, store),
+          Seq("doc_id"), "left_semi").limit(1).count()
+        require(clash == 0L, "batch keys already live")
+      }
+      Snapshots.create(s, store,
+        docs.filter(col("doc_id") % 2 === 0), nFiles = 4)
+      Snapshots.appendAudited(s, store,
+        docs.filter(col("doc_id") % 2 =!= 0), nFiles = 2)(noClash)
+      val v1 = Snapshots.latest(s, store)
+      // a re-ingest of already-live keys must be REFUSED unpublished
+      val refused = scala.util.Try(Snapshots.appendAudited(s, store,
+        docs.filter(col("doc_id") % 7 === 0), nFiles = 1)(noClash))
+      require(refused.isFailure &&
+        Snapshots.latest(s, store) == v1,
+        "clashing batch must not publish")
+      orderSmall(Snapshots.read(s, store)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars")),
+        col("lang"))
     })
   )
 
@@ -16498,6 +16543,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'intersect', lang FROM (
         |  SELECT lang FROM a INTERSECT SELECT lang FROM b)
-        |ORDER BY op, lang""".stripMargin
+        |ORDER BY op, lang""".stripMargin,
+
+    "q357_write_audit_publish" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

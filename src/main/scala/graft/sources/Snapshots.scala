@@ -287,6 +287,38 @@ object Snapshots {
       Some(evolveFrom(spark, root, parent, df)))
   }
 
+  /** Write-audit-publish append: stage the batch's files, run the
+    * caller's `audit` over EXACTLY the rows readers would see (the
+    * staged files read back), and commit the manifest only when the
+    * audit returns normally. An audit throw aborts the publish —
+    * staged files deleted, the store untouched, readers never saw a
+    * row. CHECK constraints ([[addConstraint]]) validate per-ROW
+    * contracts; this validates whole-BATCH invariants on the actual
+    * persisted bytes: row-count bounds, aggregate sanity, key
+    * uniqueness against the live version — the audit can join
+    * against [[read]] freely, the staged files are invisible to it.
+    * A concurrent commit that wins the version race after a passing
+    * audit fails this call loudly; its staged files are crash
+    * debris [[vacuum]] sweeps. */
+  def appendAudited(spark: SparkSession, url: String, df: DataFrame,
+      nFiles: Int = 8)(audit: DataFrame => Unit): Int = {
+    val (fs, root) = fsOf(spark, url)
+    val parent = snap(spark, url, latest(spark, url))
+    validateBatch(spark, root, url, df)
+    val v = parent.version + 1
+    val staged = writeFiles(spark, root, df, v, nFiles)
+    val stagedAbs = staged.map(f => new Path(root, f).toString)
+    try audit(spark.read.schema(df.schema).parquet(stagedAbs: _*))
+    catch {
+      case e: Throwable =>
+        staged.foreach(f => fs.delete(new Path(root, f), false))
+        throw new IllegalArgumentException(
+          s"append audit refused the batch: ${e.getMessage}", e)
+    }
+    commit(spark, root, v, "append", parent.files ++ staged,
+      Some(evolveFrom(spark, root, parent, df)))
+  }
+
   /** The schema an append commits: the parent's evolved with the
     * batch's (a parent with no files and no pinned schema — e.g. an
     * empty bootstrap commit — contributes nothing). */

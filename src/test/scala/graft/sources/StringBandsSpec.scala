@@ -226,6 +226,41 @@ class StringBandsSpec extends SparkSpec {
     }
   }
 
+  test("appendAudited: a failing audit publishes NOTHING (files " +
+      "deleted, version unchanged); a passing one commits; the " +
+      "audit sees exactly the staged rows") {
+    val url = fresh("wap")
+    Snapshots.create(spark, url,
+      (1L to 100L).map(i => (i, i % 5)).toDF("id", "g"), nFiles = 2)
+    val v0 = Snapshots.latest(spark, url)
+    val root = new org.apache.hadoop.fs.Path(url)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.listStatus(root)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    // failing audit: duplicate keys vs the LIVE version
+    val dup = Seq((50L, 9L), (101L, 9L)).toDF("id", "g")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.appendAudited(spark, url, dup, nFiles = 1) { staged =>
+        val clash = staged.join(Snapshots.read(spark, url),
+          Seq("id"), "left_semi").count()
+        require(clash == 0L, s"$clash keys already live")
+      }
+    }
+    assert(e.getMessage.contains("audit refused"))
+    assert(Snapshots.latest(spark, url) == v0)
+    assert(Snapshots.read(spark, url).count() == 100L)
+    assert(dataFiles() == before, "staged files leaked after refusal")
+    // passing audit sees exactly the staged rows and commits
+    var seen = -1L
+    Snapshots.appendAudited(spark, url,
+      Seq((101L, 9L), (102L, 9L)).toDF("id", "g"), nFiles = 1) {
+      staged => seen = staged.count() }
+    assert(seen == 2L)
+    assert(Snapshots.latest(spark, url) == v0 + 1)
+    assert(Snapshots.read(spark, url).count() == 102L)
+  }
+
   test("all-null and empty string files band as markers and are " +
       "skipped; mixed long+string field sets coexist") {
     val url = fresh("markers")
