@@ -7287,11 +7287,14 @@ object SparkEntry {
         .select(expr("(ts DIV 86400000000000) % 7").as("dow"),
           col("event_type"),
           floor(col("value") * 100).cast("long").as("cents"))
+      // zero-fill AFTER the pivot: a coalesce inside the aggregate
+      // never runs for a (dow, type) cell with no rows — Spark's
+      // two-phase PivotFirst fills those with NULL
       orderSmall(base.groupBy(col("dow"))
         .pivot("event_type", types)
-        .agg(coalesce(sum(col("cents")), lit(0L)))
+        .agg(sum(col("cents")))
         .select(col("dow") +: types.map(tp =>
-          col(s"`$tp`").as(s"sum_$tp")): _*),
+          coalesce(col(s"`$tp`"), lit(0L)).as(s"sum_$tp")): _*),
         col("dow"))
     }),
 

@@ -183,18 +183,23 @@ object JoinView {
     * doctrine). The old view stays readable throughout. */
   def rebuildStar(spark: SparkSession, viewUrl: String,
       newUrl: String, factUrl: String, dimUrls: Seq[String],
-      nFiles: Int = 8): Unit = {
+      nFiles: Int = 8, clusterByFactKey: Boolean = false): Unit = {
     val m = meta(spark, viewUrl)
     require(dimUrls.length == m.joinKeys.length,
       s"view joins ${m.joinKeys.length} dims, got ${dimUrls.length}")
+    // a born-clustered view must ask for clusterByFactKey here too:
+    // the recovery rebuild would otherwise silently re-lay it
+    // round-robin and cost every later refresh its pruned probes
     initStar(spark, newUrl, factUrl, dimUrls.zip(m.joinKeys),
-      m.factKey, nFiles)
+      m.factKey, nFiles, clusterByFactKey)
   }
 
   /** Two-store convenience form of [[rebuildStar]]. */
   def rebuild(spark: SparkSession, viewUrl: String, newUrl: String,
-      factUrl: String, dimUrl: String, nFiles: Int = 8): Unit =
-    rebuildStar(spark, viewUrl, newUrl, factUrl, Seq(dimUrl), nFiles)
+      factUrl: String, dimUrl: String, nFiles: Int = 8,
+      clusterByFactKey: Boolean = false): Unit =
+    rebuildStar(spark, viewUrl, newUrl, factUrl, Seq(dimUrl), nFiles,
+      clusterByFactKey)
 
   /** Advance the view to the base stores' latest versions from
     * their CDC feeds. `dimUrls` in [[initStar]]'s dim order.

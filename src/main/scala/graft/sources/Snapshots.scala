@@ -308,9 +308,13 @@ object Snapshots {
     val v = parent.version + 1
     val staged = writeFiles(spark, root, df, v, nFiles)
     val stagedAbs = staged.map(f => new Path(root, f).toString)
+    // NonFatal only: an executor loss / OOM / interrupt during the
+    // audit job is an infrastructure failure, not a data refusal —
+    // it propagates as itself (staged files become crash debris
+    // vacuum sweeps), never mislabeled as "batch refused"
     try audit(spark.read.schema(df.schema).parquet(stagedAbs: _*))
     catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         staged.foreach(f => fs.delete(new Path(root, f), false))
         throw new IllegalArgumentException(
           s"append audit refused the batch: ${e.getMessage}", e)
@@ -695,11 +699,12 @@ object Snapshots {
     * scanned — all-null and zero-row files get a marker row (both
     * band sides null) rather than being re-classified as fresh
     * forever (the [[RowGroupIndex.updateBloom]] coverage lesson).
-    * Band assembly is fully distributed (prefix/successor kernels
-    * as metadata-path udfs over the O(fresh files · fields)
-    * aggregate) — the build never collects, so a million-file
-    * refresh has no driver bound. The sidecar lives under `_stats/`
-    * where [[vacuum]]'s root-level `.parquet` sweep never looks.
+    * The per-file band aggregate is assembled distributed
+    * (prefix/successor kernels as metadata-path udfs) — the driver
+    * holds only the covered-file set and the marker frame, the same
+    * O(files) order every pruning probe already pays. The sidecar
+    * lives under `_stats/` where [[vacuum]]'s root-level `.parquet`
+    * sweep never looks.
     *
     * Returns the number of files scanned this call. */
   def indexStats(spark: SparkSession, url: String,
@@ -762,10 +767,11 @@ object Snapshots {
     // schema-evolution boundary must read pre-evolution files'
     // missing columns as null (correct all-null marker bands), not
     // inherit an arbitrary footer's schema and fail analysis
-    // band assembly stays DISTRIBUTED (the sidecar is O(files·
-    // fields) rows — at a million files a driver collect would be
-    // the build's only unbounded spot). The prefix/successor kernels
-    // run as udfs: this is a metadata job, never the scan hot path
+    // the BAND aggregate stays distributed (the prefix/successor
+    // kernels run as udfs — a metadata job, never the scan hot
+    // path); the driver still holds the O(files) covered-set and
+    // the O(fresh·fields) marker frame, the same order the pruning
+    // readers pay per probe
     val prefixBand = udf((s: String) =>
       if (s == null) null else cpPrefix(s, StrBandCp))
     val upperBand = udf((s: String) =>
