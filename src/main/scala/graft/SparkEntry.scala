@@ -7359,6 +7359,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("sum_chars")),
         col("lang"))
+    }),
+
+    // ---- ROLLUP + GROUPING SETS parity ----
+    // q344 proved CUBE (all 2ⁿ sets); this proves the other two
+    // multi-set shapes: ROLLUP's prefix hierarchy (lang,source →
+    // lang → ()) and an EXPLICIT set list — the independent
+    // marginals ((lang),(source)) that neither cube nor rollup can
+    // express without computing unwanted sets. Each arm is ONE
+    // Expand+aggregate exchange — at 100 TB that replaces k separate
+    // groupBy jobs (k corpus scans) with one. Same engine-neutral
+    // conventions as q344: explicit 2·grouping(a)+grouping(b) id,
+    // rolled-up NULLs coalesced to sentinels for a total order.
+    "q358_grouping_sets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("lang"), col("source"), col("n_chars"))
+      def shape(op: String,
+          g: org.apache.spark.sql.RelationalGroupedDataset) =
+        g.agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"),
+            (grouping(col("lang")) * 2 + grouping(col("source")))
+              .cast("long").as("gid"))
+          .select(lit(op).as("op"),
+            coalesce(col("lang"), lit("ALL")).as("lang"),
+            coalesce(col("source"), lit("ALL")).as("source"),
+            col("n"), col("sum_chars"), col("gid"))
+      val ru = shape("rollup", docs.rollup(col("lang"), col("source")))
+      val gs = shape("gsets", docs.groupingSets(
+        Seq(Seq(col("lang")), Seq(col("source"))),
+        col("lang"), col("source")))
+      orderSmall(ru.unionByName(gs),
+        col("op"), col("gid"), col("lang"), col("source"))
     })
   )
 
@@ -16554,6 +16587,29 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q358_grouping_sets" ->
+      """WITH d AS (
+        |  SELECT lang, source, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND source IS NOT NULL AND n_chars IS NOT NULL
+        |)
+        |SELECT * FROM (
+        |  SELECT 'rollup' AS op,
+        |    coalesce(lang, 'ALL') AS lang,
+        |    coalesce(source, 'ALL') AS source,
+        |    count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT)
+        |      AS gid
+        |  FROM d GROUP BY ROLLUP (lang, source)
+        |  UNION ALL
+        |  SELECT 'gsets',
+        |    coalesce(lang, 'ALL'), coalesce(source, 'ALL'),
+        |    count(*), CAST(sum(n_chars) AS BIGINT),
+        |    CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT)
+        |  FROM d GROUP BY GROUPING SETS ((lang), (source))
+        |) ORDER BY op, gid, lang, source""".stripMargin
   )
 }
