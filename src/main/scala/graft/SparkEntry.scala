@@ -7392,6 +7392,55 @@ object SparkEntry {
         col("lang"), col("source")))
       orderSmall(ru.unionByName(gs),
         col("op"), col("gid"), col("lang"), col("source"))
+    }),
+
+    // ---- Copy-on-write range UPDATE (pseudonymize/correction shape) ----
+    // UPDATE ... SET ... WHERE over stats bands: only band-overlapping
+    // files rewrite (COW asserted in-body: untouched files re-listed),
+    // replacement expressions see the matched row's CURRENT values
+    // (the negation proves it), a no-match update is a TRUE no-op
+    // (same version back), and the pre-update version still reads the
+    // original values. Oracle = CASE WHEN over the source rows.
+    "q359_update_where" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q359"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, store, docs, nFiles = 8,
+        clusterBy = Some("doc_id"))
+      Snapshots.indexStats(s, store, Seq("doc_id"))
+      val v0 = Snapshots.latest(s, store)
+      val before = Snapshots.snap(s, store, v0).files.toSet
+      val v1 = Snapshots.updateWhere(s, store, "doc_id", 100L, 220L,
+        Map("lang" -> lit("redacted"),
+          "n_chars" -> (-col("n_chars")).cast("long")))
+      require(v1 == v0 + 1, "range update did not commit")
+      val after = Snapshots.snap(s, store, v1).files.toSet
+      require((before intersect after).nonEmpty,
+        "range update rewrote every file — not copy-on-write")
+      // a no-match update is a true no-op: same version back
+      require(Snapshots.updateWhere(s, store, "doc_id",
+        900000L, 999999L, Map("lang" -> lit("zz"))) == v1,
+        "no-match update committed")
+      // the pre-update version still reads the original values
+      require(Snapshots.readAsOf(s, store, v0)
+        .filter(col("lang") === "redacted").limit(1).isEmpty,
+        "old version leaked updated values")
+      orderSmall(Snapshots.read(s, store)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars")),
+        col("lang"))
     })
   )
 
@@ -16610,6 +16659,21 @@ object SparkEntry {
         |    count(*), CAST(sum(n_chars) AS BIGINT),
         |    CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT)
         |  FROM d GROUP BY GROUPING SETS ((lang), (source))
-        |) ORDER BY op, gid, lang, source""".stripMargin
+        |) ORDER BY op, gid, lang, source""".stripMargin,
+
+    "q359_update_where" ->
+      """WITH u AS (
+        |  SELECT
+        |    CASE WHEN doc_id BETWEEN 100 AND 220
+        |      THEN 'redacted' ELSE lang END AS lang,
+        |    CASE WHEN doc_id BETWEEN 100 AND 220
+        |      THEN -n_chars ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

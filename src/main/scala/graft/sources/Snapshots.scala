@@ -520,6 +520,102 @@ object Snapshots {
     } finally scanned.unpersist()
   }
 
+  /** Copy-on-write range UPDATE — `UPDATE store SET c = expr WHERE
+    * field BETWEEN lo AND hi` as a NEW version: only files whose
+    * stats band can hold a matching row are rewritten (the
+    * pseudonymize/backfill-correction shape at 100 TB — cluster the
+    * store on the field and the cost is the overlapping band, never
+    * the corpus); untouched files are re-listed as-is, old versions
+    * stay readable, the CDC feed sees the updated keys. `set` maps
+    * EXISTING columns to replacement expressions evaluated on the
+    * matched row's current values (`"n" -> col("n") + 1`
+    * increments). Rows with a NULL field never match. Updated rows
+    * re-check the store's CHECK constraints, and each replacement
+    * must keep its column's pinned type — loud refusal, never a
+    * silent cast (the silent-empty doctrine). Returns the committed
+    * version — the CURRENT one when no row matches (true no-op,
+    * nothing committed). */
+  def updateWhere(spark: SparkSession, url: String, field: String,
+      lo: Long, hi: Long, set: Map[String, Column]): Int = {
+    val parentV = latest(spark, url)
+    updateInFiles(spark, url, parentV, field, wantString = false,
+      prunedFiles(spark, url, parentV, field, lo, hi),
+      longRangePred(_, field, lo, hi), set)
+  }
+
+  /** [[updateWhere]] for a STRING field (prefix-band pruning). */
+  def updateWhereStr(spark: SparkSession, url: String, field: String,
+      lo: String, hi: String, set: Map[String, Column]): Int = {
+    val parentV = latest(spark, url)
+    updateInFiles(spark, url, parentV, field, wantString = true,
+      prunedFilesStr(spark, url, parentV, field, lo, hi),
+      _ => col(field) >= lit(lo) && col(field) <= lit(hi), set)
+  }
+
+  private def updateInFiles(spark: SparkSession, url: String,
+      parentV: Int, field: String, wantString: Boolean,
+      files: Seq[String],
+      pred: org.apache.spark.sql.types.StructType => Column,
+      set: Map[String, Column]): Int = {
+    val (_, root) = fsOf(spark, url)
+    val parent = snap(spark, url, parentV)
+    val storeSchema = schemaOf(spark, root, parent)
+    require(set.nonEmpty, "updateWhere: empty SET clause")
+    require(storeSchema.fieldNames.contains(field),
+      s"updateWhere: no column $field in the store schema")
+    set.keys.foreach(c => require(storeSchema.fieldNames.contains(c),
+      s"updateWhere: SET names unknown column $c — updates never " +
+        "add columns (that is schema evolution, use append/upsert)"))
+    // the deleteWhere flavor/type gate — a wrong-typed range would
+    // otherwise coerce to never-matching and "succeed" updating
+    // nothing (the silent-empty class)
+    import org.apache.spark.sql.types._
+    val isString = storeSchema(field).dataType == StringType
+    require(isString == wantString,
+      s"updateWhere: column $field is ${storeSchema(field).dataType}" +
+        s" — use the ${if (isString) "string" else "numeric"}-range " +
+        "API flavor")
+    if (!wantString) storeSchema(field).dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType => ()
+      case dt => throw new IllegalArgumentException(
+        s"updateWhere: column $field is $dt — not a range-update " +
+          "type (integral/date/timestamp/string)")
+    }
+    if (files.isEmpty) return parent.version
+    val names = files.map(f => new Path(f).getName).toSet
+    val scanned = spark.read.schema(storeSchema).parquet(files: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hit = coalesce(pred(storeSchema), lit(false))
+      // stats admission is conservative — a row-level probe keeps a
+      // no-match update a TRUE no-op instead of an identity rewrite
+      if (scanned.filter(hit).limit(1).isEmpty) return parent.version
+      val updated = scanned.select(storeSchema.fieldNames.map { c =>
+        set.get(c).map(e => when(hit, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+      updated.schema.fields.zip(storeSchema.fields).foreach {
+        case (u, b) => require(u.dataType == b.dataType,
+          s"updateWhere: SET ${b.name} yields ${u.dataType} but the " +
+            s"pinned column is ${b.dataType} — cast explicitly")
+      }
+      // constraints re-checked on the rows that actually changed
+      // (pred evaluated on PRE-update values, set applied after)
+      validateBatch(spark, root, url,
+        scanned.filter(hit).select(storeSchema.fieldNames.map(c =>
+          set.get(c).map(_.as(c)).getOrElse(col(c))): _*))
+      val v = parent.version + 1
+      // re-cluster on the range field: rewrites merge several input
+      // files, and a round-robin layout would hand each output file
+      // a full-width band (the deleteFromFiles rationale)
+      val rewritten = writeFiles(spark, root, updated, v,
+        math.max(1, files.length), clusterBy = Some(field))
+      commit(spark, root, v, "update",
+        parent.files.filterNot(names) ++ rewritten, Some(storeSchema))
+    } finally scanned.unpersist()
+  }
+
   /** Read exactly one version's file set (snapshot isolation) under
     * its pinned schema — files older than an evolved column read it
     * as null; schema resolution never opens a data file. */

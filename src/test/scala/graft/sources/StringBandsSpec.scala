@@ -197,6 +197,85 @@ class StringBandsSpec extends SparkSpec {
       .filter(col("k").startsWith("c")).count() == 0L)
   }
 
+  test("updateWhere: copy-on-write range update rewrites only the " +
+      "overlapping band, sees current values, gates types, no-ops, " +
+      "re-checks constraints, feeds CDC") {
+    val url = fresh("upd")
+    val rows = (1L to 400L).map(i => (i, if (i % 97 == 0) None
+      else Some(i), s"t$i")).toDF("id", "x", "tag")
+    Snapshots.create(spark, url, rows, nFiles = 8,
+      clusterBy = Some("x"))
+    Snapshots.indexStats(spark, url, Seq("x"))
+    Snapshots.addConstraint(spark, url, "tag_nonempty",
+      "length(tag) > 0")
+    val v0 = Snapshots.latest(spark, url)
+    val before = Snapshots.snap(spark, url, v0).files.toSet
+    // replacement sees the row's CURRENT values: increment + retag
+    val v1 = Snapshots.updateWhere(spark, url, "x", 100L, 200L,
+      Map("x" -> (col("x") + 1000L), "tag" -> lit("touched")))
+    assert(v1 == v0 + 1)
+    val after = Snapshots.snap(spark, url, v1).files.toSet
+    assert((before intersect after).nonEmpty,
+      "update rewrote every file — not copy-on-write")
+    val now = Snapshots.read(spark, url)
+    val hit = (100L to 200L).count(_ % 97 != 0)
+    assert(now.filter(col("tag") === "touched").count() == hit.toLong)
+    assert(now.filter(col("x").between(1100L, 1200L)).count() ==
+      hit.toLong)
+    assert(now.filter(col("x").between(100L, 200L)).count() == 0L)
+    // nulls never match a range; totals are row-preserving
+    assert(now.count() == 400L)
+    assert(now.filter(col("x").isNull).count() ==
+      (1L to 400L).count(_ % 97 == 0).toLong)
+    // old version reads the original values; CDC sees updated keys
+    assert(Snapshots.readAsOf(spark, url, v0)
+      .filter(col("tag") === "touched").isEmpty)
+    val feed = Snapshots.changes(spark, url, "id", v0, v1)
+    assert(feed.filter(col("_change") === "update" &&
+      col("tag") === "touched").count() == hit.toLong)
+    // a no-match range is a true no-op: same version back
+    assert(Snapshots.updateWhere(spark, url, "x", 9000L, 9999L,
+      Map("tag" -> lit("zz"))) == v1)
+    // loud gates: wrong result type, unknown column, wrong flavor
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, url, "x", 1L, 2L,
+        Map("x" -> lit("oops")))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, url, "x", 1L, 2L,
+        Map("nope" -> lit(1L)))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhereStr(spark, url, "x", "a", "b",
+        Map("tag" -> lit("s")))
+    }
+    // a CHECK-violating update is refused with nothing committed
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, url, "x", 1L, 50L,
+        Map("tag" -> lit("")))
+    }
+    assert(Snapshots.latest(spark, url) == v1)
+    // the string flavor prunes by prefix bands and updates exactly
+    val surl = fresh("upds")
+    val srows = ('a' to 'j').flatMap(c =>
+      (1 to 20).map(i => (s"$c$i", i.toLong))).toDF("k", "v")
+    Snapshots.create(spark, surl, srows, nFiles = 5,
+      clusterBy = Some("k"))
+    Snapshots.indexStats(spark, surl, Seq("k"))
+    val sBefore = Snapshots.snap(spark, surl,
+      Snapshots.latest(spark, surl)).files.toSet
+    Snapshots.updateWhereStr(spark, surl, "k", "c", "d",
+      Map("v" -> (col("v") * -1L)))
+    val sAfter = Snapshots.snap(spark, surl,
+      Snapshots.latest(spark, surl)).files.toSet
+    assert((sBefore intersect sAfter).nonEmpty)
+    val sNow = Snapshots.read(spark, surl)
+    assert(sNow.filter(col("v") < 0L).count() == 20L)
+    assert(sNow.filter(col("k").startsWith("c") && col("v") > 0L)
+      .count() == 0L)
+    assert(sNow.count() == 200L)
+  }
+
   test("timestamp columns band, prune, read and delete through the " +
       "long-range APIs (the cast(long)-seconds contract)") {
     val url = fresh("ts")
