@@ -7441,6 +7441,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("sum_chars")),
         col("lang"))
+    }),
+
+    // ---- Named tags: the reproducible-training-set pin ----
+    // setTag("train_v1") pins the exact bytes a run trained on; the
+    // head then moves (append + range delete) and a vacuum collects
+    // everything below the head EXCEPT the pinned version — its
+    // manifest and files survive (asserted in-body: the untagged
+    // middle version is gone, the tag still reads IN FULL after the
+    // vacuum). Oracle = the pinned version's content, which is
+    // exactly the original even-id slice.
+    "q360_tagged_snapshot" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q360"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, store,
+        docs.filter(col("doc_id") % 2 === 0), nFiles = 4,
+        clusterBy = Some("doc_id"))
+      val v1 = Snapshots.setTag(s, store, "train_v1")
+      // the head moves on: odd ids arrive, then a retention delete
+      Snapshots.append(s, store,
+        docs.filter(col("doc_id") % 2 =!= 0), nFiles = 2)
+      val v2 = Snapshots.latest(s, store)
+      Snapshots.indexStats(s, store, Seq("doc_id"))
+      Snapshots.deleteWhere(s, store, "doc_id", 0L, 150L)
+      val v3 = Snapshots.latest(s, store)
+      val (_, retired) = Snapshots.vacuum(s, store, v3, graceMs = 0L)
+      require(retired >= 1 &&
+        !Snapshots.versions(s, store).contains(v2) &&
+        Snapshots.versions(s, store).contains(v1),
+        "vacuum must retire the untagged middle version and keep the pin")
+      orderSmall(Snapshots.readTag(s, store, "train_v1")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars")),
+        col("lang"))
     })
   )
 
@@ -16674,6 +16720,14 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM u GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q360_tagged_snapshot" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND doc_id % 2 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

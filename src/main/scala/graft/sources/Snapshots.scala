@@ -1551,19 +1551,94 @@ object Snapshots {
       Some(schemaOf(spark, srcRoot, s)))
   }
 
+  // ---- named refs (tags): human-named immutable version pins ----
+  private def refsDir(root: Path) = new Path(root, "_refs")
+
+  /** Pin `version` (default: the latest) under a human name — the
+    * reproducible-training-set primitive: "train-2026-08" keeps
+    * meaning the same bytes forever. [[vacuum]] keeps a tagged
+    * version's manifest AND files alive regardless of `keepFrom`,
+    * and [[readTag]] is snapshot-isolated [[readAsOf]]. Tags are
+    * IMMUTABLE pins: re-tagging a live name is refused
+    * ([[deleteTag]] first) — a silently moved pin would un-reproduce
+    * someone's recorded run, the worst failure mode a pin can have.
+    * O(1) metadata: one flat file under `_refs/`, no data touched. */
+  def setTag(spark: SparkSession, url: String, name: String,
+      version: Int = -1): Int = {
+    val (fs, root) = fsOf(spark, url)
+    require(name.nonEmpty && name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"tag name '$name' must be [A-Za-z0-9._-] with a leading alnum")
+    val vs = versions(spark, url)
+    require(vs.nonEmpty, s"no snapshot store at $url")
+    val v = if (version > 0) version else vs.max
+    require(vs.contains(v), s"setTag: v$v is not a committed version")
+    val dir = refsDir(root)
+    fs.mkdirs(dir)
+    val p = new Path(dir, name)
+    require(!fs.exists(p),
+      s"tag '$name' already exists (immutable pin — deleteTag first)")
+    val out = fs.create(p, false)
+    try out.write(s"""{"name":"$name","version":$v}""".getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** Remove a tag (the pinned version becomes ordinary [[vacuum]]
+    * prey again). Refuses an unknown name — a typo'd delete that
+    * "succeeds" would leave the caller believing a pin was lifted. */
+  def deleteTag(spark: SparkSession, url: String, name: String): Unit = {
+    val (fs, root) = fsOf(spark, url)
+    val p = new Path(refsDir(root), name)
+    require(fs.exists(p), s"no tag '$name' at $url")
+    require(fs.delete(p, false), s"delete failed for tag '$name'")
+  }
+
+  /** All tags as (name, version), name-sorted. O(tags) metadata. */
+  def tags(spark: SparkSession, url: String): Seq[(String, Int)] = {
+    val (fs, root) = fsOf(spark, url)
+    val dir = refsDir(root)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.filter(_.isFile).map { st =>
+      val body = {
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      val m = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+        .getOrElse(sys.error(
+          s"corrupt tag file ${st.getPath} — no version field"))
+      (st.getPath.getName, m.group(1).toInt)
+    }.sortBy(_._1)
+  }
+
+  /** Resolve a tag to its pinned version; loud on an unknown name. */
+  def tagVersion(spark: SparkSession, url: String, name: String): Int =
+    tags(spark, url).collectFirst { case (`name`, v) => v }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no tag '$name' at $url (have: " +
+          tags(spark, url).map(_._1).mkString(", ") + ")"))
+
+  /** [[readAsOf]] the version a tag pins. */
+  def readTag(spark: SparkSession, url: String, name: String): DataFrame =
+    readAsOf(spark, url, tagVersion(spark, url, name))
+
   def vacuum(spark: SparkSession, url: String, keepFrom: Int,
       graceMs: Long = 3600L * 1000): (Int, Int) = {
     val (fs, root) = fsOf(spark, url)
     val vs = versions(spark, url)
     require(vs.contains(keepFrom), s"keepFrom=$keepFrom not a version")
-    val live = vs.filter(_ >= keepFrom)
+    // tagged versions are pinned: their manifests and files survive
+    // any keepFrom (the reproducibility contract of [[setTag]])
+    val pinned = tags(spark, url).map(_._2).toSet
+    def keeps(v: Int): Boolean = v >= keepFrom || pinned.contains(v)
+    val live = vs.filter(keeps)
       .flatMap(v => snap(spark, url, v).files).toSet
     // files an expiring manifest references die with it; files NO
     // manifest references are either failed-commit debris or an
     // IN-FLIGHT commit's staged renames (writeFiles lands data files
     // before the manifest) — only the grace window tells them apart,
     // so orphans must outlive it before collection
-    val retired = vs.filter(_ < keepFrom)
+    val retired = vs.filterNot(keeps)
       .flatMap(v => snap(spark, url, v).files).toSet -- live
     val cutoff = System.currentTimeMillis() - graceMs
     val onDisk = fs.listStatus(root).toSeq
@@ -1580,12 +1655,12 @@ object Snapshots {
     // documented single-writer, but this narrows the window from
     // the whole vacuum to one listing round-trip — a file any
     // now-visible surviving manifest references is never deleted.
-    val liveNow = versions(spark, url).filter(_ >= keepFrom)
+    val liveNow = versions(spark, url).filter(keeps)
       .flatMap(v => snap(spark, url, v).files).toSet
     val safe = doomed.filterNot(st => liveNow.contains(st.getPath.getName))
     safe.foreach(st => require(fs.delete(st.getPath, false),
       s"delete failed vacuuming ${st.getPath}"))
-    val deadVs = vs.filter(_ < keepFrom)
+    val deadVs = vs.filterNot(keeps)
     deadVs.foreach(v => require(fs.delete(manifestPath(root, v), false),
       s"delete failed retiring manifest v$v"))
     // crash-debris sweep beyond root-level data files: a JVM dying
