@@ -7487,6 +7487,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("sum_chars")),
         col("lang"))
+    }),
+
+    // ---- Metadata-priced exact range COUNT ----
+    // countWhere opens only band-STRADDLING files: interior files
+    // fully inside the range are answered from the stats sidecar's
+    // n_rows/n_null (asserted in-body: a strict scan subset on the
+    // clustered long range), so `count rows in the last 30 days` on
+    // a 100k-file store is two boundary-file scans plus one sidecar
+    // read. Long and string flavors on one store; exactness is
+    // band-independent (the residual recount on straddlers).
+    "q361_count_where" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q361"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull && col("c_name").isNotNull &&
+          col("c_acctbal").isNotNull)
+        .select(col("c_custkey"), col("c_name"),
+          cents(col("c_acctbal")).as("bal_cents"))
+      Snapshots.create(s, store, cust, nFiles = 8,
+        clusterBy = Some("c_custkey"))
+      Snapshots.indexStats(s, store, Seq("c_custkey", "c_name"))
+      val total = Snapshots
+        .snap(s, store, Snapshots.latest(s, store)).files.size
+      val (nLong, scanned) =
+        Snapshots.countWhere(s, store, "c_custkey", 25L, 1400L)
+      require(scanned < total,
+        s"countWhere scanned $scanned/$total — interior files " +
+          "should be metadata-counted")
+      val (nStr, scannedS) = Snapshots.countWhereStr(s, store,
+        "c_name", "Customer#000000100", "Customer#000000899")
+      require(scannedS < total,
+        s"countWhereStr scanned $scannedS/$total")
+      import s.implicits._
+      orderSmall(Seq(("long_range", nLong), ("str_range", nStr))
+        .toDF("op", "cnt"), col("op"))
     })
   )
 
@@ -16728,6 +16771,21 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL AND doc_id % 2 = 0
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q361_count_where" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        |    AND c_acctbal IS NOT NULL
+        |)
+        |SELECT * FROM (
+        |  SELECT 'long_range' AS op, count(*) AS cnt FROM c
+        |  WHERE c_custkey BETWEEN 25 AND 1400
+        |  UNION ALL
+        |  SELECT 'str_range', count(*) FROM c
+        |  WHERE c_name BETWEEN 'Customer#000000100'
+        |    AND 'Customer#000000899'
+        |) ORDER BY op""".stripMargin
   )
 }

@@ -1230,6 +1230,95 @@ object Snapshots {
           col(f) >= lit(lo) && col(f) <= lit(hi) }).reduce(_ && _))
   }
 
+  /** Exact `SELECT count(*) WHERE field BETWEEN lo AND hi` that
+    * opens only band-STRADDLING files: a file whose band lies fully
+    * inside the range contributes `n_rows − n_null` from the stats
+    * sidecar alone (every non-null value is in range by the band
+    * bound), a disjoint or all-null file contributes 0, and only
+    * files partially overlapping the range — or not yet covered by
+    * stats — are scanned with the residual predicate. On a store
+    * [[cluster]]ed by the field, a wide range over 100k files scans
+    * the two BOUNDARY files; metadata answers the rest. Exactness
+    * never depends on stats freshness: no sidecar (or a legacy one
+    * without row counts) degrades to scan-counting the band-admitted
+    * files. Returns (count, filesScanned) so callers can assert the
+    * scan subset. */
+  def countWhere(spark: SparkSession, url: String, field: String,
+      lo: Long, hi: Long, version: Int = -1): (Long, Int) =
+    countByBands(spark, url, version, field, wantString = false,
+      b => { longHits(field, (mn, mx) => lo <= mx && hi >= mn)(b) },
+      b => lo <= b.minV.get && b.maxV.get <= hi,
+      longRangePred(_, field, lo, hi))
+
+  /** [[countWhere]] for a STRING field (prefix bands): containment
+    * stays sound under truncation — the stored lower band is ≤ the
+    * file's true minimum and the successor upper band is ≥ its true
+    * maximum, so `lo ≤ min_s && max_s ≤ hi` proves every value is
+    * inside; an "unbounded above" band (failed successor) is never
+    * metadata-counted. */
+  def countWhereStr(spark: SparkSession, url: String, field: String,
+      lo: String, hi: String, version: Int = -1): (Long, Int) =
+    countByBands(spark, url, version, field, wantString = true,
+      strHits(field, lo, hi),
+      b => cpCompare(lo, b.minS.get) <= 0 &&
+        b.maxS.exists(mx => cpCompare(mx, hi) <= 0),
+      _ => col(field) >= lit(lo) && col(field) <= lit(hi))
+
+  private def countByBands(spark: SparkSession, url: String,
+      version: Int, field: String, wantString: Boolean,
+      overlapping: Band => Boolean, contained: Band => Boolean,
+      residual: org.apache.spark.sql.types.StructType => Column)
+      : (Long, Int) = {
+    val (fs, root) = fsOf(spark, url)
+    val v = if (version > 0) version else latest(spark, url)
+    val s = snap(spark, url, v)
+    val schema = schemaOf(spark, root, s)
+    require(schema.fieldNames.contains(field),
+      s"countWhere: no column $field in the store schema")
+    import org.apache.spark.sql.types._
+    val isString = schema(field).dataType == StringType
+    require(isString == wantString,
+      s"countWhere: column $field is ${schema(field).dataType} — " +
+        s"use the ${if (isString) "string" else "numeric"}-range " +
+        "API flavor")
+    def scanCount(files: Seq[String]): Long =
+      if (files.isEmpty) 0L
+      else spark.read.schema(schema).parquet(files: _*)
+        .filter(residual(schema)).count()
+    val sp = statsPath(root)
+    val hasCounts = fs.exists(sp) &&
+      spark.read.parquet(sp.toString).columns.contains("n_rows")
+    if (!hasCounts) {
+      // conservative fallback: band-prune if possible, scan-count
+      val admitted = pruneByBands(spark, url, v, field)(overlapping)
+      return (scanCount(admitted), admitted.size)
+    }
+    // one sidecar read: band + row/null counts per covered file
+    val rows = spark.read.parquet(sp.toString)
+      .filter(col("field") === field)
+      .select("file", "min_v", "max_v", "min_s", "max_s",
+        "n_null", "n_rows")
+      .collect()
+      .map(r => r.getString(0) -> ((Band(
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        Option(r.getString(3)), Option(r.getString(4))),
+        r.getLong(5), r.getLong(6)))).toMap
+    var metaCount = 0L
+    val toScan = Seq.newBuilder[String]
+    s.files.foreach { f =>
+      rows.get(f) match {
+        case None => toScan += new Path(root, f).toString
+        case Some((b, _, _)) if b.allNull => () // no value can match
+        case Some((b, nNull, nRows)) =>
+          if (contained(b)) metaCount += nRows - nNull
+          else if (overlapping(b)) toScan += new Path(root, f).toString
+      }
+    }
+    val files = toScan.result()
+    (metaCount + scanCount(files), files.size)
+  }
+
   /** Bin-pack maintenance: rewrite ONLY the live files smaller than
     * `smallBytes` into ~`targetBytes` files (new version, op
     * "compact"); files already at weight are re-listed untouched.

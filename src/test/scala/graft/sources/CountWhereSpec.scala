@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Metadata-priced exact range counts: fully-contained files answer
+  * from the stats sidecar's n_rows/n_null, only band-straddling
+  * files are scanned, and exactness never depends on stats
+  * freshness (fallback = scan-count the band-admitted files). */
+class CountWhereSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(tag: String): String =
+    scratch(s"cw_$tag/${java.util.UUID.randomUUID().toString.take(8)}")
+
+  test("countWhere: exact under nulls, scans only straddlers, " +
+      "zero scans when every file is contained, flavor-gated") {
+    val url = fresh("long")
+    val rows = (1L to 1000L).map(i =>
+      (i, if (i % 53 == 0) None else Some(i))).toDF("id", "x")
+    Snapshots.create(spark, url, rows, nFiles = 10,
+      clusterBy = Some("x"))
+    Snapshots.indexStats(spark, url, Seq("x"))
+    val total = Snapshots
+      .snap(spark, url, Snapshots.latest(spark, url)).files.size
+    // interior range: exact count, strict scan subset
+    val expect = (200L to 700L).count(_ % 53 != 0).toLong
+    val (n, scanned) = Snapshots.countWhere(spark, url, "x", 200L, 700L)
+    assert(n == expect)
+    assert(scanned > 0 && scanned < total,
+      s"scanned $scanned/$total — interior files should be metadata")
+    // a range containing every value needs ZERO file opens
+    val (all, s0) = Snapshots.countWhere(spark, url, "x", 0L, 2000L)
+    assert(all == (1L to 1000L).count(_ % 53 != 0).toLong)
+    assert(s0 == 0, s"full-cover range scanned $s0 files")
+    // a disjoint range is zero without opening anything
+    assert(Snapshots.countWhere(spark, url, "x", 5000L, 9999L) ==
+      ((0L, 0)))
+    // flavor gate
+    intercept[IllegalArgumentException] {
+      Snapshots.countWhereStr(spark, url, "x", "a", "b")
+    }
+  }
+
+  test("countWhere without a stats sidecar degrades to an exact " +
+      "scan-count; string flavor counts by prefix bands") {
+    val url = fresh("nostats")
+    Snapshots.create(spark, url,
+      (1L to 300L).map(i => (i, i)).toDF("id", "x"), nFiles = 4)
+    val (n, scanned) = Snapshots.countWhere(spark, url, "x", 50L, 120L)
+    assert(n == 71L && scanned == 4, "no sidecar: scan everything")
+    // string store
+    val surl = fresh("str")
+    val srows = ('a' to 'j').flatMap(c =>
+      (1 to 30).map(i => (f"$c$i%02d", i.toLong))).toDF("k", "v")
+    Snapshots.create(spark, surl, srows, nFiles = 5,
+      clusterBy = Some("k"))
+    Snapshots.indexStats(spark, surl, Seq("k"))
+    val totalS = Snapshots
+      .snap(spark, surl, Snapshots.latest(spark, surl)).files.size
+    val (ns, ss) = Snapshots.countWhereStr(spark, surl, "k", "c", "e~")
+    assert(ns == 90L) // all of c, d, e
+    assert(ss < totalS, s"string count scanned $ss/$totalS")
+    intercept[IllegalArgumentException] {
+      Snapshots.countWhere(spark, surl, "k", 1L, 2L)
+    }
+    // stats lag: new files without stats rows are scanned, count exact
+    Snapshots.append(spark, surl,
+      Seq(("c99", 99L)).toDF("k", "v"), nFiles = 1)
+    val (n2, s2) = Snapshots.countWhereStr(spark, surl, "k", "c", "e~")
+    assert(n2 == 91L && s2 >= 1)
+  }
+}
