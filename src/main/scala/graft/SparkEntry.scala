@@ -7530,6 +7530,45 @@ object SparkEntry {
       import s.implicits._
       orderSmall(Seq(("long_range", nLong), ("str_range", nStr))
         .toDF("op", "cnt"), col("op"))
+    }),
+
+    // ---- Metadata-priced exact range AGGREGATE ----
+    // aggWhere rides the sidecar's per-file value sums (written by
+    // indexStats alongside the bands): contained files contribute
+    // count/sum/min/max from metadata, only band-straddling files
+    // are scanned (asserted in-body: strict subset). The
+    // dashboard/audit shape — `sum(order value) in a price band` on
+    // a 100k-file store = one sidecar read + two boundary files.
+    "q362_agg_where" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q362"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_totalprice").isNotNull)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+      Snapshots.create(s, store, ord, nFiles = 8,
+        clusterBy = Some("cents"))
+      Snapshots.indexStats(s, store, Seq("cents"))
+      val total = Snapshots
+        .snap(s, store, Snapshots.latest(s, store)).files.size
+      val r = Snapshots.aggWhere(s, store, "cents",
+        3000000L, 25000000L)
+      require(r.filesScanned < total,
+        s"aggWhere scanned ${r.filesScanned}/$total — contained " +
+          "files should be metadata-aggregated")
+      import s.implicits._
+      orderSmall(Seq((r.count, r.sum.toLongExact,
+        r.min.getOrElse(-1L), r.max.getOrElse(-1L)))
+        .toDF("cnt", "sum_cents", "min_cents", "max_cents"),
+        col("cnt"))
     })
   )
 
@@ -16786,6 +16825,18 @@ object SparkEntry {
         |  SELECT 'str_range', count(*) FROM c
         |  WHERE c_name BETWEEN 'Customer#000000100'
         |    AND 'Customer#000000899'
-        |) ORDER BY op""".stripMargin
+        |) ORDER BY op""".stripMargin,
+
+    "q362_agg_where" ->
+      """WITH o AS (
+        |  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |)
+        |SELECT count(*) AS cnt,
+        |  CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents,
+        |  CAST(coalesce(min(cents), -1) AS BIGINT) AS min_cents,
+        |  CAST(coalesce(max(cents), -1) AS BIGINT) AS max_cents
+        |FROM o WHERE cents BETWEEN 3000000 AND 25000000""".stripMargin
   )
 }

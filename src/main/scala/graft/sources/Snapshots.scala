@@ -881,7 +881,12 @@ object Snapshots {
       .agg(min(col("e.v")).as("min_v"), max(col("e.v")).as("max_v"),
         min(col("e.s")).as("min_p"), max(col("e.s")).as("max_p"),
         sum(when(col("e.isn"), 1L).otherwise(0L)).as("n_null"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows"),
+        // per-file value sum (long fields; null on string fields) —
+        // what makes [[aggWhere]] answer contained files from
+        // metadata. DECIMAL(38,0): a file of Long.MaxValue rows
+        // cannot overflow it
+        sum(col("e.v").cast("decimal(38,0)")).as("sum_v"))
       .withColumn("file",
         element_at(split(col("__f"), "/"), -1)).drop("__f")
       .withColumn("min_s", prefixBand(col("min_p")))
@@ -896,7 +901,8 @@ object Snapshots {
       .select(col("file"), col("field"), col("min_v"), col("max_v"),
         col("min_s"), col("max_s"),
         coalesce(col("n_null"), lit(0L)).as("n_null"),
-        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("sum_v"))
     // legacy sidecars lack the string-band columns: union-by-name
     // with null fill (their rows are all long bands, so null is
     // exactly what assembly would have written)
@@ -1317,6 +1323,108 @@ object Snapshots {
     }
     val files = toScan.result()
     (metaCount + scanCount(files), files.size)
+  }
+
+  /** [[aggWhere]]'s result: exact aggregates over the rows whose
+    * field value lies in the range (min/max None when count is 0).
+    * Values live in the band domain — date/timestamp fields
+    * aggregate their cast(long) form, the same contract as
+    * [[readWhere]]'s range arguments. */
+  final case class RangeAgg(count: Long, sum: BigDecimal,
+      min: Option[Long], max: Option[Long], filesScanned: Int)
+
+  /** Exact `count/sum/min/max OVER field BETWEEN lo AND hi` opening
+    * only band-STRADDLING files: a file whose band lies fully inside
+    * the range contributes its sidecar row counts, per-file value
+    * sum, and band endpoints from metadata alone; only partial
+    * overlaps (or files the sidecar hasn't covered, or legacy
+    * sidecar rows written before per-file sums existed) are scanned
+    * with the residual predicate. The dashboard/retention-audit
+    * query — `sum(bytes) in the last 30 days` on a 100k-file store —
+    * becomes one sidecar read plus two boundary files. Long-band
+    * fields only (a string sum is meaningless — [[countWhereStr]]
+    * covers string ranges); exactness never depends on stats
+    * freshness. */
+  def aggWhere(spark: SparkSession, url: String, field: String,
+      lo: Long, hi: Long, version: Int = -1): RangeAgg = {
+    val (fs, root) = fsOf(spark, url)
+    val v = if (version > 0) version else latest(spark, url)
+    val s = snap(spark, url, v)
+    val schema = schemaOf(spark, root, s)
+    require(schema.fieldNames.contains(field),
+      s"aggWhere: no column $field in the store schema")
+    import org.apache.spark.sql.types._
+    schema(field).dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType => ()
+      case dt => throw new IllegalArgumentException(
+        s"aggWhere: column $field is $dt — long-band fields only " +
+          "(integral/date/timestamp; string ranges: countWhereStr)")
+    }
+    def scanAgg(files: Seq[String])
+        : (Long, BigDecimal, Option[Long], Option[Long]) =
+      if (files.isEmpty) (0L, BigDecimal(0), None, None)
+      else {
+        val vc = col(field).cast("long")
+        val r = spark.read.schema(schema).parquet(files: _*)
+          .filter(longRangePred(schema, field, lo, hi))
+          .agg(count(lit(1)).as("n"),
+            sum(vc.cast("decimal(38,0)")).as("s"),
+            min(vc).as("mn"), max(vc).as("mx"))
+          .collect()(0)
+        (r.getLong(0),
+          if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      }
+    def merge(meta: (Long, BigDecimal, Option[Long], Option[Long]),
+        scan: (Long, BigDecimal, Option[Long], Option[Long]),
+        scanned: Int): RangeAgg =
+      RangeAgg(meta._1 + scan._1, meta._2 + scan._2,
+        (meta._3.toSeq ++ scan._3.toSeq).reduceOption(_ min _),
+        (meta._4.toSeq ++ scan._4.toSeq).reduceOption(_ max _),
+        scanned)
+    val overlapping = longHits(field, (mn, mx) => lo <= mx && hi >= mn) _
+    val sp = statsPath(root)
+    val hasSums = fs.exists(sp) &&
+      spark.read.parquet(sp.toString).columns.contains("sum_v")
+    if (!hasSums) {
+      val admitted = pruneByBands(spark, url, v, field)(overlapping)
+      return merge((0L, BigDecimal(0), None, None),
+        scanAgg(admitted), admitted.size)
+    }
+    val rows = spark.read.parquet(sp.toString)
+      .filter(col("field") === field)
+      .select("file", "min_v", "max_v", "min_s", "max_s",
+        "n_null", "n_rows", "sum_v")
+      .collect()
+      .map(r => r.getString(0) -> ((Band(
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        Option(r.getString(3)), Option(r.getString(4))),
+        r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(BigDecimal(r.getDecimal(7)))
+      ))).toMap
+    var mCount = 0L; var mSum = BigDecimal(0)
+    var mMin = Option.empty[Long]; var mMax = Option.empty[Long]
+    val toScan = Seq.newBuilder[String]
+    s.files.foreach { f =>
+      rows.get(f) match {
+        case None => toScan += new Path(root, f).toString
+        case Some((b, _, _, _)) if b.allNull => ()
+        case Some((b, nNull, nRows, sumV)) =>
+          val contained = lo <= b.minV.get && b.maxV.get <= hi
+          if (contained && sumV.isDefined) {
+            mCount += nRows - nNull
+            mSum += sumV.get
+            mMin = (mMin.toSeq :+ b.minV.get).reduceOption(_ min _)
+            mMax = (mMax.toSeq :+ b.maxV.get).reduceOption(_ max _)
+          } else if (overlapping(b))
+            toScan += new Path(root, f).toString
+      }
+    }
+    val files = toScan.result()
+    merge((mCount, mSum, mMin, mMax), scanAgg(files), files.size)
   }
 
   /** Bin-pack maintenance: rewrite ONLY the live files smaller than

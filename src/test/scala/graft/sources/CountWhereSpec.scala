@@ -70,4 +70,52 @@ class CountWhereSpec extends SparkSpec {
     val (n2, s2) = Snapshots.countWhereStr(spark, surl, "k", "c", "e~")
     assert(n2 == 91L && s2 >= 1)
   }
+
+  test("aggWhere: exact count/sum/min/max under nulls, metadata for " +
+      "contained files, scan fallback without a sidecar, type-gated") {
+    val url = fresh("agg")
+    val rows = (1L to 1000L).map(i =>
+      (i, if (i % 53 == 0) None else Some(i))).toDF("id", "x")
+    Snapshots.create(spark, url, rows, nFiles = 10,
+      clusterBy = Some("x"))
+    Snapshots.indexStats(spark, url, Seq("x"))
+    val total = Snapshots
+      .snap(spark, url, Snapshots.latest(spark, url)).files.size
+    val in = (200L to 700L).filter(_ % 53 != 0)
+    val r = Snapshots.aggWhere(spark, url, "x", 200L, 700L)
+    assert(r.count == in.size.toLong)
+    assert(r.sum == BigDecimal(in.sum))
+    assert(r.min.contains(in.min) && r.max.contains(in.max))
+    assert(r.filesScanned > 0 && r.filesScanned < total,
+      s"scanned ${r.filesScanned}/$total")
+    // full-cover range: pure metadata, zero file opens
+    val all = (1L to 1000L).filter(_ % 53 != 0)
+    val rAll = Snapshots.aggWhere(spark, url, "x", 0L, 2000L)
+    assert(rAll == Snapshots.RangeAgg(all.size.toLong,
+      BigDecimal(all.sum), Some(all.min), Some(all.max), 0))
+    // empty range: zero aggregates, no min/max
+    assert(Snapshots.aggWhere(spark, url, "x", 5000L, 9999L) ==
+      Snapshots.RangeAgg(0L, BigDecimal(0), None, None, 0))
+    // no sidecar: degrades to an exact scan-agg
+    val url2 = fresh("agg_nostats")
+    Snapshots.create(spark, url2,
+      (1L to 100L).map(i => (i, i)).toDF("id", "x"), nFiles = 4)
+    val r2 = Snapshots.aggWhere(spark, url2, "x", 10L, 20L)
+    assert(r2.count == 11L && r2.sum == BigDecimal((10L to 20L).sum)
+      && r2.min.contains(10L) && r2.max.contains(20L)
+      && r2.filesScanned == 4)
+    // string fields refuse the numeric aggregate loudly
+    val surl = fresh("agg_str")
+    Snapshots.create(spark, surl, Seq(("a", 1L)).toDF("k", "v"),
+      nFiles = 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.aggWhere(spark, surl, "k", 1L, 2L)
+    }
+    // stats lag: an unindexed append is scanned, result stays exact
+    Snapshots.append(spark, url,
+      Seq((2000L, Some(250L))).toDF("id", "x"), nFiles = 1)
+    val r3 = Snapshots.aggWhere(spark, url, "x", 200L, 700L)
+    assert(r3.count == in.size + 1L &&
+      r3.sum == BigDecimal(in.sum + 250L) && r3.filesScanned >= 1)
+  }
 }
