@@ -7569,6 +7569,55 @@ object SparkEntry {
         r.min.getOrElse(-1L), r.max.getOrElse(-1L)))
         .toDF("cnt", "sum_cents", "min_cents", "max_cents"),
         col("cnt"))
+    }),
+
+    // ---- Atomic multi-store publish (fact ⋈ dim consistency) ----
+    // New orders referencing NEW customers land through ONE
+    // commitTogether — the intent-journal 2PC whose roll-forward is
+    // TxnSpec-proven. Both stores advance exactly one version
+    // (asserted in-body, journals clear), so the join below is
+    // complete: every odd-custkey order finds its odd customer.
+    // Oracle = the full orders ⋈ customer aggregate.
+    "q363_commit_together" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q363"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val factStore = s"$base/fact"; val dimStore = s"$base/dim"
+      val fact = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("cents"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull &&
+          col("c_mktsegment").isNotNull)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Snapshots.create(s, factStore,
+        fact.filter(col("o_custkey") % 2 === 0), nFiles = 4)
+      Snapshots.create(s, dimStore,
+        dim.filter(col("c_custkey") % 2 === 0), nFiles = 2)
+      val v0f = Snapshots.latest(s, factStore)
+      val v0d = Snapshots.latest(s, dimStore)
+      val vs = Snapshots.commitTogether(s, Seq(
+        (factStore, fact.filter(col("o_custkey") % 2 =!= 0), 2),
+        (dimStore, dim.filter(col("c_custkey") % 2 =!= 0), 1)))
+      require(vs == Seq(v0f + 1, v0d + 1) &&
+        Snapshots.pendingTxns(s, factStore).isEmpty &&
+        Snapshots.pendingTxns(s, dimStore).isEmpty,
+        "atomic publish must advance both stores and clear journals")
+      orderSmall(Snapshots.read(s, factStore)
+        .join(broadcast(Snapshots.read(s, dimStore)
+          .withColumnRenamed("c_custkey", "o_custkey")), Seq("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents")),
+        col("c_mktsegment"))
     })
   )
 
@@ -16837,6 +16886,16 @@ object SparkEntry {
         |  CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents,
         |  CAST(coalesce(min(cents), -1) AS BIGINT) AS min_cents,
         |  CAST(coalesce(max(cents), -1) AS BIGINT) AS max_cents
-        |FROM o WHERE cents BETWEEN 3000000 AND 25000000""".stripMargin
+        |FROM o WHERE cents BETWEEN 3000000 AND 25000000""".stripMargin,
+
+    "q363_commit_together" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |  AND o_totalprice IS NOT NULL AND c_custkey IS NOT NULL
+        |  AND c_mktsegment IS NOT NULL
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

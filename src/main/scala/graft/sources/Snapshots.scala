@@ -1819,11 +1819,181 @@ object Snapshots {
   def readTag(spark: SparkSession, url: String, name: String): DataFrame =
     readAsOf(spark, url, tagVersion(spark, url, name))
 
+  // ---- multi-store atomic publish (intent journal + roll-forward) ----
+  private def txnDir(root: Path) = new Path(root, "_txn")
+  private[sources] final case class TxnPart(url: String,
+    files: Seq[String])
+  private[sources] final case class TxnPlan(id: String,
+    parts: Seq[TxnPart])
+
+  /** Publish one APPEND batch to EACH of several stores so that all
+    * of them become visible or none stay visible — the fact ⋈ dim
+    * consistency primitive (a mart where new orders land without
+    * their new customers serves wrong joins until the second commit;
+    * this closes that window up to crash-recovery):
+    *
+    *  1. every batch's files stage into its own store (no manifest
+    *     moves — staged bytes are invisible and, if abandoned,
+    *     vacuum-collectable orphans);
+    *  2. an INTENT journal naming every (store, staged files) pair
+    *     lands in each participant's `_txn/` — the atomicity point:
+    *     before it, nothing publishes; after it, the transaction
+    *     WILL complete, by this call or by [[recoverTxns]]
+    *     roll-forward after a crash;
+    *  3. manifests commit store by store (a lost version race
+    *     retries at the new head — the staged file set is the
+    *     transaction's identity, not the version number);
+    *  4. the journal clears.
+    *
+    * Semantics are all-or-nothing DURABILITY, not isolation: a
+    * reader between steps 3's commits sees one store ahead — run
+    * [[recoverTxns]] at pipeline start (and before [[vacuum]], whose
+    * grace window is what bounds how long staged bytes survive a
+    * crash) to close any open window. Batches must match their
+    * store's pinned schema exactly (atomic publish + schema
+    * evolution is two migrations at once — refused). CHECK
+    * constraints validate per store before anything stages. */
+  def commitTogether(spark: SparkSession,
+      parts: Seq[(String, DataFrame, Int)]): Seq[Int] = {
+    require(parts.nonEmpty, "commitTogether: no participants")
+    require(parts.map(_._1).distinct.size == parts.size,
+      "commitTogether: duplicate store url (one batch per store)")
+    parts.foreach { case (url, _, _) =>
+      require(!url.contains("\"") && !url.contains("\\"),
+        s"commitTogether: url $url — quotes/backslashes unsupported") }
+    // validate everything BEFORE staging anything: a refusal here
+    // costs zero IO and leaves zero debris
+    val resolved = parts.map { case (url, df, nFiles) =>
+      val (_, root) = fsOf(spark, url)
+      val parent = snap(spark, url, latest(spark, url))
+      val schema = schemaOf(spark, root, parent)
+      require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"commitTogether: batch schema for $url must equal the " +
+          s"pinned store schema (no evolution inside a transaction)")
+      validateBatch(spark, root, url, df)
+      (url, df, nFiles, root, parent)
+    }
+    val staged = resolved.map { case (url, df, nFiles, root, parent) =>
+      TxnPart(url, writeFiles(spark, root, df, parent.version + 1,
+        nFiles))
+    }
+    val plan = TxnPlan(
+      java.util.UUID.randomUUID().toString.take(12), staged)
+    writeTxnMarkers(spark, plan)
+    val vs = plan.parts.map(p =>
+      commitStagedInto(spark, p.url, p.files))
+    clearTxnMarkers(spark, plan)
+    vs
+  }
+
+  /** Commit staged file names into a store's next version,
+    * surviving version races (retry at the new head) and re-runs
+    * (a version already listing every staged file is returned
+    * as-is — the roll-forward idempotence [[recoverTxns]] needs). */
+  private[sources] def commitStagedInto(spark: SparkSession,
+      url: String, staged: Seq[String]): Int = {
+    val (fs, root) = fsOf(spark, url)
+    val stagedSet = staged.toSet
+    var attempts = 0
+    var out = -1
+    while (out < 0) {
+      val vs = versions(spark, url)
+      vs.find(v =>
+        stagedSet.subsetOf(snap(spark, url, v).files.toSet)) match {
+        case Some(v) => out = v
+        case None =>
+          staged.foreach(f =>
+            require(fs.exists(new Path(root, f)),
+              s"staged file $f missing at $url (vacuumed before " +
+                "recovery?) — transaction cannot complete"))
+          val parent = snap(spark, url, vs.max)
+          try out = commit(spark, root, parent.version + 1,
+            "txn-append", parent.files ++ staged,
+            Some(schemaOf(spark, root, parent)))
+          catch {
+            case e: RuntimeException if attempts < 16 => attempts += 1
+          }
+      }
+    }
+    out
+  }
+
+  private[sources] def writeTxnMarkers(spark: SparkSession,
+      plan: TxnPlan): Unit = {
+    val json = s"""{"txn":"${plan.id}","parts":[""" +
+      plan.parts.map(p => s"""{"url":"${p.url}","files":[""" +
+        p.files.sorted.map("\"" + _ + "\"").mkString(",") +
+        "]}").mkString(",") + "]}"
+    plan.parts.foreach { p =>
+      val (fs, root) = fsOf(spark, p.url)
+      fs.mkdirs(txnDir(root))
+      val out = fs.create(new Path(txnDir(root), plan.id), false)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def clearTxnMarkers(spark: SparkSession,
+      plan: TxnPlan): Unit =
+    plan.parts.foreach { p =>
+      val (fs, root) = fsOf(spark, p.url)
+      fs.delete(new Path(txnDir(root), plan.id), false)
+    }
+
+  /** Transactions whose intent journal is still open in this store
+    * (crashed mid-[[commitTogether]], or racing right now). */
+  def pendingTxns(spark: SparkSession, url: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, url)
+    val dir = txnDir(root)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Roll FORWARD every open transaction journaled in this store:
+    * each participant whose staged files are not yet in a manifest
+    * gets them committed (idempotent — already-committed stores are
+    * skipped), then the journal clears in every participant. Run at
+    * pipeline start and before [[vacuum]]. Returns the number of
+    * transactions completed. */
+  def recoverTxns(spark: SparkSession, url: String): Int = {
+    val (fs, root) = fsOf(spark, url)
+    val dir = txnDir(root)
+    if (!fs.exists(dir)) return 0
+    val markers = fs.listStatus(dir).toSeq.filter(_.isFile)
+    markers.foreach { st =>
+      val body = {
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      val id = """"txn"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse(sys.error(
+          s"corrupt txn journal ${st.getPath}"))
+      val parts =
+        """\{"url":"([^"]+)","files":\[([^\]]*)\]\}""".r
+          .findAllMatchIn(body).map { m =>
+            TxnPart(m.group(1), m.group(2).split(",").toSeq
+              .filter(_.nonEmpty).map(_.stripPrefix("\"")
+                .stripSuffix("\"")))
+          }.toSeq
+      require(parts.nonEmpty, s"corrupt txn journal ${st.getPath}")
+      parts.foreach(p => commitStagedInto(spark, p.url, p.files))
+      clearTxnMarkers(spark, TxnPlan(id, parts))
+    }
+    markers.size
+  }
+
   def vacuum(spark: SparkSession, url: String, keepFrom: Int,
       graceMs: Long = 3600L * 1000): (Int, Int) = {
     val (fs, root) = fsOf(spark, url)
     val vs = versions(spark, url)
     require(vs.contains(keepFrom), s"keepFrom=$keepFrom not a version")
+    // an open txn journal means staged-but-uncommitted files that a
+    // roll-forward still needs — collecting them would wedge the
+    // transaction permanently
+    require(pendingTxns(spark, url).isEmpty,
+      s"open transactions at $url — run recoverTxns before vacuum")
     // tagged versions are pinned: their manifests and files survive
     // any keepFrom (the reproducibility contract of [[setTag]])
     val pinned = tags(spark, url).map(_._2).toSet

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Multi-store atomic publish: intent-journal two-phase commit with
+  * roll-forward recovery — all participants become visible, or the
+  * journal replays them to visibility after a crash. */
+class TxnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(tag: String): String =
+    scratch(s"txn_$tag/${java.util.UUID.randomUUID().toString.take(8)}")
+
+  test("commitTogether publishes every store; journals clear; " +
+      "schema drift and duplicate urls refuse before staging") {
+    val a = fresh("a"); val b = fresh("b")
+    Snapshots.create(spark, a,
+      (1L to 50L).map(i => (i, i)).toDF("id", "v"), nFiles = 2)
+    Snapshots.create(spark, b,
+      (1L to 20L).map(i => (i, s"n$i")).toDF("k", "name"), nFiles = 1)
+    val va = Snapshots.latest(spark, a)
+    val vb = Snapshots.latest(spark, b)
+    val Seq(na, nb) = Snapshots.commitTogether(spark, Seq(
+      (a, (51L to 70L).map(i => (i, i)).toDF("id", "v"), 1),
+      (b, (21L to 30L).map(i => (i, s"n$i")).toDF("k", "name"), 1)))
+    assert(na == va + 1 && nb == vb + 1)
+    assert(Snapshots.read(spark, a).count() == 70L)
+    assert(Snapshots.read(spark, b).count() == 30L)
+    assert(Snapshots.pendingTxns(spark, a).isEmpty &&
+      Snapshots.pendingTxns(spark, b).isEmpty)
+    // schema drift is refused before anything stages
+    intercept[IllegalArgumentException] {
+      Snapshots.commitTogether(spark, Seq(
+        (a, Seq((1L, "wrong")).toDF("id", "v"), 1)))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitTogether(spark,
+        Seq((a, Seq((1L, 1L)).toDF("id", "v"), 1),
+          (a, Seq((2L, 2L)).toDF("id", "v"), 1)))
+    }
+    assert(Snapshots.latest(spark, a) == na, "refusal must not commit")
+  }
+
+  test("crash after the first participant commits: journal present, " +
+      "recoverTxns rolls the rest forward idempotently, vacuum is " +
+      "blocked until then") {
+    val a = fresh("ca"); val b = fresh("cb")
+    Snapshots.create(spark, a,
+      (1L to 10L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    Snapshots.create(spark, b,
+      (1L to 10L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    // simulate commitTogether dying between participant commits:
+    // stage both (append, then retract the manifest — the staged
+    // files stay on disk unreferenced, exactly commitTogether's
+    // pre-commit state), journal the intent, commit ONLY a
+    def stage(url: String, lo: Long, hi: Long): Seq[String] = {
+      val v0 = Snapshots.latest(spark, url)
+      val v1 = Snapshots.append(spark, url,
+        (lo to hi).map(i => (i, i)).toDF("id", "v"), 1)
+      val added = Snapshots.snap(spark, url, v1).files
+        .filterNot(Snapshots.snap(spark, url, v0).files.toSet)
+      val root = new org.apache.hadoop.fs.Path(url)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        f"_snap/v$v1%08d.json"), false)
+      assert(Snapshots.latest(spark, url) == v0)
+      added
+    }
+    val fa = stage(a, 11L, 20L)
+    val fb = stage(b, 11L, 25L)
+    val plan = Snapshots.TxnPlan("testcrash01",
+      Seq(Snapshots.TxnPart(a, fa), Snapshots.TxnPart(b, fb)))
+    Snapshots.writeTxnMarkers(spark, plan)
+    // first participant committed, then "crash"
+    Snapshots.commitStagedInto(spark, a, fa)
+    assert(Snapshots.read(spark, a).count() == 20L)
+    assert(Snapshots.read(spark, b).count() == 10L, "b must be behind")
+    assert(Snapshots.pendingTxns(spark, b) == Seq("testcrash01"))
+    // vacuum refuses while the journal is open
+    intercept[IllegalArgumentException] {
+      Snapshots.vacuum(spark, b, Snapshots.latest(spark, b),
+        graceMs = 0L)
+    }
+    // roll-forward from EITHER store completes the transaction
+    assert(Snapshots.recoverTxns(spark, b) == 1)
+    assert(Snapshots.read(spark, b).count() == 25L)
+    assert(Snapshots.read(spark, a).count() == 20L,
+      "already-committed participant must not double-append")
+    assert(Snapshots.pendingTxns(spark, a).isEmpty &&
+      Snapshots.pendingTxns(spark, b).isEmpty)
+    // a second recovery is a no-op
+    assert(Snapshots.recoverTxns(spark, a) == 0)
+    assert(Snapshots.read(spark, a).count() == 20L)
+  }
+}
