@@ -7618,6 +7618,125 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents")),
         col("c_mktsegment"))
+    }),
+
+    // ---- Merge-on-read DELETE: deletion vectors, zero rewrites ----
+    // The sparse-delete shape at 100 TB: two chained range deletes
+    // record row POSITIONS in deletion-vector sidecars — asserted
+    // in-body: the physical data files are BIT-IDENTICAL across both
+    // commits (no rewrite), affected entries carry exactly one
+    // vector (chained deletes merge, readers never stack joins), a
+    // no-match delete is a true no-op, the pre-delete version still
+    // reads in full, and the CDC feed across the MoR commits emits
+    // exactly the deleted keys. Oracle = the surviving rows.
+    "q364_mor_delete" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q364"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, store, docs, nFiles = 8,
+        clusterBy = Some("doc_id"))
+      Snapshots.indexStats(s, store, Seq("doc_id"))
+      val v0 = Snapshots.latest(s, store)
+      def parts(v: Int): Seq[String] = Snapshots.snap(s, store, v)
+        .files.map(e => e.split("--dv--")(0)).sorted
+      val physBefore = parts(v0)
+      val v1 = Snapshots.deleteWhereMor(s, store, "doc_id", 100L, 260L)
+      val v2 = Snapshots.deleteWhereMor(s, store, "doc_id", 200L, 340L)
+      require(v1 == v0 + 1 && v2 == v1 + 1, "MoR deletes did not commit")
+      require(parts(v1) == physBefore && parts(v2) == physBefore,
+        "merge-on-read delete rewrote a data file")
+      val e2 = Snapshots.snap(s, store, v2).files
+      require(e2.exists(_.contains("--dv--")) &&
+        e2.forall(_.split("--dv--").length <= 2),
+        "affected entries must carry exactly one merged vector")
+      // no-match range: true no-op, nothing committed
+      require(Snapshots.deleteWhereMor(s, store, "doc_id",
+        900000L, 999999L) == v2, "no-match MoR delete committed")
+      // snapshot isolation: the pre-delete version reads in full
+      require(Snapshots.readAsOf(s, store, v0).count() ==
+        docs.count(), "old version lost rows under a MoR delete")
+      // CDC exactness: the two feeds emit exactly the deleted keys
+      val deleted = Snapshots.changes(s, store, "doc_id", v0, v2)
+        .filter(col("_change") === "delete").count()
+      require(deleted == docs.filter(col("doc_id").between(100L, 340L))
+        .count(), "CDC across MoR commits missed deleted rows")
+      orderSmall(Snapshots.read(s, store)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars")),
+        col("lang"))
+    }),
+
+    // ---- DV maintenance: stats-priced reads, purge, vacuum ----
+    // After a MoR delete, an indexStats refresh re-bands the
+    // composite entries from their EFFECTIVE rows — asserted
+    // in-body: a full-range countWhere is answered ENTIRELY from
+    // metadata (zero files scanned) and matches; purgeDv then folds
+    // the vectors into plain files (entries assert vector-free,
+    // content identical before/after) and a zero-grace vacuum
+    // collects the dead vector sidecars from disk (asserted). Oracle
+    // = the surviving rows' aggregate, read AFTER purge + vacuum.
+    "q365_dv_purge_vacuum" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q365"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull &&
+          col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("bal_cents"))
+      Snapshots.create(s, store, cust, nFiles = 8,
+        clusterBy = Some("c_custkey"))
+      Snapshots.indexStats(s, store, Seq("c_custkey"))
+      val vDel = Snapshots.deleteWhereMor(s, store, "c_custkey",
+        50L, 400L)
+      // refresh covers the composite entries with effective bands:
+      // the full-range count answers from the sidecar alone
+      require(Snapshots.indexStats(s, store, Seq("c_custkey")) > 0,
+        "stats refresh saw no fresh MoR entries")
+      val expect = Snapshots.read(s, store).count()
+      val (metaCnt, scanned) = Snapshots.countWhere(s, store,
+        "c_custkey", Long.MinValue, Long.MaxValue)
+      require(metaCnt == expect && scanned == 0,
+        s"full-range count must be metadata-only ($metaCnt/$expect, " +
+          s"scanned $scanned)")
+      val vPurge = Snapshots.purgeDv(s, store,
+        clusterBy = Some("c_custkey"))
+      require(vPurge == vDel + 1, "purgeDv did not commit")
+      require(Snapshots.snap(s, store, vPurge).files
+        .forall(!_.contains("--dv--")), "purge left a vector entry")
+      require(Snapshots.read(s, store).count() == expect,
+        "purge changed the effective rows")
+      // vacuum below the purge: the dead vector sidecars leave disk
+      Snapshots.vacuum(s, store, keepFrom = vPurge, graceMs = 0L)
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      val dvLeft = fs.listStatus(storeP)
+        .map(_.getPath.getName)
+        .count(n => n.startsWith("dv") && n.endsWith(".parquet"))
+      require(dvLeft == 0, s"$dvLeft dead deletion vectors survived")
+      orderSmall(Snapshots.read(s, store)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal_cents")).as("sum_bal")),
+        col("c_mktsegment"))
     })
   )
 
@@ -16896,6 +17015,25 @@ object SparkEntry {
         |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
         |  AND o_totalprice IS NOT NULL AND c_custkey IS NOT NULL
         |  AND c_mktsegment IS NOT NULL
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q364_mor_delete" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |  AND doc_id NOT BETWEEN 100 AND 340
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q365_dv_purge_vacuum" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT))
+        |    AS BIGINT) AS sum_bal
+        |FROM customer
+        |WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |  AND c_acctbal IS NOT NULL
+        |  AND c_custkey NOT BETWEEN 50 AND 400
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

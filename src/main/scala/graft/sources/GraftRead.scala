@@ -167,8 +167,17 @@ final case class GraftRead private (
       if (versions.nonEmpty) {
         val v = asOfVersion.getOrElse(versions.last)
         val root = new org.apache.hadoop.fs.Path(u)
-        Snapshots.snap(spark, u, v).files.sorted
-          .map(f => new org.apache.hadoop.fs.Path(root, f).toString)
+        val entries = Snapshots.snap(spark, u, v).files.sorted
+        // the reader chain shards/prunes per FILE; a merge-on-read
+        // entry is not one file (its deletion vector must anti-join
+        // at scan) — refuse loudly rather than resurrect deleted
+        // rows; Snapshots.read/readWhere serve MoR stores, or
+        // Snapshots.purgeDv folds the vectors away
+        require(entries.forall(!_.contains(Snapshots.DvSep)),
+          s"$u@v$v carries merge-on-read deletion vectors — read " +
+            "via Snapshots.read/readWhere or run Snapshots.purgeDv " +
+            "before the reader chain")
+        entries.map(f => new org.apache.hadoop.fs.Path(root, f).toString)
       } else {
         require(asOfVersion.isEmpty,
           s"asOf() needs a Snapshots store (no _snap manifests at $u)")

@@ -284,12 +284,12 @@ object JoinView {
             val files = Snapshots.prunedFilesForKeys(spark, factUrl,
               fv, jk, longKeys)
             if (files.isEmpty) factNow.limit(0)
-            else spark.read.schema(factNow.schema).parquet(files: _*)
+            else Snapshots.readEntryPaths(spark, factUrl, fv, files)
           } else if (strKeys.length == dDKeyVals.length) {
             val files = Snapshots.prunedFilesForKeysStr(spark,
               factUrl, fv, jk, strKeys)
             if (files.isEmpty) factNow.limit(0)
-            else spark.read.schema(factNow.schema).parquet(files: _*)
+            else Snapshots.readEntryPaths(spark, factUrl, fv, files)
           } else factNow
         factProbe.join(broadcast(dDKeys), Seq(jk), "left_semi")
           .select(col(m.factKey))

@@ -220,8 +220,10 @@ object Snapshots {
       s: Snap): org.apache.spark.sql.types.StructType =
     s.schema.getOrElse {
       require(s.files.nonEmpty, s"v${s.version} has no schema source")
-      spark.read.parquet(
-        s.files.map(f => new Path(root, f).toString): _*).schema
+      // composite entries infer from their DATA file (the DV sidecar
+      // carries positions, not columns)
+      spark.read.parquet(s.files.map(f =>
+        new Path(root, splitEntry(f)._1).toString): _*).schema
     }
 
   /** Additive schema evolution: base columns keep position and type,
@@ -252,6 +254,157 @@ object Snapshots {
     org.apache.spark.sql.types.StructType(widened ++
       add.fields.filterNot(f => baseNames.contains(f.name))
         .map(_.copy(nullable = true)))
+  }
+
+  // ------------------------------------------------------------------
+  // Merge-on-read deletion vectors (position deletes)
+  // ------------------------------------------------------------------
+  //
+  // A COPY-ON-WRITE delete ([[deleteWhere]]) rewrites every file that
+  // holds a matching row — the right trade for wide retention sweeps,
+  // the wrong one for SPARSE deletes (a 100-row GDPR erasure inside a
+  // 100 TB store should not rewrite gigabytes). Merge-on-read records
+  // the deleted ROW POSITIONS in a sidecar parquet (the deletion
+  // vector) and re-lists the data file with a marker suffix; readers
+  // anti-join the positions at scan time and [[purgeDv]] folds the
+  // vectors back into plain files when maintenance chooses to pay the
+  // rewrite (Delta DVs / Iceberg position deletes, re-derived).
+  //
+  // A DV'd file appears in the manifest as ONE composite entry
+  //   `data.parquet--dv--dvNNNNNNNN-tag.parquet`
+  // instead of a side table, which buys two properties for free:
+  //  - manifest-diff CDC stays EXACT with zero new logic: a MoR
+  //    delete drops the old entry and adds the composite one, so
+  //    [[changes]] reads old-effective vs new-effective rows and the
+  //    whole-tuple anti-join emits exactly the deleted rows;
+  //  - every code path that is NOT deletion-vector-aware fails
+  //    LOUDLY (the composite name exists nowhere on disk), never
+  //    silently resurrects deleted rows — the silent-empty doctrine
+  //    applied to silent-undelete.
+
+  /** Marker splitting a composite manifest entry into its data file
+    * and its deletion-vector file. Data files are uuid-named by
+    * [[writeArranged]] and can never contain it. */
+  private[sources] val DvSep = "--dv--"
+
+  /** (data file, deletion-vector file if any) of a manifest entry. */
+  private[sources] def splitEntry(e: String): (String, Option[String]) = {
+    val i = e.indexOf(DvSep)
+    if (i < 0) (e, None)
+    else (e.substring(0, i), Some(e.substring(i + DvSep.length)))
+  }
+
+  /** Physical root-relative names an entry references — what
+    * [[vacuum]] must keep alive and [[cloneStore]] must link. */
+  private[sources] def entryPhysical(e: String): Seq[String] = {
+    val (d, dv) = splitEntry(e)
+    d +: dv.toSeq
+  }
+
+  /** Position columns carried by the DV read path. Underscore-graft
+    * names so a store column can never collide silently (refused in
+    * [[readEntriesWithPos]]). */
+  private val DvFileCol = "__graft_dv_file"
+  private val DvPosCol = "__graft_dv_pos"
+
+  /** Effective rows of `entries` PLUS their physical position
+    * ([[DvFileCol]] = data file name, [[DvPosCol]] = row index in
+    * it, from the parquet scan's `_metadata` — stable because data
+    * files are immutable). Plain entries scan directly; composite
+    * entries anti-join their deletion vector's (file, pos) pairs,
+    * grouped per DV file so one MoR commit's entries share one scan.
+    * Never broadcast-forced: position joins are equi-joins and AQE
+    * sizes the small DV side. */
+  private def readEntriesWithPos(spark: SparkSession, root: Path,
+      entries: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(!schema.fieldNames.contains(DvFileCol) &&
+      !schema.fieldNames.contains(DvPosCol),
+      s"store schema uses reserved column $DvFileCol/$DvPosCol")
+    val outCols = schema.fieldNames.toSeq.map(col) ++
+      Seq(col(DvFileCol), col(DvPosCol))
+    def withPos(paths: Seq[String]): DataFrame =
+      spark.read.schema(schema).parquet(paths: _*)
+        .withColumn(DvFileCol, col("_metadata.file_name"))
+        .withColumn(DvPosCol, col("_metadata.row_index"))
+    val split = entries.map(splitEntry)
+    val plain = split.collect { case (d, None) => d }
+    val byDv = split.collect { case (d, Some(dv)) => dv -> d }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val parts = Seq.newBuilder[DataFrame]
+    if (plain.nonEmpty)
+      parts += withPos(plain.map(p => new Path(root, p).toString))
+        .select(outCols: _*)
+    byDv.foreach { case (dv, group) =>
+      val raw = withPos(group.map { case (_, d) =>
+        new Path(root, d).toString })
+      val dvDf = spark.read.parquet(new Path(root, dv).toString)
+      parts += raw.join(dvDf,
+          raw(DvFileCol) === dvDf("__dv_file") &&
+            raw(DvPosCol) === dvDf("__dv_pos"), "left_anti")
+        .select(outCols: _*)
+    }
+    parts.result().reduce(_ unionByName _)
+  }
+
+  /** Read the EFFECTIVE rows of manifest entries under `schema`:
+    * what a version's rows ARE once deletion vectors apply. Plain
+    * entries keep the unchanged single-batch parquet scan (no
+    * metadata columns, no join — the pre-DV plan); only composite
+    * entries pay the anti-join. */
+  private[sources] def readEntriesEff(spark: SparkSession, root: Path,
+      entries: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val (dvd, plain) = entries.partition(_.contains(DvSep))
+    val parts = Seq.newBuilder[DataFrame]
+    if (plain.nonEmpty)
+      parts += spark.read.schema(schema)
+        .parquet(plain.map(p => new Path(root, p).toString): _*)
+    if (dvd.nonEmpty)
+      parts += readEntriesWithPos(spark, root, dvd, schema)
+        .drop(DvFileCol, DvPosCol)
+    parts.result().reduce(_ unionByName _)
+  }
+
+  /** Public effective read of an explicit entry subset (the pruned
+    * fact probe [[JoinView.refresh]] runs): `paths` are the strings
+    * the pruned-file family returns — absolute path forms whose last
+    * segment is the manifest entry. Exactness on a MoR store comes
+    * from reading entries, not raw files. */
+  def readEntryPaths(spark: SparkSession, url: String, version: Int,
+      paths: Seq[String]): DataFrame = {
+    val (_, root) = fsOf(spark, url)
+    val s = snap(spark, url, version)
+    val entries = paths.map(p => new Path(p).getName)
+    val unknown = entries.filterNot(s.files.toSet)
+    require(unknown.isEmpty,
+      s"readEntryPaths: ${unknown.take(3).mkString(",")} not in " +
+        s"v$version's manifest")
+    val schema = schemaOf(spark, root, s)
+    if (entries.isEmpty) readAsOf(spark, url, version).filter(lit(false))
+    else readEntriesEff(spark, root, entries, schema)
+  }
+
+  /** Write one deletion-vector parquet (`__dv_file` string,
+    * `__dv_pos` long) and return its root-relative name. One file
+    * per MoR commit: a DV holds the SPARSE delete's positions (16
+    * bytes/row before compression) — a delete wide enough to make
+    * this file heavy should have been a copy-on-write
+    * [[deleteWhere]], which also resets the read-side join cost. */
+  private def writeDv(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      del: DataFrame, version: Int): String = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(root, s"_snap_stage_dv_$tag")
+    fs.delete(tmp, true)
+    del.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val staged = Materialize.listParquetFiles(spark, tmp.toString)
+    require(staged.length == 1, s"dv stage produced ${staged.length}")
+    val name = f"dv$version%08d-$tag.parquet"
+    require(fs.rename(new Path(staged.head), new Path(root, name)),
+      s"rename failed promoting $name")
+    fs.delete(tmp, true)
+    name
   }
 
   /** Create version 1 (refuses an existing store). */
@@ -389,7 +542,6 @@ object Snapshots {
       maxKeys: Int = 1000000): Int = {
     val (_, root) = fsOf(spark, url)
     val parent = snap(spark, url, latest(spark, url))
-    val abs = parent.files.map(f => new Path(root, f).toString)
     // schema from the manifest (or file inference via schemaOf) —
     // never a data read; an all-deleted parent (zero files, pinned
     // schema) accepts re-inserts
@@ -406,12 +558,11 @@ object Snapshots {
       s"duplicate $keyCol values in the update batch")
     val keys = keyRows.map(_.get(0)).toSeq
     require(!keys.contains(null), s"null $keyCol in the update batch")
-    val affectedAbs = bloomIndexUrl match {
+    val affected: Seq[String] = bloomIndexUrl match {
       case Some(idx) =>
         val (sel, covered) =
           RowGroupIndex.bloomProbe(spark, url, idx, keyCol, keys)
-        val admitted =
-          sel.filter(f => parent.files.contains(new Path(f).getName))
+        val selNames = sel.map(f => new Path(f).getName).toSet
         // Staleness guard: the sidecar only prunes files it has
         // actually indexed. A live file with NO index row (committed
         // after the last updateBloom — e.g. snapshotSink refreshes
@@ -420,28 +571,31 @@ object Snapshots {
         // the new version. Uncovered live files are conservatively
         // affected: correctness never depends on sidecar freshness,
         // pruning quality does. One sidecar scan serves both halves.
-        val uncovered = parent.files.filterNot(covered)
-          .map(f => new Path(root, f).toString)
-        (admitted ++ uncovered).distinct
-      case None => abs
+        // Blooms index the PHYSICAL data file, so a composite MoR
+        // entry probes on its data-file name (conservative: a bloom
+        // hit on a DV-deleted row admits the entry, never drops it).
+        parent.files.filter { e =>
+          val d = splitEntry(e)._1
+          selNames.contains(d) || !covered.contains(d)
+        }
+      case None => parent.files
     }
-    val affectedNames = affectedAbs.map(f => new Path(f).getName).toSet
     val upserts = deleteCol
       .map(d => updates.filter(!coalesce(col(d), lit(false))).drop(d))
       .getOrElse(updates)
       .select(dataCols.map(col): _*)
     validateBatch(spark, root, url, upserts) // only NEW rows checked
     val merged =
-      if (affectedAbs.isEmpty) upserts
-      else spark.read.schema(storeSchema).parquet(affectedAbs: _*)
+      if (affected.isEmpty) upserts
+      else readEntriesEff(spark, root, affected, storeSchema)
         .join(broadcast(updates.select(col(keyCol).as("__mk"))),
           col(keyCol) === col("__mk"), "left_anti")
         .unionByName(upserts)
     val v = parent.version + 1
     val rewritten = writeFiles(spark, root, merged, v,
-      math.max(1, affectedAbs.length))
+      math.max(1, affected.length))
     commit(spark, root, v, "upsert",
-      parent.files.filterNot(affectedNames) ++ rewritten,
+      parent.files.filterNot(affected.toSet) ++ rewritten,
       Some(storeSchema))
   }
 
@@ -459,7 +613,8 @@ object Snapshots {
       lo: Long, hi: Long): Int = {
     val parentV = latest(spark, url)
     deleteFromFiles(spark, url, parentV, field, wantString = false,
-      prunedFiles(spark, url, parentV, field, lo, hi),
+      pruneEntries(spark, url, parentV, field)(
+        longHits(field, (mn, mx) => mx >= lo && mn <= hi)),
       longRangePred(_, field, lo, hi))
   }
 
@@ -468,7 +623,7 @@ object Snapshots {
       lo: String, hi: String): Int = {
     val parentV = latest(spark, url)
     deleteFromFiles(spark, url, parentV, field, wantString = true,
-      prunedFilesStr(spark, url, parentV, field, lo, hi),
+      pruneEntries(spark, url, parentV, field)(strHits(field, lo, hi)),
       _ => col(field) >= lit(lo) && col(field) <= lit(hi))
   }
 
@@ -498,8 +653,8 @@ object Snapshots {
           "type (integral/date/timestamp/string)")
     }
     if (files.isEmpty) return parent.version
-    val names = files.map(f => new Path(f).getName).toSet
-    val scanned = spark.read.schema(storeSchema).parquet(files: _*)
+    val names = files.toSet
+    val scanned = readEntriesEff(spark, root, files, storeSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val kept = scanned.filter(!coalesce(pred(storeSchema),
@@ -518,6 +673,127 @@ object Snapshots {
       commit(spark, root, v, "delete",
         parent.files.filterNot(names) ++ rewritten, Some(storeSchema))
     } finally scanned.unpersist()
+  }
+
+  /** MERGE-ON-READ range DELETE — `DELETE FROM store WHERE field
+    * BETWEEN lo AND hi` WITHOUT rewriting any data file: matching
+    * row positions land in a deletion-vector sidecar and each
+    * affected file re-lists as a composite `--dv--` entry; readers
+    * anti-join the positions at scan time. The SPARSE-delete shape
+    * at 100 TB (a 100-row GDPR erasure pays one small sidecar write,
+    * not a gigabyte rewrite); wide deletes should stay
+    * [[deleteWhere]] (copy-on-write), which also keeps the read path
+    * join-free. Only band-admitted files are scanned for matches;
+    * repeated MoR deletes on the same file MERGE positions into a
+    * fresh vector (old versions keep reading their own); old
+    * versions stay readable; the CDC feed sees exactly the deleted
+    * rows ([[changes]] — the composite entry is a manifest-level
+    * drop+add). Rows with a NULL field survive. [[purgeDv]] folds
+    * vectors back into plain files; [[vacuum]] collects vectors
+    * exactly when no surviving manifest names them. Returns the
+    * committed version — the CURRENT one when no row matches (true
+    * no-op, nothing committed). */
+  def deleteWhereMor(spark: SparkSession, url: String, field: String,
+      lo: Long, hi: Long): Int = {
+    val parentV = latest(spark, url)
+    morDelete(spark, url, parentV, field, wantString = false,
+      pruneEntries(spark, url, parentV, field)(
+        longHits(field, (mn, mx) => mx >= lo && mn <= hi)),
+      longRangePred(_, field, lo, hi))
+  }
+
+  /** [[deleteWhereMor]] for a STRING field (prefix-band pruning). */
+  def deleteWhereMorStr(spark: SparkSession, url: String,
+      field: String, lo: String, hi: String): Int = {
+    val parentV = latest(spark, url)
+    morDelete(spark, url, parentV, field, wantString = true,
+      pruneEntries(spark, url, parentV, field)(strHits(field, lo, hi)),
+      _ => col(field) >= lit(lo) && col(field) <= lit(hi))
+  }
+
+  private def morDelete(spark: SparkSession, url: String,
+      parentV: Int, field: String, wantString: Boolean,
+      entries: Seq[String],
+      pred: org.apache.spark.sql.types.StructType => Column): Int = {
+    val (fs, root) = fsOf(spark, url)
+    val parent = snap(spark, url, parentV)
+    val storeSchema = schemaOf(spark, root, parent)
+    require(storeSchema.fieldNames.contains(field),
+      s"deleteWhereMor: no column $field in the store schema")
+    // the deleteWhere flavor/type gate — a wrong-typed range would
+    // otherwise coerce to never-matching and "succeed" deleting
+    // nothing (the silent-empty class)
+    import org.apache.spark.sql.types._
+    val isString = storeSchema(field).dataType == StringType
+    require(isString == wantString,
+      s"deleteWhereMor: column $field is " +
+        s"${storeSchema(field).dataType} — use the " +
+        s"${if (isString) "string" else "numeric"}-range API flavor")
+    if (!wantString) storeSchema(field).dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType => ()
+      case dt => throw new IllegalArgumentException(
+        s"deleteWhereMor: column $field is $dt — not a range-delete " +
+          "type (integral/date/timestamp/string)")
+    }
+    if (entries.isEmpty) return parent.version
+    // positions of newly matching rows among the candidates'
+    // EFFECTIVE rows (already-deleted positions never re-match)
+    val hits = readEntriesWithPos(spark, root, entries, storeSchema)
+      .filter(coalesce(pred(storeSchema), lit(false)))
+      .select(col(DvFileCol).as("__dv_file"),
+        col(DvPosCol).as("__dv_pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // O(candidate files) driver frame — the order every pruning
+      // probe already pays
+      val affectedData = hits.select("__dv_file").distinct()
+        .collect().map(_.getString(0)).toSet
+      if (affectedData.isEmpty) return parent.version // true no-op
+      // chained MoR: an affected file's PRIOR deletions carry into
+      // the new vector (each version's entry names one vector, so
+      // readers never stack joins)
+      val carried = entries
+        .map(splitEntry)
+        .collect { case (d, Some(dv)) if affectedData.contains(d) =>
+          dv -> d }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (dv, group) =>
+          spark.read.parquet(new Path(root, dv).toString)
+            .filter(col("__dv_file").isin(group.map(_._2): _*)) }
+      // disjoint by construction: hits come from effective rows
+      val allDel = (hits +: carried).reduce(_ unionByName _)
+      val v = parent.version + 1
+      val dvName = writeDv(spark, fs, root, allDel, v)
+      val replaced = parent.files.map { e =>
+        val d = splitEntry(e)._1
+        if (affectedData.contains(d)) s"$d$DvSep$dvName" else e
+      }
+      commit(spark, root, v, "mordelete", replaced, Some(storeSchema))
+    } finally hits.unpersist()
+  }
+
+  /** Fold every deletion vector of the latest version back into
+    * plain data files (op "purgedv"): the DV'd entries' EFFECTIVE
+    * rows rewrite as fresh files, untouched entries re-list as-is.
+    * The maintenance escape from accumulated MoR deletes — after it
+    * the read path is join-free again and [[vacuum]] can collect the
+    * old vectors. `clusterBy` keeps a clustered store's layout
+    * (the [[compactSmall]] rationale). Returns the committed version
+    * (the current one when nothing carries a vector). */
+  def purgeDv(spark: SparkSession, url: String,
+      clusterBy: Option[String] = None): Int = {
+    val (_, root) = fsOf(spark, url)
+    val parent = snap(spark, url, latest(spark, url))
+    val dvd = parent.files.filter(_.contains(DvSep))
+    if (dvd.isEmpty) return parent.version
+    val schema = schemaOf(spark, root, parent)
+    val eff = readEntriesEff(spark, root, dvd, schema)
+    val v = parent.version + 1
+    val rewritten = writeFiles(spark, root, eff, v,
+      math.max(1, dvd.length), clusterBy)
+    commit(spark, root, v, "purgedv",
+      parent.files.filterNot(dvd.toSet) ++ rewritten, Some(schema))
   }
 
   /** Copy-on-write range UPDATE — `UPDATE store SET c = expr WHERE
@@ -539,7 +815,8 @@ object Snapshots {
       lo: Long, hi: Long, set: Map[String, Column]): Int = {
     val parentV = latest(spark, url)
     updateInFiles(spark, url, parentV, field, wantString = false,
-      prunedFiles(spark, url, parentV, field, lo, hi),
+      pruneEntries(spark, url, parentV, field)(
+        longHits(field, (mn, mx) => mx >= lo && mn <= hi)),
       longRangePred(_, field, lo, hi), set)
   }
 
@@ -548,7 +825,7 @@ object Snapshots {
       lo: String, hi: String, set: Map[String, Column]): Int = {
     val parentV = latest(spark, url)
     updateInFiles(spark, url, parentV, field, wantString = true,
-      prunedFilesStr(spark, url, parentV, field, lo, hi),
+      pruneEntries(spark, url, parentV, field)(strHits(field, lo, hi)),
       _ => col(field) >= lit(lo) && col(field) <= lit(hi), set)
   }
 
@@ -583,8 +860,8 @@ object Snapshots {
           "type (integral/date/timestamp/string)")
     }
     if (files.isEmpty) return parent.version
-    val names = files.map(f => new Path(f).getName).toSet
-    val scanned = spark.read.schema(storeSchema).parquet(files: _*)
+    val names = files.toSet
+    val scanned = readEntriesEff(spark, root, files, storeSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val hit = coalesce(pred(storeSchema), lit(false))
@@ -633,6 +910,11 @@ object Snapshots {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         s.schema.get)
     }
+    if (s.files.exists(_.contains(DvSep)))
+      // merge-on-read entries: deleted positions anti-join at scan
+      // time; plain entries in the same version keep their batch scan
+      return readEntriesEff(spark, root, s.files,
+        schemaOf(spark, root, s))
     val reader = s.schema
       .map(spark.read.schema).getOrElse(spark.read)
     reader.parquet(s.files.map(f => new Path(root, f).toString): _*)
@@ -672,16 +954,19 @@ object Snapshots {
     val (_, root) = fsOf(spark, url)
     val a = snap(spark, url, fromV).files.toSet
     val b = snap(spark, url, toV).files.toSet
-    val droppedF = (a -- b).toSeq.sorted.map(f => new Path(root, f).toString)
-    val addedF = (b -- a).toSeq.sorted.map(f => new Path(root, f).toString)
+    val droppedF = (a -- b).toSeq.sorted
+    val addedF = (b -- a).toSeq.sorted
     val schema = readAsOf(spark, url, toV).schema
     // both sides read under toV's schema, so a feed crossing an
     // evolution boundary sees the old rows' new column as null
-    // instead of a resolution error
-    def readOr(files: Seq[String]): DataFrame =
-      if (files.isEmpty) spark.createDataFrame(
+    // instead of a resolution error. Entries read EFFECTIVE rows: a
+    // MoR delete drops `f.parquet` and adds `f.parquet--dv--D`, so
+    // the manifest diff prices it like any rewrite and the tuple
+    // anti-join below emits exactly the deleted rows.
+    def readOr(entries: Seq[String]): DataFrame =
+      if (entries.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
+      else readEntriesEff(spark, root, entries, schema)
     val added = readOr(addedF).alias("__a")
     val dropped = readOr(droppedF).alias("__d")
     val valueCols = schema.fieldNames.filterNot(_ == keyCol).toSeq
@@ -845,7 +1130,6 @@ object Snapshots {
     }
     val fresh = allFiles.filterNot(covered)
     if (fresh.isEmpty) return 0
-    val freshAbs = fresh.map(f => new Path(root, f).toString)
     // one prefix code point MORE than the band length, so assembly
     // can tell "exact maximum" from "truncated" (Spark's substring
     // counts code points; truncation is order-monotone, so
@@ -874,8 +1158,40 @@ object Snapshots {
       if (s == null) null
       else if (s.codePointCount(0, s.length) <= StrBandCp) s
       else cpBump(cpPrefix(s, StrBandCp)).orNull)
-    val scanned = spark.read.schema(schema).parquet(freshAbs: _*)
-      .select(input_file_name().as("__f"),
+    // stats rows are keyed by the manifest ENTRY: a plain entry's
+    // key is its file name; a composite MoR entry keys (and scans)
+    // its EFFECTIVE rows — so bands, row counts and per-file sums
+    // stay EXACT after a merge-on-read delete, and the same data
+    // file can carry one row per DV generation it appears under
+    require(!schema.fieldNames.contains("__entry"),
+      "store schema uses reserved column __entry")
+    val freshSplit = fresh.map(e => e -> splitEntry(e))
+    val plainFresh = freshSplit.collect { case (e, (_, None)) => e }
+    val dvFresh = freshSplit.collect {
+      case (e, (d, Some(dv))) => (dv, d, e) }
+    val baseParts = Seq.newBuilder[DataFrame]
+    if (plainFresh.nonEmpty)
+      baseParts += spark.read.schema(schema)
+        .parquet(plainFresh.map(f => new Path(root, f).toString): _*)
+        .withColumn("__entry",
+          element_at(split(input_file_name(), "/"), -1))
+    dvFresh.groupBy(_._1).toSeq.sortBy(_._1).foreach {
+      case (dv, group) =>
+        val raw = spark.read.schema(schema)
+          .parquet(group.map(g =>
+            new Path(root, g._2).toString): _*)
+          .withColumn(DvFileCol, col("_metadata.file_name"))
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+        val dvDf = spark.read.parquet(new Path(root, dv).toString)
+        baseParts += raw.join(dvDf,
+            raw(DvFileCol) === dvDf("__dv_file") &&
+              raw(DvPosCol) === dvDf("__dv_pos"), "left_anti")
+          .withColumn("__entry",
+            concat(col(DvFileCol), lit(DvSep + dv)))
+          .drop(DvFileCol, DvPosCol)
+    }
+    val scanned = baseParts.result().reduce(_ unionByName _)
+      .select(col("__entry").as("__f"),
         explode(array(perField: _*)).as("e"))
       .groupBy(col("__f"), col("e.field").as("field"))
       .agg(min(col("e.v")).as("min_v"), max(col("e.v")).as("max_v"),
@@ -887,8 +1203,7 @@ object Snapshots {
         // metadata. DECIMAL(38,0): a file of Long.MaxValue rows
         // cannot overflow it
         sum(col("e.v").cast("decimal(38,0)")).as("sum_v"))
-      .withColumn("file",
-        element_at(split(col("__f"), "/"), -1)).drop("__f")
+      .withColumnRenamed("__f", "file")
       .withColumn("min_s", prefixBand(col("min_p")))
       .withColumn("max_s", upperBand(col("max_p")))
       .drop("min_p", "max_p")
@@ -981,13 +1296,13 @@ object Snapshots {
     * contract lives here once: no sidecar → read everything; file
     * without a stats row → must read; all-null band → a value
     * predicate never hits. */
-  private def pruneByBands(spark: SparkSession, url: String,
+  private def pruneEntries(spark: SparkSession, url: String,
       version: Int, field: String)
       (bandHits: Band => Boolean): Seq[String] = {
     val (fs, root) = fsOf(spark, url)
     val s = snap(spark, url, version)
     loadBands(spark, fs, root, Seq(field)) match {
-      case None => s.files.map(f => new Path(root, f).toString)
+      case None => s.files
       case Some(byField) =>
         val stats = byField.getOrElse(field, Map.empty[String, Band])
         s.files.filter { f =>
@@ -996,8 +1311,20 @@ object Snapshots {
             case Some(b) if b.allNull => false
             case Some(b) => bandHits(b)
           }
-        }.map(f => new Path(root, f).toString)
+        }
     }
+  }
+
+  /** [[pruneEntries]] in the public path form (one string per
+    * surviving manifest ENTRY — on a merge-on-read store a composite
+    * entry's path form exists nowhere on disk; read survivors
+    * through [[readEntryPaths]], never raw `spark.read`). */
+  private def pruneByBands(spark: SparkSession, url: String,
+      version: Int, field: String)
+      (bandHits: Band => Boolean): Seq[String] = {
+    val (_, root) = fsOf(spark, url)
+    pruneEntries(spark, url, version, field)(bandHits)
+      .map(f => new Path(root, f).toString)
   }
 
   /** The subset of `version`'s files that can contain a row with
@@ -1044,13 +1371,13 @@ object Snapshots {
     * contract), residual applied, schema-shaped empty frame when
     * nothing survives. */
   private def readPruned(spark: SparkSession, url: String, v: Int,
-      files: Seq[String],
+      entries: Seq[String],
       pred: org.apache.spark.sql.types.StructType => Column)
       : DataFrame = {
-    val schema = schemaOf(spark, fsOf(spark, url)._2,
-      snap(spark, url, v))
-    if (files.isEmpty) readAsOf(spark, url, v).filter(lit(false))
-    else spark.read.schema(schema).parquet(files: _*)
+    val root = fsOf(spark, url)._2
+    val schema = schemaOf(spark, root, snap(spark, url, v))
+    if (entries.isEmpty) readAsOf(spark, url, v).filter(lit(false))
+    else readEntriesEff(spark, root, entries, schema)
       .filter(pred(schema))
   }
 
@@ -1065,7 +1392,8 @@ object Snapshots {
       lo: Long, hi: Long, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else latest(spark, url)
     readPruned(spark, url, v,
-      prunedFiles(spark, url, v, field, lo, hi),
+      pruneEntries(spark, url, v, field)(
+        longHits(field, (mn, mx) => mx >= lo && mn <= hi)),
       longRangePred(_, field, lo, hi))
   }
 
@@ -1079,7 +1407,7 @@ object Snapshots {
       lo: String, hi: String, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else latest(spark, url)
     readPruned(spark, url, v,
-      prunedFilesStr(spark, url, v, field, lo, hi),
+      pruneEntries(spark, url, v, field)(strHits(field, lo, hi)),
       _ => col(field) >= lit(lo) && col(field) <= lit(hi))
   }
 
@@ -1138,13 +1466,21 @@ object Snapshots {
   def prunedFilesMixed(spark: SparkSession, url: String, version: Int,
       preds: Seq[(String, Long, Long)],
       strPreds: Seq[(String, String, String)]): Seq[String] = {
+    val (_, root) = fsOf(spark, url)
+    pruneEntriesMixed(spark, url, version, preds, strPreds)
+      .map(f => new Path(root, f).toString).sorted
+  }
+
+  private def pruneEntriesMixed(spark: SparkSession, url: String,
+      version: Int, preds: Seq[(String, Long, Long)],
+      strPreds: Seq[(String, String, String)]): Seq[String] = {
     require(preds.nonEmpty || strPreds.nonEmpty,
       "prunedFilesMixed needs at least one range")
     val (fs, root) = fsOf(spark, url)
     val s = snap(spark, url, version)
     val fields = (preds.map(_._1) ++ strPreds.map(_._1)).distinct
     loadBands(spark, fs, root, fields) match {
-      case None => s.files.map(f => new Path(root, f).toString).sorted
+      case None => s.files.sorted
       case Some(byField) =>
         def test(fname: String, f: String)(hit: Band => Boolean) =
           byField.getOrElse(f, Map.empty[String, Band])
@@ -1160,7 +1496,7 @@ object Snapshots {
           } && strPreds.forall { case (f, lo, hi) =>
             test(fname, f)(strHits(f, lo, hi))
           }
-        }.map(f => new Path(root, f).toString).sorted
+        }.sorted
     }
   }
 
@@ -1229,7 +1565,7 @@ object Snapshots {
       version: Int = -1): DataFrame = {
     val v = if (version > 0) version else latest(spark, url)
     readPruned(spark, url, v,
-      prunedFilesMixed(spark, url, v, preds, strPreds),
+      pruneEntriesMixed(spark, url, v, preds, strPreds),
       schema => (preds.map { case (f, lo, hi) =>
         longRangePred(schema, f, lo, hi) } ++
         strPreds.map { case (f, lo, hi) =>
@@ -1287,16 +1623,16 @@ object Snapshots {
       s"countWhere: column $field is ${schema(field).dataType} — " +
         s"use the ${if (isString) "string" else "numeric"}-range " +
         "API flavor")
-    def scanCount(files: Seq[String]): Long =
-      if (files.isEmpty) 0L
-      else spark.read.schema(schema).parquet(files: _*)
+    def scanCount(entries: Seq[String]): Long =
+      if (entries.isEmpty) 0L
+      else readEntriesEff(spark, root, entries, schema)
         .filter(residual(schema)).count()
     val sp = statsPath(root)
     val hasCounts = fs.exists(sp) &&
       spark.read.parquet(sp.toString).columns.contains("n_rows")
     if (!hasCounts) {
       // conservative fallback: band-prune if possible, scan-count
-      val admitted = pruneByBands(spark, url, v, field)(overlapping)
+      val admitted = pruneEntries(spark, url, v, field)(overlapping)
       return (scanCount(admitted), admitted.size)
     }
     // one sidecar read: band + row/null counts per covered file
@@ -1314,11 +1650,11 @@ object Snapshots {
     val toScan = Seq.newBuilder[String]
     s.files.foreach { f =>
       rows.get(f) match {
-        case None => toScan += new Path(root, f).toString
+        case None => toScan += f
         case Some((b, _, _)) if b.allNull => () // no value can match
         case Some((b, nNull, nRows)) =>
           if (contained(b)) metaCount += nRows - nNull
-          else if (overlapping(b)) toScan += new Path(root, f).toString
+          else if (overlapping(b)) toScan += f
       }
     }
     val files = toScan.result()
@@ -1361,12 +1697,12 @@ object Snapshots {
         s"aggWhere: column $field is $dt — long-band fields only " +
           "(integral/date/timestamp; string ranges: countWhereStr)")
     }
-    def scanAgg(files: Seq[String])
+    def scanAgg(entries: Seq[String])
         : (Long, BigDecimal, Option[Long], Option[Long]) =
-      if (files.isEmpty) (0L, BigDecimal(0), None, None)
+      if (entries.isEmpty) (0L, BigDecimal(0), None, None)
       else {
         val vc = col(field).cast("long")
-        val r = spark.read.schema(schema).parquet(files: _*)
+        val r = readEntriesEff(spark, root, entries, schema)
           .filter(longRangePred(schema, field, lo, hi))
           .agg(count(lit(1)).as("n"),
             sum(vc.cast("decimal(38,0)")).as("s"),
@@ -1389,7 +1725,7 @@ object Snapshots {
     val hasSums = fs.exists(sp) &&
       spark.read.parquet(sp.toString).columns.contains("sum_v")
     if (!hasSums) {
-      val admitted = pruneByBands(spark, url, v, field)(overlapping)
+      val admitted = pruneEntries(spark, url, v, field)(overlapping)
       return merge((0L, BigDecimal(0), None, None),
         scanAgg(admitted), admitted.size)
     }
@@ -1410,7 +1746,7 @@ object Snapshots {
     val toScan = Seq.newBuilder[String]
     s.files.foreach { f =>
       rows.get(f) match {
-        case None => toScan += new Path(root, f).toString
+        case None => toScan += f
         case Some((b, _, _, _)) if b.allNull => ()
         case Some((b, nNull, nRows, sumV)) =>
           val contained = lo <= b.minV.get && b.maxV.get <= hi
@@ -1420,7 +1756,7 @@ object Snapshots {
             mMin = (mMin.toSeq :+ b.minV.get).reduceOption(_ min _)
             mMax = (mMax.toSeq :+ b.maxV.get).reduceOption(_ max _)
           } else if (overlapping(b))
-            toScan += new Path(root, f).toString
+            toScan += f
       }
     }
     val files = toScan.result()
@@ -1443,15 +1779,17 @@ object Snapshots {
       s"need 0 < smallBytes <= targetBytes")
     val (fs, root) = fsOf(spark, url)
     val parent = snap(spark, url, latest(spark, url))
+    // a composite MoR entry sizes by its DATA file (the weight a
+    // scan pays); packing it reads effective rows, so compaction of
+    // a small DV'd entry also folds its deletion vector away
     val sized = parent.files.map(f =>
-      f -> fs.getFileStatus(new Path(root, f)).getLen)
+      f -> fs.getFileStatus(new Path(root, splitEntry(f)._1)).getLen)
     val small = sized.filter(_._2 < smallBytes)
     if (small.size < 2) return parent.version
     val totalSmall = small.map(_._2).sum
     val n = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
     val schema = schemaOf(spark, root, parent)
-    val read = spark.read.schema(schema)
-      .parquet(small.map(f => new Path(root, f._1).toString): _*)
+    val read = readEntriesEff(spark, root, small.map(_._1), schema)
     // on a clustered store pass its cluster field: a round-robin
     // pack would give every compacted file a full-width stats band
     // and cost the layout its skippability ingest by ingest
@@ -1704,7 +2042,9 @@ object Snapshots {
       s"clone target $dstUrl is already a snapshot store")
     dfs.mkdirs(dstRoot)
     val conf = spark.sessionState.newHadoopConf()
-    s.files.foreach { f =>
+    // composite MoR entries link BOTH physical names (data file +
+    // deletion vector); the manifest entry itself travels verbatim
+    s.files.flatMap(entryPhysical).distinct.foreach { f =>
       val from = new Path(srcRoot, f); val to = new Path(dstRoot, f)
       // a retried clone (crash after some links, before the commit —
       // the empty-store check above still passes) finds debris at
@@ -1998,15 +2338,20 @@ object Snapshots {
     // any keepFrom (the reproducibility contract of [[setTag]])
     val pinned = tags(spark, url).map(_._2).toSet
     def keeps(v: Int): Boolean = v >= keepFrom || pinned.contains(v)
+    // reference sets expand composite MoR entries to their PHYSICAL
+    // names: a deletion-vector parquet is alive exactly as long as
+    // some surviving manifest's entry names it
     val live = vs.filter(keeps)
-      .flatMap(v => snap(spark, url, v).files).toSet
+      .flatMap(v => snap(spark, url, v).files.flatMap(entryPhysical))
+      .toSet
     // files an expiring manifest references die with it; files NO
     // manifest references are either failed-commit debris or an
     // IN-FLIGHT commit's staged renames (writeFiles lands data files
     // before the manifest) — only the grace window tells them apart,
     // so orphans must outlive it before collection
     val retired = vs.filterNot(keeps)
-      .flatMap(v => snap(spark, url, v).files).toSet -- live
+      .flatMap(v => snap(spark, url, v).files.flatMap(entryPhysical))
+      .toSet -- live
     val cutoff = System.currentTimeMillis() - graceMs
     val onDisk = fs.listStatus(root).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -2023,7 +2368,8 @@ object Snapshots {
     // the whole vacuum to one listing round-trip — a file any
     // now-visible surviving manifest references is never deleted.
     val liveNow = versions(spark, url).filter(keeps)
-      .flatMap(v => snap(spark, url, v).files).toSet
+      .flatMap(v => snap(spark, url, v).files.flatMap(entryPhysical))
+      .toSet
     val safe = doomed.filterNot(st => liveNow.contains(st.getPath.getName))
     safe.foreach(st => require(fs.delete(st.getPath, false),
       s"delete failed vacuuming ${st.getPath}"))
