@@ -8,7 +8,7 @@ import graft.functions.GraftFunctions
 import graft.ops.{AnnSearch, AsOf, Chunk, Dedup, Funnel, Gram, Graph, Multimodal, NGram, NearDedup, Packing, Pii, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, SuffixArray, TextAnalysis, TransformSpec, WebCurate}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
-import graft.sources.{DistinctView, GraftRead, JoinView, JsonlIngest, Materialize, MaterializedView, RowGroupIndex, Snapshots}
+import graft.sources.{Branch, DistinctView, GraftRead, JoinView, JsonlIngest, Materialize, MaterializedView, RowGroupIndex, Snapshots}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -7737,6 +7737,77 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("bal_cents")).as("sum_bal")),
         col("c_mktsegment"))
+    }),
+
+    // ---- Branch/merge: fork → diverge → conflict-checked merge ----
+    // The lakehouse dev-branch workflow: fork the store in O(files)
+    // hard links, mutate the branch (range update + MERGE-ON-READ
+    // delete + insert batch) while MAIN moves concurrently on
+    // disjoint keys, then mergeBack lands the branch's net
+    // manifest-diff delta as ONE upsert. Asserted in-body: a second
+    // branch that touched a key main also changed REFUSES to merge
+    // (key-level three-way conflict, nothing half-merged), branch
+    // and main never see each other's uncommitted work, and the MoR
+    // deletions travel through the merge as tombstones. Oracle =
+    // the merged final state.
+    "q366_branch_merge" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q366"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val main = s"$base/main"
+      val br = s"$base/feature"; val br2 = s"$base/conflicted"
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull &&
+          col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull)
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_mktsegment").as("seg"),
+          cents(col("c_acctbal")).as("bal"))
+      Snapshots.create(s, main, cust, nFiles = 8,
+        clusterBy = Some("k"))
+      Branch.fork(s, main, br)
+      Branch.fork(s, main, br2)
+      // branch work: range update + sparse MoR delete + insert batch
+      Snapshots.updateWhere(s, br, "k", 100L, 200L,
+        Map("seg" -> lit("BRANCHED")))
+      Snapshots.deleteWhereMor(s, br, "k", 300L, 350L)
+      Snapshots.append(s, br, cust.filter(col("k").between(1L, 20L))
+        .select((col("k") + 1000000L).as("k"), lit("FORKED").as("seg"),
+          (col("bal") * 2L).as("bal")))
+      // main moves concurrently on DISJOINT keys
+      Snapshots.updateWhere(s, main, "k", 500L, 520L,
+        Map("seg" -> lit("MAINSIDE")))
+      // branch isolation both ways
+      require(Snapshots.read(s, main)
+        .filter(col("seg") === "BRANCHED").limit(1).isEmpty,
+        "branch write leaked into main before merge")
+      require(Snapshots.read(s, br)
+        .filter(col("seg") === "MAINSIDE").limit(1).isEmpty,
+        "main write leaked into the branch")
+      // the conflicted branch touched a key main changed → refused
+      Snapshots.upsert(s, br2,
+        cust.filter(col("k") === 510L)
+          .select(col("k"), lit("OVERLAP").as("seg"), col("bal")),
+        "k")
+      val refused = try { Branch.mergeBack(s, br2, "k"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("conflict") }
+      require(refused, "conflicting merge was not refused")
+      require(Snapshots.read(s, main)
+        .filter(col("seg") === "OVERLAP").limit(1).isEmpty,
+        "refused merge leaked rows")
+      // the clean branch merges as one commit
+      Branch.mergeBack(s, br, "k")
+      orderSmall(Snapshots.read(s, main)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("bal")).as("sum_bal")),
+        col("seg"))
     })
   )
 
@@ -17034,6 +17105,27 @@ object SparkEntry {
         |WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
         |  AND c_acctbal IS NOT NULL
         |  AND c_custkey NOT BETWEEN 50 AND 400
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q366_branch_merge" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |    AND c_acctbal IS NOT NULL
+        |), merged AS (
+        |  SELECT k,
+        |    CASE WHEN k BETWEEN 100 AND 200 THEN 'BRANCHED'
+        |         WHEN k BETWEEN 500 AND 520 THEN 'MAINSIDE'
+        |         ELSE seg END AS seg,
+        |    bal
+        |  FROM c WHERE k NOT BETWEEN 300 AND 350
+        |  UNION ALL
+        |  SELECT k + 1000000, 'FORKED', bal * 2 FROM c
+        |  WHERE k BETWEEN 1 AND 20
+        |)
+        |SELECT seg, count(*) AS n, CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM merged GROUP BY seg ORDER BY seg""".stripMargin
   )
 }

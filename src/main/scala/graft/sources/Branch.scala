@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Git-like branch/merge workflow over [[Snapshots]] stores — the
+  * lakehouse dev-branch pattern: fork a 100 TB corpus in O(files)
+  * metadata (hard-linked [[Snapshots.cloneStore]]), iterate on the
+  * branch with the full mutation surface (append/upsert/delete/
+  * cluster — it IS a store), then merge the net row-level delta back
+  * with key-level conflict detection. Both sides stay priced by
+  * their MANIFEST DIFFS: a merge reads O(changed files) on the
+  * branch and probes O(changed keys) on the main store, never either
+  * corpus.
+  *
+  * The reference has no mutation layer at all (write-once
+  * materialize, etl/dataset_metadata.py:66-103); this is the
+  * beyond-reference lakehouse surface grown around it.
+  *
+  * Conflict semantics are KEY-level three-way: a key changed on the
+  * branch since the fork AND changed on main since the fork refuses
+  * the merge loudly (a silent last-writer-wins would lose one
+  * side's write — the silent-empty doctrine applied to merges).
+  * Schema evolution on a branch refuses at merge time through
+  * [[Snapshots.upsert]]'s schema gate: merging a migration is a
+  * store migration, not a row merge.
+  */
+object Branch {
+
+  private def metaPath(root: Path) = new Path(root, "_branch.json")
+
+  /** Fork `srcUrl`@`version` (latest when < 0) into an INDEPENDENT
+    * writable store at `branchUrl`: data files hard-link on
+    * `file://` (zero bytes copied), the branch's v1 holds exactly
+    * the fork content, and `_branch.json` records the provenance
+    * [[mergeBack]] needs. Divergence is free by construction — data
+    * files are immutable on both sides ([[Snapshots.cloneStore]]).
+    * Returns the fork version of the SOURCE. */
+  def fork(spark: SparkSession, srcUrl: String, branchUrl: String,
+      version: Int = -1): Int = {
+    val v = if (version < 0) Snapshots.latest(spark, srcUrl)
+            else version
+    Snapshots.cloneStore(spark, srcUrl, branchUrl, v)
+    val root = new Path(branchUrl)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath(root), false)
+    // srcUrl is caller-supplied and may contain quotes — refuse
+    // rather than write an unparseable provenance file
+    require(!srcUrl.contains("\""), s"branch source url carries '\"'")
+    try out.write(
+      s"""{"src":"$srcUrl","srcVersion":$v}""".getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** (source url, fork version) a branch was forked from; loud on a
+    * store that is not a fork. */
+  def forkPoint(spark: SparkSession, branchUrl: String)
+      : (String, Int) = {
+    val root = new Path(branchUrl)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = metaPath(root)
+    require(fs.exists(p),
+      s"$branchUrl is not a fork (no _branch.json) — Branch.fork " +
+        "creates one")
+    val body = SidecarJson.slurp(fs, p)
+    val src = """"src"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body)
+      .getOrElse(sys.error(s"corrupt $p — no src")).group(1)
+    val v = """"srcVersion"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+      .getOrElse(sys.error(s"corrupt $p — no srcVersion"))
+      .group(1).toInt
+    (src, v)
+  }
+
+  /** The branch's net row-level delta since its fork (one row per
+    * changed key, `_change` ∈ insert/update/delete) — manifest-diff
+    * priced, O(files the branch touched). */
+  def delta(spark: SparkSession, branchUrl: String,
+      keyCol: String): DataFrame = {
+    val bLatest = Snapshots.latest(spark, branchUrl)
+    require(bLatest > 1, s"branch $branchUrl has no commits past " +
+      "its fork — nothing to merge")
+    Snapshots.changes(spark, branchUrl, keyCol, 1, bLatest)
+  }
+
+  /** Merge a branch's net delta back into its fork source as ONE
+    * upsert commit (inserts + updates land, deletes tombstone).
+    * Refuses on key-level conflicts: keys changed on BOTH sides
+    * since the fork (listing a sample). A branch with no commits
+    * past the fork is a no-op returning the source's current
+    * version. The merged branch remains a valid store (re-fork for
+    * the next iteration — its fork point is stale once main moves).
+    * `maxKeys` bounds the driver-side merge batch, the
+    * [[Snapshots.upsert]] contract. */
+  def mergeBack(spark: SparkSession, branchUrl: String,
+      keyCol: String, maxKeys: Int = 1000000): Int = {
+    val (src, forkV) = forkPoint(spark, branchUrl)
+    val bLatest = Snapshots.latest(spark, branchUrl)
+    if (bLatest == 1) return Snapshots.latest(spark, src)
+    val feed = delta(spark, branchUrl, keyCol)
+    val mLatest = Snapshots.latest(spark, src)
+    require(mLatest >= forkV,
+      s"source $src is at v$mLatest, below the fork point v$forkV " +
+        "— its history was vacuumed or rebuilt; re-fork")
+    if (mLatest > forkV) {
+      // main moved since the fork: any key changed on both sides is
+      // a conflict. Both key sets are manifest-diff priced.
+      val mainKeys = Snapshots
+        .changes(spark, src, keyCol, forkV, mLatest)
+        .select(col(keyCol))
+      val conflicts = feed.select(col(keyCol))
+        .intersect(mainKeys).limit(11)
+        .collect().map(_.get(0))
+      require(conflicts.isEmpty,
+        s"merge conflict: ${conflicts.length}${if (conflicts.length > 10) "+" else ""} " +
+          s"key(s) changed on both $src (since v$forkV) and the " +
+          s"branch: ${conflicts.take(10).mkString(", ")} — rebase " +
+          "(re-fork and replay) or resolve upstream")
+    }
+    val updates = feed
+      .withColumn("__merge_del", col("_change") === "delete")
+      .drop("_change")
+    Snapshots.upsert(spark, src, updates, keyCol,
+      deleteCol = Some("__merge_del"), maxKeys = maxKeys)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Branch/merge workflow: O(files) fork, independent mutation on
+  * both sides, manifest-diff-priced merge-back with key-level
+  * three-way conflict detection. */
+class BranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(tag: String): String =
+    scratch(s"branch_$tag/${java.util.UUID.randomUUID().toString.take(8)}")
+
+  private def mk(url: String): Int =
+    Snapshots.create(spark, url,
+      (1L to 50L).map(i => (i, s"v$i", i * 10)).toDF("id", "s", "n"),
+      nFiles = 4, clusterBy = Some("id"))
+
+  test("fork is independent both ways; mergeBack lands the net " +
+      "insert/update/delete delta as one commit") {
+    val main = fresh("main"); val br = fresh("br")
+    mk(main)
+    val forkV = Branch.fork(spark, main, br)
+    assert(Snapshots.read(spark, br).count() == 50L)
+    // branch mutations: update 3, delete 7, insert 99
+    Snapshots.upsert(spark, br,
+      Seq((3L, "patched", 33L)).toDF("id", "s", "n"), "id")
+    Snapshots.deleteWhere(spark, br, "id", 7L, 7L)
+    Snapshots.append(spark, br,
+      Seq((99L, "new", 990L)).toDF("id", "s", "n"))
+    // main unaffected by branch writes
+    assert(Snapshots.read(spark, main).count() == 50L)
+    // main moves on DISJOINT keys — still mergeable
+    Snapshots.upsert(spark, main,
+      Seq((40L, "mainside", 400L)).toDF("id", "s", "n"), "id")
+    // branch unaffected by main writes
+    assert(Snapshots.read(spark, br)
+      .filter(col("s") === "mainside").isEmpty)
+    val merged = Branch.mergeBack(spark, br, "id")
+    assert(merged == Snapshots.latest(spark, main))
+    val now = Snapshots.read(spark, main)
+    assert(now.count() == 50L) // -1 delete +1 insert
+    assert(now.filter(col("id") === 3L).select("s")
+      .as[String].head() == "patched")
+    assert(now.filter(col("id") === 7L).isEmpty)
+    assert(now.filter(col("id") === 99L).select("n")
+      .as[Long].head() == 990L)
+    assert(now.filter(col("id") === 40L).select("s")
+      .as[String].head() == "mainside")
+    assert(forkV == 1)
+  }
+
+  test("key-level conflict: both sides touched the same key since " +
+      "the fork — merge refuses, naming the key") {
+    val main = fresh("cmain"); val br = fresh("cbr")
+    mk(main)
+    Branch.fork(spark, main, br)
+    Snapshots.upsert(spark, br,
+      Seq((5L, "branchside", 1L)).toDF("id", "s", "n"), "id")
+    // main DELETES the same key → three-way conflict
+    Snapshots.deleteWhere(spark, main, "id", 5L, 5L)
+    val e = intercept[IllegalArgumentException] {
+      Branch.mergeBack(spark, br, "id")
+    }
+    assert(e.getMessage.contains("conflict") &&
+      e.getMessage.contains("5"))
+    // main kept its state (nothing half-merged)
+    assert(Snapshots.read(spark, main).count() == 49L)
+  }
+
+  test("no-op merges, pinned-version forks, and non-fork refusal") {
+    val main = fresh("nmain"); val br = fresh("nbr")
+    val v1 = mk(main)
+    Snapshots.append(spark, main,
+      Seq((51L, "later", 510L)).toDF("id", "s", "n"))
+    // fork at the PINNED v1: the branch sees 50 rows, not 51
+    Branch.fork(spark, main, br, version = v1)
+    assert(Snapshots.read(spark, br).count() == 50L)
+    // a branch with no commits past its fork merges as a no-op
+    assert(Branch.mergeBack(spark, br, "id") ==
+      Snapshots.latest(spark, main))
+    // merging a store that is not a fork refuses
+    intercept[IllegalArgumentException] {
+      Branch.mergeBack(spark, main, "id")
+    }
+  }
+}
