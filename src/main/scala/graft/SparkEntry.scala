@@ -7808,6 +7808,126 @@ object SparkEntry {
         .groupBy(col("seg"))
         .agg(count(lit(1)).as("n"), sum(col("bal")).as("sum_bal")),
         col("seg"))
+    }),
+
+    // ---- ANSI three-valued logic parity: [NOT] IN vs [NOT] EXISTS ----
+    // The null-semantics audit every migrated filter pipeline needs:
+    // `NOT IN (subquery)` collapses to ZERO rows the moment the
+    // subquery holds one NULL (x <> NULL is UNKNOWN), while
+    // NOT EXISTS keeps counting — including the probe's own NULL
+    // keys. Both engines must agree on all six arms (IN/NOT IN over
+    // clean and null-bearing subqueries, EXISTS/NOT EXISTS), or a
+    // dedup/decontamination filter silently drops or keeps the
+    // wrong corpus slice. Spark plans the null-aware anti join for
+    // NOT IN — one exchange, no correlated re-scan.
+    "q367_antijoin_nulls" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull)
+        .createOrReplaceTempView("q367_orders")
+      t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
+        .createOrReplaceTempView("q367_customer")
+      orderSmall(s.sql(
+        """WITH probe AS (
+          |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+          |         ELSE o_custkey END AS k
+          |  FROM q367_orders
+          |), sub_clean AS (
+          |  SELECT c_custkey AS k FROM q367_customer
+          |  WHERE c_custkey % 4 = 0
+          |), sub_null AS (
+          |  SELECT CASE WHEN c_custkey % 89 = 0 THEN NULL
+          |         ELSE c_custkey END AS k
+          |  FROM q367_customer WHERE c_custkey % 4 = 0
+          |)
+          |SELECT op, n FROM (
+          |  SELECT 'in_clean' AS op, CAST(count(*) AS BIGINT) AS n
+          |  FROM probe WHERE k IN (SELECT k FROM sub_clean)
+          |  UNION ALL
+          |  SELECT 'in_null', CAST(count(*) AS BIGINT)
+          |  FROM probe WHERE k IN (SELECT k FROM sub_null)
+          |  UNION ALL
+          |  SELECT 'not_in_clean', CAST(count(*) AS BIGINT)
+          |  FROM probe WHERE k NOT IN (SELECT k FROM sub_clean)
+          |  UNION ALL
+          |  SELECT 'not_in_null', CAST(count(*) AS BIGINT)
+          |  FROM probe WHERE k NOT IN (SELECT k FROM sub_null)
+          |  UNION ALL
+          |  SELECT 'exists', CAST(count(*) AS BIGINT)
+          |  FROM probe p
+          |  WHERE EXISTS (SELECT 1 FROM sub_null s WHERE s.k = p.k)
+          |  UNION ALL
+          |  SELECT 'not_exists', CAST(count(*) AS BIGINT)
+          |  FROM probe p
+          |  WHERE NOT EXISTS (SELECT 1 FROM sub_null s WHERE s.k = p.k)
+          |) AS arms""".stripMargin), col("op"))
+    }),
+
+    // ---- Merge-on-read UPDATE: vector out, fresh images in ----
+    // The sparse-correction shape without rewriting matched files:
+    // one commit re-points the affected entries through a deletion
+    // vector AND appends the updated images as one narrow-band file.
+    // Asserted in-body: every pre-update data file survives
+    // bit-identical, exactly the matched band reads new values,
+    // replacement expressions saw CURRENT values (the negation), a
+    // no-match update is a true no-op, the pre-update version reads
+    // originals, and the CDC feed emits exactly the updated keys
+    // with their pre-images. Oracle = CASE WHEN over the source.
+    "q368_mor_update" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q368"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, store, docs, nFiles = 8,
+        clusterBy = Some("doc_id"))
+      Snapshots.indexStats(s, store, Seq("doc_id"))
+      val v0 = Snapshots.latest(s, store)
+      val physBefore = Snapshots.snap(s, store, v0).files
+        .map(_.split("--dv--")(0)).toSet
+      val v1 = Snapshots.updateWhereMor(s, store, "doc_id",
+        120L, 240L, Map("lang" -> lit("redacted"),
+          "n_chars" -> (-col("n_chars")).cast("long")))
+      require(v1 == v0 + 1, "MoR update did not commit")
+      val after = Snapshots.snap(s, store, v1).files
+      require(physBefore.subsetOf(
+        after.map(_.split("--dv--")(0)).toSet),
+        "MoR update rewrote a data file")
+      require(after.exists(_.contains("--dv--")),
+        "MoR update left no vector entry")
+      // no-match: true no-op; pre-update version reads originals
+      require(Snapshots.updateWhereMor(s, store, "doc_id",
+        900000L, 999999L, Map("lang" -> lit("zz"))) == v1,
+        "no-match MoR update committed")
+      require(Snapshots.readAsOf(s, store, v0)
+        .filter(col("lang") === "redacted").limit(1).isEmpty,
+        "old version leaked updated values")
+      // CDC: exactly the matched keys as updates, with pre-images
+      val feed = Snapshots.changes(s, store, "doc_id", v0, v1,
+        includeOld = true)
+      val expectHits = docs.filter(col("doc_id").between(120L, 240L))
+        .count()
+      require(feed.filter(col("_change") === "update").count() ==
+        expectHits &&
+        feed.filter(col("_change") === "update_old").count() ==
+          expectHits &&
+        feed.filter(col("_change").isin("insert", "delete"))
+          .limit(1).isEmpty,
+        "CDC across the MoR update is not exact")
+      orderSmall(Snapshots.read(s, store)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars")),
+        col("lang"))
     })
   )
 
@@ -17126,6 +17246,58 @@ object SparkEntry {
         |  WHERE k BETWEEN 1 AND 20
         |)
         |SELECT seg, count(*) AS n, CAST(sum(bal) AS BIGINT) AS sum_bal
-        |FROM merged GROUP BY seg ORDER BY seg""".stripMargin
+        |FROM merged GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "q367_antijoin_nulls" ->
+      """WITH probe AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |         ELSE o_custkey END AS k
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |), sub_clean AS (
+        |  SELECT c_custkey AS k FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_custkey % 4 = 0
+        |), sub_null AS (
+        |  SELECT CASE WHEN c_custkey % 89 = 0 THEN NULL
+        |         ELSE c_custkey END AS k
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_custkey % 4 = 0
+        |)
+        |SELECT op, n FROM (
+        |  SELECT 'in_clean' AS op, CAST(count(*) AS BIGINT) AS n
+        |  FROM probe WHERE k IN (SELECT k FROM sub_clean)
+        |  UNION ALL
+        |  SELECT 'in_null', CAST(count(*) AS BIGINT)
+        |  FROM probe WHERE k IN (SELECT k FROM sub_null)
+        |  UNION ALL
+        |  SELECT 'not_in_clean', CAST(count(*) AS BIGINT)
+        |  FROM probe WHERE k NOT IN (SELECT k FROM sub_clean)
+        |  UNION ALL
+        |  SELECT 'not_in_null', CAST(count(*) AS BIGINT)
+        |  FROM probe WHERE k NOT IN (SELECT k FROM sub_null)
+        |  UNION ALL
+        |  SELECT 'exists', CAST(count(*) AS BIGINT)
+        |  FROM probe p
+        |  WHERE EXISTS (SELECT 1 FROM sub_null s WHERE s.k = p.k)
+        |  UNION ALL
+        |  SELECT 'not_exists', CAST(count(*) AS BIGINT)
+        |  FROM probe p
+        |  WHERE NOT EXISTS (SELECT 1 FROM sub_null s WHERE s.k = p.k)
+        |) AS arms ORDER BY op""".stripMargin,
+
+    "q368_mor_update" ->
+      """WITH u AS (
+        |  SELECT
+        |    CASE WHEN doc_id BETWEEN 120 AND 240
+        |      THEN 'redacted' ELSE lang END AS lang,
+        |    CASE WHEN doc_id BETWEEN 120 AND 240
+        |      THEN -n_chars ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

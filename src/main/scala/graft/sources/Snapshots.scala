@@ -773,6 +773,110 @@ object Snapshots {
     } finally hits.unpersist()
   }
 
+  /** MERGE-ON-READ range UPDATE — `UPDATE store SET c = expr WHERE
+    * field BETWEEN lo AND hi` WITHOUT rewriting the matched files:
+    * the matched rows' positions land in a deletion vector (their
+    * old images stop reading) and their UPDATED images append as one
+    * fresh file — both in ONE commit (op "morupdate"). The sparse-
+    * correction shape at 100 TB; wide updates should stay
+    * [[updateWhere]] (copy-on-write). Same contracts as the COW
+    * flavor: `set` maps EXISTING columns to expressions over the
+    * matched row's current values, pinned types enforced, CHECK
+    * constraints re-checked on the updated rows, NULL field rows
+    * never match, no-match is a true no-op, old versions read their
+    * own vectors, and the CDC feed emits exact update (+pre-image)
+    * rows — the manifest diff prices the commit as drop+add. */
+  def updateWhereMor(spark: SparkSession, url: String, field: String,
+      lo: Long, hi: Long, set: Map[String, Column]): Int = {
+    val parentV = latest(spark, url)
+    morUpdate(spark, url, parentV, field, wantString = false,
+      pruneEntries(spark, url, parentV, field)(
+        longHits(field, (mn, mx) => mx >= lo && mn <= hi)),
+      longRangePred(_, field, lo, hi), set)
+  }
+
+  /** [[updateWhereMor]] for a STRING field (prefix-band pruning). */
+  def updateWhereMorStr(spark: SparkSession, url: String,
+      field: String, lo: String, hi: String,
+      set: Map[String, Column]): Int = {
+    val parentV = latest(spark, url)
+    morUpdate(spark, url, parentV, field, wantString = true,
+      pruneEntries(spark, url, parentV, field)(strHits(field, lo, hi)),
+      _ => col(field) >= lit(lo) && col(field) <= lit(hi), set)
+  }
+
+  private def morUpdate(spark: SparkSession, url: String,
+      parentV: Int, field: String, wantString: Boolean,
+      entries: Seq[String],
+      pred: org.apache.spark.sql.types.StructType => Column,
+      set: Map[String, Column]): Int = {
+    val (fs, root) = fsOf(spark, url)
+    val parent = snap(spark, url, parentV)
+    val storeSchema = schemaOf(spark, root, parent)
+    require(set.nonEmpty, "updateWhereMor: empty SET clause")
+    require(storeSchema.fieldNames.contains(field),
+      s"updateWhereMor: no column $field in the store schema")
+    set.keys.foreach(c => require(storeSchema.fieldNames.contains(c),
+      s"updateWhereMor: SET names unknown column $c — updates never " +
+        "add columns (that is schema evolution, use append/upsert)"))
+    import org.apache.spark.sql.types._
+    val isString = storeSchema(field).dataType == StringType
+    require(isString == wantString,
+      s"updateWhereMor: column $field is " +
+        s"${storeSchema(field).dataType} — use the " +
+        s"${if (isString) "string" else "numeric"}-range API flavor")
+    if (!wantString) storeSchema(field).dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType => ()
+      case dt => throw new IllegalArgumentException(
+        s"updateWhereMor: column $field is $dt — not a range-update " +
+          "type (integral/date/timestamp/string)")
+    }
+    if (entries.isEmpty) return parent.version
+    val hit = coalesce(pred(storeSchema), lit(false))
+    val matched = readEntriesWithPos(spark, root, entries, storeSchema)
+      .filter(hit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affectedData = matched.select(col(DvFileCol)).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (affectedData.isEmpty) return parent.version // true no-op
+      val updated = matched.select(storeSchema.fieldNames.toSeq.map {
+        c => set.get(c).map(_.as(c)).getOrElse(col(c)) }: _*)
+      updated.schema.fields.zip(storeSchema.fields).foreach {
+        case (u, b) => require(u.dataType == b.dataType,
+          s"updateWhereMor: SET ${b.name} yields ${u.dataType} but " +
+            s"the pinned column is ${b.dataType} — cast explicitly")
+      }
+      validateBatch(spark, root, url, updated)
+      // delete side: matched positions + prior deletions of the
+      // affected files (the [[morDelete]] chain contract)
+      val hits = matched.select(col(DvFileCol).as("__dv_file"),
+        col(DvPosCol).as("__dv_pos"))
+      val carried = entries
+        .map(splitEntry)
+        .collect { case (d, Some(dv)) if affectedData.contains(d) =>
+          dv -> d }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (dv, group) =>
+          spark.read.parquet(new Path(root, dv).toString)
+            .filter(col("__dv_file").isin(group.map(_._2): _*)) }
+      val allDel = (hits +: carried).reduce(_ unionByName _)
+      val v = parent.version + 1
+      val dvName = writeDv(spark, fs, root, allDel, v)
+      // the updated images land clustered on the range field (they
+      // span exactly the range's band — one narrow-band file)
+      val fresh = writeFiles(spark, root, updated, v, 1,
+        clusterBy = Some(field))
+      val replaced = parent.files.map { e =>
+        val d = splitEntry(e)._1
+        if (affectedData.contains(d)) s"$d$DvSep$dvName" else e
+      }
+      commit(spark, root, v, "morupdate", replaced ++ fresh,
+        Some(storeSchema))
+    } finally matched.unpersist()
+  }
+
   /** Fold every deletion vector of the latest version back into
     * plain data files (op "purgedv"): the DV'd entries' EFFECTIVE
     * rows rewrite as fresh files, untouched entries re-list as-is.

@@ -177,6 +177,58 @@ class MorDeleteSpec extends SparkSpec {
     assert(Snapshots.read(spark, url3).count() == 26L)
   }
 
+  test("MoR UPDATE: matched rows re-point through a vector and the " +
+      "new images append — one commit, zero rewrites, exact CDC") {
+    val url = fresh("update")
+    val v1 = mk(url, n = 60, files = 3)
+    val physBefore = dataParts(url, v1)
+    val v2 = Snapshots.updateWhereMor(spark, url, "id", 10L, 14L,
+      Map("body" -> lit("edited"), "grp" -> (col("grp") + 100)))
+    assert(v2 == v1 + 1)
+    // old data files survive untouched; ONE fresh file appends
+    val e2 = Snapshots.snap(spark, url, v2).files
+    assert(e2.map(_.split("--dv--")(0)).toSet
+      .intersect(physBefore.toSet) == physBefore.toSet)
+    assert(e2.count(!physBefore.map(_.split("--dv--")(0)).toSet
+      .contains(_)) >= 1)
+    val now = Snapshots.read(spark, url)
+    assert(now.count() == 60L, "MoR update changed the row count")
+    assert(now.filter(col("id").between(10L, 14L))
+      .select("body").as[String].collect().toSet == Set("edited"))
+    assert(now.filter(col("id") === 12L).select("grp")
+      .as[Int].head() == (12 % 7) + 100)
+    // pre-update version reads originals
+    assert(Snapshots.readAsOf(spark, url, v1)
+      .filter(col("body") === "edited").isEmpty)
+    // CDC: exactly 5 updates with NEW values, plus their pre-images
+    val feed = Snapshots.changes(spark, url, "id", v1, v2,
+      includeOld = true)
+    assert(feed.filter(col("_change") === "update").count() == 5L)
+    assert(feed.filter(col("_change") === "update_old")
+      .select("body").as[String].collect()
+      .forall(_ != "edited"))
+    assert(feed.filter(col("_change").isin("insert", "delete"))
+      .isEmpty)
+    // no-match update: true no-op; wrong flavor refuses
+    assert(Snapshots.updateWhereMor(spark, url, "id", 900L, 999L,
+      Map("body" -> lit("x"))) == v2)
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhereMorStr(spark, url, "id", "a", "b",
+        Map("body" -> lit("x")))
+    }
+    // chained on the same file AFTER a MoR delete: both fold
+    val v3 = Snapshots.deleteWhereMor(spark, url, "id", 11L, 12L)
+    val v4 = Snapshots.updateWhereMor(spark, url, "id", 13L, 13L,
+      Map("body" -> lit("again")))
+    assert(v4 == v3 + 1)
+    val last = Snapshots.read(spark, url)
+    assert(last.count() == 58L)
+    assert(last.filter(col("id") === 13L).select("body")
+      .as[String].head() == "again")
+    assert(last.filter(col("id") === 10L).select("body")
+      .as[String].head() == "edited")
+  }
+
   test("non-DV-aware paths fail LOUDLY, never resurrect: the " +
       "reader chain refuses a MoR store") {
     val url = fresh("loud")
