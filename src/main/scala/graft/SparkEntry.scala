@@ -7928,6 +7928,67 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("sum_chars")),
         col("lang"))
+    }),
+
+    // ---- MoR delete + dim CDC through the incremental JOIN view ----
+    // The q354 shape with BOTH new machines engaged: the fact-store
+    // retention delete is MERGE-ON-READ (zero fact files rewritten —
+    // asserted), and the concurrent dim mutation drives the
+    // stats-pruned fact probe THROUGH the composite entries
+    // (readEntryPaths — the dim-driven invalidation path reading a
+    // MoR store exactly). ONE refresh folds both CDC feeds. Oracle =
+    // the full re-join of the mutated state.
+    "q369_mor_through_view" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q369"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val factStore = s"$base/fact"; val dimStore = s"$base/dim"
+      val view = s"$base/view"
+      val fact = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_custkey").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("cents"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull &&
+          col("c_mktsegment").isNotNull)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment"))
+      Snapshots.create(s, factStore, fact, nFiles = 8,
+        clusterBy = Some("o_custkey"))
+      Snapshots.indexStats(s, factStore, Seq("o_custkey"))
+      Snapshots.create(s, dimStore, dim, nFiles = 2)
+      JoinView.init(s, view, factStore, dimStore,
+        "o_orderkey", "o_custkey")
+      // fact side: MERGE-ON-READ retention delete — no rewrites
+      val v0 = Snapshots.latest(s, factStore)
+      val physBefore = Snapshots.snap(s, factStore, v0).files
+        .map(_.split("--dv--")(0)).sorted
+      Snapshots.deleteWhereMor(s, factStore, "o_custkey", 200L, 500L)
+      val vDel = Snapshots.latest(s, factStore)
+      require(Snapshots.snap(s, factStore, vDel).files
+        .map(_.split("--dv--")(0)).sorted == physBefore,
+        "MoR delete rewrote a fact file")
+      require(Snapshots.snap(s, factStore, vDel).files
+        .exists(_.contains("--dv--")), "no vector entry on the fact")
+      // dim side: concurrent segment mutation → the refresh's
+      // dim-driven probe prunes the MoR fact store by changed keys
+      Snapshots.upsert(s, dimStore,
+        dim.filter(col("o_custkey").between(600L, 620L))
+          .select(col("o_custkey"), lit("MUTATED").as("c_mktsegment")),
+        "o_custkey")
+      JoinView.refresh(s, view, factStore, dimStore)
+      orderSmall(JoinView.read(s, view)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents")),
+        col("c_mktsegment"))
     })
   )
 
@@ -17298,6 +17359,25 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM u GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q369_mor_through_view" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |    AND o_custkey NOT BETWEEN 200 AND 500
+        |), d AS (
+        |  SELECT c_custkey AS ck,
+        |    CASE WHEN c_custkey BETWEEN 600 AND 620 THEN 'MUTATED'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f JOIN d USING (ck)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
