@@ -8,7 +8,7 @@ import graft.functions.GraftFunctions
 import graft.ops.{AnnSearch, AsOf, Chunk, Dedup, Funnel, Gram, Graph, Multimodal, NGram, NearDedup, Packing, Pii, RangeJoin, Retrieval, Sampling, SemanticDedup, SetSim, Sketch, Stats, SuffixArray, TextAnalysis, TransformSpec, WebCurate}
 import graft.predicates._
 import graft.schema.{CodecSpec, FieldSpec, GraftSchema}
-import graft.sources.{Branch, DistinctView, GraftRead, JoinView, JsonlIngest, Materialize, MaterializedView, RowGroupIndex, Snapshots}
+import graft.sources.{Branch, DistinctView, GraftRead, JoinView, JsonlIngest, Materialize, MaterializedView, RowGroupIndex, Snapshots, VectorIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -7989,6 +7989,60 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents")),
         col("c_mktsegment"))
+    }),
+
+    // ---- Vector-aware file skipping: IVF postings on the store ----
+    // The scalar stats bands' analogue for embeddings: _vecindex
+    // records pinned centroids + per-file cell postings; a query
+    // probes its nearest cells and opens ONLY the files holding
+    // them. The store is laid out clustered by coarse cell (the
+    // vector Zorder), so a narrow probe skips files — asserted
+    // in-body (nprobe=2 opens strictly fewer entries). Search is
+    // EXACT over the probed cells under the q316 integer-rank
+    // contract, so the exhaustive probe (nprobe = k) IS brute force
+    // — which is what the oracle recomputes in SQL.
+    "q370_vector_skipping" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q370"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val src = t(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      // lay the store out clustered by coarse cell — the vector
+      // analogue of cluster(field). The cell ids come from the same
+      // deterministic centroid sample VectorIndex will train (same
+      // rows, same md5 order), so postings concentrate per file.
+      val cents = AnnSearch.ivfCentroids(src, "vec_id", "embedding", 8)
+      val bucketOf = AnnSearch.ivfAssign(src, "vec_id", "embedding",
+        cents).select(col("cid").as("vec_id"), col("bucket"))
+      Snapshots.create(s, store,
+        src.join(bucketOf, Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"),
+            col("bucket").cast("long").as("cell")),
+        nFiles = 8, clusterBy = Some("cell"))
+      VectorIndex.index(s, store, "vec_id", "embedding", 8)
+      val q = src.filter(col("vec_id") === 7L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      // skipping proof: a 2-cell probe opens strictly fewer files
+      val v = Snapshots.latest(s, store)
+      val total = Snapshots.snap(s, store, v).files.size
+      val pruned = VectorIndex.prunedEntries(s, store, v, q, 2)
+      require(pruned.nonEmpty && pruned.size < total,
+        s"vector postings failed to prune: kept ${pruned.size}/$total")
+      // exhaustive probe = brute force = the oracle
+      orderSmall(VectorIndex.search(s, store, "vec_id", "embedding",
+        q, topK = 10, nprobe = 8)
+        .select(col("rank").cast("long").as("rank"),
+          col("id").cast("long").as("id"), col("key")),
+        col("rank"))
     })
   )
 
@@ -17378,6 +17432,42 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM f JOIN d USING (ck)
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q370_vector_skipping" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |), q AS (
+        |  SELECT qv AS qq FROM e WHERE vec_id = 7
+        |), keyed AS (
+        |  SELECT e.vec_id AS id,
+        |    ((list_reduce(list_transform(range(1, 65),
+        |        i -> e.qv[i] * q.qq[i]), (a, b) -> a + b)
+        |      + 2 * greatest(
+        |        CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> q.qq[i] * q.qq[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT)
+        |        * CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> e.qv[i] * e.qv[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT),
+        |        CAST(1 AS BIGINT)))
+        |     * 100000) // greatest(
+        |        CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> q.qq[i] * q.qq[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT)
+        |        * CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> e.qv[i] * e.qv[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT),
+        |        CAST(1 AS BIGINT)) AS key
+        |  FROM e CROSS JOIN q
+        |)
+        |SELECT CAST(rank AS BIGINT) AS rank, id, key FROM (
+        |  SELECT id, key, row_number() OVER (
+        |    ORDER BY key DESC, id) AS rank
+        |  FROM keyed) AS ranked
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin
   )
 }

@@ -366,6 +366,43 @@ object Snapshots {
     parts.result().reduce(_ unionByName _)
   }
 
+  /** Effective rows of `entries` with an extra string column
+    * `tagCol` carrying each row's manifest ENTRY name — the
+    * per-entry attribution every sidecar builder needs
+    * ([[indexStats]], [[VectorIndex.index]]): plain entries tag from
+    * `input_file_name`, composite MoR entries tag their data file's
+    * name + the vector suffix, so the same data file can carry one
+    * sidecar row per DV generation it appears under. */
+  private[sources] def readEntriesTagged(spark: SparkSession,
+      root: Path, entries: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      tagCol: String): DataFrame = {
+    require(!schema.fieldNames.contains(tagCol),
+      s"store schema uses reserved column $tagCol")
+    val parsed = entries.map(e => e -> splitEntry(e))
+    val plain = parsed.collect { case (e, (_, None)) => e }
+    val dvd = parsed.collect { case (e, (d, Some(dv))) => (dv, d, e) }
+    val parts = Seq.newBuilder[DataFrame]
+    if (plain.nonEmpty)
+      parts += spark.read.schema(schema)
+        .parquet(plain.map(f => new Path(root, f).toString): _*)
+        .withColumn(tagCol,
+          element_at(split(input_file_name(), "/"), -1))
+    dvd.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (dv, group) =>
+      val raw = spark.read.schema(schema)
+        .parquet(group.map(g => new Path(root, g._2).toString): _*)
+        .withColumn(DvFileCol, col("_metadata.file_name"))
+        .withColumn(DvPosCol, col("_metadata.row_index"))
+      val dvDf = spark.read.parquet(new Path(root, dv).toString)
+      parts += raw.join(dvDf,
+          raw(DvFileCol) === dvDf("__dv_file") &&
+            raw(DvPosCol) === dvDf("__dv_pos"), "left_anti")
+        .withColumn(tagCol, concat(col(DvFileCol), lit(DvSep + dv)))
+        .drop(DvFileCol, DvPosCol)
+    }
+    parts.result().reduce(_ unionByName _)
+  }
+
   /** Public effective read of an explicit entry subset (the pruned
     * fact probe [[JoinView.refresh]] runs): `paths` are the strings
     * the pruned-file family returns — absolute path forms whose last
@@ -1267,34 +1304,8 @@ object Snapshots {
     // its EFFECTIVE rows — so bands, row counts and per-file sums
     // stay EXACT after a merge-on-read delete, and the same data
     // file can carry one row per DV generation it appears under
-    require(!schema.fieldNames.contains("__entry"),
-      "store schema uses reserved column __entry")
-    val freshSplit = fresh.map(e => e -> splitEntry(e))
-    val plainFresh = freshSplit.collect { case (e, (_, None)) => e }
-    val dvFresh = freshSplit.collect {
-      case (e, (d, Some(dv))) => (dv, d, e) }
-    val baseParts = Seq.newBuilder[DataFrame]
-    if (plainFresh.nonEmpty)
-      baseParts += spark.read.schema(schema)
-        .parquet(plainFresh.map(f => new Path(root, f).toString): _*)
-        .withColumn("__entry",
-          element_at(split(input_file_name(), "/"), -1))
-    dvFresh.groupBy(_._1).toSeq.sortBy(_._1).foreach {
-      case (dv, group) =>
-        val raw = spark.read.schema(schema)
-          .parquet(group.map(g =>
-            new Path(root, g._2).toString): _*)
-          .withColumn(DvFileCol, col("_metadata.file_name"))
-          .withColumn(DvPosCol, col("_metadata.row_index"))
-        val dvDf = spark.read.parquet(new Path(root, dv).toString)
-        baseParts += raw.join(dvDf,
-            raw(DvFileCol) === dvDf("__dv_file") &&
-              raw(DvPosCol) === dvDf("__dv_pos"), "left_anti")
-          .withColumn("__entry",
-            concat(col(DvFileCol), lit(DvSep + dv)))
-          .drop(DvFileCol, DvPosCol)
-    }
-    val scanned = baseParts.result().reduce(_ unionByName _)
+    val scanned = readEntriesTagged(spark, root, fresh, schema,
+        "__entry")
       .select(col("__entry").as("__f"),
         explode(array(perField: _*)).as("e"))
       .groupBy(col("__f"), col("e.field").as("field"))

@@ -1,0 +1,255 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.AnnSearch
+
+/** Vector-aware FILE SKIPPING for [[Snapshots]] stores — the IVF
+  * analogue of [[Snapshots.indexStats]]'s scalar bands: a `_vecindex`
+  * sidecar records k trained centroids and, per manifest ENTRY, which
+  * coarse cells its rows fall in (the posting list). A query then
+  * probes its `nprobe` nearest cells and opens ONLY the files that
+  * hold those cells — on a store [[cluster]]ed by cell id, an ANN
+  * probe over 100k files reads a handful, the same economics the
+  * scalar bands give a range predicate.
+  *
+  * Contracts, mirroring the skipping layer's doctrine:
+  *  - search is EXACT over the probed cells (coarse prune + full
+  *    integer rescore of every candidate); `nprobe = k` is exhaustive
+  *    and equals brute force — the oracle anchor (q370).
+  *  - ranking is the q316 integer contract (floor(x·1e6) quantize →
+  *    BIGINT dot / floor-sqrt norms → `((dp+2·den)·1e5) div den`,
+  *    ties by id) — addition-order-free, engine-reproducible.
+  *    Embeddings are unit-norm scale by contract (|x| ≤ ~1), which
+  *    keeps every product inside BIGINT.
+  *  - sidecar lag is a PERFORMANCE bug, never a correctness bug: an
+  *    entry without postings (committed after the last [[index]]
+  *    refresh) is conservatively read; a refresh scans only
+  *    uncovered entries — O(new files), and merge-on-read entries
+  *    re-scan their EFFECTIVE rows (the [[Snapshots.indexStats]]
+  *    attribution).
+  *  - centroids are trained ONCE (deterministic md5-ordered sample,
+  *    [[AnnSearch.ivfCentroids]]) and pinned: a refresh with a
+  *    different `k` refuses loudly — silently re-training would
+  *    invalidate every posting row.
+  */
+object VectorIndex {
+
+  private def vecDir(root: Path) = new Path(root, "_vecindex")
+  private def centroidsPath(root: Path) =
+    new Path(vecDir(root), "centroids")
+  private def postingsPath(root: Path) =
+    new Path(vecDir(root), "postings")
+
+  private def fsOf(spark: SparkSession, url: String) = {
+    val p = new Path(url)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** floor(x·1e6) quantization — the q316 integer-rank contract. */
+  private def qz(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1000000d).cast("long"))
+
+  /** Build or incrementally refresh the sidecar for the latest
+    * version: first call trains `k` centroids from the store's
+    * effective rows; every call scans only entries without posting
+    * rows and appends their (entry, cell, n) histogram. Returns the
+    * number of entries scanned. */
+  def index(spark: SparkSession, url: String, idCol: String,
+      embCol: String, k: Int): Int = {
+    require(k > 0, "need k > 0 centroids")
+    val (fs, root) = fsOf(spark, url)
+    val v = Snapshots.latest(spark, url)
+    val s = Snapshots.snap(spark, url, v)
+    val eff = Snapshots.readAsOf(spark, url, v)
+    require(eff.columns.contains(idCol) && eff.columns.contains(embCol),
+      s"vector index needs columns $idCol and $embCol")
+    val cp = centroidsPath(root)
+    val centroids: DataFrame =
+      if (fs.exists(cp)) {
+        val c = spark.read.parquet(cp.toString)
+          .select(col("centroid_id"), col("__cemb"))
+        val have = c.count()
+        require(have == k,
+          s"vector index was trained with $have centroids, not $k — " +
+            "delete _vecindex to re-train (postings would be invalid)")
+        c
+      } else {
+        val trained = AnnSearch.ivfCentroids(
+          eff.select(col(idCol), col(embCol)), idCol, embCol, k)
+          .persist()
+        try {
+          require(trained.count() == k,
+            s"store has fewer than $k non-null embeddings to train on")
+          fs.mkdirs(vecDir(root))
+          trained.coalesce(1).write.mode("overwrite")
+            .parquet(cp.toString)
+          spark.read.parquet(cp.toString)
+            .select(col("centroid_id"), col("__cemb"))
+        } finally trained.unpersist()
+      }
+    val pp = postingsPath(root)
+    val existing: Option[DataFrame] =
+      if (fs.exists(pp)) Some(spark.read.parquet(pp.toString))
+      else None
+    val covered = existing match {
+      case None => Set.empty[String]
+      case Some(e) => e.select("entry").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    val freshE = s.files.filterNot(covered)
+    if (freshE.isEmpty) return 0
+    val schema = eff.schema
+    val tagged = Snapshots
+      .readEntriesTagged(spark, root, freshE, schema, "__entry")
+      .filter(col(embCol).isNotNull)
+    // codegen'd argmax assignment (zero shuffles) keyed by ENTRY
+    val assigned = AnnSearch.ivfAssign(tagged, "__entry", embCol,
+      centroids)
+    val freshRows = assigned
+      .groupBy(col("cid").as("entry"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // marker row per scanned entry so all-null / empty entries are
+    // not re-classified as fresh forever (the indexStats lesson)
+    import spark.implicits._
+    val frame = freshE.toDF("entry")
+    val withMarkers = frame.join(freshRows, Seq("entry"), "left")
+      .select(col("entry"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val merged = existing
+      .map(_.unionByName(withMarkers)).getOrElse(withMarkers)
+    val tmp = new Path(vecDir(root), "postings__tmp")
+    fs.delete(tmp, true)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(pp, true)
+    require(fs.rename(tmp, pp), s"rename failed for $pp")
+    freshE.length
+  }
+
+  /** The centroid frame (id, embedding), id-sorted, driver-side —
+    * k-small by contract. */
+  private def loadCentroids(spark: SparkSession, root: Path)
+      : Array[(Any, Array[Double])] = {
+    val cp = centroidsPath(root)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(cp),
+      s"no vector index under $root — run VectorIndex.index first")
+    spark.read.parquet(cp.toString)
+      .select(col("centroid_id"), col("__cemb").cast("array<double>"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+  }
+
+  /** Integer rank key of a quantized candidate vs the quantized
+    * query — higher is nearer; exactly the q316 formula. */
+  private def keyOf(q: Array[Long], c: Array[Long]): Long = {
+    var dp = 0L; var cn2 = 0L; var qn2 = 0L; var i = 0
+    while (i < q.length) {
+      dp += q(i) * c(i); cn2 += c(i) * c(i); qn2 += q(i) * q(i)
+      i += 1
+    }
+    val den = math.max(1L,
+      math.floor(math.sqrt(qn2.toDouble)).toLong *
+        math.floor(math.sqrt(cn2.toDouble)).toLong)
+    (dp + 2L * den) * 100000L / den
+  }
+
+  private def quantize(e: Seq[Double]): Array[Long] =
+    e.map(x => math.floor(x * 1000000d).toLong).toArray
+
+  /** The query's `nprobe` nearest cells (integer key, ties by cell
+    * id string form) — driver-side over k centroids. */
+  def probeCells(spark: SparkSession, url: String,
+      queryEmb: Seq[Double], nprobe: Int): Seq[Any] = {
+    require(nprobe > 0)
+    val (_, root) = fsOf(spark, url)
+    val q = quantize(queryEmb)
+    loadCentroids(spark, root)
+      .map { case (id, ce) => (id, keyOf(q, quantize(ce.toSeq))) }
+      .sortBy { case (id, key) => (-key, String.valueOf(id)) }
+      .take(nprobe).map(_._1).toSeq
+  }
+
+  /** Manifest entries a probed search must open: entries posting any
+    * probed cell, plus entries the sidecar has not covered
+    * (conservative — the stats-lag contract). O(entries · cells)
+    * driver work off one sidecar read. */
+  def prunedEntries(spark: SparkSession, url: String, version: Int,
+      queryEmb: Seq[Double], nprobe: Int): Seq[String] = {
+    val (fs, root) = fsOf(spark, url)
+    val s = Snapshots.snap(spark, url, version)
+    val cells = probeCells(spark, url, queryEmb, nprobe).toSet
+    val pp = postingsPath(root)
+    if (!fs.exists(pp)) return s.files
+    val posted = spark.read.parquet(pp.toString)
+      .filter(col("n") > 0L)
+      .select(col("entry"), col("bucket")).collect()
+      .groupBy(_.getString(0))
+      .map { case (e, rs) => e -> rs.map(_.get(1)).toSet }
+    val coveredAll = spark.read.parquet(pp.toString)
+      .select(col("entry")).distinct().collect()
+      .map(_.getString(0)).toSet
+    s.files.filter { e =>
+      if (!coveredAll.contains(e)) true // sidecar lag: must read
+      else posted.get(e).exists(_.exists(cells.contains))
+    }
+  }
+
+  /** ANN search, exact over the probed cells: prune entries through
+    * the postings, effective-read the survivors, re-assign rows with
+    * the SAME pinned centroids, keep rows in probed cells, integer-
+    * rescore every candidate against the query and return the top
+    * `topK` as (rank, id, key). `nprobe = k` probes every cell —
+    * exhaustive, equal to brute force over the store. The scan is
+    * the only corpus-sized work; the top-k is a TakeOrdered, never a
+    * global sort materialization. */
+  def search(spark: SparkSession, url: String, idCol: String,
+      embCol: String, queryEmb: Seq[Double], topK: Int,
+      nprobe: Int, version: Int = -1): DataFrame = {
+    require(topK > 0)
+    val (_, root) = fsOf(spark, url)
+    val v = if (version > 0) version else Snapshots.latest(spark, url)
+    val entries = prunedEntries(spark, url, v, queryEmb, nprobe)
+    val cells = probeCells(spark, url, queryEmb, nprobe).toSet
+    val base = Snapshots.readEntryPaths(spark, url, v,
+      entries.map(e => new Path(root, e).toString))
+      .filter(col(embCol).isNotNull && col(idCol).isNotNull)
+    val centroids = {
+      val rows = loadCentroids(spark, root)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          base.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("__cemb",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq.map { case (id, ce) =>
+          org.apache.spark.sql.Row(id, ce.toSeq) }, 1), schema)
+    }
+    val assigned = AnnSearch.ivfAssign(base, idCol, embCol, centroids)
+    val probed = assigned.filter(col("bucket")
+      .isin(cells.toSeq.map(c => c: Any): _*))
+    val q = quantize(queryEmb)
+    val qlit = array(q.map(lit(_)).toIndexedSeq: _*)
+    val scored = probed
+      .withColumn("__qv", qz(col("__ce")))
+      .withColumn("__dp", aggregate(
+        zip_with(qlit, col("__qv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("__den", greatest(
+        lit(math.floor(math.sqrt(
+          q.map(x => (x * x).toDouble).sum)).toLong) *
+          floor(sqrt(aggregate(col("__qv"), lit(0L),
+            (acc, x) => acc + x * x).cast("double"))).cast("long"),
+        lit(1L)))
+      .withColumn("key",
+        expr("((__dp + 2 * __den) * 100000) div __den"))
+      .select(col("cid").as("id"), col("key"))
+    import org.apache.spark.sql.expressions.Window
+    scored.orderBy(col("key").desc, col("id")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("key").desc, col("id"))))
+      .select(col("rank"), col("id"), col("key"))
+  }
+}
