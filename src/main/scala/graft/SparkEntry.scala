@@ -8043,6 +8043,64 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"),
           col("id").cast("long").as("id"), col("key")),
         col("rank"))
+    }),
+
+    // ---- Column mapping: rename + drop without rewriting a byte ----
+    // Schema evolution beyond additive: renameColumn/dropColumn are
+    // METADATA-ONLY commits (asserted in-body: the file set is
+    // bit-identical across both), physical parquet names never
+    // change, and the physically-keyed stats sidecar SURVIVES the
+    // rename — the full-range count on the NEW name is answered
+    // with zero files scanned (asserted). The dropped column's
+    // bytes retire unread; its name is reserved. Appends after the
+    // rename and a merge-on-read delete on the renamed column
+    // compose. Oracle = the final state under the new names.
+    "q371_rename_drop" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q371"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull && col("c_name").isNotNull &&
+          col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_mktsegment"), cents(col("c_acctbal")).as("bal_cents"))
+      Snapshots.create(s, store, cust, nFiles = 8,
+        clusterBy = Some("c_custkey"))
+      Snapshots.indexStats(s, store, Seq("c_custkey"))
+      val v0 = Snapshots.latest(s, store)
+      val filesBefore = Snapshots.snap(s, store, v0).files.sorted
+      // rename + drop: metadata-only (same file set)
+      Snapshots.renameColumn(s, store, "c_custkey", "cust_id")
+      Snapshots.dropColumn(s, store, "c_name")
+      val vMeta = Snapshots.latest(s, store)
+      require(Snapshots.snap(s, store, vMeta).files.sorted ==
+        filesBefore, "rename/drop touched data files")
+      // pre-rename stats answer the NEW name from metadata alone
+      val total = cust.count()
+      val (metaCnt, scanned) = Snapshots.countWhere(s, store,
+        "cust_id", Long.MinValue, Long.MaxValue)
+      require(metaCnt == total && scanned == 0,
+        s"stats did not survive the rename ($metaCnt/$total, " +
+          s"scanned $scanned)")
+      // life goes on under the new schema: append + MoR delete
+      Snapshots.append(s, store,
+        cust.filter(col("c_custkey").between(1L, 50L))
+          .select((col("c_custkey") + 100000L).as("cust_id"),
+            lit("EVOLVED").as("c_mktsegment"),
+            (col("bal_cents") * 3L).as("bal_cents")))
+      Snapshots.deleteWhereMor(s, store, "cust_id", 700L, 900L)
+      orderSmall(Snapshots.read(s, store)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal_cents")).as("sum_bal")),
+        col("c_mktsegment"))
     })
   )
 
@@ -17468,6 +17526,23 @@ object SparkEntry {
         |  SELECT id, key, row_number() OVER (
         |    ORDER BY key DESC, id) AS rank
         |  FROM keyed) AS ranked
-        |WHERE rank <= 10 ORDER BY rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q371_rename_drop" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        |    AND c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+        |), m AS (
+        |  SELECT k, seg, bal FROM c WHERE k NOT BETWEEN 700 AND 900
+        |  UNION ALL
+        |  SELECT k + 100000, 'EVOLVED', bal * 3 FROM c
+        |  WHERE k BETWEEN 1 AND 50
+        |)
+        |SELECT seg AS c_mktsegment, count(*) AS n,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM m GROUP BY seg ORDER BY seg""".stripMargin
   )
 }

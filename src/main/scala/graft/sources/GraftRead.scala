@@ -167,7 +167,15 @@ final case class GraftRead private (
       if (versions.nonEmpty) {
         val v = asOfVersion.getOrElse(versions.last)
         val root = new org.apache.hadoop.fs.Path(u)
-        val entries = Snapshots.snap(spark, u, v).files.sorted
+        val snapV = Snapshots.snap(spark, u, v)
+        // the reader chain scans raw files; a renamed store's
+        // physical names would surface — refuse loudly rather than
+        // serve wrong column names (Snapshots.read translates)
+        require(snapV.colmap.isEmpty,
+          s"$u@v$v carries renamed columns — read via " +
+            "Snapshots.read/readWhere (the reader chain scans " +
+            "physical files)")
+        val entries = snapV.files.sorted
         // the reader chain shards/prunes per FILE; a merge-on-read
         // entry is not one file (its deletion vector must anti-join
         // at scan) — refuse loudly rather than resurrect deleted

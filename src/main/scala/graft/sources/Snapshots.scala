@@ -48,9 +48,25 @@ object Snapshots {
     * `schema`, when present, is the version's PINNED read schema
     * (Delta-style schema-in-the-log): readers resolve it from the
     * manifest in O(1) instead of merging footers across 100k files,
-    * and files written before a column existed read it as NULL. */
+    * and files written before a column existed read it as NULL.
+    *
+    * `colmap` maps LOGICAL column names (what the pinned schema and
+    * every reader/API sees) to the PHYSICAL names stored inside the
+    * parquet files — non-identity entries only, written by
+    * [[renameColumn]] (physical names never change once a column is
+    * born, so files never rewrite for a rename). `dropped` records
+    * physical names retired by [[dropColumn]]; they still occupy
+    * bytes in old files (column pruning keeps them unread) and may
+    * never be re-born as new columns (a re-used physical name would
+    * silently read the dropped column's stale bytes). */
   final case class Snap(version: Int, op: String, files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      colmap: Map[String, String] = Map.empty,
+      dropped: Seq[String] = Nil) {
+    /** Physical name of a logical column under this manifest. */
+    def phys(logical: String): String =
+      colmap.getOrElse(logical, logical)
+  }
 
   private def fsOf(spark: SparkSession, url: String) = {
     val p = new Path(url)
@@ -110,7 +126,21 @@ object Snapshots {
           "UTF-8"))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
-    Snap(v, op, files, schema)
+    def b64Field(k: String): Option[String] =
+      ("\"" + k + "\":\"").r.findFirstMatchIn(json).map { m =>
+        new String(java.util.Base64.getDecoder.decode(
+          json.drop(m.end).takeWhile(_ != '"')), "UTF-8")
+      }
+    // colmap: base64 of `logical\tphysical` lines ([[renameColumn]]
+    // refuses names carrying tab/newline, so the split is exact)
+    val colmap = b64Field("colmap").map(_.split("\n").toSeq
+      .filter(_.nonEmpty)
+      .map { l => val a = l.split("\t", 2); a(0) -> a(1) }.toMap)
+      .getOrElse(Map.empty[String, String])
+    val dropped = b64Field("dropped")
+      .map(_.split("\n").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+    Snap(v, op, files, schema, colmap, dropped)
   }
 
   /** Atomic commit: stage the manifest under an underscore-invisible
@@ -134,7 +164,9 @@ object Snapshots {
     *    contract there. */
   private[sources] def commit(spark: SparkSession, root: Path,
       version: Int, op: String, files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      colmap: Map[String, String] = Map.empty,
+      dropped: Seq[String] = Nil): Int = {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(files.forall(f => !f.contains("/") && !f.contains("\"")),
       "manifest entries must be flat root-relative names")
@@ -145,10 +177,19 @@ object Snapshots {
         .encodeToString(st.json.getBytes("UTF-8"))
       s""","schema":"$b64""""
     }.getOrElse("")
+    def b64(s: String): String = java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8"))
+    val colmapField =
+      if (colmap.isEmpty) ""
+      else s""","colmap":"${b64(colmap.toSeq.sorted
+        .map { case (l, p) => s"$l\t$p" }.mkString("\n"))}""""
+    val droppedField =
+      if (dropped.isEmpty) ""
+      else s""","dropped":"${b64(dropped.sorted.mkString("\n"))}""""
     val json = files.sorted
       .map(f => "\"" + f + "\"").mkString(
         s"""{"version":$version,"op":"$op","files":[""", ",",
-        s"]$schemaField}")
+        s"]$schemaField$colmapField$droppedField}")
     val tmp = new Path(dir, s"_tmp-v$version-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -186,18 +227,27 @@ object Snapshots {
     * actually skip files. */
   private def writeFiles(spark: SparkSession, root: Path, df: DataFrame,
       version: Int, nFiles: Int,
-      clusterBy: Option[String] = None): Seq[String] =
+      clusterBy: Option[String] = None,
+      colmap: Map[String, String] = Map.empty): Seq[String] =
     writeArranged(spark, root,
       clusterBy
         .map(c => df.repartitionByRange(math.max(1, nFiles), col(c)))
         .getOrElse(df.repartition(math.max(1, nFiles))),
-      version)
+      version, colmap)
 
   /** [[writeFiles]] for a frame whose partitioning IS the layout
     * (z-order, bin-packing): writes it as-is, one file per
-    * partition. */
+    * partition. `colmap` renames LOGICAL columns to their PHYSICAL
+    * names right before the write (a projection — partitioning
+    * survives), so every data file of a renamed store keeps one
+    * stable physical schema forever. */
   private def writeArranged(spark: SparkSession, root: Path,
-      arranged: DataFrame, version: Int): Seq[String] = {
+      arranged0: DataFrame, version: Int,
+      colmap: Map[String, String] = Map.empty): Seq[String] = {
+    val arranged =
+      if (colmap.isEmpty) arranged0
+      else arranged0.select(arranged0.columns.toSeq.map(c =>
+        col(c).as(colmap.getOrElse(c, c))): _*)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s"_snap_stage_$tag")
@@ -315,16 +365,29 @@ object Snapshots {
     * grouped per DV file so one MoR commit's entries share one scan.
     * Never broadcast-forced: position joins are equi-joins and AQE
     * sizes the small DV side. */
+  /** The PHYSICAL schema files store under `colmap` (logical field
+    * names replaced; types/nullability unchanged). */
+  private def physSchema(
+      schema: org.apache.spark.sql.types.StructType,
+      colmap: Map[String, String])
+      : org.apache.spark.sql.types.StructType =
+    if (colmap.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = colmap.getOrElse(f.name, f.name))))
+
   private def readEntriesWithPos(spark: SparkSession, root: Path,
       entries: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType,
+      colmap: Map[String, String] = Map.empty): DataFrame = {
     require(!schema.fieldNames.contains(DvFileCol) &&
       !schema.fieldNames.contains(DvPosCol),
       s"store schema uses reserved column $DvFileCol/$DvPosCol")
-    val outCols = schema.fieldNames.toSeq.map(col) ++
+    // scan under the PHYSICAL schema, present LOGICAL names
+    val outCols = schema.fieldNames.toSeq.map(l =>
+      col(colmap.getOrElse(l, l)).as(l)) ++
       Seq(col(DvFileCol), col(DvPosCol))
     def withPos(paths: Seq[String]): DataFrame =
-      spark.read.schema(schema).parquet(paths: _*)
+      spark.read.schema(physSchema(schema, colmap)).parquet(paths: _*)
         .withColumn(DvFileCol, col("_metadata.file_name"))
         .withColumn(DvPosCol, col("_metadata.row_index"))
     val split = entries.map(splitEntry)
@@ -354,14 +417,19 @@ object Snapshots {
     * entries pay the anti-join. */
   private[sources] def readEntriesEff(spark: SparkSession, root: Path,
       entries: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType,
+      colmap: Map[String, String] = Map.empty): DataFrame = {
     val (dvd, plain) = entries.partition(_.contains(DvSep))
     val parts = Seq.newBuilder[DataFrame]
-    if (plain.nonEmpty)
-      parts += spark.read.schema(schema)
+    if (plain.nonEmpty) {
+      val raw = spark.read.schema(physSchema(schema, colmap))
         .parquet(plain.map(p => new Path(root, p).toString): _*)
+      parts += (if (colmap.isEmpty) raw
+        else raw.select(schema.fieldNames.toSeq.map(l =>
+          col(colmap.getOrElse(l, l)).as(l)): _*))
+    }
     if (dvd.nonEmpty)
-      parts += readEntriesWithPos(spark, root, dvd, schema)
+      parts += readEntriesWithPos(spark, root, dvd, schema, colmap)
         .drop(DvFileCol, DvPosCol)
     parts.result().reduce(_ unionByName _)
   }
@@ -376,20 +444,23 @@ object Snapshots {
   private[sources] def readEntriesTagged(spark: SparkSession,
       root: Path, entries: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
-      tagCol: String): DataFrame = {
+      tagCol: String,
+      colmap: Map[String, String] = Map.empty): DataFrame = {
     require(!schema.fieldNames.contains(tagCol),
       s"store schema uses reserved column $tagCol")
+    val logicalCols = schema.fieldNames.toSeq.map(l =>
+      col(colmap.getOrElse(l, l)).as(l))
     val parsed = entries.map(e => e -> splitEntry(e))
     val plain = parsed.collect { case (e, (_, None)) => e }
     val dvd = parsed.collect { case (e, (d, Some(dv))) => (dv, d, e) }
     val parts = Seq.newBuilder[DataFrame]
     if (plain.nonEmpty)
-      parts += spark.read.schema(schema)
+      parts += spark.read.schema(physSchema(schema, colmap))
         .parquet(plain.map(f => new Path(root, f).toString): _*)
-        .withColumn(tagCol,
-          element_at(split(input_file_name(), "/"), -1))
+        .select(logicalCols :+ element_at(
+          split(input_file_name(), "/"), -1).as(tagCol): _*)
     dvd.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (dv, group) =>
-      val raw = spark.read.schema(schema)
+      val raw = spark.read.schema(physSchema(schema, colmap))
         .parquet(group.map(g => new Path(root, g._2).toString): _*)
         .withColumn(DvFileCol, col("_metadata.file_name"))
         .withColumn(DvPosCol, col("_metadata.row_index"))
@@ -397,8 +468,8 @@ object Snapshots {
       parts += raw.join(dvDf,
           raw(DvFileCol) === dvDf("__dv_file") &&
             raw(DvPosCol) === dvDf("__dv_pos"), "left_anti")
-        .withColumn(tagCol, concat(col(DvFileCol), lit(DvSep + dv)))
-        .drop(DvFileCol, DvPosCol)
+        .select(logicalCols :+ concat(col(DvFileCol),
+          lit(DvSep + dv)).as(tagCol): _*)
     }
     parts.result().reduce(_ unionByName _)
   }
@@ -419,7 +490,7 @@ object Snapshots {
         s"v$version's manifest")
     val schema = schemaOf(spark, root, s)
     if (entries.isEmpty) readAsOf(spark, url, version).filter(lit(false))
-    else readEntriesEff(spark, root, entries, schema)
+    else readEntriesEff(spark, root, entries, schema, s.colmap)
   }
 
   /** Write one deletion-vector parquet (`__dv_file` string,
@@ -473,8 +544,10 @@ object Snapshots {
     validateBatch(spark, root, url, df)
     val v = parent.version + 1
     commit(spark, root, v, "append",
-      parent.files ++ writeFiles(spark, root, df, v, nFiles),
-      Some(evolveFrom(spark, root, parent, df)))
+      parent.files ++ writeFiles(spark, root, df, v, nFiles,
+        colmap = parent.colmap),
+      Some(evolveFrom(spark, root, parent, df)),
+      parent.colmap, parent.dropped)
   }
 
   /** Write-audit-publish append: stage the batch's files, run the
@@ -496,13 +569,14 @@ object Snapshots {
     val parent = snap(spark, url, latest(spark, url))
     validateBatch(spark, root, url, df)
     val v = parent.version + 1
-    val staged = writeFiles(spark, root, df, v, nFiles)
-    val stagedAbs = staged.map(f => new Path(root, f).toString)
+    val staged = writeFiles(spark, root, df, v, nFiles,
+      colmap = parent.colmap)
     // NonFatal only: an executor loss / OOM / interrupt during the
     // audit job is an infrastructure failure, not a data refusal —
     // it propagates as itself (staged files become crash debris
     // vacuum sweeps), never mislabeled as "batch refused"
-    try audit(spark.read.schema(df.schema).parquet(stagedAbs: _*))
+    try audit(readEntriesEff(spark, root, staged, df.schema,
+      parent.colmap))
     catch {
       case scala.util.control.NonFatal(e) =>
         staged.foreach(f => fs.delete(new Path(root, f), false))
@@ -510,7 +584,8 @@ object Snapshots {
           s"append audit refused the batch: ${e.getMessage}", e)
     }
     commit(spark, root, v, "append", parent.files ++ staged,
-      Some(evolveFrom(spark, root, parent, df)))
+      Some(evolveFrom(spark, root, parent, df)),
+      parent.colmap, parent.dropped)
   }
 
   /** The schema an append commits: the parent's evolved with the
@@ -519,7 +594,22 @@ object Snapshots {
   private def evolveFrom(spark: SparkSession, root: Path, parent: Snap,
       df: DataFrame): org.apache.spark.sql.types.StructType =
     if (parent.files.isEmpty && parent.schema.isEmpty) df.schema
-    else evolve(schemaOf(spark, root, parent), df.schema)
+    else {
+      val base = schemaOf(spark, root, parent)
+      // a NEW column's physical name = its logical name; it may not
+      // collide with a renamed column's physical slot or a dropped
+      // column's retired bytes (old files would serve the stale
+      // column's values as the new column — the silent-wrong class)
+      val newCols = df.schema.fieldNames
+        .filterNot(base.fieldNames.toSet)
+      val reserved = parent.colmap.values.toSet ++ parent.dropped
+      val clash = newCols.filter(reserved)
+      require(clash.isEmpty,
+        s"evolution adds ${clash.mkString(",")} whose physical " +
+          "name is reserved by a renamed or dropped column — " +
+          "choose a different name")
+      evolve(base, df.schema)
+    }
 
   /** Exactly-once append for at-least-once callers (foreachBatch
     * retries, re-run jobs): the commit's `op` field carries
@@ -543,8 +633,10 @@ object Snapshots {
       validateBatch(spark, root, url, df)
       val v = parent.version + 1
       commit(spark, root, v, op,
-        parent.files ++ writeFiles(spark, root, df, v, nFiles),
-        Some(evolveFrom(spark, root, parent, df)))
+        parent.files ++ writeFiles(spark, root, df, v, nFiles,
+          colmap = parent.colmap),
+        Some(evolveFrom(spark, root, parent, df)),
+        parent.colmap, parent.dropped)
     }
   }
 
@@ -624,16 +716,17 @@ object Snapshots {
     validateBatch(spark, root, url, upserts) // only NEW rows checked
     val merged =
       if (affected.isEmpty) upserts
-      else readEntriesEff(spark, root, affected, storeSchema)
+      else readEntriesEff(spark, root, affected, storeSchema,
+          parent.colmap)
         .join(broadcast(updates.select(col(keyCol).as("__mk"))),
           col(keyCol) === col("__mk"), "left_anti")
         .unionByName(upserts)
     val v = parent.version + 1
     val rewritten = writeFiles(spark, root, merged, v,
-      math.max(1, affected.length))
+      math.max(1, affected.length), colmap = parent.colmap)
     commit(spark, root, v, "upsert",
       parent.files.filterNot(affected.toSet) ++ rewritten,
-      Some(storeSchema))
+      Some(storeSchema), parent.colmap, parent.dropped)
   }
 
   /** Copy-on-write range DELETE — `DELETE FROM store WHERE field
@@ -691,7 +784,8 @@ object Snapshots {
     }
     if (files.isEmpty) return parent.version
     val names = files.toSet
-    val scanned = readEntriesEff(spark, root, files, storeSchema)
+    val scanned = readEntriesEff(spark, root, files, storeSchema,
+        parent.colmap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val kept = scanned.filter(!coalesce(pred(storeSchema),
@@ -706,9 +800,11 @@ object Snapshots {
       // progressively de-cluster the store under repeated retention
       // deletes
       val rewritten = writeFiles(spark, root, kept, v,
-        math.max(1, files.length), clusterBy = Some(field))
+        math.max(1, files.length), clusterBy = Some(field),
+        colmap = parent.colmap)
       commit(spark, root, v, "delete",
-        parent.files.filterNot(names) ++ rewritten, Some(storeSchema))
+        parent.files.filterNot(names) ++ rewritten, Some(storeSchema),
+        parent.colmap, parent.dropped)
     } finally scanned.unpersist()
   }
 
@@ -776,7 +872,8 @@ object Snapshots {
     if (entries.isEmpty) return parent.version
     // positions of newly matching rows among the candidates'
     // EFFECTIVE rows (already-deleted positions never re-match)
-    val hits = readEntriesWithPos(spark, root, entries, storeSchema)
+    val hits = readEntriesWithPos(spark, root, entries, storeSchema,
+        parent.colmap)
       .filter(coalesce(pred(storeSchema), lit(false)))
       .select(col(DvFileCol).as("__dv_file"),
         col(DvPosCol).as("__dv_pos"))
@@ -806,7 +903,8 @@ object Snapshots {
         val d = splitEntry(e)._1
         if (affectedData.contains(d)) s"$d$DvSep$dvName" else e
       }
-      commit(spark, root, v, "mordelete", replaced, Some(storeSchema))
+      commit(spark, root, v, "mordelete", replaced, Some(storeSchema),
+        parent.colmap, parent.dropped)
     } finally hits.unpersist()
   }
 
@@ -871,7 +969,8 @@ object Snapshots {
     }
     if (entries.isEmpty) return parent.version
     val hit = coalesce(pred(storeSchema), lit(false))
-    val matched = readEntriesWithPos(spark, root, entries, storeSchema)
+    val matched = readEntriesWithPos(spark, root, entries, storeSchema,
+        parent.colmap)
       .filter(hit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -904,13 +1003,13 @@ object Snapshots {
       // the updated images land clustered on the range field (they
       // span exactly the range's band — one narrow-band file)
       val fresh = writeFiles(spark, root, updated, v, 1,
-        clusterBy = Some(field))
+        clusterBy = Some(field), colmap = parent.colmap)
       val replaced = parent.files.map { e =>
         val d = splitEntry(e)._1
         if (affectedData.contains(d)) s"$d$DvSep$dvName" else e
       }
       commit(spark, root, v, "morupdate", replaced ++ fresh,
-        Some(storeSchema))
+        Some(storeSchema), parent.colmap, parent.dropped)
     } finally matched.unpersist()
   }
 
@@ -929,12 +1028,13 @@ object Snapshots {
     val dvd = parent.files.filter(_.contains(DvSep))
     if (dvd.isEmpty) return parent.version
     val schema = schemaOf(spark, root, parent)
-    val eff = readEntriesEff(spark, root, dvd, schema)
+    val eff = readEntriesEff(spark, root, dvd, schema, parent.colmap)
     val v = parent.version + 1
     val rewritten = writeFiles(spark, root, eff, v,
-      math.max(1, dvd.length), clusterBy)
+      math.max(1, dvd.length), clusterBy, parent.colmap)
     commit(spark, root, v, "purgedv",
-      parent.files.filterNot(dvd.toSet) ++ rewritten, Some(schema))
+      parent.files.filterNot(dvd.toSet) ++ rewritten, Some(schema),
+      parent.colmap, parent.dropped)
   }
 
   /** Copy-on-write range UPDATE — `UPDATE store SET c = expr WHERE
@@ -1002,7 +1102,8 @@ object Snapshots {
     }
     if (files.isEmpty) return parent.version
     val names = files.toSet
-    val scanned = readEntriesEff(spark, root, files, storeSchema)
+    val scanned = readEntriesEff(spark, root, files, storeSchema,
+        parent.colmap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val hit = coalesce(pred(storeSchema), lit(false))
@@ -1028,9 +1129,11 @@ object Snapshots {
       // files, and a round-robin layout would hand each output file
       // a full-width band (the deleteFromFiles rationale)
       val rewritten = writeFiles(spark, root, updated, v,
-        math.max(1, files.length), clusterBy = Some(field))
+        math.max(1, files.length), clusterBy = Some(field),
+        colmap = parent.colmap)
       commit(spark, root, v, "update",
-        parent.files.filterNot(names) ++ rewritten, Some(storeSchema))
+        parent.files.filterNot(names) ++ rewritten, Some(storeSchema),
+        parent.colmap, parent.dropped)
     } finally scanned.unpersist()
   }
 
@@ -1051,11 +1154,12 @@ object Snapshots {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         s.schema.get)
     }
-    if (s.files.exists(_.contains(DvSep)))
-      // merge-on-read entries: deleted positions anti-join at scan
-      // time; plain entries in the same version keep their batch scan
+    if (s.files.exists(_.contains(DvSep)) || s.colmap.nonEmpty)
+      // merge-on-read entries anti-join their deleted positions at
+      // scan; renamed columns scan physically and present logically;
+      // plain un-renamed versions keep their direct batch scan
       return readEntriesEff(spark, root, s.files,
-        schemaOf(spark, root, s))
+        schemaOf(spark, root, s), s.colmap)
     val reader = s.schema
       .map(spark.read.schema).getOrElse(spark.read)
     reader.parquet(s.files.map(f => new Path(root, f).toString): _*)
@@ -1094,7 +1198,8 @@ object Snapshots {
     require(fromV < toV, s"changes needs fromV < toV, got $fromV..$toV")
     val (_, root) = fsOf(spark, url)
     val a = snap(spark, url, fromV).files.toSet
-    val b = snap(spark, url, toV).files.toSet
+    val toSnap = snap(spark, url, toV)
+    val b = toSnap.files.toSet
     val droppedF = (a -- b).toSeq.sorted
     val addedF = (b -- a).toSeq.sorted
     val schema = readAsOf(spark, url, toV).schema
@@ -1107,7 +1212,7 @@ object Snapshots {
     def readOr(entries: Seq[String]): DataFrame =
       if (entries.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readEntriesEff(spark, root, entries, schema)
+      else readEntriesEff(spark, root, entries, schema, toSnap.colmap)
     val added = readOr(addedF).alias("__a")
     val dropped = readOr(droppedF).alias("__d")
     val valueCols = schema.fieldNames.filterNot(_ == keyCol).toSeq
@@ -1236,7 +1341,8 @@ object Snapshots {
     val vs = versions(spark, url)
     require(vs.nonEmpty, s"no snapshot store at $url")
     import org.apache.spark.sql.types._
-    val schema = schemaOf(spark, root, snap(spark, url, vs.max))
+    val head = snap(spark, url, vs.max)
+    val schema = schemaOf(spark, root, head)
     val strFields: Set[String] = fields.flatMap { f =>
       require(schema.fieldNames.contains(f),
         s"indexStats: no column $f in the store schema")
@@ -1257,7 +1363,9 @@ object Snapshots {
     existing.foreach { e =>
       val known = e.select("field").distinct()
         .collect().map(_.getString(0)).toSet
-      require(known == fields.toSet,
+      // the sidecar keys fields by their PHYSICAL name, so a
+      // renameColumn never invalidates existing stats rows
+      require(known == fields.map(head.phys).toSet,
         s"stats field set ${fields.sorted} != indexed " +
           s"${known.toSeq.sorted} — delete _stats and rebuild")
       require(strFields.isEmpty || e.columns.contains("min_s"),
@@ -1277,11 +1385,13 @@ object Snapshots {
     // min/max of prefixes = prefix of min/max)
     val perField = fields.map { f =>
       if (strFields(f))
-        struct(lit(f).as("field"), lit(null).cast("long").as("v"),
+        struct(lit(head.phys(f)).as("field"),
+          lit(null).cast("long").as("v"),
           substring(col(f), 1, StrBandCp + 1).as("s"),
           col(f).isNull.as("isn"))
       else
-        struct(lit(f).as("field"), col(f).cast("long").as("v"),
+        struct(lit(head.phys(f)).as("field"),
+          col(f).cast("long").as("v"),
           lit(null).cast("string").as("s"), col(f).isNull.as("isn"))
     }
     // scan under the PINNED schema: a refresh crossing a
@@ -1305,7 +1415,7 @@ object Snapshots {
     // stay EXACT after a merge-on-read delete, and the same data
     // file can carry one row per DV generation it appears under
     val scanned = readEntriesTagged(spark, root, fresh, schema,
-        "__entry")
+        "__entry", head.colmap)
       .select(col("__entry").as("__f"),
         explode(array(perField: _*)).as("e"))
       .groupBy(col("__f"), col("e.field").as("field"))
@@ -1325,7 +1435,7 @@ object Snapshots {
     // marker rows: a zero-row file produces no aggregate — without
     // one it would be rescanned on every refresh
     import spark.implicits._
-    val frame = fresh.flatMap(f => fields.map(fl => (f, fl)))
+    val frame = fresh.flatMap(f => fields.map(fl => (f, head.phys(fl))))
       .toDF("file", "field")
     val freshRows = frame.join(scanned, Seq("file", "field"), "left")
       .select(col("file"), col("field"), col("min_v"), col("max_v"),
@@ -1416,10 +1526,12 @@ object Snapshots {
       (bandHits: Band => Boolean): Seq[String] = {
     val (fs, root) = fsOf(spark, url)
     val s = snap(spark, url, version)
-    loadBands(spark, fs, root, Seq(field)) match {
+    // the sidecar keys fields physically (rename-proof)
+    loadBands(spark, fs, root, Seq(s.phys(field))) match {
       case None => s.files
       case Some(byField) =>
-        val stats = byField.getOrElse(field, Map.empty[String, Band])
+        val stats = byField.getOrElse(s.phys(field),
+          Map.empty[String, Band])
         s.files.filter { f =>
           stats.get(f) match {
             case None => true
@@ -1490,9 +1602,10 @@ object Snapshots {
       pred: org.apache.spark.sql.types.StructType => Column)
       : DataFrame = {
     val root = fsOf(spark, url)._2
-    val schema = schemaOf(spark, root, snap(spark, url, v))
+    val s = snap(spark, url, v)
+    val schema = schemaOf(spark, root, s)
     if (entries.isEmpty) readAsOf(spark, url, v).filter(lit(false))
-    else readEntriesEff(spark, root, entries, schema)
+    else readEntriesEff(spark, root, entries, schema, s.colmap)
       .filter(pred(schema))
   }
 
@@ -1538,8 +1651,9 @@ object Snapshots {
     require(df.columns.contains(field), s"no column $field to cluster on")
     val v = parent.version + 1
     commit(spark, root, v, "cluster",
-      writeFiles(spark, root, df, v, nFiles, clusterBy = Some(field)),
-      Some(df.schema))
+      writeFiles(spark, root, df, v, nFiles, clusterBy = Some(field),
+        colmap = parent.colmap),
+      Some(df.schema), parent.colmap, parent.dropped)
   }
 
   /** Multi-dimensional maintenance rewrite: re-lay the live rows
@@ -1561,7 +1675,8 @@ object Snapshots {
       .sortWithinPartitions(z)
     val v = parent.version + 1
     commit(spark, root, v, "zcluster",
-      writeArranged(spark, root, arranged, v), Some(df.schema))
+      writeArranged(spark, root, arranged, v, parent.colmap),
+      Some(df.schema), parent.colmap, parent.dropped)
   }
 
   /** Conjunctive multi-field pruning: a file survives only if EVERY
@@ -1593,12 +1708,13 @@ object Snapshots {
       "prunedFilesMixed needs at least one range")
     val (fs, root) = fsOf(spark, url)
     val s = snap(spark, url, version)
-    val fields = (preds.map(_._1) ++ strPreds.map(_._1)).distinct
+    val fields = (preds.map(_._1) ++ strPreds.map(_._1))
+      .distinct.map(s.phys)
     loadBands(spark, fs, root, fields) match {
       case None => s.files.sorted
       case Some(byField) =>
         def test(fname: String, f: String)(hit: Band => Boolean) =
-          byField.getOrElse(f, Map.empty[String, Band])
+          byField.getOrElse(s.phys(f), Map.empty[String, Band])
             .get(fname) match {
               case None => true
               case Some(b) if b.allNull => false
@@ -1740,7 +1856,7 @@ object Snapshots {
         "API flavor")
     def scanCount(entries: Seq[String]): Long =
       if (entries.isEmpty) 0L
-      else readEntriesEff(spark, root, entries, schema)
+      else readEntriesEff(spark, root, entries, schema, s.colmap)
         .filter(residual(schema)).count()
     val sp = statsPath(root)
     val hasCounts = fs.exists(sp) &&
@@ -1751,8 +1867,9 @@ object Snapshots {
       return (scanCount(admitted), admitted.size)
     }
     // one sidecar read: band + row/null counts per covered file
+    // (fields keyed physically — rename-proof)
     val rows = spark.read.parquet(sp.toString)
-      .filter(col("field") === field)
+      .filter(col("field") === s.phys(field))
       .select("file", "min_v", "max_v", "min_s", "max_s",
         "n_null", "n_rows")
       .collect()
@@ -1817,7 +1934,7 @@ object Snapshots {
       if (entries.isEmpty) (0L, BigDecimal(0), None, None)
       else {
         val vc = col(field).cast("long")
-        val r = readEntriesEff(spark, root, entries, schema)
+        val r = readEntriesEff(spark, root, entries, schema, s.colmap)
           .filter(longRangePred(schema, field, lo, hi))
           .agg(count(lit(1)).as("n"),
             sum(vc.cast("decimal(38,0)")).as("s"),
@@ -1845,7 +1962,7 @@ object Snapshots {
         scanAgg(admitted), admitted.size)
     }
     val rows = spark.read.parquet(sp.toString)
-      .filter(col("field") === field)
+      .filter(col("field") === s.phys(field))
       .select("file", "min_v", "max_v", "min_s", "max_s",
         "n_null", "n_rows", "sum_v")
       .collect()
@@ -1904,7 +2021,8 @@ object Snapshots {
     val totalSmall = small.map(_._2).sum
     val n = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
     val schema = schemaOf(spark, root, parent)
-    val read = readEntriesEff(spark, root, small.map(_._1), schema)
+    val read = readEntriesEff(spark, root, small.map(_._1), schema,
+      parent.colmap)
     // on a clustered store pass its cluster field: a round-robin
     // pack would give every compacted file a full-width stats band
     // and cost the layout its skippability ingest by ingest
@@ -1919,8 +2037,108 @@ object Snapshots {
     val smallNames = small.map(_._1).toSet
     commit(spark, root, v, "compact",
       parent.files.filterNot(smallNames) ++
-        writeArranged(spark, root, packed, v),
-      Some(schema))
+        writeArranged(spark, root, packed, v, parent.colmap),
+      Some(schema), parent.colmap, parent.dropped)
+  }
+
+  // ------------------------------------------------------------------
+  // Column mapping: rename/drop without rewriting a byte
+  // ------------------------------------------------------------------
+
+  /** Rename a LOGICAL column as a METADATA-ONLY commit (op
+    * `rename:from->to`) — zero data files touched at any size: the
+    * column's PHYSICAL name inside parquet never changes; the
+    * manifest's colmap translates at every scan and every write
+    * (the [[writeArranged]] / [[readEntriesEff]] choke points), so
+    * old versions keep reading their own names and the stats
+    * sidecar (keyed physically) stays valid — a range probe on the
+    * renamed column still prunes. Refused when a CHECK constraint's
+    * expression references the column (the stored SQL would break
+    * or silently retarget — drop the constraint first), when the
+    * target name exists, or when the store has no pinned schema.
+    * Tab/newline in names refused (the colmap wire format). */
+  def renameColumn(spark: SparkSession, url: String, from: String,
+      to: String): Int = {
+    val (_, root) = fsOf(spark, url)
+    val parent = snap(spark, url, latest(spark, url))
+    require(parent.schema.isDefined,
+      "renameColumn needs a pinned-schema store (pre-pinning legacy " +
+        "stores must overwrite first)")
+    val schema = parent.schema.get
+    require(schema.fieldNames.contains(from),
+      s"renameColumn: no column $from in the store schema")
+    require(!schema.fieldNames.contains(to),
+      s"renameColumn: column $to already exists")
+    require(to.nonEmpty && !to.contains("\t") && !to.contains("\n") &&
+      !from.contains("\t") && !from.contains("\n"),
+      "renameColumn: names may not contain tab/newline")
+    val refs = constraints(spark, url).filter { case (_, e) =>
+      ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+        .findFirstIn(e).isDefined }
+    require(refs.isEmpty,
+      s"renameColumn: constraint(s) ${refs.map(_._1).mkString(",")} " +
+        s"reference $from — dropConstraint first")
+    val phys = parent.phys(from)
+    val newColmap = (parent.colmap - from) ++
+      (if (to == phys) Map.empty[String, String] else Map(to -> phys))
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+    commit(spark, root, parent.version + 1, s"rename:$from->$to",
+      parent.files, Some(newSchema), newColmap, parent.dropped)
+  }
+
+  /** Drop a LOGICAL column as a METADATA-ONLY commit (op
+    * `dropcol:name`): the bytes stay in existing files but column
+    * pruning keeps them unread forever — a 100 TB column retires
+    * for the cost of one manifest. The physical name is RESERVED
+    * (recorded in `dropped`): a later evolution re-adding it is
+    * refused, because old files would serve the retired bytes as
+    * the new column's values. Stats-sidecar rows for the dropped
+    * field are pruned here (so a later [[indexStats]] over the
+    * remaining fields still type-checks). Same refusals as
+    * [[renameColumn]] for constraints and unpinned stores; the last
+    * column cannot be dropped. */
+  def dropColumn(spark: SparkSession, url: String,
+      name: String): Int = {
+    val (fs, root) = fsOf(spark, url)
+    val parent = snap(spark, url, latest(spark, url))
+    require(parent.schema.isDefined,
+      "dropColumn needs a pinned-schema store")
+    val schema = parent.schema.get
+    require(schema.fieldNames.contains(name),
+      s"dropColumn: no column $name in the store schema")
+    require(schema.fields.length > 1,
+      "dropColumn: cannot drop the last column")
+    require(!name.contains("\t") && !name.contains("\n"),
+      "dropColumn: names may not contain tab/newline")
+    val refs = constraints(spark, url).filter { case (_, e) =>
+      ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+        .findFirstIn(e).isDefined }
+    require(refs.isEmpty,
+      s"dropColumn: constraint(s) ${refs.map(_._1).mkString(",")} " +
+        s"reference $name — dropConstraint first")
+    val phys = parent.phys(name)
+    // sidecar hygiene: retire the dropped field's stats rows (tiny,
+    // O(files) rewrite) so the field-set equality check keeps
+    // working for the remaining fields
+    val sp = statsPath(root)
+    if (fs.exists(sp)) {
+      val existing = spark.read.parquet(sp.toString)
+      if (!existing.filter(col("field") === phys).isEmpty) {
+        val kept = existing.filter(col("field") =!= phys)
+        val tmp = new Path(statsDir(root), "filestats__tmp")
+        fs.delete(tmp, true)
+        kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(sp, true)
+        require(fs.rename(tmp, sp), s"rename failed for $sp")
+      }
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    commit(spark, root, parent.version + 1, s"dropcol:$name",
+      parent.files, Some(newSchema), parent.colmap - name,
+      parent.dropped :+ phys)
   }
 
   // ------------------------------------------------------------------
@@ -2084,7 +2302,8 @@ object Snapshots {
     require(toVersion != head,
       s"v$toVersion is already the latest version")
     commit(spark, root, head + 1, s"restore:v$toVersion", target.files,
-      Some(schemaOf(spark, root, target)))
+      Some(schemaOf(spark, root, target)), target.colmap,
+      target.dropped)
   }
 
   /** Incremental profile diff between two versions, computed from
@@ -2200,7 +2419,7 @@ object Snapshots {
           s"clone copy failed for $f")
     }
     commit(spark, dstRoot, 1, "clone", s.files,
-      Some(schemaOf(spark, srcRoot, s)))
+      Some(schemaOf(spark, srcRoot, s)), s.colmap, s.dropped)
   }
 
   // ---- named refs (tags): human-named immutable version pins ----
@@ -2331,7 +2550,7 @@ object Snapshots {
     }
     val staged = resolved.map { case (url, df, nFiles, root, parent) =>
       TxnPart(url, writeFiles(spark, root, df, parent.version + 1,
-        nFiles))
+        nFiles, colmap = parent.colmap))
     }
     val plan = TxnPlan(
       java.util.UUID.randomUUID().toString.take(12), staged)
@@ -2365,7 +2584,8 @@ object Snapshots {
           val parent = snap(spark, url, vs.max)
           try out = commit(spark, root, parent.version + 1,
             "txn-append", parent.files ++ staged,
-            Some(schemaOf(spark, root, parent)))
+            Some(schemaOf(spark, root, parent)),
+            parent.colmap, parent.dropped)
           catch {
             case e: RuntimeException if attempts < 16 => attempts += 1
           }

@@ -102,7 +102,8 @@ object VectorIndex {
     if (freshE.isEmpty) return 0
     val schema = eff.schema
     val tagged = Snapshots
-      .readEntriesTagged(spark, root, freshE, schema, "__entry")
+      .readEntriesTagged(spark, root, freshE, schema, "__entry",
+        s.colmap)
       .filter(col(embCol).isNotNull)
     // codegen'd argmax assignment (zero shuffles) keyed by ENTRY
     val assigned = AnnSearch.ivfAssign(tagged, "__entry", embCol,
