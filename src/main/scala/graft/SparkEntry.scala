@@ -8101,6 +8101,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("bal_cents")).as("sum_bal")),
         col("c_mktsegment"))
+    }),
+
+    // ---- Pure-SQL lakehouse access: the V2 catalog + time travel ----
+    // A snapshot store queried with NOTHING but SQL: the GraftCatalog
+    // maps stores under a warehouse root to tables and wires Spark's
+    // own `VERSION AS OF` to the manifest layer, so ONE statement
+    // aggregates the head (post-retention-delete) and the pinned v1
+    // side by side — each arm resolves one manifest and scans its
+    // immutable files through Spark's parquet V2 path (pushdown +
+    // codegen unchanged). Oracle = both arms recomputed from the
+    // source rows.
+    "q372_sql_catalog" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q372"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      // the catalog root is the STABLE per-query dir; each run gets
+      // a fresh uuid-named TABLE under it (the catalog instance is
+      // cached per session, table names resolve per statement)
+      s.conf.set("spark.sql.catalog.g372",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g372.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val fact = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_orderpriority").isNotNull &&
+          col("o_totalprice").isNotNull)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("cents"))
+      Snapshots.create(s, s"$rootPath/$tbl", fact, nFiles = 8,
+        clusterBy = Some("cents"))
+      Snapshots.indexStats(s, s"$rootPath/$tbl", Seq("cents"))
+      Snapshots.deleteWhere(s, s"$rootPath/$tbl", "cents",
+        10000000L, 20000000L)
+      orderSmall(s.sql(
+        s"""SELECT 'head' AS src, o_orderpriority,
+           |  count(*) AS n, sum(cents) AS sum_cents
+           |FROM g372.$tbl GROUP BY o_orderpriority
+           |UNION ALL
+           |SELECT 'v1', o_orderpriority, count(*), sum(cents)
+           |FROM g372.$tbl VERSION AS OF 1
+           |GROUP BY o_orderpriority""".stripMargin),
+        col("src"), col("o_orderpriority"))
     })
   )
 
@@ -17543,6 +17590,27 @@ object SparkEntry {
         |)
         |SELECT seg AS c_mktsegment, count(*) AS n,
         |  CAST(sum(bal) AS BIGINT) AS sum_bal
-        |FROM m GROUP BY seg ORDER BY seg""".stripMargin
+        |FROM m GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "q372_sql_catalog" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |), arms AS (
+        |  SELECT 'head' AS src, o_orderpriority,
+        |    count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM o WHERE cents NOT BETWEEN 10000000 AND 20000000
+        |  GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'v1', o_orderpriority,
+        |    count(*), CAST(sum(cents) AS BIGINT)
+        |  FROM o GROUP BY o_orderpriority
+        |)
+        |SELECT src, o_orderpriority, n, sum_cents FROM arms
+        |ORDER BY src, o_orderpriority""".stripMargin
   )
 }
