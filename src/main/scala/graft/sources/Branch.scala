@@ -39,15 +39,16 @@ object Branch {
     * Returns the fork version of the SOURCE. */
   def fork(spark: SparkSession, srcUrl: String, branchUrl: String,
       version: Int = -1): Int = {
+    // srcUrl is caller-supplied and may contain quotes — refuse
+    // BEFORE any work: refusing after the clone would leave an
+    // unrecoverable half-made branch (store exists, no provenance)
+    require(!srcUrl.contains("\""), s"branch source url carries '\"'")
     val v = if (version < 0) Snapshots.latest(spark, srcUrl)
             else version
     Snapshots.cloneStore(spark, srcUrl, branchUrl, v)
     val root = new Path(branchUrl)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(metaPath(root), false)
-    // srcUrl is caller-supplied and may contain quotes — refuse
-    // rather than write an unparseable provenance file
-    require(!srcUrl.contains("\""), s"branch source url carries '\"'")
     try out.write(
       s"""{"src":"$srcUrl","srcVersion":$v}""".getBytes("UTF-8"))
     finally out.close()
@@ -121,7 +122,12 @@ object Branch {
     val updates = feed
       .withColumn("__merge_del", col("_change") === "delete")
       .drop("_change")
+    // pin the upsert to the head the conflict scan examined: a main
+    // commit interleaving after the scan fails THIS call loudly
+    // (re-run mergeBack — it re-checks against the new head) instead
+    // of silently last-writer-winning on unexamined keys
     Snapshots.upsert(spark, src, updates, keyCol,
-      deleteCol = Some("__merge_del"), maxKeys = maxKeys)
+      deleteCol = Some("__merge_del"), maxKeys = maxKeys,
+      expectedParentVersion = mLatest)
   }
 }

@@ -111,12 +111,17 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, -1)
 
-  /** `VERSION AS OF n` — the manifest layer's time travel. */
+  /** `VERSION AS OF n` — the manifest layer's time travel. A
+    * non-positive version refuses loudly rather than silently
+    * resolving to the head (`tableAt`'s negative arg is the internal
+    * latest sentinel, never a user value). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"VERSION AS OF '$version' — graft versions are integers")
     }
+    require(v >= 1,
+      s"VERSION AS OF $v — graft versions start at 1")
     tableAt(ident, v)
   }
 

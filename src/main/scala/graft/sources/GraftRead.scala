@@ -175,6 +175,12 @@ final case class GraftRead private (
           s"$u@v$v carries renamed columns — read via " +
             "Snapshots.read/readWhere (the reader chain scans " +
             "physical files)")
+        // a dropped column's bytes are still in the files; the raw
+        // footer-inferred scan would resurrect it (and post-drop
+        // appends make the inferred schema file-order dependent)
+        require(snapV.dropped.isEmpty,
+          s"$u@v$v carries dropped columns — read via " +
+            "Snapshots.read (raw scans would serve retired bytes)")
         val entries = snapV.files.sorted
         // the reader chain shards/prunes per FILE; a merge-on-read
         // entry is not one file (its deletion vector must anti-join

@@ -379,9 +379,15 @@ object Snapshots {
       entries: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
       colmap: Map[String, String] = Map.empty): DataFrame = {
-    require(!schema.fieldNames.contains(DvFileCol) &&
-      !schema.fieldNames.contains(DvPosCol),
-      s"store schema uses reserved column $DvFileCol/$DvPosCol")
+    // both name spaces must be clean: a LOGICAL collision would
+    // alias wrong, and a PHYSICAL collision (a renamed column whose
+    // birth name is a position column) would be overwritten by the
+    // metadata projection and read back as file names
+    val taken = schema.fieldNames.toSet ++
+      physSchema(schema, colmap).fieldNames
+    require(!taken.contains(DvFileCol) && !taken.contains(DvPosCol),
+      s"store schema uses reserved column $DvFileCol/$DvPosCol " +
+        "(logical or physical)")
     // scan under the PHYSICAL schema, present LOGICAL names
     val outCols = schema.fieldNames.toSeq.map(l =>
       col(colmap.getOrElse(l, l)).as(l)) ++
@@ -446,8 +452,12 @@ object Snapshots {
       schema: org.apache.spark.sql.types.StructType,
       tagCol: String,
       colmap: Map[String, String] = Map.empty): DataFrame = {
-    require(!schema.fieldNames.contains(tagCol),
-      s"store schema uses reserved column $tagCol")
+    val takenT = schema.fieldNames.toSet ++
+      physSchema(schema, colmap).fieldNames
+    require(!takenT.contains(tagCol) && !takenT.contains(DvFileCol) &&
+      !takenT.contains(DvPosCol),
+      s"store schema uses reserved column $tagCol/$DvFileCol/" +
+        s"$DvPosCol (logical or physical)")
     val logicalCols = schema.fieldNames.toSeq.map(l =>
       col(colmap.getOrElse(l, l)).as(l))
     val parsed = entries.map(e => e -> splitEntry(e))
@@ -668,9 +678,20 @@ object Snapshots {
   def upsert(spark: SparkSession, url: String, updates: DataFrame,
       keyCol: String, deleteCol: Option[String] = None,
       bloomIndexUrl: Option[String] = None,
-      maxKeys: Int = 1000000): Int = {
+      maxKeys: Int = 1000000,
+      expectedParentVersion: Int = -1): Int = {
     val (_, root) = fsOf(spark, url)
     val parent = snap(spark, url, latest(spark, url))
+    // optimistic pin for callers whose PRE-CHECKS were computed
+    // against a specific head ([[Branch.mergeBack]]'s conflict scan):
+    // a commit that interleaved after the checks makes this upsert
+    // fail loudly instead of silently landing on unexamined state —
+    // together with [[commit]]'s exclusive version claim this closes
+    // the check-then-commit window (the loser re-runs its checks)
+    require(expectedParentVersion < 0 ||
+      parent.version == expectedParentVersion,
+      s"upsert: store moved to v${parent.version} past the expected " +
+        s"v$expectedParentVersion — re-run the caller's pre-checks")
     // schema from the manifest (or file inference via schemaOf) —
     // never a data read; an all-deleted parent (zero files, pinned
     // schema) accepts re-inserts
@@ -764,24 +785,7 @@ object Snapshots {
     val (_, root) = fsOf(spark, url)
     val parent = snap(spark, url, parentV)
     val storeSchema = schemaOf(spark, root, parent)
-    require(storeSchema.fieldNames.contains(field),
-      s"deleteWhere: no column $field in the store schema")
-    // the same flavor gate the band probes enforce — WITHOUT it a
-    // wrong-typed range on an unindexed store coerces to a
-    // never-matching predicate and "succeeds" deleting nothing
-    import org.apache.spark.sql.types._
-    val isString = storeSchema(field).dataType == StringType
-    require(isString == wantString,
-      s"deleteWhere: column $field is ${storeSchema(field).dataType}" +
-        s" — use the ${if (isString) "string" else "numeric"}-range " +
-        "API flavor")
-    if (!wantString) storeSchema(field).dataType match {
-      case ByteType | ShortType | IntegerType | LongType |
-           DateType | TimestampType => ()
-      case dt => throw new IllegalArgumentException(
-        s"deleteWhere: column $field is $dt — not a range-delete " +
-          "type (integral/date/timestamp/string)")
-    }
+    rangeTypeGate("deleteWhere", storeSchema, field, wantString)
     if (files.isEmpty) return parent.version
     val names = files.toSet
     val scanned = readEntriesEff(spark, root, files, storeSchema,
@@ -844,6 +848,62 @@ object Snapshots {
       _ => col(field) >= lit(lo) && col(field) <= lit(hi))
   }
 
+  /** Shared flavor/type gate for every range mutation: a wrong-typed
+    * range would coerce to never-matching and "succeed" touching
+    * nothing — the silent-empty class. */
+  private def rangeTypeGate(op: String,
+      storeSchema: org.apache.spark.sql.types.StructType,
+      field: String, wantString: Boolean): Unit = {
+    import org.apache.spark.sql.types._
+    require(storeSchema.fieldNames.contains(field),
+      s"$op: no column $field in the store schema")
+    val isString = storeSchema(field).dataType == StringType
+    require(isString == wantString,
+      s"$op: column $field is ${storeSchema(field).dataType} — use " +
+        s"the ${if (isString) "string" else "numeric"}-range API " +
+        "flavor")
+    if (!wantString) storeSchema(field).dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType => ()
+      case dt => throw new IllegalArgumentException(
+        s"$op: column $field is $dt — not a range-mutation type " +
+          "(integral/date/timestamp/string)")
+    }
+  }
+
+  /** Chained-MoR carry: the AFFECTED files' prior deletion vectors,
+    * restricted to those files — merged into every new vector so
+    * each version's entry names exactly ONE vector and readers never
+    * stack joins. One read per distinct prior vector. */
+  private def carriedPositions(spark: SparkSession, root: Path,
+      entries: Seq[String],
+      affectedData: Set[String]): Seq[DataFrame] =
+    entries.map(splitEntry)
+      .collect { case (d, Some(dv)) if affectedData.contains(d) =>
+        dv -> d }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (dv, group) =>
+        spark.read.parquet(new Path(root, dv).toString)
+          .filter(col("__dv_file").isin(group.map(_._2): _*)) }
+
+  /** Shared MoR commit tail: write ONE merged vector, re-point every
+    * affected entry at it, append `extraFiles` (morupdate's fresh
+    * images), commit under the parent's colmap/dropped. */
+  private def commitMor(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, parent: Snap,
+      op: String, affectedData: Set[String], allDel: DataFrame,
+      extraFiles: Seq[String],
+      storeSchema: org.apache.spark.sql.types.StructType): Int = {
+    val v = parent.version + 1
+    val dvName = writeDv(spark, fs, root, allDel, v)
+    val replaced = parent.files.map { e =>
+      val d = splitEntry(e)._1
+      if (affectedData.contains(d)) s"$d$DvSep$dvName" else e
+    }
+    commit(spark, root, v, op, replaced ++ extraFiles,
+      Some(storeSchema), parent.colmap, parent.dropped)
+  }
+
   private def morDelete(spark: SparkSession, url: String,
       parentV: Int, field: String, wantString: Boolean,
       entries: Seq[String],
@@ -851,24 +911,7 @@ object Snapshots {
     val (fs, root) = fsOf(spark, url)
     val parent = snap(spark, url, parentV)
     val storeSchema = schemaOf(spark, root, parent)
-    require(storeSchema.fieldNames.contains(field),
-      s"deleteWhereMor: no column $field in the store schema")
-    // the deleteWhere flavor/type gate — a wrong-typed range would
-    // otherwise coerce to never-matching and "succeed" deleting
-    // nothing (the silent-empty class)
-    import org.apache.spark.sql.types._
-    val isString = storeSchema(field).dataType == StringType
-    require(isString == wantString,
-      s"deleteWhereMor: column $field is " +
-        s"${storeSchema(field).dataType} — use the " +
-        s"${if (isString) "string" else "numeric"}-range API flavor")
-    if (!wantString) storeSchema(field).dataType match {
-      case ByteType | ShortType | IntegerType | LongType |
-           DateType | TimestampType => ()
-      case dt => throw new IllegalArgumentException(
-        s"deleteWhereMor: column $field is $dt — not a range-delete " +
-          "type (integral/date/timestamp/string)")
-    }
+    rangeTypeGate("deleteWhereMor", storeSchema, field, wantString)
     if (entries.isEmpty) return parent.version
     // positions of newly matching rows among the candidates'
     // EFFECTIVE rows (already-deleted positions never re-match)
@@ -884,27 +927,11 @@ object Snapshots {
       val affectedData = hits.select("__dv_file").distinct()
         .collect().map(_.getString(0)).toSet
       if (affectedData.isEmpty) return parent.version // true no-op
-      // chained MoR: an affected file's PRIOR deletions carry into
-      // the new vector (each version's entry names one vector, so
-      // readers never stack joins)
-      val carried = entries
-        .map(splitEntry)
-        .collect { case (d, Some(dv)) if affectedData.contains(d) =>
-          dv -> d }
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (dv, group) =>
-          spark.read.parquet(new Path(root, dv).toString)
-            .filter(col("__dv_file").isin(group.map(_._2): _*)) }
       // disjoint by construction: hits come from effective rows
-      val allDel = (hits +: carried).reduce(_ unionByName _)
-      val v = parent.version + 1
-      val dvName = writeDv(spark, fs, root, allDel, v)
-      val replaced = parent.files.map { e =>
-        val d = splitEntry(e)._1
-        if (affectedData.contains(d)) s"$d$DvSep$dvName" else e
-      }
-      commit(spark, root, v, "mordelete", replaced, Some(storeSchema),
-        parent.colmap, parent.dropped)
+      val allDel = (hits +: carriedPositions(spark, root, entries,
+        affectedData)).reduce(_ unionByName _)
+      commitMor(spark, fs, root, parent, "mordelete", affectedData,
+        allDel, Nil, storeSchema)
     } finally hits.unpersist()
   }
 
@@ -949,24 +976,10 @@ object Snapshots {
     val parent = snap(spark, url, parentV)
     val storeSchema = schemaOf(spark, root, parent)
     require(set.nonEmpty, "updateWhereMor: empty SET clause")
-    require(storeSchema.fieldNames.contains(field),
-      s"updateWhereMor: no column $field in the store schema")
     set.keys.foreach(c => require(storeSchema.fieldNames.contains(c),
       s"updateWhereMor: SET names unknown column $c — updates never " +
         "add columns (that is schema evolution, use append/upsert)"))
-    import org.apache.spark.sql.types._
-    val isString = storeSchema(field).dataType == StringType
-    require(isString == wantString,
-      s"updateWhereMor: column $field is " +
-        s"${storeSchema(field).dataType} — use the " +
-        s"${if (isString) "string" else "numeric"}-range API flavor")
-    if (!wantString) storeSchema(field).dataType match {
-      case ByteType | ShortType | IntegerType | LongType |
-           DateType | TimestampType => ()
-      case dt => throw new IllegalArgumentException(
-        s"updateWhereMor: column $field is $dt — not a range-update " +
-          "type (integral/date/timestamp/string)")
-    }
+    rangeTypeGate("updateWhereMor", storeSchema, field, wantString)
     if (entries.isEmpty) return parent.version
     val hit = coalesce(pred(storeSchema), lit(false))
     val matched = readEntriesWithPos(spark, root, entries, storeSchema,
@@ -989,27 +1002,15 @@ object Snapshots {
       // affected files (the [[morDelete]] chain contract)
       val hits = matched.select(col(DvFileCol).as("__dv_file"),
         col(DvPosCol).as("__dv_pos"))
-      val carried = entries
-        .map(splitEntry)
-        .collect { case (d, Some(dv)) if affectedData.contains(d) =>
-          dv -> d }
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (dv, group) =>
-          spark.read.parquet(new Path(root, dv).toString)
-            .filter(col("__dv_file").isin(group.map(_._2): _*)) }
-      val allDel = (hits +: carried).reduce(_ unionByName _)
-      val v = parent.version + 1
-      val dvName = writeDv(spark, fs, root, allDel, v)
+      val allDel = (hits +: carriedPositions(spark, root, entries,
+        affectedData)).reduce(_ unionByName _)
       // the updated images land clustered on the range field (they
       // span exactly the range's band — one narrow-band file)
-      val fresh = writeFiles(spark, root, updated, v, 1,
-        clusterBy = Some(field), colmap = parent.colmap)
-      val replaced = parent.files.map { e =>
-        val d = splitEntry(e)._1
-        if (affectedData.contains(d)) s"$d$DvSep$dvName" else e
-      }
-      commit(spark, root, v, "morupdate", replaced ++ fresh,
-        Some(storeSchema), parent.colmap, parent.dropped)
+      val fresh = writeFiles(spark, root, updated,
+        parent.version + 1, 1, clusterBy = Some(field),
+        colmap = parent.colmap)
+      commitMor(spark, fs, root, parent, "morupdate", affectedData,
+        allDel, fresh, storeSchema)
     } finally matched.unpersist()
   }
 
@@ -1079,27 +1080,10 @@ object Snapshots {
     val parent = snap(spark, url, parentV)
     val storeSchema = schemaOf(spark, root, parent)
     require(set.nonEmpty, "updateWhere: empty SET clause")
-    require(storeSchema.fieldNames.contains(field),
-      s"updateWhere: no column $field in the store schema")
     set.keys.foreach(c => require(storeSchema.fieldNames.contains(c),
       s"updateWhere: SET names unknown column $c — updates never " +
         "add columns (that is schema evolution, use append/upsert)"))
-    // the deleteWhere flavor/type gate — a wrong-typed range would
-    // otherwise coerce to never-matching and "succeed" updating
-    // nothing (the silent-empty class)
-    import org.apache.spark.sql.types._
-    val isString = storeSchema(field).dataType == StringType
-    require(isString == wantString,
-      s"updateWhere: column $field is ${storeSchema(field).dataType}" +
-        s" — use the ${if (isString) "string" else "numeric"}-range " +
-        "API flavor")
-    if (!wantString) storeSchema(field).dataType match {
-      case ByteType | ShortType | IntegerType | LongType |
-           DateType | TimestampType => ()
-      case dt => throw new IllegalArgumentException(
-        s"updateWhere: column $field is $dt — not a range-update " +
-          "type (integral/date/timestamp/string)")
-    }
+    rangeTypeGate("updateWhere", storeSchema, field, wantString)
     if (files.isEmpty) return parent.version
     val names = files.toSet
     val scanned = readEntriesEff(spark, root, files, storeSchema,
@@ -2084,9 +2068,19 @@ object Snapshots {
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
-    commit(spark, root, parent.version + 1, s"rename:$from->$to",
+    // provenance only — sanitized so a quote-bearing column name can
+    // never corrupt the self-authored manifest JSON (real names live
+    // base64-safe in the pinned schema and the colmap)
+    commit(spark, root, parent.version + 1,
+      s"rename:${opSafe(from)}->${opSafe(to)}",
       parent.files, Some(newSchema), newColmap, parent.dropped)
   }
+
+  /** Manifest `op`-field sanitizer: ops are provenance strings inside
+    * self-authored JSON; anything outside [A-Za-z0-9_.-] flattens to
+    * `_` (the [[appendOnce]] commitKey charset). */
+  private def opSafe(s: String): String =
+    s.replaceAll("[^A-Za-z0-9_.-]", "_")
 
   /** Drop a LOGICAL column as a METADATA-ONLY commit (op
     * `dropcol:name`): the bytes stay in existing files but column
@@ -2136,7 +2130,8 @@ object Snapshots {
     }
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
-    commit(spark, root, parent.version + 1, s"dropcol:$name",
+    commit(spark, root, parent.version + 1,
+      s"dropcol:${opSafe(name)}",
       parent.files, Some(newSchema), parent.colmap - name,
       parent.dropped :+ phys)
   }

@@ -159,18 +159,49 @@ object VectorIndex {
   private def quantize(e: Seq[Double]): Array[Long] =
     e.map(x => math.floor(x * 1000000d).toLong).toArray
 
-  /** The query's `nprobe` nearest cells (integer key, ties by cell
-    * id string form) — driver-side over k centroids. */
+  /** The query's `nprobe` nearest cells over already-loaded
+    * centroid rows (integer key, ties by cell id string form). */
+  private def rankedCells(cent: Array[(Any, Array[Double])],
+      q: Array[Long], nprobe: Int): Seq[Any] =
+    cent.map { case (id, ce) => (id, keyOf(q, quantize(ce.toSeq))) }
+      .sortBy { case (id, key) => (-key, String.valueOf(id)) }
+      .take(nprobe).map(_._1).toSeq
+
+  /** The query's `nprobe` nearest cells — driver-side over the k
+    * pinned centroids. */
   def probeCells(spark: SparkSession, url: String,
       queryEmb: Seq[Double], nprobe: Int): Seq[Any] = {
     require(nprobe > 0)
     val (_, root) = fsOf(spark, url)
-    val q = quantize(queryEmb)
-    loadCentroids(spark, root)
-      .map { case (id, ce) => (id, keyOf(q, quantize(ce.toSeq))) }
-      .sortBy { case (id, key) => (-key, String.valueOf(id)) }
-      .take(nprobe).map(_._1).toSeq
+    rankedCells(loadCentroids(spark, root), quantize(queryEmb), nprobe)
   }
+
+  /** ONE postings-sidecar read → (covered entry set, entry → posted
+    * cells). None when the sidecar does not exist. */
+  private def loadPostings(spark: SparkSession, root: Path)
+      : Option[(Set[String], Map[String, Set[Any]])] = {
+    val pp = postingsPath(root)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(pp)) return None
+    val rows = spark.read.parquet(pp.toString)
+      .select(col("entry"), col("bucket"), col("n")).collect()
+    val covered = rows.map(_.getString(0)).toSet
+    val posted = rows
+      .filter(r => !r.isNullAt(2) && r.getLong(2) > 0L)
+      .groupBy(_.getString(0))
+      .map { case (e, rs) => e -> rs.map(_.get(1)).toSet }
+    Some((covered, posted))
+  }
+
+  private def pruneByCells(spark: SparkSession, root: Path,
+      entries: Seq[String], cells: Set[Any]): Seq[String] =
+    loadPostings(spark, root) match {
+      case None => entries
+      case Some((covered, posted)) => entries.filter { e =>
+        if (!covered.contains(e)) true // sidecar lag: must read
+        else posted.get(e).exists(_.exists(cells.contains))
+      }
+    }
 
   /** Manifest entries a probed search must open: entries posting any
     * probed cell, plus entries the sidecar has not covered
@@ -178,23 +209,10 @@ object VectorIndex {
     * driver work off one sidecar read. */
   def prunedEntries(spark: SparkSession, url: String, version: Int,
       queryEmb: Seq[Double], nprobe: Int): Seq[String] = {
-    val (fs, root) = fsOf(spark, url)
+    val (_, root) = fsOf(spark, url)
     val s = Snapshots.snap(spark, url, version)
-    val cells = probeCells(spark, url, queryEmb, nprobe).toSet
-    val pp = postingsPath(root)
-    if (!fs.exists(pp)) return s.files
-    val posted = spark.read.parquet(pp.toString)
-      .filter(col("n") > 0L)
-      .select(col("entry"), col("bucket")).collect()
-      .groupBy(_.getString(0))
-      .map { case (e, rs) => e -> rs.map(_.get(1)).toSet }
-    val coveredAll = spark.read.parquet(pp.toString)
-      .select(col("entry")).distinct().collect()
-      .map(_.getString(0)).toSet
-    s.files.filter { e =>
-      if (!coveredAll.contains(e)) true // sidecar lag: must read
-      else posted.get(e).exists(_.exists(cells.contains))
-    }
+    pruneByCells(spark, root, s.files,
+      probeCells(spark, url, queryEmb, nprobe).toSet)
   }
 
   /** ANN search, exact over the probed cells: prune entries through
@@ -208,16 +226,18 @@ object VectorIndex {
   def search(spark: SparkSession, url: String, idCol: String,
       embCol: String, queryEmb: Seq[Double], topK: Int,
       nprobe: Int, version: Int = -1): DataFrame = {
-    require(topK > 0)
+    require(topK > 0 && nprobe > 0)
     val (_, root) = fsOf(spark, url)
     val v = if (version > 0) version else Snapshots.latest(spark, url)
-    val entries = prunedEntries(spark, url, v, queryEmb, nprobe)
-    val cells = probeCells(spark, url, queryEmb, nprobe).toSet
+    // one centroid read and one postings read serve the whole query
+    val centRows = loadCentroids(spark, root)
+    val cells = rankedCells(centRows, quantize(queryEmb), nprobe).toSet
+    val entries = pruneByCells(spark, root,
+      Snapshots.snap(spark, url, v).files, cells)
     val base = Snapshots.readEntryPaths(spark, url, v,
       entries.map(e => new Path(root, e).toString))
       .filter(col(embCol).isNotNull && col(idCol).isNotNull)
     val centroids = {
-      val rows = loadCentroids(spark, root)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("centroid_id",
           base.schema(idCol).dataType),
@@ -225,8 +245,9 @@ object VectorIndex {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType))))
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq.map { case (id, ce) =>
-          org.apache.spark.sql.Row(id, ce.toSeq) }, 1), schema)
+        spark.sparkContext.parallelize(
+          centRows.toSeq.map { case (id, ce) =>
+            org.apache.spark.sql.Row(id, ce.toSeq) }, 1), schema)
     }
     val assigned = AnnSearch.ivfAssign(base, idCol, embCol, centroids)
     val probed = assigned.filter(col("bucket")
