@@ -8148,6 +8148,82 @@ object SparkEntry {
            |FROM g372.$tbl VERSION AS OF 1
            |GROUP BY o_orderpriority""".stripMargin),
         col("src"), col("o_orderpriority"))
+    }),
+
+    // ---- Metadata pricing through rename + merge-on-read stacked ----
+    // The three metadata machines composed on ONE store: stats
+    // bands built at creation, a rename (physically-keyed sidecar
+    // survives), a MoR delete (composite entries re-banded from
+    // EFFECTIVE rows by one incremental refresh) — then aggWhere on
+    // the RENAMED field answers count/sum/min/max with only the
+    // band-straddling files scanned (asserted: scanned < total) and
+    // matches the oracle exactly.
+    "q373_agg_where_stack" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q373"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"))
+      Snapshots.create(s, store, docs, nFiles = 8,
+        clusterBy = Some("doc_id"))
+      Snapshots.indexStats(s, store, Seq("doc_id"))
+      Snapshots.renameColumn(s, store, "doc_id", "doc")
+      Snapshots.deleteWhereMor(s, store, "doc", 150L, 420L)
+      require(Snapshots.indexStats(s, store, Seq("doc")) > 0,
+        "refresh saw no fresh MoR entries")
+      val total = Snapshots.snap(s, store,
+        Snapshots.latest(s, store)).files.size
+      val agg = Snapshots.aggWhere(s, store, "doc", 100L, 600L)
+      require(agg.filesScanned < total,
+        s"aggWhere scanned ${agg.filesScanned}/$total — metadata " +
+          "pricing lost through the rename+MoR stack")
+      import s.implicits._
+      orderSmall(Seq((agg.count, agg.sum.toLong,
+        agg.min.getOrElse(-1L), agg.max.getOrElse(-1L)))
+        .toDF("cnt", "sum_doc", "min_doc", "max_doc"), col("cnt"))
+    }),
+
+    // ---- Vector search over a store mutated by MoR deletes ----
+    // The q370 machinery after a merge-on-read delete: the deleted
+    // vectors vanish from search BEFORE any index refresh (stale
+    // postings admit the entry, the effective read drops the rows —
+    // asserted by the oracle itself: brute force over the SURVIVORS
+    // only), and the exhaustive probe still equals brute force.
+    "q374_vector_after_delete" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q374"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val src = t(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      Snapshots.create(s, store, src, nFiles = 8,
+        clusterBy = Some("vec_id"))
+      VectorIndex.index(s, store, "vec_id", "embedding", 8)
+      // retire a vec_id band merge-on-read; postings stay stale
+      Snapshots.deleteWhereMor(s, store, "vec_id", 20L, 120L)
+      val q = src.filter(col("vec_id") === 7L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      orderSmall(VectorIndex.search(s, store, "vec_id", "embedding",
+        q, topK = 10, nprobe = 8)
+        .select(col("rank").cast("long").as("rank"),
+          col("id").cast("long").as("id"), col("key")),
+        col("rank"))
     })
   )
 
@@ -17611,6 +17687,56 @@ object SparkEntry {
         |  FROM o GROUP BY o_orderpriority
         |)
         |SELECT src, o_orderpriority, n, sum_cents FROM arms
-        |ORDER BY src, o_orderpriority""".stripMargin
+        |ORDER BY src, o_orderpriority""".stripMargin,
+
+    "q373_agg_where_stack" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |    AND doc_id NOT BETWEEN 150 AND 420
+        |    AND doc_id BETWEEN 100 AND 600
+        |)
+        |SELECT count(*) AS cnt,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sum_doc,
+        |  CAST(coalesce(min(doc_id), -1) AS BIGINT) AS min_doc,
+        |  CAST(coalesce(max(doc_id), -1) AS BIGINT) AS max_doc
+        |FROM d""".stripMargin,
+
+    "q374_vector_after_delete" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND vec_id NOT BETWEEN 20 AND 120
+        |), q AS (
+        |  SELECT qv AS qq FROM e WHERE vec_id = 7
+        |), keyed AS (
+        |  SELECT e.vec_id AS id,
+        |    ((list_reduce(list_transform(range(1, 65),
+        |        i -> e.qv[i] * q.qq[i]), (a, b) -> a + b)
+        |      + 2 * greatest(
+        |        CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> q.qq[i] * q.qq[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT)
+        |        * CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> e.qv[i] * e.qv[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT),
+        |        CAST(1 AS BIGINT)))
+        |     * 100000) // greatest(
+        |        CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> q.qq[i] * q.qq[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT)
+        |        * CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> e.qv[i] * e.qv[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT),
+        |        CAST(1 AS BIGINT)) AS key
+        |  FROM e CROSS JOIN q
+        |)
+        |SELECT CAST(rank AS BIGINT) AS rank, id, key FROM (
+        |  SELECT id, key, row_number() OVER (
+        |    ORDER BY key DESC, id) AS rank
+        |  FROM keyed) AS ranked
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin
   )
 }
