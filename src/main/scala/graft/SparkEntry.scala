@@ -8224,6 +8224,26 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"),
           col("id").cast("long").as("id"), col("key")),
         col("rank"))
+    }),
+
+    // ---- GROUP BY ALL parity ----
+    // The modern shorthand both engines grew independently: every
+    // non-aggregate select item becomes a grouping key. A migrated
+    // report relying on it must group identically — one Expand-free
+    // aggregate, same result set as the explicit GROUP BY (the
+    // q344/q358 multi-set family's trivial-but-load-bearing cousin).
+    "q375_group_by_all" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("source").isNotNull && col("n_chars").isNotNull)
+        .createOrReplaceTempView("q375_docs")
+      orderSmall(s.sql(
+        """SELECT lang, source, count(*) AS n,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(min(n_chars) AS BIGINT) AS min_chars
+          |FROM q375_docs
+          |GROUP BY ALL""".stripMargin),
+        col("lang"), col("source"))
     })
   )
 
@@ -17737,6 +17757,15 @@ object SparkEntry {
         |  SELECT id, key, row_number() OVER (
         |    ORDER BY key DESC, id) AS rank
         |  FROM keyed) AS ranked
-        |WHERE rank <= 10 ORDER BY rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q375_group_by_all" ->
+      """SELECT lang, source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND source IS NOT NULL AND n_chars IS NOT NULL
+        |GROUP BY ALL ORDER BY lang, source""".stripMargin
   )
 }

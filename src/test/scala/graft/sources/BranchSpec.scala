@@ -69,6 +69,26 @@ class BranchSpec extends SparkSpec {
     assert(Snapshots.read(spark, main).count() == 49L)
   }
 
+  test("upsert's expectedParentVersion pin refuses a moved head — " +
+      "the mergeBack check-then-commit window stays closed") {
+    val url = fresh("pin")
+    mk(url)
+    val v1 = Snapshots.latest(spark, url)
+    Snapshots.append(spark, url,
+      Seq((60L, "moved", 600L)).toDF("id", "s", "n"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.upsert(spark, url,
+        Seq((1L, "x", 1L)).toDF("id", "s", "n"), "id",
+        expectedParentVersion = v1)
+    }
+    assert(e.getMessage.contains("re-run"))
+    // unpinned (default) still lands
+    Snapshots.upsert(spark, url,
+      Seq((1L, "x", 1L)).toDF("id", "s", "n"), "id")
+    assert(Snapshots.read(spark, url)
+      .filter(col("s") === "x").count() == 1L)
+  }
+
   test("no-op merges, pinned-version forks, and non-fork refusal") {
     val main = fresh("nmain"); val br = fresh("nbr")
     val v1 = mk(main)
