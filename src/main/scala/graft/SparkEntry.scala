@@ -8244,6 +8244,53 @@ object SparkEntry {
           |FROM q375_docs
           |GROUP BY ALL""".stripMargin),
         col("lang"), col("source"))
+    }),
+
+    // ---- Branch workflow over a RENAMED store (full-stack compose) ----
+    // The fork inherits the column mapping (hard-linked clone carries
+    // colmap + physical files verbatim — asserted: the branch reads
+    // the renamed name over the SAME inodes), the branch mutates
+    // under logical names (COW update + merge-on-read delete), main
+    // moves concurrently on disjoint keys, and mergeBack's
+    // manifest-diff delta lands through the colmap-aware upsert with
+    // the conflict scan pinned to the examined head. Oracle = the
+    // merged final state under the renamed column.
+    "q376_branch_renamed" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q376"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val main = s"$base/main"; val br = s"$base/feature"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, main, docs, nFiles = 8,
+        clusterBy = Some("doc_id"))
+      Snapshots.renameColumn(s, main, "doc_id", "doc")
+      Branch.fork(s, main, br)
+      // the fork carries the mapping over shared physical files
+      require(Snapshots.read(s, br).columns.contains("doc"),
+        "fork lost the column mapping")
+      // branch: logical-name mutations (COW update + MoR delete)
+      Snapshots.updateWhere(s, br, "doc", 100L, 180L,
+        Map("lang" -> lit("branched")))
+      Snapshots.deleteWhereMor(s, br, "doc", 300L, 360L)
+      // main moves concurrently on a DISJOINT key band
+      Snapshots.updateWhere(s, main, "doc", 500L, 520L,
+        Map("lang" -> lit("mainside")))
+      Branch.mergeBack(s, br, "doc")
+      orderSmall(Snapshots.read(s, main)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars")),
+        col("lang"))
     })
   )
 
@@ -17766,6 +17813,22 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND source IS NOT NULL AND n_chars IS NOT NULL
-        |GROUP BY ALL ORDER BY lang, source""".stripMargin
+        |GROUP BY ALL ORDER BY lang, source""".stripMargin,
+
+    "q376_branch_renamed" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 100 AND 180 THEN 'branched'
+        |         WHEN doc_id BETWEEN 500 AND 520 THEN 'mainside'
+        |         ELSE lang END AS lang,
+        |    n_chars
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |    AND doc_id NOT BETWEEN 300 AND 360
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
