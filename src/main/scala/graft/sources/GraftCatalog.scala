@@ -106,7 +106,10 @@ class GraftCatalog extends TableCatalog {
       ParquetTable(s"$catName.${ident.name}", spark,
         CaseInsensitiveStringMap.empty(), paths, Some(schema),
         classOf[ParquetFileFormat]),
-      schema)
+      schema,
+      Map("graft.version" -> v.toString, "graft.op" -> s.op,
+        "graft.files" -> s.files.size.toString,
+        "graft.url" -> url))
   }
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, -1)
@@ -155,7 +158,8 @@ class GraftCatalog extends TableCatalog {
   * analysis instead of bypassing the manifest. */
 private[sources] class GraftSqlTable(label: String,
     underlying: ParquetTable,
-    pinned: StructType) extends Table
+    pinned: StructType,
+    props: Map[String, String]) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = label
   override def schema(): StructType = pinned
@@ -164,4 +168,11 @@ private[sources] class GraftSqlTable(label: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     underlying.newScanBuilder(options)
+  /** Surfaced by `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`:
+    * the resolved version, its op, its file count, the store url. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 }

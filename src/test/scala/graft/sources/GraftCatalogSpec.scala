@@ -43,6 +43,11 @@ class GraftCatalogSpec extends SparkSpec {
     // listing sees the store
     assert(spark.sql("SHOW TABLES IN gcat").collect()
       .map(_.getString(1)).contains("events"))
+    // table properties surface the resolved version + op
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.events").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.version") == "2" &&
+      props("graft.op") == "delete")
     // additive evolution: old files read the new column as null
     Snapshots.append(spark, s"$root/events",
       Seq((101L, 202L, "tagged")).toDF("id", "v", "tag"))
