@@ -2065,33 +2065,35 @@ object Stats {
       .select(col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = pts.count()
-    require(n <= maxRows,
-      s"spearmanStats: $n rows > maxRows=$maxRows — run the audit " +
-        "on a scored sample (the BIGINT moment bound is hard)")
-    val spark = df.sparkSession
-    import spark.implicits._
-    if (n < 1) {
-      pts.unpersist()
-      return Seq((0L, 0L, 0L, 0L, 0L, 0L))
+    // try/finally: the maxRows refusal below fires AFTER the persist
+    // — without the guard a refused audit leaks the cached frame for
+    // the session lifetime (the kendallStats hygiene pattern)
+    try {
+      val n = pts.count()
+      require(n <= maxRows,
+        s"spearmanStats: $n rows > maxRows=$maxRows — run the audit " +
+          "on a scored sample (the BIGINT moment bound is hard)")
+      val spark = df.sparkSession
+      import spark.implicits._
+      if (n < 1)
+        return Seq((0L, 0L, 0L, 0L, 0L, 0L))
+          .toDF("n", "sx", "sy", "sxy", "sxx", "syy")
+      def rank2(c: String, out: String): DataFrame =
+        doubledRanksFromHist(
+          pts.groupBy(col(c)).agg(count(lit(1)).as("__cnt")), c)
+          .withColumnRenamed("__r2", out)
+      val joined = pts
+        .join(rank2("__x", "__rx"), Seq("__x"))
+        .join(rank2("__y", "__ry"), Seq("__y"))
+      val r = joined.agg(
+        sum(col("__rx")).as("sx"), sum(col("__ry")).as("sy"),
+        sum(col("__rx") * col("__ry")).as("sxy"),
+        sum(col("__rx") * col("__rx")).as("sxx"),
+        sum(col("__ry") * col("__ry")).as("syy")).head()
+      Seq((n, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
         .toDF("n", "sx", "sy", "sxy", "sxx", "syy")
-    }
-    def rank2(c: String, out: String): DataFrame =
-      doubledRanksFromHist(
-        pts.groupBy(col(c)).agg(count(lit(1)).as("__cnt")), c)
-        .withColumnRenamed("__r2", out)
-    val joined = pts
-      .join(rank2("__x", "__rx"), Seq("__x"))
-      .join(rank2("__y", "__ry"), Seq("__y"))
-    val r = joined.agg(
-      sum(col("__rx")).as("sx"), sum(col("__ry")).as("sy"),
-      sum(col("__rx") * col("__ry")).as("sxy"),
-      sum(col("__rx") * col("__rx")).as("sxx"),
-      sum(col("__ry") * col("__ry")).as("syy")).head()
-    pts.unpersist()
-    Seq((n, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-      r.getLong(4)))
-      .toDF("n", "sx", "sy", "sxy", "sxx", "syy")
+    } finally pts.unpersist()
   }
 
   /** Doubled tie-averaged ranks from a value HISTOGRAM
@@ -2141,24 +2143,30 @@ object Stats {
       .select(col(groupCol).cast("string").as("grp"),
         col(valueCol).cast("long").as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = pts.count()
-    require(n <= maxRows,
-      s"kruskalStats: $n rows > maxRows=$maxRows — run the audit " +
-        "on a scored sample (the BIGINT tie-term bound is hard)")
-    val hist = pts.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ranks = doubledRanksFromHist(hist, "__v")
-    val tieCubes = tieCubesOf(hist)
-    val out = pts.join(ranks, Seq("__v"))
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_g"),
-        sum(col("__r2")).as("r2_sum"))
-      .withColumn("n", lit(n))
-      .withColumn("tie_cubes", lit(tieCubes))
-    // caches only served the two scalar actions above; the returned
-    // plan re-derives from source (pushdown-friendly) when evaluated
-    hist.unpersist(); pts.unpersist()
-    out
+    // try/finally: the maxRows refusal fires after the persist —
+    // guard both caches so a refused audit cannot leak them
+    var hist: DataFrame = null
+    try {
+      val n = pts.count()
+      require(n <= maxRows,
+        s"kruskalStats: $n rows > maxRows=$maxRows — run the audit " +
+          "on a scored sample (the BIGINT tie-term bound is hard)")
+      hist = pts.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranks = doubledRanksFromHist(hist, "__v")
+      val tieCubes = tieCubesOf(hist)
+      pts.join(ranks, Seq("__v"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("__r2")).as("r2_sum"))
+        .withColumn("n", lit(n))
+        .withColumn("tie_cubes", lit(tieCubes))
+      // caches only served the scalar actions above; the returned
+      // plan re-derives from source (pushdown-friendly) when evaluated
+    } finally {
+      if (hist != null) hist.unpersist()
+      pts.unpersist()
+    }
   }
 
   /** Exact Wilcoxon signed-rank sufficient statistics — the PAIRED
@@ -2185,27 +2193,33 @@ object Stats {
     val pts = df.filter(col(diffCol).isNotNull)
       .select(col(diffCol).cast("long").as("__d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = pts.count()
-    require(n <= maxRows,
-      s"wilcoxonStats: $n rows > maxRows=$maxRows — run the audit " +
-        "on a scored sample (the BIGINT tie-term bound is hard)")
-    val nz = pts.filter(col("__d") =!= 0L)
-      .select(abs(col("__d")).as("__a"),
-        when(col("__d") > 0L, 1L).otherwise(0L).as("__pos"))
-    val hist = nz.groupBy(col("__a")).agg(count(lit(1)).as("__cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ranks = doubledRanksFromHist(hist, "__a")
-    val tieCubes = tieCubesOf(hist)
-    val r = nz.join(ranks, Seq("__a"))
-      .agg(count(lit(1)).as("nn"),
-        coalesce(sum(when(col("__pos") === 1L, col("__r2"))
-          .otherwise(0L)), lit(0L)).as("wp"),
-        coalesce(sum(when(col("__pos") === 0L, col("__r2"))
-          .otherwise(0L)), lit(0L)).as("wm")).head()
-    hist.unpersist(); pts.unpersist()
-    Seq((r.getLong(0), n - r.getLong(0), r.getLong(1), r.getLong(2),
-      tieCubes))
-      .toDF("n_nonzero", "n_zero", "w2_plus", "w2_minus", "tie_cubes")
+    // try/finally: the maxRows refusal fires after the persist
+    var hist: DataFrame = null
+    try {
+      val n = pts.count()
+      require(n <= maxRows,
+        s"wilcoxonStats: $n rows > maxRows=$maxRows — run the audit " +
+          "on a scored sample (the BIGINT tie-term bound is hard)")
+      val nz = pts.filter(col("__d") =!= 0L)
+        .select(abs(col("__d")).as("__a"),
+          when(col("__d") > 0L, 1L).otherwise(0L).as("__pos"))
+      hist = nz.groupBy(col("__a")).agg(count(lit(1)).as("__cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranks = doubledRanksFromHist(hist, "__a")
+      val tieCubes = tieCubesOf(hist)
+      val r = nz.join(ranks, Seq("__a"))
+        .agg(count(lit(1)).as("nn"),
+          coalesce(sum(when(col("__pos") === 1L, col("__r2"))
+            .otherwise(0L)), lit(0L)).as("wp"),
+          coalesce(sum(when(col("__pos") === 0L, col("__r2"))
+            .otherwise(0L)), lit(0L)).as("wm")).head()
+      Seq((r.getLong(0), n - r.getLong(0), r.getLong(1), r.getLong(2),
+        tieCubes))
+        .toDF("n_nonzero", "n_zero", "w2_plus", "w2_minus", "tie_cubes")
+    } finally {
+      if (hist != null) hist.unpersist()
+      pts.unpersist()
+    }
   }
 
   /** Exact Kaplan–Meier risk table — the survival-analysis audit a
@@ -2232,16 +2246,17 @@ object Stats {
       .agg(count(lit(1)).as("__cnt"),
         sum(when(col("__e") =!= 0L, 1L).otherwise(0L)).as("n_event"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = hist.agg(coalesce(sum(col("__cnt")), lit(0L)))
-      .head().getLong(0)
-    val out = Ranking
-      .withRunningTotal(hist, Seq(col("duration")), "__cnt", "__cum")
-      .select(col("duration"),
-        (lit(n) - col("__cum")).as("n_at_risk"),
-        col("n_event"),
-        (col("__cnt") - col("n_event")).as("n_censored"))
-    hist.unpersist()
-    out
+    // try/finally: a failed census action must not leak the cache
+    try {
+      val n = hist.agg(coalesce(sum(col("__cnt")), lit(0L)))
+        .head().getLong(0)
+      Ranking
+        .withRunningTotal(hist, Seq(col("duration")), "__cnt", "__cum")
+        .select(col("duration"),
+          (lit(n) - col("__cum")).as("n_at_risk"),
+          col("n_event"),
+          (col("__cnt") - col("n_event")).as("n_censored"))
+    } finally hist.unpersist()
   }
 
   /** Inclusion-dependency (foreign-key) audit — schema discovery for
@@ -2310,6 +2325,10 @@ object Stats {
       .select(qiCols.map(col) :+
         col(sensCol).cast("long").as("__s"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // try/finally: the level/row refusals below fire AFTER the
+    // persist — without the guard a refused audit leaks the cached
+    // frame for the session lifetime (the kendallStats pattern)
+    try {
     // bounded-action level census: fail fast before any grid work
     val levelRows = base.select(col("__s")).distinct()
       .limit(maxLevels + 1).collect()
@@ -2343,14 +2362,13 @@ object Stats {
     val wGrp = Window.partitionBy(qiCols.map(col): _*)
       .orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = grid
+    grid
       .withColumn("__cumG", sum(col("__cgv")).over(wGrp))
       .groupBy((qiCols.map(col) :+ col("n_g")): _*)
       .agg(coalesce(sum(abs(col("__cumG") * lit(n) -
         col("__cum") * col("n_g"))), lit(0L)).as("emd_num"))
       .withColumn("n", lit(n))
       .withColumn("m", lit(m))
-    base.unpersist()
-    out
+    } finally base.unpersist()
   }
 }

@@ -45,13 +45,33 @@ object Branch {
     require(!srcUrl.contains("\""), s"branch source url carries '\"'")
     val v = if (version < 0) Snapshots.latest(spark, srcUrl)
             else version
-    Snapshots.cloneStore(spark, srcUrl, branchUrl, v)
     val root = new Path(branchUrl)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(metaPath(root), false)
-    try out.write(
-      s"""{"src":"$srcUrl","srcVersion":$v}""".getBytes("UTF-8"))
-    finally out.close()
+    def writeMeta(): Unit = {
+      val out = fs.create(metaPath(root), false)
+      try out.write(
+        s"""{"src":"$srcUrl","srcVersion":$v}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+    // crash between cloneStore and the meta write leaves a valid
+    // store with no provenance — and cloneStore refuses an existing
+    // target, so a bare re-run would wedge the branch. Complete the
+    // fork iff the half-made clone PROVABLY matches this call's fork
+    // point (same head version, same manifest entry set); anything
+    // else refuses with the recovery instruction.
+    if (Snapshots.versions(spark, branchUrl).nonEmpty &&
+        !fs.exists(metaPath(root))) {
+      val bl = Snapshots.latest(spark, branchUrl)
+      require(bl == v &&
+        Snapshots.snap(spark, branchUrl, bl).files.toSet ==
+          Snapshots.snap(spark, srcUrl, v).files.toSet,
+        s"$branchUrl exists without fork provenance and does not " +
+          s"match $srcUrl@v$v — delete the directory and re-run fork")
+      writeMeta()
+      return v
+    }
+    Snapshots.cloneStore(spark, srcUrl, branchUrl, v)
+    writeMeta()
     v
   }
 
@@ -129,5 +149,59 @@ object Branch {
     Snapshots.upsert(spark, src, updates, keyCol,
       deleteCol = Some("__merge_del"), maxKeys = maxKeys,
       expectedParentVersion = mLatest)
+  }
+
+  /** Rebase a branch whose [[mergeBack]] was refused: fork the
+    * source's CURRENT head into `newBranchUrl` and replay the old
+    * branch's net delta there MINUS the conflicting keys, returning
+    * (the new fork version, the conflict keys) so the caller can
+    * resolve each conflict on the new branch with full main-side
+    * context before merging. The non-conflicting keys' work is
+    * preserved mechanically; nothing is last-writer-won — a
+    * conflicting key keeps MAIN's value on the new branch until the
+    * caller writes a resolution (the refuse-loudly doctrine turned
+    * into a workflow). The old branch is left untouched (delete it
+    * once the rebase is verified). Cost: the delta feeds are
+    * manifest-diff priced and the fork is O(files) hard links —
+    * never either corpus. */
+  def rebase(spark: SparkSession, branchUrl: String,
+      newBranchUrl: String, keyCol: String,
+      maxKeys: Int = 1000000): (Int, Seq[Any]) = {
+    val (src, forkV) = forkPoint(spark, branchUrl)
+    val bLatest = Snapshots.latest(spark, branchUrl)
+    require(bLatest > 1, s"branch $branchUrl has no commits past " +
+      "its fork — nothing to rebase")
+    val feed = delta(spark, branchUrl, keyCol)
+    val mLatest = Snapshots.latest(spark, src)
+    require(mLatest >= forkV,
+      s"source $src is at v$mLatest, below the fork point v$forkV " +
+        "— its history was vacuumed or rebuilt")
+    val conflictFrame =
+      if (mLatest == forkV) null
+      else feed.select(col(keyCol)).intersect(
+        Snapshots.changes(spark, src, keyCol, forkV, mLatest)
+          .select(col(keyCol)))
+    val conflicts: Seq[Any] =
+      if (conflictFrame == null) Nil
+      else {
+        val rows = conflictFrame.limit(maxKeys + 1).collect()
+        require(rows.length <= maxKeys,
+          s"rebase: more than maxKeys=$maxKeys conflicting keys — " +
+            "resolve upstream or raise the bound")
+        rows.map(_.get(0)).toSeq
+      }
+    fork(spark, src, newBranchUrl, mLatest)
+    val clean =
+      if (conflictFrame == null) feed
+      else feed.join(broadcast(conflictFrame
+        .withColumnRenamed(keyCol, "__ck")),
+        col(keyCol) === col("__ck"), "left_anti")
+    val updates = clean
+      .withColumn("__merge_del", col("_change") === "delete")
+      .drop("_change")
+    if (!updates.isEmpty)
+      Snapshots.upsert(spark, newBranchUrl, updates, keyCol,
+        deleteCol = Some("__merge_del"), maxKeys = maxKeys)
+    (mLatest, conflicts)
   }
 }

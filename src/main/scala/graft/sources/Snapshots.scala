@@ -612,8 +612,14 @@ object Snapshots {
       // column's values as the new column — the silent-wrong class)
       val newCols = df.schema.fieldNames
         .filterNot(base.fieldNames.toSet)
-      val reserved = parent.colmap.values.toSet ++ parent.dropped
-      val clash = newCols.filter(reserved)
+      // CASE-INSENSITIVE reservation: Spark resolves parquet columns
+      // case-insensitively by default (spark.sql.caseSensitive=false),
+      // so appending `BAL` after dropColumn(`bal`) would serve the
+      // retired bytes as the new column — the check must match the
+      // resolution ([[validateBatch]]'s applicability doctrine)
+      val reserved = (parent.colmap.values ++ parent.dropped)
+        .map(_.toLowerCase).toSet
+      val clash = newCols.filter(c => reserved(c.toLowerCase))
       require(clash.isEmpty,
         s"evolution adds ${clash.mkString(",")} whose physical " +
           "name is reserved by a renamed or dropped column — " +
@@ -681,6 +687,26 @@ object Snapshots {
       maxKeys: Int = 1000000,
       expectedParentVersion: Int = -1): Int = {
     val (_, root) = fsOf(spark, url)
+    val (parent, storeSchema, affected, rewritten) = stageUpsert(
+      spark, url, updates, keyCol, deleteCol, bloomIndexUrl, maxKeys,
+      expectedParentVersion)
+    commit(spark, root, parent.version + 1, "upsert",
+      parent.files.filterNot(affected.toSet) ++ rewritten,
+      Some(storeSchema), parent.colmap, parent.dropped)
+  }
+
+  /** The staging half of [[upsert]]: validate, compute the affected
+    * file set, write the rewritten files — but commit NOTHING (the
+    * staged files are invisible orphans until a manifest lists
+    * them). Shared by [[upsert]] (which commits immediately) and
+    * [[upsertTogether]] (which journals first). */
+  private[sources] def stageUpsert(spark: SparkSession, url: String,
+      updates: DataFrame, keyCol: String, deleteCol: Option[String],
+      bloomIndexUrl: Option[String], maxKeys: Int,
+      expectedParentVersion: Int)
+      : (Snap, org.apache.spark.sql.types.StructType,
+         Seq[String], Seq[String]) = {
+    val (_, root) = fsOf(spark, url)
     val parent = snap(spark, url, latest(spark, url))
     // optimistic pin for callers whose PRE-CHECKS were computed
     // against a specific head ([[Branch.mergeBack]]'s conflict scan):
@@ -745,9 +771,7 @@ object Snapshots {
     val v = parent.version + 1
     val rewritten = writeFiles(spark, root, merged, v,
       math.max(1, affected.length), colmap = parent.colmap)
-    commit(spark, root, v, "upsert",
-      parent.files.filterNot(affected.toSet) ++ rewritten,
-      Some(storeSchema), parent.colmap, parent.dropped)
+    (parent, storeSchema, affected, rewritten)
   }
 
   /** Copy-on-write range DELETE — `DELETE FROM store WHERE field
@@ -1181,7 +1205,8 @@ object Snapshots {
       fromV: Int, toV: Int, includeOld: Boolean): DataFrame = {
     require(fromV < toV, s"changes needs fromV < toV, got $fromV..$toV")
     val (_, root) = fsOf(spark, url)
-    val a = snap(spark, url, fromV).files.toSet
+    val fromSnap = snap(spark, url, fromV)
+    val a = fromSnap.files.toSet
     val toSnap = snap(spark, url, toV)
     val b = toSnap.files.toSet
     val droppedF = (a -- b).toSeq.sorted
@@ -1193,12 +1218,95 @@ object Snapshots {
     // MoR delete drops `f.parquet` and adds `f.parquet--dv--D`, so
     // the manifest diff prices it like any rewrite and the tuple
     // anti-join below emits exactly the deleted rows.
-    def readOr(entries: Seq[String]): DataFrame =
+    //
+    // Each side resolves physical column names under its OWN
+    // snapshot's lineage: dropped files belong to fromV, and when
+    // the colmap lineage shifted inside the range (renameColumn
+    // then overwrite — overwrite commits an empty colmap), scanning
+    // them under toV's colmap would silently read the renamed
+    // column as NULL in every delete/update_old row. Resolution per
+    // toV logical name L, exact where lineage is provable and LOUD
+    // where it is not (the silent-wrong doctrine):
+    //  - L in fromV's schema → fromSnap.phys(L) (physical names are
+    //    stable from birth; every dropped file is in fromV's
+    //    manifest, so fromV's resolution is exact for them) — unless
+    //    a rename in the range used L as its SOURCE, which makes a
+    //    same-named L at toV a different column (refused);
+    //  - else L renamed INTO existence in the range (op trail)
+    //    → toSnap.colmap must still carry it and its source's fromV
+    //    physical must agree (a reset in between loses the lineage
+    //    — refused);
+    //  - else L was added in the range → absent from fromV-era
+    //    files, any physical reads null — unless an overwrite in
+    //    the range also reset the `dropped` reservations and L
+    //    matches a retired fromV physical slot, where old files
+    //    would serve stale bytes (refused).
+    val dropColmap: Map[String, String] =
+      if (droppedF.isEmpty) toSnap.colmap
+      else {
+        val fromSchema = schemaOf(spark, root, fromSnap)
+        val fromNames = fromSchema.fieldNames.toSet
+        // the shortcut needs BOTH equal colmaps and equal logical
+        // name sets: a rename + overwrite inside the range leaves
+        // two EMPTY (equal) colmaps while the dropped files still
+        // store the pre-rename physical names
+        if (fromSnap.colmap == toSnap.colmap &&
+            fromNames == schema.fieldNames.toSet)
+          toSnap.colmap
+        else {
+        val rangeOps = ((fromV + 1) to toV).flatMap(v =>
+          scala.util.Try(snap(spark, url, v).op).toOption)
+        val renames = rangeOps.filter(_.startsWith("rename:"))
+          .map(_.stripPrefix("rename:").split("->", 2))
+          .collect { case ar if ar.length == 2 => (ar(0), ar(1)) }
+        val hasOverwrite = rangeOps.contains("overwrite")
+        val fromPhysLower =
+          (physSchema(fromSchema, fromSnap.colmap).fieldNames ++
+            fromSnap.dropped).map(_.toLowerCase).toSet
+        def refuse(l: String, why: String): Nothing = sys.error(
+          s"changes($fromV, $toV) on $url: column $l $why — the " +
+            "colmap lineage shifted inside the range and dropped-" +
+            "side files cannot be resolved exactly; split the feed " +
+            "range at the rename/overwrite version")
+        schema.fieldNames.toSeq.map { l =>
+          val p =
+            if (fromNames.contains(l)) {
+              if (renames.exists(_._1 == opSafe(l)))
+                refuse(l, "was a rename SOURCE in the range yet " +
+                  "exists at both endpoints")
+              fromSnap.phys(l)
+            } else renames.find(_._2 == opSafe(l)) match {
+              case Some((src, _))
+                  if fromNames.exists(n => opSafe(n) == src) =>
+                val srcCands = fromNames.filter(n => opSafe(n) == src)
+                if (!toSnap.colmap.contains(l) || srcCands.size != 1 ||
+                    fromSnap.phys(srcCands.head) != toSnap.phys(l))
+                  refuse(l, "was renamed inside the range but its " +
+                    "pre-rename physical slot is not provable")
+                toSnap.phys(l)
+              case _ =>
+                // born inside the range (possibly renamed since):
+                // absent from fromV-era files under any physical —
+                // unless an overwrite reset the `dropped`
+                // reservations and the physical matches a retired
+                // fromV slot, where old files hold stale bytes
+                if (hasOverwrite &&
+                    fromPhysLower(toSnap.phys(l).toLowerCase))
+                  refuse(l, "was added after an overwrite but " +
+                    "matches a retired fromV physical slot")
+                toSnap.phys(l)
+            }
+          l -> p
+        }.filter { case (l, p) => l != p }.toMap
+        }
+      }
+    def readOr(entries: Seq[String],
+        cm: Map[String, String]): DataFrame =
       if (entries.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readEntriesEff(spark, root, entries, schema, toSnap.colmap)
-    val added = readOr(addedF).alias("__a")
-    val dropped = readOr(droppedF).alias("__d")
+      else readEntriesEff(spark, root, entries, schema, cm)
+    val added = readOr(addedF, toSnap.colmap).alias("__a")
+    val dropped = readOr(droppedF, dropColmap).alias("__d")
     val valueCols = schema.fieldNames.filterNot(_ == keyCol).toSeq
     // rows co-resident in a rewritten file land in added files with
     // UNCHANGED values (upsert rewrites whole affected files); the
@@ -2051,8 +2159,18 @@ object Snapshots {
     val schema = parent.schema.get
     require(schema.fieldNames.contains(from),
       s"renameColumn: no column $from in the store schema")
-    require(!schema.fieldNames.contains(to),
+    // CASE-INSENSITIVE collision: Spark resolves columns
+    // case-insensitively by default, so a rename to `ID` beside an
+    // existing `id` would make every reference ambiguous (and a
+    // target matching a retired physical slot would alias stale
+    // bytes under the default resolution)
+    require(!schema.fieldNames.exists(f =>
+      f != from && f.equalsIgnoreCase(to)),
       s"renameColumn: column $to already exists")
+    require(!parent.dropped.exists(_.equalsIgnoreCase(to)) ||
+      to.equalsIgnoreCase(parent.phys(from)),
+      s"renameColumn: $to matches a dropped column's retired " +
+        "physical name — old files would alias its stale bytes")
     require(to.nonEmpty && !to.contains("\t") && !to.contains("\n") &&
       !from.contains("\t") && !from.contains("\n"),
       "renameColumn: names may not contain tab/newline")
@@ -2490,8 +2608,10 @@ object Snapshots {
 
   // ---- multi-store atomic publish (intent journal + roll-forward) ----
   private def txnDir(root: Path) = new Path(root, "_txn")
+  /** One participant of an atomic publish: `files` stage INTO the
+    * next manifest, `drops` (keyed-upsert rewrites only) leave it. */
   private[sources] final case class TxnPart(url: String,
-    files: Seq[String])
+    files: Seq[String], drops: Seq[String] = Nil)
   private[sources] final case class TxnPlan(id: String,
     parts: Seq[TxnPart])
 
@@ -2556,12 +2676,65 @@ object Snapshots {
     vs
   }
 
+  /** One keyed-upsert participant of [[upsertTogether]]. */
+  final case class UpsertPart(url: String, updates: DataFrame,
+    keyCol: String, deleteCol: Option[String] = None,
+    bloomIndexUrl: Option[String] = None)
+
+  /** [[commitTogether]] for keyed UPSERT batches — the CDC shape the
+    * fact ⋈ dim consistency story actually needs (an order update
+    * without its customer update serves wrong joins until the second
+    * commit). Each participant's copy-on-write rewrite stages first
+    * ([[stageUpsert]]: affected files computed, rewritten files
+    * written, NOTHING committed), the intent journal records every
+    * (store, staged, dropped) triple, then manifests commit store by
+    * store and the journal clears. A crash after the journal lands
+    * is rolled FORWARD by [[recoverTxns]] through the same
+    * idempotent commit (staged-set membership is the transaction's
+    * identity). Same semantics envelope as [[commitTogether]]:
+    * all-or-nothing durability, not isolation — run [[recoverTxns]]
+    * at pipeline start. Mutation transactions are single-writer per
+    * store (the documented maintenance contract): a commit that
+    * interleaves between staging and publish and retires an affected
+    * file fails the roll-forward loudly rather than dropping files a
+    * new head no longer lists. */
+  def upsertTogether(spark: SparkSession,
+      parts: Seq[UpsertPart], maxKeys: Int = 1000000): Seq[Int] = {
+    require(parts.nonEmpty, "upsertTogether: no participants")
+    require(parts.map(_.url).distinct.size == parts.size,
+      "upsertTogether: duplicate store url (one batch per store)")
+    parts.foreach { p =>
+      require(!p.url.contains("\"") && !p.url.contains("\\"),
+        s"upsertTogether: url ${p.url} — quotes/backslashes " +
+          "unsupported") }
+    val staged = parts.map { p =>
+      val (_, _, affected, rewritten) = stageUpsert(spark, p.url,
+        p.updates, p.keyCol, p.deleteCol, p.bloomIndexUrl, maxKeys,
+        expectedParentVersion = -1)
+      TxnPart(p.url, rewritten, affected)
+    }
+    val plan = TxnPlan(
+      java.util.UUID.randomUUID().toString.take(12), staged)
+    writeTxnMarkers(spark, plan)
+    val vs = plan.parts.map(p =>
+      commitStagedInto(spark, p.url, p.files, p.drops))
+    clearTxnMarkers(spark, plan)
+    vs
+  }
+
   /** Commit staged file names into a store's next version,
     * surviving version races (retry at the new head) and re-runs
     * (a version already listing every staged file is returned
-    * as-is — the roll-forward idempotence [[recoverTxns]] needs). */
+    * as-is — the roll-forward idempotence [[recoverTxns]] needs).
+    * `drops` (keyed-upsert transactions) are the affected files the
+    * rewrite replaces: they leave the manifest in the same commit.
+    * A head that no longer lists every drop (a foreign commit
+    * interleaved — mutation transactions are single-writer per
+    * store) refuses loudly rather than un-listing files some other
+    * commit owns. */
   private[sources] def commitStagedInto(spark: SparkSession,
-      url: String, staged: Seq[String]): Int = {
+      url: String, staged: Seq[String],
+      drops: Seq[String] = Nil): Int = {
     val (fs, root) = fsOf(spark, url)
     val stagedSet = staged.toSet
     var attempts = 0
@@ -2577,12 +2750,27 @@ object Snapshots {
               s"staged file $f missing at $url (vacuumed before " +
                 "recovery?) — transaction cannot complete"))
           val parent = snap(spark, url, vs.max)
+          val missingDrops = drops.filterNot(parent.files.toSet)
+          require(missingDrops.isEmpty,
+            s"txn-upsert at $url: affected file(s) " +
+              s"${missingDrops.take(3).mkString(",")} left the " +
+              s"manifest at v${parent.version} — a foreign commit " +
+              "interleaved with the transaction (mutation " +
+              "transactions are single-writer per store)")
+          // retry ONLY the lost-version-race signal from [[commit]]:
+          // a deterministic failure (rename refusal, IO error) must
+          // surface on attempt 1 with its own cause, not be retried
+          // 16 times and replaced by whatever attempt 17 throws
           try out = commit(spark, root, parent.version + 1,
-            "txn-append", parent.files ++ staged,
+            if (drops.isEmpty) "txn-append" else "txn-upsert",
+            parent.files.filterNot(drops.toSet) ++ staged,
             Some(schemaOf(spark, root, parent)),
             parent.colmap, parent.dropped)
           catch {
-            case e: RuntimeException if attempts < 16 => attempts += 1
+            case e: RuntimeException
+                if e.getMessage != null && e.getMessage
+                  .startsWith("concurrent commit lost the race") &&
+                  attempts < 16 => attempts += 1
           }
       }
     }
@@ -2592,9 +2780,15 @@ object Snapshots {
   private[sources] def writeTxnMarkers(spark: SparkSession,
       plan: TxnPlan): Unit = {
     val json = s"""{"txn":"${plan.id}","parts":[""" +
-      plan.parts.map(p => s"""{"url":"${p.url}","files":[""" +
-        p.files.sorted.map("\"" + _ + "\"").mkString(",") +
-        "]}").mkString(",") + "]}"
+      plan.parts.map { p =>
+        val dropsField =
+          if (p.drops.isEmpty) ""
+          else s""","drops":[${p.drops.sorted
+            .map("\"" + _ + "\"").mkString(",")}]"""
+        s"""{"url":"${p.url}","files":[""" +
+          p.files.sorted.map("\"" + _ + "\"").mkString(",") +
+          s"]$dropsField}"
+      }.mkString(",") + "]}"
     plan.parts.foreach { p =>
       val (fs, root) = fsOf(spark, p.url)
       fs.mkdirs(txnDir(root))
@@ -2640,15 +2834,17 @@ object Snapshots {
       val id = """"txn"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
         .map(_.group(1)).getOrElse(sys.error(
           s"corrupt txn journal ${st.getPath}"))
+      def names(s: String): Seq[String] = s.split(",").toSeq
+        .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\""))
       val parts =
-        """\{"url":"([^"]+)","files":\[([^\]]*)\]\}""".r
+        """\{"url":"([^"]+)","files":\[([^\]]*)\](?:,"drops":\[([^\]]*)\])?\}""".r
           .findAllMatchIn(body).map { m =>
-            TxnPart(m.group(1), m.group(2).split(",").toSeq
-              .filter(_.nonEmpty).map(_.stripPrefix("\"")
-                .stripSuffix("\"")))
+            TxnPart(m.group(1), names(m.group(2)),
+              Option(m.group(3)).map(names).getOrElse(Nil))
           }.toSeq
       require(parts.nonEmpty, s"corrupt txn journal ${st.getPath}")
-      parts.foreach(p => commitStagedInto(spark, p.url, p.files))
+      parts.foreach(p =>
+        commitStagedInto(spark, p.url, p.files, p.drops))
       clearTxnMarkers(spark, TxnPlan(id, parts))
     }
     markers.size

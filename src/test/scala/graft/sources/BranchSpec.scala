@@ -105,4 +105,73 @@ class BranchSpec extends SparkSpec {
       Branch.mergeBack(spark, main, "id")
     }
   }
+
+  test("rebase after a refused merge: conflicts returned, clean " +
+      "keys replayed onto a fresh fork, then the merge lands") {
+    val main = fresh("rmain"); val br = fresh("rbr")
+    val br2 = fresh("rbr2")
+    mk(main)
+    Branch.fork(spark, main, br)
+    // branch: update 5 (conflict), update 9, delete 11, insert 99
+    Snapshots.upsert(spark, br,
+      Seq((5L, "branchside", 1L), (9L, "brnine", 9L))
+        .toDF("id", "s", "n"), "id")
+    Snapshots.deleteWhere(spark, br, "id", 11L, 11L)
+    Snapshots.append(spark, br,
+      Seq((99L, "brnew", 990L)).toDF("id", "s", "n"))
+    // main: update 5 (conflict) + insert 77
+    Snapshots.upsert(spark, main,
+      Seq((5L, "mainside", 2L), (77L, "mainnew", 770L))
+        .toDF("id", "s", "n"), "id")
+    intercept[IllegalArgumentException] {
+      Branch.mergeBack(spark, br, "id")
+    }
+    val (newForkV, conflicts) =
+      Branch.rebase(spark, br, br2, "id")
+    assert(newForkV == Snapshots.latest(spark, main)) // fork of head
+    assert(conflicts == Seq(5L), s"conflicts: $conflicts")
+    val b2 = Snapshots.read(spark, br2)
+    // conflicting key keeps MAIN's value until resolved
+    assert(b2.filter(col("id") === 5L).select("s")
+      .as[String].head() == "mainside")
+    // clean branch work replayed
+    assert(b2.filter(col("id") === 9L).select("s")
+      .as[String].head() == "brnine")
+    assert(b2.filter(col("id") === 11L).isEmpty)
+    assert(b2.filter(col("id") === 99L).count() == 1L)
+    // main-side work visible on the rebased branch
+    assert(b2.filter(col("id") === 77L).count() == 1L)
+    // and the rebased branch now merges cleanly
+    Branch.mergeBack(spark, br2, "id")
+    val now = Snapshots.read(spark, main)
+    assert(now.filter(col("id") === 5L).select("s")
+      .as[String].head() == "mainside")
+    assert(now.filter(col("id") === 9L).select("s")
+      .as[String].head() == "brnine")
+    assert(now.filter(col("id") === 11L).isEmpty)
+    assert(now.filter(col("id") === 99L).count() == 1L)
+    assert(now.count() == 51L) // 50 - 1 del + 99 + 77 = 51
+  }
+
+  test("fork crash recovery: a provenance-less clone completes iff " +
+      "it matches this call's fork point, else instructs deletion") {
+    val main = fresh("fmain"); val br = fresh("fbr")
+    mk(main)
+    // simulate a crash between cloneStore and the meta write
+    Snapshots.cloneStore(spark, main, br,
+      Snapshots.latest(spark, main))
+    val v = Branch.fork(spark, main, br) // completes the fork
+    assert(Branch.forkPoint(spark, br) ==
+      (main, Snapshots.latest(spark, main)))
+    assert(v == Snapshots.latest(spark, main))
+    // a non-matching provenance-less store refuses with instruction
+    val br3 = fresh("fbr3")
+    Snapshots.cloneStore(spark, main, br3, 1)
+    Snapshots.append(spark, main,
+      Seq((200L, "late", 1L)).toDF("id", "s", "n"))
+    val err = intercept[IllegalArgumentException] {
+      Branch.fork(spark, main, br3) // head moved past the stale clone
+    }
+    assert(err.getMessage.contains("delete the directory"))
+  }
 }

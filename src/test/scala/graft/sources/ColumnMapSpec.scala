@@ -142,4 +142,55 @@ class ColumnMapSpec extends SparkSpec {
     assert(Snapshots.read(spark, url).columns.toSeq ==
       Seq("key", "body"))
   }
+
+  test("CDC dropped side resolves under its OWN colmap lineage: " +
+      "rename then overwrite emits real values, never nulls; the " +
+      "lineage-lost compound refuses loudly; reservation checks are " +
+      "case-insensitive") {
+    val url = fresh("lineage")
+    Snapshots.create(spark, url,
+      (1L to 20L).map(i => (i, i * 10)).toDF("id", "bal"), nFiles = 2)
+    val v1 = Snapshots.latest(spark, url)
+    val v2 = Snapshots.renameColumn(spark, url, "bal", "balance")
+    // overwrite commits an EMPTY colmap (new files store logical
+    // names physically); the dropped side of the next feed is the
+    // pre-overwrite files, which store the birth physical name `bal`
+    val v3 = Snapshots.overwrite(spark, url,
+      (1L to 5L).map(i => (i, i * 100)).toDF("id", "balance"),
+      nFiles = 1)
+    val feed = Snapshots.changes(spark, url, "id", v2, v3)
+    val dels = feed.filter(col("_change") === "delete")
+    assert(dels.count() == 15L)
+    // the regression: under toV's (empty) colmap these were NULL
+    assert(dels.filter(col("balance").isNull).count() == 0L,
+      "delete rows lost the renamed column's values")
+    assert(dels.agg(sum("balance")).as[Long].head() ==
+      (6L to 20L).map(_ * 10).sum)
+    assert(feed.filter(col("_change") === "update")
+      .agg(sum("balance")).as[Long].head() == (1L to 5L).map(_ * 100).sum)
+    // the feed whose range crosses BOTH the rename and the
+    // colmap-resetting overwrite cannot resolve the dropped side
+    // exactly — loud refusal with the split instruction
+    val err = intercept[RuntimeException] {
+      Snapshots.changes(spark, url, "id", v1, v3).count()
+    }
+    assert(err.getMessage.contains("split the feed range"),
+      s"wrong refusal: ${err.getMessage}")
+    // case-insensitive reservation: a dropped physical slot cannot
+    // be re-born under a different case (Spark resolves parquet
+    // columns case-insensitively by default)
+    val url2 = fresh("caseres")
+    Snapshots.create(spark, url2,
+      Seq((1L, 2L, 3L)).toDF("id", "bal", "x"), nFiles = 1)
+    Snapshots.dropColumn(spark, url2, "bal")
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.append(spark, url2,
+        Seq((2L, 4L, 9L)).toDF("id", "x", "BAL"))
+    }
+    assert(e2.getMessage.contains("reserved"))
+    val e3 = intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, url2, "x", "ID")
+    }
+    assert(e3.getMessage.contains("already exists"))
+  }
 }

@@ -93,4 +93,99 @@ class TxnSpec extends SparkSpec {
     assert(Snapshots.recoverTxns(spark, a) == 0)
     assert(Snapshots.read(spark, a).count() == 20L)
   }
+
+  test("upsertTogether: keyed COW rewrites across stores publish " +
+      "atomically; ops are txn-upsert; journals clear; deletes land") {
+    val f = fresh("uf"); val d = fresh("ud")
+    Snapshots.create(spark, f,
+      (1L to 40L).map(i => (i, i % 7, i)).toDF("oid", "cust", "amt"),
+      nFiles = 2)
+    Snapshots.create(spark, d,
+      (0L to 6L).map(i => (i, s"c$i")).toDF("cid", "name"), nFiles = 1)
+    val Seq(vf, vd) = Snapshots.upsertTogether(spark, Seq(
+      Snapshots.UpsertPart(f,
+        Seq((1L, 9L, 100L), (41L, 9L, 41L), (2L, 2L, 2L))
+          .toDF("oid", "cust", "amt").withColumn("__del",
+            col("oid") === 2L),
+        "oid", deleteCol = Some("__del")),
+      Snapshots.UpsertPart(d,
+        Seq((9L, "c9")).toDF("cid", "name"), "cid")))
+    assert(Snapshots.snap(spark, f, vf).op == "txn-upsert")
+    assert(Snapshots.snap(spark, d, vd).op == "txn-upsert")
+    val fact = Snapshots.read(spark, f)
+    assert(fact.count() == 40L) // 40 - 1 delete + 1 insert
+    assert(fact.filter(col("oid") === 2L).isEmpty)
+    assert(fact.filter(col("oid") === 1L).select("amt")
+      .as[Long].head() == 100L)
+    assert(Snapshots.read(spark, d).count() == 8L)
+    // every new fact cust has its dim row — the consistency the
+    // atomic pair exists for
+    assert(fact.join(Snapshots.read(spark, d),
+      col("cust") === col("cid"), "left_anti").isEmpty)
+    assert(Snapshots.pendingTxns(spark, f).isEmpty &&
+      Snapshots.pendingTxns(spark, d).isEmpty)
+  }
+
+  test("crash mid-upsertTogether: the drops-bearing journal rolls " +
+      "forward idempotently; a foreign commit retiring an affected " +
+      "file refuses the roll-forward loudly") {
+    val a = fresh("cua"); val b = fresh("cub")
+    Snapshots.create(spark, a,
+      (1L to 20L).map(i => (i, i)).toDF("id", "v"), nFiles = 2)
+    Snapshots.create(spark, b,
+      (1L to 20L).map(i => (i, i)).toDF("id", "v"), nFiles = 2)
+    def stageUp(url: String): (Seq[String], Seq[String]) = {
+      val (_, _, affected, rewritten) = Snapshots.stageUpsert(spark,
+        url, Seq((1L, 1000L)).toDF("id", "v"), "id", None, None,
+        1000000, -1)
+      (rewritten, affected)
+    }
+    val (sa, da) = stageUp(a)
+    val (sb, db) = stageUp(b)
+    val plan = Snapshots.TxnPlan("upcrash01",
+      Seq(Snapshots.TxnPart(a, sa, da), Snapshots.TxnPart(b, sb, db)))
+    Snapshots.writeTxnMarkers(spark, plan)
+    Snapshots.commitStagedInto(spark, a, sa, da) // then "crash"
+    assert(Snapshots.read(spark, a)
+      .filter(col("id") === 1L).select("v").as[Long].head() == 1000L)
+    assert(Snapshots.read(spark, b)
+      .filter(col("id") === 1L).select("v").as[Long].head() == 1L)
+    assert(Snapshots.recoverTxns(spark, b) == 1)
+    assert(Snapshots.read(spark, b)
+      .filter(col("id") === 1L).select("v").as[Long].head() == 1000L)
+    assert(Snapshots.read(spark, b).count() == 20L,
+      "roll-forward must replace affected files, not re-append them")
+    assert(Snapshots.read(spark, a).count() == 20L)
+    assert(Snapshots.pendingTxns(spark, a).isEmpty &&
+      Snapshots.pendingTxns(spark, b).isEmpty)
+    // foreign interleave: stage an upsert, then let another commit
+    // retire one of its affected files — the roll-forward must
+    // refuse, never un-list a file some other commit owns
+    val (sc, dc) = stageUp(b)
+    Snapshots.deleteWhere(spark, b, "id", 1L, 20L) // rewrites all
+    val err = intercept[RuntimeException] {
+      Snapshots.commitStagedInto(spark, b, sc, dc)
+    }
+    assert(err.getMessage.contains("foreign commit"),
+      s"wrong refusal: ${err.getMessage}")
+  }
+
+  test("a deterministic commit failure surfaces immediately with " +
+      "its own message, not a swallowed 16-retry loop") {
+    val a = fresh("det")
+    Snapshots.create(spark, a,
+      Seq((1L, 1L)).toDF("id", "v"), nFiles = 1)
+    // a staged name with a slash exists on disk but violates the
+    // manifest flat-name contract — commit refuses via require,
+    // which must NOT be treated as a version race
+    val root = new org.apache.hadoop.fs.Path(a)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sub = new org.apache.hadoop.fs.Path(root, "sub")
+    fs.mkdirs(sub)
+    fs.create(new org.apache.hadoop.fs.Path(sub, "x.parquet")).close()
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.commitStagedInto(spark, a, Seq("sub/x.parquet"))
+    }
+    assert(err.getMessage.contains("flat root-relative"))
+  }
 }
