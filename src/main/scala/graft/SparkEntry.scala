@@ -8291,6 +8291,57 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("sum_chars")),
         col("lang"))
+    }),
+
+    // ---- SQL catalog over the FULL lakehouse stack ----
+    // The wall round 16 left: one GDPR-shaped deleteWhereMor used to
+    // refuse every `SELECT * FROM graft.store` until a purgeDv
+    // rewrite. Now the catalog routes MoR/renamed versions through
+    // the engine's effective scan (DV anti-join + colmap translation
+    // as a V1 relation; plain versions keep the raw parquet V2
+    // path), so ONE statement aggregates the post-delete post-rename
+    // head — with a WHERE pruned into the inner scans — beside a
+    // TAG-pinned pre-delete arm (`VERSION AS OF 'train'`). In-body
+    // parity require: the SQL head equals Snapshots.read.
+    "q377_sql_catalog_eff" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q377"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g377",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g377.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"))
+      Snapshots.create(s, url, docs, nFiles = 8,
+        clusterBy = Some("doc_id"))
+      Snapshots.setTag(s, url, "train", 1)
+      Snapshots.deleteWhereMor(s, url, "doc_id", 150L, 420L)
+      Snapshots.renameColumn(s, url, "n_chars", "chars")
+      // parity: the SQL head arm IS the effective read
+      val apiSum = Snapshots.read(s, url)
+        .filter(col("doc_id").between(100L, 800L))
+        .agg(coalesce(sum(col("chars")), lit(0L))).head().getLong(0)
+      val sqlSum = s.sql(s"SELECT coalesce(sum(chars), 0) AS x " +
+        s"FROM g377.$tbl WHERE doc_id BETWEEN 100 AND 800")
+        .head().getLong(0)
+      require(apiSum == sqlSum,
+        s"SQL effective scan diverged: api=$apiSum sql=$sqlSum")
+      orderSmall(s.sql(
+        s"""SELECT 'head' AS src, count(*) AS n,
+           |  coalesce(sum(chars), 0) AS sum_chars
+           |FROM g377.$tbl WHERE doc_id BETWEEN 100 AND 800
+           |UNION ALL
+           |SELECT 'tag', count(*), coalesce(sum(n_chars), 0)
+           |FROM g377.$tbl VERSION AS OF 'train'""".stripMargin),
+        col("src"))
     })
   )
 
@@ -17829,6 +17880,22 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q377_sql_catalog_eff" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |), arms AS (
+        |  SELECT 'head' AS src, count(*) AS n,
+        |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        |  FROM d WHERE doc_id NOT BETWEEN 150 AND 420
+        |    AND doc_id BETWEEN 100 AND 800
+        |  UNION ALL
+        |  SELECT 'tag', count(*),
+        |    CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |  FROM d
+        |)
+        |SELECT src, n, sum_chars FROM arms ORDER BY src""".stripMargin
   )
 }

@@ -3,12 +3,16 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -22,22 +26,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   *   SELECT * FROM graft.events
   *   SELECT * FROM graft.events VERSION AS OF 3
+  *   SELECT * FROM graft.events VERSION AS OF 'train-2026-08'  -- tag
   *   SELECT * FROM graft.events TIMESTAMP AS OF '2026-08-01'
   * }}}
   * Each query resolves ONE manifest and scans exactly that version's
   * immutable files under its pinned schema (snapshot isolation;
-  * files older than an evolved column read it as null) — the scan
-  * itself is Spark's parquet V2 path, so predicate pushdown, column
-  * pruning and whole-stage codegen all apply unchanged.
+  * files older than an evolved column read it as null).
+  *
+  * Two scan paths, chosen per resolved version:
+  *  - PLAIN stores (no deletion vectors, no renamed columns) ride
+  *    Spark's parquet V2 path unchanged — predicate pushdown, column
+  *    pruning and whole-stage codegen all apply.
+  *  - Stores carrying merge-on-read deletion vectors or a column
+  *    map scan through the engine's own EFFECTIVE read
+  *    ([[Snapshots.readAsOf]]: DV anti-join + physical→logical
+  *    translation) wrapped as a V1 relation — the GDPR-shaped
+  *    `deleteWhereMor` no longer walls off SQL access until a full
+  *    [[Snapshots.purgeDv]] rewrite. Column pruning pushes into the
+  *    inner parquet scans; filters are applied inside as extra
+  *    row-group pruning AND re-evaluated by Spark above the scan
+  *    (conservative — the inner application can only remove rows the
+  *    filter would remove anyway).
   *
   * READ-ONLY by design: SQL writes would bypass the manifest layer
   * (atomic commits, CDC, constraints, stats), so every mutation
-  * refuses loudly and points at the [[Snapshots]] API. Stores that
-  * carry merge-on-read vectors or renamed columns need scan-time
-  * translation the raw parquet path cannot express — refused loudly
-  * ([[Snapshots.read]] serves them; [[Snapshots.purgeDv]] folds
-  * vectors away), never silently wrong (the resurrect/stale-name
-  * hazard class). */
+  * refuses loudly and points at the [[Snapshots]] API. */
 class GraftCatalog extends TableCatalog {
 
   private var catName: String = _
@@ -87,45 +100,55 @@ class GraftCatalog extends TableCatalog {
         .NoSuchTableException(Seq(catName, ident.name))
     val v = if (version > 0) version else vs.last
     val s = Snapshots.snap(spark, url, v)
-    require(s.files.forall(!_.contains(Snapshots.DvSep)),
-      s"$catName.${ident.name}@v$v carries merge-on-read deletion " +
-        "vectors — SQL scans raw files and would resurrect deleted " +
-        "rows; read via Snapshots.read or run Snapshots.purgeDv")
-    require(s.colmap.isEmpty,
-      s"$catName.${ident.name}@v$v carries renamed columns — SQL " +
-        "scans physical files; read via Snapshots.read")
+    val label = s"$catName.${ident.name}@v$v"
+    val needsEff = s.colmap.nonEmpty ||
+      s.files.exists(_.contains(Snapshots.DvSep))
     val root = new Path(url)
+    // the pinned schema IS the logical schema (colmap maps logical →
+    // physical underneath); pre-pinning legacy stores are plain by
+    // construction (rename/MoR require a pinned schema)
     val schema = s.schema.getOrElse {
-      require(s.files.nonEmpty,
-        s"$catName.${ident.name}@v$v has no schema source")
+      require(s.files.nonEmpty, s"$label has no schema source")
+      require(!needsEff, s"$label has no pinned schema")
       spark.read.parquet(
         s.files.map(f => new Path(root, f).toString): _*).schema
     }
-    val paths = s.files.map(f => new Path(root, f).toString)
-    new GraftSqlTable(s"$catName.${ident.name}@v$v",
-      ParquetTable(s"$catName.${ident.name}", spark,
-        CaseInsensitiveStringMap.empty(), paths, Some(schema),
-        classOf[ParquetFileFormat]),
-      schema,
-      Map("graft.version" -> v.toString, "graft.op" -> s.op,
-        "graft.files" -> s.files.size.toString,
-        "graft.url" -> url))
+    val props = Map("graft.version" -> v.toString, "graft.op" -> s.op,
+      "graft.files" -> s.files.size.toString,
+      "graft.url" -> url,
+      "graft.scan" -> (if (needsEff) "effective" else "parquet"))
+    if (needsEff)
+      new GraftEffSqlTable(label, url, v, schema, props)
+    else {
+      val paths = s.files.map(f => new Path(root, f).toString)
+      new GraftSqlTable(label,
+        ParquetTable(s"$catName.${ident.name}", spark,
+          CaseInsensitiveStringMap.empty(), paths, Some(schema),
+          classOf[ParquetFileFormat]),
+        schema, props)
+    }
   }
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, -1)
 
-  /** `VERSION AS OF n` — the manifest layer's time travel. A
-    * non-positive version refuses loudly rather than silently
-    * resolving to the head (`tableAt`'s negative arg is the internal
-    * latest sentinel, never a user value). */
+  /** `VERSION AS OF n` — the manifest layer's time travel; a
+    * non-integer version string resolves as a NAMED TAG
+    * ([[Snapshots.setTag]]) — `VERSION AS OF 'train-2026-08'` pins
+    * the tagged manifest. A non-positive integer refuses loudly
+    * rather than silently resolving to the head (`tableAt`'s
+    * negative arg is the internal latest sentinel, never a user
+    * value). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"VERSION AS OF '$version' — graft versions are integers")
+    val asInt = version.toIntOption
+    asInt match {
+      case Some(v) =>
+        require(v >= 1,
+          s"VERSION AS OF $v — graft versions start at 1")
+        tableAt(ident, v)
+      case None =>
+        tableAt(ident,
+          Snapshots.tagVersion(spark, urlOf(ident), version))
     }
-    require(v >= 1,
-      s"VERSION AS OF $v — graft versions start at 1")
-    tableAt(ident, v)
   }
 
   /** `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch;
@@ -152,6 +175,42 @@ class GraftCatalog extends TableCatalog {
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
 }
 
+private[sources] object GraftCatalog {
+  /** Best-effort translation of a V2 pushed filter to a Column over
+    * TOP-LEVEL attributes — used only as EXTRA pruning inside the
+    * effective scan (Spark re-evaluates every filter above it), so
+    * an untranslatable filter costs selectivity, never correctness.
+    * Nested references (dotted names) are skipped: their resolution
+    * rules differ. */
+  def translate(f: sources.Filter): Option[Column] = {
+    def ref(attr: String): Option[Column] =
+      if (attr.contains(".") || attr.contains("`")) None
+      else Some(col(attr))
+    f match {
+      case sources.EqualTo(a, v) => ref(a).map(_ === lit(v))
+      case sources.EqualNullSafe(a, v) => ref(a).map(_ <=> lit(v))
+      case sources.GreaterThan(a, v) => ref(a).map(_ > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => ref(a).map(_ >= lit(v))
+      case sources.LessThan(a, v) => ref(a).map(_ < lit(v))
+      case sources.LessThanOrEqual(a, v) => ref(a).map(_ <= lit(v))
+      case sources.In(a, vs) =>
+        ref(a).map(_.isin(vs.toIndexedSeq.map(v => v: Any): _*))
+      case sources.IsNull(a) => ref(a).map(_.isNull)
+      case sources.IsNotNull(a) => ref(a).map(_.isNotNull)
+      case sources.StringStartsWith(a, v) =>
+        ref(a).map(_.startsWith(v))
+      case sources.StringEndsWith(a, v) => ref(a).map(_.endsWith(v))
+      case sources.StringContains(a, v) => ref(a).map(_.contains(v))
+      case sources.And(l, r) =>
+        for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+      case sources.Not(c) => translate(c).map(!_)
+      case _ => None
+    }
+  }
+}
+
 /** Read-only V2 table over one resolved snapshot version: delegates
   * the scan to Spark's parquet V2 path (pushdown/pruning/codegen for
   * free) while exposing NO write capability — `INSERT INTO` fails at
@@ -174,5 +233,79 @@ private[sources] class GraftSqlTable(label: String,
     val m = new util.HashMap[String, String]()
     props.foreach { case (k, v) => m.put(k, v) }
     m
+  }
+}
+
+/** Read-only V2 table whose scan is the engine's EFFECTIVE read of
+  * one version — merge-on-read deletion vectors anti-joined away,
+  * physical column names translated to logical ([[Snapshots
+  * .readAsOf]]). Exposed through the V1Scan bridge: the relation's
+  * RDD is the effective DataFrame's fully distributed plan, so the
+  * DV anti-join and colmap projection run on executors exactly as
+  * the programmatic read does. Column pruning pushes the required
+  * schema into the inner plan (reaching the parquet scans);
+  * translated filters apply inside as extra pruning while Spark
+  * keeps its own Filter above (inexact-pushdown contract). */
+private[sources] class GraftEffSqlTable(label: String,
+    url: String, version: Int, pinned: StructType,
+    props: Map[String, String]) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  override def name(): String = label
+  override def schema(): StructType = pinned
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftEffScanBuilder(url, version, pinned)
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+}
+
+private[sources] class GraftEffScanBuilder(url: String, version: Int,
+    full: StructType) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var inner: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushFilters(
+      filters: Array[sources.Filter]): Array[sources.Filter] = {
+    inner = filters.filter(f => GraftCatalog.translate(f).isDefined)
+    filters // ALL filters re-evaluated above the scan (inexact push)
+  }
+  override def pushedFilters(): Array[sources.Filter] = Array.empty
+
+  override def build(): Scan = {
+    val req = required
+    val flt = inner
+    new V1Scan {
+      override def readSchema(): StructType = req
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new GraftEffRelation(context, url, version, req, flt)
+          .asInstanceOf[T]
+    }
+  }
+}
+
+private[sources] class GraftEffRelation(ctx: SQLContext, url: String,
+    version: Int, required: StructType,
+    filters: Array[sources.Filter])
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+  override def buildScan(): RDD[Row] = {
+    var df: DataFrame =
+      Snapshots.readAsOf(ctx.sparkSession, url, version)
+    filters.flatMap(GraftCatalog.translate)
+      .foreach(c => df = df.filter(c))
+    val pruned =
+      if (required.isEmpty) df.select()
+      else df.select(required.fieldNames.toSeq.map(col): _*)
+    pruned.rdd
   }
 }

@@ -4,10 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Pure-SQL access through the V2 catalog: every snapshot store under
-  * the warehouse root is a SQL table; VERSION AS OF / TIMESTAMP AS OF
-  * resolve manifests; the catalog is read-only and refuses
-  * MoR/renamed stores loudly (the raw parquet scan cannot translate
-  * them). */
+  * the warehouse root is a SQL table; VERSION AS OF (integer or tag)
+  * / TIMESTAMP AS OF resolve manifests; plain stores ride the parquet
+  * V2 path while MoR/renamed stores scan through the engine's
+  * effective read; the catalog is read-only. */
 class GraftCatalogSpec extends SparkSpec {
   import spark.implicits._
 
@@ -58,29 +58,63 @@ class GraftCatalogSpec extends SparkSpec {
   }
 
   test("read-only: INSERT/CREATE/DROP refuse; MoR and renamed " +
-      "stores refuse with the Snapshots.read hint") {
+      "stores serve SQL through the effective scan, hash-equal to " +
+      "Snapshots.read; VERSION AS OF still works across them") {
     Snapshots.create(spark, s"$root/guard",
       (1L to 20L).map(i => (i, s"b$i")).toDF("id", "body"),
-      nFiles = 1)
+      nFiles = 2)
     intercept[Exception] {
       spark.sql("INSERT INTO gcat.guard VALUES (21, 'x')")
     }
     intercept[UnsupportedOperationException] {
       spark.sql("DROP TABLE gcat.guard")
     }
-    // MoR store: loud refusal naming the escape hatch
+    // MoR delete: SQL must see the EFFECTIVE rows (no resurrection)
     Snapshots.deleteWhereMor(spark, s"$root/guard", "id", 1L, 2L)
-    val e = intercept[Exception] {
-      spark.sql("SELECT count(*) FROM gcat.guard").collect()
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.guard")
+      .as[Long].head() == 18L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gcat.guard WHERE id <= 5")
+      .as[Long].head() == 3L)
+    // ... and a rename stacked on top: logical names, same rows
+    Snapshots.renameColumn(spark, s"$root/guard", "id", "doc_id")
+    val viaSql = spark.sql(
+      "SELECT doc_id, body FROM gcat.guard ORDER BY doc_id")
+      .collect().toSeq
+    val viaApi = Snapshots.read(spark, s"$root/guard")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaSql == viaApi, "SQL and Snapshots.read disagree")
+    assert(spark.sql(
+      "SELECT sum(doc_id) AS s FROM gcat.guard WHERE doc_id >= 10")
+      .as[Long].head() == (10L to 20L).sum)
+    // the effective path is visible in the table properties
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.guard").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.scan") == "effective")
+    // time travel across the stack: v1 = pre-delete, pre-rename
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gcat.guard VERSION AS OF 1")
+      .as[Long].head() == 20L)
+    assert(spark.sql(
+      "SELECT sum(id) AS s FROM gcat.guard VERSION AS OF 1")
+      .as[Long].head() == (1L to 20L).sum)
+  }
+
+  test("tag-addressable time travel: VERSION AS OF '<tag>' resolves " +
+      "through the manifest refs; unknown tags refuse loudly") {
+    Snapshots.create(spark, s"$root/tagged",
+      (1L to 10L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    Snapshots.setTag(spark, s"$root/tagged", "train-2026-08", 1)
+    Snapshots.append(spark, s"$root/tagged",
+      (11L to 30L).map(i => (i, i)).toDF("id", "v"))
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.tagged")
+      .as[Long].head() == 30L)
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.tagged " +
+      "VERSION AS OF 'train-2026-08'").as[Long].head() == 10L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.tagged VERSION AS OF 'nope'")
+        .collect()
     }
-    assert(e.getMessage.contains("purgeDv"))
-    // renamed store: same doctrine
-    Snapshots.create(spark, s"$root/renamed",
-      Seq((1L, "a")).toDF("id", "t"), nFiles = 1)
-    Snapshots.renameColumn(spark, s"$root/renamed", "t", "txt")
-    val e2 = intercept[Exception] {
-      spark.sql("SELECT * FROM gcat.renamed").collect()
-    }
-    assert(e2.getMessage.contains("renamed columns"))
+    assert(err.getMessage.contains("nope"))
   }
 }
