@@ -8342,6 +8342,41 @@ object SparkEntry {
            |SELECT 'tag', count(*), coalesce(sum(n_chars), 0)
            |FROM g377.$tbl VERSION AS OF 'train'""".stripMargin),
         col("src"))
+    }),
+
+    // ---- Batched vector search: a query TABLE against the index ----
+    // The retrieval-workload shape: q370's search is one-query-at-a-
+    // time (driver-ranked cells); here THREE queries rank their probe
+    // cells IN the plan (broadcast centroid frame + integer pair-key
+    // window), share one postings prune and one candidate scan, and
+    // reduce through the bounded-heap two-phase top-k. Exhaustive
+    // probing (nprobe = k) makes every query equal to integer brute
+    // force over the store — the oracle recomputes all three from
+    // the source rows.
+    "q378_batched_search" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q378"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val src = t(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      Snapshots.create(s, store, src, nFiles = 8)
+      VectorIndex.index(s, store, "vec_id", "embedding", 8)
+      val queries = src.filter(col("vec_id").isin(7L, 11L, 23L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      orderSmall(VectorIndex.searchMany(s, store, "vec_id",
+        "embedding", queries, "qid", "qemb", topK = 5, nprobe = 8)
+        .select(col("qid").cast("long").as("qid"),
+          col("rank").cast("long").as("rank"),
+          col("id").cast("long").as("id"), col("key")),
+        col("qid"), col("rank"))
     })
   )
 
@@ -17896,6 +17931,45 @@ object SparkEntry {
         |    CAST(coalesce(sum(n_chars), 0) AS BIGINT)
         |  FROM d
         |)
-        |SELECT src, n, sum_chars FROM arms ORDER BY src""".stripMargin
+        |SELECT src, n, sum_chars FROM arms ORDER BY src""".stripMargin,
+
+    "q378_batched_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |), q AS (
+        |  SELECT vec_id AS qid, qv AS qq FROM e
+        |  WHERE vec_id IN (7, 11, 23)
+        |), keyed AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |    ((list_reduce(list_transform(range(1, 65),
+        |        i -> e.qv[i] * q.qq[i]), (a, b) -> a + b)
+        |      + 2 * greatest(
+        |        CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> q.qq[i] * q.qq[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT)
+        |        * CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> e.qv[i] * e.qv[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT),
+        |        CAST(1 AS BIGINT)))
+        |     * 100000) // greatest(
+        |        CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> q.qq[i] * q.qq[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT)
+        |        * CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> e.qv[i] * e.qv[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT),
+        |        CAST(1 AS BIGINT)) AS key
+        |  FROM e CROSS JOIN q
+        |)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+        |  id, key
+        |FROM (
+        |  SELECT qid, id, key, row_number() OVER (
+        |    PARTITION BY qid ORDER BY key DESC, id) AS rank
+        |  FROM keyed) AS ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
 }

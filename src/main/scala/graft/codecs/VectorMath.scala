@@ -460,6 +460,110 @@ case class SignedProject(child: Expression, signs: Array[Array[Byte]])
   override def prettyName: String = "signed_project"
 }
 
+/** `ivf_rank_key(vec)` against a baked floor-micros-quantized QUERY
+  * vector → long: the q316 integer rank key
+  * `((dp + 2·den)·1e5) div den`, `den = max(1, ⌊√Σq²⌋·⌊√Σc²⌋)`,
+  * computed in ONE codegen pass over the raw float/double embedding
+  * (quantize + dot + norm fused — the HOF spelling walked the array
+  * three times, interpreted, on the hot path of every ANN search).
+  * Arithmetic contract identical to the driver-side
+  * [[graft.sources.VectorIndex]] ranking and the SQL oracle:
+  * element-order float→double widen, one double multiply + floor per
+  * element, exact BIGINT accumulation after that. */
+case class IvfRankKey(child: Expression, query: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(query.nonEmpty, "ivf_rank_key needs a non-empty query")
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"ivf_rank_key expects array<float|double>, got $other")
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    isFloat // force validation
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+  @transient private lazy val qn: Long = {
+    var s = 0L; var i = 0
+    while (i < query.length) { s += query(i) * query(i); i += 1 }
+    math.floor(math.sqrt(s.toDouble)).toLong
+  }
+  override def dataType: DataType = LongType
+
+  def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    require(n == query.length,
+      s"ivf_rank_key: dim mismatch ${query.length} vs $n")
+    var dp = 0L; var cn2 = 0L; var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val c = math.floor(x * 1000000.0).toLong
+      dp += query(i) * c; cn2 += c * c
+      i += 1
+    }
+    val den = math.max(1L,
+      qn * math.floor(math.sqrt(cn2.toDouble)).toLong)
+    (dp + 2L * den) * 100000L / den
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfRankKey", this,
+      classOf[IvfRankKey].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "ivf_rank_key"
+}
+
+/** `rank_key_pair(qv, cv)` over two floor-micros-quantized long
+  * vectors → the same q316 integer rank key as [[IvfRankKey]], for
+  * the BATCHED search shape where the query is a column, not a baked
+  * literal ([[graft.sources.VectorIndex.searchMany]]'s probe ranking
+  * and candidate rescore). One pass, exact BIGINT accumulation. */
+case class RankKeyPair(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"rank_key_pair expects two array<bigint>, got $l / $r")
+    }
+
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"rank_key_pair: dim mismatch $n vs ${b.numElements()}")
+    var dp = 0L; var an2 = 0L; var bn2 = 0L; var i = 0
+    while (i < n) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      dp += x * y; an2 += x * x; bn2 += y * y
+      i += 1
+    }
+    val den = math.max(1L,
+      math.floor(math.sqrt(an2.toDouble)).toLong *
+        math.floor(math.sqrt(bn2.toDouble)).toLong)
+    (dp + 2L * den) * 100000L / den
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rankKeyPair", this,
+      classOf[RankKeyPair].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "rank_key_pair"
+}
+
 /** `linear_score_long(counts)` against a broadcast long weight
   * vector → long: `Σ_i counts_i·w_i`, the linear-model apply over
   * hashed feature histograms ([[HashedGramCounts]]) — DSIR

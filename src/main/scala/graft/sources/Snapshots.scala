@@ -2922,6 +2922,7 @@ object Snapshots {
           st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, false))
     pruneStats(spark, url) // sidecar hygiene rides every vacuum
+    VectorIndex.prunePostings(spark, url) // ... postings included
     (safe.length, deadVs.length)
   }
 }

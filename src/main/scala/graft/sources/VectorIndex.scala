@@ -47,10 +47,6 @@ object VectorIndex {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** floor(x·1e6) quantization — the q316 integer-rank contract. */
-  private def qz(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * 1000000d).cast("long"))
-
   /** Build or incrementally refresh the sidecar for the latest
     * version: first call trains `k` centroids from the store's
     * effective rows; every call scans only entries without posting
@@ -237,41 +233,196 @@ object VectorIndex {
     val base = Snapshots.readEntryPaths(spark, url, v,
       entries.map(e => new Path(root, e).toString))
       .filter(col(embCol).isNotNull && col(idCol).isNotNull)
-    val centroids = {
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("centroid_id",
-          base.schema(idCol).dataType),
-        org.apache.spark.sql.types.StructField("__cemb",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType))))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          centRows.toSeq.map { case (id, ce) =>
-            org.apache.spark.sql.Row(id, ce.toSeq) }, 1), schema)
-    }
+    val centroids = centroidFrame(spark, centRows,
+      base.schema(idCol).dataType)
     val assigned = AnnSearch.ivfAssign(base, idCol, embCol, centroids)
     val probed = assigned.filter(col("bucket")
       .isin(cells.toSeq.map(c => c: Any): _*))
     val q = quantize(queryEmb)
-    val qlit = array(q.map(lit(_)).toIndexedSeq: _*)
+    // fused codegen rescore (quantize + dot + norm in ONE array
+    // pass): this runs over every row of every probed cell — the hot
+    // path of a search — where the HOF spelling
+    // (aggregate∘zip_with, r16) evaluated an interpreted lambda per
+    // element. Arithmetic contract unchanged (q370/q374 hashes).
     val scored = probed
-      .withColumn("__qv", qz(col("__ce")))
-      .withColumn("__dp", aggregate(
-        zip_with(qlit, col("__qv"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("__den", greatest(
-        lit(math.floor(math.sqrt(
-          q.map(x => (x * x).toDouble).sum)).toLong) *
-          floor(sqrt(aggregate(col("__qv"), lit(0L),
-            (acc, x) => acc + x * x).cast("double"))).cast("long"),
-        lit(1L)))
-      .withColumn("key",
-        expr("((__dp + 2 * __den) * 100000) div __den"))
+      .withColumn("key", graft.functions.GraftFunctions.column(
+        graft.codecs.IvfRankKey(
+          graft.functions.GraftFunctions.expr(col("__ce")), q)))
       .select(col("cid").as("id"), col("key"))
     import org.apache.spark.sql.expressions.Window
     scored.orderBy(col("key").desc, col("id")).limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("key").desc, col("id"))))
       .select(col("rank"), col("id"), col("key"))
+  }
+
+  private def centroidFrame(spark: SparkSession,
+      centRows: Array[(Any, Array[Double])],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("centroid_id", idType),
+      org.apache.spark.sql.types.StructField("__cemb",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        centRows.toSeq.map { case (id, ce) =>
+          org.apache.spark.sql.Row(id, ce.toSeq) }, 1), schema)
+  }
+
+  private def floorMicros(c: Column): Column =
+    graft.functions.GraftFunctions.column(graft.codecs.FloorMicros(
+      graft.functions.GraftFunctions.expr(c)))
+
+  /** BATCHED ANN search — a query TABLE against the store, the
+    * retrieval-workload shape ([[search]] is one-query-at-a-time
+    * with driver-side cell ranking; a thousand-query batch wants the
+    * cells ranked IN the plan). Exact over each query's probed
+    * cells, same integer contract as [[search]]:
+    *
+    *  1. the k pinned centroids broadcast against the query table;
+    *     every (query, cell) pair gets the integer pair key and a
+    *     per-query window keeps the `nprobe` nearest cells (Q·k
+    *     rows — centroid-bounded, never corpus-bounded);
+    *  2. ONE postings read prunes the manifest to entries posting
+    *     any probed cell (plus sidecar-lag entries, conservative);
+    *  3. the surviving entries are effective-read ONCE, assigned
+    *     with the same pinned centroids, and candidates equi-join
+    *     the probe pairs on cell id — each query meets exactly the
+    *     rows of its own probed cells;
+    *  4. fused codegen rescore ([[graft.codecs.RankKeyPair]]) and
+    *     the two-phase bounded-heap top-k ([[AnnSearch.rankTopK]]:
+    *     per-partition heaps before the only shuffle).
+    *
+    * `nprobe = k` probes every cell — per query equal to brute
+    * force over the store (the oracle anchor). Output:
+    * (qid, rank, id, key). */
+  def searchMany(spark: SparkSession, url: String, idCol: String,
+      embCol: String, queries: DataFrame, qidCol: String,
+      qEmbCol: String, topK: Int, nprobe: Int,
+      version: Int = -1): DataFrame = {
+    require(topK > 0 && nprobe > 0)
+    val (_, root) = fsOf(spark, url)
+    val v = if (version > 0) version else Snapshots.latest(spark, url)
+    val cp = centroidsPath(root)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(cp),
+      s"no vector index under $root — run VectorIndex.index first")
+    // the pinned centroid frame straight from the sidecar (k-small;
+    // collected once inside ivfAssign, broadcast for the probe rank)
+    val centDf = spark.read.parquet(cp.toString)
+      .select(col("centroid_id"), col("__cemb").cast("array<double>"))
+    val q = queries
+      .filter(col(qidCol).isNotNull && col(qEmbCol).isNotNull)
+      .select(col(qidCol).as("qid"), col(qEmbCol).as("__qe"))
+      .withColumn("__qv", floorMicros(col("__qe")))
+      .drop("__qe")
+    val cents = centDf
+      .withColumn("__cv", floorMicros(col("__cemb")))
+      .select(col("centroid_id"), col("__cv"))
+    // per-query probe cells: key desc, ties by cell id string form —
+    // exactly [[rankedCells]]'s driver-side order
+    val pairKey = (a: Column, b: Column) =>
+      graft.functions.GraftFunctions.column(graft.codecs.RankKeyPair(
+        graft.functions.GraftFunctions.expr(a),
+        graft.functions.GraftFunctions.expr(b)))
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("__ck").desc, col("centroid_id").cast("string"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__ck", pairKey(col("__qv"), col("__cv")))
+      .withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nprobe)
+      .select(col("qid"), col("__qv"),
+        col("centroid_id").as("__cell"))
+    // distinct probed cells bound the entry prune — ≤ k driver rows
+    val cellSet = probes.select(col("__cell")).distinct()
+      .collect().map(_.get(0)).toSet
+    val entries = pruneByCells(spark, root,
+      Snapshots.snap(spark, url, v).files, cellSet)
+    val base = Snapshots.readEntryPaths(spark, url, v,
+      entries.map(e => new Path(root, e).toString))
+      .filter(col(embCol).isNotNull && col(idCol).isNotNull)
+    val assigned = AnnSearch.ivfAssign(base, idCol, embCol, centDf)
+      .filter(col("bucket").isin(cellSet.toSeq.map(c => c: Any): _*))
+      .withColumn("__cq", floorMicros(col("__ce")))
+      .select(col("cid"), col("bucket"), col("__cq"))
+    val scored = assigned.join(probes,
+        col("bucket") === col("__cell"))
+      .withColumn("cos_m", pairKey(col("__qv"), col("__cq")))
+      .select(col("qid"), col("cid"), col("cos_m"))
+    AnnSearch.rankTopK(scored, topK)
+      .select(col("qid"), col("rank"), col("cid").as("id"),
+        col("cos_m").as("key"))
+  }
+
+  /** Sidecar hygiene, the [[Snapshots.pruneStats]] analogue: drop
+    * posting rows whose entry NO committed manifest lists (retired
+    * by purgeDv/compactSmall/vacuum, or a superseded DV generation
+    * of a MoR entry) — without it the postings sidecar only ever
+    * grows. Rides every [[Snapshots.vacuum]]. Returns rows
+    * dropped. */
+  def prunePostings(spark: SparkSession, url: String): Long = {
+    val (fs, root) = fsOf(spark, url)
+    val pp = postingsPath(root)
+    if (!fs.exists(pp)) return 0L
+    val live = Snapshots.versions(spark, url)
+      .flatMap(v => Snapshots.snap(spark, url, v).files).toSet
+    val existing = spark.read.parquet(pp.toString)
+    val keepUdf = udf((e: String) => live.contains(e))
+    val kept = existing.filter(keepUdf(col("entry")))
+    val dropped = existing.count() - kept.count()
+    if (dropped == 0L) return 0L
+    val tmp = new Path(vecDir(root), "postings__tmp")
+    fs.delete(tmp, true)
+    kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(pp, true)
+    require(fs.rename(tmp, pp), s"rename failed for $pp")
+    dropped
+  }
+
+  /** Index-health report off ONE sidecar read — the operator signal
+    * for when pinned centroids have drifted from the corpus (pruning
+    * stays CORRECT regardless; it degrades to weak selectivity
+    * silently, which is exactly what this surfaces). One row:
+    *  - `k` trained cells, `cells_posted` actually holding rows;
+    *  - `entries_total` (current manifest) vs `entries_covered`
+    *    (with posting rows) — `uncovered_pm` per-mille of entries a
+    *    probe must conservatively read;
+    *  - `mass_total` posted rows, `mass_max_cell`, and
+    *    `balance_x100` = max-cell mass over the perfectly-uniform
+    *    share ×100 (100 = uniform; ≫100 = a hot cell most probes
+    *    open — delete `_vecindex` and re-train). */
+  def health(spark: SparkSession, url: String): DataFrame = {
+    import spark.implicits._
+    val (_, root) = fsOf(spark, url)
+    val k = loadCentroids(spark, root).length
+    val files = Snapshots.snap(spark, url,
+      Snapshots.latest(spark, url)).files
+    val (covered, posted) = loadPostings(spark, root)
+      .getOrElse((Set.empty[String], Map.empty[String, Set[Any]]))
+    val coveredNow = files.count(covered.contains)
+    val pp = postingsPath(root)
+    val ppFs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val massByCell: Map[String, Long] =
+      if (!ppFs.exists(pp)) Map.empty
+      else spark.read.parquet(pp.toString)
+        .filter(col("n") > 0L)
+        .groupBy(col("bucket").cast("string").as("cell"))
+        .agg(sum(col("n")).as("mass"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val massTotal = massByCell.values.sum
+    val massMax = if (massByCell.isEmpty) 0L else massByCell.values.max
+    val cellsPosted = massByCell.size
+    val uncoveredPm =
+      if (files.isEmpty) 0L
+      else (files.size - coveredNow).toLong * 1000L / files.size
+    val balance =
+      if (massTotal == 0L || cellsPosted == 0) 0L
+      else massMax * cellsPosted.toLong * 100L / massTotal
+    Seq((k.toLong, cellsPosted.toLong, files.size.toLong,
+      coveredNow.toLong, uncoveredPm, massTotal, massMax, balance))
+      .toDF("k", "cells_posted", "entries_total", "entries_covered",
+        "uncovered_pm", "mass_total", "mass_max_cell", "balance_x100")
   }
 }

@@ -109,4 +109,97 @@ class VectorIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("re-train"))
   }
+
+  test("searchMany: a query table equals per-query search (and " +
+      "brute force at nprobe = k); narrow probes stay per-query " +
+      "exact over their own cells") {
+    val url = fresh("many")
+    Snapshots.create(spark, url, rows(1L to 200L), nFiles = 4)
+    VectorIndex.index(spark, url, "vec_id", "embedding", 4)
+    val qids = Seq(42L, 7L, 100L)
+    val queries = qids.map(i => (i, emb(i))).toDF("qid", "qemb")
+    val got = VectorIndex.searchMany(spark, url, "vec_id",
+      "embedding", queries, "qid", "qemb", topK = 5, nprobe = 4)
+      .select("qid", "rank", "id", "key")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    val want = qids.flatMap { qi =>
+      val q = emb(qi)
+      (1L to 200L).map(i => (i, key(q, emb(i))))
+        .sortBy { case (i, k) => (-k, i) }.take(5).zipWithIndex
+        .map { case ((i, k), r) => (qi, r + 1, i, k) }
+    }.sorted
+    assert(got == want, s"batched != brute force")
+    // per-query parity with the single-query path at nprobe = 1
+    val single = VectorIndex.search(spark, url, "vec_id", "embedding",
+      emb(42L), topK = 3, nprobe = 1)
+      .select("rank", "id").as[(Int, Long)].collect().toSeq
+    val batchedOne = VectorIndex.searchMany(spark, url, "vec_id",
+      "embedding", Seq((42L, emb(42L))).toDF("qid", "qemb"),
+      "qid", "qemb", topK = 3, nprobe = 1)
+      .select("rank", "id").as[(Int, Long)].collect().toSeq
+    assert(batchedOne == single,
+      s"searchMany $batchedOne != search $single at nprobe=1")
+  }
+
+  test("prunePostings drops retired entries (rides vacuum); health " +
+      "reports coverage and balance off one sidecar read") {
+    val url = fresh("hyg")
+    Snapshots.create(spark, url, rows(1L to 100L), nFiles = 4)
+    VectorIndex.index(spark, url, "vec_id", "embedding", 4)
+    // a COW delete rewrites files → old entries retire once history
+    // is vacuumed
+    Snapshots.deleteWhere(spark, url, "vec_id", 1L, 10L)
+    VectorIndex.index(spark, url, "vec_id", "embedding", 4)
+    val before = spark.read.parquet(s"$url/_vecindex/postings")
+      .select("entry").distinct().count()
+    // postings survive while old manifests still list the entries
+    assert(VectorIndex.prunePostings(spark, url) == 0L)
+    Snapshots.vacuum(spark, url, Snapshots.latest(spark, url),
+      graceMs = 0L) // prunePostings rides vacuum
+    val after = spark.read.parquet(s"$url/_vecindex/postings")
+      .select("entry").distinct().count()
+    assert(after < before,
+      s"vacuum did not retire posting entries ($after/$before)")
+    // search stays exact after the prune
+    val q = emb(42L)
+    val got = VectorIndex.search(spark, url, "vec_id", "embedding",
+      q, topK = 3, nprobe = 4).select("id").as[Long].collect().toSeq
+    val want = (11L to 100L).map(i => (i, key(q, emb(i))))
+      .sortBy { case (i, k) => (-k, i) }.take(3).map(_._1)
+    assert(got == want, "search wrong after prunePostings")
+    // health: fully covered, 4 cells, near-uniform clusters
+    val h = VectorIndex.health(spark, url).head()
+    assert(h.getAs[Long]("k") == 4L)
+    assert(h.getAs[Long]("entries_total") ==
+      h.getAs[Long]("entries_covered"))
+    assert(h.getAs[Long]("uncovered_pm") == 0L)
+    assert(h.getAs[Long]("cells_posted") == 4L)
+    assert(h.getAs[Long]("balance_x100") >= 100L &&
+      h.getAs[Long]("balance_x100") <= 200L,
+      s"balance ${h.getAs[Long]("balance_x100")}")
+    // an uncovered entry (fresh append, no refresh) surfaces
+    Snapshots.append(spark, url, rows(201L to 210L), nFiles = 1)
+    val h2 = VectorIndex.health(spark, url).head()
+    assert(h2.getAs[Long]("uncovered_pm") > 0L)
+  }
+
+  test("the search plan carries the fused codegen rescore, not an " +
+      "interpreted higher-order function") {
+    val url = fresh("plan")
+    Snapshots.create(spark, url, rows(1L to 50L), nFiles = 2)
+    VectorIndex.index(spark, url, "vec_id", "embedding", 2)
+    val plan = VectorIndex.search(spark, url, "vec_id", "embedding",
+      emb(5L), topK = 3, nprobe = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("ivf_rank_key"),
+      s"fused kernel missing from plan:\n$plan")
+    assert(!plan.contains("aggregate(") && !plan.contains("zip_with"),
+      s"interpreted HOF in the search plan:\n$plan")
+    val planMany = VectorIndex.searchMany(spark, url, "vec_id",
+      "embedding", Seq((5L, emb(5L))).toDF("qid", "qemb"),
+      "qid", "qemb", topK = 3, nprobe = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(planMany.contains("rank_key_pair") &&
+      !planMany.contains("zip_with"))
+  }
 }
