@@ -8377,6 +8377,126 @@ object SparkEntry {
           col("rank").cast("long").as("rank"),
           col("id").cast("long").as("id"), col("key")),
         col("qid"), col("rank"))
+    }),
+
+    // ---- Atomic fact ⋈ dim upsert + ONE view refresh ----
+    // The consistency primitive upsertTogether exists for: orders
+    // get a price correction + new rows while their customer
+    // segments remap — staged copy-on-write rewrites in BOTH stores,
+    // one intent journal, two txn-upsert commits (asserted in-body,
+    // with empty journals after). A JOIN view over the pair then
+    // folds BOTH CDC feeds in a single refreshStar. Oracle = the
+    // mutated join recomputed from source rows.
+    "q379_upsert_together" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q379"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val factStore = s"$base/fact"; val dimStore = s"$base/dim"
+      val view = s"$base/view"
+      val fact = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("cents"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment"))
+      Snapshots.create(s, factStore, fact, nFiles = 4)
+      Snapshots.create(s, dimStore, dim, nFiles = 2)
+      JoinView.init(s, view, factStore, dimStore,
+        factKey = "o_orderkey", joinKey = "o_custkey")
+      val ok = col("o_orderkey")
+      val factUp = fact.filter(ok % 13 === 0)
+        .select(ok, col("o_custkey"),
+          (col("cents") + 500L).as("cents"), lit(false).as("del"))
+        .unionByName(fact.filter(ok % 17 === 0 && ok % 13 =!= 0)
+          .select(ok, col("o_custkey"), col("cents"),
+            lit(true).as("del")))
+        .unionByName(fact.filter(ok % 19 === 0)
+          .select((ok + 80000000L).as("o_orderkey"),
+            col("o_custkey"), col("cents"), lit(false).as("del")))
+      val ck = col("o_custkey")
+      val dimUp = dim.filter(ck % 7 === 0)
+        .select(ck, lit("SEGX").as("c_mktsegment"))
+      val vs = Snapshots.upsertTogether(s, Seq(
+        Snapshots.UpsertPart(factStore, factUp, "o_orderkey",
+          deleteCol = Some("del")),
+        Snapshots.UpsertPart(dimStore, dimUp, "o_custkey")))
+      require(vs.forall(v => v >= 2), s"unexpected versions $vs")
+      require(Snapshots.snap(s, factStore, vs.head).op == "txn-upsert"
+        && Snapshots.snap(s, dimStore, vs(1)).op == "txn-upsert",
+        "atomic pair must commit as txn-upsert")
+      require(Snapshots.pendingTxns(s, factStore).isEmpty &&
+        Snapshots.pendingTxns(s, dimStore).isEmpty,
+        "journal must clear after publish")
+      // ONE refresh folds both stores' CDC feeds into the view
+      JoinView.refresh(s, view, factStore, dimStore)
+      orderSmall(JoinView.read(s, view)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents")),
+        col("c_mktsegment"))
+    }),
+
+    // ---- Branch rebase: the refused-merge recovery workflow ----
+    // Conflict → rebase → merge, end to end: a branch and main both
+    // touch doc band 150-170, mergeBack REFUSES (asserted in-body);
+    // rebase forks main's head and replays the branch's clean delta
+    // (updates outside the conflict band + its deletes), returning
+    // the conflict keys; the rebased branch merges cleanly. Conflict
+    // keys keep MAIN's value — nothing last-writer-wins. Oracle =
+    // the expected merged state from source rows.
+    "q380_branch_rebase" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q380"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val main = s"$base/main"; val br = s"$base/feature"
+      val br2 = s"$base/feature2"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, main, docs, nFiles = 8,
+        clusterBy = Some("doc_id"))
+      Branch.fork(s, main, br)
+      Snapshots.updateWhere(s, br, "doc_id", 100L, 180L,
+        Map("lang" -> lit("branched")))
+      Snapshots.deleteWhere(s, br, "doc_id", 300L, 360L)
+      Snapshots.updateWhere(s, main, "doc_id", 150L, 170L,
+        Map("lang" -> lit("mainside")))
+      Snapshots.updateWhere(s, main, "doc_id", 500L, 520L,
+        Map("lang" -> lit("mainside")))
+      val refused =
+        try { Branch.mergeBack(s, br, "doc_id"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("conflict") }
+      require(refused, "conflicting merge must refuse loudly")
+      val (_, conflicts) = Branch.rebase(s, br, br2, "doc_id")
+      require(conflicts.nonEmpty, "expected conflict keys from rebase")
+      require(conflicts.forall { c =>
+        val k = c.asInstanceOf[Long]; k >= 150L && k <= 170L },
+        s"unexpected conflict keys: ${conflicts.take(5)}")
+      Branch.mergeBack(s, br2, "doc_id")
+      orderSmall(Snapshots.read(s, main)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars")),
+        col("lang"))
     })
   )
 
@@ -17970,6 +18090,50 @@ object SparkEntry {
         |  SELECT qid, id, key, row_number() OVER (
         |    PARTITION BY qid ORDER BY key DESC, id) AS rank
         |  FROM keyed) AS ranked
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q379_upsert_together" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |), fm AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN cents + 500
+        |         ELSE cents END AS cents
+        |  FROM f
+        |  WHERE NOT (o_orderkey % 17 = 0 AND o_orderkey % 13 <> 0)
+        |  UNION ALL
+        |  SELECT o_orderkey + 80000000, o_custkey, cents
+        |  FROM f WHERE o_orderkey % 19 = 0
+        |), cm AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'SEGX'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |)
+        |SELECT cm.c_mktsegment, count(*) AS n,
+        |  CAST(sum(fm.cents) AS BIGINT) AS sum_cents
+        |FROM fm JOIN cm ON fm.o_custkey = cm.c_custkey
+        |GROUP BY cm.c_mktsegment ORDER BY cm.c_mktsegment""".stripMargin,
+
+    "q380_branch_rebase" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 150 AND 170 THEN 'mainside'
+        |         WHEN doc_id BETWEEN 100 AND 180 THEN 'branched'
+        |         WHEN doc_id BETWEEN 500 AND 520 THEN 'mainside'
+        |         ELSE lang END AS lang,
+        |    n_chars
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |    AND doc_id NOT BETWEEN 300 AND 360
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
