@@ -85,19 +85,20 @@ object Diff {
       idCol: String): DataFrame = {
     val d = datasetDiff(oldDf, newDf, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val changed = d.filter(col("status") === "changed")
-      .select(explode(split(col("changed_cols"), ",")).as("column"))
-      .groupBy(col("column")).agg(count(lit(1)).as("n_changed"))
-    val membership = d.filter(col("status") =!= "changed")
-      .groupBy(col("status")).agg(count(lit(1)).as("n_changed"))
-      .select(concat(lit("__"), col("status")).as("column"),
-        col("n_changed"))
-    val out = changed.unionByName(membership)
-    val materialized = out.collect() // delta-columns-sized, tiny
-    d.unpersist()
+    // try/finally: a failed collect must not leak the cached diff
+    val (materialized, schema) = try {
+      val changed = d.filter(col("status") === "changed")
+        .select(explode(split(col("changed_cols"), ",")).as("column"))
+        .groupBy(col("column")).agg(count(lit(1)).as("n_changed"))
+      val membership = d.filter(col("status") =!= "changed")
+        .groupBy(col("status")).agg(count(lit(1)).as("n_changed"))
+        .select(concat(lit("__"), col("status")).as("column"),
+          col("n_changed"))
+      val out = changed.unionByName(membership)
+      (out.collect(), out.schema) // delta-columns-sized, tiny
+    } finally d.unpersist()
     val spark = oldDf.sparkSession
     spark.createDataFrame(
-      spark.sparkContext.parallelize(materialized.toSeq, 1),
-      out.schema)
+      spark.sparkContext.parallelize(materialized.toSeq, 1), schema)
   }
 }

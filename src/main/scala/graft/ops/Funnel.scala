@@ -46,19 +46,23 @@ object Funnel {
       .groupBy(col("u")).agg(min(col("ts")).as("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = Seq.newBuilder[(Long, String, Long)]
-    counts += ((1L, steps.head, anchor.count()))
-    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
-      val prev = anchor
-      anchor = ev.filter(col("t") === st)
-        .join(prev.select(col("u"), col("a").as("__prev")), "u")
-        .filter(col("ts") > col("__prev") &&
-          col("ts") - col("__prev") <= maxGapUs)
-        .groupBy(col("u")).agg(min(col("ts")).as("a"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      counts += ((i + 1L, st, anchor.count()))
-      prev.unpersist()
-    }
-    anchor.unpersist()
+    // try/finally: a failed stage count must not leak the pinned
+    // anchor frame (the guard covers the newest anchor — the only
+    // one live outside the one-statement prev→anchor handover)
+    try {
+      counts += ((1L, steps.head, anchor.count()))
+      steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+        val prev = anchor
+        anchor = ev.filter(col("t") === st)
+          .join(prev.select(col("u"), col("a").as("__prev")), "u")
+          .filter(col("ts") > col("__prev") &&
+            col("ts") - col("__prev") <= maxGapUs)
+          .groupBy(col("u")).agg(min(col("ts")).as("a"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        counts += ((i + 1L, st, anchor.count()))
+        prev.unpersist()
+      }
+    } finally anchor.unpersist()
     val s = events.sparkSession
     import s.implicits._
     counts.result().toDF("stage", "step", "users")
