@@ -8497,6 +8497,59 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("sum_chars")),
         col("lang"))
+    }),
+
+    // ---- Streaming ingest with LIVE vector-postings maintenance ----
+    // The ANN sidecar joins the stats/bloom sidecars as a streaming-
+    // maintained structure: each epoch's appendOnce is followed by an
+    // incremental VectorIndex.index that scans ONLY that epoch's new
+    // entries (epoch 0 trains the pinned centroids). After the
+    // stream drains, every live entry is posting-covered (asserted
+    // in-body — no conservative reads left) and the exhaustive probe
+    // over the streamed store equals integer brute force = the
+    // oracle.
+    "q381_stream_vector_index" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q381"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val src0 = t(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      src0.repartition(3).write.parquet(s"$base/stage")
+      val store = s"$base/store"
+      Snapshots.create(s, store, src0.limit(0), nFiles = 1)
+      val src = s.readStream.schema(src0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/stage")
+      val q = graft.streaming.GraftStream
+        .snapshotSink(src, store, "q381", nFiles = 2,
+          vectorIndex = Some(("vec_id", "embedding", 8)))
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val live = Snapshots.snap(s, store, Snapshots.latest(s, store))
+        .files.toSet
+      val covered = s.read.parquet(s"$store/_vecindex/postings")
+        .select(col("entry")).distinct().collect()
+        .map(_.getString(0)).toSet
+      require(live.subsetOf(covered),
+        s"stream left ${(live -- covered).size} entries uncovered")
+      val qv = src0.filter(col("vec_id") === 7L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      orderSmall(VectorIndex.search(s, store, "vec_id", "embedding",
+        qv, topK = 10, nprobe = 8)
+        .select(col("rank").cast("long").as("rank"),
+          col("id").cast("long").as("id"), col("key")),
+        col("rank"))
     })
   )
 
@@ -18134,6 +18187,42 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q381_stream_vector_index" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |), q AS (
+        |  SELECT qv AS qq FROM e WHERE vec_id = 7
+        |), keyed AS (
+        |  SELECT e.vec_id AS id,
+        |    ((list_reduce(list_transform(range(1, 65),
+        |        i -> e.qv[i] * q.qq[i]), (a, b) -> a + b)
+        |      + 2 * greatest(
+        |        CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> q.qq[i] * q.qq[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT)
+        |        * CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> e.qv[i] * e.qv[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT),
+        |        CAST(1 AS BIGINT)))
+        |     * 100000) // greatest(
+        |        CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> q.qq[i] * q.qq[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT)
+        |        * CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> e.qv[i] * e.qv[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT),
+        |        CAST(1 AS BIGINT)) AS key
+        |  FROM e CROSS JOIN q
+        |)
+        |SELECT CAST(rank AS BIGINT) AS rank, id, key FROM (
+        |  SELECT id, key, row_number() OVER (
+        |    ORDER BY key DESC, id) AS rank
+        |  FROM keyed) AS ranked
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin
   )
 }

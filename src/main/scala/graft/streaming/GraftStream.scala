@@ -151,7 +151,8 @@ object GraftStream {
   def snapshotSink(batches: DataFrame, url: String,
       streamId: String, nFiles: Int = 8,
       statsFields: Seq[String] = Nil,
-      bloomIndex: Option[(String, Seq[String])] = None)
+      bloomIndex: Option[(String, Seq[String])] = None,
+      vectorIndex: Option[(String, String, Int)] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(streamId.matches("[A-Za-z0-9_.-]+"),
       s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+)")
@@ -174,6 +175,18 @@ object GraftStream {
       bloomIndex.foreach { case (idxUrl, fields) =>
         graft.sources.RowGroupIndex.updateBloom(batch.sparkSession,
           url, fields, idxUrl)
+      }
+      // per-epoch vector-postings maintenance ((idCol, embCol, k)):
+      // VectorIndex.index scans only entries without posting rows —
+      // O(batch) per epoch like the other sidecars. Epoch 0 trains
+      // the pinned centroids from the rows present then (any pinned
+      // set keeps search EXACT over probed cells; selectivity is
+      // what training sees — watch VectorIndex.health on a drifting
+      // stream). A sink WITHOUT this stays safe: uncovered entries
+      // are conservatively read by every probe.
+      vectorIndex.foreach { case (idCol, embCol, k) =>
+        graft.sources.VectorIndex.index(batch.sparkSession, url,
+          idCol, embCol, k): Unit
       }
     }
   }
