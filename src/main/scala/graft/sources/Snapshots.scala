@@ -241,7 +241,7 @@ object Snapshots {
     * names right before the write (a projection — partitioning
     * survives), so every data file of a renamed store keeps one
     * stable physical schema forever. */
-  private def writeArranged(spark: SparkSession, root: Path,
+  private[sources] def writeArranged(spark: SparkSession, root: Path,
       arranged0: DataFrame, version: Int,
       colmap: Map[String, String] = Map.empty): Seq[String] = {
     val arranged =

@@ -356,6 +356,45 @@ object VectorIndex {
         col("cos_m").as("key"))
   }
 
+  /** Re-lay the store's live rows CELL-CLUSTERED (range-partitioned
+    * by each row's coarse IVF cell under the pinned centroids) as a
+    * new version, then refresh the postings over the new entries —
+    * the ANN analogue of [[Snapshots.cluster]]: after appends and
+    * merge-on-read churn spread every cell across every file, one
+    * maintenance rewrite re-concentrates postings so an `nprobe`
+    * probe opens ~nprobe/k of the files again instead of all of
+    * them. Effective rows only (deletion vectors fold away, like
+    * every wholesale rewrite); old versions stay readable; search
+    * results are unchanged by construction (layout, not content).
+    * Returns the committed version. */
+  def cluster(spark: SparkSession, url: String, idCol: String,
+      embCol: String, nFiles: Int = 8): Int = {
+    val (_, root) = fsOf(spark, url)
+    val mat = loadCentroids(spark, root).map(_._2)
+    val parent = Snapshots.snap(spark, url,
+      Snapshots.latest(spark, url))
+    val df = Snapshots.readAsOf(spark, url, parent.version)
+    require(df.columns.contains(embCol) && df.columns.contains(idCol),
+      s"vector cluster needs columns $idCol and $embCol")
+    val cellIdx = graft.functions.GraftFunctions.column(
+      graft.codecs.ArgMaxCosM(graft.functions.GraftFunctions.expr(
+        col(embCol).cast("array<double>")), mat))
+    // partition by cell INDEX (layout only — posting rows key the
+    // cell ID, re-derived by the index refresh below)
+    val arranged = df.withColumn("__vcell", cellIdx)
+      .repartitionByRange(math.max(1, nFiles), col("__vcell"))
+      .drop("__vcell")
+    val v = parent.version + 1
+    val committed = Snapshots.commit(spark, root, v, "vcluster",
+      Snapshots.writeArranged(spark, root, arranged, v, parent.colmap),
+      Some(df.schema), parent.colmap, parent.dropped)
+    // cover the fresh entries immediately (O(new files)); old
+    // entries' posting rows retire with their manifests via
+    // prunePostings on vacuum
+    index(spark, url, idCol, embCol, mat.length)
+    committed
+  }
+
   /** Sidecar hygiene, the [[Snapshots.pruneStats]] analogue: drop
     * posting rows whose entry NO committed manifest lists (retired
     * by purgeDv/compactSmall/vacuum, or a superseded DV generation

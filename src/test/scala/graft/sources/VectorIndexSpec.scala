@@ -202,4 +202,35 @@ class VectorIndexSpec extends SparkSpec {
     assert(planMany.contains("rank_key_pair") &&
       !planMany.contains("zip_with"))
   }
+
+  test("cluster re-lays rows by coarse cell: pruning selectivity " +
+      "restored on a round-robin store, results unchanged") {
+    val url = fresh("clus")
+    // round-robin layout: every file holds every cluster, so a
+    // 1-cell probe must conservatively open everything
+    Snapshots.create(spark, url, rows(1L to 200L), nFiles = 4)
+    VectorIndex.index(spark, url, "vec_id", "embedding", 4)
+    val q = emb(42L)
+    val v1 = Snapshots.latest(spark, url)
+    val before = VectorIndex.prunedEntries(spark, url, v1, q, 1).size
+    val total1 = Snapshots.snap(spark, url, v1).files.size
+    assert(before == total1,
+      s"expected no selectivity pre-cluster ($before/$total1)")
+    val want = VectorIndex.search(spark, url, "vec_id", "embedding",
+      q, topK = 5, nprobe = 4).select("id").as[Long].collect().toSeq
+    val v2 = VectorIndex.cluster(spark, url, "vec_id", "embedding",
+      nFiles = 4)
+    assert(Snapshots.snap(spark, url, v2).op == "vcluster")
+    val after = VectorIndex.prunedEntries(spark, url, v2, q, 1).size
+    val total2 = Snapshots.snap(spark, url, v2).files.size
+    assert(after < total2,
+      s"cluster did not restore selectivity ($after/$total2)")
+    val got = VectorIndex.search(spark, url, "vec_id", "embedding",
+      q, topK = 5, nprobe = 4).select("id").as[Long].collect().toSeq
+    assert(got == want, "cluster changed search results")
+    // the narrow probe is exact over its cell too
+    val top1 = VectorIndex.search(spark, url, "vec_id", "embedding",
+      q, topK = 1, nprobe = 1).select("id").as[Long].head()
+    assert(top1 == want.head)
+  }
 }
