@@ -1254,8 +1254,18 @@ object Snapshots {
             fromNames == schema.fieldNames.toSet)
           toSnap.colmap
         else {
-        val rangeOps = ((fromV + 1) to toV).flatMap(v =>
-          scala.util.Try(snap(spark, url, v).op).toOption)
+        // the op trail must be COMPLETE: a vacuumed intermediate
+        // manifest could hide a rename and silently misclassify a
+        // column as added-in-range (nulls) — refuse instead
+        val rangeOps = ((fromV + 1) to toV).map { vv =>
+          try snap(spark, url, vv).op
+          catch { case _: Exception => sys.error(
+            s"changes($fromV, $toV) on $url: v$vv's manifest is " +
+              "unreadable (vacuumed?) while the colmap lineage " +
+              "shifted inside the range — the rename trail cannot " +
+              "be reconstructed; derive the feed from surviving " +
+              "versions") }
+        }
         val renames = rangeOps.filter(_.startsWith("rename:"))
           .map(_.stripPrefix("rename:").split("->", 2))
           .collect { case ar if ar.length == 2 => (ar(0), ar(1)) }
@@ -2697,7 +2707,12 @@ object Snapshots {
     * store (the documented maintenance contract): a commit that
     * interleaves between staging and publish and retires an affected
     * file fails the roll-forward loudly rather than dropping files a
-    * new head no longer lists. */
+    * new head no longer lists. Unlike [[commitTogether]]'s
+    * append-only batches, validation here is interleaved with
+    * staging (the affected-set computation IS part of validation),
+    * so a refusal on a later participant leaves earlier
+    * participants' staged files behind — invisible, never
+    * published, vacuum-collectable orphans. */
   def upsertTogether(spark: SparkSession,
       parts: Seq[UpsertPart], maxKeys: Int = 1000000): Seq[Int] = {
     require(parts.nonEmpty, "upsertTogether: no participants")

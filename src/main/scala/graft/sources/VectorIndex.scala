@@ -295,8 +295,10 @@ object VectorIndex {
     *     per-partition heaps before the only shuffle).
     *
     * `nprobe = k` probes every cell — per query equal to brute
-    * force over the store (the oracle anchor). Output:
-    * (qid, rank, id, key). */
+    * force over the store (the oracle anchor). `qidCol` must be
+    * unique per query row (the [[AnnSearch.rankTopK]] heap keys on
+    * it — two embeddings sharing a qid would merge into one top-k).
+    * Output: (qid, rank, id, key). */
   def searchMany(spark: SparkSession, url: String, idCol: String,
       embCol: String, queries: DataFrame, qidCol: String,
       qEmbCol: String, topK: Int, nprobe: Int,
