@@ -8550,6 +8550,66 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"),
           col("id").cast("long").as("id"), col("key")),
         col("rank"))
+    }),
+
+    // ---- Exactly-once streaming fan-out into TWO stores ----
+    // One source stream split per epoch into two snapshot stores
+    // through the keyed commitTogether: every epoch publishes to
+    // BOTH stores or neither (intent-journal roll-forward), and
+    // foreachBatch's at-least-once retries no-op on the epoch key —
+    // the enriched-stream consistency a downstream JOIN view needs.
+    // In-body: the keyed-epoch sets of both stores are asserted
+    // identical (lockstep) with empty journals. Oracle = the union
+    // of both stores recomputed from the source table.
+    "q382_stream_multi_store" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q382"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      ev.repartition(3).write.parquet(s"$base/stage")
+      val evenStore = s"$base/even"; val oddStore = s"$base/odd"
+      Snapshots.create(s, evenStore, ev.limit(0), nFiles = 1)
+      Snapshots.create(s, oddStore, ev.limit(0), nFiles = 1)
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/stage")
+      val q = graft.streaming.GraftStream
+        .snapshotSinkMulti(src, "q382", Seq(
+          (evenStore,
+            (b: org.apache.spark.sql.DataFrame) =>
+              b.filter(col("event_id") % 2 === 0), 1),
+          (oddStore,
+            (b: org.apache.spark.sql.DataFrame) =>
+              b.filter(col("event_id") % 2 =!= 0), 1)))
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def epochKeys(url: String): Set[String] =
+        Snapshots.versions(s, url)
+          .map(v => Snapshots.snap(s, url, v).op)
+          .filter(_.startsWith("txn-append:")).toSet
+      require(epochKeys(evenStore) == epochKeys(oddStore) &&
+        epochKeys(evenStore).nonEmpty,
+        "stores fell out of epoch lockstep")
+      require(Snapshots.pendingTxns(s, evenStore).isEmpty &&
+        Snapshots.pendingTxns(s, oddStore).isEmpty,
+        "journals must clear after the stream drains")
+      orderSmall(Snapshots.read(s, evenStore)
+        .unionByName(Snapshots.read(s, oddStore))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).cast("long").as("sum_cents")),
+        col("event_type"))
     })
   )
 
@@ -18223,6 +18283,13 @@ object SparkEntry {
         |  SELECT id, key, row_number() OVER (
         |    ORDER BY key DESC, id) AS rank
         |  FROM keyed) AS ranked
-        |WHERE rank <= 10 ORDER BY rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q382_stream_multi_store" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

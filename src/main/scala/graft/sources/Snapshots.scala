@@ -2622,8 +2622,12 @@ object Snapshots {
     * next manifest, `drops` (keyed-upsert rewrites only) leave it. */
   private[sources] final case class TxnPart(url: String,
     files: Seq[String], drops: Seq[String] = Nil)
+  /** `key` (exactly-once [[commitTogether]]) is journaled so a
+    * roll-forward commit carries it too — without that, a crash
+    * before any participant commits would recover key-less and the
+    * caller's retry would re-publish the batch. */
   private[sources] final case class TxnPlan(id: String,
-    parts: Seq[TxnPart])
+    parts: Seq[TxnPart], key: Option[String] = None)
 
   /** Publish one APPEND batch to EACH of several stores so that all
     * of them become visible or none stay visible — the fact ⋈ dim
@@ -2653,13 +2657,46 @@ object Snapshots {
     * evolution is two migrations at once — refused). CHECK
     * constraints validate per store before anything stages. */
   def commitTogether(spark: SparkSession,
-      parts: Seq[(String, DataFrame, Int)]): Seq[Int] = {
+      parts: Seq[(String, DataFrame, Int)]): Seq[Int] =
+    commitTogether(spark, parts, commitKey = None)
+
+  /** [[commitTogether]] with EXACTLY-ONCE semantics for
+    * at-least-once callers (foreachBatch retries, re-run jobs) — the
+    * multi-store [[appendOnce]]: the commits' op field carries
+    * `txn-append:<commitKey>`, and a retry first ROLLS FORWARD any
+    * open journal in the participants (a crash mid-publish must
+    * complete before the key check is meaningful), then returns the
+    * already-committed versions if any participant carries the key.
+    * The key scan reads manifests only — O(versions), no data. */
+  def commitTogether(spark: SparkSession,
+      parts: Seq[(String, DataFrame, Int)],
+      commitKey: Option[String]): Seq[Int] = {
     require(parts.nonEmpty, "commitTogether: no participants")
     require(parts.map(_._1).distinct.size == parts.size,
       "commitTogether: duplicate store url (one batch per store)")
     parts.foreach { case (url, _, _) =>
       require(!url.contains("\"") && !url.contains("\\"),
         s"commitTogether: url $url — quotes/backslashes unsupported") }
+    commitKey.foreach { key =>
+      require(key.matches("[A-Za-z0-9_.-]+"),
+        s"commitKey '$key' must be [A-Za-z0-9_.-]+")
+      // complete any crashed predecessor FIRST: the dedup check is
+      // only sound once every journaled transaction has published
+      parts.foreach { case (url, _, _) => recoverTxns(spark, url) }
+      val op = s"txn-append:$key"
+      val prior = parts.map { case (url, _, _) =>
+        versions(spark, url).find(v => snap(spark, url, v).op == op)
+      }
+      if (prior.exists(_.isDefined)) {
+        // all-or-nothing: after recovery, a key present anywhere
+        // must be present everywhere
+        require(prior.forall(_.isDefined),
+          s"commitTogether key $key found in only some participants" +
+            " — journals were cleared without completing; manual " +
+            "repair required")
+        return prior.map(_.get)
+      }
+    }
     // validate everything BEFORE staging anything: a refusal here
     // costs zero IO and leaves zero debris
     val resolved = parts.map { case (url, df, nFiles) =>
@@ -2678,10 +2715,11 @@ object Snapshots {
         nFiles, colmap = parent.colmap))
     }
     val plan = TxnPlan(
-      java.util.UUID.randomUUID().toString.take(12), staged)
+      java.util.UUID.randomUUID().toString.take(12), staged,
+      commitKey)
     writeTxnMarkers(spark, plan)
     val vs = plan.parts.map(p =>
-      commitStagedInto(spark, p.url, p.files))
+      commitStagedInto(spark, p.url, p.files, key = plan.key))
     clearTxnMarkers(spark, plan)
     vs
   }
@@ -2749,7 +2787,8 @@ object Snapshots {
     * commit owns. */
   private[sources] def commitStagedInto(spark: SparkSession,
       url: String, staged: Seq[String],
-      drops: Seq[String] = Nil): Int = {
+      drops: Seq[String] = Nil,
+      key: Option[String] = None): Int = {
     val (fs, root) = fsOf(spark, url)
     val stagedSet = staged.toSet
     var attempts = 0
@@ -2777,7 +2816,8 @@ object Snapshots {
           // surface on attempt 1 with its own cause, not be retried
           // 16 times and replaced by whatever attempt 17 throws
           try out = commit(spark, root, parent.version + 1,
-            if (drops.isEmpty) "txn-append" else "txn-upsert",
+            (if (drops.isEmpty) "txn-append" else "txn-upsert") +
+              key.map(":" + _).getOrElse(""),
             parent.files.filterNot(drops.toSet) ++ staged,
             Some(schemaOf(spark, root, parent)),
             parent.colmap, parent.dropped)
@@ -2794,7 +2834,9 @@ object Snapshots {
 
   private[sources] def writeTxnMarkers(spark: SparkSession,
       plan: TxnPlan): Unit = {
-    val json = s"""{"txn":"${plan.id}","parts":[""" +
+    val keyField = plan.key
+      .map(k => s""""key":"$k",""").getOrElse("")
+    val json = s"""{"txn":"${plan.id}",$keyField"parts":[""" +
       plan.parts.map { p =>
         val dropsField =
           if (p.drops.isEmpty) ""
@@ -2858,9 +2900,11 @@ object Snapshots {
               Option(m.group(3)).map(names).getOrElse(Nil))
           }.toSeq
       require(parts.nonEmpty, s"corrupt txn journal ${st.getPath}")
+      val key = """"key"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(body).map(_.group(1))
       parts.foreach(p =>
-        commitStagedInto(spark, p.url, p.files, p.drops))
-      clearTxnMarkers(spark, TxnPlan(id, parts))
+        commitStagedInto(spark, p.url, p.files, p.drops, key))
+      clearTxnMarkers(spark, TxnPlan(id, parts, key))
     }
     markers.size
   }

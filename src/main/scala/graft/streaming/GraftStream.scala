@@ -191,6 +191,32 @@ object GraftStream {
     }
   }
 
+  /** Exactly-once streaming APPEND into SEVERAL snapshot stores at
+    * once — the multi-store [[snapshotSink]]: each micro-batch is
+    * split by the per-store projections and published through
+    * [[graft.sources.Snapshots.commitTogether]] under the commit key
+    * `<streamId>_b<epoch>`, so (1) all stores advance or none stay
+    * visible (intent-journal roll-forward across a crash), and
+    * (2) foreachBatch's at-least-once retries are exact no-ops (the
+    * retry first completes any open journal, then finds its key in
+    * the manifests and returns). The enriched-stream shape: one
+    * source fanned into consistent fact/dim (or per-domain) stores
+    * that downstream JOIN views can refresh against without ever
+    * seeing one side ahead. Every store must exist
+    * ([[graft.sources.Snapshots.create]]). */
+  def snapshotSinkMulti(batches: DataFrame, streamId: String,
+      parts: Seq[(String, DataFrame => DataFrame, Int)])
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.matches("[A-Za-z0-9_.-]+"),
+      s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+)")
+    require(parts.nonEmpty, "snapshotSinkMulti: no target stores")
+    batches.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      graft.sources.Snapshots.commitTogether(batch.sparkSession,
+        parts.map { case (url, f, nFiles) => (url, f(batch), nFiles) },
+        Some(s"${streamId}_b$id")): Unit
+    }
+  }
+
   /** Streaming maintenance of a [[Materialize]]-independent keyed
     * aggregate view ([[graft.sources.MaterializedView]]): every
     * micro-batch lands as its own partial-aggregate partition under

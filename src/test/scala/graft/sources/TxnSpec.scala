@@ -188,4 +188,57 @@ class TxnSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("flat root-relative"))
   }
+
+  test("keyed commitTogether is exactly-once: a retry returns the " +
+      "committed versions; a crashed keyed txn recovers WITH its " +
+      "key so the retry still no-ops") {
+    val a = fresh("ka"); val b = fresh("kb")
+    Snapshots.create(spark, a,
+      (1L to 10L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    Snapshots.create(spark, b,
+      (1L to 10L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    def parts(lo: Long, hi: Long) = Seq(
+      (a, (lo to hi).map(i => (i, i)).toDF("id", "v"), 1),
+      (b, (lo to hi).map(i => (i, i)).toDF("id", "v"), 1))
+    val vs1 = Snapshots.commitTogether(spark, parts(11L, 20L),
+      Some("epoch_b0"))
+    assert(Snapshots.snap(spark, a, vs1.head).op ==
+      "txn-append:epoch_b0")
+    // at-least-once retry: same key, fresh batch → no new commit
+    val vs2 = Snapshots.commitTogether(spark, parts(11L, 20L),
+      Some("epoch_b0"))
+    assert(vs2 == vs1, s"retry committed again: $vs2 vs $vs1")
+    assert(Snapshots.read(spark, a).count() == 20L)
+    // crash sim: journal a keyed txn, commit NOTHING, then retry —
+    // recovery completes the OLD staged files under the key and the
+    // retry returns without re-publishing its own (fresh) staging
+    def stage(url: String, lo: Long, hi: Long): Seq[String] = {
+      val v0 = Snapshots.latest(spark, url)
+      val v1 = Snapshots.append(spark, url,
+        (lo to hi).map(i => (i, i)).toDF("id", "v"), 1)
+      val added = Snapshots.snap(spark, url, v1).files
+        .filterNot(Snapshots.snap(spark, url, v0).files.toSet)
+      val root = new org.apache.hadoop.fs.Path(url)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        f"_snap/v$v1%08d.json"), false)
+      added
+    }
+    val fa = stage(a, 21L, 30L)
+    val fb = stage(b, 21L, 30L)
+    Snapshots.writeTxnMarkers(spark, Snapshots.TxnPlan("kcrash01",
+      Seq(Snapshots.TxnPart(a, fa), Snapshots.TxnPart(b, fb)),
+      Some("epoch_b1")))
+    // "crash" before any commit; the caller retries the whole epoch
+    val vs3 = Snapshots.commitTogether(spark, parts(21L, 30L),
+      Some("epoch_b1"))
+    assert(Snapshots.read(spark, a).count() == 30L,
+      "epoch must land exactly once through recovery")
+    assert(Snapshots.read(spark, b).count() == 30L)
+    assert(Snapshots.snap(spark, a, vs3.head).op ==
+      "txn-append:epoch_b1",
+      "recovered commit must carry the journaled key")
+    assert(Snapshots.pendingTxns(spark, a).isEmpty &&
+      Snapshots.pendingTxns(spark, b).isEmpty)
+  }
 }
