@@ -8610,6 +8610,54 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(col("cents")).cast("long").as("sum_cents")),
         col("event_type"))
+    }),
+
+    // ---- Pure-SQL write pipeline through the catalog ----
+    // INSERT INTO ... SELECT rides the manifest layer (r17: the
+    // catalog's V1 write path calls Snapshots.append, so the commit
+    // is atomic, the CDC feed sees it, and CHECK constraints guard
+    // it). The query seeds a store with the low half of orders, SQL-
+    // inserts the high half FROM the source table, and aggregates
+    // the union — with the CDC insert count asserted in-body.
+    "q383_sql_insert" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q383"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g383",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g383.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val fact = t(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_orderpriority").isNotNull &&
+          col("o_totalprice").isNotNull)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("cents"))
+      Snapshots.create(s, url,
+        fact.filter(col("o_orderkey") % 2 === 0), nFiles = 4)
+      val v1 = Snapshots.latest(s, url)
+      fact.filter(col("o_orderkey") % 2 =!= 0)
+        .createOrReplaceTempView("q383_src")
+      s.sql(s"INSERT INTO g383.$tbl SELECT * FROM q383_src")
+      val v2 = Snapshots.latest(s, url)
+      require(v2 == v1 + 1 &&
+        Snapshots.snap(s, url, v2).op == "append",
+        "SQL insert must commit one append version")
+      require(Snapshots.changes(s, url, "o_orderkey", v1, v2)
+        .filter(col("_change") === "insert").count() ==
+        fact.filter(col("o_orderkey") % 2 =!= 0).count(),
+        "CDC must see every SQL-inserted row")
+      orderSmall(s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  sum(cents) AS sum_cents
+           |FROM g383.$tbl GROUP BY o_orderpriority""".stripMargin),
+        col("o_orderpriority"))
     })
   )
 
@@ -18290,6 +18338,15 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q383_sql_insert" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |WHERE o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  AND o_totalprice IS NOT NULL
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{col, lit}
@@ -48,9 +49,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    (conservative — the inner application can only remove rows the
   *    filter would remove anyway).
   *
-  * READ-ONLY by design: SQL writes would bypass the manifest layer
-  * (atomic commits, CDC, constraints, stats), so every mutation
-  * refuses loudly and points at the [[Snapshots]] API. */
+  * `INSERT INTO` / `INSERT OVERWRITE` (latest resolution only)
+  * route through [[Snapshots.append]]/[[Snapshots.overwrite]] — the
+  * manifest layer's atomic commit, CDC feed, CHECK constraints and
+  * schema gate apply exactly as in the programmatic API. DDL
+  * (CREATE/ALTER/DROP/RENAME) refuses loudly toward the
+  * [[Snapshots]] API, which owns store lifecycle. */
 class GraftCatalog extends TableCatalog {
 
   private var catName: String = _
@@ -117,15 +121,18 @@ class GraftCatalog extends TableCatalog {
       "graft.files" -> s.files.size.toString,
       "graft.url" -> url,
       "graft.scan" -> (if (needsEff) "effective" else "parquet"))
+    // only the LATEST resolution accepts writes: INSERT into a
+    // time-travel or tag pin would rewrite history
+    val writable = version <= 0
     if (needsEff)
-      new GraftEffSqlTable(label, url, v, schema, props)
+      new GraftEffSqlTable(label, url, v, schema, props, writable)
     else {
       val paths = s.files.map(f => new Path(root, f).toString)
-      new GraftSqlTable(label,
+      new GraftSqlTable(label, url,
         ParquetTable(s"$catName.${ident.name}", spark,
           CaseInsensitiveStringMap.empty(), paths, Some(schema),
           classOf[ParquetFileFormat]),
-        schema, props)
+        schema, props, writable)
     }
   }
 
@@ -159,9 +166,10 @@ class GraftCatalog extends TableCatalog {
 
   private def readOnly(what: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog is read-only ($what) — mutate through the " +
-        "Snapshots API (create/append/upsert/deleteWhere/...), which " +
-        "owns atomic commits, CDC, constraints and stats")
+      s"graft catalog does not support DDL ($what) — manage store " +
+        "lifecycle through the Snapshots API (create/renameColumn/" +
+        "dropColumn/...); INSERT INTO/OVERWRITE are served through " +
+        "the same manifest layer")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -211,19 +219,64 @@ private[sources] object GraftCatalog {
   }
 }
 
-/** Read-only V2 table over one resolved snapshot version: delegates
-  * the scan to Spark's parquet V2 path (pushdown/pruning/codegen for
-  * free) while exposing NO write capability — `INSERT INTO` fails at
-  * analysis instead of bypassing the manifest. */
-private[sources] class GraftSqlTable(label: String,
+/** Shared write surface of the catalog's tables: `INSERT INTO`
+  * routes through [[Snapshots.append]] and `INSERT OVERWRITE`
+  * through [[Snapshots.overwrite]] — NOTHING bypasses the manifest
+  * layer (atomic commit, CDC feed, CHECK constraints, schema gate
+  * all apply exactly as in the programmatic API; a violating INSERT
+  * refuses with the constraint's name). Time-travel / tag
+  * resolutions are read-only: inserting into a pinned version would
+  * rewrite history. DDL stays refused at the catalog. */
+private[sources] trait GraftSqlWrites
+    extends org.apache.spark.sql.connector.catalog.SupportsWrite {
+  def storeUrl: String
+  def writable: Boolean
+  def label: String
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(writable,
+      s"$label is a pinned time-travel resolution — INSERT targets " +
+        "the latest version (drop the VERSION/TIMESTAMP AS OF)")
+    new GraftWriteBuilder(storeUrl)
+  }
+}
+
+private[sources] class GraftWriteBuilder(url: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwriteAll = false
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: sources.InsertableRelation =
+      new sources.InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+            ow: Boolean): Unit =
+          if (overwriteAll || ow)
+            Snapshots.overwrite(data.sparkSession, url, data): Unit
+          else
+            Snapshots.append(data.sparkSession, url, data): Unit
+      }
+  }
+}
+
+/** V2 table over one resolved snapshot version: delegates the scan
+  * to Spark's parquet V2 path (pushdown/pruning/codegen for free);
+  * writes (latest resolution only) go through the manifest layer
+  * ([[GraftSqlWrites]]). */
+private[sources] class GraftSqlTable(val label: String,
+    val storeUrl: String,
     underlying: ParquetTable,
     pinned: StructType,
-    props: Map[String, String]) extends Table
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    props: Map[String, String],
+    val writable: Boolean) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with GraftSqlWrites {
   override def name(): String = label
   override def schema(): StructType = pinned
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     underlying.newScanBuilder(options)
@@ -246,17 +299,22 @@ private[sources] class GraftSqlTable(label: String,
   * schema into the inner plan (reaching the parquet scans);
   * translated filters apply inside as extra pruning while Spark
   * keeps its own Filter above (inexact-pushdown contract). */
-private[sources] class GraftEffSqlTable(label: String,
-    url: String, version: Int, pinned: StructType,
-    props: Map[String, String]) extends Table
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+private[sources] class GraftEffSqlTable(val label: String,
+    val storeUrl: String, version: Int, pinned: StructType,
+    props: Map[String, String],
+    val writable: Boolean) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with GraftSqlWrites {
   override def name(): String = label
   override def schema(): StructType = pinned
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftEffScanBuilder(url, version, pinned)
+    new GraftEffScanBuilder(storeUrl, version, pinned)
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     props.foreach { case (k, v) => m.put(k, v) }

@@ -7,7 +7,9 @@ import graft.SparkSpec
   * the warehouse root is a SQL table; VERSION AS OF (integer or tag)
   * / TIMESTAMP AS OF resolve manifests; plain stores ride the parquet
   * V2 path while MoR/renamed stores scan through the engine's
-  * effective read; the catalog is read-only. */
+  * effective read; INSERT INTO/OVERWRITE ride the manifest layer
+  * (append/overwrite — CDC, constraints, atomic commits); DDL and
+  * pinned-version writes refuse. */
 class GraftCatalogSpec extends SparkSpec {
   import spark.implicits._
 
@@ -63,9 +65,6 @@ class GraftCatalogSpec extends SparkSpec {
     Snapshots.create(spark, s"$root/guard",
       (1L to 20L).map(i => (i, s"b$i")).toDF("id", "body"),
       nFiles = 2)
-    intercept[Exception] {
-      spark.sql("INSERT INTO gcat.guard VALUES (21, 'x')")
-    }
     intercept[UnsupportedOperationException] {
       spark.sql("DROP TABLE gcat.guard")
     }
@@ -116,5 +115,56 @@ class GraftCatalogSpec extends SparkSpec {
         .collect()
     }
     assert(err.getMessage.contains("nope"))
+  }
+
+  test("SQL writes ride the manifest layer: INSERT INTO appends a " +
+      "version with CDC; constraints refuse; OVERWRITE replaces; " +
+      "pinned resolutions and DDL stay read-only") {
+    Snapshots.create(spark, s"$root/w",
+      (1L to 10L).map(i => (i, i * 2)).toDF("id", "v"), nFiles = 1)
+    Snapshots.addConstraint(spark, s"$root/w", "v_pos", "v > 0")
+    val v1 = Snapshots.latest(spark, s"$root/w")
+    spark.sql("INSERT INTO gcat.w VALUES (11, 22), (12, 24)")
+    val v2 = Snapshots.latest(spark, s"$root/w")
+    assert(v2 == v1 + 1 &&
+      Snapshots.snap(spark, s"$root/w", v2).op == "append")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.w")
+      .as[Long].head() == 12L)
+    // the CDC feed sees the SQL insert like any append
+    assert(Snapshots.changes(spark, s"$root/w", "id", v1, v2)
+      .filter(col("_change") === "insert").count() == 2L)
+    // CHECK constraints guard SQL writes too, naming the constraint
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.w VALUES (13, -5)")
+    }
+    assert(e.getMessage.contains("v_pos"), s"got: ${e.getMessage}")
+    assert(Snapshots.latest(spark, s"$root/w") == v2,
+      "refused insert must not commit")
+    // INSERT OVERWRITE = Snapshots.overwrite (old versions readable)
+    spark.sql("INSERT OVERWRITE gcat.w VALUES (100, 1), (101, 2)")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.w")
+      .as[Long].head() == 2L)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM gcat.w VERSION AS OF $v2")
+      .as[Long].head() == 12L)
+    // a pinned resolution refuses writes
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.w VERSION AS OF 1 VALUES (1, 1)")
+    }
+    // (Spark may reject time-travel INSERT at analysis or our gate
+    // fires — either way it must not commit)
+    assert(Snapshots.read(spark, s"$root/w").count() == 2L)
+    // INSERT into a MoR + renamed store goes through append with the
+    // colmap intact and is visible through the effective scan
+    Snapshots.create(spark, s"$root/wm",
+      (1L to 10L).map(i => (i, i)).toDF("id", "n"), nFiles = 1)
+    Snapshots.deleteWhereMor(spark, s"$root/wm", "id", 1L, 2L)
+    Snapshots.renameColumn(spark, s"$root/wm", "n", "num")
+    spark.sql("INSERT INTO gcat.wm VALUES (21, 210)")
+    assert(spark.sql(
+      "SELECT sum(num) AS sn FROM gcat.wm WHERE id >= 20")
+      .as[Long].head() == 210L)
+    assert(Snapshots.read(spark, s"$root/wm")
+      .filter(col("id") === 21L).select("num").as[Long].head() == 210L)
   }
 }
