@@ -8658,6 +8658,50 @@ object SparkEntry {
            |  sum(cents) AS sum_cents
            |FROM g383.$tbl GROUP BY o_orderpriority""".stripMargin),
         col("o_orderpriority"))
+    }),
+
+    // ---- SQL DELETE FROM through the catalog ----
+    // The general-predicate copy-on-write delete behind Spark's own
+    // DELETE syntax: a compound predicate (key band AND a value
+    // condition — not expressible as one stats band) attributes
+    // matching rows to their entries in one tagged scan, rewrites
+    // ONLY containing files (asserted in-body), and the CDC feed
+    // prices the deletions. Oracle = the surviving rows recomputed.
+    "q384_sql_delete" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q384"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g384",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g384.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, url, docs, nFiles = 8,
+        clusterBy = Some("doc_id"))
+      val v1 = Snapshots.latest(s, url)
+      val before = Snapshots.snap(s, url, v1).files.toSet
+      s.sql(s"DELETE FROM g384.$tbl " +
+        "WHERE doc_id BETWEEN 100 AND 300 AND n_chars > 500")
+      val v2 = Snapshots.latest(s, url)
+      require(v2 == v1 + 1 &&
+        Snapshots.snap(s, url, v2).op == "delete",
+        "SQL DELETE must commit one delete version")
+      require(Snapshots.snap(s, url, v2).files.toSet
+        .intersect(before).nonEmpty,
+        "predicate delete rewrote every file — COW attribution lost")
+      orderSmall(s.sql(
+        s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+           |FROM g384.$tbl GROUP BY lang""".stripMargin),
+        col("lang"))
     })
   )
 
@@ -18347,6 +18391,15 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
         |  AND o_totalprice IS NOT NULL
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q384_sql_delete" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |  AND NOT (doc_id BETWEEN 100 AND 300 AND n_chars > 500)
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -228,7 +228,8 @@ private[sources] object GraftCatalog {
   * resolutions are read-only: inserting into a pinned version would
   * rewrite history. DDL stays refused at the catalog. */
 private[sources] trait GraftSqlWrites
-    extends org.apache.spark.sql.connector.catalog.SupportsWrite {
+    extends org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   def storeUrl: String
   def writable: Boolean
   def label: String
@@ -238,6 +239,26 @@ private[sources] trait GraftSqlWrites
       s"$label is a pinned time-travel resolution — INSERT targets " +
         "the latest version (drop the VERSION/TIMESTAMP AS OF)")
     new GraftWriteBuilder(storeUrl)
+  }
+
+  /** `DELETE FROM` → [[Snapshots.deleteWhereCond]]: the general
+    * copy-on-write predicate delete (entries containing a match are
+    * rewritten; CDC sees the deletions; NULL predicate rows
+    * survive). Refuses untranslatable predicates at analysis via
+    * [[canDeleteWhere]] rather than deleting the wrong rows. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    writable && filters.forall(f => GraftCatalog.translate(f).isDefined)
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(writable,
+      s"$label is a pinned time-travel resolution — DELETE targets " +
+        "the latest version")
+    val cond = filters.map(f => GraftCatalog.translate(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE predicate $f is not translatable — use " +
+            "Snapshots.deleteWhereCond")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Snapshots.deleteWhereCond(SparkSession.active, storeUrl,
+      cond): Unit
   }
 }
 

@@ -793,6 +793,41 @@ object Snapshots {
       longRangePred(_, field, lo, hi))
   }
 
+  /** GENERAL-predicate copy-on-write DELETE — `DELETE FROM store
+    * WHERE <any condition>`: one tagged scan attributes matching
+    * rows to their manifest entries, only entries that actually
+    * CONTAIN a match are rewritten without those rows, untouched
+    * files re-list, and the CDC feed sees exactly the deletions.
+    * SQL DELETE semantics: a row deletes only when the condition is
+    * TRUE (NULL survives). Unlike the banded [[deleteWhere]]/
+    * [[deleteWhereStr]] flavors this cannot prune the attribution
+    * scan from statistics (an arbitrary predicate has no band), so
+    * it reads the corpus once — prefer the range flavors for
+    * retention sweeps; this is the exactness fallback and the SQL
+    * `DELETE FROM` path ([[GraftCatalog]]). Returns the CURRENT
+    * version when nothing matches (true no-op). */
+  def deleteWhereCond(spark: SparkSession, url: String,
+      cond: Column): Int = {
+    val (_, root) = fsOf(spark, url)
+    val parent = snap(spark, url, latest(spark, url))
+    if (parent.files.isEmpty) return parent.version
+    val storeSchema = schemaOf(spark, root, parent)
+    val hit = coalesce(cond, lit(false))
+    val affected = readEntriesTagged(spark, root, parent.files,
+      storeSchema, "__graft_del_entry", parent.colmap)
+      .filter(hit).select(col("__graft_del_entry")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // O(files) bounded
+    if (affected.isEmpty) return parent.version
+    val keep = readEntriesEff(spark, root, affected, storeSchema,
+      parent.colmap).filter(!hit)
+    val v = parent.version + 1
+    val rewritten = writeFiles(spark, root, keep, v,
+      math.max(1, affected.length), colmap = parent.colmap)
+    commit(spark, root, v, "delete",
+      parent.files.filterNot(affected.toSet) ++ rewritten,
+      Some(storeSchema), parent.colmap, parent.dropped)
+  }
+
   /** [[deleteWhere]] for a STRING field (prefix-band pruning). */
   def deleteWhereStr(spark: SparkSession, url: String, field: String,
       lo: String, hi: String): Int = {

@@ -167,4 +167,36 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Snapshots.read(spark, s"$root/wm")
       .filter(col("id") === 21L).select("num").as[Long].head() == 210L)
   }
+
+  test("DELETE FROM rides the copy-on-write predicate delete: only " +
+      "containing files rewrite, CDC sees deletions, NULL survives, " +
+      "untranslatable predicates refuse") {
+    Snapshots.create(spark, s"$root/d",
+      ((1L to 20L).map(i => (i, Some(i * 2))) :+ (21L, None))
+        .toDF("id", "v"), nFiles = 4)
+    val v1 = Snapshots.latest(spark, s"$root/d")
+    val before = Snapshots.snap(spark, s"$root/d", v1).files.toSet
+    spark.sql("DELETE FROM gcat.d WHERE id >= 1 AND id <= 3")
+    val v2 = Snapshots.latest(spark, s"$root/d")
+    assert(v2 == v1 + 1 &&
+      Snapshots.snap(spark, s"$root/d", v2).op == "delete")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.d")
+      .as[Long].head() == 18L)
+    // COW at file granularity: some of the four files survive
+    val after = Snapshots.snap(spark, s"$root/d", v2).files.toSet
+    assert(after.intersect(before).nonEmpty,
+      "predicate delete rewrote every file")
+    // CDC sees exactly the three deletions
+    assert(Snapshots.changes(spark, s"$root/d", "id", v1, v2)
+      .filter(col("_change") === "delete").count() == 3L)
+    // NULL predicate rows survive (SQL DELETE semantics)
+    spark.sql("DELETE FROM gcat.d WHERE v < 10")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gcat.d WHERE v IS NULL")
+      .as[Long].head() == 1L)
+    // a no-match delete commits nothing
+    val vNow = Snapshots.latest(spark, s"$root/d")
+    spark.sql("DELETE FROM gcat.d WHERE id > 1000000")
+    assert(Snapshots.latest(spark, s"$root/d") == vNow)
+  }
 }
