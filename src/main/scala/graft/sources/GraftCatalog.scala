@@ -136,7 +136,44 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
-  override def loadTable(ident: Identifier): Table = tableAt(ident, -1)
+  override def loadTable(ident: Identifier): Table =
+    metaTable(ident).getOrElse(tableAt(ident, -1))
+
+  /** `<store>$history` / `<store>$tags` / `<store>$txns` resolve as
+    * read-only METADATA tables over the manifest layer (the
+    * `DESCRIBE HISTORY` surface without parser extensions):
+    * {{{
+    *   SELECT * FROM graft.`events$history`  -- version/op/file deltas
+    *   SELECT * FROM graft.`events$tags`     -- name → pinned version
+    *   SELECT * FROM graft.`events$txns`     -- open intent journals
+    * }}}
+    * Each query re-derives from the manifests (O(versions) JSON
+    * reads, no data files) — always current, nothing cached. */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    val name = ident.name
+    val i = name.lastIndexOf('$')
+    if (i <= 0) return None
+    val (store, kind) = (name.substring(0, i), name.substring(i + 1))
+    val url = urlOf(Identifier.of(ident.namespace, store))
+    if (Snapshots.versions(spark, url).isEmpty) return None
+    val sp = spark
+    val build: SparkSession => DataFrame = kind match {
+      case "history" => s => Snapshots.history(s, url)
+      case "tags" => s => {
+        import s.implicits._
+        Snapshots.tags(s, url).toDF("name", "version")
+      }
+      case "txns" => s => {
+        import s.implicits._
+        Snapshots.pendingTxns(s, url).toDF("txn")
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table $catName.$name — " +
+          "$history, $tags and $txns exist")
+    }
+    Some(new GraftMetaSqlTable(s"$catName.$name", build(sp).schema,
+      build))
+  }
 
   /** `VERSION AS OF n` — the manifest layer's time travel; a
     * non-integer version string resolves as a NAMED TAG
@@ -369,6 +406,46 @@ private[sources] class GraftEffScanBuilder(url: String, version: Int,
           .asInstanceOf[T]
     }
   }
+}
+
+/** Read-only V2 table over a re-derived metadata frame (history,
+  * tags, open transactions): the builder runs at scan time, so every
+  * query sees the CURRENT manifest state. */
+private[sources] class GraftMetaSqlTable(label: String,
+    pinned: StructType,
+    mk: SparkSession => DataFrame) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  override def name(): String = label
+  override def schema(): StructType = pinned
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = pinned
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = {
+        val req = required
+        new V1Scan {
+          override def readSchema(): StructType = req
+          override def toV1TableScan[
+              T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = req
+              override def buildScan(): RDD[Row] = {
+                val df = mk(context.sparkSession)
+                val pruned =
+                  if (req.isEmpty) df.select()
+                  else df.select(req.fieldNames.toSeq.map(col): _*)
+                pruned.rdd
+              }
+            }.asInstanceOf[T]
+        }
+      }
+    }
 }
 
 private[sources] class GraftEffRelation(ctx: SQLContext, url: String,

@@ -199,4 +199,34 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM gcat.d WHERE id > 1000000")
     assert(Snapshots.latest(spark, s"$root/d") == vNow)
   }
+
+  test("metadata tables: $history/$tags/$txns resolve per store, " +
+      "re-derived each query") {
+    Snapshots.create(spark, s"$root/m",
+      (1L to 10L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    Snapshots.setTag(spark, s"$root/m", "gold", 1)
+    Snapshots.append(spark, s"$root/m",
+      Seq((11L, 11L)).toDF("id", "v"))
+    val hist = spark.sql(
+      "SELECT version, op, n_added FROM gcat.`m$history` " +
+        "ORDER BY version").collect()
+    assert(hist.length == 2 &&
+      hist(0).getString(1) == "create" &&
+      hist(1).getString(1) == "append" &&
+      hist(1).getLong(2) >= 1L)
+    assert(spark.sql("SELECT name, version FROM gcat.`m$tags`")
+      .as[(String, Int)].collect().toSeq == Seq(("gold", 1)))
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.`m$txns`")
+      .as[Long].head() == 0L)
+    // re-derived: a new commit shows up without re-resolving anything
+    Snapshots.append(spark, s"$root/m",
+      Seq((12L, 12L)).toDF("id", "v"))
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gcat.`m$history`")
+      .as[Long].head() == 3L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.`m$bogus`").collect()
+    }
+    assert(e.getMessage.contains("history"), s"got ${e.getMessage}")
+  }
 }
