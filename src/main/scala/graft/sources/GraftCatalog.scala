@@ -49,12 +49,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    (conservative — the inner application can only remove rows the
   *    filter would remove anyway).
   *
-  * `INSERT INTO` / `INSERT OVERWRITE` (latest resolution only)
-  * route through [[Snapshots.append]]/[[Snapshots.overwrite]] — the
-  * manifest layer's atomic commit, CDC feed, CHECK constraints and
-  * schema gate apply exactly as in the programmatic API. DDL
-  * (CREATE/ALTER/DROP/RENAME) refuses loudly toward the
-  * [[Snapshots]] API, which owns store lifecycle. */
+  * The write surface routes through the SAME manifest layer as the
+  * programmatic API (atomic commits, CDC, CHECK constraints, schema
+  * gate): `INSERT INTO`/`INSERT OVERWRITE` →
+  * [[Snapshots.append]]/[[Snapshots.overwrite]]; `DELETE FROM` →
+  * [[Snapshots.deleteWhereCond]]; `CREATE TABLE` (incl. CTAS) →
+  * [[Snapshots.create]]; `ALTER TABLE RENAME/DROP COLUMN` → the
+  * metadata-only [[Snapshots.renameColumn]]/[[Snapshots
+  * .dropColumn]]. Destructive lifecycle (DROP of a store with
+  * history, RENAME TABLE, other ALTERs) refuses loudly. */
 class GraftCatalog extends TableCatalog {
 
   private var catName: String = _
@@ -208,14 +211,69 @@ class GraftCatalog extends TableCatalog {
         "dropColumn/...); INSERT INTO/OVERWRITE are served through " +
         "the same manifest layer")
 
+  /** `CREATE TABLE` (and the create half of CTAS): a new store at
+    * `<root>/<name>` whose v1 is empty under the declared pinned
+    * schema — [[Snapshots.create]], so every later SQL INSERT /
+    * DELETE / time-travel behaves exactly like a programmatic
+    * store. Partition transforms refuse (layout is the manifest
+    * layer's job: `Snapshots.cluster`/`zcluster`). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft stores do not take partition transforms — lay data out " +
+        "with Snapshots.cluster/zcluster after load")
+    val url = urlOf(ident)
+    Snapshots.create(spark, url, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema), nFiles = 1)
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN / DROP COLUMN` map onto the
+    * metadata-only [[Snapshots.renameColumn]]/[[Snapshots
+    * .dropColumn]] commits (zero data files touched; old versions
+    * keep their names; dropped physical slots stay reserved). Other
+    * alterations refuse — type changes are a rewrite
+    * ([[Snapshots.overwrite]]), new columns arrive by additive
+    * evolution on the next INSERT. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean =
-    readOnly("DROP TABLE")
+      changes: TableChange*): Table = {
+    val url = urlOf(ident)
+    changes.foreach {
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames.length == 1,
+          "graft columns are top-level — nested rename unsupported")
+        Snapshots.renameColumn(spark, url, rc.fieldNames.head,
+          rc.newName)
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames.length == 1,
+          "graft columns are top-level — nested drop unsupported")
+        Snapshots.dropColumn(spark, url, dc.fieldNames.head)
+      case other => readOnly(s"ALTER TABLE ($other)")
+    }
+    loadTable(ident)
+  }
+
+  /** `DROP TABLE` only removes a store CTAS just made and left
+    * empty (the cleanup path of a failed CTAS write): a single
+    * `create` version with zero rows. Anything else refuses —
+    * deleting a real store's history is an explicit filesystem
+    * decision, not a SQL statement. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val url = urlOf(ident)
+    val vs = Snapshots.versions(spark, url)
+    if (vs.isEmpty) return false
+    require(vs == Seq(1) &&
+      Snapshots.snap(spark, url, 1).op == "create" &&
+      Snapshots.read(spark, url).isEmpty,
+      s"DROP TABLE only removes an empty just-created store — " +
+        s"$catName.${ident.name} has history; delete the directory " +
+        "explicitly if that is really intended")
+    val p = new Path(url)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(p, true)
+  }
+
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
 }

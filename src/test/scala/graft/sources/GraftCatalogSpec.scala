@@ -65,9 +65,10 @@ class GraftCatalogSpec extends SparkSpec {
     Snapshots.create(spark, s"$root/guard",
       (1L to 20L).map(i => (i, s"b$i")).toDF("id", "body"),
       nFiles = 2)
-    intercept[UnsupportedOperationException] {
+    val eDrop = intercept[Exception] {
       spark.sql("DROP TABLE gcat.guard")
     }
+    assert(eDrop.getMessage.contains("has history"))
     // MoR delete: SQL must see the EFFECTIVE rows (no resurrection)
     Snapshots.deleteWhereMor(spark, s"$root/guard", "id", 1L, 2L)
     assert(spark.sql("SELECT count(*) AS n FROM gcat.guard")
@@ -228,5 +229,47 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM gcat.`m$bogus`").collect()
     }
     assert(e.getMessage.contains("history"), s"got ${e.getMessage}")
+  }
+
+  test("DDL lifecycle: CREATE TABLE + CTAS ride Snapshots.create; " +
+      "ALTER RENAME/DROP COLUMN are metadata-only commits; DROP " +
+      "only removes an empty just-created store") {
+    spark.sql("CREATE TABLE gcat.ddl (id BIGINT, v BIGINT, x BIGINT)")
+    assert(Snapshots.latest(spark, s"$root/ddl") == 1)
+    spark.sql("INSERT INTO gcat.ddl VALUES (1, 10, 5), (2, 20, 6)")
+    spark.sql("ALTER TABLE gcat.ddl RENAME COLUMN v TO val")
+    // metadata-only: no data files moved by the rename commit
+    val vr = Snapshots.latest(spark, s"$root/ddl")
+    assert(Snapshots.snap(spark, s"$root/ddl", vr).op
+      .startsWith("rename:"))
+    assert(spark.sql("SELECT sum(val) AS sv FROM gcat.ddl")
+      .as[Long].head() == 30L)
+    spark.sql("ALTER TABLE gcat.ddl DROP COLUMN x")
+    assert(spark.sql("SELECT * FROM gcat.ddl").columns.toSeq ==
+      Seq("id", "val"))
+    // writes after the rename keep the stable physical schema
+    spark.sql("INSERT INTO gcat.ddl VALUES (3, 30)")
+    assert(spark.sql("SELECT sum(val) AS sv FROM gcat.ddl")
+      .as[Long].head() == 60L)
+    // CTAS: create + write through the same layer
+    spark.sql("CREATE TABLE gcat.ctas AS " +
+      "SELECT id, val * 2 AS dbl FROM gcat.ddl")
+    assert(spark.sql("SELECT sum(dbl) AS s FROM gcat.ctas")
+      .as[Long].head() == 120L)
+    assert(Snapshots.versions(spark, s"$root/ctas").nonEmpty)
+    // DROP refuses once a store has real history
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE gcat.ctas")
+    }
+    assert(e.getMessage.contains("has history"), s"got ${e.getMessage}")
+    // ... but removes an empty just-created one (the CTAS-cleanup
+    // shape)
+    spark.sql("CREATE TABLE gcat.scratch (a BIGINT)")
+    spark.sql("DROP TABLE gcat.scratch")
+    assert(Snapshots.versions(spark, s"$root/scratch").isEmpty)
+    // unsupported alterations refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.ddl ALTER COLUMN id TYPE INT")
+    }
   }
 }
