@@ -8702,6 +8702,52 @@ object SparkEntry {
         s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
            |FROM g384.$tbl GROUP BY lang""".stripMargin),
         col("lang"))
+    }),
+
+    // ---- Whole lifecycle in NOTHING but SQL ----
+    // The user-facing proof of the catalog surface: CREATE TABLE,
+    // INSERT INTO ... SELECT, ALTER TABLE RENAME COLUMN
+    // (metadata-only), DELETE FROM (copy-on-write), and the final
+    // aggregate — five statements, every one riding the manifest
+    // layer, with the rename and delete ops asserted from the
+    // $history metadata table (also SQL). Oracle = the surviving
+    // rows recomputed from the source.
+    "q385_sql_lifecycle" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q385"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g385",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g385.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull &&
+          col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("bal"))
+        .createOrReplaceTempView("q385_src")
+      s.sql(s"CREATE TABLE g385.$tbl " +
+        "(c_custkey BIGINT, c_mktsegment STRING, bal BIGINT)")
+      s.sql(s"INSERT INTO g385.$tbl SELECT * FROM q385_src")
+      s.sql(s"ALTER TABLE g385.$tbl RENAME COLUMN bal TO bal_cents")
+      s.sql(s"DELETE FROM g385.$tbl WHERE bal_cents < 0")
+      val ops = s.sql(
+        s"SELECT op FROM g385.`$tbl$$history` ORDER BY version")
+        .collect().map(_.getString(0)).toSeq
+      require(ops.length == 4 && ops(0) == "create" &&
+        ops(1) == "append" && ops(2).startsWith("rename:") &&
+        ops(3) == "delete",
+        s"unexpected SQL lifecycle history: $ops")
+      orderSmall(s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n,
+           |  sum(bal_cents) AS sum_bal
+           |FROM g385.$tbl GROUP BY c_mktsegment""".stripMargin),
+        col("c_mktsegment"))
     })
   )
 
@@ -18400,6 +18446,19 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL
         |  AND NOT (doc_id BETWEEN 100 AND 300 AND n_chars > 500)
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q385_sql_lifecycle" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |    AND c_acctbal IS NOT NULL
+        |)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM c WHERE bal >= 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
