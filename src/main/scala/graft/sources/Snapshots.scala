@@ -546,18 +546,64 @@ object Snapshots {
     * The committed schema is the parent's evolved additively with
     * `df`'s — appending a frame with a NEW column upgrades the
     * store's read schema in the manifest, and every pre-existing
-    * file reads the column as null. */
+    * file reads the column as null.
+    *
+    * CONCURRENT-WRITER safe: an append's content does not depend on
+    * which head it lands on (new files + whatever the parent lists),
+    * so a lost version race retries at the new head instead of
+    * failing — many jobs can append to one store simultaneously
+    * (the multi-pipeline ingest shape). The one exception: a rename/
+    * drop interleaving the race changes the physical names staged
+    * files should have been written under — refused loudly. */
   def append(spark: SparkSession, url: String, df: DataFrame,
       nFiles: Int = 8): Int = {
     val (_, root) = fsOf(spark, url)
     val parent = snap(spark, url, latest(spark, url))
     validateBatch(spark, root, url, df)
-    val v = parent.version + 1
-    commit(spark, root, v, "append",
-      parent.files ++ writeFiles(spark, root, df, v, nFiles,
-        colmap = parent.colmap),
-      Some(evolveFrom(spark, root, parent, df)),
-      parent.colmap, parent.dropped)
+    val staged = writeFiles(spark, root, df, parent.version + 1,
+      nFiles, colmap = parent.colmap)
+    commitAppendStaged(spark, root, url, "append", staged, df,
+      parent.colmap)
+  }
+
+  /** Commit already-staged append files, retrying lost version
+    * races at the (re-resolved) head — shared by [[append]] and
+    * [[appendOnce]]. Only the race signal retries; anything else
+    * surfaces on attempt 1. `dedupOp`: when set, a version whose op
+    * equals it (committed by a racing at-least-once twin) wins and
+    * is returned, leaving this call's staged files as vacuum
+    * orphans — the exactly-once contract under concurrency. */
+  private def commitAppendStaged(spark: SparkSession, root: Path,
+      url: String, op: String, staged: Seq[String], df: DataFrame,
+      stagedColmap: Map[String, String],
+      dedupOp: Option[String] = None): Int = {
+    var attempts = 0
+    var out = -1
+    while (out < 0) {
+      dedupOp.flatMap(o => versions(spark, url)
+          .find(v => snap(spark, url, v).op == o)) match {
+        case Some(v) => out = v
+        case None =>
+          val parent = snap(spark, url, latest(spark, url))
+          // staged files carry stagedColmap's PHYSICAL names; a
+          // rename/drop interleaving the race would make them stale
+          require(parent.colmap == stagedColmap,
+            s"append raced a column-mapping change at $url — " +
+              "staged files carry the previous physical names; " +
+              "re-run the append")
+          try out = commit(spark, root, parent.version + 1, op,
+            parent.files ++ staged,
+            Some(evolveFrom(spark, root, parent, df)),
+            parent.colmap, parent.dropped)
+          catch {
+            case e: RuntimeException
+                if e.getMessage != null && e.getMessage
+                  .startsWith("concurrent commit lost the race") &&
+                  attempts < 16 => attempts += 1
+          }
+      }
+    }
+    out
   }
 
   /** Write-audit-publish append: stage the batch's files, run the
@@ -647,12 +693,14 @@ object Snapshots {
       val (_, root) = fsOf(spark, url)
       val parent = snap(spark, url, latest(spark, url))
       validateBatch(spark, root, url, df)
-      val v = parent.version + 1
-      commit(spark, root, v, op,
-        parent.files ++ writeFiles(spark, root, df, v, nFiles,
-          colmap = parent.colmap),
-        Some(evolveFrom(spark, root, parent, df)),
-        parent.colmap, parent.dropped)
+      val staged = writeFiles(spark, root, df, parent.version + 1,
+        nFiles, colmap = parent.colmap)
+      // race-retrying commit with the key re-checked each attempt:
+      // an at-least-once TWIN that won the race makes this call
+      // return its version (staged files become vacuum orphans) —
+      // exactly-once even under concurrent replays
+      commitAppendStaged(spark, root, url, op, staged, df,
+        parent.colmap, dedupOp = Some(op))
     }
   }
 
