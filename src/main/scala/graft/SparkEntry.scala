@@ -8589,11 +8589,20 @@ object SparkEntry {
               b.filter(col("event_id") % 2 === 0), 1),
           (oddStore,
             (b: org.apache.spark.sql.DataFrame) =>
-              b.filter(col("event_id") % 2 =!= 0), 1)))
+              b.filter(col("event_id") % 2 =!= 0), 1)),
+          statsFields = Map(evenStore -> Seq("event_id")))
         .option("checkpointLocation", s"$base/ck")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the per-epoch stats maintenance kept the even store's bands
+      // fresh: a full-range count answers from metadata alone
+      val (nEven, scanned) = Snapshots.countWhere(s, evenStore,
+        "event_id", Long.MinValue, Long.MaxValue)
+      require(scanned == 0,
+        s"stream-maintained stats not metadata-priced ($scanned)")
+      require(nEven == Snapshots.read(s, evenStore).count(),
+        "metadata count diverged from the store")
       def epochKeys(url: String): Set[String] =
         Snapshots.versions(s, url)
           .map(v => Snapshots.snap(s, url, v).op)

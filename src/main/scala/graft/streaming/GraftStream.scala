@@ -205,15 +205,25 @@ object GraftStream {
     * seeing one side ahead. Every store must exist
     * ([[graft.sources.Snapshots.create]]). */
   def snapshotSinkMulti(batches: DataFrame, streamId: String,
-      parts: Seq[(String, DataFrame => DataFrame, Int)])
+      parts: Seq[(String, DataFrame => DataFrame, Int)],
+      statsFields: Map[String, Seq[String]] = Map.empty)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(streamId.matches("[A-Za-z0-9_.-]+"),
       s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+)")
     require(parts.nonEmpty, "snapshotSinkMulti: no target stores")
+    val urls = parts.map(_._1).toSet
+    statsFields.keys.foreach(u => require(urls.contains(u),
+      s"statsFields names $u, which is not a sink target"))
     batches.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       graft.sources.Snapshots.commitTogether(batch.sparkSession,
         parts.map { case (url, f, nFiles) => (url, f(batch), nFiles) },
         Some(s"${streamId}_b$id")): Unit
+      // per-epoch stats maintenance per store — the [[snapshotSink]]
+      // shape: incremental, covered files skipped, retry-safe
+      statsFields.foreach { case (url, fields) =>
+        graft.sources.Snapshots.indexStats(batch.sparkSession, url,
+          fields): Unit
+      }
     }
   }
 
