@@ -174,4 +174,30 @@ class BranchSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("delete the directory"))
   }
+
+  test("rebase composes with column mapping: conflicts and replay " +
+      "on a renamed store use logical names end to end") {
+    val main = fresh("rrmain"); val br = fresh("rrbr")
+    val br2 = fresh("rrbr2")
+    mk(main)
+    Snapshots.renameColumn(spark, main, "id", "doc")
+    Branch.fork(spark, main, br)
+    Snapshots.upsert(spark, br,
+      Seq((5L, "branchside", 1L), (9L, "brnine", 9L))
+        .toDF("doc", "s", "n"), "doc")
+    Snapshots.upsert(spark, main,
+      Seq((5L, "mainside", 2L)).toDF("doc", "s", "n"), "doc")
+    intercept[IllegalArgumentException] {
+      Branch.mergeBack(spark, br, "doc")
+    }
+    val (_, conflicts) = Branch.rebase(spark, br, br2, "doc")
+    assert(conflicts == Seq(5L))
+    Branch.mergeBack(spark, br2, "doc")
+    val now = Snapshots.read(spark, main)
+    assert(now.columns.contains("doc"))
+    assert(now.filter(col("doc") === 5L).select("s")
+      .as[String].head() == "mainside")
+    assert(now.filter(col("doc") === 9L).select("s")
+      .as[String].head() == "brnine")
+  }
 }
