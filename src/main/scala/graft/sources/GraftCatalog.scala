@@ -58,7 +58,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * metadata-only [[Snapshots.renameColumn]]/[[Snapshots
   * .dropColumn]]. Destructive lifecycle (DROP of a store with
   * history, RENAME TABLE, other ALTERs) refuses loudly. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catName: String = _
   private var rootUrl: String = _
@@ -276,6 +276,21 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+
+  /** Maintenance as SQL stored procedures — `CALL graft.compact(
+    * 'events', 8)` etc.; see [[GraftProcedures]] for the set. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql
+      .connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty,
+      s"graft procedures are single-level: use CALL $catName.<proc>")
+    new GraftProcedure(catName, rootUrl, ident.name)
+  }
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] = {
+    require(ns.isEmpty, "graft catalog has a single flat namespace")
+    GraftProcedures.specs.keys.toSeq.sorted
+      .map(n => Identifier.of(Array.empty, n)).toArray
+  }
 }
 
 private[sources] object GraftCatalog {

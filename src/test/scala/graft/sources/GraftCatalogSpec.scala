@@ -272,4 +272,36 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE gcat.ddl ALTER COLUMN id TYPE INT")
     }
   }
+
+  test("CALL procedures: maintenance rides SQL — compact, set_tag, " +
+      "vacuum, recover_txns, maintain return result rows") {
+    Snapshots.create(spark, s"$root/proc",
+      (1L to 30L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    (1 to 3).foreach(k => Snapshots.append(spark, s"$root/proc",
+      Seq((30L + k, 1L)).toDF("id", "v"), nFiles = 1))
+    assert(spark.sql("CALL gcat.recover_txns('proc')")
+      .as[Long].head() == 0L)
+    val vComp = spark.sql("CALL gcat.compact('proc', 1)")
+      .as[Long].head()
+    assert(vComp == Snapshots.latest(spark, s"$root/proc").toLong &&
+      Snapshots.snap(spark, s"$root/proc", vComp.toInt).op == "compact")
+    assert(spark.sql("CALL gcat.set_tag('proc', 'gold', 1)")
+      .collect().head.getString(0) == "gold")
+    val vac = spark.sql(
+      s"CALL gcat.vacuum('proc', $vComp, 0)").collect().head
+    assert(vac.getLong(1) > 0L, "vacuum must retire manifests")
+    // the tag pin survived the CALLed vacuum
+    assert(Snapshots.readTag(spark, s"$root/proc", "gold")
+      .count() == 30L)
+    // warehouse-wide maintain returns one row per store
+    val rep = spark.sql("CALL gcat.maintain(1, 0, 1)")
+      .select("store").as[String].collect().toSet
+    assert(rep.contains("proc"))
+    // unknown procedure refuses (Spark wraps the loud message in
+    // FAILED_TO_LOAD_ROUTINE; the cause names the real procedures)
+    val e = intercept[Exception] {
+      spark.sql("CALL gcat.nope('x')")
+    }
+    assert(e.getMessage.contains("nope"), s"got ${e.getMessage}")
+  }
 }
