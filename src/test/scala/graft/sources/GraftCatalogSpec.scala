@@ -7,9 +7,11 @@ import graft.SparkSpec
   * the warehouse root is a SQL table; VERSION AS OF (integer or tag)
   * / TIMESTAMP AS OF resolve manifests; plain stores ride the parquet
   * V2 path while MoR/renamed stores scan through the engine's
-  * effective read; INSERT INTO/OVERWRITE ride the manifest layer
-  * (append/overwrite — CDC, constraints, atomic commits); DDL and
-  * pinned-version writes refuse. */
+  * effective read; INSERT INTO/OVERWRITE/DELETE FROM, CREATE TABLE/
+  * CTAS and ALTER RENAME/DROP COLUMN all ride the manifest layer;
+  * CALL procedures expose maintenance; metadata tables expose
+  * history/tags/txns; pinned-version writes and destructive
+  * lifecycle refuse. */
 class GraftCatalogSpec extends SparkSpec {
   import spark.implicits._
 
