@@ -8757,6 +8757,36 @@ object SparkEntry {
            |  sum(bal_cents) AS sum_bal
            |FROM g385.$tbl GROUP BY c_mktsegment""".stripMargin),
         col("c_mktsegment"))
+    }),
+
+    // ---- Footer-priced COUNT(*) across merge-on-read ----
+    // rowCountMeta answers "how many rows is this version" from
+    // parquet footers alone (one small metadata read per file,
+    // distributed — no data page opened anywhere), with MoR entries
+    // subtracting exactly their vectors' paired positions. The query
+    // emits the pre-delete v1 count and the post-MoR head count from
+    // the metadata path; the oracle recomputes both from rows.
+    "q386_row_count_meta" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q386"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val url = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"))
+      Snapshots.create(s, url, docs, nFiles = 8,
+        clusterBy = Some("doc_id"))
+      Snapshots.deleteWhereMor(s, url, "doc_id", 150L, 420L)
+      import s.implicits._
+      Seq((Snapshots.rowCountMeta(s, url, version = 1),
+        Snapshots.rowCountMeta(s, url)))
+        .toDF("rows_v1", "rows_head")
     })
   )
 
@@ -18468,6 +18498,16 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(bal) AS BIGINT) AS sum_bal
         |FROM c WHERE bal >= 0
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q386_row_count_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |)
+        |SELECT count(*) AS rows_v1,
+        |  CAST(sum(CASE WHEN doc_id NOT BETWEEN 150 AND 420
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_head
+        |FROM d""".stripMargin
   )
 }

@@ -2992,6 +2992,47 @@ object Snapshots {
     markers.size
   }
 
+  /** EFFECTIVE row count of a version from parquet FOOTERS alone —
+    * `COUNT(*)` without touching a data page: every data file's
+    * record count comes from its footer (one small metadata read,
+    * distributed over executors — a 100k-file store answers in
+    * seconds), and merge-on-read entries subtract their deletion
+    * vectors' paired positions (the DV parquets are sparse-small by
+    * contract). Exact by construction: footers are written with the
+    * files and files are immutable. The complement to the
+    * stats-sidecar pricing ([[countWhere]] for RANGE counts): this
+    * needs no sidecar and no clustering, just the manifest. */
+  def rowCountMeta(spark: SparkSession, url: String,
+      version: Int = -1): Long = {
+    val (_, root) = fsOf(spark, url)
+    val v = if (version > 0) version else latest(spark, url)
+    val s = snap(spark, url, v)
+    if (s.files.isEmpty) return 0L
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val dataPaths = s.files
+      .map(e => new Path(root, splitEntry(e)._1).toString)
+    val total = spark.sparkContext
+      .parallelize(dataPaths, math.max(1, math.min(dataPaths.size, 64)))
+      .map { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(p), conf.value))
+        try r.getRecordCount finally r.close()
+      }.sum().toLong
+    // DV'd entries: subtract exactly the positions paired to THIS
+    // version's (data, vector) entries — a shared DV file may also
+    // carry positions for data files re-listed plain elsewhere
+    val dvGroups = s.files.map(splitEntry)
+      .collect { case (d, Some(dv)) => (dv, d) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val deleted = dvGroups.map { case (dv, grp) =>
+      spark.read.parquet(new Path(root, dv).toString)
+        .filter(col("__dv_file").isin(grp.map(_._2): _*)).count()
+    }.sum
+    total - deleted
+  }
+
   def vacuum(spark: SparkSession, url: String, keepFrom: Int,
       graceMs: Long = 3600L * 1000): (Int, Int) = {
     val (fs, root) = fsOf(spark, url)

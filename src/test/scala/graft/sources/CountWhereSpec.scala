@@ -118,4 +118,26 @@ class CountWhereSpec extends SparkSpec {
     assert(r3.count == in.size + 1L &&
       r3.sum == BigDecimal(in.sum + 250L) && r3.filesScanned >= 1)
   }
+
+  test("rowCountMeta: footer-priced COUNT(*) stays exact across " +
+      "append, MoR delete (shared vector), purge and time travel") {
+    val url = scratch(
+      s"rowcount/${java.util.UUID.randomUUID().toString.take(8)}")
+    Snapshots.create(spark, url,
+      (1L to 100L).map(i => (i, i)).toDF("id", "v"), nFiles = 4)
+    assert(Snapshots.rowCountMeta(spark, url) == 100L)
+    Snapshots.append(spark, url,
+      (101L to 120L).map(i => (i, i)).toDF("id", "v"), nFiles = 2)
+    assert(Snapshots.rowCountMeta(spark, url) == 120L)
+    // MoR delete: one vector shared by several entries
+    Snapshots.deleteWhereMor(spark, url, "id", 10L, 40L)
+    assert(Snapshots.rowCountMeta(spark, url) ==
+      Snapshots.read(spark, url).count())
+    assert(Snapshots.rowCountMeta(spark, url) == 89L)
+    // time travel: pre-delete versions keep their counts
+    assert(Snapshots.rowCountMeta(spark, url, version = 2) == 120L)
+    // purge folds the vectors; counts unchanged
+    Snapshots.purgeDv(spark, url)
+    assert(Snapshots.rowCountMeta(spark, url) == 89L)
+  }
 }
