@@ -8787,6 +8787,47 @@ object SparkEntry {
       Seq((Snapshots.rowCountMeta(s, url, version = 1),
         Snapshots.rowCountMeta(s, url)))
         .toDF("rows_v1", "rows_head")
+    }),
+
+    // ---- SQL UPDATE through the catalog ----
+    // The last DML verb: an injected resolution rule claims
+    // UpdateTable over a graft relation and runs the general
+    // copy-on-write predicate update (one tagged attribution scan,
+    // only containing files rewrite, constraints + safe-upcast
+    // assignment semantics, CDC-visible). The op trail is asserted
+    // in-body; the oracle recomputes the updated rows.
+    "q387_sql_update" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q387"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g387",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g387.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, url, docs, nFiles = 8,
+        clusterBy = Some("doc_id"))
+      val v1 = Snapshots.latest(s, url)
+      s.sql(s"UPDATE g387.$tbl SET lang = 'curated', " +
+        "n_chars = n_chars + 1000 " +
+        "WHERE doc_id BETWEEN 200 AND 400 AND n_chars >= 300")
+      val v2 = Snapshots.latest(s, url)
+      require(v2 == v1 + 1 &&
+        Snapshots.snap(s, url, v2).op == "update",
+        "SQL UPDATE must commit one update version")
+      orderSmall(s.sql(
+        s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+           |FROM g387.$tbl GROUP BY lang""".stripMargin),
+        col("lang"))
     })
   )
 
@@ -18508,6 +18549,21 @@ object SparkEntry {
         |SELECT count(*) AS rows_v1,
         |  CAST(sum(CASE WHEN doc_id NOT BETWEEN 150 AND 420
         |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_head
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "q387_sql_update" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 200 AND 400 AND n_chars >= 300
+        |      THEN 'curated' ELSE lang END AS lang,
+        |    CASE WHEN doc_id BETWEEN 200 AND 400 AND n_chars >= 300
+        |      THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -211,9 +211,14 @@ object GraftExtensions {
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftExtensions", name), builder))
     }
+    // SQL UPDATE over GraftCatalog tables → the copy-on-write
+    // predicate update (see [[graft.sources.GraftDml]])
+    ext.injectPostHocResolutionRule(session =>
+      graft.sources.GraftDml.UpdateRule(session))
+  }
 }

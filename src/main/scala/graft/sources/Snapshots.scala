@@ -876,6 +876,68 @@ object Snapshots {
       Some(storeSchema), parent.colmap, parent.dropped)
   }
 
+  /** GENERAL-predicate copy-on-write UPDATE — `UPDATE store SET ...
+    * WHERE <any condition>`: the [[deleteWhereCond]] attribution
+    * (one tagged scan finds the entries that CONTAIN a matching
+    * row), then only those entries rewrite with the SET expressions
+    * applied to matching rows (pred evaluated on PRE-update values),
+    * untouched files re-list, constraints re-check the changed rows,
+    * and the CDC feed sees exactly the updates. SQL assignment
+    * semantics: a SET expression whose type safely upcasts to the
+    * pinned column type is cast implicitly; anything lossy refuses.
+    * Prefer the banded [[updateWhere]]/[[updateWhereStr]] flavors
+    * for range-shaped sweeps (stats-priced attribution); this is
+    * the exactness fallback and the SQL `UPDATE` path. Returns the
+    * CURRENT version when nothing matches. */
+  def updateWhereCond(spark: SparkSession, url: String, cond: Column,
+      sets: Map[String, Column]): Int = {
+    val (_, root) = fsOf(spark, url)
+    val parent = snap(spark, url, latest(spark, url))
+    val storeSchema = schemaOf(spark, root, parent)
+    require(sets.nonEmpty, "updateWhereCond: empty SET clause")
+    sets.keys.foreach(c => require(storeSchema.fieldNames.contains(c),
+      s"updateWhereCond: SET names unknown column $c — updates " +
+        "never add columns (that is schema evolution)"))
+    if (parent.files.isEmpty) return parent.version
+    val hit = coalesce(cond, lit(false))
+    val affected = readEntriesTagged(spark, root, parent.files,
+      storeSchema, "__graft_upd_entry", parent.colmap)
+      .filter(hit).select(col("__graft_upd_entry")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // O(files) bounded
+    if (affected.isEmpty) return parent.version
+    val scanned = readEntriesEff(spark, root, affected, storeSchema,
+      parent.colmap)
+    // implicit SAFE upcasts only (SQL store-assignment semantics):
+    // probe each SET expression's type once, refuse lossy casts
+    val probe = scanned.select(storeSchema.fieldNames.toSeq.map(c =>
+      sets.get(c).map(_.as(c)).getOrElse(col(c))): _*).schema
+    val casted: Map[String, Column] = sets.map { case (c, e) =>
+      val actual = probe(c).dataType
+      val pinned = storeSchema(c).dataType
+      if (actual == pinned) c -> e
+      else {
+        require(org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(actual, pinned),
+          s"updateWhereCond: SET $c yields $actual but the pinned " +
+            s"column is $pinned — not a safe upcast; cast explicitly")
+        c -> e.cast(pinned)
+      }
+    }
+    val updated = scanned.select(storeSchema.fieldNames.toSeq.map { c =>
+      casted.get(c).map(e => when(hit, e).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
+    validateBatch(spark, root, url,
+      scanned.filter(hit).select(storeSchema.fieldNames.toSeq.map(c =>
+        casted.get(c).map(_.as(c)).getOrElse(col(c))): _*))
+    val v = parent.version + 1
+    val rewritten = writeFiles(spark, root, updated, v,
+      math.max(1, affected.length), colmap = parent.colmap)
+    commit(spark, root, v, "update",
+      parent.files.filterNot(affected.toSet) ++ rewritten,
+      Some(storeSchema), parent.colmap, parent.dropped)
+  }
+
   /** [[deleteWhere]] for a STRING field (prefix-band pruning). */
   def deleteWhereStr(spark: SparkSession, url: String, field: String,
       lo: String, hi: String): Int = {

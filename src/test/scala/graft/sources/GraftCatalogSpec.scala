@@ -306,4 +306,53 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"), s"got ${e.getMessage}")
   }
+
+  test("SQL UPDATE rides the copy-on-write predicate update: only " +
+      "containing files rewrite, constraints and upcasts apply, CDC " +
+      "sees updates, renamed/MoR stores work") {
+    Snapshots.create(spark, s"$root/u",
+      (1L to 40L).map(i => (i, i, s"g${i % 3}")).toDF("id", "v", "g"),
+      nFiles = 4, clusterBy = Some("id"))
+    Snapshots.addConstraint(spark, s"$root/u", "v_pos", "v > 0")
+    val v1 = Snapshots.latest(spark, s"$root/u")
+    val before = Snapshots.snap(spark, s"$root/u", v1).files.toSet
+    // the 5 literal is INT → safe upcast to the BIGINT column
+    spark.sql("UPDATE gcat.u SET v = v + 5 WHERE id <= 10")
+    val v2 = Snapshots.latest(spark, s"$root/u")
+    assert(v2 == v1 + 1 &&
+      Snapshots.snap(spark, s"$root/u", v2).op == "update")
+    assert(Snapshots.snap(spark, s"$root/u", v2).files.toSet
+      .intersect(before).nonEmpty, "UPDATE rewrote every file")
+    assert(spark.sql("SELECT sum(v) AS s FROM gcat.u")
+      .as[Long].head() == (1L to 40L).sum + 50L)
+    assert(Snapshots.changes(spark, s"$root/u", "id", v1, v2)
+      .filter(col("_change") === "update").count() == 10L)
+    // constraints guard SQL updates
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gcat.u SET v = -1 WHERE id = 3")
+    }
+    assert(e.getMessage.contains("v_pos"), s"got ${e.getMessage}")
+    assert(Snapshots.latest(spark, s"$root/u") == v2)
+    // a no-match update commits nothing
+    spark.sql("UPDATE gcat.u SET v = 0 WHERE id > 100000")
+    assert(Snapshots.latest(spark, s"$root/u") == v2)
+    // multi-column SET with a string expression; renamed store
+    // (the g column moves — v is pinned by its constraint)
+    Snapshots.renameColumn(spark, s"$root/u", "g", "grp")
+    spark.sql(
+      "UPDATE gcat.u SET v = v * 2, grp = concat(grp, '!') " +
+        "WHERE id BETWEEN 20 AND 22")
+    val now = Snapshots.read(spark, s"$root/u")
+    assert(now.filter(col("id") === 21L)
+      .select("v").as[Long].head() == 42L)
+    assert(now.filter(col("id") === 21L)
+      .select("grp").as[String].head().endsWith("!"))
+    // MoR store: updates apply to EFFECTIVE rows
+    Snapshots.deleteWhereMor(spark, s"$root/u", "id", 30L, 35L)
+    spark.sql("UPDATE gcat.u SET v = 1 WHERE id >= 30")
+    val eff = Snapshots.read(spark, s"$root/u")
+    assert(eff.filter(col("id") >= 30L && col("v") =!= 1L).isEmpty)
+    assert(eff.filter(col("id").between(30L, 35L)).isEmpty,
+      "UPDATE resurrected MoR-deleted rows")
+  }
 }
