@@ -39,6 +39,17 @@ object GraftDml {
               require(t.writable,
                 s"${t.label} is a pinned time-travel resolution — " +
                   "UPDATE targets the latest version")
+              // a subquery's outer reference would rebind by NAME
+              // against the SUBQUERY's scope, not the table's — the
+              // silent-wrong class; refuse loudly
+              (condition.toSeq ++ assignments.map(_.value)).foreach {
+                e => require(!e.exists(_.isInstanceOf[
+                  org.apache.spark.sql.catalyst.expressions
+                    .SubqueryExpression]),
+                  "graft UPDATE does not support subqueries in SET/" +
+                    "WHERE — materialize the subquery and use " +
+                    "Snapshots.upsert")
+              }
               // the expressions are carried RESOLVED (CheckAnalysis
               // accepts resolved expressions on a leaf command) and
               // rebound BY NAME at run time against a fresh read
