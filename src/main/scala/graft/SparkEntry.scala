@@ -8828,6 +8828,59 @@ object SparkEntry {
         s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
            |FROM g387.$tbl GROUP BY lang""".stripMargin),
         col("lang"))
+    }),
+
+    // ---- MERGE INTO through the catalog ----
+    // The classic CDC apply in one statement: `WHEN MATCHED THEN
+    // UPDATE SET * WHEN NOT MATCHED THEN INSERT *` translates to ONE
+    // keyed copy-on-write upsert (bloom/affected-file economics
+    // included); any other merge shape refuses loudly rather than
+    // approximating. The op trail is asserted in-body; the oracle
+    // recomputes the merged state.
+    "q388_sql_merge" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q388"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g388",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g388.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull &&
+          col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("bal"))
+      Snapshots.create(s, url, cust, nFiles = 4,
+        clusterBy = Some("c_custkey"))
+      val v1 = Snapshots.latest(s, url)
+      // the CDC batch: remap segment for custkey % 10 == 0, insert
+      // shifted twins for % 13 == 0
+      cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("MERGED").as("c_mktsegment"),
+          (col("bal") + 7L).as("bal"))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 90000000L).as("c_custkey"),
+            col("c_mktsegment"), col("bal")))
+        .createOrReplaceTempView("q388_src")
+      s.sql(
+        s"""MERGE INTO g388.$tbl AS t USING q388_src AS s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val v2 = Snapshots.latest(s, url)
+      require(v2 == v1 + 1 &&
+        Snapshots.snap(s, url, v2).op == "upsert",
+        "SQL MERGE must commit one upsert version")
+      orderSmall(s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n, sum(bal) AS sum_bal
+           |FROM g388.$tbl GROUP BY c_mktsegment""".stripMargin),
+        col("c_mktsegment"))
     })
   )
 
@@ -18564,6 +18617,29 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q388_sql_merge" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |    AND c_acctbal IS NOT NULL
+        |), merged AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MERGED'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 10 = 0 THEN bal + 7
+        |         ELSE bal END AS bal
+        |  FROM c
+        |  UNION ALL
+        |  SELECT c_custkey + 90000000, c_mktsegment, bal
+        |  FROM c WHERE c_custkey % 13 = 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM merged GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   )
 }

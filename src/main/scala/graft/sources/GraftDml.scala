@@ -2,12 +2,12 @@ package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.LongType
 
 /** SQL `UPDATE` for [[GraftCatalog]] tables — the one DML verb
@@ -65,7 +65,92 @@ object GraftDml {
               GraftUpdateCommand(t.storeUrl, sets, condition)
             case None => u
           }
+
+        case m: MergeIntoTable if m.resolved =>
+          m.targetTable.collectFirst {
+            case r: DataSourceV2Relation
+                if r.table.isInstanceOf[GraftSqlWrites] =>
+              r.table.asInstanceOf[GraftSqlWrites]
+          } match {
+            case Some(t) => translateMerge(t, m)
+            case None => m
+          }
       }
+  }
+
+  /** MERGE INTO → [[Snapshots.upsert]], for the two shapes a keyed
+    * snapshot store expresses natively (anything else refuses with
+    * the shape named — a partial translation that silently
+    * last-writer-wins would be the silent-wrong class):
+    *  - `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    *    INSERT *` with an equality merge condition — the classic
+    *    upsert (updates replace whole rows; inserts land);
+    *  - `WHEN MATCHED THEN DELETE` alone — delete the source's keys.
+    * The SOURCE plan is carried as-is and executed by the command:
+    * its attribute ids match the carried assignment expressions, so
+    * nothing rebinds (no ambiguity hazards). */
+  private def translateMerge(t: GraftSqlWrites,
+      m: MergeIntoTable): LogicalPlan = {
+    def refuse(why: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"graft MERGE INTO supports exactly 'WHEN MATCHED THEN " +
+          "UPDATE SET * WHEN NOT MATCHED THEN INSERT *' (keyed " +
+          "upsert) or 'WHEN MATCHED THEN DELETE' with an equality " +
+          s"merge condition — $why; use Snapshots.upsert for other " +
+          "shapes")
+    require(t.writable,
+      s"${t.label} is a pinned time-travel resolution — MERGE " +
+        "targets the latest version")
+    if (m.schemaEvolutionEnabled)
+      refuse("WITH SCHEMA EVOLUTION is unsupported")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      refuse("NOT MATCHED BY SOURCE clauses are unsupported")
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    val (tKey, sKey) = m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tOut.contains(a) && sOut.contains(b) => (a, b)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tOut.contains(b) && sOut.contains(a) => (b, a)
+      case other => refuse(s"merge condition $other is not a plain " +
+        "target-key = source-key equality")
+    }
+    def subFree(e: Expression): Unit =
+      require(!e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+        "graft MERGE does not support subqueries in the source " +
+          "assignments")
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(UpdateAction(None, up, _)),
+            Seq(InsertAction(None, ins))) =>
+        // classic upsert: both action's assignments must cover every
+        // target column with the SAME source expression
+        val insMap = ins.map(a => a.key match {
+          case ar: AttributeReference => ar.name -> a.value
+          case other => refuse(s"INSERT target $other is nested")
+        }).toMap
+        val upMap = up.map(a => a.key match {
+          case ar: AttributeReference => ar.name -> a.value
+          case other => refuse(s"UPDATE SET target $other is nested")
+        }).toMap
+        val targetCols = m.targetTable.output.map(_.name)
+        targetCols.foreach { c =>
+          val (i, u) = (insMap.get(c), upMap.get(c))
+          if (i.isEmpty || u.isEmpty)
+            refuse(s"column $c is not assigned by both clauses " +
+              "(only SET * / INSERT * translate)")
+          if (i.get.canonicalized != u.get.canonicalized)
+            refuse(s"column $c is assigned differently by UPDATE " +
+              "and INSERT (only SET * / INSERT * translate)")
+          subFree(i.get)
+        }
+        GraftMergeCommand(t.storeUrl, tKey.name, m.sourceTable,
+          targetCols.map(c => c -> insMap(c)), delete = false)
+      case (Seq(DeleteAction(None)), Seq()) =>
+        GraftMergeCommand(t.storeUrl, tKey.name, m.sourceTable,
+          Seq(tKey.name -> sKey), delete = true)
+      case (ma, na) => refuse(s"matched=$ma notMatched=$na")
+    }
   }
 }
 
@@ -94,5 +179,45 @@ case class GraftUpdateCommand(url: String,
     val condCol = cond.map(rebind).getOrElse(lit(true))
     Seq(Row(Snapshots.updateWhereCond(session, url, condCol, setCols)
       .toLong))
+  }
+}
+
+/** Eagerly-executed MERGE (the [[GraftDml.translateMerge]] shapes):
+  * executes the carried source plan — whose attribute ids match the
+  * carried expressions, so they apply unrebount — projects it to the
+  * store's columns, and runs one keyed [[Snapshots.upsert]]
+  * (`delete = true` tombstones the source's keys instead). Returns
+  * the committed version. */
+case class GraftMergeCommand(url: String, keyCol: String,
+    source: LogicalPlan, outCols: Seq[(String, Expression)],
+    delete: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def innerChildren: Seq[LogicalPlan] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofPlan(session, source)
+    val v =
+      if (delete) {
+        // tombstone the source's keys: the update batch carries the
+        // store rows of matching keys flagged for deletion (upsert
+        // requires full-schema rows; unmatched source keys no-op by
+        // never matching a store row... they would INSERT — so keep
+        // only keys that exist in the store)
+        val keys = src.select(graft.functions.GraftFunctions
+          .column(outCols.head._2).as(keyCol)).distinct()
+        val updates = Snapshots.read(session, url)
+          .join(keys, Seq(keyCol), "left_semi")
+          .withColumn("__merge_del", lit(true))
+        if (updates.isEmpty) Snapshots.latest(session, url)
+        else Snapshots.upsert(session, url, updates, keyCol,
+          deleteCol = Some("__merge_del"))
+      } else {
+        val updates = src.select(outCols.map { case (n, e) =>
+          graft.functions.GraftFunctions.column(e).as(n) }: _*)
+        Snapshots.upsert(session, url, updates, keyCol)
+      }
+    Seq(Row(v.toLong))
   }
 }

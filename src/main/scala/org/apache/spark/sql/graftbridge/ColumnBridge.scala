@@ -21,6 +21,18 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Execute a RESOLVED logical plan as a DataFrame — the command-
+    * side bridge for plans carried through an eager DML command
+    * (e.g. MERGE's source): the frame's attribute ids are the
+    * plan's own, so expressions resolved against it apply
+    * directly. */
+  def ofPlan(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
+
   /** The compiled physical plan as an `RDD[InternalRow]`. Two jobs
     * run over the SAME returned RDD share its shuffle map outputs
     * (one lineage → the DAGScheduler reuses the exchange), which two

@@ -355,4 +355,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(eff.filter(col("id").between(30L, 35L)).isEmpty,
       "UPDATE resurrected MoR-deleted rows")
   }
+
+  test("MERGE INTO translates the classic upsert and delete-matched " +
+      "shapes to Snapshots.upsert; other shapes refuse loudly") {
+    Snapshots.create(spark, s"$root/m2",
+      (1L to 20L).map(i => (i, i * 10)).toDF("id", "v"), nFiles = 2)
+    Seq((5L, 555L), (21L, 210L), (22L, 220L))
+      .toDF("id", "v").createOrReplaceTempView("m2_src")
+    val v1 = Snapshots.latest(spark, s"$root/m2")
+    spark.sql(
+      """MERGE INTO gcat.m2 AS t USING m2_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val v2 = Snapshots.latest(spark, s"$root/m2")
+    assert(v2 == v1 + 1 &&
+      Snapshots.snap(spark, s"$root/m2", v2).op == "upsert")
+    val now = Snapshots.read(spark, s"$root/m2")
+    assert(now.count() == 22L)
+    assert(now.filter(col("id") === 5L).select("v")
+      .as[Long].head() == 555L)
+    assert(now.filter(col("id") === 21L).select("v")
+      .as[Long].head() == 210L)
+    // CDC sees the merge like any upsert
+    assert(Snapshots.changes(spark, s"$root/m2", "id", v1, v2)
+      .filter(col("_change") === "insert").count() == 2L)
+    // delete-matched: tombstone the source's keys (missing keys
+    // no-op instead of inserting)
+    Seq(1L, 2L, 999L).toDF("id").createOrReplaceTempView("m2_del")
+    spark.sql(
+      """MERGE INTO gcat.m2 AS t USING m2_del AS s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val afterDel = Snapshots.read(spark, s"$root/m2")
+    assert(afterDel.count() == 20L)
+    assert(afterDel.filter(col("id").isin(1L, 2L)).isEmpty)
+    // an untranslatable shape refuses with the supported set named
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gcat.m2 AS t USING m2_src AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v + 1""".stripMargin)
+    }
+    assert(e.getMessage.contains("Snapshots.upsert"),
+      s"got ${e.getMessage}")
+    assert(Snapshots.read(spark, s"$root/m2").count() == 20L,
+      "refused merge must not commit")
+  }
 }
