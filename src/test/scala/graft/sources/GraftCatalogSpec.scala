@@ -399,4 +399,39 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Snapshots.read(spark, s"$root/m2").count() == 20L,
       "refused merge must not commit")
   }
+
+  test("MERGE INTO composes with column mapping and refuses the " +
+      "untranslatable clause set by name") {
+    Snapshots.create(spark, s"$root/m3",
+      (1L to 10L).map(i => (i, i)).toDF("id", "n"), nFiles = 1)
+    Snapshots.renameColumn(spark, s"$root/m3", "n", "num")
+    Seq((3L, 333L), (11L, 110L)).toDF("id", "num")
+      .createOrReplaceTempView("m3_src")
+    spark.sql(
+      """MERGE INTO gcat.m3 AS t USING m3_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val now = Snapshots.read(spark, s"$root/m3")
+    assert(now.count() == 11L)
+    assert(now.filter(col("id") === 3L).select("num")
+      .as[Long].head() == 333L)
+    // NOT MATCHED BY SOURCE refuses
+    val e1 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gcat.m3 AS t USING m3_src AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("NOT MATCHED BY SOURCE"))
+    // a non-equality merge condition refuses
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gcat.m3 AS t USING m3_src AS s
+          |ON t.id = s.id + 1
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e2.getMessage.contains("equality"), s"got ${e2.getMessage}")
+  }
 }
