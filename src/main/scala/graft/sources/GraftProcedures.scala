@@ -17,6 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.vacuum('events', 5, 3600000)   -- keep_from, grace_ms
   *   CALL graft.set_tag('events', 'gold', 3)
   *   CALL graft.purge_dv('events')
+  *   CALL graft.row_count('events', -1)       -- footer-priced; -1 = head
   *   CALL graft.cluster('events', 'id', 8)
   *   CALL graft.maintain(3, 3600000, 8)        -- whole warehouse
   * }}}
@@ -77,6 +78,14 @@ private[sources] object GraftProcedures {
       (s, root, args) => {
         val url = new Path(root, args.head.toString).toString
         Seq(Seq(Snapshots.purgeDv(s, url).toLong))
+      }),
+    "row_count" -> Spec(
+      Seq("store" -> StringType, "version" -> LongType),
+      out("rows" -> LongType),
+      (s, root, args) => {
+        val url = new Path(root, args.head.toString).toString
+        Seq(Seq(Snapshots.rowCountMeta(s, url,
+          args(1).asInstanceOf[Long].toInt)))
       }),
     "cluster" -> Spec(
       Seq("store" -> StringType, "field" -> StringType,

@@ -295,6 +295,10 @@ class GraftCatalogSpec extends SparkSpec {
     // the tag pin survived the CALLed vacuum
     assert(Snapshots.readTag(spark, s"$root/proc", "gold")
       .count() == 30L)
+    // footer-priced COUNT(*) as a procedure (-1 = head)
+    assert(spark.sql("CALL gcat.row_count('proc', -1)")
+      .as[Long].head() ==
+      Snapshots.read(spark, s"$root/proc").count())
     // warehouse-wide maintain returns one row per store
     val rep = spark.sql("CALL gcat.maintain(1, 0, 1)")
       .select("store").as[String].collect().toSet
