@@ -8492,6 +8492,29 @@ object SparkEntry {
         val k = c.asInstanceOf[Long]; k >= 150L && k <= 170L },
         s"unexpected conflict keys: ${conflicts.take(5)}")
       Branch.mergeBack(s, br2, "doc_id")
+      // resolved-conflict arm (r18): a second refused workflow
+      // completes via RebaseResolve — the callback sees BOTH sides
+      // of each conflicting key and writes the resolution into the
+      // SAME atomic replay (lang concatenated, n_chars summed)
+      val br3 = s"$base/feature3"; val br4 = s"$base/feature4"
+      Branch.fork(s, main, br3)
+      Snapshots.updateWhere(s, br3, "doc_id", 200L, 240L,
+        Map("lang" -> lit("resolved2")))
+      Snapshots.updateWhere(s, main, "doc_id", 220L, 260L,
+        Map("lang" -> lit("mainside2")))
+      val (_, conflicts2) = Branch.rebase(s, br3, br4, "doc_id",
+        strategy = Branch.RebaseResolve { (ours, theirs) =>
+          ours.alias("o").join(theirs.alias("t"), "doc_id")
+            .select(col("doc_id"),
+              concat(col("o.lang"), lit("+"), col("t.lang"))
+                .as("lang"),
+              (col("o.n_chars") + col("t.n_chars")).as("n_chars"),
+              col("o._change").as("_change"))
+        })
+      require(conflicts2.nonEmpty && conflicts2.forall { c =>
+        val k = c.asInstanceOf[Long]; k >= 220L && k <= 240L },
+        s"unexpected second-arm conflicts: ${conflicts2.take(5)}")
+      Branch.mergeBack(s, br4, "doc_id")
       orderSmall(Snapshots.read(s, main)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
@@ -8881,6 +8904,234 @@ object SparkEntry {
         s"""SELECT c_mktsegment, count(*) AS n, sum(bal) AS sum_bal
            |FROM g388.$tbl GROUP BY c_mktsegment""".stripMargin),
         col("c_mktsegment"))
+    }),
+
+    // ---- SQL MERGE prunes its rewrite via the discovered bloom ----
+    // The round-17 gap: SQL had no parameter slot for upsert's
+    // bloomIndexUrl, so a 2-key MERGE rewrote the whole store. Now
+    // GraftMergeCommand DISCOVERS the conventional in-store sidecar
+    // (Snapshots.indexBloom → <store>/_bloom/keybloom) and the
+    // copy-on-write rewrite touches only bloom-admitted files. The
+    // body asserts from the manifests that a 3-key MERGE on an
+    // 8-file store left at least half the files untouched (without
+    // discovery ALL 8 rewrite); the oracle recomputes the merged
+    // table relationally.
+    "q389_sql_merge_pruned" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q389"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g389",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g389.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull &&
+          col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("bal"))
+      Snapshots.create(s, url, cust, nFiles = 8,
+        clusterBy = Some("c_custkey"))
+      Snapshots.indexBloom(s, url, Seq("c_custkey"), fpp = 0.001)
+      val v1 = Snapshots.latest(s, url)
+      val before = Snapshots.snap(s, url, v1).files.toSet
+      require(before.size == 8, s"store should hold 8 files")
+      // three clustered-adjacent keys + one insert twin: the bloom
+      // admits the one or two files that can hold keys 3/5/8
+      cust.filter(col("c_custkey").isin(3L, 5L, 8L))
+        .select(col("c_custkey"), lit("MERGED").as("c_mktsegment"),
+          (col("bal") + 7L).as("bal"))
+        .unionByName(cust.filter(col("c_custkey") === 3L)
+          .select((col("c_custkey") + 90000000L).as("c_custkey"),
+            col("c_mktsegment"), col("bal")))
+        .createOrReplaceTempView("q389_src")
+      s.sql(
+        s"""MERGE INTO g389.$tbl AS t USING q389_src AS s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val v2 = Snapshots.latest(s, url)
+      val after = Snapshots.snap(s, url, v2)
+      require(v2 == v1 + 1 && after.op == "upsert",
+        "SQL MERGE must commit one upsert version")
+      val survivors = after.files.toSet.intersect(before)
+      require(survivors.nonEmpty &&
+        before.size - survivors.size <= before.size / 2,
+        s"bloom-discovered MERGE must rewrite only admitted files — " +
+          s"rewrote ${before.size - survivors.size} of ${before.size}")
+      orderSmall(s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n, sum(bal) AS sum_bal
+           |FROM g389.$tbl GROUP BY c_mktsegment""".stripMargin),
+        col("c_mktsegment"))
+    }),
+
+    // ---- SQL DELETE/UPDATE route band-able WHEREs to the ----
+    // ---- stats-priced flavors ----
+    // BandRoute classifies a conjunction of bounds on one column
+    // into the inclusive range deleteWhere/updateWhere take, gated
+    // on the _stats sidecar covering the field: attribution becomes
+    // one O(files) sidecar read instead of the general flavors'
+    // corpus scan (SqlDmlRouteSpec proves WHICH path runs via the
+    // band-vs-containment file signature; this row proves the
+    // routed results stay hash-exact end-to-end on real data, with
+    // COW pruning asserted from the manifests).
+    "q390_sql_dml_banded" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q390"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g390",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g390.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, url, docs, nFiles = 8,
+        clusterBy = Some("doc_id"))
+      Snapshots.indexStats(s, url, Seq("doc_id"))
+      val v1 = Snapshots.latest(s, url)
+      val f1 = Snapshots.snap(s, url, v1).files.toSet
+      s.sql(s"DELETE FROM g390.$tbl WHERE doc_id BETWEEN 100 AND 160")
+      val v2 = Snapshots.latest(s, url)
+      require(v2 == v1 + 1 &&
+        Snapshots.snap(s, url, v2).op == "delete",
+        "banded SQL DELETE must commit one delete version")
+      val f2 = Snapshots.snap(s, url, v2).files.toSet
+      require(f2.intersect(f1).nonEmpty,
+        "banded delete rewrote every file — stats pruning lost")
+      s.sql(s"UPDATE g390.$tbl SET n_chars = n_chars + 1000 " +
+        "WHERE doc_id >= 300 AND doc_id <= 360")
+      val v3 = Snapshots.latest(s, url)
+      require(v3 == v2 + 1 &&
+        Snapshots.snap(s, url, v3).op == "update",
+        "banded SQL UPDATE must commit one update version")
+      require(Snapshots.snap(s, url, v3).files.toSet
+        .intersect(f2).nonEmpty,
+        "banded update rewrote every file — stats pruning lost")
+      orderSmall(s.sql(
+        s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+           |FROM g390.$tbl GROUP BY lang""".stripMargin),
+        col("lang"))
+    }),
+
+    // ---- MERGE conditional clauses ----
+    // `WHEN MATCHED AND <cond> THEN UPDATE SET ...` (SET referencing
+    // BOTH sides, pre-update clause condition) and `WHEN MATCHED AND
+    // <cond> THEN DELETE` compose as σ(cond)(target ⋈ source)
+    // projected to the store schema → one keyed copy-on-write upsert
+    // (GraftMergeCondCommand) — the r17 refusal set, now translated.
+    // Oracle = the equivalent relational CASE/anti-filter pipeline.
+    "q391_sql_merge_cond" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q391"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g391",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g391.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull &&
+          col("c_mktsegment").isNotNull && col("c_acctbal").isNotNull)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("bal"))
+      Snapshots.create(s, url, cust, nFiles = 4,
+        clusterBy = Some("c_custkey"))
+      val v1 = Snapshots.latest(s, url)
+      // conditional UPDATE: source carries a delta; the SET
+      // references both sides, the clause condition the pre-update
+      // target balance
+      cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          (col("c_custkey") % 100).as("delta"))
+        .createOrReplaceTempView("q391_upd")
+      s.sql(
+        s"""MERGE INTO g391.$tbl AS t USING q391_upd AS s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND t.bal > 100000 THEN UPDATE SET
+           |  c_mktsegment = 'HOT', bal = t.bal + s.delta""".stripMargin)
+      val v2 = Snapshots.latest(s, url)
+      require(v2 == v1 + 1 &&
+        Snapshots.snap(s, url, v2).op == "upsert",
+        "conditional MERGE UPDATE must commit one upsert version")
+      // conditional DELETE: drop matched keys whose balance is
+      // negative
+      cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"))
+        .createOrReplaceTempView("q391_del")
+      s.sql(
+        s"""MERGE INTO g391.$tbl AS t USING q391_del AS s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND t.bal < 0 THEN DELETE""".stripMargin)
+      val v3 = Snapshots.latest(s, url)
+      require(v3 == v2 + 1 &&
+        Snapshots.snap(s, url, v3).op == "upsert",
+        "conditional MERGE DELETE must commit one upsert version")
+      orderSmall(s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n, sum(bal) AS sum_bal
+           |FROM g391.$tbl GROUP BY c_mktsegment""".stripMargin),
+        col("c_mktsegment"))
+    }),
+
+    // ---- SQL COUNT(*) priced from parquet footers ----
+    // GraftCountStarRule answers a bare global count over a catalog
+    // store from file metadata (rowCountMeta: footer record counts,
+    // MoR positions subtracted exactly) and replaces the aggregate
+    // with the precomputed local row — the body asserts BOTH counts
+    // executed as LocalTableScan with no file scan in the plan,
+    // across a merge-on-read head and a time-travel pin. Oracle
+    // recomputes both counts from rows.
+    "q392_sql_count_pushdown" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q392"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g392",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g392.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"))
+      Snapshots.create(s, url, docs, nFiles = 6,
+        clusterBy = Some("doc_id"))
+      // a MoR delete makes the head count METADATA-hard: footers
+      // alone over-count unless the DV positions subtract exactly
+      Snapshots.deleteWhereMor(s, url, "doc_id", 150L, 420L)
+      def metaPriced(df: org.apache.spark.sql.DataFrame): Unit = {
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LocalTableScan") &&
+          !plan.contains("FileScan") && !plan.contains("BatchScan"),
+          s"COUNT(*) was not footer-priced:\n$plan")
+      }
+      val head = s.sql(
+        s"SELECT count(*) AS rows_head FROM g392.$tbl")
+      val v1 = s.sql(
+        s"SELECT count(*) AS rows_v1 FROM g392.$tbl VERSION AS OF 1")
+      metaPriced(head); metaPriced(v1)
+      v1.crossJoin(head)
     })
   )
 
@@ -18515,10 +18766,20 @@ object SparkEntry {
         |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |    AND n_chars IS NOT NULL
         |    AND doc_id NOT BETWEEN 300 AND 360
+        |), r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 220 AND 240
+        |           THEN 'resolved2+mainside2'
+        |         WHEN doc_id BETWEEN 200 AND 219 THEN 'resolved2'
+        |         WHEN doc_id BETWEEN 241 AND 260 THEN 'mainside2'
+        |         ELSE lang END AS lang,
+        |    CASE WHEN doc_id BETWEEN 220 AND 240
+        |      THEN n_chars * 2 ELSE n_chars END AS n_chars
+        |  FROM d
         |)
         |SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q381_stream_vector_index" ->
       """WITH e AS (
@@ -18640,6 +18901,76 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(bal) AS BIGINT) AS sum_bal
         |FROM merged GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q389_sql_merge_pruned" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |    AND c_acctbal IS NOT NULL
+        |), merged AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey IN (3,5,8) THEN 'MERGED'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey IN (3,5,8) THEN bal + 7
+        |         ELSE bal END AS bal
+        |  FROM c
+        |  UNION ALL
+        |  SELECT c_custkey + 90000000, c_mktsegment, bal
+        |  FROM c WHERE c_custkey = 3
+        |)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM merged GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q390_sql_dml_banded" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id >= 300 AND doc_id <= 360
+        |      THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |    AND NOT (doc_id BETWEEN 100 AND 160)
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q391_sql_merge_cond" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |    AND c_acctbal IS NOT NULL
+        |), u AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 AND bal > 100000
+        |      THEN 'HOT' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 AND bal > 100000
+        |      THEN bal + (c_custkey % 100) ELSE bal END AS bal
+        |  FROM c
+        |), d AS (
+        |  SELECT * FROM u
+        |  WHERE NOT (c_custkey % 3 = 0 AND bal < 0)
+        |)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal
+        |FROM d GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q392_sql_count_pushdown" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |)
+        |SELECT count(*) AS rows_v1,
+        |  CAST(sum(CASE WHEN doc_id NOT BETWEEN 150 AND 420
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_head
+        |FROM d""".stripMargin
   )
 }

@@ -220,5 +220,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // predicate update (see [[graft.sources.GraftDml]])
     ext.injectPostHocResolutionRule(session =>
       graft.sources.GraftDml.UpdateRule(session))
+    // bare SELECT count(*) over a catalog store: footer-priced via
+    // rowCountMeta, MoR-exact (must run BEFORE the inline rule eats
+    // the effective relation — injection order = batch order)
+    ext.injectOptimizerRule(session =>
+      graft.sources.GraftCountStarRule(session))
+    // SQL reads of MoR/renamed stores: splice the engine's native
+    // effective-read plan over the V1Scan bridge (columnar batches +
+    // codegen restored; see [[graft.sources.GraftEffInlineRule]])
+    ext.injectOptimizerRule(session =>
+      graft.sources.GraftEffInlineRule(session))
   }
 }

@@ -46,13 +46,15 @@ object Funnel {
       .groupBy(col("u")).agg(min(col("ts")).as("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = Seq.newBuilder[(Long, String, Long)]
-    // try/finally: a failed stage count must not leak the pinned
-    // anchor frame (the guard covers the newest anchor — the only
-    // one live outside the one-statement prev→anchor handover)
+    // try/finally: a failed stage count must not leak EITHER pinned
+    // frame — `prev` stays visible to the finally so a count() that
+    // throws after the anchor reassignment but before the handover
+    // unpersist still releases both live frames
+    var prev: DataFrame = null
     try {
       counts += ((1L, steps.head, anchor.count()))
       steps.zipWithIndex.drop(1).foreach { case (st, i) =>
-        val prev = anchor
+        prev = anchor
         anchor = ev.filter(col("t") === st)
           .join(prev.select(col("u"), col("a").as("__prev")), "u")
           .filter(col("ts") > col("__prev") &&
@@ -61,8 +63,12 @@ object Funnel {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         counts += ((i + 1L, st, anchor.count()))
         prev.unpersist()
+        prev = null
       }
-    } finally anchor.unpersist()
+    } finally {
+      if (prev != null && (prev ne anchor)) prev.unpersist()
+      anchor.unpersist()
+    }
     val s = events.sparkSession
     import s.implicits._
     counts.result().toDF("stage", "step", "users")

@@ -151,22 +151,48 @@ object Branch {
       expectedParentVersion = mLatest)
   }
 
+  /** Per-key conflict policy for [[rebase]]. The DEFAULT
+    * ([[RebaseTheirs]]) is the refuse-loudly shape: a conflicting
+    * key keeps MAIN's value on the new branch and is REPORTED, so
+    * nothing is ever silently last-writer-won — the caller resolves
+    * with full context. The explicit strategies complete the
+    * workflow without manual store surgery:
+    *  - [[RebaseOurs]] — the branch's delta wins on conflicting
+    *    keys too (replay everything); conflicts still reported.
+    *  - [[RebaseResolve]] — a callback receives (ours, theirs) for
+    *    the conflicting keys and returns the resolution rows. `ours`
+    *    is the branch's net delta restricted to conflicted keys
+    *    (store columns + `_change` ∈ upsert/delete); `theirs` is
+    *    the source head's CURRENT rows for those keys (a key main
+    *    deleted is absent). The returned frame must carry the same
+    *    shape as `ours` (store columns + `_change`) and only
+    *    conflicted keys — it replays alongside the clean delta in
+    *    the SAME atomic upsert. */
+  sealed trait RebaseStrategy
+  case object RebaseTheirs extends RebaseStrategy
+  case object RebaseOurs extends RebaseStrategy
+  final case class RebaseResolve(
+    fn: (DataFrame, DataFrame) => DataFrame) extends RebaseStrategy
+
   /** Rebase a branch whose [[mergeBack]] was refused: fork the
     * source's CURRENT head into `newBranchUrl` and replay the old
-    * branch's net delta there MINUS the conflicting keys, returning
-    * (the new fork version, the conflict keys) so the caller can
-    * resolve each conflict on the new branch with full main-side
-    * context before merging. The non-conflicting keys' work is
-    * preserved mechanically; nothing is last-writer-won — a
-    * conflicting key keeps MAIN's value on the new branch until the
-    * caller writes a resolution (the refuse-loudly doctrine turned
-    * into a workflow). The old branch is left untouched (delete it
-    * once the rebase is verified). Cost: the delta feeds are
-    * manifest-diff priced and the fork is O(files) hard links —
+    * branch's net delta there MINUS the conflicting keys (see
+    * [[RebaseStrategy]] for the ours/theirs/callback policies),
+    * returning (the new fork version, the conflict keys) so the
+    * caller can resolve each conflict on the new branch with full
+    * main-side context before merging. The non-conflicting keys'
+    * work is preserved mechanically; nothing is last-writer-won
+    * unless the caller PICKED [[RebaseOurs]] — a conflicting key
+    * keeps MAIN's value on the new branch under the default until
+    * the caller writes a resolution (the refuse-loudly doctrine
+    * turned into a workflow). The old branch is left untouched
+    * (delete it once the rebase is verified). Cost: the delta feeds
+    * are manifest-diff priced and the fork is O(files) hard links —
     * never either corpus. */
   def rebase(spark: SparkSession, branchUrl: String,
       newBranchUrl: String, keyCol: String,
-      maxKeys: Int = 1000000): (Int, Seq[Any]) = {
+      maxKeys: Int = 1000000,
+      strategy: RebaseStrategy = RebaseTheirs): (Int, Seq[Any]) = {
     val (src, forkV) = forkPoint(spark, branchUrl)
     val bLatest = Snapshots.latest(spark, branchUrl)
     require(bLatest > 1, s"branch $branchUrl has no commits past " +
@@ -191,12 +217,38 @@ object Branch {
         rows.map(_.get(0)).toSeq
       }
     fork(spark, src, newBranchUrl, mLatest)
+    val confKeys =
+      if (conflictFrame == null) null
+      else broadcast(conflictFrame.withColumnRenamed(keyCol, "__ck"))
     val clean =
-      if (conflictFrame == null) feed
-      else feed.join(broadcast(conflictFrame
-        .withColumnRenamed(keyCol, "__ck")),
-        col(keyCol) === col("__ck"), "left_anti")
-    val updates = clean
+      if (confKeys == null) feed
+      else feed.join(confKeys, col(keyCol) === col("__ck"),
+        "left_anti")
+    val replay = strategy match {
+      case RebaseTheirs => clean
+      case RebaseOurs => feed
+      case RebaseResolve(fn) =>
+        if (conflicts.isEmpty) clean
+        else {
+          val ours = feed.join(confKeys,
+            col(keyCol) === col("__ck"), "left_semi")
+          val theirs = Snapshots.read(spark, newBranchUrl)
+            .join(confKeys, col(keyCol) === col("__ck"), "left_semi")
+          val resolved = fn(ours, theirs)
+          require(resolved.columns.contains("_change"),
+            "rebase resolver must return the delta shape (store " +
+              "columns + _change ∈ upsert/delete)")
+          // resolution rows must stay on the conflicted keys — a
+          // resolver that invents other keys would collide with the
+          // clean replay (dup-key refusal) or smuggle writes
+          val stray = resolved.join(confKeys,
+            col(keyCol) === col("__ck"), "left_anti").limit(1)
+          require(stray.isEmpty,
+            "rebase resolver returned rows outside the conflict set")
+          clean.unionByName(resolved)
+        }
+    }
+    val updates = replay
       .withColumn("__merge_del", col("_change") === "delete")
       .drop("_change")
     if (!updates.isEmpty)

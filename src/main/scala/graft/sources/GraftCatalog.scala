@@ -81,6 +81,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     require(ident.namespace.isEmpty,
       s"graft catalog tables are single-level: ${ident.namespace
         .mkString(".")}.${ident.name} — use $catName.<store>")
+    // The catalog is writable (CREATE/INSERT/DELETE/DROP reach the
+    // filesystem), so the identifier must not be able to escape the
+    // warehouse root: a backtick-quoted `../other` or an absolute
+    // path would otherwise resolve outside rootUrl. Same charset rule
+    // as stream ids; '$' is carved out for the metadata-table suffix
+    // which is stripped before this is called for the base store.
+    require(ident.name.matches("[A-Za-z0-9_.\\-$]+") &&
+      !ident.name.contains(".."),
+      s"store name '${ident.name}' — only [A-Za-z0-9_.-] allowed " +
+        "(no path separators, no '..'): catalog stores live directly " +
+        s"under $rootUrl")
     new Path(rootUrl, ident.name).toString
   }
 
@@ -120,10 +131,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       spark.read.parquet(
         s.files.map(f => new Path(root, f).toString): _*).schema
     }
+    // the effective scan's flavor is decided by the session: with
+    // GraftExtensions installed the optimizer inlines the native
+    // read plan ([[GraftEffInlineRule]]); without, the V1Scan
+    // bridge serves it (correct, row-converting)
+    val effKind =
+      if (Option(spark.conf.get("spark.sql.extensions", ""))
+          .exists(_.contains("GraftExtensions"))) "effective-inline"
+      else "effective-v1"
     val props = Map("graft.version" -> v.toString, "graft.op" -> s.op,
       "graft.files" -> s.files.size.toString,
       "graft.url" -> url,
-      "graft.scan" -> (if (needsEff) "effective" else "parquet"))
+      "graft.scan" -> (if (needsEff) effKind else "parquet"))
     // only the LATEST resolution accepts writes: INSERT into a
     // time-travel or tag pin would rewrite history
     val writable = version <= 0
@@ -170,9 +189,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         import s.implicits._
         Snapshots.pendingTxns(s, url).toDF("txn")
       }
-      case other => throw new IllegalArgumentException(
-        s"unknown metadata table $catName.$name — " +
-          "$history, $tags and $txns exist")
+      // An unknown '$' suffix is NOT an error here: a real store
+      // whose name happens to contain '$' must still resolve, so
+      // fall through to tableAt (loadTable's getOrElse) and let THAT
+      // report not-found if no such store exists either.
+      case _ => return None
     }
     Some(new GraftMetaSqlTable(s"$catName.$name", build(sp).schema,
       build))
@@ -362,13 +383,33 @@ private[sources] trait GraftSqlWrites
     require(writable,
       s"$label is a pinned time-travel resolution — DELETE targets " +
         "the latest version")
-    val cond = filters.map(f => GraftCatalog.translate(f).getOrElse(
-        throw new UnsupportedOperationException(
-          s"DELETE predicate $f is not translatable — use " +
-            "Snapshots.deleteWhereCond")))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    Snapshots.deleteWhereCond(SparkSession.active, storeUrl,
-      cond): Unit
+    val spark = SparkSession.active
+    // band-able WHERE shapes (a range/equality on one integral or
+    // string column) route to the stats-priced banded flavors when
+    // the `_stats` sidecar covers the field: attribution is one
+    // O(files) sidecar read instead of a corpus scan — the
+    // retention-sweep shape at 100 TB. Everything else (or an
+    // uncovered field, where the banded flavors would must-read
+    // every file) keeps the exact general-predicate path.
+    BandRoute.ofFilters(Snapshots.headSchema(spark, storeUrl),
+        filters.toIndexedSeq) match {
+      case Some(r)
+          if Snapshots.statsCovers(spark, storeUrl, r.field) =>
+        r match {
+          case BandRoute.LongRange(f, lo, hi) =>
+            Snapshots.deleteWhere(spark, storeUrl, f, lo, hi): Unit
+          case BandRoute.StrRange(f, lo, hi) =>
+            Snapshots.deleteWhereStr(spark, storeUrl, f, lo, hi): Unit
+        }
+      case _ =>
+        val cond = filters.map(f =>
+          GraftCatalog.translate(f).getOrElse(
+            throw new UnsupportedOperationException(
+              s"DELETE predicate $f is not translatable — use " +
+                "Snapshots.deleteWhereCond")))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        Snapshots.deleteWhereCond(spark, storeUrl, cond): Unit
+    }
   }
 }
 
@@ -431,7 +472,7 @@ private[sources] class GraftSqlTable(val label: String,
   * translated filters apply inside as extra pruning while Spark
   * keeps its own Filter above (inexact-pushdown contract). */
 private[sources] class GraftEffSqlTable(val label: String,
-    val storeUrl: String, version: Int, pinned: StructType,
+    val storeUrl: String, val effVersion: Int, pinned: StructType,
     props: Map[String, String],
     val writable: Boolean) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
@@ -445,7 +486,7 @@ private[sources] class GraftEffSqlTable(val label: String,
     else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftEffScanBuilder(storeUrl, version, pinned)
+    new GraftEffScanBuilder(storeUrl, effVersion, pinned)
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     props.foreach { case (k, v) => m.put(k, v) }
@@ -536,5 +577,129 @@ private[sources] class GraftEffRelation(ctx: SQLContext, url: String,
       if (required.isEmpty) df.select()
       else df.select(required.fieldNames.toSeq.map(col): _*)
     pruned.rdd
+  }
+}
+
+/** Optimizer rule (injected by `graft.functions.GraftExtensions`,
+  * BEFORE [[GraftEffInlineRule]] in the batch): answer a bare
+  * `SELECT count(*) FROM graft.store [VERSION AS OF ...]` from
+  * parquet FOOTERS via [[Snapshots.rowCountMeta]] — one small
+  * metadata read per file (MoR positions subtracted exactly), no
+  * data page opened — and replace the whole aggregate with the
+  * precomputed local row. The resolved table pins a version and a
+  * version's count is immutable, so optimization-time pricing is
+  * sound (the same move as Spark's own metadata-only-query rule,
+  * which lists partitions in the optimizer). Applies ONLY to the
+  * exact global-count shape with nothing between the aggregate and
+  * the relation but projections: any filter, grouping, or other
+  * aggregate falls through to the normal scan. */
+final case class GraftCountStarRule(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  import scala.jdk.CollectionConverters._
+
+  /** (url, pinned version) when the plan is exactly a graft store
+    * relation under zero-or-more row-preserving projections. */
+  private def storeOf(plan: LogicalPlan): Option[(String, Int)] =
+    plan match {
+      case Project(_, child) => storeOf(child)
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftEffSqlTable => Some((t.storeUrl, t.effVersion))
+        case t: GraftSqlTable =>
+          t.properties().asScala.get("graft.version")
+            .flatMap(_.toIntOption).map(v => (t.storeUrl, v))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def isCountStar(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Boolean = e match {
+    case Alias(child, _) => isCountStar(child)
+    case AggregateExpression(Count(Seq(Literal(v, _))), Complete,
+        false, None, _) => v != null
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transform {
+      case agg @ Aggregate(Nil, exprs, child, _)
+          if exprs.nonEmpty && exprs.forall(isCountStar) &&
+            storeOf(child).isDefined =>
+        val (url, v) = storeOf(child).get
+        val n = Snapshots.rowCountMeta(session, url, v)
+        LocalRelation(agg.output.map(_.toAttribute),
+          Seq(InternalRow.fromSeq(agg.output.map(_ => n))))
+    }
+}
+
+/** Optimizer rule (injected by `graft.functions.GraftExtensions`):
+  * inline the EFFECTIVE table's own logical read plan in place of
+  * the V2 relation, so a SQL scan of a merge-on-read or renamed
+  * store is the SAME fully native plan the programmatic
+  * [[Snapshots.readAsOf]] produces — parquet columnar batches, the
+  * DV anti-join, the colmap projection, whole-stage codegen, and
+  * Catalyst's own filter/column pushdown into the file scans. This
+  * retires the V1Scan `RDD[Row]` bridge for reads: that path paid
+  * an InternalRow → Row → InternalRow round trip per row and broke
+  * codegen at the boundary (the r17 verdict's efficiency finding).
+  *
+  * The splice preserves the relation's output attribute ids via an
+  * exprId-pinning Project, so nothing above re-resolves. WRITE
+  * targets are left intact: a V2 write command or DELETE needs the
+  * relation (its table object carries the write builder), so those
+  * plans keep the bridge-free V1 write path and [[GraftSqlWrites]]
+  * routing — only pure reads inline. Runs in the operator-
+  * optimization fixed point BEFORE V2 scan pushdown, and the
+  * spliced subtree contains no graft V2 relation, so the rewrite
+  * happens exactly once per relation. The V1Scan bridge stays in
+  * place as the no-extensions fallback (a session that configures
+  * only the catalog, not the extensions, keeps working — slower). */
+final case class GraftEffInlineRule(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, Project, V2WriteCommand}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val hasEff = plan.exists {
+      case r: DataSourceV2Relation =>
+        r.table.isInstanceOf[GraftEffSqlTable]
+      case _ => false
+    }
+    if (!hasEff) return plan
+    // relations a write/DML command targets must keep their table
+    // object (the write builder and SupportsDelete routing live on
+    // it) — collect them before transforming
+    val protectedTables: Set[Table] = (plan.collect {
+      case w: V2WriteCommand => w.table.collect {
+        case r: DataSourceV2Relation => r.table }
+      case d: DeleteFromTable => d.table.collect {
+        case r: DataSourceV2Relation => r.table }
+    }).flatten.toSet
+    plan.transform {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftEffSqlTable] &&
+            !protectedTables.contains(r.table) =>
+        val t = r.table.asInstanceOf[GraftEffSqlTable]
+        val inner = Snapshots
+          .readAsOf(session, t.storeUrl, t.effVersion)
+          .queryExecution.analyzed
+        val byName = inner.output.map(a => a.name -> a).toMap
+        val proj = r.output.map { a =>
+          val src = byName.getOrElse(a.name,
+            throw new IllegalStateException(
+              s"${t.label}: effective read lost column ${a.name}"))
+          Alias(src, a.name)(exprId = a.exprId)
+        }
+        Project(proj, inner)
+    }
   }
 }

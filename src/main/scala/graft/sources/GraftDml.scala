@@ -2,8 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, Filter, InsertAction, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -93,11 +94,12 @@ object GraftDml {
       m: MergeIntoTable): LogicalPlan = {
     def refuse(why: String): Nothing =
       throw new UnsupportedOperationException(
-        s"graft MERGE INTO supports exactly 'WHEN MATCHED THEN " +
-          "UPDATE SET * WHEN NOT MATCHED THEN INSERT *' (keyed " +
-          "upsert) or 'WHEN MATCHED THEN DELETE' with an equality " +
-          s"merge condition — $why; use Snapshots.upsert for other " +
-          "shapes")
+        s"graft MERGE INTO supports 'WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *' (keyed upsert), " +
+          "'WHEN MATCHED [AND <cond>] THEN UPDATE SET ...' and " +
+          "'WHEN MATCHED [AND <cond>] THEN DELETE' (matched-only " +
+          "clauses), all with an equality merge condition — " +
+          s"$why; use Snapshots.upsert for other shapes")
     require(t.writable,
       s"${t.label} is a pinned time-travel resolution — MERGE " +
         "targets the latest version")
@@ -121,6 +123,34 @@ object GraftDml {
         "graft MERGE does not support subqueries in the source " +
           "assignments")
     (m.matchedActions, m.notMatchedActions) match {
+      // ---- matched-only UPDATE (optionally conditional) ----
+      // `WHEN MATCHED [AND cond] THEN UPDATE SET ...` with no insert
+      // clause: the update batch is target ⋈ source on the merge
+      // condition, filtered by the clause condition, projected to
+      // the target schema with the SET expressions applied — then
+      // ONE keyed copy-on-write upsert. The plans and expressions
+      // are carried ANALYZED (attribute ids stay bound), so SET
+      // expressions may reference BOTH sides and arbitrary clause
+      // conditions compose — nothing rebinds by name.
+      case (Seq(UpdateAction(cond, up, _)), Seq()) =>
+        cond.foreach(subFree)
+        val setMap = up.map(a => a.key match {
+          case ar: AttributeReference =>
+            subFree(a.value); ar.name -> a.value
+          case other => refuse(s"UPDATE SET target $other is nested")
+        }).toMap
+        val outCols: Seq[(String, Expression)] =
+          m.targetTable.output.map(a =>
+            a.name -> setMap.getOrElse(a.name, a))
+        GraftMergeCondCommand(t.storeUrl, tKey.name,
+          m.targetTable, m.sourceTable, m.mergeCondition, cond,
+          outCols, delete = false)
+      // ---- conditional matched DELETE ----
+      case (Seq(DeleteAction(Some(cond))), Seq()) =>
+        subFree(cond)
+        GraftMergeCondCommand(t.storeUrl, tKey.name,
+          m.targetTable, m.sourceTable, m.mergeCondition, Some(cond),
+          Seq(tKey.name -> tKey), delete = true)
       case (Seq(UpdateAction(None, up, _)),
             Seq(InsertAction(None, ins))) =>
         // classic upsert: both action's assignments must cover every
@@ -176,9 +206,29 @@ case class GraftUpdateCommand(url: String,
 
   override def run(session: SparkSession): Seq[Row] = {
     val setCols = sets.map { case (n, e) => n -> rebind(e) }.toMap
-    val condCol = cond.map(rebind).getOrElse(lit(true))
-    Seq(Row(Snapshots.updateWhereCond(session, url, condCol, setCols)
-      .toLong))
+    // band-able WHERE shapes route to the stats-priced flavors:
+    // attribution reads the `_stats` sidecar (O(files) metadata)
+    // instead of scanning the corpus — gated on the sidecar actually
+    // covering the field, because an uncovered banded sweep
+    // must-reads (and rewrites) EVERYTHING, strictly worse than the
+    // general path's exact containment attribution. Assignment
+    // semantics stay identical: [[Snapshots.upcastSets]] applies
+    // the same safe-upcast probe updateWhereCond runs internally.
+    val v = cond.flatMap(BandRoute.ofExpr) match {
+      case Some(r) if Snapshots.statsCovers(session, url, r.field) =>
+        val casted = Snapshots.upcastSets(session,
+          Snapshots.headSchema(session, url), setCols)
+        r match {
+          case BandRoute.LongRange(f, lo, hi) =>
+            Snapshots.updateWhere(session, url, f, lo, hi, casted)
+          case BandRoute.StrRange(f, lo, hi) =>
+            Snapshots.updateWhereStr(session, url, f, lo, hi, casted)
+        }
+      case _ =>
+        val condCol = cond.map(rebind).getOrElse(lit(true))
+        Snapshots.updateWhereCond(session, url, condCol, setCols)
+    }
+    Seq(Row(v.toLong))
   }
 }
 
@@ -198,6 +248,17 @@ case class GraftMergeCommand(url: String, keyCol: String,
   override def run(session: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graftbridge.ColumnBridge
       .ofPlan(session, source)
+    // SQL has no bloomIndexUrl parameter slot, so MERGE DISCOVERS
+    // the store's conventional key-bloom sidecar
+    // ([[Snapshots.bloomSidecarUrl]], maintained by
+    // [[Snapshots.indexBloom]]): with it, the copy-on-write upsert
+    // rewrites only bloom-admitted files — a 2-key MERGE on a
+    // 100k-file store touches the files that can hold those keys,
+    // not the store. Absent or stale sidecars stay correct
+    // (stageUpsert's coverage guard conservatively rewrites
+    // uncovered files; no sidecar means the full rewrite as
+    // before).
+    val bloom = Snapshots.discoverBloom(session, url, keyCol)
     val v =
       if (delete) {
         // tombstone the source's keys: the update batch carries the
@@ -212,11 +273,60 @@ case class GraftMergeCommand(url: String, keyCol: String,
           .withColumn("__merge_del", lit(true))
         if (updates.isEmpty) Snapshots.latest(session, url)
         else Snapshots.upsert(session, url, updates, keyCol,
-          deleteCol = Some("__merge_del"))
+          deleteCol = Some("__merge_del"), bloomIndexUrl = bloom)
       } else {
         val updates = src.select(outCols.map { case (n, e) =>
           graft.functions.GraftFunctions.column(e).as(n) }: _*)
-        Snapshots.upsert(session, url, updates, keyCol)
+        Snapshots.upsert(session, url, updates, keyCol,
+          bloomIndexUrl = bloom)
+      }
+    Seq(Row(v.toLong))
+  }
+}
+
+/** Eagerly-executed MATCHED-ONLY MERGE clause (optionally
+  * conditional): `WHEN MATCHED [AND <cond>] THEN UPDATE SET ...` or
+  * `WHEN MATCHED AND <cond> THEN DELETE`. The carried target and
+  * source plans keep their analyzed attribute ids, so the merge
+  * condition, the clause condition and the SET expressions apply
+  * UNREBOUND over a constructed `σ(cond)(target ⋈ source)` plan —
+  * SET may reference both sides, names may collide across the two
+  * relations, nothing resolves by name. The filtered join projects
+  * to the target schema (update) or the target key (delete) and
+  * lands as ONE keyed copy-on-write [[Snapshots.upsert]] with the
+  * discovered bloom sidecar pruning the rewrite. A source that
+  * matches the same target key twice fails the upsert's duplicate-
+  * key require — the standard MERGE cardinality error, surfaced
+  * loudly instead of last-writer-wins. */
+case class GraftMergeCondCommand(url: String, keyCol: String,
+    target: LogicalPlan, source: LogicalPlan, mergeCond: Expression,
+    clauseCond: Option[Expression], outCols: Seq[(String, Expression)],
+    delete: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def innerChildren: Seq[LogicalPlan] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val joined = Filter(clauseCond.getOrElse(Literal(true)),
+      Join(target, source, Inner, Some(mergeCond), JoinHint.NONE))
+    val proj = Project(outCols.map { case (n, e) =>
+      Alias(e, n)() }, joined)
+    val batch = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofPlan(session, proj)
+    val bloom = Snapshots.discoverBloom(session, url, keyCol)
+    val v =
+      if (delete) {
+        val keys = batch.select(keyCol).distinct()
+        val updates = Snapshots.read(session, url)
+          .join(keys, Seq(keyCol), "left_semi")
+          .withColumn("__merge_del", lit(true))
+        if (updates.isEmpty) Snapshots.latest(session, url)
+        else Snapshots.upsert(session, url, updates, keyCol,
+          deleteCol = Some("__merge_del"), bloomIndexUrl = bloom)
+      } else {
+        if (batch.isEmpty) Snapshots.latest(session, url)
+        else Snapshots.upsert(session, url, batch, keyCol,
+          bloomIndexUrl = bloom)
       }
     Seq(Row(v.toLong))
   }

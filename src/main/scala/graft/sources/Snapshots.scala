@@ -1504,6 +1504,104 @@ object Snapshots {
   private def statsDir(root: Path) = new Path(root, "_stats")
   private def statsPath(root: Path) = new Path(statsDir(root), "filestats")
 
+  /** Conventional in-store location of the key-bloom sidecar
+    * (`<store>/_bloom/keybloom`) — an underscore directory
+    * [[vacuum]]'s root-level `.parquet` sweep never touches, like
+    * `_stats`. The programmatic API always took an explicit
+    * `bloomIndexUrl`; the SQL surface has no parameter slot, so the
+    * SQL write commands DISCOVER this location ([[discoverBloom]])
+    * — a store that maintains it gets O(changed files) SQL MERGE
+    * instead of a whole-store rewrite. */
+  def bloomSidecarUrl(spark: SparkSession, url: String): String = {
+    val (_, root) = fsOf(spark, url)
+    new Path(new Path(root, "_bloom"), "keybloom").toString
+  }
+
+  /** Build or incrementally refresh the conventional key-bloom
+    * sidecar for `fields` ([[RowGroupIndex.updateBloom]] semantics:
+    * only files absent from the index are scanned; vanished files'
+    * entries prune) — O(new files) per call. */
+  def indexBloom(spark: SparkSession, url: String,
+      fields: Seq[String], expectedPerFile: Long = 100000L,
+      fpp: Double = 0.01): Unit =
+    RowGroupIndex.updateBloom(spark, url, fields,
+      bloomSidecarUrl(spark, url), expectedPerFile, fpp)
+
+  /** Discover the conventional bloom sidecar for `field`:
+    * Some(indexUrl) iff the sidecar exists AND carries rows for the
+    * field. A renamed key or a foreign-field sidecar discovers as
+    * None and the caller falls back to the unpruned rewrite;
+    * STALENESS (live files the sidecar has not seen) is already
+    * safe inside [[stageUpsert]]'s coverage guard — uncovered files
+    * are conservatively affected. */
+  def discoverBloom(spark: SparkSession, url: String,
+      field: String): Option[String] = {
+    val (fs, root) = fsOf(spark, url)
+    val p = new Path(new Path(root, "_bloom"), "keybloom")
+    if (!fs.exists(p)) return None
+    if (spark.read.parquet(p.toString)
+        .filter(col("field") === field).take(1).isEmpty) None
+    else Some(p.toString)
+  }
+
+  /** The head version's pinned LOGICAL schema — manifest (or file
+    * footer) resolution only, no data read. */
+  def headSchema(spark: SparkSession,
+      url: String): org.apache.spark.sql.types.StructType = {
+    val (_, root) = fsOf(spark, url)
+    schemaOf(spark, root, snap(spark, url, latest(spark, url)))
+  }
+
+  /** SQL store-assignment semantics shared by the SET paths
+    * ([[updateWhereCond]] internally; [[GraftDml]]'s banded route
+    * explicitly, so routing never changes which statements are
+    * accepted): probe each SET expression's result type by
+    * ANALYZING it over an empty frame of the store schema — no data
+    * read — and insert implicit SAFE upcasts to the pinned column
+    * type; lossy casts refuse. */
+  private[sources] def upcastSets(spark: SparkSession,
+      storeSchema: org.apache.spark.sql.types.StructType,
+      sets: Map[String, Column]): Map[String, Column] = {
+    sets.keys.foreach(c =>
+      require(storeSchema.fieldNames.contains(c),
+        s"UPDATE: SET names unknown column $c"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      storeSchema)
+    val probe = empty.select(storeSchema.fieldNames.toSeq.map(c =>
+      sets.get(c).map(_.as(c)).getOrElse(col(c))): _*).schema
+    sets.map { case (c, e) =>
+      val actual = probe(c).dataType
+      val pinned = storeSchema(c).dataType
+      if (actual == pinned) c -> e
+      else {
+        require(org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(actual, pinned),
+          s"UPDATE: SET $c yields $actual but the pinned column is " +
+            s"$pinned — not a safe upcast; cast explicitly")
+        c -> e.cast(pinned)
+      }
+    }
+  }
+
+  /** Whether the `_stats` sidecar covers `field` — the routing gate
+    * for band-able SQL WHERE shapes ([[GraftDml]]): WITHOUT
+    * coverage the banded [[deleteWhere]]/[[updateWhere]] flavors
+    * must-read (and so rewrite) every file, strictly worse than the
+    * general-predicate flavors' exact containment attribution, so
+    * the SQL paths route banded only when this holds. */
+  def statsCovers(spark: SparkSession, url: String,
+      field: String): Boolean = {
+    val (fs, root) = fsOf(spark, url)
+    val sp = statsPath(root)
+    if (!fs.exists(sp)) return false
+    val head = snap(spark, url, latest(spark, url))
+    if (!schemaOf(spark, root, head).fieldNames.contains(field))
+      return false
+    spark.read.parquet(sp.toString)
+      .filter(col("field") === head.phys(field)).take(1).nonEmpty
+  }
+
   /** Band prefix length for string statistics, in Unicode code
     * points (the unit Spark's `substring` counts). 32 is the
     * Iceberg-ish default: long document bodies band on their
@@ -2936,6 +3034,8 @@ object Snapshots {
       key: Option[String] = None): Int = {
     val (fs, root) = fsOf(spark, url)
     val stagedSet = staged.toSet
+    val opStr = (if (drops.isEmpty) "txn-append" else "txn-upsert") +
+      key.map(":" + _).getOrElse("")
     var attempts = 0
     var out = -1
     while (out < 0) {
@@ -2943,6 +3043,16 @@ object Snapshots {
       vs.find(v =>
         stagedSet.subsetOf(snap(spark, url, v).files.toSet)) match {
         case Some(v) => out = v
+        // per-ATTEMPT key re-check (not just the pre-staging scan in
+        // commitTogether): two concurrent callers with the same
+        // commitKey can both pass the initial check-then-act scan;
+        // whoever loses the version race must find the winner's
+        // keyed commit HERE and return it instead of double-
+        // publishing (the loser's staged files stay invisible,
+        // vacuum-collectable orphans) — mirrors commitAppendStaged
+        case _ if key.isDefined &&
+            vs.exists(v => snap(spark, url, v).op == opStr) =>
+          out = vs.filter(v => snap(spark, url, v).op == opStr).min
         case None =>
           staged.foreach(f =>
             require(fs.exists(new Path(root, f)),
@@ -2960,9 +3070,7 @@ object Snapshots {
           // a deterministic failure (rename refusal, IO error) must
           // surface on attempt 1 with its own cause, not be retried
           // 16 times and replaced by whatever attempt 17 throws
-          try out = commit(spark, root, parent.version + 1,
-            (if (drops.isEmpty) "txn-append" else "txn-upsert") +
-              key.map(":" + _).getOrElse(""),
+          try out = commit(spark, root, parent.version + 1, opStr,
             parent.files.filterNot(drops.toSet) ++ staged,
             Some(schemaOf(spark, root, parent)),
             parent.colmap, parent.dropped)

@@ -153,6 +153,55 @@ class BranchSpec extends SparkSpec {
     assert(now.count() == 51L) // 50 - 1 del + 99 + 77 = 51
   }
 
+  test("rebase strategies: ours replays the conflicting key, a " +
+      "resolver callback merges both sides, stray resolver keys " +
+      "refuse") {
+    def build(tag: String): (String, String, String) = {
+      val main = fresh(s"${tag}m"); val br = fresh(s"${tag}b")
+      val br2 = fresh(s"${tag}b2")
+      mk(main)
+      Branch.fork(spark, main, br)
+      Snapshots.upsert(spark, br,
+        Seq((5L, "branchside", 1L), (9L, "brnine", 9L))
+          .toDF("id", "s", "n"), "id")
+      Snapshots.upsert(spark, main,
+        Seq((5L, "mainside", 2L)).toDF("id", "s", "n"), "id")
+      (main, br, br2)
+    }
+    // OURS: the branch's delta wins on the conflicting key too
+    val (_, ob, ob2) = build("ro")
+    val (_, oConf) = Branch.rebase(spark, ob, ob2, "id",
+      strategy = Branch.RebaseOurs)
+    assert(oConf == Seq(5L))
+    assert(Snapshots.read(spark, ob2).filter(col("id") === 5L)
+      .select("s").as[String].head() == "branchside")
+    assert(Snapshots.read(spark, ob2).filter(col("id") === 9L)
+      .select("s").as[String].head() == "brnine")
+    // RESOLVER: sees ours (delta shape) and theirs (main head rows),
+    // returns the resolution — here, merge both sides' fields
+    val (_, rb, rb2) = build("rr")
+    val (_, rConf) = Branch.rebase(spark, rb, rb2, "id",
+      strategy = Branch.RebaseResolve { (ours, theirs) =>
+        ours.alias("o").join(theirs.alias("t"), "id")
+          .select(col("id"),
+            concat(col("o.s"), lit("+"), col("t.s")).as("s"),
+            (col("o.n") + col("t.n")).as("n"),
+            col("o._change").as("_change"))
+      })
+    assert(rConf == Seq(5L))
+    assert(Snapshots.read(spark, rb2).filter(col("id") === 5L)
+      .select(col("s"), col("n")).as[(String, Long)].head() ==
+      (("branchside+mainside", 3L)))
+    // a resolver returning keys OUTSIDE the conflict set refuses
+    val (_, sb, sb2) = build("rs")
+    intercept[IllegalArgumentException] {
+      Branch.rebase(spark, sb, sb2, "id",
+        strategy = Branch.RebaseResolve { (ours, _) =>
+          ours.withColumn("id", col("id") + 1000L)
+        })
+    }
+  }
+
   test("fork crash recovery: a provenance-less clone completes iff " +
       "it matches this call's fork point, else instructs deletion") {
     val main = fresh("fmain"); val br = fresh("fbr")

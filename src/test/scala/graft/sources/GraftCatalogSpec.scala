@@ -92,7 +92,16 @@ class GraftCatalogSpec extends SparkSpec {
     // the effective path is visible in the table properties
     val props = spark.sql("SHOW TBLPROPERTIES gcat.guard").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(props("graft.scan") == "effective")
+    // SparkSpec installs GraftExtensions, so the effective scan is
+    // the optimizer-inlined native plan, not the V1 bridge
+    assert(props("graft.scan") == "effective-inline")
+    // and the plan proves it: no ExistingRDD (V1 bridge) anywhere
+    // under the SQL scan of the MoR+renamed store
+    val eff = spark.sql("SELECT doc_id, body FROM gcat.guard")
+    assert(!eff.queryExecution.executedPlan.toString
+      .contains("ExistingRDD"),
+      "effective SQL scan still rides the V1 RDD bridge:\n" +
+        eff.queryExecution.executedPlan)
     // time travel across the stack: v1 = pre-delete, pre-rename
     assert(spark.sql(
       "SELECT count(*) AS n FROM gcat.guard VERSION AS OF 1")
@@ -227,10 +236,15 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) AS n FROM gcat.`m$history`")
       .as[Long].head() == 3L)
+    // an unknown '$' suffix is NOT claimed by the metadata layer:
+    // resolution falls through to a real store of that exact name
+    // (none here), so the error is a plain table-not-found — a
+    // store legitimately NAMED with '$' stays reachable
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM gcat.`m$bogus`").collect()
     }
-    assert(e.getMessage.contains("history"), s"got ${e.getMessage}")
+    assert(e.getMessage.contains("cannot be found"),
+      s"got ${e.getMessage}")
   }
 
   test("DDL lifecycle: CREATE TABLE + CTAS ride Snapshots.create; " +
@@ -392,11 +406,22 @@ class GraftCatalogSpec extends SparkSpec {
     val afterDel = Snapshots.read(spark, s"$root/m2")
     assert(afterDel.count() == 20L)
     assert(afterDel.filter(col("id").isin(1L, 2L)).isEmpty)
-    // an untranslatable shape refuses with the supported set named
+    // matched-only partial SET translates since r18
+    // (GraftMergeCondCommand): only matched keys update, v = s.v+1
+    spark.sql(
+      """MERGE INTO gcat.m2 AS t USING m2_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v + 1""".stripMargin)
+    val afterUp = Snapshots.read(spark, s"$root/m2")
+    assert(afterUp.count() == 20L)
+    assert(afterUp.filter(col("id") === 21L).select("v")
+      .as[Long].head() == 211L)
+    // a still-untranslatable shape (NOT MATCHED BY SOURCE) refuses
+    // with the supported set named
     val e = intercept[Exception] {
       spark.sql(
         """MERGE INTO gcat.m2 AS t USING m2_src AS s ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET v = s.v + 1""".stripMargin)
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     }
     assert(e.getMessage.contains("Snapshots.upsert"),
       s"got ${e.getMessage}")

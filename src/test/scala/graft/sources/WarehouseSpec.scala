@@ -65,4 +65,41 @@ class WarehouseSpec extends SparkSpec {
     // C: errored in its own row; the sweep still served A and B
     assert(rep("c").getAs[String]("error") != null)
   }
+
+  test("maintain sweeps stores CONCURRENTLY (bounded pool), report " +
+      "stays per-store exact and deterministic in order") {
+    val root = scratch(
+      s"whp/${java.util.UUID.randomUUID().toString.take(8)}")
+    val n = 12
+    (0 until n).foreach { i =>
+      val url = f"$root/s$i%02d"
+      Snapshots.create(spark, url,
+        (1L to 20L).map(k => (k, k + i)).toDF("id", "v"), nFiles = 1)
+      // two tiny appends: compactable debris + vacuumable history
+      Snapshots.append(spark, url, Seq((100L + i, 1L)).toDF("id", "v"),
+        nFiles = 1)
+      Snapshots.append(spark, url, Seq((200L + i, 2L)).toDF("id", "v"),
+        nFiles = 1)
+    }
+    val rep = Warehouse.maintain(spark, root, keepLast = 1,
+      graceMs = 0L, smallBytes = 1L << 20, parallelism = 6)
+      .collect()
+    // deterministic row order = sorted store names, one row each
+    assert(rep.map(_.getString(0)).toSeq ==
+      (0 until n).map(i => f"s$i%02d"))
+    rep.foreach { r =>
+      assert(r.getAs[String]("error") == null,
+        s"store ${r.getString(0)} errored: ${r.getAs[String]("error")}")
+      assert(r.getLong(2) == 1L,
+        s"store ${r.getString(0)} must compact its debris")
+    }
+    // every store's data is intact and exact after the parallel sweep
+    (0 until n).foreach { i =>
+      val url = f"$root/s$i%02d"
+      assert(Snapshots.read(spark, url).count() == 22L)
+      assert(Snapshots.read(spark, url)
+        .filter(col("id") === 1L).select(col("v")).as[Long]
+        .head() == 1L + i)
+    }
+  }
 }
