@@ -397,6 +397,58 @@ object VectorIndex {
     committed
   }
 
+  /** Health-triggered RETRAIN — the churn recovery [[health]]
+    * reports the need for, as ONE operation: when the pinned
+    * centroids have degraded (posting-mass balance above
+    * `maxBalanceX100`, sidecar missing, or `k` changed — or
+    * unconditionally with `force`), drop `_vecindex`, train `k`
+    * FRESH centroids from the store's CURRENT effective rows, write
+    * them, and [[cluster]] the store on them (one commit; its index
+    * refresh rebuilds the postings over the new layout). Centroids
+    * are deliberately PINNED between retrains (incremental [[index]]
+    * refreshes never move them — moving centroids would invalidate
+    * every posting row), so this is the intended response when
+    * ingest drift concentrates mass in few cells and probe
+    * selectivity decays toward a full scan.
+    *
+    * `balance_x100` reads as max-cell mass ÷ mean-cell mass × 100:
+    * 100 = perfectly even, k×100 = everything in one cell. The
+    * default gate (300 = one cell holding 3× its share) is the
+    * point where an nprobe-sized probe starts opening a third of
+    * the corpus. Returns Some(committed vcluster version) when a
+    * retrain ran, None when health was under the gate (no-op, no
+    * commit, sidecar untouched). Cost when it fires: one centroid
+    * training pass + one corpus rewrite — the same bill as the
+    * initial [[cluster]], paid only on degradation. */
+  def retrain(spark: SparkSession, url: String, idCol: String,
+      embCol: String, k: Int, maxBalanceX100: Long = 300L,
+      force: Boolean = false, nFiles: Int = 8): Option[Int] = {
+    require(k > 0, "need k > 0 centroids")
+    val (fs, root) = fsOf(spark, url)
+    val degraded = force || !fs.exists(centroidsPath(root)) || {
+      val kNow = loadCentroids(spark, root).length
+      kNow != k || {
+        val h = health(spark, url).collect()(0)
+        h.getAs[Long]("balance_x100") > maxBalanceX100
+      }
+    }
+    if (!degraded) return None
+    fs.delete(vecDir(root), true)
+    val eff = Snapshots.readAsOf(spark, url,
+      Snapshots.latest(spark, url))
+    val trained = AnnSearch.ivfCentroids(
+      eff.select(col(idCol), col(embCol)), idCol, embCol, k)
+      .persist()
+    try {
+      require(trained.count() == k,
+        s"store has fewer than $k non-null embeddings to train on")
+      fs.mkdirs(vecDir(root))
+      trained.coalesce(1).write.mode("overwrite")
+        .parquet(centroidsPath(root).toString)
+    } finally trained.unpersist()
+    Some(cluster(spark, url, idCol, embCol, nFiles))
+  }
+
   /** Sidecar hygiene, the [[Snapshots.pruneStats]] analogue: drop
     * posting rows whose entry NO committed manifest lists (retired
     * by purgeDv/compactSmall/vacuum, or a superseded DV generation

@@ -233,4 +233,59 @@ class VectorIndexSpec extends SparkSpec {
       q, topK = 1, nprobe = 1).select("id").as[Long].head()
     assert(top1 == want.head)
   }
+
+  test("retrain: churn past the balance gate rebuilds centroids + " +
+      "layout + postings in one op; healthy stores no-op; search " +
+      "stays exact after") {
+    val url = fresh("retrain")
+    // start with ONE tight cluster (ids ≡ 0 mod 4 → axis 0): k=2
+    // centroids train inside it
+    Snapshots.create(spark, url,
+      rows((0L until 200L).map(_ * 4)), nFiles = 2)
+    assert(VectorIndex.index(spark, url, "vec_id", "embedding", 2) > 0)
+    // healthy (for these centroids): retrain is a NO-OP at a lax gate
+    assert(VectorIndex.retrain(spark, url, "vec_id", "embedding", 2,
+      maxBalanceX100 = 10000L).isEmpty)
+    // churn: a big append of THREE unseen clusters — the pinned
+    // centroids funnel most mass into few cells
+    Snapshots.append(spark, url,
+      rows((0L until 600L).map(i => i * 4 + 1 + (i % 3))), nFiles = 2)
+    assert(VectorIndex.index(spark, url, "vec_id", "embedding", 2) > 0)
+    val before = VectorIndex.health(spark, url).collect()(0)
+    assert(before.getAs[Long]("uncovered_pm") == 0L)
+    // retrain fires: asking for k=4 against a k=2 sidecar is a
+    // health trigger in itself (capacity change), independent of
+    // the balance gate
+    val committed = VectorIndex.retrain(spark, url, "vec_id",
+      "embedding", 4)
+    assert(committed.isDefined, s"expected retrain, health=$before")
+    assert(Snapshots.snap(spark, url, committed.get).op == "vcluster")
+    val after = VectorIndex.health(spark, url).collect()(0)
+    assert(after.getAs[Long]("k") == 4L)
+    assert(after.getAs[Long]("uncovered_pm") == 0L,
+      "retrain must leave every live entry posting-covered")
+    // exactness restored: exhaustive probe equals brute force over
+    // ALL live ids under the NEW centroids
+    val ids = (0L until 200L).map(_ * 4) ++
+      (0L until 600L).map(i => i * 4 + 1 + (i % 3))
+    val q = emb(42L)
+    val got = VectorIndex.search(spark, url, "vec_id", "embedding",
+      q, topK = 5, nprobe = 4)
+      .select("rank", "id").as[(Int, Long)].collect().toSeq
+    val want = ids.distinct.map(i => (i, key(q, emb(i))))
+      .sortBy { case (i, kk) => (-kk, i) }.take(5).map(_._1)
+    assert(got.map(_._2) == want, s"got $got want $want")
+    // the retrained index actually SPREADS mass beyond the k=2
+    // starting point (k-means may merge two tight clusters under
+    // one centroid, so ≥3 of 4, not exactly 4)
+    assert(after.getAs[Long]("cells_posted") >= 3L,
+      s"expected ≥3 posted cells after retrain, health=$after")
+    // and the BALANCE gate itself: a gate the current balance
+    // exceeds fires a same-k retrain; one it does not, no-ops
+    val bal = after.getAs[Long]("balance_x100")
+    assert(VectorIndex.retrain(spark, url, "vec_id", "embedding", 4,
+      maxBalanceX100 = bal + 100).isEmpty)
+    assert(VectorIndex.retrain(spark, url, "vec_id", "embedding", 4,
+      maxBalanceX100 = math.max(1L, bal - 100)).isDefined)
+  }
 }
