@@ -9132,6 +9132,69 @@ object SparkEntry {
         s"SELECT count(*) AS rows_v1 FROM g392.$tbl VERSION AS OF 1")
       metaPriced(head); metaPriced(v1)
       v1.crossJoin(head)
+    }),
+
+    // ---- Health-gated vector index RETRAIN ----
+    // Ingest drift story: centroids train on HALF the corpus, the
+    // other half churns in under the pinned (now-wrong) centroids;
+    // health measures the imbalance and retrain — gated on that
+    // measured balance — rebuilds centroids + layout + postings in
+    // one operation. In-body: the gate fires from measured health,
+    // every live entry is covered after, and a 1-cell probe prunes
+    // files again (selectivity restored). Oracle = whole-corpus
+    // integer brute force (exhaustive probe must equal it exactly).
+    "q393_vector_retrain" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q393"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val store = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      val src = t(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      Snapshots.create(s, store,
+        src.filter(col("vec_id") % 2 === 0), nFiles = 4)
+      VectorIndex.index(s, store, "vec_id", "embedding", 8)
+      // churn: the odd half arrives under the even-trained centroids
+      Snapshots.append(s, store,
+        src.filter(col("vec_id") % 2 === 1), nFiles = 4)
+      VectorIndex.index(s, store, "vec_id", "embedding", 8)
+      val before = VectorIndex.health(s, store).collect()(0)
+      require(before.getAs[Long]("uncovered_pm") == 0L,
+        "incremental refresh must cover the churn")
+      // the balance gate fires from MEASURED health (balance is
+      // always >= 100 = perfectly even, so this gate is live)
+      val gate = math.max(1L,
+        before.getAs[Long]("balance_x100") - 1L)
+      val committed = VectorIndex.retrain(s, store, "vec_id",
+        "embedding", 8, maxBalanceX100 = gate)
+      require(committed.isDefined, s"retrain gate did not fire at " +
+        s"$gate (health=$before)")
+      require(Snapshots.snap(s, store, committed.get).op == "vcluster",
+        "retrain must commit one vcluster version")
+      val after = VectorIndex.health(s, store).collect()(0)
+      require(after.getAs[Long]("uncovered_pm") == 0L,
+        "retrain must leave every live entry posting-covered")
+      val q = src.filter(col("vec_id") === 7L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      // selectivity restored on the retrained layout: a 1-cell
+      // probe opens strictly fewer files than the store holds
+      val v = Snapshots.latest(s, store)
+      val total = Snapshots.snap(s, store, v).files.size
+      val pruned = VectorIndex.prunedEntries(s, store, v, q, 1)
+      require(pruned.nonEmpty && pruned.size < total,
+        s"retrained postings failed to prune: ${pruned.size}/$total")
+      orderSmall(VectorIndex.search(s, store, "vec_id", "embedding",
+        q, topK = 10, nprobe = 8)
+        .select(col("rank").cast("long").as("rank"),
+          col("id").cast("long").as("id"), col("key")),
+        col("rank"))
     })
   )
 
@@ -18971,6 +19034,42 @@ object SparkEntry {
         |SELECT count(*) AS rows_v1,
         |  CAST(sum(CASE WHEN doc_id NOT BETWEEN 150 AND 420
         |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_head
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "q393_vector_retrain" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |), q AS (
+        |  SELECT qv AS qq FROM e WHERE vec_id = 7
+        |), keyed AS (
+        |  SELECT e.vec_id AS id,
+        |    ((list_reduce(list_transform(range(1, 65),
+        |        i -> e.qv[i] * q.qq[i]), (a, b) -> a + b)
+        |      + 2 * greatest(
+        |        CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> q.qq[i] * q.qq[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT)
+        |        * CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> e.qv[i] * e.qv[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT),
+        |        CAST(1 AS BIGINT)))
+        |     * 100000) // greatest(
+        |        CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> q.qq[i] * q.qq[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT)
+        |        * CAST(floor(sqrt(CAST(list_reduce(list_transform(
+        |          range(1, 65), i -> e.qv[i] * e.qv[i]),
+        |          (a, b) -> a + b) AS DOUBLE))) AS BIGINT),
+        |        CAST(1 AS BIGINT)) AS key
+        |  FROM e CROSS JOIN q
+        |)
+        |SELECT CAST(rank AS BIGINT) AS rank, id, key FROM (
+        |  SELECT id, key, row_number() OVER (
+        |    ORDER BY key DESC, id) AS rank
+        |  FROM keyed) AS ranked
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin
   )
 }
