@@ -9084,6 +9084,25 @@ object SparkEntry {
       require(v3 == v2 + 1 &&
         Snapshots.snap(s, url, v3).op == "upsert",
         "conditional MERGE DELETE must commit one upsert version")
+      // combined arm: conditional matched UPDATE + NOT MATCHED
+      // INSERT in ONE statement — σ(cond) updates ∪ anti-join
+      // inserts, one atomic commit
+      val m3 = cust.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), (col("c_custkey") % 50).as("delta"))
+      m3.unionByName(m3.select(
+          (col("c_custkey") + 95000000L).as("c_custkey"),
+          col("delta")))
+        .createOrReplaceTempView("q391_both")
+      s.sql(
+        s"""MERGE INTO g391.$tbl AS t USING q391_both AS s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND t.bal % 2 = 0 THEN UPDATE SET
+           |  c_mktsegment = 'EVEN', bal = t.bal + 1
+           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment,
+           |  bal) VALUES (s.c_custkey, 'XTRA', s.delta)""".stripMargin)
+      val v4 = Snapshots.latest(s, url)
+      require(v4 == v3 + 1,
+        "combined MERGE must commit exactly one version")
       orderSmall(s.sql(
         s"""SELECT c_mktsegment, count(*) AS n, sum(bal) AS sum_bal
            |FROM g391.$tbl GROUP BY c_mktsegment""".stripMargin),
@@ -19020,10 +19039,28 @@ object SparkEntry {
         |), d AS (
         |  SELECT * FROM u
         |  WHERE NOT (c_custkey % 3 = 0 AND bal < 0)
+        |), s3 AS (
+        |  SELECT c_custkey AS k, c_custkey % 50 AS delta
+        |  FROM c WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 95000000, c_custkey % 50
+        |  FROM c WHERE c_custkey % 11 = 0
+        |), e AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 AND bal % 2 = 0
+        |      THEN 'EVEN' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 11 = 0 AND bal % 2 = 0
+        |      THEN bal + 1 ELSE bal END AS bal
+        |  FROM d
+        |  UNION ALL
+        |  -- NOT MATCHED = absent from the CURRENT target: a key
+        |  -- arm 2 deleted legitimately re-inserts (MERGE semantics)
+        |  SELECT k, 'XTRA', delta FROM s3
+        |  WHERE k NOT IN (SELECT c_custkey FROM d)
         |)
         |SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(bal) AS BIGINT) AS sum_bal
-        |FROM d GROUP BY c_mktsegment
+        |FROM e GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
     "q392_sql_count_pushdown" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, Filter, InsertAction, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -79,17 +79,23 @@ object GraftDml {
       }
   }
 
-  /** MERGE INTO → [[Snapshots.upsert]], for the two shapes a keyed
+  /** MERGE INTO → [[Snapshots.upsert]], for the shapes a keyed
     * snapshot store expresses natively (anything else refuses with
     * the shape named — a partial translation that silently
-    * last-writer-wins would be the silent-wrong class):
+    * last-writer-wins would be the silent-wrong class). All require
+    * an equality merge condition:
     *  - `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
-    *    INSERT *` with an equality merge condition — the classic
-    *    upsert (updates replace whole rows; inserts land);
-    *  - `WHEN MATCHED THEN DELETE` alone — delete the source's keys.
-    * The SOURCE plan is carried as-is and executed by the command:
-    * its attribute ids match the carried assignment expressions, so
-    * nothing rebinds (no ambiguity hazards). */
+    *    INSERT *` — the classic upsert (fast path: the batch IS the
+    *    projected source, no join);
+    *  - `WHEN MATCHED [AND <cond>] THEN UPDATE SET <any>` with an
+    *    optional `WHEN NOT MATCHED THEN INSERT <any>` — the general
+    *    pair ([[GraftMergeCondCommand]]: σ(cond)(target ⋈ source)
+    *    updates ∪ anti-join inserts, one atomic upsert);
+    *  - `WHEN MATCHED [AND <cond>] THEN DELETE` — tombstone the
+    *    matched (and condition-passing) keys.
+    * Plans and expressions are carried ANALYZED and applied
+    * unrebount — attribute ids stay bound, so SET may reference
+    * both sides and names may collide across relations. */
   private def translateMerge(t: GraftSqlWrites,
       m: MergeIntoTable): LogicalPlan = {
     def refuse(why: String): Nothing =
@@ -151,10 +157,17 @@ object GraftDml {
         GraftMergeCondCommand(t.storeUrl, tKey.name,
           m.targetTable, m.sourceTable, m.mergeCondition, Some(cond),
           Seq(tKey.name -> tKey), delete = true)
-      case (Seq(UpdateAction(None, up, _)),
+      case (Seq(UpdateAction(cond, up, _)),
             Seq(InsertAction(None, ins))) =>
-        // classic upsert: both action's assignments must cover every
-        // target column with the SAME source expression
+        // UPDATE + INSERT pair. Two translations:
+        //  - CLASSIC upsert (unconditional, SET */INSERT * with the
+        //    same source expressions): the batch IS the projected
+        //    source — no join needed, the cheapest shape;
+        //  - GENERAL (clause condition, partial SET, or differing
+        //    assignments): conditional-matched updates from
+        //    σ(cond)(target ⋈ source) UNIONED with the anti-join
+        //    insert batch, one keyed upsert.
+        cond.foreach(subFree)
         val insMap = ins.map(a => a.key match {
           case ar: AttributeReference => ar.name -> a.value
           case other => refuse(s"INSERT target $other is nested")
@@ -165,17 +178,23 @@ object GraftDml {
         }).toMap
         val targetCols = m.targetTable.output.map(_.name)
         targetCols.foreach { c =>
-          val (i, u) = (insMap.get(c), upMap.get(c))
-          if (i.isEmpty || u.isEmpty)
-            refuse(s"column $c is not assigned by both clauses " +
-              "(only SET * / INSERT * translate)")
-          if (i.get.canonicalized != u.get.canonicalized)
-            refuse(s"column $c is assigned differently by UPDATE " +
-              "and INSERT (only SET * / INSERT * translate)")
-          subFree(i.get)
+          if (!insMap.contains(c))
+            refuse(s"column $c is not assigned by the INSERT clause")
+          subFree(insMap(c)); upMap.get(c).foreach(subFree)
         }
-        GraftMergeCommand(t.storeUrl, tKey.name, m.sourceTable,
-          targetCols.map(c => c -> insMap(c)), delete = false)
+        val classic = cond.isEmpty && targetCols.forall(c =>
+          upMap.get(c).exists(_.canonicalized ==
+            insMap(c).canonicalized))
+        if (classic)
+          GraftMergeCommand(t.storeUrl, tKey.name, m.sourceTable,
+            targetCols.map(c => c -> insMap(c)), delete = false)
+        else
+          GraftMergeCondCommand(t.storeUrl, tKey.name,
+            m.targetTable, m.sourceTable, m.mergeCondition, cond,
+            m.targetTable.output.map(a =>
+              a.name -> upMap.getOrElse(a.name, a)),
+            delete = false,
+            insertCols = Some(targetCols.map(c => c -> insMap(c))))
       case (Seq(DeleteAction(None)), Seq()) =>
         GraftMergeCommand(t.storeUrl, tKey.name, m.sourceTable,
           Seq(tKey.name -> sKey), delete = true)
@@ -301,7 +320,9 @@ case class GraftMergeCommand(url: String, keyCol: String,
 case class GraftMergeCondCommand(url: String, keyCol: String,
     target: LogicalPlan, source: LogicalPlan, mergeCond: Expression,
     clauseCond: Option[Expression], outCols: Seq[(String, Expression)],
-    delete: Boolean) extends LeafRunnableCommand {
+    delete: Boolean,
+    insertCols: Option[Seq[(String, Expression)]] = None)
+    extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def innerChildren: Seq[LogicalPlan] = Nil
@@ -324,8 +345,23 @@ case class GraftMergeCondCommand(url: String, keyCol: String,
         else Snapshots.upsert(session, url, updates, keyCol,
           deleteCol = Some("__merge_del"), bloomIndexUrl = bloom)
       } else {
-        if (batch.isEmpty) Snapshots.latest(session, url)
-        else Snapshots.upsert(session, url, batch, keyCol,
+        // the NOT MATCHED insert batch (when present): source rows
+        // with no key match, projected through the INSERT
+        // assignments — analyzed separately and unioned by name, so
+        // the analyzer's relation dedup handles target appearing in
+        // both branches
+        val full = insertCols match {
+          case Some(ics) =>
+            val anti = Join(source, target, LeftAnti,
+              Some(mergeCond), JoinHint.NONE)
+            val insBatch = org.apache.spark.sql.graftbridge
+              .ColumnBridge.ofPlan(session, Project(
+                ics.map { case (n, e) => Alias(e, n)() }, anti))
+            batch.unionByName(insBatch)
+          case None => batch
+        }
+        if (full.isEmpty) Snapshots.latest(session, url)
+        else Snapshots.upsert(session, url, full, keyCol,
           bloomIndexUrl = bloom)
       }
     Seq(Row(v.toLong))

@@ -19,6 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.purge_dv('events')
   *   CALL graft.row_count('events', -1)       -- footer-priced; -1 = head
   *   CALL graft.cluster('events', 'id', 8)
+  *   CALL graft.retrain_index('docs', 'id', 'emb', 8, 300)
   *   CALL graft.maintain(3, 3600000, 8)        -- whole warehouse
   * }}}
   * Every procedure is the SAME public API an operator would call
@@ -95,6 +96,21 @@ private[sources] object GraftProcedures {
         val url = new Path(root, args.head.toString).toString
         Seq(Seq(Snapshots.cluster(s, url, args(1).toString,
           args(2).asInstanceOf[Long].toInt).toLong))
+      }),
+    "retrain_index" -> Spec(
+      Seq("store" -> StringType, "id_col" -> StringType,
+        "emb_col" -> StringType, "k" -> LongType,
+        "max_balance_x100" -> LongType),
+      out("retrained" -> LongType, "version" -> LongType),
+      (s, root, args) => {
+        val url = new Path(root, args.head.toString).toString
+        VectorIndex.retrain(s, url, args(1).toString,
+          args(2).toString, args(3).asInstanceOf[Long].toInt,
+          maxBalanceX100 = args(4).asInstanceOf[Long]) match {
+          case Some(v) => Seq(Seq(1L, v.toLong))
+          case None => Seq(Seq(0L,
+            Snapshots.latest(s, url).toLong))
+        }
       }),
     "maintain" -> Spec(
       Seq("keep_last" -> LongType, "grace_ms" -> LongType,

@@ -152,7 +152,8 @@ object GraftStream {
       streamId: String, nFiles: Int = 8,
       statsFields: Seq[String] = Nil,
       bloomIndex: Option[(String, Seq[String])] = None,
-      vectorIndex: Option[(String, String, Int)] = None)
+      vectorIndex: Option[(String, String, Int)] = None,
+      bloomFields: Seq[String] = Nil)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(streamId.matches("[A-Za-z0-9_.-]+"),
       s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+)")
@@ -176,6 +177,14 @@ object GraftStream {
         graft.sources.RowGroupIndex.updateBloom(batch.sparkSession,
           url, fields, idxUrl)
       }
+      // bloomFields is the CONVENTIONAL-location shortcut
+      // (<store>/_bloom/keybloom via Snapshots.indexBloom): a stream
+      // maintaining it makes SQL MERGE's sidecar DISCOVERY work with
+      // zero further configuration — the live store prunes its
+      // copy-on-write rewrites out of the box
+      if (bloomFields.nonEmpty)
+        graft.sources.Snapshots.indexBloom(batch.sparkSession, url,
+          bloomFields)
       // per-epoch vector-postings maintenance ((idCol, embCol, k)):
       // VectorIndex.index scans only entries without posting rows —
       // O(batch) per epoch like the other sidecars. Epoch 0 trains
@@ -206,7 +215,8 @@ object GraftStream {
     * ([[graft.sources.Snapshots.create]]). */
   def snapshotSinkMulti(batches: DataFrame, streamId: String,
       parts: Seq[(String, DataFrame => DataFrame, Int)],
-      statsFields: Map[String, Seq[String]] = Map.empty)
+      statsFields: Map[String, Seq[String]] = Map.empty,
+      bloomFields: Map[String, Seq[String]] = Map.empty)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(streamId.matches("[A-Za-z0-9_.-]+"),
       s"streamId '$streamId' must be path-safe ([A-Za-z0-9_.-]+)")
@@ -214,6 +224,8 @@ object GraftStream {
     val urls = parts.map(_._1).toSet
     statsFields.keys.foreach(u => require(urls.contains(u),
       s"statsFields names $u, which is not a sink target"))
+    bloomFields.keys.foreach(u => require(urls.contains(u),
+      s"bloomFields names $u, which is not a sink target"))
     batches.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       graft.sources.Snapshots.commitTogether(batch.sparkSession,
         parts.map { case (url, f, nFiles) => (url, f(batch), nFiles) },
@@ -223,6 +235,13 @@ object GraftStream {
       statsFields.foreach { case (url, fields) =>
         graft.sources.Snapshots.indexStats(batch.sparkSession, url,
           fields): Unit
+      }
+      // conventional key-bloom sidecar per store (the snapshotSink
+      // bloomFields shape): O(new files) per epoch, and SQL MERGE's
+      // discovery finds it with zero configuration
+      bloomFields.foreach { case (url, fields) =>
+        graft.sources.Snapshots.indexBloom(batch.sparkSession, url,
+          fields)
       }
     }
   }
