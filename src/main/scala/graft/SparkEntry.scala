@@ -9214,6 +9214,67 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"),
           col("id").cast("long").as("id"), col("key")),
         col("rank"))
+    }),
+
+    // ---- Native readStream.table over a snapshot store ----
+    // The SQL streaming read: offsets are manifest VERSIONS (exact,
+    // replayable — the manifest log is the stream's WAL), each
+    // micro-batch carries the files its version range appended, and
+    // executors decode with Spark's own parquet reader. The body
+    // drains through a checkpoint, appends MORE, drains again, and
+    // asserts the second drain carried ONLY the delta (no dups —
+    // version-offset resumption); the result is the streamed rows'
+    // aggregate, hash-equal to the batch twin = the oracle.
+    "q394_stream_table" -> ((s0, dir) => {
+      val s = scopedSession(s0, 4)
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q394"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val base = new org.apache.hadoop.fs.Path(rootPath,
+        java.util.UUID.randomUUID().toString.take(8)).toString
+      s.conf.set("spark.sql.catalog.g394",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g394.root", base)
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val url = s"$base/docs"
+      Snapshots.create(s, url, docs.filter(col("doc_id") % 3 === 0),
+        nFiles = 2)
+      Snapshots.append(s, url, docs.filter(col("doc_id") % 3 === 1),
+        nFiles = 2)
+      def drain(): Unit = {
+        val q = s.readStream.table("g394.docs")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val n1 = s.read.parquet(s"$base/out").count()
+      Snapshots.append(s, url, docs.filter(col("doc_id") % 3 === 2),
+        nFiles = 2)
+      drain()
+      val out = s.read.parquet(s"$base/out")
+      require(out.count() == docs.count() &&
+        n1 < out.count(),
+        "second drain must carry exactly the appended delta")
+      require(out.select(col("doc_id")).distinct().count() ==
+        out.count(), "version-offset resumption must not duplicate")
+      orderSmall(out
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars")),
+        col("lang"))
     })
   )
 
@@ -19107,6 +19168,14 @@ object SparkEntry {
         |  SELECT id, key, row_number() OVER (
         |    ORDER BY key DESC, id) AS rank
         |  FROM keyed) AS ranked
-        |WHERE rank <= 10 ORDER BY rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q394_stream_table" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

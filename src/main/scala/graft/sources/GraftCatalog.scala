@@ -444,14 +444,27 @@ private[sources] class GraftSqlTable(val label: String,
     with GraftSqlWrites {
   override def name(): String = label
   override def schema(): StructType = pinned
+  // MICRO_BATCH_READ only on the LATEST resolution: a stream over a
+  // pinned time-travel version would either freeze or silently jump
+  // to the head — both wrong shapes
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
       util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
+  /** Batch scans delegate verbatim to the parquet V2 builder
+    * (pushdown/pruning/stats untouched); the SAME built scan also
+    * answers `toMicroBatchStream`, so
+    * `spark.readStream.table("graft.store")` streams the manifest
+    * log natively ([[GraftMicroBatchStream]]: offsets = versions,
+    * batches = appended files). */
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    underlying.newScanBuilder(options)
+    org.apache.spark.sql.graftbridge.StreamBridge.wrapBuilder(
+      underlying.newScanBuilder(options),
+      pruned => new GraftMicroBatchStream(SparkSession.active,
+        storeUrl, label, pinned, pruned))
   /** Surfaced by `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`:
     * the resolved version, its op, its file count, the store url. */
   override def properties(): util.Map[String, String] = {

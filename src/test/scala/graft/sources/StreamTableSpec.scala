@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+
+/** Native `spark.readStream.table("graft.store")`: offsets are
+  * manifest versions, micro-batches are the files those versions
+  * appended, executors decode with Spark's own parquet reader —
+  * and the stream is hash-equal to the batch read of the same
+  * store. Mutations inside a batch range refuse loudly. */
+class StreamTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = {
+    val r = new java.io.File(scratch(
+      s"strmtbl/${java.util.UUID.randomUUID().toString.take(8)}"))
+      .getAbsolutePath
+    spark.conf.set("spark.sql.catalog.gst",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gst.root", r)
+    r
+  }
+
+  test("readStream.table: first batch = current contents, restart " +
+      "resumes from the checkpointed version, stream equals batch") {
+    val url = s"$root/ev"
+    val ck = scratch(
+      s"strmtbl_ck/${java.util.UUID.randomUUID().toString.take(8)}")
+    Snapshots.create(spark, url,
+      (1L to 50L).map(i => (i, i * 2)).toDF("id", "v"), nFiles = 2)
+    Snapshots.append(spark, url,
+      (51L to 80L).map(i => (i, i * 2)).toDF("id", "v"), nFiles = 2)
+
+    val outDir = scratch(
+      s"strmtbl_out/${java.util.UUID.randomUUID().toString.take(8)}")
+    def drain(): Unit = {
+      val q = spark.readStream.table("gst.ev")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(outDir).select(col("id")).as[Long]
+      .collect().sorted.toSeq == (1L to 80L),
+      "first drain must carry the store's full current contents")
+
+    // append after the checkpoint: ONLY the delta arrives on the
+    // next drain (resume from the checkpointed VERSION, no dups)
+    Snapshots.append(spark, url,
+      (81L to 90L).map(i => (i, i * 2)).toDF("id", "v"), nFiles = 1)
+    drain()
+    assert(spark.read.parquet(outDir).select(col("id")).as[Long]
+      .collect().sorted.toSeq == (1L to 90L),
+      "restart must resume from the checkpointed version, no dups")
+
+    // the streamed rows equal the batch read (hash-equal contract)
+    val batch = Snapshots.read(spark, url).select(col("id"), col("v"))
+      .as[(Long, Long)].collect().toSet
+    assert(spark.read.parquet(outDir).select(col("id"), col("v"))
+      .as[(Long, Long)].collect().toSet == batch)
+  }
+
+  test("a mutation inside the batch range refuses loudly; column " +
+      "pruning reaches the stream's read schema") {
+    val url = s"$root/mut"
+    val ck = scratch(
+      s"strmtbl_ck2/${java.util.UUID.randomUUID().toString.take(8)}")
+    Snapshots.create(spark, url,
+      (1L to 30L).map(i => (i, i * 2, s"p$i")).toDF("id", "v", "pay"),
+      nFiles = 2)
+    Snapshots.deleteWhere(spark, url, "id", 1L, 5L) // v2: mutation
+    val q = spark.readStream.table("gst.mut").select(col("id"))
+      .writeStream.format("memory").queryName("strm_mut")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val e = intercept[Exception] { q.awaitTermination() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("append-only")),
+      s"expected the append-only refusal, got ${chain(e).take(3)}")
+  }
+
+  test("a pinned time-travel resolution does not stream") {
+    val url = s"$root/pin"
+    Snapshots.create(spark, url,
+      Seq((1L, 2L)).toDF("id", "v"), nFiles = 1)
+    Snapshots.append(spark, url, Seq((2L, 4L)).toDF("id", "v"), 1)
+    val e = intercept[Exception] {
+      spark.readStream.option("versionAsOf", "1").table("gst.pin")
+        .writeStream.format("memory").queryName("strm_pin")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage != null)
+  }
+}
