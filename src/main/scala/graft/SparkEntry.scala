@@ -9103,6 +9103,17 @@ object SparkEntry {
       val v4 = Snapshots.latest(s, url)
       require(v4 == v3 + 1,
         "combined MERGE must commit exactly one version")
+      // NOT MATCHED BY SOURCE arm: target keys ABSENT from the
+      // source, conditionally updated — the target-side anti-join
+      // batch in the same one-upsert machinery
+      s.sql(
+        s"""MERGE INTO g391.$tbl AS t USING q391_both AS s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN NOT MATCHED BY SOURCE AND t.c_mktsegment = 'HOT'
+           |THEN UPDATE SET c_mktsegment = 'COLD'""".stripMargin)
+      val v5 = Snapshots.latest(s, url)
+      require(v5 == v4 + 1,
+        "by-source MERGE must commit exactly one version")
       orderSmall(s.sql(
         s"""SELECT c_mktsegment, count(*) AS n, sum(bal) AS sum_bal
            |FROM g391.$tbl GROUP BY c_mktsegment""".stripMargin),
@@ -19118,10 +19129,21 @@ object SparkEntry {
         |  -- arm 2 deleted legitimately re-inserts (MERGE semantics)
         |  SELECT k, 'XTRA', delta FROM s3
         |  WHERE k NOT IN (SELECT c_custkey FROM d)
+        |), fin AS (
+        |  -- arm 4: NOT MATCHED BY SOURCE (keys outside s3) with a
+        |  -- HOT segment turn COLD
+        |  SELECT c_custkey,
+        |    CASE WHEN NOT ((c_custkey % 11 = 0
+        |            AND c_custkey < 95000000)
+        |          OR c_custkey >= 95000000)
+        |        AND c_mktsegment = 'HOT'
+        |      THEN 'COLD' ELSE c_mktsegment END AS c_mktsegment,
+        |    bal
+        |  FROM e
         |)
         |SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(bal) AS BIGINT) AS sum_bal
-        |FROM e GROUP BY c_mktsegment
+        |FROM fin GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
     "q392_sql_count_pushdown" ->

@@ -79,40 +79,37 @@ object GraftDml {
       }
   }
 
-  /** MERGE INTO → [[Snapshots.upsert]], for the shapes a keyed
-    * snapshot store expresses natively (anything else refuses with
-    * the shape named — a partial translation that silently
-    * last-writer-wins would be the silent-wrong class). All require
-    * an equality merge condition:
-    *  - `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
-    *    INSERT *` — the classic upsert (fast path: the batch IS the
-    *    projected source, no join);
-    *  - `WHEN MATCHED [AND <cond>] THEN UPDATE SET <any>` with an
-    *    optional `WHEN NOT MATCHED THEN INSERT <any>` — the general
-    *    pair ([[GraftMergeCondCommand]]: σ(cond)(target ⋈ source)
-    *    updates ∪ anti-join inserts, one atomic upsert);
-    *  - `WHEN MATCHED [AND <cond>] THEN DELETE` — tombstone the
-    *    matched (and condition-passing) keys.
-    * Plans and expressions are carried ANALYZED and applied
-    * unrebount — attribute ids stay bound, so SET may reference
-    * both sides and names may collide across relations. */
+  /** MERGE INTO → [[Snapshots.upsert]]: the FULL clause matrix —
+    * at most one `WHEN MATCHED [AND cond] THEN UPDATE/DELETE`, one
+    * `WHEN NOT MATCHED THEN INSERT`, one `WHEN NOT MATCHED BY
+    * SOURCE [AND cond] THEN UPDATE/DELETE` — as ONE atomic keyed
+    * upsert ([[GraftMergeMatrixCommand]]), with an equality merge
+    * condition. The unconditional SET-star/INSERT-star pair and the bare
+    * delete-matched shape keep their join-free fast path
+    * ([[GraftMergeCommand]]: the batch IS the projected source).
+    * What refuses (loudly, with the shape named — a partial
+    * translation that silently last-writer-wins would be the
+    * silent-wrong class): multiple clauses per group, conditional
+    * INSERT, WITH SCHEMA EVOLUTION, non-equality merge conditions,
+    * subqueries in clause expressions. Plans and expressions are
+    * carried ANALYZED and applied unrebound — attribute ids stay
+    * bound, so SET may reference both sides and names may collide
+    * across relations. */
   private def translateMerge(t: GraftSqlWrites,
       m: MergeIntoTable): LogicalPlan = {
     def refuse(why: String): Nothing =
       throw new UnsupportedOperationException(
-        s"graft MERGE INTO supports 'WHEN MATCHED THEN UPDATE SET * " +
-          "WHEN NOT MATCHED THEN INSERT *' (keyed upsert), " +
-          "'WHEN MATCHED [AND <cond>] THEN UPDATE SET ...' and " +
-          "'WHEN MATCHED [AND <cond>] THEN DELETE' (matched-only " +
-          "clauses), all with an equality merge condition — " +
-          s"$why; use Snapshots.upsert for other shapes")
+        "graft MERGE INTO supports at most ONE clause per group — " +
+          "'WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE', " +
+          "'WHEN NOT MATCHED THEN INSERT ...', 'WHEN NOT MATCHED " +
+          "BY SOURCE [AND cond] THEN UPDATE SET .../DELETE' — with " +
+          s"an equality merge condition; $why. Use Snapshots.upsert " +
+          "for other shapes")
     require(t.writable,
       s"${t.label} is a pinned time-travel resolution — MERGE " +
         "targets the latest version")
     if (m.schemaEvolutionEnabled)
       refuse("WITH SCHEMA EVOLUTION is unsupported")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("NOT MATCHED BY SOURCE clauses are unsupported")
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
     val (tKey, sKey) = m.mergeCondition match {
@@ -128,77 +125,81 @@ object GraftDml {
         org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
         "graft MERGE does not support subqueries in the source " +
           "assignments")
-    (m.matchedActions, m.notMatchedActions) match {
-      // ---- matched-only UPDATE (optionally conditional) ----
-      // `WHEN MATCHED [AND cond] THEN UPDATE SET ...` with no insert
-      // clause: the update batch is target ⋈ source on the merge
-      // condition, filtered by the clause condition, projected to
-      // the target schema with the SET expressions applied — then
-      // ONE keyed copy-on-write upsert. The plans and expressions
-      // are carried ANALYZED (attribute ids stay bound), so SET
-      // expressions may reference BOTH sides and arbitrary clause
-      // conditions compose — nothing rebinds by name.
-      case (Seq(UpdateAction(cond, up, _)), Seq()) =>
-        cond.foreach(subFree)
-        val setMap = up.map(a => a.key match {
-          case ar: AttributeReference =>
-            subFree(a.value); ar.name -> a.value
-          case other => refuse(s"UPDATE SET target $other is nested")
-        }).toMap
-        val outCols: Seq[(String, Expression)] =
-          m.targetTable.output.map(a =>
-            a.name -> setMap.getOrElse(a.name, a))
-        GraftMergeCondCommand(t.storeUrl, tKey.name,
-          m.targetTable, m.sourceTable, m.mergeCondition, cond,
-          outCols, delete = false)
-      // ---- conditional matched DELETE ----
-      case (Seq(DeleteAction(Some(cond))), Seq()) =>
-        subFree(cond)
-        GraftMergeCondCommand(t.storeUrl, tKey.name,
-          m.targetTable, m.sourceTable, m.mergeCondition, Some(cond),
-          Seq(tKey.name -> tKey), delete = true)
-      case (Seq(UpdateAction(cond, up, _)),
-            Seq(InsertAction(None, ins))) =>
-        // UPDATE + INSERT pair. Two translations:
-        //  - CLASSIC upsert (unconditional, SET */INSERT * with the
-        //    same source expressions): the batch IS the projected
-        //    source — no join needed, the cheapest shape;
-        //  - GENERAL (clause condition, partial SET, or differing
-        //    assignments): conditional-matched updates from
-        //    σ(cond)(target ⋈ source) UNIONED with the anti-join
-        //    insert batch, one keyed upsert.
-        cond.foreach(subFree)
-        val insMap = ins.map(a => a.key match {
-          case ar: AttributeReference => ar.name -> a.value
-          case other => refuse(s"INSERT target $other is nested")
-        }).toMap
-        val upMap = up.map(a => a.key match {
-          case ar: AttributeReference => ar.name -> a.value
-          case other => refuse(s"UPDATE SET target $other is nested")
-        }).toMap
-        val targetCols = m.targetTable.output.map(_.name)
-        targetCols.foreach { c =>
-          if (!insMap.contains(c))
-            refuse(s"column $c is not assigned by the INSERT clause")
-          subFree(insMap(c)); upMap.get(c).foreach(subFree)
-        }
-        val classic = cond.isEmpty && targetCols.forall(c =>
-          upMap.get(c).exists(_.canonicalized ==
-            insMap(c).canonicalized))
-        if (classic)
-          GraftMergeCommand(t.storeUrl, tKey.name, m.sourceTable,
-            targetCols.map(c => c -> insMap(c)), delete = false)
-        else
-          GraftMergeCondCommand(t.storeUrl, tKey.name,
-            m.targetTable, m.sourceTable, m.mergeCondition, cond,
-            m.targetTable.output.map(a =>
-              a.name -> upMap.getOrElse(a.name, a)),
-            delete = false,
-            insertCols = Some(targetCols.map(c => c -> insMap(c))))
-      case (Seq(DeleteAction(None)), Seq()) =>
+    val targetCols = m.targetTable.output.map(_.name)
+    val identityCols: Seq[(String, Expression)] =
+      m.targetTable.output.map(a => a.name -> (a: Expression))
+    def setCols(up: Seq[org.apache.spark.sql.catalyst.plans.logical
+        .Assignment]): Seq[(String, Expression)] = {
+      val setMap = up.map(a => a.key match {
+        case ar: AttributeReference =>
+          subFree(a.value); ar.name -> a.value
+        case other => refuse(s"UPDATE SET target $other is nested")
+      }).toMap
+      m.targetTable.output.map(a =>
+        a.name -> setMap.getOrElse(a.name, a: Expression))
+    }
+    // parse each clause group into one optional ARM
+    val matched: Option[MergeArm] = m.matchedActions match {
+      case Seq() => None
+      case Seq(UpdateAction(c, up, _)) =>
+        c.foreach(subFree)
+        Some(MergeArm(c, setCols(up), delete = false))
+      case Seq(DeleteAction(c)) =>
+        c.foreach(subFree)
+        Some(MergeArm(c, identityCols, delete = true))
+      case other =>
+        refuse(s"multiple WHEN MATCHED clauses: $other")
+    }
+    val insertCols: Option[Seq[(String, Expression)]] =
+      m.notMatchedActions match {
+        case Seq() => None
+        case Seq(InsertAction(None, ins)) =>
+          val insMap = ins.map(a => a.key match {
+            case ar: AttributeReference => ar.name -> a.value
+            case other => refuse(s"INSERT target $other is nested")
+          }).toMap
+          targetCols.foreach { c =>
+            if (!insMap.contains(c))
+              refuse(s"column $c is not assigned by the INSERT " +
+                "clause")
+            subFree(insMap(c))
+          }
+          Some(targetCols.map(c => c -> insMap(c)))
+        case Seq(InsertAction(Some(_), _)) =>
+          refuse("conditional INSERT clauses are unsupported")
+        case other =>
+          refuse(s"multiple WHEN NOT MATCHED clauses: $other")
+      }
+    val bySource: Option[MergeArm] =
+      m.notMatchedBySourceActions match {
+        case Seq() => None
+        case Seq(UpdateAction(c, up, _)) =>
+          c.foreach(subFree)
+          Some(MergeArm(c, setCols(up), delete = false))
+        case Seq(DeleteAction(c)) =>
+          c.foreach(subFree)
+          Some(MergeArm(c, identityCols, delete = true))
+        case other =>
+          refuse(s"multiple WHEN NOT MATCHED BY SOURCE clauses: " +
+            s"$other")
+      }
+    if (matched.isEmpty && insertCols.isEmpty && bySource.isEmpty)
+      refuse("no clauses")
+    // classic fast paths keep their join-free translations: the
+    // batch IS the projected source
+    (matched, insertCols, bySource) match {
+      case (Some(MergeArm(None, cols, false)), Some(ins), None)
+          if cols.map(_._2.canonicalized) ==
+            ins.map(_._2.canonicalized) =>
+        GraftMergeCommand(t.storeUrl, tKey.name, m.sourceTable,
+          ins, delete = false)
+      case (Some(MergeArm(None, _, true)), None, None) =>
         GraftMergeCommand(t.storeUrl, tKey.name, m.sourceTable,
           Seq(tKey.name -> sKey), delete = true)
-      case (ma, na) => refuse(s"matched=$ma notMatched=$na")
+      case _ =>
+        GraftMergeMatrixCommand(t.storeUrl, tKey.name,
+          m.targetTable, m.sourceTable, m.mergeCondition,
+          matched, insertCols, bySource)
     }
   }
 }
@@ -302,68 +303,75 @@ case class GraftMergeCommand(url: String, keyCol: String,
     Seq(Row(v.toLong))
   }
 }
+/** One parsed MERGE clause arm: the optional clause condition, the
+  * target-schema projection (SET expressions for UPDATE arms, the
+  * target's own attributes for DELETE arms), and whether the arm
+  * tombstones. */
+case class MergeArm(cond: Option[Expression],
+  cols: Seq[(String, Expression)], delete: Boolean)
 
-/** Eagerly-executed MATCHED-ONLY MERGE clause (optionally
-  * conditional): `WHEN MATCHED [AND <cond>] THEN UPDATE SET ...` or
-  * `WHEN MATCHED AND <cond> THEN DELETE`. The carried target and
-  * source plans keep their analyzed attribute ids, so the merge
-  * condition, the clause condition and the SET expressions apply
-  * UNREBOUND over a constructed `σ(cond)(target ⋈ source)` plan —
-  * SET may reference both sides, names may collide across the two
-  * relations, nothing resolves by name. The filtered join projects
-  * to the target schema (update) or the target key (delete) and
-  * lands as ONE keyed copy-on-write [[Snapshots.upsert]] with the
-  * discovered bloom sidecar pruning the rewrite. A source that
-  * matches the same target key twice fails the upsert's duplicate-
-  * key require — the standard MERGE cardinality error, surfaced
-  * loudly instead of last-writer-wins. */
-case class GraftMergeCondCommand(url: String, keyCol: String,
+/** Eagerly-executed GENERAL MERGE — the full clause matrix in ONE
+  * atomic keyed upsert:
+  *  - `matched` (`WHEN MATCHED [AND cond] THEN UPDATE/DELETE`):
+  *    σ(cond)(target ⋈ source) projected to the store schema;
+  *  - `insertCols` (`WHEN NOT MATCHED THEN INSERT ...`): source
+  *    anti-join target;
+  *  - `bySource` (`WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+  *    UPDATE/DELETE`): target anti-join source.
+  * The three batches are key-disjoint by construction (matched keys
+  * are in both relations, insert keys only in the source, by-source
+  * keys only in the target), so their union is one well-formed
+  * upsert batch; DELETE arms ride the tombstone column. The carried
+  * plans keep their analyzed attribute ids — SET may reference both
+  * sides (matched) or the target alone (by-source, enforced by the
+  * analyzer), and names may collide across relations. A source that
+  * matches one target key twice fails the upsert's duplicate-key
+  * require — the standard MERGE cardinality error, surfaced loudly
+  * instead of last-writer-wins. The discovered bloom sidecar prunes
+  * the copy-on-write rewrite. */
+case class GraftMergeMatrixCommand(url: String, keyCol: String,
     target: LogicalPlan, source: LogicalPlan, mergeCond: Expression,
-    clauseCond: Option[Expression], outCols: Seq[(String, Expression)],
-    delete: Boolean,
-    insertCols: Option[Seq[(String, Expression)]] = None)
-    extends LeafRunnableCommand {
+    matched: Option[MergeArm],
+    insertCols: Option[Seq[(String, Expression)]],
+    bySource: Option[MergeArm]) extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def innerChildren: Seq[LogicalPlan] = Nil
 
   override def run(session: SparkSession): Seq[Row] = {
-    val joined = Filter(clauseCond.getOrElse(Literal(true)),
-      Join(target, source, Inner, Some(mergeCond), JoinHint.NONE))
-    val proj = Project(outCols.map { case (n, e) =>
-      Alias(e, n)() }, joined)
-    val batch = org.apache.spark.sql.graftbridge.ColumnBridge
-      .ofPlan(session, proj)
+    def proj(cols: Seq[(String, Expression)], del: Boolean,
+        child: LogicalPlan): LogicalPlan =
+      Project(cols.map { case (n, e) => Alias(e, n)() } :+
+        Alias(Literal(del), "__merge_del")(), child)
+    val frames = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    matched.foreach { case MergeArm(cond, cols, del) =>
+      frames += org.apache.spark.sql.graftbridge.ColumnBridge
+        .ofPlan(session, proj(cols, del,
+          Filter(cond.getOrElse(Literal(true)),
+            Join(target, source, Inner, Some(mergeCond),
+              JoinHint.NONE))))
+    }
+    insertCols.foreach { ics =>
+      frames += org.apache.spark.sql.graftbridge.ColumnBridge
+        .ofPlan(session, proj(ics, del = false,
+          Join(source, target, LeftAnti, Some(mergeCond),
+            JoinHint.NONE)))
+    }
+    bySource.foreach { case MergeArm(cond, cols, del) =>
+      frames += org.apache.spark.sql.graftbridge.ColumnBridge
+        .ofPlan(session, proj(cols, del,
+          Filter(cond.getOrElse(Literal(true)),
+            Join(target, source, LeftAnti, Some(mergeCond),
+              JoinHint.NONE))))
+    }
+    // analyzed separately, unioned by name: the analyzer's relation
+    // dedup handles target/source appearing in several branches
+    val batch = frames.result().reduce(_.unionByName(_))
     val bloom = Snapshots.discoverBloom(session, url, keyCol)
     val v =
-      if (delete) {
-        val keys = batch.select(keyCol).distinct()
-        val updates = Snapshots.read(session, url)
-          .join(keys, Seq(keyCol), "left_semi")
-          .withColumn("__merge_del", lit(true))
-        if (updates.isEmpty) Snapshots.latest(session, url)
-        else Snapshots.upsert(session, url, updates, keyCol,
-          deleteCol = Some("__merge_del"), bloomIndexUrl = bloom)
-      } else {
-        // the NOT MATCHED insert batch (when present): source rows
-        // with no key match, projected through the INSERT
-        // assignments — analyzed separately and unioned by name, so
-        // the analyzer's relation dedup handles target appearing in
-        // both branches
-        val full = insertCols match {
-          case Some(ics) =>
-            val anti = Join(source, target, LeftAnti,
-              Some(mergeCond), JoinHint.NONE)
-            val insBatch = org.apache.spark.sql.graftbridge
-              .ColumnBridge.ofPlan(session, Project(
-                ics.map { case (n, e) => Alias(e, n)() }, anti))
-            batch.unionByName(insBatch)
-          case None => batch
-        }
-        if (full.isEmpty) Snapshots.latest(session, url)
-        else Snapshots.upsert(session, url, full, keyCol,
-          bloomIndexUrl = bloom)
-      }
+      if (batch.isEmpty) Snapshots.latest(session, url)
+      else Snapshots.upsert(session, url, batch, keyCol,
+        deleteCol = Some("__merge_del"), bloomIndexUrl = bloom)
     Seq(Row(v.toLong))
   }
 }

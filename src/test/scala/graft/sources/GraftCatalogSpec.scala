@@ -415,13 +415,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(afterUp.count() == 20L)
     assert(afterUp.filter(col("id") === 21L).select("v")
       .as[Long].head() == 211L)
-    // a still-untranslatable shape (NOT MATCHED BY SOURCE) refuses
-    // with the supported set named
+    // a still-untranslatable shape (MULTIPLE matched clauses)
+    // refuses with the supported set named
     val e = intercept[Exception] {
       spark.sql(
         """MERGE INTO gcat.m2 AS t USING m2_src AS s ON t.id = s.id
-          |WHEN MATCHED THEN DELETE
-          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+          |WHEN MATCHED AND t.v > 0 THEN UPDATE SET v = s.v
+          |WHEN MATCHED THEN DELETE""".stripMargin)
     }
     assert(e.getMessage.contains("Snapshots.upsert"),
       s"got ${e.getMessage}")
@@ -444,15 +444,18 @@ class GraftCatalogSpec extends SparkSpec {
     assert(now.count() == 11L)
     assert(now.filter(col("id") === 3L).select("num")
       .as[Long].head() == 333L)
-    // NOT MATCHED BY SOURCE refuses
-    val e1 = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO gcat.m3 AS t USING m3_src AS s ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET *
-          |WHEN NOT MATCHED THEN INSERT *
-          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
-    }
-    assert(e1.getMessage.contains("NOT MATCHED BY SOURCE"))
+    // the full matrix (incl. NOT MATCHED BY SOURCE) composes with
+    // the column map since r18: non-matched keys delete, the
+    // matched key re-updates, the insert twin re-lands
+    spark.sql(
+      """MERGE INTO gcat.m3 AS t USING m3_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val afterMatrix = Snapshots.read(spark, s"$root/m3")
+    assert(afterMatrix.select(col("id"), col("num"))
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((3L, 333L), (11L, 110L)))
     // a non-equality merge condition refuses
     val e2 = intercept[Exception] {
       spark.sql(

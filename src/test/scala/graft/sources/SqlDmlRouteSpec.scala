@@ -290,6 +290,43 @@ class SqlDmlRouteSpec extends SparkSpec {
         (9L, 900L, "new")))
   }
 
+  test("MERGE NOT MATCHED BY SOURCE: target-side anti-join arm " +
+      "composes with the other clauses in one atomic upsert") {
+    val url = s"$root/mnbs"
+    Snapshots.create(spark, url,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"),
+        (4L, 40L, "d")).toDF("k", "v", "tag"), nFiles = 1)
+    Seq((1L, 100L), (9L, 900L)).toDF("k", "delta")
+      .createOrReplaceTempView("mnbs_src")
+    val v0 = Snapshots.latest(spark, url)
+    // the FULL matrix in one statement: matched update + insert +
+    // by-source conditional delete — one committed version
+    spark.sql(
+      """MERGE INTO gdml.mnbs AS t USING mnbs_src AS s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+        |WHEN NOT MATCHED THEN INSERT (k, v, tag)
+        |  VALUES (s.k, s.delta, 'new')
+        |WHEN NOT MATCHED BY SOURCE AND t.v >= 30 THEN DELETE"""
+        .stripMargin)
+    assert(Snapshots.latest(spark, url) == v0 + 1,
+      "the full matrix must commit exactly one version")
+    assert(Snapshots.read(spark, url)
+      .select(col("k"), col("v"), col("tag"))
+      .as[(Long, Long, String)].collect().sorted.toSeq ==
+      Seq((1L, 110L, "a"), (2L, 20L, "b"), (9L, 900L, "new")))
+    // by-source UPDATE arm (target-only expressions)
+    spark.sql(
+      """MERGE INTO gdml.mnbs AS t USING mnbs_src AS s
+        |ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+        |  tag = concat(t.tag, '?')""".stripMargin)
+    assert(Snapshots.read(spark, url)
+      .select(col("k"), col("tag"))
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b?"), (9L, "new")))
+  }
+
   test("a stream maintaining the conventional bloom makes SQL MERGE " +
       "prune with zero further configuration") {
     val url = s"$root/sbloom"
