@@ -1516,7 +1516,7 @@ object Stats {
     // one md5 per key: chars 1-15 and 16-30 are two independent
     // 60-bit uniforms (the q236/q261 draw-splitting discipline)
     val keyTag = concat_ws("",
-      keyCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
     val h = md5(concat(lit(s"$seed:"), keyTag))
     def geo(u: Column): Column =
       when(u === 0L, lit(60L)).otherwise(lit(60L) - length(bin(u)))

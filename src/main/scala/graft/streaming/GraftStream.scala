@@ -781,7 +781,7 @@ object GraftStream {
     // key by a DISAMBIGUATED string form: a null key and the literal
     // string "null" must hold separate quotas, not share one
     df.groupByKey((r: Row) =>
-        if (r.isNullAt(keyIdx)) " null"
+        if (r.isNullAt(keyIdx)) "\u0000null"
         else "k:" + String.valueOf(r.get(keyIdx)))
       .flatMapGroupsWithState(OutputMode.Append(),
           GroupStateTimeout.NoTimeout) {
