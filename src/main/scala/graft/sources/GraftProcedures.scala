@@ -19,6 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.purge_dv('events')
   *   CALL graft.row_count('events', -1)       -- footer-priced; -1 = head
   *   CALL graft.cluster('events', 'id', 8)
+  *   CALL graft.index_stats('events', 'id,ts')
+  *   CALL graft.index_bloom('events', 'id', 100000)
   *   CALL graft.retrain_index('docs', 'id', 'emb', 8, 300)
   *   CALL graft.maintain(3, 3600000, 8)        -- whole warehouse
   * }}}
@@ -96,6 +98,32 @@ private[sources] object GraftProcedures {
         val url = new Path(root, args.head.toString).toString
         Seq(Seq(Snapshots.cluster(s, url, args(1).toString,
           args(2).asInstanceOf[Long].toInt).toLong))
+      }),
+    // the two sidecar builders that make the SQL DML pruning fire
+    // (banded DELETE/UPDATE route on _stats coverage; MERGE's
+    // rewrite prune discovers the conventional key bloom) — without
+    // these a SQL-ONLY operator could not create what the SQL write
+    // paths consume. `fields` is comma-separated.
+    "index_stats" -> Spec(
+      Seq("store" -> StringType, "fields" -> StringType),
+      out("files_scanned" -> LongType),
+      (s, root, args) => {
+        val url = new Path(root, args.head.toString).toString
+        val fields = args(1).toString.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        Seq(Seq(Snapshots.indexStats(s, url, fields).toLong))
+      }),
+    "index_bloom" -> Spec(
+      Seq("store" -> StringType, "fields" -> StringType,
+        "expected_per_file" -> LongType),
+      out("index_url" -> StringType),
+      (s, root, args) => {
+        val url = new Path(root, args.head.toString).toString
+        val fields = args(1).toString.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        Snapshots.indexBloom(s, url, fields,
+          expectedPerFile = args(2).asInstanceOf[Long])
+        Seq(Seq(Snapshots.bloomSidecarUrl(s, url)))
       }),
     "retrain_index" -> Spec(
       Seq("store" -> StringType, "id_col" -> StringType,

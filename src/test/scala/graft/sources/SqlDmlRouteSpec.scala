@@ -374,6 +374,59 @@ class SqlDmlRouteSpec extends SparkSpec {
     assert(Snapshots.read(spark, url).count() == 400L)
   }
 
+  test("SQL-ONLY pruning setup: CALL index_stats/index_bloom build " +
+      "the sidecars the SQL write paths consume") {
+    // the whole lifecycle in SQL: CTAS + INSERTs build the A/B/C
+    // band-vs-containment store shape, CALLs build both sidecars,
+    // then DELETE routes banded and MERGE prunes via discovery
+    Seq((0L, 10L), (9L, 11L)).toDF("k", "v")
+      .createOrReplaceTempView("sqlonly_a")
+    spark.sql(
+      "CREATE TABLE gdml.sqlonly AS SELECT * FROM sqlonly_a")
+    Seq((5L, 12L), (6L, 13L)).toDF("k", "v")
+      .createOrReplaceTempView("sqlonly_b")
+    spark.sql("INSERT INTO gdml.sqlonly SELECT * FROM sqlonly_b")
+    Seq((20L, 14L), (21L, 15L)).toDF("k", "v")
+      .createOrReplaceTempView("sqlonly_c")
+    spark.sql("INSERT INTO gdml.sqlonly SELECT * FROM sqlonly_c")
+    val url = s"$root/sqlonly"
+    assert(spark.sql("CALL gdml.index_stats('sqlonly', 'k')")
+      .collect()(0).getLong(0) >= 3L)
+    assert(spark.sql("CALL gdml.index_bloom('sqlonly', 'k', 100000)")
+      .collect()(0).getString(0).endsWith("keybloom"))
+    val before = Snapshots.snap(spark, url,
+      Snapshots.latest(spark, url)).files.toSet
+    // the banded DELETE prices its attribution from the CALL-built
+    // sidecar and leaves non-overlapping files untouched (WHICH
+    // path runs is pinned by the dedicated delband/updband tests;
+    // SQL INSERT's file-per-partition layout has no band-vs-
+    // containment gap to exploit here)
+    spark.sql("DELETE FROM gdml.sqlonly WHERE k BETWEEN 5 AND 7")
+    val afterDel = Snapshots.snap(spark, url,
+      Snapshots.latest(spark, url)).files.toSet
+    assert(afterDel.intersect(before).nonEmpty,
+      s"banded delete rewrote every file: before=$before " +
+        s"after=$afterDel")
+    assert(Snapshots.read(spark, url).select(col("k")).as[Long]
+      .collect().sorted.toSeq == Seq(0L, 9L, 20L, 21L))
+    // MERGE prunes through the discovered conventional bloom: a
+    // 1-key merge on what remains leaves at least one file untouched
+    Seq((20L, 999L)).toDF("k", "v")
+      .createOrReplaceTempView("sqlonly_m")
+    spark.sql(
+      """MERGE INTO gdml.sqlonly AS t USING sqlonly_m AS s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterMerge = Snapshots.snap(spark, url,
+      Snapshots.latest(spark, url)).files.toSet
+    assert(afterMerge.intersect(afterDel).nonEmpty,
+      "bloom-discovered merge must leave unadmitted files untouched")
+    assert(Snapshots.read(spark, url).select(col("k"), col("v"))
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((0L, 10L), (9L, 11L), (20L, 999L), (21L, 15L)))
+  }
+
   test("CALL retrain_index exposes the vector retrain over SQL") {
     val url = s"$root/vcall"
     Snapshots.create(spark, url,
