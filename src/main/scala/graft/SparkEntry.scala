@@ -9286,6 +9286,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("sum_chars")),
         col("lang"))
+    }),
+
+    // ---- Banded SQL DML on a STRING field ----
+    // The q390 machinery over prefix bands: a lang-clustered store
+    // with string stats routes `DELETE ... WHERE lang >= x AND
+    // lang <= y` to deleteWhereStr and `UPDATE ... WHERE lang = z`
+    // to updateWhereStr (code-point band pruning) — attribution
+    // stays one sidecar read, survivors asserted from the
+    // manifests. Oracle = the relational chain.
+    "q395_sql_dml_banded_str" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q395"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g395",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g395.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, url, docs, nFiles = 5,
+        clusterBy = Some("lang"))
+      Snapshots.indexStats(s, url, Seq("lang"))
+      val v1 = Snapshots.latest(s, url)
+      val f1 = Snapshots.snap(s, url, v1).files.toSet
+      s.sql(s"DELETE FROM g395.$tbl " +
+        "WHERE lang >= 'de' AND lang <= 'dz'")
+      val v2 = Snapshots.latest(s, url)
+      require(v2 == v1 + 1 &&
+        Snapshots.snap(s, url, v2).op == "delete",
+        "string-banded SQL DELETE must commit one delete version")
+      val f2 = Snapshots.snap(s, url, v2).files.toSet
+      require(f2.intersect(f1).nonEmpty,
+        "string-banded delete rewrote every file — pruning lost")
+      s.sql(s"UPDATE g395.$tbl SET n_chars = n_chars + 500 " +
+        "WHERE lang = 'zh'")
+      val v3 = Snapshots.latest(s, url)
+      require(v3 == v2 + 1 &&
+        Snapshots.snap(s, url, v3).op == "update",
+        "string-banded SQL UPDATE must commit one update version")
+      require(Snapshots.snap(s, url, v3).files.toSet
+        .intersect(f2).nonEmpty,
+        "string-banded update rewrote every file — pruning lost")
+      orderSmall(s.sql(
+        s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+           |FROM g395.$tbl GROUP BY lang""".stripMargin),
+        col("lang"))
     })
   )
 
@@ -19198,6 +19252,20 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q395_sql_dml_banded_str" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN lang = 'zh' THEN n_chars + 500
+        |      ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |    AND NOT (lang >= 'de' AND lang <= 'dz')
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -102,6 +102,17 @@ class GraftCatalogSpec extends SparkSpec {
       .contains("ExistingRDD"),
       "effective SQL scan still rides the V1 RDD bridge:\n" +
         eff.queryExecution.executedPlan)
+    // ... and the inlined plan is the NATIVE columnar parquet scan
+    // (the V1 bridge produced an ExistingRDD, never a Batched file
+    // scan), with whole-stage codegen in the executed adaptive plan
+    assert(eff.queryExecution.executedPlan.toString
+      .contains("Batched: true"),
+      "inlined effective scan is not columnar:\n" +
+        eff.queryExecution.executedPlan)
+    eff.collect() // finalize AQE so codegen spans materialize
+    assert(eff.queryExecution.executedPlan.toString.contains("*("),
+      "inlined effective scan lost whole-stage codegen (no *(n) " +
+        s"span):\n${eff.queryExecution.executedPlan}")
     // time travel across the stack: v1 = pre-delete, pre-rename
     assert(spark.sql(
       "SELECT count(*) AS n FROM gcat.guard VERSION AS OF 1")
