@@ -8645,8 +8645,9 @@ object SparkEntry {
     }),
 
     // ---- Pure-SQL write pipeline through the catalog ----
-    // INSERT INTO ... SELECT rides the manifest layer (r17: the
-    // catalog's V1 write path calls Snapshots.append, so the commit
+    // INSERT INTO ... SELECT rides the manifest layer (r18: the
+    // NATIVE V2 batch write — executors stage parquet straight into
+    // the store root, one driver manifest commit — so the commit
     // is atomic, the CDC feed sees it, and CHECK constraints guard
     // it). The query seeds a store with the low half of orders, SQL-
     // inserts the high half FROM the source table, and aggregates

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{col, lit}
@@ -51,8 +51,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * The write surface routes through the SAME manifest layer as the
   * programmatic API (atomic commits, CDC, CHECK constraints, schema
-  * gate): `INSERT INTO`/`INSERT OVERWRITE` →
-  * [[Snapshots.append]]/[[Snapshots.overwrite]]; `DELETE FROM` →
+  * gate): `INSERT INTO`/`INSERT OVERWRITE` ride the NATIVE V2 batch
+  * write ([[GraftWriteBuilderV2]] — executor-side parquet staging
+  * into the store root, one driver manifest commit); `DELETE FROM` →
   * [[Snapshots.deleteWhereCond]]; `CREATE TABLE` (incl. CTAS) →
   * [[Snapshots.create]]; `ALTER TABLE RENAME/DROP COLUMN` → the
   * metadata-only [[Snapshots.renameColumn]]/[[Snapshots
@@ -350,14 +351,16 @@ private[sources] object GraftCatalog {
   }
 }
 
-/** Shared write surface of the catalog's tables: `INSERT INTO`
-  * routes through [[Snapshots.append]] and `INSERT OVERWRITE`
-  * through [[Snapshots.overwrite]] — NOTHING bypasses the manifest
-  * layer (atomic commit, CDC feed, CHECK constraints, schema gate
-  * all apply exactly as in the programmatic API; a violating INSERT
-  * refuses with the constraint's name). Time-travel / tag
-  * resolutions are read-only: inserting into a pinned version would
-  * rewrite history. DDL stays refused at the catalog. */
+/** Shared write surface of the catalog's tables: `INSERT INTO` and
+  * `INSERT OVERWRITE` ride the NATIVE V2 batch write
+  * ([[GraftWriteBuilderV2]]: executor-side parquet staging straight
+  * into the store root, one driver-side manifest commit) — NOTHING
+  * bypasses the manifest layer (atomic commit, CDC feed, CHECK
+  * constraints, schema gate all apply exactly as in the programmatic
+  * API; a violating INSERT refuses with the constraint's name).
+  * Time-travel / tag resolutions are read-only: inserting into a
+  * pinned version would rewrite history. DDL stays refused at the
+  * catalog. */
 private[sources] trait GraftSqlWrites
     extends org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -369,7 +372,7 @@ private[sources] trait GraftSqlWrites
     require(writable,
       s"$label is a pinned time-travel resolution — INSERT targets " +
         "the latest version (drop the VERSION/TIMESTAMP AS OF)")
-    new GraftWriteBuilder(storeUrl)
+    new GraftWriteBuilderV2(storeUrl, info)
   }
 
   /** `DELETE FROM` → [[Snapshots.deleteWhereCond]]: the general
@@ -413,23 +416,6 @@ private[sources] trait GraftSqlWrites
   }
 }
 
-private[sources] class GraftWriteBuilder(url: String)
-    extends WriteBuilder with SupportsTruncate {
-  private var overwriteAll = false
-  override def truncate(): WriteBuilder = { overwriteAll = true; this }
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: sources.InsertableRelation =
-      new sources.InsertableRelation {
-        override def insert(data: org.apache.spark.sql.DataFrame,
-            ow: Boolean): Unit =
-          if (overwriteAll || ow)
-            Snapshots.overwrite(data.sparkSession, url, data): Unit
-          else
-            Snapshots.append(data.sparkSession, url, data): Unit
-      }
-  }
-}
-
 /** V2 table over one resolved snapshot version: delegates the scan
   * to Spark's parquet V2 path (pushdown/pruning/codegen for free);
   * writes (latest resolution only) go through the manifest layer
@@ -451,7 +437,7 @@ private[sources] class GraftSqlTable(val label: String,
     if (writable)
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
   /** Batch scans delegate verbatim to the parquet V2 builder
     * (pushdown/pruning/stats untouched); the SAME built scan also
@@ -495,7 +481,7 @@ private[sources] class GraftEffSqlTable(val label: String,
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
       util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -667,8 +653,8 @@ final case class GraftCountStarRule(session: SparkSession)
   * exprId-pinning Project, so nothing above re-resolves. WRITE
   * targets are left intact: a V2 write command or DELETE needs the
   * relation (its table object carries the write builder), so those
-  * plans keep the bridge-free V1 write path and [[GraftSqlWrites]]
-  * routing — only pure reads inline. Runs in the operator-
+  * plans keep the native V2 batch write ([[GraftWriteBuilderV2]])
+  * and [[GraftSqlWrites]] routing — only pure reads inline. Runs in the operator-
   * optimization fixed point BEFORE V2 scan pushdown, and the
   * spliced subtree contains no graft V2 relation, so the rewrite
   * happens exactly once per relation. The V1Scan bridge stays in

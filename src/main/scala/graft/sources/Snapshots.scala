@@ -68,7 +68,7 @@ object Snapshots {
       colmap.getOrElse(logical, logical)
   }
 
-  private def fsOf(spark: SparkSession, url: String) = {
+  private[sources] def fsOf(spark: SparkSession, url: String) = {
     val p = new Path(url)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
@@ -367,7 +367,7 @@ object Snapshots {
     * sizes the small DV side. */
   /** The PHYSICAL schema files store under `colmap` (logical field
     * names replaced; types/nullability unchanged). */
-  private def physSchema(
+  private[sources] def physSchema(
       schema: org.apache.spark.sql.types.StructType,
       colmap: Map[String, String])
       : org.apache.spark.sql.types.StructType =
@@ -562,7 +562,7 @@ object Snapshots {
     validateBatch(spark, root, url, df)
     val staged = writeFiles(spark, root, df, parent.version + 1,
       nFiles, colmap = parent.colmap)
-    commitAppendStaged(spark, root, url, "append", staged, df,
+    commitAppendStaged(spark, root, url, "append", staged, df.schema,
       parent.colmap)
   }
 
@@ -573,8 +573,10 @@ object Snapshots {
     * equals it (committed by a racing at-least-once twin) wins and
     * is returned, leaving this call's staged files as vacuum
     * orphans — the exactly-once contract under concurrency. */
-  private def commitAppendStaged(spark: SparkSession, root: Path,
-      url: String, op: String, staged: Seq[String], df: DataFrame,
+  private[sources] def commitAppendStaged(spark: SparkSession,
+      root: Path,
+      url: String, op: String, staged: Seq[String],
+      batchSchema: org.apache.spark.sql.types.StructType,
       stagedColmap: Map[String, String],
       dedupOp: Option[String] = None): Int = {
     var attempts = 0
@@ -593,7 +595,7 @@ object Snapshots {
               "re-run the append")
           try out = commit(spark, root, parent.version + 1, op,
             parent.files ++ staged,
-            Some(evolveFrom(spark, root, parent, df)),
+            Some(evolveFrom(spark, root, parent, batchSchema)),
             parent.colmap, parent.dropped)
           catch {
             case e: RuntimeException
@@ -640,23 +642,25 @@ object Snapshots {
           s"append audit refused the batch: ${e.getMessage}", e)
     }
     commit(spark, root, v, "append", parent.files ++ staged,
-      Some(evolveFrom(spark, root, parent, df)),
+      Some(evolveFrom(spark, root, parent, df.schema)),
       parent.colmap, parent.dropped)
   }
 
   /** The schema an append commits: the parent's evolved with the
     * batch's (a parent with no files and no pinned schema — e.g. an
     * empty bootstrap commit — contributes nothing). */
-  private def evolveFrom(spark: SparkSession, root: Path, parent: Snap,
-      df: DataFrame): org.apache.spark.sql.types.StructType =
-    if (parent.files.isEmpty && parent.schema.isEmpty) df.schema
+  private[sources] def evolveFrom(spark: SparkSession, root: Path,
+      parent: Snap,
+      batchSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (parent.files.isEmpty && parent.schema.isEmpty) batchSchema
     else {
       val base = schemaOf(spark, root, parent)
       // a NEW column's physical name = its logical name; it may not
       // collide with a renamed column's physical slot or a dropped
       // column's retired bytes (old files would serve the stale
       // column's values as the new column — the silent-wrong class)
-      val newCols = df.schema.fieldNames
+      val newCols = batchSchema.fieldNames
         .filterNot(base.fieldNames.toSet)
       // CASE-INSENSITIVE reservation: Spark resolves parquet columns
       // case-insensitively by default (spark.sql.caseSensitive=false),
@@ -670,7 +674,7 @@ object Snapshots {
         s"evolution adds ${clash.mkString(",")} whose physical " +
           "name is reserved by a renamed or dropped column — " +
           "choose a different name")
-      evolve(base, df.schema)
+      evolve(base, batchSchema)
     }
 
   /** Exactly-once append for at-least-once callers (foreachBatch
@@ -699,7 +703,7 @@ object Snapshots {
       // an at-least-once TWIN that won the race makes this call
       // return its version (staged files become vacuum orphans) —
       // exactly-once even under concurrent replays
-      commitAppendStaged(spark, root, url, op, staged, df,
+      commitAppendStaged(spark, root, url, op, staged, df.schema,
         parent.colmap, dedupOp = Some(op))
     }
   }
@@ -2559,7 +2563,7 @@ object Snapshots {
 
   /** One combined validation pass over a write batch; throws with
     * the first violated constraint's name. */
-  private def validateBatch(spark: SparkSession, root: Path,
+  private[sources] def validateBatch(spark: SparkSession, root: Path,
       url: String, df: DataFrame): Unit = {
     val cs = constraints(spark, url)
     if (cs.isEmpty) return
