@@ -9341,6 +9341,68 @@ object SparkEntry {
         s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
            |FROM g395.$tbl GROUP BY lang""".stripMargin),
         col("lang"))
+    }),
+
+    // ---- MERGE multi-clause groups: FIRST-MATCH-WINS ----
+    // The full SQL-standard clause matrix in ONE statement and ONE
+    // atomic upsert (late r18): several WHEN MATCHED arms (delete
+    // beats update beats fallback in clause order), conditional
+    // WHEN NOT MATCHED INSERT arms, and a conditional by-source
+    // update — arm i's guard composes its condition with the
+    // null-safe negation of every earlier arm's, so arms are
+    // row-disjoint and rows matching no arm stay untouched. Oracle =
+    // the equivalent relational CASE pipeline.
+    "q396_sql_merge_matrix" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q396"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g396",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g396.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, url, docs, nFiles = 4,
+        clusterBy = Some("doc_id"))
+      val v1 = Snapshots.latest(s, url)
+      // source: every 5th doc (matched) + far-shifted twins of every
+      // 20th (unmatched inserts)
+      docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), (col("n_chars") % 97).as("delta"))
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 9000000L).as("doc_id"),
+            (col("n_chars") % 97).as("delta")))
+        .createOrReplaceTempView("q396_src")
+      s.sql(
+        s"""MERGE INTO g396.$tbl AS t USING q396_src AS s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND t.n_chars < 200 THEN DELETE
+           |WHEN MATCHED AND t.lang = 'en' THEN UPDATE SET
+           |  lang = 'en+', n_chars = t.n_chars + s.delta
+           |WHEN MATCHED THEN UPDATE SET
+           |  n_chars = t.n_chars - s.delta
+           |WHEN NOT MATCHED AND s.delta % 2 = 1 THEN INSERT
+           |  (doc_id, lang, n_chars) VALUES (s.doc_id, 'odd', s.delta)
+           |WHEN NOT MATCHED THEN INSERT
+           |  (doc_id, lang, n_chars) VALUES (s.doc_id, 'even', s.delta)
+           |WHEN NOT MATCHED BY SOURCE AND t.n_chars > 2000
+           |  THEN UPDATE SET lang = 'big'""".stripMargin)
+      val v2 = Snapshots.latest(s, url)
+      require(v2 == v1 + 1 &&
+        Snapshots.snap(s, url, v2).op == "upsert",
+        "multi-clause MERGE must commit exactly one upsert version")
+      orderSmall(s.sql(
+        s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+           |FROM g396.$tbl GROUP BY lang""".stripMargin),
+        col("lang"))
     })
   )
 
@@ -19267,6 +19329,45 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q396_sql_merge_matrix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |), src AS (
+        |  SELECT doc_id, n_chars % 97 AS delta
+        |  FROM d WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, n_chars % 97
+        |  FROM d WHERE doc_id % 20 = 0
+        |), matched AS (
+        |  -- arm 1 (delete) removes; arms 2/3 first-match-wins
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.lang = 'en' THEN 'en+' ELSE d.lang END AS lang,
+        |    CASE WHEN d.lang = 'en' THEN d.n_chars + s.delta
+        |         ELSE d.n_chars - s.delta END AS n_chars
+        |  FROM d JOIN src s ON d.doc_id = s.doc_id
+        |  WHERE NOT (d.n_chars < 200)
+        |), bysrc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars > 2000 THEN 'big' ELSE lang END AS lang,
+        |    n_chars
+        |  FROM d WHERE doc_id NOT IN (SELECT doc_id FROM src)
+        |), ins AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN s.delta % 2 = 1 THEN 'odd' ELSE 'even' END
+        |      AS lang,
+        |    s.delta AS n_chars
+        |  FROM src s WHERE s.doc_id NOT IN (SELECT doc_id FROM d)
+        |), fin AS (
+        |  SELECT * FROM matched
+        |  UNION ALL SELECT * FROM bysrc
+        |  UNION ALL SELECT * FROM ins
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

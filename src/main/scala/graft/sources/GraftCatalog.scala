@@ -495,9 +495,11 @@ private[sources] class GraftEffSqlTable(val label: String,
 
 private[sources] class GraftEffScanBuilder(url: String, version: Int,
     full: StructType) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = full
   private var inner: Array[sources.Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -508,14 +510,26 @@ private[sources] class GraftEffScanBuilder(url: String, version: Int,
   }
   override def pushedFilters(): Array[sources.Filter] = Array.empty
 
+  /** `SELECT ... LIMIT n` bounds the INNER effective plan (the DV
+    * anti-join stops once n surviving rows are produced) instead of
+    * materializing the whole store for Spark's CollectLimit to
+    * discard. Spark only offers the limit when nothing sits between
+    * it and the scan — our filters are inexact-pushed (re-evaluated
+    * above as a Filter node), so a filtered query never reaches
+    * here with rows still to drop. Partial-push contract kept
+    * (Spark retains its own Limit above — free, and robust to any
+    * future inexactness inside). */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
   override def build(): Scan = {
     val req = required
     val flt = inner
+    val lim = limit
     new V1Scan {
       override def readSchema(): StructType = req
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T =
-        new GraftEffRelation(context, url, version, req, flt)
+        new GraftEffRelation(context, url, version, req, flt, lim)
           .asInstanceOf[T]
     }
   }
@@ -563,7 +577,8 @@ private[sources] class GraftMetaSqlTable(label: String,
 
 private[sources] class GraftEffRelation(ctx: SQLContext, url: String,
     version: Int, required: StructType,
-    filters: Array[sources.Filter])
+    filters: Array[sources.Filter],
+    limit: Option[Int] = None)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
@@ -575,7 +590,7 @@ private[sources] class GraftEffRelation(ctx: SQLContext, url: String,
     val pruned =
       if (required.isEmpty) df.select()
       else df.select(required.fieldNames.toSeq.map(col): _*)
-    pruned.rdd
+    limit.fold(pruned)(pruned.limit).rdd
   }
 }
 

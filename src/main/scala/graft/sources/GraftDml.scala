@@ -80,31 +80,31 @@ object GraftDml {
   }
 
   /** MERGE INTO → [[Snapshots.upsert]]: the FULL clause matrix —
-    * at most one `WHEN MATCHED [AND cond] THEN UPDATE/DELETE`, one
-    * `WHEN NOT MATCHED THEN INSERT`, one `WHEN NOT MATCHED BY
-    * SOURCE [AND cond] THEN UPDATE/DELETE` — as ONE atomic keyed
-    * upsert ([[GraftMergeMatrixCommand]]), with an equality merge
-    * condition. The unconditional SET-star/INSERT-star pair and the bare
-    * delete-matched shape keep their join-free fast path
-    * ([[GraftMergeCommand]]: the batch IS the projected source).
-    * What refuses (loudly, with the shape named — a partial
-    * translation that silently last-writer-wins would be the
-    * silent-wrong class): multiple clauses per group, conditional
-    * INSERT, WITH SCHEMA EVOLUTION, non-equality merge conditions,
-    * subqueries in clause expressions. Plans and expressions are
-    * carried ANALYZED and applied unrebound — attribute ids stay
-    * bound, so SET may reference both sides and names may collide
-    * across relations. */
+    * any number of `WHEN MATCHED [AND cond] THEN UPDATE/DELETE`,
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT`, and `WHEN NOT
+    * MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE` clauses, with
+    * standard FIRST-MATCH-WINS ordering inside each group — as ONE
+    * atomic keyed upsert ([[GraftMergeMatrixCommand]]), with an
+    * equality merge condition. The unconditional SET-star/
+    * INSERT-star pair and the bare delete-matched shape keep their
+    * join-free fast path ([[GraftMergeCommand]]: the batch IS the
+    * projected source). What refuses (loudly, with the shape named —
+    * a partial translation that silently mistranslates would be the
+    * silent-wrong class): WITH SCHEMA EVOLUTION, non-equality merge
+    * conditions, subqueries in clause expressions. Plans and
+    * expressions are carried ANALYZED and applied unrebound —
+    * attribute ids stay bound, so SET may reference both sides and
+    * names may collide across relations. */
   private def translateMerge(t: GraftSqlWrites,
       m: MergeIntoTable): LogicalPlan = {
     def refuse(why: String): Nothing =
       throw new UnsupportedOperationException(
-        "graft MERGE INTO supports at most ONE clause per group — " +
-          "'WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE', " +
-          "'WHEN NOT MATCHED THEN INSERT ...', 'WHEN NOT MATCHED " +
-          "BY SOURCE [AND cond] THEN UPDATE SET .../DELETE' — with " +
-          s"an equality merge condition; $why. Use Snapshots.upsert " +
-          "for other shapes")
+        "graft MERGE INTO supports 'WHEN MATCHED [AND cond] THEN " +
+          "UPDATE SET .../DELETE', 'WHEN NOT MATCHED [AND cond] " +
+          "THEN INSERT ...', 'WHEN NOT MATCHED BY SOURCE [AND cond] " +
+          "THEN UPDATE SET .../DELETE' (several per group, first-" +
+          "match-wins) with an equality merge condition; " +
+          s"$why. Use Snapshots.upsert for other shapes")
     require(t.writable,
       s"${t.label} is a pinned time-travel resolution — MERGE " +
         "targets the latest version")
@@ -138,68 +138,59 @@ object GraftDml {
       m.targetTable.output.map(a =>
         a.name -> setMap.getOrElse(a.name, a: Expression))
     }
-    // parse each clause group into one optional ARM
-    val matched: Option[MergeArm] = m.matchedActions match {
-      case Seq() => None
-      case Seq(UpdateAction(c, up, _)) =>
+    // parse each clause group into its ORDERED arm list (clause
+    // order is the first-match-wins priority)
+    def updateOrDelete(group: String)(
+        a: org.apache.spark.sql.catalyst.plans.logical.MergeAction)
+        : MergeArm = a match {
+      case UpdateAction(c, up, _) =>
         c.foreach(subFree)
-        Some(MergeArm(c, setCols(up), delete = false))
-      case Seq(DeleteAction(c)) =>
+        MergeArm(c, setCols(up), delete = false)
+      case DeleteAction(c) =>
         c.foreach(subFree)
-        Some(MergeArm(c, identityCols, delete = true))
-      case other =>
-        refuse(s"multiple WHEN MATCHED clauses: $other")
+        MergeArm(c, identityCols, delete = true)
+      case other => refuse(s"unsupported $group clause: $other")
     }
-    val insertCols: Option[Seq[(String, Expression)]] =
-      m.notMatchedActions match {
-        case Seq() => None
-        case Seq(InsertAction(None, ins)) =>
-          val insMap = ins.map(a => a.key match {
-            case ar: AttributeReference => ar.name -> a.value
-            case other => refuse(s"INSERT target $other is nested")
-          }).toMap
-          targetCols.foreach { c =>
-            if (!insMap.contains(c))
-              refuse(s"column $c is not assigned by the INSERT " +
-                "clause")
-            subFree(insMap(c))
-          }
-          Some(targetCols.map(c => c -> insMap(c)))
-        case Seq(InsertAction(Some(_), _)) =>
-          refuse("conditional INSERT clauses are unsupported")
-        case other =>
-          refuse(s"multiple WHEN NOT MATCHED clauses: $other")
-      }
-    val bySource: Option[MergeArm] =
-      m.notMatchedBySourceActions match {
-        case Seq() => None
-        case Seq(UpdateAction(c, up, _)) =>
-          c.foreach(subFree)
-          Some(MergeArm(c, setCols(up), delete = false))
-        case Seq(DeleteAction(c)) =>
-          c.foreach(subFree)
-          Some(MergeArm(c, identityCols, delete = true))
-        case other =>
-          refuse(s"multiple WHEN NOT MATCHED BY SOURCE clauses: " +
-            s"$other")
-      }
-    if (matched.isEmpty && insertCols.isEmpty && bySource.isEmpty)
+    val matched: Seq[MergeArm] =
+      m.matchedActions.map(updateOrDelete("WHEN MATCHED"))
+    val inserts: Seq[MergeArm] = m.notMatchedActions.map {
+      case InsertAction(c, ins) =>
+        c.foreach(subFree)
+        val insMap = ins.map(a => a.key match {
+          case ar: AttributeReference => ar.name -> a.value
+          case other => refuse(s"INSERT target $other is nested")
+        }).toMap
+        targetCols.foreach { tc =>
+          if (!insMap.contains(tc))
+            refuse(s"column $tc is not assigned by the INSERT " +
+              "clause")
+          subFree(insMap(tc))
+        }
+        MergeArm(c, targetCols.map(tc => tc -> insMap(tc)),
+          delete = false)
+      case other =>
+        refuse(s"unsupported WHEN NOT MATCHED clause: $other")
+    }
+    val bySource: Seq[MergeArm] = m.notMatchedBySourceActions
+      .map(updateOrDelete("WHEN NOT MATCHED BY SOURCE"))
+    if (matched.isEmpty && inserts.isEmpty && bySource.isEmpty)
       refuse("no clauses")
     // classic fast paths keep their join-free translations: the
     // batch IS the projected source
-    (matched, insertCols, bySource) match {
-      case (Some(MergeArm(None, cols, false)), Some(ins), None)
+    (matched, inserts, bySource) match {
+      case (Seq(MergeArm(None, cols, false)),
+          Seq(MergeArm(None, ins, false)), Seq())
           if cols.map(_._2.canonicalized) ==
             ins.map(_._2.canonicalized) =>
         GraftMergeCommand(t.storeUrl, tKey.name, m.sourceTable,
           ins, delete = false)
-      case (Some(MergeArm(None, _, true)), None, None) =>
+      case (Seq(MergeArm(None, _, true)), Seq(), Seq()) =>
         GraftMergeCommand(t.storeUrl, tKey.name, m.sourceTable,
           Seq(tKey.name -> sKey), delete = true)
       case _ =>
         GraftMergeMatrixCommand(t.storeUrl, tKey.name,
           m.targetTable, m.sourceTable, m.mergeCondition,
-          matched, insertCols, bySource)
+          matched, inserts, bySource)
     }
   }
 }
@@ -313,60 +304,71 @@ case class MergeArm(cond: Option[Expression],
 /** Eagerly-executed GENERAL MERGE — the full clause matrix in ONE
   * atomic keyed upsert:
   *  - `matched` (`WHEN MATCHED [AND cond] THEN UPDATE/DELETE`):
-  *    σ(cond)(target ⋈ source) projected to the store schema;
-  *  - `insertCols` (`WHEN NOT MATCHED THEN INSERT ...`): source
-  *    anti-join target;
+  *    σ(arm guard)(target ⋈ source) projected to the store schema;
+  *  - `inserts` (`WHEN NOT MATCHED [AND cond] THEN INSERT ...`):
+  *    source anti-join target;
   *  - `bySource` (`WHEN NOT MATCHED BY SOURCE [AND cond] THEN
   *    UPDATE/DELETE`): target anti-join source.
-  * The three batches are key-disjoint by construction (matched keys
-  * are in both relations, insert keys only in the source, by-source
-  * keys only in the target), so their union is one well-formed
-  * upsert batch; DELETE arms ride the tombstone column. The carried
-  * plans keep their analyzed attribute ids — SET may reference both
-  * sides (matched) or the target alone (by-source, enforced by the
-  * analyzer), and names may collide across relations. A source that
-  * matches one target key twice fails the upsert's duplicate-key
-  * require — the standard MERGE cardinality error, surfaced loudly
-  * instead of last-writer-wins. The discovered bloom sidecar prunes
-  * the copy-on-write rewrite. */
+  * Each group carries its clauses in statement order with standard
+  * FIRST-MATCH-WINS semantics: arm i's guard is its own condition
+  * AND the negation of every earlier arm's (null-safe — a NULL
+  * earlier condition does not fire, so later arms stay eligible),
+  * making arms row-disjoint within a group; a row matching no arm
+  * is left untouched (never enters the batch). The three groups are
+  * key-disjoint by construction (matched keys are in both
+  * relations, insert keys only in the source, by-source keys only
+  * in the target), so the union is one well-formed upsert batch;
+  * DELETE arms ride the tombstone column. The carried plans keep
+  * their analyzed attribute ids — SET may reference both sides
+  * (matched), INSERT values the source alone, by-source SETs the
+  * target alone (enforced by the analyzer), and names may collide
+  * across relations. A source that matches one target key twice
+  * fails the upsert's duplicate-key require — the standard MERGE
+  * cardinality error, surfaced loudly instead of last-writer-wins.
+  * The discovered bloom sidecar prunes the copy-on-write rewrite. */
 case class GraftMergeMatrixCommand(url: String, keyCol: String,
     target: LogicalPlan, source: LogicalPlan, mergeCond: Expression,
-    matched: Option[MergeArm],
-    insertCols: Option[Seq[(String, Expression)]],
-    bySource: Option[MergeArm]) extends LeafRunnableCommand {
+    matched: Seq[MergeArm],
+    inserts: Seq[MergeArm],
+    bySource: Seq[MergeArm]) extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def innerChildren: Seq[LogicalPlan] = Nil
 
   override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, Not}
     def proj(cols: Seq[(String, Expression)], del: Boolean,
         child: LogicalPlan): LogicalPlan =
       Project(cols.map { case (n, e) => Alias(e, n)() } :+
         Alias(Literal(del), "__merge_del")(), child)
-    val frames = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-    matched.foreach { case MergeArm(cond, cols, del) =>
-      frames += org.apache.spark.sql.graftbridge.ColumnBridge
-        .ofPlan(session, proj(cols, del,
-          Filter(cond.getOrElse(Literal(true)),
-            Join(target, source, Inner, Some(mergeCond),
-              JoinHint.NONE))))
+    /** One frame per arm over `child`, guarded first-match-wins. */
+    def armFrames(arms: Seq[MergeArm], child: => LogicalPlan)
+        : Seq[org.apache.spark.sql.DataFrame] = {
+      var priors = Seq.empty[Expression]
+      arms.map { case MergeArm(cond, cols, del) =>
+        val own = cond.getOrElse(Literal(true))
+        // null-safe negation: NULL means "did not fire", not
+        // "unknown, suppress everything after"
+        val guard = priors.foldLeft(own)((acc, p) =>
+          And(acc, Not(Coalesce(Seq(p, Literal(false))))))
+        priors :+= own
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .ofPlan(session, proj(cols, del, Filter(guard, child)))
+      }
     }
-    insertCols.foreach { ics =>
-      frames += org.apache.spark.sql.graftbridge.ColumnBridge
-        .ofPlan(session, proj(ics, del = false,
-          Join(source, target, LeftAnti, Some(mergeCond),
-            JoinHint.NONE)))
-    }
-    bySource.foreach { case MergeArm(cond, cols, del) =>
-      frames += org.apache.spark.sql.graftbridge.ColumnBridge
-        .ofPlan(session, proj(cols, del,
-          Filter(cond.getOrElse(Literal(true)),
-            Join(target, source, LeftAnti, Some(mergeCond),
-              JoinHint.NONE))))
-    }
+    val frames =
+      armFrames(matched,
+        Join(target, source, Inner, Some(mergeCond),
+          JoinHint.NONE)) ++
+      armFrames(inserts,
+        Join(source, target, LeftAnti, Some(mergeCond),
+          JoinHint.NONE)) ++
+      armFrames(bySource,
+        Join(target, source, LeftAnti, Some(mergeCond),
+          JoinHint.NONE))
     // analyzed separately, unioned by name: the analyzer's relation
     // dedup handles target/source appearing in several branches
-    val batch = frames.result().reduce(_.unionByName(_))
+    val batch = frames.reduce(_.unionByName(_))
     val bloom = Snapshots.discoverBloom(session, url, keyCol)
     val v =
       if (batch.isEmpty) Snapshots.latest(session, url)

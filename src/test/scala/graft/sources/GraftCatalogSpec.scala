@@ -426,18 +426,17 @@ class GraftCatalogSpec extends SparkSpec {
     assert(afterUp.count() == 20L)
     assert(afterUp.filter(col("id") === 21L).select("v")
       .as[Long].head() == 211L)
-    // a still-untranslatable shape (MULTIPLE matched clauses)
-    // refuses with the supported set named
-    val e = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO gcat.m2 AS t USING m2_src AS s ON t.id = s.id
-          |WHEN MATCHED AND t.v > 0 THEN UPDATE SET v = s.v
-          |WHEN MATCHED THEN DELETE""".stripMargin)
-    }
-    assert(e.getMessage.contains("Snapshots.upsert"),
-      s"got ${e.getMessage}")
-    assert(Snapshots.read(spark, s"$root/m2").count() == 20L,
-      "refused merge must not commit")
+    // MULTIPLE matched clauses translate since late r18 with
+    // first-match-wins: v>300 rows re-update, the rest delete
+    spark.sql(
+      """MERGE INTO gcat.m2 AS t USING m2_src AS s ON t.id = s.id
+        |WHEN MATCHED AND t.v > 300 THEN UPDATE SET v = s.v
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val afterMulti = Snapshots.read(spark, s"$root/m2")
+    assert(afterMulti.count() == 18L)
+    assert(afterMulti.filter(col("id") === 5L).select("v")
+      .as[Long].head() == 555L)
+    assert(afterMulti.filter(col("id").isin(21L, 22L)).isEmpty)
   }
 
   test("MERGE INTO composes with column mapping and refuses the " +

@@ -117,4 +117,76 @@ class MergeMatrixModelSpec extends SparkSpec {
     }
     assert(n == 49) // 5*2*5 - 1 empty config
   }
+
+  test("multi-clause groups: FIRST-MATCH-WINS within each group, " +
+      "NULL conditions do not fire and do not suppress later arms") {
+    // source carries a NULLABLE flag so an arm's condition can
+    // evaluate to NULL (k=7: flag null → arm 1 must not fire AND
+    // must not block arms 2/3)
+    val srcRows = Seq[(Long, Long, Option[Long])](
+      (1L, 50L, Some(1L)),   // matched, flag>0   → arm1 DELETE
+      (4L, 400L, Some(0L)),  // matched, d>300    → arm2 UPDATE +d
+      (7L, 500L, None),      // matched, flag NULL, d>300 → arm2
+      (10L, 9L, Some(0L)),   // matched, no cond  → arm3 SET 0
+      (13L, 333L, Some(1L)), // unmatched, d odd  → ins1 (+d)
+      (16L, 222L, None))     // unmatched, d even → ins2 (-1)
+    srcRows.toDF("k", "d", "flag").createOrReplaceTempView("mmm_mc")
+    val url = s"$root/multi"
+    Snapshots.create(spark, url, target0.toSeq.toDF("k", "v"),
+      nFiles = 2)
+    spark.sql(
+      """MERGE INTO gmm.multi AS t USING mmm_mc AS s ON t.k = s.k
+        |WHEN MATCHED AND s.flag > 0 THEN DELETE
+        |WHEN MATCHED AND s.d > 300 THEN UPDATE SET v = t.v + s.d
+        |WHEN MATCHED THEN UPDATE SET v = 0
+        |WHEN NOT MATCHED AND s.d % 2 = 1
+        |  THEN INSERT (k, v) VALUES (s.k, s.d)
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, -1)
+        |WHEN NOT MATCHED BY SOURCE AND t.v < 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v * 2
+        |""".stripMargin)
+    // the in-memory model of the same statement
+    val srcByK = srcRows.map(r => r._1 -> r).toMap
+    var want = Map.empty[Long, Long]
+    target0.foreach { case (k, v) =>
+      srcByK.get(k) match {
+        case Some((_, d, flag)) =>
+          if (flag.exists(_ > 0)) ()               // arm1 delete
+          else if (d > 300) want += k -> (v + d)   // arm2
+          else want += k -> 0L                     // arm3
+        case None =>
+          if (v < 0) ()                            // bySource delete
+          else want += k -> v * 2                  // bySource update
+      }
+    }
+    srcByK.foreach { case (k, (_, d, _)) =>
+      if (!target0.contains(k))
+        want += k -> (if (d % 2 == 1) d else -1L)
+    }
+    val got = Snapshots.read(spark, url)
+      .select(col("k"), col("v")).as[(Long, Long)].collect().toMap
+    assert(got == want, s"\n  got  $got\n  want $want")
+    // one committed version for the whole statement
+    assert(Snapshots.latest(spark, url) == 2)
+  }
+
+  test("a matched row that satisfies NO arm is left untouched " +
+      "(it never enters the upsert batch)") {
+    // (an unconditional clause before a later one is refused by
+    // Spark's own parser — NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION —
+    // so dead arms cannot reach the translation)
+    Seq((2L, 5L), (4L, 7L)).toDF("k", "d")
+      .createOrReplaceTempView("mmm_dead")
+    val url = s"$root/dead"
+    Snapshots.create(spark, url, target0.toSeq.toDF("k", "v"),
+      nFiles = 1)
+    spark.sql(
+      """MERGE INTO gmm.dead AS t USING mmm_dead AS s ON t.k = s.k
+        |WHEN MATCHED AND t.v > 1000 THEN DELETE
+        |WHEN MATCHED AND t.v > 500 THEN UPDATE SET v = 0
+        |""".stripMargin)
+    val after = Snapshots.read(spark, url)
+      .select(col("k"), col("v")).as[(Long, Long)].collect().toMap
+    assert(after == target0)
+  }
 }
