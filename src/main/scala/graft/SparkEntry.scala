@@ -9403,6 +9403,56 @@ object SparkEntry {
         s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
            |FROM g396.$tbl GROUP BY lang""".stripMargin),
         col("lang"))
+    }),
+
+    // ---- Streaming change-data feed over a MUTATING store ----
+    // format("graft-changes") is the streaming read the append-only
+    // readStream.table refuses to be: offsets are manifest versions,
+    // each micro-batch emits the PER-VERSION Snapshots.changes diffs
+    // (manifest-diff priced — only files a version added or dropped
+    // are read), v1 arrives as the initial contents tagged insert.
+    // The store lives a create → keyed upsert → banded COW delete
+    // lifecycle; the whole feed drains through one AvailableNow
+    // checkpoint and the query aggregates it by (change, lang).
+    // Oracle = the feed recomputed relationally.
+    "q397_stream_changes" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q397"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/t$tag"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, url, docs, nFiles = 4,
+        clusterBy = Some("doc_id"))
+      Snapshots.upsert(s, url,
+        docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit("curated").as("lang"),
+            (col("n_chars") + 50).as("n_chars")),
+        "doc_id")
+      Snapshots.deleteWhere(s, url, "doc_id", 100L, 250L)
+      val out = s"$rootPath/out$tag"
+      val q = s.readStream.format("graft-changes")
+        .option("url", url).option("keyCol", "doc_id").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$rootPath/ck$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val feed = s.read.parquet(out)
+      require(feed.filter(col("_commit_version") === 1).count() ==
+        docs.count(), "v1 must carry the full initial snapshot")
+      orderSmall(feed.groupBy(col("_change"), col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars")),
+        col("_change"), col("lang"))
     })
   )
 
@@ -19368,6 +19418,32 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q397_stream_changes" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |), cur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'curated' ELSE lang END
+        |      AS lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 50
+        |      ELSE n_chars END AS n_chars
+        |  FROM d
+        |), feed AS (
+        |  SELECT 'insert' AS _change, lang, n_chars FROM d
+        |  UNION ALL
+        |  SELECT 'update', 'curated', n_chars + 50
+        |  FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'delete', lang, n_chars
+        |  FROM cur WHERE doc_id BETWEEN 100 AND 250
+        |)
+        |SELECT _change, lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM feed GROUP BY _change, lang
+        |ORDER BY _change, lang""".stripMargin
   )
 }

@@ -62,6 +62,20 @@ object StreamBridge {
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
       0L, length, Array.empty, modificationTime, length)
 
+  /** Re-tag a batch-planned frame as STREAMING — the V1
+    * `Source.getBatch` contract (micro-batch frames must carry
+    * `isStreaming = true` or the planner refuses them). Rows are
+    * copied defensively: `toRdd` may hand back operator-reused
+    * UnsafeRow buffers, and the wrapping scan does not re-project. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd.map(_.copy()), df.schema,
+      isStreaming = true)
+  }
+
   /** Decorate the parquet [[ScanBuilder]]: batch semantics delegate
     * verbatim (column pruning, catalyst filter pushdown, statistics
     * for join planning, columnar mode), `toMicroBatchStream` is

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.sources.Snapshots
+
+/** Streaming change-data feed (`format("graft-changes")`): offsets
+  * are manifest versions, each micro-batch emits PER-VERSION
+  * [[Snapshots.changes]] diffs tagged `_commit_version`, version 1
+  * arrives as the initial-contents inserts, restarts resume from the
+  * checkpointed version, and the accumulated feed replays to the
+  * exact store head — the streaming read for MUTATING stores the
+  * append-only table source refuses. */
+class GraftCdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDirs(tagN: String): (String, String, String) = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    (new java.io.File(scratch(s"cdf/$tagN-$tag")).getAbsolutePath,
+      scratch(s"cdf_ck/$tagN-$tag"),
+      scratch(s"cdf_out/$tagN-$tag"))
+  }
+
+  private def drain(url: String, ck: String, out: String,
+      extra: Map[String, String] = Map.empty): Unit = {
+    var r = spark.readStream.format("graft-changes")
+      .option("url", url).option("keyCol", "id")
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("initial snapshot as inserts, per-version diffs across " +
+      "upsert/delete, delta-only resumption, feed replays to the " +
+      "head state") {
+    val (url, ck, out) = freshDirs("main")
+    Snapshots.create(spark, url,
+      (1L to 40L).map(i => (i, i * 10, s"p$i")).toDF("id", "v", "tag"),
+      nFiles = 2, clusterBy = Some("id"))
+    // v2: upsert — updates 5..8, inserts 41..43, deletes 9..10
+    Snapshots.upsert(spark, url,
+      ((5L to 8L).map(i => (i, i * 1000, s"u$i", false)) ++
+        (41L to 43L).map(i => (i, i * 10, s"p$i", false)) ++
+        (9L to 10L).map(i => (i, 0L, "", true)))
+        .toDF("id", "v", "tag", "del"),
+      "id", deleteCol = Some("del"))
+    // v3: copy-on-write range delete 1..3
+    Snapshots.deleteWhere(spark, url, "id", 1L, 3L)
+
+    drain(url, ck, out)
+    val feed = spark.read.parquet(out)
+      .select(col("id"), col("v"), col("_change"),
+        col("_commit_version"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+
+    val v1 = feed.filter(_._4 == 1L)
+    assert(v1.size == 40 && v1.forall(_._3 == "insert"),
+      s"v1 must be the initial contents as inserts, got ${v1.size}")
+    val v2 = feed.filter(_._4 == 2L)
+    assert(v2.count(_._3 == "update") == 4 &&
+      v2.count(_._3 == "insert") == 3 &&
+      v2.count(_._3 == "delete") == 2, s"v2 feed wrong: $v2")
+    assert(v2.filter(_._3 == "update").map(r => r._1 -> r._2).toMap
+      == (5L to 8L).map(i => i -> i * 1000).toMap,
+      "updates must carry NEW values")
+    val v3 = feed.filter(_._4 == 3L)
+    assert(v3.map(r => (r._1, r._3)).sorted ==
+      (1L to 3L).map(i => (i, "delete")),
+      s"v3 must be the three banded deletes: $v3")
+
+    // replaying the feed (last change per key wins, deletes drop)
+    // reconstructs the head exactly
+    val byKey = feed.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.maxBy(_._4)
+    }
+    val replayed = byKey.values.filter(_._3 != "delete")
+      .map(r => (r._1, r._2)).toSet
+    val head = Snapshots.read(spark, url).select(col("id"), col("v"))
+      .as[(Long, Long)].collect().toSet
+    assert(replayed == head, "feed replay must equal the head")
+
+    // delta-only resumption: append v4 (pure insert into the feed)
+    Snapshots.append(spark, url,
+      Seq((100L, 1L, "x")).toDF("id", "v", "tag"))
+    drain(url, ck, out)
+    val after = spark.read.parquet(out)
+      .select(col("id"), col("_commit_version"))
+      .as[(Long, Long)].collect().toSeq
+    assert(after.size == feed.size + 1 &&
+      after.contains((100L, 4L)),
+      "restart must emit ONLY the new version's diff")
+  }
+
+  test("includeOld emits update_old pre-images; startingVersion " +
+      "skips the bootstrap snapshot") {
+    val (url, ck, out) = freshDirs("old")
+    Snapshots.create(spark, url,
+      (1L to 10L).map(i => (i, i * 10)).toDF("id", "v"), nFiles = 1)
+    Snapshots.upsert(spark, url,
+      Seq((3L, 333L), (11L, 110L)).toDF("id", "v"), "id")
+    drain(url, ck, out, Map("includeOld" -> "true",
+      "startingVersion" -> "1"))
+    val feed = spark.read.parquet(out)
+      .select(col("id"), col("v"), col("_change"),
+        col("_commit_version"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // no v1 snapshot rows — the feed starts at the 1→2 diff
+    assert(feed.forall(_._4 == 2L), s"startingVersion ignored: $feed")
+    assert(feed.toSet == Set((3L, 333L, "update", 2L),
+      (3L, 30L, "update_old", 2L), (11L, 110L, "insert", 2L)),
+      s"got $feed")
+  }
+
+  test("metadata-only and compaction commits emit nothing; a " +
+      "rename mid-stream keeps the declared schema") {
+    val (url, ck, out) = freshDirs("meta")
+    Snapshots.create(spark, url,
+      (1L to 12L).map(i => (i, i)).toDF("id", "v"), nFiles = 4)
+    drain(url, ck, out)
+    Snapshots.compactSmall(spark, url,
+      smallBytes = Long.MaxValue,
+      targetBytes = Long.MaxValue) // v2: pure rewrite
+    Snapshots.setTag(spark, url, "t1") // tag: no version
+    drain(url, ck, out)
+    val feed = spark.read.parquet(out)
+    assert(feed.count() == 12L,
+      "compaction/tag must add nothing to the feed")
+    assert(feed.select(max(col("_commit_version"))).as[Long]
+      .head() == 1L)
+  }
+
+  test("missing options and unknown stores refuse loudly") {
+    val (url, _, _) = freshDirs("bad")
+    Snapshots.create(spark, url, Seq((1L, 1L)).toDF("id", "v"),
+      nFiles = 1)
+    val e1 = intercept[Exception] {
+      spark.readStream.format("graft-changes")
+        .option("url", url).load()
+    }
+    assert(e1.getMessage.contains("keyCol"))
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-changes")
+        .option("url", s"$url-nope").option("keyCol", "id").load()
+    }
+    assert(e2.getMessage.contains("no snapshot store"))
+  }
+}
