@@ -478,14 +478,19 @@ private[sources] class GraftEffSqlTable(val label: String,
     with GraftSqlWrites {
   override def name(): String = label
   override def schema(): StructType = pinned
+  // MICRO_BATCH_READ on the latest resolution: the stream's INITIAL
+  // batch is DV/colmap-aware (current effective rows), later batches
+  // demand the append-only lineage like any snapshot stream
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
       util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftEffScanBuilder(storeUrl, effVersion, pinned)
+    new GraftEffScanBuilder(storeUrl, effVersion, pinned,
+      Some(label))
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     props.foreach { case (k, v) => m.put(k, v) }
@@ -494,7 +499,8 @@ private[sources] class GraftEffSqlTable(val label: String,
 }
 
 private[sources] class GraftEffScanBuilder(url: String, version: Int,
-    full: StructType) extends ScanBuilder
+    full: StructType,
+    streamLabel: Option[String] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = full
@@ -531,6 +537,12 @@ private[sources] class GraftEffScanBuilder(url: String, version: Int,
           context: SQLContext): T =
         new GraftEffRelation(context, url, version, req, flt, lim)
           .asInstanceOf[T]
+      override def toMicroBatchStream(
+          checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming
+            .MicroBatchStream =
+        new GraftMicroBatchStream(SparkSession.active, url,
+          streamLabel.getOrElse(url), full, req)
     }
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, Par
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graftbridge.StreamBridge
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Offset = a committed snapshot VERSION — the manifest log IS the
   * stream's write-ahead log, so offsets are exact, replayable and
@@ -35,27 +35,38 @@ private[sources] object GraftVersionOffset {
   * resumes from the checkpointed version — no listing heuristics,
   * no modification-time races like a directory file stream).
   * `initialOffset` = version 0, so the first batch carries the
-  * store's full current contents (the Delta convention).
+  * store's full current contents (the Delta convention). The INITIAL
+  * batch is DV- and colmap-aware: a store already carrying
+  * merge-on-read deletion vectors or renamed columns streams its
+  * current EFFECTIVE rows (composite entries drop their vector's
+  * positions inside the per-file reader; files are decoded under
+  * their physical names and presented logically) — history before
+  * the stream's start never constrains it.
   *
-  * APPEND-ONLY lineage contract, checked per batch: every version in
-  * the batch's range must be a create/append/txn-append commit. A
-  * mutation (upsert, delete, compact, cluster, overwrite, rename)
-  * inside the range REFUSES loudly — silently re-emitting rewritten
-  * files would duplicate rows downstream, and silently skipping them
-  * would drop data; the CDC reader ([[Snapshots.changes]]) is the
-  * tool for mutating stores. Merge-on-read entries and renamed
-  * stores refuse for the same reason (composite entries need the
-  * DV anti-join; this source reads raw appended files).
+  * APPEND-ONLY lineage contract past the start offset, checked per
+  * batch: every version in a later batch's range must be a create/
+  * append/txn-append commit. A mutation (upsert, delete, compact,
+  * cluster, overwrite, rename) inside the range REFUSES loudly —
+  * silently re-emitting rewritten files would duplicate rows
+  * downstream, and silently skipping them would drop data; the CDC
+  * stream (`format("graft-changes")`, [[graft.streaming
+  * .GraftChangesProvider]]) is the tool for mutating stores.
   *
   * Scale shape: planning reads manifests only (O(versions in range)
   * driver-side JSON + one file-status round per new file); each new
   * file is one [[InputPartition]], so read parallelism equals append
-  * parallelism; nothing is ever relisted. */
+  * parallelism; nothing is ever relisted. A composite entry's reader
+  * loads ONLY its own file's deletion positions (sparse by the MoR
+  * contract — wide deletes are copy-on-write rewrites). */
 private[sources] class GraftMicroBatchStream(spark: SparkSession,
     url: String, label: String, dataSchema: StructType,
     requiredSchema: StructType) extends MicroBatchStream {
 
   private val AllowedOp = "^(create|append|txn-append)".r
+  // the column mapping is pinned at stream start, like the schema:
+  // a rename later in the stream is a mutation the op check refuses
+  private val colmap: Map[String, String] =
+    Snapshots.snap(spark, url, Snapshots.latest(spark, url)).colmap
 
   override def initialOffset(): Offset = GraftVersionOffset(0)
 
@@ -70,58 +81,116 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
     val s = start.asInstanceOf[GraftVersionOffset].v
     val e = end.asInstanceOf[GraftVersionOffset].v
     if (e <= s) return Array.empty
-    val vs = Snapshots.versions(spark, url).filter(v => v > s && v <= e)
-    vs.foreach { v =>
-      val sn = Snapshots.snap(spark, url, v)
-      require(AllowedOp.findFirstIn(sn.op).isDefined,
-        s"streaming read of $label: v$v is '${sn.op}' — the stream " +
-          "contract is an append-only lineage past the start " +
-          "offset; use Snapshots.changes (CDC) for mutating stores")
-      require(sn.colmap.isEmpty,
-        s"streaming read of $label: v$v carries a column map — " +
-          "renamed stores do not stream")
-    }
-    val base: Set[String] =
-      if (s == 0) Set.empty
-      else Snapshots.snap(spark, url, s).files.toSet
     val endSnap = Snapshots.snap(spark, url, e)
-    val added = endSnap.files.filterNot(base)
-    require(added.forall(!_.contains(Snapshots.DvSep)),
-      s"streaming read of $label: merge-on-read entries in the " +
-        "appended range — MoR stores do not stream")
+    val entries: Seq[String] =
+      if (s == 0) {
+        // initial snapshot: the CURRENT contents — whatever history
+        // produced them (mutations before the start offset are no
+        // concern of the stream's exactness; composite entries and
+        // renames are handled by the readers)
+        require(endSnap.colmap == colmap,
+          s"streaming read of $label: the column mapping changed " +
+            "between stream creation and its first batch — restart " +
+            "the stream")
+        endSnap.files.sorted
+      } else {
+        val vs = Snapshots.versions(spark, url)
+          .filter(v => v > s && v <= e)
+        vs.foreach { v =>
+          val sn = Snapshots.snap(spark, url, v)
+          require(AllowedOp.findFirstIn(sn.op).isDefined,
+            s"streaming read of $label: v$v is '${sn.op}' — the " +
+              "stream contract is an append-only lineage past the " +
+              "start offset; use format(\"graft-changes\") (CDC) " +
+              "for mutating stores")
+        }
+        val base = Snapshots.snap(spark, url, s).files.toSet
+        val added = endSnap.files.filterNot(base)
+        // appends only ever add PLAIN files; a composite entry here
+        // means a mutation slipped the op trail (defense in depth)
+        require(added.forall(!_.contains(Snapshots.DvSep)),
+          s"streaming read of $label: merge-on-read entries in the " +
+            "appended range — use format(\"graft-changes\")")
+        added.sorted
+      }
     val root = new Path(url)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    added.sorted.map { f =>
-      val st = fs.getFileStatus(new Path(root, f))
+    // one file-status per distinct DV file, not per entry
+    val dvStats = entries.flatMap(f => Snapshots.splitEntry(f)._2)
+      .distinct.map { dv =>
+        val st = fs.getFileStatus(new Path(root, dv))
+        dv -> (st.getPath.toString, st.getLen, st.getModificationTime)
+      }.toMap
+    entries.map { f =>
+      val (data, dvOpt) = Snapshots.splitEntry(f)
+      val st = fs.getFileStatus(new Path(root, data))
       GraftFilePartition(st.getPath.toString, st.getLen,
-        st.getModificationTime): InputPartition
+        st.getModificationTime, data,
+        dvOpt.map(dvStats)): InputPartition
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftStreamReaderFactory(StreamBridge.readFunc(spark,
-      dataSchema, requiredSchema,
-      spark.sessionState.newHadoopConf()))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // files store PHYSICAL names; InternalRow is positional, so
+    // reading the physically-renamed required schema IS the logical
+    // projection
+    val phys = Snapshots.physSchema(dataSchema, colmap)
+    val physReq = Snapshots.physSchema(requiredSchema, colmap)
+    new GraftStreamReaderFactory(
+      StreamBridge.readFunc(spark, phys, physReq,
+        spark.sessionState.newHadoopConf()),
+      StreamBridge.readFunc(spark, GraftStreamSource.DvSchema,
+        GraftStreamSource.DvSchema,
+        spark.sessionState.newHadoopConf()))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
+private[sources] object GraftStreamSource {
+  /** Deletion-vector sidecar schema ([[Snapshots]] MoR commits). */
+  val DvSchema: StructType = StructType(Seq(
+    StructField("__dv_file", StringType),
+    StructField("__dv_pos", LongType)))
+}
+
 private[sources] case class GraftFilePartition(path: String,
-    length: Long, modificationTime: Long) extends InputPartition
+    length: Long, modificationTime: Long,
+    dataName: String = "",
+    dv: Option[(String, Long, Long)] = None) extends InputPartition
 
 /** Executor-side reader: Spark's own parquet decode per file
   * (vectorized; flattened to rows at the boundary). The read
   * function is the serializable closure the batch file scan ships —
-  * same codecs, same schema-evolution null fill. */
+  * same codecs, same schema-evolution null fill. A composite MoR
+  * partition first loads its OWN file's deleted positions from the
+  * vector sidecar (sparse by contract), then drops them by row
+  * index — exact because a whole-file single-partition scan with no
+  * pushed filters decodes rows in file order, the same order the
+  * DV's `_metadata.row_index` positions were minted from. */
 private[sources] class GraftStreamReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow])
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    dvReadFunc: PartitionedFile => Iterator[InternalRow])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
-    val it = readFunc(StreamBridge.wholeFile(p.path, p.length,
+    val base = readFunc(StreamBridge.wholeFile(p.path, p.length,
       p.modificationTime))
+    val it = p.dv match {
+      case None => base
+      case Some((dvPath, dvLen, dvM)) =>
+        val dropped = new java.util.HashSet[Long]()
+        dvReadFunc(StreamBridge.wholeFile(dvPath, dvLen, dvM))
+          .foreach { r =>
+            if (!r.isNullAt(0) &&
+                r.getUTF8String(0).toString == p.dataName)
+              dropped.add(r.getLong(1))
+          }
+        var pos = -1L
+        base.filter { _ => pos += 1; !dropped.contains(pos) }
+    }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =

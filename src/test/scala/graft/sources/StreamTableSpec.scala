@@ -72,18 +72,70 @@ class StreamTableSpec extends SparkSpec {
     Snapshots.create(spark, url,
       (1L to 30L).map(i => (i, i * 2, s"p$i")).toDF("id", "v", "pay"),
       nFiles = 2)
-    Snapshots.deleteWhere(spark, url, "id", 1L, 5L) // v2: mutation
-    val q = spark.readStream.table("gst.mut").select(col("id"))
-      .writeStream.format("memory").queryName("strm_mut")
+    // a mutation BEFORE the stream starts is history, not a
+    // violation: the initial batch is the current contents
+    Snapshots.deleteWhere(spark, url, "id", 1L, 5L)
+    val outDir = scratch(
+      s"strmtbl_out2/${java.util.UUID.randomUUID().toString.take(8)}")
+    def drain(): Unit = spark.readStream.table("gst.mut")
+      .select(col("id"))
+      .writeStream.format("parquet").option("path", outDir)
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
-      .start()
-    val e = intercept[Exception] { q.awaitTermination() }
+      .start().awaitTermination()
+    drain()
+    assert(spark.read.parquet(outDir).as[Long]
+      .collect().sorted.toSeq == (6L to 30L),
+      "initial batch must be the post-delete contents")
+    // a mutation AFTER the consumed offset violates the append-only
+    // lineage: re-emitting rewritten files would duplicate rows
+    Snapshots.deleteWhere(spark, url, "id", 6L, 8L)
+    val e = intercept[Exception] { drain() }
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ chain(t.getCause)
     assert(chain(e).exists(_.contains("append-only")),
       s"expected the append-only refusal, got ${chain(e).take(3)}")
+  }
+
+  test("a store carrying MoR deletion vectors and renamed columns " +
+      "streams its EFFECTIVE initial snapshot, then plain appends") {
+    val url = s"$root/mor"
+    val ck = scratch(
+      s"strmtbl_ck3/${java.util.UUID.randomUUID().toString.take(8)}")
+    Snapshots.create(spark, url,
+      (1L to 40L).map(i => (i, i * 3, s"p$i")).toDF("id", "v", "pay"),
+      nFiles = 2, clusterBy = Some("id"))
+    Snapshots.deleteWhereMor(spark, url, "id", 10L, 15L) // v2: DVs
+    Snapshots.renameColumn(spark, url, "v", "val")       // v3: colmap
+    val outDir = scratch(
+      s"strmtbl_out3/${java.util.UUID.randomUUID().toString.take(8)}")
+    def drain(): Unit = spark.readStream.table("gst.mor")
+      .select(col("id"), col("val"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    drain()
+    val first = spark.read.parquet(outDir)
+      .as[(Long, Long)].collect().toSet
+    assert(first == (1L to 40L).filterNot(i => i >= 10 && i <= 15)
+      .map(i => (i, i * 3)).toSet,
+      "initial batch must be the DV-anti-joined effective rows " +
+        "under logical names")
+    // appends to the renamed store stage PHYSICAL names; the stream
+    // keeps presenting logical ones
+    Snapshots.append(spark, url,
+      (41L to 45L).map(i => (i, i * 3, s"p$i")).toDF("id", "val", "pay"))
+    drain()
+    assert(spark.read.parquet(outDir).as[(Long, Long)]
+      .collect().toSet == first ++
+        (41L to 45L).map(i => (i, i * 3)).toSet,
+      "the delta batch must decode appended physical-name files")
+    // stream equals batch across the whole lifecycle
+    assert(first ++ (41L to 45L).map(i => (i, i * 3)).toSet ==
+      Snapshots.read(spark, url).select(col("id"), col("val"))
+        .as[(Long, Long)].collect().toSet)
   }
 
   test("a pinned time-travel resolution does not stream") {
