@@ -9453,6 +9453,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("sum_chars")),
         col("_change"), col("lang"))
+    }),
+
+    // ---- SQL min/max priced from the stats sidecar ----
+    // GraftMetaAggRule answers bare global min/max of stats-indexed
+    // integral columns from the _stats sidecar (exact per-ENTRY
+    // extrema the index job aggregated from effective rows — so the
+    // answer stays exact across a merge-on-read delete after a
+    // sidecar refresh) and count(*) from footers, replacing the
+    // whole aggregate with a local row. The body asserts the plan
+    // executed as LocalTableScan with no file scan. Oracle
+    // recomputes the extrema from rows.
+    "q398_sql_minmax_meta" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q398"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g398",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g398.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"))
+      Snapshots.create(s, url, docs, nFiles = 6,
+        clusterBy = Some("doc_id"))
+      // a MoR delete MOVES the minimum: the sidecar must price the
+      // effective extrema, not the raw footers
+      Snapshots.deleteWhereMor(s, url, "doc_id", 0L, 120L)
+      Snapshots.indexStats(s, url, Seq("doc_id", "n_chars"))
+      val agg = s.sql(
+        s"""SELECT min(doc_id) AS lo, max(doc_id) AS hi,
+           |  min(n_chars) AS lo_chars, max(n_chars) AS hi_chars,
+           |  count(*) AS n
+           |FROM g398.$tbl""".stripMargin)
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") &&
+        !plan.contains("FileScan") && !plan.contains("BatchScan"),
+        s"min/max was not sidecar-priced:\n$plan")
+      agg
     })
   )
 
@@ -19444,6 +19488,14 @@ object SparkEntry {
         |SELECT _change, lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM feed GROUP BY _change, lang
-        |ORDER BY _change, lang""".stripMargin
+        |ORDER BY _change, lang""".stripMargin,
+
+    "q398_sql_minmax_meta" ->
+      """SELECT min(doc_id) AS lo, max(doc_id) AS hi,
+        |  min(n_chars) AS lo_chars, max(n_chars) AS hi_chars,
+        |  count(*) AS n
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |  AND doc_id NOT BETWEEN 0 AND 120""".stripMargin
   )
 }

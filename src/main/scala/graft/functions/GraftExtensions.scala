@@ -220,11 +220,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // predicate update (see [[graft.sources.GraftDml]])
     ext.injectPostHocResolutionRule(session =>
       graft.sources.GraftDml.UpdateRule(session))
-    // bare SELECT count(*) over a catalog store: footer-priced via
-    // rowCountMeta, MoR-exact (must run BEFORE the inline rule eats
-    // the effective relation — injection order = batch order)
+    // bare SELECT count(*)/min/max over a catalog store: priced from
+    // footers (rowCountMeta, MoR-exact) and the _stats sidecar
+    // (statsMinMax) — must run BEFORE the inline rule eats the
+    // effective relation (injection order = batch order)
     ext.injectOptimizerRule(session =>
-      graft.sources.GraftCountStarRule(session))
+      graft.sources.GraftMetaAggRule(session))
     // SQL reads of MoR/renamed stores: splice the engine's native
     // effective-read plan over the V1Scan bridge (columnar batches +
     // codegen restored; see [[graft.sources.GraftEffInlineRule]])

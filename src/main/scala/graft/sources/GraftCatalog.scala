@@ -607,26 +607,35 @@ private[sources] class GraftEffRelation(ctx: SQLContext, url: String,
 }
 
 /** Optimizer rule (injected by `graft.functions.GraftExtensions`,
-  * BEFORE [[GraftEffInlineRule]] in the batch): answer a bare
-  * `SELECT count(*) FROM graft.store [VERSION AS OF ...]` from
-  * parquet FOOTERS via [[Snapshots.rowCountMeta]] — one small
-  * metadata read per file (MoR positions subtracted exactly), no
-  * data page opened — and replace the whole aggregate with the
-  * precomputed local row. The resolved table pins a version and a
-  * version's count is immutable, so optimization-time pricing is
-  * sound (the same move as Spark's own metadata-only-query rule,
-  * which lists partitions in the optimizer). Applies ONLY to the
-  * exact global-count shape with nothing between the aggregate and
-  * the relation but projections: any filter, grouping, or other
-  * aggregate falls through to the normal scan. */
-final case class GraftCountStarRule(session: SparkSession)
+  * BEFORE [[GraftEffInlineRule]] in the batch): answer bare global
+  * METADATA-PRICEABLE aggregates over a graft store from sidecars —
+  *  - `count(*)` from parquet FOOTERS ([[Snapshots.rowCountMeta]]:
+  *    one small metadata read per file, MoR positions subtracted
+  *    exactly, no data page opened);
+  *  - `min(col)`/`max(col)` of an integral stats-indexed column
+  *    from the `_stats` sidecar ([[Snapshots.statsMinMax]]: exact
+  *    per-entry extrema the index job aggregated from effective
+  *    rows — O(files) sidecar rows, nulls ignored like SQL's
+  *    min/max; refused unless every entry of the version is
+  *    covered, so a stale sidecar can never hide the extremum)
+  * — and replace the whole aggregate with the precomputed local row.
+  * The resolved table pins a version and a version's aggregates are
+  * immutable, so optimization-time pricing is sound (the same move
+  * as Spark's own metadata-only-query rule, which lists partitions
+  * in the optimizer). Applies ONLY to the exact global shape with
+  * nothing between the aggregate and the relation but
+  * attribute-preserving projections: any filter, grouping,
+  * expression-valued projection, or other aggregate falls through
+  * to the normal scan. */
+final case class GraftMetaAggRule(session: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
   import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  import org.apache.spark.sql.types._
   import scala.jdk.CollectionConverters._
 
   /** (url, pinned version) when the plan is exactly a graft store
@@ -644,24 +653,77 @@ final case class GraftCountStarRule(session: SparkSession)
       case _ => None
     }
 
-  private def isCountStar(
-      e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Boolean = e match {
-    case Alias(child, _) => isCountStar(child)
-    case AggregateExpression(Count(Seq(Literal(v, _))), Complete,
-        false, None, _) => v != null
-    case _ => false
+  /** The relation COLUMN an aggregate argument names, resolved by
+    * exprId through pass-through projections only (an alias of a
+    * computed expression is not a column — falls through). */
+  private def columnOf(plan: LogicalPlan,
+      attr: AttributeReference): Option[String] = plan match {
+    case Project(projList, child) =>
+      projList.find(_.exprId == attr.exprId).flatMap {
+        case a: AttributeReference => columnOf(child, a)
+        case Alias(a: AttributeReference, _) => columnOf(child, a)
+        case _ => None
+      }
+    case r: DataSourceV2Relation =>
+      r.output.find(_.exprId == attr.exprId).map(_.name)
+    case _ => None
   }
+
+  private sealed trait MetaAgg
+  private case object CountStar extends MetaAgg
+  private case class MinOf(field: String, dt: DataType) extends MetaAgg
+  private case class MaxOf(field: String, dt: DataType) extends MetaAgg
+
+  private def classify(child: LogicalPlan)(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[MetaAgg] = e match {
+    case Alias(inner, _) => classify(child)(inner)
+    case AggregateExpression(Count(Seq(Literal(v, _))), Complete,
+        false, None, _) if v != null => Some(CountStar)
+    case AggregateExpression(Min(a: AttributeReference), Complete,
+        false, None, _) =>
+      columnOf(child, a).map(MinOf(_, a.dataType))
+    case AggregateExpression(Max(a: AttributeReference), Complete,
+        false, None, _) =>
+      columnOf(child, a).map(MaxOf(_, a.dataType))
+    case _ => None
+  }
+
+  private def narrow(v: Option[Long], dt: DataType): Any =
+    v.map { l =>
+      dt match {
+        case ByteType => l.toByte
+        case ShortType => l.toShort
+        case IntegerType => l.toInt
+        case _ => l
+      }
+    }.orNull
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transform {
       case agg @ Aggregate(Nil, exprs, child, _)
-          if exprs.nonEmpty && exprs.forall(isCountStar) &&
-            storeOf(child).isDefined =>
+          if exprs.nonEmpty && storeOf(child).isDefined &&
+            exprs.forall(e => classify(child)(e).isDefined) =>
         val (url, v) = storeOf(child).get
-        val n = Snapshots.rowCountMeta(session, url, v)
-        LocalRelation(agg.output.map(_.toAttribute),
-          Seq(InternalRow.fromSeq(agg.output.map(_ => n))))
+        val classes = exprs.map(e => classify(child)(e).get)
+        // price every min/max field first: ANY unpriceable one keeps
+        // the whole aggregate on the scan (no partial rewrite)
+        val fields = classes.collect {
+          case MinOf(f, _) => f
+          case MaxOf(f, _) => f
+        }.distinct
+        val priced = fields.map(f =>
+          f -> Snapshots.statsMinMax(session, url, f, v)).toMap
+        if (priced.values.exists(_.isEmpty)) agg
+        else {
+          val values = classes.map {
+            case CountStar => Snapshots.rowCountMeta(session, url, v)
+            case MinOf(f, dt) => narrow(priced(f).get._1, dt)
+            case MaxOf(f, dt) => narrow(priced(f).get._2, dt)
+          }
+          LocalRelation(agg.output.map(_.toAttribute),
+            Seq(InternalRow.fromSeq(values)))
+        }
     }
 }
 

@@ -3176,6 +3176,45 @@ object Snapshots {
     * files and files are immutable. The complement to the
     * stats-sidecar pricing ([[countWhere]] for RANGE counts): this
     * needs no sidecar and no clustering, just the manifest. */
+  /** Exact global (min, max) of an integral stats-indexed field at
+    * `version`, priced from the `_stats` sidecar alone — O(files)
+    * metadata rows, no data file opened. Returns None unless EVERY
+    * entry of the version carries a stats row for the field (a
+    * partially-covered sidecar could hide the true extremum) and the
+    * field is a long-band column (string bands are truncated
+    * prefixes — exact for pruning, not for answering). Inner options
+    * are None when the version holds no non-null value (SQL min/max
+    * of an empty/all-null column is NULL). Exact across
+    * merge-on-read versions: stats rows are keyed by manifest ENTRY
+    * and aggregate EFFECTIVE rows ([[indexStats]]). */
+  def statsMinMax(spark: SparkSession, url: String, field: String,
+      version: Int = -1): Option[(Option[Long], Option[Long])] = {
+    import org.apache.spark.sql.types._
+    val (fs, root) = fsOf(spark, url)
+    val sp = statsPath(root)
+    if (!fs.exists(sp)) return None
+    val v = if (version > 0) version else latest(spark, url)
+    val s = snap(spark, url, v)
+    if (s.files.isEmpty) return Some((None, None))
+    val schema = schemaOf(spark, root, s)
+    if (!schema.fieldNames.contains(field)) return None
+    schema(field).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case _ => return None
+    }
+    val rows = spark.read.parquet(sp.toString)
+      .filter(col("field") === s.phys(field))
+      .select(col("file"), col("min_v"), col("max_v"))
+      .collect()
+    val byEntry = rows.map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    if (!s.files.forall(byEntry.contains)) return None
+    val mins = s.files.flatMap(f => byEntry(f)._1)
+    val maxs = s.files.flatMap(f => byEntry(f)._2)
+    Some((mins.minOption, maxs.maxOption))
+  }
+
   def rowCountMeta(spark: SparkSession, url: String,
       version: Int = -1): Long = {
     val (_, root) = fsOf(spark, url)

@@ -526,6 +526,62 @@ class SqlDmlRouteSpec extends SparkSpec {
     assert(colCount.as[Long].head() == 27L)
   }
 
+  test("min/max pushdown: stats-sidecar-priced when every entry is " +
+      "covered (MoR-exact), scan otherwise") {
+    val url = s"$root/mm"
+    Snapshots.create(spark, url,
+      (1L to 60L).map(i =>
+        (i, if (i % 15 == 0) None else Some(i * 3)))
+        .toDF("id", "v"), nFiles = 3, clusterBy = Some("id"))
+    // no sidecar yet: a min/max query must stay a real scan
+    val unpriced = spark.sql(
+      "SELECT min(id) AS lo, max(id) AS hi FROM gdml.mm")
+    assert(!unpriced.queryExecution.optimizedPlan.toString
+      .contains("LocalRelation"),
+      "min/max must not be priced without a stats sidecar")
+    assert(unpriced.as[(Long, Long)].head() == ((1L, 60L)))
+    Snapshots.indexStats(spark, url, Seq("id", "v"))
+    // covered: LocalTableScan, no file touched — mixed with count(*)
+    val priced = spark.sql(
+      "SELECT min(id) AS lo, max(id) AS hi, count(*) AS n, " +
+        "max(v) AS hv FROM gdml.mm")
+    assert(priced.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      s"not sidecar-priced:\n${priced.queryExecution.executedPlan}")
+    assert(priced.as[(Long, Long, Long, Long)].head() ==
+      ((1L, 60L, 60L, 177L))) // max v = 59*3 (60 is a null slot)
+    // MoR delete that REMOVES the current max id: the sidecar keeps
+    // a per-ENTRY exact row for the rewritten composite entry only
+    // after a refresh — unrefreshed coverage fails loudly into the
+    // scan, a refreshed one prices the new extremum
+    Snapshots.deleteWhereMor(spark, url, "id", 50L, 60L)
+    val afterMor = spark.sql(
+      "SELECT max(id) AS hi FROM gdml.mm")
+    assert(!afterMor.queryExecution.optimizedPlan.toString
+      .contains("LocalRelation"),
+      "uncovered MoR entries must fall back to the scan")
+    assert(afterMor.as[Long].head() == 49L)
+    Snapshots.indexStats(spark, url, Seq("id", "v"))
+    val refreshed = spark.sql(
+      "SELECT max(id) AS hi, min(id) AS lo FROM gdml.mm")
+    assert(refreshed.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      "refreshed sidecar must price the MoR head")
+    assert(refreshed.as[(Long, Long)].head() == ((49L, 1L)))
+    // a filtered min stays on the scan
+    val filteredMin = spark.sql(
+      "SELECT min(id) AS lo FROM gdml.mm WHERE id > 10")
+    assert(!filteredMin.queryExecution.optimizedPlan.toString
+      .contains("LocalRelation"))
+    assert(filteredMin.as[Long].head() == 11L)
+    // an expression argument (min(id+1)) is not a column — scan
+    val exprMin = spark.sql(
+      "SELECT min(id + 1) AS lo FROM gdml.mm")
+    assert(!exprMin.queryExecution.optimizedPlan.toString
+      .contains("LocalRelation"))
+    assert(exprMin.as[Long].head() == 2L)
+  }
+
   test("commitStagedInto dedups the commit key per attempt") {
     val url = s"$root/keydup"
     Snapshots.create(spark, url,
