@@ -162,16 +162,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def loadTable(ident: Identifier): Table =
     metaTable(ident).getOrElse(tableAt(ident, -1))
 
-  /** `<store>$history` / `<store>$tags` / `<store>$txns` resolve as
-    * read-only METADATA tables over the manifest layer (the
-    * `DESCRIBE HISTORY` surface without parser extensions):
+  /** `<store>$history` / `<store>$tags` / `<store>$txns` /
+    * `<store>$changes` resolve as read-only METADATA tables over the
+    * manifest layer (the `DESCRIBE HISTORY` surface without parser
+    * extensions):
     * {{{
     *   SELECT * FROM graft.`events$history`  -- version/op/file deltas
     *   SELECT * FROM graft.`events$tags`     -- name → pinned version
     *   SELECT * FROM graft.`events$txns`     -- open intent journals
+    *   SELECT * FROM graft.`events$changes`  -- full-history CDC feed
     * }}}
     * Each query re-derives from the manifests (O(versions) JSON
-    * reads, no data files) — always current, nothing cached. */
+    * reads; `$changes` additionally reads each version's CHANGED
+    * files) — always current, nothing cached. `$changes` needs the
+    * store's key column and resolves it by the sidecar convention
+    * ([[Snapshots.bloomKeyField]]: the single-field key-bloom);
+    * keyless stores refuse with the setup named. */
   private def metaTable(ident: Identifier): Option[Table] = {
     val name = ident.name
     val i = name.lastIndexOf('$')
@@ -189,6 +195,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "txns" => s => {
         import s.implicits._
         Snapshots.pendingTxns(s, url).toDF("txn")
+      }
+      case "changes" => s => {
+        val keyCol = Snapshots.bloomKeyField(s, url).getOrElse(
+          throw new UnsupportedOperationException(
+            s"$catName.`$store$$changes` needs the store's key " +
+              "column — maintain the single-field conventional " +
+              "key-bloom sidecar (Snapshots.indexBloom / CALL " +
+              s"$catName.index_bloom) or use spark.readStream" +
+              ".format(\"graft-changes\") with an explicit keyCol"))
+        Snapshots.changesAll(s, url, keyCol)
       }
       // An unknown '$' suffix is NOT an error here: a real store
       // whose name happens to contain '$' must still resolve, so

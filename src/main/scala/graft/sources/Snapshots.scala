@@ -1548,6 +1548,58 @@ object Snapshots {
     else Some(p.toString)
   }
 
+  /** The store's de-facto KEY column by the sidecar convention:
+    * Some(field) iff the conventional key-bloom sidecar exists and
+    * indexes exactly ONE field. What lets keyless SQL surfaces (the
+    * `store$changes` metadata table) resolve the key the programmatic
+    * API takes explicitly — a multi-field or absent sidecar is
+    * ambiguous and resolves None (callers refuse loudly). */
+  def bloomKeyField(spark: SparkSession,
+      url: String): Option[String] = {
+    val (fs, root) = fsOf(spark, url)
+    val p = new Path(new Path(root, "_bloom"), "keybloom")
+    if (!fs.exists(p)) return None
+    val fields = spark.read.parquet(p.toString)
+      .select("field").distinct().collect().map(_.getString(0))
+    if (fields.length == 1) Some(fields.head) else None
+  }
+
+  /** ONE version's change feed: the diff against its immediate
+    * surviving predecessor ([[changes]]), or — for the store's birth
+    * version — the full contents tagged `insert` (a feed consumer's
+    * bootstrap batch). */
+  def changesStep(spark: SparkSession, url: String, keyCol: String,
+      v: Int, includeOld: Boolean = false): DataFrame = {
+    val vs = versions(spark, url)
+    require(vs.contains(v), s"v$v is not a committed version of $url")
+    val prior = vs.filter(_ < v)
+    if (prior.isEmpty)
+      readAsOf(spark, url, v)
+        .withColumn("_change", lit("insert"))
+    else changes(spark, url, keyCol, prior.max, v, includeOld)
+  }
+
+  /** The store's ENTIRE history as one change feed: per-version
+    * [[changesStep]] frames under the HEAD schema (older steps read
+    * later-evolved columns as null), each tagged `_commit_version`.
+    * O(sum of per-version changed files) — the audit/backfill shape;
+    * incremental consumers should ride the streaming source
+    * (`format("graft-changes")`) instead. */
+  def changesAll(spark: SparkSession, url: String, keyCol: String,
+      includeOld: Boolean = false): DataFrame = {
+    val vs = versions(spark, url)
+    require(vs.nonEmpty, s"no snapshot store at $url")
+    val base = headSchema(spark, url)
+    vs.map { v =>
+      val df = changesStep(spark, url, keyCol, v, includeOld)
+      df.select(base.fieldNames.toSeq.map { f =>
+        if (df.columns.contains(f)) col(f)
+        else lit(null).cast(base(f).dataType).as(f)
+      } :+ col("_change")
+        :+ lit(v.toLong).as("_commit_version"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** The head version's pinned LOGICAL schema — manifest (or file
     * footer) resolution only, no data read. */
   def headSchema(spark: SparkSession,

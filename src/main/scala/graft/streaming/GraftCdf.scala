@@ -139,17 +139,12 @@ private[streaming] class GraftChangesSource(spark: SparkSession,
   /** One version's feed rows under the DECLARED schema (evolution
     * inside the stream's lifetime adds columns — older steps read
     * them as null; a declared column can never disappear because
-    * dropColumn is a rename-layer op the diff still resolves). */
+    * dropColumn is a rename-layer op the diff still resolves).
+    * Delegates to [[Snapshots.changesStep]] — one canonical diff for
+    * the stream, the `store$changes` SQL table and programmatic
+    * consumers. */
   private def step(v: Int): DataFrame = {
-    val vs = Snapshots.versions(spark, url)
-    val prior = vs.filter(_ < v)
-    val df =
-      if (prior.isEmpty)
-        // the store's birth version: the full contents ARE the feed
-        Snapshots.readAsOf(spark, url, v)
-          .withColumn(ChangeCol, lit("insert"))
-      else
-        Snapshots.changes(spark, url, keyCol, prior.max, v, includeOld)
+    val df = Snapshots.changesStep(spark, url, keyCol, v, includeOld)
     val out = baseFields.map { f =>
       if (df.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)

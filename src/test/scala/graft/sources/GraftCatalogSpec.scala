@@ -258,6 +258,33 @@ class GraftCatalogSpec extends SparkSpec {
       s"got ${e.getMessage}")
   }
 
+  test("$changes metadata table: the full-history CDC feed over " +
+      "SQL, keyed by the bloom-sidecar convention; keyless stores " +
+      "refuse with the setup named") {
+    Snapshots.create(spark, s"$root/chg",
+      (1L to 20L).map(i => (i, i * 10)).toDF("id", "v"), nFiles = 2)
+    // keyless: refuse loudly, naming the convention
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.`chg$changes`").collect()
+    }
+    assert(e.getMessage.contains("key-bloom"), e.getMessage)
+    Snapshots.indexBloom(spark, s"$root/chg", Seq("id"))
+    Snapshots.upsert(spark, s"$root/chg",
+      Seq((3L, 333L, false), (21L, 210L, false), (5L, 0L, true))
+        .toDF("id", "v", "del"), "id", deleteCol = Some("del"))
+    val feed = spark.sql(
+      "SELECT id, v, _change, _commit_version FROM gcat.`chg$changes`")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(feed.count(_._4 == 1L) == 20 &&
+      feed.filter(_._4 == 1L).forall(_._3 == "insert"))
+    assert(feed.filter(_._4 == 2L).map(r => (r._1, r._3)).sorted ==
+      Seq((3L, "update"), (5L, "delete"), (21L, "insert")))
+    // SQL composes over the feed like any table
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gcat.`chg$changes` " +
+        "WHERE _change = 'delete'").as[Long].head() == 1L)
+  }
+
   test("DDL lifecycle: CREATE TABLE + CTAS ride Snapshots.create; " +
       "ALTER RENAME/DROP COLUMN are metadata-only commits; DROP " +
       "only removes an empty just-created store") {

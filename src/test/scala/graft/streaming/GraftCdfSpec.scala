@@ -134,6 +134,54 @@ class GraftCdfSpec extends SparkSpec {
       .head() == 1L)
   }
 
+  test("the CDC stream drives incremental view maintenance: a " +
+      "retractable MV maintained by foreachBatch(applyCdc) equals " +
+      "the batch GROUP BY across upserts and deletes") {
+    import graft.sources.MaterializedView
+    val (url, ck, _) = freshDirs("ivm")
+    val view = s"$url-view"
+    Snapshots.create(spark, url,
+      (1L to 60L).map(i => (i, i % 5, i * 10)).toDF("id", "g", "x"),
+      nFiles = 3)
+    MaterializedView.init(spark, view, Seq("g"), Seq("x"),
+      buckets = 4, retractable = true)
+    Snapshots.upsert(spark, url,
+      ((1L to 12L).map(i => (i, i % 5, i * 1000, false)) ++
+        Seq((100L, 7L, 5L, false)) ++
+        (55L to 60L).map(i => (i, i % 5, 0L, true)))
+        .toDF("id", "g", "x", "del"),
+      "id", deleteCol = Some("del"))
+    def drain(): Unit = spark.readStream.format("graft-changes")
+      .option("url", url).option("keyCol", "id")
+      .option("includeOld", "true").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          id: Long) =>
+        // the initial snapshot arrives as plain inserts (+1), so
+        // the stream bootstraps the view too; batchId keys make
+        // replays no-ops (applyCdc's idempotent partition contract)
+        MaterializedView.applyCdc(batch.sparkSession, view,
+          batch.drop("_commit_version"), s"b$id")
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    drain()
+    def state(): Seq[Seq[Any]] = MaterializedView.read(spark, view)
+      .orderBy("g").collect().toSeq.map(_.toSeq)
+    def want(): Seq[Seq[Any]] = Snapshots.read(spark, url)
+      .groupBy("g").agg(count(lit(1)).cast("long").as("cnt"),
+        sum("x").cast("long").as("sum_x"))
+      .orderBy("g").collect().toSeq.map(_.toSeq)
+    assert(state() == want(),
+      "stream-maintained view must equal the batch GROUP BY")
+    // more mutations, another drain: only the delta is applied
+    Snapshots.deleteWhere(spark, url, "id", 20L, 30L)
+    drain()
+    assert(state() == want(),
+      "the second drain must fold the delete retraction exactly")
+  }
+
   test("missing options and unknown stores refuse loudly") {
     val (url, _, _) = freshDirs("bad")
     Snapshots.create(spark, url, Seq((1L, 1L)).toDF("id", "v"),
