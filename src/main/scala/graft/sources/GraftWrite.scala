@@ -126,6 +126,20 @@ private[sources] class GraftBatchWrite(url: String,
     } catch {
       case e: Throwable => deleteStaged(staged); throw e
     }
+    // POST-commit: keep the store's conventional sidecars live so a
+    // SQL-ingested store's pruning (banded DML routes, MERGE bloom
+    // discovery, metadata-priced aggregates) needs zero manual CALLs
+    // — O(new files), and a failure here must not fail a write whose
+    // data is already durably committed (stale sidecars are safe by
+    // the coverage guards; the next refresh catches up)
+    try Snapshots.refreshSidecars(spark, url): Unit
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"graft: sidecar refresh after commit to $url failed " +
+            s"(stale sidecars are safe; next refresh catches up): " +
+            s"${e.getMessage}")
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -1531,6 +1531,52 @@ object Snapshots {
     RowGroupIndex.updateBloom(spark, url, fields,
       bloomSidecarUrl(spark, url), expectedPerFile, fpp)
 
+  /** Incrementally refresh whichever CONVENTIONAL sidecars the store
+    * maintains — the `_stats` band index and the `_bloom` key index —
+    * with the field sets they were built with (stats fields recover
+    * their logical names through the head column map; bloom fields
+    * are stored logical). O(new files) each: both refreshers scan
+    * only files absent from their sidecar. A sidecar whose field no
+    * longer resolves in the head schema (renamed away without a
+    * colmap, dropped) is SKIPPED, not failed — staleness is safe
+    * everywhere (coverage guards fall back to the scan / the
+    * conservative rewrite), while a refusal here would fail a write
+    * whose data is already durably committed. Returns
+    * (statsRefreshed, bloomRefreshed). */
+  def refreshSidecars(spark: SparkSession,
+      url: String): (Boolean, Boolean) = {
+    val (fs, root) = fsOf(spark, url)
+    val head = snap(spark, url, latest(spark, url))
+    val schema = schemaOf(spark, root, head)
+    val physToLogical = schema.fieldNames.toSeq
+      .map(l => head.phys(l) -> l).toMap
+    val stats = {
+      val sp = statsPath(root)
+      if (!fs.exists(sp)) false
+      else {
+        val known = spark.read.parquet(sp.toString)
+          .select("field").distinct().collect()
+          .map(_.getString(0)).toSeq
+        val logical = known.flatMap(physToLogical.get)
+        if (logical.size != known.size || logical.isEmpty) false
+        else { indexStats(spark, url, logical.sorted); true }
+      }
+    }
+    val bloom = {
+      val bp = new Path(new Path(root, "_bloom"), "keybloom")
+      if (!fs.exists(bp)) false
+      else {
+        val fields = spark.read.parquet(bp.toString)
+          .select("field").distinct().collect()
+          .map(_.getString(0)).toSeq
+        if (fields.isEmpty ||
+            !fields.forall(schema.fieldNames.contains)) false
+        else { indexBloom(spark, url, fields.sorted); true }
+      }
+    }
+    (stats, bloom)
+  }
+
   /** Discover the conventional bloom sidecar for `field`:
     * Some(indexUrl) iff the sidecar exists AND carries rows for the
     * field. A renamed key or a foreign-field sidecar discovers as

@@ -155,6 +155,43 @@ class NativeWriteSpec extends SparkSpec {
       .head() == 100L)
   }
 
+  test("SQL INSERT keeps the conventional sidecars LIVE: the stats " +
+      "coverage gate and the bloom discovery survive ingest with " +
+      "zero manual CALLs") {
+    val url = s"$root/side"
+    Snapshots.create(spark, url,
+      (1L to 40L).map(i => (i, i * 2)).toDF("id", "v"), nFiles = 2,
+      clusterBy = Some("id"))
+    Snapshots.indexStats(spark, url, Seq("id"))
+    Snapshots.indexBloom(spark, url, Seq("id"))
+    spark.sql("INSERT INTO gw.side VALUES (41, 82), (99, 198)")
+    // the coverage gate requires EVERY entry indexed — a stale
+    // sidecar would price None and this would scan
+    assert(Snapshots.statsMinMax(spark, url, "id") ==
+      Some((Some(1L), Some(99L))),
+      "post-insert stats must cover the new files")
+    val priced = spark.sql("SELECT max(id) AS hi FROM gw.side")
+    assert(priced.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      "min/max must stay metadata-priced after SQL ingest")
+    assert(priced.as[Long].head() == 99L)
+    // MERGE pruning still discovers a LIVE bloom: a 1-key merge on
+    // the 3-file store (2 create + 1 insert) rewrites fewer files
+    // than the store holds
+    val before = Snapshots.snap(spark, url,
+      Snapshots.latest(spark, url)).files.toSet
+    Seq((41L, 500L)).toDF("id", "v")
+      .createOrReplaceTempView("side_src")
+    spark.sql(
+      """MERGE INTO gw.side AS t USING side_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = Snapshots.snap(spark, url,
+      Snapshots.latest(spark, url)).files.toSet
+    assert(after.intersect(before).nonEmpty,
+      "bloom-discovered MERGE must not rewrite the whole store")
+  }
+
   test("schema evolution stays guarded: writeTo append with a new " +
       "column evolves additively; old files read it as null") {
     val url = s"$root/evo"
