@@ -212,8 +212,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       // report not-found if no such store exists either.
       case _ => return None
     }
-    Some(new GraftMetaSqlTable(s"$catName.$name", build(sp).schema,
-      build))
+    // $changes' schema resolves from the manifest alone — analyzing
+    // the O(versions) union plan just to LOAD the table would make
+    // every resolution pay the whole feed's analysis
+    val schema = kind match {
+      case "changes" => StructType(
+        Snapshots.headSchema(sp, url).fields :+
+          org.apache.spark.sql.types.StructField("_change",
+            org.apache.spark.sql.types.StringType, nullable = false) :+
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false))
+      case _ => build(sp).schema
+    }
+    Some(new GraftMetaSqlTable(s"$catName.$name", schema, build))
   }
 
   /** `VERSION AS OF n` — the manifest layer's time travel; a

@@ -22,6 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.index_stats('events', 'id,ts')
   *   CALL graft.index_bloom('events', 'id', 100000)
   *   CALL graft.retrain_index('docs', 'id', 'emb', 8, 300)
+  *   CALL graft.refresh_sidecars('events')     -- stats + bloom, O(new files)
+  *   CALL graft.detail('events')               -- DESCRIBE DETAIL row
   *   CALL graft.maintain(3, 3600000, 8)        -- whole warehouse
   * }}}
   * Every procedure is the SAME public API an operator would call
@@ -113,6 +115,39 @@ private[sources] object GraftProcedures {
           .map(_.trim).filter(_.nonEmpty)
         Seq(Seq(Snapshots.indexStats(s, url, fields).toLong))
       }),
+    "refresh_sidecars" -> Spec(
+      Seq("store" -> StringType),
+      out("stats_refreshed" -> BooleanType,
+        "bloom_refreshed" -> BooleanType),
+      (s, root, args) => {
+        val url = new Path(root, args.head.toString).toString
+        val (st, bl) = Snapshots.refreshSidecars(s, url)
+        Seq(Seq(st, bl))
+      }),
+    "detail" -> Spec(
+      Seq("store" -> StringType),
+      out("version" -> LongType, "op" -> StringType,
+        "n_files" -> LongType, "bytes" -> LongType,
+        "rows_meta" -> LongType, "n_versions" -> LongType,
+        "has_stats" -> BooleanType, "has_bloom" -> BooleanType,
+        "has_vecindex" -> BooleanType, "colmap" -> StringType),
+      (s, root, args) => {
+        val url = new Path(root, args.head.toString).toString
+        val vs = Snapshots.versions(s, url)
+        require(vs.nonEmpty, s"no snapshot store at $url")
+        val head = Snapshots.snap(s, url, vs.max)
+        val p = new Path(url)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val bytes = head.files.map(f => fs.getFileStatus(
+          new Path(p, Snapshots.splitEntry(f)._1)).getLen).sum
+        Seq(Seq(vs.max.toLong, head.op, head.files.size.toLong,
+          bytes, Snapshots.rowCountMeta(s, url), vs.size.toLong,
+          fs.exists(new Path(new Path(p, "_stats"), "filestats")),
+          fs.exists(new Path(new Path(p, "_bloom"), "keybloom")),
+          fs.exists(new Path(p, "_vecindex")),
+          head.colmap.toSeq.sorted
+            .map { case (l, ph) => s"$l->$ph" }.mkString(",")))
+      }),
     "index_bloom" -> Spec(
       Seq("store" -> StringType, "fields" -> StringType,
         "expected_per_file" -> LongType),
@@ -163,6 +198,7 @@ private[sources] object GraftProcedures {
         case (_, null) => null
         case (StringType, s: String) => UTF8String.fromString(s)
         case (LongType, l: Long) => l
+        case (BooleanType, b: Boolean) => b
         case (dt, other) => throw new IllegalStateException(
           s"procedure result cell $other does not fit $dt")
       }

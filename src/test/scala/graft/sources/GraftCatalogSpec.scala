@@ -355,6 +355,21 @@ class GraftCatalogSpec extends SparkSpec {
     val rep = spark.sql("CALL gcat.maintain(1, 0, 1)")
       .select("store").as[String].collect().toSet
     assert(rep.contains("proc"))
+    // DESCRIBE DETAIL as a procedure: one row of operational truth
+    val det = spark.sql("CALL gcat.detail('proc')").collect().head
+    assert(det.getLong(0) == Snapshots.latest(spark, s"$root/proc")
+      .toLong && det.getLong(4) ==
+      Snapshots.read(spark, s"$root/proc").count() &&
+      det.getLong(5) > 0L)
+    assert(!det.getBoolean(6) && !det.getBoolean(7),
+      "proc store has no sidecars yet")
+    // refresh_sidecars reports which conventions the store keeps
+    Snapshots.indexStats(spark, s"$root/proc", Seq("id"))
+    val rs = spark.sql("CALL gcat.refresh_sidecars('proc')")
+      .collect().head
+    assert(rs.getBoolean(0) && !rs.getBoolean(1))
+    assert(spark.sql("CALL gcat.detail('proc')").collect()
+      .head.getBoolean(6))
     // unknown procedure refuses (Spark wraps the loud message in
     // FAILED_TO_LOAD_ROUTINE; the cause names the real procedures)
     val e = intercept[Exception] {
