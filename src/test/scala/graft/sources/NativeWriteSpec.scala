@@ -192,6 +192,53 @@ class NativeWriteSpec extends SparkSpec {
       "bloom-discovered MERGE must not rewrite the whole store")
   }
 
+  test("writeStream.toTable: one append version per epoch, " +
+      "exactly-once across restarts, end-to-end native pipe from " +
+      "readStream.table") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = s"$root/pipe_src"
+    val dst = s"$root/pipe_dst"
+    val ck = scratch(
+      s"nw_ck/${java.util.UUID.randomUUID().toString.take(8)}")
+    Snapshots.create(spark, src,
+      (1L to 50L).map(i => (i, i * 2)).toDF("id", "v"), nFiles = 2)
+    Snapshots.create(spark, dst,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[
+        org.apache.spark.sql.Row],
+        Snapshots.headSchema(spark, src)), nFiles = 1)
+    def drain(): Unit = spark.readStream.table("gw.pipe_src")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .toTable("gw.pipe_dst").awaitTermination()
+    drain()
+    assert(Snapshots.read(spark, dst).select(col("id")).as[Long]
+      .collect().sorted.toSeq == (1L to 50L),
+      "first drain must land the source's full contents")
+    val headOp = Snapshots.snap(spark, dst,
+      Snapshots.latest(spark, dst)).op
+    assert(headOp.startsWith("append:sw-"),
+      s"epoch commits must carry the exactly-once key, got $headOp")
+    // restart with NO new source data: no new version (empty epochs
+    // commit nothing; the checkpoint resumes past the consumed
+    // offset)
+    val vAfterFirst = Snapshots.latest(spark, dst)
+    drain()
+    assert(Snapshots.latest(spark, dst) == vAfterFirst,
+      "an empty drain must not mint versions")
+    // append at the source; only the delta lands
+    Snapshots.append(spark, src,
+      (51L to 60L).map(i => (i, i * 2)).toDF("id", "v"))
+    drain()
+    assert(Snapshots.read(spark, dst).select(col("id")).as[Long]
+      .collect().sorted.toSeq == (1L to 60L),
+      "the second drain must land exactly the appended delta")
+    // end-to-end parity with the batch read
+    assert(Snapshots.read(spark, dst).select(col("id"), col("v"))
+      .as[(Long, Long)].collect().toSet ==
+      Snapshots.read(spark, src).select(col("id"), col("v"))
+        .as[(Long, Long)].collect().toSet)
+  }
+
   test("schema evolution stays guarded: writeTo append with a new " +
       "column evolves additively; old files read it as null") {
     val url = s"$root/evo"
