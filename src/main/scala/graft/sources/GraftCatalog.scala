@@ -474,11 +474,16 @@ private[sources] class GraftSqlTable(val label: String,
     * log natively ([[GraftMicroBatchStream]]: offsets = versions,
     * batches = appended files). */
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val startV = Option(options.get("startingVersion"))
+      .map(_.toInt).getOrElse(0)
+    val maxV = Option(options.get("maxVersionsPerTrigger"))
+      .map(_.toInt)
     org.apache.spark.sql.graftbridge.StreamBridge.wrapBuilder(
       underlying.newScanBuilder(options),
       pruned => new GraftMicroBatchStream(SparkSession.active,
-        storeUrl, label, pinned, pruned))
+        storeUrl, label, pinned, pruned, startV, maxV))
+  }
   /** Surfaced by `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`:
     * the resolved version, its op, its file count, the store url. */
   override def properties(): util.Map[String, String] = {
@@ -519,7 +524,10 @@ private[sources] class GraftEffSqlTable(val label: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftEffScanBuilder(storeUrl, effVersion, pinned,
-      Some(label))
+      Some(label),
+      Option(options.get("startingVersion")).map(_.toInt)
+        .getOrElse(0),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     props.foreach { case (k, v) => m.put(k, v) }
@@ -529,7 +537,9 @@ private[sources] class GraftEffSqlTable(val label: String,
 
 private[sources] class GraftEffScanBuilder(url: String, version: Int,
     full: StructType,
-    streamLabel: Option[String] = None) extends ScanBuilder
+    streamLabel: Option[String] = None,
+    streamStartV: Int = 0,
+    streamMaxV: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = full
@@ -571,7 +581,8 @@ private[sources] class GraftEffScanBuilder(url: String, version: Int,
           : org.apache.spark.sql.connector.read.streaming
             .MicroBatchStream =
         new GraftMicroBatchStream(SparkSession.active, url,
-          streamLabel.getOrElse(url), full, req)
+          streamLabel.getOrElse(url), full, req, streamStartV,
+          streamMaxV)
     }
   }
 }
@@ -623,6 +634,20 @@ private[sources] class GraftEffRelation(ctx: SQLContext, url: String,
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
+  /** Physical bytes of the version's data files (driver listing,
+    * O(files)) — without this the V1 default (conf
+    * defaultSizeInBytes = "huge") makes every MoR/renamed SQL scan
+    * ineligible for broadcast joins on the no-extensions path. A
+    * mild over-estimate (DV-deleted rows still count): broadcast
+    * decisions only get MORE conservative. */
+  override lazy val sizeInBytes: Long = {
+    val root = new Path(url)
+    val fs = root.getFileSystem(
+      ctx.sparkSession.sessionState.newHadoopConf())
+    Snapshots.snap(ctx.sparkSession, url, version).files
+      .map(f => fs.getFileStatus(
+        new Path(root, Snapshots.splitEntry(f)._1)).getLen).sum
+  }
   override def buildScan(): RDD[Row] = {
     var df: DataFrame =
       Snapshots.readAsOf(ctx.sparkSession, url, version)

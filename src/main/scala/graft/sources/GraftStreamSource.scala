@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graftbridge.StreamBridge
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -57,21 +57,63 @@ private[sources] object GraftVersionOffset {
   * file is one [[InputPartition]], so read parallelism equals append
   * parallelism; nothing is ever relisted. A composite entry's reader
   * loads ONLY its own file's deletion positions (sparse by the MoR
-  * contract — wide deletes are copy-on-write rewrites). */
+  * contract — wide deletes are copy-on-write rewrites).
+  *
+  * Options (`spark.readStream.option(...)`):
+  *  - `startingVersion` — skip the bootstrap snapshot and stream
+  *    only versions AFTER this committed version (for consumers
+  *    that seed from a batch read of it);
+  *  - `maxVersionsPerTrigger` — admission control
+  *    ([[SupportsTriggerAvailableNow]]): cap each micro-batch at N
+  *    versions, so a stream resuming after a long gap drains it as
+  *    bounded batches instead of one giant recovery batch (the
+  *    admission offset derives from the engine-supplied START each
+  *    cycle, so restarts can never regress the checkpoint). */
 private[sources] class GraftMicroBatchStream(spark: SparkSession,
     url: String, label: String, dataSchema: StructType,
-    requiredSchema: StructType) extends MicroBatchStream {
+    requiredSchema: StructType,
+    startingVersion: Int = 0,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val AllowedOp = "^(create|append|txn-append)".r
   // the column mapping is pinned at stream start, like the schema:
   // a rename later in the stream is a mutation the op check refuses
   private val colmap: Map[String, String] =
     Snapshots.snap(spark, url, Snapshots.latest(spark, url)).colmap
+  if (startingVersion > 0)
+    require(Snapshots.versions(spark, url).contains(startingVersion),
+      s"startingVersion=$startingVersion is not a committed version " +
+        s"of $label")
+  maxVersionsPerTrigger.foreach(m => require(m > 0,
+    s"maxVersionsPerTrigger must be positive, got $m"))
+  // Trigger.AvailableNow pins its end at prepare time: the drain
+  // stops at the data that existed when the trigger fired, however
+  // many bounded batches that takes
+  private var availableNowCap: Option[Int] = None
 
-  override def initialOffset(): Offset = GraftVersionOffset(0)
+  override def initialOffset(): Offset =
+    GraftVersionOffset(startingVersion)
 
   override def latestOffset(): Offset =
     GraftVersionOffset(Snapshots.latest(spark, url))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    val head = Snapshots.latest(spark, url)
+    val capped = maxVersionsPerTrigger
+      .map(m => math.min(head, s + m)).getOrElse(head)
+    GraftVersionOffset(
+      availableNowCap.map(math.min(capped, _)).getOrElse(capped))
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftVersionOffset(Snapshots.latest(spark, url))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Snapshots.latest(spark, url))
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset.parse(json)

@@ -138,6 +138,54 @@ class StreamTableSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet)
   }
 
+  test("startingVersion skips the bootstrap snapshot; " +
+      "maxVersionsPerTrigger drains a recovery gap as bounded " +
+      "batches under AvailableNow") {
+    val url = s"$root/adm"
+    val ck = scratch(
+      s"strmtbl_ck4/${java.util.UUID.randomUUID().toString.take(8)}")
+    Snapshots.create(spark, url,
+      (1L to 10L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    (1 to 4).foreach(k => Snapshots.append(spark, url,
+      Seq((10L + k, 10L + k)).toDF("id", "v"), nFiles = 1))
+    // startingVersion=2: versions 3..5 only (no bootstrap snapshot)
+    val outDir = scratch(
+      s"strmtbl_out4/${java.util.UUID.randomUUID().toString.take(8)}")
+    var batches = 0
+    spark.readStream.option("startingVersion", "2")
+      .option("maxVersionsPerTrigger", "1")
+      .table("gst.adm")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select(col("id")).as[Long].collect().sorted
+        if (rows.nonEmpty) {
+          batches += 1
+          b.write.mode("append").parquet(outDir)
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(batches == 3,
+      s"maxVersionsPerTrigger=1 must drain v3..v5 as 3 batches, " +
+        s"got $batches")
+    assert(spark.read.parquet(outDir).select(col("id")).as[Long]
+      .collect().sorted.toSeq == (12L to 14L),
+      "startingVersion=2 must skip v1's snapshot and v2's append")
+    // a bogus startingVersion refuses loudly
+    val e = intercept[Exception] {
+      spark.readStream.option("startingVersion", "99")
+        .table("gst.adm")
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("startingVersion")),
+      chain(e).take(3).toString)
+  }
+
   test("a pinned time-travel resolution does not stream") {
     val url = s"$root/pin"
     Snapshots.create(spark, url,
