@@ -272,17 +272,31 @@ case class GraftMergeCommand(url: String, keyCol: String,
     val bloom = Snapshots.discoverBloom(session, url, keyCol)
     val v =
       if (delete) {
-        // tombstone the source's keys: the update batch carries the
-        // store rows of matching keys flagged for deletion (upsert
-        // requires full-schema rows; unmatched source keys no-op by
-        // never matching a store row... they would INSERT — so keep
-        // only keys that exist in the store)
+        // tombstone the source's keys with NO store read at all: a
+        // pure-delete batch's non-key values are never used (delete
+        // rows are dropped from the insert set; only their KEYS
+        // drive the affected-file anti-join), so synthesize the
+        // full-schema rows as nulls around the key. Unmatched keys
+        // no-op inside the rewrite (they anti-join nothing) — with
+        // the discovered bloom, a 2-key MERGE-DELETE touches the
+        // files that can hold those keys, never the corpus.
+        val schema = Snapshots.headSchema(session, url)
         val keys = src.select(graft.functions.GraftFunctions
           .column(outCols.head._2).as(keyCol)).distinct()
-        val updates = Snapshots.read(session, url)
-          .join(keys, Seq(keyCol), "left_semi")
-          .withColumn("__merge_del", lit(true))
-        if (updates.isEmpty) Snapshots.latest(session, url)
+        // no-op guard: a MERGE-DELETE matching nothing must not
+        // mint a version. The probe early-terminates at the first
+        // match (limit 1) — strictly cheaper than the prior full
+        // semi-join materialization, and the rewrite itself stays
+        // bloom-pruned.
+        val anyMatch = Snapshots.read(session, url)
+          .join(org.apache.spark.sql.functions.broadcast(keys),
+            Seq(keyCol), "left_semi")
+          .limit(1).count() > 0
+        val updates = keys.select(schema.fieldNames.toSeq.map { f =>
+          if (f == keyCol) col(keyCol)
+          else lit(null).cast(schema(f).dataType).as(f)
+        }: _*).withColumn("__merge_del", lit(true))
+        if (!anyMatch) Snapshots.latest(session, url)
         else Snapshots.upsert(session, url, updates, keyCol,
           deleteCol = Some("__merge_del"), bloomIndexUrl = bloom)
       } else {
