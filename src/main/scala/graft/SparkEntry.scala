@@ -9497,6 +9497,59 @@ object SparkEntry {
         !plan.contains("FileScan") && !plan.contains("BatchScan"),
         s"min/max was not sidecar-priced:\n$plan")
       agg
+    }),
+
+    // ---- Native store-to-store streaming pipe ----
+    // readStream.table → writeStream.toTable, both ends the catalog:
+    // offsets are source manifest versions, each epoch commits one
+    // append version at the sink through the epoch-keyed exactly-once
+    // op (append:sw-<queryId>-e<epoch>) — the lakehouse replication
+    // shape in two native calls, no foreachBatch. The body drains,
+    // appends at the source, drains the SAME checkpoint again
+    // (delta-only), asserts the sink ops carry the exactly-once key,
+    // and aggregates the sink. Oracle recomputes from the source
+    // rows.
+    "q399_stream_pipe" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q399"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g399",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g399.root", rootPath.toString)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val (srcT, dstT) = (s"src$tag", s"dst$tag")
+      val srcUrl = s"$rootPath/$srcT"
+      val dstUrl = s"$rootPath/$dstT"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, srcUrl,
+        docs.filter(col("doc_id") % 2 === 0), nFiles = 2)
+      Snapshots.create(s, dstUrl, docs.filter(lit(false)), nFiles = 1)
+      def drain(): Unit = s.readStream.table(s"g399.$srcT")
+        .writeStream
+        .option("checkpointLocation", s"$rootPath/ck$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"g399.$dstT").awaitTermination()
+      drain()
+      Snapshots.append(s, srcUrl, docs.filter(col("doc_id") % 2 =!= 0))
+      drain()
+      val sinkOps = Snapshots.versions(s, dstUrl)
+        .map(v => Snapshots.snap(s, dstUrl, v).op)
+      require(sinkOps.count(_.startsWith("append:sw-")) == 2,
+        s"each drained epoch must commit one keyed append: $sinkOps")
+      require(Snapshots.read(s, dstUrl).count() == docs.count(),
+        "the pipe must land exactly the source rows, no dups")
+      orderSmall(s.sql(
+        s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+           |FROM g399.$dstT GROUP BY lang""".stripMargin),
+        col("lang"))
     })
   )
 
@@ -19496,6 +19549,14 @@ object SparkEntry {
         |  count(*) AS n
         |FROM documents
         |WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
-        |  AND doc_id NOT BETWEEN 0 AND 120""".stripMargin
+        |  AND doc_id NOT BETWEEN 0 AND 120""".stripMargin,
+
+    "q399_stream_pipe" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
