@@ -185,7 +185,14 @@ private[sources] class GraftBatchWrite(url: String,
 /** `writeStream.toTable("graft.store")` — one append version per
   * epoch, exactly-once under replays via the epoch-keyed commit op
   * (see class doc above). Empty epochs commit nothing (no version
-  * noise; replaying an empty epoch is idempotent by vacuity). */
+  * noise; replaying an empty epoch is idempotent by vacuity).
+  *
+  * Cost note: the exactly-once dedup scans the manifest log
+  * (O(versions) small JSON reads per epoch, same as
+  * [[Snapshots.appendOnce]]) — bounded in practice by vacuum
+  * retention, which caps the live version count; a sink driving a
+  * store past ~10k un-vacuumed versions should schedule
+  * `Warehouse.maintain` (or `CALL graft.vacuum`) into its cadence. */
 private[sources] class GraftStreamingWrite(url: String,
     logicalSchema: StructType, queryId: String)
     extends StreamingWrite {

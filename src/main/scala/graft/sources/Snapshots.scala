@@ -1626,21 +1626,35 @@ object Snapshots {
   }
 
   /** The store's ENTIRE history as one change feed: per-version
-    * [[changesStep]] frames under the HEAD schema (older steps read
-    * later-evolved columns as null), each tagged `_commit_version`.
+    * [[changesStep]] frames under the HEAD schema, each tagged
+    * `_commit_version`. Columns align by PHYSICAL identity, not
+    * name: a step before a `renameColumn` emits the column under its
+    * then-current logical name, and the head name resolves to it
+    * through the stable physical slot — only columns genuinely
+    * absent at a step (added by later evolution) read as null.
     * O(sum of per-version changed files) — the audit/backfill shape;
     * incremental consumers should ride the streaming source
     * (`format("graft-changes")`) instead. */
   def changesAll(spark: SparkSession, url: String, keyCol: String,
       includeOld: Boolean = false): DataFrame = {
+    val (_, root) = fsOf(spark, url)
     val vs = versions(spark, url)
     require(vs.nonEmpty, s"no snapshot store at $url")
-    val base = headSchema(spark, url)
+    val headSnap = snap(spark, url, vs.max)
+    val base = schemaOf(spark, root, headSnap)
     vs.map { v =>
       val df = changesStep(spark, url, keyCol, v, includeOld)
+      val stepSnap = snap(spark, url, v)
+      val stepNames =
+        if (stepSnap.files.isEmpty && stepSnap.schema.isEmpty)
+          df.columns.toSeq
+        else schemaOf(spark, root, stepSnap).fieldNames.toSeq
       df.select(base.fieldNames.toSeq.map { f =>
-        if (df.columns.contains(f)) col(f)
-        else lit(null).cast(base(f).dataType).as(f)
+        val phys = headSnap.phys(f)
+        stepNames.find(n => stepSnap.phys(n) == phys) match {
+          case Some(n) if df.columns.contains(n) => col(n).as(f)
+          case _ => lit(null).cast(base(f).dataType).as(f)
+        }
       } :+ col("_change")
         :+ lit(v.toLong).as("_commit_version"): _*)
     }.reduce(_ unionByName _)
