@@ -644,9 +644,12 @@ private[sources] class GraftEffRelation(ctx: SQLContext, url: String,
     val root = new Path(url)
     val fs = root.getFileSystem(
       ctx.sparkSession.sessionState.newHadoopConf())
+    // one listing, not one RPC per file
+    val lenByName = fs.listStatus(root).iterator.filter(_.isFile)
+      .map(st => st.getPath.getName -> st.getLen).toMap
     Snapshots.snap(ctx.sparkSession, url, version).files
-      .map(f => fs.getFileStatus(
-        new Path(root, Snapshots.splitEntry(f)._1)).getLen).sum
+      .map(f => lenByName.getOrElse(
+        Snapshots.splitEntry(f)._1, 0L)).sum
   }
   override def buildScan(): RDD[Row] = {
     var df: DataFrame =

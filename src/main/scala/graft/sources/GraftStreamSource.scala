@@ -157,18 +157,25 @@ private[sources] class GraftMicroBatchStream(spark: SparkSession,
       }
     val root = new Path(url)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // one file-status per distinct DV file, not per entry
-    val dvStats = entries.flatMap(f => Snapshots.splitEntry(f)._2)
-      .distinct.map { dv =>
-        val st = fs.getFileStatus(new Path(root, dv))
-        dv -> (st.getPath.toString, st.getLen, st.getModificationTime)
-      }.toMap
+    // ONE directory listing serves every entry's (path, length,
+    // mtime) — a per-file getFileStatus loop is O(files) driver
+    // round-trips, the planning bottleneck on an object store at
+    // 100k files (a flat store listing is one paged call)
+    val byName = fs.listStatus(root).iterator
+      .filter(_.isFile)
+      .map(st => st.getPath.getName ->
+        (st.getPath.toString, st.getLen, st.getModificationTime))
+      .toMap
+    def statOf(name: String): (String, Long, Long) =
+      byName.getOrElse(name, {
+        val st = fs.getFileStatus(new Path(root, name))
+        (st.getPath.toString, st.getLen, st.getModificationTime)
+      })
     entries.map { f =>
       val (data, dvOpt) = Snapshots.splitEntry(f)
-      val st = fs.getFileStatus(new Path(root, data))
-      GraftFilePartition(st.getPath.toString, st.getLen,
-        st.getModificationTime, data,
-        dvOpt.map(dvStats)): InputPartition
+      val (p, len, mt) = statOf(data)
+      GraftFilePartition(p, len, mt, data,
+        dvOpt.map(statOf)): InputPartition
     }.toArray
   }
 

@@ -1618,12 +1618,22 @@ object Snapshots {
       v: Int, includeOld: Boolean = false): DataFrame = {
     val vs = versions(spark, url)
     require(vs.contains(v), s"v$v is not a committed version of $url")
-    val prior = vs.filter(_ < v)
-    if (prior.isEmpty)
-      readAsOf(spark, url, v)
-        .withColumn("_change", lit("insert"))
-    else changes(spark, url, keyCol, prior.max, v, includeOld)
+    changesStepFrom(spark, url, keyCol, vs.filter(_ < v).maxOption,
+      v, includeOld)
   }
+
+  /** [[changesStep]] with the predecessor already resolved — what
+    * per-version ITERATIONS (changesAll, the streaming source's
+    * multi-version batches) call so a k-version walk lists the
+    * manifest directory once, not k times. */
+  private[graft] def changesStepFrom(spark: SparkSession, url: String,
+      keyCol: String, priorV: Option[Int], v: Int,
+      includeOld: Boolean): DataFrame =
+    priorV match {
+      case None =>
+        readAsOf(spark, url, v).withColumn("_change", lit("insert"))
+      case Some(p) => changes(spark, url, keyCol, p, v, includeOld)
+    }
 
   /** The store's ENTIRE history as one change feed: per-version
     * [[changesStep]] frames under the HEAD schema, each tagged
@@ -1642,8 +1652,10 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshot store at $url")
     val headSnap = snap(spark, url, vs.max)
     val base = schemaOf(spark, root, headSnap)
+    val priorOf = vs.zip(None +: vs.init.map(Some(_))).toMap
     vs.map { v =>
-      val df = changesStep(spark, url, keyCol, v, includeOld)
+      val df = changesStepFrom(spark, url, keyCol, priorOf(v), v,
+        includeOld)
       val stepSnap = snap(spark, url, v)
       val stepNames =
         if (stepSnap.files.isEmpty && stepSnap.schema.isEmpty)

@@ -140,11 +140,12 @@ private[streaming] class GraftChangesSource(spark: SparkSession,
     * inside the stream's lifetime adds columns — older steps read
     * them as null; a declared column can never disappear because
     * dropColumn is a rename-layer op the diff still resolves).
-    * Delegates to [[Snapshots.changesStep]] — one canonical diff for
-    * the stream, the `store$changes` SQL table and programmatic
+    * Delegates to [[Snapshots.changesStepFrom]] — one canonical diff
+    * for the stream, the `store$changes` SQL table and programmatic
     * consumers. */
-  private def step(v: Int): DataFrame = {
-    val df = Snapshots.changesStep(spark, url, keyCol, v, includeOld)
+  private def step(priorV: Option[Int], v: Int): DataFrame = {
+    val df = Snapshots.changesStepFrom(spark, url, keyCol, priorV, v,
+      includeOld)
     val out = baseFields.map { f =>
       if (df.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
@@ -156,9 +157,10 @@ private[streaming] class GraftChangesSource(spark: SparkSession,
       end: V1Offset): DataFrame = {
     val s = start.map(vOf).getOrElse(math.max(startV, 0))
     val e = vOf(end)
-    val vs = Snapshots.versions(spark, url)
-      .filter(v => v > s && v <= e)
-    val frames = vs.map(step)
+    val all = Snapshots.versions(spark, url)
+    val priorOf = all.zip(None +: all.init.map(Some(_))).toMap
+    val vs = all.filter(v => v > s && v <= e)
+    val frames = vs.map(v => step(priorOf(v), v))
     val batch =
       if (frames.isEmpty)
         spark.createDataFrame(
