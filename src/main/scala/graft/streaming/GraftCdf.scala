@@ -158,6 +158,19 @@ private[streaming] class GraftChangesSource(spark: SparkSession,
     val s = start.map(vOf).getOrElse(math.max(startV, 0))
     val e = vOf(end)
     val all = Snapshots.versions(spark, url)
+    // the RESUME point must still be a committed version: if vacuum
+    // retired it, the first surviving step's predecessor chain no
+    // longer reaches the consumer's offset, and the bootstrap path
+    // (priorV = None) would re-emit the whole snapshot as inserts —
+    // silent duplication. Refuse loudly: the retention contract is
+    // the reader's (versions the stream has not consumed must
+    // outlive vacuum's keepFrom). A resume on a surviving PINNED
+    // version below keepFrom stays exact — the manifest diff spans
+    // any two surviving versions, just coarser-grained.
+    require(s == 0 || all.contains(s),
+      s"graft-changes on $url: resume offset v$s was vacuumed — " +
+        "the stream's lag fell below the store's retention; " +
+        "rebuild the consumer from a batch read (startingVersion)")
     val priorOf = all.zip(None +: all.init.map(Some(_))).toMap
     val vs = all.filter(v => v > s && v <= e)
     val frames = vs.map(v => step(priorOf(v), v))

@@ -182,6 +182,24 @@ class GraftCdfSpec extends SparkSpec {
       "the second drain must fold the delete retraction exactly")
   }
 
+  test("a resume offset vacuum retired refuses loudly instead of " +
+      "re-bootstrapping (silent duplication)") {
+    val (url, ck, out) = freshDirs("vac")
+    Snapshots.create(spark, url,
+      (1L to 10L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    drain(url, ck, out) // consumed through v1
+    (1 to 3).foreach(k => Snapshots.append(spark, url,
+      Seq((10L + k, 0L)).toDF("id", "v"), nFiles = 1))
+    // retire everything below v4 — including the checkpointed v1
+    Snapshots.vacuum(spark, url, keepFrom = 4, graceMs = 0)
+    val e = intercept[Exception] { drain(url, ck, out) }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("vacuumed")),
+      s"expected the vacuumed-resume refusal, got ${chain(e).take(3)}")
+  }
+
   test("missing options and unknown stores refuse loudly") {
     val (url, _, _) = freshDirs("bad")
     Snapshots.create(spark, url, Seq((1L, 1L)).toDF("id", "v"),
