@@ -9550,6 +9550,53 @@ object SparkEntry {
         s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
            |FROM g399.$dstT GROUP BY lang""".stripMargin),
         col("lang"))
+    }),
+
+    // ---- The whole CDC story in NOTHING but SQL ----
+    // CREATE TABLE, native-write INSERT, CALL index_bloom (the
+    // key-convention sidecar $changes discovers its key from),
+    // bloom-pruned MERGE, copy-on-write DELETE — then the
+    // full-history change feed queried as a plain SQL table
+    // (store$changes: per-version manifest-diff rows tagged
+    // _change/_commit_version). Oracle = the feed recomputed
+    // relationally.
+    "q400_sql_cdc_story" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q400"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g400",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g400.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("q400_docs")
+      s.sql(s"CREATE TABLE g400.$tbl " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      s.sql(s"INSERT INTO g400.$tbl SELECT * FROM q400_docs")
+      s.sql(s"CALL g400.index_bloom('$tbl', 'doc_id', 100000)")
+      s.sql("SELECT doc_id, n_chars FROM q400_docs " +
+        "WHERE doc_id % 9 = 0")
+        .createOrReplaceTempView("q400_src")
+      s.sql(
+        s"""MERGE INTO g400.$tbl AS t USING q400_src AS s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET
+           |  lang = 'merged', n_chars = t.n_chars + 5""".stripMargin)
+      s.sql(s"DELETE FROM g400.$tbl " +
+        "WHERE doc_id BETWEEN 300 AND 500")
+      orderSmall(s.sql(
+        s"""SELECT _change, count(*) AS n, sum(n_chars) AS sum_chars
+           |FROM g400.`$tbl$$changes`
+           |GROUP BY _change""".stripMargin),
+        col("_change"))
     })
   )
 
@@ -19557,6 +19604,30 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q400_sql_cdc_story" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |), cur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN 'merged' ELSE lang END
+        |      AS lang,
+        |    CASE WHEN doc_id % 9 = 0 THEN n_chars + 5
+        |      ELSE n_chars END AS n_chars
+        |  FROM d
+        |), feed AS (
+        |  SELECT 'insert' AS _change, n_chars FROM d
+        |  UNION ALL
+        |  SELECT 'update', n_chars + 5 FROM d WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT 'delete', n_chars
+        |  FROM cur WHERE doc_id BETWEEN 300 AND 500
+        |)
+        |SELECT _change, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM feed GROUP BY _change ORDER BY _change""".stripMargin
   )
 }
