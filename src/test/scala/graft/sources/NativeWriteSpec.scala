@@ -239,6 +239,54 @@ class NativeWriteSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet)
   }
 
+  test("streaming writes compose with column mapping and CHECK " +
+      "constraints: epochs stage physical names; a violating epoch " +
+      "fails the stream loudly and leaves no version") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = s"$root/swc_src"
+    val dst = s"$root/swc_dst"
+    Snapshots.create(spark, src,
+      (1L to 10L).map(i => (i, i * 2)).toDF("id", "v"), nFiles = 1)
+    Snapshots.create(spark, dst,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[
+        org.apache.spark.sql.Row],
+        Snapshots.headSchema(spark, src)), nFiles = 1)
+    Snapshots.renameColumn(spark, dst, "v", "val")
+    Snapshots.addConstraint(spark, dst, "val_cap", "val < 100")
+    def drain(ck: String, srcTable: String): Unit =
+      spark.readStream.table(srcTable)
+        .withColumnRenamed("v", "val")
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .toTable("gw.swc_dst").awaitTermination()
+    drain(scratch(s"swc_ck/${java.util.UUID.randomUUID().toString
+      .take(8)}"), "gw.swc_src")
+    // the landed epoch staged PHYSICAL names under the colmap
+    val head = Snapshots.snap(spark, dst, Snapshots.latest(spark, dst))
+    assert(head.colmap == Map("val" -> "v"))
+    val newFile = head.files.filterNot(
+      Snapshots.snap(spark, dst, 2).files.toSet).head
+    assert(spark.read.parquet(
+      new Path(dst, newFile).toString).columns.toSeq == Seq("id", "v"))
+    assert(Snapshots.read(spark, dst).select(col("val")).as[Long]
+      .collect().sorted.toSeq == (1L to 10L).map(_ * 2))
+    // a violating epoch (val = 999 >= 100) refuses with the
+    // constraint named; the store stays at its version
+    val vBefore = Snapshots.latest(spark, dst)
+    Snapshots.append(spark, src, Seq((99L, 999L)).toDF("id", "v"))
+    val e = intercept[Exception] {
+      drain(scratch(s"swc_ck2/${java.util.UUID.randomUUID().toString
+        .take(8)}"), "gw.swc_src")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("val_cap")),
+      s"expected the constraint refusal, got ${chain(e).take(3)}")
+    assert(Snapshots.latest(spark, dst) == vBefore,
+      "a refused epoch must not commit")
+  }
+
   test("schema evolution stays guarded: writeTo append with a new " +
       "column evolves additively; old files read it as null") {
     val url = s"$root/evo"
