@@ -90,7 +90,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // which is stripped before this is called for the base store.
     require(ident.name.matches("[A-Za-z0-9_.\\-$]+") &&
       !ident.name.contains(".."),
-      s"store name '${ident.name}' — only [A-Za-z0-9_.-] allowed " +
+      s"store name '${ident.name}' — only [A-Za-z0-9_.$$-] allowed " +
         "(no path separators, no '..'): catalog stores live directly " +
         s"under $rootUrl")
     new Path(rootUrl, ident.name).toString
@@ -196,16 +196,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         import s.implicits._
         Snapshots.pendingTxns(s, url).toDF("txn")
       }
-      case "changes" => s => {
-        val keyCol = Snapshots.bloomKeyField(s, url).getOrElse(
-          throw new UnsupportedOperationException(
-            s"$catName.`$store$$changes` needs the store's key " +
-              "column — maintain the single-field conventional " +
-              "key-bloom sidecar (Snapshots.indexBloom / CALL " +
-              s"$catName.index_bloom) or use spark.readStream" +
-              ".format(\"graft-changes\") with an explicit keyCol"))
-        Snapshots.changesAll(s, url, keyCol)
-      }
+      case "changes" =>
+        // handled by the dedicated range-pruning table below (the
+        // build-function shape can't see scan options or pushed
+        // version filters); the sentinel is never invoked
+        _ => sys.error("unreachable: $changes builds its own scans")
       // An unknown '$' suffix is NOT an error here: a real store
       // whose name happens to contain '$' must still resolve, so
       // fall through to tableAt (loadTable's getOrElse) and let THAT
@@ -215,16 +210,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // $changes' schema resolves from the manifest alone — analyzing
     // the O(versions) union plan just to LOAD the table would make
     // every resolution pay the whole feed's analysis
-    val schema = kind match {
-      case "changes" => StructType(
-        Snapshots.headSchema(sp, url).fields :+
-          org.apache.spark.sql.types.StructField("_change",
-            org.apache.spark.sql.types.StringType, nullable = false) :+
-          org.apache.spark.sql.types.StructField("_commit_version",
-            org.apache.spark.sql.types.LongType, nullable = false))
-      case _ => build(sp).schema
+    kind match {
+      case "changes" =>
+        val schema = StructType(
+          Snapshots.headSchema(sp, url).fields :+
+            org.apache.spark.sql.types.StructField("_change",
+              org.apache.spark.sql.types.StringType,
+              nullable = false) :+
+            org.apache.spark.sql.types.StructField("_commit_version",
+              org.apache.spark.sql.types.LongType, nullable = false))
+        Some(new GraftChangesSqlTable(s"$catName.$name", schema, url,
+          catName, store))
+      case _ =>
+        Some(new GraftMetaSqlTable(s"$catName.$name", build(sp).schema,
+          build))
     }
-    Some(new GraftMetaSqlTable(s"$catName.$name", schema, build))
   }
 
   /** `VERSION AS OF n` — the manifest layer's time travel; a
@@ -627,6 +627,112 @@ private[sources] class GraftMetaSqlTable(label: String,
     }
 }
 
+/** The `store$changes` metadata table: the whole-history CDC feed
+  * with VERSION-RANGE leg pruning. A `WHERE _commit_version >= lo
+  * AND _commit_version <= hi` (and `=`) pushes into the scan
+  * builder, which hands [[Snapshots.changesRange]] only the range's
+  * bounds — the plan carries k legs for a k-version range instead of
+  * one per version of the store's whole history (on a long-history
+  * store the full union is an analyzer bottleneck even though every
+  * out-of-range leg folds empty). The filters are ALSO left residual
+  * (pushFilters returns them unhandled), so Spark re-applies them —
+  * pruning quality, never correctness, depends on the bound math.
+  * Read options (the Delta CDF conventions): `startingVersion` /
+  * `endingVersion` scope the range explicitly; `keyCol` names the
+  * per-version unique key for stores that never built the
+  * single-field key-bloom sidecar the table otherwise resolves the
+  * key from. */
+private[sources] class GraftChangesSqlTable(label: String,
+    pinned: StructType, url: String, catName: String, store: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  override def name(): String = label
+  override def schema(): StructType = pinned
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
+      private var required: StructType = pinned
+      private var loV: Option[Int] =
+        Option(options.get("startingVersion")).map(_.toInt)
+      private var hiV: Option[Int] =
+        Option(options.get("endingVersion")).map(_.toInt)
+      private val keyOpt = Option(options.get("keyCol"))
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def pushFilters(
+          filters: Array[sources.Filter]): Array[sources.Filter] = {
+        def tighten(f: sources.Filter): Unit = f match {
+          case sources.EqualTo("_commit_version", v: Number) =>
+            val n = v.longValue
+            if (n >= Int.MinValue && n <= Int.MaxValue) {
+              loV = Some(loV.fold(n.toInt)(math.max(_, n.toInt)))
+              hiV = Some(hiV.fold(n.toInt)(math.min(_, n.toInt)))
+            }
+          case sources.GreaterThanOrEqual("_commit_version",
+              v: Number) =>
+            val n = math.max(v.longValue, Int.MinValue.toLong).toInt
+            loV = Some(loV.fold(n)(math.max(_, n)))
+          case sources.GreaterThan("_commit_version", v: Number)
+              if v.longValue < Int.MaxValue =>
+            val n = math.max(v.longValue + 1,
+              Int.MinValue.toLong).toInt
+            loV = Some(loV.fold(n)(math.max(_, n)))
+          case sources.LessThanOrEqual("_commit_version",
+              v: Number) =>
+            val n = math.min(v.longValue, Int.MaxValue.toLong).toInt
+            hiV = Some(hiV.fold(n)(math.min(_, n)))
+          case sources.LessThan("_commit_version", v: Number)
+              if v.longValue > Int.MinValue =>
+            val n = math.min(v.longValue - 1,
+              Int.MaxValue.toLong).toInt
+            hiV = Some(hiV.fold(n)(math.min(_, n)))
+          case sources.And(l, r) => tighten(l); tighten(r)
+          case _ => ()
+        }
+        filters.foreach(tighten)
+        filters // all residual: Spark re-applies every predicate
+      }
+      override def pushedFilters(): Array[sources.Filter] =
+        Array.empty
+      override def build(): Scan = {
+        val req = required
+        val (lo, hi, key) = (loV, hiV, keyOpt)
+        new V1Scan {
+          override def readSchema(): StructType = req
+          override def toV1TableScan[
+              T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = req
+              override def buildScan(): RDD[Row] = {
+                val s = context.sparkSession
+                val keyCol = key.orElse(
+                  Snapshots.bloomKeyField(s, url)).getOrElse(
+                  throw new UnsupportedOperationException(
+                    s"$catName.`$store$$changes` needs the store's " +
+                      "key column — maintain the single-field " +
+                      "conventional key-bloom sidecar (Snapshots." +
+                      s"indexBloom / CALL $catName.index_bloom), " +
+                      "pass a keyCol read option, or use spark." +
+                      "readStream.format(\"graft-changes\") with " +
+                      "an explicit keyCol"))
+                val df = Snapshots.changesRange(s, url, keyCol,
+                  lo, hi)
+                val pruned =
+                  if (req.isEmpty) df.select()
+                  else df.select(req.fieldNames.toSeq.map(col): _*)
+                pruned.rdd
+              }
+            }.asInstanceOf[T]
+        }
+      }
+    }
+}
+
 private[sources] class GraftEffRelation(ctx: SQLContext, url: String,
     version: Int, required: StructType,
     filters: Array[sources.Filter],
@@ -756,6 +862,111 @@ final case class GraftMetaAggRule(session: SparkSession)
       }
     }.orNull
 
+  /** (filter condition, filter's child, url, version) when the plan
+    * is Aggregate → [projections] → Filter → [projections] → store
+    * relation — the filtered-count shape. */
+  private def filteredStoreOf(plan: LogicalPlan): Option[
+      (org.apache.spark.sql.catalyst.expressions.Expression,
+        LogicalPlan, String, Int)] = plan match {
+    case Project(_, child) => filteredStoreOf(child)
+    case org.apache.spark.sql.catalyst.plans.logical
+        .Filter(cond, child) =>
+      storeOf(child).map { case (url, v) => (cond, child, url, v) }
+    case _ => None
+  }
+
+  /** A conjunction of range/not-null predicates over ONE store
+    * column, as the closed band `[lo, hi]` [[Snapshots.countWhere]]
+    * prices — `Right` for integral fields, `Left` for string fields
+    * (non-strict bounds only: string successor math stays in the
+    * sidecar layer). Any conjunct outside the shape → None. */
+  private def bandOf(cond:
+      org.apache.spark.sql.catalyst.expressions.Expression,
+      child: LogicalPlan): Option[
+      (String, Either[(String, String), (Long, Long)])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def colName(e: Expression): Option[(String, DataType)] = e match {
+      case a: AttributeReference =>
+        columnOf(child, a).map(_ -> a.dataType)
+      case _ => None
+    }
+    def litLong(e: Expression): Option[Long] = e match {
+      case Literal(v, dt) => dt match {
+        case ByteType => Some(v.asInstanceOf[Byte].toLong)
+        case ShortType => Some(v.asInstanceOf[Short].toLong)
+        case IntegerType => Some(v.asInstanceOf[Int].toLong)
+        case LongType => Some(v.asInstanceOf[Long])
+        case _ => None
+      }
+      case _ => None
+    }
+    def litStr(e: Expression): Option[String] = e match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // per-conjunct (field, loL, hiL, loS, hiS) bounds; None = refuse
+    type B = (String, Option[Long], Option[Long], Option[String],
+      Option[String])
+    def conjunct(e: Expression): Option[Seq[B]] = e match {
+      case And(l, r) =>
+        for (a <- conjunct(l); b <- conjunct(r)) yield a ++ b
+      case IsNotNull(a: AttributeReference) =>
+        colName(a).map(c => Seq((c._1, None, None, None, None)))
+      case GreaterThanOrEqual(a, v) => colName(a).flatMap { c =>
+        litLong(v).filter(_ => isIntegral(c._2))
+          .map(n => Seq((c._1, Some(n), None, None, None)))
+          .orElse(litStr(v).filter(_ => c._2 == StringType).map(s =>
+            Seq((c._1, None, None, Some(s), None))))
+      }
+      case LessThanOrEqual(a, v) => colName(a).flatMap { c =>
+        litLong(v).filter(_ => isIntegral(c._2))
+          .map(n => Seq((c._1, None, Some(n), None, None)))
+          .orElse(litStr(v).filter(_ => c._2 == StringType).map(s =>
+            Seq((c._1, None, None, None, Some(s)))))
+      }
+      case GreaterThan(a, v) => colName(a).flatMap { c =>
+        litLong(v).filter(n => isIntegral(c._2) && n < Long.MaxValue)
+          .map(n => Seq((c._1, Some(n + 1), None, None, None)))
+      }
+      case LessThan(a, v) => colName(a).flatMap { c =>
+        litLong(v).filter(n => isIntegral(c._2) && n > Long.MinValue)
+          .map(n => Seq((c._1, None, Some(n - 1), None, None)))
+      }
+      case EqualTo(a, v) => colName(a).flatMap { c =>
+        litLong(v).filter(_ => isIntegral(c._2)).map(n =>
+          Seq((c._1, Some(n), Some(n), None, None)))
+          .orElse(litStr(v).filter(_ => c._2 == StringType).map(s =>
+            Seq((c._1, None, None, Some(s), Some(s)))))
+      }
+      case _ => None
+    }
+    conjunct(cond).flatMap { bs =>
+      val fields = bs.map(_._1).distinct
+      if (fields.size != 1) None
+      else {
+        val f = fields.head
+        val loL = bs.flatMap(_._2).maxOption
+        val hiL = bs.flatMap(_._3).minOption
+        val loS = bs.flatMap(_._4)
+          .sortWith(Snapshots.cpCompare(_, _) > 0).headOption
+        val hiS = bs.flatMap(_._5)
+          .sortWith(Snapshots.cpCompare(_, _) < 0).headOption
+        (loL.isDefined || hiL.isDefined,
+            loS.isDefined || hiS.isDefined) match {
+          case (true, false) => Some(f -> scala.util.Right((
+            loL.getOrElse(Long.MinValue), hiL.getOrElse(Long.MaxValue))))
+          case (false, true) if loS.isDefined && hiS.isDefined =>
+            Some(f -> scala.util.Left((loS.get, hiS.get)))
+          case _ => None // mixed kinds, bare IS NOT NULL, one-sided str
+        }
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transform {
       case agg @ Aggregate(Nil, exprs, child, _)
@@ -780,6 +991,35 @@ final case class GraftMetaAggRule(session: SparkSession)
           }
           LocalRelation(agg.output.map(_.toAttribute),
             Seq(InternalRow.fromSeq(values)))
+        }
+
+      // Filtered count: `SELECT count(*) WHERE k BETWEEN lo AND hi`
+      // priced by the stats-sidecar band walk (Snapshots.countWhere
+      // / countWhereStr — EXACT by construction: fully-contained
+      // files contribute n_rows − n_null from metadata, straddling
+      // or uncovered files are scan-counted with the residual, MoR
+      // positions subtracted). Gated on sidecar coverage of the
+      // field so the optimization-time work is a metadata walk plus
+      // at most the band-straddling files, the same class of eager
+      // pricing as the bare-count arm above.
+      case agg @ Aggregate(Nil, exprs, child, _)
+          if exprs.nonEmpty && filteredStoreOf(child).isDefined &&
+            exprs.forall(e =>
+              classify(child)(e).contains(CountStar)) =>
+        val (cond, fchild, url, v) = filteredStoreOf(child).get
+        bandOf(cond, fchild) match {
+          case Some((field, band))
+              if Snapshots.statsCovers(session, url, field) =>
+            val n = band match {
+              case scala.util.Right((lo, hi)) =>
+                Snapshots.countWhere(session, url, field, lo, hi, v)._1
+              case scala.util.Left((lo, hi)) =>
+                Snapshots.countWhereStr(session, url, field, lo, hi,
+                  v)._1
+            }
+            LocalRelation(agg.output.map(_.toAttribute),
+              Seq(InternalRow.fromSeq(exprs.map(_ => n))))
+          case _ => agg
         }
     }
 }

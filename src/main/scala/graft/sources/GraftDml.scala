@@ -281,8 +281,12 @@ case class GraftMergeCommand(url: String, keyCol: String,
         // the discovered bloom, a 2-key MERGE-DELETE touches the
         // files that can hold those keys, never the corpus.
         val schema = Snapshots.headSchema(session, url)
+        // a NULL source key is UNMATCHED under SQL join semantics —
+        // a no-op for MERGE-DELETE, not a member of the delete batch
+        // (the store's upsert contract would loudly refuse it)
         val keys = src.select(graft.functions.GraftFunctions
-          .column(outCols.head._2).as(keyCol)).distinct()
+          .column(outCols.head._2).as(keyCol))
+          .filter(col(keyCol).isNotNull).distinct()
         // no-op guard: a MERGE-DELETE matching nothing must not
         // mint a version. The probe early-terminates at the first
         // match (limit 1) — strictly cheaper than the prior full

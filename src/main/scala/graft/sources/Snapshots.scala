@@ -1610,6 +1610,21 @@ object Snapshots {
     if (fields.length == 1) Some(fields.head) else None
   }
 
+  /** Logical→physical slot map of version `v` — what cross-version
+    * consumers (the CDC streaming source, [[changesAll]]) use to
+    * align a step's columns to a schema pinned at a DIFFERENT
+    * version: physical slots are stable from birth, logical names
+    * shift under [[renameColumn]]. Manifest-only, no data read. */
+  private[graft] def physMapOf(spark: SparkSession, url: String,
+      v: Int): Map[String, String] = {
+    val (_, root) = fsOf(spark, url)
+    val s = snap(spark, url, v)
+    val names =
+      if (s.files.isEmpty && s.schema.isEmpty) s.colmap.keys.toSeq
+      else schemaOf(spark, root, s).fieldNames.toSeq
+    names.map(n => n -> s.phys(n)).toMap
+  }
+
   /** ONE version's change feed: the diff against its immediate
     * surviving predecessor ([[changes]]), or — for the store's birth
     * version — the full contents tagged `insert` (a feed consumer's
@@ -1646,13 +1661,37 @@ object Snapshots {
     * incremental consumers should ride the streaming source
     * (`format("graft-changes")`) instead. */
   def changesAll(spark: SparkSession, url: String, keyCol: String,
+      includeOld: Boolean = false): DataFrame =
+    changesRange(spark, url, keyCol, None, None, includeOld)
+
+  /** [[changesAll]] scoped to the versions in `[fromV, toV]`
+    * (either bound open): the plan carries ONLY the range's legs —
+    * on a long-history store, `changesAll(...).filter(version >= n)`
+    * still pays the analyzer one union leg PER VERSION before
+    * Catalyst folds the out-of-range ones empty, while this builds
+    * k legs for a k-version range. Each in-range version still
+    * diffs against its immediate surviving PREDECESSOR (even when
+    * that predecessor is outside the range), so the range feed is
+    * exactly the full feed's `_commit_version` filter. The columns
+    * align to the HEAD schema, like the full feed. */
+  def changesRange(spark: SparkSession, url: String, keyCol: String,
+      fromV: Option[Int], toV: Option[Int],
       includeOld: Boolean = false): DataFrame = {
     val (_, root) = fsOf(spark, url)
-    val vs = versions(spark, url)
-    require(vs.nonEmpty, s"no snapshot store at $url")
-    val headSnap = snap(spark, url, vs.max)
+    val all = versions(spark, url)
+    require(all.nonEmpty, s"no snapshot store at $url")
+    val headSnap = snap(spark, url, all.max)
     val base = schemaOf(spark, root, headSnap)
-    val priorOf = vs.zip(None +: vs.init.map(Some(_))).toMap
+    val priorOf = all.zip(None +: all.init.map(Some(_))).toMap
+    val vs = all.filter(v => fromV.forall(v >= _) && toV.forall(v <= _))
+    if (vs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(base.fields :+
+          org.apache.spark.sql.types.StructField("_change",
+            org.apache.spark.sql.types.StringType, nullable = false) :+
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false)))
     vs.map { v =>
       val df = changesStepFrom(spark, url, keyCol, priorOf(v), v,
         includeOld)

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => V2Offset}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -44,7 +45,13 @@ import graft.sources.Snapshots
   * `update_old` rows — the retraction incremental aggregates need),
   * `startingVersion` (default 0 = full initial snapshot; a committed
   * version v starts the feed at the v→v+1 diff, for consumers that
-  * bootstrap from a batch read of v). */
+  * bootstrap from a batch read of v), `maxVersionsPerTrigger`
+  * (admission control: cap each micro-batch at N committed versions
+  * — a resume after a long gap drains as bounded batches instead of
+  * one batch unioning a leg per version; safe because the cap is
+  * applied in `latestOffset(start, limit)` whose start the ENGINE
+  * supplies from the checkpoint, never a getOffset-side guess that
+  * could regress a committed offset). */
 class GraftChangesProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -83,6 +90,10 @@ class GraftChangesProvider extends StreamSourceProvider
     val includeOld = parameters.get("includeOld").exists(_.toBoolean)
     val startV = parameters.get("startingVersion").map(_.toInt)
       .getOrElse(0)
+    val maxVersions = parameters.get("maxVersionsPerTrigger")
+      .map(_.toInt)
+    maxVersions.foreach(m => require(m > 0,
+      s"maxVersionsPerTrigger must be positive, got $m"))
     val spark = ctx.sparkSession
     require(Snapshots.versions(spark, url).nonEmpty,
       s"no snapshot store at $url")
@@ -91,7 +102,8 @@ class GraftChangesProvider extends StreamSourceProvider
     if (startV > 0)
       require(Snapshots.versions(spark, url).contains(startV),
         s"startingVersion=$startV is not a committed version of $url")
-    new GraftChangesSource(spark, url, keyCol, includeOld, startV)
+    new GraftChangesSource(spark, url, keyCol, includeOld, startV,
+      maxVersions)
   }
 }
 
@@ -115,16 +127,76 @@ private[streaming] case class GraftCdfOffset(v: Int) extends V1Offset {
 }
 
 private[streaming] class GraftChangesSource(spark: SparkSession,
-    url: String, keyCol: String, includeOld: Boolean, startV: Int)
-    extends Source {
+    url: String, keyCol: String, includeOld: Boolean, startV: Int,
+    maxVersions: Option[Int])
+    extends Source with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   import GraftChangesSource._
 
   override val schema: StructType = cdfSchema(spark, url)
   private val baseFields = schema.fields.dropRight(2).toSeq
+  // physical slot of each declared column, pinned at stream start:
+  // logical names shift under renameColumn, physical slots never do,
+  // so steps before/after a rename in the covered history align to
+  // the declared schema exactly (the name-only alignment this
+  // replaces silently null-filled a renamed column's feed rows)
+  private val declaredPhys: Map[String, String] =
+    Snapshots.physMapOf(spark, url, Snapshots.latest(spark, url))
 
   override def getOffset: Option[V1Offset] = {
     val l = Snapshots.latest(spark, url)
     if (l <= math.max(startV, 0)) None else Some(GraftCdfOffset(l))
+  }
+
+  // --- Admission control (the FileStreamSource shape: a V1 Source
+  // implementing the V2 SupportsAdmissionControl traits). The start
+  // offset below is ENGINE-SUPPLIED from the checkpoint, so a cap
+  // can never regress a committed offset and re-emit — the unsafety
+  // that made a getOffset-side cap wrong (SURVEY §2 r18 analysis).
+  // With `maxVersionsPerTrigger`, a resume after a long gap drains
+  // as ceil(gap/N) bounded micro-batches instead of one batch whose
+  // union plan carries a leg per version — the 100 TB recovery
+  // shape for a store committing a version a minute over a weekend.
+
+  private var availableNowEndV: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEndV = Some(Snapshots.latest(spark, url))
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.allAvailable() // the cap is the source's own option
+
+  override def reportLatestOffset(): V2Offset =
+    GraftCdfOffset(Snapshots.latest(spark, url))
+
+  override def latestOffset(startOffset: V2Offset,
+      limit: ReadLimit): V2Offset = {
+    val s = Option(startOffset).map(vOfAny)
+      .getOrElse(math.max(startV, 0))
+    val all = Snapshots.versions(spark, url)
+    val head = all.lastOption.getOrElse(0)
+    // AvailableNow pins its end at prepare time (versions committed
+    // mid-drain belong to the next run); admission counts COMMITTED
+    // versions in the gap — version numbers may be sparse
+    val end0 = availableNowEndV.map(math.min(_, head)).getOrElse(head)
+    val admitted = all.filter(v => v > s && v <= end0)
+    val end = maxVersions match {
+      case Some(n) if admitted.size > n => admitted(n - 1)
+      case _ => if (admitted.isEmpty) s else admitted.last
+    }
+    if (end <= s) null else GraftCdfOffset(end)
+  }
+
+  /** Version of ANY offset representation — a live [[GraftCdfOffset]]
+    * or the engine's checkpoint-deserialized form (both carry the
+    * same json). */
+  private def vOfAny(o: V2Offset): Int = {
+    val Re = """\{"version":(\d+)\}""".r
+    o.json() match {
+      case Re(n) => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"not a graft-changes offset: $other")
+    }
   }
 
   private def vOf(o: V1Offset): Int = {
@@ -136,19 +208,27 @@ private[streaming] class GraftChangesSource(spark: SparkSession,
     }
   }
 
-  /** One version's feed rows under the DECLARED schema (evolution
-    * inside the stream's lifetime adds columns — older steps read
-    * them as null; a declared column can never disappear because
-    * dropColumn is a rename-layer op the diff still resolves).
-    * Delegates to [[Snapshots.changesStepFrom]] — one canonical diff
-    * for the stream, the `store$changes` SQL table and programmatic
+  /** One version's feed rows under the DECLARED schema, aligned by
+    * PHYSICAL slot identity (like [[Snapshots.changesAll]]): a step
+    * before a `renameColumn` emits the column under its then-current
+    * logical name, and the declared name resolves to it through the
+    * stable physical slot — only columns genuinely absent at the
+    * step (added by later evolution) read as null. Delegates to
+    * [[Snapshots.changesStepFrom]] — one canonical diff for the
+    * stream, the `store$changes` SQL table and programmatic
     * consumers. */
   private def step(priorV: Option[Int], v: Int): DataFrame = {
     val df = Snapshots.changesStepFrom(spark, url, keyCol, priorV, v,
       includeOld)
+    val stepPhys = Snapshots.physMapOf(spark, url, v)
     val out = baseFields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      val p = declaredPhys.getOrElse(f.name, f.name)
+      stepPhys.collectFirst {
+        case (n, sp) if sp == p && df.columns.contains(n) => n
+      } match {
+        case Some(n) => col(n).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     } :+ col(ChangeCol) :+ lit(v.toLong).as(VersionCol)
     df.select(out: _*)
   }

@@ -285,6 +285,62 @@ class GraftCatalogSpec extends SparkSpec {
         "WHERE _change = 'delete'").as[Long].head() == 1L)
   }
 
+  test("$changes version-range scoping: changesRange builds ONLY " +
+      "the range's legs (plan-asserted), the SQL WHERE pushes into " +
+      "the scan, and keyCol/startingVersion/endingVersion read " +
+      "options work on bloomless stores") {
+    val url = s"$root/chgrange"
+    Snapshots.create(spark, url,
+      (1L to 10L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    (1 to 7).foreach(k => Snapshots.upsert(spark, url,
+      Seq((k.toLong, k * 100L)).toDF("id", "v"), "id")) // v2..v8
+    def legs(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+      .queryExecution.analyzed.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias
+                if a.name == "_commit_version" =>
+              a.child match {
+                case org.apache.spark.sql.catalyst.expressions
+                    .Literal(v: Long, _) => Some(v)
+                case _ => None
+              }
+          }.flatten
+      }.flatten.distinct.sorted
+    val ranged = Snapshots.changesRange(spark, url, "id",
+      Some(3), Some(5))
+    assert(legs(ranged) == Seq(3L, 4L, 5L),
+      s"range plan must carry exactly its legs, got ${legs(ranged)}")
+    assert(legs(Snapshots.changesAll(spark, url, "id"))
+      == (1L to 8L), "full feed carries every version's leg")
+    // the range feed IS the full feed's version filter
+    val full = Snapshots.changesAll(spark, url, "id")
+      .filter(col("_commit_version").between(3, 5))
+      .select("id", "v", "_change", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSeq.sorted
+    assert(ranged.select("id", "v", "_change", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSeq.sorted == full)
+    // read options on a BLOOMLESS store: explicit key + range
+    val opt = spark.read
+      .option("keyCol", "id").option("startingVersion", "3")
+      .option("endingVersion", "5").table("gcat.`chgrange$changes`")
+      .select("id", "v", "_change", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSeq.sorted
+    assert(opt == full, "option-scoped feed must equal the filter")
+    // SQL: the WHERE range prunes legs inside the scan (correctness
+    // asserted here; the residual filter re-applies regardless)
+    Snapshots.indexBloom(spark, url, Seq("id"))
+    val sql = spark.sql(
+      "SELECT id, v, _change, _commit_version FROM " +
+        "gcat.`chgrange$changes` " +
+        "WHERE _commit_version BETWEEN 3 AND 5 AND id <= 100")
+      .as[(Long, Long, String, Long)].collect().toSeq.sorted
+    assert(sql == full, "SQL range feed must equal the filter")
+    // an out-of-history range is empty, not an error
+    assert(spark.sql("SELECT * FROM gcat.`chgrange$changes` " +
+      "WHERE _commit_version > 90").count() == 0L)
+  }
+
   test("DDL lifecycle: CREATE TABLE + CTAS ride Snapshots.create; " +
       "ALTER RENAME/DROP COLUMN are metadata-only commits; DROP " +
       "only removes an empty just-created store") {

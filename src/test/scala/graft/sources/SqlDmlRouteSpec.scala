@@ -198,6 +198,34 @@ class SqlDmlRouteSpec extends SparkSpec {
     assert(out.filter(col("k") === 9999L).count() == 1L)
   }
 
+  test("MERGE-DELETE with NULL source keys: nulls are UNMATCHED " +
+      "under SQL join semantics — a no-op, not a batch-contract " +
+      "failure") {
+    val url = s"$root/mnull"
+    Snapshots.create(spark, url,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"),
+      nFiles = 1)
+    Seq(Some(2L), None, None).toDF("k")
+      .createOrReplaceTempView("mnull_src")
+    spark.sql(
+      """MERGE INTO gdml.mnull AS t USING mnull_src AS s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(Snapshots.read(spark, url).select(col("k")).as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L),
+      "null keys must no-op; key 2 must delete")
+    // all-null source: nothing matches, no version minted
+    val before = Snapshots.latest(spark, url)
+    Seq(Option.empty[Long]).toDF("k")
+      .createOrReplaceTempView("mnull_all")
+    spark.sql(
+      """MERGE INTO gdml.mnull AS t USING mnull_all AS s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(Snapshots.latest(spark, url) == before,
+      "an all-null MERGE-DELETE must not mint a version")
+  }
+
   test("MERGE conditional clauses: WHEN MATCHED AND cond THEN " +
       "UPDATE/DELETE compose as one keyed upsert") {
     val url = s"$root/mcond"
@@ -524,6 +552,60 @@ class SqlDmlRouteSpec extends SparkSpec {
     assert(!colCount.queryExecution.optimizedPlan.toString
       .contains("LocalRelation"))
     assert(colCount.as[Long].head() == 27L)
+  }
+
+  test("FILTERED count pushdown: a banded WHERE on a stats-indexed " +
+      "store prices count(*) from the sidecar walk (LocalTableScan, " +
+      "MoR-exact); uncovered fields and multi-field filters stay " +
+      "real scans") {
+    val url = s"$root/fcnt"
+    Snapshots.create(spark, url,
+      (1L to 80L).map(i => (i, i * 3, s"t${i % 7}"))
+        .toDF("k", "v", "tag"), nFiles = 4, clusterBy = Some("k"))
+    Snapshots.indexStats(spark, url, Seq("k", "tag"))
+    Snapshots.deleteWhereMor(spark, url, "k", 11L, 14L) // MoR holes
+    def planOf(sql: String) =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    def run(sql: String): Long = spark.sql(sql).as[Long].head()
+    // whole-file containment: files fully inside the band priced
+    // from metadata; MoR-deleted positions subtracted exactly
+    val q = "SELECT count(*) AS n FROM gdml.fcnt " +
+      "WHERE k BETWEEN 1 AND 40"
+    assert(planOf(q).contains("LocalTableScan") &&
+      !planOf(q).contains("BatchScan"),
+      s"banded filtered count must be sidecar-priced:\n${planOf(q)}")
+    assert(run(q) == 36L) // 40 − the 4 MoR-deleted keys
+    // strict bounds and equality shapes price too
+    assert(run("SELECT count(*) AS n FROM gdml.fcnt " +
+      "WHERE k > 40 AND k < 61") == 20L)
+    assert(planOf("SELECT count(*) AS n FROM gdml.fcnt WHERE k = 7")
+      .contains("LocalTableScan"))
+    assert(run("SELECT count(*) AS n FROM gdml.fcnt WHERE k = 7")
+      == 1L)
+    assert(run("SELECT count(*) AS n FROM gdml.fcnt WHERE k = 12")
+      == 0L) // MoR-deleted key
+    // string bands: equality/range on the indexed string field
+    val sq = "SELECT count(*) AS n FROM gdml.fcnt WHERE tag = 't3'"
+    assert(planOf(sq).contains("LocalTableScan"), planOf(sq))
+    assert(run(sq) ==
+      Snapshots.read(spark, url).filter(col("tag") === "t3").count())
+    // NOT priced: a field without sidecar coverage, two fields, a
+    // disjunction — all stay real scans and stay exact
+    val un = "SELECT count(*) AS n FROM gdml.fcnt " +
+      "WHERE v BETWEEN 1 AND 60"
+    assert(!spark.sql(un).queryExecution.optimizedPlan.toString
+      .contains("LocalRelation"), "uncovered field must scan")
+    assert(run(un) == 16L)
+    val two = "SELECT count(*) AS n FROM gdml.fcnt " +
+      "WHERE k <= 40 AND tag = 't1'"
+    assert(!spark.sql(two).queryExecution.optimizedPlan.toString
+      .contains("LocalRelation"), "multi-field filter must scan")
+    assert(run(two) == spark.sql(two).as[Long].head())
+    val disj = "SELECT count(*) AS n FROM gdml.fcnt " +
+      "WHERE k <= 5 OR k >= 70"
+    assert(!spark.sql(disj).queryExecution.optimizedPlan.toString
+      .contains("LocalRelation"), "disjunction must scan")
+    assert(run(disj) == 16L)
   }
 
   test("min/max pushdown: stats-sidecar-priced when every entry is " +

@@ -200,6 +200,125 @@ class GraftCdfSpec extends SparkSpec {
       s"expected the vacuumed-resume refusal, got ${chain(e).take(3)}")
   }
 
+  test("bootstrap over pre-rename versions aligns by PHYSICAL " +
+      "slot: old steps' values appear under the declared (renamed) " +
+      "name, never as nulls") {
+    val (url, ck, out) = freshDirs("ren-boot")
+    Snapshots.create(spark, url,
+      (1L to 8L).map(i => (i, i * 10)).toDF("id", "v"), nFiles = 2)
+    Snapshots.upsert(spark, url,
+      Seq((2L, 222L)).toDF("id", "v"), "id")       // v2, pre-rename
+    Snapshots.renameColumn(spark, url, "v", "w")   // v3, metadata-only
+    Snapshots.upsert(spark, url,
+      Seq((9L, 90L)).toDF("id", "w"), "id")        // v4, post-rename
+    drain(url, ck, out) // fresh stream: declared schema has "w"
+    val feed = spark.read.parquet(out)
+      .select(col("id"), col("w"), col("_change"),
+        col("_commit_version"))
+      .as[(Long, java.lang.Long, String, Long)].collect().toSeq
+    val v1 = feed.filter(_._4 == 1L)
+    assert(v1.size == 8 && v1.forall(r => r._2 == r._1 * 10),
+      s"pre-rename bootstrap rows must carry real values under the " +
+        s"declared name, got $v1")
+    assert(feed.filter(_._4 == 2L).map(r => (r._1, r._2.longValue))
+      == Seq((2L, 222L)), "pre-rename update must align")
+    assert(feed.count(_._4 == 3L) == 0,
+      "the rename commit is metadata-only — zero feed rows")
+    assert(feed.filter(_._4 == 4L).map(r => (r._1, r._2.longValue))
+      == Seq((9L, 90L)), "post-rename step must pass through")
+  }
+
+  test("a restart AFTER a rename mid-history resumes with real " +
+      "values for the renamed column (physical alignment across " +
+      "the restart's re-pinned schema)") {
+    val (url, ck, _) = freshDirs("ren-restart")
+    Snapshots.create(spark, url,
+      (1L to 6L).map(i => (i, i * 10)).toDF("id", "v"), nFiles = 1)
+    val got = scala.collection.mutable.ListBuffer
+      .empty[(Long, Long, Long)]
+    def drainBuf(): Unit = spark.readStream.format("graft-changes")
+      .option("url", url).option("keyCol", "id").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vc = if (b.columns.contains("w")) "w" else "v"
+        got.synchronized { got ++= b
+          .select(col("id"), col(vc), col("_commit_version"))
+          .as[(Long, Long, Long)].collect() }
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    drainBuf() // consumed through v1 under declared name "v"
+    Snapshots.renameColumn(spark, url, "v", "w") // v2
+    Snapshots.upsert(spark, url,
+      Seq((3L, 999L)).toDF("id", "w"), "id")     // v3
+    got.clear()
+    drainBuf() // restart: declared schema re-pins to "w"
+    assert(got.toSeq == Seq((3L, 999L, 3L)),
+      s"post-restart feed must carry the renamed column's real " +
+        s"values, got $got")
+  }
+
+  test("maxVersionsPerTrigger drains a long version gap as " +
+      "bounded batches; a mid-drain crash resumes exactly (no " +
+      "duplicate, no loss); the feed is boundary-invariant") {
+    val (url, ck, _) = freshDirs("admit")
+    Snapshots.create(spark, url,
+      (1L to 5L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    // the long-gap shape: many small commits while no stream runs
+    (1 to 36).foreach(k => Snapshots.append(spark, url,
+      Seq((100L + k, k.toLong)).toDF("id", "v"), nFiles = 1))
+    // 37 versions pending; cap 7 → ceil(37/7) = 6 bounded batches
+    val batches = scala.collection.mutable.ListBuffer
+      .empty[Seq[(Long, Long, Long)]]
+    @volatile var crashAfter = -1 // -1 = never crash
+    def drainCapped(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("url", url).option("keyCol", "id")
+        .option("maxVersionsPerTrigger", "7").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          batches.synchronized { batches += b
+            .select(col("id"), col("v"), col("_commit_version"))
+            .as[(Long, Long, Long)].collect().toSeq }
+          if (crashAfter >= 0 && batches.size >= crashAfter)
+            sys.error("injected mid-drain crash")
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch { case e: Exception
+          if e.getMessage != null || e.getCause != null => () }
+    }
+    crashAfter = 2
+    drainCapped() // crashes after 2 committed-ish batches
+    val consumed = batches.size
+    assert(consumed >= 2, s"crash injection did not run: $consumed")
+    crashAfter = -1
+    drainCapped() // restart: resumes from the checkpoint exactly
+    // every batch bounded: ≤ 7 distinct versions each
+    batches.foreach { b =>
+      assert(b.map(_._3).distinct.size <= 7,
+        s"batch exceeded the admission cap: ${b.map(_._3).distinct}")
+    }
+    assert(batches.size >= 6,
+      s"a 37-version gap at cap 7 must take ≥6 batches, got " +
+        s"${batches.size}")
+    // exactly-once across the crash: the engine replays the failed
+    // batch, so dedup by (id, version) must reconstruct the feed
+    // with NO loss and the post-dedup feed must equal the uncapped
+    // whole-history feed (boundary invariance)
+    val feed = batches.flatten.distinct.sortBy(r => (r._3, r._1))
+    val want = Snapshots.changesAll(spark, url, "id")
+      .select(col("id"), col("v"), col("_commit_version"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (r._3, r._1))
+    assert(feed == want,
+      s"capped+crashed drain must replay to the exact feed " +
+        s"(${feed.size} vs ${want.size})")
+  }
+
   test("missing options and unknown stores refuse loudly") {
     val (url, _, _) = freshDirs("bad")
     Snapshots.create(spark, url, Seq((1L, 1L)).toDF("id", "v"),
