@@ -9597,6 +9597,225 @@ object SparkEntry {
            |FROM g400.`$tbl$$changes`
            |GROUP BY _change""".stripMargin),
         col("_change"))
+    }),
+
+    // ---- CDC-source ADMISSION CONTROL ----
+    // The long-gap recovery shape: many versions commit while no
+    // stream runs, then one AvailableNow drain catches up — with
+    // maxVersionsPerTrigger the catch-up is N bounded micro-batches
+    // (each a one-version manifest diff), not one batch whose union
+    // plan carries a leg per version. In-body: exactly one version
+    // per batch, every pending version drained. The cap rides
+    // latestOffset(start, limit) with the ENGINE-supplied start, so
+    // it can never regress a committed offset (the FileStreamSource
+    // admission shape). Oracle = the feed is every row inserted.
+    "q401_cdc_admission" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q401"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/store$tag"
+      val out = s"$rootPath/out$tag"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snapshots.create(s, url, docs.filter(col("doc_id") % 4 === 0),
+        nFiles = 2)
+      (1 to 3).foreach(k => Snapshots.append(s, url,
+        docs.filter(col("doc_id") % 4 === k)))
+      // 4 versions pending, cap 1 → exactly 4 one-version batches
+      val seen = scala.collection.mutable.ListBuffer.empty[Set[Long]]
+      s.readStream.format("graft-changes")
+        .option("url", url).option("keyCol", "doc_id")
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          val vs = b.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).toSet
+          seen.synchronized { seen += vs }
+          b.persist()
+          b.write.mode("append").parquet(out)
+          b.unpersist()
+          ()
+        }
+        .option("checkpointLocation", s"$rootPath/ck$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      require(seen.size == 4 && seen.forall(_.size <= 1),
+        s"cap 1 must drain 4 versions as 4 bounded batches: $seen")
+      require(seen.flatten.toSet == Set(1L, 2L, 3L, 4L),
+        s"every pending version must drain exactly once: $seen")
+      orderSmall(s.read.parquet(out).filter(col("_change") === "insert")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars")),
+        col("lang"))
+    }),
+
+    // ---- $changes VERSION-RANGE scoping ----
+    // The audit shape on a long-history store: a _commit_version
+    // range on the store$changes metadata table prunes the feed to
+    // the range's legs INSIDE the scan (the full-history union
+    // would pay the analyzer one leg per version; the range plan
+    // carries k legs — in-body leg-count assertion on the
+    // programmatic changesRange twin). Filters stay residual, so
+    // pruning can only affect cost, never rows. Oracle = the two
+    // in-range upserts' update rows, recomputed relationally.
+    "q402_changes_range" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q402"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g402",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g402.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"))
+      Snapshots.create(s, url, docs, nFiles = 2)          // v1
+      Snapshots.indexBloom(s, url, Seq("doc_id"))
+      Snapshots.upsert(s, url, docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          (col("n_chars") + 1000L).as("n_chars")), "doc_id") // v2
+      Snapshots.upsert(s, url, docs.filter(col("doc_id") % 7 === 1)
+        .select(col("doc_id"),
+          (col("n_chars") + 2000L).as("n_chars")), "doc_id") // v3
+      Snapshots.deleteWhere(s, url, "doc_id", 100L, 200L)   // v4
+      // the range plan carries EXACTLY its legs (the full feed one
+      // per version) — the analyzer-cost contract, asserted on the
+      // programmatic twin of the SQL scan below
+      def legsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+        .queryExecution.analyzed.collect {
+          case p: org.apache.spark.sql.catalyst.plans.logical
+              .Project => p.projectList.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias
+                if a.name == "_commit_version" => a.child match {
+              case org.apache.spark.sql.catalyst.expressions
+                  .Literal(v: Long, _) => Some(v)
+              case _ => None
+            }
+          }.flatten
+        }.flatten.distinct.sorted
+      require(legsOf(Snapshots.changesRange(s, url, "doc_id",
+        Some(2), Some(3))) == Seq(2L, 3L),
+        "range plan must carry exactly the range's legs")
+      require(legsOf(Snapshots.changesAll(s, url, "doc_id"))
+        == Seq(1L, 2L, 3L, 4L),
+        "full-history plan carries every version's leg")
+      orderSmall(s.sql(
+        s"""SELECT _commit_version, _change, count(*) AS n,
+           |  sum(n_chars) AS sum_chars
+           |FROM g402.`$tbl$$changes`
+           |WHERE _commit_version BETWEEN 2 AND 3
+           |GROUP BY _commit_version, _change""".stripMargin),
+        col("_commit_version"), col("_change"))
+    }),
+
+    // ---- FILTERED count pushdown ----
+    // `count(*) WHERE k BETWEEN lo AND hi` on a stats-indexed,
+    // key-clustered store prices from the sidecar band walk: files
+    // fully inside the band contribute row counts from metadata
+    // (MoR-deleted positions subtracted exactly), only band-
+    // straddling files are scan-counted — the plan is a
+    // LocalTableScan, no file scan node (in-body assertion, the
+    // q392 doctrine extended to the filtered shape). Oracle =
+    // DuckDB counting the same predicate.
+    "q403_filtered_count_meta" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q403"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g403",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g403.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"))
+      Snapshots.create(s, url, docs, nFiles = 6,
+        clusterBy = Some("doc_id"))
+      Snapshots.indexStats(s, url, Seq("doc_id"))
+      // the MoR hole INSIDE the counted band proves the metadata
+      // path subtracts deleted positions, not just footer sums
+      Snapshots.deleteWhereMor(s, url, "doc_id", 150L, 420L)
+      def metaPriced(df: org.apache.spark.sql.DataFrame): Unit = {
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LocalTableScan") &&
+          !plan.contains("FileScan") && !plan.contains("BatchScan"),
+          s"filtered count was not sidecar-priced:\n$plan")
+      }
+      val banded = s.sql(s"SELECT count(*) AS n_band FROM g403.$tbl " +
+        "WHERE doc_id BETWEEN 100 AND 500")
+      val strict = s.sql(s"SELECT count(*) AS n_strict " +
+        s"FROM g403.$tbl WHERE doc_id > 500 AND doc_id < 900")
+      metaPriced(banded); metaPriced(strict)
+      banded.crossJoin(strict)
+    }),
+
+    // ---- MERGE WITH SCHEMA EVOLUTION ----
+    // The source carries a column the store lacks: the analyzer's
+    // capability-gated evolution (AUTOMATIC_SCHEMA_EVOLUTION →
+    // GraftCatalog.alterTable → Snapshots.addColumn, a METADATA-ONLY
+    // commit — zero data files touched) widens the store, then the
+    // merge applies normally; pre-evolution rows read the new
+    // column as null. In-body: the addcol op is a metadata commit.
+    // Oracle = the widened table recomputed relationally.
+    "q404_merge_evolution" -> ((s, dir) => {
+      val rootPath = new org.apache.hadoop.fs.Path(
+        cachedBase(dir, "q404"))
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) {
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        fs.listStatus(rootPath).filter(_.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      s.conf.set("spark.sql.catalog.g404",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g404.root", rootPath.toString)
+      val tbl = "t" + java.util.UUID.randomUUID().toString.take(8)
+      val url = s"$rootPath/$tbl"
+      t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"))
+        .createOrReplaceTempView("q404_docs")
+      s.sql(s"CREATE TABLE g404.$tbl (doc_id BIGINT, n_chars BIGINT)")
+      s.sql(s"INSERT INTO g404.$tbl SELECT * FROM q404_docs")
+      s.sql("SELECT doc_id, n_chars, n_chars % 100 AS quality " +
+        "FROM q404_docs WHERE doc_id % 5 = 0")
+        .createOrReplaceTempView("q404_src")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO g404.$tbl AS t
+           |USING q404_src AS s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      require(Snapshots.headSchema(s, url).fieldNames.toSeq ==
+        Seq("doc_id", "n_chars", "quality"),
+        "evolution must append the source-only column")
+      require(Snapshots.versions(s, url).map(v =>
+        Snapshots.snap(s, url, v).op).exists(_ == "addcol:quality"),
+        "the evolution must be a metadata-only addcol commit")
+      orderSmall(s.sql(
+        s"""SELECT (quality IS NOT NULL) AS evolved, count(*) AS n,
+           |  sum(n_chars) AS sum_chars, sum(quality) AS sum_q
+           |FROM g404.$tbl GROUP BY 1""".stripMargin),
+        col("evolved"))
     })
   )
 
@@ -19628,6 +19847,50 @@ object SparkEntry {
         |)
         |SELECT _change, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM feed GROUP BY _change ORDER BY _change""".stripMargin
+        |FROM feed GROUP BY _change ORDER BY _change""".stripMargin,
+
+    "q401_cdc_admission" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q402_changes_range" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |), feed AS (
+        |  SELECT CAST(2 AS BIGINT) AS _commit_version,
+        |    'update' AS _change, n_chars + 1000 AS n_chars
+        |  FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'update', n_chars + 2000
+        |  FROM d WHERE doc_id % 7 = 1
+        |)
+        |SELECT _commit_version, _change, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM feed GROUP BY _commit_version, _change
+        |ORDER BY _commit_version, _change""".stripMargin,
+
+    "q403_filtered_count_meta" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents
+        |   WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |     AND doc_id BETWEEN 100 AND 500
+        |     AND NOT (doc_id BETWEEN 150 AND 420)) AS n_band,
+        |  (SELECT count(*) FROM documents
+        |   WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |     AND doc_id > 500 AND doc_id < 900) AS n_strict""".stripMargin,
+
+    "q404_merge_evolution" ->
+      """SELECT (doc_id % 5 = 0) AS evolved, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars % 100
+        |    END) AS BIGINT) AS sum_q
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

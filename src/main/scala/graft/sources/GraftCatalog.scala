@@ -298,6 +298,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(dc.fieldNames.length == 1,
           "graft columns are top-level — nested drop unsupported")
         Snapshots.dropColumn(spark, url, dc.fieldNames.head)
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames.length == 1,
+          "graft columns are top-level — nested add unsupported")
+        require(ac.isNullable,
+          "graft evolution adds NULLABLE columns only (existing " +
+            "files read the new column as null)")
+        require(ac.defaultValue == null,
+          "graft columns carry no DEFAULT — backfill explicitly")
+        Snapshots.addColumn(spark, url, ac.fieldNames.head,
+          ac.dataType)
       case other => readOnly(s"ALTER TABLE ($other)")
     }
     loadTable(ident)
@@ -465,7 +475,8 @@ private[sources] class GraftSqlTable(val label: String,
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE,
-        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     else util.EnumSet.of(TableCapability.BATCH_READ)
   /** Batch scans delegate verbatim to the parquet V2 builder
     * (pushdown/pruning/stats untouched); the SAME built scan also
@@ -519,7 +530,8 @@ private[sources] class GraftEffSqlTable(val label: String,
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE,
-        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =

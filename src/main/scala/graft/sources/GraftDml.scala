@@ -108,8 +108,18 @@ object GraftDml {
     require(t.writable,
       s"${t.label} is a pinned time-travel resolution — MERGE " +
         "targets the latest version")
-    if (m.schemaEvolutionEnabled)
-      refuse("WITH SCHEMA EVOLUTION is unsupported")
+    // WITH SCHEMA EVOLUTION is handled UPSTREAM by the analyzer's
+    // ResolveMergeIntoSchemaEvolution (gated on the table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability): it computes the
+    // source-minus-target columns, evolves the store through
+    // GraftCatalog.alterTable → Snapshots.addColumn (a metadata-only
+    // commit), reloads the relation and re-resolves the clauses —
+    // so by this rule the target schema already carries the new
+    // columns and the translation below needs nothing special. The
+    // guard only refuses the half-applied state, which would
+    // otherwise silently drop the new columns' values.
+    if (m.needSchemaEvolution)
+      refuse("WITH SCHEMA EVOLUTION left unresolved schema changes")
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
     val (tKey, sKey) = m.mergeCondition match {

@@ -2620,6 +2620,45 @@ object Snapshots {
   private def opSafe(s: String): String =
     s.replaceAll("[^A-Za-z0-9_.-]", "_")
 
+  /** Add a NULLABLE column as a METADATA-ONLY commit (op
+    * `addcol:<name>`) — the explicit `ALTER TABLE ADD COLUMN` /
+    * `MERGE WITH SCHEMA EVOLUTION` surface of the same additive
+    * evolution appends already perform implicitly: zero data files
+    * touched at any size, files written before the column existed
+    * read it as null. Same reservation doctrine as appends
+    * ([[evolveFrom]]): the new name may not collide case-
+    * insensitively with a live column, a renamed column's physical
+    * slot, or a dropped column's retired bytes (old files would
+    * serve stale values as the new column — the silent-wrong
+    * class). Tab/newline refused (colmap wire format); unpinned
+    * legacy stores must overwrite first. */
+  def addColumn(spark: SparkSession, url: String, name: String,
+      dt: org.apache.spark.sql.types.DataType): Int = {
+    val (_, root) = fsOf(spark, url)
+    val parent = snap(spark, url, latest(spark, url))
+    require(parent.schema.isDefined,
+      "addColumn needs a pinned-schema store (pre-pinning legacy " +
+        "stores must overwrite first)")
+    val schema = parent.schema.get
+    require(name.nonEmpty && !name.contains("\t") &&
+      !name.contains("\n"),
+      "addColumn: names may not contain tab/newline")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"addColumn: column $name already exists")
+    val reserved = (parent.colmap.values ++ parent.dropped)
+      .map(_.toLowerCase).toSet
+    require(!reserved(name.toLowerCase),
+      s"addColumn: $name matches a renamed or dropped column's " +
+        "physical slot — old files would serve its stale bytes; " +
+        "choose a different name")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        name, dt, nullable = true))
+    commit(spark, root, parent.version + 1,
+      s"addcol:${opSafe(name)}",
+      parent.files, Some(newSchema), parent.colmap, parent.dropped)
+  }
+
   /** Drop a LOGICAL column as a METADATA-ONLY commit (op
     * `dropcol:name`): the bytes stay in existing files but column
     * pruning keeps them unread forever — a 100 TB column retires

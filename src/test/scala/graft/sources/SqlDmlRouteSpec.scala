@@ -198,6 +198,65 @@ class SqlDmlRouteSpec extends SparkSpec {
     assert(out.filter(col("k") === 9999L).count() == 1L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns evolve " +
+      "the store as a metadata-only commit, then the merge applies; " +
+      "ALTER TABLE ADD COLUMN rides the same layer") {
+    val url = s"$root/mevo"
+    Snapshots.create(spark, url,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"),
+      nFiles = 1)
+    // explicit ALTER first: metadata-only, old rows read null
+    spark.sql("ALTER TABLE gdml.mevo ADD COLUMN note STRING")
+    val va = Snapshots.latest(spark, url)
+    assert(Snapshots.snap(spark, url, va).op == "addcol:note",
+      "ADD COLUMN must be a metadata-only commit")
+    assert(spark.sql("SELECT count(*) AS n FROM gdml.mevo " +
+      "WHERE note IS NULL").as[Long].head() == 3L)
+    // WITH SCHEMA EVOLUTION: 'score' exists only in the source
+    Seq((2L, 222L, "b2", 9L), (4L, 44L, "b4", 7L))
+      .toDF("k", "v", "note", "score")
+      .createOrReplaceTempView("mevo_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO gdml.mevo AS t
+        |USING mevo_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(Snapshots.headSchema(spark, url).fieldNames.toSeq ==
+      Seq("k", "v", "note", "score"),
+      "evolution must append the source-only column")
+    val got = Snapshots.read(spark, url)
+      .select(col("k"), col("v"), col("note"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.get(3))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 10L, None, None),
+      (2L, 222L, Some("b2"), Some(9L)),
+      (3L, 30L, None, None),
+      (4L, 44L, Some("b4"), Some(7L))), s"got $got")
+    // the addcol commit feeds CDC like any other metadata commit:
+    // zero feed rows of its own
+    // refusal: re-adding a DROPPED column's name would alias stale
+    // bytes
+    spark.sql("ALTER TABLE gdml.mevo DROP COLUMN note")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gdml.mevo ADD COLUMN note STRING")
+    }
+    assert(e.getMessage.contains("stale bytes"), e.getMessage)
+    // plain MERGE (no evolution clause) against a wider source is
+    // standard SQL: star expands over TARGET columns, the source-
+    // only column is simply not referenced
+    spark.sql(
+      """MERGE INTO gdml.mevo AS t USING mevo_src AS s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.k = 4 THEN UPDATE SET *""".stripMargin)
+    assert(Snapshots.read(spark, url).filter(col("k") === 4L)
+      .select(col("v")).as[Long].head() == 44L)
+    assert(Snapshots.headSchema(spark, url).fieldNames.toSeq ==
+      Seq("k", "v", "score"),
+      "a plain MERGE must not evolve the schema")
+  }
+
   test("MERGE-DELETE with NULL source keys: nulls are UNMATCHED " +
       "under SQL join semantics — a no-op, not a batch-contract " +
       "failure") {
