@@ -109,6 +109,94 @@ object Ranking {
       orderTailCols = Seq(outCol), partitionPrefix = sortCols.length)
   }
 
+  /** Append a 0-based DENSE rank over `keyCols` (equal tuples share
+    * a rank, ranks have no gaps) as `outCol: long` — the scale-safe
+    * `dense_rank() OVER (ORDER BY keys)` with no partition.
+    *
+    * Where [[withGlobalIndex]] needs a TOTAL order, this is the
+    * companion for NON-unique keys: one range shuffle of the full
+    * table, then the same two-job scaffold — job 1 counts each
+    * partition's distinct-key runs (≤ one long per partition), job 2
+    * appends `offset + local run index`. Equal keys land in one
+    * partition (SQL range partitioning assigns a row by binary
+    * search of its key against the sampled bounds — a deterministic
+    * function of the key — so a key run never straddles a boundary),
+    * which makes per-partition run counts globally composable.
+    *
+    * This replaces the r18-era dense-rank-by-join shape
+    * (`distinct → withGlobalIndex → join back`), which shuffled the
+    * full table TWICE more (the distinct and the join-back) per
+    * call — the prefix-doubling rounds' dominant cost (guide §2.4:
+    * remove shuffles outright). Results are identical: dense ranks
+    * are defined by the key order alone. Null keys compare equal to
+    * each other (dense_rank semantics). */
+  def withDenseRank(df: DataFrame, keyCols: Seq[String],
+      outCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "dense rank needs at least one key column")
+    import org.apache.spark.sql.functions.col
+    val sorted = df.repartitionByRange(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+    val rdd = ColumnBridge.internalRdd(sorted)
+    val schema = sorted.schema
+    val ords = keyCols.map(schema.fieldIndex).toArray
+    val types = ords.map(schema.fields(_).dataType)
+    val n = ords.length
+    // null-safe equality of the current row's key against a COPIED
+    // previous key (iterator rows are reused buffers)
+    def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Array[Any] = {
+      val k = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        k(i) = if (r.isNullAt(ords(i))) null else (r.get(ords(i), types(i)) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+          case v => v
+        })
+        i += 1
+      }
+      k
+    }
+    def sameKey(k: Array[Any],
+        r: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+      var i = 0
+      while (i < n) {
+        val rn = r.isNullAt(ords(i))
+        val kv = k(i)
+        if (rn != (kv == null)) return false
+        if (!rn && kv != r.get(ords(i), types(i))) return false
+        i += 1
+      }
+      true
+    }
+    // job 1: distinct-key run count per partition
+    val runs = rdd.mapPartitionsWithIndex({ (pid, it) =>
+      var count = 0L
+      var prev: Array[Any] = null
+      it.foreach { r =>
+        if (prev == null || !sameKey(prev, r)) { count += 1; prev = keyOf(r) }
+      }
+      Iterator((pid, count))
+    }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+    val offsets = runs.scanLeft(0L)(_ + _)
+    val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
+    // job 2: offset + local run index, map outputs reused
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = bc.value(pid) - 1L
+      var prev: Array[Any] = null
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      it.map { r =>
+        if (prev == null || !sameKey(prev, r)) { rank += 1; prev = keyOf(r) }
+        extra.update(0, rank)
+        joined(r, extra): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    val outSchema = StructType(schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val order = ColumnBridge.resolvedSortOrder(sorted)
+    ColumnBridge.internalCreateDataFrame(sorted, ranked, outSchema, order,
+      orderTailCols = Seq(outCol), partitionPrefix = keyCols.length)
+  }
+
   /** Top-k rows per group with everything else rolled into one
     * "(other)" row — the reporting idiom every dashboard wants
     * (per-language top sources, per-day top referrers) done

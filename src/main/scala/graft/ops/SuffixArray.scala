@@ -58,14 +58,20 @@ object SuffixArray {
         : (DataFrame,
            org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) =
       ColumnBridge.pinned(df)
-    // Round 0 ranks fixed-width prefix BLOCKS (16 chars), not single
+    // Round 0 ranks fixed-width prefix BLOCKS (32 chars), not single
     // characters: block strings sort exactly like the suffixes'
-    // first min(16, len) chars (a shorter block is a prefix of a
+    // first min(32, len) chars (a shorter block is a prefix of a
     // longer one only when the suffix itself ends — and prefix-
-    // shorter sorts first in both orders), so starting the doubling
-    // at width 16 is correct and saves four full rounds. This is
-    // the last time a string column exists.
-    val initWidth = math.min(16, maxLen)
+    // shorter sorts first in both orders; the argument is width-
+    // independent), so starting the doubling at width 32 is correct
+    // and skips five rounds. This is the last time a string column
+    // exists. Width trade (r19, guide §1.2/§2.3): each skipped
+    // integer round saves THREE full-table shuffles + two actions,
+    // while round 0 — the one string pass that exists anyway — only
+    // carries 16 more chars per suffix through its one exchange; at
+    // maxLen 128–200 (the declared queries) that is one fewer round
+    // for a ~2× byte increase in a pass that is not the bottleneck.
+    val initWidth = math.min(32, maxLen)
     val blocks = docs
       .select(col(idCol).as("__doc"),
         substring(col(textCol), 1, maxLen).as("__t"))
@@ -132,15 +138,12 @@ object SuffixArray {
         (col("__rnk") + 1).as("rnk"))
   }
 
-  /** Dense 0-based rank of `keyCols` tuples appended as `__rnk`:
-    * distinct keys → distributed global index (range shuffle; the
-    * scale-safe dense_rank) → hash join back. */
-  private def denseRank(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val ranked = Ranking.withGlobalIndex(
-      df.select(keyCols.map(col): _*).distinct(),
-      keyCols.map(col), "__rnk")
-    df.join(ranked, keyCols)
-  }
+  /** Dense 0-based rank of `keyCols` tuples appended as `__rnk` —
+    * ONE range shuffle of the full table ([[Ranking.withDenseRank]];
+    * r19 replaced the distinct → global-index → join-back shape,
+    * which shuffled the table three times per doubling round). */
+  private def denseRank(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    Ranking.withDenseRank(df, keyCols, "__rnk")
 
   /** Longest repeated substring per document — the intra-document
     * repetition signal, exact (vs [[TextAnalysis]]'s gram-based

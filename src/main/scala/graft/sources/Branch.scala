@@ -119,36 +119,42 @@ object Branch {
     val (src, forkV) = forkPoint(spark, branchUrl)
     val bLatest = Snapshots.latest(spark, branchUrl)
     if (bLatest == 1) return Snapshots.latest(spark, src)
-    val feed = delta(spark, branchUrl, keyCol)
-    val mLatest = Snapshots.latest(spark, src)
-    require(mLatest >= forkV,
-      s"source $src is at v$mLatest, below the fork point v$forkV " +
-        "— its history was vacuumed or rebuilt; re-fork")
-    if (mLatest > forkV) {
-      // main moved since the fork: any key changed on both sides is
-      // a conflict. Both key sets are manifest-diff priced.
-      val mainKeys = Snapshots
-        .changes(spark, src, keyCol, forkV, mLatest)
-        .select(col(keyCol))
-      val conflicts = feed.select(col(keyCol))
-        .intersect(mainKeys).limit(11)
-        .collect().map(_.get(0))
-      require(conflicts.isEmpty,
-        s"merge conflict: ${conflicts.length}${if (conflicts.length > 10) "+" else ""} " +
-          s"key(s) changed on both $src (since v$forkV) and the " +
-          s"branch: ${conflicts.take(10).mkString(", ")} — rebase " +
-          "(re-fork and replay) or resolve upstream")
-    }
-    val updates = feed
-      .withColumn("__merge_del", col("_change") === "delete")
-      .drop("_change")
-    // pin the upsert to the head the conflict scan examined: a main
-    // commit interleaving after the scan fails THIS call loudly
-    // (re-run mergeBack — it re-checks against the new head) instead
-    // of silently last-writer-winning on unexamined keys
-    Snapshots.upsert(spark, src, updates, keyCol,
-      deleteCol = Some("__merge_del"), maxKeys = maxKeys,
-      expectedParentVersion = mLatest)
+    // the delta feed is consumed twice (conflict intersect, then the
+    // merge upsert) and each leg is a manifest-diff join plan —
+    // persist so the second consumer reads the computed rows
+    val feed = delta(spark, branchUrl, keyCol).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mLatest = Snapshots.latest(spark, src)
+      require(mLatest >= forkV,
+        s"source $src is at v$mLatest, below the fork point v$forkV " +
+          "— its history was vacuumed or rebuilt; re-fork")
+      if (mLatest > forkV) {
+        // main moved since the fork: any key changed on both sides is
+        // a conflict. Both key sets are manifest-diff priced.
+        val mainKeys = Snapshots
+          .changes(spark, src, keyCol, forkV, mLatest)
+          .select(col(keyCol))
+        val conflicts = feed.select(col(keyCol))
+          .intersect(mainKeys).limit(11)
+          .collect().map(_.get(0))
+        require(conflicts.isEmpty,
+          s"merge conflict: ${conflicts.length}${if (conflicts.length > 10) "+" else ""} " +
+            s"key(s) changed on both $src (since v$forkV) and the " +
+            s"branch: ${conflicts.take(10).mkString(", ")} — rebase " +
+            "(re-fork and replay) or resolve upstream")
+      }
+      val updates = feed
+        .withColumn("__merge_del", col("_change") === "delete")
+        .drop("_change")
+      // pin the upsert to the head the conflict scan examined: a main
+      // commit interleaving after the scan fails THIS call loudly
+      // (re-run mergeBack — it re-checks against the new head) instead
+      // of silently last-writer-winning on unexamined keys
+      Snapshots.upsert(spark, src, updates, keyCol,
+        deleteCol = Some("__merge_del"), maxKeys = maxKeys,
+        expectedParentVersion = mLatest)
+    } finally feed.unpersist()
   }
 
   /** Per-key conflict policy for [[rebase]]. The DEFAULT
@@ -197,29 +203,39 @@ object Branch {
     val bLatest = Snapshots.latest(spark, branchUrl)
     require(bLatest > 1, s"branch $branchUrl has no commits past " +
       "its fork — nothing to rebase")
-    val feed = delta(spark, branchUrl, keyCol)
+    // consumed by the conflict intersect, the clean anti-join, the
+    // resolver's `ours` semi-join, and the replay upsert — persist
+    // once (manifest-diff join plan, bounded by the branch's delta)
+    val feed = delta(spark, branchUrl, keyCol).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val mLatest = Snapshots.latest(spark, src)
     require(mLatest >= forkV,
       s"source $src is at v$mLatest, below the fork point v$forkV " +
         "— its history was vacuumed or rebuilt")
-    val conflictFrame =
-      if (mLatest == forkV) null
-      else feed.select(col(keyCol)).intersect(
-        Snapshots.changes(spark, src, keyCol, forkV, mLatest)
-          .select(col(keyCol)))
     val conflicts: Seq[Any] =
-      if (conflictFrame == null) Nil
+      if (mLatest == forkV) Nil
       else {
-        val rows = conflictFrame.limit(maxKeys + 1).collect()
+        val rows = feed.select(col(keyCol)).intersect(
+            Snapshots.changes(spark, src, keyCol, forkV, mLatest)
+              .select(col(keyCol)))
+          .limit(maxKeys + 1).collect()
         require(rows.length <= maxKeys,
           s"rebase: more than maxKeys=$maxKeys conflicting keys — " +
             "resolve upstream or raise the bound")
         rows.map(_.get(0)).toSeq
       }
     fork(spark, src, newBranchUrl, mLatest)
+    // conflict keys are on the driver (bounded by maxKeys): build the
+    // probe side locally instead of re-executing the intersect plan
+    // for every downstream join
     val confKeys =
-      if (conflictFrame == null) null
-      else broadcast(conflictFrame.withColumnRenamed(keyCol, "__ck"))
+      if (mLatest == forkV) null
+      else broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          conflicts.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          feed.schema(keyCol).copy(name = "__ck")))))
     val clean =
       if (confKeys == null) feed
       else feed.join(confKeys, col(keyCol) === col("__ck"),
@@ -255,5 +271,6 @@ object Branch {
       Snapshots.upsert(spark, newBranchUrl, updates, keyCol,
         deleteCol = Some("__merge_del"), maxKeys = maxKeys)
     (mLatest, conflicts)
+    } finally feed.unpersist()
   }
 }

@@ -778,11 +778,20 @@ object Snapshots {
     val upCols = updates.columns.toSeq.filterNot(deleteCol.contains)
     require(upCols.sorted == dataCols.sorted,
       s"update schema ${upCols.sorted} != store schema ${dataCols.sorted}")
-    val keyRows = updates.select(col(keyCol)).distinct()
+    // The update batch is consumed by THREE actions (distinct-key
+    // collect, duplicate-count check, the rewrite's union side) —
+    // without a persist each one re-executes the caller's whole
+    // plan (a CDC feed is several manifest-diff joins; measured 3×
+    // the batch plan per upsert on the lifecycle queries). Bounded
+    // by the maxKeys contract, so MEMORY_AND_DISK is safe
+    // (guide §1.2/§5: reused AND expensive to recompute).
+    val up = updates.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyRows = up.select(col(keyCol)).distinct()
       .limit(maxKeys + 1).collect()
     require(keyRows.length <= maxKeys,
       s"update batch exceeds maxKeys=$maxKeys distinct keys")
-    require(updates.count() == keyRows.length,
+    require(up.count() == keyRows.length,
       s"duplicate $keyCol values in the update batch")
     val keys = keyRows.map(_.get(0)).toSeq
     require(!keys.contains(null), s"null $keyCol in the update batch")
@@ -808,22 +817,33 @@ object Snapshots {
         }
       case None => parent.files
     }
-    val upserts = deleteCol
-      .map(d => updates.filter(!coalesce(col(d), lit(false))).drop(d))
-      .getOrElse(updates)
-      .select(dataCols.map(col): _*)
-    validateBatch(spark, root, url, upserts) // only NEW rows checked
-    val merged =
-      if (affected.isEmpty) upserts
-      else readEntriesEff(spark, root, affected, storeSchema,
-          parent.colmap)
-        .join(broadcast(updates.select(col(keyCol).as("__mk"))),
-          col(keyCol) === col("__mk"), "left_anti")
-        .unionByName(upserts)
-    val v = parent.version + 1
-    val rewritten = writeFiles(spark, root, merged, v,
-      math.max(1, affected.length), colmap = parent.colmap)
-    (parent, storeSchema, affected, rewritten)
+    try {
+      val upserts = deleteCol
+        .map(d => up.filter(!coalesce(col(d), lit(false))).drop(d))
+        .getOrElse(up)
+        .select(dataCols.map(col): _*)
+      validateBatch(spark, root, url, upserts) // only NEW rows checked
+      // anti-join build side from the ALREADY-COLLECTED keys (they
+      // are on the driver, bounded by maxKeys) — a broadcast of
+      // updates.select(keyCol) would re-execute the batch plan a
+      // fourth time for rows we are holding in hand
+      val keysDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          keyRows.map(r => org.apache.spark.sql.Row(r.get(0))).toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          updates.schema(keyCol).copy(name = "__mk"))))
+      val merged =
+        if (affected.isEmpty) upserts
+        else readEntriesEff(spark, root, affected, storeSchema,
+            parent.colmap)
+          .join(broadcast(keysDf), col(keyCol) === col("__mk"),
+            "left_anti")
+          .unionByName(upserts)
+      val v = parent.version + 1
+      val rewritten = writeFiles(spark, root, merged, v,
+        math.max(1, affected.length), colmap = parent.colmap)
+      (parent, storeSchema, affected, rewritten)
+    } finally up.unpersist()
   }
 
   /** Copy-on-write range DELETE — `DELETE FROM store WHERE field
