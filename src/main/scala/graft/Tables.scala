@@ -25,6 +25,17 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
 
+  /** Per-JVM cache of each fixture's parquet READ SCHEMA, keyed by
+    * (path, size, mtime) so a regenerated fixture re-infers. Schema
+    * inference opens a footer on every bare `spark.read.parquet` —
+    * a driver-side job per table reference that a 400-query bench
+    * pays hundreds of times for the same immutable files (guide §6:
+    * metadata caching; this caches no rows, no results — every query
+    * still scans the parquet data). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Defensive for externally-built sessions (e.g. the driver's
     // smoke-check) that didn't apply SessionConfs. Idempotent.
@@ -32,7 +43,12 @@ object Tables {
         !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    val schema = schemaCache.computeIfAbsent(
+      (path, f.length(), f.lastModified()),
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") tsToNanos(df) else df
   }
 

@@ -58,8 +58,12 @@ object FuzzyJoin {
         col("x.v") === col("y.v") && col("x.w") < col("y.w"))
       .select(col("x.w").as("word_a"), col("y.w").as("word_b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
-      .filter(col("dist") <= 1)
+      // threshold form (Spark 3.5+): banded DP, exact within the
+      // bound, -1 beyond it — O(len) per pair instead of O(len²) on
+      // the verify, the candidate set's dominant per-row cost.
+      // Distinct words have dist >= 1, so === 1 is the same filter.
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b"), 1))
+      .filter(col("dist") === 1)
   }
 
   /** Sorted-neighborhood blocking (Hernández & Stolfo 1997): rank
@@ -94,8 +98,11 @@ object FuzzyJoin {
       .withColumn("__rk2", col("__rk") + col("__o"))
       .join(ranked.select(col("w").as("word_b"),
         col("__rk").as("__rk2")), "__rk2")
-      .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
-      .filter(col("dist") <= maxDist)
+      // threshold form: banded DP, exact within maxDist (see
+      // [[typoPairs]]); candidates are distinct words, so dist >= 1
+      .withColumn("dist",
+        levenshtein(col("word_a"), col("word_b"), maxDist))
+      .filter(col("dist") >= 1 && col("dist") <= maxDist)
       .select(col("word_a"), col("word_b"), col("dist"))
   }
 }
