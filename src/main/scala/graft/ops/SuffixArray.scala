@@ -14,19 +14,21 @@ import org.apache.spark.sql.functions._
   *
   * Scale design — prefix doubling (Manber–Myers, the classic
   * O(n log n) construction re-expressed in joins):
-  *   - round 0 ranks fixed-width prefix blocks (16 chars — the
-  *     block strings order exactly like 16-char suffix prefixes, so
-  *     the doubling starts at width 16 and skips four rounds);
+  *   - round 0 ranks fixed-width prefix blocks (32 chars — the
+  *     block strings order exactly like 32-char suffix prefixes, so
+  *     the doubling starts at width 32 and skips five rounds);
   *   - round m replaces each suffix's key by the integer PAIR
   *     (rank of its first w chars, rank of the next w chars) and
-  *     re-ranks, doubling w — after ceil(log2(maxLen/16)) rounds
+  *     re-ranks, doubling w — after ceil(log2(maxLen/32)) rounds
   *     the ranks order full suffixes lexicographically.
   * Strings are touched ONLY in round 0; every later round shuffles
   * fixed-width integer tuples — at 100 TB no long-string comparison
   * ever crosses the wire, which is the whole point vs sorting
-  * suffix strings directly. Each round is: distinct pair keys →
-  * [[Ranking.withGlobalIndex]] (range shuffle, no single-task
-  * window) → two hash joins on (doc, pos). Rounds pin their frame as
+  * suffix strings directly. Each round is: the pairing self-join on
+  * (doc, pos), then ONE range shuffle assigning dense ranks
+  * ([[Ranking.withDenseRank]], r19 — replacing the
+  * distinct → global-index → join-back shape that shuffled the full
+  * table three times per round). Rounds pin their frame as
   * an InternalRow RDD ([[Dedup.clusters]]' lineage-truncation idiom)
   * so the plan tree stays flat, and stop early once every suffix
   * holds a distinct rank (one tiny agg action per round).
