@@ -129,11 +129,39 @@ object Ranking {
     * call — the prefix-doubling rounds' dominant cost (guide §2.4:
     * remove shuffles outright). Results are identical: dense ranks
     * are defined by the key order alone. Null keys compare equal to
-    * each other (dense_rank semantics). */
+    * each other (dense_rank semantics).
+    *
+    * SKEW caveat: the FULL table range-partitions by the keys, and
+    * equal keys must share a partition (the correctness invariant),
+    * so the mass of any one key value is a single-partition lower
+    * bound — a near-constant key degrades a pass to one task. Fine
+    * for keys that refine toward distinct (the suffix-array rounds);
+    * for low-cardinality keys prefer the distinct-then-rank-then-
+    * join-back shape, which hash-distributes the duplicates.
+    *
+    * Key types: ATOMIC, non-binary columns only (enforced loudly).
+    * The run detector compares key values with `equals` on a copied
+    * previous key — `Array[Byte]` (reference equality) or nested
+    * struct/array/map values (reused UnsafeRow buffers) would
+    * silently inflate ranks instead. */
   def withDenseRank(df: DataFrame, keyCols: Seq[String],
       outCol: String): DataFrame = {
     require(keyCols.nonEmpty, "dense rank needs at least one key column")
     import org.apache.spark.sql.functions.col
+    keyCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      val unsupported = dt match {
+        case org.apache.spark.sql.types.BinaryType => true
+        case _: org.apache.spark.sql.types.StructType => true
+        case _: org.apache.spark.sql.types.ArrayType => true
+        case _: org.apache.spark.sql.types.MapType => true
+        case _ => false
+      }
+      require(!unsupported,
+        s"withDenseRank key $c is $dt — only atomic, non-binary key " +
+          "columns are supported (binary/struct/array/map values " +
+          "would compare by reference and inflate ranks)")
+    }
     val sorted = df.repartitionByRange(keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
     val rdd = ColumnBridge.internalRdd(sorted)

@@ -52,7 +52,16 @@ object SuffixArray {
     * under corpus-wide lexicographic order. Empty/null texts yield
     * no rows. */
   def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
-      maxLen: Int, maxRounds: Int = 40): DataFrame = {
+      maxLen: Int, maxRounds: Int = 40): DataFrame =
+    suffixRanksCounted(docs, idCol, textCol, maxLen, maxRounds)._1
+
+  /** [[suffixRanks]] plus the suffix-row count the construction
+    * already pays for (the round-0 pin's count action) — callers
+    * that SIZE-SWITCH on the suffix table ([[crossDocShared]]) read
+    * it here instead of paying a second count. */
+  private[ops] def suffixRanksCounted(docs: DataFrame, idCol: String,
+      textCol: String, maxLen: Int,
+      maxRounds: Int = 40): (DataFrame, Long) = {
     require(maxLen >= 1, s"maxLen must be >= 1 (got $maxLen)")
     import org.apache.spark.sql.graftbridge.ColumnBridge
     // per-round lineage truncation ([[ColumnBridge.pinned]])
@@ -135,9 +144,9 @@ object SuffixArray {
     // width covers maxLen the ranks ARE the dense suffix order.
     // Rewrap onto the CALLER's session so downstream plans keep its
     // full width (the Dedup.clusters exit discipline).
-    ColumnBridge.internalCreateDataFrame(spark, curRdd, cur.schema)
+    (ColumnBridge.internalCreateDataFrame(spark, curRdd, cur.schema)
       .select(col("__doc").as(idCol), col("pos").cast("long").as("pos"),
-        (col("__rnk") + 1).as("rnk"))
+        (col("__rnk") + 1).as("rnk")), total)
   }
 
   /** Dense 0-based rank of `keyCols` tuples appended as `__rnk` —
@@ -219,10 +228,11 @@ object SuffixArray {
       maxLen: Int, minLen: Int): DataFrame = {
     require(minLen >= 1 && minLen <= maxLen,
       s"need 1 <= minLen <= maxLen, got $minLen/$maxLen")
-    val ranks = suffixRanks(docs, idCol, textCol, maxLen)
+    val (ranks, nSuffixes) =
+      suffixRanksCounted(docs, idCol, textCol, maxLen)
     val idx = Ranking.withGlobalIndex(ranks,
       Seq(col("rnk"), col(idCol), col("pos")), "__idx")
-    val pairs = idx
+    val pairs0 = idx
       .select(col(idCol).as("__da"), col("pos").as("__pa"), col("__idx"))
       .join(idx.select(col(idCol).as("__db"), col("pos").as("__pb"),
         (col("__idx") - 1).as("__idx")), Seq("__idx"))
@@ -236,10 +246,37 @@ object SuffixArray {
         col("__t"))
       .select(col("__doc"), col("__pos").cast("long").as("__pos"),
         expr("substring(__t, __pos)").as("__suf"))
+    // SIZE SWITCH (guide §2.3 / §8: shuffle keys, not payloads, once
+    // the payload is the bill): the two verify joins below shuffle
+    // the FULL suffix-string table twice. Below the threshold that
+    // is cheaper than any reduction (measured r19: the semi-join
+    // orchestration LOST at sf0.1 — 9.7 s vs 8.8 s, so the declared
+    // queries keep this arm); above it the strings dominate the
+    // exchanges, so the boundary-pair POSITIONS (integer keys) first
+    // semi-join-reduce the suffix table to the ~2 rows per boundary
+    // the LCP verify actually reads, and only the reduced strings
+    // ever shuffle. The extra pairs0 references re-run integer-only
+    // subplans over the PINNED ranks RDD — deliberately cheaper at
+    // scale than double-shuffling corpus-sized strings, and no
+    // persist means no session-lifetime cache to leak.
+    val stringsOnce = nSuffixes > docs.sparkSession.conf
+      .get("spark.graft.crossDocStringsOnceRows", (64L << 20).toString)
+      .toLong
+    val (pairs, sufA, sufB) =
+      if (!stringsOnce) (pairs0, sufs, sufs)
+      else {
+        val needed = pairs0.select(col("__da").as("__doc"),
+            col("__pa").as("__pos"))
+          .unionByName(pairs0.select(col("__db").as("__doc"),
+            col("__pb").as("__pos")))
+          .distinct()
+        val slim = sufs.join(needed, Seq("__doc", "__pos"), "left_semi")
+        (pairs0, slim, slim)
+      }
     pairs
-      .join(sufs.select(col("__doc").as("__da"), col("__pos").as("__pa"),
+      .join(sufA.select(col("__doc").as("__da"), col("__pos").as("__pa"),
         col("__suf").as("__sa")), Seq("__da", "__pa"))
-      .join(sufs.select(col("__doc").as("__db"), col("__pos").as("__pb"),
+      .join(sufB.select(col("__doc").as("__db"), col("__pos").as("__pb"),
         col("__suf").as("__sb")), Seq("__db", "__pb"))
       .select(least(col("__da"), col("__db")).as("doc_a"),
         greatest(col("__da"), col("__db")).as("doc_b"),

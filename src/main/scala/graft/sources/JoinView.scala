@@ -302,24 +302,28 @@ object JoinView {
         factNow.join(affected, Seq(m.factKey), "left_semi")) {
       case (acc, (d, jk)) => acc.join(d, Seq(jk), "inner") }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val curAligned = current
-      .select(viewSchema.fieldNames.toSeq.map(col): _*)
-      .withColumn("__del", lit(false))
-    val delRows = affected
-      .join(current.select(col(m.factKey)), Seq(m.factKey),
-        "left_anti")
-      .select(viewSchema.fields.toSeq.map { f =>
-        if (f.name == m.factKey) col(m.factKey)
-        else lit(null).cast(f.dataType).as(f.name)
-      }: _*)
-      .withColumn("__del", lit(true))
-    val v = Snapshots.upsert(spark, viewUrl,
-      curAligned.unionByName(delRows), m.factKey,
-      deleteCol = Some("__del"), bloomIndexUrl = bloomIndexUrl,
-      maxKeys = maxKeys)
-    bloomIndexUrl.foreach(idx =>
-      RowGroupIndex.updateBloom(spark, viewUrl, Seq(m.factKey), idx))
-    affected.unpersist(); current.unpersist()
+    // try starts immediately after the persists so every exit path
+    // (upsert contract refusals included) reaches the unpersists
+    val v = try {
+      val curAligned = current
+        .select(viewSchema.fieldNames.toSeq.map(col): _*)
+        .withColumn("__del", lit(false))
+      val delRows = affected
+        .join(current.select(col(m.factKey)), Seq(m.factKey),
+          "left_anti")
+        .select(viewSchema.fields.toSeq.map { f =>
+          if (f.name == m.factKey) col(m.factKey)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+        .withColumn("__del", lit(true))
+      val committed = Snapshots.upsert(spark, viewUrl,
+        curAligned.unionByName(delRows), m.factKey,
+        deleteCol = Some("__del"), bloomIndexUrl = bloomIndexUrl,
+        maxKeys = maxKeys)
+      bloomIndexUrl.foreach(idx =>
+        RowGroupIndex.updateBloom(spark, viewUrl, Seq(m.factKey), idx))
+      committed
+    } finally { affected.unpersist(); current.unpersist() }
     writeMeta(spark, viewUrl, m.copy(factV = fv, dimVs = dvs),
       overwrite = true)
     v

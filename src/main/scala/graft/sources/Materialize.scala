@@ -283,13 +283,16 @@ object Materialize {
     val upCols = updates.columns.toSeq.filterNot(deleteCol.contains)
     require(upCols.sorted == dataCols.sorted,
       s"update schema ${upCols.sorted} != store schema ${dataCols.sorted}")
-    val keyRows = updates.select(col(keyCol)).distinct()
+    // ONE action answers both contract questions: group by key and
+    // collect (key, multiplicity) — distinct-key cardinality vs
+    // maxKeys AND duplicate detection from the same result set
+    val keyRows = updates.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"))
       .limit(maxKeys + 1).collect()
     require(keyRows.length <= maxKeys,
       s"update batch exceeds maxKeys=$maxKeys distinct keys — " +
         "compact the changelog first")
-    // under the cap, keyRows.length IS the distinct-key count
-    require(updates.count() == keyRows.length,
+    require(keyRows.forall(_.getLong(1) == 1L),
       s"duplicate $keyCol values in the update batch")
     val keys = keyRows.map(_.get(0)).toSeq
     require(!keys.contains(null), s"null $keyCol in the update batch")
@@ -311,10 +314,18 @@ object Materialize {
         .drop(d))
       .getOrElse(updates)
       .select(dataCols.map(col): _*)
+    // anti-join build side from the ALREADY-COLLECTED keys (driver-
+    // held, bounded by maxKeys) — broadcasting updates.select(keyCol)
+    // would execute the batch plan again for rows we hold in hand
+    val keysDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        keyRows.map(r => org.apache.spark.sql.Row(r.get(0))).toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        updates.schema(keyCol).copy(name = "__mk"))))
     val merged =
       if (affected.isEmpty) upserts
       else spark.read.parquet(affected: _*)
-        .join(broadcast(updates.select(col(keyCol).as("__mk"))),
+        .join(broadcast(keysDf),
           col(keyCol) === col("__mk"), "left_anti")
         .unionByName(upserts)
     val tmp = new Path(root, "_merge_tmp")

@@ -126,11 +126,15 @@ object RowGroupIndex {
   /** Incremental bloom refresh for append-only/merged stores — the
     * [[Materialize.updateMetadata]] move applied to the bloom
     * sidecar: only files ABSENT from the existing index are scanned
-    * and bloomed; entries for files that vanished (compaction,
-    * [[Materialize.mergeUpsert]] rewrites) are pruned against the
-    * current listing. Batch k of a landing stream costs O(new
-    * files), not O(store) — the full [[buildBloom]] rescan made an
-    * append-only store's cumulative index cost quadratic. Geometry
+    * and bloomed, and their rows APPEND as a new generation part
+    * ([[SidecarDelta]]) — O(new files) scanned AND written per call;
+    * rows for files that vanished (compaction,
+    * [[Materialize.mergeUpsert]] rewrites) are harmless to every
+    * probe (pruning intersects the live listing) and are dropped
+    * when the generation fold runs. Batch k of a landing stream
+    * costs O(new files), not O(store) — the full [[buildBloom]]
+    * rescan made an append-only store's cumulative index cost
+    * quadratic. Geometry
     * (`expectedPerFile`, fpp) must match the original build (Spark
     * bloom merge and probe semantics are geometry-bound); `fields`
     * must equal the built fields — both enforced against the
@@ -160,24 +164,20 @@ object RowGroupIndex {
     val currentNorm = current.map(norm).toSet
     val fresh = current.filter(f =>
       fields.exists(fl => !known.contains((fl, norm(f)))))
-    // survivors: entries whose file still exists AND is not being
-    // rescanned — a rescan re-emits EVERY field's row for the file
-    // (bloomRowsFor's marker contract), so keeping a partial older
-    // row would accumulate duplicate (field, file) entries
-    val freshNorm = fresh.map(norm).toSet
-    val keep = existing.filter(
-      udfFileKept(currentNorm -- freshNorm)(col("file")))
-    val freshRows =
-      if (fresh.isEmpty) None
-      else Some(bloomRowsFor(spark, fresh, fields, expectedPerFile,
-        fpp))
-    val merged = freshRows.map(keep.unionByName(_)).getOrElse(keep)
-    // stage-and-swap: the sidecar is tiny, rewrite atomically-enough
-    val tmp = new org.apache.hadoop.fs.Path(indexUrl + "__tmp")
-    fs.delete(tmp, true)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(idxPath, true)
-    require(fs.rename(tmp, idxPath), s"rename failed for $indexUrl")
+    // DELTA-GENERATION write ([[SidecarDelta]]): append only the
+    // fresh files' rows as a new part — O(new files) per refresh,
+    // never a whole-sidecar rewrite. Bloom rows are write-once per
+    // (field, file) (covered files are never rescanned), readers
+    // union all generations, and duplicate/vanished rows are
+    // harmless to every probe (admitted sets union; pruning always
+    // intersects the live listing) — the fold below bounds what
+    // they can accumulate and drops both.
+    if (fresh.nonEmpty)
+      bloomRowsFor(spark, fresh, fields, expectedPerFile, fpp)
+        .coalesce(1).write.mode("append").parquet(indexUrl)
+    SidecarDelta.compactIfNeeded(spark, fs, idxPath, df =>
+      df.filter(udfFileKept(currentNorm)(col("file")))
+        .dropDuplicates("field", "file"))
   }
 
   private def udfFileKept(currentNorm: Set[String]) = {

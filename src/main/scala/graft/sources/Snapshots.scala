@@ -93,13 +93,42 @@ object Snapshots {
     vs.last
   }
 
+  // Manifests are WRITE-ONCE (commit claims the slot exclusively —
+  // hard-link/exclusive-rename — and nothing ever rewrites one), so
+  // a parsed Snap caches by file identity (path, mtime, length): the
+  // Tables schema-cache doctrine applied to the manifest walk. The
+  // lifecycle paths re-resolve the same manifests dozens of times
+  // per operation (snap → slurp → base64 → DataType.fromJson each
+  // call); the cache turns those into one getFileStatus. Bounded
+  // LRU; a vacuum-deleted manifest misses getFileStatus and fails
+  // exactly as before (no stale resurrection — identity is checked
+  // against the live file every call).
+  private val SnapCacheMax = 4096
+  private val snapCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), Snap](
+        256, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Snap]): Boolean =
+        size() > SnapCacheMax
+    })
+
   /** Resolve one manifest (the whole read path goes through here). */
   def snap(spark: SparkSession, url: String, version: Int): Snap = {
     val (fs, root) = fsOf(spark, url)
     val p = manifestPath(root, version)
-    require(fs.exists(p), s"no snapshot v$version at $url " +
+    val st =
+      try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    require(st.isDefined, s"no snapshot v$version at $url " +
       s"(versions: ${versions(spark, url).mkString(",")})")
-    parseManifest(SidecarJson.slurp(fs, p))
+    val key = (p.toString, st.get.getModificationTime, st.get.getLen)
+    val hit = snapCache.get(key)
+    if (hit != null) hit
+    else {
+      val s = parseManifest(SidecarJson.slurp(fs, p))
+      snapCache.put(key, s)
+      s
+    }
   }
 
   /** Manifest JSON is self-authored (names come from [[commit]]'s
@@ -582,11 +611,22 @@ object Snapshots {
     var attempts = 0
     var out = -1
     while (out < 0) {
-      dedupOp.flatMap(o => versions(spark, url)
+      // ONE directory listing per attempt feeds BOTH the dedup check
+      // and the parent resolution. Listing twice left an exactly-once
+      // hole: a twin could pass the dedup check before its rival's
+      // commit landed, then resolve the parent AFTER it landed —
+      // targeting a later free slot, committing a SECOND `op` version
+      // with no race to lose. From one listing, seeing the later
+      // parent implies seeing the rival's manifest in the same list,
+      // so the dedup check catches it; not seeing it means both
+      // target the same slot and the claim's exclusivity decides.
+      val vs = versions(spark, url)
+      require(vs.nonEmpty, s"no snapshot store at $url")
+      dedupOp.flatMap(o => vs
           .find(v => snap(spark, url, v).op == o)) match {
         case Some(v) => out = v
         case None =>
-          val parent = snap(spark, url, latest(spark, url))
+          val parent = snap(spark, url, vs.max)
           // staged files carry stagedColmap's PHYSICAL names; a
           // rename/drop interleaving the race would make them stale
           require(parent.colmap == stagedColmap,
@@ -778,46 +818,53 @@ object Snapshots {
     val upCols = updates.columns.toSeq.filterNot(deleteCol.contains)
     require(upCols.sorted == dataCols.sorted,
       s"update schema ${upCols.sorted} != store schema ${dataCols.sorted}")
-    // The update batch is consumed by THREE actions (distinct-key
-    // collect, duplicate-count check, the rewrite's union side) —
-    // without a persist each one re-executes the caller's whole
-    // plan (a CDC feed is several manifest-diff joins; measured 3×
-    // the batch plan per upsert on the lifecycle queries). Bounded
-    // by the maxKeys contract, so MEMORY_AND_DISK is safe
-    // (guide §1.2/§5: reused AND expensive to recompute).
+    // The update batch is consumed by multiple actions (the key
+    // contract check, the rewrite's union side) — without a persist
+    // each one re-executes the caller's whole plan (a CDC feed is
+    // several manifest-diff joins; measured 3× the batch plan per
+    // upsert on the lifecycle queries). Bounded by the maxKeys
+    // contract, so MEMORY_AND_DISK is safe (guide §1.2/§5: reused
+    // AND expensive to recompute). The try starts IMMEDIATELY so
+    // every exit path — including the contract requires below —
+    // reaches the unpersist.
     val up = updates.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keyRows = up.select(col(keyCol)).distinct()
-      .limit(maxKeys + 1).collect()
-    require(keyRows.length <= maxKeys,
-      s"update batch exceeds maxKeys=$maxKeys distinct keys")
-    require(up.count() == keyRows.length,
-      s"duplicate $keyCol values in the update batch")
-    val keys = keyRows.map(_.get(0)).toSeq
-    require(!keys.contains(null), s"null $keyCol in the update batch")
-    val affected: Seq[String] = bloomIndexUrl match {
-      case Some(idx) =>
-        val (sel, covered) =
-          RowGroupIndex.bloomProbe(spark, url, idx, keyCol, keys)
-        val selNames = sel.map(f => new Path(f).getName).toSet
-        // Staleness guard: the sidecar only prunes files it has
-        // actually indexed. A live file with NO index row (committed
-        // after the last updateBloom — e.g. snapshotSink refreshes
-        // stats but not blooms) might hold matching keys, and
-        // treating it as unaffected would leave duplicate keys in
-        // the new version. Uncovered live files are conservatively
-        // affected: correctness never depends on sidecar freshness,
-        // pruning quality does. One sidecar scan serves both halves.
-        // Blooms index the PHYSICAL data file, so a composite MoR
-        // entry probes on its data-file name (conservative: a bloom
-        // hit on a DV-deleted row admits the entry, never drops it).
-        parent.files.filter { e =>
-          val d = splitEntry(e)._1
-          selNames.contains(d) || !covered.contains(d)
-        }
-      case None => parent.files
-    }
     try {
+      // ONE action answers both contract questions: group by key and
+      // collect (key, multiplicity) — distinct-key cardinality vs
+      // maxKeys AND duplicate detection from the same result set (the
+      // r19 shape paid a second full pass for `up.count()`).
+      val keyRows = up.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("__n"))
+        .limit(maxKeys + 1).collect()
+      require(keyRows.length <= maxKeys,
+        s"update batch exceeds maxKeys=$maxKeys distinct keys")
+      require(keyRows.forall(_.getLong(1) == 1L),
+        s"duplicate $keyCol values in the update batch")
+      val keys = keyRows.map(_.get(0)).toSeq
+      require(!keys.contains(null), s"null $keyCol in the update batch")
+      val affected: Seq[String] = bloomIndexUrl match {
+        case Some(idx) =>
+          val (sel, covered) =
+            RowGroupIndex.bloomProbe(spark, url, idx, keyCol, keys)
+          val selNames = sel.map(f => new Path(f).getName).toSet
+          // Staleness guard: the sidecar only prunes files it has
+          // actually indexed. A live file with NO index row (committed
+          // after the last updateBloom — e.g. snapshotSink refreshes
+          // stats but not blooms) might hold matching keys, and
+          // treating it as unaffected would leave duplicate keys in
+          // the new version. Uncovered live files are conservatively
+          // affected: correctness never depends on sidecar freshness,
+          // pruning quality does. One sidecar scan serves both halves.
+          // Blooms index the PHYSICAL data file, so a composite MoR
+          // entry probes on its data-file name (conservative: a bloom
+          // hit on a DV-deleted row admits the entry, never drops it).
+          parent.files.filter { e =>
+            val d = splitEntry(e)._1
+            selNames.contains(d) || !covered.contains(d)
+          }
+        case None => parent.files
+      }
       val upserts = deleteCol
         .map(d => up.filter(!coalesce(col(d), lit(false))).drop(d))
         .getOrElse(up)
@@ -988,9 +1035,14 @@ object Snapshots {
       val kept = scanned.filter(!coalesce(pred(storeSchema),
         lit(false)))
       // stats admission is conservative (files without a stats row
-      // must-read) — a band-sized row count keeps a no-match delete
-      // a TRUE no-op instead of an empty rewrite commit
-      if (kept.count() == scanned.count()) return parent.version
+      // must-read) — a band-sized match count keeps a no-match
+      // delete a TRUE no-op instead of an empty rewrite commit.
+      // ONE action over the persisted scan (the r19 shape paid a
+      // kept.count + scanned.count pair).
+      val matches = scanned.agg(count(when(
+        coalesce(pred(storeSchema), lit(false)), lit(1))).as("m"))
+        .collect()(0).getLong(0)
+      if (matches == 0L) return parent.version
       val v = parent.version + 1
       // re-cluster the survivors on the delete field: a round-robin
       // rewrite would give every new file a full-width band and
@@ -1484,41 +1536,59 @@ object Snapshots {
       if (entries.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else readEntriesEff(spark, root, entries, schema, cm)
-    val added = readOr(addedF, toSnap.colmap).alias("__a")
-    val dropped = readOr(droppedF, dropColmap).alias("__d")
+    val added = readOr(addedF, toSnap.colmap)
+    val dropped = readOr(droppedF, dropColmap)
     val valueCols = schema.fieldNames.filterNot(_ == keyCol).toSeq
-    // rows co-resident in a rewritten file land in added files with
-    // UNCHANGED values (upsert rewrites whole affected files); the
-    // null-safe whole-tuple anti-join removes them, leaving a
-    // value-level-exact feed
-    val tupleEq = schema.fieldNames
-      .map(c => col(s"__a.$c") <=> col(s"__d.$c")).reduce(_ && _)
-    val touched = added.join(dropped, tupleEq, "left_anti")
-    val changedNew = touched.join(
-      dropped.select(col(keyCol).as("__ok")).distinct(),
-      col(keyCol) === col("__ok"), "left")
-      .withColumn("_change",
-        when(col("__ok").isNotNull, lit("update"))
+    // SINGLE-SCAN diff: each file set is scanned exactly once (the
+    // r19 shape referenced `added` 2-3x and `dropped` 3-4x — tuple
+    // anti-join + key-distinct probes + the includeOld pre-image arm
+    // each re-read the changed files). Both sides union under a side
+    // marker; ONE hash exchange on the key then serves both window
+    // partitionings (the tuple partitioning refines the key's), and
+    // every row classifies independently:
+    //  - rows co-resident in a rewritten file land in added files
+    //    with UNCHANGED values; a dropped row with the identical
+    //    whole tuple exists, so tuple-window counts cancel them
+    //    (window partitioning groups nulls together = the old
+    //    null-safe <=> anti-join semantics);
+    //  - key-window counts decide insert vs update vs delete with
+    //    the old joins' NULL-UNSAFE `===` semantics preserved by the
+    //    explicit null-key guards (a null-key added row is an
+    //    insert, a null-key dropped row a delete — never a pair).
+    // Each input row yields at most ONE output row, so no leg union
+    // re-references the scans.
+    val un = added.withColumn("__side", lit(1))
+      .unionByName(dropped.withColumn("__side", lit(0)))
+    import org.apache.spark.sql.expressions.Window
+    val wKey = Window.partitionBy(col(keyCol))
+    val wTuple = Window.partitionBy(schema.fieldNames.map(col): _*)
+    val addSide = when(col("__side") === 1, lit(1))
+    val dropSide = when(col("__side") === 0, lit(1))
+    // key-window first: its hash(key) exchange also satisfies the
+    // tuple window's clustering (key ⊆ tuple), so the plan carries
+    // ONE Exchange and two sorts, never two exchanges
+    val keyed = un
+      .withColumn("__ak", count(addSide).over(wKey))
+      .withColumn("__dk", count(dropSide).over(wKey))
+    val counted = keyed
+      .withColumn("__at", count(addSide).over(wTuple))
+      .withColumn("__dt", count(dropSide).over(wTuple))
+    val oldArm =
+      if (includeOld)
+        when(col("__at") === 0, lit("update_old"))
+          .otherwise(lit(null).cast("string"))
+      else lit(null).cast("string")
+    val change = when(col("__side") === 1,
+        when(col("__dt") > 0, lit(null).cast("string"))
+          .when(col(keyCol).isNotNull && col("__dk") > 0,
+            lit("update"))
           .otherwise(lit("insert")))
-      .drop("__ok")
-    val deleted = dropped
-      .join(added.select(col(keyCol).as("__nk")).distinct(),
-        col(keyCol) === col("__nk"), "left_anti")
-      .withColumn("_change", lit("delete"))
-    val base = changedNew.unionByName(deleted)
-    val all =
-      if (!includeOld) base
-      else {
-        // pre-images: dropped-side rows whose tuple changed AND
-        // whose key survived into the new version
-        val touchedOld = dropped.join(added, tupleEq, "left_anti")
-        val updateOld = touchedOld.join(
-          added.select(col(keyCol).as("__nk")).distinct(),
-          col(keyCol) === col("__nk"), "left_semi")
-          .withColumn("_change", lit("update_old"))
-        base.unionByName(updateOld)
-      }
-    all.select((keyCol +: valueCols).map(col) :+ col("_change"): _*)
+      .otherwise(
+        when(col(keyCol).isNull || col("__ak") === 0, lit("delete"))
+          .otherwise(oldArm))
+    counted.withColumn("_change", change)
+      .filter(col("_change").isNotNull)
+      .select((keyCol +: valueCols).map(col) :+ col("_change"): _*)
   }
 
   // ------------------------------------------------------------------
@@ -1975,18 +2045,37 @@ object Snapshots {
         coalesce(col("n_null"), lit(0L)).as("n_null"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
         col("sum_v"))
-    // legacy sidecars lack the string-band columns: union-by-name
-    // with null fill (their rows are all long bands, so null is
-    // exactly what assembly would have written)
-    val merged = existing.map(
-        _.unionByName(freshRows, allowMissingColumns = true))
-      .getOrElse(freshRows)
-    // stage-and-swap: the sidecar is O(files), tiny next to the data
-    val tmp = new Path(statsDir(root), "filestats__tmp")
-    fs.delete(tmp, true)
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(sp, true)
-    require(fs.rename(tmp, sp), s"rename failed for $sp")
+    existing match {
+      case Some(e)
+          if e.schema.fields.map(f => (f.name, f.dataType)).toSet ==
+            freshRows.schema.fields.map(f => (f.name, f.dataType))
+              .toSet =>
+        // DELTA-GENERATION write ([[SidecarDelta]]): append the
+        // fresh files' rows as a new part — O(new files) per
+        // refresh, never a whole-sidecar rewrite (the r19 shape made
+        // a streaming store's cumulative stats cost quadratic over
+        // epochs). Stats rows are write-once per (file, field) —
+        // covered files are never rescanned — so readers union the
+        // generations; the fold bounds part count, and vanished-file
+        // rows retire in [[pruneStats]] on vacuum as before.
+        freshRows.coalesce(1).write.mode("append").parquet(sp.toString)
+        SidecarDelta.compactIfNeeded(spark, fs, sp)
+      case other =>
+        // creation — or a LEGACY sidecar whose parts predate the
+        // current row shape (no string bands / sum_v): mixed-schema
+        // parts under one directory would make the plain parquet
+        // read's footer choice arbitrary, so fold once via the old
+        // union-by-name stage-and-swap (null fill is exactly what
+        // assembly would have written for the missing bands)
+        val merged = other.map(
+            _.unionByName(freshRows, allowMissingColumns = true))
+          .getOrElse(freshRows)
+        val tmp = new Path(statsDir(root), "filestats__tmp")
+        fs.delete(tmp, true)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(sp, true)
+        require(fs.rename(tmp, sp), s"rename failed for $sp")
+    }
     fresh.length
   }
 
@@ -2870,10 +2959,17 @@ object Snapshots {
     val live = versions(spark, url)
       .flatMap(v => snap(spark, url, v).files).toSet
     val existing = spark.read.parquet(sp.toString)
-    val keepUdf = udf((f: String) => live.contains(f))
-    val kept = existing.filter(keepUdf(col("file")))
-    val dropped = existing.count() - kept.count()
+    // broadcast anti/semi joins, not an interpreted `contains` UDF
+    // (guide §4: codegen'd join probes; the live set is O(files),
+    // driver-held either way) — and ONE count action decides the
+    // no-op, not a total minus kept pair
+    import spark.implicits._
+    val liveDf = live.toSeq.toDF("file")
+    val dropped = existing
+      .join(broadcast(liveDf), Seq("file"), "left_anti").count()
     if (dropped == 0L) return 0L
+    val kept = existing
+      .join(broadcast(liveDf), Seq("file"), "left_semi")
     val tmp = new Path(statsDir(root), "filestats__tmp")
     fs.delete(tmp, true)
     kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)

@@ -114,13 +114,22 @@ object VectorIndex {
     val withMarkers = frame.join(freshRows, Seq("entry"), "left")
       .select(col("entry"), col("bucket"),
         coalesce(col("n"), lit(0L)).as("n"))
-    val merged = existing
-      .map(_.unionByName(withMarkers)).getOrElse(withMarkers)
-    val tmp = new Path(vecDir(root), "postings__tmp")
-    fs.delete(tmp, true)
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(pp, true)
-    require(fs.rename(tmp, pp), s"rename failed for $pp")
+    // DELTA-GENERATION write ([[SidecarDelta]]): append the fresh
+    // entries' rows as a new part — O(new files) per refresh, never
+    // a whole-sidecar rewrite. Posting rows are write-once per entry
+    // (covered entries are never rescanned), readers union all
+    // generations; the fold prunes rows whose entry no manifest
+    // lists any more (same liveness rule as [[prunePostings]]).
+    if (existing.isEmpty)
+      withMarkers.coalesce(1).write.mode("overwrite")
+        .parquet(pp.toString)
+    else {
+      withMarkers.coalesce(1).write.mode("append").parquet(pp.toString)
+      lazy val live = Snapshots.versions(spark, url)
+        .flatMap(vv => Snapshots.snap(spark, url, vv).files).toSet
+      SidecarDelta.compactIfNeeded(spark, fs, pp,
+        df => df.filter(col("entry").isin(live.toSeq: _*)))
+    }
     freshE.length
   }
 
@@ -172,22 +181,32 @@ object VectorIndex {
     rankedCells(loadCentroids(spark, root), quantize(queryEmb), nprobe)
   }
 
-  /** ONE postings-sidecar read → (covered entry set, entry → posted
-    * cells). None when the sidecar does not exist. */
-  private def loadPostings(spark: SparkSession, root: Path)
-      : Option[(Set[String], Map[String, Set[Any]])] = {
+  /** ONE postings-sidecar read → the raw (entry, bucket, n) rows.
+    * None when the sidecar does not exist. Every driver-side view of
+    * the postings ([[loadPostings]], [[health]]'s mass histogram)
+    * derives from this single collect — never a second sidecar
+    * scan. */
+  private def loadPostingRows(spark: SparkSession, root: Path)
+      : Option[Array[org.apache.spark.sql.Row]] = {
     val pp = postingsPath(root)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(pp)) return None
-    val rows = spark.read.parquet(pp.toString)
-      .select(col("entry"), col("bucket"), col("n")).collect()
-    val covered = rows.map(_.getString(0)).toSet
-    val posted = rows
-      .filter(r => !r.isNullAt(2) && r.getLong(2) > 0L)
-      .groupBy(_.getString(0))
-      .map { case (e, rs) => e -> rs.map(_.get(1)).toSet }
-    Some((covered, posted))
+    Some(spark.read.parquet(pp.toString)
+      .select(col("entry"), col("bucket"), col("n")).collect())
   }
+
+  /** (covered entry set, entry → posted cells); None when the
+    * sidecar does not exist. */
+  private def loadPostings(spark: SparkSession, root: Path)
+      : Option[(Set[String], Map[String, Set[Any]])] =
+    loadPostingRows(spark, root).map { rows =>
+      val covered = rows.map(_.getString(0)).toSet
+      val posted = rows
+        .filter(r => !r.isNullAt(2) && r.getLong(2) > 0L)
+        .groupBy(_.getString(0))
+        .map { case (e, rs) => e -> rs.map(_.get(1)).toSet }
+      (covered, posted)
+    }
 
   private def pruneByCells(spark: SparkSession, root: Path,
       entries: Seq[String], cells: Set[Any]): Seq[String] =
@@ -462,10 +481,17 @@ object VectorIndex {
     val live = Snapshots.versions(spark, url)
       .flatMap(v => Snapshots.snap(spark, url, v).files).toSet
     val existing = spark.read.parquet(pp.toString)
-    val keepUdf = udf((e: String) => live.contains(e))
-    val kept = existing.filter(keepUdf(col("entry")))
-    val dropped = existing.count() - kept.count()
+    // broadcast anti/semi joins, not an interpreted `contains` UDF
+    // (guide §4: codegen'd join probes; the live set is O(files),
+    // driver-held either way) — and ONE count action decides the
+    // no-op, not a total minus kept pair
+    import spark.implicits._
+    val liveDf = live.toSeq.toDF("entry")
+    val dropped = existing
+      .join(broadcast(liveDf), Seq("entry"), "left_anti").count()
     if (dropped == 0L) return 0L
+    val kept = existing
+      .join(broadcast(liveDf), Seq("entry"), "left_semi")
     val tmp = new Path(vecDir(root), "postings__tmp")
     fs.delete(tmp, true)
     kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -492,18 +518,18 @@ object VectorIndex {
     val k = loadCentroids(spark, root).length
     val files = Snapshots.snap(spark, url,
       Snapshots.latest(spark, url)).files
-    val (covered, posted) = loadPostings(spark, root)
-      .getOrElse((Set.empty[String], Map.empty[String, Set[Any]]))
+    // ONE postings collect serves coverage AND the mass histogram —
+    // the r19 shape re-scanned and re-aggregated the sidecar for the
+    // per-cell mass (a second Spark action per health probe)
+    val postRows = loadPostingRows(spark, root)
+    val covered = postRows.map(_.map(_.getString(0)).toSet)
+      .getOrElse(Set.empty[String])
     val coveredNow = files.count(covered.contains)
-    val pp = postingsPath(root)
-    val ppFs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val massByCell: Map[String, Long] =
-      if (!ppFs.exists(pp)) Map.empty
-      else spark.read.parquet(pp.toString)
-        .filter(col("n") > 0L)
-        .groupBy(col("bucket").cast("string").as("cell"))
-        .agg(sum(col("n")).as("mass"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val massByCell: Map[String, Long] = postRows
+      .getOrElse(Array.empty[org.apache.spark.sql.Row])
+      .filter(r => !r.isNullAt(2) && r.getLong(2) > 0L)
+      .groupBy(r => String.valueOf(r.get(1)))
+      .map { case (c, rs) => c -> rs.map(_.getLong(2)).sum }
     val massTotal = massByCell.values.sum
     val massMax = if (massByCell.isEmpty) 0L else massByCell.values.max
     val cellsPosted = massByCell.size

@@ -143,6 +143,28 @@ class CdcChunkSpec extends SparkSpec {
       assert(l <= byId(a).length.toLong) }
   }
 
+  test("crossDocShared strings-once arm (forced threshold) matches " +
+      "the default double-shuffle arm") {
+    val docs = Seq(
+      (1L, "aaaa SHARED-SECRET-PHRASE bbbb"),
+      (2L, "cccc SHARED-SECRET-PHRASE dddd"),
+      (3L, "eeee no overlap here ffff"),
+      (4L, "gggg no overlap here hhhh"),
+      (5L, "zzzz SHARED-SECRET-PHRASE ends")).toDF("doc_id", "text")
+    def run(): Set[(Long, Long, Long)] =
+      SuffixArray.crossDocShared(docs, "doc_id", "text",
+        maxLen = 100, minLen = 10)
+        .as[(Long, Long, Long)].collect().toSet
+    val key = "spark.graft.crossDocStringsOnceRows"
+    val viaDefault = run()
+    spark.conf.set(key, "0") // every corpus takes the slim arm
+    val viaSlim = try run() finally spark.conf.unset(key)
+    assert(viaSlim == viaDefault,
+      s"arms disagree:\n slim=$viaSlim\n full=$viaDefault")
+    assert(viaSlim.exists { case (a, b, l) =>
+      a == 1L && b == 2L && l == 22L })
+  }
+
   test("lDiversity histogram on a hand-built table") {
     val rows = Seq(
       ("q1", "s1"), ("q1", "s1"),              // class q1: diversity 1

@@ -86,17 +86,33 @@ class BloomIndexSpec extends SparkSpec {
         "id", Seq(9001L))
       .filter(col("id") === 9001L)
     assert(got.count() == 1L)
-    // compaction: rewrite the store to one file; update prunes all
-    // stale entries and blooms the survivor
+    // compaction: rewrite the store to one file; the refresh blooms
+    // the survivor. Vanished-file rows may LINGER until the
+    // generation fold (the r20 delta-sidecar contract — they are
+    // harmless: probing always intersects the live listing) but
+    // probes stay exact immediately
     val all = spark.read.parquet(data)
     val tmp = scratch("bloom_upd_tmp")
     all.coalesce(1).write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).coalesce(1)
       .write.mode("overwrite").parquet(data)
     RowGroupIndex.updateBloom(spark, data, Seq("id"), idx, 1000L)
+    assert(RowGroupIndex.readBloomSelected(spark, data, idx, "id",
+      Seq(42L)).filter(col("id") === 42L).count() == 1L)
+    // drive the generation fold (one append+refresh per epoch past
+    // the part bound): the fold drops every vanished file's rows
+    (1 to SidecarDelta.MaxParts + 1).foreach { e =>
+      Seq((20000L + e, e)).toDF("id", "bucket")
+        .coalesce(1).write.mode("append").parquet(data)
+      RowGroupIndex.updateBloom(spark, data, Seq("id"), idx, 1000L)
+    }
+    val live = Materialize.listParquetFiles(spark, data).map(f =>
+      new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
     val files = spark.read.parquet(idx).select("file")
       .as[String].collect().toSet
-    assert(files.size == 1, s"stale entries survived: $files")
+    assert(files.map(f =>
+      new org.apache.hadoop.fs.Path(f).toUri.getPath) == live,
+      s"fold left stale entries or lost coverage: $files vs $live")
     assert(RowGroupIndex.readBloomSelected(spark, data, idx, "id",
       Seq(42L)).filter(col("id") === 42L).count() == 1L)
   }

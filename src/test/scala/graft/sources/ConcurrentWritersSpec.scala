@@ -28,7 +28,7 @@ class ConcurrentWritersSpec extends SparkSpec {
             .toDF("id", "v"), nFiles = 1)
       }
     }
-    val vs = Await.result(Future.sequence(futures), 120.seconds)
+    val vs = Await.result(Future.sequence(futures), 600.seconds)
     assert(vs.sorted == (2 to 9),
       s"appends must claim contiguous versions, got ${vs.sorted}")
     assert(Snapshots.read(spark, url).count() == 81L)
@@ -50,7 +50,7 @@ class ConcurrentWritersSpec extends SparkSpec {
           commitKey = "epoch_7", nFiles = 1)
       }
     }
-    val vs = Await.result(Future.sequence(futures), 120.seconds)
+    val vs = Await.result(Future.sequence(futures), 600.seconds)
     assert(vs.distinct.size == 1,
       s"twins disagreed on the committed version: $vs")
     assert(Snapshots.read(spark, url).count() == 11L,
